@@ -1,13 +1,403 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.ops.EventOps
+import graft.functions.TextFunctions
+import graft.operators.{Dedup, Similarity}
+
+/** Driver contract — one `queries` entry per implemented operator from
+  * SURVEY.md §2 (+ the north-star extensions), with a DuckDB-executable
+  * oracle for every SQL-expressible one.
+  *
+  * Determinism rules used throughout (so Spark and DuckDB hash-match):
+  *  - double aggregates go through DECIMAL(18,s) (exact, order-independent)
+  *    and are cast back to DOUBLE;
+  *  - averages are computed as exact-decimal-sum / count in DOUBLE;
+  *  - timestamps are surfaced as epoch-µs BIGINT or formatted strings;
+  *  - top-k queries carry a total tie-break order;
+  *  - Jaccard thresholds compare integers (inter·den ≥ un·num), never
+  *    floats.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query (sf0.001): the 4-way revenue join, Q9 shape. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    q09(spark, "/root/testdata/sf0.001")
+
+  // ---- helpers ----------------------------------------------------------
+
+  /** Exact, order-independent sum of a double column: route through
+    * DECIMAL(18,s), return DOUBLE.
+    */
+  private def dsum(c: Column, scale: Int): Column =
+    sum(c.cast(DecimalType(18, scale))).cast("double")
+
+  private def ev(s: SparkSession, d: String): DataFrame = Tables.events(s, d)
+  private def docs(s: SparkSession, d: String): DataFrame = Tables.documents(s, d)
+  private def emb(s: SparkSession, d: String): DataFrame = Tables.embeddings(s, d)
+
+  // ---- reference-surface queries (SURVEY §2.2) --------------------------
+
+  /** Q1 — O3/O11 scan + projection. */
+  def q01(s: SparkSession, d: String): DataFrame =
+    ev(s, d).select("event_id", "user_id", "event_type", "value")
+
+  /** Q2 — O9/O14 validity filters; ts surfaced as epoch-µs. */
+  def q02(s: SparkSession, d: String): DataFrame =
+    EventOps.filterValid(ev(s, d))
+      .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+        col("user_id"), col("event_type"), col("value"), col("props"))
+
+  /** Q3 — O12 derived time columns. */
+  def q03(s: SparkSession, d: String): DataFrame =
+    ev(s, d).select(col("event_id"),
+      date_format(col("ts"), "yyyy-MM-dd").as("d"),
+      date_format(col("ts"), "yyyy-MM").as("ym"))
+
+  /** Q4 — O13 distinct months. */
+  def q04(s: SparkSession, d: String): DataFrame =
+    EventOps.distinctMonths(ev(s, d))
+
+  /** Q5 — O15 half-open range predicate (fixes the reference's
+    * boundary-dropping bug, `df_manager.py:70-74`).
+    */
+  def q05(s: SparkSession, d: String): DataFrame =
+    EventOps.rangeFilter(ev(s, d), "ts", "2024-01-05 00:00:00", "2024-01-20 00:00:00")
+      .agg(count(lit(1)).as("n"))
+
+  /** Q6 — O16/O17 group fan-out as a declarative aggregation. */
+  def q06(s: SparkSession, d: String): DataFrame =
+    ev(s, d).groupBy(col("event_type"),
+        year(col("ts")).cast("long").as("y"), month(col("ts")).cast("long").as("m"))
+      .agg(count(lit(1)).as("n"), dsum(col("value"), 2).as("s"))
+
+  /** Q7 — O4 schema patch / default column on the raw-JSON escape hatch. */
+  def q07(s: SparkSession, d: String): DataFrame =
+    ev(s, d).select(col("event_id"),
+      coalesce(get_json_object(col("props"), "$.k"), lit("0")).as("hits"))
+
+  /** Q8 — O19 append/accumulate as a pure union. */
+  def q08(s: SparkSession, d: String): DataFrame = {
+    val e = ev(s, d).select("event_id", "user_id", "event_type", "value")
+    EventOps.append(e.filter(col("event_id") % 2 === 0), e.filter(col("event_id") % 2 === 1))
+  }
+
+  /** Q9 — multi-way join + aggregation (broadcast the 25-row nation dim). */
+  def q09(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"))
+      .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("revenue"))
+
+  /** Q10 — TPC-H Q1 shape (scan-heavy aggregation). */
+  def q10(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum(col("l_quantity"), 2).as("sum_qty"),
+        dsum(col("l_extendedprice"), 2).as("sum_base"),
+        (dsum(col("l_extendedprice"), 2) / count(lit(1))).as("avg_price"),
+        count(lit(1)).as("n"))
+
+  /** Q11 — window function top-k per key (total order via tie-break). */
+  def q11(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(s, d).select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 3)
+  }
+
+  /** Q12 — north-star exact dedup accounting. */
+  def q12(s: SparkSession, d: String): DataFrame =
+    docs(s, d).groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("text")).as("n_unique"))
+
+  /** Q13 — north-star text stats. */
+  def q13(s: SparkSession, d: String): DataFrame =
+    docs(s, d).groupBy(col("lang")).agg(
+      count(lit(1)).as("n"),
+      (sum(col("n_chars")).cast("double") / count(lit(1))).as("avg_chars"),
+      min(col("n_chars")).as("min_chars"),
+      max(col("n_chars")).as("max_chars"))
+
+  /** Q14 — north-star similarity: exact top-10 cosine neighbors of
+    * vec_id=0 via the custom [[graft.functions.CosineSimilarity]]
+    * expression.
+    */
+  def q14(s: SparkSession, d: String): DataFrame = {
+    val e = emb(s, d)
+    Similarity.topKCosine(e, e.filter(col("vec_id") === 0), "vec_id", "embedding", 10)
+  }
+
+  /** Q15 — O10 micro-batch semantics, batch-equivalent: tumbling 1-hour
+    * event-time window aggregation (streaming twin in
+    * [[graft.streaming.IngestPipeline]] specs).
+    */
+  def q15(s: SparkSession, d: String): DataFrame =
+    ev(s, d).filter(col("ts").isNotNull)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("wstart"),
+        col("event_type"), col("n"))
+
+  /** Q16 — E3 end-to-end: validity gates → derived time → JSON patch →
+    * grouped sink-shaped aggregation (the whole reference pipeline as one
+    * declarative query).
+    */
+  def q16(s: SparkSession, d: String): DataFrame =
+    EventOps.filterValid(ev(s, d))
+      .select(col("event_type"), date_format(col("ts"), "yyyy-MM").as("ym"),
+        coalesce(get_json_object(col("props"), "$.k"), lit("0")).cast("long").as("hits"))
+      .groupBy(col("event_type"), col("ym"))
+      .agg(count(lit(1)).as("n"), sum(col("hits")).as("hits_sum"))
+
+  // ---- north-star extensions -------------------------------------------
+
+  /** Q17 — token counting. */
+  def q17(s: SparkSession, d: String): DataFrame =
+    docs(s, d).select(col("doc_id"), TextFunctions.tokenCount(col("text")).as("n_tokens"))
+
+  /** Q18 — quality scoring (length credit × lexical diversity). */
+  def q18(s: SparkSession, d: String): DataFrame = {
+    val toks = TextFunctions.tokens(col("text"))
+    docs(s, d).select(col("doc_id"),
+      size(toks).cast("long").as("n_tokens"),
+      round(TextFunctions.typeTokenRatio(toks), 6).as("ttr"),
+      TextFunctions.qualityScore(toks).as("score"))
+  }
+
+  /** Q19 — language-ID heuristic. */
+  def q19(s: SparkSession, d: String): DataFrame =
+    docs(s, d).select(col("doc_id"), TextFunctions.langId(col("text")).as("lang_pred"))
+
+  /** Q20 — content fingerprint (normalized md5). */
+  def q20(s: SparkSession, d: String): DataFrame =
+    docs(s, d).select(col("doc_id"), TextFunctions.fingerprint(col("text")).as("fp"))
+
+  /** Q21 — banded 3-gram Jaccard near-dup scan (id-window candidates). */
+  def q21(s: SparkSession, d: String): DataFrame =
+    Dedup.ngramJaccardBanded(docs(s, d), "doc_id", "text",
+      window = 20, thresholdNum = 1, thresholdDen = 2)
+
+  /** Q22 — MinHash+LSH near-dup pairs, verified with exact Jaccard;
+    * oracle is the brute-force all-pairs scan (see [[Dedup.minhashLshPairs]]
+    * for the recall argument).
+    */
+  def q22(s: SparkSession, d: String): DataFrame =
+    Dedup.minhashLshPairs(docs(s, d), "doc_id", "text",
+      numHashes = 128, bands = 32, thresholdNum = 7, thresholdDen = 10)
+
+  /** Q23 — banded cosine near-duplicate scan over embeddings. */
+  def q23(s: SparkSession, d: String): DataFrame =
+    Similarity.cosineNearDupBanded(emb(s, d), "vec_id", "embedding",
+      window = 100, minSim = 0.3)
+
+  /** Q24 — exact distinct-entity count (the O13 pattern at entity level). */
+  def q24(s: SparkSession, d: String): DataFrame =
+    ev(s, d).groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+
+  /** Q25 — multimodal column plumbing: binary payload metadata (byte
+    * length, chunk count, checksum) of documents-as-blobs.
+    */
+  def q25(s: SparkSession, d: String): DataFrame =
+    docs(s, d).select(col("doc_id"),
+      octet_length(col("text")).cast("long").as("n_bytes"),
+      ceil(octet_length(col("text")).cast("double") / 256.0d).cast("long").as("n_chunks"),
+      md5(col("text")).as("fp"))
+
+  // ---- rows-only (non-SQL-expressible) ---------------------------------
+
+  /** Q26 — ANN top-k via random-hyperplane LSH (approximate: no oracle;
+    * recall vs exact asserted in AnnSpec).
+    */
+  def q26(s: SparkSession, d: String): DataFrame = {
+    val e = emb(s, d)
+    Similarity.annTopKCosine(e, e.filter(col("vec_id") < 5), "vec_id", "embedding", 10)
+  }
+
+  /** Q27 — SimHash near-dup pairs (hash-specific: no oracle). */
+  def q27(s: SparkSession, d: String): DataFrame =
+    Dedup.simhashPairs(docs(s, d), "doc_id", "text", maxHamming = 3)
+
+  /** Q28 — HLL++ approximate distinct (engine-specific sketch: no oracle). */
+  def q28(s: SparkSession, d: String): DataFrame =
+    ev(s, d).groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id")).as("approx_users"))
+
+  // ---- driver contract --------------------------------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_scan_project"    -> (q01 _),
+    "q02_filter_valid"    -> (q02 _),
+    "q03_derive_time"     -> (q03 _),
+    "q04_distinct_months" -> (q04 _),
+    "q05_range_count"     -> (q05 _),
+    "q06_group_fanout"    -> (q06 _),
+    "q07_props_patch"     -> (q07 _),
+    "q08_union_append"    -> (q08 _),
+    "q09_join_revenue"    -> (q09 _),
+    "q10_tpch_q1"         -> (q10 _),
+    "q11_window_top3"     -> (q11 _),
+    "q12_dedup_exact"     -> (q12 _),
+    "q13_text_stats"      -> (q13 _),
+    "q14_cosine_topk"     -> (q14 _),
+    "q15_hourly_window"   -> (q15 _),
+    "q16_etl_pipeline"    -> (q16 _),
+    "q17_token_count"     -> (q17 _),
+    "q18_quality_score"   -> (q18 _),
+    "q19_lang_id"         -> (q19 _),
+    "q20_fingerprint"     -> (q20 _),
+    "q21_ngram_jaccard"   -> (q21 _),
+    "q22_minhash_lsh"     -> (q22 _),
+    "q23_cosine_neardup"  -> (q23 _),
+    "q24_distinct_users"  -> (q24 _),
+    "q25_binary_meta"     -> (q25 _),
+    "q26_ann_topk"        -> (q26 _),
+    "q27_simhash_pairs"   -> (q27 _),
+    "q28_approx_distinct" -> (q28 _))
+
+  // DuckDB twins. Shared SQL fragments for the text queries:
+  private val TOKS =
+    "list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')"
+  private def shinglesSql(tk: String): String =
+    s"CASE WHEN len($tk) >= 3 THEN list_distinct(list_transform(range(len($tk)-2), " +
+    s"i -> $tk[i+1] || ' ' || $tk[i+2] || ' ' || $tk[i+3])) ELSE CAST([] AS VARCHAR[]) END"
+
+  private def jaccardPairsSql(joinCond: String, num: Int, den: Int): String =
+    s"""WITH toks AS (SELECT doc_id, $TOKS AS tk FROM documents),
+       |sh AS (SELECT doc_id, ${shinglesSql("tk")} AS s FROM toks),
+       |pairs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       |  len(list_intersect(a.s, b.s)) AS inter, len(a.s) + len(b.s) AS tot
+       |  FROM sh a JOIN sh b ON $joinCond)
+       |SELECT a_id, b_id, CAST(inter AS BIGINT) AS inter,
+       |  CAST(tot - inter AS BIGINT) AS un,
+       |  CAST(inter AS DOUBLE) / (tot - inter) AS jac
+       |FROM pairs WHERE (tot - inter) > 0 AND inter * $den >= (tot - inter) * $num
+       |""".stripMargin
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_scan_project" ->
+      "SELECT event_id, user_id, event_type, value FROM events",
+    "q02_filter_valid" ->
+      ("SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value, props " +
+       "FROM events WHERE ts IS NOT NULL AND year(ts) <> 1970"),
+    "q03_derive_time" ->
+      ("SELECT event_id, strftime(ts, '%Y-%m-%d') AS d, strftime(ts, '%Y-%m') AS ym " +
+       "FROM events"),
+    "q04_distinct_months" ->
+      "SELECT DISTINCT strftime(ts, '%Y-%m') AS ym FROM events",
+    "q05_range_count" ->
+      ("SELECT count(*) AS n FROM events WHERE ts >= TIMESTAMP '2024-01-05 00:00:00' " +
+       "AND ts < TIMESTAMP '2024-01-20 00:00:00'"),
+    "q06_group_fanout" ->
+      ("SELECT event_type, CAST(year(ts) AS BIGINT) AS y, CAST(month(ts) AS BIGINT) AS m, " +
+       "count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s " +
+       "FROM events GROUP BY 1, 2, 3"),
+    "q07_props_patch" ->
+      ("SELECT event_id, coalesce(json_extract_string(props, '$.k'), '0') AS hits " +
+       "FROM events"),
+    "q08_union_append" ->
+      ("SELECT event_id, user_id, event_type, value FROM events WHERE event_id % 2 = 0 " +
+       "UNION ALL " +
+       "SELECT event_id, user_id, event_type, value FROM events WHERE event_id % 2 = 1"),
+    "q09_join_revenue" ->
+      ("SELECT n_name, CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) " +
+       "AS DOUBLE) AS revenue FROM customer " +
+       "JOIN orders ON c_custkey = o_custkey " +
+       "JOIN lineitem ON o_orderkey = l_orderkey " +
+       "JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name"),
+    "q10_tpch_q1" ->
+      ("SELECT l_returnflag, l_linestatus, " +
+       "CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, " +
+       "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base, " +
+       "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price, " +
+       "count(*) AS n FROM lineitem " +
+       "WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' GROUP BY 1, 2"),
+    "q11_window_top3" ->
+      ("SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (" +
+       "SELECT o_custkey, o_orderkey, o_totalprice, " +
+       "CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) " +
+       "AS BIGINT) AS rk FROM orders) t WHERE rk <= 3"),
+    "q12_dedup_exact" ->
+      ("SELECT lang, count(*) AS n, count(DISTINCT text) AS n_unique " +
+       "FROM documents GROUP BY lang"),
+    "q13_text_stats" ->
+      ("SELECT lang, count(*) AS n, CAST(sum(n_chars) AS DOUBLE) / count(*) AS avg_chars, " +
+       "min(n_chars) AS min_chars, max(n_chars) AS max_chars FROM documents GROUP BY lang"),
+    "q14_cosine_topk" ->
+      ("""WITH p AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+         |scored AS (SELECT e.vec_id,
+         |  list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(p.embedding AS DOUBLE[])) AS sim
+         |  FROM embeddings e, p WHERE e.vec_id <> 0)
+         |SELECT CAST(0 AS BIGINT) AS probe_id, vec_id,
+         |  CAST(row_number() OVER (ORDER BY sim DESC, vec_id) AS BIGINT) AS rk,
+         |  round(sim, 4) AS sim_r
+         |FROM scored QUALIFY rk <= 10
+         |""".stripMargin),
+    "q15_hourly_window" ->
+      ("SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS wstart, " +
+       "event_type, count(*) AS n FROM events WHERE ts IS NOT NULL GROUP BY 1, 2"),
+    "q16_etl_pipeline" ->
+      ("SELECT event_type, strftime(ts, '%Y-%m') AS ym, count(*) AS n, " +
+       "sum(CAST(coalesce(json_extract_string(props, '$.k'), '0') AS BIGINT)) AS hits_sum " +
+       "FROM events WHERE ts IS NOT NULL AND year(ts) <> 1970 GROUP BY 1, 2"),
+    "q17_token_count" ->
+      s"SELECT doc_id, CAST(len($TOKS) AS BIGINT) AS n_tokens FROM documents",
+    "q18_quality_score" ->
+      (s"""WITH t AS (SELECT doc_id, $TOKS AS tk FROM documents)
+          |SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
+          |  round(CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk), 6) AS ttr,
+          |  round(least(CAST(1.0 AS DOUBLE), CAST(len(tk) AS DOUBLE) / CAST(50 AS DOUBLE)) *
+          |        (CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk)), 6) AS score
+          |FROM t
+          |""".stripMargin),
+    "q19_lang_id" ->
+      ("""WITH t AS (SELECT doc_id, text,
+         |  list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), x -> x <> '') AS tk
+         |  FROM documents),
+         |s AS (SELECT doc_id, text,
+         |  len(list_filter(tk, x -> x IN ('the','a','of','and','is'))) AS en,
+         |  len(list_filter(tk, x -> x IN ('der','die','und','ist','nicht'))) AS de,
+         |  len(list_filter(tk, x -> x IN ('el','los','una','es','y'))) AS es,
+         |  len(list_filter(tk, x -> x IN ('le','les','une','est','et'))) AS fr
+         |  FROM t)
+         |SELECT doc_id, CASE
+         |  WHEN regexp_matches(text, '[\x{4e00}-\x{9fff}]') THEN 'zh'
+         |  WHEN de > en AND de >= es AND de >= fr THEN 'de'
+         |  WHEN es > en AND es >= fr THEN 'es'
+         |  WHEN fr > en THEN 'fr'
+         |  ELSE 'en' END AS lang_pred
+         |FROM s
+         |""".stripMargin),
+    "q20_fingerprint" ->
+      ("SELECT doc_id, md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp " +
+       "FROM documents"),
+    "q21_ngram_jaccard" ->
+      jaccardPairsSql("b.doc_id > a.doc_id AND b.doc_id <= a.doc_id + 20", 1, 2),
+    "q22_minhash_lsh" ->
+      jaccardPairsSql("b.doc_id > a.doc_id", 7, 10),
+    "q23_cosine_neardup" ->
+      ("""SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         |  round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+         |                               CAST(b.embedding AS DOUBLE[])), 4) AS sim_r
+         |FROM embeddings a JOIN embeddings b
+         |  ON b.vec_id > a.vec_id AND b.vec_id <= a.vec_id + 100
+         |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+         |                             CAST(b.embedding AS DOUBLE[])) >= 0.3
+         |""".stripMargin),
+    "q24_distinct_users" ->
+      "SELECT event_type, count(DISTINCT user_id) AS n_users FROM events GROUP BY event_type",
+    "q25_binary_meta" ->
+      ("SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, " +
+       "CAST(ceil(CAST(octet_length(encode(text)) AS DOUBLE) / CAST(256 AS DOUBLE)) AS BIGINT) " +
+       "AS n_chunks, md5(text) AS fp FROM documents"))
 }

@@ -1,0 +1,58 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** `random_hyperplane_signature(vec)` — sign pattern of `bits` dot
+  * products against pseudo-random Gaussian hyperplanes, packed into a
+  * Long. The LSH primitive for cosine similarity (SimHash-for-vectors):
+  * P[sig bits agree] = 1 - θ(a,b)/π per bit.
+  *
+  * Hyperplanes are generated lazily per observed input dimension from
+  * java.util.Random(seed ⊕ dim) — the JDK specifies the generator
+  * algorithm, so buckets are identical on every executor/JVM.
+  */
+case class RandomHyperplaneSignature(child: Expression, bits: Int, seed: Long)
+    extends UnaryExpression with CodegenFallback {
+  require(bits >= 1 && bits <= 64, "bits must be in [1, 64]")
+
+  override def dataType: DataType = LongType
+
+  private def isFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  // dim -> bits × dim plane matrix (row-major), cached per executor
+  @transient private lazy val planeCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, Array[Double]]()
+
+  private def planes(dim: Int): Array[Double] =
+    planeCache.computeIfAbsent(dim, d => {
+      val rnd = new java.util.Random(seed ^ (d.toLong * 0x9E3779B97F4A7C15L))
+      Array.fill(bits * d)(rnd.nextGaussian())
+    })
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val p = planes(n)
+    val f = isFloat
+    var sig = 0L
+    var b = 0
+    while (b < bits) {
+      var dot = 0.0
+      var i = 0
+      val off = b * n
+      while (i < n) {
+        val x = if (f) arr.getFloat(i).toDouble else arr.getDouble(i)
+        dot += x * p(off + i)
+        i += 1
+      }
+      if (dot >= 0.0) sig |= (1L << b)
+      b += 1
+    }
+    sig
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}

@@ -1,0 +1,75 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** North-star text-analysis kernels (SURVEY.md §2.2 Q12/Q13 extensions):
+  * tokenization, n-gram shingling, language-ID heuristic, quality scoring,
+  * content fingerprinting. All built from codegen'd `functions._`
+  * primitives — no UDFs — so every formula here has an exact ANSI-SQL
+  * twin in `SparkEntry.oracleSql`.
+  */
+object TextFunctions {
+
+  /** Whitespace tokenization; empty tokens removed so leading/trailing
+    * whitespace can't produce "" tokens.
+    */
+  def tokens(text: Column): Column =
+    filter(split(trim(text), "\\s+"), t => t =!= "")
+
+  /** Word n-gram shingles (distinct), the dedup unit for MinHash/Jaccard.
+    * Guarded so documents with < n tokens yield an empty set.
+    */
+  def shingles(toks: Column, n: Int = 3): Column = {
+    val grams = transform(
+      sequence(lit(0), size(toks) - n),
+      i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + k + 1)): _*))
+    array_distinct(when(size(toks) >= n, grams).otherwise(array()))
+  }
+
+  /** Token count (Long). */
+  def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
+
+  /** Type-token ratio — distinct tokens / tokens; simple lexical-diversity
+    * quality signal.
+    */
+  def typeTokenRatio(toks: Column): Column =
+    size(array_distinct(toks)).cast("double") / size(toks)
+
+  /** Composite quality score in [0,1]: length credit (saturating at 50
+    * tokens) × lexical diversity. Deterministic double arithmetic.
+    */
+  def qualityScore(toks: Column): Column =
+    round(least(lit(1.0), size(toks) / lit(50.0)) * typeTokenRatio(toks), 6)
+
+  /** Language-ID heuristic: CJK characters → zh, else argmax of
+    * marker-stopword hits with deterministic priority (en, de, es, fr) and
+    * 'en' fallback. Marker sets are disjoint across languages so the
+    * scoring is order-independent except for exact ties.
+    */
+  val langMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "is"),
+    "de" -> Seq("der", "die", "und", "ist", "nicht"),
+    "es" -> Seq("el", "los", "una", "es", "y"),
+    "fr" -> Seq("le", "les", "une", "est", "et"))
+
+  def markerHits(toks: Column, lang: String): Column =
+    size(filter(toks, t => t.isin(langMarkers(lang): _*)))
+
+  def langId(text: Column): Column = {
+    val toks = tokens(lower(text))
+    val en = markerHits(toks, "en"); val de = markerHits(toks, "de")
+    val es = markerHits(toks, "es"); val fr = markerHits(toks, "fr")
+    when(text.rlike("[\\x{4e00}-\\x{9fff}]"), "zh")
+      .when(de > en && de >= es && de >= fr, "de")
+      .when(es > en && es >= fr, "es")
+      .when(fr > en, "fr")
+      .otherwise("en")
+  }
+
+  /** Content fingerprint: md5 of whitespace-normalized lowercase text.
+    * The canonical exact-dedup key for near-identical formatting variants.
+    */
+  def fingerprint(text: Column): Column =
+    md5(lower(regexp_replace(trim(text), "\\s+", " ")))
+}

@@ -1,0 +1,136 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.{HashFunctions, TextFunctions}
+
+/** North-star deduplication operators over the `documents` table shape
+  * (id + text). Exact, MinHash+LSH, SimHash, and banded n-gram Jaccard.
+  *
+  * Scale design (100 TB): every path is shuffle-bounded —
+  * exact dedup shuffles once on the dedup key; MinHash LSH shuffles on
+  * (band, bucket-hash) where bucket populations are tiny by construction,
+  * then verifies only candidate pairs (never all pairs); banded Jaccard
+  * turns the quadratic self-join into an equi-join on a derived bucket.
+  * No driver-side collection anywhere.
+  */
+object Dedup {
+
+  /** Exact dedup with a deterministic survivor (lowest id per key group) —
+    * unlike `dropDuplicates`, replay/parallelism cannot change the output.
+    */
+  def exactDedup(df: DataFrame, keyCols: Seq[String], idCol: String): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(idCol))
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Documents → (id, shingles) with distinct word n-gram shingles. */
+  def shingled(docs: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame =
+    docs.select(col(idCol),
+      TextFunctions.shingles(TextFunctions.tokens(col(textCol)), n).as("shingles"))
+
+  /** MinHash + LSH near-duplicate pairs.
+    *
+    * Pipeline: shingle → k-minima signature (one xxHash64 pass, custom
+    * Catalyst expression) → split signature into `bands` bands of
+    * `numHashes/bands` rows → hash each band → self-join on band hash →
+    * distinct candidate pairs → verify with *exact* Jaccard on shingle
+    * sets, keeping pairs with j >= thresholdNum/thresholdDen (exact
+    * integer comparison, no float boundary).
+    *
+    * With k=128, b=32 (r=4): P[candidate | j] = 1-(1-j^4)^32 — ≈0.9998 at
+    * j=0.7, ≈1-1e-15 at j=0.9. False positives are eliminated by the
+    * verify step, so output = { pairs with exact Jaccard ≥ t } w.h.p.
+    */
+  def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
+                      numHashes: Int = 128, bands: Int = 32,
+                      thresholdNum: Int = 7, thresholdDen: Int = 10,
+                      ngram: Int = 3, seed: Long = 42L): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val r = numHashes / bands
+    val sh = shingled(docs, idCol, textCol, ngram)
+
+    val sig = sh.select(col(idCol),
+      HashFunctions.minhashSignature(col("shingles"), numHashes, seed).as("sig"))
+
+    // (id, band-bucket) rows; band index folded into the hash so buckets
+    // from different bands never collide on the join key.
+    val bandHashes = (0 until bands).map(b => xxhash64(lit(b), slice(col("sig"), b * r + 1, r)))
+    val buckets = sig.select(col(idCol).as("id"),
+      explode(array(bandHashes: _*)).as("bucket"))
+
+    val candidates = buckets.as("x")
+      .join(buckets.as("y"), col("x.bucket") === col("y.bucket") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("a_id"), col("y.id").as("b_id"))
+      .distinct()
+
+    verifyJaccard(candidates, sh, idCol, thresholdNum, thresholdDen)
+  }
+
+  /** Exact-Jaccard verification of candidate pairs against shingle sets.
+    * Keeps j >= num/den via integer cross-multiplication (exact).
+    */
+  private def verifyJaccard(pairs: DataFrame, sh: DataFrame, idCol: String,
+                            num: Int, den: Int): DataFrame = {
+    val a = sh.select(col(idCol).as("a_id"), col("shingles").as("sa"))
+    val b = sh.select(col(idCol).as("b_id"), col("shingles").as("sb"))
+    pairs.join(a, "a_id").join(b, "b_id")
+      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))).cast("long"))
+      .withColumn("un", (size(col("sa")) + size(col("sb"))).cast("long") - col("inter"))
+      .filter(col("un") > 0 && col("inter") * den >= col("un") * num)
+      .select(col("a_id"), col("b_id"), col("inter"), col("un"),
+        (col("inter").cast("double") / col("un")).as("jac"))
+  }
+
+  /** Banded n-gram Jaccard: compare each doc only to ids within `window`
+    * of it (a deterministic, O(n·window) candidate set — the pattern for
+    * time- or id-clustered corpora where near-dups arrive close together).
+    * The id-range join is turned into an equi-join on `id div window` (+
+    * next bucket) so it shuffles instead of nested-looping.
+    */
+  def ngramJaccardBanded(docs: DataFrame, idCol: String, textCol: String,
+                         window: Int = 20, thresholdNum: Int = 1, thresholdDen: Int = 2,
+                         ngram: Int = 3): DataFrame = {
+    val sh = shingled(docs, idCol, textCol, ngram)
+    val a = sh.select(col(idCol).as("a_id"), col("shingles").as("sa"),
+      (col(idCol) / window).cast("long").as("abkt"))
+    // each left row probes its own bucket and the next (covers id+window)
+    val aExp = a.withColumn("bkt", explode(array(col("abkt"), col("abkt") + 1))).drop("abkt")
+    val b = sh.select(col(idCol).as("b_id"), col("shingles").as("sb"),
+      (col(idCol) / window).cast("long").as("bkt"))
+    aExp.join(b, "bkt")
+      .filter(col("b_id") > col("a_id") && col("b_id") <= col("a_id") + window)
+      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))).cast("long"))
+      .withColumn("un", (size(col("sa")) + size(col("sb"))).cast("long") - col("inter"))
+      .filter(col("un") > 0 && col("inter") * thresholdDen >= col("un") * thresholdNum)
+      .select(col("a_id"), col("b_id"), col("inter"), col("un"),
+        (col("inter").cast("double") / col("un")).as("jac"))
+  }
+
+  /** SimHash near-duplicate pairs: 64-bit fingerprints, candidates via
+    * 4×16-bit chunk banding (pigeonhole: hamming ≤ 3 ⇒ ≥1 identical
+    * chunk), verified with `bit_count(a^b) <= maxHamming`.
+    */
+  def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 3, seed: Long = 42L): DataFrame = {
+    require(maxHamming <= 3, "4-chunk banding only guarantees recall for hamming <= 3")
+    val hashed = docs.select(col(idCol).as("id"),
+      HashFunctions.simhash64(TextFunctions.tokens(col(textCol)), seed).as("sh"))
+    val chunkCols = (0 until 4).map { c =>
+      struct(lit(c).as("c"),
+        shiftrightunsigned(col("sh"), c * 16).bitwiseAND(lit(0xFFFFL)).as("v"))
+    }
+    val chunks = hashed.select(col("id"), col("sh"),
+      explode(array(chunkCols: _*)).as("chunk"))
+    val candidates = chunks.as("x")
+      .join(chunks.as("y"), col("x.chunk") === col("y.chunk") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("a_id"), col("y.id").as("b_id"),
+        col("x.sh").as("sha"), col("y.sh").as("shb"))
+      .distinct()
+    candidates
+      .withColumn("hamming", bit_count(col("sha").bitwiseXOR(col("shb"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("a_id"), col("b_id"), col("hamming"))
+  }
+}

@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.{RandomHyperplaneSignature, VectorFunctions}
+import org.apache.spark.sql.graft.ColumnBridge
+
+/** North-star similarity search over an embedding column
+  * (`array<float>`): brute-force cosine top-k as the exact baseline, and
+  * a random-hyperplane-LSH bucketed variant as the scale path, plus a
+  * banded all-pairs near-duplicate scan.
+  *
+  * Scale design: brute force broadcasts only the (small) probe set and
+  * scans candidates once — O(|probes|·n) with no shuffle of the corpus;
+  * the LSH path replaces the scan with an equi-join on hash buckets.
+  */
+object Similarity {
+
+  /** Exact top-k cosine neighbors for each probe row. `probes` must be
+    * small (it is broadcast); the corpus side never shuffles — per-probe
+    * ranking happens in a single window over sim-scored candidates.
+    */
+  def topKCosine(corpus: DataFrame, probes: DataFrame, idCol: String,
+                 vecCol: String, k: Int): DataFrame = {
+    val p = probes.select(col(idCol).as("probe_id"), col(vecCol).as("pvec"))
+    val c = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("cvec"))
+    val scored = c.crossJoin(broadcast(p))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .withColumn("sim", VectorFunctions.cosineSimilarity(col("cvec"), col("pvec")))
+    val w = Window.partitionBy(col("probe_id")).orderBy(col("sim").desc, col("vec_id"))
+    scored.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("probe_id"), col("vec_id"), col("rk"), round(col("sim"), 4).as("sim_r"))
+  }
+
+  /** Approximate top-k via random-hyperplane LSH: `tables` independent
+    * signatures of `bits` hyperplane signs each; candidates = corpus rows
+    * sharing any bucket with the probe; exact cosine re-ranking on the
+    * candidate set only. Recall grows with `tables`; cost is
+    * O(candidates) instead of O(n) per probe.
+    */
+  def annTopKCosine(corpus: DataFrame, probes: DataFrame, idCol: String,
+                    vecCol: String, k: Int, bits: Int = 12, tables: Int = 8,
+                    seed: Long = 42L): DataFrame = {
+    def withBuckets(df: DataFrame, id: String, vec: String): DataFrame =
+      df.select(col(id), col(vec),
+        explode(array((0 until tables).map { t =>
+          struct(lit(t).as("t"),
+            ColumnBridge.column(RandomHyperplaneSignature(
+              ColumnBridge.expression(col(vec)), bits, seed + t)).as("sig"))
+        }: _*)).as("bucket"))
+
+    val cb = withBuckets(corpus.select(col(idCol).as("vec_id"), col(vecCol).as("cvec")), "vec_id", "cvec")
+    val pb = withBuckets(probes.select(col(idCol).as("probe_id"), col(vecCol).as("pvec")), "probe_id", "pvec")
+
+    val candidates = cb.join(pb, "bucket")
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"), col("pvec"), col("cvec"))
+      .dropDuplicates("probe_id", "vec_id")
+      .withColumn("sim", VectorFunctions.cosineSimilarity(col("cvec"), col("pvec")))
+    val w = Window.partitionBy(col("probe_id")).orderBy(col("sim").desc, col("vec_id"))
+    candidates.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("probe_id"), col("vec_id"), col("rk"), round(col("sim"), 4).as("sim_r"))
+  }
+
+  /** Banded cosine near-duplicate scan: compare each vector only to ids
+    * within `window` (equi-join on `id div window` + next bucket — same
+    * quadratic-to-linear trick as [[Dedup.ngramJaccardBanded]]).
+    */
+  def cosineNearDupBanded(embeddings: DataFrame, idCol: String, vecCol: String,
+                          window: Int = 100, minSim: Double = 0.3): DataFrame = {
+    val a = embeddings.select(col(idCol).as("a_id"), col(vecCol).as("va"),
+      (col(idCol) / window).cast("long").as("abkt"))
+    val aExp = a.withColumn("bkt", explode(array(col("abkt"), col("abkt") + 1))).drop("abkt")
+    val b = embeddings.select(col(idCol).as("b_id"), col(vecCol).as("vb"),
+      (col(idCol) / window).cast("long").as("bkt"))
+    aExp.join(b, "bkt")
+      .filter(col("b_id") > col("a_id") && col("b_id") <= col("a_id") + window)
+      .withColumn("sim", VectorFunctions.cosineSimilarity(col("va"), col("vb")))
+      .filter(col("sim") >= minSim)
+      .select(col("a_id"), col("b_id"), round(col("sim"), 4).as("sim_r"))
+  }
+}
