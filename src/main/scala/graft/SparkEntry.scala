@@ -221,7 +221,10 @@ object SparkEntry {
     */
   def q26(s: SparkSession, d: String): DataFrame = {
     val e = emb(s, d)
-    Similarity.annTopKCosine(e, e.filter(col("vec_id") < 5), "vec_id", "embedding", 10)
+    // 8-bit signatures: the fixture embeddings are near-uniform (no real
+    // clusters), so shorter signatures keep candidate sets non-degenerate.
+    Similarity.annTopKCosine(e, e.filter(col("vec_id") < 5), "vec_id", "embedding", 10,
+      bits = 8, tables = 8)
   }
 
   /** Q27 — SimHash near-dup pairs (hash-specific: no oracle). */

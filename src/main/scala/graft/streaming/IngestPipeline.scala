@@ -1,0 +1,111 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
+import org.apache.spark.sql.Row
+
+import graft.ops.EventOps
+import graft.schemas.TopicSchemas
+import graft.sinks.PartitionedSink
+
+/** The reference's whole job (SURVEY.md §3 E1/E2) as one Structured
+  * Streaming pipeline: Kafka topics → JSON decode → per-topic transform →
+  * entity/year/month-partitioned data lake.
+  *
+  * What disappears versus the reference: worker processes (O7) →
+  * executors; the bounded queue (O6) → `maxOffsetsPerTrigger`
+  * backpressure; count-based flushing (O10) → triggers; the local CSV
+  * crash mirror (O21) → checkpointing; the months × keys sink loop
+  * (O15–O17) → `partitionBy`. CRON drain mode (`README.md:35`, E2) is
+  * `Trigger.AvailableNow`: process everything available, checkpoint,
+  * exit — with none of the reference's shutdown bugs (`run.py:126-131`).
+  *
+  * Every transform here is a pure `DataFrame => DataFrame`, so the same
+  * code path is exercised by batch tests, `MemoryStream` specs, and the
+  * real Kafka source.
+  */
+object IngestPipeline {
+
+  /** O1 — the Kafka scan. `startingOffsets=earliest` mirrors
+    * `auto.offset.reset: beginning` (`run.py:31`); `maxOffsetsPerTrigger`
+    * bounds micro-batch size (the reference's flush threshold + queue
+    * capacity collapsed into one knob).
+    */
+  def kafkaSource(spark: SparkSession, bootstrapServers: String, topics: Seq[String],
+                  maxOffsetsPerTrigger: Long = 100000L): DataFrame =
+    spark.readStream
+      .format("kafka")
+      .option("kafka.bootstrap.servers", bootstrapServers)
+      .option("subscribe", topics.mkString(","))
+      .option("startingOffsets", "earliest")
+      .option("maxOffsetsPerTrigger", maxOffsetsPerTrigger)
+      .load()
+
+  /** O3/O4/O9/O12/O14/O18 for the vision topic: decode, default
+    * `hit_counts` to `size(locations)`, gate validity, derive event time
+    * and partition columns. `locations` stays a native array (the
+    * reference stringifies it, `run.py:46,51`; `locations_json` keeps
+    * CSV-sink parity).
+    */
+  def transformVision(batch: DataFrame): DataFrame = {
+    val decoded = EventOps.decodeJson(batch, TopicSchemas.visionEvent)
+      .select(col("record.*"))
+    val patched = EventOps.patchHitCounts(decoded)
+      .withColumn("locations_json", to_json(col("locations")))
+    val timed = EventOps.deriveEventTime(patched, "timestamp", "ts")
+    EventOps.withPartitionColumns(
+      EventOps.filterValid(timed, "ts", Some("camera_id")), "ts")
+      .withColumnRenamed("camera_id", "entity")
+  }
+
+  /** Same pipeline for air-quality topics, keyed on `nicename`; the
+    * open-ended sensor fields ride along raw in `props`.
+    */
+  def transformAirQuality(batch: DataFrame): DataFrame = {
+    val decoded = EventOps.decodeJson(batch, TopicSchemas.airQualityReading)
+      .select(col("record.*"), col("value").cast("string").as("props"))
+    val timed = EventOps.deriveEventTime(decoded, "timestamp", "ts")
+    EventOps.withPartitionColumns(
+      EventOps.filterValid(timed, "ts", Some("nicename")), "ts")
+      .withColumnRenamed("nicename", "entity")
+  }
+
+  /** O8/O22 — topic routing. One cached pass over the micro-batch, one
+    * partitioned append per topic family, unknown topics to a dead-letter
+    * table (the reference logs and drops them, `df_manager.py:115-121`).
+    */
+  def routeAndWrite(batch: DataFrame, root: String, format: String = "parquet"): Unit = {
+    batch.persist()
+    try {
+      val vision = batch.filter(col("topic") === TopicSchemas.visionTopic)
+      if (!vision.isEmpty)
+        PartitionedSink.appendPartitioned(
+          transformVision(vision), s"$root/vision", format = format)
+
+      val aq = batch.filter(col("topic").endsWith(TopicSchemas.airQualitySuffix))
+      if (!aq.isEmpty)
+        PartitionedSink.appendPartitioned(
+          transformAirQuality(aq), s"$root/air_quality", format = format)
+
+      val unknown = batch.filter(col("topic") =!= TopicSchemas.visionTopic &&
+        !col("topic").endsWith(TopicSchemas.airQualitySuffix))
+      if (!unknown.isEmpty)
+        unknown.select(col("topic"), col("value").cast("string").as("value"))
+          .write.mode("append").partitionBy("topic").format(format)
+          .save(s"$root/_dead_letter")
+    } finally batch.unpersist()
+  }
+
+  /** Wire a Kafka-shaped stream (must have `topic` and `value` columns)
+    * to the routed sink. `availableNow = true` is CRON-drain mode (E2);
+    * false runs as a daemon with the given trigger interval.
+    */
+  def writer(stream: DataFrame, root: String, checkpoint: String,
+             availableNow: Boolean = true, interval: String = "10 seconds",
+             format: String = "parquet"): DataStreamWriter[Row] =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(if (availableNow) Trigger.AvailableNow() else Trigger.ProcessingTime(interval))
+      .foreachBatch { (batch: DataFrame, _: Long) => routeAndWrite(batch, root, format) }
+}

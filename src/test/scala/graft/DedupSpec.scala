@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+
+/** Dedup operator specs — LSH results validated against brute force
+  * computed independently on the driver.
+  */
+class DedupSpec extends SparkSpec {
+  private val sp = spark
+  import sp.implicits._
+
+  /** Brute-force 3-gram-shingle Jaccard >= num/den pairs, computed in
+    * plain Scala from the raw texts (independent of all engine code).
+    */
+  private def brutePairs(num: Int, den: Int): Set[(Long, Long)] = {
+    val docs = Tables.documents(spark, sf0001)
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val sh = docs.map { case (id, t) =>
+      val toks = t.trim.split("\\s+").filter(_.nonEmpty)
+      id -> toks.sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet
+    }
+    (for {
+      i <- sh.indices.iterator
+      j <- (i + 1) until sh.length
+      (ida, sa) = sh(i); (idb, sb) = sh(j)
+      inter = (sa & sb).size
+      un = sa.size + sb.size - inter
+      if un > 0 && inter * den >= un * num
+    } yield (math.min(ida, idb), math.max(ida, idb))).toSet
+  }
+
+  test("minhashLshPairs == brute-force jaccard >= 0.7 pairs on sf0.001 documents") {
+    val got = SparkEntry.q22(spark, sf0001)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    val want = brutePairs(7, 10)
+    assert(want.nonEmpty, "fixture should contain planted near-dups")
+    assert(got === want)
+  }
+
+  test("ngramJaccardBanded == brute force restricted to the id window") {
+    val got = SparkEntry.q21(spark, sf0001)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    val want = brutePairs(1, 2).filter { case (a, b) => b - a <= 20 }
+    assert(got === want)
+  }
+
+  test("exactDedup keeps the lowest-id survivor per key") {
+    val df = Seq((3L, "k1"), (1L, "k1"), (2L, "k2"), (5L, "k1")).toDF("id", "key")
+    val out = Dedup.exactDedup(df, Seq("key"), "id")
+      .select("key", "id").as[(String, Long)].collect().toMap
+    assert(out === Map("k1" -> 1L, "k2" -> 2L))
+  }
+
+  test("simhashPairs finds identical texts at hamming 0 and respects the cap") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"), // exact dup
+      (3L, "completely different words about database engines and shuffles"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.simhashPairs(df, "doc_id", "text")
+      .select("a_id", "b_id", "hamming").as[(Long, Long, Int)].collect()
+    assert(pairs.exists { case (a, b, h) => a == 1L && b == 2L && h == 0 })
+    assert(pairs.forall(_._3 <= 3))
+  }
+}

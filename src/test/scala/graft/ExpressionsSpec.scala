@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{HashFunctions, VectorFunctions, TextFunctions}
+
+/** Custom Catalyst expression specs: exact values vs independently
+  * computed references, null/edge handling, and sketch properties.
+  */
+class ExpressionsSpec extends SparkSpec {
+  private val sp = spark
+  import sp.implicits._
+
+  private def vecDf = Seq(
+    (1L, Array(1.0f, 0.0f, 0.0f), Array(0.0f, 1.0f, 0.0f)),   // orthogonal
+    (2L, Array(1.0f, 2.0f, 3.0f), Array(1.0f, 2.0f, 3.0f)),   // identical
+    (3L, Array(1.0f, 1.0f, 0.0f), Array(1.0f, 0.0f, 0.0f)),   // 45 degrees
+    (4L, Array(0.0f, 0.0f, 0.0f), Array(1.0f, 0.0f, 0.0f)))   // zero norm
+    .toDF("id", "a", "b")
+
+  test("cosine_similarity: exact values, zero-norm null") {
+    val rows = vecDf
+      .select(col("id"), VectorFunctions.cosineSimilarity(col("a"), col("b")).as("sim"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getDouble(1))).toMap
+    assert(rows(1L) === 0.0)
+    assert(math.abs(rows(2L).asInstanceOf[Double] - 1.0) < 1e-12)
+    assert(math.abs(rows(3L).asInstanceOf[Double] - math.sqrt(0.5)) < 1e-12)
+    assert(rows(4L) === null) // zero-norm -> null, not NaN
+  }
+
+  test("cosine_similarity: length mismatch -> null") {
+    val df = Seq((Array(1.0f, 2.0f), Array(1.0f, 2.0f, 3.0f))).toDF("a", "b")
+    assert(df.select(VectorFunctions.cosineSimilarity(col("a"), col("b"))).head().isNullAt(0))
+  }
+
+  test("dot: exact value and double-array input") {
+    val f = Seq((Array(1.0f, 2.0f, 3.0f), Array(4.0f, 5.0f, 6.0f))).toDF("a", "b")
+      .select(VectorFunctions.dot(col("a"), col("b"))).as[Double].head()
+    assert(f === 32.0)
+    val d = Seq((Array(1.0, 2.0), Array(3.0, 4.0))).toDF("a", "b")
+      .select(VectorFunctions.dot(col("a"), col("b"))).as[Double].head()
+    assert(d === 11.0)
+  }
+
+  test("minhash signature: deterministic, length k, estimates jaccard") {
+    val df = Seq(
+      ("a", Seq("x y z", "y z w", "z w v")),
+      ("b", Seq("x y z", "y z w", "z w v")),             // identical set
+      ("c", Seq("x y z", "y z w", "q q q", "r r r")))    // jaccard(a,c)=2/5
+      .toDF("id", "sh")
+    val sigs = df.select(col("id"), HashFunctions.minhashSignature(col("sh"), 256).as("sig"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    assert(sigs("a").length === 256)
+    assert(sigs("a") === sigs("b")) // identical input -> identical signature
+    val est = sigs("a").zip(sigs("c")).count { case (x, y) => x == y } / 256.0
+    assert(math.abs(est - 0.4) < 0.15, s"minhash estimate $est too far from true jaccard 0.4")
+  }
+
+  test("simhash64: identical tokens -> identical hash; disjoint -> distant") {
+    val df = Seq(
+      ("a", Seq("alpha", "beta", "gamma", "delta")),
+      ("b", Seq("alpha", "beta", "gamma", "delta")),
+      ("c", Seq("zeta", "eta", "theta", "iota")))
+      .toDF("id", "toks")
+    val hs = df.select(col("id"), HashFunctions.simhash64(col("toks")).as("h"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(hs("a") === hs("b"))
+    assert(java.lang.Long.bitCount(hs("a") ^ hs("c")) > 10)
+  }
+
+  test("shingles: n-gram set with short-document guard") {
+    val df = Seq("one two three four", "just two").toDF("text")
+    val out = df.select(TextFunctions.shingles(TextFunctions.tokens(col("text")), 3).as("s"))
+      .as[Seq[String]].collect()
+    assert(out(0) === Seq("one two three", "two three four"))
+    assert(out(1) === Seq.empty)
+  }
+
+  test("langId: marker-based routing incl. CJK") {
+    val df = Seq(
+      ("en doc", "the cat is on a mat of dreams and the end"),
+      ("de doc", "der hund und die katze ist nicht hier"),
+      ("zh doc", "你好世界"),
+      ("fr doc", "le chat et les chiens est une belle chose"))
+      .toDF("id", "text")
+    val out = df.select(col("id"), TextFunctions.langId(col("text")).as("l"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(out("en doc") === "en")
+    assert(out("de doc") === "de")
+    assert(out("zh doc") === "zh")
+    assert(out("fr doc") === "fr")
+  }
+
+  test("cosine survives codegen (wholestage on, many rows)") {
+    // force the codegen path with a real scan + filter on the expression
+    val e = Tables.embeddings(spark, sf0001)
+    val p = e.filter(col("vec_id") === 0).select(col("embedding").as("pvec"))
+    val n = e.crossJoin(broadcast(p))
+      .select(VectorFunctions.cosineSimilarity(col("embedding"), col("pvec")).as("s"))
+      .filter(col("s") > -2.0).count()
+    assert(n === 500)
+  }
+}

@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Similarity
+
+/** Similarity search specs: exact top-k against a driver-side brute
+  * force; LSH ANN recall on planted clusters.
+  */
+class SimilaritySpec extends SparkSpec {
+  private val sp = spark
+  import sp.implicits._
+
+  private def bruteTopK(probeId: Long, k: Int): Seq[Long] = {
+    val vecs = Tables.embeddings(spark, sf0001)
+      .select("vec_id", "embedding").as[(Long, Array[Float])].collect()
+    val p = vecs.find(_._1 == probeId).get._2.map(_.toDouble)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) { dot += a(i)*b(i); na += a(i)*a(i); nb += b(i)*b(i); i += 1 }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    vecs.filter(_._1 != probeId)
+      .map { case (id, v) => (id, cos(v.map(_.toDouble), p)) }
+      .sortBy { case (id, s) => (-s, id) }
+      .take(k).map(_._1).toSeq
+  }
+
+  test("topKCosine matches driver-side brute force") {
+    val got = SparkEntry.q14(spark, sf0001)
+      .orderBy("rk").select("vec_id").as[Long].collect().toSeq
+    assert(got === bruteTopK(0L, 10))
+  }
+
+  test("annTopKCosine achieves high recall on planted clusters") {
+    // 20 clusters of 10 near-identical vectors (cosine ~0.99 within cluster)
+    val rnd = new scala.util.Random(7)
+    val rows = for {
+      c <- 0 until 20
+      base = Array.fill(32)(rnd.nextGaussian().toFloat)
+      m <- 0 until 10
+    } yield ((c * 10 + m).toLong, base.map(x => x + 0.05f * rnd.nextGaussian().toFloat))
+    val df = rows.toDF("vec_id", "embedding")
+
+    val probes = df.filter(col("vec_id") % 10 === 0) // one probe per cluster
+    val ann = Similarity.annTopKCosine(df, probes, "vec_id", "embedding",
+        k = 9, bits = 12, tables = 8)
+      .select("probe_id", "vec_id").as[(Long, Long)].collect()
+
+    // a cluster-mate of probe p is any id in [p, p+9]
+    val hits = ann.count { case (p, v) => v / 10 == p / 10 }
+    val recall = hits.toDouble / (20 * 9)
+    assert(recall >= 0.9, s"ANN recall $recall < 0.9 on planted clusters")
+  }
+
+  test("cosineNearDupBanded respects the id window and threshold") {
+    val out = SparkEntry.q23(spark, sf0001)
+      .select("a_id", "b_id", "sim_r").as[(Long, Long, Double)].collect()
+    assert(out.nonEmpty)
+    assert(out.forall { case (a, b, s) => b > a && b - a <= 100 && s >= 0.3 - 1e-9 })
+  }
+}

@@ -1,0 +1,85 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.streaming.IngestPipeline
+
+/** End-to-end streaming spec: a MemoryStream plays the Kafka source
+  * (same (topic, value) shape, same JSON decode path), drained with
+  * Trigger.AvailableNow (the reference's CRON mode, SURVEY §3 E2), into
+  * the partitioned lake — asserting routing, patching, validity gates,
+  * partition layout, and dead-lettering in one pass.
+  */
+class StreamingIngestSpec extends SparkSpec {
+  private val sp = spark
+  import sp.implicits._
+
+  test("MemoryStream -> foreachBatch -> partitioned lake, AvailableNow drain") {
+    val root = Files.createTempDirectory("graft_lake_").toString
+    val ckpt = Files.createTempDirectory("graft_ckpt_").toString
+
+    implicit val sqlCtx: org.apache.spark.sql.classic.SQLContext =
+      spark.sqlContext.asInstanceOf[org.apache.spark.sql.classic.SQLContext]
+    val input = MemoryStream[(String, String)]
+
+    input.addData(
+      // vision: clean with hit_counts
+      ("cuip_vision_events",
+        """{"timestamp": 1704067200000, "camera_id": "cam1", "locations": [{"x":1.0,"y":2.0,"label":"car"}], "hit_counts": 7}"""),
+      // vision: hit_counts missing -> patched to size(locations)=2
+      ("cuip_vision_events",
+        """{"timestamp": 1706745600000, "camera_id": "cam2", "locations": [{"x":1.0,"y":2.0,"label":"car"},{"x":3.0,"y":4.0,"label":"bus"}]}"""),
+      // vision: epoch-0 -> dropped
+      ("cuip_vision_events", """{"timestamp": 0, "camera_id": "cam1", "locations": []}"""),
+      // vision: missing ts -> dropped
+      ("cuip_vision_events", """{"camera_id": "cam1", "locations": []}"""),
+      // air quality: clean (sensor fields ride in props)
+      ("MLK_AIR_QUALITY",
+        """{"timestamp": 1704070800000, "nicename": "downtown", "pm25": 12.5, "o3": 0.031}"""),
+      // air quality: nan key -> dropped
+      ("MLK_AIR_QUALITY", """{"timestamp": 1704070860000, "nicename": "nan", "pm25": 1.0}"""),
+      // unknown topic -> dead letter
+      ("mystery_topic", """{"whatever": true}"""))
+
+    val q = IngestPipeline.writer(
+      input.toDF().toDF("topic", "value"), root, ckpt, availableNow = true).start()
+    q.awaitTermination()
+
+    // vision table: 2 surviving rows, patched hit_counts, partition columns
+    val vision = spark.read.parquet(s"$root/vision")
+    val vrows = vision.select("entity", "hit_counts", "year", "month")
+      .as[(String, Int, Int, Int)].collect().sortBy(_._1)
+    assert(vrows === Array(("cam1", 7, 2024, 1), ("cam2", 2, 2024, 2)))
+    // partition pruning layout on disk (Hive-style dirs)
+    assert(new java.io.File(s"$root/vision/entity=cam1/year=2024/month=1").exists())
+
+    // air quality: 1 surviving row, sensor payload preserved in props
+    val aq = spark.read.parquet(s"$root/air_quality")
+    val arows = aq.select("entity", "props").as[(String, String)].collect()
+    assert(arows.length === 1 && arows(0)._1 === "downtown" && arows(0)._2.contains("pm25"))
+
+    // unknown topic dead-lettered, not crashed (df_manager.py:115-121 intent)
+    val dead = spark.read.parquet(s"$root/_dead_letter")
+    assert(dead.select("topic").as[String].collect() === Array("mystery_topic"))
+  }
+
+  test("AvailableNow restart is idempotent (checkpoint prevents reprocessing)") {
+    val root = Files.createTempDirectory("graft_lake2_").toString
+    val ckpt = Files.createTempDirectory("graft_ckpt2_").toString
+    implicit val sqlCtx: org.apache.spark.sql.classic.SQLContext =
+      spark.sqlContext.asInstanceOf[org.apache.spark.sql.classic.SQLContext]
+    val input = MemoryStream[(String, String)]
+    input.addData(("cuip_vision_events",
+      """{"timestamp": 1704067200000, "camera_id": "cam1", "locations": [], "hit_counts": 1}"""))
+
+    val stream = input.toDF().toDF("topic", "value")
+    IngestPipeline.writer(stream, root, ckpt, availableNow = true).start().awaitTermination()
+    // second drain over the same checkpoint: no new data -> no duplicate rows
+    IngestPipeline.writer(stream, root, ckpt, availableNow = true).start().awaitTermination()
+
+    assert(spark.read.parquet(s"$root/vision").count() === 1)
+  }
+}
