@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XxHash64Function}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64, XxHash64Function}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graft.ColumnBridge
@@ -30,9 +30,11 @@ object HashFamilies {
   }
 }
 
-/** `minhash_signature(shingles)` — array<string> → array<long> of k
-  * per-hash-function minima. Null input → null; empty array → signature
-  * of Long.MaxValue entries (matches "no shingles" semantics).
+/** `minhash_signature(shingles)` — array<string> | array<long> →
+  * array<long> of k per-hash-function minima. String elements are
+  * xxHash64'd first; long elements (pre-hashed shingles from
+  * [[HashedWordNgrams]]) feed the affine family directly. Null input →
+  * null; empty array → signature of Long.MaxValue entries.
   */
 case class MinHashSignature(child: Expression, numHashes: Int, seed: Long)
     extends UnaryExpression with CodegenFallback {
@@ -40,16 +42,20 @@ case class MinHashSignature(child: Expression, numHashes: Int, seed: Long)
 
   @transient private lazy val as: Array[Long] = HashFamilies.multipliers(numHashes, seed)
   @transient private lazy val bs: Array[Long] = HashFamilies.offsets(numHashes, seed)
+  @transient private lazy val elementIsLong: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == LongType
 
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
     val mins = Array.fill(numHashes)(Long.MaxValue)
     val n = arr.numElements()
+    val isLong = elementIsLong
     var i = 0
     while (i < n) {
       if (!arr.isNullAt(i)) {
-        val s = arr.getUTF8String(i)
-        val base = XxHash64Function.hash(s, StringType, seed)
+        val base =
+          if (isLong) arr.getLong(i)
+          else XxHash64Function.hash(arr.getUTF8String(i), StringType, seed)
         var j = 0
         while (j < numHashes) {
           val v = base * as(j) + bs(j)
@@ -62,6 +68,105 @@ case class MinHashSignature(child: Expression, numHashes: Int, seed: Long)
     new GenericArrayData(mins)
   }
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** `hashed_word_ngrams(text)` — text → sorted distinct array<long> of
+  * 64-bit word-n-gram shingle hashes, in ONE pass with zero intermediate
+  * string allocation.
+  *
+  * Rationale: composing `split` + higher-order `transform`/`filter` +
+  * `concat_ws` + `array_distinct` builds every shingle as a UTF8String
+  * and runs interpreted lambda evaluation per element — measured ~10 s
+  * for 5 000 docs. This expression tokenizes the UTF8 bytes directly
+  * (ASCII whitespace, the same class Java's and RE2's `\s` match),
+  * xxHash64s each token byte-range in place, mixes n consecutive token
+  * hashes per shingle, and sort-dedupes the longs. Shingle identity is
+  * preserved w.h.p. (64-bit collisions ≈ n²/2⁶⁴), so Jaccard counts
+  * match a string-shingle oracle exactly at any realistic corpus size.
+  * Sorted output enables merge-join intersection
+  * ([[SortedLongIntersectSize]]).
+  */
+case class HashedWordNgrams(child: Expression, n: Int, seed: Long)
+    extends UnaryExpression with CodegenFallback {
+  require(n >= 1, "n must be >= 1")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    val len = s.numBytes()
+
+    // tokenize: hash each ASCII-whitespace-separated byte run in place
+    var tokenHashes = new Array[Long](math.max(8, len / 5))
+    var nTok = 0
+    var i = 0
+    while (i < len) {
+      // skip whitespace
+      while (i < len && isWs(org.apache.spark.unsafe.Platform.getByte(base, off + i))) i += 1
+      val start = i
+      while (i < len && !isWs(org.apache.spark.unsafe.Platform.getByte(base, off + i))) i += 1
+      if (i > start) {
+        if (nTok == tokenHashes.length)
+          tokenHashes = java.util.Arrays.copyOf(tokenHashes, nTok * 2)
+        tokenHashes(nTok) = XXH64.hashUnsafeBytes(base, off + start, i - start, seed)
+        nTok += 1
+      }
+    }
+    if (nTok < n) return new GenericArrayData(Array.emptyLongArray)
+
+    // n-gram mix: chain-hash n consecutive token hashes
+    val grams = new Array[Long](nTok - n + 1)
+    var g = 0
+    while (g < grams.length) {
+      var h = seed
+      var k = 0
+      while (k < n) { h = XXH64.hashLong(tokenHashes(g + k), h); k += 1 }
+      grams(g) = h
+      g += 1
+    }
+
+    // sorted distinct
+    java.util.Arrays.sort(grams)
+    var out = 1
+    var j = 1
+    while (j < grams.length) {
+      if (grams(j) != grams(j - 1)) { grams(out) = grams(j); out += 1 }
+      j += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(grams, out))
+  }
+
+  @inline private def isWs(b: Byte): Boolean =
+    b == ' ' || b == '\t' || b == '\n' || b == '\r' || b == '\f' || b == 0x0B
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** `sorted_long_intersect_size(a, b)` — |A ∩ B| for two SORTED DISTINCT
+  * array<long> columns by linear merge: no per-row hash-set allocation
+  * (which is what makes built-in `array_intersect` the bottleneck on
+  * large candidate sets).
+  */
+case class SortedLongIntersectSize(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression with CodegenFallback {
+  override def dataType: DataType = IntegerType
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val na = a.numElements(); val nb = b.numElements()
+    var i = 0; var j = 0; var cnt = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i); val y = b.getLong(j)
+      if (x == y) { cnt += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    cnt
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
 }
 
 /** `simhash64(tokens)` — array<string> → 64-bit SimHash fingerprint.
@@ -105,4 +210,14 @@ object HashFunctions {
   /** 64-bit SimHash of a token array. */
   def simhash64(tokens: Column, seed: Long = 42L): Column =
     column(SimHash64(expression(tokens), seed))
+
+  /** One-pass tokenize + word-n-gram + hash + sort + dedup (see
+    * [[HashedWordNgrams]]).
+    */
+  def hashedWordNgrams(text: Column, n: Int = 3, seed: Long = 42L): Column =
+    column(HashedWordNgrams(expression(text), n, seed))
+
+  /** Merge-count |A∩B| of two sorted distinct array<long> columns. */
+  def sortedLongIntersectSize(a: Column, b: Column): Column =
+    column(SortedLongIntersectSize(expression(a), expression(b)))
 }

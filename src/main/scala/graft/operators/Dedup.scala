@@ -30,6 +30,17 @@ object Dedup {
     docs.select(col(idCol),
       TextFunctions.shingles(TextFunctions.tokens(col(textCol)), n).as("shingles"))
 
+  /** Shingle sets as sorted distinct 64-bit hashes via the one-pass
+    * [[graft.functions.HashedWordNgrams]] expression. Set operations on
+    * fixed-width longs are ~10× cheaper than on UTF8 strings, xxHash64
+    * collisions are negligible at corpus scale (P ≈ n²/2⁶⁴ per pair), so
+    * |A∩B| / |A∪B| matches the string-shingle semantics exactly w.h.p.
+    */
+  private def hashedShingles(docs: DataFrame, idCol: String, textCol: String,
+                             n: Int): DataFrame =
+    docs.select(col(idCol),
+      HashFunctions.hashedWordNgrams(col(textCol), n).as("shingles"))
+
   /** MinHash + LSH near-duplicate pairs.
     *
     * Pipeline: shingle → k-minima signature (one xxHash64 pass, custom
@@ -49,7 +60,7 @@ object Dedup {
                       ngram: Int = 3, seed: Long = 42L): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val r = numHashes / bands
-    val sh = shingled(docs, idCol, textCol, ngram)
+    val sh = hashedShingles(docs, idCol, textCol, ngram)
 
     val sig = sh.select(col(idCol),
       HashFunctions.minhashSignature(col("shingles"), numHashes, seed).as("sig"))
@@ -68,7 +79,8 @@ object Dedup {
     verifyJaccard(candidates, sh, idCol, thresholdNum, thresholdDen)
   }
 
-  /** Exact-Jaccard verification of candidate pairs against shingle sets.
+  /** Exact-Jaccard verification of candidate pairs against sorted hashed
+    * shingle sets (merge-count intersection, no per-row hash sets).
     * Keeps j >= num/den via integer cross-multiplication (exact).
     */
   private def verifyJaccard(pairs: DataFrame, sh: DataFrame, idCol: String,
@@ -76,7 +88,8 @@ object Dedup {
     val a = sh.select(col(idCol).as("a_id"), col("shingles").as("sa"))
     val b = sh.select(col(idCol).as("b_id"), col("shingles").as("sb"))
     pairs.join(a, "a_id").join(b, "b_id")
-      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))).cast("long"))
+      .withColumn("inter",
+        HashFunctions.sortedLongIntersectSize(col("sa"), col("sb")).cast("long"))
       .withColumn("un", (size(col("sa")) + size(col("sb"))).cast("long") - col("inter"))
       .filter(col("un") > 0 && col("inter") * den >= col("un") * num)
       .select(col("a_id"), col("b_id"), col("inter"), col("un"),
@@ -92,7 +105,7 @@ object Dedup {
   def ngramJaccardBanded(docs: DataFrame, idCol: String, textCol: String,
                          window: Int = 20, thresholdNum: Int = 1, thresholdDen: Int = 2,
                          ngram: Int = 3): DataFrame = {
-    val sh = shingled(docs, idCol, textCol, ngram)
+    val sh = hashedShingles(docs, idCol, textCol, ngram)
     val a = sh.select(col(idCol).as("a_id"), col("shingles").as("sa"),
       (col(idCol) / window).cast("long").as("abkt"))
     // each left row probes its own bucket and the next (covers id+window)
@@ -101,7 +114,8 @@ object Dedup {
       (col(idCol) / window).cast("long").as("bkt"))
     aExp.join(b, "bkt")
       .filter(col("b_id") > col("a_id") && col("b_id") <= col("a_id") + window)
-      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))).cast("long"))
+      .withColumn("inter",
+        HashFunctions.sortedLongIntersectSize(col("sa"), col("sb")).cast("long"))
       .withColumn("un", (size(col("sa")) + size(col("sb"))).cast("long") - col("inter"))
       .filter(col("un") > 0 && col("inter") * thresholdDen >= col("un") * thresholdNum)
       .select(col("a_id"), col("b_id"), col("inter"), col("un"),

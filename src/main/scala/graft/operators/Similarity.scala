@@ -24,7 +24,10 @@ object Similarity {
   def topKCosine(corpus: DataFrame, probes: DataFrame, idCol: String,
                  vecCol: String, k: Int): DataFrame = {
     val p = probes.select(col(idCol).as("probe_id"), col(vecCol).as("pvec"))
+    // the corpus may arrive as a single parquet file = a single scan
+    // partition; spread the O(n·|probes|) scoring across the cluster
     val c = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("cvec"))
+      .repartition(corpus.sparkSession.sparkContext.defaultParallelism)
     val scored = c.crossJoin(broadcast(p))
       .filter(col("vec_id") =!= col("probe_id"))
       .withColumn("sim", VectorFunctions.cosineSimilarity(col("cvec"), col("pvec")))
@@ -51,7 +54,8 @@ object Similarity {
               ColumnBridge.expression(col(vec)), bits, seed + t)).as("sig"))
         }: _*)).as("bucket"))
 
-    val cb = withBuckets(corpus.select(col(idCol).as("vec_id"), col(vecCol).as("cvec")), "vec_id", "cvec")
+    val cb = withBuckets(corpus.select(col(idCol).as("vec_id"), col(vecCol).as("cvec"))
+      .repartition(corpus.sparkSession.sparkContext.defaultParallelism), "vec_id", "cvec")
     val pb = withBuckets(probes.select(col(idCol).as("probe_id"), col(vecCol).as("pvec")), "probe_id", "pvec")
 
     val candidates = cb.join(pb, "bucket")
@@ -66,16 +70,24 @@ object Similarity {
   }
 
   /** Banded cosine near-duplicate scan: compare each vector only to ids
-    * within `window` (equi-join on `id div window` + next bucket — same
-    * quadratic-to-linear trick as [[Dedup.ngramJaccardBanded]]).
+    * within `window` (the quadratic-to-linear trick of
+    * [[Dedup.ngramJaccardBanded]]). Buckets are half the window wide —
+    * enough keys to spread the pairwise scoring across the cluster —
+    * and each left row probes every bucket its window can reach.
     */
   def cosineNearDupBanded(embeddings: DataFrame, idCol: String, vecCol: String,
                           window: Int = 100, minSim: Double = 0.3): DataFrame = {
+    val w2 = math.max(1, window / 2)
+    val maxDelta = (w2 - 1 + window) / w2
+    // spread the streamed (probe) side: a single-file corpus would
+    // otherwise score every pair in one task under a broadcast join
     val a = embeddings.select(col(idCol).as("a_id"), col(vecCol).as("va"),
-      (col(idCol) / window).cast("long").as("abkt"))
-    val aExp = a.withColumn("bkt", explode(array(col("abkt"), col("abkt") + 1))).drop("abkt")
+        (col(idCol) / w2).cast("long").as("abkt"))
+      .repartition(embeddings.sparkSession.sparkContext.defaultParallelism)
+    val aExp = a.withColumn("bkt",
+        explode(array((0 to maxDelta).map(d => col("abkt") + d): _*))).drop("abkt")
     val b = embeddings.select(col(idCol).as("b_id"), col(vecCol).as("vb"),
-      (col(idCol) / window).cast("long").as("bkt"))
+      (col(idCol) / w2).cast("long").as("bkt"))
     aExp.join(b, "bkt")
       .filter(col("b_id") > col("a_id") && col("b_id") <= col("a_id") + window)
       .withColumn("sim", VectorFunctions.cosineSimilarity(col("va"), col("vb")))
