@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+import graft.functions.{CosineSimilarity, DotProduct, HashedWordNgrams,
+  MinHashSignature, SimHash64, SortedLongIntersectSize}
+import org.apache.spark.sql.graft.ColumnBridge
+
+/** SQL surface for the custom expressions: registers them in the
+  * function registry so `spark.sql("SELECT cosine_similarity(a, b) ...")`
+  * works — either per-session via [[GraftExtensions.register]] or at
+  * session build time via
+  * `.config("spark.sql.extensions", "graft.GraftExtensions")`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit =
+    GraftExtensions.builders.foreach { case (name, builder) =>
+      e.injectFunction(
+        (org.apache.spark.sql.catalyst.FunctionIdentifier(name),
+         new org.apache.spark.sql.catalyst.expressions.ExpressionInfo("graft", name),
+         builder))
+    }
+}
+
+object GraftExtensions {
+
+  private def intArg(e: Expression): Int =
+    e.eval(null).toString.toInt
+  private def longArg(e: Expression): Long =
+    e.eval(null).toString.toLong
+
+  val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "cosine_similarity" -> (args => CosineSimilarity(args(0), args(1))),
+    "dot_product"       -> (args => DotProduct(args(0), args(1))),
+    "simhash64"         -> (args => SimHash64(args.head, 42L)),
+    "minhash_signature" -> (args => args match {
+      case Seq(c)       => MinHashSignature(c, 128, 42L)
+      case Seq(c, k)    => MinHashSignature(c, intArg(k), 42L)
+      case Seq(c, k, s) => MinHashSignature(c, intArg(k), longArg(s))
+      case _ => throw new IllegalArgumentException("minhash_signature(arr[, k[, seed]])")
+    }),
+    "hashed_word_ngrams" -> (args => args match {
+      case Seq(c)    => HashedWordNgrams(c, 3, 42L)
+      case Seq(c, n) => HashedWordNgrams(c, intArg(n), 42L)
+      case _ => throw new IllegalArgumentException("hashed_word_ngrams(text[, n])")
+    }),
+    "sorted_long_intersect_size" ->
+      (args => SortedLongIntersectSize(args(0), args(1))))
+
+  /** Register all graft functions on an existing session. */
+  def register(spark: SparkSession): Unit =
+    builders.foreach { case (name, b) =>
+      ColumnBridge.registerFunction(spark, name, b)
+    }
+}

@@ -1,0 +1,64 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Stateful streaming operators (`flatMapGroupsWithState`) — the
+  * capability the reference approximates with its per-topic in-memory
+  * buffers and crash-replay double-writes (SURVEY §7.4 "exactly-once"):
+  * the reference can emit duplicate rows when offsets are replayed after
+  * a crash (`run.py` commits offsets independently of S3 uploads). Here
+  * replay-dedup is a first-class streaming operator with bounded
+  * watermark-driven state instead of an operational accident.
+  */
+object StatefulOps {
+
+  case class KeyedEvent(entity: String, event_id: Long, ts: java.sql.Timestamp)
+  case class DedupState(seen: Set[Long])
+
+  /** Drop events whose (entity, event_id) was already seen — streaming
+    * exactly-once semantics over an at-least-once source.
+    *
+    * `stateTtlMs > 0` expires per-entity state via processing-time
+    * timeout so memory is bounded by the replay horizon, not the stream
+    * length — use it for daemon mode. Leave it 0 for bounded drains
+    * (`Trigger.AvailableNow` runs): timeout scheduling keeps firing
+    * empty maintenance micro-batches, which a finite drain never wants.
+    */
+  def dedupByKey(events: Dataset[KeyedEvent],
+                 stateTtlMs: Long = 0L): Dataset[KeyedEvent] = {
+    import events.sparkSession.implicits._
+    val timeout =
+      if (stateTtlMs > 0) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    events
+      .groupByKey(_.entity)
+      .flatMapGroupsWithState[DedupState, KeyedEvent](OutputMode.Append(), timeout) {
+        case (_, rows, state: GroupState[DedupState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val seen = state.getOption.map(_.seen).getOrElse(Set.empty[Long])
+            val fresh = rows.filterNot(r => seen.contains(r.event_id)).toVector
+            state.update(DedupState(seen ++ fresh.map(_.event_id)))
+            if (stateTtlMs > 0) state.setTimeoutDuration(stateTtlMs)
+            fresh.iterator
+          }
+      }
+  }
+
+  /** Event-time tumbling-window aggregation with a watermark — the
+    * streaming twin of the batch Q15 (`SparkEntry.q15`). Late rows beyond
+    * `lateness` are dropped and state for closed windows is reclaimed.
+    */
+  def hourlyCounts(events: DataFrame, tsCol: String = "ts",
+                   keyCol: String = "event_type",
+                   lateness: String = "2 hours"): DataFrame =
+    events
+      .withWatermark(tsCol, lateness)
+      .groupBy(window(col(tsCol), "1 hour"), col(keyCol))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("wstart"), col(keyCol), col("n"))
+}

@@ -1,0 +1,84 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.ops.EventOps
+import graft.operators.Dedup
+import graft.sinks.PartitionedSink
+
+/** ScalaCheck-generator property specs (SURVEY §5.4): invariants that
+  * must hold for arbitrary inputs, not just fixtures. Generators are
+  * sampled with fixed seeds (deterministic CI) via scalacheck directly —
+  * the scalatest bridge artifact is not on the offline classpath.
+  */
+class PropertySpec extends SparkSpec {
+  private val sp = spark
+  import sp.implicits._
+
+  private def samples[A](gen: Gen[A], n: Int = 12): Seq[A] =
+    (1 to n).map(i => gen.pureApply(Gen.Parameters.default, Seed(i.toLong)))
+
+  test("property: epoch-ms -> TimestampType -> epoch-ms roundtrips") {
+    samples(Gen.listOfN(20, Gen.choose(0L, 4102444800000L))).foreach { ms =>
+      val out = EventOps.deriveEventTime(ms.toDF("timestamp"), "timestamp", "ts")
+        .select(unix_millis(col("ts"))).as[Long].collect().toList
+      assert(out === ms)
+    }
+  }
+
+  test("property: exactDedup is a fixpoint, keeps min id per key") {
+    val gen = Gen.nonEmptyListOf(Gen.zip(Gen.choose(0L, 1000L), Gen.oneOf("a", "b", "c", "d")))
+    samples(gen).foreach { rows =>
+      val df = rows.toDF("id", "key")
+      val once = Dedup.exactDedup(df, Seq("key"), "id")
+      val twice = Dedup.exactDedup(once, Seq("key"), "id")
+      val a = once.as[(Long, String)].collect().sortBy(identity).toList
+      val b = twice.as[(Long, String)].collect().sortBy(identity).toList
+      assert(a === b)                              // fixpoint
+      assert(a.map(_._2).distinct.size === a.size) // one row per key
+      val minPerKey = rows.groupBy(_._2).view.mapValues(_.map(_._1).min).toMap
+      assert(a.forall { case (id, k) => id == minPerKey(k) })
+    }
+  }
+
+  test("property: union-append preserves multiplicity (O19)") {
+    val gen = Gen.zip(Gen.listOfN(30, Gen.choose(0L, 50L)), Gen.listOfN(30, Gen.choose(0L, 50L)))
+    samples(gen, 6).foreach { case (xs, ys) =>
+      assert(EventOps.append(xs.toDF("v"), ys.toDF("v")).count() === xs.size + ys.size)
+    }
+  }
+
+  test("property: partitioned write -> read-back equals input") {
+    val gen = Gen.nonEmptyListOf(Gen.zip(Gen.choose(1L, 999L),
+      Gen.oneOf("e1", "e2"), Gen.choose(2020, 2025), Gen.choose(1, 12)))
+    samples(gen, 4).foreach { rows =>
+      val dir = Files.createTempDirectory("graft_prop_").toString
+      PartitionedSink.appendPartitioned(rows.toDF("id", "entity", "year", "month"), dir)
+      val back = sp.read.parquet(dir)
+        .select("id", "entity", "year", "month")
+        .as[(Long, String, Int, Int)].collect().sortBy(identity).toList
+      assert(back === rows.sortBy(identity))
+    }
+  }
+
+  test("property: minhash signature match-rate estimates jaccard within 0.2") {
+    val gen = Gen.zip(
+      Gen.nonEmptyListOf(Gen.choose(0, 200)).map(_.distinct.map(i => s"g$i")),
+      Gen.nonEmptyListOf(Gen.choose(0, 200)).map(_.distinct.map(i => s"g$i")))
+    samples(gen, 8).foreach { case (a, b) =>
+      val inter = a.toSet.intersect(b.toSet).size
+      val truth = inter.toDouble / (a.size + b.size - inter)
+      val sigs = Seq(("a", a), ("b", b)).toDF("id", "sh")
+        .select(col("id"),
+          graft.functions.HashFunctions.minhashSignature(col("sh"), 256).as("sig"))
+        .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+      val est = sigs("a").zip(sigs("b")).count { case (x, y) => x == y } / 256.0
+      assert(math.abs(est - truth) < 0.2,
+        s"estimate $est vs true $truth for |a|=${a.size} |b|=${b.size}")
+    }
+  }
+}
