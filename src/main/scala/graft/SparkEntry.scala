@@ -236,6 +236,31 @@ object SparkEntry {
     ev(s, d).groupBy(col("event_type"))
       .agg(approx_count_distinct(col("user_id")).as("approx_users"))
 
+  /** Q29 — BPE-ish subword token counting (regex identical in Java and
+    * RE2, so oracle-checked).
+    */
+  def q29(s: SparkSession, d: String): DataFrame =
+    docs(s, d).select(col("doc_id"),
+      TextFunctions.bpeTokenCount(col("text")).as("n_bpe_tokens"))
+
+  /** Q30 — winnowed rolling-hash fingerprints (hash-specific: no
+    * oracle; pinned against a driver-side reimplementation in specs).
+    */
+  def q30(s: SparkSession, d: String): DataFrame =
+    docs(s, d).select(col("doc_id"),
+      graft.functions.HashFunctions.winnowFingerprints(col("text")).as("fps"))
+      .select(col("doc_id"), size(col("fps")).cast("long").as("n_fp"),
+        element_at(col("fps"), 1).as("fp_min"))
+
+  /** Q31 — IVF ANN (k-means-trained coarse quantizer: no oracle; recall
+    * asserted in specs).
+    */
+  def q31(s: SparkSession, d: String): DataFrame = {
+    val e = emb(s, d)
+    graft.operators.IvfIndex.annTopK(e, e.filter(col("vec_id") < 5),
+      "vec_id", "embedding", k = 10, nlist = 8, nProbe = 3, iters = 2)
+  }
+
   // ---- driver contract --------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -266,7 +291,10 @@ object SparkEntry {
     "q25_binary_meta"     -> (q25 _),
     "q26_ann_topk"        -> (q26 _),
     "q27_simhash_pairs"   -> (q27 _),
-    "q28_approx_distinct" -> (q28 _))
+    "q28_approx_distinct" -> (q28 _),
+    "q29_bpe_tokens"      -> (q29 _),
+    "q30_winnow_fp"       -> (q30 _),
+    "q31_ivf_ann"         -> (q31 _))
 
   // DuckDB twins. Shared SQL fragments for the text queries:
   private val TOKS =
@@ -402,5 +430,9 @@ object SparkEntry {
     "q25_binary_meta" ->
       ("SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, " +
        "CAST(ceil(CAST(octet_length(encode(text)) AS DOUBLE) / CAST(256 AS DOUBLE)) AS BIGINT) " +
-       "AS n_chunks, md5(text) AS fp FROM documents"))
+       "AS n_chunks, md5(text) AS fp FROM documents"),
+    "q29_bpe_tokens" ->
+      ("SELECT doc_id, CAST(len(regexp_extract_all(text, " +
+       "' ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+')) AS BIGINT) AS n_bpe_tokens " +
+       "FROM documents"))
 }

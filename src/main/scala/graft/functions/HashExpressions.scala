@@ -169,6 +169,81 @@ case class SortedLongIntersectSize(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** `winnow_fingerprints(text)` — rolling-hash document fingerprints via
+  * the winnowing scheme: Rabin–Karp rolling hash over character k-grams,
+  * then the minimum hash of every window of w consecutive k-grams (each
+  * distinct selected hash recorded once). Output: sorted distinct
+  * array<long>.
+  *
+  * Two documents sharing any substring of length ≥ k + w - 1 are
+  * guaranteed to share a fingerprint — the plagiarism/near-dup detection
+  * property exhaustive shingling gives, at a fraction of the set size.
+  */
+case class WinnowFingerprints(child: Expression, k: Int, w: Int, seed: Long)
+    extends UnaryExpression with CodegenFallback {
+  require(k >= 2 && w >= 1, "need k >= 2, w >= 1")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  private val B = 257L
+  @transient private lazy val bPowK1: Long = {
+    var p = 1L; var i = 0
+    while (i < k - 1) { p *= B; i += 1 }
+    p
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    val len = s.numBytes()
+    if (len < k) return new GenericArrayData(Array.emptyLongArray)
+
+    // rolling k-gram hashes (finalized through one xxh mix so monotone
+    // byte runs don't produce monotone hashes)
+    val n = len - k + 1
+    val grams = new Array[Long](n)
+    var h = 0L
+    var i = 0
+    while (i < k) { h = h * B + (org.apache.spark.unsafe.Platform.getByte(base, off + i) & 0xFF); i += 1 }
+    grams(0) = XXH64.hashLong(h, seed)
+    i = 1
+    while (i < n) {
+      val outB = org.apache.spark.unsafe.Platform.getByte(base, off + i - 1) & 0xFF
+      val inB = org.apache.spark.unsafe.Platform.getByte(base, off + i + k - 1) & 0xFF
+      h = (h - outB * bPowK1) * B + inB
+      grams(i) = XXH64.hashLong(h, seed)
+      i += 1
+    }
+
+    // winnow: min per window of w (unsigned compare), dedup adjacent picks
+    val nw = math.max(1, n - w + 1)
+    val picks = new Array[Long](nw)
+    var np = 0
+    var wi = 0
+    while (wi < nw) {
+      var m = grams(wi)
+      var j = wi + 1
+      val end = math.min(wi + w, n)
+      while (j < end) {
+        if (java.lang.Long.compareUnsigned(grams(j), m) < 0) m = grams(j)
+        j += 1
+      }
+      if (np == 0 || picks(np - 1) != m) { picks(np) = m; np += 1 }
+      wi += 1
+    }
+    val out = java.util.Arrays.copyOf(picks, np)
+    java.util.Arrays.sort(out)
+    var u = 1
+    var j = 1
+    while (j < np) {
+      if (out(j) != out(j - 1)) { out(u) = out(j); u += 1 }
+      j += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(out, u))
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** `simhash64(tokens)` — array<string> → 64-bit SimHash fingerprint.
   * Token multiplicity weights bits naturally (duplicates vote twice).
   */
@@ -220,4 +295,10 @@ object HashFunctions {
   /** Merge-count |A∩B| of two sorted distinct array<long> columns. */
   def sortedLongIntersectSize(a: Column, b: Column): Column =
     column(SortedLongIntersectSize(expression(a), expression(b)))
+
+  /** Winnowed rolling-hash fingerprints of a document (see
+    * [[WinnowFingerprints]]).
+    */
+  def winnowFingerprints(text: Column, k: Int = 8, w: Int = 4, seed: Long = 42L): Column =
+    column(WinnowFingerprints(expression(text), k, w, seed))
 }

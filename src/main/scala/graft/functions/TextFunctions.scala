@@ -30,6 +30,18 @@ object TextFunctions {
   /** Token count (Long). */
   def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
 
+  /** BPE-ish subword token count: the GPT-style pre-tokenizer shape —
+    * letter runs, digit runs, and punctuation runs (each with an
+    * optional leading space) count as separate tokens. The pattern uses
+    * only syntax with identical semantics in Java regex (Spark) and RE2
+    * (DuckDB oracle): `\p{L}`/`\p{N}` classes, leftmost-first
+    * alternation, no lookaround.
+    */
+  val bpeTokenPattern = " ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+"
+
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(bpeTokenPattern), lit(0))).cast("long")
+
   /** Type-token ratio — distinct tokens / tokens; simple lexical-diversity
     * quality signal.
     */
