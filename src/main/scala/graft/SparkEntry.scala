@@ -261,6 +261,17 @@ object SparkEntry {
       "vec_id", "embedding", k = 10, nlist = 8, nProbe = 3, iters = 2)
   }
 
+  /** Q32 — the q11 ranking computed by the bounded-heap top-k aggregate
+    * ([[graft.operators.TopK]]) instead of a window sort: identical
+    * output contract (same oracle SQL), shuffle-light plan — the
+    * scale-path formulation of per-key top-k.
+    */
+  def q32(s: SparkSession, d: String): DataFrame =
+    graft.operators.TopK.topKPerKey(
+      Tables.orders(s, d), Seq("o_custkey"),
+      struct(negate(col("o_totalprice")), col("o_orderkey")),
+      Seq("o_orderkey", "o_totalprice"), 3)
+
   // ---- driver contract --------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -294,7 +305,8 @@ object SparkEntry {
     "q28_approx_distinct" -> (q28 _),
     "q29_bpe_tokens"      -> (q29 _),
     "q30_winnow_fp"       -> (q30 _),
-    "q31_ivf_ann"         -> (q31 _))
+    "q31_ivf_ann"         -> (q31 _),
+    "q32_topk_agg"        -> (q32 _))
 
   // DuckDB twins. Shared SQL fragments for the text queries:
   private val TOKS =
@@ -434,5 +446,10 @@ object SparkEntry {
     "q29_bpe_tokens" ->
       ("SELECT doc_id, CAST(len(regexp_extract_all(text, " +
        "' ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+')) AS BIGINT) AS n_bpe_tokens " +
-       "FROM documents"))
+       "FROM documents"),
+    "q32_topk_agg" ->
+      ("SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (" +
+       "SELECT o_custkey, o_orderkey, o_totalprice, " +
+       "CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) " +
+       "AS BIGINT) AS rk FROM orders) t WHERE rk <= 3"))
 }

@@ -79,9 +79,9 @@ object IvfIndex {
     val candidates = routed.join(assigned, "cell")
       .filter(col("id") =!= col("probe_id"))
       .withColumn("sim", VectorFunctions.cosineSimilarity(col("vec"), col("pvec")))
-    val w = Window.partitionBy(col("probe_id")).orderBy(col("sim").desc, col("id"))
-    candidates.withColumn("rk", row_number().over(w).cast("long"))
-      .filter(col("rk") <= k)
+      .filter(col("sim").isNotNull)
+    TopK.topKPerKey(candidates, Seq("probe_id"),
+        struct(negate(col("sim")), col("id")), Seq("id", "sim"), k)
       .select(col("probe_id"), col("id").as("vec_id"), col("rk"),
         round(col("sim"), 4).as("sim_r"))
   }

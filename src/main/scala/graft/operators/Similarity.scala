@@ -31,9 +31,11 @@ object Similarity {
     val scored = c.crossJoin(broadcast(p))
       .filter(col("vec_id") =!= col("probe_id"))
       .withColumn("sim", VectorFunctions.cosineSimilarity(col("cvec"), col("pvec")))
-    val w = Window.partitionBy(col("probe_id")).orderBy(col("sim").desc, col("vec_id"))
-    scored.withColumn("rk", row_number().over(w).cast("long"))
-      .filter(col("rk") <= k)
+      .filter(col("sim").isNotNull)
+    // bounded-heap ranking: shuffles k rows per probe per partition
+    // instead of window-sorting every scored row (see [[TopK]])
+    TopK.topKPerKey(scored, Seq("probe_id"),
+        struct(negate(col("sim")), col("vec_id")), Seq("vec_id", "sim"), k)
       .select(col("probe_id"), col("vec_id"), col("rk"), round(col("sim"), 4).as("sim_r"))
   }
 
@@ -63,9 +65,9 @@ object Similarity {
       .select(col("probe_id"), col("vec_id"), col("pvec"), col("cvec"))
       .dropDuplicates("probe_id", "vec_id")
       .withColumn("sim", VectorFunctions.cosineSimilarity(col("cvec"), col("pvec")))
-    val w = Window.partitionBy(col("probe_id")).orderBy(col("sim").desc, col("vec_id"))
-    candidates.withColumn("rk", row_number().over(w).cast("long"))
-      .filter(col("rk") <= k)
+      .filter(col("sim").isNotNull)
+    TopK.topKPerKey(candidates, Seq("probe_id"),
+        struct(negate(col("sim")), col("vec_id")), Seq("vec_id", "sim"), k)
       .select(col("probe_id"), col("vec_id"), col("rk"), round(col("sim"), 4).as("sim_r"))
   }
 

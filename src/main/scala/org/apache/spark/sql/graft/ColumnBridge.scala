@@ -26,4 +26,14 @@ object ColumnBridge {
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .sessionState.functionRegistry
       .createOrReplaceTempFunction(name, builder, "scala_udf")
+
+  /** Bounded top-k collect aggregate (`private[sql] CollectTopK`): keeps
+    * the k smallest rows of `child` by its natural ordering in a bounded
+    * priority queue, WITH map-side partial merge — each shuffle carries
+    * at most k rows per key per partition, versus every row for a window
+    * `row_number` ranking. `reverse = true` keeps the k largest.
+    */
+  def collectTopK(child: Column, k: Int, reverse: Boolean = false): Column =
+    column(new org.apache.spark.sql.catalyst.expressions.aggregate
+      .CollectTopK(expression(child), k, reverse).toAggregateExpression())
 }
