@@ -122,6 +122,60 @@ object Dedup {
         (col("inter").cast("double") / col("un")).as("jac"))
   }
 
+  /** Collapse near-duplicate PAIRS into groups and pick one survivor per
+    * group: connected components by iterative min-label propagation
+    * (each node repeatedly adopts the smallest id reachable over pair
+    * edges), then the component minimum survives.
+    *
+    * Returns (id, survivor_id); rows not in any pair map to themselves.
+    * Iterations = O(log(longest chain)) rounds of two shuffles each —
+    * the alternating-star pattern for distributed union-find; at corpus
+    * scale components are tiny (dup clusters), so `maxIters = 10` covers
+    * chains of length 2^10.
+    */
+  def nearDupComponents(ids: DataFrame, idCol: String, pairs: DataFrame,
+                        maxIters: Int = 10): DataFrame = {
+    // undirected edges both ways + self-loops so singletons survive
+    val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
+      .unionByName(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
+      .unionByName(ids.select(col(idCol).as("src"), col(idCol).as("dst")))
+
+    // labels are corpus-sized: lineage is cut per round with
+    // localCheckpoint (executor-local materialization, no driver
+    // collect) and convergence is a distributed count of changed labels
+    var labels = ids.select(col(idCol).as("id"), col(idCol).as("label"))
+      .localCheckpoint(true)
+    var it = 0
+    var converged = false
+    while (it < maxIters && !converged) {
+      // each node adopts min(own label, neighbors' labels)
+      val next = edges.join(labels.withColumnRenamed("id", "dst")
+          .withColumnRenamed("label", "dst_label"), "dst")
+        .groupBy(col("src").as("id"))
+        .agg(min(col("dst_label")).as("label"))
+        .localCheckpoint(true)
+      val changed = next.as("n")
+        .join(labels.as("c"), col("n.id") === col("c.id"))
+        .filter(col("n.label") =!= col("c.label")).count()
+      converged = changed == 0
+      labels = next
+      it += 1
+    }
+    labels.withColumnRenamed("label", "survivor_id")
+  }
+
+  /** End-to-end corpus dedup: MinHash-LSH pairs → connected components →
+    * keep only each component's minimum-id document.
+    */
+  def dedupCorpus(docs: DataFrame, idCol: String, textCol: String,
+                  thresholdNum: Int = 7, thresholdDen: Int = 10): DataFrame = {
+    val pairs = minhashLshPairs(docs, idCol, textCol,
+      thresholdNum = thresholdNum, thresholdDen = thresholdDen)
+    val comps = nearDupComponents(docs.select(col(idCol)), idCol, pairs)
+    docs.join(comps.filter(col("id") === col("survivor_id")).select(col("id")),
+      docs(idCol) === col("id")).drop("id")
+  }
+
   /** SimHash near-duplicate pairs: 64-bit fingerprints, candidates via
     * 4×16-bit chunk banding (pigeonhole: hamming ≤ 3 ⇒ ≥1 identical
     * chunk), verified with `bit_count(a^b) <= maxHamming`.

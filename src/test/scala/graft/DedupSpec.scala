@@ -52,6 +52,30 @@ class DedupSpec extends SparkSpec {
     assert(out === Map("k1" -> 1L, "k2" -> 2L))
   }
 
+  test("nearDupComponents: chains collapse to min-id survivor, singletons survive") {
+    val ids = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("doc_id")
+    // chain 1-2, 2-3 (one component), pair 5-6, node 4 isolated
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("a_id", "b_id")
+    val comps = Dedup.nearDupComponents(ids, "doc_id", pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(comps === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 5L, 6L -> 5L))
+  }
+
+  test("dedupCorpus keeps exactly one representative per near-dup cluster") {
+    val docs = Tables.documents(spark, sf0001)
+    val survivors = Dedup.dedupCorpus(docs, "doc_id", "text")
+    val pairSet = brutePairs(7, 10)
+    // survivors must contain no near-dup pair...
+    val sIds = survivors.select("doc_id").as[Long].collect().toSet
+    assert(pairSet.forall { case (a, b) => !(sIds.contains(a) && sIds.contains(b)) })
+    // ...and every document is represented (its component survivor kept)
+    val comps = Dedup.nearDupComponents(
+      docs.select(col("doc_id")), "doc_id",
+      SparkEntry.q22(spark, sf0001).select("a_id", "b_id"))
+      .as[(Long, Long)].collect().toMap
+    assert(comps.values.toSet.subsetOf(sIds))
+  }
+
   test("simhashPairs finds identical texts at hamming 0 and respects the cap") {
     val df = Seq(
       (1L, "the quick brown fox jumps over the lazy dog again and again"),

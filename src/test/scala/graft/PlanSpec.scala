@@ -1,0 +1,54 @@
+package graft
+
+/** Physical-plan quality gates: the properties that make queries scale
+  * are asserted, not assumed — filters reach the parquet scan, scans
+  * prune columns, dimension joins broadcast, heap top-k aggregates
+  * partially before the exchange and plans no Window sort.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("q02: validity filters are pushed to the parquet scan") {
+    val p = plan(SparkEntry.q02(spark, sf0001))
+    assert(p.contains("PushedFilters: [IsNotNull(ts)"), s"no pushed filter in:\n$p")
+  }
+
+  test("q01: scan prunes to the projected columns only") {
+    val p = plan(SparkEntry.q01(spark, sf0001))
+    assert(p.contains("ReadSchema: struct<event_id:bigint,user_id:bigint,event_type:string,value:double>"),
+      s"scan did not prune columns:\n$p")
+  }
+
+  test("q09: all dimension joins are broadcast (lineitem streams, no shuffle join)") {
+    val p = plan(SparkEntry.q09(spark, sf0001))
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast join:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"unexpected sort-merge join:\n$p")
+  }
+
+  test("q10: aggregation is partial before the exchange") {
+    val p = plan(SparkEntry.q10(spark, sf0001))
+    assert(p.contains("HashAggregate"), p)
+    assert(p.contains("partial"), s"no partial aggregation:\n$p")
+  }
+
+  test("q32: heap top-k has partial merge and no Window operator") {
+    val p = plan(SparkEntry.q32(spark, sf0001))
+    assert(p.contains("partial_collect_top_k"), s"no map-side top-k:\n$p")
+    assert(!p.contains("Window"), s"unexpected window sort:\n$p")
+  }
+
+  test("q14: probe side is broadcast, corpus never shuffles for scoring") {
+    val p = plan(SparkEntry.q14(spark, sf0001))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"probe not broadcast:\n$p")
+  }
+
+  test("whole-stage codegen covers the scan->filter->project pipeline (q02)") {
+    // codegen'd operators print with a `*(stageId)` prefix
+    val p = plan(SparkEntry.q02(spark, sf0001))
+    assert(p.contains("*(1) Project") && p.contains("*(1) Filter"),
+      s"no codegen span:\n$p")
+  }
+}
