@@ -170,7 +170,8 @@ case class SortedLongIntersectSize(left: Expression, right: Expression)
 }
 
 /** `winnow_fingerprints(text)` — rolling-hash document fingerprints via
-  * the winnowing scheme: Rabin–Karp rolling hash over character k-grams,
+  * the winnowing scheme (Schleimer, Wilkerson & Aiken, "Winnowing:
+  * Local Algorithms for Document Fingerprinting", SIGMOD 2003): Rabin–Karp rolling hash over character k-grams,
   * then the minimum hash of every window of w consecutive k-grams (each
   * distinct selected hash recorded once). Output: sorted distinct
   * array<long>.

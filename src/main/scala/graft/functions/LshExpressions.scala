@@ -5,7 +5,8 @@ import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 
-/** `random_hyperplane_signature(vec)` — sign pattern of `bits` dot
+/** `random_hyperplane_signature(vec)` (Charikar, STOC 2002 §3) — sign
+  * pattern of `bits` dot
   * products against pseudo-random Gaussian hyperplanes, packed into a
   * Long. The LSH primitive for cosine similarity (SimHash-for-vectors):
   * P[sig bits agree] = 1 - θ(a,b)/π per bit.

@@ -41,7 +41,9 @@ object Dedup {
     docs.select(col(idCol),
       HashFunctions.hashedWordNgrams(col(textCol), n).as("shingles"))
 
-  /** MinHash + LSH near-duplicate pairs.
+  /** MinHash + LSH near-duplicate pairs (Broder, "On the resemblance
+    * and containment of documents", 1997; banding per Leskovec et al.,
+    * Mining of Massive Datasets ch. 3).
     *
     * Pipeline: shingle → k-minima signature (one xxHash64 pass, custom
     * Catalyst expression) → split signature into `bands` bands of
@@ -129,7 +131,9 @@ object Dedup {
     *
     * Returns (id, survivor_id); rows not in any pair map to themselves.
     * Iterations = O(log(longest chain)) rounds of two shuffles each —
-    * the alternating-star pattern for distributed union-find; at corpus
+    * the alternating-star pattern for distributed union-find (cf.
+    * Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC 2014); at corpus
     * scale components are tiny (dup clusters), so `maxIters = 10` covers
     * chains of length 2^10.
     */
@@ -176,7 +180,9 @@ object Dedup {
       docs(idCol) === col("id")).drop("id")
   }
 
-  /** SimHash near-duplicate pairs: 64-bit fingerprints, candidates via
+  /** SimHash near-duplicate pairs (Charikar, "Similarity estimation
+    * techniques from rounding algorithms", STOC 2002): 64-bit
+    * fingerprints, candidates via
     * 4×16-bit chunk banding (pigeonhole: hamming ≤ 3 ⇒ ≥1 identical
     * chunk), verified with `bit_count(a^b) <= maxHamming`.
     */

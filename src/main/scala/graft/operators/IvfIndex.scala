@@ -5,7 +5,9 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.VectorFunctions
 
-/** IVF (inverted-file) approximate nearest neighbor — the second scale
+/** IVF (inverted-file) approximate nearest neighbor (the coarse
+  * quantizer of Jégou, Douze & Schmid, "Product Quantization for
+  * Nearest Neighbor Search", TPAMI 2011) — the second scale
   * path next to random-hyperplane LSH ([[Similarity.annTopKCosine]]):
   * a coarse k-means quantizer partitions the corpus into `nlist` cells;
   * a probe searches only its `nProbe` nearest cells.

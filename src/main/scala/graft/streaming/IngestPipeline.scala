@@ -10,7 +10,9 @@ import graft.schemas.TopicSchemas
 import graft.sinks.PartitionedSink
 
 /** The reference's whole job (SURVEY.md §3 E1/E2) as one Structured
-  * Streaming pipeline: Kafka topics → JSON decode → per-topic transform →
+  * Streaming pipeline (model: Armbrust et al., "Structured Streaming: A
+  * Declarative API for Real-Time Applications in Apache Spark",
+  * SIGMOD 2018): Kafka topics → JSON decode → per-topic transform →
   * entity/year/month-partitioned data lake.
   *
   * What disappears versus the reference: worker processes (O7) →
