@@ -261,6 +261,45 @@ object SparkEntry {
       "vec_id", "embedding", k = 10, nlist = 8, nProbe = 3, iters = 2)
   }
 
+  /** Q33 — gap-based sessionization (30-min inactivity): lag + cumulative
+    * window flags, then per-session aggregates. All-integer arithmetic
+    * (epoch-µs) with total tie-break orders, so oracle-exact.
+    */
+  def q33(s: SparkSession, d: String): DataFrame = {
+    val us = unix_micros(col("ts"))
+    val wOrd = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val prev = lag(us, 1).over(wOrd)
+    val flag = when(prev.isNull, 0).when(us - prev > 1800000000L, 1).otherwise(0)
+    ev(s, d).filter(col("ts").isNotNull)
+      .withColumn("us", us)
+      .withColumn("session_idx",
+        sum(flag).over(wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("long"))
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(count(lit(1)).as("n"), (max(col("us")) - min(col("us"))).as("span_us"))
+  }
+
+  /** Q34 — ROLLUP grouping sets over the ETL dimensions. */
+  def q34(s: SparkSession, d: String): DataFrame =
+    ev(s, d).rollup(col("event_type"), date_format(col("ts"), "yyyy-MM").as("ym"))
+      .agg(count(lit(1)).as("n"), dsum(col("value"), 2).as("s"))
+
+  /** Q35 — anti join: market segments' customers with no large orders. */
+  def q35(s: SparkSession, d: String): DataFrame = {
+    val bigOrders = Tables.orders(s, d).filter(col("o_totalprice") > 300000.0d)
+    Tables.customer(s, d)
+      .join(bigOrders, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n"))
+  }
+
+  /** Q36 — interpolated percentiles per group (rounded: both engines
+    * interpolate linearly but may differ in the last ulp).
+    */
+  def q36(s: SparkSession, d: String): DataFrame =
+    ev(s, d).groupBy(col("event_type")).agg(
+      round(expr("percentile(value, 0.5)"), 6).as("p50"),
+      round(expr("percentile(value, 0.9)"), 6).as("p90"))
+
   /** Q32 — the q11 ranking computed by the bounded-heap top-k aggregate
     * ([[graft.operators.TopK]]) instead of a window sort: identical
     * output contract (same oracle SQL), shuffle-light plan — the
@@ -306,7 +345,11 @@ object SparkEntry {
     "q29_bpe_tokens"      -> (q29 _),
     "q30_winnow_fp"       -> (q30 _),
     "q31_ivf_ann"         -> (q31 _),
-    "q32_topk_agg"        -> (q32 _))
+    "q32_topk_agg"        -> (q32 _),
+    "q33_sessionize"      -> (q33 _),
+    "q34_rollup"          -> (q34 _),
+    "q35_anti_join"       -> (q35 _),
+    "q36_percentiles"     -> (q36 _))
 
   // DuckDB twins. Shared SQL fragments for the text queries:
   private val TOKS =
@@ -451,5 +494,29 @@ object SparkEntry {
       ("SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (" +
        "SELECT o_custkey, o_orderkey, o_totalprice, " +
        "CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) " +
-       "AS BIGINT) AS rk FROM orders) t WHERE rk <= 3"))
+       "AS BIGINT) AS rk FROM orders) t WHERE rk <= 3"),
+    "q33_sessionize" ->
+      ("""WITH x AS (SELECT user_id, event_id, epoch_us(ts) AS us,
+         |  lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+         |  FROM events WHERE ts IS NOT NULL),
+         |y AS (SELECT user_id, event_id, us,
+         |  CASE WHEN prev IS NULL THEN 0 WHEN us - prev > 1800000000 THEN 1 ELSE 0 END AS flag
+         |  FROM x),
+         |z AS (SELECT user_id, us, CAST(sum(flag) OVER (PARTITION BY user_id
+         |  ORDER BY us, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |  AS BIGINT) AS session_idx FROM y)
+         |SELECT user_id, session_idx, count(*) AS n, max(us) - min(us) AS span_us
+         |FROM z GROUP BY 1, 2
+         |""".stripMargin),
+    "q34_rollup" ->
+      ("SELECT event_type, strftime(ts, '%Y-%m') AS ym, count(*) AS n, " +
+       "CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s " +
+       "FROM events GROUP BY ROLLUP (event_type, strftime(ts, '%Y-%m'))"),
+    "q35_anti_join" ->
+      ("SELECT c_mktsegment, count(*) AS n FROM customer WHERE NOT EXISTS (" +
+       "SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 300000.0" +
+       ") GROUP BY c_mktsegment"),
+    "q36_percentiles" ->
+      ("SELECT event_type, round(quantile_cont(value, 0.5), 6) AS p50, " +
+       "round(quantile_cont(value, 0.9), 6) AS p90 FROM events GROUP BY event_type"))
 }
