@@ -22,6 +22,7 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     GraftSession.configure(spark)
+    GraftSession.tuneForSmallFiles(spark)
 
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
     // warmup pass: codegen + file-metadata caches, not the data itself

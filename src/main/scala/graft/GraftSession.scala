@@ -21,12 +21,24 @@ object GraftSession {
     spark
   }
 
+  /** Small-file scan tuning for the local fixture corpus: the fixtures
+    * are single parquet files (0.3–10 MB), so the 128 MB default split
+    * gives every scan exactly one task. 4 MB splits spread row groups
+    * across cores. Production-scale data should keep splits near the
+    * default — this is a harness knob, which is why it is not part of
+    * [[configure]].
+    */
+  def tuneForSmallFiles(spark: SparkSession): SparkSession = {
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "4m")
+    spark
+  }
+
   /** Local session for tests / ad-hoc runs. `cores` should track the
     * machine; shuffle partitions are sized to cores, not the 200 default
     * (local mode has no cluster to fan out to).
     */
   def local(cores: Int = Runtime.getRuntime.availableProcessors()): SparkSession =
-    configure(
+    tuneForSmallFiles(configure(
       SparkSession
         .builder()
         .master(s"local[$cores]")
@@ -36,5 +48,5 @@ object GraftSession {
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .getOrCreate()
-    )
+    ))
 }
