@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{HashFunctions, TextFunctions}
+
+/** Edge inputs for the byte-level expressions (multi-byte UTF-8, empty
+  * and whitespace-only text, nulls) and Spark-SQL vs DataFrame parity.
+  */
+class EdgeCaseSpec extends SparkSpec {
+  private val sp = spark
+  import sp.implicits._
+
+  test("hashedWordNgrams: unicode, empty, whitespace-only, null") {
+    val df = Seq(
+      Some("héllo wörld 你好 мир tokens here"), // multi-byte UTF-8 tokens
+      Some(""), Some("   \t  "), None)
+      .toDF("text")
+    val out = df.select(HashFunctions.hashedWordNgrams(col("text")).as("g"))
+      .collect()
+    assert(out(0).getSeq[Long](0).length === 4) // 6 tokens -> 4 trigrams
+    assert(out(1).getSeq[Long](0).isEmpty)
+    assert(out(2).getSeq[Long](0).isEmpty)
+    assert(out(3).isNullAt(0))
+    // unicode tokenization agrees with the string-shingle path on counts
+    val viaStrings = df.filter(col("text").isNotNull).select(
+      size(TextFunctions.shingles(TextFunctions.tokens(col("text")), 3)).as("n"))
+      .as[Int].collect()
+    val viaHashes = df.filter(col("text").isNotNull).select(
+      size(HashFunctions.hashedWordNgrams(col("text"))).as("n"))
+      .as[Int].collect()
+    assert(viaStrings.toSeq === viaHashes.toSeq)
+  }
+
+  test("winnowFingerprints: short and empty inputs") {
+    val out = Seq("ab", "", "exactly8").toDF("text")
+      .select(HashFunctions.winnowFingerprints(col("text"), 8, 4).as("f"))
+      .as[Seq[Long]].collect()
+    assert(out(0).isEmpty && out(1).isEmpty)
+    assert(out(2).length === 1) // one 8-gram -> one fingerprint
+  }
+
+  test("simhash64 and minhash survive empty arrays") {
+    val df = Seq(Seq.empty[String]).toDF("toks")
+    val r = df.select(
+      HashFunctions.simhash64(col("toks")).as("sh"),
+      HashFunctions.minhashSignature(col("toks"), 16).as("sig")).head()
+    assert(r.getLong(0) === 0L)
+    assert(r.getSeq[Long](1).forall(_ === Long.MaxValue))
+  }
+
+  test("spark.sql expression of q10 agrees with the DataFrame query") {
+    Tables.lineitem(spark, sf0001).createOrReplaceTempView("li")
+    val viaSql = spark.sql(
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  count(*) AS n
+        |FROM li WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY 1, 2 ORDER BY 1, 2
+        |""".stripMargin)
+      .as[(String, String, Double, Long)].collect().toSeq
+    val viaDf = SparkEntry.q10(spark, sf0001)
+      .select("l_returnflag", "l_linestatus", "sum_qty", "n")
+      .orderBy("l_returnflag", "l_linestatus")
+      .as[(String, String, Double, Long)].collect().toSeq
+    assert(viaSql === viaDf)
+  }
+}
