@@ -168,13 +168,39 @@ object Dedup {
     labels.withColumnRenamed("label", "survivor_id")
   }
 
-  /** End-to-end corpus dedup: MinHash-LSH pairs → connected components →
-    * keep only each component's minimum-id document.
+  /** End-to-end corpus dedup: exact-duplicate collapse → MinHash-LSH
+    * pairs over the representatives → connected components → keep only
+    * each component's minimum-id document.
+    *
+    * The exact-collapse stage is the skew guard that makes this safe at
+    * 100 TB: a cluster of m byte-identical documents would land every
+    * member in the same LSH buckets and produce O(m²) candidate pairs in
+    * one task; collapsing by content fingerprint first (one shuffle on
+    * the md5) reduces that cluster to ONE representative, and the
+    * member→representative edges re-enter at the (linear) component
+    * stage. Survivors are identical to the naive formulation because the
+    * component minimum is unchanged.
     */
   def dedupCorpus(docs: DataFrame, idCol: String, textCol: String,
                   thresholdNum: Int = 7, thresholdDen: Int = 10): DataFrame = {
-    val pairs = minhashLshPairs(docs, idCol, textCol,
+    // stage 1: exact collapse on normalized-content fingerprint
+    val withFp = docs.select(col(idCol).as("id"),
+      TextFunctions.fingerprint(col(textCol)).as("fp"))
+    val repOf = withFp
+      .withColumn("rep", min(col("id")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))))
+      .select(col("id"), col("rep"))
+    val reps = docs.join(repOf.filter(col("id") === col("rep")).select("id"),
+      docs(idCol) === col("id")).drop("id")
+
+    // stage 2: near-dup pairs among representatives only
+    val pairs = minhashLshPairs(reps, idCol, textCol,
       thresholdNum = thresholdNum, thresholdDen = thresholdDen)
+      .select("a_id", "b_id")
+      // stage 3: exact-dup membership edges rejoin the graph
+      .unionByName(repOf.filter(col("id") =!= col("rep"))
+        .select(col("id").as("a_id"), col("rep").as("b_id")))
+
     val comps = nearDupComponents(docs.select(col(idCol)), idCol, pairs)
     docs.join(comps.filter(col("id") === col("survivor_id")).select(col("id")),
       docs(idCol) === col("id")).drop("id")

@@ -76,6 +76,21 @@ class DedupSpec extends SparkSpec {
     assert(comps.values.toSet.subsetOf(sIds))
   }
 
+  test("dedupCorpus collapses planted exact duplicates through the fingerprint stage") {
+    // 3 byte-identical docs + one near-dup of them + one unrelated doc:
+    // the exact trio collapses to one representative BEFORE MinHash, the
+    // near-dup joins its component via the LSH pair, survivors = {1, 9}
+    val base = (1 to 40).map(i => s"word$i").mkString(" ")   // 38 distinct shingles
+    val near = base.replace("word20", "changed")             // jaccard ≈ 35/41 = 0.85
+    val docs = Seq(
+      (1L, base), (2L, base), (3L, base), (5L, near),
+      (9L, "completely different content about spark shuffle partitions and joins here"))
+      .toDF("doc_id", "text")
+    val sIds = Dedup.dedupCorpus(docs, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(sIds === Set(1L, 9L))
+  }
+
   test("simhashPairs finds identical texts at hamming 0 and respects the cap") {
     val df = Seq(
       (1L, "the quick brown fox jumps over the lazy dog again and again"),
