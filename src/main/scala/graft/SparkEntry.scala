@@ -300,6 +300,14 @@ object SparkEntry {
       round(expr("percentile(value, 0.5)"), 6).as("p50"),
       round(expr("percentile(value, 0.9)"), 6).as("p90"))
 
+  /** Q37 — END-TO-END corpus dedup: exact-collapse → MinHash-LSH →
+    * connected components → min-id survivors ([[Dedup.dedupCorpus]]).
+    * Oracle: brute-force Jaccard pairs + recursive-CTE transitive
+    * closure in DuckDB.
+    */
+  def q37(s: SparkSession, d: String): DataFrame =
+    Dedup.dedupCorpus(docs(s, d), "doc_id", "text").select("doc_id")
+
   /** Q32 — the q11 ranking computed by the bounded-heap top-k aggregate
     * ([[graft.operators.TopK]]) instead of a window sort: identical
     * output contract (same oracle SQL), shuffle-light plan — the
@@ -349,7 +357,8 @@ object SparkEntry {
     "q33_sessionize"      -> (q33 _),
     "q34_rollup"          -> (q34 _),
     "q35_anti_join"       -> (q35 _),
-    "q36_percentiles"     -> (q36 _))
+    "q36_percentiles"     -> (q36 _),
+    "q37_dedup_corpus"    -> (q37 _))
 
   // DuckDB twins. Shared SQL fragments for the text queries:
   private val TOKS =
@@ -518,5 +527,20 @@ object SparkEntry {
        ") GROUP BY c_mktsegment"),
     "q36_percentiles" ->
       ("SELECT event_type, round(quantile_cont(value, 0.5), 6) AS p50, " +
-       "round(quantile_cont(value, 0.9), 6) AS p90 FROM events GROUP BY event_type"))
+       "round(quantile_cont(value, 0.9), 6) AS p90 FROM events GROUP BY event_type"),
+    "q37_dedup_corpus" ->
+      (s"""WITH RECURSIVE toks AS (SELECT doc_id, $TOKS AS tk FROM documents),
+          |sh AS (SELECT doc_id, ${shinglesSql("tk")} AS s FROM toks),
+          |p0 AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+          |  len(list_intersect(a.s, b.s)) AS inter, len(a.s) + len(b.s) AS tot
+          |  FROM sh a JOIN sh b ON b.doc_id > a.doc_id),
+          |pairs AS (SELECT a_id, b_id FROM p0
+          |  WHERE (tot - inter) > 0 AND inter * 10 >= (tot - inter) * 7),
+          |edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+          |  UNION SELECT b_id, a_id FROM pairs
+          |  UNION SELECT doc_id, doc_id FROM documents),
+          |reach(a, b) AS (SELECT src, dst FROM edges
+          |  UNION SELECT e.src, r.b FROM edges e JOIN reach r ON e.dst = r.a)
+          |SELECT a AS doc_id FROM reach GROUP BY a HAVING min(b) = a
+          |""".stripMargin))
 }
