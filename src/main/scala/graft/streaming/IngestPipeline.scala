@@ -80,15 +80,20 @@ object IngestPipeline {
   def routeAndWrite(batch: DataFrame, root: String, format: String = "parquet"): Unit = {
     batch.persist()
     try {
+      // one output file per (entity, year, month) partition instead of
+      // one per task × partition — the small-file guard matters here
+      // because a catch-up batch touches every partition at once
       val vision = batch.filter(col("topic") === TopicSchemas.visionTopic)
       if (!vision.isEmpty)
         PartitionedSink.appendPartitioned(
-          transformVision(vision), s"$root/vision", format = format)
+          PartitionedSink.repartitionByPartitionColumns(transformVision(vision)),
+          s"$root/vision", format = format)
 
       val aq = batch.filter(col("topic").endsWith(TopicSchemas.airQualitySuffix))
       if (!aq.isEmpty)
         PartitionedSink.appendPartitioned(
-          transformAirQuality(aq), s"$root/air_quality", format = format)
+          PartitionedSink.repartitionByPartitionColumns(transformAirQuality(aq)),
+          s"$root/air_quality", format = format)
 
       val unknown = batch.filter(col("topic") =!= TopicSchemas.visionTopic &&
         !col("topic").endsWith(TopicSchemas.airQualitySuffix))
