@@ -361,8 +361,10 @@ object SparkEntry {
     "q37_dedup_corpus"    -> (q37 _))
 
   // DuckDB twins. Shared SQL fragments for the text queries:
+  // explicit class: Java \s includes \x0B, RE2 \s does not — see
+  // TextFunctions.whitespaceClass
   private val TOKS =
-    "list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')"
+    "list_filter(regexp_split_to_array(trim(text), '[ \\t\\n\\f\\r]+'), x -> x <> '')"
   private def shinglesSql(tk: String): String =
     s"CASE WHEN len($tk) >= 3 THEN list_distinct(list_transform(range(len($tk)-2), " +
     s"i -> $tk[i+1] || ' ' || $tk[i+2] || ' ' || $tk[i+3])) ELSE CAST([] AS VARCHAR[]) END"
@@ -443,7 +445,7 @@ object SparkEntry {
        "event_type, count(*) AS n FROM events WHERE ts IS NOT NULL GROUP BY 1, 2"),
     "q16_etl_pipeline" ->
       ("SELECT event_type, strftime(ts, '%Y-%m') AS ym, count(*) AS n, " +
-       "sum(CAST(coalesce(json_extract_string(props, '$.k'), '0') AS BIGINT)) AS hits_sum " +
+       "sum(TRY_CAST(coalesce(json_extract_string(props, '$.k'), '0') AS BIGINT)) AS hits_sum " +
        "FROM events WHERE ts IS NOT NULL AND year(ts) <> 1970 GROUP BY 1, 2"),
     "q17_token_count" ->
       s"SELECT doc_id, CAST(len($TOKS) AS BIGINT) AS n_tokens FROM documents",
@@ -457,7 +459,7 @@ object SparkEntry {
           |""".stripMargin),
     "q19_lang_id" ->
       ("""WITH t AS (SELECT doc_id, text,
-         |  list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), x -> x <> '') AS tk
+         |  list_filter(regexp_split_to_array(trim(lower(text)), '[ \t\n\f\r]+'), x -> x <> '') AS tk
          |  FROM documents),
          |s AS (SELECT doc_id, text,
          |  len(list_filter(tk, x -> x IN ('the','a','of','and','is'))) AS en,
@@ -474,7 +476,7 @@ object SparkEntry {
          |FROM s
          |""".stripMargin),
     "q20_fingerprint" ->
-      ("SELECT doc_id, md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp " +
+      ("SELECT doc_id, md5(lower(regexp_replace(trim(text), '[ \\t\\n\\f\\r]+', ' ', 'g'))) AS fp " +
        "FROM documents"),
     "q21_ngram_jaccard" ->
       jaccardPairsSql("b.doc_id > a.doc_id AND b.doc_id <= a.doc_id + 20", 1, 2),

@@ -78,7 +78,7 @@ case class MinHashSignature(child: Expression, numHashes: Int, seed: Long)
   * `concat_ws` + `array_distinct` builds every shingle as a UTF8String
   * and runs interpreted lambda evaluation per element — measured ~10 s
   * for 5 000 docs. This expression tokenizes the UTF8 bytes directly
-  * (ASCII whitespace, the same class Java's and RE2's `\s` match),
+  * (the explicit `[ \t\n\f\r]` class RE2's `\s` matches),
   * xxHash64s each token byte-range in place, mixes n consecutive token
   * hashes per shingle, and sort-dedupes the longs. Shingle identity is
   * preserved w.h.p. (64-bit collisions ≈ n²/2⁶⁴), so Jaccard counts
@@ -137,8 +137,10 @@ case class HashedWordNgrams(child: Expression, n: Int, seed: Long)
     new GenericArrayData(java.util.Arrays.copyOf(grams, out))
   }
 
+  // matches TextFunctions.whitespaceClass / RE2 \s exactly — NOT Java \s,
+  // which additionally includes vertical tab (\x0B)
   @inline private def isWs(b: Byte): Boolean =
-    b == ' ' || b == '\t' || b == '\n' || b == '\r' || b == '\f' || b == 0x0B
+    b == ' ' || b == '\t' || b == '\n' || b == '\r' || b == '\f'
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }

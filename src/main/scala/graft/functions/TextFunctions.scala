@@ -12,10 +12,15 @@ import org.apache.spark.sql.functions._
 object TextFunctions {
 
   /** Whitespace tokenization; empty tokens removed so leading/trailing
-    * whitespace can't produce "" tokens.
+    * whitespace can't produce "" tokens. The class is written out
+    * explicitly because Java's `\s` includes vertical tab (\x0B) while
+    * RE2's (the DuckDB oracle) does not — `[ \t\n\f\r]` means the same
+    * thing in both engines.
     */
+  val whitespaceClass = "[ \\t\\n\\f\\r]+"
+
   def tokens(text: Column): Column =
-    filter(split(trim(text), "\\s+"), t => t =!= "")
+    filter(split(trim(text), whitespaceClass), t => t =!= "")
 
   /** Word n-gram shingles (distinct), the dedup unit for MinHash/Jaccard.
     * Guarded so documents with < n tokens yield an empty set.
@@ -83,5 +88,5 @@ object TextFunctions {
     * The canonical exact-dedup key for near-identical formatting variants.
     */
   def fingerprint(text: Column): Column =
-    md5(lower(regexp_replace(trim(text), "\\s+", " ")))
+    md5(lower(regexp_replace(trim(text), whitespaceClass, " ")))
 }

@@ -62,9 +62,19 @@ object Dedup {
                       ngram: Int = 3, seed: Long = 42L): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val r = numHashes / bands
+    // shingling feeds three plan branches (signatures + both verify
+    // sides); persist so the tokenize+hash pass runs once — spills to
+    // disk if the corpus outgrows memory, and the ContextCleaner drops
+    // it once the result DataFrame is unreachable
     val sh = hashedShingles(docs, idCol, textCol, ngram)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    val sig = sh.select(col(idCol),
+    // shingle-less documents (< ngram tokens) all share the sentinel
+    // all-MaxValue signature — banding them would pair every such doc
+    // with every other (O(m²) in one bucket) only for the un > 0 verify
+    // filter to discard the lot; they can never clear the threshold, so
+    // drop them before banding
+    val sig = sh.filter(size(col("shingles")) > 0).select(col(idCol),
       HashFunctions.minhashSignature(col("shingles"), numHashes, seed).as("sig"))
 
     // (id, band-bucket) rows; band index folded into the hash so buckets
@@ -130,12 +140,12 @@ object Dedup {
     * edges), then the component minimum survives.
     *
     * Returns (id, survivor_id); rows not in any pair map to themselves.
-    * Iterations = O(log(longest chain)) rounds of two shuffles each —
-    * the alternating-star pattern for distributed union-find (cf.
-    * Kiveris et al., "Connected Components in MapReduce and Beyond",
-    * SoCC 2014); at corpus
-    * scale components are tiny (dup clusters), so `maxIters = 10` covers
-    * chains of length 2^10.
+    * Each round does a one-hop neighbor-min propagation AND a pointer
+    * jump (label := min(label, label-of-label)), so reachable-distance
+    * roughly doubles per round (cf. Kiveris et al., "Connected
+    * Components in MapReduce and Beyond", SoCC 2014): `maxIters = 10`
+    * covers chains of length ~2^10, and non-convergence within the
+    * bound logs a warning instead of silently returning partial labels.
     */
   def nearDupComponents(ids: DataFrame, idCol: String, pairs: DataFrame,
                         maxIters: Int = 10): DataFrame = {
@@ -152,11 +162,18 @@ object Dedup {
     var it = 0
     var converged = false
     while (it < maxIters && !converged) {
-      // each node adopts min(own label, neighbors' labels)
-      val next = edges.join(labels.withColumnRenamed("id", "dst")
+      // one hop: each node adopts min(own label, neighbors' labels)
+      val hopped = edges.join(labels.withColumnRenamed("id", "dst")
           .withColumnRenamed("label", "dst_label"), "dst")
         .groupBy(col("src").as("id"))
         .agg(min(col("dst_label")).as("label"))
+      // pointer jump: label := min(label, label(label)) — doubles the
+      // reachable distance, giving logarithmic convergence on chains
+      val next = hopped.as("a")
+        .join(hopped.select(col("id").as("jid"), col("label").as("jlabel")),
+          col("a.label") === col("jid"), "left")
+        .select(col("a.id").as("id"),
+          least(col("a.label"), coalesce(col("jlabel"), col("a.label"))).as("label"))
         .localCheckpoint(true)
       val changed = next.as("n")
         .join(labels.as("c"), col("n.id") === col("c.id"))
@@ -165,6 +182,9 @@ object Dedup {
       labels = next
       it += 1
     }
+    if (!converged)
+      System.err.println(s"[graft] nearDupComponents: not converged after $maxIters rounds; " +
+        "labels may be partial — raise maxIters for adversarially long duplicate chains")
     labels.withColumnRenamed("label", "survivor_id")
   }
 
@@ -183,9 +203,12 @@ object Dedup {
     */
   def dedupCorpus(docs: DataFrame, idCol: String, textCol: String,
                   thresholdNum: Int = 7, thresholdDen: Int = 10): DataFrame = {
-    // stage 1: exact collapse on normalized-content fingerprint
-    val withFp = docs.select(col(idCol).as("id"),
-      TextFunctions.fingerprint(col(textCol)).as("fp"))
+    // stage 1: exact collapse on the RAW content hash — byte-identical
+    // texts have identical shingle sets (Jaccard 1), so this collapse is
+    // invisible to the all-pairs oracle semantics; a normalized
+    // fingerprint would merge case/whitespace variants the Jaccard
+    // threshold might not, changing survivors
+    val withFp = docs.select(col(idCol).as("id"), md5(col(textCol)).as("fp"))
     val repOf = withFp
       .withColumn("rep", min(col("id")).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))))

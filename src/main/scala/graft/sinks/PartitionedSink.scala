@@ -24,12 +24,28 @@ object PartitionedSink {
   val defaultPartitionCols: Seq[String] = Seq("entity", "year", "month")
 
   /** Append a batch to a partitioned table. `format` is "parquet" for the
-    * engine's own tables; "csv" is the reference-compat sink (O20).
+    * engine's own tables; "csv" is the reference-compat sink (O20) — CSV
+    * cannot represent array/struct/map columns, so those are dropped for
+    * it (the vision pipeline carries `locations_json` precisely for this
+    * sink, mirroring the reference's stringification, `run.py:46,51`).
     */
   def appendPartitioned(df: DataFrame, root: String,
                         partitionCols: Seq[String] = defaultPartitionCols,
-                        format: String = "parquet"): Unit =
-    df.write.mode("append").partitionBy(partitionCols: _*).format(format).save(root)
+                        format: String = "parquet"): Unit = {
+    val out = if (format == "csv") dropComplexColumns(df) else df
+    out.write.mode("append").partitionBy(partitionCols: _*).format(format).save(root)
+  }
+
+  /** Remove columns CSV cannot serialize (arrays, structs, maps). */
+  def dropComplexColumns(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+    val complex = df.schema.fields.collect {
+      case f if f.dataType.isInstanceOf[ArrayType] ||
+                f.dataType.isInstanceOf[StructType] ||
+                f.dataType.isInstanceOf[MapType] => f.name
+    }
+    df.drop(complex: _*)
+  }
 
   /** One output file per (partition-tuple) instead of one per task —
     * the small-file guard for wide-task / low-cardinality-partition

@@ -83,22 +83,28 @@ object IngestPipeline {
       // one output file per (entity, year, month) partition instead of
       // one per task × partition — the small-file guard matters here
       // because a catch-up batch touches every partition at once
-      val vision = batch.filter(col("topic") === TopicSchemas.visionTopic)
+      // null-safe routing: a null/missing topic must reach the
+      // dead-letter table, not vanish (three-valued logic would make it
+      // match no branch)
+      val isVision = col("topic") <=> TopicSchemas.visionTopic
+      val isAq = coalesce(col("topic").endsWith(TopicSchemas.airQualitySuffix), lit(false))
+
+      val vision = batch.filter(isVision)
       if (!vision.isEmpty)
         PartitionedSink.appendPartitioned(
           PartitionedSink.repartitionByPartitionColumns(transformVision(vision)),
           s"$root/vision", format = format)
 
-      val aq = batch.filter(col("topic").endsWith(TopicSchemas.airQualitySuffix))
+      val aq = batch.filter(isAq)
       if (!aq.isEmpty)
         PartitionedSink.appendPartitioned(
           PartitionedSink.repartitionByPartitionColumns(transformAirQuality(aq)),
           s"$root/air_quality", format = format)
 
-      val unknown = batch.filter(col("topic") =!= TopicSchemas.visionTopic &&
-        !col("topic").endsWith(TopicSchemas.airQualitySuffix))
+      val unknown = batch.filter(!isVision && !isAq)
       if (!unknown.isEmpty)
-        unknown.select(col("topic"), col("value").cast("string").as("value"))
+        unknown.select(coalesce(col("topic"), lit("__null__")).as("topic"),
+            col("value").cast("string").as("value"))
           .write.mode("append").partitionBy("topic").format(format)
           .save(s"$root/_dead_letter")
     } finally batch.unpersist()

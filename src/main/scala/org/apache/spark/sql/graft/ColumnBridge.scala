@@ -27,11 +27,13 @@ object ColumnBridge {
       .sessionState.functionRegistry
       .createOrReplaceTempFunction(name, builder, "scala_udf")
 
-  /** Bounded top-k collect aggregate (`private[sql] CollectTopK`): keeps
-    * the k smallest rows of `child` by its natural ordering in a bounded
-    * priority queue, WITH map-side partial merge — each shuffle carries
-    * at most k rows per key per partition, versus every row for a window
-    * `row_number` ranking. `reverse = true` keeps the k largest.
+  /** Bounded top-k collect aggregate (`private[sql] CollectTopK`), WITH
+    * map-side partial merge — each shuffle carries at most k rows per
+    * key per partition, versus every row for a window `row_number`
+    * ranking. Semantics (verified empirically): `reverse = false` keeps
+    * the k LARGEST by the child's natural ordering, returned descending;
+    * `reverse = true` keeps the k SMALLEST, returned ascending (what
+    * rank-ordered top-k wants — see `graft.operators.TopK`).
     */
   def collectTopK(child: Column, k: Int, reverse: Boolean = false): Column =
     column(new org.apache.spark.sql.catalyst.expressions.aggregate
