@@ -14,13 +14,15 @@ import org.apache.spark.sql.graft.ColumnBridge
   * `.config("spark.sql.extensions", "graft.GraftExtensions")`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     GraftExtensions.builders.foreach { case (name, builder) =>
       e.injectFunction(
         (org.apache.spark.sql.catalyst.FunctionIdentifier(name),
          new org.apache.spark.sql.catalyst.expressions.ExpressionInfo("graft", name),
          builder))
     }
+    e.injectOptimizerRule(_ => graft.plans.TopKViaHeapRule)
+  }
 }
 
 object GraftExtensions {

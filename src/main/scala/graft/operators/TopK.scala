@@ -6,15 +6,16 @@ import org.apache.spark.sql.graft.ColumnBridge
 
 /** Bounded top-k per key via a heap aggregate instead of a window rank.
   *
-  * `row_number().over(partitionBy(key).orderBy(ord))` + `filter(rk <= k)`
-  * shuffles and sorts EVERY row of every key; this operator aggregates
-  * with a bounded priority queue that merges map-side, so each shuffle
-  * carries at most k rows per key per partition and no partition-wide
-  * sort happens. Same output contract as the window formulation when
-  * `ord` is a total order (add tie-break columns to the struct).
-  *
-  * At 100 TB this is the difference between shuffling the corpus and
-  * shuffling k·|keys| rows.
+  * This aggregates with a bounded priority queue that merges map-side:
+  * each shuffle carries at most k rows per key per partition and NO sort
+  * happens anywhere in the plan. (Spark's own `InferWindowGroupLimit`
+  * achieves the same shuffle volume for the `row_number <= k` filter
+  * pattern since 3.5, but still sorts on both sides of the exchange —
+  * the heap's advantage is memory/spill behavior on wide partitions,
+  * and availability as a direct aggregation API rather than a plan
+  * pattern.) Same output contract as the window formulation when `ord`
+  * is a total order (add tie-break columns to the struct); proven by
+  * hash-matching the row_number oracle (q32 ≡ q11).
   */
 object TopK {
 

@@ -1,0 +1,134 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types.{IntegerType, LongType, NumericType, StructType}
+
+/** Optimizer rule: rewrite `Filter(row_number <= k)` over a `Window`
+  * into the bounded-heap top-k aggregate ([[graft.operators.TopK]]'s
+  * plan shape, derived automatically).
+  *
+  * Spark 3.5+ already k-limits this pattern before the shuffle
+  * (`InferWindowGroupLimit`), so shuffle volume matches; what the heap
+  * rewrite removes is the two SORTS (map-side and reduce-side) that the
+  * sort-based group limit still performs — the win is memory/spill
+  * behavior on wide or skewed partitions, measured parity at fixture
+  * scale. Output equality (same rows, same rank values) was established
+  * independently: the q32 heap formulation hash-matches q11's
+  * `row_number` DuckDB oracle row for row.
+  *
+  * The rewrite fires only when it is provably safe:
+  *   - the window computes exactly one expression: `row_number()`;
+  *   - the filter is `rank <= IntLiteral` / `rank < IntLiteral`
+  *     directly above the window, with 0 < k ≤ maxK;
+  *   - partition keys are plain attributes;
+  *   - every ORDER BY key is either ascending-nulls-first (mapped to a
+  *     plain struct field: struct ordering places nulls first) or
+  *     descending-nulls-last on a numeric type (mapped to
+  *     `(IsNull(e), -e)`: non-nulls first, then descending) — the two
+  *     combinations SQL produces by default.
+  *
+  * Enable per session with [[TopKViaHeapRule.enable]]
+  * (`spark.experimental.extraOptimizations`) or through
+  * `spark.sql.extensions=graft.GraftExtensions`.
+  */
+object TopKViaHeapRule extends Rule[LogicalPlan] {
+
+  /** Bounded so the rewrite can never materialize huge per-key heaps. */
+  val maxK = 1000
+
+  def enable(spark: SparkSession): Unit = {
+    val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    if (!classic.experimental.extraOptimizations.contains(this))
+      classic.experimental.extraOptimizations =
+        classic.experimental.extraOptimizations :+ this
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case f @ Filter(cond, w: Window) =>
+      rewrite(cond, w).getOrElse(f)
+  }
+
+  private def rankLimit(cond: Expression, rankAttr: Attribute): Option[Int] = {
+    def lit(e: Expression): Option[Int] = e match {
+      case Literal(v: Int, IntegerType) => Some(v)
+      case Literal(v: Long, LongType) if v <= Int.MaxValue => Some(v.toInt)
+      case _ => None
+    }
+    cond match {
+      case LessThanOrEqual(a: Attribute, l) if a.exprId == rankAttr.exprId => lit(l)
+      case LessThan(a: Attribute, l) if a.exprId == rankAttr.exprId => lit(l).map(_ - 1)
+      case GreaterThanOrEqual(l, a: Attribute) if a.exprId == rankAttr.exprId => lit(l)
+      case _ => None
+    }
+  }
+
+  /** ORDER BY key → struct fields whose ascending ordering matches it. */
+  private def orderFields(so: SortOrder): Option[Seq[Expression]] = so match {
+    case SortOrder(e, Ascending, NullsFirst, _) => Some(Seq(e))
+    case SortOrder(e, Descending, NullsLast, _) if e.dataType.isInstanceOf[NumericType] =>
+      Some(Seq(IsNull(e), UnaryMinus(e)))
+    case _ => None
+  }
+
+  private def rewrite(cond: Expression, w: Window): Option[LogicalPlan] = w match {
+    case Window(Seq(alias @ Alias(
+           WindowExpression(RowNumber(), WindowSpecDefinition(_, _, _)), _)),
+         partitionSpec, orderSpec, child, _)
+        if partitionSpec.forall(_.isInstanceOf[Attribute]) && orderSpec.nonEmpty =>
+      val rankAttr = alias.toAttribute
+      for {
+        k <- rankLimit(cond, rankAttr)
+        if k > 0 && k <= maxK
+        ordFields <- traverseOrder(orderSpec)
+      } yield {
+        val partAttrs = partitionSpec.map(_.asInstanceOf[Attribute])
+        // Spark's InferWindowGroupLimit may already have inserted a
+        // sort-based per-group pre-limit below the window; the heap
+        // subsumes it (and needs no sort), so unwrap it
+        val base = child match {
+          case WindowGroupLimit(p, o, _: RowNumber, limit, grandchild)
+              if p == partitionSpec && o == orderSpec && limit >= k => grandchild
+          case other => other
+        }
+        val payload = base.output
+
+        // heap item: (order fields..., payload...) — ascending struct
+        // ordering == the window's ORDER BY; payload fields act as a
+        // final tie-break, which only matters when the ORDER BY itself
+        // ties (where row_number is nondeterministic anyway)
+        val item = CreateStruct(ordFields ++ payload)
+        val topAlias = Alias(
+          ColumnBridge.collectTopKExpr(item, k, reverse = true), "__top")()
+        val agg = Aggregate(partAttrs, partAttrs :+ topAlias, base,
+          None)
+
+        val structType = item.dataType.asInstanceOf[StructType]
+        val posAttr = AttributeReference("__pos", IntegerType, nullable = false)()
+        val rowAttr = AttributeReference("__row", structType, nullable = false)()
+        val generate = Generate(PosExplode(topAlias.toAttribute),
+          unrequiredChildIndex = Seq(partAttrs.length), outer = false,
+          qualifier = None, generatorOutput = Seq(posAttr, rowAttr), agg)
+
+        // restore the original output attributes (same exprIds) so the
+        // surrounding plan is untouched
+        val restored: Seq[NamedExpression] = payload.zipWithIndex.map {
+          case (a, i) =>
+            Alias(GetStructField(rowAttr, ordFields.length + i, Some(a.name)),
+              a.name)(exprId = a.exprId)
+        }
+        val rank = Alias(Add(posAttr, Literal(1)), rankAttr.name)(exprId = rankAttr.exprId)
+        Project(restored :+ rank, generate)
+      }
+    case _ => None
+  }
+
+  private def traverseOrder(orderSpec: Seq[SortOrder]): Option[Seq[Expression]] = {
+    val mapped = orderSpec.map(orderFields)
+    if (mapped.forall(_.isDefined)) Some(mapped.flatMap(_.get)) else None
+  }
+}

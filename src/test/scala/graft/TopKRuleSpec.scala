@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.plans.TopKViaHeapRule
+
+/** Optimizer-rule spec: the window rank-filter rewrite produces the
+  * heap plan and byte-identical results.
+  */
+class TopKRuleSpec extends SparkSpec {
+  private val sp = spark
+  import sp.implicits._
+
+  private def windowTop3Sql =
+    """SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |         row_number() OVER (PARTITION BY o_custkey
+      |                            ORDER BY o_totalprice DESC, o_orderkey) AS rk
+      |  FROM ord) t WHERE rk <= 3
+      |""".stripMargin
+
+  test("rank-filter window rewrites to collect_top_k with identical results") {
+    Tables.orders(spark, sf0001).createOrReplaceTempView("ord")
+
+    val before = spark.sql(windowTop3Sql)
+    val expected = before.as[(Long, Long, Double, Int)].collect().toSet
+    assert(before.queryExecution.executedPlan.toString.contains("Window"),
+      "sanity: un-rewritten plan should use a Window")
+
+    TopKViaHeapRule.enable(spark)
+    try {
+      val after = spark.sql(windowTop3Sql)
+      val p = after.queryExecution.executedPlan.toString
+      assert(p.contains("partial_collect_top_k"), s"rule did not fire:\n$p")
+      assert(!p.contains("WindowGroupLimit") && !p.contains("Sort "),
+        s"sort-based pre-limit survived the rewrite:\n$p")
+      assert(after.as[(Long, Long, Double, Int)].collect().toSet === expected)
+    } finally disable()
+  }
+
+  test("rule leaves non-rank window queries untouched") {
+    TopKViaHeapRule.enable(spark)
+    try {
+      // q33's lag/cumsum windows must not match the pattern
+      val p = SparkEntry.q33(spark, sf0001).queryExecution.executedPlan.toString
+      assert(p.contains("Window"), "sessionize windows should survive")
+      assert(!p.contains("collect_top_k"), "rule misfired on a non-rank window")
+    } finally disable()
+  }
+
+  test("rule bails on unsupported order combos (desc on strings)") {
+    Tables.orders(spark, sf0001).createOrReplaceTempView("ord")
+    TopKViaHeapRule.enable(spark)
+    try {
+      val p = spark.sql(
+        """SELECT * FROM (SELECT o_orderkey, o_orderstatus,
+          |  row_number() OVER (PARTITION BY o_orderstatus ORDER BY o_orderpriority DESC) AS rk
+          |FROM ord) WHERE rk <= 2
+          |""".stripMargin).queryExecution.executedPlan.toString
+      assert(p.contains("Window"), "desc on a string column must keep the window plan")
+    } finally disable()
+  }
+
+  private def disable(): Unit = {
+    val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    classic.experimental.extraOptimizations =
+      classic.experimental.extraOptimizations.filterNot(_ == TopKViaHeapRule)
+  }
+}
