@@ -55,23 +55,43 @@ object TopKViaHeapRule extends Rule[LogicalPlan] {
 
   private def rankLimit(cond: Expression, rankAttr: Attribute): Option[Int] = {
     def lit(e: Expression): Option[Int] = e match {
-      case Literal(v: Int, IntegerType) => Some(v)
-      case Literal(v: Long, LongType) if v <= Int.MaxValue => Some(v.toInt)
+      case Literal(v: Int, IntegerType) if v >= 1 => Some(v)
+      case Literal(v: Long, LongType) if v >= 1 && v <= Int.MaxValue => Some(v.toInt)
       case _ => None
     }
     cond match {
       case LessThanOrEqual(a: Attribute, l) if a.exprId == rankAttr.exprId => lit(l)
       case LessThan(a: Attribute, l) if a.exprId == rankAttr.exprId => lit(l).map(_ - 1)
       case GreaterThanOrEqual(l, a: Attribute) if a.exprId == rankAttr.exprId => lit(l)
+      case GreaterThan(l, a: Attribute) if a.exprId == rankAttr.exprId => lit(l).map(_ - 1)
       case _ => None
     }
   }
 
-  /** ORDER BY key → struct fields whose ascending ordering matches it. */
+  /** ORDER BY key → struct fields whose ascending ordering matches it.
+    *
+    * Descending keys are order-reversed WITHOUT the naive `-e`:
+    *  - integral types use bitwise-not (`~e == -1 - e`): an exact,
+    *    overflow-free order reversal — `UnaryMinus(MinValue)` throws
+    *    under ANSI (the Spark 4 default) or silently wraps without it;
+    *  - float/double get a leading `NOT(IsNaN(e))` field so NaN (which
+    *    Spark orders largest, hence FIRST under DESC) stays first —
+    *    `-NaN` is still NaN and would have sorted it last;
+    *  - decimals negate safely (symmetric range).
+    */
   private def orderFields(so: SortOrder): Option[Seq[Expression]] = so match {
     case SortOrder(e, Ascending, NullsFirst, _) => Some(Seq(e))
-    case SortOrder(e, Descending, NullsLast, _) if e.dataType.isInstanceOf[NumericType] =>
-      Some(Seq(IsNull(e), UnaryMinus(e)))
+    case SortOrder(e, Descending, NullsLast, _) =>
+      import org.apache.spark.sql.types._
+      e.dataType match {
+        case ByteType | ShortType | IntegerType | LongType =>
+          Some(Seq(IsNull(e), BitwiseNot(e)))
+        case DoubleType | FloatType =>
+          Some(Seq(IsNull(e), Not(IsNaN(e)), UnaryMinus(e)))
+        case _: DecimalType =>
+          Some(Seq(IsNull(e), UnaryMinus(e)))
+        case _ => None
+      }
     case _ => None
   }
 
@@ -81,11 +101,11 @@ object TopKViaHeapRule extends Rule[LogicalPlan] {
          partitionSpec, orderSpec, child, _)
         if partitionSpec.forall(_.isInstanceOf[Attribute]) && orderSpec.nonEmpty =>
       val rankAttr = alias.toAttribute
-      for {
+      (for {
         k <- rankLimit(cond, rankAttr)
         if k > 0 && k <= maxK
         ordFields <- traverseOrder(orderSpec)
-      } yield {
+      } yield (k, ordFields)).flatMap { case (k, ordFields) =>
         val partAttrs = partitionSpec.map(_.asInstanceOf[Attribute])
         // Spark's InferWindowGroupLimit may already have inserted a
         // sort-based per-group pre-limit below the window; the heap
@@ -95,13 +115,20 @@ object TopKViaHeapRule extends Rule[LogicalPlan] {
               if p == partitionSpec && o == orderSpec && limit >= k => grandchild
           case other => other
         }
-        val payload = base.output
+        // partition keys ride along as grouping output — packing them
+        // into every heap item would ship them k times per key and mint
+        // duplicate-exprId aliases downstream
+        val partIds = partAttrs.map(_.exprId).toSet
+        val payload = base.output.filterNot(a => partIds.contains(a.exprId))
 
-        // heap item: (order fields..., payload...) — ascending struct
-        // ordering == the window's ORDER BY; payload fields act as a
-        // final tie-break, which only matters when the ORDER BY itself
-        // ties (where row_number is nondeterministic anyway)
+        // heap item: (order fields..., non-key payload...) — ascending
+        // struct ordering == the window's ORDER BY; payload fields act
+        // as a final tie-break, which only matters when the ORDER BY
+        // itself ties (where row_number is nondeterministic anyway).
+        // Every field must be orderable (a map-typed payload column
+        // would crash the heap comparator at runtime on a tie).
         val item = CreateStruct(ordFields ++ payload)
+        if (!RowOrdering.isOrderable(item.dataType)) None else Some {
         val topAlias = Alias(
           ColumnBridge.collectTopKExpr(item, k, reverse = true), "__top")()
         val agg = Aggregate(partAttrs, partAttrs :+ topAlias, base,
@@ -114,15 +141,20 @@ object TopKViaHeapRule extends Rule[LogicalPlan] {
           unrequiredChildIndex = Seq(partAttrs.length), outer = false,
           qualifier = None, generatorOutput = Seq(posAttr, rowAttr), agg)
 
-        // restore the original output attributes (same exprIds) so the
-        // surrounding plan is untouched
-        val restored: Seq[NamedExpression] = payload.zipWithIndex.map {
+        // restore the original output: partition attrs pass through the
+        // aggregate unchanged; non-key columns come back out of the
+        // struct under their original exprIds; rank = position + 1
+        val restoredPayload: Map[ExprId, NamedExpression] = payload.zipWithIndex.map {
           case (a, i) =>
-            Alias(GetStructField(rowAttr, ordFields.length + i, Some(a.name)),
+            a.exprId -> Alias(GetStructField(rowAttr, ordFields.length + i, Some(a.name)),
               a.name)(exprId = a.exprId)
+        }.toMap
+        val restored: Seq[NamedExpression] = base.output.map { a =>
+          if (partIds.contains(a.exprId)) a else restoredPayload(a.exprId)
         }
         val rank = Alias(Add(posAttr, Literal(1)), rankAttr.name)(exprId = rankAttr.exprId)
         Project(restored :+ rank, generate)
+        }
       }
     case _ => None
   }

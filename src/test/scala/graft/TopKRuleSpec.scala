@@ -60,6 +60,56 @@ class TopKRuleSpec extends SparkSpec {
     } finally disable()
   }
 
+  test("rewrite is NaN-correct and overflow-safe on descending keys") {
+    Seq((1, Double.NaN), (1, 5.0), (1, 3.0), (1, 9.0), (2, 1.0))
+      .toDF("k", "v").createOrReplaceTempView("nan_t")
+    Seq((1, Int.MinValue), (1, 5), (1, 3), (2, 7))
+      .toDF("k", "v").createOrReplaceTempView("min_t")
+    def top2(view: String) =
+      s"""SELECT k, v, rk FROM (SELECT k, v,
+         |  row_number() OVER (PARTITION BY k ORDER BY v DESC, v) AS rk FROM $view)
+         |WHERE rk <= 2""".stripMargin
+    val nanBefore = spark.sql(top2("nan_t")).collect().map(_.toString).sorted.toSeq
+    val minBefore = spark.sql(top2("min_t")).collect().map(_.toString).sorted.toSeq
+    TopKViaHeapRule.enable(spark)
+    try {
+      val pn = spark.sql(top2("nan_t"))
+      assert(pn.queryExecution.executedPlan.toString.contains("collect_top_k"))
+      // NaN ranks first under DESC (Spark orders NaN largest) — preserved
+      assert(pn.collect().map(_.toString).sorted.toSeq === nanBefore)
+      val pm = spark.sql(top2("min_t"))
+      assert(pm.queryExecution.executedPlan.toString.contains("collect_top_k"))
+      // Int.MinValue must not overflow (ANSI) nor jump to rank 1
+      assert(pm.collect().map(_.toString).sorted.toSeq === minBefore)
+    } finally disable()
+  }
+
+  test("rule bails when the payload is unorderable (map column)") {
+    spark.sql("SELECT 1 AS k, 2 AS v, map('a', 1) AS m").createOrReplaceTempView("map_t")
+    TopKViaHeapRule.enable(spark)
+    try {
+      val p = spark.sql(
+        """SELECT * FROM (SELECT k, v, m,
+          |  row_number() OVER (PARTITION BY k ORDER BY v DESC) AS rk FROM map_t)
+          |WHERE rk <= 1""".stripMargin)
+      assert(!p.queryExecution.executedPlan.toString.contains("collect_top_k"),
+        "must not heap-aggregate a map-typed payload")
+      assert(p.count() === 1) // and the window plan still runs
+    } finally disable()
+  }
+
+  test("mirror predicate form k > rk also rewrites") {
+    Tables.orders(spark, sf0001).createOrReplaceTempView("ord")
+    TopKViaHeapRule.enable(spark)
+    try {
+      val p = spark.sql(
+        """SELECT * FROM (SELECT o_custkey, o_orderkey,
+          |  row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS rk FROM ord)
+          |WHERE 4 > rk""".stripMargin)
+      assert(p.queryExecution.executedPlan.toString.contains("collect_top_k"))
+    } finally disable()
+  }
+
   private def disable(): Unit = {
     val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     classic.experimental.extraOptimizations =
