@@ -2,11 +2,10 @@ package graft.plans
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.graft.ColumnBridge
-import org.apache.spark.sql.types.{IntegerType, LongType, NumericType, StructType}
+import org.apache.spark.sql.types.{IntegerType, LongType, StructType}
 
 /** Optimizer rule: rewrite `Filter(row_number <= k)` over a `Window`
   * into the bounded-heap top-k aggregate ([[graft.operators.TopK]]'s
