@@ -308,6 +308,18 @@ object SparkEntry {
   def q37(s: SparkSession, d: String): DataFrame =
     Dedup.dedupCorpus(docs(s, d), "doc_id", "text").select("doc_id")
 
+  /** Q38 — stream-shaped dimension enrichment ([[EventOps.enrich]]):
+    * broadcast left-join of the customer dimension onto events, the
+    * batch twin of the `foreachBatch` stream-static join.
+    */
+  def q38(s: SparkSession, d: String): DataFrame =
+    EventOps.enrich(
+      ev(s, d).select(col("event_id"), col("user_id").as("c_custkey"), col("event_type")),
+      Tables.customer(s, d).select(col("c_custkey"), col("c_mktsegment")),
+      Seq("c_custkey"))
+      .select(col("event_id"), col("c_custkey").as("user_id"),
+        col("event_type"), col("c_mktsegment"))
+
   /** Q32 — the q11 ranking computed by the bounded-heap top-k aggregate
     * ([[graft.operators.TopK]]) instead of a window sort: identical
     * output contract (same oracle SQL), shuffle-light plan — the
@@ -358,7 +370,8 @@ object SparkEntry {
     "q34_rollup"          -> (q34 _),
     "q35_anti_join"       -> (q35 _),
     "q36_percentiles"     -> (q36 _),
-    "q37_dedup_corpus"    -> (q37 _))
+    "q37_dedup_corpus"    -> (q37 _),
+    "q38_enrich_dim"      -> (q38 _))
 
   // DuckDB twins. Shared SQL fragments for the text queries:
   // explicit class: Java \s includes \x0B, RE2 \s does not — see
@@ -530,6 +543,9 @@ object SparkEntry {
     "q36_percentiles" ->
       ("SELECT event_type, round(quantile_cont(value, 0.5), 6) AS p50, " +
        "round(quantile_cont(value, 0.9), 6) AS p90 FROM events GROUP BY event_type"),
+    "q38_enrich_dim" ->
+      ("SELECT e.event_id, e.user_id, e.event_type, c.c_mktsegment " +
+       "FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey"),
     "q37_dedup_corpus" ->
       (s"""WITH RECURSIVE toks AS (SELECT doc_id, $TOKS AS tk FROM documents),
           |sh AS (SELECT doc_id, ${shinglesSql("tk")} AS s FROM toks),

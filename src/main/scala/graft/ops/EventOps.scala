@@ -85,4 +85,12 @@ object EventOps {
     */
   def append(old: DataFrame, fresh: DataFrame): DataFrame =
     old.unionByName(fresh, allowMissingColumns = true)
+
+  /** Dimension enrichment — the "enrich" half of the pipeline's
+    * clean/enrich contract: left-join a (small, broadcast) dimension
+    * table onto the event stream. Works identically on micro-batches
+    * inside `foreachBatch` (stream-static join) and in batch queries.
+    */
+  def enrich(events: DataFrame, dim: DataFrame, joinCols: Seq[String]): DataFrame =
+    events.join(broadcast(dim), joinCols, "left")
 }
