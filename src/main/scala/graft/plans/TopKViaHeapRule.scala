@@ -126,7 +126,15 @@ object TopKViaHeapRule extends Rule[LogicalPlan] {
         // itself ties (where row_number is nondeterministic anyway).
         // Every field must be orderable (a map-typed payload column
         // would crash the heap comparator at runtime on a tie).
-        val item = CreateStruct(ordFields ++ payload)
+        // Field names are synthetic and UNIQUE: an ORDER BY column that
+        // also appears in the payload would otherwise duplicate its name
+        // in the struct, and downstream name-based nested-field rules
+        // (e.g. nested-column pruning, which runs after injected rules)
+        // throw AMBIGUOUS_REFERENCE_TO_FIELDS.
+        val itemFields: Seq[Expression] =
+          ordFields.zipWithIndex.map { case (e, i) => Alias(e, s"__o$i")() } ++
+          payload.zipWithIndex.map { case (a, i) => Alias(a, s"__p$i")() }
+        val item = CreateStruct(itemFields)
         if (!RowOrdering.isOrderable(item.dataType)) None else Some {
         val topAlias = Alias(
           ColumnBridge.collectTopKExpr(item, k, reverse = true), "__top")()
@@ -145,7 +153,8 @@ object TopKViaHeapRule extends Rule[LogicalPlan] {
         // struct under their original exprIds; rank = position + 1
         val restoredPayload: Map[ExprId, NamedExpression] = payload.zipWithIndex.map {
           case (a, i) =>
-            a.exprId -> Alias(GetStructField(rowAttr, ordFields.length + i, Some(a.name)),
+            a.exprId -> Alias(
+              GetStructField(rowAttr, ordFields.length + i, Some(s"__p$i")),
               a.name)(exprId = a.exprId)
         }.toMap
         val restored: Seq[NamedExpression] = base.output.map { a =>
