@@ -16,14 +16,20 @@ object Bench {
     val spark = GraftSession.local(cpus.toInt)
     spark.sparkContext.setLogLevel("WARN")
 
+    // noop-sink write: unlike count() (which lets Catalyst collapse
+    // count-over-project and skip projected work entirely), the noop
+    // datasource consumes every output row and column, so projection-only
+    // queries are measured end to end
+    def run(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => () }
+
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
     // warmup pass: codegen + file-metadata caches, not the data itself
-    ordered.foreach { case (_, fn) =>
-      try fn(spark, sfDir).count() catch { case _: Throwable => () }
-    }
+    ordered.foreach { case (_, fn) => run(fn) }
     val results = ordered.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).count() catch { case _: Throwable => () }
+      run(fn)
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }

@@ -250,15 +250,22 @@ object SparkEntry {
     docs(s, d).select(col("doc_id"),
       graft.functions.HashFunctions.winnowFingerprints(col("text")).as("fps"))
       .select(col("doc_id"), size(col("fps")).cast("long").as("n_fp"),
-        element_at(col("fps"), 1).as("fp_min"))
+        // try_element_at: a document shorter than the winnow k-gram
+        // yields an empty fps array, and plain element_at throws
+        // INVALID_ARRAY_INDEX under ANSI mode (the Spark 4 default)
+        try_element_at(col("fps"), lit(1)).as("fp_min"))
 
   /** Q31 — IVF ANN (k-means-trained coarse quantizer: no oracle; recall
     * asserted in specs).
     */
   def q31(s: SparkSession, d: String): DataFrame = {
     val e = emb(s, d)
+    // cacheKey = the corpus dir: the index is fit ONCE per corpus and
+    // reused across calls (the build-once / probe-many lifecycle);
+    // without it every query call would re-run the Lloyd iterations
     graft.operators.IvfIndex.annTopK(e, e.filter(col("vec_id") < 5),
-      "vec_id", "embedding", k = 10, nlist = 8, nProbe = 3, iters = 2)
+      "vec_id", "embedding", k = 10, nlist = 8, nProbe = 3, iters = 2,
+      cacheKey = Some(d))
   }
 
   /** Q33 — gap-based sessionization (30-min inactivity): lag + cumulative
@@ -458,7 +465,8 @@ object SparkEntry {
        "event_type, count(*) AS n FROM events WHERE ts IS NOT NULL GROUP BY 1, 2"),
     "q16_etl_pipeline" ->
       ("SELECT event_type, strftime(ts, '%Y-%m') AS ym, count(*) AS n, " +
-       "sum(TRY_CAST(coalesce(json_extract_string(props, '$.k'), '0') AS BIGINT)) AS hits_sum " +
+       "CAST(sum(TRY_CAST(coalesce(json_extract_string(props, '$.k'), '0') AS BIGINT)) " +
+       "AS BIGINT) AS hits_sum " +
        "FROM events WHERE ts IS NOT NULL AND year(ts) <> 1970 GROUP BY 1, 2"),
     "q17_token_count" ->
       s"SELECT doc_id, CAST(len($TOKS) AS BIGINT) AS n_tokens FROM documents",
@@ -512,7 +520,7 @@ object SparkEntry {
        "AS n_chunks, md5(text) AS fp FROM documents"),
     "q29_bpe_tokens" ->
       ("SELECT doc_id, CAST(len(regexp_extract_all(text, " +
-       "' ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+')) AS BIGINT) AS n_bpe_tokens " +
+       "' ?\\p{L}+| ?\\p{N}+| ?[^ \\t\\n\\f\\r\\p{L}\\p{N}]+')) AS BIGINT) AS n_bpe_tokens " +
        "FROM documents"),
     "q32_topk_agg" ->
       ("SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (" +

@@ -40,9 +40,11 @@ object TextFunctions {
     * optional leading space) count as separate tokens. The pattern uses
     * only syntax with identical semantics in Java regex (Spark) and RE2
     * (DuckDB oracle): `\p{L}`/`\p{N}` classes, leftmost-first
-    * alternation, no lookaround.
+    * alternation, no lookaround. The whitespace exclusion is written as
+    * the explicit `[ \t\n\f\r]` set (not `\s`) for the same
+    * vertical-tab reason as [[whitespaceClass]].
     */
-  val bpeTokenPattern = " ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+"
+  val bpeTokenPattern = " ?\\p{L}+| ?\\p{N}+| ?[^ \\t\\n\\f\\r\\p{L}\\p{N}]+"
 
   def bpeTokenCount(text: Column): Column =
     size(regexp_extract_all(text, lit(bpeTokenPattern), lit(0))).cast("long")

@@ -100,10 +100,91 @@ case class CosineSimilarity(left: Expression, right: Expression) extends VectorB
     copy(left = l, right = r)
 }
 
+/** `nearest_centroid(vec)` — index of the cosine-nearest centroid from a
+  * plan-constant centroid matrix (the IVF coarse-quantizer assignment,
+  * [[graft.operators.IvfIndex]]). The matrix is nlist × dim metadata
+  * carried in the expression (codegen references it as an object), so
+  * cell assignment is a pure map-side projection: no crossJoin against a
+  * centroid table, no groupBy-by-vector shuffle.
+  *
+  * Scoring maximizes dot(v, c)/||c|| — equal to the cosine argmax because
+  * ||v|| is a constant positive scale per row (a zero-norm row scores
+  * -inf everywhere and lands deterministically in cell 0). Ties break to
+  * the smallest cell index; centroids with mismatched length or zero
+  * norm are skipped.
+  */
+case class NearestCentroid(child: Expression, centroids: Array[Array[Double]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType = IntegerType
+
+  private def childIsFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  // 1/||c|| per centroid, precomputed once (0.0 marks a zero-norm cell)
+  @transient private lazy val invNorms: Array[Double] = centroids.map { c =>
+    var s = 0.0; var i = 0
+    while (i < c.length) { s += c(i) * c(i); i += 1 }
+    if (s == 0.0) 0.0 else 1.0 / math.sqrt(s)
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    val isF = childIsFloat
+    val n = a.numElements()
+    var best = 0; var bestScore = Double.NegativeInfinity
+    var cell = 0
+    while (cell < centroids.length) {
+      val c = centroids(cell)
+      if (c.length == n && invNorms(cell) > 0.0) {
+        var dot = 0.0; var i = 0
+        while (i < n) {
+          dot += (if (isF) a.getFloat(i).toDouble else a.getDouble(i)) * c(i)
+          i += 1
+        }
+        val s = dot * invNorms(cell)
+        if (s > bestScore) { bestScore = s; best = cell }
+      }
+      cell += 1
+    }
+    best
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cents = ctx.addReferenceObj("centroids", centroids, "double[][]")
+    val norms = ctx.addReferenceObj("invNorms", invNorms, "double[]")
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n"); val cell = ctx.freshName("cell")
+      val i = ctx.freshName("i"); val dot = ctx.freshName("dot")
+      val s = ctx.freshName("s"); val best = ctx.freshName("best")
+      val bestScore = ctx.freshName("bestScore"); val c = ctx.freshName("c")
+      val get = if (childIsFloat) s"(double)$a.getFloat($i)" else s"$a.getDouble($i)"
+      s"""
+         |int $n = $a.numElements();
+         |int $best = 0; double $bestScore = Double.NEGATIVE_INFINITY;
+         |for (int $cell = 0; $cell < $cents.length; $cell++) {
+         |  double[] $c = $cents[$cell];
+         |  if ($c.length == $n && $norms[$cell] > 0.0) {
+         |    double $dot = 0.0;
+         |    for (int $i = 0; $i < $n; $i++) { $dot += $get * $c[$i]; }
+         |    double $s = $dot * $norms[$cell];
+         |    if ($s > $bestScore) { $bestScore = $s; $best = $cell; }
+         |  }
+         |}
+         |${ev.value} = $best;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Column-API surface for the vector kernels. */
 object VectorFunctions {
   import ColumnBridge.{column, expression}
   def dot(a: Column, b: Column): Column = column(DotProduct(expression(a), expression(b)))
   def cosineSimilarity(a: Column, b: Column): Column =
     column(CosineSimilarity(expression(a), expression(b)))
+  def nearestCentroid(vec: Column, centroids: Array[Array[Double]]): Column =
+    column(NearestCentroid(expression(vec), centroids))
 }

@@ -149,15 +149,31 @@ object Dedup {
     */
   def nearDupComponents(ids: DataFrame, idCol: String, pairs: DataFrame,
                         maxIters: Int = 10): DataFrame = {
-    // undirected edges both ways + self-loops so singletons survive
-    val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
-      .unionByName(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
-      .unionByName(ids.select(col(idCol).as("src"), col(idCol).as("dst")))
+    // materialize the pair list ONCE (executor-local, no driver
+    // collect): `pairs` is typically the output of the whole LSH
+    // pipeline, and it feeds every propagation round plus the final
+    // singleton anti-join — without the cut, each of those re-runs
+    // shingling + banding + verification from scratch
+    val p = pairs.select(col("a_id"), col("b_id")).localCheckpoint(true)
 
-    // labels are corpus-sized: lineage is cut per round with
+    // ACTIVE-SET propagation: only nodes that appear in some pair
+    // iterate — duplicate pairs are sparse, so each round touches a
+    // small fraction of the corpus instead of dragging every singleton's
+    // self-loop through ~log(chain) join rounds. Untouched singletons
+    // rejoin as their own survivors at the end.
+    val active = p.select(col("a_id").as("id"))
+      .unionByName(p.select(col("b_id").as("id"))).distinct()
+
+    // undirected edges both ways + self-loops so a node's own label
+    // stays reachable through the groupBy-min
+    val edges = p.select(col("a_id").as("src"), col("b_id").as("dst"))
+      .unionByName(p.select(col("b_id").as("src"), col("a_id").as("dst")))
+      .unionByName(active.select(col("id").as("src"), col("id").as("dst")))
+
+    // labels are active-set-sized: lineage is cut per round with
     // localCheckpoint (executor-local materialization, no driver
     // collect) and convergence is a distributed count of changed labels
-    var labels = ids.select(col(idCol).as("id"), col(idCol).as("label"))
+    var labels = active.select(col("id"), col("id").as("label"))
       .localCheckpoint(true)
     var it = 0
     var converged = false
@@ -185,7 +201,12 @@ object Dedup {
     if (!converged)
       System.err.println(s"[graft] nearDupComponents: not converged after $maxIters rounds; " +
         "labels may be partial — raise maxIters for adversarially long duplicate chains")
-    labels.withColumnRenamed("label", "survivor_id")
+    // ids never seen in a pair are their own survivors (left-anti keeps
+    // this one pass over the full id set, outside the iteration)
+    val singletons = ids.select(col(idCol).as("id"))
+      .join(active, Seq("id"), "left_anti")
+      .select(col("id"), col("id").as("survivor_id"))
+    labels.withColumnRenamed("label", "survivor_id").unionByName(singletons)
   }
 
   /** End-to-end corpus dedup: exact-duplicate collapse → MinHash-LSH
@@ -202,13 +223,20 @@ object Dedup {
     * component minimum is unchanged.
     */
   def dedupCorpus(docs: DataFrame, idCol: String, textCol: String,
-                  thresholdNum: Int = 7, thresholdDen: Int = 10): DataFrame = {
+                  thresholdNum: Int = 7, thresholdDen: Int = 10,
+                  ngram: Int = 3): DataFrame = {
     // stage 1: exact collapse on the RAW content hash — byte-identical
-    // texts have identical shingle sets (Jaccard 1), so this collapse is
-    // invisible to the all-pairs oracle semantics; a normalized
-    // fingerprint would merge case/whitespace variants the Jaccard
-    // threshold might not, changing survivors
-    val withFp = docs.select(col(idCol).as("id"), md5(col(textCol)).as("fp"))
+    // texts with at least `ngram` tokens have identical non-empty
+    // shingle sets (Jaccard 1), so this collapse is invisible to the
+    // all-pairs Jaccard semantics. Documents BELOW the shingle width
+    // (empty shingle set) can never clear a Jaccard threshold even
+    // against a byte-identical twin (union 0 ⇒ no pair), so they must
+    // NOT collapse: each gets a unique per-id fingerprint and stays its
+    // own singleton. A normalized fingerprint would likewise merge
+    // case/whitespace variants the Jaccard threshold might not.
+    val withFp = docs.select(col(idCol).as("id"),
+      when(TextFunctions.tokenCount(col(textCol)) >= ngram, md5(col(textCol)))
+        .otherwise(concat(lit("short:"), col(idCol).cast("string"))).as("fp"))
     val repOf = withFp
       .withColumn("rep", min(col("id")).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))))
@@ -218,7 +246,7 @@ object Dedup {
 
     // stage 2: near-dup pairs among representatives only
     val pairs = minhashLshPairs(reps, idCol, textCol,
-      thresholdNum = thresholdNum, thresholdDen = thresholdDen)
+      thresholdNum = thresholdNum, thresholdDen = thresholdDen, ngram = ngram)
       .select("a_id", "b_id")
       // stage 3: exact-dup membership edges rejoin the graph
       .unionByName(repOf.filter(col("id") =!= col("rep"))

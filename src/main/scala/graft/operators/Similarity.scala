@@ -16,17 +16,28 @@ import org.apache.spark.sql.graft.ColumnBridge
   */
 object Similarity {
 
+  /** Spread a NARROW plan across the cluster — and only a narrow one.
+    * A toy single-file corpus arrives as one scan partition, where an
+    * O(n·|probes|) scoring pass would run single-threaded; a real corpus
+    * scan already has ≥ parallelism partitions and must NOT pay a
+    * full-corpus round-robin shuffle for a map-only pass. The partition
+    * probe costs one physical planning of `df`, no job.
+    */
+  private[operators] def spreadIfNarrow(df: DataFrame): DataFrame = {
+    val parallelism = df.sparkSession.sparkContext.defaultParallelism
+    val parts = df.rdd.getNumPartitions
+    if (parts < parallelism) df.repartition(parallelism) else df
+  }
+
   /** Exact top-k cosine neighbors for each probe row. `probes` must be
-    * small (it is broadcast); the corpus side never shuffles — per-probe
-    * ranking happens in a single window over sim-scored candidates.
+    * small (it is broadcast); the corpus side never shuffles for the
+    * scoring — per-probe ranking is the bounded-heap aggregate over
+    * sim-scored candidates.
     */
   def topKCosine(corpus: DataFrame, probes: DataFrame, idCol: String,
                  vecCol: String, k: Int): DataFrame = {
     val p = probes.select(col(idCol).as("probe_id"), col(vecCol).as("pvec"))
-    // the corpus may arrive as a single parquet file = a single scan
-    // partition; spread the O(n·|probes|) scoring across the cluster
-    val c = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("cvec"))
-      .repartition(corpus.sparkSession.sparkContext.defaultParallelism)
+    val c = spreadIfNarrow(corpus.select(col(idCol).as("vec_id"), col(vecCol).as("cvec")))
     val scored = c.crossJoin(broadcast(p))
       .filter(col("vec_id") =!= col("probe_id"))
       .withColumn("sim", VectorFunctions.cosineSimilarity(col("cvec"), col("pvec")))
@@ -55,8 +66,8 @@ object Similarity {
               ColumnBridge.expression(col(vec)), bits, seed + t)).as("sig"))
         }: _*)).as("bucket"))
 
-    val cb = withBuckets(corpus.select(col(idCol).as("vec_id"), col(vecCol).as("cvec"))
-      .repartition(corpus.sparkSession.sparkContext.defaultParallelism), "vec_id", "cvec")
+    val cb = withBuckets(spreadIfNarrow(
+      corpus.select(col(idCol).as("vec_id"), col(vecCol).as("cvec"))), "vec_id", "cvec")
     val pb = withBuckets(probes.select(col(idCol).as("probe_id"), col(vecCol).as("pvec")), "probe_id", "pvec")
 
     val candidates = cb.join(pb, "bucket")
@@ -80,11 +91,10 @@ object Similarity {
                           window: Int = 100, minSim: Double = 0.3): DataFrame = {
     val w2 = math.max(1, window / 2)
     val maxDelta = (w2 - 1 + window) / w2
-    // spread the streamed (probe) side: a single-file corpus would
-    // otherwise score every pair in one task under a broadcast join
-    val a = embeddings.select(col(idCol).as("a_id"), col(vecCol).as("va"),
-        (col(idCol) / w2).cast("long").as("abkt"))
-      .repartition(embeddings.sparkSession.sparkContext.defaultParallelism)
+    // spread the streamed (probe) side only when it arrives narrow: a
+    // single-file corpus would otherwise score every pair in one task
+    val a = spreadIfNarrow(embeddings.select(col(idCol).as("a_id"), col(vecCol).as("va"),
+        (col(idCol) / w2).cast("long").as("abkt")))
     val aExp = a.withColumn("bkt",
         explode(array((0 to maxDelta).map(d => col("abkt") + d): _*))).drop("abkt")
     val b = embeddings.select(col(idCol).as("b_id"), col(vecCol).as("vb"),

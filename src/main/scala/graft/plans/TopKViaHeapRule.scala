@@ -47,10 +47,20 @@ object TopKViaHeapRule extends Rule[LogicalPlan] {
         classic.experimental.extraOptimizations :+ this
   }
 
-  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
-    case f @ Filter(cond, w: Window) =>
-      rewrite(cond, w).getOrElse(f)
-  }
+  /** Conf gate for the extensions-path auto-rewrite: the heap wins on
+    * wide/skewed partitions (measured in [[graft.SkewBench]]; numbers in
+    * BASELINE.md) but the codegen'd sort-based window plan wins on many
+    * small groups, so sessions can opt out without dropping the
+    * extensions entirely.
+    */
+  val enabledConf = "spark.graft.topkHeapRewrite.enabled"
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (!conf.getConfString(enabledConf, "true").toBoolean) plan
+    else plan.transformUp {
+      case f @ Filter(cond, w: Window) =>
+        rewrite(cond, w).getOrElse(f)
+    }
 
   private def rankLimit(cond: Expression, rankAttr: Attribute): Option[Int] = {
     def lit(e: Expression): Option[Int] = e match {
@@ -98,7 +108,12 @@ object TopKViaHeapRule extends Rule[LogicalPlan] {
     case Window(Seq(alias @ Alias(
            WindowExpression(RowNumber(), WindowSpecDefinition(_, _, _)), _)),
          partitionSpec, orderSpec, child, _)
-        if partitionSpec.forall(_.isInstanceOf[Attribute]) && orderSpec.nonEmpty =>
+        if partitionSpec.forall(_.isInstanceOf[Attribute]) && orderSpec.nonEmpty &&
+          // the rule runs AFTER NormalizeFloatingNumbers, so grouping on a
+          // raw float/double key would split -0.0 vs 0.0 (and NaN bit
+          // patterns) into separate groups where the Window partitioned
+          // them together — bail on floating partition keys
+          partitionSpec.forall(a => !containsFloat(a.dataType)) =>
       val rankAttr = alias.toAttribute
       (for {
         k <- rankLimit(cond, rankAttr)
@@ -165,6 +180,17 @@ object TopKViaHeapRule extends Rule[LogicalPlan] {
         }
       }
     case _ => None
+  }
+
+  private def containsFloat(dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case FloatType | DoubleType => true
+      case ArrayType(et, _)       => containsFloat(et)
+      case StructType(fields)     => fields.exists(f => containsFloat(f.dataType))
+      case MapType(k, v, _)       => containsFloat(k) || containsFloat(v)
+      case _                      => false
+    }
   }
 
   private def traverseOrder(orderSpec: Seq[SortOrder]): Option[Seq[Expression]] = {

@@ -1,8 +1,11 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
 
 import graft.GraftSession
+import graft.schemas.TopicSchemas
 
 /** The application entry point — the reference's `python run.py` CLI
   * (`run.py:134-264`, O25) as a spark-submit main.
@@ -37,49 +40,88 @@ object IngestMain {
       }
     }.toMap
 
-  /** Build the (topic, value) source stream from the `source=` arg. */
-  def source(spark: SparkSession, conf: Map[String, String]): DataFrame =
+  /** Build the (topic, value) source stream from the `source=` arg.
+    * `include` restricts the subscription to those topics; `exclude`
+    * removes topics from it (for the Kafka source these change the
+    * subscribe list itself; the `dir:` twin filters the stream — an
+    * excluded-topics stream deliberately keeps UNKNOWN topics so they
+    * still reach the dead-letter route).
+    */
+  def source(spark: SparkSession, conf: Map[String, String],
+             include: Option[Seq[String]] = None,
+             exclude: Seq[String] = Seq.empty): DataFrame = {
+    val all = conf.getOrElse("topics", TopicSchemas.visionTopic).split(",").toSeq
+    val wanted = include.getOrElse(all).filterNot(exclude.contains)
     conf.getOrElse("source", "kafka") match {
       case "kafka" =>
         IngestPipeline.kafkaSource(
           spark,
           conf.getOrElse("bootstrap", "localhost:9092"),
-          conf.getOrElse("topics", graft.schemas.TopicSchemas.visionTopic).split(",").toSeq,
-          conf.getOrElse("maxOffsetsPerTrigger", "100000").toLong)
+          wanted,
+          conf.getOrElse("maxOffsetsPerTrigger", "100000").toLong,
+          conf.get("minPartitions").map(_.toInt))
       case dir if dir.startsWith("dir:") =>
-        spark.readStream
+        val s = spark.readStream
           .schema("topic STRING, value STRING")
           .json(dir.stripPrefix("dir:"))
+        if (include.isEmpty && exclude.isEmpty) s
+        else if (include.isEmpty)
+          s.filter(!coalesce(col("topic").isin(exclude: _*), lit(false)))
+        else s.filter(col("topic").isin(wanted: _*))
       case other =>
         throw new IllegalArgumentException(s"unknown source: $other")
     }
+  }
 
-  def main(args: Array[String]): Unit = {
-    val conf = parseArgs(args)
+  /** Start the writer(s). With `priorityTopics=` set this is O7 — the
+    * reference pins half its worker processes to `cuip_vision_events`
+    * (`run.py:88-105`); the Spark expression of the same intent is TWO
+    * independent streaming queries: the hot topics get their own query
+    * (own subscription, own checkpoint, faster `priorityInterval`
+    * trigger), everything else drains on the normal `interval`. Combined
+    * with `minPartitions=` (more tasks per hot Kafka partition) this is
+    * the whole prioritization surface.
+    */
+  def startQueries(spark: SparkSession, conf: Map[String, String]): Seq[StreamingQuery] = {
     val root = conf.getOrElse("root",
       throw new IllegalArgumentException("root=<lake path> is required"))
     val checkpoint = conf.getOrElse("checkpoint",
       throw new IllegalArgumentException("checkpoint=<path> is required"))
+    val availableNow = conf.getOrElse("mode", "drain") == "drain"
+    val format = conf.getOrElse("format", "parquet")
 
+    def started(src: DataFrame, ckpt: String, interval: String): StreamingQuery =
+      IngestPipeline.writer(
+        src.selectExpr("CAST(topic AS STRING) AS topic", "CAST(value AS STRING) AS value"),
+        root, ckpt, availableNow, interval, format).start()
+
+    conf.get("priorityTopics").map(_.split(",").toSeq).filter(_.nonEmpty) match {
+      case None =>
+        Seq(started(source(spark, conf), checkpoint,
+          conf.getOrElse("interval", "10 seconds")))
+      case Some(priority) =>
+        Seq(
+          started(source(spark, conf, include = Some(priority)),
+            s"$checkpoint/priority", conf.getOrElse("priorityInterval", "5 seconds")),
+          started(source(spark, conf, exclude = priority),
+            s"$checkpoint/rest", conf.getOrElse("interval", "30 seconds")))
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val conf = parseArgs(args)
     val spark = GraftSession.configure(
       SparkSession.builder().appName("graft-ingest").getOrCreate())
     spark.sparkContext.setLogLevel("WARN")
 
-    val stream = source(spark, conf)
-      .selectExpr("CAST(topic AS STRING) AS topic", "CAST(value AS STRING) AS value")
-
-    val query = IngestPipeline.writer(
-      stream, root, checkpoint,
-      availableNow = conf.getOrElse("mode", "drain") == "drain",
-      interval = conf.getOrElse("interval", "10 seconds"),
-      format = conf.getOrElse("format", "parquet")).start()
+    val queries = startQueries(spark, conf)
 
     // the reference's SIGINT flush intent (run.py:126-131) without its
     // leak: stop() checkpoints the in-flight batch; replay is idempotent
     sys.addShutdownHook {
-      if (query.isActive) query.stop()
+      queries.foreach(q => if (q.isActive) q.stop())
     }
-    query.awaitTermination()
+    queries.foreach(_.awaitTermination())
     spark.stop()
   }
 }

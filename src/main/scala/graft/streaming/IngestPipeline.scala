@@ -35,14 +35,21 @@ object IngestPipeline {
     * capacity collapsed into one knob).
     */
   def kafkaSource(spark: SparkSession, bootstrapServers: String, topics: Seq[String],
-                  maxOffsetsPerTrigger: Long = 100000L): DataFrame =
-    spark.readStream
+                  maxOffsetsPerTrigger: Long = 100000L,
+                  minPartitions: Option[Int] = None): DataFrame = {
+    val reader = spark.readStream
       .format("kafka")
       .option("kafka.bootstrap.servers", bootstrapServers)
       .option("subscribe", topics.mkString(","))
       .option("startingOffsets", "earliest")
       .option("maxOffsetsPerTrigger", maxOffsetsPerTrigger)
-      .load()
+    // O7 (resource split, `run.py:88-105`): `minPartitions` over-splits
+    // Kafka partitions so a hot topic gets more than one task per
+    // partition — the engine-level half of topic prioritization. The
+    // scheduling half is two writers with separate triggers; see
+    // [[IngestMain]] `priorityTopics=`.
+    minPartitions.foldLeft(reader)((r, n) => r.option("minPartitions", n)).load()
+  }
 
   /** O3/O4/O9/O12/O14/O18 for the vision topic: decode, default
     * `hit_counts` to `size(locations)`, gate validity, derive event time
@@ -73,9 +80,31 @@ object IngestPipeline {
       .withColumnRenamed("nicename", "entity")
   }
 
+  /** Rows on a KNOWN topic whose `value` does not decode against the
+    * topic schema: the reference's poll-loop at least kept these visible
+    * (`run.py:40-42`); silently vanishing at the validity gate loses
+    * data invisibly. Detection uses the standard rescue-column policy —
+    * a `columnNameOfCorruptRecord` field distinguishes truly-unparseable
+    * JSON (corrupt column set) from valid-but-incomplete records (which
+    * the validity gates handle) and from forward-compatible messages
+    * with unknown EXTRA fields (which parse cleanly; the typed columns
+    * simply ignore the additions).
+    */
+  private def malformedRows(df: DataFrame,
+                            schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    val rescued = schema.add("_corrupt", org.apache.spark.sql.types.StringType)
+    df.withColumn("record",
+        from_json(col("value").cast("string"), rescued,
+          Map("columnNameOfCorruptRecord" -> "_corrupt")))
+      .filter(col("record").isNull || col("record._corrupt").isNotNull)
+      .drop("record")
+  }
+
   /** O8/O22 — topic routing. One cached pass over the micro-batch, one
-    * partitioned append per topic family, unknown topics to a dead-letter
-    * table (the reference logs and drops them, `df_manager.py:115-121`).
+    * partitioned append per topic family; unknown topics AND undecodable
+    * rows on known topics land in the dead-letter table with a `reason`
+    * (the reference logs-and-drops unknowns, `df_manager.py:115-121`,
+    * and skips unreadable messages visibly, `run.py:40-42`).
     */
   def routeAndWrite(batch: DataFrame, root: String, format: String = "parquet"): Unit = {
     batch.persist()
@@ -101,11 +130,17 @@ object IngestPipeline {
           PartitionedSink.repartitionByPartitionColumns(transformAirQuality(aq)),
           s"$root/air_quality", format = format)
 
-      val unknown = batch.filter(!isVision && !isAq)
-      if (!unknown.isEmpty)
-        unknown.select(coalesce(col("topic"), lit("__null__")).as("topic"),
-            col("value").cast("string").as("value"))
-          .write.mode("append").partitionBy("topic").format(format)
+      def asDead(df: DataFrame, reason: String): DataFrame =
+        df.select(coalesce(col("topic"), lit("__null__")).as("topic"),
+          col("value").cast("string").as("value"), lit(reason).as("reason"))
+
+      val dead = asDead(batch.filter(!isVision && !isAq), "unknown_topic")
+        .unionByName(asDead(
+          malformedRows(vision, TopicSchemas.visionEvent), "malformed_json"))
+        .unionByName(asDead(
+          malformedRows(aq, TopicSchemas.airQualityReading), "malformed_json"))
+      if (!dead.isEmpty)
+        dead.write.mode("append").partitionBy("topic").format(format)
           .save(s"$root/_dead_letter")
     } finally batch.unpersist()
   }

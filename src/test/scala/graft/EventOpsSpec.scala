@@ -83,4 +83,21 @@ class EventOpsSpec extends SparkSpec {
     val n = EventOps.append(e.limit(100), e.limit(50)).count()
     assert(n === 150)
   }
+
+  test("forward compat: unknown EXTRA fields parse cleanly and are dropped " +
+       "from the typed columns (deliberate policy; raw value is the escape hatch)") {
+    // the reference tolerates mid-stream field additions (run.py:48-50);
+    // our declared-schema policy: additive unknown fields neither corrupt
+    // the parse nor leak columns — known fields decode, the addition is
+    // dropped from the typed projection (and stays recoverable from the
+    // raw `value`, which the AQ family persists as `props`)
+    val msg = """{"timestamp": 1704067200000, "camera_id": "cam9", """ +
+      """"locations": [], "hit_counts": 3, "firmware_rev": "v2.1", "speed": 42}"""
+    val decoded = EventOps.decodeJson(Seq(msg).toDF("value"), TopicSchemas.visionEvent)
+    val row = decoded.select(col("record.*")).collect().head
+    assert(row.getAs[Long]("timestamp") === 1704067200000L)
+    assert(row.getAs[String]("camera_id") === "cam9")
+    assert(row.getAs[Int]("hit_counts") === 3)
+    assert(!decoded.select("record.*").columns.contains("firmware_rev"))
+  }
 }

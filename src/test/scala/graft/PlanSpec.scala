@@ -51,4 +51,33 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("*(1) Project") && p.contains("*(1) Filter"),
       s"no codegen span:\n$p")
   }
+
+  private def wideEmbeddings = {
+    val sp = spark
+    import sp.implicits._
+    // hash-repartitioned to >= defaultParallelism so the conditional
+    // spread must NOT fire (a round-robin Exchange would be the bug)
+    (0L until 64L).map(i => (i, Array.fill(8)(1.0 + i.toDouble)))
+      .toDF("vec_id", "embedding")
+      .repartition(8, org.apache.spark.sql.functions.col("vec_id"))
+  }
+
+  test("IVF cell assignment is map-side: no Exchange above the cached corpus") {
+    val (assigned, _) = graft.operators.IvfIndex.fit(
+      wideEmbeddings, "vec_id", "embedding", nlist = 4, iters = 1)
+    // everything between the result and the persisted corpus must be a
+    // pure projection (the NearestCentroid expression) — the Lloyd loop
+    // and final assignment never shuffle corpus rows
+    val top = plan(assigned).split("InMemoryRelation").head
+    assert(!top.contains("Exchange"), s"assignment stage shuffles:\n${plan(assigned)}")
+  }
+
+  test("similarity corpus spread is conditional: a wide corpus never round-robins") {
+    val df = wideEmbeddings
+    val p = plan(graft.operators.Similarity.topKCosine(
+      df, df.filter(org.apache.spark.sql.functions.col("vec_id") === 0),
+      "vec_id", "embedding", 5))
+    assert(!p.contains("RoundRobinPartitioning"),
+      s"wide corpus paid a full round-robin shuffle:\n$p")
+  }
 }

@@ -42,7 +42,10 @@ class StreamingIngestSpec extends SparkSpec {
       // air quality: nan key -> dropped
       ("MLK_AIR_QUALITY", """{"timestamp": 1704070860000, "nicename": "nan", "pm25": 1.0}"""),
       // unknown topic -> dead letter
-      ("mystery_topic", """{"whatever": true}"""))
+      ("mystery_topic", """{"whatever": true}"""),
+      // malformed JSON on a KNOWN topic -> dead letter too (run.py:40-42
+      // kept unreadable messages visible; we must not silently drop them)
+      ("cuip_vision_events", """{definitely not json"""))
 
     val q = IngestPipeline.writer(
       input.toDF().toDF("topic", "value"), root, ckpt, availableNow = true).start()
@@ -61,9 +64,34 @@ class StreamingIngestSpec extends SparkSpec {
     val arows = aq.select("entity", "props").as[(String, String)].collect()
     assert(arows.length === 1 && arows(0)._1 === "downtown" && arows(0)._2.contains("pm25"))
 
-    // unknown topic dead-lettered, not crashed (df_manager.py:115-121 intent)
+    // unknown topic AND malformed-known-topic rows dead-lettered with a
+    // reason, not crashed/silently dropped (df_manager.py:115-121,
+    // run.py:40-42 intent)
     val dead = spark.read.parquet(s"$root/_dead_letter")
-    assert(dead.select("topic").as[String].collect() === Array("mystery_topic"))
+      .select("topic", "reason").as[(String, String)].collect().sorted
+    assert(dead === Array(
+      ("cuip_vision_events", "malformed_json"),
+      ("mystery_topic", "unknown_topic")))
+  }
+
+  test("O7 priorityTopics: two independent writers drain hot and rest topics") {
+    val root = Files.createTempDirectory("graft_lake3_").toString
+    val ckpt = Files.createTempDirectory("graft_ckpt3_").toString
+    val src = Files.createTempDirectory("graft_src_").toString
+    Files.write(java.nio.file.Paths.get(s"$src/batch.json"), java.util.Arrays.asList(
+      """{"topic": "cuip_vision_events", "value": "{\"timestamp\": 1704067200000, \"camera_id\": \"cam1\", \"locations\": [], \"hit_counts\": 1}"}""",
+      """{"topic": "MLK_AIR_QUALITY", "value": "{\"timestamp\": 1704070800000, \"nicename\": \"downtown\", \"pm25\": 9.5}"}"""))
+
+    val conf = Map(
+      "source" -> s"dir:$src", "root" -> root, "checkpoint" -> ckpt,
+      "topics" -> "cuip_vision_events,MLK_AIR_QUALITY",
+      "priorityTopics" -> "cuip_vision_events", "mode" -> "drain")
+    val queries = graft.streaming.IngestMain.startQueries(spark, conf)
+    assert(queries.length === 2, "priorityTopics must start a dedicated hot-topic query")
+    queries.foreach(_.awaitTermination())
+
+    assert(spark.read.parquet(s"$root/vision").count() === 1)
+    assert(spark.read.parquet(s"$root/air_quality").count() === 1)
   }
 
   test("AvailableNow restart is idempotent (checkpoint prevents reprocessing)") {

@@ -61,6 +61,16 @@ def main(sfdir, outdir):
             failures.append(
                 (name, f"columns differ: oracle={sorted(want.columns)} spark={sorted(got.columns)}"))
             continue
+        # dtype-strict: the driver hashes typed values, so an int64/float64
+        # mismatch (e.g. DuckDB HUGEINT->float64 vs Spark int64) is a FAIL
+        # even when Python == would call the cells equal
+        dtw = {c: str(want[c].dtype) for c in want.columns}
+        dtg = {c: str(got[c].dtype) for c in got.columns}
+        dtbad = [c for c in want.columns if dtw[c] != dtg[c]]
+        if dtbad:
+            failures.append((name, "dtypes differ: " + ", ".join(
+                f"{c}: oracle={dtw[c]} spark={dtg[c]}" for c in dtbad)))
+            continue
         if len(want) != len(got):
             failures.append((name, f"row count: oracle={len(want)} spark={len(got)}"))
             continue
