@@ -19,23 +19,37 @@ object Bench {
     // noop-sink write: unlike count() (which lets Catalyst collapse
     // count-over-project and skip projected work entirely), the noop
     // datasource consumes every output row and column, so projection-only
-    // queries are measured end to end
-    def run(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
+    // queries are measured end to end.
+    // A query that throws must RED the bench, not record a near-zero time
+    // that reads as fast — failures are collected and emitted in the JSON.
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    def run(name: String,
+            fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
+      catch {
+        case e: Throwable =>
+          errors(name) = s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(160)}"
+      }
 
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
     // warmup pass: codegen + file-metadata caches, not the data itself
-    ordered.foreach { case (_, fn) => run(fn) }
+    ordered.foreach { case (name, fn) => run(name, fn) }
+    errors.clear() // timed pass re-records; warmup failures usually repeat
     val results = ordered.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      run(fn)
+      run(name, fn)
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
+      .replaceAll("[\\n\\r\\t]", " ") + "\""
+    val errJson = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }
+      .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","error_count":${errors.size},""" +
+      s""""errors":$errJson,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
+    if (errors.nonEmpty) sys.exit(1)
   }
 }

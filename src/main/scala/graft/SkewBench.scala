@@ -6,10 +6,13 @@ import org.apache.spark.sql.functions._
 
 /** Skew crossover benchmark for per-key top-k: a few HOT keys × millions
   * of rows — the regime the bounded-heap aggregate ([[graft.operators.TopK]])
-  * targets. At fixture scale (many keys, ~135 rows/key) the codegen'd
-  * sort-based window plan wins; this main measures the wide-partition
-  * regime where the window must sort multi-million-row partitions while
-  * the heap keeps k rows per partition and never sorts.
+  * was hypothesized to win (the window must sort multi-million-row
+  * partitions; the heap keeps k rows per partition and never sorts).
+  *
+  * Measured verdict (BASELINE.md `skew_topk`, round 4): the hypothesis
+  * FAILED — the window plan wins every tried regime, including 4 keys ×
+  * 50M rows under a 2 GB heap where its sorts spill. That measurement is
+  * why `spark.graft.topkHeapRewrite.enabled` defaults to false.
   *
   * Prints one JSON line:
   * `{"metric":"skew_topk","keys":K,"rows":N,"window_sec":…,"heap_sec":…}`.

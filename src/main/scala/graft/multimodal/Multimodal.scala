@@ -9,12 +9,15 @@ import org.apache.spark.sql.functions._
   *
   * The Spark-side plumbing is real — schema, typed Dataset encoders,
   * partition-wise batch processing (`mapPartitions`, the JVM analogue of
-  * arrow-batched UDF execution), deterministic outputs — while the
-  * actual codecs are STUBS (this environment ships no image/audio
-  * libraries): `decodeStub` derives "decoded" properties deterministically
-  * from the payload bytes, so tests can assert exact values end-to-end.
-  * Swapping in a real codec changes only the marked function bodies; the
-  * operator shapes (schema in/out, batching, partitioning) are final.
+  * arrow-batched UDF execution), deterministic outputs. The IMAGE codec
+  * is real too: `javax.imageio` ships with the JDK, so [[imageMeta]] and
+  * [[resizeImages]] decode/re-encode PNG/JPEG/BMP/GIF with zero external
+  * dependencies. Audio/video codecs are STUBS (no such library in this
+  * environment): `decodeStub` derives "decoded" properties
+  * deterministically from the payload bytes so those pipelines stay
+  * testable end-to-end; swapping in a real codec changes only the marked
+  * function bodies — the operator shapes (schema in/out, batching,
+  * partitioning) are final.
   */
 object Multimodal {
 
@@ -42,13 +45,89 @@ object Multimodal {
       .as[MediaRow]
   }
 
-  // ---- STUB KERNELS ------------------------------------------------------
-  // Real implementations would call an image/audio codec here. The stubs
+  /** Real decoded-image metadata + pixel stats. `decoded = false` rows
+    * (payload is not a parseable image) carry -1 dims and NaN stats
+    * instead of killing the batch — at 100 TB some blobs are always
+    * corrupt, and a kernel that throws on the first one loses the task.
+    */
+  case class ImageMeta(media_id: Long, decoded: Boolean, width: Int, height: Int,
+                       mean_luma: Double, min_luma: Double, max_luma: Double)
+
+  // ---- REAL IMAGE KERNEL (JDK javax.imageio — no external deps) ----------
+
+  private def decodeImage(payload: Array[Byte]): Option[java.awt.image.BufferedImage] =
+    try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload)))
+    catch { case _: java.io.IOException | _: RuntimeException => None }
+
+  /** Decode every payload and extract dimensions + luma statistics — the
+    * real-codec version of the feature kernel: one pass per partition,
+    * no shuffle, no driver collect, corrupt rows flagged not thrown.
+    */
+  def imageMeta(media: Dataset[MediaRow]): Dataset[ImageMeta] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        decodeImage(r.payload) match {
+          case Some(img) =>
+            val w = img.getWidth; val h = img.getHeight
+            var sum = 0.0; var mn = Double.MaxValue; var mx = Double.MinValue
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val rgb = img.getRGB(x, y)
+                // ITU-R BT.601 luma from the sRGB channels
+                val l = 0.299 * ((rgb >> 16) & 0xFF) +
+                  0.587 * ((rgb >> 8) & 0xFF) + 0.114 * (rgb & 0xFF)
+                sum += l; if (l < mn) mn = l; if (l > mx) mx = l
+                x += 1
+              }
+              y += 1
+            }
+            val n = w.toLong * h
+            ImageMeta(r.media_id, decoded = true, w, h,
+              if (n == 0) Double.NaN else sum / n,
+              if (n == 0) Double.NaN else mn, if (n == 0) Double.NaN else mx)
+          case None =>
+            ImageMeta(r.media_id, decoded = false, -1, -1,
+              Double.NaN, Double.NaN, Double.NaN)
+        }
+      }
+    }
+  }
+
+  /** Real resize: decode, bilinear-rescale to (w, h), re-encode as PNG.
+    * Rows that do not decode pass through unchanged (flagged by their
+    * untouched width/height) rather than failing the task.
+    */
+  def resizeImages(media: Dataset[MediaRow], w: Int, h: Int): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { r =>
+      decodeImage(r.payload) match {
+        case Some(img) =>
+          val out = new java.awt.image.BufferedImage(w, h,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val g = out.createGraphics()
+          try {
+            g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+              java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+            g.drawImage(img, 0, 0, w, h, null)
+          } finally g.dispose()
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(out, "png", bos)
+          r.copy(payload = bos.toByteArray, width = w, height = h)
+        case None => r
+      }
+    })
+  }
+
+  // ---- STUB KERNELS (audio/video — no codec library in this env) ---------
+  // Real implementations would call an audio/video codec here. The stubs
   // are deterministic functions of the payload so the pipeline is testable.
 
-  /** STUB decode: real version would decode the image/audio and emit an
-    * embedding; this derives an 8-dim feature deterministically from
-    * payload bytes.
+  /** STUB decode: real version would decode the audio/video stream and
+    * emit an embedding; this derives an 8-dim feature deterministically
+    * from payload bytes. (Images have the real path: [[imageMeta]].)
     */
   private def decodeStub(payload: Array[Byte]): Array[Float] = {
     val f = new Array[Float](8)

@@ -38,10 +38,11 @@ object IvfIndex {
           nlist: Int = 16, iters: Int = 5): (DataFrame, DataFrame) = {
     val spark = embeddings.sparkSession
     import spark.implicits._
-    // persisted: every Lloyd round re-reads the corpus; spills to disk
-    // if it outgrows memory, ContextCleaner drops it with the result
+    // null vectors carry no assignment information and would NPE the
+    // driver-side init collect — drop them before anything else
     val corpus = Similarity.spreadIfNarrow(embeddings
-        .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("vec")))
+        .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("vec"))
+        .filter(col("vec").isNotNull))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     var cents: Array[Array[Double]] = corpus.orderBy("id").limit(nlist)
@@ -60,7 +61,17 @@ object IvfIndex {
         .groupBy(col("cell"), col("pos")).agg(avg(col("v")).as("m"))
         .collect()
       val next = cents.map(_.clone()) // cells that lost all members keep their centroid
-      means.foreach(r => next(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
+      // a ragged corpus (rows longer than the init vectors) produces
+      // positions past the centroid's dim — those contribute nothing to a
+      // fixed-dim centroid, so they are skipped rather than crashing the
+      // update; null means (all-null dims in a cell) are skipped too
+      means.foreach { r =>
+        if (!r.isNullAt(0) && !r.isNullAt(1) && !r.isNullAt(2)) {
+          val cell = r.getInt(0); val pos = r.getInt(1)
+          if (cell >= 0 && cell < next.length && pos < next(cell).length)
+            next(cell)(pos) = r.getDouble(2)
+        }
+      }
       cents = next
       it += 1
     }
@@ -69,14 +80,32 @@ object IvfIndex {
       .map { case (c, i) => (i, c.toSeq) }.toSeq.toDF("cell", "cvec")
     val assigned = corpus
       .withColumn("cell", VectorFunctions.nearestCentroid(col("vec"), cents))
+    // the persist existed for the Lloyd loop's repeated passes; release it
+    // before returning so an uncached fit() leaves NOTHING in the cache
+    // manager (the returned plan recomputes one map-side scan from source
+    // when consumed — [[fitCached]] persists the assignment instead when
+    // index reuse is wanted)
+    corpus.unpersist(blocking = false)
     (assigned, centroids)
   }
 
   // fitted indexes keyed by (application, corpus key, params): the
   // index-reuse lifecycle — build once, serve every probe batch. Entries
   // are (assignments, centroids) with the assignments persisted.
+  // Evicted when their application ends (listener below) — without that,
+  // a long-lived JVM hosting many short sessions (a notebook server, a
+  // multi-tenant driver) would accumulate dead-session DataFrames forever.
   private val fitted =
     new java.util.concurrent.ConcurrentHashMap[String, (DataFrame, DataFrame)]()
+  private val hookedApps =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Visible for lifecycle tests: fitted-index entries held for `app`. */
+  private[graft] def cachedEntryCount(app: String): Int = {
+    val it = fitted.keySet.iterator(); var n = 0
+    while (it.hasNext) { if (it.next().startsWith(app + "|")) n += 1 }
+    n
+  }
 
   /** [[fit]] memoized per (session application, `key`, params): repeated
     * query calls (e.g. a bench loop or a probe-batch stream) reuse the
@@ -85,7 +114,17 @@ object IvfIndex {
     */
   def fitCached(key: String, embeddings: DataFrame, idCol: String, vecCol: String,
                 nlist: Int = 16, iters: Int = 5): (DataFrame, DataFrame) = {
-    val app = embeddings.sparkSession.sparkContext.applicationId
+    val sc = embeddings.sparkSession.sparkContext
+    val app = sc.applicationId
+    if (hookedApps.add(app)) {
+      sc.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onApplicationEnd(
+            e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
+          fitted.keySet.removeIf(_.startsWith(app + "|"))
+          hookedApps.remove(app)
+        }
+      })
+    }
     fitted.computeIfAbsent(s"$app|$key|$idCol|$vecCol|$nlist|$iters", _ => {
       val (assigned, centroids) = fit(embeddings, idCol, vecCol, nlist, iters)
       (assigned.persist(StorageLevel.MEMORY_AND_DISK), centroids)

@@ -14,11 +14,13 @@ import org.apache.spark.sql.types.{IntegerType, LongType, StructType}
   * Spark 3.5+ already k-limits this pattern before the shuffle
   * (`InferWindowGroupLimit`), so shuffle volume matches; what the heap
   * rewrite removes is the two SORTS (map-side and reduce-side) that the
-  * sort-based group limit still performs — the win is memory/spill
-  * behavior on wide or skewed partitions, measured parity at fixture
-  * scale. Output equality (same rows, same rank values) was established
-  * independently: the q32 heap formulation hash-matches q11's
-  * `row_number` DuckDB oracle row for row.
+  * sort-based group limit still performs. In practice that trade LOSES:
+  * measured across fixture scale, hot-key (8 keys × 8M rows), and spill
+  * (4 keys × 50M rows, 2 GB heap) regimes, the window plan wins 1.5–2.6×
+  * (`skew_topk` rows in BASELINE.md) — hence [[enabledConf]] defaults
+  * off and the rule is opt-in. Output equality (same rows, same rank
+  * values) was established independently: the q32 heap formulation
+  * hash-matches q11's `row_number` DuckDB oracle row for row.
   *
   * The rewrite fires only when it is provably safe:
   *   - the window computes exactly one expression: `row_number()`;
@@ -40,23 +42,34 @@ object TopKViaHeapRule extends Rule[LogicalPlan] {
   /** Bounded so the rewrite can never materialize huge per-key heaps. */
   val maxK = 1000
 
+  /** Explicit per-session opt-in: registers the rule AND flips
+    * [[enabledConf]] on (calling this IS the opt-in, unlike the
+    * extensions path where the rule rides along with unrelated
+    * extensions and must not change plans by default).
+    */
   def enable(spark: SparkSession): Unit = {
     val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    spark.conf.set(enabledConf, "true")
     if (!classic.experimental.extraOptimizations.contains(this))
       classic.experimental.extraOptimizations =
         classic.experimental.extraOptimizations :+ this
   }
 
-  /** Conf gate for the extensions-path auto-rewrite: the heap wins on
-    * wide/skewed partitions (measured in [[graft.SkewBench]]; numbers in
-    * BASELINE.md) but the codegen'd sort-based window plan wins on many
-    * small groups, so sessions can opt out without dropping the
-    * extensions entirely.
+  /** Conf gate for the extensions-path auto-rewrite — DEFAULT OFF.
+    * Measured head-to-head ([[graft.SkewBench]]; `skew_topk` rows in
+    * BASELINE.md), the sort-based window plan (with Spark's own
+    * `InferWindowGroupLimit` pre-limit) beats the heap aggregate in every
+    * regime tried: fixture scale (many keys), 8 keys × 8M rows (1.6×),
+    * and the spill regime 4 keys × 50M rows under a 2 GB heap (1.5×) —
+    * the object-aggregate path's per-row cost outweighs the sorts it
+    * saves. The rewrite stays available for workloads that measure a win
+    * (set this conf to `true`, or call [[graft.operators.TopK]] directly),
+    * but an auto-rewrite that loses measured time must not be the default.
     */
   val enabledConf = "spark.graft.topkHeapRewrite.enabled"
 
   override def apply(plan: LogicalPlan): LogicalPlan =
-    if (!conf.getConfString(enabledConf, "true").toBoolean) plan
+    if (!conf.getConfString(enabledConf, "false").toBoolean) plan
     else plan.transformUp {
       case f @ Filter(cond, w: Window) =>
         rewrite(cond, w).getOrElse(f)

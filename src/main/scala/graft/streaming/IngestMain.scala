@@ -50,10 +50,14 @@ object IngestMain {
   def source(spark: SparkSession, conf: Map[String, String],
              include: Option[Seq[String]] = None,
              exclude: Seq[String] = Seq.empty): DataFrame = {
-    val all = conf.getOrElse("topics", TopicSchemas.visionTopic).split(",").toSeq
+    val all = conf.getOrElse("topics", TopicSchemas.visionTopic)
+      .split(",").toSeq.map(_.trim).filter(_.nonEmpty)
     val wanted = include.getOrElse(all).filterNot(exclude.contains)
     conf.getOrElse("source", "kafka") match {
       case "kafka" =>
+        require(wanted.nonEmpty,
+          "kafka source needs a non-empty topic subscription " +
+            "(topics= minus excludes resolved to nothing)")
         IngestPipeline.kafkaSource(
           spark,
           conf.getOrElse("bootstrap", "localhost:9092"),
@@ -95,14 +99,32 @@ object IngestMain {
         src.selectExpr("CAST(topic AS STRING) AS topic", "CAST(value AS STRING) AS value"),
         root, ckpt, availableNow, interval, format).start()
 
-    conf.get("priorityTopics").map(_.split(",").toSeq).filter(_.nonEmpty) match {
+    // `"".split(",")` yields Seq("") — trim and drop blank entries so
+    // `priorityTopics=` (or a stray trailing comma) never subscribes a
+    // query to an empty-string topic; an all-blank list means "no
+    // priority split" and falls through to the single-query path
+    val priorityArg = conf.get("priorityTopics")
+      .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+      .filter(_.nonEmpty)
+    val allTopics = conf.getOrElse("topics", TopicSchemas.visionTopic)
+      .split(",").toSeq.map(_.trim).filter(_.nonEmpty)
+
+    priorityArg match {
       case None =>
         Seq(started(source(spark, conf), checkpoint,
           conf.getOrElse("interval", "10 seconds")))
       case Some(priority) =>
-        Seq(
-          started(source(spark, conf, include = Some(priority)),
-            s"$checkpoint/priority", conf.getOrElse("priorityInterval", "5 seconds")),
+        val priorityQ = started(source(spark, conf, include = Some(priority)),
+          s"$checkpoint/priority", conf.getOrElse("priorityInterval", "5 seconds"))
+        // listing every topic as priority leaves the rest-query's Kafka
+        // subscribe list empty (fails at stream start) — skip it. The
+        // `dir:` twin keeps its rest query regardless: its exclude filter
+        // deliberately passes UNKNOWN topics through to the dead-letter
+        // route, so that query is meaningful even with no known rest topic
+        val restTopics = allTopics.filterNot(priority.contains)
+        val kafkaStyle = conf.getOrElse("source", "kafka") == "kafka"
+        if (restTopics.isEmpty && kafkaStyle) Seq(priorityQ)
+        else Seq(priorityQ,
           started(source(spark, conf, exclude = priority),
             s"$checkpoint/rest", conf.getOrElse("interval", "30 seconds")))
     }

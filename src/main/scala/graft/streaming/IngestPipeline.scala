@@ -33,6 +33,14 @@ object IngestPipeline {
     * `auto.offset.reset: beginning` (`run.py:31`); `maxOffsetsPerTrigger`
     * bounds micro-batch size (the reference's flush threshold + queue
     * capacity collapsed into one knob).
+    *
+    * Deployment note: the `kafka` format lives in the separate
+    * `spark-sql-kafka-0-10` artifact, which this offline container
+    * neither ships nor can resolve — run with
+    * `spark-submit --packages org.apache.spark:spark-sql-kafka-0-10_2.13:4.1.2`
+    * (exact recipe in README "Kafka mode"). Everything downstream of
+    * `load()` is source-agnostic and is exercised end-to-end by the
+    * `dir:` twin and the MemoryStream specs.
     */
   def kafkaSource(spark: SparkSession, bootstrapServers: String, topics: Seq[String],
                   maxOffsetsPerTrigger: Long = 100000L,
@@ -143,6 +151,25 @@ object IngestPipeline {
         dead.write.mode("append").partitionBy("topic").format(format)
           .save(s"$root/_dead_letter")
     } finally batch.unpersist()
+  }
+
+  /** THE read path for the dead-letter table, across schema generations.
+    * Early deployments wrote `(topic, value)` without the `reason` column
+    * that later releases append; a plain parquet read over such a mixed
+    * directory picks whichever file's footer it samples first and either
+    * drops `reason` or drops the old rows nondeterministically. Reading
+    * with `mergeSchema` unions the file schemas (old rows surface
+    * `reason = NULL`), and the null backfills to `unknown_topic` — the
+    * only reason that existed before the column did.
+    */
+  def readDeadLetter(spark: SparkSession, root: String,
+                     format: String = "parquet"): DataFrame = {
+    val raw = spark.read.option("mergeSchema", "true").format(format)
+      .load(s"$root/_dead_letter")
+    val withReason =
+      if (raw.columns.contains("reason")) raw
+      else raw.withColumn("reason", lit(null).cast("string"))
+    withReason.withColumn("reason", coalesce(col("reason"), lit("unknown_topic")))
   }
 
   /** Wire a Kafka-shaped stream (must have `topic` and `value` columns)

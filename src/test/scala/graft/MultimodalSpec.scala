@@ -3,13 +3,67 @@ package graft
 import graft.multimodal.Multimodal
 
 /** Multimodal plumbing specs: binary payload schema, partition-wise batch
-  * kernels, 1→N frame sampling. Codec bodies are stubs (marked in
-  * [[Multimodal]]); the shapes and determinism are the contract.
+  * kernels, 1→N frame sampling, and the REAL image codec path
+  * (`javax.imageio`, no external deps). Audio/video codec bodies remain
+  * stubs (marked in [[Multimodal]]); the shapes and determinism are the
+  * contract.
   */
 class MultimodalSpec extends SparkSpec {
 
   private def media = Multimodal.asMediaTable(
     Tables.documents(spark, sf0001).limit(50), "doc_id", "text", kind = "image")
+
+  /** A real PNG: w×h filled with one RGB color. */
+  private def pngBytes(w: Int, h: Int, rgb: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  private def imageTable(rows: Seq[(Long, Array[Byte])]) = {
+    val sp = spark
+    import sp.implicits._
+    Multimodal.asMediaTable(rows.toDF("media_id", "payload"), "media_id", "payload")
+  }
+
+  test("imageMeta: real JDK decode — exact dimensions, luma stats, corrupt rows flagged") {
+    val metas = Multimodal.imageMeta(imageTable(Seq(
+        1L -> pngBytes(17, 9, 0x808080),         // mid gray
+        2L -> pngBytes(3, 5, 0xFF0000),          // pure red
+        3L -> "definitely not an image".getBytes("UTF-8"))))
+      .collect().sortBy(_.media_id)
+
+    assert(metas(0).decoded && metas(0).width === 17 && metas(0).height === 9)
+    // constant 0x80: luma = (0.299+0.587+0.114)*128 = 128 for mean/min/max
+    Seq(metas(0).mean_luma, metas(0).min_luma, metas(0).max_luma)
+      .foreach(l => assert(math.abs(l - 128.0) < 1e-9))
+    assert(metas(1).decoded && metas(1).width === 3 && metas(1).height === 5)
+    assert(math.abs(metas(1).mean_luma - 0.299 * 255) < 1e-9) // red-only luma
+    // corrupt payload: flagged, never thrown — a 100 TB corpus always has some
+    assert(!metas(2).decoded && metas(2).width === -1 && metas(2).mean_luma.isNaN)
+  }
+
+  test("resizeImages: real bilinear rescale + PNG re-encode; corrupt rows pass through") {
+    val orig = "not an image".getBytes("UTF-8")
+    val out = Multimodal.resizeImages(imageTable(Seq(
+        1L -> pngBytes(32, 16, 0x4080C0), 2L -> orig)), 8, 4)
+      .collect().sortBy(_.media_id)
+
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(out(0).payload))
+    assert(img.getWidth === 8 && img.getHeight === 4)
+    assert(out(0).width === 8 && out(0).height === 4)
+    // bilinear rescale of a constant image stays that constant color
+    assert((img.getRGB(3, 2) & 0xFFFFFF) === 0x4080C0)
+    assert(out(1).payload === orig) // undecodable: unchanged, not dropped
+  }
 
   test("asMediaTable: binary payload column with typed metadata") {
     val m = media

@@ -62,14 +62,22 @@ class PlanSpec extends SparkSpec {
       .repartition(8, org.apache.spark.sql.functions.col("vec_id"))
   }
 
-  test("IVF cell assignment is map-side: no Exchange above the cached corpus") {
+  test("IVF cell assignment is map-side: fit() adds no Exchange of its own") {
+    val input = wideEmbeddings
+    val inputExchanges = "Exchange".r.findAllMatchIn(plan(input)).size
     val (assigned, _) = graft.operators.IvfIndex.fit(
-      wideEmbeddings, "vec_id", "embedding", nlist = 4, iters = 1)
-    // everything between the result and the persisted corpus must be a
-    // pure projection (the NearestCentroid expression) — the Lloyd loop
-    // and final assignment never shuffle corpus rows
-    val top = plan(assigned).split("InMemoryRelation").head
-    assert(!top.contains("Exchange"), s"assignment stage shuffles:\n${plan(assigned)}")
+      input, "vec_id", "embedding", nlist = 4, iters = 1)
+    // the returned assignment is a pure projection (the NearestCentroid
+    // expression) over the input — the Lloyd loop and final assignment
+    // never shuffle corpus rows, so any Exchange in the plan must be the
+    // input's own (the test input repartitions itself; the uncached fit()
+    // no longer hides that behind a persisted InMemoryRelation)
+    val p = plan(assigned)
+    assert("Exchange".r.findAllMatchIn(p).size === inputExchanges,
+      s"assignment stage added a shuffle:\n$p")
+    assert(!p.contains("RoundRobinPartitioning"),
+      s"conditional spread fired on an already-wide corpus:\n$p")
+    assert(p.contains("nearestcentroid"), s"expected the map-side assignment expression:\n$p")
   }
 
   test("similarity corpus spread is conditional: a wide corpus never round-robins") {

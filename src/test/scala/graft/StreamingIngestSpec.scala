@@ -94,6 +94,70 @@ class StreamingIngestSpec extends SparkSpec {
     assert(spark.read.parquet(s"$root/air_quality").count() === 1)
   }
 
+  test("O7 edge: blank priorityTopics= falls back to one query (no empty-topic subscription)") {
+    val root = Files.createTempDirectory("graft_lake4_").toString
+    val ckpt = Files.createTempDirectory("graft_ckpt4_").toString
+    val src = Files.createTempDirectory("graft_src4_").toString
+    Files.write(java.nio.file.Paths.get(s"$src/batch.json"), java.util.Arrays.asList(
+      """{"topic": "cuip_vision_events", "value": "{\"timestamp\": 1704067200000, \"camera_id\": \"cam1\", \"locations\": [], \"hit_counts\": 1}"}"""))
+
+    // "".split(",") yields [""] — must not start a query subscribed to ""
+    val conf = Map(
+      "source" -> s"dir:$src", "root" -> root, "checkpoint" -> ckpt,
+      "topics" -> "cuip_vision_events", "priorityTopics" -> "", "mode" -> "drain")
+    val queries = graft.streaming.IngestMain.startQueries(spark, conf)
+    assert(queries.length === 1, "blank priorityTopics= must mean no priority split")
+    queries.foreach(_.awaitTermination())
+    assert(spark.read.parquet(s"$root/vision").count() === 1)
+  }
+
+  test("O7 edge: priorityTopics covering every topic — dir twin keeps the dead-letter query") {
+    val root = Files.createTempDirectory("graft_lake5_").toString
+    val ckpt = Files.createTempDirectory("graft_ckpt5_").toString
+    val src = Files.createTempDirectory("graft_src5_").toString
+    Files.write(java.nio.file.Paths.get(s"$src/batch.json"), java.util.Arrays.asList(
+      """{"topic": "cuip_vision_events", "value": "{\"timestamp\": 1704067200000, \"camera_id\": \"cam1\", \"locations\": [], \"hit_counts\": 1}"}""",
+      """{"topic": "mystery_topic", "value": "{\"x\": 1}"}"""))
+
+    val conf = Map(
+      "source" -> s"dir:$src", "root" -> root, "checkpoint" -> ckpt,
+      "topics" -> "cuip_vision_events,MLK_AIR_QUALITY",
+      "priorityTopics" -> "cuip_vision_events,MLK_AIR_QUALITY", "mode" -> "drain")
+    val queries = graft.streaming.IngestMain.startQueries(spark, conf)
+    // the dir twin's rest query deliberately survives: its exclude filter
+    // is what routes UNKNOWN topics to the dead-letter table
+    assert(queries.length === 2)
+    queries.foreach(_.awaitTermination())
+    assert(spark.read.parquet(s"$root/vision").count() === 1)
+    val dead = spark.read.parquet(s"$root/_dead_letter")
+    assert(dead.filter(col("topic") === "mystery_topic").count() === 1)
+  }
+
+  test("O7 edge: kafka source refuses an empty resolved subscription") {
+    val e = intercept[IllegalArgumentException] {
+      graft.streaming.IngestMain.source(spark,
+        Map("source" -> "kafka", "topics" -> " , "))
+    }
+    assert(e.getMessage.contains("topic"))
+  }
+
+  test("dead-letter schema migration: pre-reason files surface a backfilled reason") {
+    val root = Files.createTempDirectory("graft_lake6_").toString
+    // generation 1 wrote (topic, value) only — simulate those files in place
+    Seq(("old_mystery", """{"a": 1}""")).toDF("topic", "value")
+      .write.partitionBy("topic").parquet(s"$root/_dead_letter")
+    // generation 2 appends with the reason column
+    Seq(("new_mystery", """{"b": 2}""", "malformed_json")).toDF("topic", "value", "reason")
+      .write.mode("append").partitionBy("topic").parquet(s"$root/_dead_letter")
+
+    val dead = IngestPipeline.readDeadLetter(spark, root)
+      .select("topic", "reason").as[(String, String)].collect().sorted
+    // both generations present; the pre-reason row backfills to the only
+    // reason that existed before the column did
+    assert(dead === Array(
+      ("new_mystery", "malformed_json"), ("old_mystery", "unknown_topic")))
+  }
+
   test("AvailableNow restart is idempotent (checkpoint prevents reprocessing)") {
     val root = Files.createTempDirectory("graft_lake2_").toString
     val ckpt = Files.createTempDirectory("graft_ckpt2_").toString

@@ -110,8 +110,25 @@ class TopKRuleSpec extends SparkSpec {
     } finally disable()
   }
 
+  test("auto-rewrite is opt-in: rule registered but conf unset is a no-op") {
+    Tables.orders(spark, sf0001).createOrReplaceTempView("ord")
+    // the GraftExtensions path: rule present, nobody opted in — the
+    // measured-slower heap plan must NOT replace the window silently
+    val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    spark.conf.unset(TopKViaHeapRule.enabledConf)
+    if (!classic.experimental.extraOptimizations.contains(TopKViaHeapRule))
+      classic.experimental.extraOptimizations =
+        classic.experimental.extraOptimizations :+ TopKViaHeapRule
+    try {
+      val p = spark.sql(windowTop3Sql).queryExecution.executedPlan.toString
+      assert(p.contains("Window") && !p.contains("collect_top_k"),
+        s"default-off rewrite fired without opt-in:\n$p")
+    } finally disable()
+  }
+
   private def disable(): Unit = {
     val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    spark.conf.unset(TopKViaHeapRule.enabledConf)
     classic.experimental.extraOptimizations =
       classic.experimental.extraOptimizations.filterNot(_ == TopKViaHeapRule)
   }

@@ -83,6 +83,48 @@ class WinnowIvfSpec extends SparkSpec {
     assert(recall >= 0.8, s"IVF recall $recall < 0.8 on planted clusters")
   }
 
+  test("IVF uncached fit() leaves no persistent RDDs behind (no cache leak)") {
+    val df = (0 until 60).map(i => (i.toLong, Array.fill(8)((i % 7).toFloat + 1f)))
+      .toDF("vec_id", "embedding")
+    // settle any async unpersist from earlier suites before baselining
+    def persisted() = spark.sparkContext.getPersistentRDDs.size
+    val before = persisted()
+    IvfIndex.fit(df, "vec_id", "embedding", nlist = 4, iters = 2)
+    IvfIndex.fit(df, "vec_id", "embedding", nlist = 4, iters = 2)
+    // fit() unpersists with blocking=false: poll briefly for the async drop
+    val deadline = System.nanoTime() + 10_000_000_000L
+    while (persisted() > before && System.nanoTime() < deadline) Thread.sleep(100)
+    assert(persisted() <= before,
+      s"uncached fit() grew persistent RDDs: $before -> ${persisted()}")
+  }
+
+  test("IVF fitCached: one entry per key, reused across calls") {
+    val app = spark.sparkContext.applicationId
+    val df = (0 until 40).map(i => (i.toLong, Array.fill(8)(i.toFloat)))
+      .toDF("vec_id", "embedding")
+    val before = IvfIndex.cachedEntryCount(app)
+    val a = IvfIndex.fitCached("winnowivf-lifecycle", df, "vec_id", "embedding", nlist = 4, iters = 1)
+    val b = IvfIndex.fitCached("winnowivf-lifecycle", df, "vec_id", "embedding", nlist = 4, iters = 1)
+    assert(IvfIndex.cachedEntryCount(app) === before + 1)
+    assert(a._1 eq b._1, "second fitCached call must reuse the fitted index")
+  }
+
+  test("IVF fit/search tolerate ragged and null vectors") {
+    val rows: Seq[(Long, Array[Float])] = Seq(
+      1L -> Array.fill(8)(1f), 2L -> Array.fill(4)(2f), // ragged: dim 4 vs 8
+      3L -> null, 4L -> Array.fill(8)(3f),              // null vector
+      5L -> Array.fill(8)(4f), 6L -> Array.empty[Float],
+      7L -> Array.fill(8)(5f), 8L -> Array.fill(8)(6f))
+    val df = rows.toDF("vec_id", "embedding")
+    val probes = df.filter(col("vec_id") === 1L)
+    // must return (null/ragged rows contribute nothing) instead of
+    // ArrayIndexOutOfBounds/NPE in the driver-side centroid update
+    val out = IvfIndex.annTopK(df, probes, "vec_id", "embedding",
+      k = 3, nlist = 3, nProbe = 3, iters = 2).collect()
+    assert(out.nonEmpty)
+    assert(!out.exists(_.getLong(1) === 3L), "null-vector row must not be a result")
+  }
+
   test("bpeTokenCount counts letter/digit/punct runs") {
     val n = Seq("hello world 123 foo-bar, baz!!").toDF("t")
       .select(graft.functions.TextFunctions.bpeTokenCount(col("t"))).as[Long].head()
