@@ -7,6 +7,7 @@ import org.apache.spark.sql.types.DecimalType
 
 import graft.ops.EventOps
 import graft.functions.TextFunctions
+import graft.multimodal.Multimodal
 import graft.operators.{Dedup, Similarity}
 
 /** Driver contract — one `queries` entry per implemented operator from
@@ -327,6 +328,33 @@ object SparkEntry {
       .select(col("event_id"), col("c_custkey").as("user_id"),
         col("event_type"), col("c_mktsegment"))
 
+  /** Q39 — the REAL image codec, oracle-checked end-to-end: render a
+    * deterministic solid-gray PNG per document (dims and gray level
+    * derived from the text's byte length), decode it back through the
+    * JDK codec ([[graft.multimodal.Multimodal.imageMeta]]), and surface
+    * the DECODED dimensions + mean luma. The oracle computes the same
+    * values arithmetically from `octet_length(text)`, so a hash match
+    * proves the whole encode → PNG bytes → decode → pixel-stats path
+    * (luma of gray g is exactly g). Per-partition batch kernels, no
+    * shuffle, no UDF registry.
+    */
+  def q39(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val media = docs(s, d)
+      .select(col("doc_id"), octet_length(col("text")).cast("int").as("n"))
+      .as[(Long, Int)]
+      .map { case (id, n) =>
+        Multimodal.MediaRow(id, "image",
+          Multimodal.renderSolidPng(n % 13 + 3, n % 7 + 2, n % 256),
+          n % 13 + 3, n % 7 + 2, 0)
+      }
+    Multimodal.imageMeta(media).select(
+      col("media_id").as("doc_id"),
+      col("width").cast("long").as("width"),
+      col("height").cast("long").as("height"),
+      round(col("mean_luma"), 6).as("mean_luma"))
+  }
+
   /** Q32 — the q11 ranking computed by the bounded-heap top-k aggregate
     * ([[graft.operators.TopK]]) instead of a window sort: identical
     * output contract (same oracle SQL), shuffle-light plan — the
@@ -378,7 +406,8 @@ object SparkEntry {
     "q35_anti_join"       -> (q35 _),
     "q36_percentiles"     -> (q36 _),
     "q37_dedup_corpus"    -> (q37 _),
-    "q38_enrich_dim"      -> (q38 _))
+    "q38_enrich_dim"      -> (q38 _),
+    "q39_image_decode"    -> (q39 _))
 
   // DuckDB twins. Shared SQL fragments for the text queries:
   // explicit class: Java \s includes \x0B, RE2 \s does not — see
@@ -554,6 +583,14 @@ object SparkEntry {
     "q38_enrich_dim" ->
       ("SELECT e.event_id, e.user_id, e.event_type, c.c_mktsegment " +
        "FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey"),
+    // q39: the oracle never decodes a PNG — it derives the expected
+    // decoded dims/luma arithmetically from the same byte length the
+    // engine renders from; matching hashes prove the codec round-trip
+    "q39_image_decode" ->
+      ("SELECT doc_id, CAST(octet_length(encode(text)) % 13 + 3 AS BIGINT) AS width, " +
+       "CAST(octet_length(encode(text)) % 7 + 2 AS BIGINT) AS height, " +
+       "round(CAST(octet_length(encode(text)) % 256 AS DOUBLE), 6) AS mean_luma " +
+       "FROM documents"),
     "q37_dedup_corpus" ->
       (s"""WITH RECURSIVE toks AS (SELECT doc_id, $TOKS AS tk FROM documents),
           |sh AS (SELECT doc_id, ${shinglesSql("tk")} AS s FROM toks),

@@ -55,6 +55,24 @@ object Multimodal {
 
   // ---- REAL IMAGE KERNEL (JDK javax.imageio — no external deps) ----------
 
+  /** Deterministic solid-gray PNG (the encode half of the JDK codec
+    * path); used by the oracle-checked decode query (q39) and specs.
+    */
+  def renderSolidPng(w: Int, h: Int, gray: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val rgb = (gray << 16) | (gray << 8) | gray
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
   private def decodeImage(payload: Array[Byte]): Option[java.awt.image.BufferedImage] =
     try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload)))
     catch { case _: java.io.IOException | _: RuntimeException => None }
