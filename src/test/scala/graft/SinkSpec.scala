@@ -29,6 +29,35 @@ class SinkSpec extends SparkSpec {
     assert(back === sample.as[(Long, String, Int, Int, Int)].collect().sortBy(_._1))
   }
 
+  test("compactPartitions: many appended files collapse to one per leaf, rows intact (O19 parity)") {
+    val dir = Files.createTempDirectory("graft_compact_").toString
+    // five appends -> >= 5 files per touched partition (the accumulation
+    // the reference avoids by rewriting whole objects on every flush)
+    (0 until 5).foreach { i =>
+      PartitionedSink.appendPartitioned(
+        sample.withColumn("id", col("id") + lit(i * 10L)), dir)
+    }
+    def dataFiles(leaf: String) = new java.io.File(s"$dir/$leaf")
+      .listFiles().count(f => f.isFile && f.getName.endsWith(".parquet"))
+    assert(dataFiles("entity=camA/year=2024/month=1") >= 5)
+    val before = spark.read.parquet(dir)
+      .as[(Long, Int, String, Int, Int)].collect().toSet
+
+    val n = PartitionedSink.compactPartitions(spark, dir)
+    assert(n === 3, s"expected all 3 leaf partitions compacted, got $n")
+    Seq("entity=camA/year=2024/month=1", "entity=camA/year=2024/month=2",
+        "entity=camB/year=2024/month=1").foreach { leaf =>
+      assert(dataFiles(leaf) === 1, s"$leaf not compacted to one file")
+      assert(!new java.io.File(s"$dir/$leaf/_compact_tmp").exists())
+      assert(!new java.io.File(s"$dir/$leaf/_compact_old").exists())
+    }
+    assert(spark.read.parquet(dir)
+      .as[(Long, Int, String, Int, Int)].collect().toSet === before)
+
+    // idempotent: already-compacted partitions are left alone
+    assert(PartitionedSink.compactPartitions(spark, dir) === 0)
+  }
+
   test("repartitionByPartitionColumns yields one file per partition tuple") {
     val dir = Files.createTempDirectory("graft_onefile_").toString
     val big = sample.repartition(8) // many tasks -> would write many files
