@@ -355,6 +355,25 @@ object SparkEntry {
       round(col("mean_luma"), 6).as("mean_luma"))
   }
 
+  /** Q40 — skew-mitigation salted join, oracle-checked: market-segment
+    * revenue through [[graft.operators.Joins.saltedJoin]] — deterministic
+    * per-row salt (`hash(o_orderkey)`), customer dimension replicated
+    * `factor` times, sort-merge FORCED (the `merge` hint) so the salt
+    * path is what actually runs, not a broadcast. Hash-matching the
+    * plain-join oracle proves salting changes the shuffle layout only,
+    * never the result.
+    */
+  def q40(s: SparkSession, d: String): DataFrame = {
+    val orders = Tables.orders(s, d)
+      .select(col("o_custkey").as("c_custkey"), col("o_orderkey"), col("o_totalprice"))
+    val cust = Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_mktsegment")).hint("merge")
+    graft.operators.Joins.saltedJoin(
+        orders, cust, Seq("c_custkey"), hash(col("o_orderkey")), factor = 8)
+      .groupBy(col("c_mktsegment"))
+      .agg(dsum(col("o_totalprice"), 2).as("revenue"), count(lit(1)).as("n_orders"))
+  }
+
   /** Q32 — the q11 ranking computed by the bounded-heap top-k aggregate
     * ([[graft.operators.TopK]]) instead of a window sort: identical
     * output contract (same oracle SQL), shuffle-light plan — the
@@ -407,7 +426,8 @@ object SparkEntry {
     "q36_percentiles"     -> (q36 _),
     "q37_dedup_corpus"    -> (q37 _),
     "q38_enrich_dim"      -> (q38 _),
-    "q39_image_decode"    -> (q39 _))
+    "q39_image_decode"    -> (q39 _),
+    "q40_salted_join"     -> (q40 _))
 
   // DuckDB twins. Shared SQL fragments for the text queries:
   // explicit class: Java \s includes \x0B, RE2 \s does not — see
@@ -583,6 +603,12 @@ object SparkEntry {
     "q38_enrich_dim" ->
       ("SELECT e.event_id, e.user_id, e.event_type, c.c_mktsegment " +
        "FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey"),
+    // q40: the oracle is the PLAIN join — the salted plan must be
+    // result-invisible (salting changes shuffle layout, nothing else)
+    "q40_salted_join" ->
+      ("SELECT c_mktsegment, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) " +
+       "AS revenue, count(*) AS n_orders FROM orders JOIN customer " +
+       "ON o_custkey = c_custkey GROUP BY c_mktsegment"),
     // q39: the oracle never decodes a PNG — it derives the expected
     // decoded dims/luma arithmetically from the same byte length the
     // engine renders from; matching hashes prove the codec round-trip

@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Joins
+
+/** Salted skew-join specs: result-equivalence with the plain join,
+  * fact-preservation on left joins, rejection of dim-emitting types.
+  */
+class JoinsSpec extends SparkSpec {
+  private val sp = spark
+  import sp.implicits._
+
+  // one hot key (1) holding most fact rows — the shape salting targets
+  private def facts = (0 until 200)
+    .map(i => (i.toLong, if (i < 150) 1L else (i % 7).toLong, i * 1.5))
+    .toDF("fact_id", "k", "v")
+  private def dim = Seq((1L, "hot"), (2L, "warm"), (3L, "cold"))
+    .toDF("k", "label")
+
+  test("salted inner join == plain inner join, row for row") {
+    val plain = facts.join(dim, Seq("k")).select("fact_id", "k", "v", "label")
+      .collect().map(_.toString).sorted.toSeq
+    val salted = Joins.saltedJoin(facts, dim, Seq("k"), hash(col("fact_id")), 8)
+      .select("fact_id", "k", "v", "label")
+      .collect().map(_.toString).sorted.toSeq
+    assert(salted === plain)
+  }
+
+  test("salted left join keeps unmatched fact rows exactly once") {
+    val out = Joins.saltedJoin(facts, dim, Seq("k"), hash(col("fact_id")), 8, "left")
+      .select("fact_id", "label").as[(Long, Option[String])].collect()
+    assert(out.length === 200, "every fact row exactly once")
+    // keys 0,4,5,6 have no dim row -> null label, never duplicated
+    assert(out.count(_._2.isEmpty) === facts
+      .join(dim, Seq("k"), "left_anti").count())
+  }
+
+  test("dim-emitting join types are rejected (replication would duplicate them)") {
+    val e = intercept[IllegalArgumentException](
+      Joins.saltedJoin(facts, dim, Seq("k"), hash(col("fact_id")), 8, "right"))
+    assert(e.getMessage.contains("fact-preserving"))
+    intercept[IllegalArgumentException](
+      Joins.saltedJoin(facts, dim, Seq("k"), hash(col("fact_id")), 8, "full_outer"))
+  }
+
+  test("salt spreads the hot key across factor distinct shuffle keys") {
+    val factor = 8
+    val spread = Joins.saltedJoin(
+        facts.filter(col("k") === 1L), dim, Seq("k"), hash(col("fact_id")), factor)
+      .select(pmod(hash(col("fact_id")), lit(factor)).as("salt"))
+      .distinct().count()
+    // 150 hot rows over 8 salts: every salt value occupied w.h.p.
+    assert(spread === factor,
+      s"hot key occupied $spread of $factor salt buckets")
+  }
+}

@@ -80,6 +80,13 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("nearestcentroid"), s"expected the map-side assignment expression:\n$p")
   }
 
+  test("q40: salted join runs as a sort-merge join on (key, salt), never broadcast") {
+    val p = plan(SparkEntry.q40(spark, sf0001))
+    assert(p.contains("SortMergeJoin"), s"salt demo must exercise the shuffle join:\n$p")
+    assert(!p.contains("BroadcastHashJoin"), s"broadcast defeats the salting:\n$p")
+    assert(p.contains("__salt"), s"join keys must include the salt column:\n$p")
+  }
+
   test("similarity corpus spread is conditional: a wide corpus never round-robins") {
     val df = wideEmbeddings
     val p = plan(graft.operators.Similarity.topKCosine(
