@@ -374,6 +374,26 @@ object SparkEntry {
       .agg(dsum(col("o_totalprice"), 2).as("revenue"), count(lit(1)).as("n_orders"))
   }
 
+  /** Q41 — backward as-of join ([[graft.operators.Joins.asofJoin]]):
+    * each event picks the user's most recent order at-or-before the
+    * event time (ties on order date broken by greatest orderkey), nulls
+    * when no order precedes. One shuffle + per-key sort; the oracle is
+    * an independent correlated LATERAL subquery — a nested-loop spec
+    * of the same semantics, nothing like the engine's plan.
+    */
+  def q41(s: SparkSession, d: String): DataFrame = {
+    val events = ev(s, d)
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts_us"))
+    val orders = Tables.orders(s, d).select(
+      col("o_custkey").as("user_id"),
+      unix_micros(col("o_orderdate").cast("timestamp")).as("ots"),
+      col("o_orderkey"), col("o_totalprice"))
+    graft.operators.Joins.asofJoin(
+        events, orders, Seq("user_id"), "ts_us", "ots", tieBreak = "o_orderkey")
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        col("o_orderkey").as("last_orderkey"), col("o_totalprice").as("last_price"))
+  }
+
   /** Q32 — the q11 ranking computed by the bounded-heap top-k aggregate
     * ([[graft.operators.TopK]]) instead of a window sort: identical
     * output contract (same oracle SQL), shuffle-light plan — the
@@ -427,7 +447,8 @@ object SparkEntry {
     "q37_dedup_corpus"    -> (q37 _),
     "q38_enrich_dim"      -> (q38 _),
     "q39_image_decode"    -> (q39 _),
-    "q40_salted_join"     -> (q40 _))
+    "q40_salted_join"     -> (q40 _),
+    "q41_asof_join"       -> (q41 _))
 
   // DuckDB twins. Shared SQL fragments for the text queries:
   // explicit class: Java \s includes \x0B, RE2 \s does not — see
@@ -603,6 +624,16 @@ object SparkEntry {
     "q38_enrich_dim" ->
       ("SELECT e.event_id, e.user_id, e.event_type, c.c_mktsegment " +
        "FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey"),
+    // q41: nested-loop LATERAL spec of as-of semantics — deliberately
+    // nothing like the engine's union+window plan
+    "q41_asof_join" ->
+      ("SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us, " +
+       "o.o_orderkey AS last_orderkey, o.o_totalprice AS last_price " +
+       "FROM events e LEFT JOIN LATERAL (" +
+       "SELECT o_orderkey, o_totalprice FROM orders " +
+       "WHERE o_custkey = e.user_id " +
+       "AND epoch_us(CAST(o_orderdate AS TIMESTAMP)) <= epoch_us(e.ts) " +
+       "ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 1) o ON TRUE"),
     // q40: the oracle is the PLAIN join — the salted plan must be
     // result-invisible (salting changes shuffle layout, nothing else)
     "q40_salted_join" ->

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Skew-mitigation joins for 100 TB fact tables.
@@ -43,5 +44,53 @@ object Joins {
     val replicated = dim.withColumn("__salt",
       explode(sequence(lit(0), lit(factor - 1))))
     salted.join(replicated, keys :+ "__salt", joinType).drop("__salt")
+  }
+
+  /** Backward as-of join: every left row picks the single right row with
+    * the same key and the greatest right-time ≤ left-time (ties on
+    * right-time resolved by the greatest `tieBreak`), or nulls if no
+    * right row precedes it — the time-series/versioned-dimension join
+    * SQL can only express as a correlated LATERAL subquery.
+    *
+    * Spark-first plan (the distributed analogue of a sorted merge): ONE
+    * shuffle — left and right rows union-tagged, hash-partitioned by
+    * key, sorted per key by (time, side, tieBreak), and each right
+    * value column forward-filled with a running `last(ignoreNulls)`
+    * window; left rows then project their filled values. No correlated
+    * per-row probe, no range cross-join: cost is a sort per key
+    * partition, identical to any windowed aggregation at 100 TB. Right
+    * rows sort BEFORE left rows at equal times, so "at-or-before"
+    * includes exact-time matches. For a pathologically hot key the same
+    * caveat as any window applies (one partition holds the key); salt
+    * cannot help here — bucket by coarse time ranges instead.
+    *
+    * Requirements: `leftTime`/`rightTime` must be mutually comparable
+    * (cast before calling); non-key column names must not overlap; a
+    * null left time yields nulls (no match), null right times never
+    * match.
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+               leftTime: String, rightTime: String,
+               tieBreak: String): DataFrame = {
+    val rightVals = right.columns.filterNot(c => keys.contains(c) || c == rightTime)
+    require(rightVals.contains(tieBreak),
+      s"tieBreak '$tieBreak' must be a carried (non-key, non-time) right column")
+    val overlap = left.columns.toSet.intersect(rightVals.toSet)
+    require(overlap.isEmpty,
+      s"left/right non-key columns overlap: ${overlap.mkString(", ")} — rename before joining")
+
+    val l = left.withColumn("__t", col(leftTime)).withColumn("__side", lit(1))
+    val r = right.withColumn("__t", col(rightTime)).withColumn("__side", lit(0))
+      .drop(rightTime)
+    val u = l.unionByName(r, allowMissingColumns = true)
+      .filter(col("__side") === 1 || col("__t").isNotNull)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__t").asc, col("__side").asc, col(tieBreak).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = rightVals.foldLeft(u)((df, c) =>
+      df.withColumn(s"__asof_$c", last(col(c), ignoreNulls = true).over(w)))
+    filled.filter(col("__side") === 1)
+      .select(left.columns.map(col) ++
+        rightVals.map(c => col(s"__asof_$c").as(c)): _*)
   }
 }

@@ -43,6 +43,38 @@ class JoinsSpec extends SparkSpec {
       Joins.saltedJoin(facts, dim, Seq("k"), hash(col("fact_id")), 8, "full_outer"))
   }
 
+  test("asofJoin: at-or-before semantics, exact-time inclusion, tie-break, no-prior nulls") {
+    val quotes = Seq( // (k, qt, qid, px)
+      (1L, 10L, 100L, 1.0), (1L, 20L, 101L, 2.0), (1L, 20L, 102L, 3.0),
+      (2L, 50L, 200L, 9.0))
+      .toDF("k", "qt", "qid", "px")
+    val trades = Seq( // (k, tt, trade)
+      (1L, 5L, "before-any"), (1L, 10L, "exact-first"), (1L, 25L, "after-tie"),
+      (2L, 49L, "just-before"), (3L, 99L, "no-quotes"))
+      .toDF("k", "tt", "trade")
+
+    val out = Joins.asofJoin(trades, quotes, Seq("k"), "tt", "qt", tieBreak = "qid")
+      .select("trade", "qid", "px")
+      .as[(String, Option[Long], Option[Double])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+
+    assert(out("before-any") === ((None, None)))          // nothing precedes
+    assert(out("exact-first") === ((Some(100L), Some(1.0)))) // at-or-BEFORE includes equal time
+    assert(out("after-tie") === ((Some(102L), Some(3.0)))) // equal qt=20: greatest qid wins
+    assert(out("just-before") === ((None, None)))          // 49 < 50, key 2's only quote
+    assert(out("no-quotes") === ((None, None)))            // key never quoted
+  }
+
+  test("asofJoin rejects overlapping non-key columns and a bad tieBreak") {
+    val l = Seq((1L, 1L, "x")).toDF("k", "t", "v")
+    val r = Seq((1L, 1L, "y")).toDF("k", "rt", "v")
+    assert(intercept[IllegalArgumentException](
+      Joins.asofJoin(l, r, Seq("k"), "t", "rt", "v")).getMessage.contains("overlap"))
+    val r2 = Seq((1L, 1L, "y")).toDF("k", "rt", "w")
+    assert(intercept[IllegalArgumentException](
+      Joins.asofJoin(l, r2, Seq("k"), "t", "rt", "rt")).getMessage.contains("tieBreak"))
+  }
+
   test("salt spreads the hot key across factor distinct shuffle keys") {
     val factor = 8
     val spread = Joins.saltedJoin(
