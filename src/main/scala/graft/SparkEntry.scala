@@ -394,6 +394,25 @@ object SparkEntry {
         col("o_orderkey").as("last_orderkey"), col("o_totalprice").as("last_price"))
   }
 
+  /** Q42 — bucketed range join ([[graft.operators.Joins.rangeJoin]]):
+    * event values land in OVERLAPPING nation-derived bands (width 30,
+    * stride 20 — most points match two bands), aggregated per band. The
+    * plan is an equi-join on derived bucket keys + exact containment
+    * filter; the oracle is the raw theta join (`BETWEEN lo AND hi`) the
+    * engine must never physically run as a nested loop.
+    */
+  def q42(s: SparkSession, d: String): DataFrame = {
+    val points = ev(s, d).select(col("event_id"), col("value"))
+    val bands = Tables.nation(s, d).select(
+      col("n_name"),
+      (col("n_nationkey") * 20.0d).as("lo"),
+      (col("n_nationkey") * 20.0d + 29.99d).as("hi"))
+    graft.operators.Joins.rangeJoin(points, bands, "value", "lo", "hi",
+        bucketWidth = 25.0d)
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value"), 2).as("sum_value"))
+  }
+
   /** Q32 — the q11 ranking computed by the bounded-heap top-k aggregate
     * ([[graft.operators.TopK]]) instead of a window sort: identical
     * output contract (same oracle SQL), shuffle-light plan — the
@@ -448,7 +467,8 @@ object SparkEntry {
     "q38_enrich_dim"      -> (q38 _),
     "q39_image_decode"    -> (q39 _),
     "q40_salted_join"     -> (q40 _),
-    "q41_asof_join"       -> (q41 _))
+    "q41_asof_join"       -> (q41 _),
+    "q42_range_join"      -> (q42 _))
 
   // DuckDB twins. Shared SQL fragments for the text queries:
   // explicit class: Java \s includes \x0B, RE2 \s does not — see
@@ -624,6 +644,15 @@ object SparkEntry {
     "q38_enrich_dim" ->
       ("SELECT e.event_id, e.user_id, e.event_type, c.c_mktsegment " +
        "FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey"),
+    // q42: the oracle IS the theta join the engine refuses to run as a
+    // nested loop — same semantics, naive formulation
+    "q42_range_join" ->
+      ("WITH bands AS (SELECT n_name, n_nationkey * 20.0 AS lo, " +
+       "n_nationkey * 20.0 + 29.99 AS hi FROM nation) " +
+       "SELECT n_name, count(*) AS n_events, " +
+       "CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value " +
+       "FROM events e JOIN bands b ON e.value >= b.lo AND e.value <= b.hi " +
+       "GROUP BY n_name"),
     // q41: nested-loop LATERAL spec of as-of semantics — deliberately
     // nothing like the engine's union+window plan
     "q41_asof_join" ->

@@ -93,4 +93,50 @@ object Joins {
       .select(left.columns.map(col) ++
         rightVals.map(c => col(s"__asof_$c").as(c)): _*)
   }
+
+  /** Bucketed range join: each point row pairs with every interval row
+    * whose `[lo, hi]` contains its point (inclusive on both ends;
+    * intervals may overlap — a point then matches several).
+    *
+    * Spark plans a raw `p BETWEEN lo AND hi` join as a nested-loop
+    * (BroadcastNestedLoopJoin) — quadratic, the classic 100 TB killer.
+    * Bucketizing turns it into an EQUI-join: intervals explode to one
+    * row per `bucketWidth`-sized bucket they touch, points map to the
+    * single bucket they fall in, the join runs on the bucket key, and
+    * the exact containment predicate filters survivors. Each matching
+    * (point, interval) pair meets exactly once — in the point's own
+    * bucket — so no dedup is needed.
+    *
+    * `bucketWidth` trades replication for selectivity: intervals
+    * replicate `ceil(span/width)+1`-ish times (keep width near the
+    * median interval span); a width far above every span degrades to
+    * per-bucket mini cross-products. Degenerate rows (null or inverted
+    * lo/hi, null points) match nothing rather than corrupting buckets.
+    */
+  def rangeJoin(points: DataFrame, intervals: DataFrame,
+                pointCol: String, loCol: String, hiCol: String,
+                bucketWidth: Double): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
+    val overlap = points.columns.toSet.intersect(intervals.columns.toSet)
+    require(overlap.isEmpty,
+      s"point/interval columns overlap: ${overlap.mkString(", ")} — rename before joining")
+
+    // NaN/±Inf would throw in the ANSI long cast — such rows can never
+    // satisfy the containment predicate anyway, so they bucket to null
+    // (points, dropped by the inner join) or are filtered out (intervals)
+    def finite(c: Column): Column =
+      c.isNotNull && !isnan(c) &&
+        c > lit(Double.NegativeInfinity) && c < lit(Double.PositiveInfinity)
+    val pv = col(pointCol)
+    val p = points.withColumn("__bucket",
+      when(finite(pv), floor(pv / bucketWidth).cast("long")))
+    val i = intervals
+      .filter(finite(col(loCol)) && finite(col(hiCol)) && col(loCol) <= col(hiCol))
+      .withColumn("__bucket", explode(sequence(
+        floor(col(loCol) / bucketWidth).cast("long"),
+        floor(col(hiCol) / bucketWidth).cast("long"))))
+    p.join(i, Seq("__bucket"))
+      .filter(col(pointCol) >= col(loCol) && col(pointCol) <= col(hiCol))
+      .drop("__bucket")
+  }
 }

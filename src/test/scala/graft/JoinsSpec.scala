@@ -75,6 +75,35 @@ class JoinsSpec extends SparkSpec {
       Joins.asofJoin(l, r2, Seq("k"), "t", "rt", "rt")).getMessage.contains("tieBreak"))
   }
 
+  test("rangeJoin == brute-force theta join, incl. overlaps, boundaries, degenerates") {
+    val points = ((0 until 100).map(i => (i.toLong, i * 0.7 - 5.0)) :+
+      (999L, Double.NaN)).toDF("pid", "v")
+    val intervals = Seq( // overlapping + touching + inverted + null
+      (10L, 0.0, 10.0), (11L, 5.0, 15.0), (12L, 10.0, 10.0), // point interval
+      (13L, 40.0, 70.0), (14L, 70.0, 30.0),                  // inverted: matches nothing
+      (15L, -10.0, -0.001))
+      .toDF("iid", "lo", "hi")
+      .unionByName(Seq((16L, Option.empty[Double], Option(5.0))).toDF("iid", "lo", "hi"))
+
+    // try widths smaller, equal, larger than the interval spans — the
+    // bucketing must be width-invariant
+    val brute = points.crossJoin(intervals)
+      .filter(col("v") >= col("lo") && col("v") <= col("hi"))
+      .select("pid", "iid").collect().map(_.toString).sorted.toSeq
+    Seq(3.0, 10.0, 100.0).foreach { w =>
+      val got = Joins.rangeJoin(points, intervals, "v", "lo", "hi", w)
+        .select("pid", "iid").collect().map(_.toString).sorted.toSeq
+      assert(got === brute, s"width $w diverged from the brute-force join")
+    }
+  }
+
+  test("rangeJoin plans an equi-join on buckets, never a nested loop") {
+    val p = SparkEntry.q42(spark, sf0001).queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"range join degenerated to a nested loop:\n$p")
+    assert(p.contains("__bucket"), s"expected the bucket equi-join key:\n$p")
+  }
+
   test("salt spreads the hot key across factor distinct shuffle keys") {
     val factor = 8
     val spread = Joins.saltedJoin(
