@@ -90,7 +90,7 @@ object Joins {
     val filled = rightVals.foldLeft(u)((df, c) =>
       df.withColumn(s"__asof_$c", last(col(c), ignoreNulls = true).over(w)))
     filled.filter(col("__side") === 1)
-      .select(left.columns.map(col) ++
+      .select(left.columns.toIndexedSeq.map(col) ++
         rightVals.map(c => col(s"__asof_$c").as(c)): _*)
   }
 

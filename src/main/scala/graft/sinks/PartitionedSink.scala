@@ -45,7 +45,7 @@ object PartitionedSink {
                 f.dataType.isInstanceOf[StructType] ||
                 f.dataType.isInstanceOf[MapType] => f.name
     }
-    df.drop(complex: _*)
+    df.drop(complex.toIndexedSeq: _*)
   }
 
   /** One output file per (partition-tuple) instead of one per task —

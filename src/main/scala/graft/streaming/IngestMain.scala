@@ -77,6 +77,42 @@ object IngestMain {
     }
   }
 
+  /** The reference refuses to start without AWS credentials
+    * (`run.py:224-248` validates the env before the first poll); the
+    * Spark twin of that intent: if the lake or checkpoint lives on
+    * `s3a://` and NO credential source is visible, fail at startup with
+    * an actionable message instead of deep inside the first batch
+    * commit. Instance-profile/IMDS deployments configure no key and no
+    * env — they pass `skipStorageValidation=true` (the provider chain
+    * resolves at runtime), keeping the check strict for everyone else.
+    */
+  def validateStorageConf(spark: SparkSession, conf: Map[String, String]): Unit = {
+    if (conf.getOrElse("skipStorageValidation", "false") == "true") return
+    val s3 = Seq("root", "checkpoint").flatMap(conf.get).filter(_.startsWith("s3a://"))
+    if (s3.nonEmpty) {
+      val h = spark.sparkContext.hadoopConfiguration
+      // fs.s3a.aws.credentials.provider carries a DEFAULT chain from
+      // core-default.xml — only an explicit override (≠ the value a
+      // fresh Configuration loads) counts as a configured source
+      val fresh = new org.apache.hadoop.conf.Configuration()
+      def overridden(key: String): Boolean = {
+        val v = Option(h.get(key)).getOrElse("")
+        v.nonEmpty && v != Option(fresh.get(key)).getOrElse("")
+      }
+      val hasCreds =
+        Option(h.get("fs.s3a.access.key")).exists(_.nonEmpty) ||
+        overridden("fs.s3a.aws.credentials.provider") ||
+        sys.env.contains("AWS_ACCESS_KEY_ID") || sys.env.contains("AWS_PROFILE") ||
+        sys.env.contains("AWS_ROLE_ARN") ||
+        sys.env.contains("AWS_CONTAINER_CREDENTIALS_RELATIVE_URI")
+      require(hasCreds,
+        s"${s3.mkString(", ")} configured but no AWS credential source found: " +
+          "set spark.hadoop.fs.s3a.access.key/secret.key, " +
+          "spark.hadoop.fs.s3a.aws.credentials.provider, or AWS_* env vars " +
+          "(instance-profile deployments: skipStorageValidation=true)")
+    }
+  }
+
   /** Start the writer(s). With `priorityTopics=` set this is O7 — the
     * reference pins half its worker processes to `cuip_vision_events`
     * (`run.py:88-105`); the Spark expression of the same intent is TWO
@@ -136,6 +172,7 @@ object IngestMain {
       SparkSession.builder().appName("graft-ingest").getOrCreate())
     spark.sparkContext.setLogLevel("WARN")
 
+    validateStorageConf(spark, conf)
     val queries = startQueries(spark, conf)
 
     // the reference's SIGINT flush intent (run.py:126-131) without its

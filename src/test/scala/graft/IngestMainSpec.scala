@@ -40,4 +40,21 @@ class IngestMainSpec extends SparkSpec {
       IngestMain.source(spark, Map("source" -> "carrier-pigeon")))
     assert(e.getMessage.contains("carrier-pigeon"))
   }
+
+  test("storage validation: s3a without any credential source fails fast (run.py:224-248 intent)") {
+    // this container has no AWS env and no fs.s3a conf -> must refuse
+    val e = intercept[IllegalArgumentException](IngestMain.validateStorageConf(spark,
+      Map("root" -> "s3a://bucket/lake", "checkpoint" -> "s3a://bucket/ckpt")))
+    assert(e.getMessage.contains("credential"))
+    // instance-profile escape hatch
+    IngestMain.validateStorageConf(spark, Map(
+      "root" -> "s3a://bucket/lake", "skipStorageValidation" -> "true"))
+    // local paths never need credentials
+    IngestMain.validateStorageConf(spark, Map("root" -> "/tmp/lake"))
+    // an explicit provider satisfies the check
+    val h = spark.sparkContext.hadoopConfiguration
+    h.set("fs.s3a.aws.credentials.provider", "com.example.Provider")
+    try IngestMain.validateStorageConf(spark, Map("root" -> "s3a://bucket/lake"))
+    finally h.unset("fs.s3a.aws.credentials.provider")
+  }
 }
