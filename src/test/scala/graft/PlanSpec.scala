@@ -87,6 +87,49 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("__salt"), s"join keys must include the salt column:\n$p")
   }
 
+  test("bucketed tables co-locate the join: zero Exchange, zero Sort in the plan") {
+    // the 100 TB co-located-join path: both sides bucketed+sorted on the
+    // key, the sort-merge join consumes bucket files directly — no
+    // shuffle, no sort, repeatable across every query that joins on the
+    // bucket key. Sort elision additionally requires ONE file per bucket
+    // (multiple files per bucket are only per-file sorted), hence the
+    // repartition on the bucket key before the write — repartition's
+    // HashPartitioning and bucketing share the same murmur3 hash, so
+    // each task then owns exactly one bucket
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_customer")
+    // since Spark 3.0 the bucketed scan hides its per-bucket ordering
+    // unless this conf is on (one-file-per-bucket is still required for
+    // the ordering to be true) — with it, the join needs no Sort either
+    spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+    try {
+      Tables.orders(spark, sf0001)
+        .repartition(8, org.apache.spark.sql.functions.col("o_custkey"))
+        .write.bucketBy(8, "o_custkey").sortBy("o_custkey").mode("overwrite")
+        .saveAsTable("b_orders")
+      Tables.customer(spark, sf0001)
+        .repartition(8, org.apache.spark.sql.functions.col("c_custkey"))
+        .write.bucketBy(8, "c_custkey").sortBy("c_custkey").mode("overwrite")
+        .saveAsTable("b_customer")
+      val j = spark.table("b_orders").hint("merge")
+        .join(spark.table("b_customer"),
+          org.apache.spark.sql.functions.col("o_custkey") ===
+            org.apache.spark.sql.functions.col("c_custkey"))
+      val p = plan(j)
+      assert(p.contains("SortMergeJoin"), s"expected a merge join:\n$p")
+      assert(!p.contains("Exchange"), s"bucketed join still shuffles:\n$p")
+      assert(!p.contains("Sort "), s"bucket-sorted join still sorts:\n$p")
+      assert(j.count() === Tables.orders(spark, sf0001)
+        .join(Tables.customer(spark, sf0001),
+          org.apache.spark.sql.functions.col("o_custkey") ===
+            org.apache.spark.sql.functions.col("c_custkey")).count())
+    } finally {
+      spark.conf.unset("spark.sql.legacy.bucketedTableScan.outputOrdering")
+      spark.sql("DROP TABLE IF EXISTS b_orders")
+      spark.sql("DROP TABLE IF EXISTS b_customer")
+    }
+  }
+
   test("similarity corpus spread is conditional: a wide corpus never round-robins") {
     val df = wideEmbeddings
     val p = plan(graft.operators.Similarity.topKCosine(
