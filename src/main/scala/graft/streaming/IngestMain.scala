@@ -166,6 +166,22 @@ object IngestMain {
     }
   }
 
+  /** `compact=true` in drain mode = the reference's full CRON cadence:
+    * catch up, exit, AND leave one-file-per-partition tables behind (its
+    * read-modify-write invariant, `df_manager.py:85-90`) — as a
+    * post-drain maintenance pass instead of a per-flush rewrite.
+    */
+  def compactLake(spark: SparkSession, conf: Map[String, String]): Unit =
+    if (conf.getOrElse("mode", "drain") == "drain" &&
+        conf.getOrElse("compact", "false") == "true") {
+      val root = conf("root")
+      Seq("vision", "air_quality").foreach { t =>
+        val p = new org.apache.hadoop.fs.Path(s"$root/$t")
+        if (p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p))
+          graft.sinks.PartitionedSink.compactPartitions(spark, s"$root/$t")
+      }
+    }
+
   def main(args: Array[String]): Unit = {
     val conf = parseArgs(args)
     val spark = GraftSession.configure(
@@ -181,6 +197,8 @@ object IngestMain {
       queries.foreach(q => if (q.isActive) q.stop())
     }
     queries.foreach(_.awaitTermination())
+
+    compactLake(spark, conf)
     spark.stop()
   }
 }

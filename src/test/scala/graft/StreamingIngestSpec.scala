@@ -158,6 +158,32 @@ class StreamingIngestSpec extends SparkSpec {
       ("new_mystery", "malformed_json"), ("old_mystery", "unknown_topic")))
   }
 
+  test("compact=true after drain: accumulated per-batch files collapse to one per leaf") {
+    val root = Files.createTempDirectory("graft_lake7_").toString
+    def visionLine(ts: Long) =
+      s"""{"topic": "cuip_vision_events", "value": "{\\"timestamp\\": $ts, \\"camera_id\\": \\"cam1\\", \\"locations\\": [], \\"hit_counts\\": 1}"}"""
+    // two separate drains (own source dir + checkpoint each) -> two
+    // files in the same (cam1, 2024, 1) leaf, the accumulation
+    // compaction removes
+    Seq(1704067200000L, 1704067260000L).zipWithIndex.foreach { case (ts, i) =>
+      val src = Files.createTempDirectory(s"graft_src7_$i").toString
+      Files.write(java.nio.file.Paths.get(s"$src/batch.json"),
+        java.util.Arrays.asList(visionLine(ts)))
+      val conf = Map("source" -> s"dir:$src", "root" -> root,
+        "checkpoint" -> Files.createTempDirectory(s"graft_ckpt7_$i").toString,
+        "topics" -> "cuip_vision_events", "mode" -> "drain")
+      graft.streaming.IngestMain.startQueries(spark, conf).foreach(_.awaitTermination())
+    }
+    val leaf = new java.io.File(s"$root/vision/entity=cam1/year=2024/month=1")
+    def files() = leaf.listFiles().count(f => f.isFile && f.getName.endsWith(".parquet"))
+    assert(files() >= 2, "two drains must have accumulated files")
+
+    graft.streaming.IngestMain.compactLake(spark,
+      Map("root" -> root, "mode" -> "drain", "compact" -> "true"))
+    assert(files() === 1, "post-drain compaction must leave one file per leaf")
+    assert(spark.read.parquet(s"$root/vision").count() === 2)
+  }
+
   test("AvailableNow restart is idempotent (checkpoint prevents reprocessing)") {
     val root = Files.createTempDirectory("graft_lake2_").toString
     val ckpt = Files.createTempDirectory("graft_ckpt2_").toString
