@@ -355,6 +355,35 @@ object SparkEntry {
       round(col("mean_luma"), 6).as("mean_luma"))
   }
 
+  /** Q43 — the REAL audio codec, oracle-checked end-to-end: render a
+    * deterministic 16-bit PCM WAV per document (frame count / sample
+    * rate / amplitude derived from the text's byte length), decode it
+    * back through the JDK codec
+    * ([[graft.multimodal.Multimodal.audioMeta]]), and surface the
+    * DECODED sample rate, frame count and RMS amplitude. The oracle
+    * computes the same values arithmetically from `octet_length(text)`
+    * (the RMS of a ±A square wave is exactly A), so a hash match proves
+    * the whole encode → WAV bytes → decode → sample-stats path.
+    * Per-partition batch kernels, no shuffle, no UDF registry.
+    */
+  def q43(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val media = docs(s, d)
+      .select(col("doc_id"), octet_length(col("text")).cast("int").as("n"))
+      .as[(Long, Int)]
+      .map { case (id, n) =>
+        val rate = 8000 + (n % 5) * 1000
+        Multimodal.MediaRow(id, "audio",
+          Multimodal.renderPcmWav(n % 50 + 10, rate, (n % 100 + 1) * 100),
+          0, 0, rate)
+      }
+    Multimodal.audioMeta(media).select(
+      col("media_id").as("doc_id"),
+      col("sample_rate").cast("long").as("sample_rate"),
+      col("n_samples").as("n_samples"),
+      round(col("rms"), 6).as("rms"))
+  }
+
   /** Q40 — skew-mitigation salted join, oracle-checked: market-segment
     * revenue through [[graft.operators.Joins.saltedJoin]] — deterministic
     * per-row salt (`hash(o_orderkey)`), customer dimension replicated
@@ -468,7 +497,8 @@ object SparkEntry {
     "q39_image_decode"    -> (q39 _),
     "q40_salted_join"     -> (q40 _),
     "q41_asof_join"       -> (q41 _),
-    "q42_range_join"      -> (q42 _))
+    "q42_range_join"      -> (q42 _),
+    "q43_audio_decode"    -> (q43 _))
 
   // DuckDB twins. Shared SQL fragments for the text queries:
   // explicit class: Java \s includes \x0B, RE2 \s does not — see
@@ -676,6 +706,15 @@ object SparkEntry {
       ("SELECT doc_id, CAST(octet_length(encode(text)) % 13 + 3 AS BIGINT) AS width, " +
        "CAST(octet_length(encode(text)) % 7 + 2 AS BIGINT) AS height, " +
        "round(CAST(octet_length(encode(text)) % 256 AS DOUBLE), 6) AS mean_luma " +
+       "FROM documents"),
+    // q43: the oracle never decodes a WAV — it derives the expected
+    // decoded rate/frames/RMS arithmetically from the same byte length
+    // the engine renders from (the RMS of a ±A square wave is exactly A)
+    "q43_audio_decode" ->
+      ("SELECT doc_id, " +
+       "CAST(8000 + (octet_length(encode(text)) % 5) * 1000 AS BIGINT) AS sample_rate, " +
+       "CAST(octet_length(encode(text)) % 50 + 10 AS BIGINT) AS n_samples, " +
+       "round(CAST((octet_length(encode(text)) % 100 + 1) * 100 AS DOUBLE), 6) AS rms " +
        "FROM documents"),
     "q37_dedup_corpus" ->
       (s"""WITH RECURSIVE toks AS (SELECT doc_id, $TOKS AS tk FROM documents),

@@ -10,14 +10,16 @@ import org.apache.spark.sql.functions._
   * The Spark-side plumbing is real — schema, typed Dataset encoders,
   * partition-wise batch processing (`mapPartitions`, the JVM analogue of
   * arrow-batched UDF execution), deterministic outputs. The IMAGE codec
-  * is real too: `javax.imageio` ships with the JDK, so [[imageMeta]] and
-  * [[resizeImages]] decode/re-encode PNG/JPEG/BMP/GIF with zero external
-  * dependencies. Audio/video codecs are STUBS (no such library in this
-  * environment): `decodeStub` derives "decoded" properties
-  * deterministically from the payload bytes so those pipelines stay
-  * testable end-to-end; swapping in a real codec changes only the marked
-  * function bodies — the operator shapes (schema in/out, batching,
-  * partitioning) are final.
+  * is real (`javax.imageio` ships with the JDK: [[imageMeta]] /
+  * [[resizeImages]] decode/re-encode PNG/JPEG/BMP/GIF) and so is the
+  * AUDIO codec (`javax.sound.sampled` ships with the JDK: [[audioMeta]]
+  * decodes WAV/PCM, [[renderPcmWav]] encodes it) — zero external
+  * dependencies either way. Only the VIDEO codec is a STUB (the JDK has
+  * no video decoder and no codec library resolves in this environment):
+  * `decodeStub` derives "decoded" properties deterministically from the
+  * payload bytes so that pipeline stays testable end-to-end; swapping in
+  * a real codec changes only the marked function bodies — the operator
+  * shapes (schema in/out, batching, partitioning) are final.
   */
 object Multimodal {
 
@@ -139,13 +141,114 @@ object Multimodal {
     })
   }
 
-  // ---- STUB KERNELS (audio/video — no codec library in this env) ---------
-  // Real implementations would call an audio/video codec here. The stubs
-  // are deterministic functions of the payload so the pipeline is testable.
+  // ---- REAL AUDIO KERNEL (JDK javax.sound.sampled — no external deps) ----
 
-  /** STUB decode: real version would decode the audio/video stream and
-    * emit an embedding; this derives an 8-dim feature deterministically
-    * from payload bytes. (Images have the real path: [[imageMeta]].)
+  /** Decoded-audio metadata + sample stats (the audio twin of
+    * [[ImageMeta]]). `decoded = false` rows (payload is not parseable
+    * WAV/PCM) carry -1 properties and NaN stats instead of killing the
+    * batch — same corrupt-row contract as the image kernel.
+    */
+  case class AudioMeta(media_id: Long, decoded: Boolean, sample_rate: Int,
+                       channels: Int, n_samples: Long, rms: Double, peak: Int)
+
+  /** Deterministic 16-bit mono PCM WAV — a ±`amplitude` square wave of
+    * `nSamples` frames (the encode half of the JDK audio codec path);
+    * used by the oracle-checked decode query (q43) and specs. The RMS of
+    * a ±A square wave is exactly A, so decode output is arithmetically
+    * checkable without the oracle touching a codec.
+    */
+  def renderPcmWav(nSamples: Int, sampleRate: Int, amplitude: Int): Array[Byte] = {
+    require(nSamples >= 0 && amplitude >= 0 && amplitude <= Short.MaxValue,
+      s"amplitude must fit a 16-bit sample, got $amplitude")
+    val fmt = new javax.sound.sampled.AudioFormat(
+      sampleRate.toFloat, 16, 1, /*signed=*/ true, /*bigEndian=*/ false)
+    val pcm = new Array[Byte](nSamples * 2)
+    var i = 0
+    while (i < nSamples) {
+      val v = if (i % 2 == 0) amplitude else -amplitude
+      pcm(2 * i) = (v & 0xFF).toByte
+      pcm(2 * i + 1) = ((v >> 8) & 0xFF).toByte
+      i += 1
+    }
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, nSamples.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  private def decodeAudio(payload: Array[Byte])
+      : Option[(javax.sound.sampled.AudioFormat, Array[Byte])] =
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try Some((ais.getFormat, ais.readAllBytes()))
+      finally ais.close()
+    } catch {
+      case _: javax.sound.sampled.UnsupportedAudioFileException
+           | _: java.io.IOException | _: RuntimeException => None
+    }
+
+  /** Decode every payload through the JDK WAV/PCM codec and extract
+    * format properties + sample statistics — one pass per partition, no
+    * shuffle, no driver collect, corrupt rows flagged not thrown.
+    * Supports 8-bit (unsigned, per WAV convention) and 16-bit signed
+    * PCM in either endianness; other encodings flag `decoded = false`.
+    */
+  def audioMeta(media: Dataset[MediaRow]): Dataset[AudioMeta] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val bad = AudioMeta(r.media_id, decoded = false, -1, -1, -1L,
+          Double.NaN, -1)
+        decodeAudio(r.payload) match {
+          case Some((fmt, data)) =>
+            val bits = fmt.getSampleSizeInBits
+            val ch = fmt.getChannels
+            val enc = fmt.getEncoding
+            val pcmSigned = enc == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+            val pcmUnsigned = enc == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED
+            if (!(pcmSigned || pcmUnsigned) || (bits != 8 && bits != 16) || ch < 1) bad
+            else {
+              val bytesPer = bits / 8
+              val n = data.length / (bytesPer * ch) // whole frames only
+              var sumSq = 0.0; var peak = 0
+              var i = 0
+              val total = n * ch
+              while (i < total) {
+                val v =
+                  if (bits == 8) {
+                    // 8-bit WAV is unsigned-centered at 128 by convention
+                    if (pcmUnsigned) (data(i) & 0xFF) - 128 else data(i).toInt
+                  } else {
+                    val off = i * 2
+                    val b0 = data(off) & 0xFF; val b1 = data(off + 1) & 0xFF
+                    val raw = if (fmt.isBigEndian) (b0 << 8) | b1 else (b1 << 8) | b0
+                    val s = raw.toShort.toInt
+                    if (pcmUnsigned) raw - 32768 else s
+                  }
+                sumSq += v.toDouble * v; if (math.abs(v) > peak) peak = math.abs(v)
+                i += 1
+              }
+              AudioMeta(r.media_id, decoded = true,
+                math.round(fmt.getSampleRate), ch, n,
+                if (total == 0) Double.NaN else math.sqrt(sumSq / total), peak)
+            }
+          case None => bad
+        }
+      }
+    }
+  }
+
+  // ---- STUB KERNEL (video — the JDK has no video codec) -------------------
+  // A real implementation would call a video codec here. The stub is a
+  // deterministic function of the payload so the pipeline is testable.
+
+  /** STUB decode: real version would decode the video stream and emit an
+    * embedding; this derives an 8-dim feature deterministically from
+    * payload bytes. (Images and audio have real paths: [[imageMeta]],
+    * [[audioMeta]].)
     */
   private def decodeStub(payload: Array[Byte]): Array[Float] = {
     val f = new Array[Float](8)

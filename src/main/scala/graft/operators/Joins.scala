@@ -54,15 +54,19 @@ object Joins {
     *
     * Spark-first plan (the distributed analogue of a sorted merge): ONE
     * shuffle — left and right rows union-tagged, hash-partitioned by
-    * key, sorted per key by (time, side, tieBreak), and each right
-    * value column forward-filled with a running `last(ignoreNulls)`
-    * window; left rows then project their filled values. No correlated
-    * per-row probe, no range cross-join: cost is a sort per key
-    * partition, identical to any windowed aggregation at 100 TB. Right
-    * rows sort BEFORE left rows at equal times, so "at-or-before"
-    * includes exact-time matches. For a pathologically hot key the same
-    * caveat as any window applies (one partition holds the key); salt
-    * cannot help here — bucket by coarse time ranges instead.
+    * key, sorted per key by (time, side, tieBreak), and a SINGLE struct
+    * of all right value columns forward-filled with a running
+    * `last(ignoreNulls)` window; left rows then project the struct's
+    * fields. Filling one struct (not each column independently) keeps
+    * every projected value from the SAME matched right row — a right
+    * row with a null in one value column must surface that null, not a
+    * stale value stitched in from an older row. No correlated per-row
+    * probe, no range cross-join: cost is a sort per key partition,
+    * identical to any windowed aggregation at 100 TB. Right rows sort
+    * BEFORE left rows at equal times, so "at-or-before" includes
+    * exact-time matches. For a pathologically hot key the same caveat
+    * as any window applies (one partition holds the key); salt cannot
+    * help here — bucket by coarse time ranges instead.
     *
     * Requirements: `leftTime`/`rightTime` must be mutually comparable
     * (cast before calling); non-key column names must not overlap; a
@@ -87,11 +91,15 @@ object Joins {
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("__t").asc, col("__side").asc, col(tieBreak).asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = rightVals.foldLeft(u)((df, c) =>
-      df.withColumn(s"__asof_$c", last(col(c), ignoreNulls = true).over(w)))
+    // one struct per RIGHT row (null for left rows, so ignoreNulls skips
+    // them); the fill then carries whole matched rows, never a per-column
+    // mix of different right rows
+    val rightRow = when(col("__side") === 0,
+      struct(rightVals.toIndexedSeq.map(col): _*))
+    val filled = u.withColumn("__asof", last(rightRow, ignoreNulls = true).over(w))
     filled.filter(col("__side") === 1)
       .select(left.columns.toIndexedSeq.map(col) ++
-        rightVals.map(c => col(s"__asof_$c").as(c)): _*)
+        rightVals.map(c => col("__asof").getField(c).as(c)): _*)
   }
 
   /** Bucketed range join: each point row pairs with every interval row

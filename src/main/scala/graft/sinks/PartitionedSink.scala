@@ -69,23 +69,42 @@ object PartitionedSink {
     * Run it off the hot path (the reference's own CRON cadence), not per
     * batch.
     *
-    * Leaves are independent: a production run fans the per-leaf jobs out
-    * concurrently; sequential here keeps failure handling obvious while
-    * each leaf's rewrite already parallelizes across the cluster.
+    * Leaves are independent, so the per-leaf rewrites fan out over a
+    * fixed-size driver thread pool (`parallelism` concurrent Spark jobs —
+    * at 10⁴–10⁵ leaves, serialized job submission would dominate wall
+    * clock; each leaf's rewrite additionally parallelizes across the
+    * cluster). A failed leaf fails the pass after in-flight leaves
+    * finish; completed leaves stay compacted (the pass is idempotent —
+    * rerun it).
+    *
+    * `format` must match what [[appendPartitioned]] wrote: parquet reads
+    * merge schemas across files (the dead-letter migration path); csv
+    * reads are header-less all-string (no type inference — values
+    * round-trip verbatim into the rewritten files).
     *
     * Crash safety (documented, not transactional): new files land in a
     * `_compact_tmp` subdir first, old files are parked in `_compact_old`
     * before the swap, and `_`-prefixed dirs are invisible to Spark/Hive
     * readers — a crash mid-swap leaves the partition readable or the old
-    * files recoverable by hand, never silently half-compacted. True ACID
-    * swaps belong to a table format (Delta/Iceberg), whose jars this
-    * offline container cannot resolve; this pass is the format-free
-    * equivalent for plain parquet lakes.
+    * files parked, never silently half-compacted. The next compaction
+    * pass SELF-HEALS a crashed leaf before touching it: a `_compact_old`
+    * with no visible data files means the crash hit between park and
+    * swap-in, so the parked files are restored; a `_compact_old` next to
+    * visible files means the swap-in completed, so the stale parked
+    * copies are dropped; a leftover `_compact_tmp` is always discarded
+    * (its contents are re-derivable). True ACID swaps belong to a table
+    * format (Delta/Iceberg), whose jars this offline container cannot
+    * resolve; this pass is the format-free equivalent for plain lakes.
     *
     * Returns the number of leaf partitions rewritten.
     */
   def compactPartitions(spark: SparkSession, root: String,
-                        targetBytes: Long = 128L * 1024 * 1024): Int = {
+                        targetBytes: Long = 128L * 1024 * 1024,
+                        format: String = "parquet",
+                        parallelism: Int = 8): Int = {
+    require(Set("parquet", "csv")(format),
+      s"compactPartitions supports parquet and csv lakes, got: $format")
+    require(parallelism >= 1, s"parallelism must be >= 1, got $parallelism")
     val rootPath = new Path(root)
     val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
@@ -97,29 +116,62 @@ object PartitionedSink {
       here ++ entries.filter(_.isDirectory).flatMap(s => leaves(s.getPath))
     }
 
-    var compacted = 0
-    leaves(rootPath).foreach { leaf =>
-      val files = fs.listStatus(leaf)
-        .filter(s => s.isFile && !isHidden(s.getPath))
+    def visibleFiles(leaf: Path) =
+      fs.listStatus(leaf).filter(s => s.isFile && !isHidden(s.getPath))
+
+    // self-heal a leaf a previous pass crashed in (see scaladoc)
+    def recoverLeaf(leaf: Path): Unit = {
+      val old = new Path(leaf, "_compact_old")
+      val tmp = new Path(leaf, "_compact_tmp")
+      if (fs.exists(old)) {
+        if (visibleFiles(leaf).isEmpty)
+          fs.listStatus(old).filter(_.isFile)
+            .foreach(f => fs.rename(f.getPath, new Path(leaf, f.getPath.getName)))
+        fs.delete(old, true)
+      }
+      if (fs.exists(tmp)) fs.delete(tmp, true)
+    }
+
+    def compactLeaf(leaf: Path): Boolean = {
+      recoverLeaf(leaf)
+      val files = visibleFiles(leaf)
       val nOut = math.max(1,
         math.ceil(files.map(_.getLen).sum.toDouble / targetBytes).toInt)
-      if (files.length > nOut) {
+      if (files.length <= nOut) false
+      else {
         val tmp = new Path(leaf, "_compact_tmp")
         val old = new Path(leaf, "_compact_old")
         // partition-column values live in the directory name, not the
         // files, so a leaf-local read/rewrite round-trips the data columns
-        spark.read.option("mergeSchema", "true").parquet(leaf.toString)
-          .coalesce(nOut)
-          .write.mode("overwrite").parquet(tmp.toString)
+        val data = format match {
+          case "parquet" =>
+            spark.read.option("mergeSchema", "true").parquet(leaf.toString)
+          case "csv" =>
+            spark.read.format("csv").load(leaf.toString)
+        }
+        data.coalesce(nOut).write.mode("overwrite").format(format).save(tmp.toString)
         fs.mkdirs(old)
         files.foreach(f => fs.rename(f.getPath, new Path(old, f.getPath.getName)))
         fs.listStatus(tmp).filter(s => s.isFile && !isHidden(s.getPath))
           .foreach(nf => fs.rename(nf.getPath, new Path(leaf, nf.getPath.getName)))
         fs.delete(tmp, true)
         fs.delete(old, true)
-        compacted += 1
+        true
       }
     }
-    compacted
+
+    val allLeaves = leaves(rootPath)
+    if (allLeaves.isEmpty) 0
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(parallelism, allLeaves.size))
+      try {
+        import scala.concurrent.{Await, ExecutionContext, Future}
+        implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+        val rewrites = allLeaves.map(leaf => Future(compactLeaf(leaf)))
+        Await.result(Future.sequence(rewrites), scala.concurrent.duration.Duration.Inf)
+          .count(identity)
+      } finally pool.shutdown()
+    }
   }
 }

@@ -65,6 +65,23 @@ class JoinsSpec extends SparkSpec {
     assert(out("no-quotes") === ((None, None)))            // key never quoted
   }
 
+  test("asofJoin: a null value column in the matched row is NOT backfilled from an older row") {
+    // latest quote (qt=20) has px=NULL but a real qid; an independent
+    // per-column fill would tear the row — qid from qt=20, px from qt=10.
+    // The matched row must surface BOTH its values, nulls included.
+    val quotes = Seq(
+      (1L, 10L, Some(100L), Some(1.5)),
+      (1L, 20L, Some(101L), Option.empty[Double]))
+      .toDF("k", "qt", "qid", "px")
+    val trades = Seq((1L, 30L, "after-null-px")).toDF("k", "tt", "trade")
+
+    val out = Joins.asofJoin(trades, quotes, Seq("k"), "tt", "qt", tieBreak = "qid")
+      .select("trade", "qid", "px")
+      .as[(String, Option[Long], Option[Double])].collect()
+    assert(out.toSeq === Seq(("after-null-px", Some(101L), None)),
+      "values must all come from the single matched right row (qt=20)")
+  }
+
   test("asofJoin rejects overlapping non-key columns and a bad tieBreak") {
     val l = Seq((1L, 1L, "x")).toDF("k", "t", "v")
     val r = Seq((1L, 1L, "y")).toDF("k", "rt", "v")

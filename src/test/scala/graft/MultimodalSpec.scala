@@ -3,9 +3,10 @@ package graft
 import graft.multimodal.Multimodal
 
 /** Multimodal plumbing specs: binary payload schema, partition-wise batch
-  * kernels, 1→N frame sampling, and the REAL image codec path
-  * (`javax.imageio`, no external deps). Audio/video codec bodies remain
-  * stubs (marked in [[Multimodal]]); the shapes and determinism are the
+  * kernels, 1→N frame sampling, and the REAL codec paths — images
+  * (`javax.imageio`) and audio (`javax.sound.sampled`), both
+  * JDK-built-in, no external deps. Only the video codec body remains a
+  * stub (marked in [[Multimodal]]); the shapes and determinism are the
   * contract.
   */
 class MultimodalSpec extends SparkSpec {
@@ -63,6 +64,51 @@ class MultimodalSpec extends SparkSpec {
     // bilinear rescale of a constant image stays that constant color
     assert((img.getRGB(3, 2) & 0xFFFFFF) === 0x4080C0)
     assert(out(1).payload === orig) // undecodable: unchanged, not dropped
+  }
+
+  test("audioMeta: real JDK WAV decode — exact rate/frames/RMS, corrupt rows flagged") {
+    val metas = Multimodal.audioMeta(imageTable(Seq(
+        1L -> Multimodal.renderPcmWav(nSamples = 40, sampleRate = 11000, amplitude = 2500),
+        2L -> Multimodal.renderPcmWav(nSamples = 7, sampleRate = 8000, amplitude = 0),
+        3L -> "definitely not a wav".getBytes("UTF-8"))))
+      .collect().sortBy(_.media_id)
+
+    assert(metas(0).decoded && metas(0).sample_rate === 11000 && metas(0).channels === 1)
+    assert(metas(0).n_samples === 40L && metas(0).peak === 2500)
+    // RMS of a ±A square wave is exactly A (all terms exact in double)
+    assert(metas(0).rms === 2500.0)
+    assert(metas(1).decoded && metas(1).n_samples === 7L && metas(1).rms === 0.0)
+    // corrupt payload: flagged, never thrown
+    assert(!metas(2).decoded && metas(2).sample_rate === -1 && metas(2).rms.isNaN)
+  }
+
+  test("audioMeta: 8-bit unsigned and stereo 16-bit PCM decode correctly") {
+    // hand-build an 8-bit unsigned mono WAV via the JDK encoder
+    def wav(fmt: javax.sound.sampled.AudioFormat, pcm: Array[Byte], frames: Long) = {
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, frames)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(
+        ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    val fmt8 = new javax.sound.sampled.AudioFormat(8000f, 8, 1, false, false)
+    // samples centered at 128: 128+50, 128-50 → RMS 50, peak 50
+    val pcm8 = Array.tabulate[Byte](10)(i => if (i % 2 == 0) (128 + 50).toByte else (128 - 50).toByte)
+    // stereo 16-bit: both channels carry ±1000 → RMS 1000 over all samples
+    val fmt16s = new javax.sound.sampled.AudioFormat(16000f, 16, 2, true, false)
+    val pcm16 = new Array[Byte](6 * 4)
+    (0 until 12).foreach { s =>
+      val v = if (s % 2 == 0) 1000 else -1000
+      pcm16(2 * s) = (v & 0xFF).toByte; pcm16(2 * s + 1) = ((v >> 8) & 0xFF).toByte
+    }
+    val metas = Multimodal.audioMeta(imageTable(Seq(
+        1L -> wav(fmt8, pcm8, 10), 2L -> wav(fmt16s, pcm16, 6))))
+      .collect().sortBy(_.media_id)
+    assert(metas(0).decoded && metas(0).n_samples === 10L &&
+      metas(0).rms === 50.0 && metas(0).peak === 50)
+    assert(metas(1).decoded && metas(1).channels === 2 &&
+      metas(1).n_samples === 6L && metas(1).rms === 1000.0)
   }
 
   test("asMediaTable: binary payload column with typed metadata") {
