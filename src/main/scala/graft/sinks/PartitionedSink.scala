@@ -73,28 +73,50 @@ object PartitionedSink {
     * fixed-size driver thread pool (`parallelism` concurrent Spark jobs —
     * at 10⁴–10⁵ leaves, serialized job submission would dominate wall
     * clock; each leaf's rewrite additionally parallelizes across the
-    * cluster). A failed leaf fails the pass after in-flight leaves
-    * finish; completed leaves stay compacted (the pass is idempotent —
-    * rerun it).
+    * cluster). Every queued leaf runs to completion (or failure) before
+    * the pass returns; if any leaf failed, the first failure is rethrown
+    * AFTER the others finish — no compaction job keeps running detached
+    * past this method's return. Completed leaves stay compacted (the
+    * pass is idempotent — rerun it).
     *
     * `format` must match what [[appendPartitioned]] wrote: parquet reads
     * merge schemas across files (the dead-letter migration path); csv
     * reads are header-less all-string (no type inference — values
-    * round-trip verbatim into the rewritten files).
+    * round-trip semantically under Spark's default CSV options, NOT
+    * byte-verbatim: empty fields are read as null and rewritten as
+    * empty, conflating the two, and quoting/escaping may be
+    * re-normalized; all files in a leaf must share column order/count,
+    * since header-less CSV is stitched by position).
     *
-    * Crash safety (documented, not transactional): new files land in a
-    * `_compact_tmp` subdir first, old files are parked in `_compact_old`
-    * before the swap, and `_`-prefixed dirs are invisible to Spark/Hive
-    * readers — a crash mid-swap leaves the partition readable or the old
-    * files parked, never silently half-compacted. The next compaction
-    * pass SELF-HEALS a crashed leaf before touching it: a `_compact_old`
-    * with no visible data files means the crash hit between park and
-    * swap-in, so the parked files are restored; a `_compact_old` next to
-    * visible files means the swap-in completed, so the stale parked
-    * copies are dropped; a leftover `_compact_tmp` is always discarded
-    * (its contents are re-derivable). True ACID swaps belong to a table
-    * format (Delta/Iceberg), whose jars this offline container cannot
-    * resolve; this pass is the format-free equivalent for plain lakes.
+    * Crash safety (documented, not transactional): the swap is a
+    * five-step protocol with an explicit commit point, so recovery never
+    * has to guess which side of the swap a crash landed on.
+    *
+    *   1. new files land in a `_compact_tmp` subdir;
+    *   2. `_compact_old/_MANIFEST` is written, listing the names of the
+    *      originals about to be parked and of the tmp files about to be
+    *      swapped in — BEFORE any rename moves;
+    *   3. originals are renamed (parked) into `_compact_old`;
+    *   4. tmp files are renamed into the leaf;
+    *   5. `_compact_old/_COMMITTED` is written — the commit point — and
+    *      only then are `_compact_tmp` and `_compact_old` deleted.
+    *
+    * `_`-prefixed dirs are invisible to Spark/Hive readers, so a reader
+    * that races a crash sees either the old file set, the new one, or a
+    * transient mix during steps 3–4 — never the doubled rows of both.
+    * The next compaction pass SELF-HEALS a crashed leaf before touching
+    * it, deciding solely by the marker: `_COMMITTED` present means the
+    * swap-in finished, so the parked copies are dropped; absent means
+    * the swap must be rolled back — any visible file named in the
+    * manifest's swap-in list is a partial swap-in and is deleted, every
+    * parked original is restored, and only then are the `_compact_*`
+    * dirs removed. A `_compact_old` with no `_MANIFEST` predates step 2,
+    * so nothing was parked and it is simply dropped; a lone
+    * `_compact_tmp` is always re-derivable and discarded. Recovery
+    * itself is idempotent (restores and deletes re-run safely). True
+    * ACID swaps belong to a table format (Delta/Iceberg), whose jars
+    * this offline container cannot resolve; this pass is the
+    * format-free equivalent for plain lakes.
     *
     * Returns the number of leaf partitions rewritten.
     */
@@ -119,14 +141,43 @@ object PartitionedSink {
     def visibleFiles(leaf: Path) =
       fs.listStatus(leaf).filter(s => s.isFile && !isHidden(s.getPath))
 
-    // self-heal a leaf a previous pass crashed in (see scaladoc)
+    def writeSmallFile(p: Path, text: String): Unit = {
+      val out = fs.create(p, true)
+      try out.write(text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
+    def readSmallFile(p: Path): String = {
+      val in = fs.open(p)
+      try {
+        val buf = new java.io.ByteArrayOutputStream()
+        val chunk = new Array[Byte](8192)
+        var n = in.read(chunk)
+        while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+        new String(buf.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+      } finally in.close()
+    }
+
+    // self-heal a leaf a previous pass crashed in (see scaladoc):
+    // _COMMITTED decides; the manifest tells us exactly what to undo
     def recoverLeaf(leaf: Path): Unit = {
       val old = new Path(leaf, "_compact_old")
       val tmp = new Path(leaf, "_compact_tmp")
       if (fs.exists(old)) {
-        if (visibleFiles(leaf).isEmpty)
-          fs.listStatus(old).filter(_.isFile)
+        val committed = fs.exists(new Path(old, "_COMMITTED"))
+        val manifest  = new Path(old, "_MANIFEST")
+        if (!committed && fs.exists(manifest)) {
+          // crash between park and commit: roll the swap back
+          val swapIn = readSmallFile(manifest).linesIterator
+            .collect { case s if s.startsWith("new\t") => s.stripPrefix("new\t") }
+            .toSet
+          visibleFiles(leaf).filter(f => swapIn(f.getPath.getName))
+            .foreach(f => fs.delete(f.getPath, false))
+          fs.listStatus(old)
+            .filter(s => s.isFile && !isHidden(s.getPath))
             .foreach(f => fs.rename(f.getPath, new Path(leaf, f.getPath.getName)))
+        }
+        // committed → parked copies are stale; no manifest → nothing was
+        // ever parked (crash before step 2); rolled back → now empty
         fs.delete(old, true)
       }
       if (fs.exists(tmp)) fs.delete(tmp, true)
@@ -150,10 +201,16 @@ object PartitionedSink {
             spark.read.format("csv").load(leaf.toString)
         }
         data.coalesce(nOut).write.mode("overwrite").format(format).save(tmp.toString)
+        val newFiles = fs.listStatus(tmp).filter(s => s.isFile && !isHidden(s.getPath))
         fs.mkdirs(old)
+        // step 2: manifest first — recovery needs it to undo a partial swap
+        writeSmallFile(new Path(old, "_MANIFEST"),
+          (files.map(f => s"old\t${f.getPath.getName}") ++
+           newFiles.map(f => s"new\t${f.getPath.getName}")).mkString("\n"))
         files.foreach(f => fs.rename(f.getPath, new Path(old, f.getPath.getName)))
-        fs.listStatus(tmp).filter(s => s.isFile && !isHidden(s.getPath))
-          .foreach(nf => fs.rename(nf.getPath, new Path(leaf, nf.getPath.getName)))
+        newFiles.foreach(nf => fs.rename(nf.getPath, new Path(leaf, nf.getPath.getName)))
+        // step 5: the commit point — only now may the parked copies die
+        writeSmallFile(new Path(old, "_COMMITTED"), "")
         fs.delete(tmp, true)
         fs.delete(old, true)
         true
@@ -167,10 +224,16 @@ object PartitionedSink {
         math.min(parallelism, allLeaves.size))
       try {
         import scala.concurrent.{Await, ExecutionContext, Future}
+        import scala.util.{Failure, Success, Try}
         implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
-        val rewrites = allLeaves.map(leaf => Future(compactLeaf(leaf)))
-        Await.result(Future.sequence(rewrites), scala.concurrent.duration.Duration.Inf)
-          .count(identity)
+        // each leaf wrapped in Try: a failure must not fail-fast the
+        // sequence while queued leaves still run on the pool — await ALL
+        // outcomes, then rethrow, so nothing runs past this return
+        val rewrites = allLeaves.map(leaf => Future(Try(compactLeaf(leaf))))
+        val outcomes = Await.result(
+          Future.sequence(rewrites), scala.concurrent.duration.Duration.Inf)
+        outcomes.collectFirst { case Failure(e) => e }.foreach(e => throw e)
+        outcomes.count { case Success(rewrote) => rewrote; case _ => false }
       } finally pool.shutdown()
     }
   }

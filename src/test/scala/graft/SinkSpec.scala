@@ -58,6 +58,98 @@ class SinkSpec extends SparkSpec {
     assert(PartitionedSink.compactPartitions(spark, dir) === 0)
   }
 
+  // --- compaction crash-recovery: hand-build the exact on-disk states a
+  // crash leaves behind at each protocol step, then prove the next pass
+  // restores every row (see PartitionedSink.compactPartitions scaladoc)
+
+  /** A 2-file leaf plus helpers to fake protocol states inside it. */
+  private def crashFixture() = {
+    val dir = Files.createTempDirectory("graft_crash_").toString
+    (0 until 2).foreach { i =>
+      PartitionedSink.appendPartitioned(
+        sample.withColumn("id", col("id") + lit(i * 10L)), dir)
+    }
+    val leaf = new java.io.File(s"$dir/entity=camA/year=2024/month=1")
+    (dir, leaf, spark.read.parquet(dir)
+      .as[(Long, Int, String, Int, Int)].collect().toSet)
+  }
+  private def parquetFiles(leaf: java.io.File) =
+    leaf.listFiles().filter(f => f.isFile && f.getName.endsWith(".parquet"))
+  private def write(f: java.io.File, text: String): Unit =
+    Files.write(f.toPath, text.getBytes("UTF-8"))
+
+  test("compaction recovery: crash mid-park (some originals parked, none swapped in) restores all rows") {
+    val (dir, leaf, before) = crashFixture()
+    val old = new java.io.File(leaf, "_compact_old"); old.mkdirs()
+    val files = parquetFiles(leaf)
+    // manifest written (step 2), then crash after parking ONE of two originals
+    write(new java.io.File(old, "_MANIFEST"),
+      files.map(f => s"old\t${f.getName}").mkString("\n") + "\nnew\tpart-new-0.parquet")
+    assert(files.head.renameTo(new java.io.File(old, files.head.getName)))
+
+    assert(PartitionedSink.compactPartitions(spark, dir) >= 1)
+    assert(!new java.io.File(leaf, "_compact_old").exists())
+    assert(spark.read.parquet(dir)
+      .as[(Long, Int, String, Int, Int)].collect().toSet === before)
+  }
+
+  test("compaction recovery: crash mid-swap-in (all parked, partial new files, no _COMMITTED) rolls back") {
+    val (dir, leaf, before) = crashFixture()
+    val old = new java.io.File(leaf, "_compact_old"); old.mkdirs()
+    val tmp = new java.io.File(leaf, "_compact_tmp"); tmp.mkdirs()
+    val files = parquetFiles(leaf)
+    // fake compacted output: one real parquet swapped in, one still in tmp
+    val swapped = new java.io.File(leaf, "part-new-0.parquet")
+    Files.copy(files.head.toPath, swapped.toPath)
+    Files.copy(files.head.toPath, new java.io.File(tmp, "part-new-1.parquet").toPath)
+    write(new java.io.File(old, "_MANIFEST"),
+      (files.map(f => s"old\t${f.getName}") ++
+       Seq("new\tpart-new-0.parquet", "new\tpart-new-1.parquet")).mkString("\n"))
+    files.foreach(f => assert(f.renameTo(new java.io.File(old, f.getName))))
+
+    assert(PartitionedSink.compactPartitions(spark, dir) >= 1)
+    assert(!new java.io.File(leaf, "_compact_old").exists())
+    assert(!new java.io.File(leaf, "_compact_tmp").exists())
+    // the duplicate-row partial swap-in must NOT survive recovery
+    assert(spark.read.parquet(dir)
+      .as[(Long, Int, String, Int, Int)].collect().toSet === before)
+  }
+
+  test("compaction recovery: crash after _COMMITTED keeps new files, drops parked copies") {
+    val (dir, leaf, before) = crashFixture()
+    // run a real compaction but recreate the committed-yet-uncleaned state:
+    // park a stale duplicate under _compact_old with the marker present
+    assert(PartitionedSink.compactPartitions(spark, dir) >= 1)
+    val old = new java.io.File(leaf, "_compact_old"); old.mkdirs()
+    Files.copy(parquetFiles(leaf).head.toPath,
+      new java.io.File(old, "stale-dup.parquet").toPath)
+    write(new java.io.File(old, "_MANIFEST"), "old\tstale-dup.parquet")
+    write(new java.io.File(old, "_COMMITTED"), "")
+
+    PartitionedSink.compactPartitions(spark, dir)
+    assert(!new java.io.File(leaf, "_compact_old").exists())
+    assert(spark.read.parquet(dir)
+      .as[(Long, Int, String, Int, Int)].collect().toSet === before)
+  }
+
+  test("compaction: a failing leaf fails the pass only after all leaves ran (no detached jobs)") {
+    val (dir, leaf, before) = crashFixture()
+    // corrupt ONE leaf so its rewrite read fails; the other two must still compact
+    val poison = new java.io.File(leaf, "poison.parquet")
+    write(poison, "this is not a parquet file")
+    intercept[Exception] {
+      PartitionedSink.compactPartitions(spark, dir, parallelism = 2)
+    }
+    // healthy leaves were still compacted in the same (failed) pass
+    val other = new java.io.File(s"$dir/entity=camB/year=2024/month=1")
+    assert(parquetFiles(other).length === 1, "healthy leaf not compacted by failed pass")
+    poison.delete()
+    // rerun succeeds and the data is intact
+    PartitionedSink.compactPartitions(spark, dir)
+    assert(spark.read.parquet(dir)
+      .as[(Long, Int, String, Int, Int)].collect().toSet === before)
+  }
+
   test("repartitionByPartitionColumns yields one file per partition tuple") {
     val dir = Files.createTempDirectory("graft_onefile_").toString
     val big = sample.repartition(8) // many tasks -> would write many files
