@@ -384,6 +384,37 @@ object SparkEntry {
       round(col("rms"), 6).as("rms"))
   }
 
+  /** Q44 — the REAL video codec, oracle-checked end-to-end: render a
+    * deterministic YUV4MPEG2 stream per document (dims / frame count /
+    * per-frame constant luma derived from the text's byte length),
+    * decode it back through the hand-rolled Y4M parser, extract every
+    * frame ([[graft.multimodal.Multimodal.videoFrameMeta]] — real FRAME
+    * boundaries, not byte strides), and surface the DECODED per-frame
+    * dimensions + mean luma. The oracle computes the same values
+    * arithmetically from `octet_length(text)` (the mean luma of a
+    * constant plane is exactly its value), so a hash match proves the
+    * whole encode → Y4M bytes → parse → frame-split → pixel-stats path.
+    * Per-partition flatMap kernel, no shuffle, no UDF registry.
+    */
+  def q44(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val media = docs(s, d)
+      .select(col("doc_id"), octet_length(col("text")).cast("int").as("n"))
+      .as[(Long, Int)]
+      .map { case (id, n) =>
+        val lumas = Array.tabulate(n % 6 + 1)(k => (n + k * 7) % 256)
+        Multimodal.MediaRow(id, "video",
+          Multimodal.renderY4m(n % 11 + 2, n % 9 + 2, lumas),
+          n % 11 + 2, n % 9 + 2, 0)
+      }
+    Multimodal.videoFrameMeta(media).select(
+      col("media_id").as("doc_id"),
+      col("frame_idx").cast("long").as("frame_idx"),
+      col("width").cast("long").as("width"),
+      col("height").cast("long").as("height"),
+      round(col("mean_luma"), 6).as("luma"))
+  }
+
   /** Q40 — skew-mitigation salted join, oracle-checked: market-segment
     * revenue through [[graft.operators.Joins.saltedJoin]] — deterministic
     * per-row salt (`hash(o_orderkey)`), customer dimension replicated
@@ -498,7 +529,8 @@ object SparkEntry {
     "q40_salted_join"     -> (q40 _),
     "q41_asof_join"       -> (q41 _),
     "q42_range_join"      -> (q42 _),
-    "q43_audio_decode"    -> (q43 _))
+    "q43_audio_decode"    -> (q43 _),
+    "q44_video_decode"    -> (q44 _))
 
   // DuckDB twins. Shared SQL fragments for the text queries:
   // explicit class: Java \s includes \x0B, RE2 \s does not — see
@@ -716,6 +748,15 @@ object SparkEntry {
        "CAST(octet_length(encode(text)) % 50 + 10 AS BIGINT) AS n_samples, " +
        "round(CAST((octet_length(encode(text)) % 100 + 1) * 100 AS DOUBLE), 6) AS rms " +
        "FROM documents"),
+    // q44: the oracle never parses Y4M — it derives each frame's
+    // dimensions and constant-plane luma arithmetically from the same
+    // byte length the engine renders from (one output row per frame)
+    "q44_video_decode" ->
+      ("WITH f AS (SELECT doc_id, octet_length(encode(text)) AS n, " +
+       "unnest(generate_series(0, octet_length(encode(text)) % 6)) AS g FROM documents) " +
+       "SELECT doc_id, CAST(g AS BIGINT) AS frame_idx, " +
+       "CAST(n % 11 + 2 AS BIGINT) AS width, CAST(n % 9 + 2 AS BIGINT) AS height, " +
+       "round(CAST((n + g * 7) % 256 AS DOUBLE), 6) AS luma FROM f"),
     "q37_dedup_corpus" ->
       (s"""WITH RECURSIVE toks AS (SELECT doc_id, $TOKS AS tk FROM documents),
           |sh AS (SELECT doc_id, ${shinglesSql("tk")} AS s FROM toks),

@@ -9,17 +9,21 @@ import org.apache.spark.sql.functions._
   *
   * The Spark-side plumbing is real — schema, typed Dataset encoders,
   * partition-wise batch processing (`mapPartitions`, the JVM analogue of
-  * arrow-batched UDF execution), deterministic outputs. The IMAGE codec
-  * is real (`javax.imageio` ships with the JDK: [[imageMeta]] /
-  * [[resizeImages]] decode/re-encode PNG/JPEG/BMP/GIF) and so is the
-  * AUDIO codec (`javax.sound.sampled` ships with the JDK: [[audioMeta]]
-  * decodes WAV/PCM, [[renderPcmWav]] encodes it) — zero external
-  * dependencies either way. Only the VIDEO codec is a STUB (the JDK has
-  * no video decoder and no codec library resolves in this environment):
-  * `decodeStub` derives "decoded" properties deterministically from the
-  * payload bytes so that pipeline stays testable end-to-end; swapping in
-  * a real codec changes only the marked function bodies — the operator
-  * shapes (schema in/out, batching, partitioning) are final.
+  * arrow-batched UDF execution), deterministic outputs. All three media
+  * codecs are real and zero-dependency: IMAGE via `javax.imageio` (JDK:
+  * [[imageMeta]] / [[resizeImages]] decode/re-encode PNG/JPEG/BMP/GIF),
+  * AUDIO via `javax.sound.sampled` (JDK: [[audioMeta]] decodes WAV/PCM,
+  * [[renderPcmWav]] encodes it), and VIDEO via a hand-rolled YUV4MPEG2
+  * (Y4M) container codec ([[videoMeta]] / [[videoFrameMeta]] parse,
+  * [[renderY4m]] encodes) — Y4M is the uncompressed interchange format
+  * every video toolchain speaks (plain-text header + raw planar YUV
+  * frames), so parsing it needs no codec library. COMPRESSED video
+  * bitstreams (H.264/VP9/AV1) would need an external decoder that does
+  * not resolve in this offline environment; such payloads simply flag
+  * `decoded = false` through the same corrupt-row contract. The only
+  * remaining deterministic fake is [[extractFeatures]]' embedding
+  * (`decodeStub`) — a real embedding needs an ML model, not a codec —
+  * and its operator shape (batch kernel, schema, partitioning) is final.
   */
 object Multimodal {
 
@@ -241,14 +245,183 @@ object Multimodal {
     }
   }
 
-  // ---- STUB KERNEL (video — the JDK has no video codec) -------------------
-  // A real implementation would call a video codec here. The stub is a
-  // deterministic function of the payload so the pipeline is testable.
+  // ---- REAL VIDEO KERNEL (hand-rolled YUV4MPEG2 — no external deps) ------
+  // Y4M is the raw-video interchange format (mjpegtools; emitted/consumed
+  // by ffmpeg, x264, libvpx): an ASCII one-line stream header
+  // `YUV4MPEG2 W<w> H<h> F<num>:<den> [I?] [A?:?] [C<space>]\n`, then per
+  // frame an ASCII `FRAME[ params]\n` marker followed by raw planar YUV.
+  // No entropy coding, so a from-scratch parser IS a complete decoder.
 
-  /** STUB decode: real version would decode the video stream and emit an
-    * embedding; this derives an 8-dim feature deterministically from
-    * payload bytes. (Images and audio have real paths: [[imageMeta]],
-    * [[audioMeta]].)
+  /** Decoded-video metadata + whole-stream luma stats (the video twin of
+    * [[ImageMeta]]/[[AudioMeta]]). `decoded = false` rows (payload is
+    * not parseable Y4M — e.g. a compressed bitstream) carry -1
+    * properties and NaN stats instead of killing the batch.
+    */
+  case class VideoMeta(media_id: Long, decoded: Boolean, width: Int, height: Int,
+                       fps_num: Int, fps_den: Int, n_frames: Int,
+                       mean_luma: Double, min_luma: Int, max_luma: Int)
+
+  /** One decoded frame's luma statistics (frame extraction output). */
+  case class VideoFrameMeta(media_id: Long, frame_idx: Int, width: Int,
+                            height: Int, mean_luma: Double)
+
+  /** Parsed Y4M stream header + the byte offset of each frame's Y plane. */
+  private case class Y4m(w: Int, h: Int, fpsNum: Int, fpsDen: Int,
+                         ySize: Int, chromaSize: Int, yOffsets: Vector[Int])
+
+  /** Deterministic Y4M encode (the encode half of the codec path): one
+    * constant-luma plane per frame (`lumas(k)` for frame k), chroma at
+    * neutral 128. Constant planes make decode output arithmetically
+    * checkable — the mean luma of frame k is exactly `lumas(k)` — the
+    * same trick as [[renderSolidPng]] / [[renderPcmWav]] (q39/q43/q44).
+    * `colorspace` ∈ mono, 420jpeg/420mpeg2/420paldv (even dims), 422, 444.
+    */
+  def renderY4m(w: Int, h: Int, lumas: Array[Int],
+                fpsNum: Int = 25, fpsDen: Int = 1,
+                colorspace: String = "444"): Array[Byte] = {
+    require(w > 0 && h > 0 && lumas.forall(l => l >= 0 && l <= 255),
+      s"luma must be a byte, dims positive: w=$w h=$h")
+    val cs = chromaPlaneSize(colorspace, w, h)
+      .getOrElse(throw new IllegalArgumentException(s"colorspace: $colorspace"))
+    val header = s"YUV4MPEG2 W$w H$h F$fpsNum:$fpsDen Ip A1:1 C$colorspace\n"
+    val bos = new java.io.ByteArrayOutputStream()
+    bos.write(header.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    lumas.foreach { l =>
+      bos.write("FRAME\n".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+      val y = new Array[Byte](w * h); java.util.Arrays.fill(y, l.toByte)
+      bos.write(y)
+      if (cs > 0) {
+        val c = new Array[Byte](cs); java.util.Arrays.fill(c, 128.toByte)
+        bos.write(c); bos.write(c)
+      }
+    }
+    bos.toByteArray
+  }
+
+  /** Bytes per chroma plane, or None for an unsupported colorspace tag.
+    * 420 halves both axes (even dims required, per the Y4M spec), 422
+    * halves width only, 444 is full-size, mono has no chroma.
+    */
+  private def chromaPlaneSize(cs: String, w: Int, h: Int): Option[Int] = cs match {
+    case "mono" => Some(0)
+    case "420" | "420jpeg" | "420mpeg2" | "420paldv" =>
+      if (w % 2 == 0 && h % 2 == 0) Some(w / 2 * (h / 2)) else None
+    case "422" => if (w % 2 == 0) Some(w / 2 * h) else None
+    case "444" => Some(w * h)
+    case _ => None
+  }
+
+  /** Parse a Y4M payload: validate the stream header, walk the FRAME
+    * markers, record each frame's Y-plane offset. Returns None on
+    * anything malformed (wrong magic, bad params, truncated frame).
+    */
+  private def parseY4m(payload: Array[Byte]): Option[Y4m] = {
+    def lineEnd(from: Int): Int = {
+      var i = from
+      while (i < payload.length && payload(i) != '\n') i += 1
+      if (i < payload.length) i else -1
+    }
+    val hEnd = lineEnd(0)
+    if (hEnd < 0) return None
+    val header = new String(payload, 0, hEnd, java.nio.charset.StandardCharsets.US_ASCII)
+    val tokens = header.split(' ')
+    if (tokens.isEmpty || tokens(0) != "YUV4MPEG2") return None
+    var w = -1; var h = -1; var fn = 25; var fd = 1; var cs = "420jpeg"
+    val num = "([0-9]+)".r
+    val fps = "([0-9]+):([0-9]+)".r
+    tokens.iterator.drop(1).foreach { t =>
+      if (t.nonEmpty) (t.charAt(0), t.substring(1)) match {
+        case ('W', num(v)) => w = v.toInt
+        case ('H', num(v)) => h = v.toInt
+        case ('F', fps(n, d)) => fn = n.toInt; fd = d.toInt
+        case ('C', v) => cs = v
+        case _ => // I (interlace), A (aspect), X (extension): stats-irrelevant
+      }
+    }
+    if (w <= 0 || h <= 0 || fd <= 0) return None
+    chromaPlaneSize(cs, w, h).flatMap { chroma =>
+      val ySize = w * h
+      val offsets = Vector.newBuilder[Int]
+      var pos = hEnd + 1
+      var ok = true
+      while (ok && pos < payload.length) {
+        // each frame: "FRAME[ params]\n" then ySize + 2*chroma raw bytes
+        val mEnd = lineEnd(pos)
+        val marker = if (mEnd < 0) "" else
+          new String(payload, pos, mEnd - pos, java.nio.charset.StandardCharsets.US_ASCII)
+        if (mEnd < 0 || !(marker == "FRAME" || marker.startsWith("FRAME "))) ok = false
+        else {
+          val yStart = mEnd + 1
+          if (yStart + ySize + 2 * chroma > payload.length) ok = false
+          else { offsets += yStart; pos = yStart + ySize + 2 * chroma }
+        }
+      }
+      if (ok) Some(Y4m(w, h, fn, fd, ySize, chroma, offsets.result())) else None
+    }
+  }
+
+  private def lumaMean(payload: Array[Byte], yOff: Int, ySize: Int): Double = {
+    var sum = 0L; var i = yOff
+    val end = yOff + ySize
+    while (i < end) { sum += (payload(i) & 0xFF); i += 1 }
+    if (ySize == 0) Double.NaN else sum.toDouble / ySize
+  }
+
+  /** Decode every payload through the Y4M parser and extract stream
+    * properties + whole-stream Y-plane (luma) statistics — one pass per
+    * partition, no shuffle, no driver collect, corrupt rows flagged not
+    * thrown (same contract as [[imageMeta]] / [[audioMeta]]).
+    */
+  def videoMeta(media: Dataset[MediaRow]): Dataset[VideoMeta] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { r =>
+      parseY4m(r.payload) match {
+        case Some(v) if v.yOffsets.nonEmpty =>
+          var sum = 0.0; var mn = 255; var mx = 0
+          v.yOffsets.foreach { off =>
+            var i = off
+            val end = off + v.ySize
+            while (i < end) {
+              val l = r.payload(i) & 0xFF
+              sum += l; if (l < mn) mn = l; if (l > mx) mx = l
+              i += 1
+            }
+          }
+          val n = v.ySize.toLong * v.yOffsets.size
+          VideoMeta(r.media_id, decoded = true, v.w, v.h, v.fpsNum, v.fpsDen,
+            v.yOffsets.size, sum / n, mn, mx)
+        case _ =>
+          VideoMeta(r.media_id, decoded = false, -1, -1, -1, -1, -1,
+            Double.NaN, -1, -1)
+      }
+    })
+  }
+
+  /** Frame extraction with real frame boundaries: decode the Y4M stream
+    * and emit every `stride`-th frame's luma stats as its own row — the
+    * flatMap (1 → N) shape of video-frame sampling, distributed per
+    * partition. Undecodable payloads emit nothing (filter semantics;
+    * use [[videoMeta]] to surface them).
+    */
+  def videoFrameMeta(media: Dataset[MediaRow], stride: Int = 1): Dataset[VideoFrameMeta] = {
+    require(stride >= 1, s"stride must be >= 1, got $stride")
+    import media.sparkSession.implicits._
+    media.flatMap { r =>
+      parseY4m(r.payload).iterator.flatMap { v =>
+        Iterator.range(0, v.yOffsets.size, stride).map { k =>
+          VideoFrameMeta(r.media_id, k, v.w, v.h,
+            lumaMean(r.payload, v.yOffsets(k), v.ySize))
+        }
+      }
+    }
+  }
+
+  // ---- STUB KERNEL (embedding extraction — needs an ML model, not a codec)
+
+  /** STUB decode: a real version would run a learned encoder over the
+    * decoded media and emit its embedding; this derives an 8-dim feature
+    * deterministically from payload bytes. (Codec paths are all real:
+    * [[imageMeta]], [[audioMeta]], [[videoMeta]].)
     */
   private def decodeStub(payload: Array[Byte]): Array[Float] = {
     val f = new Array[Float](8)

@@ -4,10 +4,10 @@ import graft.multimodal.Multimodal
 
 /** Multimodal plumbing specs: binary payload schema, partition-wise batch
   * kernels, 1→N frame sampling, and the REAL codec paths — images
-  * (`javax.imageio`) and audio (`javax.sound.sampled`), both
-  * JDK-built-in, no external deps. Only the video codec body remains a
-  * stub (marked in [[Multimodal]]); the shapes and determinism are the
-  * contract.
+  * (`javax.imageio`), audio (`javax.sound.sampled`), and video (the
+  * hand-rolled YUV4MPEG2 parser), all zero-dependency. Only the
+  * embedding extractor body remains a deterministic fake (it needs an
+  * ML model, not a codec); the shapes and determinism are the contract.
   */
 class MultimodalSpec extends SparkSpec {
 
@@ -109,6 +109,60 @@ class MultimodalSpec extends SparkSpec {
       metas(0).rms === 50.0 && metas(0).peak === 50)
     assert(metas(1).decoded && metas(1).channels === 2 &&
       metas(1).n_samples === 6L && metas(1).rms === 1000.0)
+  }
+
+  test("videoMeta: real Y4M parse — dims, fps, frame count, luma stats, corrupt rows flagged") {
+    val metas = Multimodal.videoMeta(imageTable(Seq(
+        1L -> Multimodal.renderY4m(6, 4, Array(10, 200, 45), fpsNum = 30, fpsDen = 1),
+        2L -> Multimodal.renderY4m(8, 2, Array(128), colorspace = "420jpeg"),
+        3L -> Multimodal.renderY4m(3, 3, Array(0, 255), colorspace = "mono"),
+        4L -> "definitely not a video".getBytes("UTF-8"),
+        // truncated mid-frame: header promises more bytes than exist
+        5L -> Multimodal.renderY4m(6, 4, Array(10, 20)).dropRight(5))))
+      .collect().sortBy(_.media_id)
+
+    assert(metas(0).decoded && metas(0).width === 6 && metas(0).height === 4)
+    assert(metas(0).fps_num === 30 && metas(0).n_frames === 3)
+    // constant planes: stream mean = mean of the three constants, min/max exact
+    assert(metas(0).mean_luma === (10.0 + 200 + 45) / 3)
+    assert(metas(0).min_luma === 10 && metas(0).max_luma === 200)
+    assert(metas(1).decoded && metas(1).n_frames === 1 && metas(1).mean_luma === 128.0)
+    assert(metas(2).decoded && metas(2).n_frames === 2 && metas(2).mean_luma === 127.5)
+    // corrupt and truncated payloads: flagged, never thrown
+    assert(!metas(3).decoded && metas(3).width === -1 && metas(3).mean_luma.isNaN)
+    assert(!metas(4).decoded && metas(4).mean_luma.isNaN)
+  }
+
+  test("videoFrameMeta: real FRAME-boundary extraction with stride sampling") {
+    val lumas = Array(5, 15, 25, 35, 45)
+    val tbl = imageTable(Seq(1L -> Multimodal.renderY4m(4, 4, lumas),
+                             2L -> "junk".getBytes("UTF-8")))
+    val all = Multimodal.videoFrameMeta(tbl).collect().sortBy(f => (f.media_id, f.frame_idx))
+    assert(all.map(_.media_id).forall(_ === 1L)) // undecodable emits nothing
+    assert(all.map(_.frame_idx).toSeq === Seq(0, 1, 2, 3, 4))
+    assert(all.map(_.mean_luma).toSeq === lumas.map(_.toDouble).toSeq)
+    assert(all.forall(f => f.width === 4 && f.height === 4))
+
+    val strided = Multimodal.videoFrameMeta(tbl, stride = 2).collect().sortBy(_.frame_idx)
+    assert(strided.map(_.frame_idx).toSeq === Seq(0, 2, 4))
+    assert(strided.map(_.mean_luma).toSeq === Seq(5.0, 25.0, 45.0))
+  }
+
+  test("renderY4m/parse round-trip across colorspaces; odd dims rejected for subsampled chroma") {
+    // 444 odd dims fine; 420 odd dims must throw at encode (spec-invalid)
+    assert(Multimodal.videoMeta(imageTable(Seq(
+      1L -> Multimodal.renderY4m(7, 5, Array(77), colorspace = "444"))))
+      .collect().head.decoded)
+    intercept[IllegalArgumentException] {
+      Multimodal.renderY4m(7, 5, Array(77), colorspace = "420jpeg")
+    }
+    // a decoder must also reject a stream whose header lies about dims:
+    // hand-corrupt a valid 420 stream's width to an odd value
+    val good = Multimodal.renderY4m(8, 2, Array(1), colorspace = "420jpeg")
+    val s = new String(good, java.nio.charset.StandardCharsets.ISO_8859_1)
+      .replaceFirst("W8", "W7")
+    val bad = s.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    assert(!Multimodal.videoMeta(imageTable(Seq(1L -> bad))).collect().head.decoded)
   }
 
   test("asMediaTable: binary payload column with typed metadata") {
