@@ -415,6 +415,48 @@ object SparkEntry {
       round(col("mean_luma"), 6).as("luma"))
   }
 
+  /** Q45 — PIVOT: long→wide reshaping via
+    * [[graft.operators.Reshape.pivotWide]] — one conditional aggregation
+    * instead of built-in pivot's two-Exchange `pivotfirst` plan (and no
+    * values-discovery scan: values are explicit by construction). One
+    * shuffle on the grouping key, map-side partial aggregation, fully
+    * codegen'd — gated in PlanSpec.
+    */
+  def q45(s: SparkSession, d: String): DataFrame =
+    graft.operators.Reshape.pivotWide(
+      Tables.lineitem(s, d), "l_returnflag", "l_linestatus",
+      Seq("F", "O"), col("l_quantity"), c => dsum(c, 2))
+
+  /** Q46 — CUBE grouping sets (all 2² subtotal combinations in one
+    * pass). Catalyst expands the cube into a grouping-sets Expand (×4
+    * rows) BEFORE the partial aggregate, so map-side combine still
+    * collapses each grouping set locally — one shuffle total, versus
+    * four separate scans+shuffles for the union-of-group-bys a naive
+    * caller would write. Completes the q34 ROLLUP story.
+    */
+  def q46(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice"), 2).as("s"))
+
+  /** Q47 — running total per customer: a cumulative window frame
+    * (`rows unbounded preceding → current`). One shuffle on the
+    * partition key, one in-partition sort, then a single streaming pass
+    * — the frame never materializes (running aggregation, not
+    * per-row re-scan). Decimal accumulate / double surface for exact
+    * oracle parity; `o_orderkey` in the ordering makes the running
+    * order total-tie-break deterministic.
+    */
+  def q47(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(s, d).select(
+      col("o_custkey"), col("o_orderkey"),
+      sum(col("o_totalprice").cast(DecimalType(18, 2))).over(w)
+        .cast("double").as("run_total"))
+  }
+
   /** Q40 — skew-mitigation salted join, oracle-checked: market-segment
     * revenue through [[graft.operators.Joins.saltedJoin]] — deterministic
     * per-row salt (`hash(o_orderkey)`), customer dimension replicated
@@ -530,7 +572,10 @@ object SparkEntry {
     "q41_asof_join"       -> (q41 _),
     "q42_range_join"      -> (q42 _),
     "q43_audio_decode"    -> (q43 _),
-    "q44_video_decode"    -> (q44 _))
+    "q44_video_decode"    -> (q44 _),
+    "q45_pivot"           -> (q45 _),
+    "q46_cube"            -> (q46 _),
+    "q47_cumsum"          -> (q47 _))
 
   // DuckDB twins. Shared SQL fragments for the text queries:
   // explicit class: Java \s includes \x0B, RE2 \s does not — see
@@ -757,6 +802,21 @@ object SparkEntry {
        "SELECT doc_id, CAST(g AS BIGINT) AS frame_idx, " +
        "CAST(n % 11 + 2 AS BIGINT) AS width, CAST(n % 9 + 2 AS BIGINT) AS height, " +
        "round(CAST((n + g * 7) % 256 AS DOUBLE), 6) AS luma FROM f"),
+    "q45_pivot" ->
+      ("SELECT l_returnflag, " +
+       "CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) FILTER (WHERE l_linestatus = 'F') AS DOUBLE) AS \"F\", " +
+       "CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) FILTER (WHERE l_linestatus = 'O') AS DOUBLE) AS \"O\" " +
+       "FROM lineitem GROUP BY l_returnflag"),
+    "q46_cube" ->
+      ("SELECT l_returnflag, l_linestatus, count(*) AS n, " +
+       "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS s " +
+       "FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)"),
+    "q47_cumsum" ->
+      ("SELECT o_custkey, o_orderkey, " +
+       "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (" +
+       "PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey " +
+       "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS run_total " +
+       "FROM orders"),
     "q37_dedup_corpus" ->
       (s"""WITH RECURSIVE toks AS (SELECT doc_id, $TOKS AS tk FROM documents),
           |sh AS (SELECT doc_id, ${shinglesSql("tk")} AS s FROM toks),

@@ -130,6 +130,32 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q45: conditional-agg pivot — one shuffle, partial agg, no pivotfirst phase") {
+    // built-in .pivot() plans two Exchanges (pre-agg + pivotfirst) and,
+    // without explicit values, a distinct values-discovery scan;
+    // Reshape.pivotWide must plan as one plain codegen'd aggregate
+    val p = plan(SparkEntry.q45(spark, sf0001))
+    assert("Exchange".r.findAllMatchIn(p).size === 1, s"pivot should shuffle once:\n$p")
+    assert(p.contains("partial"), s"pivot aggregate not partial:\n$p")
+    assert(!p.contains("pivotfirst"), s"fell back to the two-phase pivot plan:\n$p")
+  }
+
+  test("q46: cube expands grouping sets before the partial aggregate — one shuffle total") {
+    val p = plan(SparkEntry.q46(spark, sf0001))
+    assert(p.contains("Expand"), s"cube should plan an Expand:\n$p")
+    assert("Exchange".r.findAllMatchIn(p).size === 1,
+      s"cube should need exactly one shuffle, not a union of group-bys:\n$p")
+    // Expand feeds the partial aggregate, so map-side combine still runs
+    assert(p.contains("partial"), s"no partial aggregation after Expand:\n$p")
+  }
+
+  test("q47: cumulative frame is a running window — one shuffle, one sort, no self-join") {
+    val p = plan(SparkEntry.q47(spark, sf0001))
+    assert(p.contains("Window"), s"expected a Window operator:\n$p")
+    assert("Exchange".r.findAllMatchIn(p).size === 1, s"running total should shuffle once:\n$p")
+    assert(!p.contains("Join"), s"cumulative sum must not plan a self-join:\n$p")
+  }
+
   test("similarity corpus spread is conditional: a wide corpus never round-robins") {
     val df = wideEmbeddings
     val p = plan(graft.operators.Similarity.topKCosine(
