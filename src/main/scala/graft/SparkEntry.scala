@@ -457,6 +457,37 @@ object SparkEntry {
         .cast("double").as("run_total"))
   }
 
+  /** Q48 — LEFT SEMI join: customers with at least one large order, by
+    * segment. Semi joins short-circuit on first match and never
+    * replicate matched rows (an inner join + distinct would shuffle the
+    * full match multiplicity first); the filtered orders side stays
+    * small enough to broadcast, so the customer scan never shuffles.
+    */
+  def q48(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d).filter(col("o_totalprice") > 200000.0),
+        col("o_custkey") === col("c_custkey"), "left_semi")
+      .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n"))
+
+  /** Q49 — trailing 7-day revenue per customer: a RANGE window frame
+    * over event-time (epoch days), the time-based sibling of Q47's ROWS
+    * frame. RANGE includes all peers of the current ordering value, so
+    * same-day orders see identical totals — deterministic without a
+    * tie-break. One shuffle + one sort; the frame slides, never
+    * re-scans.
+    */
+  def q49(s: SparkSession, d: String): DataFrame = {
+    val ds = datediff(col("o_orderdate"), lit("1970-01-01").cast("date"))
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("ds"))
+      .rangeBetween(-6, Window.currentRow)
+    Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"), ds.cast("long").as("ds"),
+        col("o_totalprice"))
+      .select(col("o_custkey"), col("o_orderkey"), col("ds"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).over(w)
+          .cast("double").as("rev_7d"))
+  }
+
   /** Q40 — skew-mitigation salted join, oracle-checked: market-segment
     * revenue through [[graft.operators.Joins.saltedJoin]] — deterministic
     * per-row salt (`hash(o_orderkey)`), customer dimension replicated
@@ -575,7 +606,9 @@ object SparkEntry {
     "q44_video_decode"    -> (q44 _),
     "q45_pivot"           -> (q45 _),
     "q46_cube"            -> (q46 _),
-    "q47_cumsum"          -> (q47 _))
+    "q47_cumsum"          -> (q47 _),
+    "q48_semi_join"       -> (q48 _),
+    "q49_moving_window"   -> (q49 _))
 
   // DuckDB twins. Shared SQL fragments for the text queries:
   // explicit class: Java \s includes \x0B, RE2 \s does not — see
@@ -816,6 +849,17 @@ object SparkEntry {
        "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (" +
        "PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey " +
        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS run_total " +
+       "FROM orders"),
+    "q48_semi_join" ->
+      ("SELECT c_mktsegment, count(*) AS n FROM customer WHERE EXISTS (" +
+       "SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 200000.0" +
+       ") GROUP BY c_mktsegment"),
+    "q49_moving_window" ->
+      ("SELECT o_custkey, o_orderkey, " +
+       "CAST(date_diff('day', DATE '1970-01-01', o_orderdate) AS BIGINT) AS ds, " +
+       "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (" +
+       "PARTITION BY o_custkey ORDER BY date_diff('day', DATE '1970-01-01', o_orderdate) " +
+       "RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE) AS rev_7d " +
        "FROM orders"),
     "q37_dedup_corpus" ->
       (s"""WITH RECURSIVE toks AS (SELECT doc_id, $TOKS AS tk FROM documents),

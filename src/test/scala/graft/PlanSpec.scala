@@ -156,6 +156,21 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), s"cumulative sum must not plan a self-join:\n$p")
   }
 
+  test("q48: semi join broadcasts the filtered side — customer scan never shuffles for the join") {
+    val p = plan(SparkEntry.q48(spark, sf0001))
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      s"expected a broadcast left-semi join:\n$p")
+    assert(p.contains("PushedFilters: [IsNotNull(o_totalprice), GreaterThan(o_totalprice,200000.0)"),
+      s"order-size filter not pushed to the scan:\n$p")
+  }
+
+  test("q49: RANGE frame plans one shuffle + one sort, no self-join") {
+    val p = plan(SparkEntry.q49(spark, sf0001))
+    assert(p.contains("Window"), s"expected a Window operator:\n$p")
+    assert("Exchange".r.findAllMatchIn(p).size === 1, s"moving window should shuffle once:\n$p")
+    assert(!p.contains("Join"), s"range frame must not plan a self-join:\n$p")
+  }
+
   test("similarity corpus spread is conditional: a wide corpus never round-robins") {
     val df = wideEmbeddings
     val p = plan(graft.operators.Similarity.topKCosine(
