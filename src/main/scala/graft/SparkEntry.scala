@@ -488,6 +488,26 @@ object SparkEntry {
           .cast("double").as("rev_7d"))
   }
 
+  /** Q50 — FORWARD as-of join (q41's mirror): each event picks the
+    * user's next order at-or-after the event time — same union-tag +
+    * one-shuffle + forward-fill plan with the time ordering reversed
+    * ([[graft.operators.Joins.asofJoin]] `direction = "forward"`).
+    * Hash-matches the LATERAL `>= ... ORDER BY ASC LIMIT 1` oracle.
+    */
+  def q50(s: SparkSession, d: String): DataFrame = {
+    val events = ev(s, d)
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts_us"))
+    val orders = Tables.orders(s, d).select(
+      col("o_custkey").as("user_id"),
+      unix_micros(col("o_orderdate").cast("timestamp")).as("ots"),
+      col("o_orderkey"), col("o_totalprice"))
+    graft.operators.Joins.asofJoin(
+        events, orders, Seq("user_id"), "ts_us", "ots",
+        tieBreak = "o_orderkey", direction = "forward")
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        col("o_orderkey").as("next_orderkey"), col("o_totalprice").as("next_price"))
+  }
+
   /** Q40 — skew-mitigation salted join, oracle-checked: market-segment
     * revenue through [[graft.operators.Joins.saltedJoin]] — deterministic
     * per-row salt (`hash(o_orderkey)`), customer dimension replicated
@@ -608,7 +628,8 @@ object SparkEntry {
     "q46_cube"            -> (q46 _),
     "q47_cumsum"          -> (q47 _),
     "q48_semi_join"       -> (q48 _),
-    "q49_moving_window"   -> (q49 _))
+    "q49_moving_window"   -> (q49 _),
+    "q50_asof_forward"    -> (q50 _))
 
   // DuckDB twins. Shared SQL fragments for the text queries:
   // explicit class: Java \s includes \x0B, RE2 \s does not — see
@@ -803,6 +824,14 @@ object SparkEntry {
        "WHERE o_custkey = e.user_id " +
        "AND epoch_us(CAST(o_orderdate AS TIMESTAMP)) <= epoch_us(e.ts) " +
        "ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 1) o ON TRUE"),
+    "q50_asof_forward" ->
+      ("SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us, " +
+       "o.o_orderkey AS next_orderkey, o.o_totalprice AS next_price " +
+       "FROM events e LEFT JOIN LATERAL (" +
+       "SELECT o_orderkey, o_totalprice FROM orders " +
+       "WHERE o_custkey = e.user_id " +
+       "AND epoch_us(CAST(o_orderdate AS TIMESTAMP)) >= epoch_us(e.ts) " +
+       "ORDER BY o_orderdate ASC, o_orderkey ASC LIMIT 1) o ON TRUE"),
     // q40: the oracle is the PLAIN join — the salted plan must be
     // result-invisible (salting changes shuffle layout, nothing else)
     "q40_salted_join" ->

@@ -46,11 +46,14 @@ object Joins {
     salted.join(replicated, keys :+ "__salt", joinType).drop("__salt")
   }
 
-  /** Backward as-of join: every left row picks the single right row with
-    * the same key and the greatest right-time ≤ left-time (ties on
-    * right-time resolved by the greatest `tieBreak`), or nulls if no
-    * right row precedes it — the time-series/versioned-dimension join
-    * SQL can only express as a correlated LATERAL subquery.
+  /** As-of join: every left row picks the single right row with the same
+    * key nearest in time on the chosen side, or nulls if none exists —
+    * the time-series/versioned-dimension join SQL can only express as a
+    * correlated LATERAL subquery. `direction = "backward"` (default)
+    * matches the greatest right-time ≤ left-time, ties on right-time
+    * resolved by the GREATEST `tieBreak`; `direction = "forward"`
+    * matches the least right-time ≥ left-time, ties resolved by the
+    * LEAST `tieBreak` (the exact mirror).
     *
     * Spark-first plan (the distributed analogue of a sorted merge): ONE
     * shuffle — left and right rows union-tagged, hash-partitioned by
@@ -62,9 +65,11 @@ object Joins {
     * row with a null in one value column must surface that null, not a
     * stale value stitched in from an older row. No correlated per-row
     * probe, no range cross-join: cost is a sort per key partition,
-    * identical to any windowed aggregation at 100 TB. Right rows sort
-    * BEFORE left rows at equal times, so "at-or-before" includes
-    * exact-time matches. For a pathologically hot key the same caveat
+    * identical to any windowed aggregation at 100 TB. The forward
+    * direction is the SAME plan with the time ordering reversed (nulls
+    * kept first so a null left time still matches nothing). Right rows
+    * sort BEFORE left rows at equal times either way, so "at-or-before"
+    * / "at-or-after" include exact-time matches. For a pathologically hot key the same caveat
     * as any window applies (one partition holds the key); salt cannot
     * help here — bucket by coarse time ranges instead.
     *
@@ -75,13 +80,21 @@ object Joins {
     */
   def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
                leftTime: String, rightTime: String,
-               tieBreak: String): DataFrame = {
+               tieBreak: String, direction: String = "backward"): DataFrame = {
     val rightVals = right.columns.filterNot(c => keys.contains(c) || c == rightTime)
     require(rightVals.contains(tieBreak),
       s"tieBreak '$tieBreak' must be a carried (non-key, non-time) right column")
     val overlap = left.columns.toSet.intersect(rightVals.toSet)
     require(overlap.isEmpty,
       s"left/right non-key columns overlap: ${overlap.mkString(", ")} — rename before joining")
+    // both orderings put null left times FIRST (before any right row, so
+    // they match nothing) and right rows before left rows at equal times
+    val timeOrder = direction.toLowerCase match {
+      case "backward" => Seq(col("__t").asc_nulls_first, col("__side").asc, col(tieBreak).asc)
+      case "forward"  => Seq(col("__t").desc_nulls_first, col("__side").asc, col(tieBreak).desc)
+      case other => throw new IllegalArgumentException(
+        s"direction must be 'backward' or 'forward', got: $other")
+    }
 
     val l = left.withColumn("__t", col(leftTime)).withColumn("__side", lit(1))
     val r = right.withColumn("__t", col(rightTime)).withColumn("__side", lit(0))
@@ -89,7 +102,7 @@ object Joins {
     val u = l.unionByName(r, allowMissingColumns = true)
       .filter(col("__side") === 1 || col("__t").isNotNull)
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("__t").asc, col("__side").asc, col(tieBreak).asc)
+      .orderBy(timeOrder: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     // one struct per RIGHT row (null for left rows, so ignoreNulls skips
     // them); the fill then carries whole matched rows, never a per-column

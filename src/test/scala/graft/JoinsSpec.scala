@@ -82,6 +82,32 @@ class JoinsSpec extends SparkSpec {
       "values must all come from the single matched right row (qt=20)")
   }
 
+  test("asofJoin forward: at-or-after semantics, exact-time inclusion, least tie-break, no-next nulls") {
+    val quotes = Seq( // (k, qt, qid, px)
+      (1L, 10L, 100L, 1.0), (1L, 20L, 101L, 2.0), (1L, 20L, 102L, 3.0),
+      (2L, 50L, 200L, 9.0))
+      .toDF("k", "qt", "qid", "px")
+    val trades = Seq( // (k, tt, trade)
+      (1L, 5L, "before-any"), (1L, 20L, "exact-tie"), (1L, 25L, "after-all"),
+      (2L, 51L, "just-after"), (3L, 99L, "no-quotes"))
+      .toDF("k", "tt", "trade")
+
+    val out = Joins.asofJoin(trades, quotes, Seq("k"), "tt", "qt",
+        tieBreak = "qid", direction = "forward")
+      .select("trade", "qid", "px")
+      .as[(String, Option[Long], Option[Double])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+
+    assert(out("before-any") === ((Some(100L), Some(1.0)))) // nearest following
+    assert(out("exact-tie") === ((Some(101L), Some(2.0))))  // at-or-AFTER; equal qt=20: least qid
+    assert(out("after-all") === ((None, None)))             // nothing follows 25 for key 1
+    assert(out("just-after") === ((None, None)))            // 51 > 50, key 2's only quote
+    assert(out("no-quotes") === ((None, None)))             // key never quoted
+
+    intercept[IllegalArgumentException](
+      Joins.asofJoin(trades, quotes, Seq("k"), "tt", "qt", "qid", direction = "sideways"))
+  }
+
   test("asofJoin rejects overlapping non-key columns and a bad tieBreak") {
     val l = Seq((1L, 1L, "x")).toDF("k", "t", "v")
     val r = Seq((1L, 1L, "y")).toDF("k", "rt", "v")
