@@ -508,6 +508,20 @@ object SparkEntry {
         col("o_orderkey").as("next_orderkey"), col("o_totalprice").as("next_price"))
   }
 
+  /** Q51 — explicit GROUPING SETS: per-returnflag and per-linestatus
+    * subtotals in one pass, WITHOUT the cross products or grand total a
+    * cube would add — the general form q34 (rollup) and q46 (cube) are
+    * shorthands of. Same Expand-then-partial-aggregate single-shuffle
+    * plan, but the Expand factor is exactly the number of requested
+    * sets (2 here), not 2^dims.
+    */
+  def q51(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupingSets(
+        Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), dsum(col("l_quantity"), 2).as("s"))
+
   /** Q40 — skew-mitigation salted join, oracle-checked: market-segment
     * revenue through [[graft.operators.Joins.saltedJoin]] — deterministic
     * per-row salt (`hash(o_orderkey)`), customer dimension replicated
@@ -629,7 +643,8 @@ object SparkEntry {
     "q47_cumsum"          -> (q47 _),
     "q48_semi_join"       -> (q48 _),
     "q49_moving_window"   -> (q49 _),
-    "q50_asof_forward"    -> (q50 _))
+    "q50_asof_forward"    -> (q50 _),
+    "q51_grouping_sets"   -> (q51 _))
 
   // DuckDB twins. Shared SQL fragments for the text queries:
   // explicit class: Java \s includes \x0B, RE2 \s does not — see
@@ -879,6 +894,10 @@ object SparkEntry {
        "PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey " +
        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS run_total " +
        "FROM orders"),
+    "q51_grouping_sets" ->
+      ("SELECT l_returnflag, l_linestatus, count(*) AS n, " +
+       "CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS s " +
+       "FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))"),
     "q48_semi_join" ->
       ("SELECT c_mktsegment, count(*) AS n FROM customer WHERE EXISTS (" +
        "SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 200000.0" +

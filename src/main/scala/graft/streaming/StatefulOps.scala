@@ -61,4 +61,32 @@ object StatefulOps {
       .groupBy(window(col(tsCol), "1 hour"), col(keyCol))
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("wstart"), col(keyCol), col("n"))
+
+  /** Stream-STREAM inner join on a key plus an event-time interval:
+    * right rows match a left row when `rightTs ∈ [leftTs - before,
+    * leftTs + after]` — the correlation join (clicks→impressions,
+    * readings→alerts) that batch q42 does with buckets, expressed on
+    * two live streams.
+    *
+    * Both sides carry a watermark and the join condition bounds
+    * right-time relative to left-time in BOTH directions — that pair is
+    * what lets Spark compute a state-eviction horizon: each side
+    * buffers only rows younger than watermark + interval, so state is
+    * bounded by rate × (lateness + interval), not stream length. An
+    * unbounded condition (or a missing watermark) would accumulate
+    * state forever — the #1 stream-stream join operational failure at
+    * scale. Join keys must be named identically on both sides
+    * (`usingColumns` join, so the key appears once in the output).
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+                   leftTs: String, rightTs: String,
+                   before: String, after: String,
+                   lateness: String = "10 minutes"): DataFrame = {
+    val l = left.withWatermark(leftTs, lateness)
+    val r = right.withWatermark(rightTs, lateness)
+    val bound =
+      col(rightTs) >= col(leftTs) - expr(s"INTERVAL $before") &&
+      col(rightTs) <= col(leftTs) + expr(s"INTERVAL $after")
+    l.join(r, keys, "inner").where(bound)
+  }
 }

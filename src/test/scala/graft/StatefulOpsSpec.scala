@@ -45,6 +45,40 @@ class StatefulOpsSpec extends SparkSpec {
     assert(out === Seq(("camA", 1L), ("camA", 2L), ("camA", 3L), ("camB", 1L)))
   }
 
+  test("intervalJoin: stream-stream join matches only rows inside the time interval") {
+    val clicks = MemoryStream[KeyedEvent]
+    val imps = MemoryStream[KeyedEvent]
+    val joined = StatefulOps.intervalJoin(
+      clicks.toDS().toDF("entity", "click_id", "cts"),
+      imps.toDS().toDF("entity", "imp_id", "its"),
+      keys = Seq("entity"), leftTs = "cts", rightTs = "its",
+      before = "5 MINUTES", after = "1 MINUTES")
+    val q = joined.writeStream.format("memory").queryName("ssj_out")
+      .outputMode(OutputMode.Append()).start()
+
+    clicks.addData(
+      KeyedEvent("camA", 10L, ts("2024-01-01 10:10:00")),
+      KeyedEvent("camB", 11L, ts("2024-01-01 10:10:00")))
+    imps.addData(
+      KeyedEvent("camA", 1L, ts("2024-01-01 10:06:00")), // 4 min before: in
+      KeyedEvent("camA", 2L, ts("2024-01-01 10:04:00")), // 6 min before: out
+      KeyedEvent("camA", 3L, ts("2024-01-01 10:10:30")), // 30 s after: in
+      KeyedEvent("camA", 4L, ts("2024-01-01 10:12:00")), // 2 min after: out
+      KeyedEvent("camB", 5L, ts("2024-01-01 10:09:00")), // other key: in for camB only
+      KeyedEvent("camC", 6L, ts("2024-01-01 10:10:00"))) // key never clicked
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.table("ssj_out").select("entity", "click_id", "imp_id")
+      .as[(String, Long, Long)].collect().toSet
+    assert(got === Set(("camA", 10L, 1L), ("camA", 10L, 3L), ("camB", 11L, 5L)))
+
+    // the plan must be the stateful symmetric-hash stream join with a
+    // state watermark on both sides (bounded buffers), not a batch join
+    val p = joined.queryExecution.analyzed.toString
+    assert(p.contains("EventTimeWatermark"), s"watermarks missing from:\n$p")
+  }
+
   test("hourlyCounts (streaming, watermarked) matches the batch twin") {
     val input = MemoryStream[KeyedEvent]
     val counts = StatefulOps.hourlyCounts(
