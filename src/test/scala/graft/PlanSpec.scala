@@ -171,6 +171,12 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), s"range frame must not plan a self-join:\n$p")
   }
 
+  test("q51: grouping sets expand by exactly the requested set count, one shuffle") {
+    val p = plan(SparkEntry.q51(spark, sf0001))
+    assert(p.contains("Expand"), s"grouping sets should plan an Expand:\n$p")
+    assert("Exchange".r.findAllMatchIn(p).size === 1, s"should shuffle once:\n$p")
+  }
+
   test("similarity corpus spread is conditional: a wide corpus never round-robins") {
     val df = wideEmbeddings
     val p = plan(graft.operators.Similarity.topKCosine(
