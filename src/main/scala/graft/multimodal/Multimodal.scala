@@ -266,7 +266,7 @@ object Multimodal {
                             height: Int, mean_luma: Double)
 
   /** Parsed Y4M stream header + the byte offset of each frame's Y plane. */
-  private case class Y4m(w: Int, h: Int, fpsNum: Int, fpsDen: Int,
+  private case class Y4m(w: Int, h: Int, fpsNum: Int, fpsDen: Int, cs: String,
                          ySize: Int, chromaSize: Int, yOffsets: Vector[Int])
 
   /** Deterministic Y4M encode (the encode half of the codec path): one
@@ -298,18 +298,22 @@ object Multimodal {
     bos.toByteArray
   }
 
-  /** Bytes per chroma plane, or None for an unsupported colorspace tag.
-    * 420 halves both axes (even dims required, per the Y4M spec), 422
-    * halves width only, 444 is full-size, mono has no chroma.
+  /** Chroma plane dimensions, or None for an unsupported colorspace tag
+    * (or dims the tag's subsampling cannot represent). 420 halves both
+    * axes (even dims required, per the Y4M spec), 422 halves width only,
+    * 444 is full-size, mono has no chroma.
     */
-  private def chromaPlaneSize(cs: String, w: Int, h: Int): Option[Int] = cs match {
-    case "mono" => Some(0)
+  private def chromaDims(cs: String, w: Int, h: Int): Option[(Int, Int)] = cs match {
+    case "mono" => Some((0, 0))
     case "420" | "420jpeg" | "420mpeg2" | "420paldv" =>
-      if (w % 2 == 0 && h % 2 == 0) Some(w / 2 * (h / 2)) else None
-    case "422" => if (w % 2 == 0) Some(w / 2 * h) else None
-    case "444" => Some(w * h)
+      if (w % 2 == 0 && h % 2 == 0) Some((w / 2, h / 2)) else None
+    case "422" => if (w % 2 == 0) Some((w / 2, h)) else None
+    case "444" => Some((w, h))
     case _ => None
   }
+
+  private def chromaPlaneSize(cs: String, w: Int, h: Int): Option[Int] =
+    chromaDims(cs, w, h).map { case (cw, ch) => cw * ch }
 
   /** Parse a Y4M payload: validate the stream header, walk the FRAME
     * markers, record each frame's Y-plane offset. Returns None on
@@ -356,7 +360,7 @@ object Multimodal {
           else { offsets += yStart; pos = yStart + ySize + 2 * chroma }
         }
       }
-      if (ok) Some(Y4m(w, h, fn, fd, ySize, chroma, offsets.result())) else None
+      if (ok) Some(Y4m(w, h, fn, fd, cs, ySize, chroma, offsets.result())) else None
     }
   }
 
@@ -414,6 +418,50 @@ object Multimodal {
         }
       }
     }
+  }
+
+  /** Real video resize: parse the Y4M stream, nearest-neighbor-rescale
+    * every plane of every frame (Y at the target dims, chroma at the
+    * colorspace's subsampling of them), and re-encode — the video
+    * analogue of [[resizeImages]], decode → transform → encode with no
+    * external codec. Target dims must be representable in the stream's
+    * own colorspace (even, for subsampled chroma); payloads that do not
+    * parse pass through unchanged, same contract as [[resizeImages]].
+    */
+  def resizeVideos(media: Dataset[MediaRow], w2: Int, h2: Int): Dataset[MediaRow] = {
+    require(w2 > 0 && h2 > 0, s"target dims must be positive: $w2 x $h2")
+    import media.sparkSession.implicits._
+
+    def scalePlane(src: Array[Byte], off: Int, sw: Int, sh: Int,
+                   dst: java.io.ByteArrayOutputStream, dw: Int, dh: Int): Unit = {
+      var y = 0
+      while (y < dh) {
+        val sy = y * sh / dh
+        var x = 0
+        while (x < dw) { dst.write(src(off + sy * sw + x * sw / dw)); x += 1 }
+        y += 1
+      }
+    }
+
+    media.mapPartitions(_.map { r =>
+      parseY4m(r.payload).flatMap { v =>
+        chromaDims(v.cs, w2, h2).map { case (cw2, ch2) =>
+          val (cw, ch) = chromaDims(v.cs, v.w, v.h).get // parse guaranteed it
+          val bos = new java.io.ByteArrayOutputStream()
+          bos.write(s"YUV4MPEG2 W$w2 H$h2 F${v.fpsNum}:${v.fpsDen} Ip A1:1 C${v.cs}\n"
+            .getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+          v.yOffsets.foreach { off =>
+            bos.write("FRAME\n".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+            scalePlane(r.payload, off, v.w, v.h, bos, w2, h2)
+            if (v.chromaSize > 0) {
+              scalePlane(r.payload, off + v.ySize, cw, ch, bos, cw2, ch2)
+              scalePlane(r.payload, off + v.ySize + v.chromaSize, cw, ch, bos, cw2, ch2)
+            }
+          }
+          r.copy(payload = bos.toByteArray, width = w2, height = h2)
+        }
+      }.getOrElse(r) // not parseable (or dims invalid for its colorspace): unchanged
+    })
   }
 
   // ---- STUB KERNEL (embedding extraction — needs an ML model, not a codec)

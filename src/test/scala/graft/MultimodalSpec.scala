@@ -165,6 +165,37 @@ class MultimodalSpec extends SparkSpec {
     assert(!Multimodal.videoMeta(imageTable(Seq(1L -> bad))).collect().head.decoded)
   }
 
+  test("resizeVideos: real per-plane nearest-neighbor rescale, re-parseable output") {
+    // hand-build a NON-constant mono stream: 2x2 Y plane per frame
+    val header = "YUV4MPEG2 W2 H2 F25:1 Cmono\n"
+    val frame = Array[Byte](0, 100, -56, -1) // unsigned: 0,100,200,255
+    val payload = (header.getBytes("US-ASCII") ++ "FRAME\n".getBytes("US-ASCII") ++ frame)
+    val junk = "junk".getBytes("UTF-8")
+    val out = Multimodal.resizeVideos(
+        imageTable(Seq(1L -> payload, 2L -> junk)), 4, 4)
+      .collect().sortBy(_.media_id)
+
+    // upscaled stream re-parses at the new dims with the mean preserved
+    // (2x nearest-neighbor replicates each pixel into a quadrant)
+    val meta = Multimodal.videoMeta(imageTable(Seq(1L -> out(0).payload))).collect().head
+    assert(meta.decoded && meta.width === 4 && meta.height === 4 && meta.n_frames === 1)
+    assert(meta.mean_luma === (0.0 + 100 + 200 + 255) / 4)
+    assert(meta.min_luma === 0 && meta.max_luma === 255)
+    // exact quadrant layout: row 0 = 0,0,100,100
+    val y0 = out(0).payload.length - 16
+    assert(out(0).payload.slice(y0, y0 + 4).map(_ & 0xFF).toSeq === Seq(0, 0, 100, 100))
+    assert(out(1).payload === junk) // undecodable: unchanged, not dropped
+
+    // chroma planes rescale at their own subsampled dims and stay valid
+    val c420 = Multimodal.renderY4m(4, 2, Array(64), colorspace = "420jpeg")
+    val up = Multimodal.resizeVideos(imageTable(Seq(1L -> c420)), 8, 6).collect().head
+    val m420 = Multimodal.videoMeta(imageTable(Seq(1L -> up.payload))).collect().head
+    assert(m420.decoded && m420.width === 8 && m420.height === 6 && m420.mean_luma === 64.0)
+    // a 420 stream cannot resize to odd dims — unchanged passthrough
+    val odd = Multimodal.resizeVideos(imageTable(Seq(1L -> c420)), 7, 5).collect().head
+    assert(odd.payload === c420)
+  }
+
   test("asMediaTable: binary payload column with typed metadata") {
     val m = media
     assert(m.schema("payload").dataType.typeName === "binary")
