@@ -18,6 +18,16 @@ object GraftSession {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    // AQE skew-join splitting is the first line of defense against hot
+    // keys (Joins.saltedJoin is the deterministic plan-time second);
+    // explicit because a cluster-side conf override would silently
+    // change join behavior at scale
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    // runtime bloom-filter semi-join pruning: a selective dimension
+    // filter is pushed into the fact scan as a bloom probe, cutting
+    // shuffle input before the join — a 100 TB lever with no code
+    // changes; on by default since 3.5, pinned for the same reason
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
     spark
   }
 
