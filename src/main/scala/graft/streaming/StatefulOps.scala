@@ -62,6 +62,23 @@ object StatefulOps {
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("wstart"), col(keyCol), col("n"))
 
+  /** Event-time SESSION windows: activity bursts per key separated by
+    * `gap` of silence, computed with Spark's native `session_window`
+    * (dynamic merging windows + watermark state eviction) — the
+    * streaming twin of the batch lag/cumsum sessionization (q33). Append
+    * mode emits a session only once its window is older than the
+    * watermark, i.e. once it can no longer grow.
+    */
+  def sessionCounts(events: DataFrame, tsCol: String = "ts",
+                    keyCol: String = "entity", gap: String = "30 minutes",
+                    lateness: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark(tsCol, lateness)
+      .groupBy(session_window(col(tsCol), gap), col(keyCol))
+      .agg(count(lit(1)).as("n"))
+      .select(col("session_window.start").as("sstart"),
+        col("session_window.end").as("send"), col(keyCol), col("n"))
+
   /** Stream-STREAM inner join on a key plus an event-time interval:
     * right rows match a left row when `rightTs ∈ [leftTs - before,
     * leftTs + after]` — the correlation join (clicks→impressions,

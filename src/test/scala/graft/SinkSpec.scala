@@ -150,6 +150,25 @@ class SinkSpec extends SparkSpec {
       .as[(Long, Int, String, Int, Int)].collect().toSet === before)
   }
 
+  test("Hive-layout reads prune partitions: an entity/month filter never scans other leaves") {
+    val dir = Files.createTempDirectory("graft_prune_").toString
+    PartitionedSink.appendPartitioned(sample, dir)
+    val q = spark.read.parquet(dir)
+      .filter(col("entity") === "camA" && col("month") === 1)
+    val p = q.queryExecution.executedPlan.toString
+    // partition-column predicates must become PartitionFilters (pruned
+    // at planning from the directory names — the 100 TB point of the
+    // layout), not data filters evaluated per row
+    assert(p.contains("PartitionFilters: [") && p.contains("(entity"),
+      s"entity filter not applied to partitions:\n$p")
+    val pruned = q.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.selectedPartitions.partitionCount
+    }
+    assert(pruned === Seq(1), s"expected exactly one leaf dir scanned, got $pruned")
+    assert(q.count() === 1) // only (id=1, camA, month=1) lives in that leaf
+  }
+
   test("repartitionByPartitionColumns yields one file per partition tuple") {
     val dir = Files.createTempDirectory("graft_onefile_").toString
     val big = sample.repartition(8) // many tasks -> would write many files

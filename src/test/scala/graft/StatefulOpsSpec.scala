@@ -79,6 +79,56 @@ class StatefulOpsSpec extends SparkSpec {
     assert(p.contains("EventTimeWatermark"), s"watermarks missing from:\n$p")
   }
 
+  test("sessionCounts: native session windows merge bursts and split on the gap") {
+    val input = MemoryStream[KeyedEvent]
+    val sessions = StatefulOps.sessionCounts(input.toDS().toDF(), gap = "30 minutes")
+    val q = sessions.writeStream.format("memory").queryName("sess_out")
+      .outputMode(OutputMode.Complete()).start()
+
+    input.addData(
+      // camA burst 1: three events within the gap → one session of 3
+      KeyedEvent("camA", 1L, ts("2024-01-01 10:00:00")),
+      KeyedEvent("camA", 2L, ts("2024-01-01 10:10:00")),
+      KeyedEvent("camA", 3L, ts("2024-01-01 10:35:00")),
+      // camA burst 2: 31 min after the last → new session
+      KeyedEvent("camA", 4L, ts("2024-01-01 11:06:00")),
+      // camB: one lone event
+      KeyedEvent("camB", 5L, ts("2024-01-01 10:00:00")))
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.table("sess_out")
+      .select(date_format(col("sstart"), "HH:mm").as("s"), col("entity"), col("n"))
+      .as[(String, String, Long)].collect().toSet
+    assert(got === Set(("10:00", "camA", 3L), ("11:06", "camA", 1L), ("10:00", "camB", 1L)))
+  }
+
+  test("dropDuplicatesWithinWatermark: built-in replay-dedup with bounded state") {
+    // the built-in twin of dedupByKey: state for an id is only retained
+    // within the watermark horizon, the operational default for replay
+    // windows measured in minutes, not the whole-stream Set
+    val input = MemoryStream[KeyedEvent]
+    val deduped = input.toDS().toDF()
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("entity", "event_id")
+    val q = deduped.writeStream.format("memory").queryName("ddww_out")
+      .outputMode(OutputMode.Append()).start()
+
+    input.addData(
+      KeyedEvent("camA", 1L, ts("2024-01-01 00:00:00")),
+      KeyedEvent("camA", 2L, ts("2024-01-01 00:00:01")))
+    q.processAllAvailable()
+    input.addData( // replay of id 1 inside the horizon + one new
+      KeyedEvent("camA", 1L, ts("2024-01-01 00:00:00")),
+      KeyedEvent("camA", 3L, ts("2024-01-01 00:00:03")))
+    q.processAllAvailable()
+    q.stop()
+
+    val out = spark.table("ddww_out").select("entity", "event_id")
+      .as[(String, Long)].collect().sorted.toSeq
+    assert(out === Seq(("camA", 1L), ("camA", 2L), ("camA", 3L)))
+  }
+
   test("hourlyCounts (streaming, watermarked) matches the batch twin") {
     val input = MemoryStream[KeyedEvent]
     val counts = StatefulOps.hourlyCounts(
