@@ -522,6 +522,29 @@ object SparkEntry {
         col("l_returnflag"), col("l_linestatus"))
       .agg(count(lit(1)).as("n"), dsum(col("l_quantity"), 2).as("s"))
 
+  /** Q52 — text normalization ([[graft.functions.TextFunctions.normalize]]):
+    * whitespace-collapse + trim + lowercase, the canonical first pass
+    * before any dedup — a pure per-row codegen'd projection, no shuffle.
+    */
+  def q52(s: SparkSession, d: String): DataFrame =
+    docs(s, d).select(col("doc_id"),
+      graft.functions.TextFunctions.normalize(col("text")).as("norm"))
+
+  /** Q53 — corpus term frequency, top 20: explode tokens of the
+    * normalized text, count per token, keep the heaviest (total order:
+    * count desc, token asc — deterministic under ties). The explode is
+    * map-side (1→N inside the scan stage); the count partial-aggregates
+    * before its single shuffle, so shuffle volume is the DISTINCT token
+    * set per partition, not the token stream.
+    */
+  def q53(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
+      .select(explode(graft.functions.TextFunctions.tokens(
+        graft.functions.TextFunctions.normalize(col("text")))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("tf"))
+      .orderBy(col("tf").desc, col("token").asc)
+      .limit(20)
+
   /** Q40 — skew-mitigation salted join, oracle-checked: market-segment
     * revenue through [[graft.operators.Joins.saltedJoin]] — deterministic
     * per-row salt (`hash(o_orderkey)`), customer dimension replicated
@@ -644,7 +667,9 @@ object SparkEntry {
     "q48_semi_join"       -> (q48 _),
     "q49_moving_window"   -> (q49 _),
     "q50_asof_forward"    -> (q50 _),
-    "q51_grouping_sets"   -> (q51 _))
+    "q51_grouping_sets"   -> (q51 _),
+    "q52_normalize"       -> (q52 _),
+    "q53_term_freq"       -> (q53 _))
 
   // DuckDB twins. Shared SQL fragments for the text queries:
   // explicit class: Java \s includes \x0B, RE2 \s does not — see
@@ -898,6 +923,19 @@ object SparkEntry {
       ("SELECT l_returnflag, l_linestatus, count(*) AS n, " +
        "CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS s " +
        "FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))"),
+    // q52/q53: DuckDB's regexp_replace needs the 'g' flag to match
+    // Spark's replace-all; the explicit whitespace class is identical in
+    // both regex engines (see TextFunctions.whitespaceClass)
+    "q52_normalize" ->
+      ("SELECT doc_id, lower(trim(regexp_replace(text, '[ \\t\\n\\f\\r]+', ' ', 'g'))) " +
+       "AS norm FROM documents"),
+    "q53_term_freq" ->
+      ("WITH n AS (SELECT lower(trim(regexp_replace(text, '[ \\t\\n\\f\\r]+', ' ', 'g'))) AS t " +
+       "FROM documents), " +
+       "tok AS (SELECT unnest(list_filter(regexp_split_to_array(t, '[ \\t\\n\\f\\r]+'), " +
+       "x -> x <> '')) AS token FROM n) " +
+       "SELECT token, count(*) AS tf FROM tok GROUP BY token " +
+       "ORDER BY tf DESC, token ASC LIMIT 20"),
     "q48_semi_join" ->
       ("SELECT c_mktsegment, count(*) AS n FROM customer WHERE EXISTS (" +
        "SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 200000.0" +

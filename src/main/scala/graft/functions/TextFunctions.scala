@@ -35,6 +35,14 @@ object TextFunctions {
   /** Token count (Long). */
   def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
 
+  /** Canonical text normalization: collapse whitespace runs to single
+    * spaces, trim, lowercase — the first pass of every dedup/training
+    * pipeline (so "Foo  bar" and "foo bar\n" dedup together). Pure
+    * codegen'd primitives; the whitespace class matches [[tokens]].
+    */
+  def normalize(text: Column): Column =
+    lower(trim(regexp_replace(text, whitespaceClass, " ")))
+
   /** BPE-ish subword token count: the GPT-style pre-tokenizer shape —
     * letter runs, digit runs, and punctuation runs (each with an
     * optional leading space) count as separate tokens. The pattern uses
