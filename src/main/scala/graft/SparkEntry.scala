@@ -545,6 +545,24 @@ object SparkEntry {
       .orderBy(col("tf").desc, col("token").asc)
       .limit(20)
 
+  /** Q54 — edit-distance near-dup scan: Levenshtein distance between
+    * each document's normalized prefix and its successor's (adjacent
+    * doc_ids pair via a self equi-join — at 100 TB the candidate pairs
+    * would come from an LSH band join exactly like q22; the metric
+    * kernel is what this query pins). `levenshtein` is codegen'd and
+    * O(len²) per pair, which is why real pipelines gate it behind
+    * cheap candidate generation rather than all-pairs.
+    */
+  def q54(s: SparkSession, d: String): DataFrame = {
+    val norm = graft.functions.TextFunctions.normalize(col("text"))
+    val a = docs(s, d).select(col("doc_id"), substring(norm, 1, 40).as("pa"))
+    val b = docs(s, d).select((col("doc_id") - 1).as("doc_id"),
+      substring(norm, 1, 40).as("pb"))
+    a.join(b, Seq("doc_id"))
+      .select(col("doc_id"),
+        levenshtein(col("pa"), col("pb")).cast("long").as("edit_dist"))
+  }
+
   /** Q40 — skew-mitigation salted join, oracle-checked: market-segment
     * revenue through [[graft.operators.Joins.saltedJoin]] — deterministic
     * per-row salt (`hash(o_orderkey)`), customer dimension replicated
@@ -669,7 +687,8 @@ object SparkEntry {
     "q50_asof_forward"    -> (q50 _),
     "q51_grouping_sets"   -> (q51 _),
     "q52_normalize"       -> (q52 _),
-    "q53_term_freq"       -> (q53 _))
+    "q53_term_freq"       -> (q53 _),
+    "q54_edit_distance"   -> (q54 _))
 
   // DuckDB twins. Shared SQL fragments for the text queries:
   // explicit class: Java \s includes \x0B, RE2 \s does not — see
@@ -936,6 +955,12 @@ object SparkEntry {
        "x -> x <> '')) AS token FROM n) " +
        "SELECT token, count(*) AS tf FROM tok GROUP BY token " +
        "ORDER BY tf DESC, token ASC LIMIT 20"),
+    "q54_edit_distance" ->
+      ("WITH n AS (SELECT doc_id, " +
+       "substr(lower(trim(regexp_replace(text, '[ \\t\\n\\f\\r]+', ' ', 'g'))), 1, 40) AS p " +
+       "FROM documents) " +
+       "SELECT a.doc_id, CAST(levenshtein(a.p, b.p) AS BIGINT) AS edit_dist " +
+       "FROM n a JOIN n b ON b.doc_id = a.doc_id + 1"),
     "q48_semi_join" ->
       ("SELECT c_mktsegment, count(*) AS n FROM customer WHERE EXISTS (" +
        "SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 200000.0" +
