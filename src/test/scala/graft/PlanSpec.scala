@@ -177,6 +177,18 @@ class PlanSpec extends SparkSpec {
     assert("Exchange".r.findAllMatchIn(p).size === 1, s"should shuffle once:\n$p")
   }
 
+  test("q53: term frequency partial-aggregates the exploded tokens before its shuffle") {
+    val p = plan(SparkEntry.q53(spark, sf0001))
+    assert(p.contains("Generate explode"), s"tokens should explode map-side:\n$p")
+    assert(p.contains("partial_count"), s"no map-side combine before the shuffle:\n$p")
+  }
+
+  test("q54: the candidate pair join broadcasts — no corpus shuffle for the metric kernel") {
+    val p = plan(SparkEntry.q54(spark, sf0001))
+    assert(p.contains("BroadcastHashJoin"), s"pair join should broadcast at this scale:\n$p")
+    assert(p.contains("levenshtein"), s"metric kernel missing from plan:\n$p")
+  }
+
   test("similarity corpus spread is conditional: a wide corpus never round-robins") {
     val df = wideEmbeddings
     val p = plan(graft.operators.Similarity.topKCosine(

@@ -22,6 +22,40 @@ class PropertySpec extends SparkSpec {
   private def samples[A](gen: Gen[A], n: Int = 12): Seq[A] =
     (1 to n).map(i => gen.pureApply(Gen.Parameters.default, Seed(i.toLong)))
 
+  test("property: normalize is idempotent and whitespace-insensitive") {
+    val wsGen = Gen.listOf(Gen.oneOf(" ", "\t", "\n", "  ")).map(_.mkString)
+    val wordGen = Gen.listOfN(3, Gen.alphaNumStr.map(_.take(6)))
+    val strGen = for { ws1 <- wsGen; ws2 <- wsGen; w <- wordGen }
+      yield ws1 + w.mkString(" ") + ws2
+    samples(Gen.listOfN(15, strGen)).foreach { texts =>
+      val df = texts.toDF("text")
+      val once = df.select(graft.functions.TextFunctions.normalize(col("text")).as("n"))
+      val twice = once.select(graft.functions.TextFunctions.normalize(col("n")).as("n"))
+      assert(once.as[String].collect().toSeq === twice.as[String].collect().toSeq)
+      // collapsing interior runs == single-space join of the tokens
+      val viaTokens = df.select(
+        lower(concat_ws(" ", graft.functions.TextFunctions.tokens(col("text")))).as("n"))
+      assert(once.as[String].collect().toSeq === viaTokens.as[String].collect().toSeq)
+    }
+  }
+
+  test("property: Y4M encode -> parse round-trips arbitrary constant-luma streams") {
+    val lumaGen = Gen.nonEmptyListOf(Gen.choose(0, 255)).map(_.take(8))
+    val dimGen = Gen.choose(1, 12)
+    val caseGen = for { w <- dimGen; h <- dimGen; ls <- lumaGen } yield (w, h, ls)
+    samples(caseGen, n = 20).foreach { case (w, h, lumas) =>
+      val payload = graft.multimodal.Multimodal.renderY4m(w, h, lumas.toArray)
+      val media = Seq((1L, payload)).toDF("media_id", "payload")
+      val meta = graft.multimodal.Multimodal.videoMeta(
+        graft.multimodal.Multimodal.asMediaTable(media, "media_id", "payload", "video"))
+        .collect().head
+      assert(meta.decoded && meta.width === w && meta.height === h)
+      assert(meta.n_frames === lumas.length)
+      assert(meta.min_luma === lumas.min && meta.max_luma === lumas.max)
+      assert(math.abs(meta.mean_luma - lumas.map(_.toDouble).sum / lumas.length) < 1e-9)
+    }
+  }
+
   test("property: epoch-ms -> TimestampType -> epoch-ms roundtrips") {
     samples(Gen.listOfN(20, Gen.choose(0L, 4102444800000L))).foreach { ms =>
       val out = EventOps.deriveEventTime(ms.toDF("timestamp"), "timestamp", "ts")
