@@ -563,6 +563,16 @@ object SparkEntry {
         levenshtein(col("pa"), col("pb")).cast("long").as("edit_dist"))
   }
 
+  /** Q55 — set difference (EXCEPT, distinct semantics): customers who
+    * ordered but show no event activity. Catalyst plans `except` as a
+    * distinct left-anti join — one shuffle each side on the compared
+    * column, partial-aggregated dedup, no full materialized distinct
+    * before the join.
+    */
+  def q55(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d).select(col("o_custkey").as("user_id"))
+      .except(ev(s, d).select(col("user_id")))
+
   /** Q40 — skew-mitigation salted join, oracle-checked: market-segment
     * revenue through [[graft.operators.Joins.saltedJoin]] — deterministic
     * per-row salt (`hash(o_orderkey)`), customer dimension replicated
@@ -688,7 +698,8 @@ object SparkEntry {
     "q51_grouping_sets"   -> (q51 _),
     "q52_normalize"       -> (q52 _),
     "q53_term_freq"       -> (q53 _),
-    "q54_edit_distance"   -> (q54 _))
+    "q54_edit_distance"   -> (q54 _),
+    "q55_set_diff"        -> (q55 _))
 
   // DuckDB twins. Shared SQL fragments for the text queries:
   // explicit class: Java \s includes \x0B, RE2 \s does not — see
@@ -961,6 +972,8 @@ object SparkEntry {
        "FROM documents) " +
        "SELECT a.doc_id, CAST(levenshtein(a.p, b.p) AS BIGINT) AS edit_dist " +
        "FROM n a JOIN n b ON b.doc_id = a.doc_id + 1"),
+    "q55_set_diff" ->
+      "SELECT o_custkey AS user_id FROM orders EXCEPT SELECT user_id FROM events",
     "q48_semi_join" ->
       ("SELECT c_mktsegment, count(*) AS n FROM customer WHERE EXISTS (" +
        "SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 200000.0" +
