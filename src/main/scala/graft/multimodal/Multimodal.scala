@@ -343,6 +343,11 @@ object Multimodal {
       }
     }
     if (w <= 0 || h <= 0 || fd <= 0) return None
+    // overflow guard: a corrupt header claiming huge dims must flag
+    // undecodable, not wrap Int arithmetic (a negative frame size would
+    // stall the frame walk below). Any real frame fits the payload
+    // array, so payload.length is a safe ceiling.
+    if (w.toLong * h > payload.length) return None
     chromaPlaneSize(cs, w, h).flatMap { chroma =>
       val ySize = w * h
       val offsets = Vector.newBuilder[Int]

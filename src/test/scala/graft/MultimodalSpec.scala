@@ -163,6 +163,12 @@ class MultimodalSpec extends SparkSpec {
       .replaceFirst("W8", "W7")
     val bad = s.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
     assert(!Multimodal.videoMeta(imageTable(Seq(1L -> bad))).collect().head.decoded)
+
+    // a header claiming dims whose product overflows Int must flag
+    // undecodable (and terminate), not wrap into a negative frame size
+    val overflow = ("YUV4MPEG2 W100000 H100000 F25:1 C444\nFRAME\n" + "x" * 64)
+      .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    assert(!Multimodal.videoMeta(imageTable(Seq(1L -> overflow))).collect().head.decoded)
   }
 
   test("resizeVideos: real per-plane nearest-neighbor rescale, re-parseable output") {
