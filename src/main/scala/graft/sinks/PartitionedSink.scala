@@ -79,8 +79,8 @@ object PartitionedSink {
     * past this method's return. Completed leaves stay compacted (the
     * pass is idempotent — rerun it).
     *
-    * `format` must match what [[appendPartitioned]] wrote: parquet reads
-    * merge schemas across files (the dead-letter migration path); csv
+    * `format` must match what [[appendPartitioned]] wrote: parquet/orc
+    * reads merge schemas across files (the dead-letter migration path); csv
     * reads are header-less all-string (no type inference — values
     * round-trip semantically under Spark's default CSV options, NOT
     * byte-verbatim: empty fields are read as null and rewritten as
@@ -124,8 +124,8 @@ object PartitionedSink {
                         targetBytes: Long = 128L * 1024 * 1024,
                         format: String = "parquet",
                         parallelism: Int = 8): Int = {
-    require(Set("parquet", "csv")(format),
-      s"compactPartitions supports parquet and csv lakes, got: $format")
+    require(Set("parquet", "orc", "csv")(format),
+      s"compactPartitions supports parquet, orc and csv lakes, got: $format")
     require(parallelism >= 1, s"parallelism must be >= 1, got $parallelism")
     val rootPath = new Path(root)
     val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -197,6 +197,8 @@ object PartitionedSink {
         val data = format match {
           case "parquet" =>
             spark.read.option("mergeSchema", "true").parquet(leaf.toString)
+          case "orc" =>
+            spark.read.option("mergeSchema", "true").orc(leaf.toString)
           case "csv" =>
             spark.read.format("csv").load(leaf.toString)
         }

@@ -150,6 +150,22 @@ class SinkSpec extends SparkSpec {
       .as[(Long, Int, String, Int, Int)].collect().toSet === before)
   }
 
+  test("orc lake: partitioned append + compaction round-trip (Spark-bundled columnar alternative)") {
+    val dir = Files.createTempDirectory("graft_orc_").toString
+    (0 until 3).foreach { i =>
+      PartitionedSink.appendPartitioned(
+        sample.withColumn("id", col("id") + lit(i * 10L)), dir, format = "orc")
+    }
+    val before = spark.read.orc(dir)
+      .as[(Long, Int, String, Int, Int)].collect().toSet
+    assert(before.size === 9)
+    assert(PartitionedSink.compactPartitions(spark, dir, format = "orc") === 3)
+    val leaf = new java.io.File(s"$dir/entity=camA/year=2024/month=1")
+    assert(leaf.listFiles().count(f => f.isFile && f.getName.endsWith(".orc")) === 1)
+    assert(spark.read.orc(dir)
+      .as[(Long, Int, String, Int, Int)].collect().toSet === before)
+  }
+
   test("Hive-layout reads prune partitions: an entity/month filter never scans other leaves") {
     val dir = Files.createTempDirectory("graft_prune_").toString
     PartitionedSink.appendPartitioned(sample, dir)
