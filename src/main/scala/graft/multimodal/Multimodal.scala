@@ -245,6 +245,69 @@ object Multimodal {
     }
   }
 
+  /** Real audio resample: decode WAV through the JDK codec, rebuild the
+    * sample stream at `targetRate` by nearest-neighbor sample pick (the
+    * audio analogue of [[resizeImages]] / [[resizeVideos]] — a real
+    * production pipeline would low-pass filter first; nearest pick is
+    * the deterministic, dependency-free core), and re-encode 16-bit
+    * mono WAV. Multi-channel input is averaged to mono first (the
+    * standard ASR-pipeline shape). Undecodable payloads pass through
+    * unchanged.
+    */
+  def resampleAudio(media: Dataset[MediaRow], targetRate: Int): Dataset[MediaRow] = {
+    require(targetRate > 0, s"targetRate must be positive, got $targetRate")
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { r =>
+      decodeAudio(r.payload) match {
+        case Some((fmt, data))
+            if (fmt.getSampleSizeInBits == 8 || fmt.getSampleSizeInBits == 16) &&
+               fmt.getChannels >= 1 &&
+               fmt.getSampleRate > 0 &&
+               (fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+                fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED) =>
+          val bits = fmt.getSampleSizeInBits
+          val ch = fmt.getChannels
+          val unsigned = fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED
+          val bytesPer = bits / 8
+          val nIn = data.length / (bytesPer * ch)
+          def sampleAt(frame: Int, c: Int): Int = {
+            val i = frame * ch + c
+            if (bits == 8) {
+              if (unsigned) (data(i) & 0xFF) - 128 else data(i).toInt
+            } else {
+              val off = i * 2
+              val b0 = data(off) & 0xFF; val b1 = data(off + 1) & 0xFF
+              val raw = if (fmt.isBigEndian) (b0 << 8) | b1 else (b1 << 8) | b0
+              if (unsigned) raw - 32768 else raw.toShort.toInt
+            }
+          }
+          val srcRate = fmt.getSampleRate.toDouble
+          val nOut = math.max(0, math.round(nIn * targetRate / srcRate).toInt)
+          val pcm = new Array[Byte](nOut * 2)
+          var k = 0
+          while (k < nOut) {
+            val frame = math.min(nIn - 1, (k * srcRate / targetRate).toInt)
+            var acc = 0
+            var c = 0
+            while (c < ch) { acc += sampleAt(frame, c); c += 1 }
+            val v = acc / ch
+            pcm(2 * k) = (v & 0xFF).toByte
+            pcm(2 * k + 1) = ((v >> 8) & 0xFF).toByte
+            k += 1
+          }
+          val outFmt = new javax.sound.sampled.AudioFormat(
+            targetRate.toFloat, 16, 1, /*signed=*/ true, /*bigEndian=*/ false)
+          val ais = new javax.sound.sampled.AudioInputStream(
+            new java.io.ByteArrayInputStream(pcm), outFmt, nOut.toLong)
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.sound.sampled.AudioSystem.write(
+            ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+          r.copy(payload = bos.toByteArray, sample_rate = targetRate)
+        case _ => r
+      }
+    })
+  }
+
   // ---- REAL VIDEO KERNEL (hand-rolled YUV4MPEG2 — no external deps) ------
   // Y4M is the raw-video interchange format (mjpegtools; emitted/consumed
   // by ffmpeg, x264, libvpx): an ASCII one-line stream header

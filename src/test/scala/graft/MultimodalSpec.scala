@@ -111,6 +111,25 @@ class MultimodalSpec extends SparkSpec {
       metas(1).n_samples === 6L && metas(1).rms === 1000.0)
   }
 
+  test("resampleAudio: real rate conversion — frame count scales, square-wave RMS preserved") {
+    // 40 frames at 8 kHz -> 16 kHz doubles the frame count; nearest-pick
+    // of a ±A square wave stays ±A, so RMS is exactly A after resample
+    val src = Multimodal.renderPcmWav(nSamples = 40, sampleRate = 8000, amplitude = 1200)
+    val junk = "not audio".getBytes("UTF-8")
+    val out = Multimodal.resampleAudio(imageTable(Seq(1L -> src, 2L -> junk)), 16000)
+      .collect().sortBy(_.media_id)
+    val meta = Multimodal.audioMeta(imageTable(Seq(1L -> out(0).payload))).collect().head
+    assert(meta.decoded && meta.sample_rate === 16000 && meta.n_samples === 80L)
+    assert(meta.rms === 1200.0 && meta.peak === 1200)
+    assert(out(0).sample_rate === 16000)
+    assert(out(1).payload === junk) // undecodable: unchanged
+
+    // downsample: 40 @ 8k -> 10 @ 2k, amplitude still exact
+    val down = Multimodal.resampleAudio(imageTable(Seq(1L -> src)), 2000).collect().head
+    val dm = Multimodal.audioMeta(imageTable(Seq(1L -> down.payload))).collect().head
+    assert(dm.decoded && dm.sample_rate === 2000 && dm.n_samples === 10L && dm.peak === 1200)
+  }
+
   test("videoMeta: real Y4M parse — dims, fps, frame count, luma stats, corrupt rows flagged") {
     val metas = Multimodal.videoMeta(imageTable(Seq(
         1L -> Multimodal.renderY4m(6, 4, Array(10, 200, 45), fpsNum = 30, fpsDen = 1),
