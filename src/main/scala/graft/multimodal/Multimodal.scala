@@ -273,7 +273,10 @@ object Multimodal {
           def sampleAt(frame: Int, c: Int): Int = {
             val i = frame * ch + c
             if (bits == 8) {
-              if (unsigned) (data(i) & 0xFF) - 128 else data(i).toInt
+              // widen to the 16-bit range (×256) so amplitude is preserved
+              // across bit depths, matching the RMS-preserving 16-bit path
+              val v = if (unsigned) (data(i) & 0xFF) - 128 else data(i).toInt
+              v << 8
             } else {
               val off = i * 2
               val b0 = data(off) & 0xFF; val b1 = data(off + 1) & 0xFF
@@ -282,27 +285,34 @@ object Multimodal {
             }
           }
           val srcRate = fmt.getSampleRate.toDouble
-          val nOut = math.max(0, math.round(nIn * targetRate / srcRate).toInt)
-          val pcm = new Array[Byte](nOut * 2)
-          var k = 0
-          while (k < nOut) {
-            val frame = math.min(nIn - 1, (k * srcRate / targetRate).toInt)
-            var acc = 0
-            var c = 0
-            while (c < ch) { acc += sampleAt(frame, c); c += 1 }
-            val v = acc / ch
-            pcm(2 * k) = (v & 0xFF).toByte
-            pcm(2 * k + 1) = ((v >> 8) & 0xFF).toByte
-            k += 1
+          // Long math: nIn * targetRate overflows Int for clips past ~2.6M
+          // frames at 44.1 kHz (nIn*rate > 2^31) — compute the output length
+          // in Long and only then narrow, refusing sizes a JVM array can't hold
+          val nOutL = math.max(0L, math.round(nIn.toLong * targetRate / srcRate))
+          if (nOutL > (Int.MaxValue - 64L) / 2) r // output exceeds max byte[]
+          else {
+            val nOut = nOutL.toInt
+            val pcm = new Array[Byte](nOut * 2)
+            var k = 0
+            while (k < nOut) {
+              val frame = math.min(nIn - 1, (k * srcRate / targetRate).toInt)
+              var acc = 0
+              var c = 0
+              while (c < ch) { acc += sampleAt(frame, c); c += 1 }
+              val v = acc / ch
+              pcm(2 * k) = (v & 0xFF).toByte
+              pcm(2 * k + 1) = ((v >> 8) & 0xFF).toByte
+              k += 1
+            }
+            val outFmt = new javax.sound.sampled.AudioFormat(
+              targetRate.toFloat, 16, 1, /*signed=*/ true, /*bigEndian=*/ false)
+            val ais = new javax.sound.sampled.AudioInputStream(
+              new java.io.ByteArrayInputStream(pcm), outFmt, nOut.toLong)
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.sound.sampled.AudioSystem.write(
+              ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+            r.copy(payload = bos.toByteArray, sample_rate = targetRate)
           }
-          val outFmt = new javax.sound.sampled.AudioFormat(
-            targetRate.toFloat, 16, 1, /*signed=*/ true, /*bigEndian=*/ false)
-          val ais = new javax.sound.sampled.AudioInputStream(
-            new java.io.ByteArrayInputStream(pcm), outFmt, nOut.toLong)
-          val bos = new java.io.ByteArrayOutputStream()
-          javax.sound.sampled.AudioSystem.write(
-            ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
-          r.copy(payload = bos.toByteArray, sample_rate = targetRate)
         case _ => r
       }
     })

@@ -133,8 +133,14 @@ object PartitionedSink {
     def isHidden(p: Path): Boolean =
       p.getName.startsWith("_") || p.getName.startsWith(".")
     def leaves(p: Path): Seq[Path] = {
-      val entries = fs.listStatus(p).filterNot(s => isHidden(s.getPath))
-      val here = if (entries.exists(_.isFile)) Seq(p) else Seq.empty
+      val all = fs.listStatus(p)
+      val entries = all.filterNot(s => isHidden(s.getPath))
+      // a crashed pass can leave a leaf whose ONLY content is the parked
+      // `_compact_old` dir (every visible file moved in, none swapped back);
+      // such a dir has no visible entries but still needs recovery
+      val crashed = all.exists(s => s.isDirectory &&
+        (s.getPath.getName == "_compact_old" || s.getPath.getName == "_compact_tmp"))
+      val here = if (entries.exists(_.isFile) || crashed) Seq(p) else Seq.empty
       here ++ entries.filter(_.isDirectory).flatMap(s => leaves(s.getPath))
     }
 
@@ -175,9 +181,16 @@ object PartitionedSink {
           fs.listStatus(old)
             .filter(s => s.isFile && !isHidden(s.getPath))
             .foreach(f => fs.rename(f.getPath, new Path(leaf, f.getPath.getName)))
+        } else if (!committed && visibleFiles(leaf).isEmpty) {
+          // legacy (pre-manifest protocol) crash between park and swap-in:
+          // the parked copies are the ONLY copy of the data — restore them
+          // before cleanup, else upgrading deletes the leaf's rows for good
+          fs.listStatus(old)
+            .filter(s => s.isFile && !isHidden(s.getPath))
+            .foreach(f => fs.rename(f.getPath, new Path(leaf, f.getPath.getName)))
         }
-        // committed → parked copies are stale; no manifest → nothing was
-        // ever parked (crash before step 2); rolled back → now empty
+        // committed → parked copies are stale; no manifest + leaf visible →
+        // nothing was ever parked (crash before step 2); rolled back → empty
         fs.delete(old, true)
       }
       if (fs.exists(tmp)) fs.delete(tmp, true)

@@ -130,6 +130,39 @@ class MultimodalSpec extends SparkSpec {
     assert(dm.decoded && dm.sample_rate === 2000 && dm.n_samples === 10L && dm.peak === 1200)
   }
 
+  test("resampleAudio: 8-bit input is widened to the 16-bit range (×256), amplitude preserved") {
+    def wav(fmt: javax.sound.sampled.AudioFormat, pcm: Array[Byte], frames: Long) = {
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, frames)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(
+        ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    // 8-bit unsigned ±50 square wave = -48 dBFS relative to 8-bit full scale;
+    // widened ×256 the 16-bit output must sit at the SAME relative level: ±12800
+    val fmt8 = new javax.sound.sampled.AudioFormat(8000f, 8, 1, false, false)
+    val pcm8 = Array.tabulate[Byte](40)(i =>
+      if (i % 2 == 0) (128 + 50).toByte else (128 - 50).toByte)
+    val out = Multimodal.resampleAudio(imageTable(Seq(1L -> wav(fmt8, pcm8, 40))), 8000)
+      .collect().head
+    val m = Multimodal.audioMeta(imageTable(Seq(1L -> out.payload))).collect().head
+    assert(m.decoded && m.sample_rate === 8000 && m.n_samples === 40L)
+    assert(m.peak === 12800 && m.rms === 12800.0)
+  }
+
+  test("resampleAudio: multi-million-frame clip upsampled without Int overflow in the length math") {
+    // 1M frames × 44100 = 4.41e10 > 2^31: the old Int-arithmetic nOut
+    // overflowed here. 1M @ 8 kHz -> 44.1 kHz must yield exactly
+    // round(1e6 * 44100 / 8000) = 5_512_500 frames.
+    val src = Multimodal.renderPcmWav(nSamples = 1000000, sampleRate = 8000, amplitude = 700)
+    val up = Multimodal.resampleAudio(imageTable(Seq(1L -> src)), 44100).collect().head
+    val m = Multimodal.audioMeta(imageTable(Seq(1L -> up.payload))).collect().head
+    assert(m.decoded && m.sample_rate === 44100)
+    assert(m.n_samples === 5512500L)
+    assert(m.peak === 700) // nearest-pick of a square wave keeps amplitude
+  }
+
   test("videoMeta: real Y4M parse — dims, fps, frame count, luma stats, corrupt rows flagged") {
     val metas = Multimodal.videoMeta(imageTable(Seq(
         1L -> Multimodal.renderY4m(6, 4, Array(10, 200, 45), fpsNum = 30, fpsDen = 1),

@@ -115,6 +115,19 @@ class SinkSpec extends SparkSpec {
       .as[(Long, Int, String, Int, Int)].collect().toSet === before)
   }
 
+  test("compaction recovery: legacy pre-manifest crash (all parked, no _MANIFEST, leaf empty) restores parked files") {
+    val (dir, leaf, before) = crashFixture()
+    // the old protocol parked originals WITHOUT writing a manifest; a crash
+    // between park and swap-in leaves the parked copies as the only copy
+    val old = new java.io.File(leaf, "_compact_old"); old.mkdirs()
+    parquetFiles(leaf).foreach(f => assert(f.renameTo(new java.io.File(old, f.getName))))
+
+    assert(PartitionedSink.compactPartitions(spark, dir) >= 0)
+    assert(!new java.io.File(leaf, "_compact_old").exists())
+    assert(spark.read.parquet(dir)
+      .as[(Long, Int, String, Int, Int)].collect().toSet === before)
+  }
+
   test("compaction recovery: crash after _COMMITTED keeps new files, drops parked copies") {
     val (dir, leaf, before) = crashFixture()
     // run a real compaction but recreate the committed-yet-uncleaned state:
