@@ -573,6 +573,88 @@ object SparkEntry {
     Tables.orders(s, d).select(col("o_custkey").as("user_id"))
       .except(ev(s, d).select(col("user_id")))
 
+  /** Q56 — corpus TF-IDF top-20 ([[graft.operators.Corpus.tfidf]]):
+    * one explode pass feeds tf, df derives from tf (no second explode),
+    * doc count broadcasts as a scalar. Scores rounded before the top-k
+    * order so the cut is a total order both engines agree on.
+    */
+  def q56(s: SparkSession, d: String): DataFrame =
+    graft.operators.Corpus.tfidf(docs(s, d), "doc_id", "text", 20)
+
+  /** Q57 — deterministic exact stratified sample
+    * ([[graft.operators.Corpus.stratifiedSample]]): the first ⌊tot/10⌋
+    * events per event_type in event_id order — replay-stable,
+    * exactly-proportional per stratum, one shuffle shared by both
+    * windows. The declarative alternative to `sampleBy`'s Bernoulli
+    * draw (whose per-stratum counts vary run to run).
+    */
+  def q57(s: SparkSession, d: String): DataFrame =
+    graft.operators.Corpus.stratifiedSample(
+      ev(s, d).select(col("event_id"), col("event_type"), col("user_id")),
+      Seq("event_type"), "event_id", num = 1, den = 10)
+
+  /** Q58 — token-budget sequence packing
+    * ([[graft.operators.Corpus.packSequences]]): docs concatenate in
+    * doc_id order and cut every 512 tokens; per-bin rollup. The global
+    * prefix sum runs as the two-level decomposition (bucket sums →
+    * tiny bucket-offset window → per-bucket local cumsum), never a
+    * corpus-wide single-partition sort.
+    */
+  def q58(s: SparkSession, d: String): DataFrame =
+    graft.operators.Corpus.packSequences(
+        docs(s, d), "doc_id", TextFunctions.tokenCount(col("text")),
+        budget = 512, bucketWidth = 64)
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("bin_tokens"),
+        min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+
+  /** Q59 — benchmark decontamination
+    * ([[graft.operators.Corpus.decontaminate]]): distinct 3-gram
+    * shingles shared between each training doc (source ≠ src0) and the
+    * src0 benchmark slice. The benchmark shingle set broadcasts; the
+    * train side never shuffles until the per-doc count.
+    */
+  def q59(s: SparkSession, d: String): DataFrame = {
+    val dd = docs(s, d)
+    graft.operators.Corpus.decontaminate(
+      dd.filter(col("source") =!= "src0"), dd.filter(col("source") === "src0"),
+      "doc_id", "text", n = 3)
+  }
+
+  /** Q60 — set intersection (INTERSECT, distinct semantics — q55's
+    * complement): customers who ordered AND have event activity.
+    * Catalyst plans it as a distinct left-semi join, partial-aggregated
+    * each side before its single shuffle.
+    */
+  def q60(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d).select(col("o_custkey").as("user_id"))
+      .intersect(ev(s, d).select(col("user_id")))
+
+  /** Q61 — quantile bucketing: users ranked into spend quartiles via
+    * `ntile(4)`. The ranking window orders the per-user AGGREGATE
+    * (output ≪ input: the 10k-row fixture collapses to its distinct
+    * users, 100 TB of events to ~billions→millions after the groupBy) —
+    * the raw stream is never globally sorted; when even the aggregate
+    * outgrows one task, the scale path is approx-percentile cutoffs
+    * joined back, same shape as q36.
+    */
+  def q61(s: SparkSession, d: String): DataFrame = {
+    val spend = ev(s, d).groupBy(col("user_id"))
+      .agg(dsum(col("value"), 2).as("spend"))
+    spend.withColumn("quartile",
+      ntile(4).over(Window.orderBy(col("spend").desc, col("user_id"))).cast("long"))
+  }
+
+  /** Q62 — epoch-weighted oversampling
+    * ([[graft.operators.Corpus.reweight]]): src0 docs replicated ×3
+    * (copy index 1..3), everything else ×1 — the deterministic
+    * training-mix reweight. Map-side explode, no shuffle.
+    */
+  def q62(s: SparkSession, d: String): DataFrame =
+    graft.operators.Corpus.reweight(
+      docs(s, d).select(col("doc_id"), col("source")),
+      when(col("source") === "src0", 3).otherwise(1))
+
   /** Q40 — skew-mitigation salted join, oracle-checked: market-segment
     * revenue through [[graft.operators.Joins.saltedJoin]] — deterministic
     * per-row salt (`hash(o_orderkey)`), customer dimension replicated
@@ -699,13 +781,22 @@ object SparkEntry {
     "q52_normalize"       -> (q52 _),
     "q53_term_freq"       -> (q53 _),
     "q54_edit_distance"   -> (q54 _),
-    "q55_set_diff"        -> (q55 _))
+    "q55_set_diff"        -> (q55 _),
+    "q56_tfidf"           -> (q56 _),
+    "q57_stratified_sample" -> (q57 _),
+    "q58_pack_bins"       -> (q58 _),
+    "q59_decontaminate"   -> (q59 _),
+    "q60_intersect"       -> (q60 _),
+    "q61_ntile_quartiles" -> (q61 _),
+    "q62_reweight"        -> (q62 _))
 
   // DuckDB twins. Shared SQL fragments for the text queries:
   // explicit class: Java \s includes \x0B, RE2 \s does not — see
   // TextFunctions.whitespaceClass
   private val TOKS =
     "list_filter(regexp_split_to_array(trim(text), '[ \\t\\n\\f\\r]+'), x -> x <> '')"
+  private val TOKS_LOWER =
+    "list_filter(regexp_split_to_array(trim(lower(text)), '[ \\t\\n\\f\\r]+'), x -> x <> '')"
   private def shinglesSql(tk: String): String =
     s"CASE WHEN len($tk) >= 3 THEN list_distinct(list_transform(range(len($tk)-2), " +
     s"i -> $tk[i+1] || ' ' || $tk[i+2] || ' ' || $tk[i+3])) ELSE CAST([] AS VARCHAR[]) END"
@@ -974,6 +1065,55 @@ object SparkEntry {
        "FROM n a JOIN n b ON b.doc_id = a.doc_id + 1"),
     "q55_set_diff" ->
       "SELECT o_custkey AS user_id FROM orders EXCEPT SELECT user_id FROM events",
+    "q56_tfidf" ->
+      (s"""WITH tk AS (SELECT doc_id, unnest($TOKS_LOWER) AS token FROM documents),
+          |tf AS (SELECT doc_id, token, count(*) AS tf FROM tk GROUP BY 1, 2),
+          |df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+          |n AS (SELECT count(*) AS n_docs FROM documents)
+          |SELECT tf.doc_id, tf.token,
+          |  round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 4) AS tfidf
+          |FROM tf JOIN df USING (token) CROSS JOIN n
+          |ORDER BY tfidf DESC, doc_id, token LIMIT 20
+          |""".stripMargin),
+    "q57_stratified_sample" ->
+      ("""SELECT event_id, event_type, user_id FROM (
+         |  SELECT event_id, event_type, user_id,
+         |    row_number() OVER (PARTITION BY event_type ORDER BY event_id) AS rn,
+         |    count(*) OVER (PARTITION BY event_type) AS tot
+         |  FROM events) WHERE rn * 10 <= tot
+         |""".stripMargin),
+    "q58_pack_bins" ->
+      (s"""WITH t AS (SELECT doc_id, CAST(len($TOKS) AS BIGINT) AS n FROM documents),
+          |o AS (SELECT doc_id, n, coalesce(sum(n) OVER (ORDER BY doc_id
+          |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off FROM t)
+          |SELECT CAST(off // 512 AS BIGINT) AS bin, count(*) AS n_docs,
+          |  CAST(sum(n) AS BIGINT) AS bin_tokens,
+          |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+          |FROM o GROUP BY 1
+          |""".stripMargin),
+    "q59_decontaminate" ->
+      (s"""WITH toks AS (SELECT doc_id, source, $TOKS AS tk FROM documents),
+          |sh AS (SELECT doc_id, source, ${shinglesSql("tk")} AS s FROM toks),
+          |b AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE source = 'src0'),
+          |t AS (SELECT doc_id, unnest(s) AS g FROM sh WHERE source <> 'src0')
+          |SELECT t.doc_id, count(*) AS n_shared
+          |FROM t JOIN b USING (g) GROUP BY 1
+          |""".stripMargin),
+    "q60_intersect" ->
+      "SELECT o_custkey AS user_id FROM orders INTERSECT SELECT user_id FROM events",
+    "q61_ntile_quartiles" ->
+      ("""WITH s AS (SELECT user_id,
+         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS spend
+         |  FROM events GROUP BY 1)
+         |SELECT user_id, spend,
+         |  CAST(ntile(4) OVER (ORDER BY spend DESC, user_id) AS BIGINT) AS quartile
+         |FROM s
+         |""".stripMargin),
+    "q62_reweight" ->
+      ("""SELECT doc_id, source,
+         |  unnest(generate_series(1, CASE WHEN source = 'src0' THEN 3 ELSE 1 END)) AS copy
+         |FROM documents
+         |""".stripMargin),
     "q48_semi_join" ->
       ("SELECT c_mktsegment, count(*) AS n FROM customer WHERE EXISTS (" +
        "SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 200000.0" +

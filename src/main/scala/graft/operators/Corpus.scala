@@ -1,0 +1,149 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+
+/** Corpus-preparation operators for a training-data pipeline: TF-IDF
+  * term weighting, deterministic stratified sampling, token-budget
+  * sequence packing, benchmark decontamination, and epoch-weighted
+  * oversampling. These extend the reference's per-record ETL surface
+  * (it stops at decode → route → sink, `run.py:139-170`) with the
+  * corpus-level passes an LLM data pipeline runs after ingest.
+  *
+  * Scale design (100 TB): no operator here materializes per-row state on
+  * the driver, sorts the full corpus in one partition, or self-joins
+  * un-bucketed. Aggregations partial-aggregate before their single
+  * shuffle; the one global prefix-sum (packing) is the classic two-level
+  * decomposition — bucket sums first, a window over the (tiny) bucket
+  * list, then per-bucket local cumsums — so no stage ever sees more than
+  * one bucket's rows in a single task.
+  */
+object Corpus {
+
+  /** Corpus TF-IDF, top-k (doc, token) pairs by `tf · ln(N/df)`.
+    *
+    * One tokenize/explode pass feeds both frequencies: `tf` is the
+    * (doc, token) count, and `df` is derived FROM `tf` (distinct docs
+    * per token ≡ rows per token after the tf collapse) — the token
+    * stream is never exploded twice. Both aggregations partial-aggregate
+    * map-side, so shuffle volume is bounded by the distinct
+    * (doc, token) set, not the token stream. The doc count joins in as
+    * a broadcast scalar; tf⋈df is a plain equi-join on token (AQE
+    * broadcasts it when the vocabulary is small; at 100 TB a 100M-term
+    * vocabulary still shuffle-joins safely).
+    *
+    * Scores are rounded to 4 places BEFORE the top-k order (rounded
+    * score desc, then doc, then token), so the cut at k is a total
+    * order over values both engines agree on bit-for-bit.
+    */
+  def tfidf(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    val tk = docs.select(col(idCol).as("doc_id"),
+      explode(TextFunctions.tokens(lower(col(textCol)))).as("token"))
+    val tf = tk.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    tf.join(dfreq, "token")
+      .crossJoin(broadcast(n))
+      .select(col("doc_id"), col("token"),
+        round(col("tf") * log(col("n_docs").cast("double") / col("df")), 4).as("tfidf"))
+      .orderBy(col("tfidf").desc, col("doc_id").asc, col("token").asc)
+      .limit(k)
+  }
+
+  /** Deterministic exact-count stratified sample: within each stratum,
+    * the first ⌊tot·num/den⌋ rows in `idCol` order. Unlike
+    * `DataFrame.sampleBy` (Bernoulli — count varies run to run, seed
+    * plumbing required), this is replay-stable: same input → same rows,
+    * and every stratum's sampled count is exactly proportional (floor),
+    * so rare strata are never over- or under-drawn by chance.
+    *
+    * One shuffle on the strata columns; both windows (rank and stratum
+    * total) share that single partitioning. The per-stratum sort is the
+    * honest cost of exact counts — when a stratum outgrows a task at
+    * extreme scale, the cheap alternative is hash-threshold sampling
+    * (`hash(id) % den < num`), which trades exact counts for zero sort.
+    */
+  def stratifiedSample(df: DataFrame, strataCols: Seq[String], idCol: String,
+                       num: Int, den: Int): DataFrame = {
+    require(num >= 0 && den > 0, s"bad fraction $num/$den")
+    val strata = strataCols.map(col)
+    val w = Window.partitionBy(strata: _*).orderBy(col(idCol))
+    df.withColumn("__rn", row_number().over(w).cast("long"))
+      .withColumn("__tot", count(lit(1)).over(Window.partitionBy(strata: _*)))
+      .filter(col("__rn") * den <= col("__tot") * num)
+      .drop("__rn", "__tot")
+  }
+
+  /** Token-budget sequence packing: documents in `idCol` order are
+    * concatenated into a virtual token stream and cut every `budget`
+    * tokens; each document is assigned the bin its FIRST token lands in
+    * (`bin = exclusive-prefix-sum(tokens) div budget` — the standard
+    * concat-then-chunk layout LLM trainers pack with).
+    *
+    * The global prefix sum is decomposed so no single task ever sorts
+    * the corpus (a bare `Window.orderBy(id)` would coalesce 100 TB into
+    * one partition):
+    *   1. bucket docs by `id div bucketWidth`; sum tokens per bucket
+    *      (one partial-aggregated shuffle);
+    *   2. exclusive-cumsum the bucket sums with a window over the bucket
+    *      list — rows there number `maxId/bucketWidth`, thousands at
+    *      most, so the single-partition window is over metadata, not data;
+    *   3. broadcast the bucket offsets back and window WITHIN each
+    *      bucket (partitioned, bounded by bucketWidth rows per task).
+    *
+    * Returns one row per document: (idCol, n_tokens, offset, bin).
+    */
+  def packSequences(docs: DataFrame, idCol: String, nTokens: Column,
+                    budget: Long, bucketWidth: Long = 4096): DataFrame = {
+    require(budget > 0 && bucketWidth > 0, s"bad budget=$budget bucketWidth=$bucketWidth")
+    val t = docs.select(col(idCol).as("__id"), nTokens.cast("long").as("__n"))
+      .withColumn("__bucket", floor(col("__id") / bucketWidth).cast("long"))
+    val bucketSums = t.groupBy(col("__bucket")).agg(sum(col("__n")).as("__bsum"))
+    val wBuckets = Window.orderBy(col("__bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bucketOffsets = bucketSums
+      .withColumn("__boff", coalesce(sum(col("__bsum")).over(wBuckets), lit(0L)))
+      .drop("__bsum")
+    val wInBucket = Window.partitionBy(col("__bucket")).orderBy(col("__id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    t.join(broadcast(bucketOffsets), "__bucket")
+      .withColumn("__off", col("__boff") + coalesce(sum(col("__n")).over(wInBucket), lit(0L)))
+      .select(col("__id").as(idCol), col("__n").as("n_tokens"),
+        col("__off").as("offset"),
+        floor(col("__off") / budget).cast("long").as("bin"))
+  }
+
+  /** Benchmark decontamination: for each training document, the number
+    * of distinct word n-gram shingles it shares with ANY benchmark
+    * document (docs with zero overlap are absent). The canonical
+    * eval-leak scan: training corpora are decontaminated against
+    * benchmark suites before training.
+    *
+    * The benchmark side collapses to its distinct shingle set and
+    * broadcasts — benchmark suites are millions of shingles against a
+    * 100 TB train side, so the train corpus never shuffles: the explode
+    * and the semi-join-shaped probe stay map-side, and the only shuffle
+    * is the per-doc count aggregation. [[TextFunctions.shingles]] is
+    * distinct per document, so the count IS the distinct overlap.
+    */
+  def decontaminate(train: DataFrame, benchmark: DataFrame,
+                    idCol: String, textCol: String, n: Int = 3): DataFrame = {
+    def sh(d: DataFrame): DataFrame = d.select(col(idCol),
+      explode(TextFunctions.shingles(TextFunctions.tokens(col(textCol)), n)).as("__g"))
+    val benchGrams = sh(benchmark).select(col("__g")).distinct()
+    sh(train).join(broadcast(benchGrams), "__g")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_shared"))
+  }
+
+  /** Epoch-weighted oversampling: replicate each row `weight` times with
+    * a 1-based `copy` index — the deterministic form of training-mix
+    * reweighting ("see source X three times per epoch"). The explode is
+    * map-side (1→w inside the scan stage, no shuffle); downstream
+    * shuffles see the already-weighted stream, which is exactly what a
+    * mixing pass wants.
+    */
+  def reweight(df: DataFrame, weight: Column): DataFrame =
+    df.withColumn("copy", explode(sequence(lit(1L), weight.cast("long"))))
+}

@@ -1,0 +1,113 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.operators.Corpus
+
+/** [[graft.operators.Corpus]] — TF-IDF, stratified sampling, sequence
+  * packing, decontamination, reweighting. Formula pins on crafted
+  * fixtures; the packing decomposition is checked against the naive
+  * global-window prefix sum it replaces.
+  */
+class CorpusSpec extends SparkSpec {
+  private val sp = spark
+  import sp.implicits._
+
+  private def docTable(rows: Seq[(Long, String)]): DataFrame =
+    rows.toDF("doc_id", "text")
+
+  test("tfidf: score is tf·ln(N/df), rounded, cut by a total order") {
+    // 4 docs; "rare" appears 3× in doc 0 only → tf=3, df=1, N=4:
+    // score = 3·ln(4) ≈ 4.1589. "common" is in every doc → ln(1) = 0.
+    val d = docTable(Seq(
+      0L -> "rare rare rare common",
+      1L -> "common x",
+      2L -> "common y",
+      3L -> "common z"))
+    val top = Corpus.tfidf(d, "doc_id", "text", 3).collect()
+    assert(top.head.getLong(0) === 0L && top.head.getString(1) === "rare")
+    assert(top.head.getDouble(2) === math.round(3 * math.log(4.0) * 1e4) / 1e4)
+    // ln(1)=0 scores exist but never outrank the singletons (ln(4)≈1.386)
+    assert(top.forall(_.getDouble(2) > 0))
+  }
+
+  test("tfidf: tokenization is lowercased (Foo and foo are one term)") {
+    val d = docTable(Seq(0L -> "Foo foo", 1L -> "bar"))
+    val all = Corpus.tfidf(d, "doc_id", "text", 10).collect()
+    val foo = all.filter(_.getString(1) == "foo")
+    assert(foo.length === 1 && all.forall(_.getString(1) != "Foo"))
+    // tf=2, df=1, N=2 → 2·ln(2)
+    assert(foo.head.getDouble(2) === math.round(2 * math.log(2.0) * 1e4) / 1e4)
+  }
+
+  test("stratifiedSample: exactly floor(tot·num/den) rows per stratum, first ids win") {
+    // strata sizes 25 and 7 at 1/10 → 2 and 0 rows
+    val df = ((0 until 25).map(i => (i.toLong, "a")) ++
+      (100 until 107).map(i => (i.toLong, "b"))).toDF("id", "st")
+    val got = Corpus.stratifiedSample(df, Seq("st"), "id", 1, 10)
+      .as[(Long, String)].collect().sorted
+    assert(got.toSeq === Seq((0L, "a"), (1L, "a")))
+  }
+
+  test("stratifiedSample: num=den keeps everything, num=0 keeps nothing") {
+    val df = (0 until 10).map(i => (i.toLong, i % 2)).toDF("id", "st")
+    assert(Corpus.stratifiedSample(df, Seq("st"), "id", 1, 1).count() === 10)
+    assert(Corpus.stratifiedSample(df, Seq("st"), "id", 0, 10).count() === 0)
+  }
+
+  test("packSequences: two-level decomposition equals the naive global prefix sum") {
+    val rows = (0L until 500L).map(i => (i, 1L + (i * 7 + 3) % 41))
+    val df = rows.toDF("id", "n")
+    val got = Corpus.packSequences(df, "id", col("n"), budget = 100, bucketWidth = 32)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    val naive = df
+      .withColumn("off", coalesce(sum(col("n")).over(
+        Window.orderBy("id").rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("bin", floor(col("off") / 100).cast("long"))
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(got.toSeq === naive.toSeq)
+  }
+
+  test("packSequences: result is invariant to bucketWidth (pure tuning knob)") {
+    val df = (0L until 300L).map(i => (i, 5L + i % 9)).toDF("id", "n")
+    def run(bw: Long) = Corpus.packSequences(df, "id", col("n"), 64, bw)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(run(1) === run(37) && run(37) === run(4096))
+  }
+
+  test("packSequences: offsets are the exclusive cumsum — contiguous, gap-free") {
+    val df = Seq((10L, 3L), (20L, 5L), (30L, 2L), (40L, 7L)).toDF("id", "n")
+    val got = Corpus.packSequences(df, "id", col("n"), budget = 8, bucketWidth = 2)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(got.map(_._3).toSeq === Seq(0L, 3L, 8L, 10L))
+    assert(got.map(_._4).toSeq === Seq(0L, 0L, 1L, 1L))
+  }
+
+  test("decontaminate: distinct shared 3-gram shingles per train doc; clean docs absent") {
+    val bench = docTable(Seq(100L -> "the quick brown fox jumps"))
+    val train = docTable(Seq(
+      // shares "the quick brown" and "quick brown fox"
+      0L -> "a the quick brown fox",
+      1L -> "totally different words here",
+      // repeated shared shingle still counts once (shingles are distinct)
+      2L -> "the quick brown x the quick brown"))
+    val got = Corpus.decontaminate(train, bench, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(0L -> 2L, 2L -> 1L))
+  }
+
+  test("decontaminate: benchmark side broadcasts — train corpus is not shuffled for the probe") {
+    val p = SparkEntry.q59(spark, sf0001).queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), s"probe join should broadcast:\n$p")
+  }
+
+  test("reweight: each row appears weight times with 1-based copy index; no shuffle") {
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "src")
+    val out = Corpus.reweight(df, when(col("src") === "a", 3).otherwise(1))
+      .as[(Long, String, Long)].collect().sorted
+    assert(out.toSeq === Seq((1L, "a", 1L), (1L, "a", 2L), (1L, "a", 3L), (2L, "b", 1L)))
+    val p = Corpus.reweight(df, lit(2)).queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"reweight must stay map-side:\n$p")
+  }
+}
