@@ -125,13 +125,21 @@ object Corpus {
     * broadcasts — benchmark suites are millions of shingles against a
     * 100 TB train side, so the train corpus never shuffles: the explode
     * and the semi-join-shaped probe stay map-side, and the only shuffle
-    * is the per-doc count aggregation. [[TextFunctions.shingles]] is
-    * distinct per document, so the count IS the distinct overlap.
+    * is the per-doc count aggregation.
+    *
+    * Shingles are the one-pass 64-bit hashes of
+    * [[graft.functions.HashedWordNgrams]] (distinct per doc, so the
+    * count IS the distinct overlap) — the composed
+    * split→transform→concat_ws HOF pipeline is interpreted, not
+    * codegen'd, and measured ~20× slower; xxHash64 collisions are
+    * negligible (P ≈ n²/2⁶⁴), so counts match string-shingle semantics
+    * exactly at any realistic corpus size, and fixed-width longs keep
+    * the broadcast hash table compact.
     */
   def decontaminate(train: DataFrame, benchmark: DataFrame,
                     idCol: String, textCol: String, n: Int = 3): DataFrame = {
     def sh(d: DataFrame): DataFrame = d.select(col(idCol),
-      explode(TextFunctions.shingles(TextFunctions.tokens(col(textCol)), n)).as("__g"))
+      explode(graft.functions.HashFunctions.hashedWordNgrams(col(textCol), n)).as("__g"))
     val benchGrams = sh(benchmark).select(col("__g")).distinct()
     sh(train).join(broadcast(benchGrams), "__g")
       .groupBy(col(idCol)).agg(count(lit(1)).as("n_shared"))
