@@ -655,6 +655,43 @@ object SparkEntry {
       docs(s, d).select(col("doc_id"), col("source")),
       when(col("source") === "src0", 3).otherwise(1))
 
+  /** Q63 — content-addressed train/val/test split
+    * ([[graft.operators.Corpus.splitAssign]]): md5-bucketed, stable
+    * under repartitioning and rerun — eval rows can never leak into
+    * training across reruns. Map-side, no shuffle.
+    */
+  def q63(s: SparkSession, d: String): DataFrame =
+    graft.operators.Corpus.splitAssign(
+      docs(s, d).select(col("doc_id")), "doc_id", salt = "graft")
+
+  /** Q64 — context-window chunking ([[graft.operators.Corpus.chunk]]):
+    * 16-token windows every 12 tokens (overlap 4). The 1→k explode is
+    * map-side; chunk sizes are arithmetic on the token count.
+    */
+  def q64(s: SparkSession, d: String): DataFrame =
+    graft.operators.Corpus.chunk(
+      docs(s, d), "doc_id", TextFunctions.tokenCount(col("text")),
+      size = 16, stride = 12)
+
+  /** Q65 — PII pseudonymization ([[graft.operators.Corpus.pseudonymize]]):
+    * user ids replaced by salted sha256 — deterministic (joins/groupBys
+    * survive) but irreversible without the salt.
+    */
+  def q65(s: SparkSession, d: String): DataFrame =
+    graft.operators.Corpus.pseudonymize(
+        ev(s, d).select(col("event_id"), col("user_id")),
+        "user_id", salt = "graft", outCol = "uid_token")
+      .select(col("event_id"), col("uid_token"))
+
+  /** Q66 — heavy-hitter skew profile
+    * ([[graft.operators.Corpus.heavyHitters]]): top-10 users by event
+    * count with share of total — the scan whose output picks
+    * [[graft.operators.Joins.saltedJoin]]'s factor.
+    */
+  def q66(s: SparkSession, d: String): DataFrame =
+    graft.operators.Corpus.heavyHitters(
+      ev(s, d).select(col("user_id")), Seq("user_id"), k = 10)
+
   /** Q40 — skew-mitigation salted join, oracle-checked: market-segment
     * revenue through [[graft.operators.Joins.saltedJoin]] — deterministic
     * per-row salt (`hash(o_orderkey)`), customer dimension replicated
@@ -788,7 +825,11 @@ object SparkEntry {
     "q59_decontaminate"   -> (q59 _),
     "q60_intersect"       -> (q60 _),
     "q61_ntile_quartiles" -> (q61 _),
-    "q62_reweight"        -> (q62 _))
+    "q62_reweight"        -> (q62 _),
+    "q63_split_assign"    -> (q63 _),
+    "q64_chunk"           -> (q64 _),
+    "q65_pseudonymize"    -> (q65 _),
+    "q66_heavy_hitters"   -> (q66 _))
 
   // DuckDB twins. Shared SQL fragments for the text queries:
   // explicit class: Java \s includes \x0B, RE2 \s does not — see
@@ -1113,6 +1154,28 @@ object SparkEntry {
       ("""SELECT doc_id, source,
          |  unnest(generate_series(1, CASE WHEN source = 'src0' THEN 3 ELSE 1 END)) AS copy
          |FROM documents
+         |""".stripMargin),
+    "q63_split_assign" ->
+      ("""SELECT doc_id, CASE
+         |  WHEN substring(md5('graft:' || CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'train'
+         |  WHEN substring(md5('graft:' || CAST(doc_id AS VARCHAR)), 1, 2) < 'f6' THEN 'val'
+         |  ELSE 'test' END AS split
+         |FROM documents
+         |""".stripMargin),
+    "q64_chunk" ->
+      (s"""WITH t AS (SELECT doc_id, CAST(len($TOKS) AS BIGINT) AS n FROM documents
+          |  WHERE len($TOKS) > 0),
+          |c AS (SELECT doc_id, n, unnest(generate_series(0, (n - 1) // 12)) AS chunk_idx FROM t)
+          |SELECT doc_id, chunk_idx, least(16, n - chunk_idx * 12) AS chunk_tokens FROM c
+          |""".stripMargin),
+    "q65_pseudonymize" ->
+      ("SELECT event_id, sha256('graft:' || CAST(user_id AS VARCHAR)) AS uid_token " +
+       "FROM events"),
+    "q66_heavy_hitters" ->
+      ("""WITH c AS (SELECT user_id, count(*) AS cnt FROM events GROUP BY 1),
+         |t AS (SELECT count(*) AS total FROM events)
+         |SELECT user_id, cnt, round(CAST(cnt AS DOUBLE) / total, 6) AS share
+         |FROM c CROSS JOIN t ORDER BY cnt DESC, user_id LIMIT 10
          |""".stripMargin),
     "q48_semi_join" ->
       ("SELECT c_mktsegment, count(*) AS n FROM customer WHERE EXISTS (" +

@@ -39,8 +39,11 @@ object Corpus {
     * order over values both engines agree on bit-for-bit.
     */
   def tfidf(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    // split+explode+predicate stays in codegen; TextFunctions.tokens'
+    // array-filter lambda would run interpreted (HOFs have no codegen)
     val tk = docs.select(col(idCol).as("doc_id"),
-      explode(TextFunctions.tokens(lower(col(textCol)))).as("token"))
+        explode(split(trim(lower(col(textCol))), TextFunctions.whitespaceClass)).as("token"))
+      .filter(col("token") =!= "")
     val tf = tk.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
@@ -143,6 +146,72 @@ object Corpus {
     val benchGrams = sh(benchmark).select(col("__g")).distinct()
     sh(train).join(broadcast(benchGrams), "__g")
       .groupBy(col(idCol)).agg(count(lit(1)).as("n_shared"))
+  }
+
+  /** Deterministic content-addressed train/val/test split: the first
+    * two hex chars of `md5(salt:id)` land each row in [00..ff], cut at
+    * `trainTo`/`valTo` (lowercase-hex thresholds, lexicographic — hex
+    * digits sort correctly in ASCII). Stable under repartitioning,
+    * re-ingestion, and cluster size — the split is a pure function of
+    * the row's identity, which is how real pipelines keep eval rows
+    * out of training across reruns. Map-side only, no shuffle.
+    */
+  def splitAssign(df: DataFrame, idCol: String, salt: String,
+                  trainTo: String = "e6", valTo: String = "f6"): DataFrame = {
+    val h2 = substring(md5(concat(lit(salt + ":"), col(idCol).cast("string"))), 1, 2)
+    df.withColumn("split",
+      when(h2 < trainTo, "train").when(h2 < valTo, "val").otherwise("test"))
+  }
+
+  /** Context-window chunking: each document yields
+    * ⌊(n−1)/stride⌋+1 chunks starting every `stride` tokens, each
+    * holding `min(size, n − start)` tokens — the overlapping-window
+    * layout (overlap = size − stride) used to fit long documents into
+    * a model's context. The 1→k explode is map-side inside the scan
+    * stage; chunk counts are arithmetic on the token count, so no
+    * token materializes twice.
+    */
+  def chunk(docs: DataFrame, idCol: String, nTokens: Column,
+            size: Long, stride: Long): DataFrame = {
+    require(size > 0 && stride > 0 && stride <= size,
+      s"bad chunk size=$size stride=$stride")
+    val n = nTokens.cast("long")
+    docs.select(col(idCol), n.as("__n"))
+      .filter(col("__n") > 0)
+      .select(col(idCol),
+        explode(sequence(lit(0L), floor((col("__n") - 1) / stride).cast("long")))
+          .as("chunk_idx"),
+        col("__n"))
+      .select(col(idCol), col("chunk_idx"),
+        least(lit(size), col("__n") - col("chunk_idx") * stride).as("chunk_tokens"))
+  }
+
+  /** PII pseudonymization: replace an identifier with `sha256(salt:id)`
+    * — deterministic (the same user maps to the same token, so joins
+    * and group-bys still work downstream) but irreversible without the
+    * salt. Pure map-side projection over a codegen'd hash.
+    */
+  def pseudonymize(df: DataFrame, idCol: String, salt: String,
+                   outCol: String): DataFrame =
+    df.withColumn(outCol,
+      sha2(concat(lit(salt + ":"), col(idCol).cast("string")), 256))
+
+  /** Heavy-hitter profile: top-k keys by row count with their share of
+    * the total — the skew scan run BEFORE choosing a join strategy
+    * (its output decides [[Joins.saltedJoin]]'s factor, or which keys
+    * AQE skew handling must split). One partial-aggregated shuffle;
+    * the total joins in as a broadcast scalar; the top-k cut carries a
+    * total tie-break order.
+    */
+  def heavyHitters(df: DataFrame, keyCols: Seq[String], k: Int): DataFrame = {
+    val keys = keyCols.map(col)
+    val counts = df.groupBy(keys: _*).agg(count(lit(1)).as("cnt"))
+    val total = df.agg(count(lit(1)).as("__total"))
+    counts.crossJoin(broadcast(total))
+      .select(keys :+ col("cnt") :+
+        round(col("cnt").cast("double") / col("__total"), 6).as("share"): _*)
+      .orderBy(col("cnt").desc +: keys: _*)
+      .limit(k)
   }
 
   /** Epoch-weighted oversampling: replicate each row `weight` times with

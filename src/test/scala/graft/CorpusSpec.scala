@@ -102,6 +102,67 @@ class CorpusSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), s"probe join should broadcast:\n$p")
   }
 
+  test("splitAssign: pure function of identity — stable under repartitioning, proportions sane") {
+    val df = (0L until 2000L).toDF("id")
+    val a = Corpus.splitAssign(df, "id", "s").as[(Long, String)].collect().toMap
+    val b = Corpus.splitAssign(df.repartition(13), "id", "s")
+      .as[(Long, String)].collect().toMap
+    assert(a === b)
+    val bySplit = a.values.groupBy(identity).view.mapValues(_.size).toMap
+    // e6/f6 cuts = 230/16/10 of 256 ≈ 89.8/6.3/3.9% — allow wide slack
+    assert(bySplit("train") > 1600 && bySplit("val") > 50 && bySplit("test") > 30)
+    assert(bySplit.values.sum === 2000)
+    // no shuffle: the split is map-side
+    val p = Corpus.splitAssign(df, "id", "s").queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"splitAssign must stay map-side:\n$p")
+  }
+
+  test("splitAssign: different salt reshuffles membership") {
+    val df = (0L until 500L).toDF("id")
+    val a = Corpus.splitAssign(df, "id", "s1").as[(Long, String)].collect().toMap
+    val b = Corpus.splitAssign(df, "id", "s2").as[(Long, String)].collect().toMap
+    assert(a.exists { case (k, v) => b(k) != v })
+  }
+
+  test("chunk: overlapping-window layout — counts, sizes, tail chunk, empty docs dropped") {
+    val df = Seq((0L, 30L), (1L, 16L), (2L, 17L), (3L, 1L), (4L, 0L)).toDF("id", "n")
+    val got = Corpus.chunk(df, "id", col("n"), size = 16, stride = 12)
+      .as[(Long, Long, Long)].collect().sorted.toSeq
+    assert(got === Seq(
+      (0L, 0L, 16L), (0L, 1L, 16L), (0L, 2L, 6L), // 30 tokens → starts 0,12,24
+      (1L, 0L, 16L), (1L, 1L, 4L),                // 16 tokens → starts 0,12
+      (2L, 0L, 16L), (2L, 1L, 5L),
+      (3L, 0L, 1L)))                              // 1 token → one 1-token chunk
+  }
+
+  test("chunk: stride == size means zero overlap and every token exactly once") {
+    val df = Seq((0L, 100L), (1L, 7L)).toDF("id", "n")
+    val got = Corpus.chunk(df, "id", col("n"), size = 8, stride = 8)
+      .as[(Long, Long, Long)].collect()
+    assert(got.filter(_._1 == 0L).map(_._3).sum === 100L)
+    assert(got.filter(_._1 == 1L).map(_._3).sum === 7L)
+  }
+
+  test("pseudonymize: deterministic, salt-dependent, join-preserving") {
+    val df = Seq((1L, 10L), (2L, 10L), (3L, 20L)).toDF("event_id", "user_id")
+    val out = Corpus.pseudonymize(df, "user_id", "s", "tok")
+      .as[(Long, Long, String)].collect().sortBy(_._1)
+    // same user → same token (grouping survives); different user → different
+    assert(out(0)._3 === out(1)._3)
+    assert(out(0)._3 !== out(2)._3)
+    assert(out(0)._3.matches("[0-9a-f]{64}"))
+    val other = Corpus.pseudonymize(df, "user_id", "s2", "tok")
+      .as[(Long, Long, String)].collect().sortBy(_._1)
+    assert(other(0)._3 !== out(0)._3)
+  }
+
+  test("heavyHitters: top-k by count with exact share, total tie-break") {
+    val rows = Seq.fill(6)("a") ++ Seq.fill(3)("b") ++ Seq.fill(3)("c") ++ Seq("d")
+    val got = Corpus.heavyHitters(rows.toDF("k"), Seq("k"), 3)
+      .as[(String, Long, Double)].collect().toSeq
+    assert(got === Seq(("a", 6L, 0.461538), ("b", 3L, 0.230769), ("c", 3L, 0.230769)))
+  }
+
   test("reweight: each row appears weight times with 1-based copy index; no shuffle") {
     val df = Seq((1L, "a"), (2L, "b")).toDF("id", "src")
     val out = Corpus.reweight(df, when(col("src") === "a", 3).otherwise(1))
