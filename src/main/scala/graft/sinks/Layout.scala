@@ -1,0 +1,94 @@
+package graft.sinks
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Data-layout control for scan-time skipping: Z-order clustering plus
+  * file-level min/max pruning over plain parquet — the mechanism behind
+  * every modern lake format's data skipping, built here from public
+  * Spark primitives only.
+  *
+  * Why layout is a 100 TB concern: partition pruning (the Hive-style
+  * `entity/year/month` dirs of [[PartitionedSink]]) only skips on the
+  * partition columns. A selective predicate on anything else still scans
+  * every file — unless files are CLUSTERED so each holds a narrow range
+  * of the filter column, making per-file min/max stats selective.
+  * Linear sort clusters one column perfectly and the rest not at all;
+  * a Z-order (Morton) curve interleaves the key bits so EVERY clustered
+  * column maps to a bounded min/max band per file — skipping works on
+  * each of them (Morton 1966; the layout Delta's `OPTIMIZE ZORDER BY`
+  * popularized).
+  *
+  * The stats "manifest" is computed from the data (one aggregate over
+  * `input_file_name`), kept as a DataFrame, and joined driver-side only
+  * at file granularity — metadata scale (n files), never row scale.
+  */
+object Layout {
+
+  /** Morton z-address of `cols`: the low `bits` of each column
+    * interleaved round-robin (column 0 owns the least-significant
+    * position of each group). Codegen'd shift/mask/or primitives only —
+    * no UDF, no HOF. Columns must already be non-negative integers
+    * (bucketize first if not); values ≥ 2^bits fold into the top bucket
+    * via the mask, keeping the address total.
+    */
+  def zAddress(cols: Seq[Column], bits: Int = 16): Column = {
+    require(cols.nonEmpty, "zAddress needs at least one column")
+    require(bits * cols.size <= 62, s"${cols.size} cols × $bits bits overflows a Long")
+    val masked = cols.map(c => when(c >= (1L << bits), lit((1L << bits) - 1))
+      .otherwise(c.cast("long")))
+    val terms = for {
+      (c, ci) <- masked.zipWithIndex
+      b <- 0 until bits
+    } yield shiftleft(shiftright(c, b).bitwiseAND(lit(1L)), b * cols.size + ci)
+    terms.reduce(_.bitwiseOR(_))
+  }
+
+  /** Write `df` as `nFiles` parquet files clustered on the Z-order of
+    * `zCols`: range-repartition on the z-address (contiguous curve
+    * segments per file), sort within each partition so parquet
+    * row-group stats are tight too, drop the helper column, write.
+    * One shuffle — the same cost as any repartition-before-write — buys
+    * min/max skipping on every clustered column forever after.
+    */
+  def writeZOrdered(df: DataFrame, zCols: Seq[Column], outDir: String,
+                    nFiles: Int, bits: Int = 16): Unit =
+    df.withColumn("__z", zAddress(zCols, bits))
+      .repartitionByRange(nFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode("overwrite").parquet(outDir)
+
+  /** Per-file [min, max] of `statCols`: one aggregate grouped on
+    * `input_file_name` — n_files rows out, computed distributed. In a
+    * real lake this materializes once per compaction pass and is cached
+    * as the skipping manifest (Delta/Iceberg keep exactly these stats
+    * in their logs); recomputing per query would re-scan the data and
+    * defeat the point.
+    */
+  def fileStats(spark: SparkSession, dir: String, statCols: Seq[String]): DataFrame =
+    spark.read.parquet(dir)
+      .groupBy(input_file_name().as("file"))
+      .agg(min(col(statCols.head)).as(s"${statCols.head}_min"),
+        (max(col(statCols.head)).as(s"${statCols.head}_max") +:
+          statCols.tail.flatMap(c =>
+            Seq(min(col(c)).as(s"${c}_min"), max(col(c)).as(s"${c}_max")))): _*)
+
+  /** Read only the files whose [min, max] band intersects `[lo, hi]` on
+    * `column`, then apply the exact predicate. The stats join is
+    * file-granular: `stats` has one row per file, so the collect is
+    * metadata, not data. Returns (pruned DataFrame, files read,
+    * files total) so callers — and specs — can see the skip rate.
+    */
+  def readPruned(spark: SparkSession, dir: String, stats: DataFrame,
+                 column: String, lo: Long, hi: Long): (DataFrame, Int, Int) = {
+    val files = stats.select(col("file"), col(s"${column}_min"), col(s"${column}_max"))
+      .collect()
+    val keep = files.filter(r => r.getLong(1) <= hi && r.getLong(2) >= lo).map(_.getString(0))
+    val df =
+      if (keep.isEmpty) spark.read.parquet(dir).filter(lit(false))
+      else spark.read.parquet(keep.toIndexedSeq: _*)
+        .filter(col(column) >= lo && col(column) <= hi)
+    (df, keep.length, files.length)
+  }
+}

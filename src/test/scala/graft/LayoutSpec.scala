@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sinks.Layout
+
+/** [[graft.sinks.Layout]] — Z-order clustering + file-level min/max
+  * skipping. The claims that matter at 100 TB are asserted directly:
+  * a z-ordered lake prunes on EVERY clustered column, a linearly
+  * sorted one only on its sort column, and pruning never changes
+  * results.
+  */
+class LayoutSpec extends SparkSpec {
+  private val sp = spark
+  import sp.implicits._
+
+  // two independent uniform dims in [0, 256) — deterministic LCG-ish mix
+  private lazy val data = (0L until 20000L).map { i =>
+    (i, (i * 2654435761L >>> 8) & 255L, (i * 40503L >>> 4) & 255L)
+  }.toDF("id", "x", "y")
+
+  private def prunedCount(dir: String, colName: String, lo: Long, hi: Long): (Long, Int, Int) = {
+    val stats = Layout.fileStats(spark, dir, Seq("x", "y"))
+    val (df, read, total) = Layout.readPruned(spark, dir, stats, colName, lo, hi)
+    (df.count(), read, total)
+  }
+
+  test("zAddress: interleaves bits — locality on every dim, total order, overflow folds") {
+    val z = data.select(Layout.zAddress(Seq(col("x"), col("y")), bits = 8).as("z"),
+      col("x"), col("y")).collect()
+    // spot-check the interleave arithmetic: x=3 (11), y=1 (01) → z = 0b0111 = 7
+    val probe = Seq((3L, 1L)).toDF("x", "y")
+      .select(Layout.zAddress(Seq(col("x"), col("y")), 8)).head().getLong(0)
+    assert(probe === 7L)
+    // address stays within 2*bits
+    assert(z.forall(r => r.getLong(0) >= 0 && r.getLong(0) < (1L << 16)))
+    // values ≥ 2^bits fold into the top bucket instead of corrupting neighbors
+    val folded = Seq((300L, 0L)).toDF("x", "y")
+      .select(Layout.zAddress(Seq(col("x"), col("y")), 8)).head().getLong(0)
+    val top = Seq((255L, 0L)).toDF("x", "y")
+      .select(Layout.zAddress(Seq(col("x"), col("y")), 8)).head().getLong(0)
+    assert(folded === top)
+  }
+
+  test("z-ordered layout skips files on BOTH dims; linear sort only on its sort column") {
+    val zDir = java.nio.file.Files.createTempDirectory("zorder").toString + "/lake"
+    val linDir = java.nio.file.Files.createTempDirectory("linear").toString + "/lake"
+    Layout.writeZOrdered(data, Seq(col("x"), col("y")), zDir, nFiles = 16, bits = 8)
+    // linear baseline: same file count, sorted by x only
+    data.repartitionByRange(16, col("x")).sortWithinPartitions(col("x"))
+      .write.mode("overwrite").parquet(linDir)
+
+    val expect = data.filter(col("x") >= 96 && col("x") <= 111).count()
+    val (zx, zxRead, zxTotal) = prunedCount(zDir, "x", 96, 111)
+    val (zy, zyRead, _) = prunedCount(zDir, "y", 96, 111)
+    val (lx, lxRead, lxTotal) = prunedCount(linDir, "x", 96, 111)
+    val (_, lyRead, _) = prunedCount(linDir, "y", 96, 111)
+
+    assert(zx === expect, "pruned read must equal the full filter")
+    assert(zy === data.filter(col("y") >= 96 && col("y") <= 111).count())
+    assert(lx === expect)
+    // z-order: a 1/16-wide band on EITHER dim touches a strict subset
+    assert(zxRead < zxTotal / 2, s"z-order should skip on x: $zxRead/$zxTotal")
+    assert(zyRead < zxTotal / 2, s"z-order should skip on y: $zyRead/$zxTotal")
+    // linear: perfect on x, useless on y — the asymmetry z-order removes
+    assert(lxRead <= 2, s"linear sort should nearly isolate x: $lxRead/$lxTotal")
+    assert(lyRead === lxTotal, s"linear sort cannot skip on y: $lyRead/$lxTotal")
+  }
+
+  test("readPruned: empty band reads zero files and returns an empty frame") {
+    val dir = java.nio.file.Files.createTempDirectory("zempty").toString + "/lake"
+    Layout.writeZOrdered(data, Seq(col("x"), col("y")), dir, nFiles = 4, bits = 8)
+    val stats = Layout.fileStats(spark, dir, Seq("x", "y"))
+    val (df, read, total) = Layout.readPruned(spark, dir, stats, "x", 1000, 2000)
+    assert(read === 0 && total === 4 && df.count() === 0)
+  }
+}
