@@ -156,6 +156,29 @@ class CorpusSpec extends SparkSpec {
     assert(other(0)._3 !== out(0)._3)
   }
 
+  test("map-side corpus ops compose with Structured Streaming (split+pseudonymize+chunk in-stream)") {
+    // splitAssign/pseudonymize/chunk are stateless projections, so the SAME
+    // code runs unchanged inside a streaming query — the batch/stream parity
+    // the engine promises for its map-side operators.
+    implicit val sqlCtx: org.apache.spark.sql.classic.SQLContext =
+      spark.sqlContext.asInstanceOf[org.apache.spark.sql.classic.SQLContext]
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long)]
+    input.addData((1L, 30L), (2L, 5L), (3L, 0L))
+    val staged = Corpus.chunk(
+      Corpus.pseudonymize(
+        Corpus.splitAssign(input.toDF().toDF("doc_id", "n"), "doc_id", "s"),
+        "doc_id", "s", "tok"),
+      "doc_id", col("n"), size = 16, stride = 12)
+    val q = staged.writeStream.format("memory").queryName("corpus_stream")
+      .outputMode("append").trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val out = spark.table("corpus_stream").as[(Long, Long, Long)].collect().sorted.toSeq
+    // doc 1 (30 tokens) → starts 0,12,24 → sizes 16,16,6;
+    // doc 2 (5 tokens) → one 5-token chunk; doc 3 (0 tokens) → dropped
+    assert(out === Seq((1L, 0L, 16L), (1L, 1L, 16L), (1L, 2L, 6L), (2L, 0L, 5L)))
+  }
+
   test("heavyHitters: top-k by count with exact share, total tie-break") {
     val rows = Seq.fill(6)("a") ++ Seq.fill(3)("b") ++ Seq.fill(3)("c") ++ Seq("d")
     val got = Corpus.heavyHitters(rows.toDF("k"), Seq("k"), 3)

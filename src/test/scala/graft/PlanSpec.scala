@@ -189,6 +189,27 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("levenshtein"), s"metric kernel missing from plan:\n$p")
   }
 
+  test("q56: tfidf joins broadcast and the top-k cut is TakeOrdered, never a global sort") {
+    val p = plan(SparkEntry.q56(spark, sf0001))
+    assert(p.contains("TakeOrderedAndProject"), s"top-k should be TakeOrdered:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"tf⋈df should broadcast at this scale:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"unexpected sort-merge join:\n$p")
+  }
+
+  test("q57: both sampling windows share ONE exchange on the strata columns") {
+    val p = plan(SparkEntry.q57(spark, sf0001))
+    assert("Exchange".r.findAllMatchIn(p).size === 1,
+      s"rank and total windows must share one shuffle:\n$p")
+    assert("Window".r.findAllMatchIn(p).size === 2, s"expected two windows:\n$p")
+  }
+
+  test("q63/q64/q65: split-assign, chunking, pseudonymization are pure map-side (zero Exchange)") {
+    for (q <- Seq(SparkEntry.q63 _, SparkEntry.q64 _, SparkEntry.q65 _)) {
+      val p = plan(q(spark, sf0001))
+      assert(!p.contains("Exchange"), s"map-side operator planned a shuffle:\n$p")
+    }
+  }
+
   test("similarity corpus spread is conditional: a wide corpus never round-robins") {
     val df = wideEmbeddings
     val p = plan(graft.operators.Similarity.topKCosine(
