@@ -692,6 +692,34 @@ object SparkEntry {
     graft.operators.Corpus.heavyHitters(
       ev(s, d).select(col("user_id")), Seq("user_id"), k = 10)
 
+  /** Q67 — corpus-unigram surprisal
+    * ([[graft.operators.Corpus.unigramSurprisal]]): mean −ln p(token)
+    * per doc under the corpus's own unigram distribution — the
+    * zero-dependency shape of LM-based quality filtering. Per-token
+    * surprisals route through DECIMAL(18,9) so the per-doc sum is
+    * exact and order-independent.
+    */
+  def q67(s: SparkSession, d: String): DataFrame =
+    graft.operators.Corpus.unigramSurprisal(docs(s, d), "doc_id", "text")
+
+  /** Q68 — within-doc repetition score (the Gopher/C4 repetition
+    * filter): 1 − distinct/total 3-grams. Distinct counts come from the
+    * one-pass [[graft.functions.HashedWordNgrams]] expression (the HOF
+    * shingle pipeline runs interpreted); total 3-grams is arithmetic
+    * on the token count. Pure map-side projection.
+    */
+  def q68(s: SparkSession, d: String): DataFrame = {
+    val n = TextFunctions.tokenCount(col("text"))
+    docs(s, d)
+      .select(col("doc_id"), n.as("n_tokens"),
+        size(graft.functions.HashFunctions.hashedWordNgrams(col("text"), 3))
+          .cast("long").as("n_distinct"))
+      .filter(col("n_tokens") >= 3)
+      .select(col("doc_id"),
+        round(lit(1.0) - col("n_distinct").cast("double") / (col("n_tokens") - 2), 6)
+          .as("rep_score"))
+  }
+
   /** Q40 — skew-mitigation salted join, oracle-checked: market-segment
     * revenue through [[graft.operators.Joins.saltedJoin]] — deterministic
     * per-row salt (`hash(o_orderkey)`), customer dimension replicated
@@ -829,7 +857,9 @@ object SparkEntry {
     "q63_split_assign"    -> (q63 _),
     "q64_chunk"           -> (q64 _),
     "q65_pseudonymize"    -> (q65 _),
-    "q66_heavy_hitters"   -> (q66 _))
+    "q66_heavy_hitters"   -> (q66 _),
+    "q67_surprisal"       -> (q67 _),
+    "q68_repetition"      -> (q68 _))
 
   // DuckDB twins. Shared SQL fragments for the text queries:
   // explicit class: Java \s includes \x0B, RE2 \s does not — see
@@ -1177,6 +1207,24 @@ object SparkEntry {
          |SELECT user_id, cnt, round(CAST(cnt AS DOUBLE) / total, 6) AS share
          |FROM c CROSS JOIN t ORDER BY cnt DESC, user_id LIMIT 10
          |""".stripMargin),
+    "q67_surprisal" ->
+      (s"""WITH tk AS (SELECT doc_id, unnest($TOKS) AS token FROM documents),
+          |freq AS (SELECT token, count(*) AS ctf FROM tk GROUP BY 1),
+          |t AS (SELECT count(*) AS total FROM tk)
+          |SELECT doc_id,
+          |  round(CAST(sum(CAST(-ln(CAST(ctf AS DOUBLE) / total) AS DECIMAL(18,9))) AS DOUBLE)
+          |        / count(*), 6) AS surprisal,
+          |  count(*) AS n_tokens
+          |FROM tk JOIN freq USING (token) CROSS JOIN t
+          |GROUP BY doc_id
+          |""".stripMargin),
+    "q68_repetition" ->
+      (s"""WITH t AS (SELECT doc_id, $TOKS AS tk FROM documents),
+          |s AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n,
+          |  CAST(len(${shinglesSql("tk")}) AS BIGINT) AS nd FROM t)
+          |SELECT doc_id, round(1.0 - CAST(nd AS DOUBLE) / (n - 2), 6) AS rep_score
+          |FROM s WHERE n >= 3
+          |""".stripMargin),
     "q48_semi_join" ->
       ("SELECT c_mktsegment, count(*) AS n FROM customer WHERE EXISTS (" +
        "SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 200000.0" +

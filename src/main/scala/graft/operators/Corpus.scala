@@ -214,6 +214,34 @@ object Corpus {
       .limit(k)
   }
 
+  /** Corpus-unigram surprisal: each document's mean −ln p(token) under
+    * the corpus's own unigram distribution — the zero-dependency stand-in
+    * for model-based quality scoring (high = rare-token-heavy outliers,
+    * low = boilerplate), the shape of Wenzek et al.'s CCNet LM filter.
+    *
+    * One explode feeds both the frequency table and the scoring pass;
+    * the (token, count) table joins back by equi-join (AQE broadcasts a
+    * small vocabulary) and the total rides along as a broadcast scalar.
+    * Per-token surprisals are cast to DECIMAL(18,9) before the per-doc
+    * sum so the aggregate is exact and order-independent — a raw double
+    * sum would vary with partitioning (float addition does not commute
+    * across merge orders).
+    */
+  def unigramSurprisal(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tk = docs.select(col(idCol).as("doc_id"),
+        explode(split(trim(col(textCol)), TextFunctions.whitespaceClass)).as("token"))
+      .filter(col("token") =!= "")
+    val freq = tk.groupBy(col("token")).agg(count(lit(1)).as("ctf"))
+    val total = tk.agg(count(lit(1)).as("__total"))
+    tk.join(freq, "token").crossJoin(broadcast(total))
+      .select(col("doc_id"),
+        (-log(col("ctf").cast("double") / col("__total")))
+          .cast(org.apache.spark.sql.types.DecimalType(18, 9)).as("__s"))
+      .groupBy(col("doc_id"))
+      .agg(round((sum(col("__s")).cast("double") / count(lit(1))), 6).as("surprisal"),
+        count(lit(1)).as("n_tokens"))
+  }
+
   /** Epoch-weighted oversampling: replicate each row `weight` times with
     * a 1-based `copy` index — the deterministic form of training-mix
     * reweighting ("see source X three times per epoch"). The explode is

@@ -186,6 +186,40 @@ class CorpusSpec extends SparkSpec {
     assert(got === Seq(("a", 6L, 0.461538), ("b", 3L, 0.230769), ("c", 3L, 0.230769)))
   }
 
+  test("unigramSurprisal: mean -ln p(token), exact decimal path, partitioning-invariant") {
+    // corpus: 4 tokens total — "a" ×3 (p=3/4), "b" ×1 (p=1/4)
+    val d = docTable(Seq(0L -> "a a b", 1L -> "a"))
+    def expected(ps: Seq[Double]) = {
+      val dec = ps.map(p => BigDecimal(-math.log(p)).setScale(9, BigDecimal.RoundingMode.HALF_UP))
+      (dec.sum.toDouble / ps.size * 1e6).round / 1e6
+    }
+    val got = Corpus.unigramSurprisal(d, "doc_id", "text")
+      .as[(Long, Double, Long)].collect().sortBy(_._1).toSeq
+    assert(got === Seq(
+      (0L, expected(Seq(0.75, 0.75, 0.25)), 3L),
+      (1L, expected(Seq(0.75)), 1L)))
+    // decimal-routed sum: immune to partitioning (a raw double sum is not)
+    val sp17 = Corpus.unigramSurprisal(d.repartition(17), "doc_id", "text")
+      .as[(Long, Double, Long)].collect().sortBy(_._1).toSeq
+    assert(sp17 === got)
+  }
+
+  test("repetition score (q68): 1 - distinct/total 3-grams; short docs excluded") {
+    val d = docTable(Seq(
+      0L -> "x y z x y z x y",      // 6 3-grams, 3 distinct → 0.5
+      1L -> "a b c d",              // 2 3-grams, 2 distinct → 0.0
+      2L -> "w w"))                 // < 3 tokens → filtered out
+    val got = SparkEntry.q68(spark, sf0001) // shape check only against fixture
+    assert(got.columns.toSeq === Seq("doc_id", "rep_score"))
+    val rows = d.select(col("doc_id"),
+        graft.functions.TextFunctions.tokenCount(col("text")).as("n"),
+        size(graft.functions.HashFunctions.hashedWordNgrams(col("text"), 3)).cast("long").as("nd"))
+      .filter(col("n") >= 3)
+      .select(col("doc_id"), round(lit(1.0) - col("nd").cast("double") / (col("n") - 2), 6))
+      .as[(Long, Double)].collect().sortBy(_._1).toSeq
+    assert(rows === Seq((0L, 0.5), (1L, 0.0)))
+  }
+
   test("reweight: each row appears weight times with 1-based copy index; no shuffle") {
     val df = Seq((1L, "a"), (2L, "b")).toDF("id", "src")
     val out = Corpus.reweight(df, when(col("src") === "a", 3).otherwise(1))
