@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sinks.IncrementalAgg
+
+/** [[graft.sinks.IncrementalAgg]] — incremental materialized-aggregate
+  * maintenance. The invariants: fold(batches) == full recompute,
+  * untouched partitions are byte-identical (never rewritten), and the
+  * mergeable (count, decimal sum) state is replay/order-independent.
+  */
+class IncrementalAggSpec extends SparkSpec {
+  private val sp = spark
+  import sp.implicits._
+
+  private def batch(rows: (String, Int, Double)*) =
+    rows.toDF("entity", "month", "value")
+
+  private def parquetFiles(dir: String): Map[String, Long] = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
+      else if (f.getName.endsWith(".parquet")) Seq(f) else Seq.empty
+    walk(new java.io.File(dir)).map(f => f.getAbsolutePath -> f.lastModified()).toMap
+  }
+
+  test("fold of batches equals full recompute; only touched partitions rewritten") {
+    val root = java.nio.file.Files.createTempDirectory("incragg").toString + "/agg"
+    val b1 = batch(("a", 1, 10.5), ("a", 1, 2.25), ("b", 1, 7.0))
+    val b2 = batch(("a", 1, 1.0), ("c", 2, 3.5))
+
+    assert(IncrementalAgg.maintain(spark, b1, root,
+      Seq("entity"), Seq("entity", "month"), "value") === 2)
+    val filesAfterB1 = parquetFiles(root)
+
+    assert(IncrementalAgg.maintain(spark, b2, root,
+      Seq("entity"), Seq("entity", "month"), "value") === 2)
+
+    // state equals the full recompute over b1 ∪ b2
+    val got = IncrementalAgg.read(spark, root)
+      .select(col("entity"), col("month"), col("n"),
+        col("sum_v").cast("double"), col("mean_v"))
+      .as[(String, Int, Long, Double, Double)].collect().sorted.toSeq
+    assert(got === Seq(
+      ("a", 1, 3L, 13.75, 13.75 / 3),
+      ("b", 1, 1L, 7.0, 7.0),
+      ("c", 2, 1L, 3.5, 3.5)))
+
+    // partition b untouched by b2: its files must be EXACTLY the same ones
+    val filesAfterB2 = parquetFiles(root)
+    val bFilesBefore = filesAfterB1.filter(_._1.contains("entity=b"))
+    val bFilesAfter = filesAfterB2.filter(_._1.contains("entity=b"))
+    assert(bFilesBefore === bFilesAfter, "untouched partition was rewritten")
+    // touched partition a WAS rewritten
+    assert(filesAfterB1.keySet.filter(_.contains("entity=a")) !==
+      filesAfterB2.keySet.filter(_.contains("entity=a")))
+  }
+
+  test("batch order does not matter (mergeable state)") {
+    val r1 = java.nio.file.Files.createTempDirectory("incr1").toString + "/agg"
+    val r2 = java.nio.file.Files.createTempDirectory("incr2").toString + "/agg"
+    val b1 = batch(("x", 1, 1.25), ("y", 2, 2.0))
+    val b2 = batch(("x", 1, 4.75), ("x", 3, 0.5))
+    for (b <- Seq(b1, b2)) IncrementalAgg.maintain(spark, b, r1, Seq("entity"), Seq("entity", "month"), "value")
+    for (b <- Seq(b2, b1)) IncrementalAgg.maintain(spark, b, r2, Seq("entity"), Seq("entity", "month"), "value")
+    val a = IncrementalAgg.read(spark, r1).select("entity", "month", "n", "mean_v")
+      .as[(String, Int, Long, Double)].collect().sorted.toSeq
+    val b = IncrementalAgg.read(spark, r2).select("entity", "month", "n", "mean_v")
+      .as[(String, Int, Long, Double)].collect().sorted.toSeq
+    assert(a === b && a.nonEmpty)
+  }
+
+  test("foreachBatch wiring: a stream maintains the aggregate incrementally") {
+    val root = java.nio.file.Files.createTempDirectory("incrs").toString + "/agg"
+    implicit val sqlCtx: org.apache.spark.sql.classic.SQLContext =
+      spark.sqlContext.asInstanceOf[org.apache.spark.sql.classic.SQLContext]
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(String, Int, Double)]
+    input.addData(("a", 1, 2.0), ("b", 1, 3.0))
+    input.addData(("a", 1, 4.0))
+    val q = input.toDF().toDF("entity", "month", "value")
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        IncrementalAgg.maintain(spark, b, root, Seq("entity"), Seq("entity", "month"), "value")
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val got = IncrementalAgg.read(spark, root)
+      .select(col("entity"), col("n"), col("sum_v").cast("double"))
+      .as[(String, Long, Double)].collect().sorted.toSeq
+    assert(got === Seq(("a", 2L, 6.0), ("b", 1L, 3.0)))
+  }
+
+  test("empty batch is a no-op (zero partitions rewritten, table intact)") {
+    val root = java.nio.file.Files.createTempDirectory("incre").toString + "/agg"
+    IncrementalAgg.maintain(spark, batch(("a", 1, 1.0)), root,
+      Seq("entity"), Seq("entity", "month"), "value")
+    val before = parquetFiles(root)
+    assert(IncrementalAgg.maintain(spark, batch().limit(0), root,
+      Seq("entity"), Seq("entity", "month"), "value") === 0)
+    assert(parquetFiles(root) === before)
+  }
+}
