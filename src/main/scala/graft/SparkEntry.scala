@@ -720,6 +720,26 @@ object SparkEntry {
           .as("rep_score"))
   }
 
+  /** Q69 — sensor gap-filling ([[graft.operators.TimeSeries.gapFillDaily]]):
+    * each user's daily series completed over its own [min, max] span,
+    * gaps forward-filled — the reference's air-quality domain analyzed
+    * (regular grids are what downstream dashboards/models consume).
+    * Per-key grid explode + one fill window per key; no global calendar
+    * cross-join.
+    */
+  def q69(s: SparkSession, d: String): DataFrame =
+    graft.operators.TimeSeries.gapFillDaily(
+      EventOps.filterValid(ev(s, d)), "user_id", "ts", "value")
+
+  /** Q70 — rolling z-score anomaly detection
+    * ([[graft.operators.TimeSeries.rollingZscore]]): trailing 7-day
+    * mean/std per user over the daily series, exact decimal window
+    * sums, flags on the rounded score.
+    */
+  def q70(s: SparkSession, d: String): DataFrame =
+    graft.operators.TimeSeries.rollingZscore(
+      EventOps.filterValid(ev(s, d)), "user_id", "ts", "value")
+
   /** Q40 — skew-mitigation salted join, oracle-checked: market-segment
     * revenue through [[graft.operators.Joins.saltedJoin]] — deterministic
     * per-row salt (`hash(o_orderkey)`), customer dimension replicated
@@ -859,7 +879,9 @@ object SparkEntry {
     "q65_pseudonymize"    -> (q65 _),
     "q66_heavy_hitters"   -> (q66 _),
     "q67_surprisal"       -> (q67 _),
-    "q68_repetition"      -> (q68 _))
+    "q68_repetition"      -> (q68 _),
+    "q69_gap_fill"        -> (q69 _),
+    "q70_anomaly"         -> (q70 _))
 
   // DuckDB twins. Shared SQL fragments for the text queries:
   // explicit class: Java \s includes \x0B, RE2 \s does not — see
@@ -1225,6 +1247,36 @@ object SparkEntry {
           |SELECT doc_id, round(1.0 - CAST(nd AS DOUBLE) / (n - 2), 6) AS rep_score
           |FROM s WHERE n >= 3
           |""".stripMargin),
+    "q69_gap_fill" ->
+      ("""WITH e AS (SELECT * FROM events WHERE ts IS NOT NULL AND year(ts) <> 1970),
+         |daily AS (SELECT user_id, date_trunc('day', ts) AS d,
+         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v FROM e GROUP BY 1, 2),
+         |span AS (SELECT user_id, min(d) AS d0, max(d) AS d1 FROM daily GROUP BY 1),
+         |grid AS (SELECT user_id, unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS d FROM span)
+         |SELECT g.user_id, strftime(g.d, '%Y-%m-%d') AS day,
+         |  last_value(daily.v IGNORE NULLS) OVER (PARTITION BY g.user_id ORDER BY g.d
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled,
+         |  daily.v IS NULL AS is_gap
+         |FROM grid g LEFT JOIN daily ON g.user_id = daily.user_id AND g.d = daily.d
+         |""".stripMargin),
+    "q70_anomaly" ->
+      ("""WITH e AS (SELECT * FROM events WHERE ts IS NOT NULL AND year(ts) <> 1970),
+         |daily AS (SELECT user_id, date_trunc('day', ts) AS d,
+         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v FROM e GROUP BY 1, 2),
+         |w AS (SELECT user_id, d, v,
+         |  count(v) OVER win AS n,
+         |  CAST(sum(CAST(v AS DECIMAL(18,2))) OVER win AS DOUBLE) AS s1,
+         |  CAST(sum(CAST(v * v AS DECIMAL(28,6))) OVER win AS DOUBLE) AS s2
+         |  FROM daily
+         |  WINDOW win AS (PARTITION BY user_id ORDER BY d
+         |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+         |SELECT user_id, strftime(d, '%Y-%m-%d') AS day, v,
+         |  CASE WHEN n >= 2 AND (s2 - s1*s1/n)/(n-1) > 0
+         |    THEN round((v - s1/n)/sqrt((s2 - s1*s1/n)/(n-1)), 6) END AS zscore,
+         |  coalesce(abs(CASE WHEN n >= 2 AND (s2 - s1*s1/n)/(n-1) > 0
+         |    THEN round((v - s1/n)/sqrt((s2 - s1*s1/n)/(n-1)), 6) END) > 2.0, false) AS is_anomaly
+         |FROM w
+         |""".stripMargin),
     "q48_semi_join" ->
       ("SELECT c_mktsegment, count(*) AS n FROM customer WHERE EXISTS (" +
        "SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 200000.0" +

@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Sensor-series analytics over the engine's event streams — the
+  * reference's own domain (air-quality/vision telemetry landed per
+  * entity/month, `df_manager.py:56-62`) analyzed, not just stored:
+  * regular-grid gap-filling and rolling anomaly detection.
+  *
+  * Scale design (100 TB): everything is keyed per entity — grids are
+  * generated from each key's [min, max] span (map-side explode of a
+  * per-key aggregate, never a global calendar cross-join) and every
+  * window partitions by the key, so no task sees more than one
+  * entity's series. Aggregated values route through exact decimals so
+  * replay and partitioning cannot change a byte.
+  */
+object TimeSeries {
+
+  /** Per-key daily series: exact-decimal sum of `valueCol` per
+    * (`keyCol`, day). The single shuffle every downstream pass reuses.
+    */
+  def dailySeries(df: DataFrame, keyCol: String, tsCol: String,
+                  valueCol: String): DataFrame =
+    df.groupBy(col(keyCol), date_trunc("DAY", col(tsCol)).as("d"))
+      .agg(sum(col(valueCol).cast(DecimalType(18, 2))).cast("double").as("v"))
+
+  /** Regular-grid gap-filling with forward-fill: each key's series is
+    * completed to one row per day over ITS OWN [min, max] span; days
+    * with no data carry the last observed value and `is_gap = true`.
+    * The grid comes from exploding a per-key `sequence(d0, d1, 1 day)`
+    * — span rows are key-count-sized, so the explode is metadata-in,
+    * data-out; the fill is one `last(ignoreNulls)` window per key.
+    */
+  def gapFillDaily(df: DataFrame, keyCol: String, tsCol: String,
+                   valueCol: String): DataFrame = {
+    val daily = dailySeries(df, keyCol, tsCol, valueCol)
+    val span = daily.groupBy(col(keyCol))
+      .agg(min(col("d")).as("d0"), max(col("d")).as("d1"))
+    val grid = span.select(col(keyCol),
+      explode(sequence(col("d0"), col("d1"), expr("interval 1 day"))).as("d"))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("d"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(daily, Seq(keyCol, "d"), "left")
+      .select(col(keyCol),
+        date_format(col("d"), "yyyy-MM-dd").as("day"),
+        last(col("v"), ignoreNulls = true).over(w).as("filled"),
+        col("v").isNull.as("is_gap"))
+  }
+
+  /** Rolling z-score anomaly detection over the per-key daily series:
+    * each day's value against the trailing `win`-day mean/stddev
+    * (sample variance, current day included). Window sums route
+    * through exact decimals — `sum(decimal)` over a ROWS frame is
+    * order-pinned and replay-stable — then the z-score is plain double
+    * arithmetic on those exact sums, rounded for the contract.
+    * `is_anomaly` compares the ROUNDED score so the flag and the score
+    * can never disagree.
+    */
+  def rollingZscore(df: DataFrame, keyCol: String, tsCol: String,
+                    valueCol: String, win: Int = 7,
+                    threshold: Double = 2.0): DataFrame = {
+    require(win >= 2, s"window must cover at least 2 days, got $win")
+    val daily = dailySeries(df, keyCol, tsCol, valueCol)
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("d"))
+      .rowsBetween(-(win - 1), Window.currentRow)
+    val n = count(col("v")).over(w)
+    val s1 = sum(col("v").cast(DecimalType(18, 2))).over(w).cast("double")
+    val s2 = sum((col("v") * col("v")).cast(DecimalType(28, 6))).over(w).cast("double")
+    val mean = s1 / n
+    val variance = (s2 - s1 * s1 / n) / (n - 1)
+    val z = when(n >= 2 && variance > 0,
+      round((col("v") - mean) / sqrt(variance), 6))
+    daily.select(col(keyCol),
+        date_format(col("d"), "yyyy-MM-dd").as("day"), col("v"),
+        z.as("zscore"))
+      .withColumn("is_anomaly", coalesce(abs(col("zscore")) > threshold, lit(false)))
+  }
+}

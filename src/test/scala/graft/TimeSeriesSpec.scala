@@ -1,0 +1,75 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import graft.operators.TimeSeries
+
+/** [[graft.operators.TimeSeries]] — per-key daily series, grid
+  * gap-filling, rolling z-score. Crafted fixtures pin the fill
+  * semantics and the variance arithmetic.
+  */
+class TimeSeriesSpec extends SparkSpec {
+  private val sp = spark
+  import sp.implicits._
+
+  private def ts(day: Int, hour: Int = 0): Timestamp =
+    Timestamp.valueOf(f"2024-01-$day%02d $hour%02d:00:00")
+
+  private val series = Seq(
+    // key "a": days 1 (two rows, sums to 3.0), 2, then a 2-day gap, then 5
+    (1L, ts(1, 1), "a", 1.0), (2L, ts(1, 9), "a", 2.0),
+    (3L, ts(2), "a", 10.0), (4L, ts(5), "a", 4.0),
+    // key "b": single day — a 1-row grid, no gaps
+    (5L, ts(3), "b", 7.5)
+  ).toDF("event_id", "ts", "key", "value")
+
+  test("gapFillDaily: per-key span, forward-filled gaps, intra-day sums") {
+    val got = TimeSeries.gapFillDaily(series, "key", "ts", "value")
+      .as[(String, String, Double, Boolean)].collect().sorted.toSeq
+    assert(got === Seq(
+      ("a", "2024-01-01", 3.0, false),  // 1.0 + 2.0 summed within the day
+      ("a", "2024-01-02", 10.0, false),
+      ("a", "2024-01-03", 10.0, true),  // gap carries last observation
+      ("a", "2024-01-04", 10.0, true),
+      ("a", "2024-01-05", 4.0, false),
+      ("b", "2024-01-03", 7.5, false))) // b's grid is ITS OWN span, not a's
+  }
+
+  test("rollingZscore: trailing-window mean/std arithmetic, leading rows unscored") {
+    // key with daily values 1,2,3,4 and win=3:
+    // day1: n=1 → null; day2: n=2, mean 1.5, var 0.5; day3: n=3 over {1,2,3}
+    val df = Seq((1L, ts(1), "k", 1.0), (2L, ts(2), "k", 2.0),
+      (3L, ts(3), "k", 3.0), (4L, ts(4), "k", 4.0))
+      .toDF("event_id", "ts", "key", "value")
+    val got = TimeSeries.rollingZscore(df, "key", "ts", "value", win = 3)
+      .select(col("day"), col("zscore"), col("is_anomaly"))
+      .as[(String, Option[Double], Boolean)].collect().sortBy(_._1).toSeq
+    def z(v: Double, xs: Seq[Double]): Double = {
+      val m = xs.sum / xs.size
+      val sd = math.sqrt(xs.map(x => (x - m) * (x - m)).sum / (xs.size - 1))
+      (math.round((v - m) / sd * 1e6)) / 1e6.toDouble
+    }
+    assert(got === Seq(
+      ("2024-01-01", None, false),
+      ("2024-01-02", Some(z(2, Seq(1, 2))), false),
+      ("2024-01-03", Some(z(3, Seq(1, 2, 3))), false),
+      ("2024-01-04", Some(z(4, Seq(2, 3, 4))), false)))
+  }
+
+  test("rollingZscore: constant series has zero variance and stays unscored, never NaN") {
+    val df = (1 to 5).map(i => (i.toLong, ts(i), "k", 3.0))
+      .toDF("event_id", "ts", "key", "value")
+    val got = TimeSeries.rollingZscore(df, "key", "ts", "value", win = 3)
+      .select(col("zscore"), col("is_anomaly"))
+      .as[(Option[Double], Boolean)].collect().toSeq
+    assert(got.forall { case (zs, flag) => zs.isEmpty && !flag })
+  }
+
+  test("gapFillDaily is partitioning-invariant (exact decimal day sums)") {
+    val a = TimeSeries.gapFillDaily(series, "key", "ts", "value")
+      .as[(String, String, Double, Boolean)].collect().sorted.toSeq
+    val b = TimeSeries.gapFillDaily(series.repartition(11), "key", "ts", "value")
+      .as[(String, String, Double, Boolean)].collect().sorted.toSeq
+    assert(a === b)
+  }
+}
