@@ -79,6 +79,55 @@ object StatefulOps {
       .select(col("session_window.start").as("sstart"),
         col("session_window.end").as("send"), col(keyCol), col("n"))
 
+  case class Reading(entity: String, seq: Long, value: Double)
+  case class RollingState(n: Long, sum: Double, sumSq: Double)
+  case class Scored(entity: String, seq: Long, value: Double,
+                    zscore: Option[Double], is_anomaly: Boolean)
+
+  /** Streaming rolling z-score — the stateful twin of the batch
+    * [[graft.operators.TimeSeries.rollingZscore]]: each reading is
+    * scored against the running mean/std of everything its key has seen
+    * so far (Welford-style accumulation in O(1) state per key: count,
+    * sum, sum of squares — NOT a buffer of past rows, so state size is
+    * independent of stream length; `stateTtlMs` bounds idle-key
+    * lifetime for daemon mode). Rows inside one micro-batch are scored
+    * in `seq` order so replaying a drained stream reproduces identical
+    * scores regardless of batch boundaries.
+    */
+  def rollingAnomalies(readings: Dataset[Reading], threshold: Double = 2.0,
+                       stateTtlMs: Long = 0L): Dataset[Scored] = {
+    import readings.sparkSession.implicits._
+    val timeout =
+      if (stateTtlMs > 0) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    readings
+      .groupByKey(_.entity)
+      .flatMapGroupsWithState[RollingState, Scored](OutputMode.Append(), timeout) {
+        case (_, rows, state: GroupState[RollingState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var st = state.getOption.getOrElse(RollingState(0L, 0.0, 0.0))
+            val out = rows.toVector.sortBy(_.seq).map { r =>
+              // score against the state BEFORE this reading joins it
+              val z =
+                if (st.n >= 2) {
+                  val mean = st.sum / st.n
+                  val variance = (st.sumSq - st.sum * st.sum / st.n) / (st.n - 1)
+                  if (variance > 0)
+                    Some(math.round((r.value - mean) / math.sqrt(variance) * 1e6) / 1e6.toDouble)
+                  else None
+                } else None
+              st = RollingState(st.n + 1, st.sum + r.value,
+                st.sumSq + r.value * r.value)
+              Scored(r.entity, r.seq, r.value, z, z.exists(v => math.abs(v) > threshold))
+            }
+            state.update(st)
+            if (stateTtlMs > 0) state.setTimeoutDuration(stateTtlMs)
+            out.iterator
+          }
+      }
+  }
+
   /** Stream-STREAM inner join on a key plus an event-time interval:
     * right rows match a left row when `rightTs ∈ [leftTs - before,
     * leftTs + after]` — the correlation join (clicks→impressions,

@@ -45,6 +45,35 @@ class StatefulOpsSpec extends SparkSpec {
     assert(out === Seq(("camA", 1L), ("camA", 2L), ("camA", 3L), ("camB", 1L)))
   }
 
+  test("rollingAnomalies: O(1)-state streaming z-score, batch-boundary invariant") {
+    import graft.streaming.StatefulOps.{Reading, Scored}
+    def run(name: String, batches: Seq[Seq[Reading]]): Seq[Scored] = {
+      val input = MemoryStream[Reading]
+      val q = StatefulOps.rollingAnomalies(input.toDS(), threshold = 1.0)
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append()).start()
+      batches.foreach { b => input.addData(b); q.processAllAvailable() }
+      q.stop()
+      spark.table(name).as[Scored].collect().sortBy(r => (r.entity, r.seq)).toSeq
+    }
+    val rows = Seq(
+      Reading("s1", 1, 10.0), Reading("s1", 2, 10.0), Reading("s1", 3, 10.0),
+      Reading("s1", 4, 50.0),  // scored vs mean 10, std 0 → unscored (zero var)
+      Reading("s1", 5, 10.0),  // now history {10,10,10,50} has spread → scored
+      Reading("s2", 1, 1.0), Reading("s2", 2, 2.0))
+    val oneBatch = run("roll_a", Seq(rows))
+    val perRow = run("roll_b", rows.map(Seq(_)))
+    // batch boundaries cannot change a single score
+    assert(oneBatch === perRow)
+    val s1 = oneBatch.filter(_.entity == "s1")
+    // first two readings lack history (n<2); third sees zero variance
+    assert(s1.take(4).forall(_.zscore.isEmpty))
+    // reading 5 scores against {10,10,10,50}: mean 20, std 20 → z = -0.5
+    assert(s1(4).zscore === Some(-0.5) && !s1(4).is_anomaly)
+    // s2's 2 readings never accumulate n>=2 history before scoring
+    assert(oneBatch.filter(_.entity == "s2").forall(_.zscore.isEmpty))
+  }
+
   test("intervalJoin: stream-stream join matches only rows inside the time interval") {
     val clicks = MemoryStream[KeyedEvent]
     val imps = MemoryStream[KeyedEvent]
