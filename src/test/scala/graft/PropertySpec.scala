@@ -56,6 +56,65 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: packSequences partitions every token stream exactly, any budget/bucketWidth") {
+    val caseGen = for {
+      n <- Gen.choose(1, 120)
+      budget <- Gen.choose(1L, 200L)
+      bw <- Gen.choose(1L, 64L)
+      toks <- Gen.listOfN(n, Gen.choose(0L, 50L))
+    } yield (budget, bw, toks)
+    samples(caseGen, n = 10).foreach { case (budget, bw, toks) =>
+      val df = toks.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "n")
+      val got = graft.operators.Corpus.packSequences(df, "id", col("n"), budget, bw)
+        .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+      // every doc present exactly once, offsets are the exclusive cumsum,
+      // bins are the offset div budget — regardless of budget/bucketWidth
+      assert(got.map(_._1) === (0L until toks.size.toLong))
+      val offs = toks.scanLeft(0L)(_ + _).init
+      assert(got.map(_._3) === offs)
+      assert(got.map(_._4) === offs.map(_ / budget))
+    }
+  }
+
+  test("property: chunk covers every token exactly once at stride == size, for any doc mix") {
+    val caseGen = for {
+      size <- Gen.choose(1L, 40L)
+      ns <- Gen.nonEmptyListOf(Gen.choose(0L, 300L)).map(_.take(30))
+    } yield (size, ns)
+    samples(caseGen, n = 10).foreach { case (size, ns) =>
+      val df = ns.zipWithIndex.map { case (n, i) => (i.toLong, n) }.toDF("id", "n")
+      val got = graft.operators.Corpus.chunk(df, "id", col("n"), size, size)
+        .as[(Long, Long, Long)].collect().toSeq
+      val byDoc = got.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+      ns.zipWithIndex.foreach { case (n, i) =>
+        assert(byDoc.getOrElse(i.toLong, 0L) === n, s"doc $i lost tokens")
+      }
+      // no chunk exceeds the window and only tail chunks are short
+      got.groupBy(_._1).values.foreach { chunks =>
+        val sorted = chunks.sortBy(_._2)
+        assert(sorted.forall(_._3 <= size))
+        assert(sorted.init.forall(_._3 === size), "only the tail chunk may be short")
+      }
+    }
+  }
+
+  test("property: splitAssign is total and deterministic for arbitrary ids/salts") {
+    val caseGen = for {
+      salt <- Gen.alphaNumStr.map(_.take(8))
+      ids <- Gen.nonEmptyListOf(Gen.choose(Long.MinValue, Long.MaxValue)).map(_.distinct.take(50))
+    } yield (salt, ids)
+    samples(caseGen, n = 8).foreach { case (salt, ids) =>
+      val df = ids.toDF("id")
+      val a = graft.operators.Corpus.splitAssign(df, "id", salt)
+        .as[(Long, String)].collect().toMap
+      assert(a.keySet === ids.toSet)
+      assert(a.values.forall(Set("train", "val", "test")))
+      val b = graft.operators.Corpus.splitAssign(df.repartition(7), "id", salt)
+        .as[(Long, String)].collect().toMap
+      assert(a === b)
+    }
+  }
+
   test("property: epoch-ms -> TimestampType -> epoch-ms roundtrips") {
     samples(Gen.listOfN(20, Gen.choose(0L, 4102444800000L))).foreach { ms =>
       val out = EventOps.deriveEventTime(ms.toDF("timestamp"), "timestamp", "ts")
