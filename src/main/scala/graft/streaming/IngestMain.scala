@@ -130,10 +130,13 @@ object IngestMain {
     val availableNow = conf.getOrElse("mode", "drain") == "drain"
     val format = conf.getOrElse("format", "parquet")
 
+    // stats=true maintains the incremental per-entity monthly rollup
+    // alongside the lake (IngestPipeline.routeAndWrite → IncrementalAgg)
+    val stats = conf.getOrElse("stats", "false") == "true"
     def started(src: DataFrame, ckpt: String, interval: String): StreamingQuery =
       IngestPipeline.writer(
         src.selectExpr("CAST(topic AS STRING) AS topic", "CAST(value AS STRING) AS value"),
-        root, ckpt, availableNow, interval, format).start()
+        root, ckpt, availableNow, interval, format, stats).start()
 
     // `"".split(",")` yields Seq("") — trim and drop blank entries so
     // `priorityTopics=` (or a stray trailing comma) never subscribes a

@@ -114,7 +114,8 @@ object IngestPipeline {
     * (the reference logs-and-drops unknowns, `df_manager.py:115-121`,
     * and skips unreadable messages visibly, `run.py:40-42`).
     */
-  def routeAndWrite(batch: DataFrame, root: String, format: String = "parquet"): Unit = {
+  def routeAndWrite(batch: DataFrame, root: String, format: String = "parquet",
+                    stats: Boolean = false): Unit = {
     batch.persist()
     try {
       // one output file per (entity, year, month) partition instead of
@@ -127,10 +128,20 @@ object IngestPipeline {
       val isAq = coalesce(col("topic").endsWith(TopicSchemas.airQualitySuffix), lit(false))
 
       val vision = batch.filter(isVision)
-      if (!vision.isEmpty)
+      if (!vision.isEmpty) {
+        val tv = transformVision(vision)
         PartitionedSink.appendPartitioned(
-          PartitionedSink.repartitionByPartitionColumns(transformVision(vision)),
+          PartitionedSink.repartitionByPartitionColumns(tv),
           s"$root/vision", format = format)
+        // stats=true additionally maintains the per-entity monthly
+        // hit-count rollup incrementally — the derived table a
+        // dashboard reads instead of re-aggregating the lake; each
+        // batch touches only its own partitions (IncrementalAgg)
+        if (stats)
+          graft.sinks.IncrementalAgg.maintain(batch.sparkSession, tv,
+            s"$root/_stats/vision", Seq("entity"),
+            Seq("entity", "year", "month"), "hit_counts")
+      }
 
       val aq = batch.filter(isAq)
       if (!aq.isEmpty)
@@ -178,9 +189,10 @@ object IngestPipeline {
     */
   def writer(stream: DataFrame, root: String, checkpoint: String,
              availableNow: Boolean = true, interval: String = "10 seconds",
-             format: String = "parquet"): DataStreamWriter[Row] =
+             format: String = "parquet", stats: Boolean = false): DataStreamWriter[Row] =
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(if (availableNow) Trigger.AvailableNow() else Trigger.ProcessingTime(interval))
-      .foreachBatch { (batch: DataFrame, _: Long) => routeAndWrite(batch, root, format) }
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        routeAndWrite(batch, root, format, stats) }
 }

@@ -184,6 +184,41 @@ class StreamingIngestSpec extends SparkSpec {
     assert(spark.read.parquet(s"$root/vision").count() === 2)
   }
 
+  test("stats=true maintains the incremental vision rollup across drains") {
+    val root = Files.createTempDirectory("graft_lake3_").toString
+    val ckpt = Files.createTempDirectory("graft_ckpt3_").toString
+    implicit val sqlCtx: org.apache.spark.sql.classic.SQLContext =
+      spark.sqlContext.asInstanceOf[org.apache.spark.sql.classic.SQLContext]
+    val input = MemoryStream[(String, String)]
+    val stream = input.toDF().toDF("topic", "value")
+
+    input.addData(
+      ("cuip_vision_events",
+        """{"timestamp": 1704067200000, "camera_id": "cam1", "locations": [], "hit_counts": 3}"""),
+      ("cuip_vision_events",
+        """{"timestamp": 1704067300000, "camera_id": "cam1", "locations": [], "hit_counts": 4}"""),
+      ("cuip_vision_events",
+        """{"timestamp": 1706745600000, "camera_id": "cam2", "locations": [], "hit_counts": 5}"""))
+    IngestPipeline.writer(stream, root, ckpt, availableNow = true, stats = true)
+      .start().awaitTermination()
+    // second drain folds INTO the rollup instead of recomputing it
+    input.addData(("cuip_vision_events",
+      """{"timestamp": 1704067400000, "camera_id": "cam1", "locations": [], "hit_counts": 10}"""))
+    IngestPipeline.writer(stream, root, ckpt, availableNow = true, stats = true)
+      .start().awaitTermination()
+
+    val got = graft.sinks.IncrementalAgg.read(spark, s"$root/_stats/vision")
+      .select(col("entity"), col("year"), col("month"), col("n"),
+        col("sum_v").cast("double"))
+      .as[(String, Int, Int, Long, Double)].collect().sorted.toSeq
+    assert(got === Seq(("cam1", 2024, 1, 3L, 17.0), ("cam2", 2024, 2, 1L, 5.0)))
+    // and the rollup matches re-aggregating the lake itself
+    val full = spark.read.parquet(s"$root/vision")
+      .groupBy(col("entity")).agg(count(lit(1)).as("n"), sum("hit_counts").as("s"))
+      .as[(String, Long, Long)].collect().sorted.toSeq
+    assert(full === Seq(("cam1", 3L, 17L), ("cam2", 1L, 5L)))
+  }
+
   test("AvailableNow restart is idempotent (checkpoint prevents reprocessing)") {
     val root = Files.createTempDirectory("graft_lake2_").toString
     val ckpt = Files.createTempDirectory("graft_ckpt2_").toString
