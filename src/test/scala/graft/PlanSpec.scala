@@ -210,6 +210,21 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q58: the data-scale cumsum window partitions by bucket; only the bucket-offset window is global") {
+    val p = plan(SparkEntry.q58(spark, sf0001))
+    // exactly one single-partition window (over the tiny bucket list);
+    // the per-row window must carry the __bucket partition spec
+    // plan text: partitioned = `Window [fns], [partSpec], [orderSpec]`
+    // (two `], [` separators), global = `Window [fns], [orderSpec]` (one)
+    val windows = "Window \\[[^\\n]*".r.findAllIn(p).toSeq
+    val global = windows.count(w => "\\], \\[".r.findAllIn(w).size == 1)
+    val bucketed = windows.count(w =>
+      "\\], \\[".r.findAllIn(w).size == 2 && w.contains("[__bucket"))
+    assert(windows.size === 2, s"expected 2 windows:\n$p")
+    assert(global === 1 && bucketed === 1,
+      s"need one metadata-scale global window and one bucket-partitioned window:\n$p")
+  }
+
   test("similarity corpus spread is conditional: a wide corpus never round-robins") {
     val df = wideEmbeddings
     val p = plan(graft.operators.Similarity.topKCosine(
