@@ -720,6 +720,14 @@ object SparkEntry {
           .as("rep_score"))
   }
 
+  /** Q71 — adjacent-token pair counts
+    * ([[graft.operators.Corpus.bigramCounts]]): the BPE-merge statistic
+    * (most frequent adjacent pair), multiplicity-preserving via a
+    * lead window over the position-exploded stream.
+    */
+  def q71(s: SparkSession, d: String): DataFrame =
+    graft.operators.Corpus.bigramCounts(docs(s, d), "doc_id", "text", 20)
+
   /** Q69 — sensor gap-filling ([[graft.operators.TimeSeries.gapFillDaily]]):
     * each user's daily series completed over its own [min, max] span,
     * gaps forward-filled — the reference's air-quality domain analyzed
@@ -881,7 +889,8 @@ object SparkEntry {
     "q67_surprisal"       -> (q67 _),
     "q68_repetition"      -> (q68 _),
     "q69_gap_fill"        -> (q69 _),
-    "q70_anomaly"         -> (q70 _))
+    "q70_anomaly"         -> (q70 _),
+    "q71_bpe_pairs"       -> (q71 _))
 
   // DuckDB twins. Shared SQL fragments for the text queries:
   // explicit class: Java \s includes \x0B, RE2 \s does not — see
@@ -1246,6 +1255,13 @@ object SparkEntry {
           |  CAST(len(${shinglesSql("tk")}) AS BIGINT) AS nd FROM t)
           |SELECT doc_id, round(1.0 - CAST(nd AS DOUBLE) / (n - 2), 6) AS rep_score
           |FROM s WHERE n >= 3
+          |""".stripMargin),
+    "q71_bpe_pairs" ->
+      (s"""WITH tk AS (SELECT doc_id, $TOKS AS tk FROM documents),
+          |idx AS (SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 1)) AS i
+          |  FROM tk WHERE len(tk) >= 2)
+          |SELECT tk[i] || ' ' || tk[i+1] AS pair, count(*) AS cnt
+          |FROM idx GROUP BY 1 ORDER BY cnt DESC, pair LIMIT 20
           |""".stripMargin),
     "q69_gap_fill" ->
       ("""WITH e AS (SELECT * FROM events WHERE ts IS NOT NULL AND year(ts) <> 1970),

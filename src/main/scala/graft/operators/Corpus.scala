@@ -154,7 +154,9 @@ object Corpus {
     * digits sort correctly in ASCII). Stable under repartitioning,
     * re-ingestion, and cluster size — the split is a pure function of
     * the row's identity, which is how real pipelines keep eval rows
-    * out of training across reruns. Map-side only, no shuffle.
+    * out of training across reruns. Map-side only, no shuffle. A NULL
+    * identity nulls every comparison, so such rows quarantine into the
+    * `test` fallback rather than leaking into training (spec-pinned).
     */
   def splitAssign(df: DataFrame, idCol: String, salt: String,
                   trainTo: String = "e6", valTo: String = "f6"): DataFrame = {
@@ -240,6 +242,27 @@ object Corpus {
       .groupBy(col("doc_id"))
       .agg(round((sum(col("__s")).cast("double") / count(lit(1))), 6).as("surprisal"),
         count(lit(1)).as("n_tokens"))
+  }
+
+  /** Corpus adjacent-token pair counts, top-k — the statistic BPE
+    * tokenizer training merges on (most frequent adjacent pair wins
+    * each merge round; Sennrich et al. 2016). Multiplicity matters
+    * (unlike the distinct shingle set), so pairs come from a
+    * `lead(token)` window over the position-exploded token stream —
+    * one shuffle on doc id, codegen'd throughout, rather than an
+    * interpreted array-zip lambda. The count partial-aggregates before
+    * its shuffle; the cut carries a total tie-break order.
+    */
+  def bigramCounts(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      posexplode(TextFunctions.tokens(col(textCol))).as(Seq("pos", "token")))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    toks.withColumn("__next", lead(col("token"), 1).over(w))
+      .filter(col("__next").isNotNull)
+      .select(concat_ws(" ", col("token"), col("__next")).as("pair"))
+      .groupBy(col("pair")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("pair").asc)
+      .limit(k)
   }
 
   /** Epoch-weighted oversampling: replicate each row `weight` times with

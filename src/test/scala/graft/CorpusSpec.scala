@@ -179,6 +179,38 @@ class CorpusSpec extends SparkSpec {
     assert(out === Seq((1L, 0L, 16L), (1L, 1L, 16L), (1L, 2L, 6L), (2L, 0L, 5L)))
   }
 
+  test("bigramCounts: multiplicity-preserving adjacent pairs (the BPE merge statistic)") {
+    val d = docTable(Seq(
+      0L -> "a b a b a",   // "a b" ×2, "b a" ×2
+      1L -> "a b c",       // "a b" ×1, "b c" ×1
+      2L -> "solo"))       // 1 token → no pairs
+    val got = Corpus.bigramCounts(d, "doc_id", "text", 10)
+      .as[(String, Long)].collect().toSeq
+    assert(got === Seq(("a b", 3L), ("b a", 2L), ("b c", 1L)))
+  }
+
+  test("null/empty robustness: corpus ops drop or bucket null rows, never throw") {
+    val d = Seq((0L, "a b c d"), (1L, null.asInstanceOf[String]), (2L, ""), (3L, "   "))
+      .toDF("doc_id", "text")
+    // explode-based ops simply skip null/empty token streams
+    assert(Corpus.tfidf(d, "doc_id", "text", 10).collect()
+      .forall(_.getLong(0) === 0L))
+    assert(Corpus.bigramCounts(d, "doc_id", "text", 10).count() === 3)
+    assert(Corpus.unigramSurprisal(d, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSeq === Seq(0L))
+    assert(Corpus.chunk(d, "doc_id",
+      graft.functions.TextFunctions.tokenCount(col("text")), 4, 4)
+      .select("doc_id").as[Long].collect().distinct.toSeq === Seq(0L))
+    val deco = Corpus.decontaminate(d, d.limit(1), "doc_id", "text")
+    assert(deco.select("doc_id").as[Long].collect().toSeq === Seq(0L))
+    // splitAssign on a NULL id: every when() is null → falls to "test"
+    // (pinned: null identities quarantine into the smallest split)
+    val nid = Seq(Some(1L), None).toDF("id")
+    val splits = Corpus.splitAssign(nid, "id", "s")
+      .select("split").as[String].collect().toSeq
+    assert(splits.contains("test") && splits.size === 2)
+  }
+
   test("heavyHitters: top-k by count with exact share, total tie-break") {
     val rows = Seq.fill(6)("a") ++ Seq.fill(3)("b") ++ Seq.fill(3)("c") ++ Seq("d")
     val got = Corpus.heavyHitters(rows.toDF("k"), Seq("k"), 3)
