@@ -728,6 +728,44 @@ object SparkEntry {
   def q71(s: SparkSession, d: String): DataFrame =
     graft.operators.Corpus.bigramCounts(docs(s, d), "doc_id", "text", 20)
 
+  /** Q72 — fixed-bin histogram: event values bucketed into width-50
+    * bins (clamped to [0, 9]) per event type — one partial-aggregated
+    * shuffle, the map-side bucketization a dashboard's distribution
+    * panel runs. The floor input is guarded finite: under ANSI (Spark 4
+    * default) `cast(NaN as long)` THROWS, so one bad row would
+    * otherwise kill the scan.
+    */
+  def q72(s: SparkSession, d: String): DataFrame = {
+    val v = col("value")
+    val bin = greatest(lit(0L), least(lit(9L),
+      floor(v / 50).cast("long")))
+    ev(s, d).filter(v.isNotNull && !isnan(v))
+      .groupBy(col("event_type"), bin.as("bin"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** Q73 — Pearson correlation between value and hour-of-day per event
+    * type, computed FROM EXACT SUMS (n, Σx, Σy, Σx², Σy², Σxy routed
+    * through decimals) rather than the built-in `corr` (whose
+    * double-accumulator merge order varies with partitioning). The
+    * formula then runs in double on six deterministic scalars —
+    * replay-stable, hash-matching the same sums in DuckDB.
+    */
+  def q73(s: SparkSession, d: String): DataFrame = {
+    val x = col("value")
+    val y = hour(col("ts")).cast("long")
+    val dec = (c: Column, s: Int) => sum(c.cast(DecimalType(28, s))).cast("double")
+    ev(s, d).filter(x.isNotNull && col("ts").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), dec(x, 6).as("sx"), sum(y).as("sy"),
+        dec(x * x, 6).as("sxx"), sum(y * y).as("syy"), dec(x * y, 6).as("sxy"))
+      .select(col("event_type"), col("n"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+           sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast("double"))), 6)
+          .as("corr_vh"))
+  }
+
   /** Q69 — sensor gap-filling ([[graft.operators.TimeSeries.gapFillDaily]]):
     * each user's daily series completed over its own [min, max] span,
     * gaps forward-filled — the reference's air-quality domain analyzed
@@ -890,7 +928,9 @@ object SparkEntry {
     "q68_repetition"      -> (q68 _),
     "q69_gap_fill"        -> (q69 _),
     "q70_anomaly"         -> (q70 _),
-    "q71_bpe_pairs"       -> (q71 _))
+    "q71_bpe_pairs"       -> (q71 _),
+    "q72_histogram"       -> (q72 _),
+    "q73_correlation"     -> (q73 _))
 
   // DuckDB twins. Shared SQL fragments for the text queries:
   // explicit class: Java \s includes \x0B, RE2 \s does not — see
@@ -1256,6 +1296,24 @@ object SparkEntry {
           |SELECT doc_id, round(1.0 - CAST(nd AS DOUBLE) / (n - 2), 6) AS rep_score
           |FROM s WHERE n >= 3
           |""".stripMargin),
+    "q72_histogram" ->
+      ("""SELECT event_type, greatest(0, least(9, CAST(floor(value / 50) AS BIGINT))) AS bin,
+         |  count(*) AS n
+         |FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+         |GROUP BY 1, 2
+         |""".stripMargin),
+    "q73_correlation" ->
+      ("""WITH s AS (SELECT event_type, count(*) AS n,
+         |  CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sx,
+         |  sum(hour(ts)) AS sy,
+         |  CAST(sum(CAST(value * value AS DECIMAL(28,6))) AS DOUBLE) AS sxx,
+         |  sum(hour(ts) * hour(ts)) AS syy,
+         |  CAST(sum(CAST(value * hour(ts) AS DECIMAL(28,6))) AS DOUBLE) AS sxy
+         |  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL GROUP BY 1)
+         |SELECT event_type, n, round((n * sxy - sx * sy) /
+         |  (sqrt(n * sxx - sx * sx) * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6) AS corr_vh
+         |FROM s
+         |""".stripMargin),
     "q71_bpe_pairs" ->
       (s"""WITH tk AS (SELECT doc_id, $TOKS AS tk FROM documents),
           |idx AS (SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 1)) AS i

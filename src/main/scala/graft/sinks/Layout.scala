@@ -30,12 +30,15 @@ object Layout {
     * position of each group). Codegen'd shift/mask/or primitives only —
     * no UDF, no HOF. Columns must already be non-negative integers
     * (bucketize first if not); values ≥ 2^bits fold into the top bucket
-    * via the mask, keeping the address total.
+    * and negatives clamp to 0 (sign extension would otherwise bleed
+    * 1-bits across every interleave position), keeping the address
+    * total over all Long inputs.
     */
   def zAddress(cols: Seq[Column], bits: Int = 16): Column = {
     require(cols.nonEmpty, "zAddress needs at least one column")
     require(bits * cols.size <= 62, s"${cols.size} cols × $bits bits overflows a Long")
-    val masked = cols.map(c => when(c >= (1L << bits), lit((1L << bits) - 1))
+    val masked = cols.map(c => when(c < 0, lit(0L))
+      .when(c >= (1L << bits), lit((1L << bits) - 1))
       .otherwise(c.cast("long")))
     val terms = for {
       (c, ci) <- masked.zipWithIndex

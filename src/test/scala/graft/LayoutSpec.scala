@@ -39,6 +39,12 @@ class LayoutSpec extends SparkSpec {
     val top = Seq((255L, 0L)).toDF("x", "y")
       .select(Layout.zAddress(Seq(col("x"), col("y")), 8)).head().getLong(0)
     assert(folded === top)
+    // negatives clamp to 0 — sign extension must not bleed into the interleave
+    val neg = Seq((-5L, 1L)).toDF("x", "y")
+      .select(Layout.zAddress(Seq(col("x"), col("y")), 8)).head().getLong(0)
+    val zero = Seq((0L, 1L)).toDF("x", "y")
+      .select(Layout.zAddress(Seq(col("x"), col("y")), 8)).head().getLong(0)
+    assert(neg === zero && neg === 2L)
   }
 
   test("z-ordered layout skips files on BOTH dims; linear sort only on its sort column") {
