@@ -140,11 +140,18 @@ object Corpus {
     * the broadcast hash table compact.
     */
   def decontaminate(train: DataFrame, benchmark: DataFrame,
-                    idCol: String, textCol: String, n: Int = 3): DataFrame = {
+                    idCol: String, textCol: String, n: Int = 3,
+                    broadcastBench: Boolean = true): DataFrame = {
     def sh(d: DataFrame): DataFrame = d.select(col(idCol),
       explode(graft.functions.HashFunctions.hashedWordNgrams(col(textCol), n)).as("__g"))
     val benchGrams = sh(benchmark).select(col("__g")).distinct()
-    sh(train).join(broadcast(benchGrams), "__g")
+    // benchmark suites are normally tiny next to the train corpus —
+    // broadcast keeps the train side map-side. For the rare inverted
+    // shape (decontaminating against another full corpus),
+    // broadcastBench=false shuffle-joins on the 8-byte shingle hash
+    // instead of materializing it on every executor.
+    val probe = if (broadcastBench) broadcast(benchGrams) else benchGrams
+    sh(train).join(probe, "__g")
       .groupBy(col(idCol)).agg(count(lit(1)).as("n_shared"))
   }
 

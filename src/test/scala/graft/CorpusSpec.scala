@@ -102,6 +102,16 @@ class CorpusSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), s"probe join should broadcast:\n$p")
   }
 
+  test("decontaminate: broadcastBench=false shuffle-joins with identical results") {
+    val bench = docTable(Seq(100L -> "the quick brown fox jumps"))
+    val train = docTable(Seq(0L -> "a the quick brown fox", 1L -> "unrelated words"))
+    val a = Corpus.decontaminate(train, bench, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    val b = Corpus.decontaminate(train, bench, "doc_id", "text", broadcastBench = false)
+      .as[(Long, Long)].collect().toMap
+    assert(a === b && a === Map(0L -> 2L))
+  }
+
   test("splitAssign: pure function of identity — stable under repartitioning, proportions sane") {
     val df = (0L until 2000L).toDF("id")
     val a = Corpus.splitAssign(df, "id", "s").as[(Long, String)].collect().toMap
