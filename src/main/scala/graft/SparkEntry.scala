@@ -1110,9 +1110,15 @@ object SparkEntry {
        "FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey"),
     // q42: the oracle IS the theta join the engine refuses to run as a
     // nested loop — same semantics, naive formulation
+    // band bounds MUST be computed in DOUBLE on both sides: a bare
+    // `29.99` literal is DECIMAL in DuckDB, making hi exactly 49.99
+    // (→ 49.99000000000000198 at compare time) while Spark's double
+    // arithmetic yields 49.98999999999999488 — points sitting exactly
+    // on the boundary (value = 49.99) then differ. Surfaced by the
+    // sf0.1 check; sf0.01 had no boundary-exact values.
     "q42_range_join" ->
-      ("WITH bands AS (SELECT n_name, n_nationkey * 20.0 AS lo, " +
-       "n_nationkey * 20.0 + 29.99 AS hi FROM nation) " +
+      ("WITH bands AS (SELECT n_name, n_nationkey * CAST(20.0 AS DOUBLE) AS lo, " +
+       "n_nationkey * CAST(20.0 AS DOUBLE) + CAST(29.99 AS DOUBLE) AS hi FROM nation) " +
        "SELECT n_name, count(*) AS n_events, " +
        "CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value " +
        "FROM events e JOIN bands b ON e.value >= b.lo AND e.value <= b.hi " +
