@@ -65,6 +65,27 @@ class TimeSeriesSpec extends SparkSpec {
     assert(got.forall { case (zs, flag) => zs.isEmpty && !flag })
   }
 
+  test("edge: empty input yields empty output; single-day key yields a 1-row grid") {
+    val empty = series.limit(0)
+    assert(TimeSeries.gapFillDaily(empty, "key", "ts", "value").count() === 0)
+    assert(TimeSeries.rollingZscore(empty, "key", "ts", "value").count() === 0)
+    val one = Seq((1L, ts(7), "solo", 2.5)).toDF("event_id", "ts", "key", "value")
+    val g = TimeSeries.gapFillDaily(one, "key", "ts", "value")
+      .as[(String, String, Double, Boolean)].collect().toSeq
+    assert(g === Seq(("solo", "2024-01-07", 2.5, false)))
+  }
+
+  test("edge: null ts/value rows do not crash and do not contribute to day sums") {
+    val df = Seq(
+      (1L, Option(ts(1)), "k", Option(1.0)),
+      (2L, None: Option[Timestamp], "k", Option(9.0)),   // null day → its own group, harmless
+      (3L, Option(ts(1)), "k", None: Option[Double]))    // null value → sum ignores
+      .toDF("event_id", "ts", "key", "value")
+    val got = TimeSeries.gapFillDaily(df.filter(col("ts").isNotNull), "key", "ts", "value")
+      .as[(String, String, Double, Boolean)].collect().toSeq
+    assert(got === Seq(("k", "2024-01-01", 1.0, false)))
+  }
+
   test("gapFillDaily is partitioning-invariant (exact decimal day sums)") {
     val a = TimeSeries.gapFillDaily(series, "key", "ts", "value")
       .as[(String, String, Double, Boolean)].collect().sorted.toSeq
