@@ -766,6 +766,25 @@ object SparkEntry {
           .as("corr_vh"))
   }
 
+  /** Q74 — cohort retention: users grouped by first-active day, counted
+    * per day-offset of later activity — the canonical retention matrix.
+    * Two shuffles total: the user-day dedup reuses its partitioning for
+    * the first-day aggregate (same key), then one shuffle to the
+    * (cohort, offset) cells; the first-day table joins back user-keyed.
+    * Cells are COUNTS of (user, day) pairs, which the dedup already
+    * made distinct — no count-distinct shuffle needed.
+    */
+  def q74(s: SparkSession, d: String): DataFrame = {
+    val daily = EventOps.filterValid(ev(s, d))
+      .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+    val first = daily.groupBy(col("user_id")).agg(min(col("d")).as("d0"))
+    daily.join(first, "user_id")
+      .select(date_format(col("d0"), "yyyy-MM-dd").as("cohort"),
+        datediff(col("d"), col("d0")).cast("long").as("day_offset"))
+      .groupBy(col("cohort"), col("day_offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
   /** Q69 — sensor gap-filling ([[graft.operators.TimeSeries.gapFillDaily]]):
     * each user's daily series completed over its own [min, max] span,
     * gaps forward-filled — the reference's air-quality domain analyzed
@@ -930,7 +949,8 @@ object SparkEntry {
     "q70_anomaly"         -> (q70 _),
     "q71_bpe_pairs"       -> (q71 _),
     "q72_histogram"       -> (q72 _),
-    "q73_correlation"     -> (q73 _))
+    "q73_correlation"     -> (q73 _),
+    "q74_cohort_retention" -> (q74 _))
 
   // DuckDB twins. Shared SQL fragments for the text queries:
   // explicit class: Java \s includes \x0B, RE2 \s does not — see
@@ -1302,6 +1322,15 @@ object SparkEntry {
           |SELECT doc_id, round(1.0 - CAST(nd AS DOUBLE) / (n - 2), 6) AS rep_score
           |FROM s WHERE n >= 3
           |""".stripMargin),
+    "q74_cohort_retention" ->
+      ("""WITH daily AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+         |  WHERE ts IS NOT NULL AND year(ts) <> 1970),
+         |first AS (SELECT user_id, min(d) AS d0 FROM daily GROUP BY 1)
+         |SELECT strftime(f.d0, '%Y-%m-%d') AS cohort,
+         |  date_diff('day', f.d0, daily.d) AS day_offset, count(*) AS n_users
+         |FROM daily JOIN first f USING (user_id)
+         |GROUP BY 1, 2
+         |""".stripMargin),
     "q72_histogram" ->
       ("""SELECT event_type, greatest(0, least(9, CAST(floor(value / 50) AS BIGINT))) AS bin,
          |  count(*) AS n
