@@ -630,19 +630,20 @@ object SparkEntry {
     Tables.orders(s, d).select(col("o_custkey").as("user_id"))
       .intersect(ev(s, d).select(col("user_id")))
 
-  /** Q61 — quantile bucketing: users ranked into spend quartiles via
-    * `ntile(4)`. The ranking window orders the per-user AGGREGATE
-    * (output ≪ input: the 10k-row fixture collapses to its distinct
-    * users, 100 TB of events to ~billions→millions after the groupBy) —
-    * the raw stream is never globally sorted; when even the aggregate
-    * outgrows one task, the scale path is approx-percentile cutoffs
-    * joined back, same shape as q36.
+  /** Q61 — quantile bucketing: users ranked into spend quartiles with
+    * [[graft.operators.Ranks.ntileExact]] — bit-identical to
+    * `ntile(4) OVER (ORDER BY spend DESC, user_id)` (the oracle SQL),
+    * but with NO partition-less window over the data: the per-user
+    * aggregate is range-partitioned, ranked locally, and stitched with a
+    * metadata-scale offset window, so the plan completes even when the
+    * aggregate itself (billions of users at 100 TB) outgrows one task.
     */
   def q61(s: SparkSession, d: String): DataFrame = {
     val spend = ev(s, d).groupBy(col("user_id"))
       .agg(dsum(col("value"), 2).as("spend"))
-    spend.withColumn("quartile",
-      ntile(4).over(Window.orderBy(col("spend").desc, col("user_id"))).cast("long"))
+    graft.operators.Ranks.ntileExact(spend,
+        Seq(col("spend").desc, col("user_id").asc), k = 4, outCol = "quartile")
+      .select(col("user_id"), col("spend"), col("quartile"))
   }
 
   /** Q62 — epoch-weighted oversampling

@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed total-order ranking without a global window.
+  *
+  * A bare `row_number()/ntile()` over `Window.orderBy(...)` (no
+  * partition spec) coalesces the whole input into ONE task — the classic
+  * scale-killer: fine on a fixture, dead at 100 TB. The decomposition
+  * here is the same two-level prefix-sum shape as
+  * [[Corpus.packSequences]], but keyed by POSITION instead of a value
+  * bucket so it works for any total order:
+  *
+  *   1. range-repartition on the order — each physical partition holds a
+  *      contiguous slice of the global sort order (one shuffle, the same
+  *      exchange a global sort would pay);
+  *   2. count rows per partition; exclusive-cumsum the counts with a
+  *      window over the partition list — `numPartitions` rows, metadata
+  *      not data, so that single-partition window is free;
+  *   3. broadcast the offsets back; `row_number()` WITHIN each partition
+  *      (bounded by the range split) plus the partition's offset is the
+  *      exact global rank.
+  *
+  * Rank values are independent of where the range boundaries land (the
+  * order must be TOTAL — include a tiebreaker column — so every row has
+  * exactly one rank), which keeps results replay-stable and
+  * oracle-checkable. [[ntileExact]] reproduces SQL `NTILE(k)` over the
+  * same total order in exact integer arithmetic.
+  */
+object Ranks {
+
+  /** Exact integer division for non-negative longs: subtracting the
+    * remainder first makes the double division exact (the quotient is an
+    * integer < 2^53), so no floating-point floor can land one off.
+    */
+  private def idiv(a: Column, b: Column): Column =
+    ((a - pmod(a, b)) / b).cast("long")
+
+  /** `df` plus 1-based `outCol` = global rank under `order` (which must
+    * be a total order: add a unique tiebreaker) and `totalCol` = the
+    * overall row count — both computed with the two-level decomposition
+    * above; the only global window runs over `numPartitions` count rows.
+    */
+  def globalRank(df: DataFrame, order: Seq[Column], outCol: String = "rank",
+                 totalCol: String = "__total", numPartitions: Int = 0): DataFrame = {
+    require(order.nonEmpty, "globalRank needs at least one order column")
+    val parts = if (numPartitions > 0) numPartitions
+      else df.sparkSession.sparkContext.defaultParallelism
+    val ranged = df.repartitionByRange(parts, order: _*)
+      .withColumn("__part", spark_partition_id())
+    val counts = ranged.groupBy(col("__part")).agg(count(lit(1)).as("__cnt"))
+    val wMeta = Window.orderBy(col("__part"))
+    val offsets = counts
+      .withColumn("__poff", coalesce(sum(col("__cnt"))
+        .over(wMeta.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn(totalCol, sum(col("__cnt"))
+        .over(wMeta.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .drop("__cnt")
+    val wLocal = Window.partitionBy(col("__part")).orderBy(order: _*)
+    ranged.join(broadcast(offsets), "__part")
+      .withColumn(outCol, col("__poff") + row_number().over(wLocal))
+      .drop("__part", "__poff")
+  }
+
+  /** SQL `NTILE(k) OVER (ORDER BY order)` — exactly, including the
+    * first-`n mod k`-buckets-get-the-extra-row fill rule and tie
+    * placement (the order is total) — as rank arithmetic over
+    * [[globalRank]]: with `n` rows, `base = n div k`, `rem = n mod k`,
+    * ranks `1 .. rem*(base+1)` land in the first `rem` buckets of size
+    * `base+1`, the rest in buckets of size `base`. No partition-less
+    * window anywhere near the data.
+    */
+  def ntileExact(df: DataFrame, order: Seq[Column], k: Int,
+                 outCol: String = "bucket", numPartitions: Int = 0): DataFrame = {
+    require(k >= 1, s"ntile bucket count must be >= 1, got $k")
+    val ranked = globalRank(df, order, outCol = "__rank",
+      totalCol = "__n", numPartitions = numPartitions)
+    val base = idiv(col("__n"), lit(k.toLong))
+    val rem = pmod(col("__n"), lit(k.toLong))
+    val threshold = (base + 1) * rem
+    val bucket = when(col("__rank") <= threshold,
+        idiv(col("__rank") - 1, base + 1) + 1)
+      // base = 0 only when n < k, where every rank <= threshold = n —
+      // greatest() just keeps the dead branch free of a divide-by-zero
+      .otherwise(rem + idiv(col("__rank") - threshold - 1, greatest(base, lit(1L))) + 1)
+    ranked.withColumn(outCol, bucket).drop("__rank", "__n")
+  }
+}

@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.operators.Ranks
+
+/** [[graft.operators.Ranks]] — the distributed rank/ntile must agree
+  * bit-for-bit with Spark's own single-partition window functions (the
+  * semantic spec), including ties, the uneven-bucket fill rule, and
+  * n < k.
+  */
+class RanksSpec extends SparkSpec {
+
+  private def users(n: Int) = {
+    val s = spark
+    import s.implicits._
+    // duplicate values force tie-handling through the tiebreaker column
+    (1 to n).map(i => (i.toLong, (i % 7).toDouble)).toDF("id", "v")
+      .repartition(8)
+  }
+
+  test("globalRank matches a single-partition row_number over the same total order") {
+    val df = users(1000)
+    val order = Seq(col("v").desc, col("id").asc)
+    val got = Ranks.globalRank(df, order, outCol = "rk")
+      .select(col("id"), col("rk")).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = df.withColumn("rk", row_number().over(Window.orderBy(order: _*)).cast("long"))
+      .select(col("id"), col("rk")).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === want)
+  }
+
+  test("ntileExact matches ntile(k) for k in 1..8, n not divisible by k") {
+    val df = users(1003)
+    val order = Seq(col("v").desc, col("id").asc)
+    for (k <- 1 to 8) {
+      val got = Ranks.ntileExact(df, order, k, outCol = "b")
+        .select(col("id"), col("b")).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val want = df.withColumn("b", ntile(k).over(Window.orderBy(order: _*)).cast("long"))
+        .select(col("id"), col("b")).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === want, s"ntileExact diverged from ntile at k=$k")
+    }
+  }
+
+  test("ntileExact with n < k: each row its own bucket, in rank order") {
+    val df = users(3)
+    val got = Ranks.ntileExact(df, Seq(col("v").desc, col("id").asc), k = 10, outCol = "b")
+      .select(col("id"), col("b")).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // order: v desc (2.0, 1.0, 0.0 → ids 2, 1, 3... v = i % 7) — check vs window
+    val want = df.withColumn("b",
+        ntile(10).over(Window.orderBy(col("v").desc, col("id").asc)).cast("long"))
+      .select(col("id"), col("b")).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === want)
+  }
+
+  test("empty input yields empty output, no failure") {
+    val df = users(10).filter(col("id") < 0)
+    assert(Ranks.ntileExact(df, Seq(col("id").asc), k = 4).count() === 0)
+  }
+
+  test("rank values are a permutation of 1..n regardless of range-boundary placement") {
+    val df = users(257)
+    val rks = Ranks.globalRank(df, Seq(col("v").asc, col("id").desc), outCol = "rk",
+        numPartitions = 5)
+      .select(col("rk")).collect().map(_.getLong(0)).sorted
+    assert(rks.toSeq === (1L to 257L))
+  }
+}
