@@ -6,8 +6,9 @@ package graft
   *
   * Each query is executed once untimed (JIT + codegen compilation,
   * parquet footer/metadata caches — the steady-state a long-running
-  * cluster actually operates in) and then timed. Queries run in sorted
-  * name order so timings are attributable and stable across runs.
+  * cluster actually operates in) and then timed three times, reporting
+  * the minimum. Queries run in sorted name order so timings are
+  * attributable and stable across runs.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -35,10 +36,17 @@ object Bench {
     // warmup pass: codegen + file-metadata caches, not the data itself
     ordered.foreach { case (name, fn) => run(name, fn) }
     errors.clear() // timed pass re-records; warmup failures usually repeat
+    // min-of-3: a single timed pass lets one GC pause / JIT recompile /
+    // page-cache miss read as a multi-x regression in the per-round
+    // artifact; the minimum of three passes is the steady-state cost and
+    // is stable across reruns. Errors still red every pass they hit.
     val results = ordered.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      run(name, fn)
-      name -> (System.nanoTime() - t0) / 1e9
+      val t = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        run(name, fn)
+        (System.nanoTime() - t0) / 1e9
+      }.min
+      name -> t
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
