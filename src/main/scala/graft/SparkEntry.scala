@@ -786,6 +786,53 @@ object SparkEntry {
       .agg(count(lit(1)).as("n_users"))
   }
 
+  /** Q75 — layout-governed scan ([[graft.sinks.Layout]]): events
+    * re-clustered on the Z-order of (user_id, event_id) — domains
+    * normalized to a common bit width first — then a user_id band
+    * answered through the file-level min/max manifest, reading only the
+    * files whose band intersects. The copy + manifest are built once per
+    * JVM (the compaction lifecycle); the EXACT predicate re-applies
+    * after pruning, so skipping can never change the answer — the oracle
+    * is the same SELECT over the original table. The spec asserts
+    * files_read ≪ files_total; this row asserts rows are right.
+    */
+  def q75(s: SparkSession, d: String): DataFrame = {
+    val (df, _, _) = q75Pruned(s, d)
+    df.select("event_id", "user_id", "event_type", "value")
+  }
+
+  /** q75's pruned read with its (files read, files total) skip counters
+    * — the spec gate consumes the counters, the registry row the rows.
+    */
+  def q75Pruned(s: SparkSession, d: String): (DataFrame, Int, Int) = {
+    val src = ev(s, d).select("event_id", "user_id", "event_type", "value")
+    val (dir, stats) = graft.sinks.Layout.zOrderedWithStats(
+      src, cacheKey = s"events:$d", Seq("user_id", "event_id"), nFiles = 16)
+    graft.sinks.Layout.readPruned(s, dir, stats, "user_id", lo = 4, hi = 7)
+  }
+
+  /** Q76 — incremental rollup maintenance ([[graft.sinks.IncrementalAgg]]):
+    * the events stream split into two deterministic batches (even/odd
+    * event_id), each folded into a partitioned (count, exact decimal
+    * sum) aggregate table — only the touched partitions are read back
+    * and rewritten per fold. The read-back equals the oracle's FULL
+    * recompute over all events: maintained ≡ recomputed, the
+    * materialized-view invariant, proven by hash. A fresh root per
+    * invocation keeps the query deterministic under re-runs.
+    */
+  def q76(s: SparkSession, d: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft-incr").toString + "/rollup"
+    val src = ev(s, d).select(col("event_type"), col("user_id"), col("value"),
+      pmod(col("event_id"), lit(2)).as("__b"))
+    for (b <- 0 to 1)
+      graft.sinks.IncrementalAgg.maintain(s, src.filter(col("__b") === b).drop("__b"),
+        root, partCols = Seq("event_type"), keyCols = Seq("event_type", "user_id"),
+        valueCol = "value")
+    graft.sinks.IncrementalAgg.read(s, root)
+      .select(col("event_type"), col("user_id"), col("n"),
+        col("sum_v").cast("double").as("sum_v"), round(col("mean_v"), 6).as("mean_v"))
+  }
+
   /** Q69 — sensor gap-filling ([[graft.operators.TimeSeries.gapFillDaily]]):
     * each user's daily series completed over its own [min, max] span,
     * gaps forward-filled — the reference's air-quality domain analyzed
@@ -951,7 +998,9 @@ object SparkEntry {
     "q71_bpe_pairs"       -> (q71 _),
     "q72_histogram"       -> (q72 _),
     "q73_correlation"     -> (q73 _),
-    "q74_cohort_retention" -> (q74 _))
+    "q74_cohort_retention" -> (q74 _),
+    "q75_skip_scan"       -> (q75 _),
+    "q76_incremental_rollup" -> (q76 _))
 
   // DuckDB twins. Shared SQL fragments for the text queries:
   // explicit class: Java \s includes \x0B, RE2 \s does not — see
@@ -1412,5 +1461,14 @@ object SparkEntry {
           |reach(a, b) AS (SELECT src, dst FROM edges
           |  UNION SELECT e.src, r.b FROM edges e JOIN reach r ON e.dst = r.a)
           |SELECT a AS doc_id FROM reach GROUP BY a HAVING min(b) = a
-          |""".stripMargin))
+          |""".stripMargin),
+    "q75_skip_scan" ->
+      ("SELECT event_id, user_id, event_type, value FROM events " +
+       "WHERE user_id BETWEEN 4 AND 7"),
+    "q76_incremental_rollup" ->
+      ("""SELECT event_type, user_id, count(*) AS n,
+         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v,
+         |  round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS mean_v
+         |FROM events GROUP BY 1, 2
+         |""".stripMargin))
 }

@@ -77,6 +77,57 @@ object Layout {
           statCols.tail.flatMap(c =>
             Seq(min(col(c)).as(s"${c}_min"), max(col(c)).as(s"${c}_max")))): _*)
 
+  /** Exact integer division for non-negative longs (double division of
+    * a remainder-free numerator is exact below 2^53).
+    */
+  private def idiv(a: Column, b: Column): Column =
+    ((a - pmod(a, b)) / b).cast("long")
+
+  /** Scale a non-negative column with known `maxVal` onto the
+    * `bits`-wide bucket domain. Z-order only clusters every dim when the
+    * dims have comparable bit widths: raw interleave of a 4-bit dim with
+    * a 17-bit dim puts ALL the wide dim's high bits above the narrow
+    * dim's — file boundaries then split purely on the wide dim and the
+    * narrow dim's per-file [min, max] spans its whole range (zero
+    * skipping). Normalizing each dim to the same width first is the
+    * standard fix (Delta's OPTIMIZE ZORDER range-partitions each column
+    * for the same reason).
+    */
+  def scaleToBits(c: Column, maxVal: Long, bits: Int): Column = {
+    require(maxVal >= 0 && bits > 0 && bits <= 31, s"bad maxVal=$maxVal bits=$bits")
+    least(lit((1L << bits) - 1),
+      idiv(greatest(c.cast("long"), lit(0L)) * (1L << bits), lit(maxVal + 1L)))
+  }
+
+  /** JVM-lifetime cache of (copy dir, persisted stats manifest) per key —
+    * the lake-layout lifecycle in miniature: cluster once per compaction
+    * pass, serve every subsequent query from the manifest. The manifest
+    * is materialized exactly once; re-deriving it per query would
+    * re-scan the copy and defeat the skipping.
+    */
+  private val copies =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, DataFrame)]()
+
+  /** Z-order `df` on `zCols` (domain-normalized via [[scaleToBits]] —
+    * per-column maxes come from one metadata-scale aggregate, the same
+    * scan the layout write itself pays) into a cached temp copy, and
+    * return (copy dir, per-file min/max manifest for `zCols`).
+    */
+  def zOrderedWithStats(df: DataFrame, cacheKey: String, zCols: Seq[String],
+                        nFiles: Int, bits: Int = 16): (String, DataFrame) =
+    copies.computeIfAbsent(cacheKey, _ => {
+      val dir = java.nio.file.Files.createTempDirectory("graft-zorder").toString + "/lake"
+      val maxRow = df.agg(
+        max(col(zCols.head)).cast("long").as("m0"),
+        zCols.tail.zipWithIndex.map { case (c, i) =>
+          max(col(c)).cast("long").as(s"m${i + 1}") }: _*).head()
+      val scaled = zCols.indices.map(i => scaleToBits(col(zCols(i)), maxRow.getLong(i), bits))
+      writeZOrdered(df, scaled, dir, nFiles, bits)
+      val st = fileStats(df.sparkSession, dir, zCols).persist()
+      st.count()
+      (dir, st)
+    })
+
   /** Read only the files whose [min, max] band intersects `[lo, hi]` on
     * `column`, then apply the exact predicate. The stats join is
     * file-granular: `stats` has one row per file, so the collect is

@@ -72,6 +72,35 @@ class LayoutSpec extends SparkSpec {
     assert(lyRead === lxTotal, s"linear sort cannot skip on y: $lyRead/$lxTotal")
   }
 
+  test("scaleToBits: mismatched-domain dims still skip on the NARROW dim") {
+    // u spans 4 bits, e spans 12 — raw interleave at a common bit count
+    // would order files purely by e; normalization restores u-skipping
+    val skew = (0L until 20000L).map(i => (i, i % 16, (i * 48271L) % 4096L))
+      .toDF("id", "u", "e")
+    val dir = java.nio.file.Files.createTempDirectory("zskew").toString + "/lake"
+    // 32 files: the matching band is two contiguous z-runs, so range-
+    // sampling noise at run edges costs a bounded handful of boundary
+    // files — at finer granularity that noise cannot flip the majority
+    Layout.writeZOrdered(skew,
+      Seq(Layout.scaleToBits(col("u"), 15, 8), Layout.scaleToBits(col("e"), 4095, 8)),
+      dir, nFiles = 32, bits = 8)
+    val stats = Layout.fileStats(spark, dir, Seq("u", "e"))
+    val (df, read, total) = Layout.readPruned(spark, dir, stats, "u", 4, 7)
+    assert(df.count() === skew.filter(col("u") >= 4 && col("u") <= 7).count())
+    assert(read < total / 2, s"normalized z-order should skip on u: $read/$total")
+  }
+
+  test("q75: the registry scan reads a strict minority of the manifest's files") {
+    // sf0.01: the band is ~3 % of the user domain — at sf0.001 the
+    // 15-user domain is too coarse for quadrant-aligned skipping
+    val sf001 = "/root/testdata/sf0.01"
+    val (df, read, total) = SparkEntry.q75Pruned(spark, sf001)
+    val expect = graft.Tables.events(spark, sf001)
+      .filter(col("user_id") >= 4 && col("user_id") <= 7).count()
+    assert(df.count() === expect, "pruned scan must equal the full filter")
+    assert(read < total / 2, s"expected file skipping on the user_id band: $read/$total")
+  }
+
   test("readPruned: empty band reads zero files and returns an empty frame") {
     val dir = java.nio.file.Files.createTempDirectory("zempty").toString + "/lake"
     Layout.writeZOrdered(data, Seq(col("x"), col("y")), dir, nFiles = 4, bits = 8)
