@@ -491,8 +491,11 @@ object SparkEntry {
   /** Q50 — FORWARD as-of join (q41's mirror): each event picks the
     * user's next order at-or-after the event time — same union-tag +
     * one-shuffle + forward-fill plan with the time ordering reversed
-    * ([[graft.operators.Joins.asofJoin]] `direction = "forward"`).
-    * Hash-matches the LATERAL `>= ... ORDER BY ASC LIMIT 1` oracle.
+    * ([[graft.operators.Joins.asofJoin]] `direction = "forward"`),
+    * through the bucketed hot-key fallback like q41 — the forward
+    * stitch carries each bucket's FIRST right row backward across the
+    * bucket list. Hash-matches the LATERAL `>= ... ORDER BY ASC LIMIT 1`
+    * oracle.
     */
   def q50(s: SparkSession, d: String): DataFrame = {
     val events = ev(s, d)
@@ -503,7 +506,8 @@ object SparkEntry {
       col("o_orderkey"), col("o_totalprice"))
     graft.operators.Joins.asofJoin(
         events, orders, Seq("user_id"), "ts_us", "ots",
-        tieBreak = "o_orderkey", direction = "forward")
+        tieBreak = "o_orderkey", direction = "forward",
+        timeBucket = 180L * 24 * 3600 * 1000000)
       .select(col("event_id"), col("user_id"), col("ts_us"),
         col("o_orderkey").as("next_orderkey"), col("o_totalprice").as("next_price"))
   }
@@ -875,9 +879,11 @@ object SparkEntry {
   /** Q41 — backward as-of join ([[graft.operators.Joins.asofJoin]]):
     * each event picks the user's most recent order at-or-before the
     * event time (ties on order date broken by greatest orderkey), nulls
-    * when no order precedes. One shuffle + per-key sort; the oracle is
-    * an independent correlated LATERAL subquery — a nested-loop spec
-    * of the same semantics, nothing like the engine's plan.
+    * when no order precedes. Runs the HOT-KEY fallback (180-day
+    * `timeBucket`) so the bucketed stitch path is what the oracle — an
+    * independent correlated LATERAL subquery, a nested-loop spec of the
+    * same semantics — actually certifies; every task is bounded by a
+    * key's rows per bucket, never a key's whole history.
     */
   def q41(s: SparkSession, d: String): DataFrame = {
     val events = ev(s, d)
@@ -887,7 +893,8 @@ object SparkEntry {
       unix_micros(col("o_orderdate").cast("timestamp")).as("ots"),
       col("o_orderkey"), col("o_totalprice"))
     graft.operators.Joins.asofJoin(
-        events, orders, Seq("user_id"), "ts_us", "ots", tieBreak = "o_orderkey")
+        events, orders, Seq("user_id"), "ts_us", "ots", tieBreak = "o_orderkey",
+        timeBucket = 180L * 24 * 3600 * 1000000)
       .select(col("event_id"), col("user_id"), col("ts_us"),
         col("o_orderkey").as("last_orderkey"), col("o_totalprice").as("last_price"))
   }

@@ -69,47 +69,102 @@ object Joins {
     * direction is the SAME plan with the time ordering reversed (nulls
     * kept first so a null left time still matches nothing). Right rows
     * sort BEFORE left rows at equal times either way, so "at-or-before"
-    * / "at-or-after" include exact-time matches. For a pathologically hot key the same caveat
-    * as any window applies (one partition holds the key); salt cannot
-    * help here — bucket by coarse time ranges instead.
+    * / "at-or-after" include exact-time matches.
+    *
+    * Hot keys: a key holding most of the rows lands its whole sort in
+    * one task, and salt cannot help (the fill must see every right row
+    * of the key). `timeBucket > 0` is the escape hatch: rows are
+    * windowed within (key, floor(time / timeBucket)) — each task bounded
+    * by a key's rows per bucket — and matches that cross a bucket
+    * boundary are stitched by a per-(key, bucket) carry: the winning
+    * right row of each bucket, forward-filled ACROSS the key's bucket
+    * list (a window over #buckets rows, not #rows) and joined back.
+    * Results are identical to the single-window plan when the tieBreak
+    * is unique per (key, time) — the uniqueness every deterministic
+    * as-of needs anyway.
     *
     * Requirements: `leftTime`/`rightTime` must be mutually comparable
     * (cast before calling); non-key column names must not overlap; a
     * null left time yields nulls (no match), null right times never
-    * match.
+    * match. With `timeBucket > 0`, times must be numeric (bucket
+    * arithmetic) and right value columns orderable (the carry winner is
+    * a struct max/min).
     */
   def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
                leftTime: String, rightTime: String,
-               tieBreak: String, direction: String = "backward"): DataFrame = {
+               tieBreak: String, direction: String = "backward",
+               timeBucket: Long = 0L): DataFrame = {
     val rightVals = right.columns.filterNot(c => keys.contains(c) || c == rightTime)
     require(rightVals.contains(tieBreak),
       s"tieBreak '$tieBreak' must be a carried (non-key, non-time) right column")
     val overlap = left.columns.toSet.intersect(rightVals.toSet)
     require(overlap.isEmpty,
       s"left/right non-key columns overlap: ${overlap.mkString(", ")} — rename before joining")
-    // both orderings put null left times FIRST (before any right row, so
-    // they match nothing) and right rows before left rows at equal times
-    val timeOrder = direction.toLowerCase match {
-      case "backward" => Seq(col("__t").asc_nulls_first, col("__side").asc, col(tieBreak).asc)
-      case "forward"  => Seq(col("__t").desc_nulls_first, col("__side").asc, col(tieBreak).desc)
+    val backward = direction.toLowerCase match {
+      case "backward" => true
+      case "forward"  => false
       case other => throw new IllegalArgumentException(
         s"direction must be 'backward' or 'forward', got: $other")
     }
+    // both orderings put null left times FIRST (before any right row, so
+    // they match nothing) and right rows before left rows at equal times
+    val timeOrder =
+      if (backward) Seq(col("__t").asc_nulls_first, col("__side").asc, col(tieBreak).asc)
+      else Seq(col("__t").desc_nulls_first, col("__side").asc, col(tieBreak).desc)
 
     val l = left.withColumn("__t", col(leftTime)).withColumn("__side", lit(1))
     val r = right.withColumn("__t", col(rightTime)).withColumn("__side", lit(0))
       .drop(rightTime)
     val u = l.unionByName(r, allowMissingColumns = true)
       .filter(col("__side") === 1 || col("__t").isNotNull)
-    val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(timeOrder: _*)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     // one struct per RIGHT row (null for left rows, so ignoreNulls skips
     // them); the fill then carries whole matched rows, never a per-column
     // mix of different right rows
     val rightRow = when(col("__side") === 0,
       struct(rightVals.toIndexedSeq.map(col): _*))
-    val filled = u.withColumn("__asof", last(rightRow, ignoreNulls = true).over(w))
+
+    val filled =
+      if (timeBucket <= 0L) {
+        val w = Window.partitionBy(keys.map(col): _*)
+          .orderBy(timeOrder: _*)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        u.withColumn("__asof", last(rightRow, ignoreNulls = true).over(w))
+      } else {
+        // exact floor division, negative-safe: pmod is always >= 0
+        val bkt = ((col("__t") - pmod(col("__t"), lit(timeBucket))) / timeBucket)
+          .cast("long")
+        val ub = u.withColumn("__bkt", bkt)
+        val bktCols = (keys :+ "__bkt").map(col)
+        // 1. fill within (key, bucket) — the task-bounding window
+        val wIn = Window.partitionBy(bktCols: _*).orderBy(timeOrder: _*)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val inFill = ub.withColumn("__near", last(rightRow, ignoreNulls = true).over(wIn))
+        // 2. the right row each bucket would hand to later (earlier, for
+        //    forward) buckets: lexicographic max/min over (t, tieBreak)
+        //    — exactly the in-bucket fill's winner at bucket end
+        val winner = when(col("__side") === 0,
+          struct(col("__t"), col(tieBreak).as("__tie"),
+            struct(rightVals.toIndexedSeq.map(col): _*).as("v")))
+        val summary = ub.groupBy(bktCols: _*)
+          .agg((if (backward) max(winner) else min(winner)).as("__w"))
+        // 3. forward-fill winners across each key's bucket LIST (rows =
+        //    #buckets, metadata-bounded); strictly-previous frame keeps
+        //    same-bucket matches to step 1
+        val bktOrder = if (backward) col("__bkt").asc_nulls_first
+          else col("__bkt").desc_nulls_first
+        val wCarry = Window.partitionBy(keys.map(col): _*).orderBy(bktOrder)
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val carries = summary
+          .withColumn("__carry", last(col("__w"), ignoreNulls = true).over(wCarry))
+          .select(keys.zipWithIndex.map { case (k, i) => col(k).as(s"__ck$i") } ++
+            Seq(col("__bkt").as("__cbkt"), col("__carry").getField("v").as("__cv")): _*)
+        // 4. stitch: null-safe equi-join (null keys/buckets must behave
+        //    like the window's null partitions, not drop)
+        val cond = keys.zipWithIndex.map { case (k, i) => col(k) <=> col(s"__ck$i") }
+          .reduce(_ && _) && (col("__bkt") <=> col("__cbkt"))
+        inFill.join(carries, cond, "left")
+          .withColumn("__asof", coalesce(col("__near"), col("__cv")))
+      }
     filled.filter(col("__side") === 1)
       .select(left.columns.toIndexedSeq.map(col) ++
         rightVals.map(c => col("__asof").getField(c).as(c)): _*)

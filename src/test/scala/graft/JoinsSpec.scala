@@ -108,6 +108,45 @@ class JoinsSpec extends SparkSpec {
       Joins.asofJoin(trades, quotes, Seq("k"), "tt", "qt", "qid", direction = "sideways"))
   }
 
+  test("asofJoin timeBucket: hot key (90% of rows) — bucketed == single-window, both directions") {
+    // key 1 holds 90 % of both sides; times interleave so matches land
+    // in-bucket, one bucket back, AND many buckets back (carry chains)
+    val n = 400
+    val rights = (0 until n).map { i =>
+      val k = if (i < n * 9 / 10) 1L else 2L + (i % 3)
+      (k, (i * 37 % 1000).toLong, i.toLong, i * 0.5)
+    }.toDF("k", "qt", "qid", "px")
+    val lefts = (0 until n).map { i =>
+      val k = if (i < n * 9 / 10) 1L else 2L + (i % 3)
+      // sprinkle null left times — they must yield nulls in BOTH paths
+      val t = if (i % 97 == 0) None else Some((i * 53 % 1100).toLong - 50L)
+      (k, t, i.toLong)
+    }.toDF("k", "tt", "lid")
+
+    for (dir <- Seq("backward", "forward"); width <- Seq(7L, 100L, 5000L)) {
+      val single = Joins.asofJoin(lefts, rights, Seq("k"), "tt", "qt",
+          tieBreak = "qid", direction = dir)
+        .select("lid", "qid", "px").collect().map(_.toString).sorted.toSeq
+      val bucketed = Joins.asofJoin(lefts, rights, Seq("k"), "tt", "qt",
+          tieBreak = "qid", direction = dir, timeBucket = width)
+        .select("lid", "qid", "px").collect().map(_.toString).sorted.toSeq
+      assert(bucketed === single, s"divergence at direction=$dir width=$width")
+    }
+  }
+
+  test("asofJoin timeBucket: no data-scale window partitions on the keys alone") {
+    val rights = Seq((1L, 10L, 100L, 1.0)).toDF("k", "qt", "qid", "px")
+    val lefts = Seq((1L, 15L, 7L)).toDF("k", "tt", "lid")
+    val p = Joins.asofJoin(lefts, rights, Seq("k"), "tt", "qt",
+      tieBreak = "qid", timeBucket = 100L).queryExecution.executedPlan.toString
+    // the fill window must carry the bucket column; only the carry
+    // window (over per-bucket summaries) partitions by the key alone
+    val windows = "Window \\[[^\\n]*".r.findAllIn(p).toSeq
+    assert(windows.exists(_.contains("__bkt")), s"no bucket-partitioned fill window:\n$p")
+    assert(windows.forall(w => "\\], \\[".r.findAllIn(w).size == 2),
+      s"found a partition-less window:\n$p")
+  }
+
   test("asofJoin rejects overlapping non-key columns and a bad tieBreak") {
     val l = Seq((1L, 1L, "x")).toDF("k", "t", "v")
     val r = Seq((1L, 1L, "y")).toDF("k", "rt", "v")
