@@ -29,13 +29,30 @@ object Similarity {
     if (parts < parallelism) df.repartition(parallelism) else df
   }
 
+  /** The probe side of both search paths is the broadcast/replicated
+    * side — "probes must be small" is a hard contract, and breaking it
+    * surfaces as an executor OOM mid-broadcast at runtime. Enforce it
+    * up front with a clear error instead: the check counts a
+    * LIMIT-bounded prefix, so it costs a bounded scan no matter how
+    * large the offending probe set is.
+    */
+  private def requireSmallProbes(probes: DataFrame, maxProbes: Int, op: String): Unit = {
+    require(maxProbes > 0, s"maxProbes must be positive, got $maxProbes")
+    val seen = probes.limit(maxProbes + 1).count()
+    require(seen <= maxProbes,
+      s"$op: probe set exceeds maxProbes = $maxProbes rows; probes are the " +
+        "broadcast side — swap sides so the smaller set probes, or raise " +
+        "maxProbes deliberately if the driver/executors have the memory")
+  }
+
   /** Exact top-k cosine neighbors for each probe row. `probes` must be
-    * small (it is broadcast); the corpus side never shuffles for the
-    * scoring — per-probe ranking is the bounded-heap aggregate over
-    * sim-scored candidates.
+    * small (it is broadcast — enforced against `maxProbes`); the corpus
+    * side never shuffles for the scoring — per-probe ranking is the
+    * bounded-heap aggregate over sim-scored candidates.
     */
   def topKCosine(corpus: DataFrame, probes: DataFrame, idCol: String,
-                 vecCol: String, k: Int): DataFrame = {
+                 vecCol: String, k: Int, maxProbes: Int = 100000): DataFrame = {
+    requireSmallProbes(probes, maxProbes, "topKCosine")
     val p = probes.select(col(idCol).as("probe_id"), col(vecCol).as("pvec"))
     val c = spreadIfNarrow(corpus.select(col(idCol).as("vec_id"), col(vecCol).as("cvec")))
     val scored = c.crossJoin(broadcast(p))
@@ -57,7 +74,8 @@ object Similarity {
     */
   def annTopKCosine(corpus: DataFrame, probes: DataFrame, idCol: String,
                     vecCol: String, k: Int, bits: Int = 12, tables: Int = 8,
-                    seed: Long = 42L): DataFrame = {
+                    seed: Long = 42L, maxProbes: Int = 100000): DataFrame = {
+    requireSmallProbes(probes, maxProbes, "annTopKCosine")
     def withBuckets(df: DataFrame, id: String, vec: String): DataFrame =
       df.select(col(id), col(vec),
         explode(array((0 until tables).map { t =>

@@ -32,6 +32,22 @@ class SimilaritySpec extends SparkSpec {
     assert(got === bruteTopK(0L, 10))
   }
 
+  test("probe-size contract: an oversized probe set fails fast, not as a broadcast OOM") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val e1 = intercept[IllegalArgumentException](
+      graft.operators.Similarity.topKCosine(emb, emb, "vec_id", "embedding",
+        k = 3, maxProbes = 5))
+    assert(e1.getMessage.contains("maxProbes"))
+    val e2 = intercept[IllegalArgumentException](
+      graft.operators.Similarity.annTopKCosine(emb, emb, "vec_id", "embedding",
+        k = 3, maxProbes = 5))
+    assert(e2.getMessage.contains("maxProbes"))
+    // at-the-bound probe sets pass: the guard is > maxProbes, not >=
+    val five = emb.limit(5)
+    assert(graft.operators.Similarity.topKCosine(emb, five, "vec_id", "embedding",
+      k = 1, maxProbes = 5).count() > 0)
+  }
+
   test("annTopKCosine achieves high recall on planted clusters") {
     // 20 clusters of 10 near-identical vectors (cosine ~0.99 within cluster)
     val rnd = new scala.util.Random(7)
