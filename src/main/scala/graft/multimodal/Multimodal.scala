@@ -20,10 +20,12 @@ import org.apache.spark.sql.functions._
   * frames), so parsing it needs no codec library. COMPRESSED video
   * bitstreams (H.264/VP9/AV1) would need an external decoder that does
   * not resolve in this offline environment; such payloads simply flag
-  * `decoded = false` through the same corrupt-row contract. The only
-  * remaining deterministic fake is [[extractFeatures]]' embedding
-  * (`decodeStub`) — a real embedding needs an ML model, not a codec —
-  * and its operator shape (batch kernel, schema, partitioning) is final.
+  * `decoded = false` through the same corrupt-row contract.
+  * [[extractFeatures]]' vector is the real codec-backed 64-bin content
+  * histogram of [[feature64]] — a LEARNED embedding would need an ML
+  * model this container cannot resolve, and the histogram is the
+  * standard model-free content feature with the same operator shape
+  * (batch kernel, schema, partitioning).
   */
 object Multimodal {
 
@@ -542,54 +544,109 @@ object Multimodal {
     })
   }
 
-  // ---- STUB KERNEL (embedding extraction — needs an ML model, not a codec)
+  // ---- FEATURE KERNEL (real, codec-backed 64-bin content histogram) ----
 
-  /** STUB decode: a real version would run a learned encoder over the
-    * decoded media and emit its embedding; this derives an 8-dim feature
-    * deterministically from payload bytes. (Codec paths are all real:
-    * [[imageMeta]], [[audioMeta]], [[videoMeta]].)
+  /** Real 64-bin content histogram, decoded per modality through the
+    * same real codecs as the metadata kernels — the classic
+    * pre-learned-embedding content feature (color/intensity histograms
+    * are the standard retrieval baseline; Swain & Ballard '91):
+    *   - image (PNG/JPEG/BMP/GIF): per-pixel BT.601 luma, 4-wide bins;
+    *   - video (Y4M): every frame's Y-plane bytes, 4-wide bins;
+    *   - audio (WAV/PCM 8/16-bit): per-sample amplitude recentered to
+    *     unsigned, 1024-wide (16-bit) / 4-wide (8-bit) bins;
+    *   - anything else: raw payload byte distribution, 4-wide bins —
+    *     a real content fingerprint for opaque blobs, not a stub.
+    * Normalized to sum 1 (an all-zero vector for an empty payload), so
+    * the histogram is scale-invariant and cosine-comparable. A learned
+    * embedding would need an ML model this container cannot resolve;
+    * every branch here is a deterministic, arithmetically-checkable
+    * public feature.
     */
-  private def decodeStub(payload: Array[Byte]): Array[Float] = {
-    val f = new Array[Float](8)
-    var i = 0
-    while (i < payload.length) {
-      f(i % 8) += (payload(i) & 0xFF) / 255.0f
-      i += 1
+  private def feature64(payload: Array[Byte]): Array[Float] = {
+    val counts = new Array[Long](64)
+    var total = 0L
+    def add(bin: Int): Unit = {
+      counts(if (bin < 0) 0 else if (bin > 63) 63 else bin) += 1
+      total += 1
+    }
+    decodeImage(payload) match {
+      case Some(img) =>
+        val w = img.getWidth; val h = img.getHeight
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            val l = 0.299 * ((rgb >> 16) & 0xFF) +
+              0.587 * ((rgb >> 8) & 0xFF) + 0.114 * (rgb & 0xFF)
+            add(math.round(l).toInt >> 2)
+            x += 1
+          }
+          y += 1
+        }
+      case None => parseY4m(payload) match {
+        case Some(v) =>
+          v.yOffsets.foreach { yOff =>
+            var i = yOff
+            val end = yOff + v.ySize
+            while (i < end) { add((payload(i) & 0xFF) >> 2); i += 1 }
+          }
+        case None => decodeAudio(payload) match {
+          case Some((fmt, data))
+              if (fmt.getSampleSizeInBits == 8 || fmt.getSampleSizeInBits == 16) &&
+                fmt.getChannels >= 1 =>
+            val bits = fmt.getSampleSizeInBits
+            val ch = fmt.getChannels
+            val bytesPer = bits / 8
+            val n = data.length / (bytesPer * ch) * ch // whole frames only
+            var i = 0
+            while (i < n) {
+              if (bits == 8) add((data(i) & 0xFF) >> 2) // unsigned by WAV convention
+              else {
+                val off = i * 2
+                val b0 = data(off) & 0xFF; val b1 = data(off + 1) & 0xFF
+                val raw = if (fmt.isBigEndian) (b0 << 8) | b1 else (b1 << 8) | b0
+                val unsigned = if (fmt.getEncoding ==
+                  javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED) raw
+                else raw.toShort.toInt + 32768
+                add(unsigned >> 10)
+              }
+              i += 1
+            }
+          case _ =>
+            var i = 0
+            while (i < payload.length) { add((payload(i) & 0xFF) >> 2); i += 1 }
+        }
+      }
+    }
+    val f = new Array[Float](64)
+    if (total > 0) {
+      var b = 0
+      while (b < 64) { f(b) = (counts(b).toDouble / total).toFloat; b += 1 }
     }
     f
   }
-
-  /** STUB resize: real version returns re-encoded bytes at (w, h); this
-    * truncates/pads the payload to w*h bytes (deterministic size change).
-    */
-  private def resizeStub(payload: Array[Byte], w: Int, h: Int): Array[Byte] =
-    java.util.Arrays.copyOf(payload, w * h)
 
   // -----------------------------------------------------------------------
 
   /** Feature extraction as a partition-wise batch kernel: each task
     * processes its partition's rows in one pass (the batch shape a real
     * codec needs for model/codec reuse), no shuffle, no driver collect.
+    * The feature is [[feature64]]'s real codec-backed 64-bin content
+    * histogram.
     */
   def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
-      // per-partition setup (a real codec would init once here)
+      // per-partition setup (a heavier codec/model would init once here)
       rows.map { r =>
         var crc = 0L
         var i = 0
         while (i < r.payload.length) { crc = crc * 31 + (r.payload(i) & 0xFF); i += 1 }
         MediaFeatures(r.media_id, r.kind, r.payload.length.toLong, crc,
-          decodeStub(r.payload))
+          feature64(r.payload))
       }
     }
-  }
-
-  /** Resize all payloads to (w, h) — shape-preserving map, stub codec. */
-  def resizeAll(media: Dataset[MediaRow], w: Int, h: Int): Dataset[MediaRow] = {
-    import media.sparkSession.implicits._
-    media.mapPartitions(_.map(r =>
-      r.copy(payload = resizeStub(r.payload, w, h), width = w, height = h)))
   }
 
   /** Frame sampling: every `stride` bytes emit a `frameLen`-byte frame —

@@ -5,9 +5,9 @@ import graft.multimodal.Multimodal
 /** Multimodal plumbing specs: binary payload schema, partition-wise batch
   * kernels, 1→N frame sampling, and the REAL codec paths — images
   * (`javax.imageio`), audio (`javax.sound.sampled`), and video (the
-  * hand-rolled YUV4MPEG2 parser), all zero-dependency. Only the
-  * embedding extractor body remains a deterministic fake (it needs an
-  * ML model, not a codec); the shapes and determinism are the contract.
+  * hand-rolled YUV4MPEG2 parser), all zero-dependency. The feature
+  * extractor routes through the same codecs and emits a real 64-bin
+  * content histogram, pinned per modality by arithmetic oracles.
   */
 class MultimodalSpec extends SparkSpec {
 
@@ -265,14 +265,35 @@ class MultimodalSpec extends SparkSpec {
     val f2 = Multimodal.extractFeatures(media).collect().sortBy(_.media_id)
     assert(f1.length === 50)
     assert(f1.map(_.checksum).toSeq === f2.map(_.checksum).toSeq)
-    assert(f1.forall(_.feature.length === 8))
+    assert(f1.forall(_.feature.length === 64))
     assert(f1.forall(r => r.n_bytes > 0))
+    // normalized: every non-empty payload's histogram sums to ~1
+    assert(f1.forall(r => math.abs(r.feature.map(_.toDouble).sum - 1.0) < 1e-4))
   }
 
-  test("resizeAll: shape-preserving payload transform") {
-    val r = Multimodal.resizeAll(media, 16, 16).collect()
-    assert(r.forall(_.payload.length === 256))
-    assert(r.forall(x => x.width === 16 && x.height === 16))
+  test("extractFeatures: arithmetic oracle per modality — all mass in the known bins") {
+    def featOf(payload: Array[Byte]): Array[Float] = {
+      val sp2 = spark
+      import sp2.implicits._
+      Multimodal.extractFeatures(
+        Seq(Multimodal.MediaRow(1L, "x", payload, 0, 0, 0)).toDS()).head().feature
+    }
+    // image: solid gray g -> BT.601 luma g exactly -> bin g >> 2
+    val gImg = featOf(Multimodal.renderSolidPng(6, 5, 200))
+    assert(gImg(200 >> 2) === 1.0f, "solid-gray PNG mass must land in one luma bin")
+    // video: constant-luma Y4M frames at 40 and 80 -> half mass each
+    val y4m = featOf(Multimodal.renderY4m(4, 4, Array(40, 80)))
+    assert(math.abs(y4m(40 >> 2) - 0.5f) < 1e-6 && math.abs(y4m(80 >> 2) - 0.5f) < 1e-6)
+    // audio: +/-A square wave -> bins (32768 +/- A) >> 10, half mass each
+    val a = 12000
+    val wav = featOf(Multimodal.renderPcmWav(1000, 16000, a))
+    assert(math.abs(wav((32768 + a) >> 10) - 0.5f) < 1e-6)
+    assert(math.abs(wav((32768 - a) >> 10) - 0.5f) < 1e-6)
+    // opaque blob: byte-distribution fingerprint
+    val raw = featOf(Array.fill[Byte](100)(16))
+    assert(raw(16 >> 2) === 1.0f)
+    // empty payload: all-zero vector, no NaNs
+    assert(featOf(Array.emptyByteArray).forall(_ === 0.0f))
   }
 
   test("sampleFrames: 1->N expansion with aligned offsets") {
