@@ -815,6 +815,21 @@ object SparkEntry {
     graft.sinks.Layout.readPruned(s, dir, stats, "user_id", lo = 4, hi = 7)
   }
 
+  /** Q77 — exact global ranking ([[graft.operators.Ranks.globalRank]]),
+    * oracle-checked directly: every user's 1-based rank by (spend desc,
+    * user_id) against DuckDB's `row_number()` over the same total order.
+    * The distributed two-level rank (range partition → local row_number
+    * → metadata offset stitch) that q61's ntile is built on, proven
+    * hash-exact on its own.
+    */
+  def q77(s: SparkSession, d: String): DataFrame = {
+    val spend = ev(s, d).groupBy(col("user_id"))
+      .agg(dsum(col("value"), 2).as("spend"))
+    graft.operators.Ranks.globalRank(spend,
+        Seq(col("spend").desc, col("user_id").asc), outCol = "rk")
+      .select(col("user_id"), col("spend"), col("rk"))
+  }
+
   /** Q76 — incremental rollup maintenance ([[graft.sinks.IncrementalAgg]]):
     * the events stream split into two deterministic batches (even/odd
     * event_id), each folded into a partitioned (count, exact decimal
@@ -1007,7 +1022,8 @@ object SparkEntry {
     "q73_correlation"     -> (q73 _),
     "q74_cohort_retention" -> (q74 _),
     "q75_skip_scan"       -> (q75 _),
-    "q76_incremental_rollup" -> (q76 _))
+    "q76_incremental_rollup" -> (q76 _),
+    "q77_global_rank"     -> (q77 _))
 
   // DuckDB twins. Shared SQL fragments for the text queries:
   // explicit class: Java \s includes \x0B, RE2 \s does not — see
@@ -1477,5 +1493,13 @@ object SparkEntry {
          |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v,
          |  round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS mean_v
          |FROM events GROUP BY 1, 2
+         |""".stripMargin),
+    "q77_global_rank" ->
+      ("""WITH s AS (SELECT user_id,
+         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS spend
+         |  FROM events GROUP BY 1)
+         |SELECT user_id, spend,
+         |  CAST(row_number() OVER (ORDER BY spend DESC, user_id) AS BIGINT) AS rk
+         |FROM s
          |""".stripMargin))
 }
