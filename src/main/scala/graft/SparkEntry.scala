@@ -830,6 +830,16 @@ object SparkEntry {
       .select(col("user_id"), col("spend"), col("rk"))
   }
 
+  /** Q78 — deterministic corpus shuffle
+    * ([[graft.operators.Corpus.shuffleOrder]]): every document's stable
+    * pseudo-random training position — md5-keyed order, rank via the
+    * distributed two-level machinery. Oracle: `row_number()` over the
+    * identical md5 ordering in DuckDB.
+    */
+  def q78(s: SparkSession, d: String): DataFrame =
+    graft.operators.Corpus.shuffleOrder(
+      docs(s, d).select(col("doc_id")), "doc_id", salt = "graft")
+
   /** Q76 — incremental rollup maintenance ([[graft.sinks.IncrementalAgg]]):
     * the events stream split into two deterministic batches (even/odd
     * event_id), each folded into a partitioned (count, exact decimal
@@ -1023,7 +1033,8 @@ object SparkEntry {
     "q74_cohort_retention" -> (q74 _),
     "q75_skip_scan"       -> (q75 _),
     "q76_incremental_rollup" -> (q76 _),
-    "q77_global_rank"     -> (q77 _))
+    "q77_global_rank"     -> (q77 _),
+    "q78_corpus_shuffle"  -> (q78 _))
 
   // DuckDB twins. Shared SQL fragments for the text queries:
   // explicit class: Java \s includes \x0B, RE2 \s does not — see
@@ -1501,5 +1512,11 @@ object SparkEntry {
          |SELECT user_id, spend,
          |  CAST(row_number() OVER (ORDER BY spend DESC, user_id) AS BIGINT) AS rk
          |FROM s
+         |""".stripMargin),
+    "q78_corpus_shuffle" ->
+      ("""SELECT doc_id, CAST(row_number() OVER (
+         |  ORDER BY md5('graft:' || CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT)
+         |  AS shuffle_rank
+         |FROM documents
          |""".stripMargin))
 }

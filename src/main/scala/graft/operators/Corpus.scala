@@ -281,4 +281,20 @@ object Corpus {
     */
   def reweight(df: DataFrame, weight: Column): DataFrame =
     df.withColumn("copy", explode(sequence(lit(1L), weight.cast("long"))))
+
+  /** Deterministic corpus shuffle: a stable pseudo-random training order
+    * from the content-addressed md5 of (salt, id) — the same salt gives
+    * the same permutation on any cluster at any partitioning, so an
+    * epoch's order is reproducible and resumable (and changing the salt
+    * reshuffles). The 1-based `shuffle_rank` is [[Ranks.globalRank]]'s
+    * two-level rank over (hash, id), so no partition-less window ever
+    * touches the data — the standard derangement trick (sort by a keyed
+    * hash) made exact and distributed.
+    */
+  def shuffleOrder(df: DataFrame, idCol: String, salt: String): DataFrame = {
+    val key = md5(concat(lit(salt + ":"), col(idCol).cast("string")))
+    Ranks.globalRank(df.withColumn("__shufkey", key),
+        Seq(col("__shufkey").asc, col(idCol).asc), outCol = "shuffle_rank")
+      .drop("__shufkey", "__total")
+  }
 }

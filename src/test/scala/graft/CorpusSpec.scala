@@ -270,4 +270,16 @@ class CorpusSpec extends SparkSpec {
     val p = Corpus.reweight(df, lit(2)).queryExecution.executedPlan.toString
     assert(!p.contains("Exchange"), s"reweight must stay map-side:\n$p")
   }
+
+  test("shuffleOrder: a permutation, stable under repartitioning, reshuffled by salt") {
+    val df = (0L until 500L).map(i => (i, s"d$i")).toDF("doc_id", "text")
+    def ranks(d: DataFrame, salt: String) =
+      Corpus.shuffleOrder(d, "doc_id", salt)
+        .select("doc_id", "shuffle_rank").as[(Long, Long)].collect().toMap
+    val a = ranks(df, "graft")
+    assert(a.values.toSeq.sorted === (1L to 500L), "ranks must be a permutation of 1..n")
+    assert(a !== (0L until 500L).map(i => i -> (i + 1)).toMap, "order must not be identity")
+    assert(ranks(df.repartition(7), "graft") === a, "partitioning must not change the order")
+    assert(ranks(df, "other") !== a, "a different salt must reshuffle")
+  }
 }
