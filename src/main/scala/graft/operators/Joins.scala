@@ -141,11 +141,14 @@ object Joins {
         val inFill = ub.withColumn("__near", last(rightRow, ignoreNulls = true).over(wIn))
         // 2. the right row each bucket would hand to later (earlier, for
         //    forward) buckets: lexicographic max/min over (t, tieBreak)
-        //    — exactly the in-bucket fill's winner at bucket end
+        //    — exactly the in-bucket fill's winner at bucket end.
+        //    Aggregated FROM the window's output, not the raw union: the
+        //    rows are already hash-partitioned on (keys, __bkt) there, so
+        //    the groupBy adds no Exchange and the union is computed once
         val winner = when(col("__side") === 0,
           struct(col("__t"), col(tieBreak).as("__tie"),
             struct(rightVals.toIndexedSeq.map(col): _*).as("v")))
-        val summary = ub.groupBy(bktCols: _*)
+        val summary = inFill.groupBy(bktCols: _*)
           .agg((if (backward) max(winner) else min(winner)).as("__w"))
         // 3. forward-fill winners across each key's bucket LIST (rows =
         //    #buckets, metadata-bounded); strictly-previous frame keeps
