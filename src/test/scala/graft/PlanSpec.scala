@@ -225,18 +225,20 @@ class PlanSpec extends SparkSpec {
       s"need one metadata-scale global window and one bucket-partitioned window:\n$p")
   }
 
-  test("q61: no partition-less window over the data — rank is two-level, ntile is arithmetic") {
-    val p = plan(SparkEntry.q61(spark, sf0001))
-    assert(!p.contains("ntile"), s"ntile window survived into the plan:\n$p")
-    val windows = "Window \\[[^\\n]*".r.findAllIn(p).toSeq
-    val globals = windows.filter(w => "\\], \\[".r.findAllIn(w).size == 1)
-    val partitioned = windows.filter(w => "\\], \\[".r.findAllIn(w).size == 2)
-    assert(partitioned.nonEmpty && partitioned.forall(_.contains("[__part")),
-      s"the data-scale row_number window must partition by __part:\n$p")
-    // the only global windows are the count-cumsum/total over the
-    // partition list — metadata scale, identified by their __cnt input
-    assert(globals.nonEmpty && globals.forall(_.contains("__cnt")),
-      s"found a global window that is not over the partition-count metadata:\n$p")
+  test("q61/q77/q78: no partition-less window over the data — rank is two-level") {
+    for (q <- Seq(SparkEntry.q61 _, SparkEntry.q77 _, SparkEntry.q78 _)) {
+      val p = plan(q(spark, sf0001))
+      assert(!p.contains("ntile"), s"ntile window survived into the plan:\n$p")
+      val windows = "Window \\[[^\\n]*".r.findAllIn(p).toSeq
+      val globals = windows.filter(w => "\\], \\[".r.findAllIn(w).size == 1)
+      val partitioned = windows.filter(w => "\\], \\[".r.findAllIn(w).size == 2)
+      assert(partitioned.nonEmpty && partitioned.forall(_.contains("[__part")),
+        s"the data-scale row_number window must partition by __part:\n$p")
+      // the only global windows are the count-cumsum/total over the
+      // partition list — metadata scale, identified by their __cnt input
+      assert(globals.nonEmpty && globals.forall(_.contains("__cnt")),
+        s"found a global window that is not over the partition-count metadata:\n$p")
+    }
   }
 
   test("similarity corpus spread is conditional: a wide corpus never round-robins") {
