@@ -115,6 +115,26 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: ntileExact == ntile for arbitrary duplicates, sizes, k, partitionings") {
+    val caseGen = for {
+      n <- Gen.choose(1, 400)
+      dupes <- Gen.choose(1, 10) // low cardinality forces heavy ties
+      k <- Gen.choose(1, 7)
+      parts <- Gen.choose(1, 9)
+    } yield (n, dupes, k, parts)
+    samples(caseGen, n = 15).foreach { case (n, dupes, k, parts) =>
+      val df = (1 to n).map(i => (i.toLong, (i % dupes).toDouble))
+        .toDF("id", "v").repartition(parts)
+      val order = Seq(col("v").desc, col("id").asc)
+      val got = graft.operators.Ranks.ntileExact(df, order, k, outCol = "b")
+        .select("id", "b").as[(Long, Long)].collect().toMap
+      val want = df.withColumn("b",
+          ntile(k).over(org.apache.spark.sql.expressions.Window.orderBy(order: _*)).cast("long"))
+        .select("id", "b").as[(Long, Long)].collect().toMap
+      assert(got === want, s"diverged at n=$n dupes=$dupes k=$k parts=$parts")
+    }
+  }
+
   test("property: epoch-ms -> TimestampType -> epoch-ms roundtrips") {
     samples(Gen.listOfN(20, Gen.choose(0L, 4102444800000L))).foreach { ms =>
       val out = EventOps.deriveEventTime(ms.toDF("timestamp"), "timestamp", "ts")
