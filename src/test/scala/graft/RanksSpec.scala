@@ -55,6 +55,15 @@ class RanksSpec extends SparkSpec {
   test("empty input yields empty output, no failure") {
     val df = users(10).filter(col("id") < 0)
     assert(Ranks.ntileExact(df, Seq(col("id").asc), k = 4).count() === 0)
+    assert(graft.operators.Corpus.shuffleOrder(
+      df.select(col("id").as("doc_id")), "doc_id", "s").count() === 0)
+  }
+
+  test("single row: rank 1, bucket 1, any k") {
+    val df = users(1)
+    val r = Ranks.ntileExact(df, Seq(col("id").asc), k = 4, outCol = "b")
+      .select("id", "b").collect()
+    assert(r.length === 1 && r.head.getLong(1) === 1L)
   }
 
   test("rank values are a permutation of 1..n regardless of range-boundary placement") {
