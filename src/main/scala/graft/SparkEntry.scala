@@ -846,11 +846,17 @@ object SparkEntry {
     * sum) aggregate table — only the touched partitions are read back
     * and rewritten per fold. The read-back equals the oracle's FULL
     * recompute over all events: maintained ≡ recomputed, the
-    * materialized-view invariant, proven by hash. A fresh root per
-    * invocation keeps the query deterministic under re-runs.
+    * materialized-view invariant, proven by hash. The root is
+    * deterministic per (JVM tmpdir, sf dir) and wiped before the folds,
+    * so re-runs are deterministic AND repeated invocations (bench warms
+    * + min-of-3) do not accumulate temp copies.
     */
   def q76(s: SparkSession, d: String): DataFrame = {
-    val root = java.nio.file.Files.createTempDirectory("graft-incr").toString + "/rollup"
+    val root = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft-incr-${math.abs(d.hashCode)}/rollup").toString
+    val p = new org.apache.hadoop.fs.Path(root)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
     val src = ev(s, d).select(col("event_type"), col("user_id"), col("value"),
       pmod(col("event_id"), lit(2)).as("__b"))
     for (b <- 0 to 1)

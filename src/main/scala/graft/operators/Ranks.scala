@@ -42,6 +42,16 @@ object Ranks {
     * be a total order: add a unique tiebreaker) and `totalCol` = the
     * overall row count — both computed with the two-level decomposition
     * above; the only global window runs over `numPartitions` count rows.
+    *
+    * The ranged frame is PERSISTED: the offsets subtree and the data
+    * subtree both read it, and without a shared materialization they
+    * would execute the range exchange twice — two independently SAMPLED
+    * boundary sets (the sampling seed derives from the runtime RDD id),
+    * so `__part` under one could disagree with counts under the other
+    * and corrupt ranks silently at scale. One cached evaluation pins one
+    * boundary set for both consumers; Spark's CacheManager dedups by
+    * canonical plan, so repeated calls over the same input share the
+    * entry rather than growing the cache.
     */
   def globalRank(df: DataFrame, order: Seq[Column], outCol: String = "rank",
                  totalCol: String = "__total", numPartitions: Int = 0): DataFrame = {
@@ -50,6 +60,7 @@ object Ranks {
       else df.sparkSession.sparkContext.defaultParallelism
     val ranged = df.repartitionByRange(parts, order: _*)
       .withColumn("__part", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val counts = ranged.groupBy(col("__part")).agg(count(lit(1)).as("__cnt"))
     val wMeta = Window.orderBy(col("__part"))
     val offsets = counts

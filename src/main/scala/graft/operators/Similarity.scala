@@ -38,7 +38,11 @@ object Similarity {
     */
   private def requireSmallProbes(probes: DataFrame, maxProbes: Int, op: String): Unit = {
     require(maxProbes > 0, s"maxProbes must be positive, got $maxProbes")
-    val seen = probes.limit(maxProbes + 1).count()
+    // one extra bounded action per call — the price of failing fast; a
+    // caller with an expensive probe pipeline should cache it first.
+    // +1 saturates rather than wrapping for maxProbes = Int.MaxValue
+    val cap = if (maxProbes == Int.MaxValue) Int.MaxValue else maxProbes + 1
+    val seen = probes.limit(cap).count()
     require(seen <= maxProbes,
       s"$op: probe set exceeds maxProbes = $maxProbes rows; probes are the " +
         "broadcast side — swap sides so the smaller set probes, or raise " +

@@ -95,8 +95,18 @@ object Layout {
     */
   def scaleToBits(c: Column, maxVal: Long, bits: Int): Column = {
     require(maxVal >= 0 && bits > 0 && bits <= 31, s"bad maxVal=$maxVal bits=$bits")
-    least(lit((1L << bits) - 1),
-      idiv(greatest(c.cast("long"), lit(0L)) * (1L << bits), lit(maxVal + 1L)))
+    val clamped = greatest(c.cast("long"), lit(0L))
+    // exact integer path only while c * 2^bits cannot wrap a Long; for
+    // huge domains (e.g. nanosecond epochs) divide first in Double —
+    // approximate is fine for CLUSTERING (stats stay true min/max; the
+    // exact predicate re-applies at read), wrapped garbage is not
+    val scaled =
+      if (maxVal < (1L << (62 - bits)))
+        idiv(clamped * (1L << bits), lit(maxVal + 1L))
+      else
+        floor(clamped.cast("double") * (1L << bits).toDouble / (maxVal.toDouble + 1))
+          .cast("long")
+    least(lit((1L << bits) - 1), scaled)
   }
 
   /** JVM-lifetime cache of (copy dir, persisted stats manifest) per key —
@@ -115,13 +125,20 @@ object Layout {
     */
   def zOrderedWithStats(df: DataFrame, cacheKey: String, zCols: Seq[String],
                         nFiles: Int, bits: Int = 16): (String, DataFrame) =
-    copies.computeIfAbsent(cacheKey, _ => {
+    // the layout parameters are part of the identity: the same string
+    // key with different zCols/nFiles/bits must not serve a stale copy
+    copies.computeIfAbsent(
+      s"$cacheKey|${zCols.mkString(",")}|$nFiles|$bits", _ => {
       val dir = java.nio.file.Files.createTempDirectory("graft-zorder").toString + "/lake"
       val maxRow = df.agg(
         max(col(zCols.head)).cast("long").as("m0"),
         zCols.tail.zipWithIndex.map { case (c, i) =>
           max(col(c)).cast("long").as(s"m${i + 1}") }: _*).head()
-      val scaled = zCols.indices.map(i => scaleToBits(col(zCols(i)), maxRow.getLong(i), bits))
+      // empty input (or an all-null column) has no max: every value
+      // clamps to bucket 0, and the write still produces a valid layout
+      val maxes = zCols.indices.map(i =>
+        if (maxRow.isNullAt(i)) 0L else math.max(0L, maxRow.getLong(i)))
+      val scaled = zCols.indices.map(i => scaleToBits(col(zCols(i)), maxes(i), bits))
       writeZOrdered(df, scaled, dir, nFiles, bits)
       val st = fileStats(df.sparkSession, dir, zCols).persist()
       st.count()

@@ -101,6 +101,19 @@ class LayoutSpec extends SparkSpec {
     assert(read < total / 2, s"expected file skipping on the user_id band: $read/$total")
   }
 
+  test("zOrderedWithStats: empty input yields a readable empty layout") {
+    val empty = data.filter(col("id") < 0)
+    val (dir, stats) = Layout.zOrderedWithStats(empty, "spec-empty", Seq("x", "y"), nFiles = 4)
+    val (df, read, total) = Layout.readPruned(spark, dir, stats, "x", 0, 100)
+    assert(df.count() === 0 && read === 0 && total >= 0)
+  }
+
+  test("zOrderedWithStats: cache key includes the layout parameters") {
+    val (d1, _) = Layout.zOrderedWithStats(data, "spec-params", Seq("x", "y"), nFiles = 4)
+    val (d2, _) = Layout.zOrderedWithStats(data, "spec-params", Seq("y", "x"), nFiles = 4)
+    assert(d1 !== d2, "different zCols must not share a cached copy")
+  }
+
   test("readPruned: empty band reads zero files and returns an empty frame") {
     val dir = java.nio.file.Files.createTempDirectory("zempty").toString + "/lake"
     Layout.writeZOrdered(data, Seq(col("x"), col("y")), dir, nFiles = 4, bits = 8)

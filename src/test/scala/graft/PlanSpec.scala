@@ -238,6 +238,11 @@ class PlanSpec extends SparkSpec {
       // partition list — metadata scale, identified by their __cnt input
       assert(globals.nonEmpty && globals.forall(_.contains("__cnt")),
         s"found a global window that is not over the partition-count metadata:\n$p")
+      // the offsets and data subtrees must read ONE materialization of
+      // the ranged frame — two independent range exchanges would sample
+      // two boundary sets and silently corrupt ranks (Ranks.globalRank)
+      assert("InMemoryTableScan".r.findAllMatchIn(p).size >= 2,
+        s"ranged frame not shared via cache — boundary drift hazard:\n$p")
     }
   }
 
