@@ -840,6 +840,20 @@ object SparkEntry {
     graft.operators.Corpus.shuffleOrder(
       docs(s, d).select(col("doc_id")), "doc_id", salt = "graft")
 
+  /** Q79 — deterministic importance sampling
+    * ([[graft.operators.Corpus.weightedSample]]): keep each doc with
+    * probability `tokens/200` (longer docs kept more — a mixing-pass
+    * shape), decided by the content-addressed hash so the sample is
+    * replay-stable. Oracle: the identical md5-threshold predicate in
+    * DuckDB.
+    */
+  def q79(s: SparkSession, d: String): DataFrame = {
+    val dd = docs(s, d).select(col("doc_id"),
+      TextFunctions.tokenCount(col("text")).as("n_tokens"))
+    graft.operators.Corpus.weightedSample(
+      dd, "doc_id", col("n_tokens") / 200.0, salt = "graft")
+  }
+
   /** Q76 — incremental rollup maintenance ([[graft.sinks.IncrementalAgg]]):
     * the events stream split into two deterministic batches (even/odd
     * event_id), each folded into a partitioned (count, exact decimal
@@ -1040,7 +1054,8 @@ object SparkEntry {
     "q75_skip_scan"       -> (q75 _),
     "q76_incremental_rollup" -> (q76 _),
     "q77_global_rank"     -> (q77 _),
-    "q78_corpus_shuffle"  -> (q78 _))
+    "q78_corpus_shuffle"  -> (q78 _),
+    "q79_weighted_sample" -> (q79 _))
 
   // DuckDB twins. Shared SQL fragments for the text queries:
   // explicit class: Java \s includes \x0B, RE2 \s does not — see
@@ -1524,5 +1539,14 @@ object SparkEntry {
          |  ORDER BY md5('graft:' || CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT)
          |  AS shuffle_rank
          |FROM documents
-         |""".stripMargin))
+         |""".stripMargin),
+    "q79_weighted_sample" ->
+      (s"""WITH t AS (SELECT doc_id, CAST(len($TOKS) AS BIGINT) AS n_tokens
+          |  FROM documents)
+          |SELECT doc_id, n_tokens FROM t
+          |WHERE n_tokens / 200.0 >= 1.0
+          |   OR substr(md5('graft:' || CAST(doc_id AS VARCHAR)), 1, 4)
+          |      < printf('%04x', CAST(floor(
+          |          least(1.0, greatest(0.0, n_tokens / 200.0)) * 65536) AS INT))
+          |""".stripMargin))
 }

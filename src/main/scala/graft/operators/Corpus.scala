@@ -297,4 +297,26 @@ object Corpus {
         Seq(col("__shufkey").asc, col(idCol).asc), outCol = "shuffle_rank")
       .drop("__shufkey", "__total")
   }
+
+  /** Deterministic weighted (importance) sampling: keep each row with
+    * probability `weight` (clamped to [0, 1]) — the replay-stable form
+    * of training-mix downsampling ("keep 30 % of source X"), decided by
+    * the row's own content-addressed hash, never an RNG: re-runs,
+    * repartitions, and retries keep EXACTLY the same rows, so downstream
+    * shards and checkpoints stay consistent. Map-side only.
+    *
+    * Mechanics: the first 4 md5 hex chars of (salt, id) are a uniform
+    * 16-bit draw, compared lexicographically against the weight's hex
+    * threshold (the [[splitAssign]] trick — no numeric hex parsing, so
+    * the same predicate runs in any SQL engine). `weight >= 1` keeps the
+    * row unconditionally; resolution is 1/65536.
+    */
+  def weightedSample(df: DataFrame, idCol: String, weight: Column,
+                     salt: String): DataFrame = {
+    val u = substring(md5(concat(lit(salt + ":"), col(idCol).cast("string"))), 1, 4)
+    val p = least(lit(1.0), greatest(lit(0.0), weight))
+    val thr = lpad(lower(conv(floor(p * 65536).cast("long").cast("string"), 10, 16)),
+      4, "0")
+    df.filter(p >= 1.0 || u < thr)
+  }
 }

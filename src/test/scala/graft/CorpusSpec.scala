@@ -271,6 +271,24 @@ class CorpusSpec extends SparkSpec {
     assert(!p.contains("Exchange"), s"reweight must stay map-side:\n$p")
   }
 
+  test("weightedSample: replay-stable, monotone in weight, exact at the clamps") {
+    val df = (0L until 2000L).map(i => (i, i.toDouble / 1000)).toDF("doc_id", "w")
+    def keep(weight: org.apache.spark.sql.Column) =
+      Corpus.weightedSample(df, "doc_id", weight, "graft")
+        .select("doc_id").as[Long].collect().toSet
+    val a = keep(col("w"))
+    assert(a === keep(col("w")), "same salt + weights must keep the same rows")
+    // weight >= 1 keeps unconditionally; weight <= 0 keeps nothing
+    assert(keep(lit(1.5)).size === 2000)
+    assert(keep(lit(0.0)).isEmpty && keep(lit(-3.0)).isEmpty)
+    // monotone: a row kept at w is kept at any higher w (same draw)
+    val half = keep(col("w") * 0.5)
+    assert(half.subsetOf(a), "halving weights must only drop rows, never add")
+    // the keep rate tracks the weight (16-bit draw, ±5 % tolerance)
+    val rate = keep(lit(0.3)).size / 2000.0
+    assert(math.abs(rate - 0.3) < 0.05, s"keep rate $rate far from 0.3")
+  }
+
   test("shuffleOrder: a permutation, stable under repartitioning, reshuffled by salt") {
     val df = (0L until 500L).map(i => (i, s"d$i")).toDF("doc_id", "text")
     def ranks(d: DataFrame, salt: String) =
