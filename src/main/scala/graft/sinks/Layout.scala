@@ -1,5 +1,6 @@
 package graft.sinks
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -128,8 +129,14 @@ object Layout {
     // the layout parameters are part of the identity: the same string
     // key with different zCols/nFiles/bits must not serve a stale copy
     copies.computeIfAbsent(
-      s"$cacheKey|${zCols.mkString(",")}|$nFiles|$bits", _ => {
-      val dir = java.nio.file.Files.createTempDirectory("graft-zorder").toString + "/lake"
+      s"$cacheKey|${zCols.mkString(",")}|$nFiles|$bits", fullKey => {
+      // deterministic per-key location, wiped before the write: repeated
+      // JVM runs reuse one path instead of accumulating temp copies
+      val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft-zorder-${Integer.toHexString(fullKey.hashCode)}/lake").toString
+      val p = new Path(dir)
+      val fs = p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
       val maxRow = df.agg(
         max(col(zCols.head)).cast("long").as("m0"),
         zCols.tail.zipWithIndex.map { case (c, i) =>
