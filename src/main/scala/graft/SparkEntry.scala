@@ -854,6 +854,28 @@ object SparkEntry {
       dd, "doc_id", col("n_tokens") / 200.0, salt = "graft")
   }
 
+  /** Q80 — ordered conversion funnel: users who viewed, then clicked
+    * at-or-after their first view, then purchased at-or-after that
+    * click — the classic sequence-match analytics scan. Three STACKED
+    * per-user windows (each stage's cutoff feeds the next) share ONE
+    * hash partitioning, so the whole funnel costs a single shuffle at
+    * any scale; the final stage counts are a tiny global aggregate.
+    */
+  def q80(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+    val staged = EventOps.filterValid(ev(s, d))
+      .select(col("user_id"), col("event_type"), col("ts"))
+      .withColumn("t1", min(when(col("event_type") === "view", col("ts"))).over(w))
+      .withColumn("t2", min(when(col("event_type") === "click" &&
+        col("ts") >= col("t1"), col("ts"))).over(w))
+      .withColumn("t3", min(when(col("event_type") === "purchase" &&
+        col("ts") >= col("t2"), col("ts"))).over(w))
+    staged.agg(
+      count_distinct(when(col("t1").isNotNull, col("user_id"))).as("n_view"),
+      count_distinct(when(col("t2").isNotNull, col("user_id"))).as("n_click"),
+      count_distinct(when(col("t3").isNotNull, col("user_id"))).as("n_purchase"))
+  }
+
   /** Q76 — incremental rollup maintenance ([[graft.sinks.IncrementalAgg]]):
     * the events stream split into two deterministic batches (even/odd
     * event_id), each folded into a partitioned (count, exact decimal
@@ -1055,7 +1077,8 @@ object SparkEntry {
     "q76_incremental_rollup" -> (q76 _),
     "q77_global_rank"     -> (q77 _),
     "q78_corpus_shuffle"  -> (q78 _),
-    "q79_weighted_sample" -> (q79 _))
+    "q79_weighted_sample" -> (q79 _),
+    "q80_funnel"          -> (q80 _))
 
   // DuckDB twins. Shared SQL fragments for the text queries:
   // explicit class: Java \s includes \x0B, RE2 \s does not — see
@@ -1548,5 +1571,20 @@ object SparkEntry {
           |   OR substr(md5('graft:' || CAST(doc_id AS VARCHAR)), 1, 4)
           |      < printf('%04x', CAST(floor(
           |          least(1.0, greatest(0.0, n_tokens / 200.0)) * 65536) AS INT))
-          |""".stripMargin))
+          |""".stripMargin),
+    "q80_funnel" ->
+      ("""WITH e AS (SELECT user_id, event_type, ts FROM events
+         |  WHERE ts IS NOT NULL AND year(ts) <> 1970),
+         |w1 AS (SELECT *, min(CASE WHEN event_type = 'view' THEN ts END)
+         |  OVER (PARTITION BY user_id) AS t1 FROM e),
+         |w2 AS (SELECT *, min(CASE WHEN event_type = 'click' AND ts >= t1 THEN ts END)
+         |  OVER (PARTITION BY user_id) AS t2 FROM w1),
+         |w3 AS (SELECT *, min(CASE WHEN event_type = 'purchase' AND ts >= t2 THEN ts END)
+         |  OVER (PARTITION BY user_id) AS t3 FROM w2)
+         |SELECT
+         |  count(DISTINCT CASE WHEN t1 IS NOT NULL THEN user_id END) AS n_view,
+         |  count(DISTINCT CASE WHEN t2 IS NOT NULL THEN user_id END) AS n_click,
+         |  count(DISTINCT CASE WHEN t3 IS NOT NULL THEN user_id END) AS n_purchase
+         |FROM w3
+         |""".stripMargin))
 }

@@ -246,6 +246,15 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q80: the three stacked funnel windows share one hash partitioning") {
+    val p = plan(SparkEntry.q80(spark, sf0001))
+    // exactly one per-user exchange feeds all three stage windows; the
+    // only other hash exchange is the multi-count-distinct aggregate's
+    val userExchanges = "Exchange hashpartitioning\\(user_id".r.findAllMatchIn(p).size
+    assert(userExchanges === 1, s"funnel windows must share one user shuffle:\n$p")
+    assert("Window".r.findAllMatchIn(p).size >= 3, s"expected three stage windows:\n$p")
+  }
+
   test("similarity corpus spread is conditional: a wide corpus never round-robins") {
     val df = wideEmbeddings
     val p = plan(graft.operators.Similarity.topKCosine(
