@@ -62,7 +62,7 @@ object IncrementalAgg {
           .reduce(_ && _)
       }.reduce(_ || _)
       val current = spark.read.parquet(root).filter(pruning)
-        .select(partial.columns.map(col): _*) // align column order for the union
+        .select(partial.columns.toIndexedSeq.map(col): _*) // align column order for the union
       partial.unionByName(current)
         .groupBy(keyCols.map(col): _*)
         .agg(sum(col("n")).cast("long").as("n"),
