@@ -876,6 +876,14 @@ object SparkEntry {
       count_distinct(when(col("t3").isNotNull, col("user_id"))).as("n_purchase"))
   }
 
+  /** Q81 — cross-doc duplication profile
+    * ([[graft.operators.Corpus.crossDupProfile]]): per doc, the share of
+    * its 3-gram shingles found in any other document — the dedup-scope
+    * flagging scan. Oracle: the same shingle frequency join in DuckDB.
+    */
+  def q81(s: SparkSession, d: String): DataFrame =
+    graft.operators.Corpus.crossDupProfile(docs(s, d), "doc_id", "text", n = 3)
+
   /** Q76 — incremental rollup maintenance ([[graft.sinks.IncrementalAgg]]):
     * the events stream split into two deterministic batches (even/odd
     * event_id), each folded into a partitioned (count, exact decimal
@@ -1078,7 +1086,8 @@ object SparkEntry {
     "q77_global_rank"     -> (q77 _),
     "q78_corpus_shuffle"  -> (q78 _),
     "q79_weighted_sample" -> (q79 _),
-    "q80_funnel"          -> (q80 _))
+    "q80_funnel"          -> (q80 _),
+    "q81_dup_profile"     -> (q81 _))
 
   // DuckDB twins. Shared SQL fragments for the text queries:
   // explicit class: Java \s includes \x0B, RE2 \s does not — see
@@ -1586,5 +1595,15 @@ object SparkEntry {
          |  count(DISTINCT CASE WHEN t2 IS NOT NULL THEN user_id END) AS n_click,
          |  count(DISTINCT CASE WHEN t3 IS NOT NULL THEN user_id END) AS n_purchase
          |FROM w3
-         |""".stripMargin))
+         |""".stripMargin),
+    "q81_dup_profile" ->
+      (s"""WITH toks AS (SELECT doc_id, $TOKS AS tk FROM documents),
+          |sh AS (SELECT doc_id, unnest(${shinglesSql("tk")}) AS g FROM toks),
+          |c AS (SELECT g, count(*) AS nd FROM sh GROUP BY 1)
+          |SELECT sh.doc_id, count(*) AS n_shingles,
+          |  count(CASE WHEN c.nd > 1 THEN 1 END) AS n_shared,
+          |  round(CAST(count(CASE WHEN c.nd > 1 THEN 1 END) AS DOUBLE) / count(*), 6)
+          |    AS dup_ratio
+          |FROM sh JOIN c USING (g) GROUP BY 1
+          |""".stripMargin))
 }

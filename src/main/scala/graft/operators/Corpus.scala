@@ -298,6 +298,28 @@ object Corpus {
       .drop("__shufkey", "__total")
   }
 
+  /** Per-document CROSS-corpus duplication profile: the fraction of a
+    * doc's distinct word n-gram shingles that occur in at least one
+    * OTHER document — the flagging scan run before committing to a full
+    * dedup pass (within-doc repetition is [[unigramSurprisal]]'s
+    * sibling q68; pairwise similarity is LSH's job). Shingles are the
+    * one-pass 64-bit hashes of [[graft.functions.HashedWordNgrams]]
+    * (distinct per doc, so a per-shingle `count(*)` IS its document
+    * frequency). Two shuffles — shingle counts, then the per-doc
+    * ratio — both on pre-aggregated hashes, never on text.
+    */
+  def crossDupProfile(docs: DataFrame, idCol: String, textCol: String,
+                      n: Int = 3): DataFrame = {
+    val sh = docs.select(col(idCol),
+      explode(graft.functions.HashFunctions.hashedWordNgrams(col(textCol), n)).as("__g"))
+    val counts = sh.groupBy(col("__g")).agg(count(lit(1)).as("__nd"))
+    val shared = count(when(col("__nd") > 1, 1))
+    sh.join(counts, "__g")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shingles"), shared.as("n_shared"),
+        round(shared.cast("double") / count(lit(1)), 6).as("dup_ratio"))
+  }
+
   /** Deterministic weighted (importance) sampling: keep each row with
     * probability `weight` (clamped to [0, 1]) — the replay-stable form
     * of training-mix downsampling ("keep 30 % of source X"), decided by
