@@ -305,19 +305,28 @@ object Corpus {
     * sibling q68; pairwise similarity is LSH's job). Shingles are the
     * one-pass 64-bit hashes of [[graft.functions.HashedWordNgrams]]
     * (distinct per doc, so a per-shingle `count(*)` IS its document
-    * frequency). Two shuffles — shingle counts, then the per-doc
-    * ratio — both on pre-aggregated hashes, never on text.
+    * frequency).
+    *
+    * Scale shape: per-doc totals are `size(shingles)` — map-side, no
+    * join needed — so the only joined stream is occurrences of SHARED
+    * shingles (document frequency > 1), normally a small minority of a
+    * deduplicated-ish corpus; unique shingles never shuffle twice.
     */
   def crossDupProfile(docs: DataFrame, idCol: String, textCol: String,
                       n: Int = 3): DataFrame = {
-    val sh = docs.select(col(idCol),
-      explode(graft.functions.HashFunctions.hashedWordNgrams(col(textCol), n)).as("__g"))
-    val counts = sh.groupBy(col("__g")).agg(count(lit(1)).as("__nd"))
-    val shared = count(when(col("__nd") > 1, 1))
-    sh.join(counts, "__g")
-      .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_shingles"), shared.as("n_shared"),
-        round(shared.cast("double") / count(lit(1)), 6).as("dup_ratio"))
+    val grams = graft.functions.HashFunctions.hashedWordNgrams(col(textCol), n)
+    val sh = docs.select(col(idCol), explode(grams).as("__g"))
+    val sharedGrams = sh.groupBy(col("__g")).agg(count(lit(1)).as("__nd"))
+      .filter(col("__nd") > 1).select(col("__g"))
+    val nShared = sh.join(sharedGrams, "__g")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_shared"))
+    docs.select(col(idCol), size(grams).as("n_shingles"))
+      .filter(col("n_shingles") > 0)
+      .join(nShared, Seq(idCol), "left")
+      .withColumn("n_shared", coalesce(col("n_shared"), lit(0L)))
+      .select(col(idCol), col("n_shingles").cast("long").as("n_shingles"),
+        col("n_shared"),
+        round(col("n_shared").cast("double") / col("n_shingles"), 6).as("dup_ratio"))
   }
 
   /** Deterministic weighted (importance) sampling: keep each row with
