@@ -165,9 +165,18 @@ object Corpus {
     * identity nulls every comparison, so such rows quarantine into the
     * `test` fallback rather than leaking into training (spec-pinned).
     */
+  /** The shared content-addressed draw: md5 of `salt:id` — ONE format
+    * for every deterministic decision ([[splitAssign]] compares 2 hex
+    * chars, [[weightedSample]] 4, [[shuffleOrder]] the whole digest),
+    * each with a DuckDB oracle string pinned to it. Changing the format
+    * here without the oracles is a spec-suite failure, not silent drift.
+    */
+  private def hexDraw(idCol: String, salt: String): Column =
+    md5(concat(lit(salt + ":"), col(idCol).cast("string")))
+
   def splitAssign(df: DataFrame, idCol: String, salt: String,
                   trainTo: String = "e6", valTo: String = "f6"): DataFrame = {
-    val h2 = substring(md5(concat(lit(salt + ":"), col(idCol).cast("string"))), 1, 2)
+    val h2 = substring(hexDraw(idCol, salt), 1, 2)
     df.withColumn("split",
       when(h2 < trainTo, "train").when(h2 < valTo, "val").otherwise("test"))
   }
@@ -292,7 +301,7 @@ object Corpus {
     * hash) made exact and distributed.
     */
   def shuffleOrder(df: DataFrame, idCol: String, salt: String): DataFrame = {
-    val key = md5(concat(lit(salt + ":"), col(idCol).cast("string")))
+    val key = hexDraw(idCol, salt)
     Ranks.globalRank(df.withColumn("__shufkey", key),
         Seq(col("__shufkey").asc, col(idCol).asc), outCol = "shuffle_rank")
       .drop("__shufkey", "__total")
@@ -344,7 +353,7 @@ object Corpus {
     */
   def weightedSample(df: DataFrame, idCol: String, weight: Column,
                      salt: String): DataFrame = {
-    val u = substring(md5(concat(lit(salt + ":"), col(idCol).cast("string"))), 1, 4)
+    val u = substring(hexDraw(idCol, salt), 1, 4)
     val p = least(lit(1.0), greatest(lit(0.0), weight))
     val thr = lpad(lower(conv(floor(p * 65536).cast("long").cast("string"), 10, 16)),
       4, "0")

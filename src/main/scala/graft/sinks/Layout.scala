@@ -1,6 +1,5 @@
 package graft.sinks
 
-import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -123,6 +122,13 @@ object Layout {
     * per-column maxes come from one metadata-scale aggregate, the same
     * scan the layout write itself pays) into a cached temp copy, and
     * return (copy dir, per-file min/max manifest for `zCols`).
+    *
+    * SINGLE-WRITER contract, like any compaction job: the copy lives at
+    * a deterministic per-key path (md5 of the full key — collision-proof
+    * dir identity, and repeated JVM runs reuse one path instead of
+    * accumulating temp copies), so two processes laying out the same key
+    * concurrently would race on it, exactly as two compactors racing on
+    * one table partition would. Run layout passes one at a time per key.
     */
   def zOrderedWithStats(df: DataFrame, cacheKey: String, zCols: Seq[String],
                         nFiles: Int, bits: Int = 16): (String, DataFrame) =
@@ -130,13 +136,11 @@ object Layout {
     // key with different zCols/nFiles/bits must not serve a stale copy
     copies.computeIfAbsent(
       s"$cacheKey|${zCols.mkString(",")}|$nFiles|$bits", fullKey => {
-      // deterministic per-key location, wiped before the write: repeated
-      // JVM runs reuse one path instead of accumulating temp copies
+      val keyHex = java.security.MessageDigest.getInstance("MD5")
+        .digest(fullKey.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      // the overwrite-mode write wipes any stale copy from a prior run
       val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
-        s"graft-zorder-${Integer.toHexString(fullKey.hashCode)}/lake").toString
-      val p = new Path(dir)
-      val fs = p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
-      if (fs.exists(p)) fs.delete(p, true)
+        s"graft-zorder-$keyHex/lake").toString
       val maxRow = df.agg(
         max(col(zCols.head)).cast("long").as("m0"),
         zCols.tail.zipWithIndex.map { case (c, i) =>
