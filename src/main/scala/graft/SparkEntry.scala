@@ -884,6 +884,48 @@ object SparkEntry {
   def q81(s: SparkSession, d: String): DataFrame =
     graft.operators.Corpus.crossDupProfile(docs(s, d), "doc_id", "text", n = 3)
 
+  /** Q82 — bigram LM scoring ([[graft.operators.Corpus.bigramSurprisal]]):
+    * per-doc mean conditional bigram surprisal under the corpus's own
+    * MLE bigram model — the CCNet-shaped LM quality filter one rung
+    * above q67's unigrams. Map-side array-shift bigram extraction (no
+    * per-doc window shuffle); conditional probabilities assembled on the
+    * distinct-bigram table. Oracle: the same zip + count join in DuckDB.
+    */
+  def q82(s: SparkSession, d: String): DataFrame =
+    graft.operators.Corpus.bigramSurprisal(docs(s, d), "doc_id", "text")
+
+  /** Q83 — snapshot diff ([[graft.operators.Snapshot.changes]]): two
+    * deterministic versions of `orders` (keys ≡ 0 mod 13 removed in the
+    * new load, ≡ 1 mod 13 added, ≡ 2 mod 13 repriced +100) reconciled
+    * into the added/removed/changed delta via ONE full-outer shuffle
+    * join — the CDC feed incremental maintenance consumes. Oracle: the
+    * same FULL OUTER JOIN + IS DISTINCT FROM ladder in DuckDB.
+    */
+  def q83(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.orders(s, d).select(col("o_orderkey"), col("o_totalprice"))
+    val old = base.filter(pmod(col("o_orderkey"), lit(13)) =!= 1)
+    val neu = base.filter(pmod(col("o_orderkey"), lit(13)) =!= 0)
+      .withColumn("o_totalprice",
+        when(pmod(col("o_orderkey"), lit(13)) === 2, col("o_totalprice") + 100.0d)
+          .otherwise(col("o_totalprice")))
+    graft.operators.Snapshot.changes(old, neu,
+      keyCols = Seq("o_orderkey"), compareCols = Seq("o_totalprice"))
+  }
+
+  /** Q84 — per-group winsorization
+    * ([[graft.operators.Corpus.winsorize]]): event values clamped to
+    * their event type's [p01, p99] band — the robust-stats outlier trim
+    * run before normalization. Cutoffs are exact interpolated
+    * percentiles rounded to 6 places before the clamp so both engines
+    * cut identically; the clamp is a map-side projection behind one
+    * cutoff aggregation. Oracle: `quantile_cont` + the same clamp.
+    */
+  def q84(s: SparkSession, d: String): DataFrame =
+    graft.operators.Corpus.winsorize(
+        ev(s, d).select(col("event_id"), col("event_type"), col("value")),
+        "event_type", "value", lo = 0.01, hi = 0.99, outCol = "value_w")
+      .select(col("event_id"), col("event_type"), col("value_w"))
+
   /** Q76 — incremental rollup maintenance ([[graft.sinks.IncrementalAgg]]):
     * the events stream split into two deterministic batches (even/odd
     * event_id), each folded into a partitioned (count, exact decimal
@@ -1087,7 +1129,10 @@ object SparkEntry {
     "q78_corpus_shuffle"  -> (q78 _),
     "q79_weighted_sample" -> (q79 _),
     "q80_funnel"          -> (q80 _),
-    "q81_dup_profile"     -> (q81 _))
+    "q81_dup_profile"     -> (q81 _),
+    "q82_bigram_surprisal" -> (q82 _),
+    "q83_snapshot_diff"   -> (q83 _),
+    "q84_winsorize"       -> (q84 _))
 
   // DuckDB twins. Shared SQL fragments for the text queries:
   // explicit class: Java \s includes \x0B, RE2 \s does not — see
@@ -1605,5 +1650,44 @@ object SparkEntry {
           |  round(CAST(count(CASE WHEN c.nd > 1 THEN 1 END) AS DOUBLE) / count(*), 6)
           |    AS dup_ratio
           |FROM sh JOIN c USING (g) GROUP BY 1
-          |""".stripMargin))
+          |""".stripMargin),
+    "q82_bigram_surprisal" ->
+      (s"""WITH t AS (SELECT doc_id, $TOKS AS tk FROM documents),
+          |b AS (SELECT doc_id, unnest(tk[1:len(tk)-1]) AS prev,
+          |  unnest(tk[2:len(tk)]) AS cur FROM t WHERE len(tk) >= 2),
+          |cb AS (SELECT prev, cur, count(*) AS cbg FROM b GROUP BY 1, 2),
+          |cp AS (SELECT prev, sum(cbg) AS cprefix FROM cb GROUP BY 1)
+          |SELECT doc_id,
+          |  round(CAST(sum(CAST(-ln(CAST(cbg AS DOUBLE) / cprefix) AS DECIMAL(18,9)))
+          |             AS DOUBLE) / count(*), 6) AS bigram_surprisal,
+          |  count(*) AS n_bigrams
+          |FROM b JOIN cb USING (prev, cur) JOIN cp USING (prev)
+          |GROUP BY doc_id
+          |""".stripMargin),
+    "q83_snapshot_diff" ->
+      ("""WITH o AS (SELECT o_orderkey, o_totalprice FROM orders
+         |  WHERE o_orderkey % 13 <> 1),
+         |n AS (SELECT o_orderkey,
+         |  CASE WHEN o_orderkey % 13 = 2 THEN o_totalprice + 100.0
+         |       ELSE o_totalprice END AS o_totalprice
+         |  FROM orders WHERE o_orderkey % 13 <> 0)
+         |SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+         |  o.o_totalprice AS old_o_totalprice,
+         |  n.o_totalprice AS new_o_totalprice,
+         |  CASE WHEN o.o_orderkey IS NULL THEN 'added'
+         |       WHEN n.o_orderkey IS NULL THEN 'removed'
+         |       ELSE 'changed' END AS status
+         |FROM o FULL OUTER JOIN n ON o.o_orderkey = n.o_orderkey
+         |WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
+         |   OR o.o_totalprice IS DISTINCT FROM n.o_totalprice
+         |""".stripMargin),
+    "q84_winsorize" ->
+      ("""WITH e AS (SELECT event_id, event_type, value FROM events
+         |  WHERE value IS NOT NULL),
+         |c AS (SELECT event_type, round(quantile_cont(value, 0.01), 6) AS lo,
+         |  round(quantile_cont(value, 0.99), 6) AS hi FROM e GROUP BY 1)
+         |SELECT event_id, e.event_type,
+         |  round(least(greatest(value, lo), hi), 6) AS value_w
+         |FROM e JOIN c USING (event_type)
+         |""".stripMargin))
 }

@@ -260,6 +260,87 @@ object Corpus {
         count(lit(1)).as("n_tokens"))
   }
 
+  /** Per-doc mean conditional bigram surprisal −ln p(wᵢ | wᵢ₋₁) under
+    * the corpus's own MLE bigram model — the LM-based quality signal one
+    * rung above [[unigramSurprisal]] (CCNet scores docs with a 5-gram
+    * KenLM, Wenzek et al. 2019; the bigram MLE is its zero-dependency
+    * shape). Every observed bigram has positive probability by
+    * construction — the model is trained on the corpus being scored —
+    * so no smoothing is needed and the score is exactly reproducible.
+    *
+    * Scale design: bigrams are extracted MAP-SIDE by zipping the token
+    * array against itself shifted by one (`slice` × 2 + `arrays_zip`,
+    * all codegen'd — no per-doc window shuffle, unlike [[bigramCounts]]
+    * which only needs multiplicity and pays one shuffle total). The
+    * conditional probability is assembled on the DISTINCT-bigram count
+    * table: `cbg` is the (prev, cur) count and `cprefix` is re-aggregated
+    * FROM `cbg` (the [[tfidf]] df-from-tf trick — the bigram stream is
+    * never re-counted), so the prefix pass touches vocabulary-bounded
+    * rows, not the corpus. The scoring join keys on (prev, cur); both
+    * aggregations partial-aggregate map-side. Per-bigram surprisals
+    * route through DECIMAL(18,9) so the per-doc sum is exact and
+    * partition-order-independent. Docs with fewer than two tokens have
+    * no bigrams and are excluded.
+    */
+  def bigramSurprisal(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tk = split(trim(col(textCol)), TextFunctions.whitespaceClass)
+    // post trim+split, empty tokens can only appear as the sole element
+    // of an all-whitespace doc (size 1 → dropped by the >= 2 gate), so
+    // no interpreted array-filter lambda is needed anywhere
+    val sliced = docs
+      .select(col(idCol).as("doc_id"), tk.as("__tk"))
+      .filter(size(col("__tk")) >= 2)
+      .select(col("doc_id"),
+        slice(col("__tk"), lit(1), size(col("__tk")) - 1).as("p"),
+        slice(col("__tk"), lit(2), size(col("__tk")) - 1).as("c"))
+    val bg = sliced
+      .select(col("doc_id"), explode(arrays_zip(col("p"), col("c"))).as("b"))
+      .select(col("doc_id"),
+        col("b").getField("p").as("prev"), col("b").getField("c").as("cur"))
+    val cbg = bg.groupBy(col("prev"), col("cur")).agg(count(lit(1)).as("cbg"))
+    val cprefix = cbg.groupBy(col("prev")).agg(sum(col("cbg")).as("cprefix"))
+    val probs = cbg.join(cprefix, "prev")
+      .select(col("prev"), col("cur"),
+        (-log(col("cbg").cast("double") / col("cprefix")))
+          .cast(org.apache.spark.sql.types.DecimalType(18, 9)).as("__s"))
+    bg.join(probs, Seq("prev", "cur"))
+      .groupBy(col("doc_id"))
+      .agg(round((sum(col("__s")).cast("double") / count(lit(1))), 6)
+          .as("bigram_surprisal"),
+        count(lit(1)).as("n_bigrams"))
+  }
+
+  /** Per-group winsorization: values clamped to the group's
+    * [`lo`, `hi`] quantile band — the robust-stats outlier trim a
+    * pipeline applies before normalizing a feature (a handful of
+    * corrupt readings otherwise drag a mean or a z-score arbitrarily
+    * far). Exact interpolated percentiles (Spark `percentile` ≡ DuckDB
+    * `quantile_cont`), rounded to 6 places BEFORE the clamp so both
+    * engines cut at bit-identical thresholds.
+    *
+    * Scale design: one partial-aggregating shuffle computes the
+    * per-group cutoffs; the clamp itself is a map-side projection after
+    * the cutoff table joins back by group key (AQE broadcasts it — one
+    * row per group — and a genuinely huge group count degrades to a
+    * plain equi-join, never a cross or a window). Null values carry no
+    * rank and would clamp asymmetrically (Spark's `greatest` skips
+    * nulls, other engines propagate them), so they are excluded
+    * explicitly.
+    */
+  def winsorize(df: DataFrame, groupCol: String, valueCol: String,
+                lo: Double, hi: Double, outCol: String = "winsorized"): DataFrame = {
+    require(0.0 <= lo && lo < hi && hi <= 1.0,
+      s"winsorize needs 0 <= lo < hi <= 1, got lo=$lo hi=$hi")
+    val nonNull = df.filter(col(valueCol).isNotNull)
+    val cuts = nonNull.groupBy(col(groupCol)).agg(
+      round(expr(s"percentile($valueCol, $lo)"), 6).as("__lo"),
+      round(expr(s"percentile($valueCol, $hi)"), 6).as("__hi"))
+    nonNull.join(cuts, groupCol)
+      .withColumn(outCol,
+        round(least(greatest(col(valueCol), col("__lo")), col("__hi")), 6))
+      .drop("__lo", "__hi")
+  }
+
   /** Corpus adjacent-token pair counts, top-k — the statistic BPE
     * tokenizer training merges on (most frequent adjacent pair wins
     * each merge round; Sennrich et al. 2016). Multiplicity matters

@@ -300,4 +300,46 @@ class CorpusSpec extends SparkSpec {
     assert(ranks(df.repartition(7), "graft") === a, "partitioning must not change the order")
     assert(ranks(df, "other") !== a, "a different salt must reshuffle")
   }
+
+  test("bigramSurprisal: mean −ln p(cur|prev) under corpus MLE counts") {
+    // bigrams: d0 → (a,b),(b,a),(a,b); d1 → (a,b),(b,c)
+    // counts: (a,b)=3 (b,a)=1 (b,c)=1; prefixes: a=3, b=2
+    // p(b|a)=1 → 0; p(a|b)=p(c|b)=1/2 → ln 2 (= 0.693147181 at 9 places)
+    val d = docTable(Seq(0L -> "a b a b", 1L -> "a b c"))
+    val got = Corpus.bigramSurprisal(d, "doc_id", "text")
+      .as[(Long, Double, Long)].collect().sortBy(_._1)
+    val ln2_9 = BigDecimal(math.log(2.0)).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    def mean6(sum: BigDecimal, n: Int): Double =
+      (sum / n).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got === Seq(
+      (0L, mean6(ln2_9, 3), 3L),       // 0 + ln2 + 0 over 3 bigrams
+      (1L, mean6(ln2_9, 2), 2L)))      // 0 + ln2 over 2 bigrams
+  }
+
+  test("bigramSurprisal: docs with fewer than two tokens are excluded") {
+    val d = docTable(Seq(0L -> "solo", 1L -> "   ", 2L -> "", 3L -> "a a"))
+    val got = Corpus.bigramSurprisal(d, "doc_id", "text")
+      .as[(Long, Double, Long)].collect().toSeq
+    // d3's only bigram (a,a) has p=1 → surprisal 0
+    assert(got === Seq((3L, 0.0, 1L)))
+  }
+
+  test("winsorize: values clamp to the group's rounded [lo, hi] quantile band") {
+    val df = ((1 to 10).map(v => ("g", Option(v.toDouble))) :+
+      ("g", Option.empty[Double])).toDF("grp", "value")
+    val got = Corpus.winsorize(df, "grp", "value", 0.1, 0.9, outCol = "w")
+      .select("value", "w").as[(Double, Double)].collect().toMap
+    // interpolated p10 of 1..10 = 1.9, p90 = 9.1 (9 intervals × 0.1/0.9)
+    assert(got(1.0) === 1.9 && got(2.0) === 2.0)
+    assert(got(10.0) === 9.1 && got(9.0) === 9.0)
+    assert(got(5.0) === 5.0)
+    assert(got.size === 10, "null values must be excluded, not clamped")
+  }
+
+  test("winsorize: quantile bounds are validated") {
+    val df = Seq(("g", 1.0)).toDF("grp", "value")
+    intercept[IllegalArgumentException] {
+      Corpus.winsorize(df, "grp", "value", 0.9, 0.1)
+    }
+  }
 }

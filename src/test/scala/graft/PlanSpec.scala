@@ -263,4 +263,33 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("RoundRobinPartitioning"),
       s"wide corpus paid a full round-robin shuffle:\n$p")
   }
+
+  test("q82: bigram extraction is map-side — no Window, no per-doc shuffle") {
+    val p = plan(SparkEntry.q82(spark, sf0001))
+    // unlike bigramCounts' lead() pairing, surprisal extracts bigrams by
+    // zipping shifted array slices in the scan's own projection: zero
+    // Window operators and no doc_id exchange anywhere in the plan
+    assert(!p.contains("Window"), s"unexpected window in bigram extraction:\n$p")
+    // the ONLY doc_id exchange is the final per-doc aggregate's —
+    // extraction itself (slice + arrays_zip in the scan's projection)
+    // adds none, unlike a lead()-window pairing which would pay a full
+    // token-stream shuffle before the first count
+    assert("Exchange hashpartitioning\\(doc_id".r.findAllMatchIn(p).size === 1,
+      s"bigram extraction must not shuffle the token stream by doc:\n$p")
+    assert(p.contains("partial"), s"bigram counts must partial-aggregate:\n$p")
+  }
+
+  test("q83: the diff is one full-outer equi-join — no nested loop, no cartesian") {
+    val p = plan(SparkEntry.q83(spark, sf0001))
+    assert(p.contains("FullOuter"), s"expected a full outer join:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"diff must stay an equi-join:\n$p")
+  }
+
+  test("q84: clamp is a projection behind one cutoff aggregate — no Window") {
+    val p = plan(SparkEntry.q84(spark, sf0001))
+    assert(!p.contains("Window"), s"winsorize must not rank rows:\n$p")
+    assert(p.contains("PushedFilters: [IsNotNull(value)"),
+      s"null filter not pushed to the scan:\n$p")
+  }
 }
