@@ -926,6 +926,17 @@ object SparkEntry {
         "event_type", "value", lo = 0.01, hi = 0.99, outCol = "value_w")
       .select(col("event_id"), col("event_type"), col("value_w"))
 
+  /** Q85 — α-temperature mixture planning
+    * ([[graft.operators.Corpus.temperatureMixture]]): per-language
+    * sampling weights `p^α / Σ p^α` (α = 0.3, the XLM-R rule) over the
+    * corpus's language distribution, plus the expected draws per epoch —
+    * the mixture q62's reweight then applies. One count shuffle;
+    * everything after runs on the one-row-per-language table. Oracle:
+    * the same pow/normalize arithmetic in DuckDB.
+    */
+  def q85(s: SparkSession, d: String): DataFrame =
+    graft.operators.Corpus.temperatureMixture(docs(s, d), "lang", alpha = 0.3)
+
   /** Q76 — incremental rollup maintenance ([[graft.sinks.IncrementalAgg]]):
     * the events stream split into two deterministic batches (even/odd
     * event_id), each folded into a partitioned (count, exact decimal
@@ -1132,7 +1143,8 @@ object SparkEntry {
     "q81_dup_profile"     -> (q81 _),
     "q82_bigram_surprisal" -> (q82 _),
     "q83_snapshot_diff"   -> (q83 _),
-    "q84_winsorize"       -> (q84 _))
+    "q84_winsorize"       -> (q84 _),
+    "q85_temperature_mix" -> (q85 _))
 
   // DuckDB twins. Shared SQL fragments for the text queries:
   // explicit class: Java \s includes \x0B, RE2 \s does not — see
@@ -1689,5 +1701,16 @@ object SparkEntry {
          |SELECT event_id, e.event_type,
          |  round(least(greatest(value, lo), hi), 6) AS value_w
          |FROM e JOIN c USING (event_type)
+         |""".stripMargin),
+    "q85_temperature_mix" ->
+      ("""WITH c AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY 1),
+         |t AS (SELECT sum(n_docs) AS n FROM c),
+         |s AS (SELECT lang, n_docs, CAST(n_docs AS DOUBLE) / n AS share,
+         |  pow(CAST(n_docs AS DOUBLE) / n, 0.3) AS pa FROM c CROSS JOIN t),
+         |z AS (SELECT sum(pa) AS z FROM s)
+         |SELECT lang, n_docs, round(share, 6) AS share,
+         |  round(pa / z, 6) AS weight,
+         |  CAST(round(round(pa / z, 6) * n, 0) AS BIGINT) AS expected_docs
+         |FROM s CROSS JOIN z CROSS JOIN t
          |""".stripMargin))
 }

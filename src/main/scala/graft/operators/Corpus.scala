@@ -341,6 +341,41 @@ object Corpus {
       .drop("__lo", "__hi")
   }
 
+  /** Temperature-smoothed mixture weights: for each group (language,
+    * source domain), the α-scaled sampling weight
+    * `w_g = p_g^α / Σ_h p_h^α` where `p_g` is the group's share of the
+    * corpus — the multilingual-sampling rule (α ≈ 0.3 in XLM-R, Conneau
+    * et al. 2019) that upsamples tail groups without letting the head
+    * dominate; α = 1 is proportional sampling, α → 0 uniform. Output per
+    * group: count, share, weight, and the expected draws in an N-row
+    * epoch (computed from the ROUNDED weight so both engines agree
+    * bit-for-bit). Feed the weights to [[reweight]] (integer epochs) or
+    * [[weightedSample]] (fractional keep) to apply the mixture.
+    *
+    * Scale design: one partial-aggregating shuffle produces the
+    * per-group counts; every later step (total, normalizer Σ p^α, the
+    * weight projection) runs on the group-count table — metadata scale,
+    * one row per group — with scalars riding along as 1-row broadcast
+    * joins. Nothing re-touches corpus rows.
+    */
+  def temperatureMixture(df: DataFrame, groupCol: String,
+                         alpha: Double): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0,
+      s"temperature alpha must be in (0, 1], got $alpha")
+    val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("n_docs"))
+    val n = counts.agg(sum(col("n_docs")).as("__n"))
+    val scored = counts.crossJoin(broadcast(n))
+      .withColumn("__share", col("n_docs").cast("double") / col("__n"))
+      .withColumn("__pa", pow(col("__share"), alpha))
+    val z = scored.agg(sum(col("__pa")).as("__z"))
+    scored.crossJoin(broadcast(z))
+      .select(col(groupCol), col("n_docs"),
+        round(col("__share"), 6).as("share"),
+        round(col("__pa") / col("__z"), 6).as("weight"),
+        round(round(col("__pa") / col("__z"), 6) * col("__n"), 0)
+          .cast("long").as("expected_docs"))
+  }
+
   /** Corpus adjacent-token pair counts, top-k — the statistic BPE
     * tokenizer training merges on (most frequent adjacent pair wins
     * each merge round; Sennrich et al. 2016). Multiplicity matters

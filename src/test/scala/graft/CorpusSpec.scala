@@ -336,6 +336,27 @@ class CorpusSpec extends SparkSpec {
     assert(got.size === 10, "null values must be excluded, not clamped")
   }
 
+  test("temperatureMixture: weights are p^α normalized; α=1 is proportional") {
+    // groups of 8 and 2 docs: shares 0.8 / 0.2
+    val df = ((0 until 8).map(i => (i.toLong, "en")) ++
+      (8 until 10).map(i => (i.toLong, "de"))).toDF("doc_id", "lang")
+    def mix(alpha: Double): Map[String, (Long, Double, Double, Long)] =
+      Corpus.temperatureMixture(df, "lang", alpha)
+        .as[(String, Long, Double, Double, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    val a1 = mix(1.0) // proportional: weight == share
+    assert(a1("en") === ((8L, 0.8, 0.8, 8L)))
+    assert(a1("de") === ((2L, 0.2, 0.2, 2L)))
+    val a3 = mix(0.3) // tail upsampled, head damped, weights sum to 1
+    val z = math.pow(0.8, 0.3) + math.pow(0.2, 0.3)
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(a3("de")._3 === r6(math.pow(0.2, 0.3) / z))
+    assert(a3("de")._3 > 0.2 && a3("en")._3 < 0.8)
+    assert(r6(a3("en")._3 + a3("de")._3) === 1.0)
+    intercept[IllegalArgumentException] { mix(0.0) }
+  }
+
   test("winsorize: quantile bounds are validated") {
     val df = Seq(("g", 1.0)).toDF("grp", "value")
     intercept[IllegalArgumentException] {
