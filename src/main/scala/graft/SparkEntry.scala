@@ -937,6 +937,22 @@ object SparkEntry {
   def q85(s: SparkSession, d: String): DataFrame =
     graft.operators.Corpus.temperatureMixture(docs(s, d), "lang", alpha = 0.3)
 
+  /** Q86 — distribution drift profile ([[graft.operators.Drift.psiProfile]]):
+    * events split into reference (even event_id) and current (odd)
+    * loads; the current batch binned on the REFERENCE's per-type decile
+    * cutoffs, per-bin shares compared via the PSI decomposition — the
+    * data-quality monitor run before trusting a new load. Static
+    * nine-comparison binning, no lambda, no window. Oracle: the same
+    * decile binning + share arithmetic in DuckDB.
+    */
+  def q86(s: SparkSession, d: String): DataFrame = {
+    val e = ev(s, d).select(col("event_id"), col("event_type"), col("value"))
+    graft.operators.Drift.psiProfile(
+      e.filter(pmod(col("event_id"), lit(2)) === 0),
+      e.filter(pmod(col("event_id"), lit(2)) === 1),
+      "event_type", "value")
+  }
+
   /** Q76 — incremental rollup maintenance ([[graft.sinks.IncrementalAgg]]):
     * the events stream split into two deterministic batches (even/odd
     * event_id), each folded into a partitioned (count, exact decimal
@@ -1144,7 +1160,8 @@ object SparkEntry {
     "q82_bigram_surprisal" -> (q82 _),
     "q83_snapshot_diff"   -> (q83 _),
     "q84_winsorize"       -> (q84 _),
-    "q85_temperature_mix" -> (q85 _))
+    "q85_temperature_mix" -> (q85 _),
+    "q86_drift_psi"       -> (q86 _))
 
   // DuckDB twins. Shared SQL fragments for the text queries:
   // explicit class: Java \s includes \x0B, RE2 \s does not — see
@@ -1712,5 +1729,45 @@ object SparkEntry {
          |  round(pa / z, 6) AS weight,
          |  CAST(round(round(pa / z, 6) * n, 0) AS BIGINT) AS expected_docs
          |FROM s CROSS JOIN z CROSS JOIN t
+         |""".stripMargin),
+    "q86_drift_psi" ->
+      ("""WITH e AS (SELECT event_type, value, event_id % 2 AS side FROM events
+         |  WHERE value IS NOT NULL),
+         |cuts AS (SELECT event_type,
+         |  round(quantile_cont(value, 0.1), 6) AS c1,
+         |  round(quantile_cont(value, 0.2), 6) AS c2,
+         |  round(quantile_cont(value, 0.3), 6) AS c3,
+         |  round(quantile_cont(value, 0.4), 6) AS c4,
+         |  round(quantile_cont(value, 0.5), 6) AS c5,
+         |  round(quantile_cont(value, 0.6), 6) AS c6,
+         |  round(quantile_cont(value, 0.7), 6) AS c7,
+         |  round(quantile_cont(value, 0.8), 6) AS c8,
+         |  round(quantile_cont(value, 0.9), 6) AS c9
+         |  FROM e WHERE side = 0 GROUP BY 1),
+         |b AS (SELECT e.event_type, side,
+         |  (CASE WHEN value >= c1 THEN 1 ELSE 0 END) +
+         |  (CASE WHEN value >= c2 THEN 1 ELSE 0 END) +
+         |  (CASE WHEN value >= c3 THEN 1 ELSE 0 END) +
+         |  (CASE WHEN value >= c4 THEN 1 ELSE 0 END) +
+         |  (CASE WHEN value >= c5 THEN 1 ELSE 0 END) +
+         |  (CASE WHEN value >= c6 THEN 1 ELSE 0 END) +
+         |  (CASE WHEN value >= c7 THEN 1 ELSE 0 END) +
+         |  (CASE WHEN value >= c8 THEN 1 ELSE 0 END) +
+         |  (CASE WHEN value >= c9 THEN 1 ELSE 0 END) AS bin
+         |  FROM e JOIN cuts USING (event_type)),
+         |g AS (SELECT event_type, bin,
+         |  count(CASE WHEN side = 0 THEN 1 END) AS n_ref,
+         |  count(CASE WHEN side = 1 THEN 1 END) AS n_cur
+         |  FROM b GROUP BY 1, 2),
+         |t AS (SELECT event_type, sum(n_ref) AS tr, sum(n_cur) AS tc
+         |  FROM g GROUP BY 1),
+         |p AS (SELECT g.event_type, bin, n_ref, n_cur,
+         |  round(CAST(n_ref AS DOUBLE) / tr, 6) AS p_ref,
+         |  round(CAST(n_cur AS DOUBLE) / tc, 6) AS p_cur
+         |  FROM g JOIN t USING (event_type))
+         |SELECT event_type, bin, n_ref, n_cur, p_ref, p_cur,
+         |  CASE WHEN p_ref > 0 AND p_cur > 0 THEN
+         |    round((p_ref - p_cur) * ln(p_ref / p_cur), 6) END AS psi_term
+         |FROM p
          |""".stripMargin))
 }

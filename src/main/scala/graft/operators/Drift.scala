@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distribution-drift profiling between two loads of the same feature —
+  * the monitoring pass a production pipeline runs before trusting new
+  * data: bin the CURRENT batch on the REFERENCE batch's decile cutoffs
+  * and compare per-bin population shares (the Population Stability
+  * Index decomposition; PSI = Σ (p−q)·ln(p/q) over bins, standard in
+  * model monitoring). A reference decile holds ~10 % by construction,
+  * so a current bin drifting to 2 % or 30 % is visible immediately —
+  * and because the cutoffs come from the reference only, a drifted
+  * current batch cannot hide by moving the bin edges.
+  *
+  * Scale design: one partial-aggregating shuffle per side computes the
+  * cutoffs (reference) and the bin counts; the cutoff table (one row
+  * per group, a 9-double array) joins back by group key — AQE
+  * broadcasts it — and binning is a STATIC nine-comparison sum over
+  * `element_at`, fully codegen'd: no interpreted lambda, no per-row
+  * UDF, no window, no collect. Cutoffs are rounded to 6 places before
+  * any comparison so engines bin identically at the boundaries.
+  */
+object Drift {
+
+  /** Per (group, bin) drift rows between `ref` and `cur`: bin 0–9 from
+    * the reference's rounded decile cutoffs, each side's count and
+    * share, and the bin's PSI term `(p−q)·ln(p/q)` (null when either
+    * share is zero — the standard ε-free presentation; sum the non-null
+    * terms for the scalar PSI). Null values are excluded on both sides
+    * (they carry no position in the distribution).
+    */
+  def psiProfile(ref: DataFrame, cur: DataFrame, groupCol: String,
+                 valueCol: String): DataFrame = {
+    val deciles = (1 to 9).map(i =>
+      round(expr(s"percentile($valueCol, 0.${i})"), 6).as(s"__c$i"))
+    val cuts = ref.filter(col(valueCol).isNotNull)
+      .groupBy(col(groupCol)).agg(deciles.head, deciles.tail: _*)
+
+    def binned(side: DataFrame, cntCol: String): DataFrame =
+      side.filter(col(valueCol).isNotNull)
+        .join(cuts, Seq(groupCol))
+        .withColumn("bin",
+          (1 to 9).map(i =>
+            when(col(valueCol) >= col(s"__c$i"), 1).otherwise(0))
+            .reduce(_ + _))
+        .groupBy(col(groupCol), col("bin"))
+        .agg(count(lit(1)).as(cntCol))
+
+    val r = binned(ref, "n_ref")
+    val c = binned(cur, "n_cur")
+    // full outer: a bin can be empty on either side (that IS the drift)
+    val joined = r.join(c, Seq(groupCol, "bin"), "full_outer")
+      .withColumn("n_ref", coalesce(col("n_ref"), lit(0L)))
+      .withColumn("n_cur", coalesce(col("n_cur"), lit(0L)))
+    val totals = joined.groupBy(col(groupCol)).agg(
+      sum(col("n_ref")).as("__tr"), sum(col("n_cur")).as("__tc"))
+    joined.join(totals, Seq(groupCol))
+      .withColumn("p_ref", round(col("n_ref").cast("double") / col("__tr"), 6))
+      .withColumn("p_cur", round(col("n_cur").cast("double") / col("__tc"), 6))
+      .withColumn("psi_term",
+        when(col("p_ref") > 0.0 && col("p_cur") > 0.0,
+          round((col("p_ref") - col("p_cur")) * log(col("p_ref") / col("p_cur")), 6)))
+      .select(col(groupCol), col("bin"), col("n_ref"), col("n_cur"),
+        col("p_ref"), col("p_cur"), col("psi_term"))
+  }
+}

@@ -1,0 +1,59 @@
+package graft
+
+import graft.operators.Drift
+
+/** [[graft.operators.Drift]] — PSI drift profiling: reference-decile
+  * binning, zero-drift baseline, directional shift detection, and the
+  * empty-bin (null psi_term) presentation.
+  */
+class DriftSpec extends SparkSpec {
+  private val sp = spark
+  import sp.implicits._
+
+  private def feat(rows: Seq[Double]) =
+    rows.zipWithIndex.map { case (v, i) => (i.toLong, "g", v) }
+      .toDF("id", "grp", "value")
+
+  test("identical distributions profile to zero PSI in every bin") {
+    val ref = feat((1 to 100).map(_.toDouble))
+    val rows = Drift.psiProfile(ref, ref, "grp", "value")
+      .select("bin", "n_ref", "n_cur", "psi_term")
+      .as[(Int, Long, Long, Option[Double])].collect()
+    assert(rows.length === 10, "10 decile bins")
+    assert(rows.forall { case (_, nr, nc, _) => nr === nc })
+    assert(rows.forall(_._4.contains(0.0)), s"nonzero psi term in $rows")
+    // reference deciles hold ~10% each by construction
+    assert(rows.forall { case (_, nr, _, _) => nr === 10L })
+  }
+
+  test("a shifted current batch yields positive total PSI") {
+    val ref = feat((1 to 100).map(_.toDouble))
+    val cur = feat((1 to 100).map(_.toDouble + 40.0)) // shift right
+    val terms = Drift.psiProfile(ref, cur, "grp", "value")
+      .select("psi_term").as[Option[Double]].collect().flatten
+    assert(terms.sum > 0.1, s"shift not detected: ${terms.toSeq}")
+  }
+
+  test("bins empty on one side surface with a null psi_term, not an error") {
+    val ref = feat((1 to 100).map(_.toDouble))
+    val cur = feat(Seq.fill(50)(1000.0)) // everything lands in bin 9
+    val rows = Drift.psiProfile(ref, cur, "grp", "value")
+      .select("bin", "n_cur", "psi_term")
+      .as[(Int, Long, Option[Double])].collect().sortBy(_._1)
+    assert(rows.count(_._2 === 0L) === 9, "current is empty in 9 of 10 bins")
+    assert(rows.filter(_._2 === 0L).forall(_._3.isEmpty),
+      "empty-side bins must carry null psi_term")
+    assert(rows.last._2 === 50L)
+  }
+
+  test("cutoffs come from the reference only — current cannot move bin edges") {
+    val ref = feat((1 to 100).map(_.toDouble))
+    val curA = feat((1 to 100).map(_.toDouble))
+    val curB = feat((1 to 100).map(_ * 1000.0))
+    def refCounts(cur: org.apache.spark.sql.DataFrame) =
+      Drift.psiProfile(ref, cur, "grp", "value")
+        .select("bin", "n_ref").as[(Int, Long)].collect().toMap
+    assert(refCounts(curA) === refCounts(curB),
+      "reference bin counts must not depend on the current batch")
+  }
+}
