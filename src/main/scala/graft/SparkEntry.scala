@@ -953,6 +953,17 @@ object SparkEntry {
       "event_type", "value")
   }
 
+  /** Q87 — per-user modal event type ([[graft.operators.TopK.modePerKey]]):
+    * each user's most frequent event_type, ties broken toward the
+    * greatest value — deterministic where SQL `mode()` is not. Two
+    * partial-aggregating shuffles, no window. Oracle: the count +
+    * row_number formulation of the same total order in DuckDB.
+    */
+  def q87(s: SparkSession, d: String): DataFrame =
+    graft.operators.TopK.modePerKey(
+      ev(s, d).select(col("user_id"), col("event_type")),
+      Seq("user_id"), "event_type")
+
   /** Q76 — incremental rollup maintenance ([[graft.sinks.IncrementalAgg]]):
     * the events stream split into two deterministic batches (even/odd
     * event_id), each folded into a partitioned (count, exact decimal
@@ -1161,7 +1172,8 @@ object SparkEntry {
     "q83_snapshot_diff"   -> (q83 _),
     "q84_winsorize"       -> (q84 _),
     "q85_temperature_mix" -> (q85 _),
-    "q86_drift_psi"       -> (q86 _))
+    "q86_drift_psi"       -> (q86 _),
+    "q87_mode"            -> (q87 _))
 
   // DuckDB twins. Shared SQL fragments for the text queries:
   // explicit class: Java \s includes \x0B, RE2 \s does not — see
@@ -1769,5 +1781,12 @@ object SparkEntry {
          |  CASE WHEN p_ref > 0 AND p_cur > 0 THEN
          |    round((p_ref - p_cur) * ln(p_ref / p_cur), 6) END AS psi_term
          |FROM p
+         |""".stripMargin),
+    "q87_mode" ->
+      ("""WITH c AS (SELECT user_id, event_type, count(*) AS n FROM events
+         |  GROUP BY 1, 2),
+         |r AS (SELECT user_id, event_type, n, row_number() OVER (
+         |  PARTITION BY user_id ORDER BY n DESC, event_type DESC) AS rk FROM c)
+         |SELECT user_id, event_type AS mode_event_type, n FROM r WHERE rk = 1
          |""".stripMargin))
 }

@@ -34,4 +34,26 @@ object TopK {
       .select(keyCols.map(col) ++ payloadCols.map(p => col(s"__row.$p").as(p)) :+
         (col("__pos") + 1).cast("long").as("rk"): _*)
   }
+
+  /** Per-key mode — the most frequent `valueCol`, ties broken toward
+    * the GREATEST value so the answer is deterministic (SQL's `mode()`
+    * leaves tie order unspecified; an unspecified mode silently differs
+    * between runs and engines). Two partial-aggregating shuffles and
+    * zero windows: the (key, value) count collapses first, then
+    * `max(struct(count, value))` picks the winner — a struct max merges
+    * map-side, so the second exchange carries ONE row per key per
+    * partition, where the row_number-over-count formulation would
+    * shuffle every distinct value and sort each key's partition.
+    * Returns (keyCols, `mode_<valueCol>`, `n` = the winner's count).
+    */
+  def modePerKey(df: DataFrame, keyCols: Seq[String],
+                 valueCol: String): DataFrame = {
+    val counts = df.groupBy((keyCols :+ valueCol).map(col): _*)
+      .agg(count(lit(1)).as("__cnt"))
+    counts.groupBy(keyCols.map(col): _*)
+      .agg(max(struct(col("__cnt"), col(valueCol))).as("__m"))
+      .select(keyCols.map(col) :+
+        col(s"__m.$valueCol").as(s"mode_$valueCol") :+
+        col("__m.__cnt").as("n"): _*)
+  }
 }
