@@ -964,6 +964,35 @@ object SparkEntry {
       ev(s, d).select(col("user_id"), col("event_type")),
       Seq("user_id"), "event_type")
 
+  /** Q88 — END-TO-END corpus prep: the full training-data pipeline over
+    * the non-benchmark corpus in one plan — quality gate (≥ 10 tokens)
+    * → exact dedup (min-id survivor per text,
+    * [[graft.operators.Dedup.exactDedup]]) → benchmark decontamination
+    * (drop docs sharing any 3-gram with the held-out src0 suite,
+    * [[graft.operators.Corpus.decontaminate]] as an anti-join) →
+    * content-addressed train/val/test split
+    * ([[graft.operators.Corpus.splitAssign]]) → per-split doc and token
+    * counts. Every stage is an already-oracle-proven operator (q17, q12,
+    * q59, q63); this row proves they COMPOSE — the q16/q37 end-to-end
+    * pattern for the corpus-prep surface. Oracle: the same four stages
+    * chained in DuckDB SQL.
+    */
+  def q88(s: SparkSession, d: String): DataFrame = {
+    val dd = docs(s, d)
+    val bench = dd.filter(col("source") === "src0")
+    val quality = dd.filter(col("source") =!= "src0")
+      .withColumn("n_tokens", TextFunctions.tokenCount(col("text")))
+      .filter(col("n_tokens") >= 10)
+    val deduped = graft.operators.Dedup.exactDedup(quality, Seq("text"), "doc_id")
+    val contaminated = graft.operators.Corpus.decontaminate(
+      deduped, bench, "doc_id", "text", n = 3).select(col("doc_id"))
+    val clean = deduped.join(contaminated, Seq("doc_id"), "left_anti")
+    graft.operators.Corpus.splitAssign(
+        clean.select(col("doc_id"), col("n_tokens")), "doc_id", salt = "graft")
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+  }
+
   /** Q76 — incremental rollup maintenance ([[graft.sinks.IncrementalAgg]]):
     * the events stream split into two deterministic batches (even/odd
     * event_id), each folded into a partitioned (count, exact decimal
@@ -1173,7 +1202,8 @@ object SparkEntry {
     "q84_winsorize"       -> (q84 _),
     "q85_temperature_mix" -> (q85 _),
     "q86_drift_psi"       -> (q86 _),
-    "q87_mode"            -> (q87 _))
+    "q87_mode"            -> (q87 _),
+    "q88_prep_pipeline"   -> (q88 _))
 
   // DuckDB twins. Shared SQL fragments for the text queries:
   // explicit class: Java \s includes \x0B, RE2 \s does not — see
@@ -1788,5 +1818,29 @@ object SparkEntry {
          |r AS (SELECT user_id, event_type, n, row_number() OVER (
          |  PARTITION BY user_id ORDER BY n DESC, event_type DESC) AS rk FROM c)
          |SELECT user_id, event_type AS mode_event_type, n FROM r WHERE rk = 1
-         |""".stripMargin))
+         |""".stripMargin),
+    "q88_prep_pipeline" ->
+      (s"""WITH toks AS (SELECT doc_id, source, text, $TOKS AS tk FROM documents),
+          |q AS (SELECT doc_id, text, tk, CAST(len(tk) AS BIGINT) AS n_tokens
+          |  FROM toks WHERE source <> 'src0' AND len(tk) >= 10),
+          |dd AS (SELECT doc_id, tk, n_tokens FROM (
+          |  SELECT *, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+          |  FROM q) WHERE rn = 1),
+          |b AS (SELECT DISTINCT unnest(s) AS g FROM
+          |  (SELECT ${shinglesSql("tk")} AS s FROM toks WHERE source = 'src0')),
+          |sh AS (SELECT doc_id, unnest(${shinglesSql("tk")}) AS g FROM dd),
+          |contaminated AS (SELECT DISTINCT sh.doc_id FROM sh JOIN b USING (g)),
+          |clean AS (SELECT dd.doc_id, dd.n_tokens FROM dd
+          |  LEFT JOIN contaminated c ON dd.doc_id = c.doc_id
+          |  WHERE c.doc_id IS NULL),
+          |s AS (SELECT n_tokens, CASE
+          |  WHEN substring(md5('graft:' || CAST(doc_id AS VARCHAR)), 1, 2) < 'e6'
+          |    THEN 'train'
+          |  WHEN substring(md5('graft:' || CAST(doc_id AS VARCHAR)), 1, 2) < 'f6'
+          |    THEN 'val'
+          |  ELSE 'test' END AS split FROM clean)
+          |SELECT split, count(*) AS n_docs,
+          |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+          |FROM s GROUP BY 1
+          |""".stripMargin))
 }
