@@ -326,6 +326,13 @@ object Corpus {
     * rank and would clamp asymmetrically (Spark's `greatest` skips
     * nulls, other engines propagate them), so they are excluded
     * explicitly.
+    *
+    * `percentile` is EXACT: its aggregation state buffers each group's
+    * value multiset on one reducer, which is the oracle-checkable choice
+    * but bounds the per-group cardinality by executor memory. For
+    * billion-row groups swap the cutoff aggregate to
+    * `approx_percentile(…, accuracy)` — fixed-size sketch state, same
+    * clamp — at the cost of approximate cut points.
     */
   def winsorize(df: DataFrame, groupCol: String, valueCol: String,
                 lo: Double, hi: Double, outCol: String = "winsorized"): DataFrame = {

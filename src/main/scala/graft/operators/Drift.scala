@@ -20,6 +20,11 @@ import org.apache.spark.sql.functions._
   * `element_at`, fully codegen'd: no interpreted lambda, no per-row
   * UDF, no window, no collect. Cutoffs are rounded to 6 places before
   * any comparison so engines bin identically at the boundaries.
+  *
+  * `percentile` is EXACT (oracle-checkable) but buffers each group's
+  * reference values on one reducer; for billion-row reference groups
+  * swap to `approx_percentile` — fixed-size sketch, same binning — with
+  * approximate edges (drift monitoring rarely cares).
   */
 object Drift {
 

@@ -64,4 +64,32 @@ class EdgeCaseSpec extends SparkSpec {
       .as[(String, String, Double, Long)].collect().toSeq
     assert(viaSql === viaDf)
   }
+
+  test("round-8 operators tolerate empty inputs (no exceptions, empty output)") {
+    val emptyDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(graft.operators.Corpus.bigramSurprisal(emptyDocs, "doc_id", "text")
+      .count() === 0)
+    assert(graft.operators.Corpus.temperatureMixture(emptyDocs, "text", 0.3)
+      .count() === 0)
+    val emptyVals = Seq.empty[(String, Double)].toDF("grp", "value")
+    assert(graft.operators.Corpus.winsorize(emptyVals, "grp", "value", 0.01, 0.99)
+      .count() === 0)
+    assert(graft.operators.Drift.psiProfile(emptyVals, emptyVals, "grp", "value")
+      .count() === 0)
+    assert(graft.operators.TopK.modePerKey(emptyVals, Seq("grp"), "value")
+      .count() === 0)
+  }
+
+  test("snapshot diff against an empty side degenerates to all-added/all-removed") {
+    val some = Seq((1L, 1.0), (2L, 2.0)).toDF("id", "v")
+    val none = Seq.empty[(Long, Double)].toDF("id", "v")
+    val added = graft.operators.Snapshot.diff(none, some, Seq("id"), Seq("v"))
+      .select("status").as[String].collect()
+    val removed = graft.operators.Snapshot.diff(some, none, Seq("id"), Seq("v"))
+      .select("status").as[String].collect()
+    assert(added.toSeq === Seq("added", "added"))
+    assert(removed.toSeq === Seq("removed", "removed"))
+    assert(graft.operators.Snapshot.diff(none, none, Seq("id"), Seq("v"))
+      .count() === 0)
+  }
 }
