@@ -194,4 +194,67 @@ class PropertySpec extends SparkSpec {
         s"estimate $est vs true $truth for |a|=${a.size} |b|=${b.size}")
     }
   }
+
+  test("property: snapshot diff statuses partition the key space; self-diff is unchanged") {
+    val rowGen = for {
+      id <- Gen.choose(0L, 30L); v <- Gen.choose(0, 5)
+    } yield (id, v.toDouble)
+    val tableGen = Gen.listOfN(20, rowGen)
+      .map(_.groupBy(_._1).map(_._2.head).toSeq) // unique keys per snapshot
+    samples(Gen.zip(tableGen, tableGen), 8).foreach { case (a, b) =>
+      val old = a.toDF("id", "v"); val neu = b.toDF("id", "v")
+      val st = graft.operators.Snapshot.diff(old, neu, Seq("id"), Seq("v"))
+        .select("id", "status").as[(Long, String)].collect().toMap
+      // every key of either side appears exactly once, with the right class
+      val (ka, kb) = (a.map(_._1).toSet, b.map(_._1).toSet)
+      assert(st.keySet === (ka ++ kb))
+      assert((ka -- kb).forall(st(_) == "removed"))
+      assert((kb -- ka).forall(st(_) == "added"))
+      val (ma, mb) = (a.toMap, b.toMap)
+      (ka & kb).foreach { k =>
+        assert(st(k) === (if (ma(k) == mb(k)) "unchanged" else "changed"))
+      }
+      // self-diff: all unchanged, changes() empty
+      assert(graft.operators.Snapshot.changes(old, old, Seq("id"), Seq("v"))
+        .count() === 0)
+    }
+  }
+
+  test("property: winsorize clamps into the cutoff band and fixes interior rows") {
+    val valsGen = Gen.nonEmptyListOf(Gen.choose(-1000.0, 1000.0)).map(_.take(40))
+    samples(valsGen, 8).foreach { vs =>
+      val df = vs.zipWithIndex.map { case (v, i) => (i.toLong, "g", v) }
+        .toDF("id", "grp", "value")
+      val got = graft.operators.Corpus.winsorize(df, "grp", "value", 0.1, 0.9,
+          outCol = "w")
+        .select("value", "w").as[(Double, Double)].collect()
+      val lo = got.map(_._2).min; val hi = got.map(_._2).max
+      assert(got.forall { case (_, w) => w >= lo && w <= hi })
+      // rows strictly inside the band are untouched
+      assert(got.filter { case (v, _) => v > lo && v < hi }
+        .forall { case (v, w) => w === math.rint(v * 1e6) / 1e6 || w === v ||
+          math.abs(w - v) < 5e-7 }) // output rounds to 6 places
+      // clamping is monotone: order of values is preserved weakly
+      val sorted = got.sortBy(_._1).map(_._2)
+      assert(sorted.zip(sorted.tail).forall { case (x, y) => x <= y })
+    }
+  }
+
+  test("property: modePerKey's winner count equals the true max count") {
+    val rowGen = for {
+      k <- Gen.choose(0L, 5L); v <- Gen.oneOf("a", "b", "c", "d")
+    } yield (k, v)
+    samples(Gen.listOfN(60, rowGen), 8).foreach { rows =>
+      val got = graft.operators.TopK.modePerKey(
+          rows.toDF("k", "v"), Seq("k"), "v")
+        .as[(Long, String, Long)].collect()
+      val truth = rows.groupBy(_._1).map { case (k, g) =>
+        val counts = g.groupBy(_._2).view.mapValues(_.size).toMap
+        val maxN = counts.values.max
+        // spec'd tie-break: greatest value among max-count values
+        k -> ((counts.filter(_._2 == maxN).keys.max, maxN.toLong))
+      }
+      assert(got.map(r => r._1 -> ((r._2, r._3))).toMap === truth)
+    }
+  }
 }
