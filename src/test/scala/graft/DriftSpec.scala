@@ -46,6 +46,35 @@ class DriftSpec extends SparkSpec {
     assert(rows.last._2 === 50L)
   }
 
+  test("streams compose: per-micro-batch drift vs a static reference (foreachBatch)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.classic.SQLContext =
+      spark.sqlContext.asInstanceOf[org.apache.spark.sql.classic.SQLContext]
+    val ref = feat((1 to 100).map(_.toDouble))
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
+    val input = MemoryStream[Double]
+    val q = input.toDS().toDF("value")
+      .withColumn("grp", org.apache.spark.sql.functions.lit("g"))
+      .writeStream.foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        // the deployment shape: each incoming load profiled against the
+        // pinned reference before it is trusted into the lake
+        val psi = Drift.psiProfile(ref, batch, "grp", "value")
+          .agg(org.apache.spark.sql.functions.sum("psi_term"))
+          .as[Option[Double]].collect().head.getOrElse(0.0)
+        seen.synchronized { seen += ((id, psi)) }
+        ()
+      }.start()
+    try {
+      input.addData((1 to 100).map(_.toDouble): _*) // matches reference
+      q.processAllAvailable()
+      input.addData(Seq.fill(100)(999.0): _*)       // wildly drifted
+      q.processAllAvailable()
+    } finally q.stop()
+    val byBatch = seen.toMap
+    assert(math.abs(byBatch(0L)) < 1e-6, s"in-distribution batch drifted: $byBatch")
+    assert(byBatch(1L) > 1.0, s"drifted batch not flagged: $byBatch")
+  }
+
   test("cutoffs come from the reference only — current cannot move bin edges") {
     val ref = feat((1 to 100).map(_.toDouble))
     val curA = feat((1 to 100).map(_.toDouble))
