@@ -993,6 +993,28 @@ object SparkEntry {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
   }
 
+  /** Q89 — per-label embedding centroids
+    * ([[graft.operators.Similarity.labelCentroids]]): the class-mean
+    * vectors in long form — the prototype/SemDeDup building block.
+    * Map-side ×d explode collapses to centroid-sized rows in the
+    * partial aggregate; dimension sums are decimal-exact. Oracle: the
+    * same zip-unnest + decimal mean in DuckDB.
+    */
+  def q89(s: SparkSession, d: String): DataFrame =
+    graft.operators.Similarity.labelCentroids(
+      Tables.embeddings(s, d), "label", "embedding")
+
+  /** Q90 — intra-class centroid cohesion
+    * ([[graft.operators.Similarity.centroidSpread]]): mean cosine of
+    * each vector to its own label's centroid — the SemDeDup scoring
+    * pass and the first embedding-quality diagnostic. Centroids
+    * broadcast back; one corpus shuffle. Oracle: `list(c ORDER BY pos)`
+    * + `list_cosine_similarity` in DuckDB.
+    */
+  def q90(s: SparkSession, d: String): DataFrame =
+    graft.operators.Similarity.centroidSpread(
+      Tables.embeddings(s, d), "label", "embedding")
+
   /** Q76 — incremental rollup maintenance ([[graft.sinks.IncrementalAgg]]):
     * the events stream split into two deterministic batches (even/odd
     * event_id), each folded into a partitioned (count, exact decimal
@@ -1203,7 +1225,9 @@ object SparkEntry {
     "q85_temperature_mix" -> (q85 _),
     "q86_drift_psi"       -> (q86 _),
     "q87_mode"            -> (q87 _),
-    "q88_prep_pipeline"   -> (q88 _))
+    "q88_prep_pipeline"   -> (q88 _),
+    "q89_label_centroids" -> (q89 _),
+    "q90_centroid_spread" -> (q90 _))
 
   // DuckDB twins. Shared SQL fragments for the text queries:
   // explicit class: Java \s includes \x0B, RE2 \s does not — see
@@ -1842,5 +1866,31 @@ object SparkEntry {
           |SELECT split, count(*) AS n_docs,
           |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens
           |FROM s GROUP BY 1
-          |""".stripMargin))
+          |""".stripMargin),
+    "q89_label_centroids" ->
+      ("""WITH x AS (SELECT label,
+         |  unnest(range(len(embedding))) AS pos,
+         |  CAST(CAST(unnest(embedding) AS DOUBLE) AS DECIMAL(18,9)) AS x
+         |  FROM embeddings)
+         |SELECT label, CAST(pos AS INT) AS pos,
+         |  round(CAST(sum(x) AS DOUBLE) / count(*), 6) AS c, count(*) AS n
+         |FROM x GROUP BY 1, 2
+         |""".stripMargin),
+    "q90_centroid_spread" ->
+      ("""WITH x AS (SELECT label,
+         |  unnest(range(len(embedding))) AS pos,
+         |  CAST(CAST(unnest(embedding) AS DOUBLE) AS DECIMAL(18,9)) AS x
+         |  FROM embeddings),
+         |cd AS (SELECT label, pos,
+         |  round(CAST(sum(x) AS DOUBLE) / count(*), 6) AS c
+         |  FROM x GROUP BY 1, 2),
+         |cv AS (SELECT label, list(c ORDER BY pos) AS cvec FROM cd GROUP BY 1),
+         |s AS (SELECT e.label,
+         |  CAST(round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), cv.cvec), 4)
+         |       AS DECIMAL(18,9)) AS sim
+         |  FROM embeddings e JOIN cv USING (label))
+         |SELECT label, round(CAST(sum(sim) AS DOUBLE) / count(*), 6) AS avg_sim,
+         |  count(*) AS n
+         |FROM s GROUP BY 1
+         |""".stripMargin))
 }

@@ -127,4 +127,60 @@ object Similarity {
       .filter(col("sim") >= minSim)
       .select(col("a_id"), col("b_id"), round(col("sim"), 4).as("sim_r"))
   }
+
+  /** Long-form per-label centroids: mean embedding per class as
+    * (label, pos, c, n) rows — the supervised embedding analytic that
+    * SemDeDup-style cluster pruning and class-prototype classifiers
+    * build on (Abbas et al. 2023 dedups within k-means cells by
+    * distance to the centroid). Long form keeps the aggregation fully
+    * declarative: `posexplode` multiplies rows ×d map-side, but the
+    * partial aggregate collapses to (labels × d) rows per partition
+    * BEFORE the one shuffle, so shuffle volume is centroid-sized, not
+    * corpus-sized — no array-summing UDAF needed. Dimension sums route
+    * through DECIMAL(18,9) (each float widened via double first) so the
+    * mean is exact and partition-order-independent; the mean rounds to
+    * 6 places.
+    */
+  def labelCentroids(embeddings: DataFrame, labelCol: String,
+                     vecCol: String): DataFrame =
+    embeddings
+      .select(col(labelCol).as("label"), posexplode(col(vecCol)).as(Seq("pos", "x")))
+      .groupBy(col("label"), col("pos"))
+      .agg(
+        round(sum(col("x").cast("double")
+            .cast(org.apache.spark.sql.types.DecimalType(18, 9)))
+          .cast("double") / count(lit(1)), 6).as("c"),
+        count(lit(1)).as("n"))
+
+  /** Intra-class cohesion: each vector's cosine to its OWN label's
+    * centroid (from [[labelCentroids]]), averaged per label — the
+    * SemDeDup scoring pass (prune members too close to the prototype)
+    * and the first diagnostic for embedding quality (a label whose
+    * members don't face their own centroid is mislabeled or multimodal).
+    *
+    * Scale design: the long-form centroids reassemble into one
+    * `array<double>` per label (`sort_array(collect_list(struct))` —
+    * label-count × d rows, metadata scale) and BROADCAST back onto the
+    * corpus, so the scoring pass is map-side; per-vector cosines round
+    * to 4 places (the q14 cross-engine parity bound) and average through
+    * an exact decimal sum. One corpus shuffle total (the final
+    * per-label aggregate).
+    */
+  def centroidSpread(embeddings: DataFrame, labelCol: String,
+                     vecCol: String): DataFrame = {
+    val cent = labelCentroids(embeddings, labelCol, vecCol)
+      .groupBy(col("label"))
+      .agg(sort_array(collect_list(struct(col("pos"), col("c")))).as("__pc"))
+      .select(col("label"), col("__pc").getField("c").as("__cvec"))
+    embeddings
+      .select(col(labelCol).as("label"),
+        col(vecCol).cast("array<double>").as("__v"))
+      .join(broadcast(cent), "label")
+      .withColumn("__sim",
+        round(VectorFunctions.cosineSimilarity(col("__v"), col("__cvec")), 4)
+          .cast(org.apache.spark.sql.types.DecimalType(18, 9)))
+      .groupBy(col("label"))
+      .agg(round(sum(col("__sim")).cast("double") / count(lit(1)), 6).as("avg_sim"),
+        count(lit(1)).as("n"))
+  }
 }

@@ -75,4 +75,34 @@ class SimilaritySpec extends SparkSpec {
     assert(out.nonEmpty)
     assert(out.forall { case (a, b, s) => b > a && b - a <= 100 && s >= 0.3 - 1e-9 })
   }
+
+  test("labelCentroids: per-dimension means in long form") {
+    val df = Seq(
+      (0L, Array(1.0f, 2.0f), 0),
+      (1L, Array(3.0f, 6.0f), 0),
+      (2L, Array(10.0f, 20.0f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val got = graft.operators.Similarity.labelCentroids(df, "label", "embedding")
+      .as[(Int, Int, Double, Long)].collect().sortBy(r => (r._1, r._2))
+    assert(got === Seq((0, 0, 2.0, 2L), (0, 1, 4.0, 2L),
+      (1, 0, 10.0, 1L), (1, 1, 20.0, 1L)))
+  }
+
+  test("centroidSpread: aligned class scores 1.0; its centroid broadcasts back") {
+    // label 0 vectors are collinear → each has cosine exactly 1 to the
+    // centroid; label 1's two orthogonal unit vectors → centroid at 45°,
+    // cosine cos(45°) = √2/2 each
+    val df = Seq(
+      (0L, Array(1.0f, 0.0f), 0), (1L, Array(2.0f, 0.0f), 0),
+      (2L, Array(1.0f, 0.0f), 1), (3L, Array(0.0f, 1.0f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val sp2 = graft.operators.Similarity.centroidSpread(df, "label", "embedding")
+    val got = sp2.as[(Int, Double, Long)].collect().sortBy(_._1)
+    assert(got(0) === ((0, 1.0, 2L)))
+    assert(got(1)._2 === BigDecimal(math.sqrt(2) / 2)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    val p = sp2.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastExchange"),
+      s"centroids must broadcast back, not shuffle the corpus:\n$p")
+  }
 }
