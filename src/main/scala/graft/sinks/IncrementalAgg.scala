@@ -39,15 +39,40 @@ object IncrementalAgg {
     */
   def maintain(spark: SparkSession, batch: DataFrame, root: String,
                partCols: Seq[String], keyCols: Seq[String],
-               valueCol: String): Int = {
+               valueCol: String): Int =
+    fold(spark,
+      batch.withColumn("__dn", lit(1L))
+        .withColumn("__dv", col(valueCol).cast(DecimalType(18, 2))),
+      root, partCols, keyCols)
+
+  /** Fold SIGNED deltas into the aggregate — the CDC path: feed it
+    * [[graft.operators.Snapshot.toDeltas]] of a snapshot diff and the
+    * view moves forward WITHOUT replaying history (added = +1/+value,
+    * removed = −1/−value, changed = 0/value-shift). Because the state
+    * is a mergeable (count, exact decimal sum), applying the delta is
+    * associative with the original folds — maintained ≡ recomputed, the
+    * invariant `IncrementalAggSpec` proves. Groups whose count reaches
+    * zero are dropped from the rewritten partitions (a fully-retracted
+    * key disappears, as a recompute would make it).
+    */
+  def maintainDeltas(spark: SparkSession, deltas: DataFrame, root: String,
+                     partCols: Seq[String], keyCols: Seq[String],
+                     dnCol: String, dvCol: String): Int =
+    fold(spark,
+      deltas.withColumn("__dn", col(dnCol).cast("long"))
+        .withColumn("__dv", col(dvCol).cast(DecimalType(18, 2))),
+      root, partCols, keyCols)
+
+  private def fold(spark: SparkSession, batch: DataFrame, root: String,
+                   partCols: Seq[String], keyCols: Seq[String]): Int = {
     require(partCols.nonEmpty && partCols.forall(keyCols.contains),
       s"partCols $partCols must be a subset of keyCols $keyCols")
     // sum(decimal(18,2)) widens to decimal(28,2); pin the STORED type to
     // decimal(18,2) here so every batch writes the same parquet encoding
     // (mixed widths across partitions break later schema-inferred reads)
     val partial = batch.groupBy(keyCols.map(col): _*)
-      .agg(count(lit(1)).as("n"),
-        sum(col(valueCol).cast(DecimalType(18, 2))).cast(DecimalType(18, 2)).as("sum_v"))
+      .agg(sum(col("__dn")).cast("long").as("n"),
+        sum(col("__dv")).cast(DecimalType(18, 2)).as("sum_v"))
 
     val touched: Array[Row] = partial.select(partCols.map(col): _*).distinct().collect()
     if (touched.isEmpty) return 0
@@ -68,10 +93,35 @@ object IncrementalAgg {
         .agg(sum(col("n")).cast("long").as("n"),
           sum(col("sum_v")).cast(DecimalType(18, 2)).as("sum_v"))
     } else partial
+    // fully-retracted keys (count folded to zero) leave the table, the
+    // way a recompute over the corrected source would drop them
+    val alive = merged.filter(col("n") =!= 0L)
 
-    // cut lineage: the write below must not plan a read of `root`
-    merged.localCheckpoint(eager = true)
-      .write.mode("overwrite")
+    // cut lineage AND pin the result BEFORE any directory surgery: the
+    // merged plan reads `root`, so both the emptied-partition scan below
+    // and the final write must run against materialized rows, not a
+    // plan that would re-read paths this fold is about to delete
+    val pinned = alive.localCheckpoint(eager = true)
+
+    // dynamic partition overwrite only replaces partitions PRESENT in
+    // the written data — a partition whose every key was retracted
+    // produces no output rows, so its stale files would silently
+    // survive the write. Delete those directories explicitly (touched
+    // minus surviving, partition-granular metadata again).
+    if (existing) {
+      val survived = pinned.select(partCols.map(col): _*).distinct().collect()
+        .map(_.toSeq).toSet
+      val emptied = touched.filterNot(r => survived.contains(r.toSeq))
+      emptied.foreach { r =>
+        val rel = partCols.zipWithIndex.map { case (c, i) =>
+          org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+            .getPartitionPathString(c, String.valueOf(r.get(i)))
+        }.mkString("/")
+        fs.delete(new org.apache.hadoop.fs.Path(root, rel), true)
+      }
+    }
+
+    pinned.write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy(partCols: _*)
       .parquet(root)
