@@ -1015,6 +1015,17 @@ object SparkEntry {
     graft.operators.Similarity.centroidSpread(
       Tables.embeddings(s, d), "label", "embedding")
 
+  /** Q91 — top collocations by PMI
+    * ([[graft.operators.Corpus.collocations]]): the strongest adjacent
+    * token associations above a count floor — phrase mining for
+    * vocabulary/tokenizer work. Scored on the distinct-bigram table;
+    * rounded before the total-order cut. Oracle: the same PMI join in
+    * DuckDB.
+    */
+  def q91(s: SparkSession, d: String): DataFrame =
+    graft.operators.Corpus.collocations(docs(s, d), "doc_id", "text",
+      minCount = 5L, k = 20)
+
   /** Q76 — incremental rollup maintenance ([[graft.sinks.IncrementalAgg]]):
     * the events stream split into two deterministic batches (even/odd
     * event_id), each folded into a partitioned (count, exact decimal
@@ -1227,7 +1238,8 @@ object SparkEntry {
     "q87_mode"            -> (q87 _),
     "q88_prep_pipeline"   -> (q88 _),
     "q89_label_centroids" -> (q89 _),
-    "q90_centroid_spread" -> (q90 _))
+    "q90_centroid_spread" -> (q90 _),
+    "q91_collocations"    -> (q91 _))
 
   // DuckDB twins. Shared SQL fragments for the text queries:
   // explicit class: Java \s includes \x0B, RE2 \s does not — see
@@ -1892,5 +1904,24 @@ object SparkEntry {
          |SELECT label, round(CAST(sum(sim) AS DOUBLE) / count(*), 6) AS avg_sim,
          |  count(*) AS n
          |FROM s GROUP BY 1
-         |""".stripMargin))
+         |""".stripMargin),
+    "q91_collocations" ->
+      (s"""WITH t AS (SELECT doc_id, $TOKS AS tk FROM documents),
+          |u AS (SELECT unnest(tk) AS w FROM t),
+          |uni AS (SELECT w, count(*) AS cu FROM u GROUP BY 1),
+          |n AS (SELECT sum(cu) AS n FROM uni),
+          |b AS (SELECT unnest(tk[1:len(tk)-1]) AS prev,
+          |  unnest(tk[2:len(tk)]) AS cur FROM t WHERE len(tk) >= 2),
+          |m AS (SELECT count(*) AS m FROM b),
+          |cb AS (SELECT prev, cur, count(*) AS cbg FROM b
+          |  GROUP BY 1, 2 HAVING count(*) >= 5)
+          |SELECT prev, cur, cbg,
+          |  round(ln((CAST(cbg AS DOUBLE) / m) /
+          |    ((CAST(ua.cu AS DOUBLE) / n) * (CAST(ub.cu AS DOUBLE) / n))), 6) AS pmi
+          |FROM cb
+          |JOIN uni ua ON ua.w = cb.prev
+          |JOIN uni ub ON ub.w = cb.cur
+          |CROSS JOIN n CROSS JOIN m
+          |ORDER BY pmi DESC, prev ASC, cur ASC LIMIT 20
+          |""".stripMargin))
 }

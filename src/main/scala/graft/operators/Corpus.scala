@@ -282,21 +282,28 @@ object Corpus {
     * partition-order-independent. Docs with fewer than two tokens have
     * no bigrams and are excluded.
     */
-  def bigramSurprisal(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  /** (doc_id, prev, cur) adjacent-token pairs, extracted MAP-SIDE by
+    * zipping shifted slices of the token array — no per-doc shuffle.
+    * Post trim+split, empty tokens can only appear as the sole element
+    * of an all-whitespace doc (size 1 → dropped by the ≥ 2 gate), so no
+    * interpreted array-filter lambda is needed anywhere.
+    */
+  private def bigramPairs(docs: DataFrame, idCol: String,
+                          textCol: String): DataFrame = {
     val tk = split(trim(col(textCol)), TextFunctions.whitespaceClass)
-    // post trim+split, empty tokens can only appear as the sole element
-    // of an all-whitespace doc (size 1 → dropped by the >= 2 gate), so
-    // no interpreted array-filter lambda is needed anywhere
-    val sliced = docs
+    docs
       .select(col(idCol).as("doc_id"), tk.as("__tk"))
       .filter(size(col("__tk")) >= 2)
       .select(col("doc_id"),
         slice(col("__tk"), lit(1), size(col("__tk")) - 1).as("p"),
         slice(col("__tk"), lit(2), size(col("__tk")) - 1).as("c"))
-    val bg = sliced
       .select(col("doc_id"), explode(arrays_zip(col("p"), col("c"))).as("b"))
       .select(col("doc_id"),
         col("b").getField("p").as("prev"), col("b").getField("c").as("cur"))
+  }
+
+  def bigramSurprisal(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val bg = bigramPairs(docs, idCol, textCol)
     val cbg = bg.groupBy(col("prev"), col("cur")).agg(count(lit(1)).as("cbg"))
     val cprefix = cbg.groupBy(col("prev")).agg(sum(col("cbg")).as("cprefix"))
     val probs = cbg.join(cprefix, "prev")
@@ -346,6 +353,43 @@ object Corpus {
       .withColumn(outCol,
         round(least(greatest(col(valueCol), col("__lo")), col("__hi")), 6))
       .drop("__lo", "__hi")
+  }
+
+  /** Top-k collocations by pointwise mutual information:
+    * `PMI(a,b) = ln( (c_ab/M) / ((c_a/N)(c_b/N)) )` over adjacent token
+    * pairs (Church & Hanks 1990) — the phrase-mining statistic behind
+    * multi-word vocabulary entries and tokenizer merge audits. A
+    * `minCount` floor suppresses the low-frequency PMI explosion (a
+    * pair seen once between two hapaxes otherwise tops every list).
+    *
+    * Scale design: pairs extract map-side ([[bigramPairs]]); unigram
+    * and bigram counts each partial-aggregate before their single
+    * shuffle; the scoring join runs on the DISTINCT-bigram table
+    * (vocabulary-bounded) against the two unigram legs, with the N/M
+    * totals riding along as 1-row broadcast scalars. PMI rounds to 6
+    * places BEFORE the top-k cut, whose (pmi, prev, cur) order is total.
+    */
+  def collocations(docs: DataFrame, idCol: String, textCol: String,
+                   minCount: Long, k: Int): DataFrame = {
+    val tok = docs.select(
+        explode(split(trim(col(textCol)), TextFunctions.whitespaceClass)).as("t"))
+      .filter(col("t") =!= "")
+    val uni = tok.groupBy(col("t")).agg(count(lit(1)).as("cu"))
+    val n = uni.agg(sum(col("cu")).as("__n"))
+    val bg = bigramPairs(docs, idCol, textCol)
+    val cbg = bg.groupBy(col("prev"), col("cur")).agg(count(lit(1)).as("cbg"))
+      .filter(col("cbg") >= minCount)
+    val m = bg.agg(count(lit(1)).as("__m"))
+    cbg
+      .join(uni.select(col("t").as("prev"), col("cu").as("ca")), "prev")
+      .join(uni.select(col("t").as("cur"), col("cu").as("cb")), "cur")
+      .crossJoin(broadcast(n)).crossJoin(broadcast(m))
+      .select(col("prev"), col("cur"), col("cbg"),
+        round(log((col("cbg").cast("double") / col("__m")) /
+          ((col("ca").cast("double") / col("__n")) *
+           (col("cb").cast("double") / col("__n")))), 6).as("pmi"))
+      .orderBy(col("pmi").desc, col("prev").asc, col("cur").asc)
+      .limit(k)
   }
 
   /** Temperature-smoothed mixture weights: for each group (language,

@@ -357,6 +357,18 @@ class CorpusSpec extends SparkSpec {
     intercept[IllegalArgumentException] { mix(0.0) }
   }
 
+  test("collocations: PMI formula with a count floor, total-order cut") {
+    // pairs: (a,b)×3, (b,a)×1, (c,d)×1 → only (a,b) clears minCount=2.
+    // N=8 tokens (a:3 b:3 c:1 d:1), M=5 bigrams:
+    // PMI = ln((3/5) / ((3/8)(3/8))) = ln(4.2666…)
+    val d = docTable(Seq(0L -> "a b a b", 1L -> "c d", 2L -> "a b"))
+    val got = Corpus.collocations(d, "doc_id", "text", minCount = 2L, k = 10)
+      .as[(String, String, Long, Double)].collect().toSeq
+    val want = BigDecimal(math.log((3.0 / 5) / ((3.0 / 8) * (3.0 / 8))))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got === Seq(("a", "b", 3L, want)))
+  }
+
   test("winsorize: quantile bounds are validated") {
     val df = Seq(("g", 1.0)).toDF("grp", "value")
     intercept[IllegalArgumentException] {
