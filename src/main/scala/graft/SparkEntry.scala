@@ -1026,6 +1026,26 @@ object SparkEntry {
     graft.operators.Corpus.collocations(docs(s, d), "doc_id", "text",
       minCount = 5L, k = 20)
 
+  /** Q92 — int8 scalar quantization of the embedding corpus
+    * ([[graft.operators.Quantize.scalarQuantize]]): per-dimension
+    * min/max train (one d-row shuffle), then codes as a pure map-side
+    * projection against the broadcast stats. Codes are integers, so the
+    * oracle match is bit-exact, no rounding tolerance.
+    */
+  def q92(s: SparkSession, d: String): DataFrame =
+    graft.operators.Quantize.scalarQuantize(emb(s, d), "vec_id", "embedding")
+      .select(col("id").as("vec_id"), col("pos"), col("code"))
+
+  /** Q93 — cross-document repeated 32-char substrings
+    * ([[graft.operators.Dedup.repeatedWindows]]): the exact-substring
+    * duplication scan (Lee et al., ACL 2022), hash-prefiltered so only
+    * actually-repeated windows ever materialize as strings. Oracle =
+    * the naive substring explosion the engine must never shuffle.
+    */
+  def q93(s: SparkSession, d: String): DataFrame =
+    graft.operators.Dedup.repeatedWindows(docs(s, d), "doc_id", "text",
+      width = 32, minDocs = 2)
+
   /** Q76 — incremental rollup maintenance ([[graft.sinks.IncrementalAgg]]):
     * the events stream split into two deterministic batches (even/odd
     * event_id), each folded into a partitioned (count, exact decimal
@@ -1239,7 +1259,9 @@ object SparkEntry {
     "q88_prep_pipeline"   -> (q88 _),
     "q89_label_centroids" -> (q89 _),
     "q90_centroid_spread" -> (q90 _),
-    "q91_collocations"    -> (q91 _))
+    "q91_collocations"    -> (q91 _),
+    "q92_quantize_int8"   -> (q92 _),
+    "q93_repeated_substrings" -> (q93 _))
 
   // DuckDB twins. Shared SQL fragments for the text queries:
   // explicit class: Java \s includes \x0B, RE2 \s does not — see
@@ -1923,5 +1945,29 @@ object SparkEntry {
           |JOIN uni ub ON ub.w = cb.cur
           |CROSS JOIN n CROSS JOIN m
           |ORDER BY pmi DESC, prev ASC, cur ASC LIMIT 20
-          |""".stripMargin))
+          |""".stripMargin),
+    "q92_quantize_int8" ->
+      ("""WITH e AS (
+         |  SELECT vec_id,
+         |    CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS pos,
+         |    unnest(embedding) AS v
+         |  FROM embeddings),
+         |st AS (SELECT pos, min(v) AS mn, max(v) AS mx FROM e GROUP BY 1)
+         |SELECT e.vec_id, e.pos,
+         |  CASE WHEN st.mx = st.mn THEN 0
+         |       ELSE LEAST(CAST(floor(
+         |         (CAST(e.v AS DOUBLE) - CAST(st.mn AS DOUBLE)) * 255.0
+         |           / (CAST(st.mx AS DOUBLE) - CAST(st.mn AS DOUBLE)))
+         |         AS BIGINT), 255) END AS code
+         |FROM e JOIN st USING (pos)
+         |""".stripMargin),
+    "q93_repeated_substrings" ->
+      ("""WITH pos AS (
+         |  SELECT doc_id, substr(text, CAST(i AS INT), 32) AS w
+         |  FROM (SELECT doc_id, text,
+         |        unnest(range(1, greatest(1, length(text) - 30))) AS i
+         |        FROM documents))
+         |SELECT w, count(DISTINCT doc_id) AS n_docs FROM pos GROUP BY w
+         |HAVING count(DISTINCT doc_id) >= 2
+         |""".stripMargin))
 }

@@ -247,6 +247,62 @@ case class WinnowFingerprints(child: Expression, k: Int, w: Int, seed: Long)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** `char_window_hashes(text)` — 64-bit hash of every `width`-character
+  * sliding window, POSITIONAL: element `i` is the hash of
+  * `substring(text, i + 1, width)`, so a downstream `posexplode` can
+  * recover the exact source substring without the expression ever
+  * allocating one (the cross-document repeated-substring scan of
+  * [[graft.operators.Dedup.repeatedWindows]] — the exact-substring
+  * deduplication primitive of Lee et al., "Deduplicating Training Data
+  * Makes Language Models Better", ACL 2022).
+  *
+  * Windows are counted in CODE POINTS (one pass over the UTF-8 bytes
+  * precomputes code-point byte offsets), matching SQL `substr`
+  * semantics byte-for-byte on any input, not just ASCII. Each window's
+  * byte range is xxHash64'd in place. Shorter-than-`width` texts
+  * produce an empty array.
+  */
+case class CharWindowHashes(child: Expression, width: Int, seed: Long)
+    extends UnaryExpression with CodegenFallback {
+  require(width >= 1, "width must be >= 1")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    val len = s.numBytes()
+
+    // code-point start offsets (one extra slot holds the end sentinel);
+    // UTF-8 start bytes are every byte not matching the 10xxxxxx
+    // continuation pattern
+    var starts = new Array[Int](math.max(8, len + 1))
+    var nCp = 0
+    var i = 0
+    while (i < len) {
+      val b = org.apache.spark.unsafe.Platform.getByte(base, off + i)
+      if ((b & 0xC0) != 0x80) {
+        starts(nCp) = i
+        nCp += 1
+      }
+      i += 1
+    }
+    starts(nCp) = len
+    if (nCp < width) return new GenericArrayData(Array.emptyLongArray)
+
+    val out = new Array[Long](nCp - width + 1)
+    var w = 0
+    while (w < out.length) {
+      val from = starts(w)
+      val until = starts(w + width)
+      out(w) = XXH64.hashUnsafeBytes(base, off + from, until - from, seed)
+      w += 1
+    }
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** `simhash64(tokens)` — array<string> → 64-bit SimHash fingerprint.
   * Token multiplicity weights bits naturally (duplicates vote twice).
   */
@@ -298,6 +354,12 @@ object HashFunctions {
   /** Merge-count |A∩B| of two sorted distinct array<long> columns. */
   def sortedLongIntersectSize(a: Column, b: Column): Column =
     column(SortedLongIntersectSize(expression(a), expression(b)))
+
+  /** Positional hash per `width`-char sliding window (see
+    * [[CharWindowHashes]]).
+    */
+  def charWindowHashes(text: Column, width: Int, seed: Long = 42L): Column =
+    column(CharWindowHashes(expression(text), width, seed))
 
   /** Winnowed rolling-hash fingerprints of a document (see
     * [[WinnowFingerprints]]).

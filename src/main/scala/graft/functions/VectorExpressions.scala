@@ -179,6 +179,132 @@ case class NearestCentroid(child: Expression, centroids: Array[Array[Double]])
     copy(child = newChild)
 }
 
+/** `nearest_centroid_l2(vec)` — index of the L2-nearest centroid from a
+  * plan-constant centroid matrix: the product-quantizer assignment
+  * kernel ([[graft.operators.Quantize]]), where sub-vectors are NOT
+  * norm-comparable so the cosine argmax of [[NearestCentroid]] is the
+  * wrong metric. Minimizes ||v||² - 2·dot(v,c) + ||c||²; ||v||² is a
+  * per-row constant, so the scan scores `||c||² - 2·dot` and takes the
+  * argmin. Ties break to the smallest index; mismatched-length
+  * centroids are skipped.
+  */
+case class NearestCentroidL2(child: Expression, centroids: Array[Array[Double]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType = IntegerType
+
+  private def childIsFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  @transient private lazy val sqNorms: Array[Double] = centroids.map { c =>
+    var s = 0.0; var i = 0
+    while (i < c.length) { s += c(i) * c(i); i += 1 }
+    s
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    val isF = childIsFloat
+    val n = a.numElements()
+    var best = 0; var bestScore = Double.PositiveInfinity
+    var cell = 0
+    while (cell < centroids.length) {
+      val c = centroids(cell)
+      if (c.length == n) {
+        var dot = 0.0; var i = 0
+        while (i < n) {
+          dot += (if (isF) a.getFloat(i).toDouble else a.getDouble(i)) * c(i)
+          i += 1
+        }
+        val s = sqNorms(cell) - 2.0 * dot
+        if (s < bestScore) { bestScore = s; best = cell }
+      }
+      cell += 1
+    }
+    best
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cents = ctx.addReferenceObj("centroids", centroids, "double[][]")
+    val norms = ctx.addReferenceObj("sqNorms", sqNorms, "double[]")
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n"); val cell = ctx.freshName("cell")
+      val i = ctx.freshName("i"); val dot = ctx.freshName("dot")
+      val s = ctx.freshName("s"); val best = ctx.freshName("best")
+      val bestScore = ctx.freshName("bestScore"); val c = ctx.freshName("c")
+      val get = if (childIsFloat) s"(double)$a.getFloat($i)" else s"$a.getDouble($i)"
+      s"""
+         |int $n = $a.numElements();
+         |int $best = 0; double $bestScore = Double.POSITIVE_INFINITY;
+         |for (int $cell = 0; $cell < $cents.length; $cell++) {
+         |  double[] $c = $cents[$cell];
+         |  if ($c.length == $n) {
+         |    double $dot = 0.0;
+         |    for (int $i = 0; $i < $n; $i++) { $dot += $get * $c[$i]; }
+         |    double $s = $norms[$cell] - 2.0 * $dot;
+         |    if ($s < $bestScore) { $bestScore = $s; $best = $cell; }
+         |  }
+         |}
+         |${ev.value} = $best;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `pq_adc_score(codes, lut)` — asymmetric-distance accumulation for
+  * product-quantized search ([[graft.operators.Quantize.pqTopK]]):
+  * `sum_s lut[s * ksub + codes[s]]`, where `lut` is the per-probe table
+  * of subspace partial dot products. One array index per subspace — the
+  * corpus row is scored without decoding. Null on null/malformed input;
+  * out-of-range codes score null (a corrupted index must surface, not
+  * silently skew ranking).
+  */
+case class PqAdcScore(left: Expression, right: Expression, ksub: Int)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(codesAny: Any, lutAny: Any): Any = {
+    val codes = codesAny.asInstanceOf[ArrayData]
+    val lut = lutAny.asInstanceOf[ArrayData]
+    val m = codes.numElements()
+    var acc = 0.0; var s = 0
+    while (s < m) {
+      if (codes.isNullAt(s)) return null
+      val c = codes.getInt(s)
+      val idx = s * ksub + c
+      if (c < 0 || c >= ksub || idx >= lut.numElements()) return null
+      acc += lut.getDouble(idx)
+      s += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (codes, lut) => {
+      val s = ctx.freshName("s"); val c = ctx.freshName("c")
+      val idx = ctx.freshName("idx"); val acc = ctx.freshName("acc")
+      val ok = ctx.freshName("ok")
+      s"""
+         |double $acc = 0.0;
+         |boolean $ok = true;
+         |for (int $s = 0; $ok && $s < $codes.numElements(); $s++) {
+         |  if ($codes.isNullAt($s)) { $ok = false; break; }
+         |  int $c = $codes.getInt($s);
+         |  int $idx = $s * $ksub + $c;
+         |  if ($c < 0 || $c >= $ksub || $idx >= $lut.numElements()) { $ok = false; break; }
+         |  $acc += $lut.getDouble($idx);
+         |}
+         |if (!$ok) { ${ev.isNull} = true; } else { ${ev.value} = $acc; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** Column-API surface for the vector kernels. */
 object VectorFunctions {
   import ColumnBridge.{column, expression}
@@ -187,4 +313,8 @@ object VectorFunctions {
     column(CosineSimilarity(expression(a), expression(b)))
   def nearestCentroid(vec: Column, centroids: Array[Array[Double]]): Column =
     column(NearestCentroid(expression(vec), centroids))
+  def nearestCentroidL2(vec: Column, centroids: Array[Array[Double]]): Column =
+    column(NearestCentroidL2(expression(vec), centroids))
+  def pqAdcScore(codes: Column, lut: Column, ksub: Int): Column =
+    column(PqAdcScore(expression(codes), expression(lut), ksub))
 }

@@ -284,4 +284,49 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .select(col("a_id"), col("b_id"), col("hamming"))
   }
+
+  /** Cross-document repeated substrings: every `width`-char window
+    * occurring in ≥ `minDocs` distinct documents, with its exact
+    * distinct-document count — the exact-substring duplication scan of
+    * Lee et al., "Deduplicating Training Data Makes Language Models
+    * Better" (ACL 2022), reshaped for Spark. Returns `(w, n_docs)`.
+    *
+    * Scale design — grouping the corpus by raw window STRINGS would
+    * shuffle ~`width ×` the corpus bytes, so the scan runs in two
+    * hash-first stages:
+    *  1. per-document DISTINCT 64-bit window hashes
+    *     ([[graft.functions.CharWindowHashes]], one pass, zero string
+    *     allocation) → count per hash → hashes in ≥ minDocs docs. This
+    *     shuffles only 8-byte hashes and is an OVER-approximation under
+    *     collision (hashing can merge string groups, never split one).
+    *  2. re-walk the windows positionally, keep positions whose hash is
+    *     in the (small) heavy set, materialize ONLY those substrings,
+    *     and exact-count distinct documents per string — the final
+    *     `n_docs >= minDocs` filter re-verifies on true strings, so
+    *     hash collisions cost candidate rows, never correctness.
+    * The heavy-hash side is aggregation output bounded by actually-
+    * repeated content; AQE picks the broadcast side at runtime.
+    */
+  def repeatedWindows(docs: DataFrame, idCol: String, textCol: String,
+                      width: Int = 32, minDocs: Int = 2,
+                      seed: Long = 42L): DataFrame = {
+    require(minDocs >= 1, s"minDocs must be >= 1, got $minDocs")
+    val base = docs.select(col(idCol).as("id"), col(textCol).as("text"))
+      .filter(col("text").isNotNull)
+    val heavy = base
+      .select(explode(array_distinct(
+        HashFunctions.charWindowHashes(col("text"), width, seed))).as("h"))
+      .groupBy(col("h")).agg(count(lit(1)).as("__nd"))
+      .filter(col("__nd") >= minDocs)
+      .select(col("h"))
+    base
+      .select(col("id"), col("text"),
+        posexplode(HashFunctions.charWindowHashes(col("text"), width, seed))
+          .as(Seq("p", "h")))
+      .join(heavy, "h")
+      .select(col("id"), col("text").substr(col("p") + 1, lit(width)).as("w"))
+      .groupBy(col("w"))
+      .agg(countDistinct(col("id")).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+  }
 }

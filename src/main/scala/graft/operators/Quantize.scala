@@ -1,0 +1,205 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Embedding compression for the 100 TB similarity path: int8 scalar
+  * quantization (per-dimension affine codes — the storage/IO face) and
+  * product quantization with asymmetric-distance search (Jégou, Douze &
+  * Schmid, "Product Quantization for Nearest Neighbor Search", TPAMI
+  * 2011 — the in-memory face). A 64-dim float corpus stores 256 B/row;
+  * SQ8 stores 64 B and PQ(m=8) stores 8 B — the difference between an
+  * index that fits executor memory at 100 TB and one that cannot.
+  *
+  * Scale design: both trainers aggregate KB-scale metadata (per-dim
+  * min/max; per-subspace centroids) and encode with pure MAP-SIDE
+  * projections carrying that metadata as expression literals — the
+  * corpus itself never shuffles to be quantized, exactly the
+  * [[IvfIndex]] pattern.
+  */
+object Quantize {
+
+  /** Per-dimension (min, max) over the corpus: posexplode → partial
+    * min/max per partition (d rows each) → one d-row shuffle. Returns
+    * `(pos, mn, mx)` as DOUBLE (exact widenings of the float inputs).
+    */
+  def dimStats(embeddings: DataFrame, vecCol: String): DataFrame =
+    embeddings
+      .select(posexplode(col(vecCol)).as(Seq("pos", "v")))
+      .groupBy(col("pos"))
+      .agg(min(col("v")).cast("double").as("mn"),
+           max(col("v")).cast("double").as("mx"))
+
+  /** int8 scalar quantization: `code = floor((v - mn) * 255 / (mx - mn))`
+    * clamped to [0, 255] (a constant dimension codes to 0). Arithmetic
+    * is double-widened so codes are bit-reproducible against a SQL
+    * oracle computing the same formula. Output is the exploded code
+    * table `(id, pos, code)` — the shape a columnar sink or a
+    * per-dimension analysis consumes; re-packing to `array<tinyint>`
+    * is a `collect_list` away when a row-wise layout is wanted.
+    *
+    * The stats collect is d rows of driver metadata; encoding is one
+    * map-side pass (no join against the stats table, which would
+    * shuffle-or-broadcast per batch — the literal array is cheaper and
+    * makes the encoder a self-contained projection).
+    */
+  def scalarQuantize(embeddings: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val stats = dimStats(embeddings, vecCol).orderBy("pos").collect()
+    val mn = stats.map(_.getDouble(1))
+    val mx = stats.map(_.getDouble(2))
+    val mnLit = typedLit(mn.toSeq)
+    val mxLit = typedLit(mx.toSeq)
+    embeddings
+      .select(col(idCol).as("id"), posexplode(col(vecCol)).as(Seq("pos", "v")))
+      .withColumn("__mn", element_at(mnLit, col("pos") + 1))
+      .withColumn("__mx", element_at(mxLit, col("pos") + 1))
+      .select(col("id"), col("pos"),
+        when(col("__mx") === col("__mn"), lit(0L))
+          .otherwise(least(
+            floor((col("v").cast("double") - col("__mn")) * 255.0 /
+              (col("__mx") - col("__mn"))),
+            lit(255L)))
+          .as("code"))
+  }
+
+  /** Train per-subspace PQ codebooks: the vector splits into `m` equal
+    * slices; each slice gets `ksub` centroids via Lloyd iterations.
+    * Init is the first `ksub` vectors by id (deterministic, as
+    * [[IvfIndex.fit]]). Returns codebooks(sub)(centroid)(dim/m) — a
+    * `m × ksub × (d/m)` double array, KB-scale driver metadata.
+    *
+    * Each Lloyd round is one job over the corpus: per-subspace nearest
+    * centroid is a map-side projection; the centroid update partial-
+    * aggregates to `m × ksub × (d/m)` rows per partition before its
+    * only shuffle.
+    */
+  def fitPq(embeddings: DataFrame, idCol: String, vecCol: String,
+            m: Int = 8, ksub: Int = 16, iters: Int = 5): Array[Array[Array[Double]]] = {
+    require(m > 0 && ksub > 0, s"m and ksub must be positive, got m=$m ksub=$ksub")
+    val corpus = Similarity.spreadIfNarrow(embeddings
+        .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("vec"))
+        .filter(col("vec").isNotNull))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    val d = corpus.select(size(col("vec"))).head().getInt(0)
+    require(d % m == 0, s"dim $d not divisible by m=$m subspaces")
+    val dsub = d / m
+
+    // deterministic init: subvectors of the first ksub rows by id
+    val init = corpus.orderBy("id").limit(ksub).select(col("vec")).collect()
+      .map(_.getSeq[Double](0).toArray)
+    require(init.length >= ksub,
+      s"fitPq: corpus has only ${init.length} rows; need >= ksub = $ksub")
+    var books: Array[Array[Array[Double]]] =
+      Array.tabulate(m, ksub)((s, c) => init(c).slice(s * dsub, (s + 1) * dsub))
+
+    var it = 0
+    while (it < iters) {
+      // one pass: for every subspace, assign (argmin L2 against the
+      // in-expression codebook) and emit (sub, centroid, pos, v) for the
+      // mean update; map-side combine collapses to m*ksub*dsub rows
+      val assigned = corpus.select(
+        (0 until m).map { s =>
+          graft.functions.VectorFunctions.nearestCentroidL2(
+            slice(col("vec"), s * dsub + 1, dsub), books(s)).as(s"__c$s")
+        } :+ col("vec"): _*)
+      val means = assigned
+        .select(explode(array((0 until m).map { s =>
+          struct(lit(s).as("sub"), col(s"__c$s").as("cent"),
+            slice(col("vec"), s * dsub + 1, dsub).as("sv"))
+        }: _*)).as("e"))
+        .select(col("e.sub"), col("e.cent"), posexplode(col("e.sv")).as(Seq("pos", "v")))
+        .groupBy(col("sub"), col("cent"), col("pos"))
+        .agg(avg(col("v")).as("mean"))
+        .collect()
+      val next = books.map(_.map(_.clone()))
+      means.foreach { r =>
+        if (!r.isNullAt(0) && !r.isNullAt(1) && !r.isNullAt(2) && !r.isNullAt(3)) {
+          val s = r.getInt(0); val c = r.getInt(1); val p = r.getInt(2)
+          if (s >= 0 && s < m && c >= 0 && c < ksub && p < dsub)
+            next(s)(c)(p) = r.getDouble(3)
+        }
+      }
+      books = next
+      it += 1
+    }
+    corpus.unpersist(blocking = false)
+    books
+  }
+
+  /** Encode the corpus against trained codebooks: `(id, codes)` where
+    * `codes(s)` is the nearest (L2) centroid of subspace `s` — a pure
+    * map-side projection, `m` bytes of index per vector at ksub ≤ 256.
+    */
+  def encodePq(embeddings: DataFrame, idCol: String, vecCol: String,
+               books: Array[Array[Array[Double]]]): DataFrame = {
+    val m = books.length
+    val dsub = books(0)(0).length
+    embeddings
+      .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("vec"))
+      .filter(col("vec").isNotNull)
+      .select(col("id"), array((0 until m).map { s =>
+        graft.functions.VectorFunctions.nearestCentroidL2(
+          slice(col("vec"), s * dsub + 1, dsub), books(s))
+      }: _*).as("codes"))
+  }
+
+  /** Asymmetric-distance top-k: score every encoded row against each
+    * probe through a per-probe lookup table (LUT[sub][centroid] =
+    * dot(probe_sub, centroid)) — the probe stays full-precision, the
+    * corpus is never decoded. LUTs for all probes are expression
+    * literals (|probes| × m × ksub doubles — probes are small by the
+    * same contract as [[Similarity.topKCosine]]); scoring is one
+    * map-side pass over the codes, ranking is the bounded-heap
+    * per-probe top-k. Returns `(probe_id, id, score)`, score =
+    * approximate inner product.
+    */
+  def pqTopK(encoded: DataFrame, probes: DataFrame, idCol: String, vecCol: String,
+             books: Array[Array[Array[Double]]], k: Int,
+             maxProbes: Int = 10000): DataFrame = {
+    val m = books.length
+    val dsub = books(0)(0).length
+    val pRows = probes
+      .select(col(idCol).cast("long").as("probe_id"), col(vecCol).cast("array<double>").as("pvec"))
+      .filter(col("pvec").isNotNull)
+      .limit(maxProbes + 1).collect()
+    require(pRows.length <= maxProbes,
+      s"pqTopK: probe set exceeds maxProbes = $maxProbes rows; LUTs are " +
+        "replicated into every task — keep probes small or raise maxProbes " +
+        "deliberately")
+    // per-probe LUT flattened to m*ksub doubles: lut(s*ksub + c)
+    val luts: Seq[(Long, Seq[Double])] = pRows.toSeq.map { r =>
+      val pid = r.getLong(0)
+      val pv = r.getSeq[Double](1).toArray
+      val flat = new Array[Double](m * books(0).length)
+      var s = 0
+      while (s < m) {
+        var c = 0
+        while (c < books(s).length) {
+          var acc = 0.0; var j = 0
+          while (j < dsub && s * dsub + j < pv.length) {
+            acc += pv(s * dsub + j) * books(s)(c)(j); j += 1
+          }
+          flat(s * books(s).length + c) = acc
+          c += 1
+        }
+        s += 1
+      }
+      (pid, flat.toSeq)
+    }
+    val spark = encoded.sparkSession
+    import spark.implicits._
+    val lutDf = luts.toDF("probe_id", "lut")
+    val scored = Similarity.spreadIfNarrow(encoded)
+      .crossJoin(broadcast(lutDf))
+      .filter(col("id") =!= col("probe_id"))
+      .select(col("probe_id"), col("id"),
+        graft.functions.VectorFunctions.pqAdcScore(col("codes"), col("lut"),
+          books(0).length).as("score"))
+      .filter(col("score").isNotNull)
+    TopK.topKPerKey(scored, Seq("probe_id"),
+        struct(negate(col("score")), col("id")), Seq("id", "score"), k)
+      .select(col("probe_id"), col("id"), col("rk"),
+        round(col("score"), 4).as("score_r"))
+  }
+}
