@@ -3,8 +3,9 @@ package graft
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.expressions.Expression
 
-import graft.functions.{CosineSimilarity, DotProduct, HashedWordNgrams,
-  MinHashSignature, SimHash64, SortedLongIntersectSize}
+import graft.functions.{CharWindowHashes, CosineSimilarity, DotProduct,
+  HashedWordNgrams, L2Normalize, MinHashSignature, SimHash64,
+  SortedLongIntersectSize}
 import org.apache.spark.sql.graft.ColumnBridge
 
 /** SQL surface for the custom expressions: registers them in the
@@ -48,7 +49,13 @@ object GraftExtensions {
       case _ => throw new IllegalArgumentException("hashed_word_ngrams(text[, n])")
     }),
     "sorted_long_intersect_size" ->
-      (args => SortedLongIntersectSize(args(0), args(1))))
+      (args => SortedLongIntersectSize(args(0), args(1))),
+    "l2_normalize" -> (args => L2Normalize(args.head)),
+    "char_window_hashes" -> (args => args match {
+      case Seq(c, w)    => CharWindowHashes(c, intArg(w), 42L)
+      case Seq(c, w, s) => CharWindowHashes(c, intArg(w), longArg(s))
+      case _ => throw new IllegalArgumentException("char_window_hashes(text, width[, seed])")
+    }))
 
   /** Register all graft functions on an existing session. */
   def register(spark: SparkSession): Unit =

@@ -1046,6 +1046,24 @@ object SparkEntry {
     graft.operators.Dedup.repeatedWindows(docs(s, d), "doc_id", "text",
       width = 32, minDocs = 2)
 
+  /** Q94 — product-quantized ANN with exact re-rank
+    * ([[graft.operators.Quantize]]; Jégou et al., TPAMI 2011): the
+    * third ANN scale path next to hyperplane LSH (q26) and IVF (q31).
+    * Codebooks train on the L2-NORMALIZED corpus (so ADC's inner
+    * product approximates cosine) and are cached per corpus dir — the
+    * build-once / probe-many lifecycle. Approximate by nature: recall
+    * pinned by spec (QuantizeSpec), not a SQL oracle.
+    */
+  def q94(s: SparkSession, d: String): DataFrame = {
+    val e = emb(s, d)
+    val norm = e.select(col("vec_id").as("id"),
+      graft.functions.VectorFunctions.l2Normalize(col("embedding")).as("nvec"))
+    val books = graft.operators.Quantize.fitPqCached(d, norm, "id", "nvec",
+      m = 8, ksub = 16, iters = 5)
+    graft.operators.Quantize.pqTopKRefined(e, e.filter(col("vec_id") < 5),
+      "vec_id", "embedding", books, k = 10, shortlist = 50)
+  }
+
   /** Q76 — incremental rollup maintenance ([[graft.sinks.IncrementalAgg]]):
     * the events stream split into two deterministic batches (even/odd
     * event_id), each folded into a partitioned (count, exact decimal
@@ -1261,7 +1279,8 @@ object SparkEntry {
     "q90_centroid_spread" -> (q90 _),
     "q91_collocations"    -> (q91 _),
     "q92_quantize_int8"   -> (q92 _),
-    "q93_repeated_substrings" -> (q93 _))
+    "q93_repeated_substrings" -> (q93 _),
+    "q94_pq_ann"          -> (q94 _))
 
   // DuckDB twins. Shared SQL fragments for the text queries:
   // explicit class: Java \s includes \x0B, RE2 \s does not — see

@@ -305,6 +305,43 @@ case class PqAdcScore(left: Expression, right: Expression, ksub: Int)
     copy(left = l, right = r)
 }
 
+/** `l2_normalize(vec)` — vector scaled to unit L2 norm, in one pass
+  * (norm accumulation + scale, no per-element lambda interpretation —
+  * a `transform(v, x -> x / sqrt(dot))` composition re-evaluates the
+  * norm subtree per element and runs interpreted). Output is
+  * array<double>; a zero-norm or empty vector normalizes to itself
+  * (all zeros), never NaN.
+  */
+case class L2Normalize(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  private def childIsFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    val isF = childIsFloat
+    val n = a.numElements()
+    val out = new Array[Double](n)
+    var s = 0.0; var i = 0
+    while (i < n) {
+      val x = if (isF) a.getFloat(i).toDouble else a.getDouble(i)
+      out(i) = x; s += x * x; i += 1
+    }
+    if (s > 0.0) {
+      val inv = 1.0 / math.sqrt(s)
+      i = 0
+      while (i < n) { out(i) *= inv; i += 1 }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Column-API surface for the vector kernels. */
 object VectorFunctions {
   import ColumnBridge.{column, expression}
@@ -317,4 +354,5 @@ object VectorFunctions {
     column(NearestCentroidL2(expression(vec), centroids))
   def pqAdcScore(codes: Column, lut: Column, ksub: Int): Column =
     column(PqAdcScore(expression(codes), expression(lut), ksub))
+  def l2Normalize(vec: Column): Column = column(L2Normalize(expression(vec)))
 }

@@ -127,6 +127,33 @@ object Quantize {
     books
   }
 
+  // trained codebooks keyed by (application, corpus key, params): plain
+  // driver-side arrays (KB-scale), so unlike [[IvfIndex.fitCached]] there
+  // are no cached DataFrames to evict — entries for dead applications are
+  // dropped lazily whenever a new application trains, bounding growth in
+  // a long-lived multi-session JVM.
+  private val fittedBooks =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Array[Double]]]]()
+
+  /** [[fitPq]] memoized per (session application, `key`, params): the
+    * build-once / probe-many index lifecycle — a bench loop or probe
+    * stream reuses the trained codebooks instead of re-running Lloyd
+    * rounds per call.
+    */
+  def fitPqCached(key: String, embeddings: DataFrame, idCol: String, vecCol: String,
+                  m: Int = 8, ksub: Int = 16, iters: Int = 5): Array[Array[Array[Double]]] = {
+    val app = embeddings.sparkSession.sparkContext.applicationId
+    val full = s"$app|$key|$m|$ksub|$iters"
+    val hit = fittedBooks.get(full)
+    if (hit != null) hit
+    else {
+      val it = fittedBooks.keySet.iterator()
+      while (it.hasNext) { if (!it.next().startsWith(app + "|")) it.remove() }
+      fittedBooks.computeIfAbsent(full,
+        _ => fitPq(embeddings, idCol, vecCol, m, ksub, iters))
+    }
+  }
+
   /** Encode the corpus against trained codebooks: `(id, codes)` where
     * `codes(s)` is the nearest (L2) centroid of subspace `s` — a pure
     * map-side projection, `m` bytes of index per vector at ksub ≤ 256.
@@ -201,5 +228,44 @@ object Quantize {
         struct(negate(col("score")), col("id")), Seq("id", "score"), k)
       .select(col("probe_id"), col("id"), col("rk"),
         round(col("score"), 4).as("score_r"))
+  }
+
+  /** PQ search with exact re-rank — the production recipe: L2-normalize
+    * (so ADC's inner product approximates cosine), ADC-shortlist
+    * `shortlist` candidates per probe from the codes alone, then exact
+    * cosine over ONLY the shortlist. Returns `(probe_id, vec_id, rk,
+    * sim_r)` — the [[Similarity.topKCosine]] output contract. `books`
+    * must be trained on the SAME normalization ([[fitPq]] over
+    * L2-normalized vectors), or the codes quantize a different space
+    * than the probes score.
+    *
+    * Scale: the exact phase touches `|probes| × shortlist` corpus rows
+    * (a broadcast-able id set), not the corpus — the full-precision
+    * vectors are fetched by equi-join, never scanned. Recall is
+    * governed by `shortlist` and the codebook size; the codes table is
+    * `m` bytes per row, so the shortlist scan runs over an index ~30×
+    * smaller than the float corpus.
+    */
+  def pqTopKRefined(embeddings: DataFrame, probes: DataFrame, idCol: String,
+                    vecCol: String, books: Array[Array[Array[Double]]],
+                    k: Int, shortlist: Int = 50,
+                    maxProbes: Int = 10000): DataFrame = {
+    import graft.functions.VectorFunctions
+    val corpus = embeddings
+      .select(col(idCol).as("id"), VectorFunctions.l2Normalize(col(vecCol)).as("nvec"))
+    val p = probes
+      .select(col(idCol).as("probe_id"), VectorFunctions.l2Normalize(col(vecCol)).as("pvec"))
+    val enc = encodePq(corpus, "id", "nvec", books)
+    val short = pqTopK(enc, p.select(col("probe_id").as("id"), col("pvec").as("vec")),
+      "id", "vec", books, shortlist, maxProbes)
+    val rer = short.select(col("probe_id"), col("id"))
+      .join(corpus.withColumnRenamed("nvec", "cvec"), "id")
+      .join(broadcast(p), "probe_id")
+      .withColumn("sim", VectorFunctions.cosineSimilarity(col("cvec"), col("pvec")))
+      .filter(col("sim").isNotNull)
+    TopK.topKPerKey(rer, Seq("probe_id"),
+        struct(negate(col("sim")), col("id")), Seq("id", "sim"), k)
+      .select(col("probe_id"), col("id").as("vec_id"), col("rk"),
+        round(col("sim"), 4).as("sim_r"))
   }
 }

@@ -292,4 +292,28 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("PushedFilters: [IsNotNull(value)"),
       s"null filter not pushed to the scan:\n$p")
   }
+
+  test("q92: encoding is a pure map-side projection — zero exchanges, no join") {
+    // the min/max stats fold into expression literals at build time; the
+    // returned plan must be scan -> generate -> project with no shuffle
+    val p = plan(SparkEntry.q92(spark, sf0001))
+    assert(!p.contains("Exchange"), s"quantization encode must not shuffle:\n$p")
+    assert(!p.contains("Join"), s"encode must not join the stats table:\n$p")
+  }
+
+  test("q93: substrings materialize only after the hash-count join") {
+    val p = plan(SparkEntry.q93(spark, sf0001))
+    // stage A shuffles 8-byte hashes (count per hash); raw window strings
+    // appear only above the join with the heavy-hash set
+    // plans print top-down: the substr projection must sit ABOVE (= run
+    // after) the join, so its first occurrence precedes the join's in
+    // the plan string — raw window strings never feed a shuffle below it
+    val joinIdx = p.indexOf("Join")
+    val substrIdx = p.indexOf("substr")
+    assert(joinIdx >= 0, s"expected the heavy-hash join:\n$p")
+    assert(substrIdx >= 0, s"expected the substring recovery:\n$p")
+    assert(substrIdx < joinIdx,
+      s"substrings must be derived above (after) the hash join, not shuffled raw:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+  }
 }
