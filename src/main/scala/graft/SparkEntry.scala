@@ -1064,6 +1064,30 @@ object SparkEntry {
       "vec_id", "embedding", books, k = 10, shortlist = 50)
   }
 
+  /** Q95 — embedding covariance matrix ([[graft.operators.Pca]]): the
+    * d × d second-moment pass as ONE typed-aggregator job — each
+    * partition ships a single `1 + d + d(d+1)/2` double buffer, never
+    * exploded rows. Oracle = the corpus × d² self-join DuckDB can
+    * afford at sf and the engine never runs. Rounded to 6 decimals
+    * (cross-engine summation-order ulps).
+    */
+  def q95(s: SparkSession, d: String): DataFrame =
+    graft.operators.Pca.covariance(emb(s, d), "embedding", d = 64, scale = 6)
+
+  /** Q96 — PCA projection ([[graft.operators.Pca.fit]]/`project`):
+    * top-2 components from the driver-side Jacobi eigensolve of q95's
+    * covariance (d² metadata), projection as a map-side dot against
+    * eigenvector literals. Eigen-decomposition is not SQL-expressible:
+    * no oracle; the spectral invariants (Cv = λv, projection variance
+    * = λ, orthonormality) are spec-pinned (PcaSpec).
+    */
+  def q96(s: SparkSession, d: String): DataFrame = {
+    val model = graft.operators.Pca.fit(emb(s, d), "embedding", d = 64, k = 2)
+    graft.operators.Pca.project(emb(s, d), "vec_id", "embedding", model)
+      .select(col("vec_id"), round(col("pc1"), 4).as("pc1"),
+        round(col("pc2"), 4).as("pc2"))
+  }
+
   /** Q76 — incremental rollup maintenance ([[graft.sinks.IncrementalAgg]]):
     * the events stream split into two deterministic batches (even/odd
     * event_id), each folded into a partitioned (count, exact decimal
@@ -1280,7 +1304,9 @@ object SparkEntry {
     "q91_collocations"    -> (q91 _),
     "q92_quantize_int8"   -> (q92 _),
     "q93_repeated_substrings" -> (q93 _),
-    "q94_pq_ann"          -> (q94 _))
+    "q94_pq_ann"          -> (q94 _),
+    "q95_embed_covariance" -> (q95 _),
+    "q96_pca_project"     -> (q96 _))
 
   // DuckDB twins. Shared SQL fragments for the text queries:
   // explicit class: Java \s includes \x0B, RE2 \s does not — see
@@ -1988,5 +2014,15 @@ object SparkEntry {
          |        FROM documents))
          |SELECT w, count(DISTINCT doc_id) AS n_docs FROM pos GROUP BY w
          |HAVING count(DISTINCT doc_id) >= 2
+         |""".stripMargin),
+    "q95_embed_covariance" ->
+      ("""WITH e AS (
+         |  SELECT vec_id,
+         |    CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS pos,
+         |    CAST(unnest(embedding) AS DOUBLE) AS v
+         |  FROM embeddings)
+         |SELECT a.pos AS i, b.pos AS j, round(covar_pop(a.v, b.v), 6) AS cov
+         |FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.pos <= b.pos
+         |GROUP BY 1, 2
          |""".stripMargin))
 }
