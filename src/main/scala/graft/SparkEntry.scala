@@ -1088,6 +1088,18 @@ object SparkEntry {
         round(col("pc2"), 4).as("pc2"))
   }
 
+  /** Q97 — semantic deduplication (SemDeDup, Abbas et al. 2023;
+    * [[graft.operators.Dedup.semanticDedup]]): k-means cells bound the
+    * pairwise cosine stage, connected components pick lowest-id
+    * survivors. τ = 0.42 sits just inside the fixture's cosine tail so
+    * real duplicate groups form. Cluster assignment is k-means —
+    * not SQL-expressible: no oracle; semantics pinned by SemanticDedupSpec
+    * planted-cluster tests.
+    */
+  def q97(s: SparkSession, d: String): DataFrame =
+    graft.operators.Dedup.semanticDedup(emb(s, d), "vec_id", "embedding",
+      nlist = 8, tau = 0.42, iters = 3)
+
   /** Q76 — incremental rollup maintenance ([[graft.sinks.IncrementalAgg]]):
     * the events stream split into two deterministic batches (even/odd
     * event_id), each folded into a partitioned (count, exact decimal
@@ -1306,7 +1318,8 @@ object SparkEntry {
     "q93_repeated_substrings" -> (q93 _),
     "q94_pq_ann"          -> (q94 _),
     "q95_embed_covariance" -> (q95 _),
-    "q96_pca_project"     -> (q96 _))
+    "q96_pca_project"     -> (q96 _),
+    "q97_semantic_dedup"  -> (q97 _))
 
   // DuckDB twins. Shared SQL fragments for the text queries:
   // explicit class: Java \s includes \x0B, RE2 \s does not — see

@@ -285,6 +285,47 @@ object Dedup {
       .select(col("a_id"), col("b_id"), col("hamming"))
   }
 
+  /** Semantic deduplication (SemDeDup — Abbas, Tirumala et al.,
+    * "SemDeDup: Data-efficient learning at web-scale through semantic
+    * deduplication", 2023): k-means-cluster the embedding corpus, find
+    * cosine-near pairs ONLY within each cluster, connected-component
+    * them, keep the lowest-id survivor per component. Returns
+    * `(id, cell, survivor_id, is_survivor)` for every input row — the
+    * caller filters `is_survivor` to drop semantic duplicates.
+    *
+    * Scale design: the coarse quantizer bounds the pairwise stage —
+    * candidates are an equi-join on `cell` (corpus² / nlist expected
+    * pairs, tunable), never an all-pairs scan; clustering itself is
+    * [[IvfIndex.fit]]'s map-side-assign / metadata-update loop. A
+    * pathologically hot cell is the documented failure mode: raise
+    * `nlist` (finer cells) — the same dial FAISS-style pipelines turn.
+    */
+  def semanticDedup(embeddings: DataFrame, idCol: String, vecCol: String,
+                    nlist: Int = 16, tau: Double = 0.9,
+                    iters: Int = 5): DataFrame = {
+    import graft.functions.VectorFunctions
+    val (assigned, _) = IvfIndex.fit(embeddings, idCol, vecCol, nlist, iters)
+    val a = assigned.select(col("id"), col("vec"), col("cell"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pairs = a.as("x").join(a.as("y"),
+        col("x.cell") === col("y.cell") && col("x.id") < col("y.id"))
+      .withColumn("sim",
+        VectorFunctions.cosineSimilarity(col("x.vec"), col("y.vec")))
+      .filter(col("sim") >= tau)
+      .select(col("x.id").as("a_id"), col("y.id").as("b_id"))
+    val comps = nearDupComponents(a.select(col("id")), "id", pairs)
+      .withColumnRenamed("id", "cid")
+    val out = a.select(col("id"), col("cell"))
+      .join(comps, col("id") === col("cid"))
+      .select(col("id"), col("cell"), col("survivor_id"),
+        (col("id") === col("survivor_id")).as("is_survivor"))
+    // the persist fed the (eagerly checkpointed) pair join; the returned
+    // plan's remaining `a` references are map-side re-assignment from
+    // source, so releasing here costs one extra scan, not a re-join
+    a.unpersist(blocking = false)
+    out
+  }
+
   /** Cross-document repeated substrings: every `width`-char window
     * occurring in ≥ `minDocs` distinct documents, with its exact
     * distinct-document count — the exact-substring duplication scan of
