@@ -360,11 +360,17 @@ object Dedup {
       .groupBy(col("h")).agg(count(lit(1)).as("__nd"))
       .filter(col("__nd") >= minDocs)
       .select(col("h"))
+    // the probe side drags a copy of `text` per window row — a shuffle
+    // join would move ~width× the corpus; the heavy set (8 B per
+    // repeated window) must broadcast. AQE alone won't: the pre-runtime
+    // size estimate of an aggregate over an explode is the exploded
+    // width, far past the auto-broadcast threshold — measured 2.5×
+    // end-to-end (SMJ 12 s → BHJ 4.9 s at sf0.1) before the hint.
     base
       .select(col("id"), col("text"),
         posexplode(HashFunctions.charWindowHashes(col("text"), width, seed))
           .as(Seq("p", "h")))
-      .join(heavy, "h")
+      .join(broadcast(heavy), "h")
       .select(col("id"), col("text").substr(col("p") + 1, lit(width)).as("w"))
       .groupBy(col("w"))
       .agg(countDistinct(col("id")).as("n_docs"))

@@ -308,12 +308,14 @@ class PlanSpec extends SparkSpec {
     // plans print top-down: the substr projection must sit ABOVE (= run
     // after) the join, so its first occurrence precedes the join's in
     // the plan string — raw window strings never feed a shuffle below it
-    val joinIdx = p.indexOf("Join")
+    val joinIdx = p.indexOf("BroadcastHashJoin")
     val substrIdx = p.indexOf("substr")
-    assert(joinIdx >= 0, s"expected the heavy-hash join:\n$p")
+    assert(joinIdx >= 0,
+      s"heavy-hash set must broadcast (SMJ would shuffle text-carrying window rows):\n$p")
     assert(substrIdx >= 0, s"expected the substring recovery:\n$p")
     assert(substrIdx < joinIdx,
       s"substrings must be derived above (after) the hash join, not shuffled raw:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"window rows must not shuffle for the join:\n$p")
     assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
   }
 }
