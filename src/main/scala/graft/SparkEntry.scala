@@ -1100,6 +1100,31 @@ object SparkEntry {
     graft.operators.Dedup.semanticDedup(emb(s, d), "vec_id", "embedding",
       nlist = 8, tau = 0.42, iters = 3)
 
+  /** Q98 — dynamic partition pruning over the Hive-partitioned layout
+    * ([[graft.sinks.Layout.partitionedCopy]]): the fact side reads the
+    * events copy partitioned by `event_type`; the dim side is the
+    * above-average-frequency types (count × 5 > total — integer
+    * arithmetic, no float boundary). Catalyst inserts a
+    * `dynamicpruningexpression` into the fact scan's PartitionFilters,
+    * so only the dim's partitions are ever read — the lake-format
+    * partition-elimination path, plan-gated in PlanSpec. Oracle = the
+    * same join over the unpartitioned table.
+    */
+  def q98(s: SparkSession, d: String): DataFrame = {
+    val src = ev(s, d).select(col("event_id"), col("user_id"),
+      col("event_type"), col("value"))
+    val dir = graft.sinks.Layout.partitionedCopy(src, s"events:$d", "event_type")
+    val fact = s.read.parquet(dir)
+    val total = src.count()
+    val dim = src.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("__c"))
+      .filter(col("__c") * 5 > lit(total))
+      .select(col("event_type"))
+    fact.join(dim, "event_type")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value"), 2).as("sum_v"))
+  }
+
   /** Q76 — incremental rollup maintenance ([[graft.sinks.IncrementalAgg]]):
     * the events stream split into two deterministic batches (even/odd
     * event_id), each folded into a partitioned (count, exact decimal
@@ -1319,7 +1344,8 @@ object SparkEntry {
     "q94_pq_ann"          -> (q94 _),
     "q95_embed_covariance" -> (q95 _),
     "q96_pca_project"     -> (q96 _),
-    "q97_semantic_dedup"  -> (q97 _))
+    "q97_semantic_dedup"  -> (q97 _),
+    "q98_dpp_join"        -> (q98 _))
 
   // DuckDB twins. Shared SQL fragments for the text queries:
   // explicit class: Java \s includes \x0B, RE2 \s does not — see
@@ -2037,5 +2063,14 @@ object SparkEntry {
          |SELECT a.pos AS i, b.pos AS j, round(covar_pop(a.v, b.v), 6) AS cov
          |FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.pos <= b.pos
          |GROUP BY 1, 2
+         |""".stripMargin),
+    "q98_dpp_join" ->
+      ("""WITH dim AS (
+         |  SELECT event_type FROM events GROUP BY 1
+         |  HAVING count(*) * 5 > (SELECT count(*) FROM events))
+         |SELECT e.event_type, count(*) AS n,
+         |  CAST(sum(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v
+         |FROM events e JOIN dim USING (event_type)
+         |GROUP BY 1
          |""".stripMargin))
 }

@@ -173,4 +173,24 @@ object Layout {
         .filter(col(column) >= lo && col(column) <= hi)
     (df, keep.length, files.length)
   }
+
+  // Hive-partitioned copies, same once-per-key lifecycle as [[copies]]
+  private val partCopies =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Write `df` once as a Hive-partitioned parquet layout
+    * (`dir/<partCol>=<v>/...`) at a deterministic per-key path and
+    * return the directory — the layout that makes PARTITION pruning
+    * (static and dynamic) available to every later read. Same
+    * single-writer contract as [[zOrderedWithStats]].
+    */
+  def partitionedCopy(df: DataFrame, cacheKey: String, partCol: String): String =
+    partCopies.computeIfAbsent(s"$cacheKey|$partCol", fullKey => {
+      val keyHex = java.security.MessageDigest.getInstance("MD5")
+        .digest(fullKey.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft-hivepart-$keyHex/lake").toString
+      df.write.mode("overwrite").partitionBy(partCol).parquet(dir)
+      dir
+    })
 }

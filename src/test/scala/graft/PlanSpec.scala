@@ -318,4 +318,10 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), s"window rows must not shuffle for the join:\n$p")
     assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
   }
+
+  test("q98: the fact scan carries a dynamic partition-pruning filter") {
+    val p = plan(SparkEntry.q98(spark, sf0001))
+    assert(p.toLowerCase.contains("dynamicpruning"),
+      s"fact scan must be dynamically partition-pruned by the dim side:\n$p")
+  }
 }
