@@ -1125,6 +1125,15 @@ object SparkEntry {
       .agg(count(lit(1)).as("n"), dsum(col("value"), 2).as("sum_v"))
   }
 
+  /** Q99 — BPE tokenizer training ([[graft.operators.Corpus.learnBpe]];
+    * Sennrich et al. 2016): 12 merge rules learned from the documents
+    * corpus, one partial-aggregated pair-count pass per round.
+    * Iterative argmax is not SQL-expressible: no oracle; the learner is
+    * pinned against a driver-side reference implementation (BpeSpec).
+    */
+  def q99(s: SparkSession, d: String): DataFrame =
+    graft.operators.Corpus.learnBpe(docs(s, d), "text", numMerges = 12)
+
   /** Q76 — incremental rollup maintenance ([[graft.sinks.IncrementalAgg]]):
     * the events stream split into two deterministic batches (even/odd
     * event_id), each folded into a partitioned (count, exact decimal
@@ -1345,7 +1354,8 @@ object SparkEntry {
     "q95_embed_covariance" -> (q95 _),
     "q96_pca_project"     -> (q96 _),
     "q97_semantic_dedup"  -> (q97 _),
-    "q98_dpp_join"        -> (q98 _))
+    "q98_dpp_join"        -> (q98 _),
+    "q99_bpe_learn"       -> (q99 _))
 
   // DuckDB twins. Shared SQL fragments for the text queries:
   // explicit class: Java \s includes \x0B, RE2 \s does not — see

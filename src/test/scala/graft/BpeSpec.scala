@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.BpeFunctions
+import graft.operators.Corpus
+
+/** BPE training pinned against an independent driver-side reference:
+  * same start symbols (code points within whitespace words), same
+  * left-to-right merge application, same (count desc, l asc, r asc)
+  * tie-break.
+  */
+class BpeSpec extends SparkSpec {
+  private val sp = spark
+  import sp.implicits._
+
+  /** Reference BPE learner over an in-memory corpus. */
+  private def refLearn(texts: Seq[String], k: Int): Seq[(String, String, Long)] = {
+    def split(w: String): Vector[String] =
+      w.codePoints().toArray.toVector.map(cp => new String(Character.toChars(cp)))
+    def applyMerge(syms: Vector[String], a: String, b: String): Vector[String] = {
+      val buf = Vector.newBuilder[String]
+      var i = 0
+      while (i < syms.length) {
+        if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+          buf += a + b; i += 2
+        } else { buf += syms(i); i += 1 }
+      }
+      buf.result()
+    }
+    var words: Seq[Vector[String]] = texts
+      .flatMap(_.split("[ \t\n\f\r]+")).filter(_.nonEmpty).map(split)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    var done = false
+    while (merges.length < k && !done) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      for (w <- words; i <- 0 until w.length - 1)
+        counts((w(i), w(i + 1))) = counts.getOrElse((w(i), w(i + 1)), 0L) + 1
+      if (counts.isEmpty) done = true
+      else {
+        val ((a, b), c) = counts.toSeq.minBy { case ((l, r), n) => (-n, l, r) }
+        merges += ((a, b, c))
+        words = words.map(applyMerge(_, a, b))
+      }
+    }
+    merges.toSeq
+  }
+
+  private val corpus = Seq(
+    "the cat sat on the mat",
+    "the cats eat the fish",
+    "that mat is flat",
+    "the the the banana stand")
+
+  test("learnBpe matches the reference learner merge-for-merge") {
+    val got = Corpus.learnBpe(corpus.toDF("text"), "text", numMerges = 10)
+      .orderBy("rank").as[(Int, String, String, Long)].collect()
+      .map { case (_, l, r, c) => (l, r, c) }.toSeq
+    assert(got === refLearn(corpus, 10))
+  }
+
+  test("bpeSymbols applies merges within words only; boundaries never merge") {
+    val merges = Array(("t", "h"), ("th", "e"))
+    val syms = Seq("the thermos, the").toDF("text")
+      .select(BpeFunctions.bpeSymbols(col("text"), merges).as("s"))
+      .as[Seq[String]].head()
+    assert(syms === Seq("the", "the", "r", "m", "o", "s", ",", "the"))
+  }
+
+  test("bpePairs under no merges = adjacent code points within words") {
+    val pairs = Seq("ab cd").toDF("text")
+      .select(explode(BpeFunctions.bpePairs(col("text"),
+        Array.empty[(String, String)])).as("p"))
+      .select(col("p.l"), col("p.r")).as[(String, String)].collect().toSeq
+    assert(pairs === Seq(("a", "b"), ("c", "d"))) // no ("b", "c") across the space
+  }
+
+  test("learnBpe stops early when the corpus is fully merged") {
+    val tiny = Seq("aa aa", "aa").toDF("text")
+    val got = Corpus.learnBpe(tiny, "text", numMerges = 50).count()
+    assert(got < 50) // "aa" collapses after one merge; no infinite loop
+  }
+
+  test("q99 runs on the fixture and learns frequent merges first") {
+    val m = SparkEntry.q99(spark, sf0001)
+      .orderBy("rank").as[(Int, String, String, Long)].collect()
+    assert(m.length === 12)
+    // counts are non-increasing-ish is NOT guaranteed (later merges can
+    // create new frequent pairs), but every chosen count is positive and
+    // ranks are dense
+    assert(m.forall(_._4 > 0))
+    assert(m.map(_._1).toSeq === (1 to 12))
+  }
+}
