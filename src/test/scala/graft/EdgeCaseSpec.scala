@@ -80,6 +80,35 @@ class EdgeCaseSpec extends SparkSpec {
       .count() === 0)
   }
 
+  test("round-9 operators tolerate empty and degenerate inputs") {
+    val emptyDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(graft.operators.Dedup.repeatedWindows(emptyDocs, "doc_id", "text")
+      .count() === 0)
+    // texts all shorter than the window width: zero windows, zero rows
+    val shorts = Seq((1L, "tiny"), (2L, "tiny")).toDF("doc_id", "text")
+    assert(graft.operators.Dedup.repeatedWindows(shorts, "doc_id", "text",
+      width = 32).count() === 0)
+    val emptyVecs = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "vec")
+    assert(graft.operators.Quantize.scalarQuantize(emptyVecs, "vec_id", "vec")
+      .count() === 0)
+    // BPE on an empty corpus: no pairs, empty merge table, no hang
+    assert(graft.operators.Corpus.learnBpe(emptyDocs, "text", 5).count() === 0)
+    // single-char words only: nothing to merge
+    val chars = Seq((1L, "a b c d")).toDF("doc_id", "text")
+    assert(graft.operators.Corpus.learnBpe(chars, "text", 5).count() === 0)
+    // covariance/fit refuse an empty corpus loudly instead of NaN-ing
+    intercept[IllegalArgumentException] {
+      graft.operators.Pca.covariance(emptyVecs, "vec", d = 4)
+    }
+  }
+
+  test("scalarQuantize: constant and single-row dimensions code to 0") {
+    val one = Seq((7L, Seq(1.5f, -2.0f))).toDF("id", "vec")
+    val codes = graft.operators.Quantize.scalarQuantize(one, "id", "vec")
+      .select("code").as[Long].collect()
+    assert(codes.toSeq === Seq(0L, 0L)) // mn == mx per dim -> code 0
+  }
+
   test("snapshot diff against an empty side degenerates to all-added/all-removed") {
     val some = Seq((1L, 1.0), (2L, 2.0)).toDF("id", "v")
     val none = Seq.empty[(Long, Double)].toDF("id", "v")

@@ -240,6 +240,44 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: scalarQuantize codes are bounded and order-preserving per dim") {
+    val vecGen = Gen.listOfN(4, Gen.choose(-100.0f, 100.0f))
+    samples(Gen.listOfN(20, vecGen), 6).foreach { vecs =>
+      val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "vec")
+      val got = graft.operators.Quantize.scalarQuantize(df, "id", "vec")
+        .as[(Long, Int, Long)].collect()
+      assert(got.forall { case (_, _, c) => c >= 0L && c <= 255L })
+      // within a dimension, a larger value never gets a smaller code
+      for (p <- 0 until 4) {
+        val dim = got.filter(_._2 == p).map { case (id, _, c) =>
+          (vecs(id.toInt)(p), c) }.sortBy(_._1)
+        assert(dim.zip(dim.tail).forall { case ((_, c1), (_, c2)) => c1 <= c2 },
+          s"codes not monotone in dim $p")
+      }
+    }
+  }
+
+  test("property: repeatedWindows equals brute force on random repetitive corpora") {
+    val phraseGen = Gen.oneOf("sharedalphaphrase", "otherbetachunk", "gammagammagamma")
+    val docGen = for {
+      pre <- Gen.alphaLowerStr.map(_.take(6))
+      ph <- phraseGen
+      post <- Gen.alphaLowerStr.map(_.take(6))
+    } yield pre + ph + post
+    samples(Gen.listOfN(8, docGen), 6).foreach { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val width = 10
+      val got = graft.operators.Dedup.repeatedWindows(docs, "doc_id", "text",
+          width = width, minDocs = 2)
+        .as[(String, Long)].collect().toMap
+      val brute = texts.zipWithIndex.flatMap { case (t, i) =>
+          (0 to t.length - width).map(o => (t.substring(o, o + width), i.toLong))
+        }.distinct.groupBy(_._1).view.mapValues(_.size.toLong)
+        .filter(_._2 >= 2).toMap
+      assert(got === brute)
+    }
+  }
+
   test("property: modePerKey's winner count equals the true max count") {
     val rowGen = for {
       k <- Gen.choose(0L, 5L); v <- Gen.oneOf("a", "b", "c", "d")
