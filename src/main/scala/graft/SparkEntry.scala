@@ -1134,6 +1134,19 @@ object SparkEntry {
   def q99(s: SparkSession, d: String): DataFrame =
     graft.operators.Corpus.learnBpe(docs(s, d), "text", numMerges = 12)
 
+  /** Q100 — Count-Min frequency sketch
+    * ([[graft.operators.Sketches]]; Cormode & Muthukrishnan 2005): the
+    * MERGEABLE counter grid — one grid per partition through the
+    * shuffle, elementwise adds — with the exact top-20 alongside so the
+    * never-underestimate guarantee is visible in the output. Estimates
+    * are hash-family-specific: no SQL oracle; the CMS guarantees
+    * (est ≥ exact, merge ≡ one-pass, error ≤ bound) are spec-pinned
+    * (SketchesSpec).
+    */
+  def q100(s: SparkSession, d: String): DataFrame =
+    graft.operators.Sketches.heavyHittersWithEstimates(
+      ev(s, d), "user_id", k = 20)
+
   /** Q76 — incremental rollup maintenance ([[graft.sinks.IncrementalAgg]]):
     * the events stream split into two deterministic batches (even/odd
     * event_id), each folded into a partitioned (count, exact decimal
@@ -1355,7 +1368,8 @@ object SparkEntry {
     "q96_pca_project"     -> (q96 _),
     "q97_semantic_dedup"  -> (q97 _),
     "q98_dpp_join"        -> (q98 _),
-    "q99_bpe_learn"       -> (q99 _))
+    "q99_bpe_learn"       -> (q99 _),
+    "q100_cms_sketch"     -> (q100 _))
 
   // DuckDB twins. Shared SQL fragments for the text queries:
   // explicit class: Java \s includes \x0B, RE2 \s does not — see

@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Sketches
+
+/** Count-Min guarantees pinned: never underestimates, merge of partial
+  * sketches equals the one-pass sketch, and the overestimate stays
+  * within the classic e·N/width bound on the fixture.
+  */
+class SketchesSpec extends SparkSpec {
+  private val sp = spark
+  import sp.implicits._
+
+  test("CMS never underestimates any key's true count") {
+    val rows = Seq.tabulate(2000)(i => (i % 37).toLong).toDF("k")
+    val sketch = Sketches.countMin(rows, "k", depth = 4, width = 256)
+    val exact = (0L until 37L).map(k => k -> (2000 / 37 + (if (k < 2000 % 37) 1 else 0)).toLong)
+    for ((k, n) <- exact)
+      assert(Sketches.estimate(sketch, 4, 256, 42L, k) >= n, s"underestimated key $k")
+  }
+
+  test("merged partial sketches equal the single-pass sketch") {
+    val all = Seq.tabulate(999)(i => (i % 13).toLong)
+    val (a, b) = all.splitAt(421)
+    val skAll = Sketches.countMin(all.toDF("k"), "k", depth = 3, width = 128)
+    val skA = Sketches.countMin(a.toDF("k"), "k", depth = 3, width = 128)
+    val skB = Sketches.countMin(b.toDF("k"), "k", depth = 3, width = 128)
+    val merged = skA.zip(skB).map { case (x, y) => x + y }
+    assert(merged.toSeq === skAll.toSeq) // mergeability — the 100 TB property
+  }
+
+  test("overestimate bounded by ~e*N/width on the fixture corpus") {
+    val e = Tables.events(spark, sf0001).select(col("user_id"))
+    val n = e.count()
+    val width = 2048
+    val out = Sketches.heavyHittersWithEstimates(e, "user_id", k = 50,
+        width = width)
+      .as[(Long, Long, Long)].collect()
+    assert(out.nonEmpty)
+    assert(out.forall { case (_, exact, est) => est >= exact })
+    val bound = (math.E * n / width).ceil.toLong * 3 // 3x slack over E[error]
+    assert(out.forall { case (k, exact, est) => est - exact <= bound },
+      s"error above bound: ${out.filter(r => r._3 - r._2 > bound).toSeq}")
+  }
+
+  test("q100 output contract: top-20 by exact count, est alongside") {
+    val df = SparkEntry.q100(spark, sf0001)
+    assert(df.columns.toSeq === Seq("key", "exact", "est"))
+    val rows = df.as[(Long, Long, Long)].collect()
+    val nUsers = Tables.events(spark, sf0001)
+      .select(countDistinct(col("user_id"))).head().getLong(0)
+    assert(rows.length === math.min(20L, nUsers))
+    // descending exact order with the declared tie-break
+    assert(rows.sliding(2).forall { case Array((k1, e1, _), (k2, e2, _)) =>
+      e1 > e2 || (e1 == e2 && k1 < k2) })
+  }
+}
