@@ -1147,6 +1147,17 @@ object SparkEntry {
     graft.operators.Sketches.heavyHittersWithEstimates(
       ev(s, d), "user_id", k = 20)
 
+  /** Q101 — composed IVF-PQ ANN ([[graft.operators.Quantize.ivfPqTopK]];
+    * Jégou et al. 2011 end-to-end): coarse cells bound WHICH rows score,
+    * PQ codes bound WHAT is read to score them, exact re-rank restores
+    * precision. Index cached per corpus (build-once / probe-many).
+    * Approximate: recall pinned by spec (QuantizeSpec), no SQL oracle.
+    */
+  def q101(s: SparkSession, d: String): DataFrame =
+    graft.operators.Quantize.ivfPqTopK(emb(s, d), emb(s, d).filter(col("vec_id") < 5),
+      "vec_id", "embedding", k = 10, nlist = 16, nProbe = 4,
+      shortlist = 50, cacheKey = Some(d))
+
   /** Q76 — incremental rollup maintenance ([[graft.sinks.IncrementalAgg]]):
     * the events stream split into two deterministic batches (even/odd
     * event_id), each folded into a partitioned (count, exact decimal
@@ -1369,7 +1380,8 @@ object SparkEntry {
     "q97_semantic_dedup"  -> (q97 _),
     "q98_dpp_join"        -> (q98 _),
     "q99_bpe_learn"       -> (q99 _),
-    "q100_cms_sketch"     -> (q100 _))
+    "q100_cms_sketch"     -> (q100 _),
+    "q101_ivfpq_ann"      -> (q101 _))
 
   // DuckDB twins. Shared SQL fragments for the text queries:
   // explicit class: Java \s includes \x0B, RE2 \s does not — see

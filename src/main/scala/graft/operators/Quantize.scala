@@ -246,6 +246,114 @@ object Quantize {
     * `m` bytes per row, so the shortlist scan runs over an index ~30×
     * smaller than the float corpus.
     */
+  /** Full IVF-PQ ANN (Jégou et al., TPAMI 2011 — the composed system):
+    * the coarse quantizer ([[IvfIndex]]) bounds WHICH rows are scored
+    * (only the probe's `nProbe` nearest cells), the PQ codes bound WHAT
+    * is read to score them (m bytes per row, ADC lookup tables, vectors
+    * untouched), and an exact cosine re-rank over the shortlist
+    * restores precision. Everything runs in the L2-normalized space so
+    * ADC's inner product approximates cosine.
+    *
+    * This variant encodes raw normalized vectors (IVFFlat-style codes);
+    * residual encoding (codes of `v − centroid`, one LUT per probe ×
+    * cell) is the next refinement step and slots into the same plan.
+    *
+    * Scale: probes collect to the driver (routing + LUTs are per-probe
+    * metadata, bounded by `maxProbes`); the codes table streams through
+    * ONE broadcast join on `cell`; the re-rank fetches `|probes| ×
+    * shortlist` full vectors by equi-join. At 100 TB the codes table is
+    * ~30× smaller than the corpus and the cell join prunes it another
+    * `nlist / nProbe`×.
+    */
+  def ivfPqTopK(embeddings: DataFrame, probes: DataFrame, idCol: String,
+                vecCol: String, k: Int, nlist: Int = 16, nProbe: Int = 4,
+                m: Int = 8, ksub: Int = 16, iters: Int = 3,
+                shortlist: Int = 50, cacheKey: Option[String] = None,
+                maxProbes: Int = 10000): DataFrame = {
+    import graft.functions.VectorFunctions
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val corpus = embeddings
+      .select(col(idCol).as("id"), VectorFunctions.l2Normalize(col(vecCol)).as("nvec"))
+    val (assigned, centroids) = cacheKey match {
+      case Some(ck) => IvfIndex.fitCached(s"$ck|ivfpq", corpus, "id", "nvec", nlist, iters)
+      case None     => IvfIndex.fit(corpus, "id", "nvec", nlist, iters)
+    }
+    val books = cacheKey match {
+      case Some(ck) => fitPqCached(s"$ck|ivfpq", corpus, "id", "nvec", m, ksub, iters)
+      case None     => fitPq(corpus, "id", "nvec", m, ksub, iters)
+    }
+    val dsub = books(0)(0).length
+    val encoded = assigned.select(col("id"), col("cell"),
+      array((0 until m).map { s =>
+        VectorFunctions.nearestCentroidL2(
+          slice(col("vec"), s * dsub + 1, dsub), books(s))
+      }: _*).as("codes"))
+
+    // probe-side metadata on the driver: normalize, route to nProbe
+    // cells by cosine against the (tiny) centroid table, build the LUT
+    val pRows = probes
+      .select(col(idCol).cast("long").as("probe_id"),
+        VectorFunctions.l2Normalize(col(vecCol)).as("pvec"))
+      .filter(col("pvec").isNotNull)
+      .limit(maxProbes + 1).collect()
+    require(pRows.length <= maxProbes,
+      s"ivfPqTopK: probe set exceeds maxProbes = $maxProbes rows; routing " +
+        "tables replicate per task — keep probes small or raise maxProbes " +
+        "deliberately")
+    val cents = centroids.select(col("cell"), col("cvec")).collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+    def cosine(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      if (na == 0.0 || nb == 0.0) Double.NegativeInfinity
+      else d / math.sqrt(na * nb)
+    }
+    val routed: Seq[(Long, Int, Seq[Double])] = pRows.toSeq.flatMap { r =>
+      val pid = r.getLong(0)
+      val pv = r.getSeq[Double](1).toArray
+      val lut = new Array[Double](m * ksub)
+      var s = 0
+      while (s < m) {
+        var c = 0
+        while (c < books(s).length) {
+          var acc = 0.0; var j = 0
+          while (j < dsub && s * dsub + j < pv.length) {
+            acc += pv(s * dsub + j) * books(s)(c)(j); j += 1
+          }
+          lut(s * ksub + c) = acc; c += 1
+        }
+        s += 1
+      }
+      cents.map { case (cell, cv) => (cell, cosine(pv, cv)) }
+        .sortBy { case (cell, sim) => (-sim, cell) }
+        .take(nProbe)
+        .map { case (cell, _) => (pid, cell, lut.toSeq) }
+    }
+    val routedDf = routed.toDF("probe_id", "cell", "lut")
+    val scored = encoded.join(broadcast(routedDf), "cell")
+      .filter(col("id") =!= col("probe_id"))
+      .select(col("probe_id"), col("id"),
+        graft.functions.VectorFunctions.pqAdcScore(col("codes"), col("lut"), ksub)
+          .as("score"))
+      .filter(col("score").isNotNull)
+    val short = TopK.topKPerKey(scored, Seq("probe_id"),
+      struct(negate(col("score")), col("id")), Seq("id"), shortlist)
+
+    val pDf = pRows.toSeq.map(r => (r.getLong(0), r.getSeq[Double](1)))
+      .toDF("probe_id", "pvec")
+    val rer = short.select(col("probe_id"), col("id"))
+      .join(corpus.withColumnRenamed("nvec", "cvec"), "id")
+      .join(broadcast(pDf), "probe_id")
+      .withColumn("sim", VectorFunctions.cosineSimilarity(col("cvec"), col("pvec")))
+      .filter(col("sim").isNotNull)
+    TopK.topKPerKey(rer, Seq("probe_id"),
+        struct(negate(col("sim")), col("id")), Seq("id", "sim"), k)
+      .select(col("probe_id"), col("id").as("vec_id"), col("rk"),
+        round(col("sim"), 4).as("sim_r"))
+  }
+
   def pqTopKRefined(embeddings: DataFrame, probes: DataFrame, idCol: String,
                     vecCol: String, books: Array[Array[Array[Double]]],
                     k: Int, shortlist: Int = 50,

@@ -100,6 +100,20 @@ class QuantizeSpec extends SparkSpec {
     assert(recall >= 0.6, s"PQ recall@10 = $recall")
   }
 
+  test("IVF-PQ composed ANN: recall@10 >= 0.6, shortlist honors nProbe cells") {
+    val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val probes = e.filter(col("vec_id") < 10)
+    val got = graft.operators.Quantize.ivfPqTopK(e, probes, "vec_id", "embedding",
+        k = 10, nlist = 8, nProbe = 4, shortlist = 50)
+      .select(col("probe_id"), col("vec_id"))
+      .as[(Long, Long)].collect().toSet
+    val want = Similarity.topKCosine(e, probes, "vec_id", "embedding", k = 10)
+      .select(col("probe_id"), col("vec_id"))
+      .as[(Long, Long)].collect().toSet
+    val recall = (got & want).size.toDouble / want.size
+    assert(recall >= 0.6, s"IVF-PQ recall@10 = $recall")
+  }
+
   test("fitPq is deterministic and fitPqCached reuses the trained books") {
     val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
     val a = Quantize.fitPq(e, "vec_id", "embedding", m = 4, ksub = 8, iters = 2)
