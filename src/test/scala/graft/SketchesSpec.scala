@@ -43,6 +43,31 @@ class SketchesSpec extends SparkSpec {
       s"error above bound: ${out.filter(r => r._3 - r._2 > bound).toSeq}")
   }
 
+  test("streams compose: a CMS maintained per micro-batch equals the batch sketch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[Long]
+    val depth = 3; val width = 128
+    // the monitoring-pipeline shape: each micro-batch contributes its own
+    // grid; elementwise adds ARE the streaming state update — no rescan
+    var global = new Array[Long](depth * width)
+    val q = input.toDF().toDF("k")
+      .writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (!b.isEmpty) {
+          val part = Sketches.countMin(b, "k", depth, width)
+          global = global.zip(part).map { case (x, y) => x + y }
+        }
+        ()
+      }.start()
+    val data = Seq.tabulate(500)(i => (i % 11).toLong)
+    input.addData(data.take(200)); q.processAllAvailable()
+    input.addData(data.drop(200)); q.processAllAvailable()
+    q.stop()
+    val batch = Sketches.countMin(data.toDF("k"), "k", depth, width)
+    assert(global.toSeq === batch.toSeq)
+  }
+
   test("q100 output contract: top-20 by exact count, est alongside") {
     val df = SparkEntry.q100(spark, sf0001)
     assert(df.columns.toSeq === Seq("key", "exact", "est"))
