@@ -1158,6 +1158,18 @@ object SparkEntry {
       "vec_id", "embedding", k = 10, nlist = 16, nProbe = 4,
       shortlist = 50, cacheKey = Some(d))
 
+  /** Q102 — BPE apply ([[graft.operators.Corpus.bpeStats]]): tokenize
+    * the corpus under the merges q99 learned (cached — train-once /
+    * tokenize-many) and report per-doc subword compression. Merge-
+    * dependent output: no SQL oracle; BpeSpec pins monotonicity (more
+    * merges never increase the subword count) and the zero-merge
+    * identity.
+    */
+  def q102(s: SparkSession, d: String): DataFrame = {
+    val merges = graft.operators.Corpus.learnBpeCached(d, docs(s, d), "text", 12)
+    graft.operators.Corpus.bpeStats(docs(s, d), "doc_id", "text", merges)
+  }
+
   /** Q76 — incremental rollup maintenance ([[graft.sinks.IncrementalAgg]]):
     * the events stream split into two deterministic batches (even/odd
     * event_id), each folded into a partitioned (count, exact decimal
@@ -1381,7 +1393,8 @@ object SparkEntry {
     "q98_dpp_join"        -> (q98 _),
     "q99_bpe_learn"       -> (q99 _),
     "q100_cms_sketch"     -> (q100 _),
-    "q101_ivfpq_ann"      -> (q101 _))
+    "q101_ivfpq_ann"      -> (q101 _),
+    "q102_bpe_apply"      -> (q102 _))
 
   // DuckDB twins. Shared SQL fragments for the text queries:
   // explicit class: Java \s includes \x0B, RE2 \s does not — see

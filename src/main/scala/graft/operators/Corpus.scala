@@ -569,4 +569,46 @@ object Corpus {
       .map { case ((l, r, c), i) => (i + 1, l, r, c) }.toSeq
       .toDF("rank", "l", "r", "cnt")
   }
+
+  // learned merge tables keyed by (application, corpus key, numMerges):
+  // driver-side metadata, the train-once / tokenize-many lifecycle
+  private val learnedMerges =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[(String, String)]]()
+
+  /** [[learnBpe]] memoized per (session application, `key`, numMerges),
+    * returning the merge list ready for
+    * [[graft.functions.BpeFunctions.bpeSymbols]].
+    */
+  def learnBpeCached(key: String, docs: DataFrame, textCol: String,
+                     numMerges: Int): Array[(String, String)] = {
+    val app = docs.sparkSession.sparkContext.applicationId
+    val full = s"$app|$key|$textCol|$numMerges"
+    val hit = learnedMerges.get(full)
+    if (hit != null) hit
+    else {
+      val it = learnedMerges.keySet.iterator()
+      while (it.hasNext) { if (!it.next().startsWith(app + "|")) it.remove() }
+      learnedMerges.computeIfAbsent(full, _ =>
+        learnBpe(docs, textCol, numMerges)
+          .orderBy("rank").collect()
+          .map(r => (r.getString(1), r.getString(2))))
+    }
+  }
+
+  /** Tokenize the corpus under a FIXED merge list and report per-doc
+    * subword statistics — the APPLY face of BPE training: `(id,
+    * n_subwords, n_chars, chars_per_subword)`. Pure map-side; the merge
+    * table rides in the expression as metadata.
+    */
+  def bpeStats(docs: DataFrame, idCol: String, textCol: String,
+               merges: Array[(String, String)]): DataFrame = {
+    import graft.functions.BpeFunctions
+    docs.select(col(idCol).as("id"),
+        size(BpeFunctions.bpeSymbols(col(textCol), merges)).cast("long").as("n_subwords"),
+        length(regexp_replace(col(textCol), TextFunctions.whitespaceClass, ""))
+          .cast("long").as("n_chars"))
+      .withColumn("chars_per_subword",
+        when(col("n_subwords") > 0,
+          round(col("n_chars").cast("double") / col("n_subwords"), 4)))
+  }
 }

@@ -80,6 +80,33 @@ class BpeSpec extends SparkSpec {
     assert(got < 50) // "aa" collapses after one merge; no infinite loop
   }
 
+  test("bpeStats: zero merges = non-ws code points; more merges never increase counts") {
+    val docs = corpus.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val zero = Corpus.bpeStats(docs, "doc_id", "text", Array.empty)
+      .select("id", "n_subwords", "n_chars").as[(Long, Long, Long)].collect()
+    // with no merges every non-whitespace code point is its own subword
+    assert(zero.forall { case (_, subs, chars) => subs === chars })
+    val merges = Corpus.learnBpeCached("bpespec", docs, "text", 6)
+    val six = Corpus.bpeStats(docs, "doc_id", "text", merges)
+      .select("id", "n_subwords").as[(Long, Long)].collect().toMap
+    val zeroMap = zero.map(r => r._1 -> r._2).toMap
+    assert(six.forall { case (id, n) => n <= zeroMap(id) })
+    assert(six.values.sum < zeroMap.values.sum) // the merges actually fired
+    // cached learner returns the identical table without retraining
+    assert(Corpus.learnBpeCached("bpespec", docs, "text", 6) eq merges)
+  }
+
+  test("q102 tokenizes the fixture under the q99 merges; ratio >= 1 everywhere") {
+    val st = SparkEntry.q102(spark, sf0001)
+      .select("id", "n_subwords", "n_chars", "chars_per_subword")
+      .as[(Long, Long, Long, Double)].collect()
+    assert(st.length === 500)
+    // merged subwords can only span >= 1 char each
+    assert(st.forall { case (_, subs, chars, ratio) =>
+      subs <= chars && ratio >= 1.0 })
+    assert(st.exists(_._4 > 1.0)) // the learned merges compress somewhere
+  }
+
   test("q99 runs on the fixture and learns frequent merges first") {
     val m = SparkEntry.q99(spark, sf0001)
       .orderBy("rank").as[(Int, String, String, Long)].collect()
