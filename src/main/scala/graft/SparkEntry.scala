@@ -1170,6 +1170,16 @@ object SparkEntry {
     graft.operators.Corpus.bpeStats(docs(s, d), "doc_id", "text", merges)
   }
 
+  /** Q103 — df-cap boilerplate pruning
+    * ([[graft.operators.Corpus.pruneHighDfTokens]]): tokens in > 60 % of
+    * documents dropped everywhere, text reassembled in order. One
+    * vocabulary shuffle builds the document-frequency table; the stop
+    * set is bounded independent of corpus size (see operator scaladoc)
+    * and applies map-side as a sorted literal.
+    */
+  def q103(s: SparkSession, d: String): DataFrame =
+    graft.operators.Corpus.pruneHighDfTokens(docs(s, d), "doc_id", "text", maxDfPct = 60)
+
   /** Q76 — incremental rollup maintenance ([[graft.sinks.IncrementalAgg]]):
     * the events stream split into two deterministic batches (even/odd
     * event_id), each folded into a partitioned (count, exact decimal
@@ -1394,7 +1404,8 @@ object SparkEntry {
     "q99_bpe_learn"       -> (q99 _),
     "q100_cms_sketch"     -> (q100 _),
     "q101_ivfpq_ann"      -> (q101 _),
-    "q102_bpe_apply"      -> (q102 _))
+    "q102_bpe_apply"      -> (q102 _),
+    "q103_df_prune"       -> (q103 _))
 
   // DuckDB twins. Shared SQL fragments for the text queries:
   // explicit class: Java \s includes \x0B, RE2 \s does not — see
@@ -2121,5 +2132,20 @@ object SparkEntry {
          |  CAST(sum(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v
          |FROM events e JOIN dim USING (event_type)
          |GROUP BY 1
-         |""".stripMargin))
+         |""".stripMargin),
+    "q103_df_prune" ->
+      (s"""WITH toks AS (SELECT doc_id AS id, $TOKS AS tk FROM documents),
+          |tot AS (SELECT count(*) AS nd FROM toks),
+          |e AS (SELECT id, unnest(tk) AS g,
+          |  unnest(generate_series(1, len(tk))) AS pos FROM toks),
+          |df AS (SELECT g, count(DISTINCT id) AS dfc FROM e GROUP BY 1),
+          |stop AS (SELECT g FROM df, tot WHERE dfc * 100 > nd * 60),
+          |k AS (SELECT e.id, e.g, e.pos FROM e ANTI JOIN stop USING (g)),
+          |kk AS (SELECT id, count(*) AS n_kept,
+          |  string_agg(g, ' ' ORDER BY pos) AS cleaned FROM k GROUP BY 1)
+          |SELECT t.id, CAST(len(t.tk) AS BIGINT) AS n_tokens,
+          |  CAST(coalesce(kk.n_kept, 0) AS BIGINT) AS n_kept,
+          |  coalesce(kk.cleaned, '') AS cleaned_text
+          |FROM toks t LEFT JOIN kk USING (id)
+          |""".stripMargin))
 }

@@ -595,6 +595,48 @@ object Corpus {
     }
   }
 
+  /** Document-frequency-cap token pruning — the CCNet/RefinedWeb-style
+    * boilerplate pass: any token present in MORE than `maxDfPct` percent
+    * of documents is dropped from every document, and the text is
+    * reassembled in original token order. Returns `(id, n_tokens,
+    * n_kept, cleaned_text)`.
+    *
+    * Scale shape: ONE shuffle total — the per-token document-frequency
+    * aggregate over the per-doc-distinct token stream (partial-
+    * aggregated map-side). The stop set it yields is bounded by
+    * construction, independent of corpus size: a token needs
+    * `> maxDfPct/100 · N` containing docs to qualify, so at most
+    * `Σ|distinct(doc)| / (maxDfPct/100 · N)` ≈ avg-distinct-per-doc ÷
+    * (maxDfPct/100) tokens can clear the bar. That metadata-scale set
+    * is collected once (same lifecycle as the k-means centroids in
+    * [[graft.operators.IvfIndex]]) and applied MAP-SIDE as a sorted
+    * literal — the apply pass adds zero exchanges. The threshold is the
+    * integer cross-multiplication `df · 100 > N · maxDfPct` (strict),
+    * so both engines cut identically with no double rounding.
+    */
+  def pruneHighDfTokens(docs: DataFrame, idCol: String, textCol: String,
+                        maxDfPct: Int = 60): DataFrame = {
+    require(maxDfPct > 0 && maxDfPct < 100,
+      s"maxDfPct must be in (0, 100), got $maxDfPct")
+    val toks = docs.select(col(idCol).as("id"),
+      TextFunctions.tokens(col(textCol)).as("tk"))
+    val nDocs = toks.count()
+    val stop = toks
+      .select(explode(array_distinct(col("tk"))).as("g"))
+      .groupBy(col("g")).agg(count(lit(1)).as("dfc"))
+      .where(col("dfc") * 100 > lit(nDocs) * maxDfPct)
+      .select(col("g")).collect().map(_.getString(0)).sorted
+    val stopLit = typedlit(stop)
+    toks
+      .withColumn("kept",
+        if (stop.isEmpty) col("tk")
+        else filter(col("tk"), t => !array_contains(stopLit, t)))
+      .select(col("id"),
+        size(col("tk")).cast("long").as("n_tokens"),
+        size(col("kept")).cast("long").as("n_kept"),
+        concat_ws(" ", col("kept")).as("cleaned_text"))
+  }
+
   /** Tokenize the corpus under a FIXED merge list and report per-doc
     * subword statistics — the APPLY face of BPE training: `(id,
     * n_subwords, n_chars, chars_per_subword)`. Pure map-side; the merge

@@ -375,4 +375,38 @@ class CorpusSpec extends SparkSpec {
       Corpus.winsorize(df, "grp", "value", 0.9, 0.1)
     }
   }
+
+  test("pruneHighDfTokens: strict threshold, order kept, empty-doc row kept") {
+    // 4 docs. df: the=4 (100%), cat=2 (50%), dog=1, mat=2 (50%).
+    // At maxDfPct=50 only "the" clears df·100 > N·pct (200 > 200 is
+    // FALSE for cat/mat — the boundary stays).
+    val d = docTable(Seq(
+      0L -> "the cat the mat", 1L -> "the dog", 2L -> "the cat mat",
+      3L -> "the the the"))
+    val got = Corpus.pruneHighDfTokens(d, "doc_id", "text", maxDfPct = 50)
+      .orderBy("id").as[(Long, Long, Long, String)].collect().toSeq
+    assert(got === Seq(
+      (0L, 4L, 2L, "cat mat"),
+      (1L, 2L, 1L, "dog"),
+      (2L, 3L, 2L, "cat mat"),
+      (3L, 3L, 0L, ""))) // all-boilerplate doc survives as an empty row
+  }
+
+  test("pruneHighDfTokens: no token above the cap = identity reassembly") {
+    val d = docTable(Seq(0L -> "  a  b ", 1L -> "c d"))
+    val got = Corpus.pruneHighDfTokens(d, "doc_id", "text", maxDfPct = 60)
+      .orderBy("id").as[(Long, Long, Long, String)].collect().toSeq
+    // whitespace runs collapse through tokenize→join, nothing dropped
+    assert(got === Seq((0L, 2L, 2L, "a b"), (1L, 2L, 2L, "c d")))
+  }
+
+  test("pruneHighDfTokens: pct bounds validated") {
+    val d = docTable(Seq(0L -> "a"))
+    intercept[IllegalArgumentException] {
+      Corpus.pruneHighDfTokens(d, "doc_id", "text", maxDfPct = 0)
+    }
+    intercept[IllegalArgumentException] {
+      Corpus.pruneHighDfTokens(d, "doc_id", "text", maxDfPct = 100)
+    }
+  }
 }
