@@ -1180,6 +1180,20 @@ object SparkEntry {
   def q103(s: SparkSession, d: String): DataFrame =
     graft.operators.Corpus.pruneHighDfTokens(docs(s, d), "doc_id", "text", maxDfPct = 60)
 
+  /** Q104 — Bloom-prefiltered decontamination
+    * ([[graft.operators.Corpus.decontaminateBloom]]): q59's semantics
+    * through the inverted-scale path — a 64 KB Bloom of the benchmark
+    * shingles probes map-side (codegen'd, no broadcast hash set), the
+    * exact shuffle-join confirms. Same oracle as q59: the bloom only
+    * prunes, never decides.
+    */
+  def q104(s: SparkSession, d: String): DataFrame = {
+    val dd = docs(s, d)
+    graft.operators.Corpus.decontaminateBloom(
+      dd.filter(col("source") =!= "src0"), dd.filter(col("source") === "src0"),
+      "doc_id", "text", n = 3, bloomKB = 64, broadcastBench = false)
+  }
+
   /** Q76 — incremental rollup maintenance ([[graft.sinks.IncrementalAgg]]):
     * the events stream split into two deterministic batches (even/odd
     * event_id), each folded into a partitioned (count, exact decimal
@@ -1405,7 +1419,8 @@ object SparkEntry {
     "q100_cms_sketch"     -> (q100 _),
     "q101_ivfpq_ann"      -> (q101 _),
     "q102_bpe_apply"      -> (q102 _),
-    "q103_df_prune"       -> (q103 _))
+    "q103_df_prune"       -> (q103 _),
+    "q104_bloom_decontam" -> (q104 _))
 
   // DuckDB twins. Shared SQL fragments for the text queries:
   // explicit class: Java \s includes \x0B, RE2 \s does not — see
@@ -2147,5 +2162,16 @@ object SparkEntry {
           |  CAST(coalesce(kk.n_kept, 0) AS BIGINT) AS n_kept,
           |  coalesce(kk.cleaned, '') AS cleaned_text
           |FROM toks t LEFT JOIN kk USING (id)
+          |""".stripMargin),
+    // q104 = q59's semantics through the Bloom-prefiltered path; the
+    // bloom only prunes candidates ahead of the exact confirm join, so
+    // the oracle is identical.
+    "q104_bloom_decontam" ->
+      (s"""WITH toks AS (SELECT doc_id, source, $TOKS AS tk FROM documents),
+          |sh AS (SELECT doc_id, source, ${shinglesSql("tk")} AS s FROM toks),
+          |b AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE source = 'src0'),
+          |t AS (SELECT doc_id, unnest(s) AS g FROM sh WHERE source <> 'src0')
+          |SELECT t.doc_id, count(*) AS n_shared
+          |FROM t JOIN b USING (g) GROUP BY 1
           |""".stripMargin))
 }

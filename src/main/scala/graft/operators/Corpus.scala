@@ -155,6 +155,36 @@ object Corpus {
       .groupBy(col(idCol)).agg(count(lit(1)).as("n_shared"))
   }
 
+  /** [[decontaminate]] with a Bloom prefilter — the shape for the
+    * INVERTED scale case, where the "benchmark" side is itself a corpus
+    * too large to hash-set broadcast. Build: one distributed pass ORs
+    * per-partition bit arrays ([[Sketches.BloomAggregator]]) into
+    * `bloomKB` kilobytes of metadata. Apply: a codegen'd map-side
+    * probe ([[graft.functions.LongBloomMightContain]]) drops
+    * non-matching train shingles BEFORE the exact join, cutting shuffle
+    * volume to (matches + ε·non-matches) — ε ≈ (1 − e^(−kn/m))^k. The
+    * exact confirm join keeps the RESULT identical to [[decontaminate]]
+    * (same oracle): the bloom only prunes, never decides.
+    */
+  def decontaminateBloom(train: DataFrame, benchmark: DataFrame,
+                         idCol: String, textCol: String, n: Int = 3,
+                         bloomKB: Int = 128, numHashes: Int = 5,
+                         seed: Long = 42L,
+                         broadcastBench: Boolean = false): DataFrame = {
+    require(bloomKB >= 1, s"bloomKB must be >= 1, got $bloomKB")
+    def sh(d: DataFrame): DataFrame = d.select(col(idCol),
+      explode(graft.functions.HashFunctions.hashedWordNgrams(col(textCol), n)).as("__g"))
+    val benchGrams = sh(benchmark).select(col("__g")).distinct()
+    val bits = Sketches.bloomOf(benchGrams, "__g", bloomKB * 128, numHashes, seed)
+    import org.apache.spark.sql.graft.ColumnBridge
+    val mightContain = ColumnBridge.column(
+      graft.functions.LongBloomMightContain(
+        ColumnBridge.expression(col("__g")), bits, numHashes, seed))
+    val probe = if (broadcastBench) broadcast(benchGrams) else benchGrams
+    sh(train).where(mightContain).join(probe, "__g")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_shared"))
+  }
+
   /** Deterministic content-addressed train/val/test split: the first
     * two hex chars of `md5(salt:id)` land each row in [00..ff], cut at
     * `trainTo`/`valTo` (lowercase-hex thresholds, lexicographic — hex

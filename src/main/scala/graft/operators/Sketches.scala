@@ -83,6 +83,43 @@ object Sketches {
     best
   }
 
+  /** Mergeable Bloom build over Long keys: each partition ORs into its
+    * own bit array, the shuffle moves one array per partition (KB
+    * metadata), arrays OR associatively — the same mergeability
+    * contract as [[CountMinAggregator]]. Slot math lives in
+    * [[graft.functions.BloomBits]], shared with the probe expression.
+    */
+  class BloomAggregator(numLongs: Int, numHashes: Int, seed: Long)
+      extends Aggregator[Long, Array[Long], Array[Long]] {
+    require(numLongs >= 1 && numHashes >= 1,
+      s"need numLongs >= 1, numHashes >= 1; got $numLongs, $numHashes")
+    override def zero: Array[Long] = new Array[Long](numLongs)
+    override def reduce(b: Array[Long], x: Long): Array[Long] = {
+      graft.functions.BloomBits.add(b, numHashes, seed, x); b
+    }
+    override def merge(x: Array[Long], y: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < x.length) { x(i) |= y(i); i += 1 }
+      x
+    }
+    override def finish(b: Array[Long]): Array[Long] = b
+    override def bufferEncoder: Encoder[Array[Long]] =
+      ExpressionEncoder[Array[Long]]()
+    override def outputEncoder: Encoder[Array[Long]] =
+      ExpressionEncoder[Array[Long]]()
+  }
+
+  /** Build the Bloom bits of `keyCol` (long) in one distributed pass. */
+  def bloomOf(df: DataFrame, keyCol: String, numLongs: Int,
+              numHashes: Int = 5, seed: Long = 42L): Array[Long] = {
+    val agg = udaf(new BloomAggregator(numLongs, numHashes, seed),
+      ExpressionEncoder[Long]())
+    df.select(col(keyCol).cast("long").as("k"))
+      .filter(col("k").isNotNull)
+      .select(agg(col("k")).as("bits"))
+      .head().getSeq[Long](0).toArray
+  }
+
   /** Exact top-k keys with their sketch estimates alongside — the
     * validation face: `(key, exact, est)` with `est >= exact`
     * guaranteed. The sketch is ONE pass + one grid per partition; the

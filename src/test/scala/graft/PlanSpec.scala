@@ -324,4 +324,18 @@ class PlanSpec extends SparkSpec {
     assert(p.toLowerCase.contains("dynamicpruning"),
       s"fact scan must be dynamically partition-pruned by the dim side:\n$p")
   }
+
+  test("q104: bloom probe filters map-side, BELOW the confirm join's exchange") {
+    val p = plan(SparkEntry.q104(spark, sf0001))
+    val probeIdx = p.indexOf("long_bloom_might_contain")
+    assert(probeIdx >= 0, s"expected the codegen'd bloom probe:\n$p")
+    // plans print top-down: the probe must sit below (= run before)
+    // every join — its first occurrence comes after the last join's
+    val lastJoin = math.max(p.lastIndexOf("SortMergeJoin"),
+      math.max(p.lastIndexOf("BroadcastHashJoin"), p.lastIndexOf("ShuffledHashJoin")))
+    assert(lastJoin >= 0, s"expected the exact confirm join:\n$p")
+    assert(probeIdx > lastJoin,
+      s"bloom probe must prune before the join, not after:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+  }
 }

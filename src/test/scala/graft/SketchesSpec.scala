@@ -79,4 +79,42 @@ class SketchesSpec extends SparkSpec {
     assert(rows.sliding(2).forall { case Array((k1, e1, _), (k2, e2, _)) =>
       e1 > e2 || (e1 == e2 && k1 < k2) })
   }
+
+  test("bloom: no false negatives, distributed build == sequential build") {
+    import graft.functions.BloomBits
+    val keys = Seq.tabulate(3000)(i => (i * 2654435761L) ^ (i << 7)).map(_.toLong)
+    val distributed = Sketches.bloomOf(
+      keys.toDF("k").repartition(8), "k", numLongs = 1024, numHashes = 5)
+    val sequential = new Array[Long](1024)
+    keys.foreach(BloomBits.add(sequential, 5, 42L, _))
+    assert(distributed.toSeq === sequential.toSeq) // OR-mergeability
+    assert(keys.forall(BloomBits.contains(distributed, 5, 42L, _)))
+  }
+
+  test("bloom: false-positive rate near the analytic bound") {
+    import graft.functions.BloomBits
+    val bits = new Array[Long](1024) // m = 65536 bits
+    val n = 3000
+    (0 until n).foreach(i => BloomBits.add(bits, 5, 42L, i.toLong * 7919L))
+    // probe 20k keys disjoint from the inserted set
+    val probes = (0 until 20000).map(i => 1000000007L + i * 104729L)
+    val fp = probes.count(BloomBits.contains(bits, 5, 42L, _)).toDouble / probes.size
+    // analytic fp = (1 - e^(-kn/m))^k ~= 0.00023 at k=5, n/m=0.0458
+    assert(fp < 0.01, s"fp rate $fp way above the analytic bound")
+  }
+
+  test("decontaminateBloom == decontaminate on the fixture, both join shapes") {
+    import graft.operators.Corpus
+    val dd = Tables.documents(spark, sf0001)
+    val train = dd.filter(col("source") =!= "src0")
+    val bench = dd.filter(col("source") === "src0")
+    val exact = Corpus.decontaminate(train, bench, "doc_id", "text", n = 3)
+      .as[(Long, Long)].collect().toMap
+    for (bcast <- Seq(true, false)) {
+      val got = Corpus.decontaminateBloom(train, bench, "doc_id", "text",
+          n = 3, bloomKB = 64, broadcastBench = bcast)
+        .as[(Long, Long)].collect().toMap
+      assert(got === exact, s"bloom path diverged (broadcastBench=$bcast)")
+    }
+  }
 }
