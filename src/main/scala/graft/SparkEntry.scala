@@ -1182,8 +1182,9 @@ object SparkEntry {
 
   /** Q104 — Bloom-prefiltered decontamination
     * ([[graft.operators.Corpus.decontaminateBloom]]): q59's semantics
-    * through the inverted-scale path — a 64 KB Bloom of the benchmark
-    * shingles probes map-side (codegen'd, no broadcast hash set), the
+    * through the inverted-scale path — an auto-sized (~10 bits/key)
+    * Bloom of the benchmark shingles probes map-side (codegen'd, no
+    * broadcast hash set), the
     * exact shuffle-join confirms. Same oracle as q59: the bloom only
     * prunes, never decides.
     */
@@ -1191,7 +1192,7 @@ object SparkEntry {
     val dd = docs(s, d)
     graft.operators.Corpus.decontaminateBloom(
       dd.filter(col("source") =!= "src0"), dd.filter(col("source") === "src0"),
-      "doc_id", "text", n = 3, bloomKB = 64, broadcastBench = false)
+      "doc_id", "text", n = 3, broadcastBench = false)
   }
 
   /** Q76 — incremental rollup maintenance ([[graft.sinks.IncrementalAgg]]):

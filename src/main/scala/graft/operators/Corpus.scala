@@ -168,14 +168,23 @@ object Corpus {
     */
   def decontaminateBloom(train: DataFrame, benchmark: DataFrame,
                          idCol: String, textCol: String, n: Int = 3,
-                         bloomKB: Int = 128, numHashes: Int = 5,
+                         bloomKB: Int = 0, numHashes: Int = 5,
                          seed: Long = 42L,
                          broadcastBench: Boolean = false): DataFrame = {
-    require(bloomKB >= 1, s"bloomKB must be >= 1, got $bloomKB")
+    require(bloomKB >= 0, s"bloomKB must be >= 0 (0 = auto-size), got $bloomKB")
     def sh(d: DataFrame): DataFrame = d.select(col(idCol),
       explode(graft.functions.HashFunctions.hashedWordNgrams(col(textCol), n)).as("__g"))
+    // the gram set feeds BOTH the bloom build and the confirm join —
+    // persist so the distinct shuffle runs once (bench-side lifecycle,
+    // same shape as IvfIndex's cached index)
     val benchGrams = sh(benchmark).select(col("__g")).distinct()
-    val bits = Sketches.bloomOf(benchGrams, "__g", bloomKB * 128, numHashes, seed)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // auto-size at ~10 bits/key (fp ≈ 1 % at k=5); a saturated bloom
+    // filters nothing and just adds probe work, so sizing IS the win
+    val kb =
+      if (bloomKB > 0) bloomKB
+      else math.min(64L * 1024, math.max(64L, benchGrams.count() * 10 / 8192 + 1)).toInt
+    val bits = Sketches.bloomOfTree(benchGrams, "__g", kb * 128, numHashes, seed)
     import org.apache.spark.sql.graft.ColumnBridge
     val mightContain = ColumnBridge.column(
       graft.functions.LongBloomMightContain(

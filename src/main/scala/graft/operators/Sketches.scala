@@ -120,6 +120,34 @@ object Sketches {
       .head().getSeq[Long](0).toArray
   }
 
+  /** [[bloomOf]] for a WIDE filter (MBs): every build task emits a full
+    * m-byte partial, so the aggregate moves `#tasks · m` bytes no
+    * matter how it is arranged — the lever is the NUMBER of build
+    * tasks, not the tree shape. A shuffle-free `coalesce` caps the
+    * partial count (hashing is cheap next to m-byte partial traffic),
+    * and a depth-2 `treeAggregate` keeps any single reducer's fan-in
+    * bounded when `maxBuildTasks` is raised for very large builds.
+    * Same bits as [[bloomOf]], same probe.
+    */
+  def bloomOfTree(df: DataFrame, keyCol: String, numLongs: Int,
+                  numHashes: Int = 5, seed: Long = 42L,
+                  maxBuildTasks: Int = 8): Array[Long] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(keyCol).cast("long").as("k"))
+      .filter(col("k").isNotNull)
+      .coalesce(maxBuildTasks)
+      .as[Long].rdd
+      .treeAggregate(new Array[Long](numLongs))(
+        seqOp = (b, x) => { graft.functions.BloomBits.add(b, numHashes, seed, x); b },
+        combOp = (x, y) => {
+          var i = 0
+          while (i < x.length) { x(i) |= y(i); i += 1 }
+          x
+        },
+        depth = 2)
+  }
+
   /** Exact top-k keys with their sketch estimates alongside — the
     * validation face: `(key, exact, est)` with `est >= exact`
     * guaranteed. The sketch is ONE pass + one grid per partition; the
