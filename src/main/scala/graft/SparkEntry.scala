@@ -1195,6 +1195,20 @@ object SparkEntry {
       "doc_id", "text", n = 3, broadcastBench = false)
   }
 
+  /** Q105 — incremental near-dup
+    * ([[graft.operators.Dedup.incrementalNearDup]]): the `src1` slice
+    * arrives as today's batch, probed against the rest of the corpus
+    * for cross near-duplicates at Jaccard ≥ 0.7. Batch side broadcasts
+    * (buckets + shingle sets); the standing corpus never shuffles —
+    * oracle is the exact brute-force cross Jaccard on the same split.
+    */
+  def q105(s: SparkSession, d: String): DataFrame = {
+    val dd = docs(s, d)
+    graft.operators.Dedup.incrementalNearDup(
+      dd.filter(col("source") === "src1"), dd.filter(col("source") =!= "src1"),
+      "doc_id", "text")
+  }
+
   /** Q76 — incremental rollup maintenance ([[graft.sinks.IncrementalAgg]]):
     * the events stream split into two deterministic batches (even/odd
     * event_id), each folded into a partitioned (count, exact decimal
@@ -1421,7 +1435,8 @@ object SparkEntry {
     "q101_ivfpq_ann"      -> (q101 _),
     "q102_bpe_apply"      -> (q102 _),
     "q103_df_prune"       -> (q103 _),
-    "q104_bloom_decontam" -> (q104 _))
+    "q104_bloom_decontam" -> (q104 _),
+    "q105_incr_neardup"   -> (q105 _))
 
   // DuckDB twins. Shared SQL fragments for the text queries:
   // explicit class: Java \s includes \x0B, RE2 \s does not — see
@@ -2174,5 +2189,16 @@ object SparkEntry {
           |t AS (SELECT doc_id, unnest(s) AS g FROM sh WHERE source <> 'src0')
           |SELECT t.doc_id, count(*) AS n_shared
           |FROM t JOIN b USING (g) GROUP BY 1
+          |""".stripMargin),
+    "q105_incr_neardup" ->
+      (s"""WITH toks AS (SELECT doc_id, source, $TOKS AS tk FROM documents),
+          |sh AS (SELECT doc_id, source, ${shinglesSql("tk")} AS s FROM toks),
+          |pairs AS (SELECT a.doc_id AS new_id, b.doc_id AS old_id,
+          |  len(list_intersect(a.s, b.s)) AS inter, len(a.s) + len(b.s) AS tot
+          |  FROM sh a JOIN sh b ON a.source = 'src1' AND b.source <> 'src1')
+          |SELECT new_id, old_id, CAST(inter AS BIGINT) AS inter,
+          |  CAST(tot - inter AS BIGINT) AS un,
+          |  CAST(inter AS DOUBLE) / (tot - inter) AS jac
+          |FROM pairs WHERE (tot - inter) > 0 AND inter * 10 >= (tot - inter) * 7
           |""".stripMargin))
 }

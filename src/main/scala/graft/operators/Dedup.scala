@@ -91,6 +91,59 @@ object Dedup {
     verifyJaccard(candidates, sh, idCol, thresholdNum, thresholdDen)
   }
 
+  /** Incremental near-dup: the arriving batch probed against the
+    * standing corpus WITHOUT re-clustering it — the shape a daily
+    * ingest runs ("which of today's documents near-duplicate anything
+    * already ingested?"). Returns `(new_id, old_id, inter, un, jac)`
+    * for every cross pair with exact Jaccard ≥ num/den.
+    *
+    * Scale contract — the CORPUS side never shuffles: batch band
+    * buckets and batch shingle sets (both batch-sized) broadcast; the
+    * corpus derives its buckets map-side (the 32× band explode feeds
+    * the broadcast hash probe inside one stage, nothing is
+    * materialized), candidates verify in the same stage through the
+    * second broadcast, and the only exchange anywhere is the final
+    * distinct over MATCHED scored pairs. Same signature/banding math
+    * as [[minhashLshPairs]] (k=128, b=32 ⇒ P[candidate | j=0.7] ≈
+    * 0.9998), same exact integer-threshold verify — the LSH only
+    * proposes, the exact Jaccard decides.
+    */
+  def incrementalNearDup(batch: DataFrame, corpus: DataFrame,
+                         idCol: String, textCol: String,
+                         numHashes: Int = 128, bands: Int = 32,
+                         thresholdNum: Int = 7, thresholdDen: Int = 10,
+                         ngram: Int = 3, seed: Long = 42L): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val r = numHashes / bands
+    def bucketsOf(sh: DataFrame, as: String): DataFrame = {
+      val sig = sh.filter(size(col("shingles")) > 0).select(col(idCol),
+        HashFunctions.minhashSignature(col("shingles"), numHashes, seed).as("sig"),
+        col("shingles"))
+      val bandHashes = (0 until bands).map(b =>
+        xxhash64(lit(b), slice(col("sig"), b * r + 1, r)))
+      sig.select(col(idCol).as(as), explode(array(bandHashes: _*)).as("bucket"))
+    }
+    val batchSh = hashedShingles(batch, idCol, textCol, ngram)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val corpusSh = hashedShingles(corpus, idCol, textCol, ngram)
+    val newBuckets = bucketsOf(batchSh, "new_id")
+    val oldBuckets = bucketsOf(corpusSh, "old_id")
+    val sa = batchSh.select(col(idCol).as("new_id"), col("shingles").as("sa"))
+    // corpus scan → map-side bucket explode → broadcast probe →
+    // broadcast verify, all one stage; shingles re-derive above the
+    // match (cheap: matches are rare) rather than riding the explode
+    val cand = oldBuckets.join(broadcast(newBuckets), "bucket")
+      .select(col("new_id"), col("old_id")).distinct()
+    val sb = corpusSh.select(col(idCol).as("old_id"), col("shingles").as("sb"))
+    sb.join(broadcast(cand.join(broadcast(sa), "new_id")), "old_id")
+      .withColumn("inter",
+        HashFunctions.sortedLongIntersectSize(col("sa"), col("sb")).cast("long"))
+      .withColumn("un", (size(col("sa")) + size(col("sb"))).cast("long") - col("inter"))
+      .filter(col("un") > 0 && col("inter") * thresholdDen >= col("un") * thresholdNum)
+      .select(col("new_id"), col("old_id"), col("inter"), col("un"),
+        (col("inter").cast("double") / col("un")).as("jac"))
+  }
+
   /** Exact-Jaccard verification of candidate pairs against sorted hashed
     * shingle sets (merge-count intersection, no per-row hash sets).
     * Keeps j >= num/den via integer cross-multiplication (exact).

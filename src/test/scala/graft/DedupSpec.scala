@@ -102,4 +102,38 @@ class DedupSpec extends SparkSpec {
     assert(pairs.exists { case (a, b, h) => a == 1L && b == 2L && h == 0 })
     assert(pairs.forall(_._3 <= 3))
   }
+
+  test("incrementalNearDup: planted cross dups found, within-side pairs excluded") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (2L, "spark shuffles partition data across the cluster network at scale"),
+      (3L, "spark shuffles partition data across the cluster network at scale"))
+      .toDF("doc_id", "text") // 2 and 3 duplicate each other WITHIN the corpus
+    val batch = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (11L, "an entirely unrelated sentence about beam search and decoding"))
+      .toDF("doc_id", "text")
+    val got = Dedup.incrementalNearDup(batch, corpus, "doc_id", "text")
+      .select("new_id", "old_id").as[(Long, Long)].collect().toSet
+    assert(got === Set((10L, 1L))) // cross pair only; (2,3) is not reported
+  }
+
+  test("incrementalNearDup == brute-force cross jaccard on the fixture split") {
+    val dd = Tables.documents(spark, sf0001)
+    val got = SparkEntry.q105(spark, sf0001)
+      .select("new_id", "old_id").as[(Long, Long)].collect().toSet
+    // brute force: every (src1, non-src1) pair with exact jaccard >= 0.7
+    val sh = dd.select(col("doc_id"), col("source"),
+        graft.functions.HashFunctions.hashedWordNgrams(col("text"), 3).as("s"))
+      .as[(Long, String, Seq[Long])].collect()
+    val batch = sh.filter(_._2 == "src1"); val corpus = sh.filter(_._2 != "src1")
+    val want = (for {
+      (na, _, sa) <- batch; (ob, _, sb) <- corpus
+      inter = (sa.toSet & sb.toSet).size
+      un = sa.toSet.size + sb.toSet.size - inter
+      if un > 0 && inter * 10 >= un * 7
+    } yield (na, ob)).toSet
+    assert(want.nonEmpty, "fixture should contain a planted cross near-dup")
+    assert(got === want)
+  }
 }

@@ -325,6 +325,16 @@ class PlanSpec extends SparkSpec {
       s"fact scan must be dynamically partition-pruned by the dim side:\n$p")
   }
 
+  test("q105: corpus side never shuffles — broadcasts only, one candidate exchange") {
+    val p = plan(SparkEntry.q105(spark, sf0001))
+    assert(!p.contains("SortMergeJoin"), s"corpus must not shuffle for a join:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"batch side must broadcast:\n$p")
+    // the single allowed exchange is the candidate-pair distinct
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges <= 1, s"expected at most the candidate distinct exchange, got $exchanges:\n$p")
+  }
+
   test("q104: bloom probe filters map-side, BELOW the confirm join's exchange") {
     val p = plan(SparkEntry.q104(spark, sf0001))
     val probeIdx = p.indexOf("long_bloom_might_contain")
