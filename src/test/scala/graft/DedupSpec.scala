@@ -118,6 +118,40 @@ class DedupSpec extends SparkSpec {
     assert(got === Set((10L, 1L))) // cross pair only; (2,3) is not reported
   }
 
+  test("streams compose: per-micro-batch incremental probe == one-shot batch probe") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (2L, "spark shuffles partition data across the cluster network at scale"))
+      .toDF("doc_id", "text").persist()
+    val arrivals = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (11L, "an entirely unrelated sentence about beam search and decoding"),
+      (12L, "spark shuffles partition data across the cluster network at scale"))
+    // the ingest shape: every trigger's documents probe the standing
+    // corpus; results accumulate — no state beyond the corpus itself
+    val found = scala.collection.mutable.Set.empty[(Long, Long)]
+    val input = MemoryStream[(Long, String)]
+    val q = input.toDF().toDF("doc_id", "text")
+      .writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (!b.isEmpty) {
+          found ++= Dedup.incrementalNearDup(b, corpus, "doc_id", "text")
+            .select("new_id", "old_id").as[(Long, Long)].collect()
+        }
+        ()
+      }.start()
+    input.addData(arrivals.take(2)); q.processAllAvailable()
+    input.addData(arrivals.drop(2)); q.processAllAvailable()
+    q.stop()
+    val oneShot = Dedup.incrementalNearDup(
+        arrivals.toDF("doc_id", "text"), corpus, "doc_id", "text")
+      .select("new_id", "old_id").as[(Long, Long)].collect().toSet
+    assert(found.toSet === oneShot)
+    assert(found.toSet === Set((10L, 1L), (12L, 2L)))
+  }
+
   test("incrementalNearDup == brute-force cross jaccard on the fixture split") {
     val dd = Tables.documents(spark, sf0001)
     val got = SparkEntry.q105(spark, sf0001)
