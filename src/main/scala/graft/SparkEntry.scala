@@ -1209,6 +1209,35 @@ object SparkEntry {
       "doc_id", "text")
   }
 
+  /** Q106 — end-to-end multimodal retrieval: a deterministic Y4M video
+    * per document (q44's planted lumas), decoded through the REAL codec
+    * into the 64-bin content histogram
+    * ([[graft.multimodal.Multimodal.extractFeatures]]), then cosine
+    * top-5 against five probe documents
+    * ([[graft.operators.Similarity.topKCosine]]) — the
+    * decode → featurize → similarity-search composition a multimodal
+    * pipeline runs, partition-wise kernels plus the broadcast-probe
+    * ranking, no shuffle before the bounded-heap top-k. Codec-derived
+    * feature: no SQL oracle; MultimodalSpec pins the histogram AND the
+    * ranking arithmetically from the planted luma values.
+    */
+  def q106(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val media = docs(s, d)
+      .select(col("doc_id"), octet_length(col("text")).cast("int").as("n"))
+      .as[(Long, Int)]
+      .map { case (id, n) =>
+        val lumas = Array.tabulate(n % 6 + 1)(k => (n + k * 7) % 256)
+        Multimodal.MediaRow(id, "video",
+          Multimodal.renderY4m(n % 11 + 2, n % 9 + 2, lumas),
+          n % 11 + 2, n % 9 + 2, 0)
+      }
+    val feats = Multimodal.extractFeatures(media)
+      .select(col("media_id").as("vec_id"), col("feature"))
+    graft.operators.Similarity.topKCosine(
+        feats, feats.filter(col("vec_id") < 5), "vec_id", "feature", k = 5)
+  }
+
   /** Q76 — incremental rollup maintenance ([[graft.sinks.IncrementalAgg]]):
     * the events stream split into two deterministic batches (even/odd
     * event_id), each folded into a partitioned (count, exact decimal
@@ -1436,7 +1465,8 @@ object SparkEntry {
     "q102_bpe_apply"      -> (q102 _),
     "q103_df_prune"       -> (q103 _),
     "q104_bloom_decontam" -> (q104 _),
-    "q105_incr_neardup"   -> (q105 _))
+    "q105_incr_neardup"   -> (q105 _),
+    "q106_media_topk"     -> (q106 _))
 
   // DuckDB twins. Shared SQL fragments for the text queries:
   // explicit class: Java \s includes \x0B, RE2 \s does not — see

@@ -308,4 +308,41 @@ class MultimodalSpec extends SparkSpec {
       assert(fs.length === math.ceil(lens(id).toDouble / 64).toInt)
     }
   }
+
+  test("q106: decode->featurize->top-k pinned arithmetically from planted lumas") {
+    val sp = spark
+    import sp.implicits._
+    // reference features: each Y4M frame is w*h pixels of ONE luma, so
+    // the 64-bin histogram is computable without touching the codec
+    val nByDoc = Tables.documents(spark, sf0001)
+      .selectExpr("doc_id", "CAST(octet_length(text) AS INT) AS n")
+      .as[(Long, Int)].collect()
+    val feats: Map[Long, Array[Float]] = nByDoc.map { case (id, n) =>
+      val lumas = Array.tabulate(n % 6 + 1)(k => (n + k * 7) % 256)
+      val wh = (n % 11 + 2) * (n % 9 + 2)
+      val counts = new Array[Long](64)
+      lumas.foreach(l => counts(l >> 2) += wh)
+      val total = wh.toLong * lumas.length
+      id -> counts.map(c => (c.toDouble / total).toFloat)
+    }.toMap
+    def cos(a: Array[Float], b: Array[Float]): Option[Double] = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < 64) {
+        d += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1
+      }
+      if (na == 0.0 || nb == 0.0) None else Some(d / (math.sqrt(na) * math.sqrt(nb)))
+    }
+    val want = (for {
+      p <- feats.keys.filter(_ < 5)
+      top = feats.toSeq.filter(_._1 != p)
+        .flatMap { case (id, v) => cos(feats(p), v).map(s => (id, s)) }
+        .sortBy { case (id, s) => (-s, id) }.take(5)
+      (id, s) <- top
+    } yield (p, id, BigDecimal(s).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      .toSet
+    val got = SparkEntry.q106(spark, sf0001)
+      .select("probe_id", "vec_id", "sim_r").as[(Long, Long, Double)].collect().toSet
+    assert(got === want)
+  }
 }
