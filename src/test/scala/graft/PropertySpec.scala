@@ -278,6 +278,73 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: bloom has NO false negatives for arbitrary key sets and sizes") {
+    import graft.functions.BloomBits
+    val caseGen = for {
+      numLongs <- Gen.choose(1, 64)
+      k <- Gen.choose(1, 8)
+      seed <- Gen.choose(Long.MinValue, Long.MaxValue)
+      keys <- Gen.listOf(Gen.choose(Long.MinValue, Long.MaxValue)).map(_.take(200))
+    } yield (numLongs, k, seed, keys)
+    samples(caseGen, 20).foreach { case (numLongs, k, seed, keys) =>
+      val bits = new Array[Long](numLongs)
+      keys.foreach(BloomBits.add(bits, k, seed, _))
+      assert(keys.forall(BloomBits.contains(bits, k, seed, _)),
+        s"false negative at numLongs=$numLongs k=$k seed=$seed")
+    }
+  }
+
+  test("property: pruneHighDfTokens matches a driver-side reference on random corpora") {
+    val wordGen = Gen.oneOf("a", "b", "c", "dd", "ee", "ff", "g1", "g2")
+    val docGen = Gen.listOf(wordGen).map(_.take(12).mkString(" "))
+    val caseGen = for {
+      pct <- Gen.choose(1, 99)
+      docs <- Gen.nonEmptyListOf(docGen).map(_.take(20))
+    } yield (pct, docs)
+    samples(caseGen, 10).foreach { case (pct, texts) =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val got = graft.operators.Corpus.pruneHighDfTokens(df, "doc_id", "text", pct)
+        .as[(Long, Long, Long, String)].collect().sortBy(_._1).toSeq
+      val toks = texts.map(_.split("[ \t\n\f\r]+").filter(_.nonEmpty).toSeq)
+      val nDocs = texts.length
+      val stop = toks.flatMap(_.distinct).groupBy(identity).view.mapValues(_.size)
+        .filter { case (_, dfc) => dfc * 100 > nDocs.toLong * pct }.keySet
+      val want = toks.zipWithIndex.map { case (tk, i) =>
+        val kept = tk.filterNot(stop)
+        (i.toLong, tk.length.toLong, kept.length.toLong, kept.mkString(" "))
+      }
+      assert(got === want, s"pct=$pct texts=$texts")
+    }
+  }
+
+  test("property: incrementalNearDup == brute-force cross jaccard on random corpora") {
+    // small vocab forces real overlap; duplicates planted by reuse
+    val docGen = Gen.listOfN(8, Gen.oneOf("w1", "w2", "w3", "w4", "w5")).map(_.mkString(" "))
+    val caseGen = for {
+      corpus <- Gen.listOfN(12, docGen)
+      batch <- Gen.listOfN(6, Gen.oneOf(docGen, Gen.oneOf(corpus)))
+    } yield (corpus, batch)
+    samples(caseGen, 8).foreach { case (corpusTexts, batchTexts) =>
+      val corpus = corpusTexts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val batch = batchTexts.zipWithIndex.map { case (t, i) => (100L + i, t) }
+        .toDF("doc_id", "text")
+      val got = Dedup.incrementalNearDup(batch, corpus, "doc_id", "text")
+        .select("new_id", "old_id").as[(Long, Long)].collect().toSet
+      def sh(t: String): Set[Seq[String]] = {
+        val tk = t.split(" ").toSeq
+        if (tk.length < 3) Set.empty else tk.sliding(3).map(_.toSeq).toSet
+      }
+      val want = (for {
+        (bt, bi) <- batchTexts.zipWithIndex; (ct, ci) <- corpusTexts.zipWithIndex
+        sa = sh(bt); sb = sh(ct)
+        inter = (sa & sb).size; un = sa.size + sb.size - inter
+        if un > 0 && inter * 10 >= un * 7
+      } yield (100L + bi, ci.toLong)).toSet
+      assert(got === want, s"batch=$batchTexts corpus=$corpusTexts")
+    }
+  }
+
   test("property: modePerKey's winner count equals the true max count") {
     val rowGen = for {
       k <- Gen.choose(0L, 5L); v <- Gen.oneOf("a", "b", "c", "d")
