@@ -648,8 +648,9 @@ object Corpus {
     * `Σ|distinct(doc)| / (maxDfPct/100 · N)` ≈ avg-distinct-per-doc ÷
     * (maxDfPct/100) tokens can clear the bar. That metadata-scale set
     * is collected once (same lifecycle as the k-means centroids in
-    * [[graft.operators.IvfIndex]]) and applied MAP-SIDE as a sorted
-    * literal — the apply pass adds zero exchanges. The threshold is the
+    * [[graft.operators.IvfIndex]]) and applied MAP-SIDE through the
+    * hashed-set expression [[graft.functions.StringArrayExceptSet]] —
+    * zero exchanges, O(1) membership per token. The threshold is the
     * integer cross-multiplication `df · 100 > N · maxDfPct` (strict),
     * so both engines cut identically with no double rounding.
     */
@@ -665,11 +666,12 @@ object Corpus {
       .groupBy(col("g")).agg(count(lit(1)).as("dfc"))
       .where(col("dfc") * 100 > lit(nDocs) * maxDfPct)
       .select(col("g")).collect().map(_.getString(0)).sorted
-    val stopLit = typedlit(stop)
+    import org.apache.spark.sql.graft.ColumnBridge
     toks
       .withColumn("kept",
         if (stop.isEmpty) col("tk")
-        else filter(col("tk"), t => !array_contains(stopLit, t)))
+        else ColumnBridge.column(graft.functions.StringArrayExceptSet(
+          ColumnBridge.expression(col("tk")), stop)))
       .select(col("id"),
         size(col("tk")).cast("long").as("n_tokens"),
         size(col("kept")).cast("long").as("n_kept"),
