@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.{HashFunctions, TextFunctions}
@@ -112,29 +112,63 @@ object Dedup {
                          idCol: String, textCol: String,
                          numHashes: Int = 128, bands: Int = 32,
                          thresholdNum: Int = 7, thresholdDen: Int = 10,
-                         ngram: Int = 3, seed: Long = 42L): DataFrame = {
+                         ngram: Int = 3, seed: Long = 42L): DataFrame =
+    incrementalNearDupPrepared(batch,
+      prepareNearDupIndex(corpus, idCol, textCol, ngram, numHashes, seed),
+      idCol, textCol, numHashes, bands, thresholdNum, thresholdDen, ngram, seed)
+
+  /** The per-document state a standing dedup index stores: `(idCol,
+    * shingles, sig)` — sorted hashed shingle set (exact verify) and
+    * MinHash signature (banding). Parquet-writable and APPEND-ONLY: a
+    * production pipeline materializes this once per ingested document
+    * and the daily probe ([[incrementalNearDupPrepared]]) never
+    * re-reads document text, making the daily cost O(batch) end to
+    * end. Shingle-less documents are dropped (they can never clear a
+    * Jaccard threshold — same rule as [[minhashLshPairs]]).
+    */
+  def prepareNearDupIndex(docs: DataFrame, idCol: String, textCol: String,
+                          ngram: Int = 3, numHashes: Int = 128,
+                          seed: Long = 42L): DataFrame =
+    hashedShingles(docs, idCol, textCol, ngram)
+      .filter(size(col("shingles")) > 0)
+      .select(col(idCol),
+        col("shingles"),
+        HashFunctions.minhashSignature(col("shingles"), numHashes, seed).as("sig"))
+
+  /** [[incrementalNearDup]] against a PREPARED index (see
+    * [[prepareNearDupIndex]]) — the production shape: corpus text is
+    * never touched, band buckets re-derive map-side from the stored
+    * signature, and the index side still never shuffles (batch buckets
+    * and batch shingle sets broadcast; the only exchange is the
+    * matched-candidate distinct).
+    */
+  def incrementalNearDupPrepared(batch: DataFrame, index: DataFrame,
+                                 idCol: String, textCol: String,
+                                 numHashes: Int = 128, bands: Int = 32,
+                                 thresholdNum: Int = 7, thresholdDen: Int = 10,
+                                 ngram: Int = 3, seed: Long = 42L): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val r = numHashes / bands
-    def bucketsOf(sh: DataFrame, as: String): DataFrame = {
-      val sig = sh.filter(size(col("shingles")) > 0).select(col(idCol),
-        HashFunctions.minhashSignature(col("shingles"), numHashes, seed).as("sig"),
-        col("shingles"))
+    def bandCols(sigCol: Column): Column = {
       val bandHashes = (0 until bands).map(b =>
-        xxhash64(lit(b), slice(col("sig"), b * r + 1, r)))
-      sig.select(col(idCol).as(as), explode(array(bandHashes: _*)).as("bucket"))
+        xxhash64(lit(b), slice(sigCol, b * r + 1, r)))
+      array(bandHashes: _*)
     }
     val batchSh = hashedShingles(batch, idCol, textCol, ngram)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val corpusSh = hashedShingles(corpus, idCol, textCol, ngram)
-    val newBuckets = bucketsOf(batchSh, "new_id")
-    val oldBuckets = bucketsOf(corpusSh, "old_id")
+    val newBuckets = batchSh.filter(size(col("shingles")) > 0)
+      .select(col(idCol).as("new_id"),
+        HashFunctions.minhashSignature(col("shingles"), numHashes, seed).as("sig"))
+      .select(col("new_id"), explode(bandCols(col("sig"))).as("bucket"))
+    val oldBuckets = index.select(col(idCol).as("old_id"),
+      explode(bandCols(col("sig"))).as("bucket"))
     val sa = batchSh.select(col(idCol).as("new_id"), col("shingles").as("sa"))
-    // corpus scan → map-side bucket explode → broadcast probe →
-    // broadcast verify, all one stage; shingles re-derive above the
+    // index scan → map-side bucket explode → broadcast probe →
+    // broadcast verify, all one stage; index shingles re-read above the
     // match (cheap: matches are rare) rather than riding the explode
     val cand = oldBuckets.join(broadcast(newBuckets), "bucket")
       .select(col("new_id"), col("old_id")).distinct()
-    val sb = corpusSh.select(col(idCol).as("old_id"), col("shingles").as("sb"))
+    val sb = index.select(col(idCol).as("old_id"), col("shingles").as("sb"))
     sb.join(broadcast(cand.join(broadcast(sa), "new_id")), "old_id")
       .withColumn("inter",
         HashFunctions.sortedLongIntersectSize(col("sa"), col("sb")).cast("long"))

@@ -118,6 +118,23 @@ class DedupSpec extends SparkSpec {
     assert(got === Set((10L, 1L))) // cross pair only; (2,3) is not reported
   }
 
+  test("prepared index round-trips through parquet; probe == from-text path") {
+    val dd = Tables.documents(spark, sf0001)
+    val batch = dd.filter(col("source") === "src1")
+    val corpus = dd.filter(col("source") =!= "src1")
+    val dir = java.nio.file.Files.createTempDirectory("neardup_index").toString
+    // day 0: materialize the standing index once (append-only state)
+    Dedup.prepareNearDupIndex(corpus, "doc_id", "text")
+      .write.mode("overwrite").parquet(dir)
+    val fromText = Dedup.incrementalNearDup(batch, corpus, "doc_id", "text")
+      .as[(Long, Long, Long, Long, Double)].collect().toSet
+    val prepared = Dedup.incrementalNearDupPrepared(
+        batch, spark.read.parquet(dir), "doc_id", "text")
+      .as[(Long, Long, Long, Long, Double)].collect().toSet
+    assert(prepared === fromText)
+    assert(prepared.nonEmpty)
+  }
+
   test("streams compose: per-micro-batch incremental probe == one-shot batch probe") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext

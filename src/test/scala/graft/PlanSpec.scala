@@ -325,6 +325,15 @@ class PlanSpec extends SparkSpec {
       s"fact scan must be dynamically partition-pruned by the dim side:\n$p")
   }
 
+  test("q103: the apply plan is exchange-free — one hashed-set pass over the scan") {
+    val p = plan(SparkEntry.q103(spark, sf0001))
+    // the df aggregate ran during construction (stop-set collect); the
+    // RETURNED plan must be pure map-side: scan -> expression -> project
+    assert(p.contains("string_array_except_set"), s"expected the hashed-set expression:\n$p")
+    assert(!p.contains("Exchange"), s"apply pass must not shuffle:\n$p")
+    assert(!p.contains("Join"), s"apply pass must not join:\n$p")
+  }
+
   test("q105: corpus side never shuffles — broadcasts only, one candidate exchange") {
     val p = plan(SparkEntry.q105(spark, sf0001))
     assert(!p.contains("SortMergeJoin"), s"corpus must not shuffle for a join:\n$p")
