@@ -55,6 +55,18 @@ object GraftExtensions {
       case Seq(c, w)    => CharWindowHashes(c, intArg(w), 42L)
       case Seq(c, w, s) => CharWindowHashes(c, intArg(w), longArg(s))
       case _ => throw new IllegalArgumentException("char_window_hashes(text, width[, seed])")
+    }),
+    "string_array_except_set" -> (args => args match {
+      // the excluded set must be a foldable array literal — it is baked
+      // into the expression as driver metadata, same as the Column API
+      case Seq(c, setExpr) if setExpr.foldable =>
+        val arr = setExpr.eval(null)
+          .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        graft.functions.StringArrayExceptSet(c,
+          arr.toObjectArray(org.apache.spark.sql.types.StringType)
+            .flatMap(v => Option(v).map(_.toString)))
+      case _ => throw new IllegalArgumentException(
+        "string_array_except_set(arr, array('a', 'b', ...)) — set must be a literal")
     }))
 
   /** Register all graft functions on an existing session. */

@@ -24,6 +24,20 @@ class SqlFunctionsSpec extends SparkSpec {
     assert(!r.isNullAt(5))
   }
 
+  test("string_array_except_set from SQL: order and duplicates preserved") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT string_array_except_set(
+        |  array('the', 'cat', 'the', 'mat', NULL), array('the')) AS kept
+        |""".stripMargin).head().getSeq[String](0)
+    assert(r === Seq("cat", "mat", null)) // unlike array_except: dup 'mat'-less, order kept
+    // non-literal set is a clear error, not silent misbehavior
+    val err = intercept[Exception] {
+      spark.sql("SELECT string_array_except_set(array('a'), array(rand()::string))").head()
+    }
+    assert(err.getMessage.toLowerCase.contains("literal"))
+  }
+
   test("SQL function composes with tables (top-k cosine via spark.sql)") {
     GraftExtensions.register(spark)
     Tables.embeddings(spark, sf0001).createOrReplaceTempView("emb")
