@@ -1209,6 +1209,14 @@ object SparkEntry {
       "doc_id", "text")
   }
 
+  /** Q107 — vocabulary coverage ([[graft.operators.Corpus.vocabCoverage]]):
+    * top-50 tokens with per-token stream share and cumulative coverage.
+    * One vocabulary shuffle + TakeOrdered cut; the cumulative window
+    * runs over the 50 cut rows only.
+    */
+  def q107(s: SparkSession, d: String): DataFrame =
+    graft.operators.Corpus.vocabCoverage(docs(s, d), "text", k = 50)
+
   /** Q106 — end-to-end multimodal retrieval: a deterministic Y4M video
     * per document (q44's planted lumas), decoded through the REAL codec
     * into the 64-bin content histogram
@@ -1466,7 +1474,8 @@ object SparkEntry {
     "q103_df_prune"       -> (q103 _),
     "q104_bloom_decontam" -> (q104 _),
     "q105_incr_neardup"   -> (q105 _),
-    "q106_media_topk"     -> (q106 _))
+    "q106_media_topk"     -> (q106 _),
+    "q107_vocab_coverage" -> (q107 _))
 
   // DuckDB twins. Shared SQL fragments for the text queries:
   // explicit class: Java \s includes \x0B, RE2 \s does not — see
@@ -2230,5 +2239,17 @@ object SparkEntry {
           |  CAST(tot - inter AS BIGINT) AS un,
           |  CAST(inter AS DOUBLE) / (tot - inter) AS jac
           |FROM pairs WHERE (tot - inter) > 0 AND inter * 10 >= (tot - inter) * 7
+          |""".stripMargin),
+    "q107_vocab_coverage" ->
+      (s"""WITH tk AS (SELECT unnest($TOKS_LOWER) AS token FROM documents),
+          |c AS (SELECT token, count(*) AS cnt FROM tk GROUP BY 1),
+          |t AS (SELECT sum(cnt) AS total FROM c),
+          |top AS (SELECT token, cnt FROM c ORDER BY cnt DESC, token LIMIT 50)
+          |SELECT CAST(row_number() OVER (ORDER BY cnt DESC, token) AS BIGINT) AS rank,
+          |  token, cnt,
+          |  round(CAST(cnt AS DOUBLE) / total, 6) AS share,
+          |  round(CAST(sum(cnt) OVER (ORDER BY cnt DESC, token
+          |    ROWS UNBOUNDED PRECEDING) AS DOUBLE) / total, 6) AS cum_share
+          |FROM top CROSS JOIN t
           |""".stripMargin))
 }

@@ -155,6 +155,40 @@ object Corpus {
       .groupBy(col(idCol)).agg(count(lit(1)).as("n_shared"))
   }
 
+  /** Vocabulary coverage: the top-`k` tokens by corpus frequency with
+    * each token's share of the token STREAM and the cumulative coverage
+    * down the ranking — the "how large a vocabulary covers 95 % of the
+    * corpus" tokenizer diagnostic. Returns `(rank, token, cnt, share,
+    * cum_share)`, ordered by `(cnt desc, token)` (total order, both
+    * engines agree bit-for-bit; shares are integer-ratio doubles
+    * rounded at the end).
+    *
+    * Scale shape: one partial-aggregated shuffle to the vocabulary
+    * count table; the top-k cut is `orderBy().limit(k)` — Spark plans
+    * TakeOrdered (per-partition heaps, never a global sort
+    * materialization); the cumulative window runs AFTER the cut, over
+    * k rows of metadata (the packSequences bucket-window pattern, not
+    * a q61-style global data window).
+    */
+  def vocabCoverage(docs: DataFrame, textCol: String, k: Int = 50): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val tk = docs.select(
+        explode(split(trim(lower(col(textCol))), TextFunctions.whitespaceClass)).as("token"))
+      .filter(col("token") =!= "")
+    val counts = tk.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+    val total = counts.agg(sum(col("cnt")).as("total"))
+    val top = counts.orderBy(col("cnt").desc, col("token").asc).limit(k)
+    val w = Window.orderBy(col("cnt").desc, col("token").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    top.crossJoin(broadcast(total))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("cnt").desc, col("token").asc)).cast("long"))
+      .withColumn("share", round(col("cnt").cast("double") / col("total"), 6))
+      .withColumn("cum_share",
+        round(sum(col("cnt")).over(w).cast("double") / col("total"), 6))
+      .select(col("rank"), col("token"), col("cnt"), col("share"), col("cum_share"))
+  }
+
   /** [[decontaminate]] with a Bloom prefilter — the shape for the
     * INVERTED scale case, where the "benchmark" side is itself a corpus
     * too large to hash-set broadcast. Build: one distributed pass ORs

@@ -400,6 +400,22 @@ class CorpusSpec extends SparkSpec {
     assert(got === Seq((0L, 2L, 2L, "a b"), (1L, 2L, 2L, "c d")))
   }
 
+  test("vocabCoverage: exact shares, tie-break by token, coverage reaches 1 at full cut") {
+    // stream: a×3, b×2, c×2, d×1 (total 8); ties (b,c) break by token asc
+    val d = docTable(Seq(0L -> "a b c a", 1L -> "a b c d"))
+    val got = Corpus.vocabCoverage(d, "text", k = 10)
+      .as[(Long, String, Long, Double, Double)].collect().toSeq
+    assert(got === Seq(
+      (1L, "a", 3L, 0.375, 0.375),
+      (2L, "b", 2L, 0.25, 0.625),
+      (3L, "c", 2L, 0.25, 0.875),
+      (4L, "d", 1L, 0.125, 1.0)))
+    // a tighter cut keeps the prefix
+    val cut = Corpus.vocabCoverage(d, "text", k = 2)
+      .as[(Long, String, Long, Double, Double)].collect().toSeq
+    assert(cut === got.take(2))
+  }
+
   test("pruneHighDfTokens: pct bounds validated") {
     val d = docTable(Seq(0L -> "a"))
     intercept[IllegalArgumentException] {

@@ -334,6 +334,17 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), s"apply pass must not join:\n$p")
   }
 
+  test("q107: top-k cut is TakeOrdered (heaps), never a global sort of the vocabulary") {
+    val p = plan(SparkEntry.q107(spark, sf0001))
+    assert(p.contains("TakeOrderedAndProject"), s"expected a heap-based cut:\n$p")
+    // the only Sort allowed is the k-row window's; a pre-cut global
+    // Sort of the counts table would materialize the whole vocabulary
+    val sortIdx = p.indexOf("Sort ")
+    val takeIdx = p.indexOf("TakeOrderedAndProject")
+    assert(sortIdx < 0 || sortIdx < takeIdx,
+      s"vocabulary must not globally sort before the cut:\n$p")
+  }
+
   test("q105: corpus side never shuffles — broadcasts only, one candidate exchange") {
     val p = plan(SparkEntry.q105(spark, sf0001))
     assert(!p.contains("SortMergeJoin"), s"corpus must not shuffle for a join:\n$p")
