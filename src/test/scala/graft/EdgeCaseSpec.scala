@@ -102,6 +102,30 @@ class EdgeCaseSpec extends SparkSpec {
     }
   }
 
+  test("round-8b operators tolerate empty and degenerate inputs") {
+    val emptyDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val someDocs = Seq((1L, "a b c"), (2L, "a b d")).toDF("doc_id", "text")
+    // empty corpus: no stop set, empty output, no divide-by-zero
+    assert(graft.operators.Corpus.pruneHighDfTokens(emptyDocs, "doc_id", "text")
+      .count() === 0)
+    // empty bench: bloom of nothing rejects everything -> empty result
+    assert(graft.operators.Corpus.decontaminateBloom(
+      someDocs, emptyDocs, "doc_id", "text").count() === 0)
+    // empty train side
+    assert(graft.operators.Corpus.decontaminateBloom(
+      emptyDocs, someDocs, "doc_id", "text").count() === 0)
+    // empty batch / empty corpus probes
+    assert(graft.operators.Dedup.incrementalNearDup(
+      emptyDocs, someDocs, "doc_id", "text").count() === 0)
+    assert(graft.operators.Dedup.incrementalNearDup(
+      someDocs, emptyDocs, "doc_id", "text").count() === 0)
+    // vocab coverage of nothing
+    assert(graft.operators.Corpus.vocabCoverage(emptyDocs, "text").count() === 0)
+    // bpeStats under empty docs
+    assert(graft.operators.Corpus.bpeStats(emptyDocs, "doc_id", "text",
+      Array(("a", "b"))).count() === 0)
+  }
+
   test("scalarQuantize: constant and single-row dimensions code to 0") {
     val one = Seq((7L, Seq(1.5f, -2.0f))).toDF("id", "vec")
     val codes = graft.operators.Quantize.scalarQuantize(one, "id", "vec")
