@@ -1209,6 +1209,16 @@ object SparkEntry {
       "doc_id", "text")
   }
 
+  /** Q108 — CDC chunk duplication profile
+    * ([[graft.operators.Dedup.cdcChunkDupProfile]]): content-defined
+    * chunking per document, chunks shared across ≥ 2 docs flagged,
+    * per-doc shared-span ratio. Hash-boundary-specific output: no SQL
+    * oracle; DedupSpec pins the chunker invariants (exact partition,
+    * bounds, locality under edits) and the profile on planted spans.
+    */
+  def q108(s: SparkSession, d: String): DataFrame =
+    graft.operators.Dedup.cdcChunkDupProfile(docs(s, d), "doc_id", "text")
+
   /** Q107 — vocabulary coverage ([[graft.operators.Corpus.vocabCoverage]]):
     * top-50 tokens with per-token stream share and cumulative coverage.
     * One vocabulary shuffle + TakeOrdered cut; the cumulative window
@@ -1475,7 +1485,8 @@ object SparkEntry {
     "q104_bloom_decontam" -> (q104 _),
     "q105_incr_neardup"   -> (q105 _),
     "q106_media_topk"     -> (q106 _),
-    "q107_vocab_coverage" -> (q107 _))
+    "q107_vocab_coverage" -> (q107 _),
+    "q108_cdc_chunks"     -> (q108 _))
 
   // DuckDB twins. Shared SQL fragments for the text queries:
   // explicit class: Java \s includes \x0B, RE2 \s does not — see

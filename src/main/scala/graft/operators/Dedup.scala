@@ -178,6 +178,44 @@ object Dedup {
         (col("inter").cast("double") / col("un")).as("jac"))
   }
 
+  /** Chunk-level duplication profile via content-defined chunking
+    * ([[graft.functions.CdcChunkHashes]]): each document splits at
+    * content-determined boundaries; a chunk is SHARED when its hash
+    * occurs in ≥ 2 distinct documents. Returns per document `(idCol,
+    * n_chunks, n_chars, n_shared_chunks, shared_chars, shared_ratio)` —
+    * the span-level complement of [[crossDupProfile]]'s shingle ratio:
+    * CDC finds long verbatim spans (boilerplate, quotations, templated
+    * sections) that survive insertions around them, because an edit
+    * reshapes O(1) chunks instead of shifting every later boundary.
+    *
+    * Scale shape: chunking is map-side (one expression pass); the
+    * shuffles move 8-byte chunk hashes only — (doc, hash) distinct →
+    * per-hash doc count → equi-join back → per-doc aggregate. No
+    * string ever shuffles.
+    */
+  def cdcChunkDupProfile(docs: DataFrame, idCol: String, textCol: String,
+                         width: Int = 8, maskBits: Int = 6,
+                         minChars: Int = 16, maxChars: Int = 256,
+                         seed: Long = 42L): DataFrame = {
+    import graft.functions.ArrayFunctions
+    val chunks = docs.select(col(idCol),
+        explode(ArrayFunctions.cdcChunks(col(textCol), width, maskBits,
+          minChars, maxChars, seed)).as("c"))
+      .select(col(idCol), col("c.hash").as("h"), col("c.len").as("l"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val docCounts = chunks.select(col(idCol), col("h")).distinct()
+      .groupBy(col("h")).agg(count(lit(1)).as("nd"))
+    val flagged = chunks.join(docCounts, "h")
+      .withColumn("shared", (col("nd") >= 2).cast("int"))
+    flagged.groupBy(col(idCol)).agg(
+        count(lit(1)).as("n_chunks"),
+        sum(col("l")).as("n_chars"),
+        sum(col("shared")).as("n_shared_chunks"),
+        sum(col("l") * col("shared")).as("shared_chars"))
+      .withColumn("shared_ratio",
+        round(col("shared_chars").cast("double") / col("n_chars"), 6))
+  }
+
   /** Exact-Jaccard verification of candidate pairs against sorted hashed
     * shingle sets (merge-count intersection, no per-row hash sets).
     * Keeps j >= num/den via integer cross-multiplication (exact).

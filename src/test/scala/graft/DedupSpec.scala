@@ -118,6 +118,65 @@ class DedupSpec extends SparkSpec {
     assert(got === Set((10L, 1L))) // cross pair only; (2,3) is not reported
   }
 
+  test("cdcChunks: chunks exactly partition the text, within bounds") {
+    import graft.functions.ArrayFunctions
+    val texts = Seq(
+      "x",                                  // shorter than width: one chunk
+      "a" * 1000,                           // degenerate repetition
+      (1 to 300).map(i => s"tok$i").mkString(" ")) // varied content
+    val rows = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), col("text"),
+        ArrayFunctions.cdcChunks(col("text"), width = 8, maskBits = 4,
+          minChars = 8, maxChars = 64).as("ch"))
+      .as[(Long, String, Seq[(Int, Int, Long)])].collect()
+    rows.foreach { case (_, t, ch) =>
+      val nCp = t.codePointCount(0, t.length)
+      assert(ch.map(_._2).sum === nCp)               // exact partition
+      assert(ch.head._1 === 0)
+      ch.sliding(2).foreach {
+        case Seq((o1, l1, _), (o2, _, _)) => assert(o1 + l1 === o2) // contiguous
+        case _ =>
+      }
+      ch.dropRight(1).foreach { case (_, l, _) => assert(l >= 8 && l <= 64) }
+      assert(ch.last._2 <= 64)
+    }
+  }
+
+  test("cdcChunks: a one-char edit reshapes O(1) chunks; fixed stride shifts all") {
+    import graft.functions.ArrayFunctions
+    val base = (1 to 400).map(i => s"w${i % 97}x${(i * 7) % 31}").mkString(" ")
+    val edited = base.updated(base.length / 2, '@')
+    val out = Seq((0L, base), (1L, edited)).toDF("doc_id", "text")
+      .select(col("doc_id"),
+        ArrayFunctions.cdcChunks(col("text"), width = 8, maskBits = 5,
+          minChars = 8, maxChars = 128).as("ch"))
+      .as[(Long, Seq[(Int, Int, Long)])].collect().sortBy(_._1)
+    val h0 = out(0)._2.map(_._3); val h1 = out(1)._2.map(_._3)
+    assert(h0.size > 10, s"expected many chunks, got ${h0.size}")
+    // symmetric difference is a handful of chunks around the edit, not
+    // the whole tail — the CDC locality property
+    val common = h0.toSet & h1.toSet
+    val changed = (h0.size - common.size) max (h1.size - common.size)
+    assert(changed <= 3, s"edit reshaped $changed of ${h0.size} chunks")
+  }
+
+  test("cdcChunkDupProfile: planted shared span flagged in both docs, unique doc clean") {
+    val span = (1 to 40).map(i => s"shared$i").mkString(" ") // ~300 chars
+    val d = Seq(
+      (0L, s"prefix zero ${span} suffix zero"),
+      (1L, s"a different opening here ${span} and a different close"),
+      (2L, "entirely unique content with no overlap at all in this document"))
+      .toDF("doc_id", "text")
+    val got = Dedup.cdcChunkDupProfile(d, "doc_id", "text",
+        maskBits = 4, minChars = 8, maxChars = 64)
+      .as[(Long, Long, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(0L)._4 > 0 && got(1L)._4 > 0, "shared span must flag in both docs")
+    assert(got(2L)._4 === 0L && got(2L)._6 === 0.0, "unique doc must be clean")
+    assert(got(0L)._6 > 0.3, s"most of doc 0 is the shared span: ${got(0L)}")
+  }
+
   test("prepared index round-trips through parquet; probe == from-text path") {
     val dd = Tables.documents(spark, sf0001)
     val batch = dd.filter(col("source") === "src1")
