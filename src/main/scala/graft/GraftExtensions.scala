@@ -67,6 +67,13 @@ object GraftExtensions {
             .flatMap(v => Option(v).map(_.toString)))
       case _ => throw new IllegalArgumentException(
         "string_array_except_set(arr, array('a', 'b', ...)) — set must be a literal")
+    }),
+    "cdc_chunks" -> (args => args match {
+      case Seq(c) => graft.functions.CdcChunkHashes(c, 8, 6, 16, 256, 42L)
+      case Seq(c, w, m, lo, hi) =>
+        graft.functions.CdcChunkHashes(c, intArg(w), intArg(m), intArg(lo), intArg(hi), 42L)
+      case _ => throw new IllegalArgumentException(
+        "cdc_chunks(text[, width, maskBits, minChars, maxChars])")
     }))
 
   /** Register all graft functions on an existing session. */

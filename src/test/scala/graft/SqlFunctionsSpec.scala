@@ -24,6 +24,15 @@ class SqlFunctionsSpec extends SparkSpec {
     assert(!r.isNullAt(5))
   }
 
+  test("cdc_chunks from SQL: partition invariant holds") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT aggregate(cdc_chunks(repeat('abcdefg ', 50)), 0,
+        |  (acc, c) -> acc + c.len) AS covered
+        |""".stripMargin).head().getInt(0)
+    assert(r === 400) // chunks exactly cover the 400-char text
+  }
+
   test("string_array_except_set from SQL: order and duplicates preserved") {
     GraftExtensions.register(spark)
     val r = spark.sql(
