@@ -1209,6 +1209,26 @@ object SparkEntry {
       "doc_id", "text")
   }
 
+  /** Q109 — split-leakage audit: the dedup-aware-split check an LLM
+    * pipeline runs before training — eval documents (q63's
+    * content-addressed val/test split) probed against the train split
+    * for near-duplicates at Jaccard ≥ 0.7
+    * ([[graft.operators.Dedup.incrementalNearDup]]: eval side
+    * broadcasts, train side never shuffles). A non-empty result means
+    * eval rows leak into training through near-copies even though the
+    * EXACT split is disjoint by construction. Oracle = brute-force
+    * cross Jaccard over the same md5 split in DuckDB.
+    */
+  def q109(s: SparkSession, d: String): DataFrame = {
+    val withSplit = graft.operators.Corpus.splitAssign(docs(s, d), "doc_id", salt = "graft")
+    graft.operators.Dedup.incrementalNearDup(
+        withSplit.filter(col("split") =!= "train"),
+        withSplit.filter(col("split") === "train"),
+        "doc_id", "text")
+      .withColumnRenamed("new_id", "eval_id")
+      .withColumnRenamed("old_id", "train_id")
+  }
+
   /** Q108 — CDC chunk duplication profile
     * ([[graft.operators.Dedup.cdcChunkDupProfile]]): content-defined
     * chunking per document, chunks shared across ≥ 2 docs flagged,
@@ -1486,7 +1506,8 @@ object SparkEntry {
     "q105_incr_neardup"   -> (q105 _),
     "q106_media_topk"     -> (q106 _),
     "q107_vocab_coverage" -> (q107 _),
-    "q108_cdc_chunks"     -> (q108 _))
+    "q108_cdc_chunks"     -> (q108 _),
+    "q109_split_leakage"  -> (q109 _))
 
   // DuckDB twins. Shared SQL fragments for the text queries:
   // explicit class: Java \s includes \x0B, RE2 \s does not — see
@@ -2247,6 +2268,34 @@ object SparkEntry {
           |  len(list_intersect(a.s, b.s)) AS inter, len(a.s) + len(b.s) AS tot
           |  FROM sh a JOIN sh b ON a.source = 'src1' AND b.source <> 'src1')
           |SELECT new_id, old_id, CAST(inter AS BIGINT) AS inter,
+          |  CAST(tot - inter AS BIGINT) AS un,
+          |  CAST(inter AS DOUBLE) / (tot - inter) AS jac
+          |FROM pairs WHERE (tot - inter) > 0 AND inter * 10 >= (tot - inter) * 7
+          |""".stripMargin),
+    "q109_split_leakage" ->
+      (s"""WITH sp AS (SELECT doc_id, text,
+          |  CASE WHEN substring(md5('graft:' || CAST(doc_id AS VARCHAR)), 1, 2) < 'e6'
+          |    THEN 'train' ELSE 'eval' END AS side FROM documents),
+          |toks AS (SELECT doc_id, side, $TOKS AS tk FROM sp),
+          |sh AS (SELECT doc_id, side, ${shinglesSql("tk")} AS s FROM toks),
+          |pairs AS (SELECT a.doc_id AS eval_id, b.doc_id AS train_id,
+          |  len(list_intersect(a.s, b.s)) AS inter, len(a.s) + len(b.s) AS tot
+          |  FROM sh a JOIN sh b ON a.side = 'eval' AND b.side = 'train')
+          |SELECT eval_id, train_id, CAST(inter AS BIGINT) AS inter,
+          |  CAST(tot - inter AS BIGINT) AS un,
+          |  CAST(inter AS DOUBLE) / (tot - inter) AS jac
+          |FROM pairs WHERE (tot - inter) > 0 AND inter * 10 >= (tot - inter) * 7
+          |""".stripMargin),
+    "q109_split_leakage" ->
+      (s"""WITH sp AS (SELECT doc_id, text,
+          |  CASE WHEN substring(md5('graft:' || CAST(doc_id AS VARCHAR)), 1, 2) < 'e6'
+          |    THEN 'train' ELSE 'eval' END AS side FROM documents),
+          |toks AS (SELECT doc_id, side, $TOKS AS tk FROM sp),
+          |sh AS (SELECT doc_id, side, ${shinglesSql("tk")} AS s FROM toks),
+          |pairs AS (SELECT a.doc_id AS eval_id, b.doc_id AS train_id,
+          |  len(list_intersect(a.s, b.s)) AS inter, len(a.s) + len(b.s) AS tot
+          |  FROM sh a JOIN sh b ON a.side = 'eval' AND b.side = 'train')
+          |SELECT eval_id, train_id, CAST(inter AS BIGINT) AS inter,
           |  CAST(tot - inter AS BIGINT) AS un,
           |  CAST(inter AS DOUBLE) / (tot - inter) AS jac
           |FROM pairs WHERE (tot - inter) > 0 AND inter * 10 >= (tot - inter) * 7

@@ -177,6 +177,19 @@ class DedupSpec extends SparkSpec {
     assert(got(0L)._6 > 0.3, s"most of doc 0 is the shared span: ${got(0L)}")
   }
 
+  test("q109: every leaked pair crosses the split boundary, at jaccard >= 0.7") {
+    val splits = graft.operators.Corpus.splitAssign(
+        Tables.documents(spark, sf0001), "doc_id", salt = "graft")
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    val got = SparkEntry.q109(spark, sf0001)
+      .select("eval_id", "train_id", "jac").as[(Long, Long, Double)].collect()
+    assert(got.nonEmpty, "fixture plants cross-split near-dups")
+    got.foreach { case (e, t, j) =>
+      assert(splits(e) != "train" && splits(t) == "train", s"pair ($e,$t) does not cross")
+      assert(j >= 0.7)
+    }
+  }
+
   test("prepared index round-trips through parquet; probe == from-text path") {
     val dd = Tables.documents(spark, sf0001)
     val batch = dd.filter(col("source") === "src1")
