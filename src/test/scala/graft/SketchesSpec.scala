@@ -80,6 +80,30 @@ class SketchesSpec extends SparkSpec {
       e1 > e2 || (e1 == e2 && k1 < k2) })
   }
 
+  test("streams compose: a bloom OR-maintained per micro-batch equals the batch build") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[Long]
+    // the streaming-decontamination shape: each trigger's new benchmark
+    // keys OR into the standing filter; no rescan of earlier batches
+    var global = new Array[Long](256)
+    val q = input.toDF().toDF("k")
+      .writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (!b.isEmpty) {
+          val part = Sketches.bloomOf(b, "k", numLongs = 256)
+          global = global.zip(part).map { case (x, y) => x | y }
+        }
+        ()
+      }.start()
+    val keys = Seq.tabulate(400)(i => i.toLong * 7919L)
+    input.addData(keys.take(150)); q.processAllAvailable()
+    input.addData(keys.drop(150)); q.processAllAvailable()
+    q.stop()
+    val batch = Sketches.bloomOf(keys.toDF("k"), "k", numLongs = 256)
+    assert(global.toSeq === batch.toSeq)
+  }
+
   test("bloom: no false negatives, distributed build == sequential build") {
     import graft.functions.BloomBits
     val keys = Seq.tabulate(3000)(i => (i * 2654435761L) ^ (i << 7)).map(_.toLong)
