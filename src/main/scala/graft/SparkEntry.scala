@@ -1209,6 +1209,24 @@ object SparkEntry {
       "doc_id", "text")
   }
 
+  /** Q110 — cross-source contamination matrix: distinct shared
+    * shingles for every unordered source pair — the corpus-governance
+    * view of q59's pairwise probe ("which collections overlap, and how
+    * much"). One explode to distinct (source, shingle) — 8-byte hashes
+    * after the per-source collapse — then a self-equi-join on the
+    * shingle and a pair-count aggregate; no strings shuffle, no
+    * quadratic scan.
+    */
+  def q110(s: SparkSession, d: String): DataFrame = {
+    val sh = docs(s, d).select(col("source"),
+        explode(graft.functions.HashFunctions.hashedWordNgrams(col("text"), 3)).as("h"))
+      .distinct()
+    sh.as("x").join(sh.as("y"),
+        col("x.h") === col("y.h") && col("x.source") < col("y.source"))
+      .groupBy(col("x.source").as("src_a"), col("y.source").as("src_b"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
   /** Q109 — split-leakage audit: the dedup-aware-split check an LLM
     * pipeline runs before training — eval documents (q63's
     * content-addressed val/test split) probed against the train split
@@ -1507,7 +1525,8 @@ object SparkEntry {
     "q106_media_topk"     -> (q106 _),
     "q107_vocab_coverage" -> (q107 _),
     "q108_cdc_chunks"     -> (q108 _),
-    "q109_split_leakage"  -> (q109 _))
+    "q109_split_leakage"  -> (q109 _),
+    "q110_source_overlap" -> (q110 _))
 
   // DuckDB twins. Shared SQL fragments for the text queries:
   // explicit class: Java \s includes \x0B, RE2 \s does not — see
@@ -2311,5 +2330,12 @@ object SparkEntry {
           |  round(CAST(sum(cnt) OVER (ORDER BY cnt DESC, token
           |    ROWS UNBOUNDED PRECEDING) AS DOUBLE) / total, 6) AS cum_share
           |FROM top CROSS JOIN t
+          |""".stripMargin),
+    "q110_source_overlap" ->
+      (s"""WITH toks AS (SELECT doc_id, source, $TOKS AS tk FROM documents),
+          |sh AS (SELECT DISTINCT source, unnest(${shinglesSql("tk")}) AS g FROM toks)
+          |SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_shared
+          |FROM sh a JOIN sh b ON a.g = b.g AND a.source < b.source
+          |GROUP BY 1, 2
           |""".stripMargin))
 }
