@@ -325,6 +325,15 @@ class PlanSpec extends SparkSpec {
       s"fact scan must be dynamically partition-pruned by the dim side:\n$p")
   }
 
+  test("q110: source-overlap joins 8-byte hashes with partial aggregation, no cartesian") {
+    val p = plan(SparkEntry.q110(spark, sf0001))
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+    assert(p.contains("partial"), s"pair count must partial-aggregate:\n$p")
+    // the join carries only (source, hash) — document text never reaches it
+    assert(!p.toLowerCase.contains("text#") ||
+      p.indexOf("text#") > p.indexOf("Join"), s"text must not ride into the join:\n$p")
+  }
+
   test("q103: the apply plan is exchange-free — one hashed-set pass over the scan") {
     val p = plan(SparkEntry.q103(spark, sf0001))
     // the df aggregate ran during construction (stop-set collect); the
