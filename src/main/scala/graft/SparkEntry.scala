@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 import graft.ops.EventOps
-import graft.functions.TextFunctions
+import graft.functions.{NumFunctions, TextFunctions}
 import graft.multimodal.Multimodal
 import graft.operators.{Dedup, Similarity}
 
@@ -171,7 +171,7 @@ object SparkEntry {
     val toks = TextFunctions.tokens(col("text"))
     docs(s, d).select(col("doc_id"),
       size(toks).cast("long").as("n_tokens"),
-      round(TextFunctions.typeTokenRatio(toks), 6).as("ttr"),
+      NumFunctions.roundNz(TextFunctions.typeTokenRatio(toks), 6).as("ttr"),
       TextFunctions.qualityScore(toks).as("score"))
   }
 
@@ -305,8 +305,8 @@ object SparkEntry {
     */
   def q36(s: SparkSession, d: String): DataFrame =
     ev(s, d).groupBy(col("event_type")).agg(
-      round(expr("percentile(value, 0.5)"), 6).as("p50"),
-      round(expr("percentile(value, 0.9)"), 6).as("p90"))
+      NumFunctions.roundNz(expr("percentile(value, 0.5)"), 6).as("p50"),
+      NumFunctions.roundNz(expr("percentile(value, 0.9)"), 6).as("p90"))
 
   /** Q37 — END-TO-END corpus dedup: exact-collapse → MinHash-LSH →
     * connected components → min-id survivors ([[Dedup.dedupCorpus]]).
@@ -352,7 +352,7 @@ object SparkEntry {
       col("media_id").as("doc_id"),
       col("width").cast("long").as("width"),
       col("height").cast("long").as("height"),
-      round(col("mean_luma"), 6).as("mean_luma"))
+      NumFunctions.roundNz(col("mean_luma"), 6).as("mean_luma"))
   }
 
   /** Q43 — the REAL audio codec, oracle-checked end-to-end: render a
@@ -381,7 +381,7 @@ object SparkEntry {
       col("media_id").as("doc_id"),
       col("sample_rate").cast("long").as("sample_rate"),
       col("n_samples").as("n_samples"),
-      round(col("rms"), 6).as("rms"))
+      NumFunctions.roundNz(col("rms"), 6).as("rms"))
   }
 
   /** Q44 — the REAL video codec, oracle-checked end-to-end: render a
@@ -412,7 +412,7 @@ object SparkEntry {
       col("frame_idx").cast("long").as("frame_idx"),
       col("width").cast("long").as("width"),
       col("height").cast("long").as("height"),
-      round(col("mean_luma"), 6).as("luma"))
+      NumFunctions.roundNz(col("mean_luma"), 6).as("luma"))
   }
 
   /** Q45 — PIVOT: long→wide reshaping via
@@ -721,7 +721,7 @@ object SparkEntry {
           .cast("long").as("n_distinct"))
       .filter(col("n_tokens") >= 3)
       .select(col("doc_id"),
-        round(lit(1.0) - col("n_distinct").cast("double") / (col("n_tokens") - 2), 6)
+        NumFunctions.roundNz(lit(1.0) - col("n_distinct").cast("double") / (col("n_tokens") - 2), 6)
           .as("rep_score"))
   }
 
@@ -765,7 +765,7 @@ object SparkEntry {
       .agg(count(lit(1)).as("n"), dec(x, 6).as("sx"), sum(y).as("sy"),
         dec(x * x, 6).as("sxx"), sum(y * y).as("syy"), dec(x * y, 6).as("sxy"))
       .select(col("event_type"), col("n"),
-        round((col("n") * col("sxy") - col("sx") * col("sy")) /
+        NumFunctions.roundNz((col("n") * col("sxy") - col("sx") * col("sy")) /
           (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
            sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast("double"))), 6)
           .as("corr_vh"))
@@ -1084,8 +1084,8 @@ object SparkEntry {
   def q96(s: SparkSession, d: String): DataFrame = {
     val model = graft.operators.Pca.fit(emb(s, d), "embedding", d = 64, k = 2)
     graft.operators.Pca.project(emb(s, d), "vec_id", "embedding", model)
-      .select(col("vec_id"), round(col("pc1"), 4).as("pc1"),
-        round(col("pc2"), 4).as("pc2"))
+      .select(col("vec_id"), NumFunctions.roundNz(col("pc1"), 4).as("pc1"),
+        NumFunctions.roundNz(col("pc2"), 4).as("pc2"))
   }
 
   /** Q97 — semantic deduplication (SemDeDup, Abbas et al. 2023;
@@ -1319,7 +1319,7 @@ object SparkEntry {
         valueCol = "value")
     graft.sinks.IncrementalAgg.read(s, root)
       .select(col("event_type"), col("user_id"), col("n"),
-        col("sum_v").cast("double").as("sum_v"), round(col("mean_v"), 6).as("mean_v"))
+        col("sum_v").cast("double").as("sum_v"), NumFunctions.roundNz(col("mean_v"), 6).as("mean_v"))
   }
 
   /** Q69 — sensor gap-filling ([[graft.operators.TimeSeries.gapFillDaily]]):
@@ -1607,7 +1607,7 @@ object SparkEntry {
          |  FROM embeddings e, p WHERE e.vec_id <> 0)
          |SELECT CAST(0 AS BIGINT) AS probe_id, vec_id,
          |  CAST(row_number() OVER (ORDER BY sim DESC, vec_id) AS BIGINT) AS rk,
-         |  round(sim, 4) AS sim_r
+         |  round(sim, 4) + 0 AS sim_r
          |FROM scored QUALIFY rk <= 10
          |""".stripMargin),
     "q15_hourly_window" ->
@@ -1623,9 +1623,9 @@ object SparkEntry {
     "q18_quality_score" ->
       (s"""WITH t AS (SELECT doc_id, $TOKS AS tk FROM documents)
           |SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
-          |  round(CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk), 6) AS ttr,
+          |  round(CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk), 6) + 0 AS ttr,
           |  round(least(CAST(1.0 AS DOUBLE), CAST(len(tk) AS DOUBLE) / CAST(50 AS DOUBLE)) *
-          |        (CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk)), 6) AS score
+          |        (CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk)), 6) + 0 AS score
           |FROM t
           |""".stripMargin),
     "q19_lang_id" ->
@@ -1656,7 +1656,7 @@ object SparkEntry {
     "q23_cosine_neardup" ->
       ("""SELECT a.vec_id AS a_id, b.vec_id AS b_id,
          |  round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-         |                               CAST(b.embedding AS DOUBLE[])), 4) AS sim_r
+         |                               CAST(b.embedding AS DOUBLE[])), 4) + 0 AS sim_r
          |FROM embeddings a JOIN embeddings b
          |  ON b.vec_id > a.vec_id AND b.vec_id <= a.vec_id + 100
          |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
@@ -1699,8 +1699,8 @@ object SparkEntry {
        "SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 300000.0" +
        ") GROUP BY c_mktsegment"),
     "q36_percentiles" ->
-      ("SELECT event_type, round(quantile_cont(value, 0.5), 6) AS p50, " +
-       "round(quantile_cont(value, 0.9), 6) AS p90 FROM events GROUP BY event_type"),
+      ("SELECT event_type, round(quantile_cont(value, 0.5), 6) + 0 AS p50, " +
+       "round(quantile_cont(value, 0.9), 6) + 0 AS p90 FROM events GROUP BY event_type"),
     "q38_enrich_dim" ->
       ("SELECT e.event_id, e.user_id, e.event_type, c.c_mktsegment " +
        "FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey"),
@@ -1749,7 +1749,7 @@ object SparkEntry {
     "q39_image_decode" ->
       ("SELECT doc_id, CAST(octet_length(encode(text)) % 13 + 3 AS BIGINT) AS width, " +
        "CAST(octet_length(encode(text)) % 7 + 2 AS BIGINT) AS height, " +
-       "round(CAST(octet_length(encode(text)) % 256 AS DOUBLE), 6) AS mean_luma " +
+       "round(CAST(octet_length(encode(text)) % 256 AS DOUBLE), 6) + 0 AS mean_luma " +
        "FROM documents"),
     // q43: the oracle never decodes a WAV — it derives the expected
     // decoded rate/frames/RMS arithmetically from the same byte length
@@ -1758,7 +1758,7 @@ object SparkEntry {
       ("SELECT doc_id, " +
        "CAST(8000 + (octet_length(encode(text)) % 5) * 1000 AS BIGINT) AS sample_rate, " +
        "CAST(octet_length(encode(text)) % 50 + 10 AS BIGINT) AS n_samples, " +
-       "round(CAST((octet_length(encode(text)) % 100 + 1) * 100 AS DOUBLE), 6) AS rms " +
+       "round(CAST((octet_length(encode(text)) % 100 + 1) * 100 AS DOUBLE), 6) + 0 AS rms " +
        "FROM documents"),
     // q44: the oracle never parses Y4M — it derives each frame's
     // dimensions and constant-plane luma arithmetically from the same
@@ -1768,7 +1768,7 @@ object SparkEntry {
        "unnest(generate_series(0, octet_length(encode(text)) % 6)) AS g FROM documents) " +
        "SELECT doc_id, CAST(g AS BIGINT) AS frame_idx, " +
        "CAST(n % 11 + 2 AS BIGINT) AS width, CAST(n % 9 + 2 AS BIGINT) AS height, " +
-       "round(CAST((n + g * 7) % 256 AS DOUBLE), 6) AS luma FROM f"),
+       "round(CAST((n + g * 7) % 256 AS DOUBLE), 6) + 0 AS luma FROM f"),
     "q45_pivot" ->
       ("SELECT l_returnflag, " +
        "CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) FILTER (WHERE l_linestatus = 'F') AS DOUBLE) AS \"F\", " +
@@ -1815,7 +1815,7 @@ object SparkEntry {
           |df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
           |n AS (SELECT count(*) AS n_docs FROM documents)
           |SELECT tf.doc_id, tf.token,
-          |  round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 4) AS tfidf
+          |  round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 4) + 0 AS tfidf
           |FROM tf JOIN df USING (token) CROSS JOIN n
           |ORDER BY tfidf DESC, doc_id, token LIMIT 20
           |""".stripMargin),
@@ -1877,7 +1877,7 @@ object SparkEntry {
     "q66_heavy_hitters" ->
       ("""WITH c AS (SELECT user_id, count(*) AS cnt FROM events GROUP BY 1),
          |t AS (SELECT count(*) AS total FROM events)
-         |SELECT user_id, cnt, round(CAST(cnt AS DOUBLE) / total, 6) AS share
+         |SELECT user_id, cnt, round(CAST(cnt AS DOUBLE) / total, 6) + 0 AS share
          |FROM c CROSS JOIN t ORDER BY cnt DESC, user_id LIMIT 10
          |""".stripMargin),
     "q67_surprisal" ->
@@ -1886,7 +1886,7 @@ object SparkEntry {
           |t AS (SELECT count(*) AS total FROM tk)
           |SELECT doc_id,
           |  round(CAST(sum(CAST(-ln(CAST(ctf AS DOUBLE) / total) AS DECIMAL(18,9))) AS DOUBLE)
-          |        / count(*), 6) AS surprisal,
+          |        / count(*), 6) + 0 AS surprisal,
           |  count(*) AS n_tokens
           |FROM tk JOIN freq USING (token) CROSS JOIN t
           |GROUP BY doc_id
@@ -1895,7 +1895,7 @@ object SparkEntry {
       (s"""WITH t AS (SELECT doc_id, $TOKS AS tk FROM documents),
           |s AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n,
           |  CAST(len(${shinglesSql("tk")}) AS BIGINT) AS nd FROM t)
-          |SELECT doc_id, round(1.0 - CAST(nd AS DOUBLE) / (n - 2), 6) AS rep_score
+          |SELECT doc_id, round(1.0 - CAST(nd AS DOUBLE) / (n - 2), 6) + 0 AS rep_score
           |FROM s WHERE n >= 3
           |""".stripMargin),
     "q74_cohort_retention" ->
@@ -1922,7 +1922,7 @@ object SparkEntry {
          |  CAST(sum(CAST(value * hour(ts) AS DECIMAL(28,6))) AS DOUBLE) AS sxy
          |  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL GROUP BY 1)
          |SELECT event_type, n, round((n * sxy - sx * sy) /
-         |  (sqrt(n * sxx - sx * sx) * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6) AS corr_vh
+         |  (sqrt(n * sxx - sx * sx) * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6) + 0 AS corr_vh
          |FROM s
          |""".stripMargin),
     "q71_bpe_pairs" ->
@@ -1957,7 +1957,7 @@ object SparkEntry {
          |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
          |SELECT user_id, strftime(d, '%Y-%m-%d') AS day, v,
          |  CASE WHEN n >= 2 AND (s2 - s1*s1/n)/(n-1) > 0
-         |    THEN round((v - s1/n)/sqrt((s2 - s1*s1/n)/(n-1)), 6) END AS zscore,
+         |    THEN round((v - s1/n)/sqrt((s2 - s1*s1/n)/(n-1)), 6) END + 0 AS zscore,
          |  coalesce(abs(CASE WHEN n >= 2 AND (s2 - s1*s1/n)/(n-1) > 0
          |    THEN round((v - s1/n)/sqrt((s2 - s1*s1/n)/(n-1)), 6) END) > 2.0, false) AS is_anomaly
          |FROM w
@@ -1994,7 +1994,7 @@ object SparkEntry {
     "q76_incremental_rollup" ->
       ("""SELECT event_type, user_id, count(*) AS n,
          |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v,
-         |  round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS mean_v
+         |  round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) + 0 AS mean_v
          |FROM events GROUP BY 1, 2
          |""".stripMargin),
     "q77_global_rank" ->
@@ -2042,7 +2042,7 @@ object SparkEntry {
           |SELECT sh.doc_id, count(*) AS n_shingles,
           |  count(CASE WHEN c.nd > 1 THEN 1 END) AS n_shared,
           |  round(CAST(count(CASE WHEN c.nd > 1 THEN 1 END) AS DOUBLE) / count(*), 6)
-          |    AS dup_ratio
+          |    + 0 AS dup_ratio
           |FROM sh JOIN c USING (g) GROUP BY 1
           |""".stripMargin),
     "q82_bigram_surprisal" ->
@@ -2053,7 +2053,7 @@ object SparkEntry {
           |cp AS (SELECT prev, sum(cbg) AS cprefix FROM cb GROUP BY 1)
           |SELECT doc_id,
           |  round(CAST(sum(CAST(-ln(CAST(cbg AS DOUBLE) / cprefix) AS DECIMAL(18,9)))
-          |             AS DOUBLE) / count(*), 6) AS bigram_surprisal,
+          |             AS DOUBLE) / count(*), 6) + 0 AS bigram_surprisal,
           |  count(*) AS n_bigrams
           |FROM b JOIN cb USING (prev, cur) JOIN cp USING (prev)
           |GROUP BY doc_id
@@ -2081,7 +2081,7 @@ object SparkEntry {
          |c AS (SELECT event_type, round(quantile_cont(value, 0.01), 6) AS lo,
          |  round(quantile_cont(value, 0.99), 6) AS hi FROM e GROUP BY 1)
          |SELECT event_id, e.event_type,
-         |  round(least(greatest(value, lo), hi), 6) AS value_w
+         |  round(least(greatest(value, lo), hi), 6) + 0 AS value_w
          |FROM e JOIN c USING (event_type)
          |""".stripMargin),
     "q85_temperature_mix" ->
@@ -2090,8 +2090,8 @@ object SparkEntry {
          |s AS (SELECT lang, n_docs, CAST(n_docs AS DOUBLE) / n AS share,
          |  pow(CAST(n_docs AS DOUBLE) / n, 0.3) AS pa FROM c CROSS JOIN t),
          |z AS (SELECT sum(pa) AS z FROM s)
-         |SELECT lang, n_docs, round(share, 6) AS share,
-         |  round(pa / z, 6) AS weight,
+         |SELECT lang, n_docs, round(share, 6) + 0 AS share,
+         |  round(pa / z, 6) + 0 AS weight,
          |  CAST(round(round(pa / z, 6) * n, 0) AS BIGINT) AS expected_docs
          |FROM s CROSS JOIN z CROSS JOIN t
          |""".stripMargin),
@@ -2127,12 +2127,12 @@ object SparkEntry {
          |t AS (SELECT event_type, sum(n_ref) AS tr, sum(n_cur) AS tc
          |  FROM g GROUP BY 1),
          |p AS (SELECT g.event_type, bin, n_ref, n_cur,
-         |  round(CAST(n_ref AS DOUBLE) / tr, 6) AS p_ref,
-         |  round(CAST(n_cur AS DOUBLE) / tc, 6) AS p_cur
+         |  round(CAST(n_ref AS DOUBLE) / tr, 6) + 0 AS p_ref,
+         |  round(CAST(n_cur AS DOUBLE) / tc, 6) + 0 AS p_cur
          |  FROM g JOIN t USING (event_type))
          |SELECT event_type, bin, n_ref, n_cur, p_ref, p_cur,
          |  CASE WHEN p_ref > 0 AND p_cur > 0 THEN
-         |    round((p_ref - p_cur) * ln(p_ref / p_cur), 6) END AS psi_term
+         |    round((p_ref - p_cur) * ln(p_ref / p_cur), 6) END + 0 AS psi_term
          |FROM p
          |""".stripMargin),
     "q87_mode" ->
@@ -2172,7 +2172,7 @@ object SparkEntry {
          |  CAST(CAST(unnest(embedding) AS DOUBLE) AS DECIMAL(18,9)) AS x
          |  FROM embeddings)
          |SELECT label, CAST(pos AS INT) AS pos,
-         |  round(CAST(sum(x) AS DOUBLE) / count(*), 6) AS c, count(*) AS n
+         |  round(CAST(sum(x) AS DOUBLE) / count(*), 6) + 0 AS c, count(*) AS n
          |FROM x GROUP BY 1, 2
          |""".stripMargin),
     "q90_centroid_spread" ->
@@ -2181,14 +2181,14 @@ object SparkEntry {
          |  CAST(CAST(unnest(embedding) AS DOUBLE) AS DECIMAL(18,9)) AS x
          |  FROM embeddings),
          |cd AS (SELECT label, pos,
-         |  round(CAST(sum(x) AS DOUBLE) / count(*), 6) AS c
+         |  round(CAST(sum(x) AS DOUBLE) / count(*), 6) + 0 AS c
          |  FROM x GROUP BY 1, 2),
          |cv AS (SELECT label, list(c ORDER BY pos) AS cvec FROM cd GROUP BY 1),
          |s AS (SELECT e.label,
          |  CAST(round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), cv.cvec), 4)
          |       AS DECIMAL(18,9)) AS sim
          |  FROM embeddings e JOIN cv USING (label))
-         |SELECT label, round(CAST(sum(sim) AS DOUBLE) / count(*), 6) AS avg_sim,
+         |SELECT label, round(CAST(sum(sim) AS DOUBLE) / count(*), 6) + 0 AS avg_sim,
          |  count(*) AS n
          |FROM s GROUP BY 1
          |""".stripMargin),
@@ -2204,7 +2204,7 @@ object SparkEntry {
           |  GROUP BY 1, 2 HAVING count(*) >= 5)
           |SELECT prev, cur, cbg,
           |  round(ln((CAST(cbg AS DOUBLE) / m) /
-          |    ((CAST(ua.cu AS DOUBLE) / n) * (CAST(ub.cu AS DOUBLE) / n))), 6) AS pmi
+          |    ((CAST(ua.cu AS DOUBLE) / n) * (CAST(ub.cu AS DOUBLE) / n))), 6) + 0 AS pmi
           |FROM cb
           |JOIN uni ua ON ua.w = cb.prev
           |JOIN uni ub ON ub.w = cb.cur
@@ -2241,7 +2241,7 @@ object SparkEntry {
          |    CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS pos,
          |    CAST(unnest(embedding) AS DOUBLE) AS v
          |  FROM embeddings)
-         |SELECT a.pos AS i, b.pos AS j, round(covar_pop(a.v, b.v), 6) AS cov
+         |SELECT a.pos AS i, b.pos AS j, round(covar_pop(a.v, b.v), 6) + 0 AS cov
          |FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.pos <= b.pos
          |GROUP BY 1, 2
          |""".stripMargin),
@@ -2305,20 +2305,6 @@ object SparkEntry {
           |  CAST(inter AS DOUBLE) / (tot - inter) AS jac
           |FROM pairs WHERE (tot - inter) > 0 AND inter * 10 >= (tot - inter) * 7
           |""".stripMargin),
-    "q109_split_leakage" ->
-      (s"""WITH sp AS (SELECT doc_id, text,
-          |  CASE WHEN substring(md5('graft:' || CAST(doc_id AS VARCHAR)), 1, 2) < 'e6'
-          |    THEN 'train' ELSE 'eval' END AS side FROM documents),
-          |toks AS (SELECT doc_id, side, $TOKS AS tk FROM sp),
-          |sh AS (SELECT doc_id, side, ${shinglesSql("tk")} AS s FROM toks),
-          |pairs AS (SELECT a.doc_id AS eval_id, b.doc_id AS train_id,
-          |  len(list_intersect(a.s, b.s)) AS inter, len(a.s) + len(b.s) AS tot
-          |  FROM sh a JOIN sh b ON a.side = 'eval' AND b.side = 'train')
-          |SELECT eval_id, train_id, CAST(inter AS BIGINT) AS inter,
-          |  CAST(tot - inter AS BIGINT) AS un,
-          |  CAST(inter AS DOUBLE) / (tot - inter) AS jac
-          |FROM pairs WHERE (tot - inter) > 0 AND inter * 10 >= (tot - inter) * 7
-          |""".stripMargin),
     "q107_vocab_coverage" ->
       (s"""WITH tk AS (SELECT unnest($TOKS_LOWER) AS token FROM documents),
           |c AS (SELECT token, count(*) AS cnt FROM tk GROUP BY 1),
@@ -2326,9 +2312,9 @@ object SparkEntry {
           |top AS (SELECT token, cnt FROM c ORDER BY cnt DESC, token LIMIT 50)
           |SELECT CAST(row_number() OVER (ORDER BY cnt DESC, token) AS BIGINT) AS rank,
           |  token, cnt,
-          |  round(CAST(cnt AS DOUBLE) / total, 6) AS share,
+          |  round(CAST(cnt AS DOUBLE) / total, 6) + 0 AS share,
           |  round(CAST(sum(cnt) OVER (ORDER BY cnt DESC, token
-          |    ROWS UNBOUNDED PRECEDING) AS DOUBLE) / total, 6) AS cum_share
+          |    ROWS UNBOUNDED PRECEDING) AS DOUBLE) / total, 6) + 0 AS cum_share
           |FROM top CROSS JOIN t
           |""".stripMargin),
     "q110_source_overlap" ->

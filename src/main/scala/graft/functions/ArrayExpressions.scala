@@ -85,6 +85,12 @@ case class CdcChunkHashes(child: Expression, width: Int, maskBits: Int,
     s"need width >= 1, maskBits in [1, 62]; got $width, $maskBits")
   require(minChars >= 1 && maxChars >= minChars,
     s"need 1 <= minChars <= maxChars; got $minChars, $maxChars")
+  // the first window ends at p = width, so no cut can happen earlier and
+  // a maxChars below width would silently emit width-length chunks,
+  // violating the documented [minChars, maxChars] bound
+  require(maxChars >= width,
+    s"need maxChars >= width (first possible cut is at width); got " +
+      s"maxChars=$maxChars width=$width")
 
   import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
 

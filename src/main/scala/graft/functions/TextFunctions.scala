@@ -2,6 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
+import graft.functions.NumFunctions
 
 /** North-star text-analysis kernels (SURVEY.md §2.2 Q12/Q13 extensions):
   * tokenization, n-gram shingling, language-ID heuristic, quality scoring,
@@ -67,7 +68,7 @@ object TextFunctions {
     * tokens) × lexical diversity. Deterministic double arithmetic.
     */
   def qualityScore(toks: Column): Column =
-    round(least(lit(1.0), size(toks) / lit(50.0)) * typeTokenRatio(toks), 6)
+    NumFunctions.roundNz(least(lit(1.0), size(toks) / lit(50.0)) * typeTokenRatio(toks), 6)
 
   /** Language-ID heuristic: CJK characters → zh, else argmax of
     * marker-stopword hits with deterministic priority (en, de, es, fr) and

@@ -15,9 +15,31 @@ import org.apache.spark.sql.types._
   * arithmetic is performed in Double after widening, so results are
   * deterministic and match an oracle that casts to DOUBLE[] first.
   */
+/** SQL-registration type guard shared by every vector kernel: a
+  * non-array child must fail analysis with a TypeCheckFailure, not
+  * blow up execution with a ClassCastException.
+  */
+private[functions] object VectorTypeCheck {
+  import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+
+  def floatOrDoubleArray(dt: DataType, name: String): TypeCheckResult =
+    dt match {
+      case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$name needs array<float> or array<double>, got ${other.catalogString}")
+    }
+}
+
 abstract class VectorBinaryExpression extends BinaryExpression {
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val l = VectorTypeCheck.floatOrDoubleArray(left.dataType, prettyName)
+    if (!l.isSuccess) l
+    else VectorTypeCheck.floatOrDoubleArray(right.dataType, prettyName)
+  }
 
   protected def leftIsFloat: Boolean =
     left.dataType.asInstanceOf[ArrayType].elementType == FloatType
@@ -111,11 +133,19 @@ case class CosineSimilarity(left: Expression, right: Expression) extends VectorB
   * ||v|| is a constant positive scale per row (a zero-norm row scores
   * -inf everywhere and lands deterministically in cell 0). Ties break to
   * the smallest cell index; centroids with mismatched length or zero
-  * norm are skipped.
+  * norm are skipped. A row NO centroid can score (every centroid's
+  * length differs from the vector's, or all are zero-norm) yields null
+  * — a ragged row must surface, not silently land in cell 0 (same
+  * policy as [[PqAdcScore]]'s corrupted-input handling).
   */
 case class NearestCentroid(child: Expression, centroids: Array[Array[Double]])
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
   override def dataType: DataType = IntegerType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    VectorTypeCheck.floatOrDoubleArray(child.dataType, prettyName)
 
   private def childIsFloat: Boolean =
     child.dataType.asInstanceOf[ArrayType].elementType == FloatType
@@ -146,7 +176,7 @@ case class NearestCentroid(child: Expression, centroids: Array[Array[Double]])
       }
       cell += 1
     }
-    best
+    if (bestScore == Double.NegativeInfinity) null else best
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
@@ -170,7 +200,8 @@ case class NearestCentroid(child: Expression, centroids: Array[Array[Double]])
          |    if ($s > $bestScore) { $bestScore = $s; $best = $cell; }
          |  }
          |}
-         |${ev.value} = $best;
+         |if ($bestScore == Double.NEGATIVE_INFINITY) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $best; }
        """.stripMargin
     })
   }
@@ -186,11 +217,18 @@ case class NearestCentroid(child: Expression, centroids: Array[Array[Double]])
   * wrong metric. Minimizes ||v||² - 2·dot(v,c) + ||c||²; ||v||² is a
   * per-row constant, so the scan scores `||c||² - 2·dot` and takes the
   * argmin. Ties break to the smallest index; mismatched-length
-  * centroids are skipped.
+  * centroids are skipped. A vector NO centroid matches in length yields
+  * null — a ragged row must surface, not silently take code 0 (same
+  * policy as [[PqAdcScore]]).
   */
 case class NearestCentroidL2(child: Expression, centroids: Array[Array[Double]])
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
   override def dataType: DataType = IntegerType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    VectorTypeCheck.floatOrDoubleArray(child.dataType, prettyName)
 
   private def childIsFloat: Boolean =
     child.dataType.asInstanceOf[ArrayType].elementType == FloatType
@@ -220,7 +258,7 @@ case class NearestCentroidL2(child: Expression, centroids: Array[Array[Double]])
       }
       cell += 1
     }
-    best
+    if (bestScore == Double.PositiveInfinity) null else best
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
@@ -244,7 +282,8 @@ case class NearestCentroidL2(child: Expression, centroids: Array[Array[Double]])
          |    if ($s < $bestScore) { $bestScore = $s; $best = $cell; }
          |  }
          |}
-         |${ev.value} = $best;
+         |if ($bestScore == Double.POSITIVE_INFINITY) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $best; }
        """.stripMargin
     })
   }
@@ -316,6 +355,10 @@ case class L2Normalize(child: Expression)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
     with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    VectorTypeCheck.floatOrDoubleArray(child.dataType, prettyName)
 
   private def childIsFloat: Boolean =
     child.dataType.asInstanceOf[ArrayType].elementType == FloatType

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.functions.TextFunctions
+import graft.functions.{NumFunctions, TextFunctions}
 
 /** Corpus-preparation operators for a training-data pipeline: TF-IDF
   * term weighting, deterministic stratified sampling, token-budget
@@ -50,7 +50,7 @@ object Corpus {
     tf.join(dfreq, "token")
       .crossJoin(broadcast(n))
       .select(col("doc_id"), col("token"),
-        round(col("tf") * log(col("n_docs").cast("double") / col("df")), 4).as("tfidf"))
+        NumFunctions.roundNz(col("tf") * log(col("n_docs").cast("double") / col("df")), 4).as("tfidf"))
       .orderBy(col("tfidf").desc, col("doc_id").asc, col("token").asc)
       .limit(k)
   }
@@ -183,9 +183,9 @@ object Corpus {
     top.crossJoin(broadcast(total))
       .withColumn("rank", row_number().over(
         Window.orderBy(col("cnt").desc, col("token").asc)).cast("long"))
-      .withColumn("share", round(col("cnt").cast("double") / col("total"), 6))
+      .withColumn("share", NumFunctions.roundNz(col("cnt").cast("double") / col("total"), 6))
       .withColumn("cum_share",
-        round(sum(col("cnt")).over(w).cast("double") / col("total"), 6))
+        NumFunctions.roundNz(sum(col("cnt")).over(w).cast("double") / col("total"), 6))
       .select(col("rank"), col("token"), col("cnt"), col("share"), col("cum_share"))
   }
 
@@ -208,9 +208,16 @@ object Corpus {
     require(bloomKB >= 0, s"bloomKB must be >= 0 (0 = auto-size), got $bloomKB")
     def sh(d: DataFrame): DataFrame = d.select(col(idCol),
       explode(graft.functions.HashFunctions.hashedWordNgrams(col(textCol), n)).as("__g"))
-    // the gram set feeds BOTH the bloom build and the confirm join —
-    // persist so the distinct shuffle runs once (bench-side lifecycle,
-    // same shape as IvfIndex's cached index)
+    // the gram set feeds BOTH the bloom build (eager, inside this call)
+    // and the confirm join (lazy, in the returned plan) — persist so the
+    // distinct shuffle runs once. Lifecycle is deliberately
+    // caller-managed, same as IvfIndex.fitCached's assignment table: a
+    // driver screening many train batches against ONE benchmark wants
+    // this hot across calls, and MEMORY_AND_DISK memory blocks are
+    // LRU-evictable so an idle entry degrades to disk, not OOM. A caller
+    // done with the benchmark releases it via
+    // `result.sparkSession.catalog.clearCache()` or by dropping the
+    // session.
     val benchGrams = sh(benchmark).select(col("__g")).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // auto-size at ~10 bits/key (fp ≈ 1 % at k=5); a saturated bloom
@@ -300,7 +307,7 @@ object Corpus {
     val total = df.agg(count(lit(1)).as("__total"))
     counts.crossJoin(broadcast(total))
       .select(keys :+ col("cnt") :+
-        round(col("cnt").cast("double") / col("__total"), 6).as("share"): _*)
+        NumFunctions.roundNz(col("cnt").cast("double") / col("__total"), 6).as("share"): _*)
       .orderBy(col("cnt").desc +: keys: _*)
       .limit(k)
   }
@@ -329,7 +336,7 @@ object Corpus {
         (-log(col("ctf").cast("double") / col("__total")))
           .cast(org.apache.spark.sql.types.DecimalType(18, 9)).as("__s"))
       .groupBy(col("doc_id"))
-      .agg(round((sum(col("__s")).cast("double") / count(lit(1))), 6).as("surprisal"),
+      .agg(NumFunctions.roundNz((sum(col("__s")).cast("double") / count(lit(1))), 6).as("surprisal"),
         count(lit(1)).as("n_tokens"))
   }
 
@@ -385,7 +392,7 @@ object Corpus {
           .cast(org.apache.spark.sql.types.DecimalType(18, 9)).as("__s"))
     bg.join(probs, Seq("prev", "cur"))
       .groupBy(col("doc_id"))
-      .agg(round((sum(col("__s")).cast("double") / count(lit(1))), 6)
+      .agg(NumFunctions.roundNz((sum(col("__s")).cast("double") / count(lit(1))), 6)
           .as("bigram_surprisal"),
         count(lit(1)).as("n_bigrams"))
   }
@@ -420,11 +427,11 @@ object Corpus {
       s"winsorize needs 0 <= lo < hi <= 1, got lo=$lo hi=$hi")
     val nonNull = df.filter(col(valueCol).isNotNull)
     val cuts = nonNull.groupBy(col(groupCol)).agg(
-      round(expr(s"percentile($valueCol, $lo)"), 6).as("__lo"),
-      round(expr(s"percentile($valueCol, $hi)"), 6).as("__hi"))
+      NumFunctions.roundNz(expr(s"percentile($valueCol, $lo)"), 6).as("__lo"),
+      NumFunctions.roundNz(expr(s"percentile($valueCol, $hi)"), 6).as("__hi"))
     nonNull.join(cuts, groupCol)
       .withColumn(outCol,
-        round(least(greatest(col(valueCol), col("__lo")), col("__hi")), 6))
+        NumFunctions.roundNz(least(greatest(col(valueCol), col("__lo")), col("__hi")), 6))
       .drop("__lo", "__hi")
   }
 
@@ -458,7 +465,7 @@ object Corpus {
       .join(uni.select(col("t").as("cur"), col("cu").as("cb")), "cur")
       .crossJoin(broadcast(n)).crossJoin(broadcast(m))
       .select(col("prev"), col("cur"), col("cbg"),
-        round(log((col("cbg").cast("double") / col("__m")) /
+        NumFunctions.roundNz(log((col("cbg").cast("double") / col("__m")) /
           ((col("ca").cast("double") / col("__n")) *
            (col("cb").cast("double") / col("__n")))), 6).as("pmi"))
       .orderBy(col("pmi").desc, col("prev").asc, col("cur").asc)
@@ -494,8 +501,8 @@ object Corpus {
     val z = scored.agg(sum(col("__pa")).as("__z"))
     scored.crossJoin(broadcast(z))
       .select(col(groupCol), col("n_docs"),
-        round(col("__share"), 6).as("share"),
-        round(col("__pa") / col("__z"), 6).as("weight"),
+        NumFunctions.roundNz(col("__share"), 6).as("share"),
+        NumFunctions.roundNz(col("__pa") / col("__z"), 6).as("weight"),
         round(round(col("__pa") / col("__z"), 6) * col("__n"), 0)
           .cast("long").as("expected_docs"))
   }
@@ -575,7 +582,7 @@ object Corpus {
       .withColumn("n_shared", coalesce(col("n_shared"), lit(0L)))
       .select(col(idCol), col("n_shingles").cast("long").as("n_shingles"),
         col("n_shared"),
-        round(col("n_shared").cast("double") / col("n_shingles"), 6).as("dup_ratio"))
+        NumFunctions.roundNz(col("n_shared").cast("double") / col("n_shingles"), 6).as("dup_ratio"))
   }
 
   /** Deterministic weighted (importance) sampling: keep each row with
@@ -726,6 +733,6 @@ object Corpus {
           .cast("long").as("n_chars"))
       .withColumn("chars_per_subword",
         when(col("n_subwords") > 0,
-          round(col("n_chars").cast("double") / col("n_subwords"), 4)))
+          NumFunctions.roundNz(col("n_chars").cast("double") / col("n_subwords"), 4)))
   }
 }

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.functions.{HashFunctions, TextFunctions}
+import graft.functions.{HashFunctions, NumFunctions, TextFunctions}
 
 /** North-star deduplication operators over the `documents` table shape
   * (id + text). Exact, MinHash+LSH, SimHash, and banded n-gram Jaccard.
@@ -154,8 +154,11 @@ object Dedup {
         xxhash64(lit(b), slice(sigCol, b * r + 1, r)))
       array(bandHashes: _*)
     }
+    // no persist: the batch side is small by contract (a daily delta),
+    // so re-deriving its shingles for the second broadcast is cheaper
+    // than a named cache entry that would outlive the query in a
+    // long-lived driver
     val batchSh = hashedShingles(batch, idCol, textCol, ngram)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val newBuckets = batchSh.filter(size(col("shingles")) > 0)
       .select(col(idCol).as("new_id"),
         HashFunctions.minhashSignature(col("shingles"), numHashes, seed).as("sig"))
@@ -189,9 +192,11 @@ object Dedup {
     * reshapes O(1) chunks instead of shifting every later boundary.
     *
     * Scale shape: chunking is map-side (one expression pass); the
-    * shuffles move 8-byte chunk hashes only — (doc, hash) distinct →
-    * per-hash doc count → equi-join back → per-doc aggregate. No
-    * string ever shuffles.
+    * shuffles move 8-byte chunk hashes only — one exchange on the hash
+    * (a window marks a chunk shared when ≥ 2 distinct documents carry
+    * it: min(doc) ≠ max(doc) over the hash partition), one on the
+    * document for the final aggregate. No string ever shuffles, the
+    * chunker runs exactly once, and nothing is persisted.
     */
   def cdcChunkDupProfile(docs: DataFrame, idCol: String, textCol: String,
                          width: Int = 8, maskBits: Int = 6,
@@ -202,18 +207,17 @@ object Dedup {
         explode(ArrayFunctions.cdcChunks(col(textCol), width, maskBits,
           minChars, maxChars, seed)).as("c"))
       .select(col(idCol), col("c.hash").as("h"), col("c.len").as("l"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val docCounts = chunks.select(col(idCol), col("h")).distinct()
-      .groupBy(col("h")).agg(count(lit(1)).as("nd"))
-    val flagged = chunks.join(docCounts, "h")
-      .withColumn("shared", (col("nd") >= 2).cast("int"))
+    val wh = Window.partitionBy(col("h"))
+    val flagged = chunks
+      .withColumn("shared",
+        (min(col(idCol)).over(wh) =!= max(col(idCol)).over(wh)).cast("int"))
     flagged.groupBy(col(idCol)).agg(
         count(lit(1)).as("n_chunks"),
         sum(col("l")).as("n_chars"),
         sum(col("shared")).as("n_shared_chunks"),
         sum(col("l") * col("shared")).as("shared_chars"))
       .withColumn("shared_ratio",
-        round(col("shared_chars").cast("double") / col("n_chars"), 6))
+        NumFunctions.roundNz(col("shared_chars").cast("double") / col("n_chars"), 6))
   }
 
   /** Exact-Jaccard verification of candidate pairs against sorted hashed

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.functions.NumFunctions
 
 /** Distribution-drift profiling between two loads of the same feature —
   * the monitoring pass a production pipeline runs before trusting new
@@ -38,7 +39,7 @@ object Drift {
   def psiProfile(ref: DataFrame, cur: DataFrame, groupCol: String,
                  valueCol: String): DataFrame = {
     val deciles = (1 to 9).map(i =>
-      round(expr(s"percentile($valueCol, 0.${i})"), 6).as(s"__c$i"))
+      NumFunctions.roundNz(expr(s"percentile($valueCol, 0.${i})"), 6).as(s"__c$i"))
     val cuts = ref.filter(col(valueCol).isNotNull)
       .groupBy(col(groupCol)).agg(deciles.head, deciles.tail: _*)
 
@@ -61,11 +62,11 @@ object Drift {
     val totals = joined.groupBy(col(groupCol)).agg(
       sum(col("n_ref")).as("__tr"), sum(col("n_cur")).as("__tc"))
     joined.join(totals, Seq(groupCol))
-      .withColumn("p_ref", round(col("n_ref").cast("double") / col("__tr"), 6))
-      .withColumn("p_cur", round(col("n_cur").cast("double") / col("__tc"), 6))
+      .withColumn("p_ref", NumFunctions.roundNz(col("n_ref").cast("double") / col("__tr"), 6))
+      .withColumn("p_cur", NumFunctions.roundNz(col("n_cur").cast("double") / col("__tc"), 6))
       .withColumn("psi_term",
         when(col("p_ref") > 0.0 && col("p_cur") > 0.0,
-          round((col("p_ref") - col("p_cur")) * log(col("p_ref") / col("p_cur")), 6)))
+          NumFunctions.roundNz((col("p_ref") - col("p_cur")) * log(col("p_ref") / col("p_cur")), 6)))
       .select(col(groupCol), col("bin"), col("n_ref"), col("n_cur"),
         col("p_ref"), col("p_cur"), col("psi_term"))
   }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
-import graft.functions.VectorFunctions
+import graft.functions.{NumFunctions, VectorFunctions}
 
 /** IVF (inverted-file) approximate nearest neighbor (the coarse
   * quantizer of Jégou, Douze & Schmid, "Product Quantization for
@@ -153,7 +153,7 @@ object IvfIndex {
     TopK.topKPerKey(candidates, Seq("probe_id"),
         struct(negate(col("sim")), col("id")), Seq("id", "sim"), k)
       .select(col("probe_id"), col("id").as("vec_id"), col("rk"),
-        round(col("sim"), 4).as("sim_r"))
+        NumFunctions.roundNz(col("sim"), 4).as("sim_r"))
   }
 
   /** fit + search in one call; pass `cacheKey` to reuse a fitted index

@@ -73,7 +73,9 @@ object Pca {
 
   /** Population covariance entries `(i, j, cov)` for i ≤ j, rounded to
     * `scale` decimals (cross-engine double summation differs in final
-    * ulps). The result is d(d+1)/2 rows of driver-built metadata.
+    * ulps) with negative zero normalized to `+0.0` (a tiny negative
+    * covariance rounds to a signed zero whose sign bit engines disagree
+    * on). The result is d(d+1)/2 rows of driver-built metadata.
     */
   def covariance(embeddings: DataFrame, vecCol: String, d: Int,
                  scale: Int = 6): DataFrame = {
@@ -84,7 +86,8 @@ object Pca {
     val rows = for (i <- 0 until d; j <- i until d) yield {
       val gij = g(triIndex(i, j, d))
       val cov = gij / n - (s(i) / n) * (s(j) / n)
-      (i, j, BigDecimal(cov).setScale(scale, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      (i, j, graft.functions.NumFunctions.normNegZero(
+        BigDecimal(cov).setScale(scale, BigDecimal.RoundingMode.HALF_UP).toDouble))
     }
     rows.toDF("i", "j", "cov")
   }

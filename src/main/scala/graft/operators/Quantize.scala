@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.functions.NumFunctions
 
 /** Embedding compression for the 100 TB similarity path: int8 scalar
   * quantization (per-dimension affine codes — the storage/IO face) and
@@ -227,7 +228,7 @@ object Quantize {
     TopK.topKPerKey(scored, Seq("probe_id"),
         struct(negate(col("score")), col("id")), Seq("id", "score"), k)
       .select(col("probe_id"), col("id"), col("rk"),
-        round(col("score"), 4).as("score_r"))
+        NumFunctions.roundNz(col("score"), 4).as("score_r"))
   }
 
   /** PQ search with exact re-rank — the production recipe: L2-normalize
@@ -351,7 +352,7 @@ object Quantize {
     TopK.topKPerKey(rer, Seq("probe_id"),
         struct(negate(col("sim")), col("id")), Seq("id", "sim"), k)
       .select(col("probe_id"), col("id").as("vec_id"), col("rk"),
-        round(col("sim"), 4).as("sim_r"))
+        NumFunctions.roundNz(col("sim"), 4).as("sim_r"))
   }
 
   def pqTopKRefined(embeddings: DataFrame, probes: DataFrame, idCol: String,
@@ -374,6 +375,6 @@ object Quantize {
     TopK.topKPerKey(rer, Seq("probe_id"),
         struct(negate(col("sim")), col("id")), Seq("id", "sim"), k)
       .select(col("probe_id"), col("id").as("vec_id"), col("rk"),
-        round(col("sim"), 4).as("sim_r"))
+        NumFunctions.roundNz(col("sim"), 4).as("sim_r"))
   }
 }

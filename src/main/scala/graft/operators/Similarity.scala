@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import graft.functions.{RandomHyperplaneSignature, VectorFunctions}
+import graft.functions.{NumFunctions, RandomHyperplaneSignature, VectorFunctions}
 import org.apache.spark.sql.graft.ColumnBridge
 
 /** North-star similarity search over an embedding column
@@ -67,7 +67,7 @@ object Similarity {
     // instead of window-sorting every scored row (see [[TopK]])
     TopK.topKPerKey(scored, Seq("probe_id"),
         struct(negate(col("sim")), col("vec_id")), Seq("vec_id", "sim"), k)
-      .select(col("probe_id"), col("vec_id"), col("rk"), round(col("sim"), 4).as("sim_r"))
+      .select(col("probe_id"), col("vec_id"), col("rk"), NumFunctions.roundNz(col("sim"), 4).as("sim_r"))
   }
 
   /** Approximate top-k via random-hyperplane LSH: `tables` independent
@@ -100,7 +100,7 @@ object Similarity {
       .filter(col("sim").isNotNull)
     TopK.topKPerKey(candidates, Seq("probe_id"),
         struct(negate(col("sim")), col("vec_id")), Seq("vec_id", "sim"), k)
-      .select(col("probe_id"), col("vec_id"), col("rk"), round(col("sim"), 4).as("sim_r"))
+      .select(col("probe_id"), col("vec_id"), col("rk"), NumFunctions.roundNz(col("sim"), 4).as("sim_r"))
   }
 
   /** Banded cosine near-duplicate scan: compare each vector only to ids
@@ -125,7 +125,7 @@ object Similarity {
       .filter(col("b_id") > col("a_id") && col("b_id") <= col("a_id") + window)
       .withColumn("sim", VectorFunctions.cosineSimilarity(col("va"), col("vb")))
       .filter(col("sim") >= minSim)
-      .select(col("a_id"), col("b_id"), round(col("sim"), 4).as("sim_r"))
+      .select(col("a_id"), col("b_id"), NumFunctions.roundNz(col("sim"), 4).as("sim_r"))
   }
 
   /** Long-form per-label centroids: mean embedding per class as
@@ -147,7 +147,7 @@ object Similarity {
       .select(col(labelCol).as("label"), posexplode(col(vecCol)).as(Seq("pos", "x")))
       .groupBy(col("label"), col("pos"))
       .agg(
-        round(sum(col("x").cast("double")
+        NumFunctions.roundNz(sum(col("x").cast("double")
             .cast(org.apache.spark.sql.types.DecimalType(18, 9)))
           .cast("double") / count(lit(1)), 6).as("c"),
         count(lit(1)).as("n"))
@@ -177,10 +177,10 @@ object Similarity {
         col(vecCol).cast("array<double>").as("__v"))
       .join(broadcast(cent), "label")
       .withColumn("__sim",
-        round(VectorFunctions.cosineSimilarity(col("__v"), col("__cvec")), 4)
+        NumFunctions.roundNz(VectorFunctions.cosineSimilarity(col("__v"), col("__cvec")), 4)
           .cast(org.apache.spark.sql.types.DecimalType(18, 9)))
       .groupBy(col("label"))
-      .agg(round(sum(col("__sim")).cast("double") / count(lit(1)), 6).as("avg_sim"),
+      .agg(NumFunctions.roundNz(sum(col("__sim")).cast("double") / count(lit(1)), 6).as("avg_sim"),
         count(lit(1)).as("n"))
   }
 }

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
+import graft.functions.NumFunctions
 
 /** Sensor-series analytics over the engine's event streams — the
   * reference's own domain (air-quality/vision telemetry landed per
@@ -72,7 +73,7 @@ object TimeSeries {
     val mean = s1 / n
     val variance = (s2 - s1 * s1 / n) / (n - 1)
     val z = when(n >= 2 && variance > 0,
-      round((col("v") - mean) / sqrt(variance), 6))
+      NumFunctions.roundNz((col("v") - mean) / sqrt(variance), 6))
     daily.select(col(keyCol),
         date_format(col("d"), "yyyy-MM-dd").as("day"), col("v"),
         z.as("zscore"))
