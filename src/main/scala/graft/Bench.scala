@@ -48,15 +48,27 @@ object Bench {
       }.min
       name -> t
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // 3-decimal timings: ms resolution is all the comparison needs, and
+    // the halved line length keeps the whole JSON inside log tail
+    // windows that previously truncated the artifact mid-line
+    def d3(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", v)
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + d3(v) }
       .mkString("{", ",", "}")
     def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
       .replaceAll("[\\n\\r\\t]", " ") + "\""
     val errJson = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","error_count":${errors.size},""" +
-      s""""errors":$errJson,"queries":$qs,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":${d3(total)},"unit":"sec","error_count":${errors.size},""" +
+      s""""errors":$errJson,"queries":$qs,"sf":"$sfDir"}"""
+    println(json)
+    // belt-and-braces artifact: the same line on disk survives any tail
+    // window (overridable so a read-only CWD can't fail the bench)
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $outPath: ${e.getMessage}") }
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

@@ -283,33 +283,51 @@ object Dedup {
     // pipeline, and it feeds every propagation round plus the final
     // singleton anti-join — without the cut, each of those re-runs
     // shingling + banding + verification from scratch
-    val p = pairs.select(col("a_id"), col("b_id")).localCheckpoint(true)
+    val p0 = pairs.select(col("a_id"), col("b_id")).localCheckpoint(true)
+    // the partition budget for every loop frame follows the PAIR COUNT,
+    // not the upstream's partitioning: near-dup pairs are sparse, so the
+    // checkpointed set routinely holds a few hundred rows spread over
+    // the full shuffle width — and every round would then schedule
+    // width-many near-empty tasks per stage (measured ~0.2 s per
+    // 32-task stage vs ~5 ms for 1). A billion-pair set still saturates
+    // the clamp and keeps full parallelism.
+    val np = p0.count()
+    val sc = ids.sparkSession.sparkContext
+    val parts = math.max(1L, math.min(sc.defaultParallelism.toLong,
+      np / 65536L + 1L)).toInt
+    val p = if (p0.rdd.getNumPartitions > parts) p0.coalesce(parts) else p0
 
     // ACTIVE-SET propagation: only nodes that appear in some pair
     // iterate — duplicate pairs are sparse, so each round touches a
     // small fraction of the corpus instead of dragging every singleton's
     // self-loop through ~log(chain) join rounds. Untouched singletons
-    // rejoin as their own survivors at the end.
+    // rejoin as their own survivors at the end. Checkpointed so the
+    // distinct is computed once, not once per round inside the edge set.
     val active = p.select(col("a_id").as("id"))
       .unionByName(p.select(col("b_id").as("id"))).distinct()
+      .coalesce(parts).localCheckpoint(true)
 
     // undirected edges both ways + self-loops so a node's own label
-    // stays reachable through the groupBy-min
+    // stays reachable through the groupBy-min (narrow over the two
+    // checkpoints — rebuilding it per round shuffles nothing)
     val edges = p.select(col("a_id").as("src"), col("b_id").as("dst"))
       .unionByName(p.select(col("b_id").as("src"), col("a_id").as("dst")))
       .unionByName(active.select(col("id").as("src"), col("id").as("dst")))
 
     // labels are active-set-sized: lineage is cut per round with
     // localCheckpoint (executor-local materialization, no driver
-    // collect) and convergence is a distributed count of changed labels
+    // collect); each round carries a `chg` flag computed inside the
+    // SAME job, so the convergence check is a trivial count over the
+    // checkpoint instead of a second join query per round
+    // identity init is NARROW over the checkpointed active set — no
+    // separate materialization job needed
     var labels = active.select(col("id"), col("id").as("label"))
-      .localCheckpoint(true)
     var it = 0
     var converged = false
     while (it < maxIters && !converged) {
       // one hop: each node adopts min(own label, neighbors' labels)
-      val hopped = edges.join(labels.withColumnRenamed("id", "dst")
-          .withColumnRenamed("label", "dst_label"), "dst")
+      val hopped = edges.join(labels.select(col("id").as("dst"),
+          col("label").as("dst_label")), "dst")
         .groupBy(col("src").as("id"))
         .agg(min(col("dst_label")).as("label"))
       // pointer jump: label := min(label, label(label)) — doubles the
@@ -317,14 +335,15 @@ object Dedup {
       val next = hopped.as("a")
         .join(hopped.select(col("id").as("jid"), col("label").as("jlabel")),
           col("a.label") === col("jid"), "left")
-        .select(col("a.id").as("id"),
-          least(col("a.label"), coalesce(col("jlabel"), col("a.label"))).as("label"))
+        .join(labels.select(col("id"), col("label").as("old_label")), "id")
+        .select(col("id"),
+          least(col("label"), coalesce(col("jlabel"), col("label"))).as("label"),
+          (least(col("label"), coalesce(col("jlabel"), col("label")))
+            =!= col("old_label")).as("chg"))
+        .coalesce(parts)
         .localCheckpoint(true)
-      val changed = next.as("n")
-        .join(labels.as("c"), col("n.id") === col("c.id"))
-        .filter(col("n.label") =!= col("c.label")).count()
-      converged = changed == 0
-      labels = next
+      converged = next.filter(col("chg")).count() == 0
+      labels = next.select(col("id"), col("label"))
       it += 1
     }
     if (!converged)

@@ -40,9 +40,11 @@ object IvfIndex {
     import spark.implicits._
     // null vectors carry no assignment information and would NPE the
     // driver-side init collect — drop them before anything else
+    // per-row assignment cost scales with nlist, so the partition
+    // budget does too
     val corpus = Similarity.spreadIfNarrow(embeddings
         .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("vec"))
-        .filter(col("vec").isNotNull))
+        .filter(col("vec").isNotNull), computeWeight = nlist.toLong)
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     var cents: Array[Array[Double]] = corpus.orderBy("id").limit(nlist)

@@ -77,9 +77,10 @@ object Quantize {
   def fitPq(embeddings: DataFrame, idCol: String, vecCol: String,
             m: Int = 8, ksub: Int = 16, iters: Int = 5): Array[Array[Array[Double]]] = {
     require(m > 0 && ksub > 0, s"m and ksub must be positive, got m=$m ksub=$ksub")
+    // per-row encode cost scales with the sub-codebook size
     val corpus = Similarity.spreadIfNarrow(embeddings
         .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("vec"))
-        .filter(col("vec").isNotNull))
+        .filter(col("vec").isNotNull), computeWeight = ksub.toLong)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val d = corpus.select(size(col("vec"))).head().getInt(0)

@@ -16,17 +16,34 @@ import org.apache.spark.sql.graft.ColumnBridge
   */
 object Similarity {
 
-  /** Spread a NARROW plan across the cluster — and only a narrow one.
-    * A toy single-file corpus arrives as one scan partition, where an
-    * O(n·|probes|) scoring pass would run single-threaded; a real corpus
-    * scan already has ≥ parallelism partitions and must NOT pay a
-    * full-corpus round-robin shuffle for a map-only pass. The partition
-    * probe costs one physical planning of `df`, no job.
+  /** Spread a NARROW plan across the cluster — and only a narrow one,
+    * and only as wide as the DATA warrants. A toy single-file corpus
+    * arrives as one scan partition, where an O(n·|probes|) scoring pass
+    * would run single-threaded; a real corpus scan already has ≥
+    * parallelism partitions and must NOT pay a full-corpus round-robin
+    * shuffle for a map-only pass.
+    *
+    * The target is sized from the plan's byte statistics, not blindly
+    * to `defaultParallelism`: fanning a few hundred KB out to 32
+    * partitions makes every downstream stage pay 32 near-empty tasks —
+    * at toy scale the scheduling overhead dwarfs the compute (measured
+    * ~0.2 s per 32-task stage at local[32] vs ~5 ms for 1 task).
+    * `computeWeight` scales the budget for callers whose per-row cost
+    * is a multiple of the row's bytes (e.g. scoring against `nlist`
+    * centroids): weight n means n× the partitions for the same bytes.
+    * The probe costs one physical planning of `df`, no job.
     */
-  private[operators] def spreadIfNarrow(df: DataFrame): DataFrame = {
+  private[operators] def spreadIfNarrow(df: DataFrame,
+                                        computeWeight: Long = 8): DataFrame = {
     val parallelism = df.sparkSession.sparkContext.defaultParallelism
+    val bytes = BigInt(df.queryExecution.optimizedPlan.stats.sizeInBytes.toLong)
+    // budget: one partition per 4 MB of compute-weighted input,
+    // clamped to [1, parallelism] — a 100 TB scan saturates the clamp
+    // (falls back to full parallelism), a 500 KB toy corpus stays at 1
+    val target = (bytes * computeWeight / (4L << 20)).toLong
+      .max(1L).min(parallelism.toLong).toInt
     val parts = df.rdd.getNumPartitions
-    if (parts < parallelism) df.repartition(parallelism) else df
+    if (parts < target) df.repartition(target) else df
   }
 
   /** The probe side of both search paths is the broadcast/replicated
