@@ -1209,6 +1209,25 @@ object SparkEntry {
       "doc_id", "text")
   }
 
+  /** Q111 — the PREPARED-index daily cycle, end to end: the standing
+    * corpus's near-dup index is computed once, stored to parquet, read
+    * back, and today's batch is probed against the STORED state
+    * ([[graft.operators.Dedup.prepareNearDupIndexStored]] →
+    * [[graft.operators.Dedup.incrementalNearDupPrepared]]) — corpus
+    * text is never touched on the probe path. Result ≡ q105 (same
+    * split, same threshold), so the same brute-force cross-Jaccard
+    * oracle certifies the store-and-probe shape, not just the
+    * in-memory one.
+    */
+  def q111(s: SparkSession, d: String): DataFrame = {
+    val dd = docs(s, d)
+    val index = graft.operators.Dedup.prepareNearDupIndexStored(
+      dd.filter(col("source") =!= "src1"), "doc_id", "text",
+      cacheKey = s"neardup:$d")
+    graft.operators.Dedup.incrementalNearDupPrepared(
+      dd.filter(col("source") === "src1"), index, "doc_id", "text")
+  }
+
   /** Q110 — cross-source contamination matrix: distinct shared
     * shingles for every unordered source pair — the corpus-governance
     * view of q59's pairwise probe ("which collections overlap, and how
@@ -1526,7 +1545,8 @@ object SparkEntry {
     "q107_vocab_coverage" -> (q107 _),
     "q108_cdc_chunks"     -> (q108 _),
     "q109_split_leakage"  -> (q109 _),
-    "q110_source_overlap" -> (q110 _))
+    "q110_source_overlap" -> (q110 _),
+    "q111_incr_prepared"  -> (q111 _))
 
   // DuckDB twins. Shared SQL fragments for the text queries:
   // explicit class: Java \s includes \x0B, RE2 \s does not — see
@@ -2281,6 +2301,17 @@ object SparkEntry {
           |FROM t JOIN b USING (g) GROUP BY 1
           |""".stripMargin),
     "q105_incr_neardup" ->
+      (s"""WITH toks AS (SELECT doc_id, source, $TOKS AS tk FROM documents),
+          |sh AS (SELECT doc_id, source, ${shinglesSql("tk")} AS s FROM toks),
+          |pairs AS (SELECT a.doc_id AS new_id, b.doc_id AS old_id,
+          |  len(list_intersect(a.s, b.s)) AS inter, len(a.s) + len(b.s) AS tot
+          |  FROM sh a JOIN sh b ON a.source = 'src1' AND b.source <> 'src1')
+          |SELECT new_id, old_id, CAST(inter AS BIGINT) AS inter,
+          |  CAST(tot - inter AS BIGINT) AS un,
+          |  CAST(inter AS DOUBLE) / (tot - inter) AS jac
+          |FROM pairs WHERE (tot - inter) > 0 AND inter * 10 >= (tot - inter) * 7
+          |""".stripMargin),
+    "q111_incr_prepared" ->
       (s"""WITH toks AS (SELECT doc_id, source, $TOKS AS tk FROM documents),
           |sh AS (SELECT doc_id, source, ${shinglesSql("tk")} AS s FROM toks),
           |pairs AS (SELECT a.doc_id AS new_id, b.doc_id AS old_id,

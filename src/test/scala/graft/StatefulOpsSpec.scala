@@ -178,4 +178,59 @@ class StatefulOpsSpec extends SparkSpec {
       .as[(String, String, Long)].collect().toSet
     assert(got === Set(("10:00", "click", 2L), ("11:00", "click", 1L), ("10:00", "view", 1L)))
   }
+
+  test("streams compose: per-trigger (source, shingle) sets accumulate to the batch contamination matrix (q110)") {
+    // the q110 governance surface maintained incrementally: each
+    // micro-batch contributes its documents' DISTINCT (source, shingle)
+    // rows; the running state table is their set-union (8-byte hashes,
+    // idempotent under replay because union+distinct is), and the pair
+    // matrix derived from the state after any trigger equals the batch
+    // recompute over everything ingested so far.
+    import graft.functions.HashFunctions
+
+    def shingleSet(d: org.apache.spark.sql.DataFrame) =
+      d.select(col("source"),
+          explode(HashFunctions.hashedWordNgrams(col("text"), 3)).as("h"))
+        .distinct()
+
+    def matrix(sh: org.apache.spark.sql.DataFrame) =
+      sh.as("x").join(sh.as("y"),
+          col("x.h") === col("y.h") && col("x.source") < col("y.source"))
+        .groupBy(col("x.source").as("src_a"), col("y.source").as("src_b"))
+        .agg(count(lit(1)).as("n_shared"))
+        .as[(String, String, Long)].collect().toSet
+
+    val input = MemoryStream[(Long, String, String)]
+    // state table starts empty; localCheckpoint per trigger models the
+    // stored state table and keeps lineage from growing with triggers
+    var state = shingleSet(
+      Seq.empty[(Long, String, String)].toDF("doc_id", "source", "text"))
+    val q = input.toDS().toDF("doc_id", "source", "text")
+      .writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (!b.isEmpty)
+          state = state.unionByName(shingleSet(b)).distinct().localCheckpoint(true)
+        ()
+      }.start()
+
+    val t1 = Seq(
+      (1L, "srcA", "alpha beta gamma delta epsilon zeta"),
+      (2L, "srcB", "alpha beta gamma delta other words here"),
+      (3L, "srcC", "completely unrelated content with no overlap at all"))
+    val t2 = Seq(
+      (4L, "srcB", "beta gamma delta epsilon zeta eta"),   // widens A∩B
+      (5L, "srcC", "gamma delta epsilon zeta eta theta"),  // creates A∩C, B∩C
+      (6L, "srcA", "alpha beta gamma delta epsilon zeta")) // exact replay of doc 1
+    input.addData(t1); q.processAllAvailable()
+    val afterT1 = matrix(state)
+    input.addData(t2); q.processAllAvailable()
+    q.stop()
+
+    val batchT1 = matrix(shingleSet(t1.toDF("doc_id", "source", "text")))
+    val batchAll = matrix(shingleSet((t1 ++ t2).toDF("doc_id", "source", "text")))
+    assert(afterT1 === batchT1, "mid-stream state must equal the batch recompute")
+    assert(matrix(state) === batchAll, "final state must equal the batch recompute")
+    assert(batchAll.exists { case (a, b, n) => a == "srcA" && b == "srcB" && n > 0 })
+    assert(batchAll.size === 3, "t2 must create all three source pairs")
+  }
 }
