@@ -99,4 +99,43 @@ class ExpressionsSpec extends SparkSpec {
       .filter(col("s") > -2.0).count()
     assert(n === 500)
   }
+
+  test("nearest_centroid / _l2: ragged row no centroid matches -> null, not cell 0") {
+    val cents = Array(Array(1.0, 0.0), Array(0.0, 1.0)) // all length 2
+    val df = Seq(
+      (1L, Array(1.0f, 0.1f)),               // matches -> cell 0
+      (2L, Array(1.0f, 0.1f, 0.0f)),         // length 3: NO centroid matches
+      (3L, Array.empty[Float]))              // length 0: NO centroid matches
+      .toDF("id", "v")
+    for (f <- Seq(
+        VectorFunctions.nearestCentroid(col("v"), cents),
+        VectorFunctions.nearestCentroidL2(col("v"), cents))) {
+      val rows = df.select(col("id"), f.as("c")).orderBy("id").collect()
+      assert(rows(0).getInt(1) === 0)
+      assert(rows(1).isNullAt(1), "ragged row must surface as null")
+      assert(rows(2).isNullAt(1), "empty vector must surface as null")
+    }
+  }
+
+  test("vector kernels: non-array input fails analysis, not execution") {
+    val df = Seq((1L, "not a vector")).toDF("id", "s")
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      df.select(VectorFunctions.l2Normalize(col("s"))).collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("array"),
+      s"expected a type-check message naming array, got: ${e.getMessage}")
+    val e2 = intercept[org.apache.spark.sql.AnalysisException] {
+      df.select(VectorFunctions.nearestCentroidL2(col("s"),
+        Array(Array(1.0)))).collect()
+    }
+    assert(e2.getMessage.toLowerCase.contains("array"))
+  }
+
+  test("cdc_chunks: maxChars below the window width is rejected up front") {
+    val e = intercept[IllegalArgumentException] {
+      graft.functions.ArrayFunctions.cdcChunks(col("t"), width = 8,
+        maskBits = 6, minChars = 1, maxChars = 4)
+    }
+    assert(e.getMessage.contains("maxChars >= width"))
+  }
 }
