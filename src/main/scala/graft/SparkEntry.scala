@@ -1228,6 +1228,23 @@ object SparkEntry {
       dd.filter(col("source") === "src1"), index, "doc_id", "text")
   }
 
+  /** Q112 — PII redaction ([[TextFunctions.redactPii]]): the scrub pass
+    * a corpus runs before leaving its enclave. The fixture text is
+    * synthetic, so each row plants a deterministic email, IPv4, and
+    * 9-digit ID derived from its `doc_id` — the redaction provably
+    * fires on EVERY row, and the oracle plants and scrubs the same
+    * strings. Pure map-side `regexp_replace` chain: no shuffle, no
+    * UDF, patterns restricted to the RE2 ∩ Java common subset so both
+    * engines execute the same source regexes.
+    */
+  def q112(s: SparkSession, d: String): DataFrame = {
+    val t2 = concat_ws(" ", col("text"),
+      concat(lit("user"), col("doc_id"), lit("@mail.example.org")),
+      concat(lit("10.20."), pmod(col("doc_id"), lit(256)), lit(".9")),
+      (col("doc_id") + lit(100000000L)).cast("string"))
+    docs(s, d).select(col("doc_id"), TextFunctions.redactPii(t2).as("clean"))
+  }
+
   /** Q110 — cross-source contamination matrix: distinct shared
     * shingles for every unordered source pair — the corpus-governance
     * view of q59's pairwise probe ("which collections overlap, and how
@@ -1546,7 +1563,8 @@ object SparkEntry {
     "q108_cdc_chunks"     -> (q108 _),
     "q109_split_leakage"  -> (q109 _),
     "q110_source_overlap" -> (q110 _),
-    "q111_incr_prepared"  -> (q111 _))
+    "q111_incr_prepared"  -> (q111 _),
+    "q112_pii_redact"     -> (q112 _))
 
   // DuckDB twins. Shared SQL fragments for the text queries:
   // explicit class: Java \s includes \x0B, RE2 \s does not — see
@@ -2311,6 +2329,18 @@ object SparkEntry {
           |  CAST(inter AS DOUBLE) / (tot - inter) AS jac
           |FROM pairs WHERE (tot - inter) > 0 AND inter * 10 >= (tot - inter) * 7
           |""".stripMargin),
+    "q112_pii_redact" ->
+      ("""WITH t AS (SELECT doc_id,
+         |  text || ' user' || CAST(doc_id AS VARCHAR) || '@mail.example.org' ||
+         |  ' 10.20.' || CAST(doc_id % 256 AS VARCHAR) || '.9 ' ||
+         |  CAST(doc_id + 100000000 AS VARCHAR) AS t2 FROM documents)
+         |SELECT doc_id,
+         |  regexp_replace(regexp_replace(regexp_replace(t2,
+         |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+         |    '\b\d{1,3}(\.\d{1,3}){3}\b', '<IP>', 'g'),
+         |    '\d{9,}', '<ID>', 'g') AS clean
+         |FROM t
+         |""".stripMargin),
     "q111_incr_prepared" ->
       (s"""WITH toks AS (SELECT doc_id, source, $TOKS AS tk FROM documents),
           |sh AS (SELECT doc_id, source, ${shinglesSql("tk")} AS s FROM toks),

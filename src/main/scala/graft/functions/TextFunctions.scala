@@ -100,4 +100,30 @@ object TextFunctions {
     */
   def fingerprint(text: Column): Column =
     md5(lower(regexp_replace(trim(text), whitespaceClass, " ")))
+
+  // PII patterns, deliberately restricted to the RE2 ∩ java.util.regex
+  // common subset (no lookarounds, no backrefs) so the SAME source
+  // strings run in Spark and in the DuckDB oracle. Order matters:
+  // emails first (their local part may contain digits an ID pattern
+  // would eat), then dotted IPv4 (so its octets aren't consumed as
+  // bare digit runs), then long digit runs (account/card/SSN-shaped).
+  val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val ipv4Pattern = "\\b\\d{1,3}(\\.\\d{1,3}){3}\\b"
+  val longDigitPattern = "\\d{9,}"
+
+  /** PII scrubbing: emails → `<EMAIL>`, dotted IPv4 → `<IP>`, runs of
+    * ≥ 9 digits → `<ID>` — the minimum redaction pass a training-data
+    * pipeline runs before a corpus leaves its enclave (C4 and CCNet
+    * both ship regex-level scrubbers of exactly this shape). Map-side,
+    * codegen'd (`regexp_replace` chain), no shuffle; deterministic, so
+    * re-runs and replays redact byte-identically — unlike
+    * pseudonymization (q65), nothing here is reversible via a lookup
+    * side table.
+    */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, emailPattern, "<EMAIL>"),
+        ipv4Pattern, "<IP>"),
+      longDigitPattern, "<ID>")
 }

@@ -131,6 +131,28 @@ class ExpressionsSpec extends SparkSpec {
     assert(e2.getMessage.toLowerCase.contains("array"))
   }
 
+  test("redactPii: emails, dotted IPv4, >=9-digit runs; idempotent") {
+    val df = Seq(
+      (1L, "mail bob.smith+x@foo.co.uk now"),
+      (2L, "from 192.168.0.1 port"),
+      (3L, "card 1234567890123 ok"),
+      (4L, "short 12345678 stays"),
+      (5L, "user9@a.io at 10.0.0.1 id 999999999"))
+      .toDF("id", "t")
+    val out = df.select(col("id"), TextFunctions.redactPii(col("t")).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) === "mail <EMAIL> now")
+    assert(out(2L) === "from <IP> port")
+    assert(out(3L) === "card <ID> ok")
+    assert(out(4L) === "short 12345678 stays", "8 digits is below the ID floor")
+    assert(out(5L) === "<EMAIL> at <IP> id <ID>")
+    // idempotent: the replacement tokens contain no digits or '@'
+    val twice = df
+      .select(TextFunctions.redactPii(TextFunctions.redactPii(col("t"))).as("c"))
+      .collect().map(_.getString(0)).toSet
+    assert(twice === out.values.toSet)
+  }
+
   test("cdc_chunks: maxChars below the window width is rejected up front") {
     val e = intercept[IllegalArgumentException] {
       graft.functions.ArrayFunctions.cdcChunks(col("t"), width = 8,
