@@ -377,4 +377,45 @@ class PlanSpec extends SparkSpec {
       s"bloom probe must prune before the join, not after:\n$p")
     assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
   }
+
+  test("q111: probe reads the STORED index (parquet scan, text column never read) and keeps q105's shape") {
+    val p = plan(SparkEntry.q111(spark, sf0001))
+    // the index side must be a parquet scan of the stored state — and a
+    // pruned one: signatures and shingles, never document text
+    assert(p.contains("graft-neardupidx"), s"expected a stored-index scan:\n$p")
+    val readSchemas = "ReadSchema: [^\\n]+".r.findAllIn(p).toList
+    val idxSchemas = readSchemas.filterNot(_.contains("text"))
+    assert(idxSchemas.nonEmpty, s"expected index scans without text:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"index must not shuffle for a join:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"batch side must broadcast:\n$p")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges <= 1,
+      s"expected at most the candidate distinct exchange, got $exchanges:\n$p")
+  }
+
+  test("q112: PII redaction is a pure map-side projection — zero exchanges, no UDF") {
+    val p = plan(SparkEntry.q112(spark, sf0001))
+    assert(!p.contains("Exchange"), s"redaction must not shuffle:\n$p")
+    assert(!p.contains("BatchEvalPython") && !p.contains("SQLUDF"),
+      s"redaction must stay in codegen'd builtins:\n$p")
+    // "*(n)" prefixes mark whole-stage-codegen'd operators in the
+    // compact plan string
+    assert(p.contains("*(1) Project"), s"expected codegen coverage:\n$p")
+  }
+
+  test("q108: CDC dup profile shuffles only chunk hashes — hash window + doc aggregate, chunker runs once") {
+    val dd = Tables.documents(spark, sf0001)
+    val p = plan(graft.operators.Dedup.cdcChunkDupProfile(dd, "doc_id", "text"))
+    // exactly two exchanges: partition-by-hash for the shared window,
+    // then the per-document aggregate
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 2, s"expected hash-window + doc-agg exchanges, got $exchanges:\n$p")
+    // one chunker invocation in the whole plan: the window formulation
+    // must not re-derive chunks for a second branch
+    val chunkers = "cdc_chunks".r.findAllIn(p).length
+    assert(chunkers == 1, s"chunker must run once, found $chunkers:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      s"window formulation needs no join at all:\n$p")
+  }
 }
