@@ -1245,6 +1245,29 @@ object SparkEntry {
     docs(s, d).select(col("doc_id"), TextFunctions.redactPii(t2).as("clean"))
   }
 
+  /** Q113 — per-source corpus datasheet (Gebru et al., "Datasheets for
+    * Datasets", 2018 — the governance summary shipped WITH a training
+    * corpus): per source, document count, total token volume, mean
+    * tokens per document, language spread, and the exact-duplicate
+    * count (docs minus distinct content fingerprints, q20's md5 of
+    * whitespace-normalized lowercase text). One partial-aggregating
+    * shuffle on `source`; the token count and fingerprint are map-side
+    * projections, and the mean divides two exact aggregates so both
+    * engines agree bit-for-bit.
+    */
+  def q113(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
+      .select(col("source"), col("lang"),
+        TextFunctions.tokenCount(col("text")).as("__tk"),
+        TextFunctions.fingerprint(col("text")).as("__fp"))
+      .groupBy(col("source")).agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("__tk")).as("n_tokens"),
+        NumFunctions.roundNz(
+          sum(col("__tk")).cast("double") / count(lit(1)), 6).as("mean_tokens"),
+        countDistinct(col("lang")).as("n_langs"),
+        (count(lit(1)) - countDistinct(col("__fp"))).as("n_exact_dups"))
+
   /** Q110 — cross-source contamination matrix: distinct shared
     * shingles for every unordered source pair — the corpus-governance
     * view of q59's pairwise probe ("which collections overlap, and how
@@ -1564,7 +1587,8 @@ object SparkEntry {
     "q109_split_leakage"  -> (q109 _),
     "q110_source_overlap" -> (q110 _),
     "q111_incr_prepared"  -> (q111 _),
-    "q112_pii_redact"     -> (q112 _))
+    "q112_pii_redact"     -> (q112 _),
+    "q113_datasheet"      -> (q113 _))
 
   // DuckDB twins. Shared SQL fragments for the text queries:
   // explicit class: Java \s includes \x0B, RE2 \s does not — see
@@ -2328,6 +2352,15 @@ object SparkEntry {
           |  CAST(tot - inter AS BIGINT) AS un,
           |  CAST(inter AS DOUBLE) / (tot - inter) AS jac
           |FROM pairs WHERE (tot - inter) > 0 AND inter * 10 >= (tot - inter) * 7
+          |""".stripMargin),
+    "q113_datasheet" ->
+      (s"""SELECT source, count(*) AS n_docs,
+          |  CAST(sum(len($TOKS)) AS BIGINT) AS n_tokens,
+          |  round(CAST(sum(len($TOKS)) AS DOUBLE) / count(*), 6) + 0 AS mean_tokens,
+          |  count(DISTINCT lang) AS n_langs,
+          |  count(*) - count(DISTINCT md5(lower(regexp_replace(trim(text),
+          |    '[ \t\n\f\r]+', ' ', 'g')))) AS n_exact_dups
+          |FROM documents GROUP BY source
           |""".stripMargin),
     "q112_pii_redact" ->
       ("""WITH t AS (SELECT doc_id,
