@@ -241,6 +241,49 @@ class DedupSpec extends SparkSpec {
     assert(found.toSet === Set((10L, 1L), (12L, 2L)))
   }
 
+  test("streams compose: stored index GROWS per trigger — probe sees every earlier batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // the full day-over-day lifecycle: each trigger probes the STORED
+    // index, then appends its own prepared rows (append-only parquet —
+    // exactly the state table q111 certifies read-side). A duplicate
+    // arriving in trigger 2 of a document from trigger 1 must be
+    // caught even though neither is in the day-0 corpus.
+    val dir = java.nio.file.Files.createTempDirectory("neardup_grow").toString
+    Dedup.prepareNearDupIndex(
+        Seq((1L, "the quick brown fox jumps over the lazy dog again and again today"))
+          .toDF("doc_id", "text"), "doc_id", "text")
+      .write.mode("overwrite").parquet(dir) // day 0: seed corpus
+    val found = scala.collection.mutable.Set.empty[(Long, Long)]
+    val input = MemoryStream[(Long, String)]
+    val q = input.toDF().toDF("doc_id", "text")
+      .writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (!b.isEmpty) {
+          val bp = b.persist()
+          found ++= Dedup.incrementalNearDupPrepared(
+              bp, spark.read.parquet(dir), "doc_id", "text")
+            .select("new_id", "old_id").as[(Long, Long)].collect()
+          Dedup.prepareNearDupIndex(bp, "doc_id", "text")
+            .write.mode("append").parquet(dir)
+          bp.unpersist()
+        }
+        ()
+      }.start()
+    input.addData(Seq(
+      (10L, "a fresh document about beam search and decoding strategies today"),
+      (11L, "spark shuffles partition data across the cluster network at scale")))
+    q.processAllAvailable()
+    input.addData(Seq(
+      (20L, "spark shuffles partition data across the cluster network at scale"),
+      (21L, "the quick brown fox jumps over the lazy dog again and again today")))
+    q.processAllAvailable()
+    q.stop()
+    // 20 dups 11 (both streamed — only visible because the index grew);
+    // 21 dups the day-0 seed; nothing matches the fresh doc 10
+    assert(found.toSet === Set((20L, 11L), (21L, 1L)))
+  }
+
   test("incrementalNearDup == brute-force cross jaccard on the fixture split") {
     val dd = Tables.documents(spark, sf0001)
     val got = SparkEntry.q105(spark, sf0001)
