@@ -624,11 +624,23 @@ object Corpus {
     val spark = docs.sparkSession
     import spark.implicits._
     require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
-    val words = docs
+    val words0 = docs
       .select(explode(split(col(textCol), TextFunctions.whitespaceClass)).as("w"))
       .filter(col("w") =!= "")
       .groupBy(col("w")).agg(count(lit(1)).as("wc"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the merge loop re-scans this dict numMerges times, so its
+    // partition count sets the fixed cost of EVERY round: budget it by
+    // the vocabulary size (the count also materializes the cache before
+    // the loop), not the corpus's shuffle width — a 3 k-word toy dict
+    // at 32 partitions pays 12 × 32 near-empty tasks for nothing, a
+    // 10 M-word web dict still saturates the clamp
+    val nw = words0.count()
+    val sc = spark.sparkContext
+    val wparts = math.max(1L, math.min(sc.defaultParallelism.toLong,
+      nw / 16384L + 1L)).toInt
+    val words =
+      if (words0.rdd.getNumPartitions > wparts) words0.coalesce(wparts) else words0
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
     var exhausted = false
     while (merges.length < numMerges && !exhausted) {
@@ -644,7 +656,7 @@ object Corpus {
         merges += ((r.getString(0), r.getString(1), r.getLong(2)))
       }
     }
-    words.unpersist(blocking = false)
+    words0.unpersist(blocking = false)
     merges.zipWithIndex
       .map { case ((l, r, c), i) => (i + 1, l, r, c) }.toSeq
       .toDF("rank", "l", "r", "cnt")
