@@ -1268,6 +1268,69 @@ object SparkEntry {
         countDistinct(col("lang")).as("n_langs"),
         (count(lit(1)) - countDistinct(col("__fp"))).as("n_exact_dups"))
 
+  /** Q114 — gap-based sessionization
+    * ([[graft.operators.TimeSeries.sessionize]]): each user's valid
+    * events split into sessions at 30-minute silences, one summary row
+    * per session — the canonical event-log rollup the reference's
+    * telemetry domain feeds (per-entity activity bursts). One window
+    * exchange tags rows (lag + prefix sum share a single sort) and the
+    * session aggregate reuses that partitioning — a single shuffle end
+    * to end. Exact-microsecond arithmetic throughout.
+    */
+  def q114(s: SparkSession, d: String): DataFrame =
+    graft.operators.TimeSeries.sessionize(
+      EventOps.filterValid(ev(s, d)), "user_id", "ts", "event_id",
+      gapSeconds = 1800)
+
+  /** Q115 — inverted index ([[graft.operators.Corpus.invertedIndex]]):
+    * per token, document frequency and the 20 lowest doc ids as a
+    * bounded posting preview. ONE aggregation produces both outputs —
+    * `count` plus a bounded top-k heap — so a stop word shuffles at
+    * most 21 values per map partition, never its full posting list.
+    */
+  def q115(s: SparkSession, d: String): DataFrame =
+    graft.operators.Corpus.invertedIndex(docs(s, d), "doc_id", "text",
+      maxPostings = 20)
+
+  /** Q116 — two-sample Kolmogorov–Smirnov drift
+    * ([[graft.operators.Drift.ksProfile]]): q86's even/odd event split
+    * compared per event type by maximum CDF separation over the
+    * reference-decile bins (location-shift detector; PSI reads density
+    * ratios). Bin counts cost one partial-aggregating shuffle per side;
+    * the CDF window runs over ≤ 10 rows per group.
+    */
+  def q116(s: SparkSession, d: String): DataFrame = {
+    val e = ev(s, d).filter(col("value").isNotNull)
+      .select(col("event_type"), col("value"),
+        pmod(col("event_id"), lit(2)).as("__side"))
+    graft.operators.Drift.ksProfile(
+      e.filter(col("__side") === 0).drop("__side"),
+      e.filter(col("__side") === 1).drop("__side"),
+      "event_type", "value")
+  }
+
+  /** Q117 — per-source distinctive vocabulary
+    * ([[graft.operators.Corpus.distinctiveTerms]]): Monroe et al.
+    * "Fightin' Words" log-odds (+0.5 prior) of each source's token
+    * usage against the rest of the corpus, top 10 terms per source by
+    * z — the qualitative companion to q113's volume datasheet. Count
+    * shuffle + broadcast totals + bounded per-source heap.
+    */
+  def q117(s: SparkSession, d: String): DataFrame =
+    graft.operators.Corpus.distinctiveTerms(docs(s, d), "source", "text",
+      k = 10)
+
+  /** Q118 — blocklist dry-run ([[graft.operators.Corpus.blocklistProfile]]):
+    * per-source count and share of documents containing any
+    * blocklisted token (the C4 bad-words gate, reported before
+    * destructive filtering). Hashed-set membership rides map-side in
+    * [[graft.functions.StringArrayExceptSet]]; the only shuffle is the
+    * source-count aggregate.
+    */
+  def q118(s: SparkSession, d: String): DataFrame =
+    graft.operators.Corpus.blocklistProfile(docs(s, d), "source", "text",
+      blocked = Seq("dup", "xyzzy"))
+
   /** Q110 — cross-source contamination matrix: distinct shared
     * shingles for every unordered source pair — the corpus-governance
     * view of q59's pairwise probe ("which collections overlap, and how
@@ -1588,7 +1651,12 @@ object SparkEntry {
     "q110_source_overlap" -> (q110 _),
     "q111_incr_prepared"  -> (q111 _),
     "q112_pii_redact"     -> (q112 _),
-    "q113_datasheet"      -> (q113 _))
+    "q113_datasheet"      -> (q113 _),
+    "q114_sessionize"     -> (q114 _),
+    "q115_inverted_index" -> (q115 _),
+    "q116_ks_drift"       -> (q116 _),
+    "q117_distinct_terms" -> (q117 _),
+    "q118_blocklist"      -> (q118 _))
 
   // DuckDB twins. Shared SQL fragments for the text queries:
   // explicit class: Java \s includes \x0B, RE2 \s does not — see
@@ -2417,5 +2485,97 @@ object SparkEntry {
           |SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_shared
           |FROM sh a JOIN sh b ON a.g = b.g AND a.source < b.source
           |GROUP BY 1, 2
+          |""".stripMargin),
+    "q114_sessionize" ->
+      ("""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tu FROM events
+         |  WHERE ts IS NOT NULL AND year(ts) <> 1970),
+         |s AS (SELECT user_id, event_id, tu,
+         |  CASE WHEN lag(tu) OVER (PARTITION BY user_id ORDER BY tu, event_id) IS NULL
+         |         OR tu - lag(tu) OVER (PARTITION BY user_id ORDER BY tu, event_id)
+         |            > 1800000000
+         |       THEN 1 ELSE 0 END AS brk FROM e),
+         |t AS (SELECT user_id, tu,
+         |  CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY tu, event_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session
+         |  FROM s)
+         |SELECT user_id, session, min(tu) AS start_us, max(tu) AS end_us,
+         |  count(*) AS n_events, max(tu) - min(tu) AS span_us
+         |FROM t GROUP BY 1, 2
+         |""".stripMargin),
+    "q115_inverted_index" ->
+      (s"""WITH tk AS (SELECT doc_id, unnest(list_distinct($TOKS_LOWER)) AS token
+          |  FROM documents)
+          |SELECT token, count(*) AS df,
+          |  array_to_string(list_sort(list(doc_id))[1:20], ',') AS postings
+          |FROM tk GROUP BY 1
+          |""".stripMargin),
+    "q116_ks_drift" ->
+      ("""WITH e AS (SELECT event_type, value, event_id % 2 AS side FROM events
+         |  WHERE value IS NOT NULL),
+         |cuts AS (SELECT event_type,
+         |  round(quantile_cont(value, 0.1), 6) AS c1,
+         |  round(quantile_cont(value, 0.2), 6) AS c2,
+         |  round(quantile_cont(value, 0.3), 6) AS c3,
+         |  round(quantile_cont(value, 0.4), 6) AS c4,
+         |  round(quantile_cont(value, 0.5), 6) AS c5,
+         |  round(quantile_cont(value, 0.6), 6) AS c6,
+         |  round(quantile_cont(value, 0.7), 6) AS c7,
+         |  round(quantile_cont(value, 0.8), 6) AS c8,
+         |  round(quantile_cont(value, 0.9), 6) AS c9
+         |  FROM e WHERE side = 0 GROUP BY 1),
+         |b AS (SELECT e.event_type, side,
+         |  (CASE WHEN value >= c1 THEN 1 ELSE 0 END) +
+         |  (CASE WHEN value >= c2 THEN 1 ELSE 0 END) +
+         |  (CASE WHEN value >= c3 THEN 1 ELSE 0 END) +
+         |  (CASE WHEN value >= c4 THEN 1 ELSE 0 END) +
+         |  (CASE WHEN value >= c5 THEN 1 ELSE 0 END) +
+         |  (CASE WHEN value >= c6 THEN 1 ELSE 0 END) +
+         |  (CASE WHEN value >= c7 THEN 1 ELSE 0 END) +
+         |  (CASE WHEN value >= c8 THEN 1 ELSE 0 END) +
+         |  (CASE WHEN value >= c9 THEN 1 ELSE 0 END) AS bin
+         |  FROM e JOIN cuts USING (event_type)),
+         |g AS (SELECT event_type, bin,
+         |  count(CASE WHEN side = 0 THEN 1 END) AS n_ref,
+         |  count(CASE WHEN side = 1 THEN 1 END) AS n_cur
+         |  FROM b GROUP BY 1, 2),
+         |f AS (SELECT event_type, bin, n_ref, n_cur,
+         |  sum(n_ref) OVER (PARTITION BY event_type ORDER BY bin
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fr,
+         |  sum(n_cur) OVER (PARTITION BY event_type ORDER BY bin
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fc,
+         |  sum(n_ref) OVER (PARTITION BY event_type) AS tr,
+         |  sum(n_cur) OVER (PARTITION BY event_type) AS tc
+         |  FROM g)
+         |SELECT event_type,
+         |  round(max(abs(CAST(fr AS DOUBLE) / CAST(tr AS DOUBLE) -
+         |                CAST(fc AS DOUBLE) / CAST(tc AS DOUBLE))), 6) + 0 AS ks_d,
+         |  CAST(max(tr) AS BIGINT) AS n_ref, CAST(max(tc) AS BIGINT) AS n_cur
+         |FROM f GROUP BY 1
+         |""".stripMargin),
+    "q117_distinct_terms" ->
+      (s"""WITH tk AS (SELECT source, unnest($TOKS_LOWER) AS token FROM documents),
+          |c AS (SELECT source, token, count(*) AS y_s FROM tk GROUP BY 1, 2),
+          |st AS (SELECT source, CAST(sum(y_s) AS BIGINT) AS n_s FROM c GROUP BY 1),
+          |tt AS (SELECT token, CAST(sum(y_s) AS BIGINT) AS y_all FROM c GROUP BY 1),
+          |g AS (SELECT CAST(sum(y_s) AS BIGINT) AS n_all FROM c),
+          |z AS (SELECT c.source, c.token, c.y_s,
+          |  round((ln((c.y_s + 0.5) / (st.n_s - c.y_s + 0.5)) -
+          |         ln(((tt.y_all - c.y_s) + 0.5) /
+          |            ((g.n_all - st.n_s) - (tt.y_all - c.y_s) + 0.5))) /
+          |        sqrt(1.0 / (c.y_s + 0.5) + 1.0 / ((tt.y_all - c.y_s) + 0.5)), 6)
+          |    + 0 AS z
+          |  FROM c JOIN st USING (source) JOIN tt USING (token) CROSS JOIN g),
+          |r AS (SELECT *, row_number() OVER (PARTITION BY source
+          |  ORDER BY z DESC, token) AS rk FROM z)
+          |SELECT source, token, y_s, z, CAST(rk AS BIGINT) AS rk
+          |FROM r WHERE rk <= 10
+          |""".stripMargin),
+    "q118_blocklist" ->
+      (s"""WITH f AS (SELECT source,
+          |  CASE WHEN list_has_any($TOKS_LOWER, ['dup', 'xyzzy'])
+          |       THEN 1 ELSE 0 END AS hit FROM documents)
+          |SELECT source, count(*) AS n_docs, CAST(sum(hit) AS BIGINT) AS n_flagged,
+          |  round(CAST(sum(hit) AS DOUBLE) / count(*), 6) + 0 AS flag_rate
+          |FROM f GROUP BY 1
           |""".stripMargin))
 }

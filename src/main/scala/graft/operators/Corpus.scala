@@ -731,6 +731,111 @@ object Corpus {
         concat_ws(" ", col("kept")).as("cleaned_text"))
   }
 
+  /** Inverted index over the corpus — per lowercased token, its document
+    * frequency and the `maxPostings` LOWEST doc ids as a comma-joined
+    * posting string (the bounded preview a search/debug console shows;
+    * the full posting list is the same plan with the cap removed).
+    *
+    * Scale design: per-doc `array_distinct` collapses duplicates
+    * map-side before the explode, and BOTH outputs come from ONE
+    * aggregation — `count` for df and a bounded `collectTopK` heap for
+    * the postings — so the single shuffle carries at most
+    * `maxPostings + 1` values per token per map partition even for a
+    * stop word whose true posting list is the whole corpus. No window,
+    * no sort, no unbounded `collect_set`.
+    */
+  def invertedIndex(docs: DataFrame, idCol: String, textCol: String,
+                    maxPostings: Int = 20): DataFrame = {
+    require(maxPostings > 0, s"maxPostings must be positive, got $maxPostings")
+    import org.apache.spark.sql.graft.ColumnBridge
+    docs
+      .select(col(idCol).cast("long").as("__id"),
+        explode(array_distinct(TextFunctions.tokens(lower(col(textCol)))))
+          .as("token"))
+      .groupBy(col("token"))
+      .agg(
+        count(lit(1)).as("df"),
+        ColumnBridge.collectTopK(col("__id"), maxPostings, reverse = true)
+          .as("__top"))
+      .select(col("token"), col("df"),
+        array_join(transform(col("__top"), _.cast("string")), ",")
+          .as("postings"))
+  }
+
+  /** Per-source distinctive vocabulary — Monroe/Colaresi/Quinn
+    * "Fightin' Words" (2008) log-odds with a +0.5 Haldane prior: each
+    * (source, token)'s usage odds against the REST of the corpus,
+    * z-scored by the delta's approximate variance
+    * `1/(y_s+0.5) + 1/(y_rest+0.5)`, top `k` terms per source by z.
+    * The corpus-datasheet companion (q113 reports volumes; this reports
+    * what each source actually SAYS differently).
+    *
+    * Scale design: one partial-aggregating shuffle builds the
+    * (source, token) counts; source totals, token totals, and the grand
+    * total derive from that table (vocab- and source-scale aggregates,
+    * broadcast back). The final cut is a bounded `collectTopK` heap per
+    * source — shuffle carries ≤ k rows per source per partition, no
+    * window over the vocabulary.
+    */
+  def distinctiveTerms(docs: DataFrame, sourceCol: String, textCol: String,
+                       k: Int = 10): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val counts = docs
+      .select(col(sourceCol).as("source"),
+        explode(TextFunctions.tokens(lower(col(textCol)))).as("token"))
+      .groupBy(col("source"), col("token"))
+      .agg(count(lit(1)).as("y_s"))
+    val srcTot = counts.groupBy(col("source")).agg(sum(col("y_s")).as("n_s"))
+    val tokTot = counts.groupBy(col("token")).agg(sum(col("y_s")).as("y_all"))
+    val grand = counts.agg(sum(col("y_s")).as("n_all"))
+    val scored = counts
+      .join(broadcast(srcTot), Seq("source"))
+      .join(broadcast(tokTot), Seq("token"))
+      .crossJoin(broadcast(grand))
+      .withColumn("__yr", col("y_all") - col("y_s"))
+      .withColumn("__nr", col("n_all") - col("n_s"))
+      .withColumn("__lo",
+        log((col("y_s") + 0.5d) / (col("n_s") - col("y_s") + 0.5d)) -
+        log((col("__yr") + 0.5d) / (col("__nr") - col("__yr") + 0.5d)))
+      .withColumn("z", NumFunctions.roundNz(
+        col("__lo") / sqrt(lit(1.0d) / (col("y_s") + 0.5d) +
+          lit(1.0d) / (col("__yr") + 0.5d)), 6))
+    // rank by z DESC with token ASC ties: heap keeps k smallest of
+    // (-z, token); -0.0 from negating z=0.0 still orders equal to +0.0
+    TopK.topKPerKey(
+      scored.withColumn("__negz", -col("z")),
+      Seq("source"), struct(col("__negz"), col("token")),
+      Seq("token", "y_s", "z"), k)
+  }
+
+  /** Blocklist document filter (the C4 "bad words" gate): flag every
+    * document containing ANY blocklisted token and report the per-source
+    * damage — `(source, n_docs, n_flagged, flag_rate)` — the dry-run a
+    * pipeline reviews before destructive filtering. Matching reuses the
+    * hashed-set membership expression ([[graft.functions.StringArrayExceptSet]]):
+    * a doc is flagged iff removing blocked tokens shrinks its token
+    * array, so membership is O(1) per token regardless of blocklist
+    * size (the `arrays_overlap`-with-literal alternative scans the
+    * blocklist per token). Pure map-side flag + one tiny aggregate.
+    */
+  def blocklistProfile(docs: DataFrame, sourceCol: String, textCol: String,
+                       blocked: Seq[String]): DataFrame = {
+    require(blocked.nonEmpty, "blocklist must not be empty")
+    import org.apache.spark.sql.graft.ColumnBridge
+    val toks = TextFunctions.tokens(lower(col(textCol)))
+    val kept = ColumnBridge.column(graft.functions.StringArrayExceptSet(
+      ColumnBridge.expression(toks), blocked.map(_.toLowerCase).toArray))
+    docs
+      .select(col(sourceCol).as("source"),
+        (size(kept) < size(toks)).as("__hit"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("__hit").cast("long")).as("n_flagged"))
+      .withColumn("flag_rate", NumFunctions.roundNz(
+        col("n_flagged").cast("double") / col("n_docs"), 6))
+  }
+
   /** Tokenize the corpus under a FIXED merge list and report per-doc
     * subword statistics — the APPLY face of BPE training: `(id,
     * n_subwords, n_chars, chars_per_subword)`. Pure map-side; the merge

@@ -37,7 +37,56 @@ object Drift {
     * (they carry no position in the distribution).
     */
   def psiProfile(ref: DataFrame, cur: DataFrame, groupCol: String,
-                 valueCol: String): DataFrame = {
+                 valueCol: String): DataFrame =
+    binShares(ref, cur, groupCol, valueCol)
+      .withColumn("psi_term",
+        when(col("p_ref") > 0.0 && col("p_cur") > 0.0,
+          NumFunctions.roundNz((col("p_ref") - col("p_cur")) * log(col("p_ref") / col("p_cur")), 6)))
+      .select(col(groupCol), col("bin"), col("n_ref"), col("n_cur"),
+        col("p_ref"), col("p_cur"), col("psi_term"))
+
+  /** Two-sample Kolmogorov–Smirnov statistic per group, discretized at
+    * the reference's decile cutoffs: D = max over bin edges of
+    * |F_ref − F_cur| where F is the empirical CDF accumulated over the
+    * SAME ten bins `psiProfile` compares. The discretized D lower-bounds
+    * the continuous-data statistic (the sup over a coarser edge set) and
+    * is exactly reproducible by any engine that bins identically — which
+    * is the monitoring contract here: cutoffs are rounded to 6 places
+    * before comparison, so the binning (and hence D) is bit-stable.
+    * Complements PSI: KS reads maximum CDF separation (location shifts),
+    * PSI reads summed density ratios (shape/tail changes).
+    *
+    * Scale design: everything after the per-side bin counts (one
+    * partial-aggregating shuffle each, shared with `psiProfile`'s shape)
+    * operates on ≤ 10 rows per group — the CDF window is bounded by the
+    * bin count, never by the data.
+    */
+  def ksProfile(ref: DataFrame, cur: DataFrame, groupCol: String,
+                valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(groupCol)).orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col(groupCol))
+    binShares(ref, cur, groupCol, valueCol)
+      .withColumn("__fr", sum(col("n_ref")).over(w))
+      .withColumn("__fc", sum(col("n_cur")).over(w))
+      .withColumn("__tr", sum(col("n_ref")).over(wAll))
+      .withColumn("__tc", sum(col("n_cur")).over(wAll))
+      .withColumn("__d", abs(
+        col("__fr").cast("double") / col("__tr") -
+        col("__fc").cast("double") / col("__tc")))
+      .groupBy(col(groupCol))
+      .agg(
+        NumFunctions.roundNz(max(col("__d")), 6).as("ks_d"),
+        max(col("__tr")).as("n_ref"),
+        max(col("__tc")).as("n_cur"))
+  }
+
+  /** Shared PSI/KS core: per (group, bin) counts and rounded population
+    * shares, binned on the reference's rounded decile cutoffs.
+    */
+  private def binShares(ref: DataFrame, cur: DataFrame, groupCol: String,
+                        valueCol: String): DataFrame = {
     val deciles = (1 to 9).map(i =>
       NumFunctions.roundNz(expr(s"percentile($valueCol, 0.${i})"), 6).as(s"__c$i"))
     val cuts = ref.filter(col(valueCol).isNotNull)
@@ -64,10 +113,5 @@ object Drift {
     joined.join(totals, Seq(groupCol))
       .withColumn("p_ref", NumFunctions.roundNz(col("n_ref").cast("double") / col("__tr"), 6))
       .withColumn("p_cur", NumFunctions.roundNz(col("n_cur").cast("double") / col("__tc"), 6))
-      .withColumn("psi_term",
-        when(col("p_ref") > 0.0 && col("p_cur") > 0.0,
-          NumFunctions.roundNz((col("p_ref") - col("p_cur")) * log(col("p_ref") / col("p_cur")), 6)))
-      .select(col(groupCol), col("bin"), col("n_ref"), col("n_cur"),
-        col("p_ref"), col("p_cur"), col("psi_term"))
   }
 }

@@ -51,6 +51,42 @@ object TimeSeries {
         col("v").isNull.as("is_gap"))
   }
 
+  /** Gap-based sessionization — the classic event-log operator: split
+    * each key's event stream wherever two consecutive events are more
+    * than `gapSeconds` apart, then summarize every session (`start_us`,
+    * `end_us`, `n_events`, `span_us`; `session` is the key's 1-based
+    * session ordinal). Timestamps route through `unix_micros`, so the
+    * boundary test and the span arithmetic are exact longs — no
+    * floating-point timestamp math to disagree across engines.
+    *
+    * Scale design: the break flag (`lag`) and the running session
+    * ordinal (prefix sum) are two frames over ONE window — same
+    * partition key, same order — and the closing `groupBy(key,
+    * session)` groups on a key the window's hash partitioning already
+    * clusters, so Catalyst plans the ENTIRE operator behind a single
+    * exchange (gated in PlanSpec). Ordering ties break on `tieCol` (a
+    * unique id) so replay, partition count, and oracle all see the
+    * same session split.
+    */
+  def sessionize(df: DataFrame, keyCol: String, tsCol: String,
+                 tieCol: String, gapSeconds: Long): DataFrame = {
+    require(gapSeconds > 0, s"gap must be positive, got $gapSeconds")
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("__tu"), col(tieCol))
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val gapUs = gapSeconds * 1000000L
+    df.select(col(keyCol), col(tieCol), unix_micros(col(tsCol)).as("__tu"))
+      .withColumn("__brk",
+        when(lag(col("__tu"), 1).over(w).isNull ||
+          col("__tu") - lag(col("__tu"), 1).over(w) > gapUs, 1L).otherwise(0L))
+      .withColumn("session", sum(col("__brk")).over(run))
+      .groupBy(col(keyCol), col("session"))
+      .agg(
+        min(col("__tu")).as("start_us"),
+        max(col("__tu")).as("end_us"),
+        count(lit(1)).as("n_events"),
+        (max(col("__tu")) - min(col("__tu"))).as("span_us"))
+  }
+
   /** Rolling z-score anomaly detection over the per-key daily series:
     * each day's value against the trailing `win`-day mean/stddev
     * (sample variance, current day included). Window sums route

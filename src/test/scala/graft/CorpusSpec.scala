@@ -425,4 +425,68 @@ class CorpusSpec extends SparkSpec {
       Corpus.pruneHighDfTokens(d, "doc_id", "text", maxDfPct = 100)
     }
   }
+
+  test("invertedIndex: df counts documents once, postings are the k lowest ids") {
+    val d = docTable(Seq(
+      7L -> "apple apple banana",   // duplicate token counts ONE doc
+      3L -> "Apple cherry",         // case-folds into the same posting
+      9L -> "banana apple"))
+    val got = Corpus.invertedIndex(d, "doc_id", "text", maxPostings = 2)
+      .as[(String, Long, String)].collect().sortBy(_._1).toSeq
+    assert(got === Seq(
+      ("apple", 3L, "3,7"),   // df = 3 but postings capped at the 2 lowest
+      ("banana", 2L, "7,9"),
+      ("cherry", 1L, "3")))
+  }
+
+  test("distinctiveTerms: a planted source-exclusive term ranks first for its source") {
+    // both sources use "common" at the SAME rate (4/8 vs 3/6), so only
+    // the exclusive terms can separate — log-odds vs the rest rewards
+    // what a source says that others don't, not what it says a lot
+    val d = Seq(
+      (0L, "srcA", "zebra zebra zebra common common"),
+      (1L, "srcA", "zebra common common"),
+      (2L, "srcB", "common common quux"),
+      (3L, "srcB", "common quux quux")
+    ).toDF("doc_id", "source", "text")
+    val got = Corpus.distinctiveTerms(d, "source", "text", k = 2)
+      .select("source", "token", "rk").as[(String, String, Long)]
+      .collect().toSet
+    assert(got.contains(("srcA", "zebra", 1L)), s"zebra not #1 for srcA: $got")
+    assert(got.contains(("srcB", "quux", 1L)), s"quux not #1 for srcB: $got")
+    // the log-odds sign agrees with exclusivity: zebra's z for srcA > 0
+    val z = Corpus.distinctiveTerms(d, "source", "text", k = 2)
+      .filter(col("source") === "srcA" && col("token") === "zebra")
+      .select("z").as[Double].collect().head
+    assert(z > 0.0, s"exclusive term scored non-positive: $z")
+  }
+
+  test("distinctiveTerms: matches the literal Monroe formula on one cell") {
+    val d = Seq((0L, "sA", "x x y"), (1L, "sB", "y y"))
+      .toDF("doc_id", "source", "text")
+    // cell (sA, x): y_s=2, n_s=3, y_rest=0, n_rest=2
+    val lo = math.log((2 + 0.5) / (3 - 2 + 0.5)) -
+      math.log((0 + 0.5) / (2 - 0 + 0.5))
+    val expect = math.round(lo / math.sqrt(1.0 / 2.5 + 1.0 / 0.5) * 1e6) / 1e6
+    val z = Corpus.distinctiveTerms(d, "source", "text", k = 3)
+      .filter(col("source") === "sA" && col("token") === "x")
+      .select("z").as[Double].collect().head
+    assert(z === expect, s"got $z, want $expect")
+  }
+
+  test("blocklistProfile: flags exactly the documents containing a blocked token") {
+    val d = Seq(
+      (0L, "s1", "clean text here"),
+      (1L, "s1", "has the BAD word"),     // case-insensitive hit
+      (2L, "s1", "badge is not bad-word"), // substring must NOT match
+      (3L, "s2", "bad bad bad"),
+      (4L, "s2", "spotless")
+    ).toDF("doc_id", "source", "text")
+    val got = Corpus.blocklistProfile(d, "source", "text", Seq("BAD"))
+      .as[(String, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(got === Seq(("s1", 3L, 1L, 0.333333), ("s2", 2L, 1L, 0.5)))
+    intercept[IllegalArgumentException] {
+      Corpus.blocklistProfile(d, "source", "text", Seq.empty)
+    }
+  }
 }

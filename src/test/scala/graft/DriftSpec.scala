@@ -46,6 +46,28 @@ class DriftSpec extends SparkSpec {
     assert(rows.last._2 === 50L)
   }
 
+  test("ksProfile: identical distributions give D = 0; disjoint ones give D = 0.9") {
+    val ref = feat((1 to 100).map(_.toDouble))
+    val same = Drift.ksProfile(ref, ref, "grp", "value")
+      .as[(String, Double, Long, Long)].collect().toSeq
+    assert(same === Seq(("g", 0.0, 100L, 100L)))
+    // everything current lands in the top bin: the CDFs separate
+    // maximally at bin 8's edge — F_ref = 0.9 vs F_cur = 0.0
+    val far = Drift.ksProfile(ref, feat(Seq.fill(40)(1000.0)), "grp", "value")
+      .as[(String, Double, Long, Long)].collect().toSeq
+    assert(far === Seq(("g", 0.9, 100L, 40L)))
+  }
+
+  test("ksProfile: a median shift moves D by the shifted mass share") {
+    // current = reference + 40: 40 % of the mass crosses the old deciles.
+    // At the bin-6 edge (value 70): F_ref = 0.7, F_cur = 0.3 → D = 0.4.
+    val ref = feat((1 to 100).map(_.toDouble))
+    val cur = feat((1 to 100).map(_.toDouble + 40.0))
+    val got = Drift.ksProfile(ref, cur, "grp", "value")
+      .select("ks_d").as[Double].collect().head
+    assert(got === 0.4, s"expected D = 0.4, got $got")
+  }
+
   test("streams compose: per-micro-batch drift vs a static reference (foreachBatch)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.classic.SQLContext =

@@ -102,6 +102,38 @@ class EdgeCaseSpec extends SparkSpec {
     }
   }
 
+  test("round-9b operators tolerate empty and degenerate inputs") {
+    val emptyDocs = Seq.empty[(Long, String, String)].toDF("doc_id", "source", "text")
+    val emptyEvents = Seq.empty[(Long, java.sql.Timestamp, String, Double)]
+      .toDF("event_id", "ts", "key", "value")
+    assert(graft.operators.TimeSeries.sessionize(
+      emptyEvents, "key", "ts", "event_id", 1800).count() === 0)
+    intercept[IllegalArgumentException] {
+      graft.operators.TimeSeries.sessionize(emptyEvents, "key", "ts", "event_id", 0)
+    }
+    assert(graft.operators.Corpus.invertedIndex(emptyDocs, "doc_id", "text")
+      .count() === 0)
+    // whitespace-only text contributes no postings at all
+    val blank = Seq((1L, "s", "   \t ")).toDF("doc_id", "source", "text")
+    assert(graft.operators.Corpus.invertedIndex(blank, "doc_id", "text")
+      .count() === 0)
+    assert(graft.operators.Corpus.distinctiveTerms(emptyDocs, "source", "text")
+      .count() === 0)
+    assert(graft.operators.Corpus.blocklistProfile(
+      emptyDocs, "source", "text", Seq("bad")).count() === 0)
+    // blank docs count but never flag
+    assert(graft.operators.Corpus.blocklistProfile(
+      blank, "source", "text", Seq("bad"))
+      .select("n_flagged").as[Long].collect() === Array(0L))
+    // KS of a group with an empty current side: D = max CDF gap = 1 - 0
+    val ref = (1 to 10).map(i => (i.toLong, "g", i.toDouble))
+      .toDF("id", "grp", "value")
+    val cur = Seq.empty[(Long, String, Double)].toDF("id", "grp", "value")
+    val ks = graft.operators.Drift.ksProfile(ref, cur, "grp", "value")
+      .select("n_cur").as[Long].collect()
+    assert(ks === Array(0L))
+  }
+
   test("round-8b operators tolerate empty and degenerate inputs") {
     val emptyDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
     val someDocs = Seq((1L, "a b c"), (2L, "a b d")).toDF("doc_id", "text")

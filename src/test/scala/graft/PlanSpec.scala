@@ -418,4 +418,45 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
       s"window formulation needs no join at all:\n$p")
   }
+
+  test("q114: the whole sessionization is ONE keyed exchange, never partition-less") {
+    val p = plan(SparkEntry.q114(spark, sf0001))
+    // the lag + prefix-sum frames share one Window over user_id, and the
+    // (user, session) aggregate reuses that partitioning (user_id alone
+    // already clusters every group) — zero additional shuffles
+    assert(p.contains("windowspecdefinition(user_id"),
+      s"window lost its partition spec:\n$p")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 1, s"window partitioning must serve the session agg too, got $exchanges:\n$p")
+    assert(!p.contains("SinglePartition"),
+      s"sessionization must never collapse to one partition:\n$p")
+  }
+
+  test("q115: inverted index is ONE aggregation — heap postings, no window, no sort") {
+    val p = plan(SparkEntry.q115(spark, sf0001))
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 1, s"df + postings must share one exchange, got $exchanges:\n$p")
+    assert(p.contains("partial_collect_top_k"),
+      s"postings must heap-cap map-side (bounded shuffle per stop word):\n$p")
+    assert(!p.contains("Window") && !p.contains("SortMergeJoin"),
+      s"no window/join belongs in this plan:\n$p")
+  }
+
+  test("q117: totals broadcast back; the per-source cut is a bounded heap") {
+    val p = plan(SparkEntry.q117(spark, sf0001))
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      s"vocab/source totals must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"no shuffle join for metadata-scale totals:\n$p")
+    assert(p.contains("partial_collect_top_k"),
+      s"per-source cut must be a bounded heap, not a vocabulary window:\n$p")
+  }
+
+  test("q118: blocklist flag is map-side — one aggregate exchange, no join") {
+    val p = plan(SparkEntry.q118(spark, sf0001))
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 1, s"expected only the source-agg exchange, got $exchanges:\n$p")
+    assert(!p.contains("Join"), s"hashed-set membership must not join:\n$p")
+    assert(p.contains("string_array_except_set"),
+      s"flag must ride the hashed-set expression:\n$p")
+  }
 }

@@ -35,6 +35,37 @@ class TimeSeriesSpec extends SparkSpec {
       ("b", "2024-01-03", 7.5, false))) // b's grid is ITS OWN span, not a's
   }
 
+  test("sessionize: splits exactly at the gap boundary, per-key ordinals and spans") {
+    def t(min: Int, sec: Int = 0): Timestamp =
+      Timestamp.valueOf(f"2024-01-01 00:$min%02d:$sec%02d")
+    // key "a": events at 0, 10, 20 min (one session: every gap = 600 s);
+    // then 50:01 (> 1800 s after 20:00 → new session), then 51:00.
+    // key "b": single event = single 1-event session with zero span.
+    val df = Seq(
+      (1L, t(0), "a", 0.0), (2L, t(10), "a", 0.0), (3L, t(20), "a", 0.0),
+      (4L, t(50, 1), "a", 0.0), (5L, t(51), "a", 0.0),
+      (6L, t(5), "b", 0.0)
+    ).toDF("event_id", "ts", "key", "value")
+    val got = TimeSeries.sessionize(df, "key", "ts", "event_id", gapSeconds = 1800)
+      .as[(String, Long, Long, Long, Long, Long)].collect().sorted.toSeq
+    def us(min: Int, sec: Int = 0): Long =
+      (Timestamp.valueOf(f"2024-01-01 00:$min%02d:$sec%02d").getTime) * 1000L
+    assert(got === Seq(
+      ("a", 1L, us(0), us(20), 3L, us(20) - us(0)),
+      ("a", 2L, us(50, 1), us(51), 2L, us(51) - us(50, 1)),
+      ("b", 1L, us(5), us(5), 1L, 0L)))
+  }
+
+  test("sessionize: a gap of exactly gapSeconds does NOT split (strict >)") {
+    def t(sec: Int): Timestamp = new Timestamp(1704067200000L + sec * 1000L)
+    val df = Seq((1L, t(0), "k", 0.0), (2L, t(1800), "k", 0.0),
+      (3L, t(3601), "k", 0.0)) // 1800 s holds, 1801 s breaks
+      .toDF("event_id", "ts", "key", "value")
+    val got = TimeSeries.sessionize(df, "key", "ts", "event_id", gapSeconds = 1800)
+      .select("session", "n_events").as[(Long, Long)].collect().sorted.toSeq
+    assert(got === Seq((1L, 2L), (2L, 1L)))
+  }
+
   test("rollingZscore: trailing-window mean/std arithmetic, leading rows unscored") {
     // key with daily values 1,2,3,4 and win=3:
     // day1: n=1 → null; day2: n=2, mean 1.5, var 0.5; day3: n=3 over {1,2,3}
