@@ -1331,6 +1331,99 @@ object SparkEntry {
     graft.operators.Corpus.blocklistProfile(docs(s, d), "source", "text",
       blocked = Seq("dup", "xyzzy"))
 
+  /** Q119 — greedy token-budget selection
+    * ([[graft.operators.Corpus.budgetSelect]]): documents ranked by
+    * q18's quality score are kept best-first while the running token
+    * total stays within a 10 000-token budget — the prefix cut a
+    * curation pipeline uses to hit a corpus token target. The global
+    * prefix sum over the quality order is the two-level packSequences
+    * decomposition (priority quantized to 1 024 buckets, windows only
+    * WITHIN a bucket), never one task sorting the corpus.
+    */
+  def q119(s: SparkSession, d: String): DataFrame = {
+    val toks = TextFunctions.tokens(col("text"))
+    val scored = docs(s, d).select(col("doc_id"),
+      TextFunctions.qualityScore(toks).as("score"),
+      size(toks).cast("long").as("n_tokens"))
+    graft.operators.Corpus.budgetSelect(scored, "doc_id",
+        col("score"), col("n_tokens"), budget = 10000L,
+        bucket = least(lit(1023), floor((lit(1.0) - col("score")) * 1024)))
+      .withColumnRenamed("priority", "score")
+  }
+
+  /** Q120 — deterministic uniform sample
+    * ([[graft.operators.Corpus.hashSample]]): the 100 documents with
+    * the smallest `md5(doc_id)` — hash-rank sampling, the distributed,
+    * rerun-stable replacement for reservoir sampling (the sample is a
+    * pure function of the ids). Plans TakeOrdered (per-partition
+    * heaps); the rank window runs over the 100 selected rows only.
+    */
+  def q120(s: SparkSession, d: String): DataFrame =
+    graft.operators.Corpus.hashSample(
+      docs(s, d).select(col("doc_id"), col("source"), col("lang")),
+      "doc_id", k = 100)
+
+  /** Q121 — language audit: declared `lang` column vs q19's detected
+    * language, as a confusion matrix `(declared, detected, n_docs)` —
+    * the metadata-trust check a multi-source corpus runs before
+    * filtering on either label. Detection is map-side; the only
+    * shuffle is the matrix aggregate (≤ |langs|² rows).
+    */
+  def q121(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
+      .select(col("lang").as("declared"),
+        TextFunctions.langId(col("text")).as("detected"))
+      .groupBy(col("declared"), col("detected"))
+      .agg(count(lit(1)).as("n_docs"))
+
+  /** Q122 — per-document n-gram novelty
+    * ([[graft.operators.Dedup.ngramNovelty]]): the fraction of each
+    * document's distinct shingles first seen in THAT document (lowest
+    * doc id wins) — the crawl-freshness curve. One shingle-scale
+    * shuffle (partial-aggregated min per 8-byte hash); everything
+    * after is document-scale.
+    */
+  def q122(s: SparkSession, d: String): DataFrame =
+    graft.operators.Dedup.ngramNovelty(docs(s, d), "doc_id", "text")
+
+  /** Q123 — out-of-vocabulary rate ([[graft.operators.Corpus.oovRate]]):
+    * per-document OOV fraction against the corpus's own top-20 token
+    * vocabulary — the tokenizer-coverage check. One tf shuffle, a
+    * TakeOrdered vocabulary cut, then a zero-exchange hashed-set probe
+    * (q103's apply shape, set inverted).
+    */
+  def q123(s: SparkSession, d: String): DataFrame =
+    graft.operators.Corpus.oovRate(docs(s, d), "doc_id", "text", vocabSize = 20)
+
+  /** Q124 — curation filter funnel
+    * ([[graft.operators.Corpus.filterFunnel]]): the C4/Gopher gate
+    * sequence (token bounds → repetition → quality → language) as a
+    * per-stage waterfall. Map-side flags; the only shuffle is one
+    * 6-counter aggregate row.
+    */
+  def q124(s: SparkSession, d: String): DataFrame =
+    graft.operators.Corpus.filterFunnel(docs(s, d), "doc_id", "text")
+
+  /** Q125 — context-window chunking
+    * ([[graft.operators.Corpus.chunkWindows]]): 32-token training
+    * windows stepping by 24 (8-token overlap) — documents → fixed-size
+    * examples. Pure map-side explode, zero exchanges (plan-gated).
+    */
+  def q125(s: SparkSession, d: String): DataFrame =
+    graft.operators.Corpus.chunkWindows(docs(s, d), "doc_id", "text",
+      window = 32, stride = 24)
+
+  /** Q126 — deterministic mixture sampling
+    * ([[graft.operators.Corpus.mixtureSample]]): even-numbered sources
+    * kept at 75 %, odd at 25 % — per-source training-mix weights
+    * applied as a pure function of row identity (rerun-stable, no
+    * `rand()`). Map-side only; the rate table is a literal when-chain.
+    */
+  def q126(s: SparkSession, d: String): DataFrame =
+    graft.operators.Corpus.mixtureSample(docs(s, d), "doc_id", "source",
+      rates = (0 until 20).map(i =>
+        s"src$i" -> (if (i % 2 == 0) 0.75 else 0.25)).toMap)
+
   /** Q110 — cross-source contamination matrix: distinct shared
     * shingles for every unordered source pair — the corpus-governance
     * view of q59's pairwise probe ("which collections overlap, and how
@@ -1656,7 +1749,15 @@ object SparkEntry {
     "q115_inverted_index" -> (q115 _),
     "q116_ks_drift"       -> (q116 _),
     "q117_distinct_terms" -> (q117 _),
-    "q118_blocklist"      -> (q118 _))
+    "q118_blocklist"      -> (q118 _),
+    "q119_token_budget"   -> (q119 _),
+    "q120_hash_sample"    -> (q120 _),
+    "q121_lang_audit"     -> (q121 _),
+    "q122_ngram_novelty"  -> (q122 _),
+    "q123_oov_rate"       -> (q123 _),
+    "q124_filter_funnel"  -> (q124 _),
+    "q125_chunk_windows"  -> (q125 _),
+    "q126_mixture_sample" -> (q126 _))
 
   // DuckDB twins. Shared SQL fragments for the text queries:
   // explicit class: Java \s includes \x0B, RE2 \s does not — see
@@ -2577,5 +2678,147 @@ object SparkEntry {
           |SELECT source, count(*) AS n_docs, CAST(sum(hit) AS BIGINT) AS n_flagged,
           |  round(CAST(sum(hit) AS DOUBLE) / count(*), 6) + 0 AS flag_rate
           |FROM f GROUP BY 1
+          |""".stripMargin),
+    // q119: the prefix cut is over the ROUNDED score (both engines
+    // round before ordering, so equal-bit doubles order identically)
+    // with doc_id as the total tie-break.
+    "q119_token_budget" ->
+      (s"""WITH t AS (SELECT doc_id, $TOKS AS tk FROM documents),
+          |sc AS (SELECT doc_id,
+          |  round(least(CAST(1.0 AS DOUBLE), CAST(len(tk) AS DOUBLE) / CAST(50 AS DOUBLE)) *
+          |        (CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk)), 6) + 0 AS score,
+          |  CAST(len(tk) AS BIGINT) AS n_tokens FROM t),
+          |c AS (SELECT doc_id, score, n_tokens,
+          |  sum(n_tokens) OVER (ORDER BY score DESC, doc_id
+          |    ROWS UNBOUNDED PRECEDING) AS cum_tokens FROM sc)
+          |SELECT doc_id, score, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
+          |FROM c WHERE cum_tokens <= 10000
+          |""".stripMargin),
+    "q120_hash_sample" ->
+      ("""WITH r AS (SELECT doc_id, source, lang,
+         |  md5(CAST(doc_id AS VARCHAR)) AS sample_key
+         |  FROM documents ORDER BY sample_key LIMIT 100)
+         |SELECT doc_id, source, lang, sample_key,
+         |  CAST(row_number() OVER (ORDER BY sample_key) AS BIGINT) AS sample_rank
+         |FROM r
+         |""".stripMargin),
+    "q121_lang_audit" ->
+      ("""WITH t AS (SELECT doc_id, lang, text,
+         |  list_filter(regexp_split_to_array(trim(lower(text)), '[ \t\n\f\r]+'), x -> x <> '') AS tk
+         |  FROM documents),
+         |s AS (SELECT doc_id, lang, text,
+         |  len(list_filter(tk, x -> x IN ('the','a','of','and','is'))) AS en,
+         |  len(list_filter(tk, x -> x IN ('der','die','und','ist','nicht'))) AS de,
+         |  len(list_filter(tk, x -> x IN ('el','los','una','es','y'))) AS es,
+         |  len(list_filter(tk, x -> x IN ('le','les','une','est','et'))) AS fr
+         |  FROM t),
+         |p AS (SELECT lang AS declared, CASE
+         |  WHEN regexp_matches(text, '[\x{4e00}-\x{9fff}]') THEN 'zh'
+         |  WHEN de > en AND de >= es AND de >= fr THEN 'de'
+         |  WHEN es > en AND es >= fr THEN 'es'
+         |  WHEN fr > en THEN 'fr'
+         |  ELSE 'en' END AS detected FROM s)
+         |SELECT declared, detected, count(*) AS n_docs
+         |FROM p GROUP BY 1, 2
+         |""".stripMargin),
+    // q123: vocabulary = top-20 by (tf desc, token) — a total order, so
+    // the cut is deterministic on both engines; OOV counted via a LEFT
+    // JOIN against that vocabulary
+    "q123_oov_rate" ->
+      (s"""WITH t AS (SELECT doc_id, $TOKS_LOWER AS tk FROM documents),
+          |tf AS (SELECT token, count(*) AS tf FROM
+          |  (SELECT unnest(tk) AS token FROM t) GROUP BY 1),
+          |v AS (SELECT token FROM tf ORDER BY tf DESC, token LIMIT 20),
+          |e AS (SELECT doc_id, unnest(tk) AS token FROM t),
+          |j AS (SELECT e.doc_id, count(*) AS n,
+          |  sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS oov
+          |  FROM e LEFT JOIN v ON e.token = v.token GROUP BY 1)
+          |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+          |  CAST(oov AS BIGINT) AS n_oov,
+          |  round(CAST(oov AS DOUBLE) / n, 6) + 0 AS oov_rate
+          |FROM j
+          |""".stripMargin),
+    // q124: every threshold is an integer comparison (no float
+    // boundary); the language CASE is q19's fragment verbatim
+    "q124_filter_funnel" ->
+      (s"""WITH t AS (SELECT doc_id, text, $TOKS AS tk,
+          |  $TOKS_LOWER AS tkl FROM documents),
+          |m AS (SELECT text,
+          |  CAST(len(tk) AS BIGINT) AS n,
+          |  CAST(len(list_distinct(tk)) AS BIGINT) AS d,
+          |  CAST(len(${shinglesSql("tk")}) AS BIGINT) AS nd3,
+          |  len(list_filter(tkl, x -> x IN ('the','a','of','and','is'))) AS en,
+          |  len(list_filter(tkl, x -> x IN ('der','die','und','ist','nicht'))) AS de,
+          |  len(list_filter(tkl, x -> x IN ('el','los','una','es','y'))) AS es,
+          |  len(list_filter(tkl, x -> x IN ('le','les','une','est','et'))) AS fr
+          |  FROM t),
+          |ff AS (SELECT CASE
+          |  WHEN n < 5 THEN 1
+          |  WHEN n > 80 THEN 2
+          |  WHEN nd3 * 5 < (n - 2) * 2 THEN 3
+          |  WHEN CASE WHEN n >= 50 THEN d * 10 < n * 3 ELSE d < 15 END THEN 4
+          |  WHEN (CASE WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
+          |    WHEN de > en AND de >= es AND de >= fr THEN 'de'
+          |    WHEN es > en AND es >= fr THEN 'es'
+          |    WHEN fr > en THEN 'fr'
+          |    ELSE 'en' END) <> 'en' THEN 5
+          |  ELSE 0 END AS ff FROM m),
+          |a AS (SELECT count(*) AS n,
+          |  sum(CASE WHEN ff = 1 THEN 1 ELSE 0 END) AS f1,
+          |  sum(CASE WHEN ff = 2 THEN 1 ELSE 0 END) AS f2,
+          |  sum(CASE WHEN ff = 3 THEN 1 ELSE 0 END) AS f3,
+          |  sum(CASE WHEN ff = 4 THEN 1 ELSE 0 END) AS f4,
+          |  sum(CASE WHEN ff = 5 THEN 1 ELSE 0 END) AS f5 FROM ff)
+          |SELECT CAST(stage_id AS BIGINT) AS stage_id, stage,
+          |  CAST(n_in AS BIGINT) AS n_in,
+          |  CAST(n_dropped AS BIGINT) AS n_dropped,
+          |  CAST(n_in - n_dropped AS BIGINT) AS n_out
+          |FROM (
+          |  SELECT 1 AS stage_id, 'min_tokens' AS stage, n AS n_in, f1 AS n_dropped FROM a
+          |  UNION ALL SELECT 2, 'max_tokens', n - f1, f2 FROM a
+          |  UNION ALL SELECT 3, 'repetition', n - f1 - f2, f3 FROM a
+          |  UNION ALL SELECT 4, 'quality', n - f1 - f2 - f3, f4 FROM a
+          |  UNION ALL SELECT 5, 'language', n - f1 - f2 - f3 - f4, f5 FROM a)
+          |""".stripMargin),
+    // q126: thresholds ⌊0.75·16⁶⌋ = c00000 and ⌊0.25·16⁶⌋ = 400000;
+    // fixed-width hex compares lexicographically ⟺ numerically
+    "q126_mixture_sample" ->
+      ("""WITH k AS (SELECT doc_id, source,
+         |  md5('mix:' || CAST(doc_id AS VARCHAR)) AS sample_key
+         |  FROM documents)
+         |SELECT doc_id, source, sample_key FROM k
+         |WHERE substr(sample_key, 1, 6) <
+         |  (CASE WHEN CAST(substr(source, 4) AS INT) % 2 = 0
+         |    THEN 'c00000' ELSE '400000' END)
+         |""".stripMargin),
+    // q125: chunk count 1 + ceil(max(0, n-32)/24) via integer division;
+    // DuckDB list slice tk[a:b] is 1-based inclusive and clamps, same
+    // as Spark's slice(tk, a, len)
+    "q125_chunk_windows" ->
+      (s"""WITH t AS (SELECT doc_id, $TOKS AS tk FROM documents),
+          |s AS (SELECT doc_id, tk, CAST(len(tk) AS BIGINT) AS n FROM t
+          |  WHERE len(tk) > 0),
+          |c AS (SELECT doc_id, tk, n,
+          |  CASE WHEN n > 32 THEN 1 + (n - 32 + 23) // 24 ELSE 1 END AS nc FROM s),
+          |e AS (SELECT doc_id, tk, n,
+          |  unnest(generate_series(0, (nc - 1) * 24, 24)) AS st FROM c)
+          |SELECT doc_id, CAST(st // 24 AS BIGINT) AS chunk_id,
+          |  CAST(st AS BIGINT) AS start_tok,
+          |  CAST(least(32, n - st) AS BIGINT) AS n_tokens,
+          |  array_to_string(tk[st + 1 : st + 32], ' ') AS chunk_text
+          |FROM e
+          |""".stripMargin),
+    "q122_ngram_novelty" ->
+      (s"""WITH toks AS (SELECT doc_id, $TOKS AS tk FROM documents),
+          |sh AS (SELECT doc_id, ${shinglesSql("tk")} AS s FROM toks),
+          |e AS (SELECT doc_id, unnest(s) AS g FROM sh),
+          |f AS (SELECT g, min(doc_id) AS first_id FROM e GROUP BY 1),
+          |nv AS (SELECT first_id AS doc_id, count(*) AS n_novel FROM f GROUP BY 1)
+          |SELECT sh.doc_id, CAST(len(sh.s) AS BIGINT) AS n_shingles,
+          |  CAST(coalesce(nv.n_novel, 0) AS BIGINT) AS n_novel,
+          |  CASE WHEN len(sh.s) > 0 THEN
+          |    round(CAST(coalesce(nv.n_novel, 0) AS DOUBLE) / len(sh.s), 6) + 0
+          |  END AS novelty
+          |FROM sh LEFT JOIN nv USING (doc_id)
           |""".stripMargin))
 }

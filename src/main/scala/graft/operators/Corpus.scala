@@ -836,6 +836,239 @@ object Corpus {
         col("n_flagged").cast("double") / col("n_docs"), 6))
   }
 
+  /** Greedy token-budget selection — documents ranked by a priority
+    * expression are kept, in rank order, while the running weight total
+    * stays within `budget` (the prefix rule a curation pipeline uses to
+    * cut a corpus to a token target: "best documents first, stop at N
+    * tokens"). Returns the selected rows as
+    * `(idCol, priority, n_tokens, cum_tokens)` where `cum_tokens` is the
+    * INCLUSIVE prefix sum in `(priority desc, id)` order — a document is
+    * kept iff it fits entirely.
+    *
+    * Scale shape: the prefix sum over an arbitrary priority order uses
+    * the same two-level decomposition as [[packSequences]] — a bare
+    * `Window.orderBy(priority)` would coalesce the corpus into one task.
+    * The caller supplies `bucket`, a coarse quantization of the priority
+    * that must be monotone in the selection order
+    * (`bucket(a) < bucket(b)` ⟹ a ranks before b — e.g.
+    * `floor((1 - score) * 1024)` for a score in [0,1]):
+    *   1. per-bucket weight sums (one partial-aggregated shuffle);
+    *   2. exclusive-cumsum over the bucket LIST (metadata-scale window);
+    *   3. broadcast offsets back, window WITHIN each bucket only.
+    * The final `cum <= budget` filter is a map-side predicate; rows past
+    * the budget boundary are never collected anywhere.
+    */
+  def budgetSelect(docs: DataFrame, idCol: String, priority: Column,
+                   weight: Column, budget: Long, bucket: Column): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    val t = docs.select(col(idCol).as("__id"), priority.as("__p"),
+      weight.cast("long").as("__w"), bucket.cast("long").as("__bucket"))
+    val bucketSums = t.groupBy(col("__bucket")).agg(sum(col("__w")).as("__bsum"))
+    val wBuckets = Window.orderBy(col("__bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bucketOffsets = bucketSums
+      .withColumn("__boff", coalesce(sum(col("__bsum")).over(wBuckets), lit(0L)))
+      .drop("__bsum")
+    val wInBucket = Window.partitionBy(col("__bucket"))
+      .orderBy(col("__p").desc, col("__id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t.join(broadcast(bucketOffsets), "__bucket")
+      .withColumn("__cum", col("__boff") + sum(col("__w")).over(wInBucket))
+      .where(col("__cum") <= budget)
+      .select(col("__id").as(idCol), col("__p").as("priority"),
+        col("__w").as("n_tokens"), col("__cum").as("cum_tokens"))
+  }
+
+  /** Deterministic uniform k-sample — the `k` rows with the SMALLEST
+    * `md5(id)` values, with their rank in that order. Hash-rank sampling
+    * is the distributed replacement for reservoir sampling: the sample
+    * is a pure function of the ids (stable across runs, partitionings,
+    * and cluster sizes — re-running on an updated corpus keeps every
+    * still-present member whose hash stays in the smallest k), and
+    * uniform because md5 scrambles id order.
+    *
+    * Scale shape: `orderBy(key).limit(k)` plans TakeOrdered —
+    * per-partition k-row heaps, one k-row driver merge, never a global
+    * sort materialization; the rank window then runs over the k
+    * SELECTED rows only (metadata, not data — the [[vocabCoverage]]
+    * pattern).
+    */
+  def hashSample(docs: DataFrame, idCol: String, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val keyed = docs.withColumn("sample_key", md5(col(idCol).cast("string")))
+    keyed.orderBy(col("sample_key")).limit(k)
+      .withColumn("sample_rank",
+        row_number().over(Window.orderBy(col("sample_key"))).cast("long"))
+  }
+
+  /** Per-document out-of-vocabulary rate against the corpus's own
+    * top-`vocabSize` token vocabulary — the coverage check run before
+    * freezing a tokenizer ("how much of the corpus does a k-token vocab
+    * fail to cover, and which documents are worst"). Returns
+    * `(idCol, n_tokens, n_oov, oov_rate)` over documents with ≥ 1
+    * token; tokens are whitespace-split over normalized (lowercased)
+    * text and the vocabulary cut is the total order `(tf desc, token)`.
+    *
+    * Scale shape: the term-frequency pass is one partial-aggregated
+    * shuffle; the cut plans TakeOrdered (per-partition heaps — the
+    * vocabulary never globally sorts); the `vocabSize`-bounded set then
+    * rides into [[graft.functions.StringArrayExceptSet]], so the apply
+    * pass is a map-side hashed-set probe with zero exchanges — q103's
+    * df-prune shape with the set inverted (keep = miss).
+    */
+  def oovRate(docs: DataFrame, idCol: String, textCol: String,
+              vocabSize: Int): DataFrame = {
+    require(vocabSize > 0, s"vocabSize must be positive, got $vocabSize")
+    val tk = TextFunctions.tokens(TextFunctions.normalize(col(textCol)))
+    val t = docs.select(col(idCol).as("__id"), tk.as("__tk"))
+    val vocab = t
+      .select(explode(col("__tk")).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("tf"))
+      .orderBy(col("tf").desc, col("token").asc)
+      .limit(vocabSize)
+      .select("token").collect().map(_.getString(0)).sorted
+    import org.apache.spark.sql.graft.ColumnBridge
+    t.where(size(col("__tk")) > 0)
+      .withColumn("__oov",
+        if (vocab.isEmpty) col("__tk")
+        else ColumnBridge.column(graft.functions.StringArrayExceptSet(
+          ColumnBridge.expression(col("__tk")), vocab)))
+      .select(col("__id").as(idCol),
+        size(col("__tk")).cast("long").as("n_tokens"),
+        size(col("__oov")).cast("long").as("n_oov"),
+        NumFunctions.roundNz(
+          size(col("__oov")).cast("double") / size(col("__tk")), 6)
+          .as("oov_rate"))
+  }
+
+  /** Curation filter funnel — the C4/Gopher-style gate sequence (token
+    * bounds → repetition → lexical quality → language), reported as the
+    * per-stage waterfall `(stage_id, stage, n_in, n_dropped, n_out)` a
+    * pipeline publishes before committing to thresholds. Each document
+    * is charged to its FIRST failing stage, so the stage counts chain:
+    * `n_in(i+1) = n_out(i)`.
+    *
+    * Every rule is evaluated with INTEGER comparisons (`10·d ≥ 3·n`
+    * instead of `d/n ≥ 0.3`), so the oracle can reproduce the
+    * thresholds bit-exactly with no float rounding at the boundary.
+    * The repetition rule is q68's `1 − distinct/total 3-grams > 0.6`
+    * (safe: stage 1 guarantees `n ≥ minTokens ≥ 3`); the quality rule
+    * is [[graft.functions.TextFunctions.qualityScore]] `≥ 0.3` in
+    * integer form; language is [[graft.functions.TextFunctions.langId]]
+    * `= "en"`.
+    *
+    * Scale shape: the per-document flags are pure map-side expressions;
+    * the ONLY shuffle is the single 6-counter aggregate row, and the
+    * 5 stage rows are exploded from that one row (metadata scale).
+    */
+  def filterFunnel(docs: DataFrame, idCol: String, textCol: String,
+                   minTokens: Int = 5, maxTokens: Int = 80): DataFrame = {
+    require(minTokens >= 3, s"minTokens must be >= 3 (repetition needs 3-grams), got $minTokens")
+    require(maxTokens > minTokens, s"maxTokens must exceed minTokens, got $maxTokens")
+    val tk = TextFunctions.tokens(col(textCol))
+    val n = size(tk).cast("long")
+    val d = size(array_distinct(tk)).cast("long")
+    val nd3 = size(graft.functions.HashFunctions
+      .hashedWordNgrams(col(textCol), 3)).cast("long")
+    val qualityFails = when(n >= 50, d * 10 < n * 3).otherwise(d < 15)
+    val firstFail = when(n < minTokens, 1L)
+      .when(n > maxTokens, 2L)
+      .when(nd3 * 5 < (n - 2) * 2, 3L)
+      .when(qualityFails, 4L)
+      .when(TextFunctions.langId(col(textCol)) =!= "en", 5L)
+      .otherwise(0L)
+    val counters = (1 to 5).map(i =>
+      sum(when(col("__ff") === i, 1L).otherwise(0L)).as(s"f$i"))
+    val a = docs.select(firstFail.as("__ff"))
+      .agg(count(lit(1)).as("n"), counters: _*)
+    val names = Seq("min_tokens", "max_tokens", "repetition", "quality", "language")
+    val stageRows = (1 to 5).map { i =>
+      val nIn = (1 until i).map(j => col(s"f$j"))
+        .foldLeft(col("n"))(_ - _)
+      struct(lit(i.toLong).as("stage_id"), lit(names(i - 1)).as("stage"),
+        nIn.as("n_in"), col(s"f$i").as("n_dropped"),
+        (nIn - col(s"f$i")).as("n_out"))
+    }
+    a.select(explode(array(stageRows: _*)).as("s")).select(col("s.*"))
+  }
+
+  /** Stride-overlap context-window chunking — each document's token
+    * stream is cut into training windows of `window` tokens whose
+    * starts step by `stride` (overlap = `window − stride`), the shape
+    * every LLM pre-training pipeline uses to turn documents into
+    * fixed-length examples. A document emits
+    * `1 + ⌈max(0, n − window) / stride⌉` chunks, so the final window
+    * always reaches the last token and no redundant suffix fragments
+    * are produced; the tail chunk may be short. Returns
+    * `(idCol, chunk_id, start_tok, n_tokens, chunk_text)`.
+    *
+    * Scale shape: pure map-side — tokenize, compute the chunk count
+    * per row, explode the start sequence, slice. Zero exchanges at any
+    * corpus size (plan-gated); output volume is the deliberate
+    * `≈ window/stride ×` duplication of the overlap.
+    */
+  def chunkWindows(docs: DataFrame, idCol: String, textCol: String,
+                   window: Int, stride: Int): DataFrame = {
+    require(window > 0, s"window must be positive, got $window")
+    require(stride > 0 && stride <= window,
+      s"stride must be in [1, window] for contiguous coverage, got $stride")
+    val tk = TextFunctions.tokens(col(textCol))
+    val nChunks = when(col("__n") > window,
+      lit(1L) + floor((col("__n") - window + (stride - 1)) / lit(stride.toDouble)))
+      .otherwise(1L)
+    docs.select(col(idCol).as("__id"), tk.as("__tk"))
+      .withColumn("__n", size(col("__tk")).cast("long"))
+      .where(col("__n") > 0)
+      .select(col("__id"), col("__tk"), col("__n"),
+        explode(sequence(lit(0L), (nChunks - 1) * stride, lit(stride.toLong)))
+          .as("__start"))
+      .select(col("__id").as(idCol),
+        (col("__start") / stride).cast("long").as("chunk_id"),
+        col("__start").as("start_tok"),
+        least(lit(window.toLong), col("__n") - col("__start")).as("n_tokens"),
+        concat_ws(" ", slice(col("__tk"),
+          (col("__start") + 1).cast("int"), lit(window))).as("chunk_text"))
+  }
+
+  /** Deterministic mixture sampling — each stratum is downsampled to
+    * its target rate by a pure function of row identity: a row is kept
+    * iff the first 6 hex chars of `md5(salt:id)` fall below the
+    * stratum's threshold `⌊rate·16⁶⌋` (resolution 1/16.7M). This is how
+    * a training-mix pipeline applies per-source weights ("web at 75 %,
+    * forums at 25 %") so that reruns, retries, and cluster resizes keep
+    * EXACTLY the same rows — a `rand()`-based sample would re-draw per
+    * task attempt. Strata absent from `rates` are dropped (an unlisted
+    * source must never leak into the mix by default). Returns
+    * `(idCol, strataCol, sample_key)`.
+    *
+    * Scale shape: pure map-side — the rate table rides as a
+    * `when`-chain literal (strata counts are human-scale); no shuffle,
+    * no driver data. Same identity-hash family as [[contentSplit]] and
+    * [[hashSample]]; hex strings compare lexicographically ⟺
+    * numerically at fixed width.
+    */
+  def mixtureSample(docs: DataFrame, idCol: String, strataCol: String,
+                    rates: Map[String, Double],
+                    salt: String = "mix"): DataFrame = {
+    require(rates.nonEmpty, "rates must be non-empty")
+    rates.foreach { case (k, r) =>
+      require(r >= 0.0 && r <= 1.0, s"rate for '$k' must be in [0, 1], got $r")
+    }
+    val key = md5(concat(lit(salt + ":"), col(idCol).cast("string")))
+    val key6 = substring(col("sample_key"), 1, 6)
+    val keep = rates.toSeq.sortBy(_._1).foldLeft(lit(false)) {
+      case (acc, (stratum, rate)) =>
+        val t = (rate * (1L << 24)).toLong
+        val cond =
+          if (t >= (1L << 24)) lit(true)
+          else if (t <= 0L) lit(false)
+          else key6 < lit(f"$t%06x")
+        when(col(strataCol) === stratum, cond).otherwise(acc)
+    }
+    docs.select(col(idCol), col(strataCol), key.as("sample_key"))
+      .where(keep)
+  }
+
   /** Tokenize the corpus under a FIXED merge list and report per-doc
     * subword statistics — the APPLY face of BPE training: `(id,
     * n_subwords, n_chars, chars_per_subword)`. Pure map-side; the merge

@@ -555,4 +555,40 @@ object Dedup {
       .agg(countDistinct(col("id")).as("n_docs"))
       .filter(col("n_docs") >= minDocs)
   }
+
+  /** Per-document n-gram novelty — for each document, how much of it is
+    * NEW relative to everything already collected: the fraction of its
+    * distinct word n-gram shingles whose FIRST corpus occurrence (lowest
+    * id) is this document. The freshness curve a crawl pipeline watches —
+    * novelty decaying toward 0 means a source has stopped contributing
+    * new content. Returns `(idCol, n_shingles, n_novel, novelty)`;
+    * `novelty` is null when a document is too short to shingle.
+    *
+    * Scale shape: the shingle stream shuffles ONCE — the partial-
+    * aggregated `min(id)` per 8-byte shingle hash — and every later
+    * stage is document-scale: the first-occurrence table re-aggregates
+    * to per-doc novel counts (`groupBy(first_id)`), and the join back to
+    * per-doc totals (computed map-side as the shingle-array size) is
+    * id-to-id. The (doc × shingle) pair stream is never joined against
+    * itself and never carries strings
+    * ([[graft.functions.HashedWordNgrams]] hashes are collision-
+    * negligible at P ≈ n²/2⁶⁴, as in [[Corpus.decontaminate]]).
+    */
+  def ngramNovelty(docs: DataFrame, idCol: String, textCol: String,
+                   n: Int = 3): DataFrame = {
+    val grams = HashFunctions.hashedWordNgrams(col(textCol), n)
+    val totals = docs.select(col(idCol).as("__id"),
+      size(grams).cast("long").as("n_shingles"))
+    val novel = docs
+      .select(col(idCol).as("__id"), explode(grams).as("__h"))
+      .groupBy(col("__h")).agg(min(col("__id")).as("__first"))
+      .groupBy(col("__first")).agg(count(lit(1)).as("n_novel"))
+    totals
+      .join(novel, totals("__id") === novel("__first"), "left")
+      .select(col("__id").as(idCol), col("n_shingles"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+        when(col("n_shingles") > 0, NumFunctions.roundNz(
+          coalesce(col("n_novel"), lit(0L)).cast("double") / col("n_shingles"), 6))
+          .as("novelty"))
+  }
 }

@@ -489,4 +489,163 @@ class CorpusSpec extends SparkSpec {
       Corpus.blocklistProfile(d, "source", "text", Seq.empty)
     }
   }
+
+  test("budgetSelect: keeps the greedy best-first prefix that fits the budget") {
+    // priority order (desc, id tie-break): d2(0.9,w=4) d0(0.8,w=5)
+    // d3(0.8,w=3) d1(0.5,w=2) — cum 4, 9, 12, 14; budget 12 keeps the
+    // first three; d1 is cut even though it alone would fit (prefix
+    // rule, not knapsack)
+    val d = Seq((0L, 0.8, 5L), (1L, 0.5, 2L), (2L, 0.9, 4L), (3L, 0.8, 3L))
+      .toDF("doc_id", "score", "w")
+    val got = Corpus.budgetSelect(d, "doc_id", col("score"), col("w"),
+        budget = 12L, bucket = floor((lit(1.0) - col("score")) * 8))
+      .orderBy("cum_tokens")
+      .as[(Long, Double, Long, Long)].collect().toSeq
+    assert(got === Seq((2L, 0.9, 4L, 4L), (0L, 0.8, 5L, 9L), (3L, 0.8, 3L, 12L)))
+    intercept[IllegalArgumentException] {
+      Corpus.budgetSelect(d, "doc_id", col("score"), col("w"), 0L, lit(0))
+    }
+  }
+
+  test("budgetSelect: bucket decomposition equals the naive global prefix sum") {
+    // 200 rows, many bucket collisions AND many distinct buckets; the
+    // two-level cumsum must reproduce the single-window ground truth
+    val rows = (0L until 200L).map { i =>
+      (i, ((i * 37) % 101).toDouble / 101.0, 1L + (i * 13) % 7)
+    }
+    val d = rows.toDF("doc_id", "score", "w")
+    val naive = rows.sortBy { case (id, p, _) => (-p, id) }
+      .scanLeft((0L, 0.0, 0L, 0L)) { case ((_, _, _, cum), (id, p, w)) =>
+        (id, p, w, cum + w)
+      }.drop(1).takeWhile(_._4 <= 300L)
+    val got = Corpus.budgetSelect(d, "doc_id", col("score"), col("w"),
+        budget = 300L, bucket = floor((lit(1.0) - col("score")) * 1024))
+      .orderBy("cum_tokens")
+      .as[(Long, Double, Long, Long)].collect().toSeq
+    assert(got === naive)
+  }
+
+  test("hashSample: the k smallest md5 keys, stable under repartitioning") {
+    val d = (0L until 50L).map(i => (i, s"s${i % 3}")).toDF("doc_id", "source")
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val expect = (0L until 50L).map(i => md5hex(i.toString) -> i)
+      .sortBy(_._1).take(7)
+    val got = Corpus.hashSample(d, "doc_id", k = 7)
+      .select("sample_key", "doc_id", "sample_rank")
+      .as[(String, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got.map(r => (r._1, r._2)) === expect)
+    assert(got.map(_._3) === (1L to 7L))
+    // a pure function of the ids: any partitioning yields the same rows
+    val re = Corpus.hashSample(d.repartition(13), "doc_id", k = 7)
+      .select("sample_key", "doc_id", "sample_rank")
+      .as[(String, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(re === got)
+    intercept[IllegalArgumentException] { Corpus.hashSample(d, "doc_id", 0) }
+  }
+
+  test("oovRate: OOV fraction against the (tf desc, token) top-k vocabulary") {
+    // tf: a=4, b=2, c=1, d=1, e=1 → vocab(k=2) = {a, b}
+    val d = docTable(Seq(0L -> "a a b c", 1L -> "a b d", 2L -> "a e"))
+    val got = Corpus.oovRate(d, "doc_id", "text", vocabSize = 2)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got === Seq(
+      (0L, 4L, 1L, 0.25),      // c is OOV
+      (1L, 3L, 1L, 0.333333),  // d is OOV
+      (2L, 2L, 1L, 0.5)))      // e is OOV
+    // tie-break at the cut is lexicographic: c beats d and e at tf=1
+    val wide = Corpus.oovRate(d, "doc_id", "text", vocabSize = 3)
+      .orderBy("doc_id").as[(Long, Long, Long, Double)].collect().toSeq
+    assert(wide.map(_._3) === Seq(0L, 1L, 1L))
+    intercept[IllegalArgumentException] { Corpus.oovRate(d, "doc_id", "text", 0) }
+  }
+
+  test("filterFunnel: each document is charged to its FIRST failing stage") {
+    val d = Seq(
+      0L -> "a b",                                          // n=2 → min_tokens
+      1L -> (0 until 100).map(i => s"w$i").mkString(" "),   // n=100 → max_tokens
+      2L -> "x x x x x x x x x x",                          // 1 distinct 3-gram → repetition
+      3L -> "a b c d e f g h i j a c e g i b d f h j",      // d=10 < 15 → quality
+      4L -> "der die und ist nicht haus katze hund baum wasser feuer erde luft berg tal", // de
+      5L -> "the cat sat on a mat with one two three four five six seven eight" // survivor
+    ).toDF("doc_id", "text")
+    val got = Corpus.filterFunnel(d, "doc_id", "text")
+      .orderBy("stage_id")
+      .as[(Long, String, Long, Long, Long)].collect().toSeq
+    assert(got === Seq(
+      (1L, "min_tokens", 6L, 1L, 5L),
+      (2L, "max_tokens", 5L, 1L, 4L),
+      (3L, "repetition", 4L, 1L, 3L),
+      (4L, "quality",    3L, 1L, 2L),
+      (5L, "language",   2L, 1L, 1L)))
+    intercept[IllegalArgumentException] {
+      Corpus.filterFunnel(d, "doc_id", "text", minTokens = 2)
+    }
+  }
+
+  test("chunkWindows: stride steps, short tail, final window reaches the last token") {
+    val d = docTable(Seq(
+      0L -> (0 until 10).map(i => s"t$i").mkString(" "),  // n=10
+      1L -> "a b c",                                       // n=3 < window → one chunk
+      2L -> ""))                                           // no tokens → no rows
+    // W=4, S=3: nc = 1 + ceil(6/3) = 3 → starts 0,3,6, all full-width
+    val got = Corpus.chunkWindows(d, "doc_id", "text", window = 4, stride = 3)
+      .orderBy("doc_id", "chunk_id")
+      .as[(Long, Long, Long, Long, String)].collect().toSeq
+    assert(got === Seq(
+      (0L, 0L, 0L, 4L, "t0 t1 t2 t3"),
+      (0L, 1L, 3L, 4L, "t3 t4 t5 t6"),
+      (0L, 2L, 6L, 4L, "t6 t7 t8 t9"),
+      (1L, 0L, 0L, 3L, "a b c")))
+    // W=4, S=4 (no overlap): nc = 1 + ceil(6/4) = 3 → tail is short
+    val tail = Corpus.chunkWindows(d.where(col("doc_id") === 0), "doc_id", "text", 4, 4)
+      .orderBy("chunk_id").as[(Long, Long, Long, Long, String)].collect().toSeq
+    assert(tail.map(c => (c._3, c._4)) === Seq((0L, 4L), (4L, 4L), (8L, 2L)))
+    assert(tail.last._5 === "t8 t9")
+    intercept[IllegalArgumentException] {
+      Corpus.chunkWindows(d, "doc_id", "text", window = 4, stride = 5)
+    }
+  }
+
+  test("mixtureSample: identity-hash thresholds, unknown strata dropped, rerun-stable") {
+    val d = (0L until 200L).map(i => (i, if (i < 80) "a" else if (i < 160) "b" else "zz"))
+      .toDF("doc_id", "source")
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    // ground truth in plain Scala: keep iff first-6-hex < ⌊rate·16⁶⌋
+    val expect = (0L until 200L).flatMap { i =>
+      val src = if (i < 80) "a" else if (i < 160) "b" else "zz"
+      val rate = src match { case "a" => 0.5; case "b" => 1.0; case _ => -1.0 }
+      val key = md5hex(s"mix:$i")
+      val keep = rate match {
+        case 1.0  => true
+        case -1.0 => false   // "zz" is not in the rates map
+        case r    => key.substring(0, 6) < f"${(r * (1L << 24)).toLong}%06x"
+      }
+      if (keep) Some((i, src, key)) else None
+    }.toSet
+    val got = Corpus.mixtureSample(d, "doc_id", "source",
+        rates = Map("a" -> 0.5, "b" -> 1.0))
+      .as[(Long, String, String)].collect().toSet
+    assert(got === expect)
+    // every "b" row survives (rate 1.0); no "zz" row survives
+    assert(got.count(_._2 == "b") === 80 && !got.exists(_._2 == "zz"))
+    // a ~0.5 rate actually thins stratum "a" (sanity, not exact)
+    val aKept = got.count(_._2 == "a")
+    assert(aKept > 10 && aKept < 70, s"rate 0.5 kept $aKept of 80")
+    // stable under repartitioning — identical key set, no re-draw
+    val re = Corpus.mixtureSample(d.repartition(17), "doc_id", "source",
+        rates = Map("a" -> 0.5, "b" -> 1.0))
+      .as[(Long, String, String)].collect().toSet
+    assert(re === got)
+    intercept[IllegalArgumentException] {
+      Corpus.mixtureSample(d, "doc_id", "source", rates = Map.empty)
+    }
+    intercept[IllegalArgumentException] {
+      Corpus.mixtureSample(d, "doc_id", "source", rates = Map("a" -> 1.5))
+    }
+  }
 }

@@ -302,4 +302,21 @@ class DedupSpec extends SparkSpec {
     assert(want.nonEmpty, "fixture should contain a planted cross near-dup")
     assert(got === want)
   }
+
+  test("ngramNovelty: first occurrence wins by lowest id; duplicates score 0") {
+    val d = Seq(
+      (5L, "a b c d e"),      // 3 shingles, all first-seen here → 1.0
+      (9L, "a b c d e"),      // exact dup of doc 5 → 0 novel → 0.0
+      (7L, "x y z a b c"),    // 4 shingles; "a b c" first seen in doc 5 → 3/4
+      (3L, "too short")       // < n tokens → no shingles → null novelty
+    ).toDF("doc_id", "text")
+    val got = Dedup.ngramNovelty(d, "doc_id", "text")
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Option[Double])].collect().toSeq
+    assert(got === Seq(
+      (3L, 0L, 0L, None),
+      (5L, 3L, 3L, Some(1.0)),
+      (7L, 4L, 3L, Some(0.75)),
+      (9L, 3L, 0L, Some(0.0))))
+  }
 }

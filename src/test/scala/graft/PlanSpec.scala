@@ -451,6 +451,55 @@ class PlanSpec extends SparkSpec {
       s"per-source cut must be a bounded heap, not a vocabulary window:\n$p")
   }
 
+  test("q119: budget cut is two-level — data windows partition by bucket, offsets broadcast") {
+    val p = plan(SparkEntry.q119(spark, sf0001))
+    assert(p.contains("BroadcastHashJoin"),
+      s"bucket offsets must broadcast back, not shuffle-join:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"no shuffle join:\n$p")
+    val windows = "Window \\[[^\\n]*".r.findAllIn(p).toSeq
+    val globals = windows.filter(w => "\\], \\[".r.findAllIn(w).size == 1)
+    val partitioned = windows.filter(w => "\\], \\[".r.findAllIn(w).size == 2)
+    assert(partitioned.nonEmpty && partitioned.forall(_.contains("__bucket")),
+      s"the data-scale prefix sum must partition by __bucket:\n$p")
+    // the only global window is the cumsum over the BUCKET list —
+    // metadata scale, identified by its __bsum input
+    assert(globals.forall(_.contains("__bsum")),
+      s"found a global window not over the bucket metadata:\n$p")
+  }
+
+  test("q120: sample cut is TakeOrdered (per-partition heaps), rank only after the cut") {
+    val p = plan(SparkEntry.q120(spark, sf0001))
+    assert(p.contains("TakeOrderedAndProject"), s"expected a heap-based cut:\n$p")
+    // the rank window may sort its k rows; the corpus itself must not
+    // globally sort before the cut
+    val sortIdx = p.indexOf("Sort ")
+    val takeIdx = p.indexOf("TakeOrderedAndProject")
+    assert(sortIdx < 0 || sortIdx < takeIdx,
+      s"corpus must not globally sort before the cut:\n$p")
+    assert(!p.contains("Exchange rangepartitioning"),
+      s"no range-partitioned global sort belongs in this plan:\n$p")
+  }
+
+  test("q123: the OOV probe is exchange-free — the vocabulary rides as a hashed set") {
+    val p = plan(SparkEntry.q123(spark, sf0001))
+    assert(!p.contains("Exchange"), s"OOV apply must not shuffle:\n$p")
+    assert(!p.contains("Join"), s"hashed-set membership must not join:\n$p")
+    assert(p.contains("string_array_except_set"),
+      s"OOV count must ride the hashed-set expression:\n$p")
+  }
+
+  test("q125: chunking is a pure map-side explode — zero exchanges") {
+    val p = plan(SparkEntry.q125(spark, sf0001))
+    assert(!p.contains("Exchange"), s"chunking must not shuffle:\n$p")
+    assert(p.contains("Generate explode"), s"expected the start-sequence explode:\n$p")
+  }
+
+  test("q126: mixture sampling is a pure map-side filter — zero exchanges, no join") {
+    val p = plan(SparkEntry.q126(spark, sf0001))
+    assert(!p.contains("Exchange"), s"sampling must not shuffle:\n$p")
+    assert(!p.contains("Join"), s"the rate table must ride as a literal, not a join:\n$p")
+  }
+
   test("q118: blocklist flag is map-side — one aggregate exchange, no join") {
     val p = plan(SparkEntry.q118(spark, sf0001))
     val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
