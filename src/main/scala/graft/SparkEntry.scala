@@ -1424,6 +1424,33 @@ object SparkEntry {
       rates = (0 until 20).map(i =>
         s"src$i" -> (if (i % 2 == 0) 0.75 else 0.25)).toMap)
 
+  /** Q127 — per-source document cap
+    * ([[graft.operators.Corpus.capPerGroup]]): no source may contribute
+    * more than 15 documents; when one would, only its 15 best by q18's
+    * quality score survive (ties broken by doc id) — RefinedWeb's
+    * domain cap / C4's host balancing as an exact, deterministic cut.
+    * One partitioned window (hash exchange on `source` + per-group
+    * sort); never a global sort.
+    */
+  def q127(s: SparkSession, d: String): DataFrame =
+    graft.operators.Corpus.capPerGroup(
+      docs(s, d).select(col("doc_id"), col("source"),
+        TextFunctions.qualityScore(TextFunctions.tokens(col("text"))).as("score")),
+      "source", "doc_id", col("score"), k = 15)
+
+  /** Q128 — segment-level exact dedup
+    * ([[graft.operators.Corpus.segmentDedup]]): CCNet's duplicated-line
+    * removal over 8-token segments — any segment occurring more than
+    * once in the corpus is dropped and survivors are stitched back in
+    * order, so exact-duplicate documents (the fixture plants them) are
+    * scrubbed to empty while unique prose passes through. Segment rows
+    * shuffle as 8-byte hashes; three segment-scale exchanges end to
+    * end.
+    */
+  def q128(s: SparkSession, d: String): DataFrame =
+    graft.operators.Corpus.segmentDedup(docs(s, d), "doc_id", "text",
+      width = 8)
+
   /** Q110 — cross-source contamination matrix: distinct shared
     * shingles for every unordered source pair — the corpus-governance
     * view of q59's pairwise probe ("which collections overlap, and how
@@ -1757,7 +1784,9 @@ object SparkEntry {
     "q123_oov_rate"       -> (q123 _),
     "q124_filter_funnel"  -> (q124 _),
     "q125_chunk_windows"  -> (q125 _),
-    "q126_mixture_sample" -> (q126 _))
+    "q126_mixture_sample" -> (q126 _),
+    "q127_source_cap"     -> (q127 _),
+    "q128_segment_dedup"  -> (q128 _))
 
   // DuckDB twins. Shared SQL fragments for the text queries:
   // explicit class: Java \s includes \x0B, RE2 \s does not — see
@@ -2782,6 +2811,39 @@ object SparkEntry {
           |""".stripMargin),
     // q126: thresholds ⌊0.75·16⁶⌋ = c00000 and ⌊0.25·16⁶⌋ = 400000;
     // fixed-width hex compares lexicographically ⟺ numerically
+    "q127_source_cap" ->
+      (s"""WITH t AS (SELECT doc_id, source, $TOKS AS tk FROM documents),
+          |sc AS (SELECT doc_id, source,
+          |  round(least(CAST(1.0 AS DOUBLE), CAST(len(tk) AS DOUBLE) / CAST(50 AS DOUBLE)) *
+          |        (CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk)), 6) + 0 AS score
+          |  FROM t),
+          |r AS (SELECT doc_id, source, score,
+          |  CAST(row_number() OVER (PARTITION BY source
+          |    ORDER BY score DESC, doc_id) AS BIGINT) AS cap_rank FROM sc)
+          |SELECT doc_id, source, score, cap_rank FROM r WHERE cap_rank <= 15
+          |""".stripMargin),
+    // q128: segments are consecutive 8-token slices; DuckDB's
+    // list_slice(tk, a, b) is 1-based inclusive and clamps, matching
+    // Spark's slice(tk, a, 8); string_agg(... ORDER BY seg_idx)
+    // restores document order, and the oracle counts by segment TEXT
+    // where the engine counts by xxhash64 (collision-free at fixture
+    // scale, same convention as q110/q122)
+    "q128_segment_dedup" ->
+      (s"""WITH t AS (SELECT doc_id, $TOKS AS tk FROM documents),
+          |t2 AS (SELECT doc_id, tk, CAST(ceil(len(tk) / 8.0) AS BIGINT) AS ns
+          |  FROM t WHERE len(tk) > 0),
+          |s AS (SELECT doc_id,
+          |  unnest(list_transform(range(ns),
+          |    i -> array_to_string(list_slice(tk, i * 8 + 1, i * 8 + 8), ' '))) AS seg,
+          |  unnest(range(ns)) AS seg_idx FROM t2),
+          |f AS (SELECT seg, count(*) AS cnt FROM s GROUP BY 1)
+          |SELECT s.doc_id,
+          |  CAST(count(*) AS BIGINT) AS n_segments,
+          |  CAST(sum(CASE WHEN f.cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+          |  coalesce(string_agg(CASE WHEN f.cnt = 1 THEN s.seg END, ' '
+          |    ORDER BY s.seg_idx), '') AS clean_text
+          |FROM s JOIN f USING (seg) GROUP BY s.doc_id
+          |""".stripMargin),
     "q126_mixture_sample" ->
       ("""WITH k AS (SELECT doc_id, source,
          |  md5('mix:' || CAST(doc_id AS VARCHAR)) AS sample_key

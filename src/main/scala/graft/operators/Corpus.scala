@@ -1085,4 +1085,79 @@ object Corpus {
         when(col("n_subwords") > 0,
           NumFunctions.roundNz(col("n_chars").cast("double") / col("n_subwords"), 4)))
   }
+
+  /** Per-group document cap — keep at most `k` rows per group, best
+    * first by `priority` (ties broken by `idCol`), with each kept row's
+    * rank. The web-corpus "domain cap": no single domain/source may
+    * contribute more than `k` documents, and when it would, only its
+    * `k` highest-quality ones survive (RefinedWeb's per-domain limits;
+    * C4's host-level balancing).
+    *
+    * The cut is a TOTAL order — `(priority desc, idCol asc)` — so the
+    * boundary row is deterministic and an oracle can reproduce the
+    * exact kept set, not just its size.
+    *
+    * Scale shape: ONE partitioned window (`partitionBy(groupCol)`),
+    * which is one hash exchange on the group key and a per-group sort —
+    * never a global sort. Groups far larger than `k` do sort all their
+    * rows before ranking; at web scale that per-key cost is the
+    * documented trade for an exact cap (an approximate variant would
+    * pre-filter with a per-partition heap).
+    */
+  def capPerGroup(df: DataFrame, groupCol: String, idCol: String,
+                  priority: Column, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    df.withColumn("__prio", priority)
+      .withColumn("cap_rank", row_number().over(
+        Window.partitionBy(col(groupCol))
+          .orderBy(col("__prio").desc, col(idCol).asc)).cast("long"))
+      .filter(col("cap_rank") <= k)
+      .drop("__prio")
+  }
+
+  /** Segment-level exact deduplication (CCNet's duplicated-line removal,
+    * Wenzek et al. 2020, re-expressed over fixed-width token segments):
+    * each document is cut into consecutive `width`-token segments, any
+    * segment whose exact text occurs more than once in the CORPUS
+    * (across documents or repeated within one) is dropped, and the
+    * survivors are stitched back in order. Returns
+    * `(idCol, n_segments, n_kept, clean_text)` — documents whose every
+    * segment was duplicated survive with `clean_text = ''`, so the
+    * output is row-complete over input documents with ≥ 1 token.
+    *
+    * Scale shape: segments carry an 8-byte xxhash64 key, so the
+    * frequency pass and the membership join shuffle hashes + bounded
+    * segment rows, never full documents. Three segment-scale exchanges
+    * total: (1) the partial-aggregated frequency count, (2) the
+    * freq⋈segment equi-join on the hash (AQE broadcasts the count side
+    * when small), (3) the per-document rebuild — whose `collect_list`
+    * is bounded by the document's own segment count, and order is
+    * restored by an in-row `array_sort` on `(seg_idx)`, not by any
+    * cross-row sort guarantee.
+    */
+  def segmentDedup(docs: DataFrame, idCol: String, textCol: String,
+                   width: Int): DataFrame = {
+    require(width > 0, s"width must be positive, got $width")
+    val tk = TextFunctions.tokens(col(textCol))
+    val nSegs = ceil(col("__n") / lit(width.toDouble)).cast("long")
+    val segs = docs.select(col(idCol).as("__id"), tk.as("__tk"))
+      .withColumn("__n", size(col("__tk")))
+      .filter(col("__n") > 0)
+      .select(col("__id"),
+        posexplode(transform(sequence(lit(0L), nSegs - 1),
+          i => array_join(
+            slice(col("__tk"), (i * width + 1).cast("int"), lit(width)), " "))))
+      .select(col("__id"), col("pos").cast("long").as("seg_idx"),
+        col("col").as("seg"), xxhash64(col("col")).as("__h"))
+    val freq = segs.groupBy(col("__h")).agg(count(lit(1)).as("__cnt"))
+    segs.join(freq, "__h")
+      .groupBy(col("__id"))
+      .agg(
+        count(lit(1)).as("n_segments"),
+        sum(when(col("__cnt") === 1, 1L).otherwise(0L)).as("n_kept"),
+        array_sort(collect_list(when(col("__cnt") === 1,
+          struct(col("seg_idx"), col("seg"))))).as("__kept"))
+      .select(col("__id").as(idCol), col("n_segments"), col("n_kept"),
+        array_join(transform(col("__kept"), s => s("seg")), " ").as("clean_text"))
+  }
 }
