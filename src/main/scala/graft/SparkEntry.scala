@@ -1451,6 +1451,37 @@ object SparkEntry {
     graft.operators.Corpus.segmentDedup(docs(s, d), "doc_id", "text",
       width = 8)
 
+  /** Q129 — EXACT set-similarity self-join by prefix filtering
+    * ([[graft.operators.Dedup.setSimJoinPrefix]], PPJoin family):
+    * every document pair with shingle Jaccard ≥ 0.5 — no w.h.p.
+    * qualifier, the provably-complete dedup audit next to q22's LSH.
+    * Rarest-first prefixes keep candidate buckets small; the oracle is
+    * the same brute-force all-pairs scan as q22 at the lower
+    * threshold, so the EXACT claim is what the hash check certifies.
+    */
+  def q129(s: SparkSession, d: String): DataFrame =
+    graft.operators.Dedup.setSimJoinPrefix(docs(s, d), "doc_id", "text",
+      thresholdNum = 1, thresholdDen = 2)
+
+  /** Q130 — robust outlier profile ([[graft.operators.Drift.madOutliers]]):
+    * per event type, values beyond 3 MADs of the median — the
+    * 50 %-breakdown screen that mean±kσ is not. Exact medians; the
+    * outlier comparison runs on unrounded estimates in both engines.
+    */
+  def q130(s: SparkSession, d: String): DataFrame =
+    graft.operators.Drift.madOutliers(
+      ev(s, d).filter(col("value").isNotNull), "event_type", "value", k = 3.0)
+
+  /** Q131 — Heaps-law vocabulary growth
+    * ([[graft.operators.Corpus.heapsCurve]]): cumulative tokens vs
+    * cumulative distinct tokens every 50 document ids. First-occurrence
+    * min-aggregation makes cumulative-distinct one token-scale shuffle;
+    * the running sums window over bucket rows only.
+    */
+  def q131(s: SparkSession, d: String): DataFrame =
+    graft.operators.Corpus.heapsCurve(docs(s, d), "doc_id", "text",
+      bucketWidth = 50L)
+
   /** Q110 — cross-source contamination matrix: distinct shared
     * shingles for every unordered source pair — the corpus-governance
     * view of q59's pairwise probe ("which collections overlap, and how
@@ -1786,7 +1817,10 @@ object SparkEntry {
     "q125_chunk_windows"  -> (q125 _),
     "q126_mixture_sample" -> (q126 _),
     "q127_source_cap"     -> (q127 _),
-    "q128_segment_dedup"  -> (q128 _))
+    "q128_segment_dedup"  -> (q128 _),
+    "q129_setsim_join"    -> (q129 _),
+    "q130_mad_outliers"   -> (q130 _),
+    "q131_heaps_curve"    -> (q131 _))
 
   // DuckDB twins. Shared SQL fragments for the text queries:
   // explicit class: Java \s includes \x0B, RE2 \s does not — see
@@ -2882,5 +2916,40 @@ object SparkEntry {
           |    round(CAST(coalesce(nv.n_novel, 0) AS DOUBLE) / len(sh.s), 6) + 0
           |  END AS novelty
           |FROM sh LEFT JOIN nv USING (doc_id)
+          |""".stripMargin),
+    // q129 is EXACT (prefix filtering is lossless), so the brute-force
+    // all-pairs scan is a hash-match oracle, not a recall bound
+    "q129_setsim_join" ->
+      jaccardPairsSql("b.doc_id > a.doc_id", 1, 2),
+    "q130_mad_outliers" ->
+      ("""WITH e AS (SELECT event_type, value FROM events
+         |  WHERE value IS NOT NULL),
+         |m AS (SELECT event_type, quantile_cont(value, 0.5) AS med
+         |  FROM e GROUP BY 1),
+         |d AS (SELECT e.event_type, abs(e.value - m.med) AS dev, m.med AS med
+         |  FROM e JOIN m USING (event_type)),
+         |md AS (SELECT event_type, quantile_cont(dev, 0.5) AS mad
+         |  FROM d GROUP BY 1)
+         |SELECT d.event_type, count(*) AS n,
+         |  CAST(sum(CASE WHEN d.dev > 3.0 * md.mad THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_outliers,
+         |  round(max(d.med), 6) + 0 AS med_r,
+         |  round(max(md.mad), 6) + 0 AS mad_r
+         |FROM d JOIN md USING (event_type) GROUP BY 1
+         |""".stripMargin),
+    "q131_heaps_curve" ->
+      (s"""WITH t AS (SELECT doc_id - doc_id % 50 AS bucket,
+          |  unnest($TOKS_LOWER) AS token FROM documents),
+          |pb AS (SELECT bucket, count(*) AS n_tok FROM t GROUP BY 1),
+          |f AS (SELECT token, min(bucket) AS bucket FROM t GROUP BY 1),
+          |fb AS (SELECT bucket, count(*) AS n_first FROM f GROUP BY 1)
+          |SELECT pb.bucket,
+          |  CAST(sum(pb.n_tok) OVER (ORDER BY pb.bucket
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+          |    AS n_tokens_cum,
+          |  CAST(sum(coalesce(fb.n_first, 0)) OVER (ORDER BY pb.bucket
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+          |    AS vocab_cum
+          |FROM pb LEFT JOIN fb USING (bucket)
           |""".stripMargin))
 }

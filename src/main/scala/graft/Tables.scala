@@ -20,15 +20,24 @@ object Tables {
     if (name == "events") normalizeEvents(df) else df
   }
 
-  /** `ts` arrives as epoch-nanos Long (nanosAsLong); truncate to micros.
-    * `x div 1000` floor-divides — correct for the (all-positive) fixture
-    * epochs and identical to DuckDB's TIMESTAMP_NS → TIMESTAMP cast.
+  /** Canonicalize `ts` to µs `TimestampType` whatever the fixture wrote:
+    *  - parquet TIMESTAMP(NANOS) arrives as epoch-nanos Long
+    *    (nanosAsLong); `x div 1000` floor-divides to micros — correct for
+    *    the (all-positive) fixture epochs and identical to DuckDB's
+    *    TIMESTAMP_NS → TIMESTAMP cast;
+    *  - parquet µs with isAdjustedToUTC=false arrives as TIMESTAMP_NTZ
+    *    (Spark 4 infers NTZ by default); the cast reads the wall-clock
+    *    in the session zone — pinned to UTC by [[GraftSession]] — which
+    *    is exactly DuckDB's treatment of its (naive) TIMESTAMP.
     */
   private def normalizeEvents(df: DataFrame): DataFrame =
     df.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      case _ => df // already a timestamp (e.g. rewritten fixtures)
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => df // already µs TimestampType
     }
 
   def region(s: SparkSession, d: String): DataFrame     = table(s, d, "region")

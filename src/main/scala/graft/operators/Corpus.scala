@@ -189,6 +189,44 @@ object Corpus {
       .select(col("rank"), col("token"), col("cnt"), col("share"), col("cum_share"))
   }
 
+  /** Vocabulary-growth (Heaps-law) curve: cumulative token count vs
+    * cumulative DISTINCT-token count over the corpus in id order,
+    * checkpointed every `bucketWidth` document ids — the empirical
+    * `V(n) ≈ K·n^β` curve (Heaps 1978) a tokenizer team reads to decide
+    * whether a vocabulary is saturating or the crawl keeps minting new
+    * types. Returns `(bucket, n_tokens_cum, vocab_cum)` with one row
+    * per non-empty id bucket.
+    *
+    * The distributed trick: cumulative-distinct needs no cumulative
+    * state — a token first enters the vocabulary in bucket
+    * `min(bucket)` over its occurrences, so `vocab_cum(b)` is the
+    * running sum of first-occurrence counts. One token-scale shuffle
+    * (partial-aggregated min per token), one doc-scale bucket count;
+    * the two running sums are windows over BUCKET rows (corpus_size /
+    * bucketWidth of them — metadata, the packSequences bucket-window
+    * pattern), never over tokens.
+    */
+  def heapsCurve(docs: DataFrame, idCol: String, textCol: String,
+                 bucketWidth: Long = 50L): DataFrame = {
+    require(bucketWidth >= 1, s"bucketWidth must be >= 1, got $bucketWidth")
+    val tk = docs.select((col(idCol) - pmod(col(idCol), lit(bucketWidth)))
+        .cast("long").as("bucket"),
+        explode(split(trim(lower(col(textCol))), TextFunctions.whitespaceClass)).as("token"))
+      .filter(col("token") =!= "")
+    // tokens-per-bucket: one partial-aggregating shuffle on the bucket id
+    val perBucket = tk.groupBy(col("bucket")).agg(count(lit(1)).as("__n_tok"))
+    // first-occurrence bucket per token, then first-occurrences per bucket
+    val firsts = tk.groupBy(col("token")).agg(min(col("bucket")).as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("__n_first"))
+    val w = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    perBucket.join(firsts, Seq("bucket"), "left")
+      .withColumn("__n_first", coalesce(col("__n_first"), lit(0L)))
+      .select(col("bucket"),
+        sum(col("__n_tok")).over(w).as("n_tokens_cum"),
+        sum(col("__n_first")).over(w).as("vocab_cum"))
+  }
+
   /** [[decontaminate]] with a Bloom prefilter — the shape for the
     * INVERTED scale case, where the "benchmark" side is itself a corpus
     * too large to hash-set broadcast. Build: one distributed pass ORs

@@ -591,4 +591,78 @@ object Dedup {
           coalesce(col("n_novel"), lit(0L)).cast("double") / col("n_shingles"), 6))
           .as("novelty"))
   }
+
+  /** EXACT set-similarity self-join by prefix filtering (Chaudhuri et
+    * al., "A Primitive Operator for Similarity Joins", ICDE 2006;
+    * Bayardo et al., "Scaling Up All Pairs Similarity Search", WWW
+    * 2007; Xiao et al., "Efficient Similarity Joins for Near Duplicate
+    * Detection" [PPJoin], WWW 2008). Returns EVERY pair with shingle
+    * Jaccard ≥ num/den — unlike [[minhashLshPairs]] there is no w.h.p.
+    * qualifier: prefix filtering is lossless, so this is the operator a
+    * pipeline reaches for when the dedup report must be provably
+    * complete (an audit), and LSH when a vanishing miss rate is
+    * acceptable (daily dedup).
+    *
+    * Prefix-filter principle: order every set by one global total order
+    * and keep only each set's first `|S| - ⌈t·|S|⌉ + 1` elements; any
+    * pair with J ≥ t must share a prefix element (if the intersection
+    * lived entirely in A's suffix, then |A∩B| ≤ ⌈t·|A|⌉ − 1 < t·|A| ≤
+    * t·|A∪B|·… contradiction), so the prefix equi-join proposes a
+    * superset of the answer and exact verification decides.
+    *
+    * Scale shape: the global order is DOCUMENT FREQUENCY ASCENDING
+    * (rarest shingle first, hash tie-break) — prefixes land on the
+    * rarest shingles, so candidate buckets stay small exactly where a
+    * naive token join explodes (a stop-word-like shingle shared by 1 %
+    * of a 100 TB corpus never enters a prefix unless a set is nearly
+    * all stop-words). Exchanges: one df count (8-byte hashes), one
+    * ordered-set rebuild (doc-scale), the prefix self-join (prefix
+    * rows ≈ (1−t)·Σ|S|, rare-key buckets), and the candidate distinct;
+    * verification reuses the shingle sets through doc-scale joins.
+    * Length filter `t·|A| ≤ |B| ≤ |A|/t` (integer cross-multiplied)
+    * prunes candidates before the distinct.
+    */
+  def setSimJoinPrefix(docs: DataFrame, idCol: String, textCol: String,
+                       thresholdNum: Int = 1, thresholdDen: Int = 2,
+                       ngram: Int = 3): DataFrame = {
+    require(thresholdNum > 0 && thresholdDen >= thresholdNum,
+      s"need 0 < num/den <= 1, got $thresholdNum/$thresholdDen")
+    // shingle sets feed ordering, prefixes, and both verify sides —
+    // persist so tokenize+hash runs once (ContextCleaner reclaims)
+    val sh = hashedShingles(docs, idCol, textCol, ngram)
+      .filter(size(col("shingles")) > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    val ex = sh.select(col(idCol).as("id"), explode(col("shingles")).as("h"))
+    val dfreq = ex.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    // per-doc shingles in global (df asc, h asc) order; array_sort on
+    // (df, h) structs is the per-doc, bounded-size sort — no global sort
+    val ordered = ex.join(dfreq, "h")
+      .groupBy(col("id"))
+      .agg(array_sort(collect_list(struct(col("df"), col("h")))).as("ord"))
+      .select(col("id"),
+        transform(col("ord"), s => s.getField("h")).as("ord"),
+        size(col("ord")).cast("long").as("sz"))
+    // p = sz − ⌈t·sz⌉ + 1, all-integer; ⌈a/b⌉ = (a + b − 1) div b
+    val p = (col("sz") - floorDiv(col("sz") * thresholdNum + (thresholdDen - 1),
+      lit(thresholdDen.toLong)) + 1).cast("int")
+    val prefix = ordered
+      .select(col("id"), col("sz"), explode(slice(col("ord"), lit(1), p)).as("ph"))
+
+    val cands = prefix.as("x")
+      .join(prefix.as("y"),
+        col("x.ph") === col("y.ph") && col("x.id") < col("y.id") &&
+          col("x.sz") * thresholdNum <= col("y.sz") * thresholdDen &&
+          col("y.sz") * thresholdNum <= col("x.sz") * thresholdDen)
+      .select(col("x.id").as("a_id"), col("y.id").as("b_id"))
+      .distinct()
+
+    verifyJaccard(cands, sh, idCol, thresholdNum, thresholdDen)
+  }
+
+  /** Exact ⌊a/b⌋ for non-negative longs: subtract the remainder first so
+    * the double division is exact (an integer result, never a rounding).
+    */
+  private def floorDiv(a: Column, b: Column): Column =
+    ((a - pmod(a, b)) / b).cast("long")
 }

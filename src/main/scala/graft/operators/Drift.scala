@@ -82,6 +82,47 @@ object Drift {
         max(col("__tc")).as("n_cur"))
   }
 
+  /** Robust per-group outlier profile by median absolute deviation
+    * (Hampel 1974; the robust-statistics alternative to mean±kσ): a
+    * value is an outlier when `|v − median| > k · MAD` with
+    * `MAD = median(|v − median|)`. Unlike z-scores, both location and
+    * scale estimates have a 50 % breakdown point, so the outliers
+    * themselves cannot drag the threshold — the property that matters
+    * when screening a feed whose corruption rate is unknown.
+    *
+    * Returns one row per group: `(group, n, n_outliers, med_r, mad_r)`
+    * with the estimates rounded to 6 places (negative zero
+    * normalized); the outlier comparison uses the UNROUNDED estimates,
+    * identical IEEE arithmetic to the DuckDB oracle.
+    *
+    * Scale design: two exact-`percentile` aggregations (values, then
+    * deviations) plus two group-keyed joins that AQE broadcasts when
+    * the group table is small; the final count is one
+    * partial-aggregating shuffle. Exact `percentile` buffers each
+    * group's values on one reducer — the same contract, and the same
+    * billion-row-group escape hatch (`approx_percentile`), as the
+    * decile cutoffs above.
+    */
+  def madOutliers(df: DataFrame, groupCol: String, valueCol: String,
+                  k: Double = 3.0): DataFrame = {
+    require(k > 0.0, s"need k > 0, got $k")
+    val nonNull = df.filter(col(valueCol).isNotNull)
+    val med = nonNull.groupBy(col(groupCol))
+      .agg(expr(s"percentile($valueCol, 0.5D)").as("__med"))
+    val dev = nonNull.join(med, Seq(groupCol))
+      .withColumn("__dev", abs(col(valueCol) - col("__med")))
+    val mad = dev.groupBy(col(groupCol))
+      .agg(expr("percentile(__dev, 0.5D)").as("__mad"))
+    dev.join(mad, Seq(groupCol))
+      .groupBy(col(groupCol))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("__dev") > lit(k) * col("__mad"), 1L).otherwise(0L))
+          .as("n_outliers"),
+        NumFunctions.roundNz(max(col("__med")), 6).as("med_r"),
+        NumFunctions.roundNz(max(col("__mad")), 6).as("mad_r"))
+  }
+
   /** Shared PSI/KS core: per (group, bin) counts and rounded population
     * shares, binned on the reference's rounded decile cutoffs.
     */

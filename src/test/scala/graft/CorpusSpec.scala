@@ -648,4 +648,36 @@ class CorpusSpec extends SparkSpec {
       Corpus.mixtureSample(d, "doc_id", "source", rates = Map("a" -> 1.5))
     }
   }
+
+  test("heapsCurve: hand-computed buckets, empty docs contribute nothing") {
+    // bucketWidth 2: docs 0,1 → bucket 0; docs 2,3 → bucket 2.
+    // bucket 0 stream = [a,b,b,c] (4 tokens, vocab {a,b,c});
+    // bucket 2 adds [a,c,d] (3 tokens, one new type d); doc 3 is empty.
+    val d = docTable(Seq(
+      0L -> "a b", 1L -> "b c", 2L -> "a c d", 3L -> "   "))
+    val got = Corpus.heapsCurve(d, "doc_id", "text", bucketWidth = 2L)
+      .orderBy("bucket")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got === Seq((0L, 4L, 3L), (2L, 7L, 4L)))
+  }
+
+  test("heapsCurve: both series are non-decreasing and vocab never exceeds tokens") {
+    val rows = Corpus.heapsCurve(Tables.documents(spark, sf0001),
+        "doc_id", "text", bucketWidth = 50L)
+      .orderBy("bucket").as[(Long, Long, Long)].collect().toSeq
+    assert(rows.nonEmpty)
+    rows.sliding(2).foreach {
+      case Seq((_, t0, v0), (_, t1, v1)) =>
+        assert(t1 >= t0 && v1 >= v0, s"non-monotone at $rows")
+      case _ =>
+    }
+    assert(rows.forall { case (_, t, v) => v <= t })
+    // saturation: the LAST bucket mints proportionally fewer new types
+    // than the first (Heaps β < 1 on any natural-ish corpus)
+    val firstRate = rows.head._3.toDouble / rows.head._2
+    val lastNew = (rows.last._3 - rows(rows.length - 2)._3).toDouble
+    val lastTok = (rows.last._2 - rows(rows.length - 2)._2).toDouble
+    assert(lastNew / lastTok < firstRate,
+      s"vocabulary not saturating: $firstRate vs ${lastNew / lastTok}")
+  }
 }

@@ -38,6 +38,34 @@ class DedupSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("setSimJoinPrefix == brute-force jaccard >= 0.5 pairs — EXACT, no w.h.p.") {
+    val got = SparkEntry.q129(spark, sf0001)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    val want = brutePairs(1, 2)
+    assert(want.nonEmpty, "fixture should contain planted near-dups")
+    assert(got === want)
+  }
+
+  test("setSimJoinPrefix matches brute force at a tighter threshold (0.7)") {
+    val got = Dedup.setSimJoinPrefix(Tables.documents(spark, sf0001),
+        "doc_id", "text", thresholdNum = 7, thresholdDen = 10)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(got === brutePairs(7, 10))
+  }
+
+  test("setSimJoinPrefix at t=1 (prefix length 1) finds exactly the identical-set pairs") {
+    val df = Seq(
+      (1L, "x y z w x y z w"), // same shingle set as 2
+      (2L, "x y z w x y z w"),
+      (3L, "p q r s t u v"),
+      (4L, "x y z w p q r s")  // overlaps 1/2 but not identical
+    ).toDF("doc_id", "text")
+    val got = Dedup.setSimJoinPrefix(df, "doc_id", "text",
+        thresholdNum = 1, thresholdDen = 1)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(got === Set((1L, 2L)))
+  }
+
   test("ngramJaccardBanded == brute force restricted to the id window") {
     val got = SparkEntry.q21(spark, sf0001)
       .select("a_id", "b_id").as[(Long, Long)].collect().toSet

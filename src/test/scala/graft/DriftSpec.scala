@@ -97,6 +97,28 @@ class DriftSpec extends SparkSpec {
     assert(byBatch(1L) > 1.0, s"drifted batch not flagged: $byBatch")
   }
 
+  test("madOutliers: hand-computed median/MAD and the 3-MAD outlier count") {
+    // values 1..9 plus one gross outlier: med = 5.5, devs sorted give
+    // MAD = 2.5, threshold 7.5 — only the 100.0 row (dev 94.5) exceeds it
+    val df = feat((1 to 9).map(_.toDouble) :+ 100.0)
+    val rows = Drift.madOutliers(df, "grp", "value")
+      .select("n", "n_outliers", "med_r", "mad_r")
+      .as[(Long, Long, Double, Double)].collect()
+    assert(rows.toSeq === Seq((10L, 1L, 5.5, 2.5)))
+  }
+
+  test("madOutliers: outliers cannot drag the threshold (50% breakdown)") {
+    // half the mass at gross values: median/MAD stay anchored to the
+    // clean half, unlike mean±kσ which would absorb the corruption
+    val clean = (1 to 10).map(_.toDouble)
+    val corrupt = Seq.fill(8)(1e9)
+    val rows = Drift.madOutliers(feat(clean ++ corrupt), "grp", "value")
+      .select("n_outliers", "med_r").as[(Long, Double)].collect()
+    val (nOut, med) = rows.head
+    assert(med <= 10.0, s"median dragged to $med")
+    assert(nOut === 8L, s"expected the 8 corrupt rows flagged, got $nOut")
+  }
+
   test("cutoffs come from the reference only — current cannot move bin edges") {
     val ref = feat((1 to 100).map(_.toDouble))
     val curA = feat((1 to 100).map(_.toDouble))
