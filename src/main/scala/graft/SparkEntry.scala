@@ -1482,6 +1482,31 @@ object SparkEntry {
     graft.operators.Corpus.heapsCurve(docs(s, d), "doc_id", "text",
       bucketWidth = 50L)
 
+  /** Q132 — CCNet perplexity buckets
+    * ([[graft.operators.Corpus.perplexityBuckets]]): q67's unigram
+    * surprisal score cut into head/middle/tail thirds by
+    * [[graft.operators.Ranks.ntileExact]] — the Wenzek et al. 2019
+    * quality-tier split, with a bit-reproducible bucket edge (rounded
+    * score + id tie-break, no partition-less data window).
+    */
+  def q132(s: SparkSession, d: String): DataFrame =
+    graft.operators.Corpus.perplexityBuckets(docs(s, d), "doc_id", "text",
+      k = 3)
+
+  /** Q133 — token-graph PageRank ([[graft.operators.Graph.pageRank]]):
+    * 5 damped iterations over the distinct bigram-adjacency graph
+    * ([[graft.operators.Corpus.bigramEdges]]), top-50 nodes. Rank state
+    * is fixed-point 64-bit integer (1e12 units) — exact arithmetic, so
+    * an iterative float-free oracle can replay it move for move; the
+    * final cut is TakeOrdered on `(rank_units desc, node)`.
+    */
+  def q133(s: SparkSession, d: String): DataFrame =
+    graft.operators.Graph.pageRank(
+        graft.operators.Corpus.bigramEdges(docs(s, d), "doc_id", "text"),
+        "src", "dst", iterations = 5, dampingPct = 85)
+      .orderBy(col("rank_units").desc, col("node").asc)
+      .limit(50)
+
   /** Q110 — cross-source contamination matrix: distinct shared
     * shingles for every unordered source pair — the corpus-governance
     * view of q59's pairwise probe ("which collections overlap, and how
@@ -1820,7 +1845,9 @@ object SparkEntry {
     "q128_segment_dedup"  -> (q128 _),
     "q129_setsim_join"    -> (q129 _),
     "q130_mad_outliers"   -> (q130 _),
-    "q131_heaps_curve"    -> (q131 _))
+    "q131_heaps_curve"    -> (q131 _),
+    "q132_ppl_buckets"    -> (q132 _),
+    "q133_pagerank"       -> (q133 _))
 
   // DuckDB twins. Shared SQL fragments for the text queries:
   // explicit class: Java \s includes \x0B, RE2 \s does not — see
@@ -2951,5 +2978,51 @@ object SparkEntry {
           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
           |    AS vocab_cum
           |FROM pb LEFT JOIN fb USING (bucket)
-          |""".stripMargin))
+          |""".stripMargin),
+    // q132 = q67's score + an ntile cut on the (rounded score, id) total order
+    "q132_ppl_buckets" ->
+      (s"""WITH tk AS (SELECT doc_id, unnest($TOKS) AS token FROM documents),
+          |freq AS (SELECT token, count(*) AS ctf FROM tk GROUP BY 1),
+          |t AS (SELECT count(*) AS total FROM tk),
+          |s AS (SELECT doc_id,
+          |  round(CAST(sum(CAST(-ln(CAST(ctf AS DOUBLE) / total) AS DECIMAL(18,9))) AS DOUBLE)
+          |        / count(*), 6) + 0 AS surprisal,
+          |  count(*) AS n_tokens
+          |  FROM tk JOIN freq USING (token) CROSS JOIN t
+          |  GROUP BY doc_id)
+          |SELECT doc_id, surprisal, n_tokens,
+          |  CAST(ntile(3) OVER (ORDER BY surprisal, doc_id) AS BIGINT) AS bucket
+          |FROM s
+          |""".stripMargin),
+    // q133 replays the fixed-point iterations exactly: all arithmetic is
+    // 64-bit integer (1e12-unit ranks, floor division), so five unrolled
+    // CTE steps reproduce the engine's ranks bit for bit
+    "q133_pagerank" -> {
+      def step(prev: String, cur: String): String =
+        s"""$cur AS (SELECT nodes.node,
+           |  150000000000 // n.n + (coalesce(s.i, 0) * 85) // 100 AS ru
+           |  FROM nodes CROSS JOIN n LEFT JOIN (
+           |    SELECT e.dst AS node, sum($prev.ru // od.outdeg) AS i
+           |    FROM e JOIN $prev ON e.src = $prev.node
+           |    JOIN od ON e.src = od.src GROUP BY 1) s USING (node))"""
+          .stripMargin
+      s"""WITH t AS (SELECT doc_id, $TOKS AS tk FROM documents),
+         |b AS (SELECT unnest(tk[1:len(tk)-1]) AS src,
+         |  unnest(tk[2:len(tk)]) AS dst FROM t WHERE len(tk) >= 2),
+         |e AS (SELECT DISTINCT src, dst FROM b),
+         |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+         |n AS (SELECT count(*) AS n FROM nodes),
+         |od AS (SELECT src, count(*) AS outdeg FROM e GROUP BY 1),
+         |r0 AS (SELECT node, 1000000000000 // n.n AS ru
+         |  FROM nodes CROSS JOIN n),
+         |${step("r0", "r1")},
+         |${step("r1", "r2")},
+         |${step("r2", "r3")},
+         |${step("r3", "r4")},
+         |${step("r4", "r5")}
+         |SELECT node, CAST(ru AS BIGINT) AS rank_units,
+         |  round(CAST(ru AS DOUBLE) / 1000000000000, 6) + 0 AS rank_r
+         |FROM r5 ORDER BY ru DESC, node LIMIT 50
+         |""".stripMargin
+    })
 }

@@ -420,6 +420,29 @@ object Corpus {
         col("b").getField("p").as("prev"), col("b").getField("c").as("cur"))
   }
 
+  /** Distinct directed bigram edges `(src, dst)` — the token-adjacency
+    * graph ([[bigramPairs]] de-duplicated), the input shape for
+    * [[Graph.pageRank]]-style link analysis over a corpus's vocabulary.
+    * Map-side extraction; the only exchange is the distinct.
+    */
+  def bigramEdges(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    bigramPairs(docs, idCol, textCol)
+      .select(col("prev").as("src"), col("cur").as("dst"))
+      .distinct()
+
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2019): documents
+    * scored by [[unigramSurprisal]] (the zero-dependency stand-in for
+    * the KenLM score) and cut into `k` equal-population buckets —
+    * bucket 1 = "head" (most predictable), bucket k = "tail". The cut
+    * is [[Ranks.ntileExact]] over the TOTAL order (surprisal, id): no
+    * partition-less data window, and the rounded score plus id
+    * tie-break make the bucket assignment bit-reproducible.
+    */
+  def perplexityBuckets(docs: DataFrame, idCol: String, textCol: String,
+                        k: Int = 3): DataFrame =
+    Ranks.ntileExact(unigramSurprisal(docs, idCol, textCol),
+      Seq(col("surprisal"), col("doc_id")), k, outCol = "bucket")
+
   def bigramSurprisal(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val bg = bigramPairs(docs, idCol, textCol)
     val cbg = bg.groupBy(col("prev"), col("cur")).agg(count(lit(1)).as("cbg"))

@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Iterative link analysis over an edge table — PageRank (Brin & Page
+  * 1998) in the classic Spark formulation: ranks live in a (node, rank)
+  * DataFrame, each iteration joins ranks to the edge list, fans
+  * contributions out to destinations, and aggregates them back per
+  * node. No driver-side adjacency, no collect — the graph only ever
+  * exists as distributed tables.
+  *
+  * Determinism contract (the reason this file does NOT use doubles for
+  * rank state): float addition does not commute across Spark's merge
+  * orders, and a rank that differs in the last ulp at iteration k
+  * compounds by iteration k+3. Ranks are therefore FIXED-POINT LONGS
+  * (1e12 units = rank 1.0): contributions floor-divide by out-degree,
+  * the damping multiply is `(sum · 85) div 100`, and every operation is
+  * exact 64-bit integer arithmetic — the same bits on any engine, any
+  * partitioning, any merge order. Floor truncation leaks < 1e-12 mass
+  * per edge per iteration (bounded by E·iters·1e-12 — irrelevant to
+  * ranking at any scale); dangling-node mass is NOT redistributed (the
+  * standard simplification; the oracle does the same).
+  *
+  * Scale design: the edge list and node table are persisted once and
+  * reused by every iteration (lineage would otherwise recompute the
+  * upstream extraction per iteration; ContextCleaner reclaims both when
+  * the result is dropped). Per iteration: one equi-join ranks⋈edges on
+  * src (rank-scale), one partial-aggregating shuffle of BIGINT
+  * contributions per dst, one left join back to the node table. Rank
+  * state is 16 bytes/node. Plan depth grows linearly in `iterations`
+  * (each step references the previous ranks exactly once).
+  */
+object Graph {
+
+  /** Fixed-point scale: 1e12 units per unit of rank mass. */
+  val Scale: Long = 1000000000000L
+
+  /** PageRank over the distinct directed edges `(srcCol, dstCol)`.
+    * Returns `(node, rank_units, rank_r)`: exact fixed-point units and
+    * the rounded double view `round(units / 1e12, 6)`.
+    */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+               iterations: Int = 5, dampingPct: Int = 85): DataFrame = {
+    require(iterations >= 1, s"need iterations >= 1, got $iterations")
+    require(dampingPct > 0 && dampingPct < 100,
+      s"need 0 < dampingPct < 100, got $dampingPct")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("__outdeg"))
+    // node count rides along as a broadcast scalar — never a collect
+    val nTbl = nodes.agg(count(lit(1)).as("__n"))
+
+    val teleportUnits = Scale / 100L * (100L - dampingPct) // exact: Scale % 100 == 0
+
+    // rank₀ = ⌊Scale / n⌋ per node
+    var ranks = nodes.crossJoin(broadcast(nTbl))
+      .select(col("node"),
+        expr(s"$Scale div __n").as("rank_units"))
+
+    for (_ <- 1 to iterations) {
+      val contrib = e.join(ranks, e("src") === ranks("node"))
+        .join(outdeg, "src")
+        .select(col("dst").as("node"),
+          expr("rank_units div __outdeg").as("__c"))
+      val incoming = contrib.groupBy(col("node")).agg(sum(col("__c")).as("__in"))
+      ranks = nodes.join(incoming, Seq("node"), "left")
+        .crossJoin(broadcast(nTbl))
+        .select(col("node"),
+          (expr(s"$teleportUnits div __n") +
+            expr(s"(coalesce(__in, 0L) * $dampingPct) div 100")).as("rank_units"))
+    }
+    ranks.select(col("node"), col("rank_units"),
+      graft.functions.NumFunctions.roundNz(
+        col("rank_units").cast("double") / Scale, 6).as("rank_r"))
+  }
+}

@@ -649,6 +649,19 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("perplexityBuckets: balanced tiers ordered by score, remainder to early buckets") {
+    val rows = Corpus.perplexityBuckets(Tables.documents(spark, sf0001),
+        "doc_id", "text", k = 3)
+      .select("doc_id", "surprisal", "bucket")
+      .as[(Long, Double, Long)].collect().toSeq
+    val byBucket = rows.groupBy(_._3)
+    assert(byBucket.keySet === Set(1L, 2L, 3L))
+    val sizes = byBucket.view.mapValues(_.size).toMap
+    assert(sizes.values.max - sizes.values.min <= 1, s"unbalanced: $sizes")
+    // the head tier's worst score never exceeds the tail tier's best
+    assert(byBucket(1L).map(_._2).max <= byBucket(3L).map(_._2).min)
+  }
+
   test("heapsCurve: hand-computed buckets, empty docs contribute nothing") {
     // bucketWidth 2: docs 0,1 → bucket 0; docs 2,3 → bucket 2.
     // bucket 0 stream = [a,b,b,c] (4 tokens, vocab {a,b,c});

@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Corpus, Graph}
+
+/** [[graft.operators.Graph.pageRank]] — the fixed-point arithmetic is
+  * exact, so tests assert EQUALITY on rank units (no epsilons): a
+  * symmetric cycle is a fixed point, a star funnels mass to its center
+  * with hand-computed units, and partitioning cannot change a single
+  * bit of the result.
+  */
+class GraphSpec extends SparkSpec {
+  private val sp = spark
+  import sp.implicits._
+
+  test("pageRank: a symmetric 2-cycle is an exact fixed point at rank 1/2") {
+    val e = Seq(("a", "b"), ("b", "a")).toDF("src", "dst")
+    val got = Graph.pageRank(e, "src", "dst", iterations = 5)
+      .select("node", "rank_units").as[(String, Long)].collect().toMap
+    // r₀ = 5e11 each; every iteration: 0.15/2·1e12 + ⌊0.85·5e11⌋ = 5e11
+    assert(got === Map("a" -> 500000000000L, "b" -> 500000000000L))
+  }
+
+  test("pageRank: star center absorbs damped mass — exact units after 1 iteration") {
+    val e = Seq(("b", "a"), ("c", "a"), ("d", "a")).toDF("src", "dst")
+    val got = Graph.pageRank(e, "src", "dst", iterations = 1)
+      .select("node", "rank_units").as[(String, Long)].collect().toMap
+    // n=4: r₀ = 2.5e11 each; center: 1.5e11/4 + ⌊0.85·7.5e11⌋ = 6.75e11;
+    // leaves get teleport only (a is dangling — mass not redistributed)
+    assert(got("a") === 675000000000L)
+    assert(got("b") === 37500000000L)
+    assert(got("c") === 37500000000L && got("d") === 37500000000L)
+  }
+
+  test("pageRank: bit-identical under repartitioning (integer state commutes)") {
+    val docs = Tables.documents(spark, sf0001)
+    val e = Corpus.bigramEdges(docs, "doc_id", "text")
+    val a = Graph.pageRank(e, "src", "dst", iterations = 3)
+      .select("node", "rank_units").as[(String, Long)].collect().toMap
+    val b = Graph.pageRank(e.repartition(17), "src", "dst", iterations = 3)
+      .select("node", "rank_units").as[(String, Long)].collect().toMap
+    assert(a === b)
+    assert(a.nonEmpty)
+    // total mass stays within the documented floor-truncation leak
+    val total = a.values.sum
+    assert(total <= Graph.Scale && total > Graph.Scale / 2, s"mass $total")
+  }
+
+  test("bigramEdges: distinct adjacent pairs only") {
+    val d = Seq((1L, "x y x y"), (2L, "y z")).toDF("doc_id", "text")
+    val got = Corpus.bigramEdges(d, "doc_id", "text")
+      .as[(String, String)].collect().toSet
+    assert(got === Set(("x", "y"), ("y", "x"), ("y", "z")))
+  }
+}

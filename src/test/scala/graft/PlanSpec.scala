@@ -508,4 +508,24 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("string_array_except_set"),
       s"flag must ride the hashed-set expression:\n$p")
   }
+
+  test("q129: exact set-sim join plans equi-joins only — no cartesian, no nested loop") {
+    val p = plan(SparkEntry.q129(spark, sf0001))
+    assert(!p.contains("CartesianProduct"), s"cartesian in exact join:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"nested-loop in exact join:\n$p")
+    // the per-doc reorder is array_sort over (df, h) structs, never a
+    // global sort of the shingle stream
+    assert(!p.contains("Sort [df"), s"global sort crept in:\n$p")
+  }
+
+  test("q133: every PageRank iteration reads the persisted edge cache, not the corpus") {
+    val p = plan(SparkEntry.q133(spark, sf0001))
+    // each of the 5 iterations reads edges (contrib + outdeg legs) from
+    // the cache — InMemoryTableScans must dominate; a plan that
+    // re-derived the bigram explode per iteration would repeat the
+    // tokenize/explode pipeline outside any InMemoryRelation block
+    val cacheScans = "InMemoryTableScan".r.findAllIn(p).length
+    assert(cacheScans >= 10, s"expected >=10 cache scans, got $cacheScans:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
