@@ -1507,6 +1507,31 @@ object SparkEntry {
       .orderBy(col("rank_units").desc, col("node").asc)
       .limit(50)
 
+  /** Q134 — tokenizer fertility per language: subword-per-word ratio
+    * (q29's BPE-ish token count over q17's whitespace words), the
+    * cross-lingual tokenizer-equity diagnostic (a high-fertility
+    * language pays more sequence length for the same text). Map-side
+    * counts; one ≤|langs|-row aggregate; integer sums so the ratio is
+    * an exact-input double.
+    */
+  def q134(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
+      .select(col("lang"),
+        TextFunctions.bpeTokenCount(col("text")).cast("long").as("__bpe"),
+        size(TextFunctions.tokens(col("text"))).cast("long").as("__ws"))
+      .groupBy(col("lang"))
+      .agg(sum(col("__bpe")).as("n_bpe"), sum(col("__ws")).as("n_words"),
+        NumFunctions.roundNz(
+          sum(col("__bpe")).cast("double") / sum(col("__ws")), 6).as("fertility"))
+
+  /** Q135 — Zipf-law fit ([[graft.operators.Corpus.zipfFit]]): the
+    * least-squares slope of ln(count) vs ln(rank) over the top-50
+    * vocabulary — one row of corpus health. Decimal-routed logs make
+    * the k-row regression bit-stable; the fit never sees the corpus.
+    */
+  def q135(s: SparkSession, d: String): DataFrame =
+    graft.operators.Corpus.zipfFit(docs(s, d), "text", k = 50)
+
   /** Q110 — cross-source contamination matrix: distinct shared
     * shingles for every unordered source pair — the corpus-governance
     * view of q59's pairwise probe ("which collections overlap, and how
@@ -1847,7 +1872,9 @@ object SparkEntry {
     "q130_mad_outliers"   -> (q130 _),
     "q131_heaps_curve"    -> (q131 _),
     "q132_ppl_buckets"    -> (q132 _),
-    "q133_pagerank"       -> (q133 _))
+    "q133_pagerank"       -> (q133 _),
+    "q134_fertility"      -> (q134 _),
+    "q135_zipf_fit"       -> (q135 _))
 
   // DuckDB twins. Shared SQL fragments for the text queries:
   // explicit class: Java \s includes \x0B, RE2 \s does not — see
@@ -3024,5 +3051,32 @@ object SparkEntry {
          |  round(CAST(ru AS DOUBLE) / 1000000000000, 6) + 0 AS rank_r
          |FROM r5 ORDER BY ru DESC, node LIMIT 50
          |""".stripMargin
-    })
+    },
+    "q134_fertility" ->
+      (s"""SELECT lang,
+          |  CAST(sum(len(regexp_extract_all(text,
+          |    ' ?\\p{L}+| ?\\p{N}+| ?[^ \\t\\n\\f\\r\\p{L}\\p{N}]+'))) AS BIGINT) AS n_bpe,
+          |  CAST(sum(len($TOKS)) AS BIGINT) AS n_words,
+          |  round(CAST(sum(len(regexp_extract_all(text,
+          |    ' ?\\p{L}+| ?\\p{N}+| ?[^ \\t\\n\\f\\r\\p{L}\\p{N}]+'))) AS DOUBLE)
+          |    / sum(len($TOKS)), 6) + 0 AS fertility
+          |FROM documents GROUP BY lang
+          |""".stripMargin),
+    "q135_zipf_fit" ->
+      (s"""WITH tk AS (SELECT unnest($TOKS_LOWER) AS token FROM documents),
+          |top AS (SELECT token, count(*) AS cnt FROM tk GROUP BY 1
+          |  ORDER BY cnt DESC, token LIMIT 50),
+          |r AS (SELECT
+          |  CAST(ln(CAST(row_number() OVER (ORDER BY cnt DESC, token) AS DOUBLE))
+          |    AS DECIMAL(18,9)) AS x,
+          |  CAST(ln(CAST(cnt AS DOUBLE)) AS DECIMAL(18,9)) AS y FROM top),
+          |a AS (SELECT CAST(count(*) AS DOUBLE) AS kd, count(*) AS k,
+          |  CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+          |  CAST(sum(x*y) AS DOUBLE) AS sxy, CAST(sum(x*x) AS DOUBLE) AS sxx FROM r)
+          |SELECT k,
+          |  round((kd*sxy - sx*sy) / (kd*sxx - sx*sx), 6) + 0 AS slope_r,
+          |  round((sy - ((kd*sxy - sx*sy) / (kd*sxx - sx*sx)) * sx) / kd, 6) + 0
+          |    AS intercept_r
+          |FROM a
+          |""".stripMargin))
 }

@@ -227,6 +227,51 @@ object Corpus {
         sum(col("__n_first")).over(w).as("vocab_cum"))
   }
 
+  /** Zipf-law fit over the top-`k` vocabulary: least-squares slope and
+    * intercept of `ln(count)` against `ln(rank)` — the one-row corpus
+    * health check (natural text slopes ≈ −1; a slope collapsing toward
+    * 0 means boilerplate flooding, a cliff past −2 means a vocabulary
+    * dominated by a handful of tokens). Returns
+    * `(k, slope_r, intercept_r)`.
+    *
+    * Determinism: the regression sums run over doubles only after each
+    * `ln` is cast to DECIMAL(18,9) — 9 digits absorb any libm ulp
+    * disagreement between engines, and decimal sums/products are exact
+    * and order-independent, so the closed-form slope is bit-stable.
+    * Scale shape: one vocabulary shuffle, a TakeOrdered top-k cut, and
+    * a k-row regression aggregate — the fit never sees the corpus.
+    */
+  def zipfFit(docs: DataFrame, textCol: String, k: Int = 50): DataFrame = {
+    require(k >= 2, s"need k >= 2 ranks to fit, got $k")
+    val dec = org.apache.spark.sql.types.DecimalType(18, 9)
+    val tk = docs.select(
+        explode(split(trim(lower(col(textCol))), TextFunctions.whitespaceClass)).as("token"))
+      .filter(col("token") =!= "")
+    val top = tk.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token").asc).limit(k)
+    // rank over the k cut rows only (vocabCoverage's bounded window)
+    val ranked = top.withColumn("rank", row_number().over(
+        Window.orderBy(col("cnt").desc, col("token").asc)).cast("long"))
+      .select(log(col("rank").cast("double")).cast(dec).as("x"),
+        log(col("cnt").cast("double")).cast(dec).as("y"))
+    // sums are exact decimals (order-independent); the closed form then
+    // runs in double with a FIXED operation order both engines share
+    val agg = ranked
+      .agg(count(lit(1)).as("__k"),
+        sum(col("x")).as("__sx"), sum(col("y")).as("__sy"),
+        sum(col("x") * col("y")).as("__sxy"),
+        sum(col("x") * col("x")).as("__sxx"))
+      .select(col("__k").cast("double").as("__kd"), col("__k").as("k"),
+        col("__sx").cast("double").as("__sx"), col("__sy").cast("double").as("__sy"),
+        col("__sxy").cast("double").as("__sxy"), col("__sxx").cast("double").as("__sxx"))
+    val slope = (col("__kd") * col("__sxy") - col("__sx") * col("__sy")) /
+      (col("__kd") * col("__sxx") - col("__sx") * col("__sx"))
+    agg.select(col("k"),
+      NumFunctions.roundNz(slope, 6).as("slope_r"),
+      NumFunctions.roundNz((col("__sy") - slope * col("__sx")) / col("__kd"), 6)
+        .as("intercept_r"))
+  }
+
   /** [[decontaminate]] with a Bloom prefilter — the shape for the
     * INVERTED scale case, where the "benchmark" side is itself a corpus
     * too large to hash-set broadcast. Build: one distributed pass ORs

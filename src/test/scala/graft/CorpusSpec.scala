@@ -662,6 +662,36 @@ class CorpusSpec extends SparkSpec {
     assert(byBucket(1L).map(_._2).max <= byBucket(3L).map(_._2).min)
   }
 
+  test("zipfFit: an exact c=24/r power law recovers slope -1 and intercept ln 24") {
+    val text = (("a " * 24) + ("b " * 12) + ("c " * 8) + ("d " * 6)).trim
+    val row = Corpus.zipfFit(docTable(Seq(0L -> text)), "text").collect().head
+    assert(row.getLong(0) === 4L)
+    assert(row.getDouble(1) === -1.0)       // counts 24,12,8,6 = 24/rank exactly
+    assert(row.getDouble(2) === 3.178054)   // round(ln 24, 6)
+  }
+
+  test("zipfFit: natural-ish corpus slope is negative and k caps the fit") {
+    val row = Corpus.zipfFit(Tables.documents(spark, sf0001), "text", k = 50)
+      .collect().head
+    // the fixture vocabulary is smaller than k — the fit uses what exists
+    assert(row.getLong(0) > 2L && row.getLong(0) <= 50L)
+    assert(row.getDouble(1) < 0.0, s"non-decreasing rank-frequency: $row")
+    intercept[IllegalArgumentException] {
+      Corpus.zipfFit(Tables.documents(spark, sf0001), "text", k = 1)
+    }
+  }
+
+  test("fertility (q134): subword count is never below the word count") {
+    val rows = SparkEntry.q134(spark, sf0001)
+      .select("n_bpe", "n_words", "fertility")
+      .as[(Long, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (b, w, f) =>
+      assert(b >= w, s"BPE-ish splitting can only refine words: $b < $w")
+      assert(f >= 1.0)
+    }
+  }
+
   test("heapsCurve: hand-computed buckets, empty docs contribute nothing") {
     // bucketWidth 2: docs 0,1 → bucket 0; docs 2,3 → bucket 2.
     // bucket 0 stream = [a,b,b,c] (4 tokens, vocab {a,b,c});
