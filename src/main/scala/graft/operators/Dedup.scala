@@ -632,7 +632,24 @@ object Dedup {
     val sh = hashedShingles(docs, idCol, textCol, ngram)
       .filter(size(col("shingles")) > 0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    verifyJaccard(prefixCandidates(sh, idCol, thresholdNum, thresholdDen),
+      sh, idCol, thresholdNum, thresholdDen)
+  }
 
+  /** The candidate-pair table [[setSimJoinPrefix]] verifies — exposed so
+    * the candidate economics (|candidates| ≪ n²/2) can be measured
+    * directly (`SetSimBench`, BASELINE.md `setsim`).
+    */
+  def setSimPrefixCandidates(docs: DataFrame, idCol: String, textCol: String,
+                             thresholdNum: Int, thresholdDen: Int,
+                             ngram: Int = 3): DataFrame =
+    prefixCandidates(
+      hashedShingles(docs, idCol, textCol, ngram)
+        .filter(size(col("shingles")) > 0),
+      idCol, thresholdNum, thresholdDen)
+
+  private def prefixCandidates(sh: DataFrame, idCol: String,
+                               thresholdNum: Int, thresholdDen: Int): DataFrame = {
     val ex = sh.select(col(idCol).as("id"), explode(col("shingles")).as("h"))
     val dfreq = ex.groupBy(col("h")).agg(count(lit(1)).as("df"))
     // per-doc shingles in global (df asc, h asc) order; array_sort on
@@ -649,15 +666,13 @@ object Dedup {
     val prefix = ordered
       .select(col("id"), col("sz"), explode(slice(col("ord"), lit(1), p)).as("ph"))
 
-    val cands = prefix.as("x")
+    prefix.as("x")
       .join(prefix.as("y"),
         col("x.ph") === col("y.ph") && col("x.id") < col("y.id") &&
           col("x.sz") * thresholdNum <= col("y.sz") * thresholdDen &&
           col("y.sz") * thresholdNum <= col("x.sz") * thresholdDen)
       .select(col("x.id").as("a_id"), col("y.id").as("b_id"))
       .distinct()
-
-    verifyJaccard(cands, sh, idCol, thresholdNum, thresholdDen)
   }
 
   /** Exact ⌊a/b⌋ for non-negative longs: subtract the remainder first so
