@@ -1532,6 +1532,32 @@ object SparkEntry {
   def q135(s: SparkSession, d: String): DataFrame =
     graft.operators.Corpus.zipfFit(docs(s, d), "text", k = 50)
 
+  /** Q136 — hard-negative mining
+    * ([[graft.operators.Similarity.hardNegatives]]): for 5 anchor
+    * embeddings, the 5 most-similar vectors carrying a DIFFERENT
+    * label — the contrastive-training negatives that teach the margin.
+    * Anchors broadcast; the corpus is scored in one pass with the
+    * label filter map-side; ranking is the bounded-heap aggregate.
+    */
+  def q136(s: SparkSession, d: String): DataFrame = {
+    val e = emb(s, d)
+    graft.operators.Similarity.hardNegatives(
+      e, e.filter(col("vec_id") < 5), "vec_id", "embedding", "label", k = 5)
+  }
+
+  /** Q137 — curriculum ordering
+    * ([[graft.operators.Corpus.curriculumOrder]]): q18's quality score
+    * ranks each source easy→hard and sources interleave round-robin
+    * into one global `position` — difficulty rises per source while
+    * every training window stays source-mixed. One keyed window; the
+    * source-index table is metadata-scale.
+    */
+  def q137(s: SparkSession, d: String): DataFrame =
+    graft.operators.Corpus.curriculumOrder(
+      docs(s, d).select(col("doc_id"), col("source"),
+        TextFunctions.qualityScore(TextFunctions.tokens(col("text"))).as("score")),
+      "doc_id", "source", col("score"))
+
   /** Q110 — cross-source contamination matrix: distinct shared
     * shingles for every unordered source pair — the corpus-governance
     * view of q59's pairwise probe ("which collections overlap, and how
@@ -1874,7 +1900,9 @@ object SparkEntry {
     "q132_ppl_buckets"    -> (q132 _),
     "q133_pagerank"       -> (q133 _),
     "q134_fertility"      -> (q134 _),
-    "q135_zipf_fit"       -> (q135 _))
+    "q135_zipf_fit"       -> (q135 _),
+    "q136_hard_negatives" -> (q136 _),
+    "q137_curriculum"     -> (q137 _))
 
   // DuckDB twins. Shared SQL fragments for the text queries:
   // explicit class: Java \s includes \x0B, RE2 \s does not — see
@@ -3078,5 +3106,36 @@ object SparkEntry {
           |  round((sy - ((kd*sxy - sx*sy) / (kd*sxx - sx*sx)) * sx) / kd, 6) + 0
           |    AS intercept_r
           |FROM a
+          |""".stripMargin),
+    "q136_hard_negatives" ->
+      ("""WITH p AS (SELECT vec_id AS probe_id, embedding AS pvec, label AS plabel
+         |  FROM embeddings WHERE vec_id < 5),
+         |scored AS (SELECT p.probe_id, e.vec_id, e.label AS neg_label,
+         |  list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+         |                         CAST(p.pvec AS DOUBLE[])) AS sim
+         |  FROM embeddings e CROSS JOIN p
+         |  WHERE e.vec_id <> p.probe_id AND e.label <> p.plabel)
+         |SELECT probe_id, vec_id, neg_label,
+         |  CAST(row_number() OVER (PARTITION BY probe_id
+         |    ORDER BY sim DESC, vec_id) AS BIGINT) AS rk,
+         |  round(sim, 4) + 0 AS sim_r
+         |FROM scored QUALIFY rk <= 5
+         |""".stripMargin),
+    "q137_curriculum" ->
+      (s"""WITH t AS (SELECT doc_id, source, $TOKS AS tk FROM documents),
+          |sc AS (SELECT doc_id, source,
+          |  round(least(CAST(1.0 AS DOUBLE), CAST(len(tk) AS DOUBLE) / CAST(50 AS DOUBLE)) *
+          |        (CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk)), 6) + 0 AS score
+          |  FROM t),
+          |r AS (SELECT doc_id, source, score,
+          |  CAST(row_number() OVER (PARTITION BY source
+          |    ORDER BY score DESC, doc_id) AS BIGINT) AS src_rank FROM sc),
+          |si AS (SELECT source,
+          |  CAST(row_number() OVER (ORDER BY source) AS BIGINT) - 1 AS sidx
+          |  FROM (SELECT DISTINCT source FROM documents)),
+          |ns AS (SELECT count(*) AS n FROM si)
+          |SELECT r.doc_id, r.source, r.score, r.src_rank,
+          |  (r.src_rank - 1) * ns.n + si.sidx + 1 AS position
+          |FROM r JOIN si USING (source) CROSS JOIN ns
           |""".stripMargin))
 }

@@ -227,6 +227,38 @@ object Corpus {
         sum(col("__n_first")).over(w).as("vocab_cum"))
   }
 
+  /** Curriculum ordering with source balancing: rank each stratum's
+    * documents easy→hard (score descending, id tie-break) and
+    * interleave the strata round-robin — position
+    * `(rank−1)·|sources| + source_index + 1` — so a trainer consuming
+    * the corpus in `position` order sees difficulty rise monotonically
+    * PER SOURCE while every batch window stays source-mixed (Bengio et
+    * al. 2009 curriculum + the mixture-balance constraint a multi-source
+    * pretraining run actually has). Deterministic: every input of the
+    * position formula is an integer rank under a total order.
+    *
+    * Scale shape: ONE keyed window (hash exchange on the stratum key +
+    * per-group sort — q127's shape, never a global sort); the source
+    * index table is `|sources|` rows (its row_number window is
+    * metadata-scale) and broadcasts back; the node count rides as a
+    * 1-row broadcast scalar. A global sort by `position` is the
+    * CONSUMER's choice at write time, not part of the operator.
+    */
+  def curriculumOrder(df: DataFrame, idCol: String, srcCol: String,
+                      scoreCol: Column): DataFrame = {
+    val w = Window.partitionBy(col(srcCol))
+      .orderBy(scoreCol.desc, col(idCol).asc)
+    val ranked = df.withColumn("src_rank", row_number().over(w).cast("long"))
+    val indexed = df.select(col(srcCol)).distinct()
+      .withColumn("__sidx", row_number().over(Window.orderBy(col(srcCol)))
+        .cast("long") - 1)
+    val nsrc = indexed.agg(count(lit(1)).as("__ns"))
+    ranked.join(broadcast(indexed), srcCol).crossJoin(broadcast(nsrc))
+      .withColumn("position",
+        (col("src_rank") - 1) * col("__ns") + col("__sidx") + 1)
+      .drop("__sidx", "__ns")
+  }
+
   /** Zipf-law fit over the top-`k` vocabulary: least-squares slope and
     * intercept of `ln(count)` against `ln(rank)` — the one-row corpus
     * health check (natural text slopes ≈ −1; a slope collapsing toward

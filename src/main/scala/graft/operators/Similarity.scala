@@ -87,6 +87,39 @@ object Similarity {
       .select(col("probe_id"), col("vec_id"), col("rk"), NumFunctions.roundNz(col("sim"), 4).as("sim_r"))
   }
 
+  /** Hard-negative mining for contrastive training (the retrieval-
+    * training data op: for each anchor, the most-similar examples with
+    * a DIFFERENT label are the negatives that actually teach the
+    * margin — random negatives are too easy; see e.g. Karpukhin et al.
+    * 2020, DPR, §3.2 on in-batch vs hard negatives). Returns the top-k
+    * cross-label neighbors per probe: `(probe_id, vec_id, neg_label,
+    * rk, sim_r)`.
+    *
+    * Same scale contract as [[topKCosine]]: probes broadcast (guarded
+    * by `maxProbes`), the corpus never shuffles for scoring, and the
+    * per-probe ranking is the bounded-heap aggregate — the label
+    * disequality rides the scoring filter map-side, so mining n probes
+    * costs exactly one corpus pass.
+    */
+  def hardNegatives(corpus: DataFrame, probes: DataFrame, idCol: String,
+                    vecCol: String, labelCol: String, k: Int,
+                    maxProbes: Int = 100000): DataFrame = {
+    requireSmallProbes(probes, maxProbes, "hardNegatives")
+    val p = probes.select(col(idCol).as("probe_id"), col(vecCol).as("pvec"),
+      col(labelCol).as("plabel"))
+    val c = spreadIfNarrow(corpus.select(col(idCol).as("vec_id"),
+      col(vecCol).as("cvec"), col(labelCol).as("neg_label")))
+    val scored = c.crossJoin(broadcast(p))
+      .filter(col("vec_id") =!= col("probe_id") &&
+        col("neg_label") =!= col("plabel"))
+      .withColumn("sim", VectorFunctions.cosineSimilarity(col("cvec"), col("pvec")))
+      .filter(col("sim").isNotNull)
+    TopK.topKPerKey(scored, Seq("probe_id"),
+        struct(negate(col("sim")), col("vec_id")), Seq("vec_id", "neg_label", "sim"), k)
+      .select(col("probe_id"), col("vec_id"), col("neg_label"), col("rk"),
+        NumFunctions.roundNz(col("sim"), 4).as("sim_r"))
+  }
+
   /** Approximate top-k via random-hyperplane LSH: `tables` independent
     * signatures of `bits` hyperplane signs each; candidates = corpus rows
     * sharing any bucket with the probe; exact cosine re-ranking on the

@@ -662,6 +662,34 @@ class CorpusSpec extends SparkSpec {
     assert(byBucket(1L).map(_._2).max <= byBucket(3L).map(_._2).min)
   }
 
+  test("curriculumOrder: positions injective, per-source difficulty monotone, first wave mixed") {
+    val d = Seq(
+      (1L, "a", 0.9), (2L, "a", 0.7), (3L, "a", 0.7), (4L, "b", 0.8),
+      (5L, "b", 0.95), (6L, "c", 0.5)
+    ).toDF("doc_id", "source", "score")
+    val got = Corpus.curriculumOrder(d, "doc_id", "source", col("score"))
+      .select("doc_id", "source", "score", "src_rank", "position")
+      .as[(Long, String, Double, Long, Long)].collect().toSeq
+    // injective positions
+    assert(got.map(_._5).distinct.size === got.size)
+    // within each source, score never increases along src_rank (tie → id)
+    got.groupBy(_._2).values.foreach { rows =>
+      rows.sortBy(_._4).sliding(2).foreach {
+        case Seq(a, b) => assert(a._3 >= b._3, s"difficulty regressed: $rows")
+        case _ =>
+      }
+    }
+    // the first |sources| positions hold at most one doc per source
+    val ns = got.map(_._2).distinct.size
+    val firstWave = got.filter(_._5 <= ns)
+    assert(firstWave.map(_._2).distinct.size === firstWave.size)
+    // hand-check: a-rank1 doc 1 → position 1; b-rank1 doc 5 → 2; c doc 6 → 3
+    val byDoc = got.map(r => r._1 -> r._5).toMap
+    assert(byDoc(1L) === 1L && byDoc(5L) === 2L && byDoc(6L) === 3L)
+    // tie in source a: doc 2 beats doc 3 by id → ranks 2,3 → positions 4,7
+    assert(byDoc(2L) === 4L && byDoc(3L) === 7L)
+  }
+
   test("zipfFit: an exact c=24/r power law recovers slope -1 and intercept ln 24") {
     val text = (("a " * 24) + ("b " * 12) + ("c " * 8) + ("d " * 6)).trim
     val row = Corpus.zipfFit(docTable(Seq(0L -> text)), "text").collect().head

@@ -88,6 +88,24 @@ class SimilaritySpec extends SparkSpec {
       (1, 0, 10.0, 1L), (1, 1, 20.0, 1L)))
   }
 
+  test("hardNegatives: the nearest SAME-label vector is excluded, cross-label ranked") {
+    // probe 0 (label 0) points along x; vec 1 is identical but shares
+    // the label — a plain top-k would return it first, the miner must
+    // skip it; among cross-label rows, 2 (30°) beats 3 (90°)
+    val df = Seq(
+      (0L, Array(1.0f, 0.0f), 0),
+      (1L, Array(1.0f, 0.0f), 0),
+      (2L, Array(0.866f, 0.5f), 1),
+      (3L, Array(0.0f, 1.0f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val got = graft.operators.Similarity.hardNegatives(
+        df, df.filter($"vec_id" === 0), "vec_id", "embedding", "label", k = 3)
+      .select("probe_id", "vec_id", "neg_label", "rk")
+      .as[(Long, Long, Int, Long)].collect().sortBy(_._4)
+    assert(got.map(_._2).toSeq === Seq(2L, 3L), s"wrong ranking: ${got.toSeq}")
+    assert(got.forall(_._3 === 1), "a same-label vector leaked into the negatives")
+  }
+
   test("centroidSpread: aligned class scores 1.0; its centroid broadcasts back") {
     // label 0 vectors are collinear → each has cosine exactly 1 to the
     // centroid; label 1's two orthogonal unit vectors → centroid at 45°,
