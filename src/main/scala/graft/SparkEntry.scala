@@ -1558,6 +1558,19 @@ object SparkEntry {
         TextFunctions.qualityScore(TextFunctions.tokens(col("text"))).as("score")),
       "doc_id", "source", col("score"))
 
+  /** Q138 — quality-threshold sweep
+    * ([[graft.operators.Corpus.thresholdSweep]]): per-source keep
+    * count/rate at every cutoff i/20 over q18's quality score — the
+    * calibration curve read before committing a filter threshold. One
+    * bucketing pass; the sweep windows over the dense |sources|×20
+    * metadata grid.
+    */
+  def q138(s: SparkSession, d: String): DataFrame =
+    graft.operators.Corpus.thresholdSweep(
+      docs(s, d).select(col("source"),
+        TextFunctions.qualityScore(TextFunctions.tokens(col("text"))).as("score")),
+      "source", col("score"), steps = 20)
+
   /** Q110 — cross-source contamination matrix: distinct shared
     * shingles for every unordered source pair — the corpus-governance
     * view of q59's pairwise probe ("which collections overlap, and how
@@ -1902,7 +1915,8 @@ object SparkEntry {
     "q134_fertility"      -> (q134 _),
     "q135_zipf_fit"       -> (q135 _),
     "q136_hard_negatives" -> (q136 _),
-    "q137_curriculum"     -> (q137 _))
+    "q137_curriculum"     -> (q137 _),
+    "q138_thr_sweep"      -> (q138 _))
 
   // DuckDB twins. Shared SQL fragments for the text queries:
   // explicit class: Java \s includes \x0B, RE2 \s does not — see
@@ -3137,5 +3151,28 @@ object SparkEntry {
           |SELECT r.doc_id, r.source, r.score, r.src_rank,
           |  (r.src_rank - 1) * ns.n + si.sidx + 1 AS position
           |FROM r JOIN si USING (source) CROSS JOIN ns
+          |""".stripMargin),
+    "q138_thr_sweep" ->
+      (s"""WITH t AS (SELECT source, $TOKS AS tk FROM documents),
+          |sc AS (SELECT source,
+          |  round(least(CAST(1.0 AS DOUBLE), CAST(len(tk) AS DOUBLE) / CAST(50 AS DOUBLE)) *
+          |        (CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk)), 6) + 0 AS score
+          |  FROM t),
+          |b AS (SELECT source,
+          |  least(19, CAST(floor(score * 20) AS BIGINT)) AS bkt FROM sc),
+          |c AS (SELECT source, bkt, count(*) AS n FROM b GROUP BY 1, 2),
+          |tot AS (SELECT source, count(*) AS total FROM b GROUP BY 1),
+          |grid AS (SELECT tot.source, tot.total,
+          |  unnest(generate_series(0, 19)) AS thr_idx FROM tot),
+          |k AS (SELECT g.source, g.total, g.thr_idx, coalesce(c.n, 0) AS n
+          |  FROM grid g LEFT JOIN c ON c.source = g.source AND c.bkt = g.thr_idx)
+          |SELECT source, CAST(thr_idx AS BIGINT) AS thr_idx,
+          |  round(CAST(thr_idx AS DOUBLE) / 20, 6) + 0 AS threshold,
+          |  CAST(sum(n) OVER (PARTITION BY source ORDER BY thr_idx DESC
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_kept,
+          |  round(CAST(sum(n) OVER (PARTITION BY source ORDER BY thr_idx DESC
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / total, 6) + 0
+          |    AS keep_rate
+          |FROM k
           |""".stripMargin))
 }

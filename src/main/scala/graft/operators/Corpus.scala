@@ -227,6 +227,46 @@ object Corpus {
         sum(col("__n_first")).over(w).as("vocab_cum"))
   }
 
+  /** Quality-threshold sweep: for every candidate cutoff
+    * `t = i/steps, i ∈ [0, steps)`, the per-source keep count and keep
+    * rate if documents with `score ≥ t` survive — the calibration curve
+    * read BEFORE committing a C4/Gopher-style quality gate (pick the
+    * threshold where the keep-rate knee sits per source, not one global
+    * guess). Scores are assumed in [0, 1] (clamped into the last
+    * bucket).
+    *
+    * Scale shape: ONE pass buckets each document map-side
+    * (`⌊score·steps⌋`), one partial-aggregating shuffle to (source,
+    * bucket) counts, and the sweep is a cumulative-from-above window
+    * over the DENSE (source × steps) grid — `|sources|·steps` metadata
+    * rows, never the corpus. The dense grid (a broadcast sequence
+    * explode) guarantees every threshold appears even when no document
+    * lands in its bucket.
+    */
+  def thresholdSweep(df: DataFrame, srcCol: String, scoreCol: Column,
+                     steps: Int = 20): DataFrame = {
+    require(steps >= 2, s"need steps >= 2, got $steps")
+    val bucketed = df.select(col(srcCol),
+        least(lit(steps - 1), floor(scoreCol * steps)).cast("long").as("__b"))
+    val counts = bucketed.groupBy(col(srcCol), col("__b"))
+      .agg(count(lit(1)).as("__n"))
+    val totals = bucketed.groupBy(col(srcCol)).agg(count(lit(1)).as("__total"))
+    val grid = totals.select(col(srcCol), col("__total"),
+      explode(sequence(lit(0L), lit((steps - 1).toLong))).as("thr_idx"))
+    val w = Window.partitionBy(col(srcCol)).orderBy(col("thr_idx").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    grid.join(counts, grid(srcCol) === counts(srcCol) && col("thr_idx") === col("__b"),
+        "left")
+      .select(grid(srcCol), col("__total"), col("thr_idx"),
+        coalesce(col("__n"), lit(0L)).as("__n"))
+      .withColumn("n_kept", sum(col("__n")).over(w))
+      .select(col(srcCol), col("thr_idx"),
+        NumFunctions.roundNz(col("thr_idx").cast("double") / steps, 6).as("threshold"),
+        col("n_kept"),
+        NumFunctions.roundNz(col("n_kept").cast("double") / col("__total"), 6)
+          .as("keep_rate"))
+  }
+
   /** Curriculum ordering with source balancing: rank each stratum's
     * documents easy→hard (score descending, id tie-break) and
     * interleave the strata round-robin — position

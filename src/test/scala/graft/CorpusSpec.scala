@@ -662,6 +662,29 @@ class CorpusSpec extends SparkSpec {
     assert(byBucket(1L).map(_._2).max <= byBucket(3L).map(_._2).min)
   }
 
+  test("thresholdSweep: hand-counted keep curve, dense grid, monotone") {
+    val d = Seq(("a", 0.02), ("a", 0.30), ("a", 0.30), ("a", 0.99),
+      ("b", 0.50)).toDF("source", "score")
+    val got = Corpus.thresholdSweep(d, "source", col("score"), steps = 10)
+      .select("source", "thr_idx", "n_kept", "keep_rate")
+      .as[(String, Long, Long, Double)].collect().toSeq
+    // dense: every (source, 0..9) row exists
+    assert(got.size === 20)
+    val a = got.filter(_._1 == "a").sortBy(_._2).map(r => (r._3, r._4))
+    // t=0 keeps all 4; t=0.1..0.3 keeps the 0.30,0.30,0.99 trio;
+    // t=0.4.. keeps only 0.99
+    assert(a(0) === ((4L, 1.0)))
+    assert(a(1) === ((3L, 0.75)) && a(3) === ((3L, 0.75)))
+    assert(a(4) === ((1L, 0.25)) && a(9) === ((1L, 0.25)))
+    // keep counts never increase as the threshold rises
+    got.groupBy(_._1).values.foreach { rows =>
+      rows.sortBy(_._2).map(_._3).sliding(2).foreach {
+        case Seq(x, y) => assert(y <= x)
+        case _ =>
+      }
+    }
+  }
+
   test("curriculumOrder: positions injective, per-source difficulty monotone, first wave mixed") {
     val d = Seq(
       (1L, "a", 0.9), (2L, "a", 0.7), (3L, "a", 0.7), (4L, "b", 0.8),

@@ -233,4 +233,69 @@ class StatefulOpsSpec extends SparkSpec {
     assert(batchAll.exists { case (a, b, n) => a == "srcA" && b == "srcB" && n > 0 })
     assert(batchAll.size === 3, "t2 must create all three source pairs")
   }
+
+  test("streams compose: per-trigger min-merged first-occurrences accumulate to the batch Heaps curve (q131)") {
+    // the vocabulary-growth surface maintained incrementally: the state
+    // table holds (token, first_bucket, n_in_bucket...) reduced per
+    // trigger with min/sum — both commutative and idempotent-safe under
+    // the replay model (a replayed batch re-reduces to the same state) —
+    // and the curve derived from state after any trigger equals
+    // Corpus.heapsCurve recomputed over everything ingested so far.
+    def tokenStats(d: org.apache.spark.sql.DataFrame) =
+      d.select((col("doc_id") - pmod(col("doc_id"), lit(2L))).cast("long").as("bucket"),
+          explode(split(trim(lower(col("text"))), "[ \\t\\n\\f\\r]+")).as("token"))
+        .filter(col("token") =!= "")
+
+    // state: per (token) first bucket; per (bucket) token count
+    def firsts(d: org.apache.spark.sql.DataFrame) =
+      tokenStats(d).groupBy(col("token")).agg(min(col("bucket")).as("bucket"))
+    def perBucket(d: org.apache.spark.sql.DataFrame) =
+      tokenStats(d).groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+
+    def curveOf(fi: org.apache.spark.sql.DataFrame,
+                pb: org.apache.spark.sql.DataFrame) = {
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col("bucket"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      val fb = fi.groupBy(col("bucket")).agg(count(lit(1)).as("nf"))
+      pb.join(fb, Seq("bucket"), "left")
+        .select(col("bucket"), sum(col("n")).over(w).as("tok"),
+          sum(coalesce(col("nf"), lit(0L))).over(w).as("voc"))
+        .as[(Long, Long, Long)].collect().toSet
+    }
+
+    val input = MemoryStream[(Long, String)]
+    var fState = firsts(Seq.empty[(Long, String)].toDF("doc_id", "text"))
+    var bState = perBucket(Seq.empty[(Long, String)].toDF("doc_id", "text"))
+    val q = input.toDS().toDF("doc_id", "text")
+      .writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (!b.isEmpty) {
+          fState = fState.unionByName(firsts(b))
+            .groupBy(col("token")).agg(min(col("bucket")).as("bucket"))
+            .localCheckpoint(true)
+          bState = bState.unionByName(perBucket(b))
+            .groupBy(col("bucket")).agg(sum(col("n")).as("n"))
+            .localCheckpoint(true)
+        }
+        ()
+      }.start()
+
+    val t1 = Seq((0L, "a b"), (1L, "b c"))
+    val t2 = Seq((2L, "a c d"), (3L, "d d e"))
+    input.addData(t1); q.processAllAvailable()
+    val mid = curveOf(fState, bState)
+    input.addData(t2); q.processAllAvailable()
+    q.stop()
+
+    def batchCurve(rows: Seq[(Long, String)]) =
+      graft.operators.Corpus.heapsCurve(rows.toDF("doc_id", "text"),
+          "doc_id", "text", bucketWidth = 2L)
+        .as[(Long, Long, Long)].collect().toSet
+    assert(mid === batchCurve(t1), "mid-stream curve must equal the batch recompute")
+    assert(curveOf(fState, bState) === batchCurve(t1 ++ t2),
+      "final curve must equal the batch recompute")
+    // bucket 0: [a,b]+[b,c] = 4 tokens, vocab {a,b,c};
+    // bucket 2 adds [a,c,d]+[d,d,e] = 6 tokens, new types {d,e}
+    assert(curveOf(fState, bState) === Set((0L, 4L, 3L), (2L, 10L, 5L)))
+  }
 }
