@@ -1571,6 +1571,46 @@ object SparkEntry {
         TextFunctions.qualityScore(TextFunctions.tokens(col("text"))).as("score")),
       "source", col("score"), steps = 20)
 
+  /** Q139 — cross-document FRAME-level dedup: q106's deterministic Y4M
+    * corpus decoded through the real codec, every frame content-hashed
+    * ([[graft.multimodal.Multimodal.videoFrameHashes]]), and frames
+    * shared by ≥ 2 documents profiled per document — the multimodal
+    * twin of q81's text dup profile (re-broadcast detection, credit
+    * sequences, mirrored uploads). Pixel data never shuffles: frames
+    * leave their partition as 8-byte hashes, then one hash-scale
+    * aggregate + one doc-scale join. Codec-derived hashes: no SQL
+    * oracle; MultimodalSpec pins the profile arithmetically from the
+    * planted luma construction.
+    */
+  def q139(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val media = docs(s, d)
+      .select(col("doc_id"), octet_length(col("text")).cast("int").as("n"))
+      .as[(Long, Int)]
+      .map { case (id, n) =>
+        val lumas = Array.tabulate(n % 6 + 1)(k => (n + k * 7) % 256)
+        Multimodal.MediaRow(id, "video",
+          Multimodal.renderY4m(n % 11 + 2, n % 9 + 2, lumas),
+          n % 11 + 2, n % 9 + 2, 0)
+      }
+    val frames = Multimodal.videoFrameHashes(media)
+      .select(col("media_id").as("doc_id"), col("frame_hash"))
+    val perDoc = frames.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_frames"))
+    // a frame hash is "shared" when ≥2 DISTINCT docs carry it
+    val shared = frames.distinct()
+      .groupBy(col("frame_hash")).agg(count(lit(1)).as("__docs"))
+      .filter(col("__docs") >= 2)
+    val sharedPerDoc = frames.join(shared, "frame_hash")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
+    perDoc.join(sharedPerDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_frames"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        NumFunctions.roundNz(
+          coalesce(col("n_shared"), lit(0L)).cast("double") / col("n_frames"), 6)
+          .as("shared_ratio"))
+  }
+
   /** Q110 — cross-source contamination matrix: distinct shared
     * shingles for every unordered source pair — the corpus-governance
     * view of q59's pairwise probe ("which collections overlap, and how
@@ -1916,7 +1956,8 @@ object SparkEntry {
     "q135_zipf_fit"       -> (q135 _),
     "q136_hard_negatives" -> (q136 _),
     "q137_curriculum"     -> (q137 _),
-    "q138_thr_sweep"      -> (q138 _))
+    "q138_thr_sweep"      -> (q138 _),
+    "q139_frame_dedup"    -> (q139 _))
 
   // DuckDB twins. Shared SQL fragments for the text queries:
   // explicit class: Java \s includes \x0B, RE2 \s does not — see

@@ -500,6 +500,37 @@ object Multimodal {
     }
   }
 
+  case class VideoFrameHash(media_id: Long, frame_idx: Int, width: Int,
+                            height: Int, frame_hash: Long)
+
+  /** Content-address every decoded frame: FNV-1a-64 over the frame's Y
+    * plane with the dimensions folded in, so two frames hash equal iff
+    * their luma content AND geometry agree (64-bit: cross-frame
+    * collisions are negligible at corpus scale, the [[graft.operators.Dedup]]
+    * convention). This is the multimodal half of frame-level dedup —
+    * the hashes join/aggregate downstream as 8-byte keys; pixel data
+    * never shuffles. Same partition-wise, no-collect contract as
+    * [[videoFrameMeta]]; undecodable payloads emit nothing.
+    */
+  def videoFrameHashes(media: Dataset[MediaRow], stride: Int = 1): Dataset[VideoFrameHash] = {
+    require(stride >= 1, s"stride must be >= 1, got $stride")
+    import media.sparkSession.implicits._
+    media.flatMap { r =>
+      parseY4m(r.payload).iterator.flatMap { v =>
+        Iterator.range(0, v.yOffsets.size, stride).map { k =>
+          val off = v.yOffsets(k)
+          var h = 0xcbf29ce484222325L                 // FNV-1a offset basis
+          def mix(b: Int): Unit = { h ^= (b & 0xFF); h *= 0x100000001b3L }
+          mix(v.w); mix(v.w >> 8); mix(v.h); mix(v.h >> 8)
+          var i = off
+          val end = off + v.ySize
+          while (i < end) { mix(r.payload(i)); i += 1 }
+          VideoFrameHash(r.media_id, k, v.w, v.h, h)
+        }
+      }
+    }
+  }
+
   /** Real video resize: parse the Y4M stream, nearest-neighbor-rescale
     * every plane of every frame (Y at the target dims, chroma at the
     * colorspace's subsampling of them), and re-encode — the video

@@ -345,4 +345,52 @@ class MultimodalSpec extends SparkSpec {
       .select("probe_id", "vec_id", "sim_r").as[(Long, Long, Double)].collect().toSet
     assert(got === want)
   }
+
+  test("videoFrameHashes: equal (dims, luma) frames collide, any difference separates") {
+    val sp = spark
+    import sp.implicits._
+    val a = Multimodal.renderY4m(4, 3, Array(10, 20, 10))
+    val b = Multimodal.renderY4m(4, 3, Array(10, 99, 10))
+    val c = Multimodal.renderY4m(3, 4, Array(10))          // same luma, other dims
+    val media = Seq(
+      Multimodal.MediaRow(0L, "video", a, 4, 3, 0),
+      Multimodal.MediaRow(1L, "video", b, 4, 3, 0),
+      Multimodal.MediaRow(2L, "video", c, 3, 4, 0)).toDS()
+    val rows = Multimodal.videoFrameHashes(media)
+      .collect().map(f => (f.media_id, f.frame_idx) -> f.frame_hash).toMap
+    // within a: frames 0 and 2 are both solid-10 → equal; 1 differs
+    assert(rows((0L, 0)) === rows((0L, 2)))
+    assert(rows((0L, 0)) !== rows((0L, 1)))
+    // across a/b: shared solid-10 frames collide, the 20 vs 99 frame differs
+    assert(rows((0L, 0)) === rows((1L, 0)))
+    assert(rows((0L, 1)) !== rows((1L, 1)))
+    // same luma at transposed dims must NOT collide
+    assert(rows((0L, 0)) !== rows((2L, 0)))
+  }
+
+  test("q139 frame dedup: profile matches the planted (w, h, luma) arithmetic") {
+    val sp = spark
+    import sp.implicits._
+    import org.apache.spark.sql.functions.{col, octet_length}
+    val lens = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), octet_length(col("text")).cast("int"))
+      .as[(Long, Int)].collect()
+    val byDoc = lens.map { case (id, n) =>
+      id -> (0 until n % 6 + 1).map(k => (n % 11 + 2, n % 9 + 2, (n + k * 7) % 256))
+    }
+    val docsPerFrame = byDoc
+      .flatMap { case (id, fs) => fs.distinct.map(f => (f, id)) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).distinct.size).toMap
+    val want = byDoc.map { case (id, fs) =>
+      id -> ((fs.size.toLong, fs.count(f => docsPerFrame(f) >= 2).toLong))
+    }.toMap
+    val got = SparkEntry.q139(spark, sf0001)
+      .select("doc_id", "n_frames", "n_shared")
+      .as[(Long, Long, Long)].collect()
+    assert(got.length === want.size)
+    got.foreach { case (id, nf, ns) =>
+      assert((nf, ns) === want(id), s"doc $id profile mismatch")
+    }
+    assert(got.exists(_._3 > 0), "fixture should contain cross-doc shared frames")
+  }
 }
