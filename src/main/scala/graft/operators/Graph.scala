@@ -45,12 +45,23 @@ object Graph {
     require(iterations >= 1, s"need iterations >= 1, got $iterations")
     require(dampingPct > 0 && dampingPct < 100,
       s"need 0 < dampingPct < 100, got $dampingPct")
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    // partition budget follows the EDGE COUNT (the nearDupComponents
+    // rule): a vocabulary graph's few thousand edges otherwise inherit
+    // the full shuffle width and every one of the ~3 stages per
+    // iteration schedules width-many near-empty tasks; a billion-edge
+    // graph saturates the clamp and keeps full parallelism. The count
+    // doubles as the cache warm-up.
+    val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sc = edges.sparkSession.sparkContext
+    val parts = math.max(1L, math.min(sc.defaultParallelism.toLong,
+      e0.count() / 65536L + 1L)).toInt
+    val e = if (e0.rdd.getNumPartitions > parts) e0.coalesce(parts) else e0
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
       .distinct()
+      .coalesce(parts)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("__outdeg"))
     // node count rides along as a broadcast scalar — never a collect

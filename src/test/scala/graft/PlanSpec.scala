@@ -509,6 +509,21 @@ class PlanSpec extends SparkSpec {
       s"flag must ride the hashed-set expression:\n$p")
   }
 
+  test("q137: the curriculum's data window is keyed by source; the index broadcasts back") {
+    val p = plan(SparkEntry.q137(spark, sf0001))
+    assert(p.contains("windowspecdefinition(source"),
+      s"per-source rank must partition by the stratum key:\n$p")
+    assert(p.contains("BroadcastExchange"),
+      s"the |sources|-row index table must broadcast, not shuffle the corpus:\n$p")
+  }
+
+  test("q138: the sweep window runs over the metadata grid, keyed by source") {
+    val p = plan(SparkEntry.q138(spark, sf0001))
+    assert(p.contains("windowspecdefinition(source"),
+      s"cumulative keep counts must partition by source:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q129: exact set-sim join plans equi-joins only — no cartesian, no nested loop") {
     val p = plan(SparkEntry.q129(spark, sf0001))
     assert(!p.contains("CartesianProduct"), s"cartesian in exact join:\n$p")
