@@ -1571,6 +1571,25 @@ object SparkEntry {
         TextFunctions.qualityScore(TextFunctions.tokens(col("text"))).as("score")),
       "source", col("score"), steps = 20)
 
+  /** Q140 — sketch-based join-cardinality estimate
+    * ([[graft.operators.Sketches.cmsJoinSize]]): |orders ⋈ lineitem|
+    * on the order key from two one-pass KB-size Count-Min grids — the
+    * planner-side oracle consulted before committing a join order or a
+    * broadcast decision. Never under the true size; hash-specific
+    * value, so no SQL oracle — SketchesSpec pins the ≥-exact and
+    * ε-bound guarantees against the exactly-computed join size.
+    */
+  def q140(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val (depth, width, seed) = (4, 8192, 42L)
+    val o = graft.operators.Sketches.countMin(
+      Tables.orders(s, d).select(col("o_orderkey")), "o_orderkey", depth, width, seed)
+    val l = graft.operators.Sketches.countMin(
+      Tables.lineitem(s, d).select(col("l_orderkey")), "l_orderkey", depth, width, seed)
+    Seq(graft.operators.Sketches.cmsJoinSize(o, l, depth, width))
+      .toDF("est_join_rows")
+  }
+
   /** Q139 — cross-document FRAME-level dedup: q106's deterministic Y4M
     * corpus decoded through the real codec, every frame content-hashed
     * ([[graft.multimodal.Multimodal.videoFrameHashes]]), and frames
@@ -1957,7 +1976,8 @@ object SparkEntry {
     "q136_hard_negatives" -> (q136 _),
     "q137_curriculum"     -> (q137 _),
     "q138_thr_sweep"      -> (q138 _),
-    "q139_frame_dedup"    -> (q139 _))
+    "q139_frame_dedup"    -> (q139 _),
+    "q140_join_card"      -> (q140 _))
 
   // DuckDB twins. Shared SQL fragments for the text queries:
   // explicit class: Java \s includes \x0B, RE2 \s does not — see

@@ -83,6 +83,32 @@ object Sketches {
     best
   }
 
+  /** Equi-join cardinality estimate from two Count-Min sketches built
+    * with the SAME (depth, width, seed): `|R ⋈ S| = Σ_k f_R(k)·f_S(k)`
+    * is estimated by `min_d ⟨row_d(A), row_d(B)⟩` (Cormode &
+    * Muthukrishnan 2005, §4.2; the AGM-style inner-product estimator).
+    * Never under the true size; over by ≤ e·N_R·N_S/width per row with
+    * probability 1 − e^−depth — the join-size oracle a planner consults
+    * BEFORE committing a join order or a broadcast decision, at the
+    * cost of two one-pass KB-size sketches instead of a real join.
+    */
+  def cmsJoinSize(a: Array[Long], b: Array[Long], depth: Int,
+                  width: Int): Long = {
+    require(a.length == depth * width && b.length == a.length,
+      s"sketch shape mismatch: ${a.length} vs ${b.length} vs $depth x $width")
+    var best = Long.MaxValue
+    var d = 0
+    while (d < depth) {
+      var dot = 0L
+      var i = d * width
+      val end = i + width
+      while (i < end) { dot += a(i) * b(i); i += 1 }
+      if (dot < best) best = dot
+      d += 1
+    }
+    best
+  }
+
   /** Mergeable Bloom build over Long keys: each partition ORs into its
     * own bit array, the shuffle moves one array per partition (KB
     * metadata), arrays OR associatively — the same mergeability

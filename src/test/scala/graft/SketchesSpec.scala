@@ -127,6 +127,42 @@ class SketchesSpec extends SparkSpec {
     assert(fp < 0.01, s"fp rate $fp way above the analytic bound")
   }
 
+  test("cmsJoinSize: never under the exact join size, within the inner-product bound") {
+    val (depth, width, seed) = (4, 8192, 42L)
+    val o = Tables.orders(spark, sf0001).select(col("o_orderkey"))
+    val l = Tables.lineitem(spark, sf0001).select(col("l_orderkey"))
+    val so = Sketches.countMin(o, "o_orderkey", depth, width, seed)
+    val sl = Sketches.countMin(l, "l_orderkey", depth, width, seed)
+    val est = Sketches.cmsJoinSize(so, sl, depth, width)
+    // exact Σ_k f_R(k)·f_S(k), computed from the true per-key counts
+    val co = o.groupBy("o_orderkey").count()
+      .withColumnRenamed("o_orderkey", "k").withColumnRenamed("count", "a")
+    val cl = l.groupBy("l_orderkey").count()
+      .withColumnRenamed("l_orderkey", "k").withColumnRenamed("count", "b")
+    val exact = co.join(cl, "k").agg(sum(col("a") * col("b")))
+      .head().getLong(0)
+    assert(est >= exact, s"inner-product estimate $est under exact $exact")
+    val na = o.count(); val nb = l.count()
+    val bound = exact + (3.0 * na * nb / width).toLong
+    assert(est <= bound, s"estimate $est above bound $bound (exact $exact)")
+    // and it is the q140 surface
+    val q = SparkEntry.q140(spark, sf0001).head().getLong(0)
+    assert(q === est)
+  }
+
+  test("cmsJoinSize: disjoint key ranges estimate (near) zero, identical tables at least n") {
+    val (depth, width, seed) = (4, 4096, 7L)
+    val a = Seq.tabulate(500)(i => i.toLong).toDF("k")
+    val b = Seq.tabulate(500)(i => 1000000L + i).toDF("k")
+    val sa = Sketches.countMin(a, "k", depth, width, seed)
+    val sb = Sketches.countMin(b, "k", depth, width, seed)
+    val disjoint = Sketches.cmsJoinSize(sa, sb, depth, width)
+    assert(disjoint <= (3.0 * 500 * 500 / width).toLong,
+      s"disjoint estimate $disjoint above the collision bound")
+    val self = Sketches.cmsJoinSize(sa, sa, depth, width)
+    assert(self >= 500L, "self-join estimate must cover every key")
+  }
+
   test("decontaminateBloom == decontaminate on the fixture, both join shapes") {
     import graft.operators.Corpus
     val dd = Tables.documents(spark, sf0001)
