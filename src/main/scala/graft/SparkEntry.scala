@@ -1571,6 +1571,27 @@ object SparkEntry {
         TextFunctions.qualityScore(TextFunctions.tokens(col("text"))).as("score")),
       "source", col("score"), steps = 20)
 
+  /** Q141 — stratified deterministic sample
+    * ([[graft.operators.Corpus.hashSamplePerGroup]]): the 10
+    * smallest-md5 documents from EVERY source — q120's rerun-stable
+    * uniform draw with the stratum guarantee an eval build needs. One
+    * keyed window.
+    */
+  def q141(s: SparkSession, d: String): DataFrame =
+    graft.operators.Corpus.hashSamplePerGroup(
+      docs(s, d).select(col("doc_id"), col("source")), "source", "doc_id", k = 10)
+
+  /** Q142 — event debounce ([[graft.operators.TimeSeries.debounce]]):
+    * the first event of every ≤1-day burst per (user, event type) —
+    * repeat-notification suppression (the daily-digest rule), the
+    * row-level complement of q114's sessionization. One keyed window.
+    */
+  def q142(s: SparkSession, d: String): DataFrame =
+    graft.operators.TimeSeries.debounce(
+      ev(s, d).filter(col("ts").isNotNull)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("ts")),
+      Seq("user_id", "event_type"), "ts", "event_id", gapSeconds = 86400L)
+
   /** Q140 — sketch-based join-cardinality estimate
     * ([[graft.operators.Sketches.cmsJoinSize]]): |orders ⋈ lineitem|
     * on the order key from two one-pass KB-size Count-Min grids — the
@@ -1977,7 +1998,9 @@ object SparkEntry {
     "q137_curriculum"     -> (q137 _),
     "q138_thr_sweep"      -> (q138 _),
     "q139_frame_dedup"    -> (q139 _),
-    "q140_join_card"      -> (q140 _))
+    "q140_join_card"      -> (q140 _),
+    "q141_strat_sample"   -> (q141 _),
+    "q142_debounce"       -> (q142 _))
 
   // DuckDB twins. Shared SQL fragments for the text queries:
   // explicit class: Java \s includes \x0B, RE2 \s does not — see
@@ -3235,5 +3258,22 @@ object SparkEntry {
           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / total, 6) + 0
           |    AS keep_rate
           |FROM k
-          |""".stripMargin))
+          |""".stripMargin),
+    "q141_strat_sample" ->
+      ("""WITH r AS (SELECT doc_id, source,
+         |  md5(CAST(doc_id AS VARCHAR)) AS sample_key,
+         |  CAST(row_number() OVER (PARTITION BY source
+         |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS sample_rank
+         |  FROM documents)
+         |SELECT doc_id, source, sample_key, sample_rank
+         |FROM r WHERE sample_rank <= 10
+         |""".stripMargin),
+    "q142_debounce" ->
+      ("""WITH x AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us,
+         |  lag(epoch_us(ts)) OVER (PARTITION BY user_id, event_type
+         |    ORDER BY epoch_us(ts), event_id) AS prev
+         |  FROM events WHERE ts IS NOT NULL)
+         |SELECT event_id, user_id, event_type, ts_us
+         |FROM x WHERE prev IS NULL OR ts_us - prev > 86400000000
+         |""".stripMargin))
 }

@@ -1079,6 +1079,28 @@ object Corpus {
         row_number().over(Window.orderBy(col("sample_key"))).cast("long"))
   }
 
+  /** Stratified deterministic sample: the `k` smallest-`md5(id)` rows
+    * PER GROUP — [[hashSample]]'s rerun-stable uniform draw with the
+    * stratum guarantee an eval-set build actually needs ("100 random
+    * docs from EVERY source", where a global sample would starve small
+    * strata). Same identity-hash key as [[hashSample]], so the global
+    * and stratified samples agree on what "random" means.
+    *
+    * Scale shape: ONE keyed window (hash exchange on the stratum +
+    * per-group sort, q127's shape); the per-group sort is the honest
+    * cost of exact per-stratum ranks — no global sort, no driver
+    * collect.
+    */
+  def hashSamplePerGroup(docs: DataFrame, groupCol: String, idCol: String,
+                         k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col("sample_key"), col(idCol))
+    docs.withColumn("sample_key", md5(col(idCol).cast("string")))
+      .withColumn("sample_rank", row_number().over(w).cast("long"))
+      .filter(col("sample_rank") <= k)
+  }
+
   /** Per-document out-of-vocabulary rate against the corpus's own
     * top-`vocabSize` token vocabulary — the coverage check run before
     * freezing a tokenizer ("how much of the corpus does a k-token vocab

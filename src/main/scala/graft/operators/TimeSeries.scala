@@ -96,6 +96,32 @@ object TimeSeries {
     * `is_anomaly` compares the ROUNDED score so the flag and the score
     * can never disagree.
     */
+  /** Debounce: keep only the FIRST event of every burst per key, where
+    * a burst is a run of events each within `gapSeconds` of its
+    * predecessor — the duplicate-click / sensor-chatter suppressor (and
+    * the row-level complement of [[sessionize]]: same break predicate,
+    * but surviving rows instead of session aggregates). Deterministic:
+    * the within-key order is `(ts, tieCol)`, so replay and partitioning
+    * cannot change which event leads a burst.
+    *
+    * Scale shape: ONE keyed window — the lag and the keep-filter share
+    * the same `(key)` partitioning; nothing else exchanges.
+    */
+  def debounce(df: DataFrame, keyCols: Seq[String], tsCol: String,
+               tieCol: String, gapSeconds: Long): DataFrame = {
+    require(gapSeconds > 0, s"gap must be positive, got $gapSeconds")
+    require(keyCols.nonEmpty, "debounce needs at least one key column")
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("__tu"), col(tieCol))
+    val gapUs = gapSeconds * 1000000L
+    df.withColumn("__tu", unix_micros(col(tsCol)))
+      .withColumn("__prev", lag(col("__tu"), 1).over(w))
+      .filter(col("__prev").isNull || col("__tu") - col("__prev") > gapUs)
+      .drop("__prev")
+      .withColumnRenamed("__tu", "ts_us")
+      .drop(tsCol)
+  }
+
   def rollingZscore(df: DataFrame, keyCol: String, tsCol: String,
                     valueCol: String, win: Int = 7,
                     threshold: Double = 2.0): DataFrame = {

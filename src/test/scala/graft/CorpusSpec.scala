@@ -662,6 +662,32 @@ class CorpusSpec extends SparkSpec {
     assert(byBucket(1L).map(_._2).max <= byBucket(3L).map(_._2).min)
   }
 
+  test("hashSamplePerGroup: k per stratum, the k smallest keys, rerun/partitioning stable") {
+    val d = (0L until 200L).map(i => (i, s"src${i % 4}")).toDF("doc_id", "source")
+    val got = Corpus.hashSamplePerGroup(d, "source", "doc_id", k = 5)
+      .select("doc_id", "source", "sample_key")
+      .as[(Long, String, String)].collect().toSeq
+    assert(got.groupBy(_._2).view.mapValues(_.size).toMap ===
+      Map("src0" -> 5, "src1" -> 5, "src2" -> 5, "src3" -> 5))
+    // per stratum, exactly the 5 smallest md5 keys survive
+    val all = d.withColumn("k", org.apache.spark.sql.functions.md5(
+        col("doc_id").cast("string")))
+      .as[(Long, String, String)].collect()
+    all.groupBy(_._2).foreach { case (src, rows) =>
+      val want = rows.sortBy(r => (r._3, r._1)).take(5).map(_._1).toSet
+      assert(got.filter(_._2 == src).map(_._1).toSet === want, s"stratum $src")
+    }
+    // a stratum smaller than k returns whole
+    val tiny = Corpus.hashSamplePerGroup(
+        Seq((1L, "only")).toDF("doc_id", "source"), "source", "doc_id", k = 5)
+      .count()
+    assert(tiny === 1L)
+    // stable under repartitioning
+    val re = Corpus.hashSamplePerGroup(d.repartition(13), "source", "doc_id", k = 5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(re === got.map(_._1).toSet)
+  }
+
   test("thresholdSweep: hand-counted keep curve, dense grid, monotone") {
     val d = Seq(("a", 0.02), ("a", 0.30), ("a", 0.30), ("a", 0.99),
       ("b", 0.50)).toDF("source", "score")

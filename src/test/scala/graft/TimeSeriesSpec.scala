@@ -124,4 +124,35 @@ class TimeSeriesSpec extends SparkSpec {
       .as[(String, String, Double, Boolean)].collect().sorted.toSeq
     assert(a === b)
   }
+
+  test("debounce: chained bursts keep only their leader, keys independent") {
+    def t(s: String) = Timestamp.valueOf(s)
+    // key u1: events at 0s, 3s, 6s (chained, gap 5s) then 100s — the
+    // 3s and 6s rows chain off the leader even though 6s is >5s from 0s
+    val df = Seq(
+      (1L, 10L, "click", t("2024-01-01 00:00:00")),
+      (2L, 10L, "click", t("2024-01-01 00:00:03")),
+      (3L, 10L, "click", t("2024-01-01 00:00:06")),
+      (4L, 10L, "click", t("2024-01-01 00:01:40")),
+      (5L, 10L, "view",  t("2024-01-01 00:00:01")), // other key: own leader
+      (6L, 11L, "click", t("2024-01-01 00:00:02"))  // other user: own leader
+    ).toDF("event_id", "user_id", "event_type", "ts")
+    val got = TimeSeries.debounce(df, Seq("user_id", "event_type"),
+        "ts", "event_id", gapSeconds = 5L)
+      .select("event_id").as[Long].collect().toSet
+    assert(got === Set(1L, 4L, 5L, 6L))
+  }
+
+  test("debounce: equal timestamps break by the tie column — exactly one survivor") {
+    def t(s: String) = Timestamp.valueOf(s)
+    val df = Seq(
+      (7L, 1L, "x", t("2024-01-01 00:00:00")),
+      (2L, 1L, "x", t("2024-01-01 00:00:00")),
+      (9L, 1L, "x", t("2024-01-01 00:00:00"))
+    ).toDF("event_id", "user_id", "event_type", "ts")
+    val got = TimeSeries.debounce(df, Seq("user_id", "event_type"),
+        "ts", "event_id", gapSeconds = 60L)
+      .select("event_id").as[Long].collect().toSeq
+    assert(got === Seq(2L), s"lowest event_id must lead the burst: $got")
+  }
 }
