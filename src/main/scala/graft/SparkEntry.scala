@@ -1571,6 +1571,18 @@ object SparkEntry {
         TextFunctions.qualityScore(TextFunctions.tokens(col("text"))).as("score")),
       "source", col("score"), steps = 20)
 
+  /** Q143 — retrieval-quality eval
+    * ([[graft.operators.Similarity.retrievalMetrics]]): recall@10 and
+    * MRR@10 per label over 50 probe embeddings, relevance = label
+    * match — the post-re-embed eval of a retrieval pipeline. One
+    * corpus pass, decimal-routed reciprocal ranks.
+    */
+  def q143(s: SparkSession, d: String): DataFrame = {
+    val e = emb(s, d)
+    graft.operators.Similarity.retrievalMetrics(
+      e, e.filter(col("vec_id") < 50), "vec_id", "embedding", "label", k = 10)
+  }
+
   /** Q141 — stratified deterministic sample
     * ([[graft.operators.Corpus.hashSamplePerGroup]]): the 10
     * smallest-md5 documents from EVERY source — q120's rerun-stable
@@ -2000,7 +2012,8 @@ object SparkEntry {
     "q139_frame_dedup"    -> (q139 _),
     "q140_join_card"      -> (q140 _),
     "q141_strat_sample"   -> (q141 _),
-    "q142_debounce"       -> (q142 _))
+    "q142_debounce"       -> (q142 _),
+    "q143_retrieval_eval" -> (q143 _))
 
   // DuckDB twins. Shared SQL fragments for the text queries:
   // explicit class: Java \s includes \x0B, RE2 \s does not — see
@@ -3275,5 +3288,25 @@ object SparkEntry {
          |  FROM events WHERE ts IS NOT NULL)
          |SELECT event_id, user_id, event_type, ts_us
          |FROM x WHERE prev IS NULL OR ts_us - prev > 86400000000
+         |""".stripMargin),
+    "q143_retrieval_eval" ->
+      ("""WITH p AS (SELECT vec_id AS probe_id, embedding AS pvec, label AS plabel
+         |  FROM embeddings WHERE vec_id < 50),
+         |scored AS (SELECT p.probe_id, p.plabel, e.label AS clabel,
+         |  row_number() OVER (PARTITION BY p.probe_id
+         |    ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+         |                                    CAST(p.pvec AS DOUBLE[])) DESC,
+         |      e.vec_id) AS rk
+         |  FROM embeddings e CROSS JOIN p WHERE e.vec_id <> p.probe_id),
+         |per AS (SELECT probe_id, plabel AS label,
+         |  min(CASE WHEN clabel = plabel THEN rk END) AS first
+         |  FROM scored WHERE rk <= 10 GROUP BY 1, 2)
+         |SELECT label, count(*) AS n_probes,
+         |  round(CAST(sum(CASE WHEN first IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         |        / count(*), 6) + 0 AS recall_at_k,
+         |  round(CAST(sum(coalesce(CAST(1.0 / first AS DECIMAL(18,9)),
+         |                          CAST(0 AS DECIMAL(18,9)))) AS DOUBLE)
+         |        / count(*), 6) + 0 AS mrr
+         |FROM per GROUP BY 1
          |""".stripMargin))
 }

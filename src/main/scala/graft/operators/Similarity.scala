@@ -120,6 +120,52 @@ object Similarity {
         NumFunctions.roundNz(col("sim"), 4).as("sim_r"))
   }
 
+  /** Retrieval-quality metrics: for each probe, rank the corpus by
+    * cosine, call a neighbor RELEVANT when it carries the probe's
+    * label, and report per label `recall@k` (probes with ≥1 relevant
+    * neighbor in the top k) and `MRR@k` (mean reciprocal rank of the
+    * first relevant neighbor, 0 when none) — the standard embedding-
+    * quality eval a retrieval pipeline runs after every re-embed
+    * (Voorhees 1999 for MRR).
+    *
+    * Determinism: reciprocal ranks route through DECIMAL(18,9) before
+    * the per-label mean (exact, order-independent — the
+    * [[graft.operators.Corpus.unigramSurprisal]] rule). Scale contract
+    * = [[topKCosine]]: probes broadcast, one corpus pass, bounded-heap
+    * ranking; the metric aggregation touches probes×k rows.
+    */
+  def retrievalMetrics(corpus: DataFrame, probes: DataFrame, idCol: String,
+                       vecCol: String, labelCol: String, k: Int,
+                       maxProbes: Int = 100000): DataFrame = {
+    requireSmallProbes(probes, maxProbes, "retrievalMetrics")
+    val p = probes.select(col(idCol).as("probe_id"), col(vecCol).as("pvec"),
+      col(labelCol).as("plabel"))
+    val c = spreadIfNarrow(corpus.select(col(idCol).as("vec_id"),
+      col(vecCol).as("cvec"), col(labelCol).as("clabel")))
+    val scored = c.crossJoin(broadcast(p))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .withColumn("sim", VectorFunctions.cosineSimilarity(col("cvec"), col("pvec")))
+      .filter(col("sim").isNotNull)
+    val top = TopK.topKPerKey(scored, Seq("probe_id"),
+      struct(negate(col("sim")), col("vec_id")),
+      Seq("vec_id", "clabel", "plabel"), k)
+    val perProbe = top
+      .groupBy(col("probe_id"), col("plabel"))
+      .agg(min(when(col("clabel") === col("plabel"), col("rk"))).as("__first"))
+      .select(col("plabel").as("label"),
+        when(col("__first").isNotNull, lit(1L)).otherwise(lit(0L)).as("__hit"),
+        coalesce((lit(1.0) / col("__first"))
+          .cast(org.apache.spark.sql.types.DecimalType(18, 9)),
+          lit(java.math.BigDecimal.ZERO)
+            .cast(org.apache.spark.sql.types.DecimalType(18, 9))).as("__rr"))
+    perProbe.groupBy(col("label"))
+      .agg(count(lit(1)).as("n_probes"),
+        NumFunctions.roundNz(
+          sum(col("__hit")).cast("double") / count(lit(1)), 6).as("recall_at_k"),
+        NumFunctions.roundNz(
+          sum(col("__rr")).cast("double") / count(lit(1)), 6).as("mrr"))
+  }
+
   /** Approximate top-k via random-hyperplane LSH: `tables` independent
     * signatures of `bits` hyperplane signs each; candidates = corpus rows
     * sharing any bucket with the probe; exact cosine re-ranking on the

@@ -106,6 +106,32 @@ class SimilaritySpec extends SparkSpec {
     assert(got.forall(_._3 === 1), "a same-label vector leaked into the negatives")
   }
 
+  test("retrievalMetrics: hand-computed recall@k and MRR on planted geometry") {
+    // probe 0 (label 0): nearest is same-label vec 1 (identical) → first
+    // relevant at rank 1, rr = 1. probe 4 (label 2): no other label-2
+    // vector exists → recall 0, rr 0. probe 2 (label 1): its only
+    // same-label peer (3) is near-orthogonal, ranked below vecs 0, 1
+    // (cos ≈ .994) AND vec 4 (cos ≈ .78) → first relevant at rank 4.
+    val df = Seq(
+      (0L, Array(1.0f, 0.0f), 0),
+      (1L, Array(1.0f, 0.0f), 0),
+      (2L, Array(0.9f, 0.1f), 1),
+      (3L, Array(-0.1f, 0.9f), 1),
+      (4L, Array(0.5f, 0.5f), 2)
+    ).toDF("vec_id", "embedding", "label")
+    val got = graft.operators.Similarity.retrievalMetrics(
+        df, df.filter($"vec_id".isin(0L, 2L, 4L)), "vec_id", "embedding",
+        "label", k = 4)
+      .select("label", "n_probes", "recall_at_k", "mrr")
+      .as[(Int, Long, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(0) === ((1L, 1.0, 1.0)))
+    assert(got(2) === ((1L, 0.0, 0.0)))
+    val (n1, rec1, mrr1) = got(1)
+    assert(n1 === 1L && rec1 === 1.0)
+    assert(mrr1 === 0.25, s"mrr $mrr1")
+  }
+
   test("centroidSpread: aligned class scores 1.0; its centroid broadcasts back") {
     // label 0 vectors are collinear → each has cosine exactly 1 to the
     // centroid; label 1's two orthogonal unit vectors → centroid at 45°,
