@@ -1571,6 +1571,21 @@ object SparkEntry {
         TextFunctions.qualityScore(TextFunctions.tokens(col("text"))).as("score")),
       "source", col("score"), steps = 20)
 
+  /** Q144 — margin-based bitext mining
+    * ([[graft.operators.Similarity.marginMining]]): even-id embeddings
+    * mined against odd-id embeddings (the two-language stand-in), best
+    * margin-scored partner per source row — the LASER/CCMatrix
+    * parallel-corpus op. Two top-k passes + neighborhood means; the
+    * margin normalizes hub-vector density away.
+    */
+  def q144(s: SparkSession, d: String): DataFrame = {
+    val e = emb(s, d)
+    graft.operators.Similarity.marginMining(
+      e.filter(pmod(col("vec_id"), lit(2)) === 0),
+      e.filter(pmod(col("vec_id"), lit(2)) === 1),
+      "vec_id", "embedding", k = 4)
+  }
+
   /** Q143 — retrieval-quality eval
     * ([[graft.operators.Similarity.retrievalMetrics]]): recall@10 and
     * MRR@10 per label over 50 probe embeddings, relevance = label
@@ -2013,7 +2028,8 @@ object SparkEntry {
     "q140_join_card"      -> (q140 _),
     "q141_strat_sample"   -> (q141 _),
     "q142_debounce"       -> (q142 _),
-    "q143_retrieval_eval" -> (q143 _))
+    "q143_retrieval_eval" -> (q143 _),
+    "q144_margin_mine"    -> (q144 _))
 
   // DuckDB twins. Shared SQL fragments for the text queries:
   // explicit class: Java \s includes \x0B, RE2 \s does not — see
@@ -3308,5 +3324,38 @@ object SparkEntry {
          |                          CAST(0 AS DECIMAL(18,9)))) AS DOUBLE)
          |        / count(*), 6) + 0 AS mrr
          |FROM per GROUP BY 1
+         |""".stripMargin),
+    "q144_margin_mine" ->
+      ("""WITH A AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 0),
+         |B AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 1),
+         |pf AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         |  list_cosine_similarity(CAST(b.embedding AS DOUBLE[]),
+         |                         CAST(a.embedding AS DOUBLE[])) AS sim,
+         |  row_number() OVER (PARTITION BY a.vec_id ORDER BY
+         |    list_cosine_similarity(CAST(b.embedding AS DOUBLE[]),
+         |                           CAST(a.embedding AS DOUBLE[])) DESC,
+         |    b.vec_id) AS rk
+         |  FROM A a CROSS JOIN B b),
+         |fwd AS (SELECT a_id, b_id, round(sim, 4) + 0 AS sim_r FROM pf WHERE rk <= 4),
+         |pb AS (SELECT b.vec_id AS b_id,
+         |  list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+         |                         CAST(b.embedding AS DOUBLE[])) AS sim,
+         |  row_number() OVER (PARTITION BY b.vec_id ORDER BY
+         |    list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+         |                           CAST(b.embedding AS DOUBLE[])) DESC,
+         |    a.vec_id) AS rk
+         |  FROM B b CROSS JOIN A a),
+         |bwd AS (SELECT b_id, round(sim, 4) + 0 AS sim_r FROM pb WHERE rk <= 4),
+         |aa AS (SELECT a_id, CAST(sum(CAST(sim_r AS DECIMAL(18,4))) AS DOUBLE)
+         |  / count(*) AS avg_a FROM fwd GROUP BY 1),
+         |ab AS (SELECT b_id, CAST(sum(CAST(sim_r AS DECIMAL(18,4))) AS DOUBLE)
+         |  / count(*) AS avg_b FROM bwd GROUP BY 1),
+         |sc AS (SELECT f.a_id, f.b_id, f.sim_r,
+         |  round(f.sim_r / ((aa.avg_a + ab.avg_b) / 2), 6) + 0 AS margin
+         |  FROM fwd f JOIN aa USING (a_id) JOIN ab USING (b_id)),
+         |r AS (SELECT a_id, b_id, sim_r, margin,
+         |  row_number() OVER (PARTITION BY a_id ORDER BY margin DESC, b_id) AS rk
+         |  FROM sc)
+         |SELECT a_id, b_id, sim_r, margin FROM r WHERE rk = 1
          |""".stripMargin))
 }

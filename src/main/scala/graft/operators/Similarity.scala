@@ -166,6 +166,44 @@ object Similarity {
           sum(col("__rr")).cast("double") / count(lit(1)), 6).as("mrr"))
   }
 
+  /** Margin-based bitext mining (Artetxe & Schwenk, "Margin-based
+    * Parallel Corpus Mining with Multilingual Sentence Embeddings",
+    * ACL 2019 — the LASER/CCMatrix miner): a candidate pair (x, y)
+    * scores `cos(x,y) / ((avgK(x) + avgK(y)) / 2)` where avgK is the
+    * mean cosine of the row's k nearest neighbors ON THE OTHER SIDE —
+    * raw cosine over-pairs hub vectors, the margin normalizes each
+    * row's neighborhood density away. Returns the best (margin-ranked)
+    * `b` per `a` among a's k-NN candidates: `(a_id, b_id, sim_r,
+    * margin)`.
+    *
+    * Determinism: margins are built from the ROUNDED sim_r (4 places,
+    * [[topKCosine]]'s output contract) with neighborhood means routed
+    * through DECIMAL(18,4) — exact sums, then fixed-order double
+    * arithmetic both engines share. Scale: two [[topKCosine]] passes
+    * (each side broadcast-probes the other under the `maxProbes`
+    * guard — the 100 TB path swaps in the IVF/LSH candidate stage),
+    * two neighborhood aggregates, one pair-scale join; the final cut
+    * is the bounded heap.
+    */
+  def marginMining(a: DataFrame, b: DataFrame, idCol: String, vecCol: String,
+                   k: Int, maxProbes: Int = 100000): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(18, 4)
+    val fwd = topKCosine(b, a, idCol, vecCol, k, maxProbes)
+      .select(col("probe_id").as("a_id"), col("vec_id").as("b_id"), col("sim_r"))
+    val bwd = topKCosine(a, b, idCol, vecCol, k, maxProbes)
+      .select(col("probe_id").as("b_id"), col("sim_r").as("__s2"))
+    val avgA = fwd.groupBy(col("a_id"))
+      .agg((sum(col("sim_r").cast(dec)).cast("double") / count(lit(1))).as("__avg_a"))
+    val avgB = bwd.groupBy(col("b_id"))
+      .agg((sum(col("__s2").cast(dec)).cast("double") / count(lit(1))).as("__avg_b"))
+    val scored = fwd.join(avgA, "a_id").join(avgB, "b_id")
+      .withColumn("margin", NumFunctions.roundNz(
+        col("sim_r") / ((col("__avg_a") + col("__avg_b")) / 2.0), 6))
+    TopK.topKPerKey(scored, Seq("a_id"),
+        struct(negate(col("margin")), col("b_id")), Seq("b_id", "sim_r", "margin"), 1)
+      .select(col("a_id"), col("b_id"), col("sim_r"), col("margin"))
+  }
+
   /** Approximate top-k via random-hyperplane LSH: `tables` independent
     * signatures of `bits` hyperplane signs each; candidates = corpus rows
     * sharing any bucket with the probe; exact cosine re-ranking on the

@@ -132,6 +132,52 @@ class SimilaritySpec extends SparkSpec {
     assert(mrr1 === 0.25, s"mrr $mrr1")
   }
 
+  test("marginMining: matches a driver-side reimplementation; stable under repartition") {
+    def r4(v: Double) = BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def r6(v: Double) = BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // deterministic pseudo-random 3-d vectors, ids 0..11 split even/odd
+    val vecs = (0L until 12L).map { i =>
+      val f = Array.tabulate(3)(j => (((i * 37 + j * 101) % 17).toFloat - 8f) / 8f)
+      (i, f)
+    }
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (j <- 0 until 3) {
+        d += a(j).toDouble * b(j); na += a(j).toDouble * a(j); nb += b(j).toDouble * b(j)
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val aSide = vecs.filter(_._1 % 2 == 0)
+    val bSide = vecs.filter(_._1 % 2 == 1)
+    def topk(from: Seq[(Long, Array[Float])], to: Seq[(Long, Array[Float])]) =
+      from.map { case (id, v) =>
+        id -> to.map { case (jid, w) => (jid, cos(v, w)) }
+          .sortBy { case (jid, s) => (-s, jid) }.take(4)
+          .map { case (jid, s) => (jid, r4(s)) }
+      }.toMap
+    val fwd = topk(aSide, bSide)
+    val bwd = topk(bSide, aSide)
+    def avg(m: Map[Long, Seq[(Long, Double)]]) =
+      m.map { case (id, ns) =>
+        id -> ns.map(n => BigDecimal(n._2)).sum.toDouble / ns.size
+      }
+    val (avgA, avgB) = (avg(fwd), avg(bwd))
+    val want = fwd.map { case (aId, ns) =>
+      val best = ns.map { case (bId, s) =>
+        (bId, s, r6(s / ((avgA(aId) + avgB(bId)) / 2.0)))
+      }.sortBy { case (bId, _, m) => (-m, bId) }.head
+      (aId, best._1, best._2, best._3)
+    }.toSet
+    val df = vecs.toDF("vec_id", "embedding")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      graft.operators.Similarity.marginMining(
+          d.filter($"vec_id" % 2 === 0), d.filter($"vec_id" % 2 === 1),
+          "vec_id", "embedding", k = 4)
+        .as[(Long, Long, Double, Double)].collect().toSet
+    assert(run(df) === want)
+    assert(run(df.repartition(7)) === want)
+  }
+
   test("centroidSpread: aligned class scores 1.0; its centroid broadcasts back") {
     // label 0 vectors are collinear → each has cosine exactly 1 to the
     // centroid; label 1's two orthogonal unit vectors → centroid at 45°,
