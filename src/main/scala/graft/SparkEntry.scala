@@ -1571,6 +1571,23 @@ object SparkEntry {
         TextFunctions.qualityScore(TextFunctions.tokens(col("text"))).as("score")),
       "source", col("score"), steps = 20)
 
+  /** Q145 — exact median WITHOUT reducer-side buffering
+    * ([[graft.operators.Quantiles.quantileScan]]): per-event-type
+    * interpolated median by histogram bisection — counting passes
+    * shrink each group's candidate region until a bounded value
+    * histogram resolves the order statistics, so no executor ever
+    * holds a group's values. Same interpolation as `percentile` /
+    * `quantile_cont`, hence the exact oracle. Parameters are set
+    * small (16 bins, 64-row terminal) so the bench exercises the
+    * multi-round path, not the terminal shortcut.
+    */
+  def q145(s: SparkSession, d: String): DataFrame =
+    graft.operators.Quantiles.quantileScan(
+        ev(s, d).filter(col("value").isNotNull), "event_type", "value",
+        p = 0.5, bins = 16, collectLimit = 64)
+      .select(col("event_type"), col("n"),
+        NumFunctions.roundNz(col("q"), 6).as("q_r"))
+
   /** Q144 — margin-based bitext mining
     * ([[graft.operators.Similarity.marginMining]]): even-id embeddings
     * mined against odd-id embeddings (the two-language stand-in), best
@@ -2029,7 +2046,8 @@ object SparkEntry {
     "q141_strat_sample"   -> (q141 _),
     "q142_debounce"       -> (q142 _),
     "q143_retrieval_eval" -> (q143 _),
-    "q144_margin_mine"    -> (q144 _))
+    "q144_margin_mine"    -> (q144 _),
+    "q145_scan_median"    -> (q145 _))
 
   // DuckDB twins. Shared SQL fragments for the text queries:
   // explicit class: Java \s includes \x0B, RE2 \s does not — see
@@ -3357,5 +3375,10 @@ object SparkEntry {
          |  row_number() OVER (PARTITION BY a_id ORDER BY margin DESC, b_id) AS rk
          |  FROM sc)
          |SELECT a_id, b_id, sim_r, margin FROM r WHERE rk = 1
+         |""".stripMargin),
+    "q145_scan_median" ->
+      ("""SELECT event_type, count(*) AS n,
+         |  round(quantile_cont(value, 0.5), 6) + 0 AS q_r
+         |FROM events WHERE value IS NOT NULL GROUP BY 1
          |""".stripMargin))
 }
