@@ -25,7 +25,11 @@ import graft.functions.NumFunctions
   * `percentile` is EXACT (oracle-checkable) but buffers each group's
   * reference values on one reducer; for billion-row reference groups
   * swap to `approx_percentile` — fixed-size sketch, same binning — with
-  * approximate edges (drift monitoring rarely cares).
+  * approximate edges (drift monitoring rarely cares), or to
+  * [[Quantiles.quantileScan]] when the edges must stay EXACT at any
+  * group size (O(log) counting passes, no reducer-side buffering —
+  * measured 3.7–4.5× faster than the buffering path already at 20–80 M
+  * rows, BASELINE.md `quantile_scan`).
   */
 object Drift {
 
