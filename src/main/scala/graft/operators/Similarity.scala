@@ -188,10 +188,31 @@ object Similarity {
   def marginMining(a: DataFrame, b: DataFrame, idCol: String, vecCol: String,
                    k: Int, maxProbes: Int = 100000): DataFrame = {
     val dec = org.apache.spark.sql.types.DecimalType(18, 4)
-    val fwd = topKCosine(b, a, idCol, vecCol, k, maxProbes)
-      .select(col("probe_id").as("a_id"), col("vec_id").as("b_id"), col("sim_r"))
-    val bwd = topKCosine(a, b, idCol, vecCol, k, maxProbes)
-      .select(col("probe_id").as("b_id"), col("sim_r").as("__s2"))
+    // cosine is symmetric: score the candidate pairs ONCE and feed both
+    // directions' top-k aggregations from the same table. `a` is the
+    // broadcast side (guarded); at 100 TB the cross join below is what
+    // an ANN candidate stage replaces — the pair table then holds
+    // candidates only, and the persist is candidate-scale.
+    requireSmallProbes(a, maxProbes, "marginMining")
+    val pa = a.select(col(idCol).as("a_id"), col(vecCol).as("pvec"))
+    val cb = spreadIfNarrow(b.select(col(idCol).as("b_id"), col(vecCol).as("cvec")))
+    // NOT persisted: the scored pairs are a MAP-SIDE product of a scan
+    // and a broadcast — recomputing them for the second aggregation
+    // costs two cheap codegen'd passes, where materializing pair-scale
+    // rows costs memory/disk proportional to |A|·|B| (measured slower
+    // already at 2.5 k × 2.5 k). An ANN-candidate variant whose pair
+    // table is expensive to produce SHOULD persist its candidates.
+    val pairs = cb.crossJoin(broadcast(pa))
+      .filter(col("a_id") =!= col("b_id")) // only fires if the sides share ids
+      .withColumn("sim", VectorFunctions.cosineSimilarity(col("cvec"), col("pvec")))
+      .filter(col("sim").isNotNull)
+      .select(col("a_id"), col("b_id"), col("sim"))
+    val fwd = TopK.topKPerKey(pairs, Seq("a_id"),
+        struct(negate(col("sim")), col("b_id")), Seq("b_id", "sim"), k)
+      .select(col("a_id"), col("b_id"), NumFunctions.roundNz(col("sim"), 4).as("sim_r"))
+    val bwd = TopK.topKPerKey(pairs, Seq("b_id"),
+        struct(negate(col("sim")), col("a_id")), Seq("a_id", "sim"), k)
+      .select(col("b_id"), NumFunctions.roundNz(col("sim"), 4).as("__s2"))
     val avgA = fwd.groupBy(col("a_id"))
       .agg((sum(col("sim_r").cast(dec)).cast("double") / count(lit(1))).as("__avg_a"))
     val avgB = bwd.groupBy(col("b_id"))
