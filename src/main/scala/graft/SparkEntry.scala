@@ -1571,6 +1571,19 @@ object SparkEntry {
         TextFunctions.qualityScore(TextFunctions.tokens(col("text"))).as("score")),
       "source", col("score"), steps = 20)
 
+  /** Q146 — frequent journeys ([[graft.operators.TimeSeries.journeys]]):
+    * the 10 most common per-session event-type sequences under q33's
+    * sessionization (user key, 30-minute gap) — funnels test one
+    * hypothesis, this mines them. One keyed window + per-session
+    * bounded sort + TakeOrdered cut.
+    */
+  def q146(s: SparkSession, d: String): DataFrame =
+    graft.operators.TimeSeries.journeys(
+      ev(s, d).filter(col("ts").isNotNull)
+        .select(col("user_id"), col("event_id"), col("event_type"), col("ts")),
+      "user_id", "ts", "event_id", "event_type",
+      gapSeconds = 1800L, k = 10)
+
   /** Q145 — exact median WITHOUT reducer-side buffering
     * ([[graft.operators.Quantiles.quantileScan]]): per-event-type
     * interpolated median by histogram bisection — counting passes
@@ -2047,7 +2060,8 @@ object SparkEntry {
     "q142_debounce"       -> (q142 _),
     "q143_retrieval_eval" -> (q143 _),
     "q144_margin_mine"    -> (q144 _),
-    "q145_scan_median"    -> (q145 _))
+    "q145_scan_median"    -> (q145 _),
+    "q146_journeys"       -> (q146 _))
 
   // DuckDB twins. Shared SQL fragments for the text queries:
   // explicit class: Java \s includes \x0B, RE2 \s does not — see
@@ -3380,5 +3394,23 @@ object SparkEntry {
       ("""SELECT event_type, count(*) AS n,
          |  round(quantile_cont(value, 0.5), 6) + 0 AS q_r
          |FROM events WHERE value IS NOT NULL GROUP BY 1
+         |""".stripMargin),
+    "q146_journeys" ->
+      ("""WITH x AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+         |  lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+         |    AS prev
+         |  FROM events WHERE ts IS NOT NULL),
+         |y AS (SELECT user_id, event_id, event_type, us,
+         |  CASE WHEN prev IS NULL OR us - prev > 1800000000 THEN 1 ELSE 0 END AS brk
+         |  FROM x),
+         |z AS (SELECT user_id, event_type, us, event_id,
+         |  sum(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS session
+         |  FROM y),
+         |j AS (SELECT user_id, session,
+         |  string_agg(event_type, '>' ORDER BY us, event_id) AS journey
+         |  FROM z GROUP BY 1, 2)
+         |SELECT journey, count(*) AS n_sessions
+         |FROM j GROUP BY 1 ORDER BY n_sessions DESC, journey LIMIT 10
          |""".stripMargin))
 }

@@ -96,6 +96,54 @@ object TimeSeries {
     * `is_anomaly` compares the ROUNDED score so the flag and the score
     * can never disagree.
     */
+  /** Per-EVENT session assignment — [[sessionize]]'s break/cumsum core
+    * with the rows kept instead of aggregated: every event gains its
+    * key's `session` index (0-based) and `ts_us`. One keyed window,
+    * shared by the lag and the running sum.
+    */
+  def sessionAssign(df: DataFrame, keyCol: String, tsCol: String,
+                    tieCol: String, gapSeconds: Long): DataFrame = {
+    require(gapSeconds > 0, s"gap must be positive, got $gapSeconds")
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("__tu"), col(tieCol))
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val gapUs = gapSeconds * 1000000L
+    df.withColumn("__tu", unix_micros(col(tsCol)))
+      .withColumn("__brk",
+        when(lag(col("__tu"), 1).over(w).isNull ||
+          col("__tu") - lag(col("__tu"), 1).over(w) > gapUs, 1L).otherwise(0L))
+      .withColumn("session", sum(col("__brk")).over(run) - 1)
+      .withColumnRenamed("__tu", "ts_us")
+      .drop("__brk", tsCol)
+  }
+
+  /** Frequent journeys: the top-`k` most common per-session event-type
+    * SEQUENCES — the "what do users actually do" mining pass over
+    * sessionized activity (funnels test ONE hypothesis; this surfaces
+    * the hypotheses). Returns `(journey, n_sessions)` with the journey
+    * as a `>`-joined type string, cut by the total order
+    * `(n desc, journey)`.
+    *
+    * Scale shape: session assignment is ONE keyed window; the sequence
+    * build is a per-session aggregate whose `array_sort(struct(ts,
+    * tie, type))` orders WITHIN each session's bounded row set (never a
+    * global sort); journey counting partial-aggregates and the cut is
+    * TakeOrdered.
+    */
+  def journeys(df: DataFrame, keyCol: String, tsCol: String, tieCol: String,
+               typeCol: String, gapSeconds: Long, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val sess = sessionAssign(df, keyCol, tsCol, tieCol, gapSeconds)
+    sess.groupBy(col(keyCol), col("session"))
+      .agg(array_join(
+        transform(
+          array_sort(collect_list(struct(col("ts_us"), col(tieCol), col(typeCol)))),
+          x => x.getField(typeCol)),
+        ">").as("journey"))
+      .groupBy(col("journey")).agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("journey").asc)
+      .limit(k)
+  }
+
   /** Debounce: keep only the FIRST event of every burst per key, where
     * a burst is a run of events each within `gapSeconds` of its
     * predecessor — the duplicate-click / sensor-chatter suppressor (and

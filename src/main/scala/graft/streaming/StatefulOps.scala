@@ -49,6 +49,53 @@ object StatefulOps {
       }
   }
 
+  /** Streaming debounce — the stateful twin of the batch
+    * [[graft.operators.TimeSeries.debounce]] (q142): per key, emit an
+    * event only when it arrives more than `gapMs` after the LAST
+    * SEEN event — chained chatter re-arms the suppression window, the
+    * batch operator's exact gap-chained-burst semantics. State is one
+    * long per key; `stateTtlMs` bounds it by the chatter horizon for
+    * daemon mode (same contract as [[dedupByKey]]).
+    *
+    * In-order delivery per key is assumed within a micro-batch (the
+    * rows iterator is sorted here, cross-batch order comes from the
+    * source); a late event older than the last seen one counts as
+    * chatter.
+    */
+  case class DebounceState(lastSeen: Long)
+
+  def debounceByKey(events: Dataset[KeyedEvent], gapMs: Long,
+                    stateTtlMs: Long = 0L): Dataset[KeyedEvent] = {
+    require(gapMs > 0, s"gapMs must be positive, got $gapMs")
+    import events.sparkSession.implicits._
+    val timeout =
+      if (stateTtlMs > 0) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    events
+      .groupByKey(_.entity)
+      .flatMapGroupsWithState[DebounceState, KeyedEvent](OutputMode.Append(), timeout) {
+        case (_, rows, state: GroupState[DebounceState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var st = state.getOption.getOrElse(DebounceState(Long.MinValue))
+            val out = Vector.newBuilder[KeyedEvent]
+            rows.toVector.sortBy(r => (r.ts.getTime, r.event_id)).foreach { r =>
+              val t = r.ts.getTime
+              // leader iff the gap since the last SEEN event is open —
+              // the batch operator's exact break predicate
+              if (st.lastSeen == Long.MinValue || t - st.lastSeen > gapMs)
+                out += r
+              st = DebounceState(math.max(st.lastSeen, t))
+            }
+            state.update(st)
+            if (stateTtlMs > 0) state.setTimeoutDuration(stateTtlMs)
+            out.result().iterator
+          }
+      }
+  }
+
   /** Event-time tumbling-window aggregation with a watermark — the
     * streaming twin of the batch Q15 (`SparkEntry.q15`). Late rows beyond
     * `lateness` are dropped and state for closed windows is reclaimed.

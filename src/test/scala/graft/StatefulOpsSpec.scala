@@ -234,6 +234,34 @@ class StatefulOpsSpec extends SparkSpec {
     assert(batchAll.size === 3, "t2 must create all three source pairs")
   }
 
+  test("debounceByKey matches the batch debounce across micro-batch boundaries") {
+    val input = MemoryStream[KeyedEvent]
+    val out = StatefulOps.debounceByKey(input.toDS(), gapMs = 5000L)
+    val q = out.writeStream.format("memory").queryName("debounce_out")
+      .outputMode(OutputMode.Append()).start()
+    // burst for e1 split ACROSS two triggers: 0s,3s | 6s,100s — the 6s
+    // row chains off the 3s row held in state, so only 0s and 100s lead
+    val t1 = Seq(
+      KeyedEvent("e1", 1L, ts("2024-01-01 00:00:00")),
+      KeyedEvent("e1", 2L, ts("2024-01-01 00:00:03")),
+      KeyedEvent("e2", 5L, ts("2024-01-01 00:00:01")))
+    val t2 = Seq(
+      KeyedEvent("e1", 3L, ts("2024-01-01 00:00:06")),
+      KeyedEvent("e1", 4L, ts("2024-01-01 00:01:40")))
+    input.addData(t1: _*); q.processAllAvailable()
+    input.addData(t2: _*); q.processAllAvailable()
+    q.stop()
+    val got = spark.table("debounce_out")
+      .select("event_id").as[Long].collect().toSet
+    assert(got === Set(1L, 4L, 5L))
+    // the batch operator on the union agrees event for event
+    val batch = graft.operators.TimeSeries.debounce(
+        (t1 ++ t2).toDF("entity", "event_id", "ts"),
+        Seq("entity"), "ts", "event_id", gapSeconds = 5L)
+      .select("event_id").as[Long].collect().toSet
+    assert(got === batch)
+  }
+
   test("streams compose: per-trigger min-merged first-occurrences accumulate to the batch Heaps curve (q131)") {
     // the vocabulary-growth surface maintained incrementally: the state
     // table holds (token, first_bucket, n_in_bucket...) reduced per

@@ -125,6 +125,34 @@ class TimeSeriesSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("journeys: sessions split by gap, sequences ordered by (ts, tie), counted and cut") {
+    def t(s: String) = Timestamp.valueOf(s)
+    // u1 session 1: A>B ; u1 session 2 (gap > 10 min): A>B ; u2: A>B ;
+    // u3: C alone — "A>B" dominates with 3 sessions
+    val df = Seq(
+      (1L, 1L, "A", t("2024-01-01 10:00:00")),
+      (2L, 1L, "B", t("2024-01-01 10:01:00")),
+      (3L, 1L, "A", t("2024-01-01 12:00:00")),
+      (4L, 1L, "B", t("2024-01-01 12:02:00")),
+      (5L, 2L, "A", t("2024-01-01 09:00:00")),
+      (6L, 2L, "B", t("2024-01-01 09:03:00")),
+      (7L, 3L, "C", t("2024-01-01 08:00:00"))
+    ).toDF("event_id", "user_id", "event_type", "ts")
+    val got = TimeSeries.journeys(df, "user_id", "ts", "event_id",
+        "event_type", gapSeconds = 600L, k = 5)
+      .as[(String, Long)].collect().toSeq
+    assert(got === Seq(("A>B", 3L), ("C", 1L)))
+    // equal timestamps order by the tie column inside the sequence
+    val tie = Seq(
+      (9L, 9L, "X", t("2024-01-01 00:00:00")),
+      (8L, 9L, "Y", t("2024-01-01 00:00:00")))
+      .toDF("event_id", "user_id", "event_type", "ts")
+    val seq1 = TimeSeries.journeys(tie, "user_id", "ts", "event_id",
+        "event_type", gapSeconds = 60L, k = 1)
+      .as[(String, Long)].collect().head
+    assert(seq1 === (("Y>X", 1L)))
+  }
+
   test("debounce: chained bursts keep only their leader, keys independent") {
     def t(s: String) = Timestamp.valueOf(s)
     // key u1: events at 0s, 3s, 6s (chained, gap 5s) then 100s — the
