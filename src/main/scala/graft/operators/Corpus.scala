@@ -336,8 +336,11 @@ object Corpus {
       .select(col("__k").cast("double").as("__kd"), col("__k").as("k"),
         col("__sx").cast("double").as("__sx"), col("__sy").cast("double").as("__sy"),
         col("__sxy").cast("double").as("__sxy"), col("__sxx").cast("double").as("__sxx"))
-    val slope = (col("__kd") * col("__sxy") - col("__sx") * col("__sy")) /
-      (col("__kd") * col("__sxx") - col("__sx") * col("__sx"))
+    // a 1-rank vocabulary has no slope: denominator 0 → NULL (explicit,
+    // rather than ANSI mode's divide-by-zero error)
+    val den = col("__kd") * col("__sxx") - col("__sx") * col("__sx")
+    val slope = when(den =!= 0.0,
+      (col("__kd") * col("__sxy") - col("__sx") * col("__sy")) / den)
     agg.select(col("k"),
       NumFunctions.roundNz(slope, 6).as("slope_r"),
       NumFunctions.roundNz((col("__sy") - slope * col("__sx")) / col("__kd"), 6)

@@ -134,6 +134,56 @@ class EdgeCaseSpec extends SparkSpec {
     assert(ks === Array(0L))
   }
 
+  test("round-9c operators tolerate empty and degenerate inputs") {
+    val emptyDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val emptySrc = Seq.empty[(Long, String, String)].toDF("doc_id", "source", "text")
+    // exact set-sim join: nothing to pair, no exception
+    assert(graft.operators.Dedup.setSimJoinPrefix(emptyDocs, "doc_id", "text")
+      .count() === 0)
+    // all-blank docs: every shingle set is empty → filtered before prefixes
+    val blanks = Seq((1L, " "), (2L, "\t")).toDF("doc_id", "text")
+    assert(graft.operators.Dedup.setSimJoinPrefix(blanks, "doc_id", "text")
+      .count() === 0)
+    assert(graft.operators.Corpus.heapsCurve(emptyDocs, "doc_id", "text")
+      .count() === 0)
+    assert(graft.operators.Corpus.perplexityBuckets(emptyDocs, "doc_id", "text")
+      .count() === 0)
+    // empty edge table: no nodes, no ranks, no divide-by-zero
+    val emptyEdges = Seq.empty[(String, String)].toDF("src", "dst")
+    assert(graft.operators.Graph.pageRank(emptyEdges, "src", "dst").count() === 0)
+    assert(graft.operators.Corpus.bigramEdges(emptyDocs, "doc_id", "text")
+      .count() === 0)
+    // MAD of an empty / all-null column
+    val nullVals = Seq((1L, "g", Option.empty[Double])).toDF("id", "grp", "value")
+    assert(graft.operators.Drift.madOutliers(nullVals, "grp", "value").count() === 0)
+    // sweep / curriculum / stratified sample over empty strata
+    assert(graft.operators.Corpus.thresholdSweep(
+      Seq.empty[(String, Double)].toDF("source", "score"), "source", col("score"))
+      .count() === 0)
+    assert(graft.operators.Corpus.curriculumOrder(
+      Seq.empty[(Long, String, Double)].toDF("doc_id", "source", "score"),
+      "doc_id", "source", col("score")).count() === 0)
+    assert(graft.operators.Corpus.hashSamplePerGroup(emptySrc, "source", "doc_id", 3)
+      .count() === 0)
+    // quantile scan over an empty frame: empty result, no convergence error
+    assert(graft.operators.Quantiles.quantileScan(
+      Seq.empty[(String, Double)].toDF("g", "v"), "g", "v", 0.5).count() === 0)
+    // debounce/journeys over empty events
+    val emptyEvents = Seq.empty[(Long, Long, String, java.sql.Timestamp)]
+      .toDF("event_id", "user_id", "event_type", "ts")
+    assert(graft.operators.TimeSeries.debounce(emptyEvents,
+      Seq("user_id", "event_type"), "ts", "event_id", 60L).count() === 0)
+    assert(graft.operators.TimeSeries.journeys(emptyEvents, "user_id", "ts",
+      "event_id", "event_type", 60L, 5).count() === 0)
+    // zipfFit over a single-token vocabulary: one rank reaches the
+    // regression, whose denominator is 0 — the undefined slope surfaces
+    // as NULL (a 1-point line has no slope), k reports the truth
+    val mono = Seq((1L, "a a a")).toDF("doc_id", "text")
+    val fit = graft.operators.Corpus.zipfFit(mono, "text", k = 2).collect().head
+    assert(fit.getLong(0) === 1L)
+    assert(fit.isNullAt(1) && fit.isNullAt(2))
+  }
+
   test("round-8b operators tolerate empty and degenerate inputs") {
     val emptyDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
     val someDocs = Seq((1L, "a b c"), (2L, "a b d")).toDF("doc_id", "text")
