@@ -1571,6 +1571,21 @@ object SparkEntry {
         TextFunctions.qualityScore(TextFunctions.tokens(col("text"))).as("score")),
       "source", col("score"), steps = 20)
 
+  /** Q147 — LSH-candidate bitext mining
+    * ([[graft.operators.Similarity.marginMiningAnn]]): q144's margin
+    * miner with random-hyperplane candidate generation — neither side
+    * broadcasts, only bucket-sharing pairs are scored, the candidate
+    * table persists. Hash-bucket-specific output: no SQL oracle;
+    * SimilaritySpec pins partner agreement with the exact miner.
+    */
+  def q147(s: SparkSession, d: String): DataFrame = {
+    val e = emb(s, d)
+    graft.operators.Similarity.marginMiningAnn(
+      e.filter(pmod(col("vec_id"), lit(2)) === 0),
+      e.filter(pmod(col("vec_id"), lit(2)) === 1),
+      "vec_id", "embedding", k = 4)
+  }
+
   /** Q146 — frequent journeys ([[graft.operators.TimeSeries.journeys]]):
     * the 10 most common per-session event-type sequences under q33's
     * sessionization (user key, 30-minute gap) — funnels test one
@@ -2061,7 +2076,8 @@ object SparkEntry {
     "q143_retrieval_eval" -> (q143 _),
     "q144_margin_mine"    -> (q144 _),
     "q145_scan_median"    -> (q145 _),
-    "q146_journeys"       -> (q146 _))
+    "q146_journeys"       -> (q146 _),
+    "q147_margin_ann"     -> (q147 _))
 
   // DuckDB twins. Shared SQL fragments for the text queries:
   // explicit class: Java \s includes \x0B, RE2 \s does not — see

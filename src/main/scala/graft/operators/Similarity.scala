@@ -207,6 +207,50 @@ object Similarity {
       .withColumn("sim", VectorFunctions.cosineSimilarity(col("cvec"), col("pvec")))
       .filter(col("sim").isNotNull)
       .select(col("a_id"), col("b_id"), col("sim"))
+    marginFromPairs(pairs, k)
+  }
+
+  /** [[marginMining]] with LSH candidate generation — the 100 TB shape
+    * made concrete: NEITHER side broadcasts (the candidate join keys on
+    * the random-hyperplane bucket, so both sides shuffle on bucket
+    * hashes), only bucket-sharing pairs are scored, and the candidate
+    * table persists because producing it is the expensive stage.
+    * Neighborhood means are computed WITHIN the candidate graph (the
+    * standard mining practice — the margin needs the k-NN estimate the
+    * index can see); recall vs the exact miner is spec-pinned, not
+    * assumed.
+    */
+  def marginMiningAnn(a: DataFrame, b: DataFrame, idCol: String,
+                      vecCol: String, k: Int, bits: Int = 8,
+                      tables: Int = 8, seed: Long = 42L): DataFrame = {
+    def withBuckets(df: DataFrame, id: String, vec: String): DataFrame =
+      df.select(col(id), col(vec),
+        explode(array((0 until tables).map { t =>
+          struct(lit(t).as("t"),
+            ColumnBridge.column(RandomHyperplaneSignature(
+              ColumnBridge.expression(col(vec)), bits, seed + t)).as("sig"))
+        }: _*)).as("bucket"))
+    val ab = withBuckets(spreadIfNarrow(
+      a.select(col(idCol).as("a_id"), col(vecCol).as("pvec"))), "a_id", "pvec")
+    val bb = withBuckets(spreadIfNarrow(
+      b.select(col(idCol).as("b_id"), col(vecCol).as("cvec"))), "b_id", "cvec")
+    val pairs = ab.join(bb, "bucket")
+      .filter(col("a_id") =!= col("b_id"))
+      .select(col("a_id"), col("b_id"), col("pvec"), col("cvec"))
+      .dropDuplicates("a_id", "b_id")
+      .withColumn("sim", VectorFunctions.cosineSimilarity(col("cvec"), col("pvec")))
+      .filter(col("sim").isNotNull)
+      .select(col("a_id"), col("b_id"), col("sim"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    marginFromPairs(pairs, k)
+  }
+
+  /** Shared margin stage: per-side top-k neighborhoods from one scored
+    * pair table, decimal-exact neighborhood means, margin-ranked best
+    * partner per `a_id`.
+    */
+  private def marginFromPairs(pairs: DataFrame, k: Int): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(18, 4)
     val fwd = TopK.topKPerKey(pairs, Seq("a_id"),
         struct(negate(col("sim")), col("b_id")), Seq("b_id", "sim"), k)
       .select(col("a_id"), col("b_id"), NumFunctions.roundNz(col("sim"), 4).as("sim_r"))

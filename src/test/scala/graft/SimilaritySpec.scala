@@ -178,6 +178,42 @@ class SimilaritySpec extends SparkSpec {
     assert(run(df.repartition(7)) === want)
   }
 
+  test("marginMiningAnn: recovers planted cross-side mates the exact miner finds") {
+    // 16 planted translation pairs: a-side 2i and b-side 2i+1 share a
+    // deterministic direction (b lightly perturbed); background vectors
+    // are unrelated directions from the same aperiodic sin family. The
+    // exact miner must pair every mate; the LSH-candidate miner must
+    // recover most.
+    def dir(i: Long, d: Int): Array[Float] =
+      Array.tabulate(d) { j =>
+        var x = i * 1000003L + j // murmur3 finalizer: full avalanche
+        x ^= x >>> 33; x *= 0xff51afd7ed558ccdL
+        x ^= x >>> 33; x *= 0xc4ceb9fe1a85ec53L
+        x ^= x >>> 33
+        ((((x % 2048L) + 2048L) % 2048L).toFloat / 1024f) - 1f
+      }
+    val mates = (0L until 16L).flatMap { i =>
+      val v = dir(i, 16)
+      Seq((2 * i, v.toSeq.toArray),
+        (2 * i + 1, v.map(x => x + 0.01f * ((i + x).toInt % 3 - 1))))
+    }
+    val noise = (100L until 140L).map(i => (i * 2 + 1, dir(i * 977 + 5, 16)))
+    val df = (mates ++ noise).toDF("vec_id", "embedding")
+    val a = df.filter($"vec_id" % 2 === 0)
+    val b = df.filter($"vec_id" % 2 === 1)
+    val exact = graft.operators.Similarity.marginMining(
+        a, b, "vec_id", "embedding", k = 4)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toMap
+    (0L until 16L).foreach(i =>
+      assert(exact(2 * i) === 2 * i + 1, s"exact miner missed mate $i"))
+    val ann = graft.operators.Similarity.marginMiningAnn(
+        a, b, "vec_id", "embedding", k = 4)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toMap
+    assert(ann.forall { case (x, y) => x % 2 == 0 && y % 2 == 1 })
+    val recovered = (0L until 16L).count(i => ann.get(2 * i).contains(2 * i + 1))
+    assert(recovered >= 13, s"ANN miner recovered only $recovered/16 mates")
+  }
+
   test("centroidSpread: aligned class scores 1.0; its centroid broadcasts back") {
     // label 0 vectors are collinear → each has cosine exactly 1 to the
     // centroid; label 1's two orthogonal unit vectors → centroid at 45°,
