@@ -24,8 +24,13 @@ import org.apache.spark.sql.functions._
   *
   * Scale design: the edge list and node table are persisted once and
   * reused by every iteration (lineage would otherwise recompute the
-  * upstream extraction per iteration; ContextCleaner reclaims both when
-  * the result is dropped). Per iteration: one equi-join ranks⋈edges on
+  * upstream extraction per iteration). Cache lifecycle is deliberately
+  * lazy-scoped to the RESULT: the returned ranks still reference both
+  * caches, so they are not unpersisted here — the ContextCleaner
+  * reclaims them once the result is dropped, and MEMORY_AND_DISK
+  * blocks degrade to disk under pressure rather than OOM (the
+  * [[Corpus.decontaminateBloom]] lifecycle contract). Per iteration:
+  * one equi-join ranks⋈edges on
   * src (rank-scale), one partial-aggregating shuffle of BIGINT
   * contributions per dst, one left join back to the node table. Rank
   * state is 16 bytes/node. Plan depth grows linearly in `iterations`

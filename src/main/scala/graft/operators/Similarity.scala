@@ -218,7 +218,10 @@ object Similarity {
     * Neighborhood means are computed WITHIN the candidate graph (the
     * standard mining practice — the margin needs the k-NN estimate the
     * index can see); recall vs the exact miner is spec-pinned, not
-    * assumed.
+    * assumed. The candidate cache is lazy-scoped to the result (both
+    * top-k directions read it) and reclaimed by the ContextCleaner when
+    * the result is dropped — the [[Corpus.decontaminateBloom]]
+    * lifecycle contract.
     */
   def marginMiningAnn(a: DataFrame, b: DataFrame, idCol: String,
                       vecCol: String, k: Int, bits: Int = 8,
