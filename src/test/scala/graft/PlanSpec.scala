@@ -524,6 +524,16 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q147: ANN mining candidates come from an EQUI-join on the LSH bucket") {
+    val p = plan(SparkEntry.q147(spark, sf0001))
+    // the candidate join keys on the bucket struct — an equi strategy
+    // Spark may size-pick (broadcast here, SMJ at scale); what must
+    // NEVER appear is a nested-loop/cartesian pairing of the sides
+    assert(p.contains("[bucket"), s"candidate join not keyed on bucket:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"nested-loop pairing:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian pairing:\n$p")
+  }
+
   test("q129: exact set-sim join plans equi-joins only — no cartesian, no nested loop") {
     val p = plan(SparkEntry.q129(spark, sf0001))
     assert(!p.contains("CartesianProduct"), s"cartesian in exact join:\n$p")
