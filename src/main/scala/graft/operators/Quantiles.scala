@@ -44,7 +44,7 @@ object Quantiles {
     */
   def quantileScan(df: DataFrame, groupCol: String, valueCol: String,
                    p: Double, bins: Int = 256, collectLimit: Int = 4096,
-                   maxRounds: Int = 64): DataFrame = {
+                   maxRounds: Int = 256): DataFrame = {
     require(p >= 0.0 && p <= 1.0, s"p must be in [0,1], got $p")
     require(bins >= 2 && collectLimit >= 1, "bins/collectLimit too small")
     val spark = df.sparkSession
@@ -72,9 +72,15 @@ object Quantiles {
         }
     }
 
-    def countPass(live: Map[(String, Int), Search],
-                  binned: Boolean): Map[((String, Int), Any), Long] = {
-      // one job per search index (≤ 2), each a map-filtered aggregate
+    case class BinStat(c: Long, mn: Double, mx: Double)
+
+    // one job per search index (≤ 2), each a map-filtered aggregate;
+    // per-bin min/max ride along so regions tighten to ACTUAL data
+    // bounds — the invariant that guarantees strict progress: a region
+    // holding ≥ 2 distinct values always splits across [min, max]-based
+    // bins, and a single-valued region resolves immediately
+    def histPass(live: Map[(String, Int), Search],
+                 binned: Boolean): Map[((String, Int), Any), BinStat] = {
       live.keys.map(_._2).toSet.toSeq.flatMap { idx: Int =>
         val sub = live.filter(_._1._2 == idx)
         val loCol = typedlit(sub.map { case ((g, _), s) => g -> s.lo })
@@ -85,15 +91,17 @@ object Quantiles {
         val keyCol =
           if (binned) {
             val w = (element_at(hiCol, col("g")) - element_at(loCol, col("g"))) / bins
-            least(lit(bins - 1), greatest(lit(0),
-              floor((col("v") - element_at(loCol, col("g"))) / w).cast("int")))
-              .cast("double")
+            when(w > 0.0, least(lit(bins - 1), greatest(lit(0),
+              floor((col("v") - element_at(loCol, col("g"))) / w).cast("int"))))
+              .otherwise(lit(0)).cast("double")
           } else col("v")
         base.filter(inRegion)
-          .groupBy(col("g"), keyCol.as("k")).agg(count(lit(1)).as("c"))
+          .groupBy(col("g"), keyCol.as("k"))
+          .agg(count(lit(1)).as("c"), min(col("v")).as("mn"), max(col("v")).as("mx"))
           .collect()
           .map(r => (((r.getString(0), idx): (String, Int)),
-            r.getDouble(1).asInstanceOf[Any]) -> r.getLong(2))
+            r.getDouble(1).asInstanceOf[Any]) ->
+            BinStat(r.getLong(2), r.getDouble(3), r.getDouble(4)))
       }.toMap
     }
 
@@ -104,30 +112,33 @@ object Quantiles {
       val (term, bisect) = open.partition(_._2.terminal)
 
       if (bisect.nonEmpty) {
-        val counts = countPass(bisect, binned = true)
+        val stats = histPass(bisect, binned = true)
         searches = searches ++ bisect.map { case (key, s) =>
-          val width = (s.hi - s.lo) / bins
           val cs = Array.tabulate(bins)(b =>
-            counts.getOrElse((key, b.toDouble), 0L))
-          val total = cs.sum
-          if (total <= collectLimit || width <= 0 || s.lo + width == s.lo)
-            key -> s.copy(terminal = true)
+            stats.getOrElse((key, b.toDouble), BinStat(0L, Double.NaN, Double.NaN)))
+          val total = cs.map(_.c).sum
+          val regionMin = cs.filter(_.c > 0).map(_.mn).min
+          val regionMax = cs.filter(_.c > 0).map(_.mx).max
+          if (regionMin == regionMax)
+            key -> s.copy(done = Some(regionMin)) // single-valued region
+          else if (total <= collectLimit)
+            key -> s.copy(terminal = true, lo = regionMin, hi = regionMax)
           else {
             var acc = 0L; var b = 0
-            while (acc + cs(b) < s.k - s.r0) { acc += cs(b); b += 1 }
-            val hi2 = if (b == bins - 1) s.hi else s.lo + width * (b + 1)
-            key -> s.copy(lo = s.lo + width * b, hi = hi2, r0 = s.r0 + acc)
+            while (acc + cs(b).c < s.k - s.r0) { acc += cs(b).c; b += 1 }
+            // tighten to the slot's OBSERVED bounds, not its arithmetic
+            // edges — this is what makes every round strict progress
+            key -> s.copy(lo = cs(b).mn, hi = cs(b).mx, r0 = s.r0 + acc)
           }
         }
       }
 
       if (term.nonEmpty) {
         // exact order statistic from the region's per-VALUE histogram —
-        // ≤ collectLimit rows per search by construction (a degenerate
-        // unsplittable region holds few distinct doubles by definition)
-        val hist = countPass(term, binned = false)
+        // ≤ collectLimit rows per search by construction
+        val hist = histPass(term, binned = false)
           .groupBy(_._1._1).map { case (key, m) =>
-            key -> m.toSeq.map { case ((_, v), c) => (v.asInstanceOf[Double], c) }
+            key -> m.toSeq.map { case ((_, v), st) => (v.asInstanceOf[Double], st.c) }
               .sortBy(_._1)
           }
         searches = searches ++ term.map { case (key, s) =>

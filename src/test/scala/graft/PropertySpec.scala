@@ -135,6 +135,60 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: quantileScan == percentile for arbitrary values, duplicates, p, params") {
+    def r6(v: Double) = BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val valGen = Gen.oneOf(
+      Gen.choose(-1000.0, 1000.0),
+      Gen.oneOf(0.0, 1.0, -1.0, 5.5, 1e6)) // duplicate mass
+    val grpGen = Gen.oneOf("a", "b", "c")
+    val rowGen = for { g <- grpGen; v <- valGen } yield (g, v)
+    val caseGen = for {
+      rows <- Gen.listOfN(60, rowGen).suchThat(_.nonEmpty)
+      p <- Gen.oneOf(0.0, 0.1, 0.5, 0.77, 1.0)
+      bins <- Gen.oneOf(2, 4, 16)
+      lim <- Gen.oneOf(1, 3, 8)
+    } yield (rows, p, bins, lim)
+    samples(caseGen, n = 8).foreach { case (rows, p, bins, lim) =>
+      val df = rows.toDF("g", "v")
+      val want = df.groupBy(col("g")).agg(expr(s"percentile(v, $p)").as("q"))
+        .as[(String, Double)].collect().toMap.view.mapValues(r6).toMap
+      val got = graft.operators.Quantiles
+        .quantileScan(df, "g", "v", p, bins = bins, collectLimit = lim)
+        .select(col("g"), col("q")).as[(String, Double)].collect().toMap
+        .view.mapValues(r6).toMap
+      assert(got === want, s"p=$p bins=$bins lim=$lim")
+    }
+  }
+
+  test("property: setSimJoinPrefix == brute force for arbitrary small corpora/thresholds") {
+    val wordGen = Gen.oneOf("alpha", "beta", "gamma", "delta", "epsilon",
+      "zeta", "eta", "theta")
+    val docGen = Gen.listOfN(8, wordGen).map(_.mkString(" "))
+    val caseGen = for {
+      texts <- Gen.listOfN(14, docGen)
+      (num, den) <- Gen.oneOf((1, 2), (7, 10), (1, 3), (1, 1))
+    } yield (texts, num, den)
+    samples(caseGen, n = 6).foreach { case (texts, num, den) =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val got = Dedup.setSimJoinPrefix(df, "doc_id", "text", num, den)
+        .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+      // independent brute force on the raw texts
+      val sh = texts.zipWithIndex.map { case (t, i) =>
+        i.toLong -> t.split("\\s+").filter(_.nonEmpty)
+          .sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet
+      }
+      val want = (for {
+        i <- sh.indices.iterator
+        j <- (i + 1) until sh.length
+        inter = (sh(i)._2 & sh(j)._2).size
+        un = sh(i)._2.size + sh(j)._2.size - inter
+        if un > 0 && inter * den >= un * num
+      } yield (sh(i)._1, sh(j)._1)).toSet
+      assert(got === want, s"t=$num/$den texts=$texts")
+    }
+  }
+
   test("property: epoch-ms -> TimestampType -> epoch-ms roundtrips") {
     samples(Gen.listOfN(20, Gen.choose(0L, 4102444800000L))).foreach { ms =>
       val out = EventOps.deriveEventTime(ms.toDF("timestamp"), "timestamp", "ts")
