@@ -3320,7 +3320,7 @@ object SparkEntry {
           |        (CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk)), 6) + 0 AS score
           |  FROM t),
           |b AS (SELECT source,
-          |  least(19, CAST(floor(score * 20) AS BIGINT)) AS bkt FROM sc),
+          |  greatest(0, least(19, CAST(floor(score * 20) AS BIGINT))) AS bkt FROM sc),
           |c AS (SELECT source, bkt, count(*) AS n FROM b GROUP BY 1, 2),
           |tot AS (SELECT source, count(*) AS total FROM b GROUP BY 1),
           |grid AS (SELECT tot.source, tot.total,

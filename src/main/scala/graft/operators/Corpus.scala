@@ -232,8 +232,9 @@ object Corpus {
     * rate if documents with `score ≥ t` survive — the calibration curve
     * read BEFORE committing a C4/Gopher-style quality gate (pick the
     * threshold where the keep-rate knee sits per source, not one global
-    * guess). Scores are assumed in [0, 1] (clamped into the last
-    * bucket).
+    * guess). Scores are assumed in [0, 1]; out-of-range scores clamp
+    * into the first/last bucket (symmetric clamps), so every document
+    * is counted under some threshold.
     *
     * Scale shape: ONE pass buckets each document map-side
     * (`⌊score·steps⌋`), one partial-aggregating shuffle to (source,
@@ -247,7 +248,8 @@ object Corpus {
                      steps: Int = 20): DataFrame = {
     require(steps >= 2, s"need steps >= 2, got $steps")
     val bucketed = df.select(col(srcCol),
-        least(lit(steps - 1), floor(scoreCol * steps)).cast("long").as("__b"))
+        greatest(lit(0L), least(lit((steps - 1).toLong),
+          floor(scoreCol * steps).cast("long"))).as("__b"))
     val counts = bucketed.groupBy(col(srcCol), col("__b"))
       .agg(count(lit(1)).as("__n"))
     val totals = bucketed.groupBy(col(srcCol)).agg(count(lit(1)).as("__total"))

@@ -48,9 +48,14 @@ object Quantiles {
     require(p >= 0.0 && p <= 1.0, s"p must be in [0,1], got $p")
     require(bins >= 2 && collectLimit >= 1, "bins/collectLimit too small")
     val spark = df.sparkSession
+    // NaN is excluded along with null: NaN passes isNotNull, would be
+    // counted in n, and under Spark's NaN-is-largest ordering poisons
+    // the group max — breaking the counting invariants the bisection
+    // relies on. DuckDB quantile_cont likewise ignores NULLs; callers
+    // with NaN-significant data must pre-map NaN explicitly.
     val base = df.select(col(groupCol).cast("string").as("g"),
         col(valueCol).cast("double").as("v"))
-      .filter(col("v").isNotNull)
+      .filter(col("v").isNotNull && !isnan(col("v")))
 
     // round 0: per-group n / min / max — one pass
     val stats = base.groupBy(col("g"))

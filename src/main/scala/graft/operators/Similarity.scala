@@ -187,7 +187,6 @@ object Similarity {
     */
   def marginMining(a: DataFrame, b: DataFrame, idCol: String, vecCol: String,
                    k: Int, maxProbes: Int = 100000): DataFrame = {
-    val dec = org.apache.spark.sql.types.DecimalType(18, 4)
     // cosine is symmetric: score the candidate pairs ONCE and feed both
     // directions' top-k aggregations from the same table. `a` is the
     // broadcast side (guarded); at 100 TB the cross join below is what

@@ -81,11 +81,16 @@ object StatefulOps {
           } else {
             var st = state.getOption.getOrElse(DebounceState(Long.MinValue))
             val out = Vector.newBuilder[KeyedEvent]
-            rows.toVector.sortBy(r => (r.ts.getTime, r.event_id)).foreach { r =>
-              val t = r.ts.getTime
+            // full-microsecond epoch (getTime is ms-truncated; the sub-ms
+            // micros live in getNanos) — the batch twin compares
+            // unix_micros, so the streaming side must too
+            def micros(ts: java.sql.Timestamp): Long =
+              ts.getTime * 1000L + (ts.getNanos / 1000L) % 1000L
+            rows.toVector.sortBy(r => (micros(r.ts), r.event_id)).foreach { r =>
+              val t = micros(r.ts)
               // leader iff the gap since the last SEEN event is open —
               // the batch operator's exact break predicate
-              if (st.lastSeen == Long.MinValue || t - st.lastSeen > gapMs)
+              if (st.lastSeen == Long.MinValue || t - st.lastSeen > gapMs * 1000L)
                 out += r
               st = DebounceState(math.max(st.lastSeen, t))
             }
