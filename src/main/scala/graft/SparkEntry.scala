@@ -1586,6 +1586,20 @@ object SparkEntry {
       "vec_id", "embedding", k = 4)
   }
 
+  /** Q148 — learned quality classifier
+    * ([[graft.operators.QualityClassifier.train]]): 3 full-batch
+    * fixed-point gradient steps of a hashed-bag-of-words linear
+    * classifier (hard-sigmoid link, LMS update, 1e6-unit weights)
+    * against the integer distinct-ratio label — the trained corpus
+    * filter of the CCNet/GPT-3/LLaMA recipes. All arithmetic is exact
+    * 64-bit integer, so the oracle replays the 3 steps as unrolled
+    * CTEs bit for bit. Per iteration: map-side scoring + one dim-sized
+    * gradient shuffle.
+    */
+  def q148(s: SparkSession, d: String): DataFrame =
+    graft.operators.QualityClassifier.train(
+      docs(s, d), "doc_id", "text", dim = 64, iterations = 3, etaDen = 64L)
+
   /** Q146 — frequent journeys ([[graft.operators.TimeSeries.journeys]]):
     * the 10 most common per-session event-type sequences under q33's
     * sessionization (user key, 30-minute gap) — funnels test one
@@ -2077,7 +2091,8 @@ object SparkEntry {
     "q144_margin_mine"    -> (q144 _),
     "q145_scan_median"    -> (q145 _),
     "q146_journeys"       -> (q146 _),
-    "q147_margin_ann"     -> (q147 _))
+    "q147_margin_ann"     -> (q147 _),
+    "q148_quality_clf"    -> (q148 _))
 
   // DuckDB twins. Shared SQL fragments for the text queries:
   // explicit class: Java \s includes \x0B, RE2 \s does not — see
@@ -3428,5 +3443,43 @@ object SparkEntry {
          |  FROM z GROUP BY 1, 2)
          |SELECT journey, count(*) AS n_sessions
          |FROM j GROUP BY 1 ORDER BY n_sessions DESC, journey LIMIT 10
-         |""".stripMargin))
+         |""".stripMargin),
+    // q148 replays the fixed-point training exactly (the q133 recipe):
+    // md5-prefix feature buckets, hard-sigmoid in 1e6 units with a
+    // non-negative dividend, LMS update with truncate-toward-zero
+    // division (DuckDB // ≡ Spark div ≡ JVM / on negatives) — three
+    // unrolled CTE steps reproduce the engine's weights bit for bit
+    "q148_quality_clf" -> {
+      def step(wp: String, k: Int): String =
+        s"""z$k AS (SELECT f.doc_id, sum(f.x * $wp.w) AS z
+           |  FROM f JOIN $wp USING (j) GROUP BY 1),
+           |e$k AS (SELECT lab.doc_id, CAST(lab.y AS BIGINT) * 1000000 -
+           |  ((2000000 + greatest(-2000000, least(2000000, coalesce(z$k.z, 0)))) // 4)
+           |    AS e
+           |  FROM lab LEFT JOIN z$k USING (doc_id)),
+           |g$k AS (SELECT f.j, sum(e$k.e * f.x) AS g
+           |  FROM f JOIN e$k USING (doc_id) GROUP BY 1),
+           |w$k AS (SELECT w.j, w.w + coalesce(g$k.g, 0) // (nn.n * 64) AS w
+           |  FROM $wp w LEFT JOIN g$k USING (j) CROSS JOIN nn)"""
+          .stripMargin
+      s"""WITH t AS (SELECT doc_id, $TOKS AS tk FROM documents),
+         |t2 AS (SELECT doc_id, tk FROM t WHERE len(tk) > 0),
+         |lab AS (SELECT doc_id,
+         |  CASE WHEN 2 * len(list_distinct(tk)) >= len(tk) THEN 1 ELSE 0 END AS y
+         |  FROM t2),
+         |u AS (SELECT doc_id, unnest(tk) AS tok FROM t2),
+         |f AS (SELECT doc_id,
+         |  CAST(('0x' || substr(md5(tok), 1, 6)) AS BIGINT) % 64 AS j,
+         |  count(*) AS x FROM u GROUP BY 1, 2),
+         |nn AS (SELECT count(*) AS n FROM t2),
+         |w0 AS (SELECT CAST(range AS BIGINT) AS j, CAST(0 AS BIGINT) AS w
+         |  FROM range(64)),
+         |${step("w0", 1)},
+         |${step("w1", 2)},
+         |${step("w2", 3)}
+         |SELECT j AS feat, CAST(w AS BIGINT) AS w_units,
+         |  round(CAST(w AS DOUBLE) / 1000000, 6) + 0 AS w_r
+         |FROM w3 ORDER BY feat
+         |""".stripMargin
+    })
 }
