@@ -46,8 +46,29 @@ object QuantileBench {
     val got = gotRows.map(r => r.getString(0) -> r6(r.getDouble(2))).toMap
     require(got == want, s"scan disagrees with percentile: $got vs $want")
 
+    // the vector family: p01/p50/p99 in ONE bisection (shared passes)
+    // vs three independent scans vs one 3-array percentile aggregate
+    val ps = Seq(0.01, 0.5, 0.99)
+    val (tm, multiRows) = time(
+      graft.operators.Quantiles.quantileScanMulti(data, "g", "v", ps).collect())
+    val multi = multiRows
+      .map(r => (r.getString(0), r.getDouble(1)) -> r6(r.getDouble(3))).toMap
+    val (t3, _) = time(ps.foreach(p =>
+      graft.operators.Quantiles.quantileScan(data, "g", "v", p).collect()))
+    val (tp3, want3Rows) = time(data.groupBy("g")
+      .agg(expr("percentile(v, array(0.01D, 0.5D, 0.99D))").as("qs")).collect())
+    want3Rows.foreach { r =>
+      val g = r.getString(0)
+      val qs = r.getSeq[Double](1)
+      ps.zipWithIndex.foreach { case (p, i) =>
+        require(multi((g, p)) == r6(qs(i)),
+          s"multi-scan disagrees with percentile at g=$g p=$p")
+      }
+    }
+
     println(s"""{"metric":"quantile_scan","rows":$rows,"groups":$groups,""" +
-      s""""percentile_sec":$tp,"scan_sec":$ts}""")
+      s""""percentile_sec":$tp,"scan_sec":$ts,""" +
+      s""""multi3_sec":$tm,"scan_x3_sec":$t3,"percentile3_sec":$tp3}""")
     spark.stop()
   }
 }

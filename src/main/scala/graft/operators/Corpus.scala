@@ -600,18 +600,30 @@ object Corpus {
     * `percentile` is EXACT: its aggregation state buffers each group's
     * value multiset on one reducer, which is the oracle-checkable choice
     * but bounds the per-group cardinality by executor memory. For
-    * billion-row groups swap the cutoff aggregate to
-    * `approx_percentile(…, accuracy)` — fixed-size sketch state, same
-    * clamp — at the cost of approximate cut points.
+    * billion-row groups set `useScan = true`: both cutoffs then come
+    * from ONE [[Quantiles.quantileScanMulti]] bisection family —
+    * bounded counting state instead of reducer buffering, shared
+    * passes across the two ranks, and still EXACT (the scan's
+    * `v₁+(v₂−v₁)f` and percentile's `v₁(1−f)+v₂f` agree after the
+    * 6-place round both paths apply; the scan casts the group key to
+    * string internally, so the cut join coerces to string — injective
+    * for every sane key type).
     */
   def winsorize(df: DataFrame, groupCol: String, valueCol: String,
-                lo: Double, hi: Double, outCol: String = "winsorized"): DataFrame = {
+                lo: Double, hi: Double, outCol: String = "winsorized",
+                useScan: Boolean = false): DataFrame = {
     require(0.0 <= lo && lo < hi && hi <= 1.0,
       s"winsorize needs 0 <= lo < hi <= 1, got lo=$lo hi=$hi")
     val nonNull = df.filter(col(valueCol).isNotNull)
-    val cuts = nonNull.groupBy(col(groupCol)).agg(
-      NumFunctions.roundNz(expr(s"percentile($valueCol, $lo)"), 6).as("__lo"),
-      NumFunctions.roundNz(expr(s"percentile($valueCol, $hi)"), 6).as("__hi"))
+    val cuts =
+      if (useScan)
+        Quantiles.quantileScanMulti(nonNull, groupCol, valueCol, Seq(lo, hi))
+          .groupBy(col(groupCol)).agg(
+            NumFunctions.roundNz(max(when(col("p") === lo, col("q"))), 6).as("__lo"),
+            NumFunctions.roundNz(max(when(col("p") === hi, col("q"))), 6).as("__hi"))
+      else nonNull.groupBy(col(groupCol)).agg(
+        NumFunctions.roundNz(expr(s"percentile($valueCol, $lo)"), 6).as("__lo"),
+        NumFunctions.roundNz(expr(s"percentile($valueCol, $hi)"), 6).as("__hi"))
     nonNull.join(cuts, groupCol)
       .withColumn(outCol,
         NumFunctions.roundNz(least(greatest(col(valueCol), col("__lo")), col("__hi")), 6))

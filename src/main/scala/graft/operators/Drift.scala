@@ -103,20 +103,31 @@ object Drift {
     * deviations) plus two group-keyed joins that AQE broadcasts when
     * the group table is small; the final count is one
     * partial-aggregating shuffle. Exact `percentile` buffers each
-    * group's values on one reducer — the same contract, and the same
-    * billion-row-group escape hatch (`approx_percentile`), as the
-    * decile cutoffs above.
+    * group's values on one reducer; for billion-row groups set
+    * `useScan = true` and both medians come from
+    * [[Quantiles.quantileScan]] bisection — bounded counting state,
+    * still exact selection (the two interpolation forms can differ in
+    * the final ulp; the rounded outputs agree, and the unrounded
+    * outlier comparison flips only on an exact `k·MAD` tie).
     */
   def madOutliers(df: DataFrame, groupCol: String, valueCol: String,
-                  k: Double = 3.0): DataFrame = {
+                  k: Double = 3.0, useScan: Boolean = false): DataFrame = {
     require(k > 0.0, s"need k > 0, got $k")
     val nonNull = df.filter(col(valueCol).isNotNull)
-    val med = nonNull.groupBy(col(groupCol))
-      .agg(expr(s"percentile($valueCol, 0.5D)").as("__med"))
+    val med =
+      if (useScan)
+        Quantiles.quantileScan(nonNull, groupCol, valueCol, 0.5)
+          .select(col(groupCol), col("q").as("__med"))
+      else nonNull.groupBy(col(groupCol))
+        .agg(expr(s"percentile($valueCol, 0.5D)").as("__med"))
     val dev = nonNull.join(med, Seq(groupCol))
       .withColumn("__dev", abs(col(valueCol) - col("__med")))
-    val mad = dev.groupBy(col(groupCol))
-      .agg(expr("percentile(__dev, 0.5D)").as("__mad"))
+    val mad =
+      if (useScan)
+        Quantiles.quantileScan(dev, groupCol, "__dev", 0.5)
+          .select(col(groupCol), col("q").as("__mad"))
+      else dev.groupBy(col(groupCol))
+        .agg(expr("percentile(__dev, 0.5D)").as("__mad"))
     dev.join(mad, Seq(groupCol))
       .groupBy(col(groupCol))
       .agg(
