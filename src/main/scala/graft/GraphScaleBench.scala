@@ -50,6 +50,27 @@ object GraphScaleBench {
       println(f"""{"metric":"pagerank_scale","edges":$edges,"nodes":$nodes,""" +
         f""""sec":$sec%.3f,"shuffle_mb":${shuffleBytes.get() / 1048576.0}%.1f}""")
     }
+
+    // lineage control: per-iteration wall must stay FLAT as iteration
+    // count grows — localCheckpoint cuts the plan every 8 rounds, so 20
+    // iterations cost ~4x 5 iterations, not an analyzer blow-up
+    val edges = sizes.head
+    val nodes = edges / 10
+    val e = spark.range(edges).select(
+      pmod(hash(col("id") * 2654435761L), lit(nodes)).as("src"),
+      when(pmod(col("id"), lit(13)) === 0, pmod(hash(col("id")), lit(100)))
+        .otherwise(pmod(hash(col("id") + 7919L), lit(nodes))).as("dst"))
+    Seq(5, 20).foreach { iters =>
+      def run() = graft.operators.Graph.pageRank(e, "src", "dst",
+          iterations = iters)
+        .write.format("noop").mode("overwrite").save()
+      run()
+      val t0 = System.nanoTime()
+      run()
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"""{"metric":"pagerank_iters","edges":$edges,"iters":$iters,""" +
+        f""""sec":$sec%.3f,"sec_per_iter":${sec / iters}%.3f}""")
+    }
     spark.stop()
   }
 }

@@ -33,23 +33,49 @@ import org.apache.spark.sql.functions._
   * one equi-join ranks⋈edges on
   * src (rank-scale), one partial-aggregating shuffle of BIGINT
   * contributions per dst, one left join back to the node table. Rank
-  * state is 16 bytes/node. Plan depth grows linearly in `iterations`
-  * (each step references the previous ranks exactly once).
+  * state is 16 bytes/node. Plan depth is BOUNDED: each step references
+  * the previous ranks exactly once, and every `checkpointEvery`
+  * iterations the rank frame is `localCheckpoint`ed (the
+  * [[Dedup.nearDupComponents]] pattern), so the analyzer/stage graph
+  * stays O(checkpointEvery) deep however many iterations run — at 50
+  * iterations an uncut lineage would otherwise blow up plan analysis
+  * long before the data costs anything.
   */
 object Graph {
 
   /** Fixed-point scale: 1e12 units per unit of rank mass. */
   val Scale: Long = 1000000000000L
 
+  /** Iterations the last [[pageRank]] call actually executed — test
+    * hook for the convergence stop.
+    */
+  @volatile private[graft] var lastIterationsRun: Int = 0
+
   /** PageRank over the distinct directed edges `(srcCol, dstCol)`.
     * Returns `(node, rank_units, rank_r)`: exact fixed-point units and
     * the rounded double view `round(units / 1e12, 6)`.
+    *
+    * `checkpointEvery` cuts rank lineage every k iterations (0
+    * disables; values do not change — checkpointing is a plan
+    * boundary, not an arithmetic one, so the q133 oracle replay is
+    * unaffected). `convergeL1Units > 0` adds an EXACT convergence
+    * stop: after each iteration the L1 rank delta Σ|r−r′| is computed
+    * in integer units (deterministic on any engine — no float
+    * tolerance), and iteration ends once it falls to the threshold;
+    * this materializes each round's ranks and costs one extra
+    * rank-scale join per iteration, the classic trade for unknown
+    * iteration counts.
     */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
-               iterations: Int = 5, dampingPct: Int = 85): DataFrame = {
+               iterations: Int = 5, dampingPct: Int = 85,
+               checkpointEvery: Int = 8, convergeL1Units: Long = 0L): DataFrame = {
     require(iterations >= 1, s"need iterations >= 1, got $iterations")
     require(dampingPct > 0 && dampingPct < 100,
       s"need 0 < dampingPct < 100, got $dampingPct")
+    require(checkpointEvery >= 0,
+      s"need checkpointEvery >= 0 (0 disables), got $checkpointEvery")
+    require(convergeL1Units >= 0L,
+      s"need convergeL1Units >= 0 (0 disables), got $convergeL1Units")
     // partition budget follows the EDGE COUNT (the nearDupComponents
     // rule): a vocabulary graph's few thousand edges otherwise inherit
     // the full shuffle width and every one of the ~3 stages per
@@ -79,18 +105,38 @@ object Graph {
       .select(col("node"),
         expr(s"$Scale div __n").as("rank_units"))
 
-    for (_ <- 1 to iterations) {
+    var it = 0
+    var converged = false
+    while (it < iterations && !converged) {
+      it += 1
       val contrib = e.join(ranks, e("src") === ranks("node"))
         .join(outdeg, "src")
         .select(col("dst").as("node"),
           expr("rank_units div __outdeg").as("__c"))
       val incoming = contrib.groupBy(col("node")).agg(sum(col("__c")).as("__in"))
-      ranks = nodes.join(incoming, Seq("node"), "left")
+      var next = nodes.join(incoming, Seq("node"), "left")
         .crossJoin(broadcast(nTbl))
         .select(col("node"),
           (expr(s"$teleportUnits div __n") +
             expr(s"(coalesce(__in, 0L) * $dampingPct) div 100")).as("rank_units"))
+      // lineage cut: a plan boundary only — rank values are identical
+      // with and without it (spec-pinned). The convergence path
+      // checkpoints every round because the delta join would otherwise
+      // recompute the uncut lineage once per check.
+      if (convergeL1Units > 0L ||
+          (checkpointEvery > 0 && it % checkpointEvery == 0))
+        next = next.localCheckpoint(true)
+      if (convergeL1Units > 0L) {
+        val delta = next.select(col("node"), col("rank_units").as("__new"))
+          .join(ranks.select(col("node"), col("rank_units").as("__old")),
+            Seq("node"))
+          .agg(sum(abs(col("__new") - col("__old"))).as("__d"))
+          .collect()(0).getLong(0)
+        converged = delta <= convergeL1Units
+      }
+      ranks = next
     }
+    lastIterationsRun = it
     ranks.select(col("node"), col("rank_units"),
       graft.functions.NumFunctions.roundNz(
         col("rank_units").cast("double") / Scale, 6).as("rank_r"))

@@ -46,6 +46,49 @@ class GraphSpec extends SparkSpec {
     assert(total <= Graph.Scale && total > Graph.Scale / 2, s"mass $total")
   }
 
+  test("pageRank: checkpointed lineage is bit-identical to the unrolled plan") {
+    val docs = Tables.documents(spark, sf0001)
+    val e = Corpus.bigramEdges(docs, "doc_id", "text")
+    val unrolled = Graph.pageRank(e, "src", "dst", iterations = 7,
+        checkpointEvery = 0)
+      .select("node", "rank_units").as[(String, Long)].collect().toMap
+    val cut = Graph.pageRank(e, "src", "dst", iterations = 7,
+        checkpointEvery = 2)
+      .select("node", "rank_units").as[(String, Long)].collect().toMap
+    assert(cut === unrolled)
+    assert(cut.nonEmpty)
+  }
+
+  test("pageRank: exact L1 convergence stop halts at a fixed point, same bits") {
+    // the symmetric 2-cycle is a fixed point from iteration 1, so the
+    // integer delta is exactly 0 and the stop fires immediately
+    val e = Seq(("a", "b"), ("b", "a")).toDF("src", "dst")
+    val full = Graph.pageRank(e, "src", "dst", iterations = 10)
+      .select("node", "rank_units").as[(String, Long)].collect().toMap
+    val stopped = Graph.pageRank(e, "src", "dst", iterations = 10,
+        convergeL1Units = 1L)
+      .select("node", "rank_units").as[(String, Long)].collect().toMap
+    assert(Graph.lastIterationsRun === 1, "stop did not fire at the fixed point")
+    assert(stopped === full)
+  }
+
+  test("pageRank: convergence stop does not trigger before the threshold") {
+    // star graph keeps shifting mass for several rounds; with an
+    // impossible threshold of 0 ... 1 unit the run must NOT stop early
+    // unless the delta truly reaches it
+    val docs = Tables.documents(spark, sf0001)
+    val e = Corpus.bigramEdges(docs, "doc_id", "text")
+    val a = Graph.pageRank(e, "src", "dst", iterations = 4, convergeL1Units = 1L)
+      .select("node", "rank_units").as[(String, Long)].collect().toMap
+    val ran = Graph.lastIterationsRun
+    val b = Graph.pageRank(e, "src", "dst", iterations = 4)
+      .select("node", "rank_units").as[(String, Long)].collect().toMap
+    // bigram graph at this size does not hit an exact fixed point in 4
+    // rounds — the convergence path must agree with the plain path
+    assert(ran === 4)
+    assert(a === b)
+  }
+
   test("bigramEdges: distinct adjacent pairs only") {
     val d = Seq((1L, "x y x y"), (2L, "y z")).toDF("doc_id", "text")
     val got = Corpus.bigramEdges(d, "doc_id", "text")
