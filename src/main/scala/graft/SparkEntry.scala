@@ -232,10 +232,23 @@ object SparkEntry {
   def q27(s: SparkSession, d: String): DataFrame =
     Dedup.simhashPairs(docs(s, d), "doc_id", "text", maxHamming = 3)
 
-  /** Q28 — HLL++ approximate distinct (engine-specific sketch: no oracle). */
+  /** Q28 — HLL++ approximate distinct (`approx_count_distinct`, Heule
+    * et al. 2013) with its accuracy contract made oracle-checkable: the
+    * exact per-group cardinality is computed alongside, and the output
+    * carries `within_bound` = |est − exact| ≤ max(4, 3·rsd·exact)
+    * (three standard deviations of the published relative-error
+    * contract, with an absolute floor for sparse-mode small groups).
+    * The engine-specific estimate itself stays out of the hashed
+    * columns; the oracle reproduces the exact count and asserts the
+    * bound held.
+    */
   def q28(s: SparkSession, d: String): DataFrame =
     ev(s, d).groupBy(col("event_type"))
-      .agg(approx_count_distinct(col("user_id")).as("approx_users"))
+      .agg(approx_count_distinct(col("user_id"), 0.05).as("__est"),
+           countDistinct(col("user_id")).as("exact_users"))
+      .select(col("event_type"), col("exact_users"),
+        (abs(col("__est") - col("exact_users")).cast("double") <=
+          greatest(lit(4.0), col("exact_users") * lit(0.15))).as("within_bound"))
 
   /** Q29 — BPE-ish subword token counting (regex identical in Java and
     * RE2, so oracle-checked).
@@ -1159,16 +1172,28 @@ object SparkEntry {
       shortlist = 50, cacheKey = Some(d))
 
   /** Q102 — BPE apply ([[graft.operators.Corpus.bpeStats]]): tokenize
-    * the corpus under the merges q99 learned (cached — train-once /
-    * tokenize-many) and report per-doc subword compression. Merge-
-    * dependent output: no SQL oracle; BpeSpec pins monotonicity (more
-    * merges never increase the subword count) and the zero-merge
-    * identity.
+    * the corpus under a PINNED production merge table (the inference
+    * face of a trained tokenizer — GPT-2-style fixed published vocab,
+    * applied corpus-wide) and report per-doc subword compression. The
+    * merge list chains deliberately (t+a→ta, ta+b→tab, l+e→le,
+    * tab+le→table) so multi-symbol merges are exercised. Exact oracle:
+    * because every symbol is one "character" under a sentinel encoding
+    * (merged symbols ↦ private-use code points), one left-to-right
+    * non-overlapping merge pass ≡ one string `replace`, so DuckDB
+    * replays the whole application as a sequential replace chain and
+    * the per-doc subword counts match bit-for-bit. The LEARNED-merge
+    * path (q99's output fed back in) stays covered by BpeSpec, which
+    * pins monotonicity and the zero-merge identity.
     */
-  def q102(s: SparkSession, d: String): DataFrame = {
-    val merges = graft.operators.Corpus.learnBpeCached(d, docs(s, d), "text", 12)
-    graft.operators.Corpus.bpeStats(docs(s, d), "doc_id", "text", merges)
-  }
+  def q102(s: SparkSession, d: String): DataFrame =
+    graft.operators.Corpus.bpeStats(docs(s, d), "doc_id", "text", q102Merges)
+
+  /** The pinned q102 merge table — mirrored symbol-for-symbol by the
+    * sentinel replace chain in the q102 oracle SQL; keep both in sync.
+    */
+  private val q102Merges: Array[(String, String)] = Array(
+    ("t", "a"), ("ta", "b"), ("l", "e"), ("tab", "le"),
+    ("a", "r"), ("p", "ar"), ("s", "c"), ("a", "n"))
 
   /** Q103 — df-cap boilerplate pruning
     * ([[graft.operators.Corpus.pruneHighDfTokens]]): tokens in > 60 % of
@@ -1778,12 +1803,25 @@ object SparkEntry {
   /** Q108 — CDC chunk duplication profile
     * ([[graft.operators.Dedup.cdcChunkDupProfile]]): content-defined
     * chunking per document, chunks shared across ≥ 2 docs flagged,
-    * per-doc shared-span ratio. Hash-boundary-specific output: no SQL
-    * oracle; DedupSpec pins the chunker invariants (exact partition,
-    * bounds, locality under edits) and the profile on planted spans.
+    * per-doc shared-span ratio. The raw profile values (chunk count,
+    * shared spans) are rolling-hash-boundary-specific, so the ORACLED
+    * output is the chunker's hard invariants, checked per document:
+    * the chunks exactly partition the text (`n_chars` = code-point
+    * length — an exact value, not a boolean), the chunk count sits in
+    * the provable `[⌈len/maxChars⌉, ⌊len/minChars⌋+1]` window, and the
+    * shared-span accounting is internally consistent. The profile
+    * VALUES on planted spans stay pinned by DedupSpec.
     */
-  def q108(s: SparkSession, d: String): DataFrame =
-    graft.operators.Dedup.cdcChunkDupProfile(docs(s, d), "doc_id", "text")
+  def q108(s: SparkSession, d: String): DataFrame = {
+    val prof = graft.operators.Dedup.cdcChunkDupProfile(docs(s, d), "doc_id", "text")
+    prof.select(col("doc_id"), col("n_chars"),
+      (col("n_chunks") >= ceil(col("n_chars") / lit(256.0)).cast("long") &&
+       col("n_chunks") <= floor(col("n_chars") / lit(16.0)).cast("long") + 1)
+        .as("n_chunks_in_bounds"),
+      (col("n_shared_chunks").between(0, col("n_chunks")) &&
+       col("shared_chars").between(0, col("n_chars")) &&
+       col("shared_ratio").between(0.0, 1.0)).as("shared_within_bounds"))
+  }
 
   /** Q107 — vocabulary coverage ([[graft.operators.Corpus.vocabCoverage]]):
     * top-50 tokens with per-token stream share and cumulative coverage.
@@ -2234,6 +2272,9 @@ object SparkEntry {
       ("SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, " +
        "CAST(ceil(CAST(octet_length(encode(text)) AS DOUBLE) / CAST(256 AS DOUBLE)) AS BIGINT) " +
        "AS n_chunks, md5(text) AS fp FROM documents"),
+    "q28_approx_distinct" ->
+      ("SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users, " +
+       "TRUE AS within_bound FROM events GROUP BY event_type"),
     "q29_bpe_tokens" ->
       ("SELECT doc_id, CAST(len(regexp_extract_all(text, " +
        "' ?\\p{L}+| ?\\p{N}+| ?[^ \\t\\n\\f\\r\\p{L}\\p{N}]+')) AS BIGINT) AS n_bpe_tokens " +
@@ -2820,6 +2861,43 @@ object SparkEntry {
          |FROM events e JOIN dim USING (event_type)
          |GROUP BY 1
          |""".stripMargin),
+    // q102: exact replay of the pinned merge table. Under a sentinel
+    // encoding (each merged symbol ↦ one private-use code point,
+    // chr(57344+i) = U+E000+i), BPE's single left-to-right
+    // non-overlapping pass per merge is EXACTLY one string replace, so
+    // the chain below — innermost first, same order as q102Merges —
+    // reproduces bpeSymbols word-for-word and length() counts symbols.
+    "q102_bpe_apply" ->
+      ("""WITH enc AS (
+         |  SELECT doc_id AS id,
+         |    list_transform(regexp_split_to_array(text, '[ \t\n\f\r]+'),
+         |      w -> length(
+         |        replace(replace(replace(replace(replace(replace(replace(replace(w,
+         |          'ta', chr(57344)),
+         |          chr(57344)||'b', chr(57345)),
+         |          'le', chr(57346)),
+         |          chr(57345)||chr(57346), chr(57347)),
+         |          'ar', chr(57348)),
+         |          'p'||chr(57348), chr(57349)),
+         |          'sc', chr(57350)),
+         |          'an', chr(57351)))) AS lens,
+         |    length(regexp_replace(text, '[ \t\n\f\r]+', '', 'g')) AS nc
+         |  FROM documents WHERE text IS NOT NULL)
+         |SELECT id,
+         |  CAST(coalesce(list_sum(lens), 0) AS BIGINT) AS n_subwords,
+         |  CAST(nc AS BIGINT) AS n_chars,
+         |  CASE WHEN coalesce(list_sum(lens), 0) > 0
+         |       THEN round(CAST(nc AS DOUBLE) / list_sum(lens), 4) + 0
+         |  END AS chars_per_subword
+         |FROM enc
+         |""".stripMargin),
+    // q108: the chunker's provable invariants — exact partition
+    // (n_chars), the chunk-count window, shared-span consistency; the
+    // hash-specific profile values are spec-pinned, not hashed here.
+    "q108_cdc_chunks" ->
+      ("SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars, " +
+       "TRUE AS n_chunks_in_bounds, TRUE AS shared_within_bounds " +
+       "FROM documents WHERE text IS NOT NULL AND length(text) > 0"),
     "q103_df_prune" ->
       (s"""WITH toks AS (SELECT doc_id AS id, $TOKS AS tk FROM documents),
           |tot AS (SELECT count(*) AS nd FROM toks),

@@ -96,7 +96,7 @@ class BpeSpec extends SparkSpec {
     assert(Corpus.learnBpeCached("bpespec", docs, "text", 6) eq merges)
   }
 
-  test("q102 tokenizes the fixture under the q99 merges; ratio >= 1 everywhere") {
+  test("q102 tokenizes the fixture under the pinned merge table; ratio >= 1 everywhere") {
     val st = SparkEntry.q102(spark, sf0001)
       .select("id", "n_subwords", "n_chars", "chars_per_subword")
       .as[(Long, Long, Long, Double)].collect()
@@ -104,7 +104,19 @@ class BpeSpec extends SparkSpec {
     // merged subwords can only span >= 1 char each
     assert(st.forall { case (_, subs, chars, ratio) =>
       subs <= chars && ratio >= 1.0 })
-    assert(st.exists(_._4 > 1.0)) // the learned merges compress somewhere
+    assert(st.exists(_._4 > 1.0)) // the pinned merges compress somewhere
+  }
+
+  test("q102's pinned chain merges exactly as the sentinel-replace oracle predicts") {
+    // hand-applied: table →(t,a)(ta,b)(l,e)(tab,le)→ [table] = 1;
+    // part →(a,r)(p,ar)→ [par, t] = 2; scan →(s,c)(a,n)→ [sc, an] = 2;
+    // value has no adjacent merge pair → 5 single-char symbols
+    val df = Seq((1L, "table part scan value")).toDF("doc_id", "text")
+    val got = Corpus.bpeStats(df, "doc_id", "text",
+        Array(("t", "a"), ("ta", "b"), ("l", "e"), ("tab", "le"),
+          ("a", "r"), ("p", "ar"), ("s", "c"), ("a", "n")))
+      .select("n_subwords", "n_chars").as[(Long, Long)].head()
+    assert(got === ((1L + 2L + 2L + 5L, 18L)))
   }
 
   test("q99 runs on the fixture and learns frequent merges first") {
