@@ -1600,7 +1600,10 @@ object SparkEntry {
     * ([[graft.operators.Similarity.marginMiningAnn]]): q144's margin
     * miner with random-hyperplane candidate generation — neither side
     * broadcasts, only bucket-sharing pairs are scored, the candidate
-    * table persists. Hash-bucket-specific output: no SQL oracle;
+    * table persists. The probe side multiprobes its 2 least-confident
+    * bit flips per table (recall 15/16 vs 13/16 planted-mate floor;
+    * the tables-vs-probes cost trade is measured in BASELINE.md
+    * `ann_mine_recall`). Hash-bucket-specific output: no SQL oracle;
     * SimilaritySpec pins partner agreement with the exact miner.
     */
   def q147(s: SparkSession, d: String): DataFrame = {

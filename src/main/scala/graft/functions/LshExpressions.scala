@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 
 /** `random_hyperplane_signature(vec)` (Charikar, STOC 2002 §3) — sign
@@ -54,6 +54,83 @@ case class RandomHyperplaneSignature(child: Expression, bits: Int, seed: Long)
       b += 1
     }
     sig
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** `random_hyperplane_multiprobe(vec)` — the base signature plus its
+  * `probes` least-confident single-bit flips (Lv et al., "Multi-probe
+  * LSH", VLDB 2007, adapted to the hyperplane family): a true near
+  * neighbor most likely lands one bucket away on the hyperplane whose
+  * |dot| is smallest, so probing those flips recovers most of the
+  * recall extra hash tables would buy at a fraction of the candidate
+  * volume (probing multiplies only the PROBE side's rows; a new table
+  * re-hashes both sides). Plane generation is IDENTICAL to
+  * [[RandomHyperplaneSignature]] for the same seed, so a multiprobed
+  * side joins directly against single-signature buckets.
+  *
+  * Returns `array<bigint>` of 1 + `probes` distinct signatures, base
+  * first, then flips in increasing |dot| order.
+  */
+case class RandomHyperplaneMultiprobe(child: Expression, bits: Int, seed: Long,
+                                      probes: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(bits >= 1 && bits <= 64, "bits must be in [1, 64]")
+  require(probes >= 0 && probes < bits, "probes must be in [0, bits)")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  private def isFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  @transient private lazy val planeCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, Array[Double]]()
+
+  private def planes(dim: Int): Array[Double] =
+    planeCache.computeIfAbsent(dim, d => {
+      val rnd = new java.util.Random(seed ^ (d.toLong * 0x9E3779B97F4A7C15L))
+      Array.fill(bits * d)(rnd.nextGaussian())
+    })
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val p = planes(n)
+    val f = isFloat
+    val absDots = new Array[Double](bits)
+    var sig = 0L
+    var b = 0
+    while (b < bits) {
+      var dot = 0.0
+      var i = 0
+      val off = b * n
+      while (i < n) {
+        val x = if (f) arr.getFloat(i).toDouble else arr.getDouble(i)
+        dot += x * p(off + i)
+        i += 1
+      }
+      if (dot >= 0.0) sig |= (1L << b)
+      absDots(b) = math.abs(dot)
+      b += 1
+    }
+    // partial selection sort of bit indices by |dot| — bits <= 64, and
+    // probes is typically 1-3, so this stays trivially cheap per row
+    val order = Array.tabulate(bits)(identity)
+    val out = new Array[Any](1 + probes)
+    out(0) = sig
+    var k = 0
+    while (k < probes) {
+      var best = k
+      var j = k + 1
+      while (j < bits) {
+        if (absDots(order(j)) < absDots(order(best))) best = j
+        j += 1
+      }
+      val t = order(k); order(k) = order(best); order(best) = t
+      out(k + 1) = sig ^ (1L << order(k))
+      k += 1
+    }
+    new GenericArrayData(out)
   }
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }

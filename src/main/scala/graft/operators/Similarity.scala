@@ -224,18 +224,25 @@ object Similarity {
     */
   def marginMiningAnn(a: DataFrame, b: DataFrame, idCol: String,
                       vecCol: String, k: Int, bits: Int = 8,
-                      tables: Int = 8, seed: Long = 42L): DataFrame = {
-    def withBuckets(df: DataFrame, id: String, vec: String): DataFrame =
+                      tables: Int = 8, probes: Int = 2,
+                      seed: Long = 42L): DataFrame = {
+    // `a` is the probe side: it additionally visits each table's
+    // `probes` least-confident bit-flip buckets (multiprobe — recall
+    // close to 2-4x the table count at ~(1+probes)x one side's rows,
+    // measured in BASELINE.md `ann_mine_recall`); `b` hashes once per
+    // table, so the join stays single-signature on the build side.
+    def withBuckets(df: DataFrame, id: String, vec: String, nProbes: Int): DataFrame =
       df.select(col(id), col(vec),
-        explode(array((0 until tables).map { t =>
-          struct(lit(t).as("t"),
-            ColumnBridge.column(RandomHyperplaneSignature(
-              ColumnBridge.expression(col(vec)), bits, seed + t)).as("sig"))
+        explode(concat((0 until tables).map { t =>
+          transform(
+            ColumnBridge.column(graft.functions.RandomHyperplaneMultiprobe(
+              ColumnBridge.expression(col(vec)), bits, seed + t, nProbes)),
+            s => struct(lit(t).as("t"), s.as("sig")))
         }: _*)).as("bucket"))
     val ab = withBuckets(spreadIfNarrow(
-      a.select(col(idCol).as("a_id"), col(vecCol).as("pvec"))), "a_id", "pvec")
+      a.select(col(idCol).as("a_id"), col(vecCol).as("pvec"))), "a_id", "pvec", probes)
     val bb = withBuckets(spreadIfNarrow(
-      b.select(col(idCol).as("b_id"), col(vecCol).as("cvec"))), "b_id", "cvec")
+      b.select(col(idCol).as("b_id"), col(vecCol).as("cvec"))), "b_id", "cvec", 0)
     val pairs = ab.join(bb, "bucket")
       .filter(col("a_id") =!= col("b_id"))
       .select(col("a_id"), col("b_id"), col("pvec"), col("cvec"))

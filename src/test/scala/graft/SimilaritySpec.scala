@@ -178,6 +178,24 @@ class SimilaritySpec extends SparkSpec {
     assert(run(df.repartition(7)) === want)
   }
 
+  test("multiprobe signatures: base equals single-signature expr, flips differ by one bit") {
+    import org.apache.spark.sql.graft.ColumnBridge
+    val df = Tables.embeddings(spark, sf0001).limit(50)
+    val got = df.select(
+        ColumnBridge.column(graft.functions.RandomHyperplaneSignature(
+          ColumnBridge.expression(col("embedding")), 8, 7L)).as("sig"),
+        ColumnBridge.column(graft.functions.RandomHyperplaneMultiprobe(
+          ColumnBridge.expression(col("embedding")), 8, 7L, 3)).as("mp"))
+      .as[(Long, Seq[Long])].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (sig, mp) =>
+      assert(mp.length === 4)
+      assert(mp.head === sig) // same planes, same seed => same bucket
+      mp.tail.foreach(v => assert(java.lang.Long.bitCount(v ^ sig) === 1))
+      assert(mp.distinct.length === 4) // flips hit distinct bits
+    }
+  }
+
   test("marginMiningAnn: recovers planted cross-side mates the exact miner finds") {
     // 16 planted translation pairs: a-side 2i and b-side 2i+1 share a
     // deterministic direction (b lightly perturbed); background vectors
@@ -211,7 +229,14 @@ class SimilaritySpec extends SparkSpec {
       .select("a_id", "b_id").as[(Long, Long)].collect().toMap
     assert(ann.forall { case (x, y) => x % 2 == 0 && y % 2 == 1 })
     val recovered = (0L until 16L).count(i => ann.get(2 * i).contains(2 * i + 1))
-    assert(recovered >= 13, s"ANN miner recovered only $recovered/16 mates")
+    // multiprobe (default probes = 2) lifts the floor from 13/16 at
+    // probes = 0 — the trade is measured in BASELINE.md ann_mine_recall
+    assert(recovered >= 15, s"ANN miner recovered only $recovered/16 mates")
+    val zeroProbe = graft.operators.Similarity.marginMiningAnn(
+        a, b, "vec_id", "embedding", k = 4, probes = 0)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toMap
+    val rec0 = (0L until 16L).count(i => zeroProbe.get(2 * i).contains(2 * i + 1))
+    assert(rec0 <= recovered, s"probes must not lose mates: $rec0 vs $recovered")
   }
 
   test("centroidSpread: aligned class scores 1.0; its centroid broadcasts back") {
