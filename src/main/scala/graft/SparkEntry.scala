@@ -1628,6 +1628,20 @@ object SparkEntry {
     graft.operators.QualityClassifier.train(
       docs(s, d), "doc_id", "text", dim = 64, iterations = 3, etaDen = 64L)
 
+  /** Q149 — DSIR domain selection ([[graft.operators.Corpus.dsirSelect]];
+    * Xie et al. 2023, deterministic top-k form): the `src0` slice plays
+    * the domain sample, the rest of the corpus is the raw pool, and the
+    * 100 highest importance-weight raw documents are kept. Bucket
+    * log-ratios frozen into integer 1e-6 units (the q148 fixed-point
+    * recipe), so the oracle replays rank-for-rank.
+    */
+  def q149(s: SparkSession, d: String): DataFrame = {
+    val dd = docs(s, d)
+    graft.operators.Corpus.dsirSelect(
+      dd.filter(col("source") =!= "src0"), dd.filter(col("source") === "src0"),
+      "doc_id", "text", dim = 256, k = 100)
+  }
+
   /** Q146 — frequent journeys ([[graft.operators.TimeSeries.journeys]]):
     * the 10 most common per-session event-type sequences under q33's
     * sessionization (user key, 30-minute gap) — funnels test one
@@ -2133,7 +2147,8 @@ object SparkEntry {
     "q145_scan_median"    -> (q145 _),
     "q146_journeys"       -> (q146 _),
     "q147_margin_ann"     -> (q147 _),
-    "q148_quality_clf"    -> (q148 _))
+    "q148_quality_clf"    -> (q148 _),
+    "q149_dsir_select"    -> (q149 _))
 
   // DuckDB twins. Shared SQL fragments for the text queries:
   // explicit class: Java \s includes \x0B, RE2 \s does not — see
@@ -3562,5 +3577,40 @@ object SparkEntry {
          |  round(CAST(w AS DOUBLE) / 1000000, 6) + 0 AS w_r
          |FROM w3 ORDER BY feat
          |""".stripMargin
-    })
+    },
+    // q149: DSIR replay — same md5 feature hash as q148, bucket
+    // log-ratios frozen to integer 1e-6 units with the identical
+    // operation order (double division of exact longs, ln, difference,
+    // x1e6, half-away-from-zero), then a pure-BIGINT per-doc sum.
+    "q149_dsir_select" ->
+      (s"""WITH raw AS (SELECT doc_id, $TOKS AS tk FROM documents
+          |  WHERE source <> 'src0'),
+          |rj AS (SELECT doc_id,
+          |  CAST(('0x' || substr(md5(tok), 1, 6)) AS BIGINT) % 256 AS j
+          |  FROM (SELECT doc_id, unnest(tk) AS tok FROM raw)),
+          |tgt AS (SELECT $TOKS AS tk FROM documents WHERE source = 'src0'),
+          |tj AS (SELECT
+          |  CAST(('0x' || substr(md5(tok), 1, 6)) AS BIGINT) % 256 AS j
+          |  FROM (SELECT unnest(tk) AS tok FROM tgt)),
+          |cr AS (SELECT j, count(*) AS c FROM rj GROUP BY 1),
+          |ct AS (SELECT j, count(*) AS c FROM tj GROUP BY 1),
+          |tot AS (SELECT (SELECT count(*) FROM rj) AS tr,
+          |               (SELECT count(*) FROM tj) AS tt),
+          |grid AS (SELECT CAST(range AS BIGINT) AS j FROM range(256)),
+          |s AS (SELECT g.j, CAST(round(
+          |    (ln(CAST(coalesce(ct.c, 0) + 1 AS DOUBLE) /
+          |        CAST(tot.tt + 256 AS DOUBLE)) -
+          |     ln(CAST(coalesce(cr.c, 0) + 1 AS DOUBLE) /
+          |        CAST(tot.tr + 256 AS DOUBLE))) * 1000000) AS BIGINT) AS su
+          |  FROM grid g LEFT JOIN ct ON g.j = ct.j
+          |  LEFT JOIN cr ON g.j = cr.j CROSS JOIN tot),
+          |w AS (SELECT rj.doc_id, count(*) AS n_tokens, sum(s.su) AS units
+          |  FROM rj JOIN s USING (j) GROUP BY 1),
+          |r AS (SELECT doc_id, n_tokens, units,
+          |  row_number() OVER (ORDER BY units DESC, doc_id) AS sel_rank FROM w)
+          |SELECT doc_id AS id, CAST(n_tokens AS BIGINT) AS n_tokens,
+          |  round(CAST(units AS DOUBLE) / 1000000, 6) + 0 AS logw_r,
+          |  CAST(sel_rank AS BIGINT) AS sel_rank
+          |FROM r WHERE sel_rank <= 100
+          |""".stripMargin))
 }

@@ -1377,4 +1377,79 @@ object Corpus {
       .select(col("__id").as(idCol), col("n_segments"), col("n_kept"),
         array_join(transform(col("__kept"), s => s("seg")), " ").as("clean_text"))
   }
+
+  /** DSIR domain selection (Xie et al., "Data Selection for Language
+    * Models via Importance Resampling", NeurIPS 2023, in its
+    * deterministic top-k form): rank every RAW document by its
+    * importance weight under hashed bag-of-words models of the TARGET
+    * versus RAW distributions —
+    * `log w(x) = Σ_tokens [log p̂_tgt(bucket) − log p̂_raw(bucket)]`
+    * with add-one-smoothed bucket probabilities — and keep the `k`
+    * highest-weight documents (ties broken by id). The standing
+    * pretraining recipe for "more data that looks like my domain
+    * sample": the target side is small (a quality corpus, a domain
+    * benchmark's training split), the raw side is the web crawl.
+    *
+    * Determinism contract (the [[QualityClassifier]] recipe): bucket =
+    * first 6 hex digits of `md5(token)` mod `dim` (exact on any
+    * engine); each bucket's log-ratio is frozen ONCE into integer
+    * 1e-6-units (half-away-from-zero, from a double computed with a
+    * fixed operation order any libm reproduces), so the per-document
+    * sum is pure BIGINT arithmetic — same rank list on every engine,
+    * every partitioning, every rerun. Overflow headroom: |su| ≤ ~3e7
+    * units (|log ratio| < 30), so 1e9 tokens per document stays under
+    * 2^63.
+    *
+    * Scale shape: the two bucket histograms are partial-aggregated
+    * shuffles of `dim`-bounded rows; the driver holds 2·`dim` counters
+    * (metadata scale, the [[QualityClassifier]] contract) and folds
+    * them into a `dim`-entry score-map literal applied MAP-SIDE per
+    * token. The per-document weigh is then ONE doc-keyed
+    * partial-aggregating shuffle, and the cut plans TakeOrdered
+    * (per-partition heaps, never a global sort); the rank window runs
+    * over the `k` selected rows only (the [[hashSample]] k-row
+    * pattern). Nothing doc-scale reaches the driver.
+    *
+    * Returns `(id, n_tokens, logw_r, sel_rank)`, `sel_rank` 1-based by
+    * `(weight desc, id)`.
+    */
+  def dsirSelect(raw: DataFrame, target: DataFrame, idCol: String,
+                 textCol: String, dim: Int = 256, k: Int = 100): DataFrame = {
+    require(dim >= 2 && dim <= (1 << 20), s"dim must be in [2, 2^20], got $dim")
+    require(k > 0, s"k must be positive, got $k")
+    import graft.operators.QualityClassifier.featureBucket
+    def bucketed(df: DataFrame, keep: Seq[(Column, String)]): DataFrame =
+      df.select(keep.map { case (c, n) => c.as(n) } :+
+          explode(TextFunctions.tokens(col(textCol))).as("__tok"): _*)
+        .select(keep.map { case (_, n) => col(n) } :+
+          featureBucket(col("__tok"), dim).as("j"): _*)
+    def hist(df: DataFrame): Map[Long, Long] =
+      bucketed(df, Seq.empty).groupBy(col("j")).agg(count(lit(1)).as("c"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ct = hist(target)
+    val cr = hist(raw)
+    val tt = ct.valuesIterator.sum
+    val tr = cr.valuesIterator.sum
+    // per-bucket log-ratio in 1e-6 units; operation order fixed and
+    // mirrored by the oracle: ln((c+1)/(tot+dim)) via double division
+    // of exact longs, difference, ×1e6, half-away-from-zero
+    val su: Map[Long, Long] = (0L until dim.toLong).map { j =>
+      val pt = (ct.getOrElse(j, 0L) + 1).toDouble / (tt + dim).toDouble
+      val pr = (cr.getOrElse(j, 0L) + 1).toDouble / (tr + dim).toDouble
+      j -> BigDecimal((math.log(pt) - math.log(pr)) * 1e6)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).longValue
+    }.toMap
+    val sMap = typedlit(su)
+    val weighed = bucketed(raw, Seq(col(idCol) -> "id"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(element_at(sMap, col("j"))).as("__units"))
+    weighed.orderBy(col("__units").desc, col("id").asc).limit(k)
+      .withColumn("sel_rank",
+        row_number().over(Window.orderBy(col("__units").desc, col("id").asc))
+          .cast("long"))
+      .select(col("id"), col("n_tokens"),
+        NumFunctions.roundNz(col("__units").cast("double") / 1000000.0, 6)
+          .as("logw_r"),
+        col("sel_rank"))
+  }
 }

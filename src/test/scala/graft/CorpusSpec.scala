@@ -800,4 +800,40 @@ class CorpusSpec extends SparkSpec {
     assert(lastNew / lastTok < firstRate,
       s"vocabulary not saturating: $firstRate vs ${lastNew / lastTok}")
   }
+
+  test("dsirSelect: domain-vocabulary docs outrank off-domain, ranks dense, rerun-stable") {
+    // target speaks {alpha beta gamma}; raw pool: docs 0-2 share the
+    // domain vocabulary, docs 10-12 speak {delta epsilon zeta} — the
+    // in-domain docs must claim ranks 1-3 regardless of partitioning
+    val target = docTable(Seq(
+      100L -> "alpha beta gamma alpha", 101L -> "beta gamma beta alpha"))
+    val raw = docTable(Seq(
+      0L -> "alpha beta gamma", 1L -> "beta alpha beta", 2L -> "gamma gamma alpha",
+      10L -> "delta epsilon zeta", 11L -> "epsilon zeta delta", 12L -> "zeta delta delta"))
+    def run(r: DataFrame) =
+      Corpus.dsirSelect(r, target, "doc_id", "text", dim = 32, k = 6)
+        .as[(Long, Long, Double, Long)].collect().toSeq
+    val got = run(raw)
+    assert(got.map(_._4) === (1L to 6L))
+    assert(got.take(3).map(_._1).toSet === Set(0L, 1L, 2L),
+      s"in-domain docs must rank first: $got")
+    // every in-domain weight strictly above every off-domain weight
+    assert(got.take(3).map(_._3).min > got.drop(3).map(_._3).max)
+    assert(run(raw.repartition(7)) === got)
+  }
+
+  test("dsirSelect: n_tokens matches tokenization; weights are finite; k caps output") {
+    val target = Tables.documents(spark, sf0001).filter($"source" === "src0")
+    val raw = Tables.documents(spark, sf0001).filter($"source" =!= "src0")
+    val got = Corpus.dsirSelect(raw, target, "doc_id", "text", dim = 64, k = 10)
+      .as[(Long, Long, Double, Long)].collect()
+    assert(got.length === 10)
+    val nTok = raw.select($"doc_id",
+        size(graft.functions.TextFunctions.tokens($"text")).cast("long"))
+      .as[(Long, Long)].collect().toMap
+    got.foreach { case (id, n, w, _) =>
+      assert(n === nTok(id))
+      assert(!w.isNaN && !w.isInfinite)
+    }
+  }
 }
