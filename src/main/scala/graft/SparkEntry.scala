@@ -1642,6 +1642,27 @@ object SparkEntry {
       "doc_id", "text", dim = 256, k = 100)
   }
 
+  /** Q150 — learned quality SCORING
+    * ([[graft.operators.QualityClassifier.scoreWith]]): q148's trained
+    * weights applied back over the corpus — the inference face of the
+    * learned filter (train once, rank everything; the pass a pipeline
+    * actually gates documents with). Map-side only: the 64 trained
+    * weights fold into a plan-literal map, no join reaches the doc
+    * side. Exact oracle: the q148 integer replay plus one scoring
+    * pass.
+    */
+  def q150(s: SparkSession, d: String): DataFrame = {
+    val dd = docs(s, d)
+    val w = graft.operators.QualityClassifier.train(dd, "doc_id", "text",
+        dim = 64, iterations = 3, etaDen = 64L)
+      .orderBy(col("feat")).select(col("w_units"))
+      .collect().map(_.getLong(0))
+    graft.operators.QualityClassifier.scoreWith(dd, "doc_id", "text", w)
+      .withColumn("p_r",
+        graft.functions.NumFunctions.roundNz(
+          col("p_units").cast("double") / 1000000.0, 6))
+  }
+
   /** Q146 — frequent journeys ([[graft.operators.TimeSeries.journeys]]):
     * the 10 most common per-session event-type sequences under q33's
     * sessionization (user key, 30-minute gap) — funnels test one
@@ -2148,13 +2169,48 @@ object SparkEntry {
     "q146_journeys"       -> (q146 _),
     "q147_margin_ann"     -> (q147 _),
     "q148_quality_clf"    -> (q148 _),
-    "q149_dsir_select"    -> (q149 _))
+    "q149_dsir_select"    -> (q149 _),
+    "q150_quality_score"  -> (q150 _))
 
   // DuckDB twins. Shared SQL fragments for the text queries:
   // explicit class: Java \s includes \x0B, RE2 \s does not — see
   // TextFunctions.whitespaceClass
   private val TOKS =
     "list_filter(regexp_split_to_array(trim(text), '[ \\t\\n\\f\\r]+'), x -> x <> '')"
+
+  /** Shared q148/q150 oracle prefix: hashed features, labels, and the
+    * three unrolled integer gradient steps ending in trained weights
+    * `w3` ([[graft.operators.QualityClassifier]]'s fixed-point replay).
+    */
+  private lazy val QC_TRAIN_CTE: String = {
+    def step(wp: String, k: Int): String =
+      s"""z$k AS (SELECT f.doc_id, sum(f.x * $wp.w) AS z
+         |  FROM f JOIN $wp USING (j) GROUP BY 1),
+         |e$k AS (SELECT lab.doc_id, CAST(lab.y AS BIGINT) * 1000000 -
+         |  ((2000000 + greatest(-2000000, least(2000000, coalesce(z$k.z, 0)))) // 4)
+         |    AS e
+         |  FROM lab LEFT JOIN z$k USING (doc_id)),
+         |g$k AS (SELECT f.j, sum(e$k.e * f.x) AS g
+         |  FROM f JOIN e$k USING (doc_id) GROUP BY 1),
+         |w$k AS (SELECT w.j, w.w + coalesce(g$k.g, 0) // (nn.n * 64) AS w
+         |  FROM $wp w LEFT JOIN g$k USING (j) CROSS JOIN nn)"""
+        .stripMargin
+    s"""WITH t AS (SELECT doc_id, $TOKS AS tk FROM documents),
+       |t2 AS (SELECT doc_id, tk FROM t WHERE len(tk) > 0),
+       |lab AS (SELECT doc_id,
+       |  CASE WHEN 2 * len(list_distinct(tk)) >= len(tk) THEN 1 ELSE 0 END AS y
+       |  FROM t2),
+       |u AS (SELECT doc_id, unnest(tk) AS tok FROM t2),
+       |f AS (SELECT doc_id,
+       |  CAST(('0x' || substr(md5(tok), 1, 6)) AS BIGINT) % 64 AS j,
+       |  count(*) AS x FROM u GROUP BY 1, 2),
+       |nn AS (SELECT count(*) AS n FROM t2),
+       |w0 AS (SELECT CAST(range AS BIGINT) AS j, CAST(0 AS BIGINT) AS w
+       |  FROM range(64)),
+       |${step("w0", 1)},
+       |${step("w1", 2)},
+       |${step("w2", 3)}""".stripMargin
+  }
   private val TOKS_LOWER =
     "list_filter(regexp_split_to_array(trim(lower(text)), '[ \\t\\n\\f\\r]+'), x -> x <> '')"
   private def shinglesSql(tk: String): String =
@@ -3545,39 +3601,27 @@ object SparkEntry {
     // non-negative dividend, LMS update with truncate-toward-zero
     // division (DuckDB // ≡ Spark div ≡ JVM / on negatives) — three
     // unrolled CTE steps reproduce the engine's weights bit for bit
-    "q148_quality_clf" -> {
-      def step(wp: String, k: Int): String =
-        s"""z$k AS (SELECT f.doc_id, sum(f.x * $wp.w) AS z
-           |  FROM f JOIN $wp USING (j) GROUP BY 1),
-           |e$k AS (SELECT lab.doc_id, CAST(lab.y AS BIGINT) * 1000000 -
-           |  ((2000000 + greatest(-2000000, least(2000000, coalesce(z$k.z, 0)))) // 4)
-           |    AS e
-           |  FROM lab LEFT JOIN z$k USING (doc_id)),
-           |g$k AS (SELECT f.j, sum(e$k.e * f.x) AS g
-           |  FROM f JOIN e$k USING (doc_id) GROUP BY 1),
-           |w$k AS (SELECT w.j, w.w + coalesce(g$k.g, 0) // (nn.n * 64) AS w
-           |  FROM $wp w LEFT JOIN g$k USING (j) CROSS JOIN nn)"""
-          .stripMargin
-      s"""WITH t AS (SELECT doc_id, $TOKS AS tk FROM documents),
-         |t2 AS (SELECT doc_id, tk FROM t WHERE len(tk) > 0),
-         |lab AS (SELECT doc_id,
-         |  CASE WHEN 2 * len(list_distinct(tk)) >= len(tk) THEN 1 ELSE 0 END AS y
-         |  FROM t2),
-         |u AS (SELECT doc_id, unnest(tk) AS tok FROM t2),
-         |f AS (SELECT doc_id,
-         |  CAST(('0x' || substr(md5(tok), 1, 6)) AS BIGINT) % 64 AS j,
-         |  count(*) AS x FROM u GROUP BY 1, 2),
-         |nn AS (SELECT count(*) AS n FROM t2),
-         |w0 AS (SELECT CAST(range AS BIGINT) AS j, CAST(0 AS BIGINT) AS w
-         |  FROM range(64)),
-         |${step("w0", 1)},
-         |${step("w1", 2)},
-         |${step("w2", 3)}
+    "q148_quality_clf" ->
+      (s"""$QC_TRAIN_CTE
          |SELECT j AS feat, CAST(w AS BIGINT) AS w_units,
          |  round(CAST(w AS DOUBLE) / 1000000, 6) + 0 AS w_r
          |FROM w3 ORDER BY feat
-         |""".stripMargin
-    },
+         |""".stripMargin),
+    // q150: one more integer pass over the q148 replay — score every
+    // doc with the trained w3 and apply the hard-sigmoid link.
+    "q150_quality_score" ->
+      (s"""$QC_TRAIN_CTE,
+         |z4 AS (SELECT f.doc_id, sum(f.x * w3.w) AS z
+         |  FROM f JOIN w3 USING (j) GROUP BY 1),
+         |sc AS (SELECT lab.doc_id, lab.y,
+         |  greatest(-2000000, least(2000000, coalesce(z4.z, 0))) AS zc
+         |  FROM lab LEFT JOIN z4 USING (doc_id))
+         |SELECT CAST(doc_id AS VARCHAR) AS id, CAST(y AS BIGINT) AS y,
+         |  CAST(zc AS BIGINT) AS z_units,
+         |  CAST((2000000 + zc) // 4 AS BIGINT) AS p_units,
+         |  round(CAST((2000000 + zc) // 4 AS DOUBLE) / 1000000, 6) + 0 AS p_r
+         |FROM sc
+         |""".stripMargin),
     // q149: DSIR replay — same md5 feature hash as q148, bucket
     // log-ratios frozen to integer 1e-6 units with the identical
     // operation order (double division of exact longs, ln, difference,
