@@ -1642,6 +1642,17 @@ object SparkEntry {
       "doc_id", "text", dim = 256, k = 100)
   }
 
+  /** Q151 — soft deduplication
+    * ([[graft.operators.Dedup.softDedupWeights]]; He et al., ACL
+    * 2024): q37's exact near-dup clustering, but each document keeps
+    * a `1/|cluster|` sampling weight instead of being dropped — every
+    * cluster contributes one unit of expected training mass. Same
+    * oracle family as q37 (recursive-CTE components) extended with the
+    * per-cluster count.
+    */
+  def q151(s: SparkSession, d: String): DataFrame =
+    Dedup.softDedupWeights(docs(s, d), "doc_id", "text")
+
   /** Q150 — learned quality SCORING
     * ([[graft.operators.QualityClassifier.scoreWith]]): q148's trained
     * weights applied back over the corpus — the inference face of the
@@ -2170,7 +2181,8 @@ object SparkEntry {
     "q147_margin_ann"     -> (q147 _),
     "q148_quality_clf"    -> (q148 _),
     "q149_dsir_select"    -> (q149 _),
-    "q150_quality_score"  -> (q150 _))
+    "q150_quality_score"  -> (q150 _),
+    "q151_soft_dedup"     -> (q151 _))
 
   // DuckDB twins. Shared SQL fragments for the text queries:
   // explicit class: Java \s includes \x0B, RE2 \s does not — see
@@ -2668,6 +2680,28 @@ object SparkEntry {
           |reach(a, b) AS (SELECT src, dst FROM edges
           |  UNION SELECT e.src, r.b FROM edges e JOIN reach r ON e.dst = r.a)
           |SELECT a AS doc_id FROM reach GROUP BY a HAVING min(b) = a
+          |""".stripMargin),
+    // q151: q37's component replay, kept per-document and extended
+    // with the cluster count — weight = 1/|cluster|.
+    "q151_soft_dedup" ->
+      (s"""WITH RECURSIVE toks AS (SELECT doc_id, $TOKS AS tk FROM documents),
+          |sh AS (SELECT doc_id, ${shinglesSql("tk")} AS s FROM toks),
+          |p0 AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+          |  len(list_intersect(a.s, b.s)) AS inter, len(a.s) + len(b.s) AS tot
+          |  FROM sh a JOIN sh b ON b.doc_id > a.doc_id),
+          |pairs AS (SELECT a_id, b_id FROM p0
+          |  WHERE (tot - inter) > 0 AND inter * 10 >= (tot - inter) * 7),
+          |edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+          |  UNION SELECT b_id, a_id FROM pairs
+          |  UNION SELECT doc_id, doc_id FROM documents),
+          |reach(a, b) AS (SELECT src, dst FROM edges
+          |  UNION SELECT e.src, r.b FROM edges e JOIN reach r ON e.dst = r.a),
+          |comp AS (SELECT a AS doc_id, min(b) AS rep FROM reach GROUP BY a),
+          |cs AS (SELECT rep, count(*) AS n FROM comp GROUP BY 1)
+          |SELECT comp.doc_id, comp.rep AS cluster_rep,
+          |  CAST(cs.n AS BIGINT) AS cluster_size,
+          |  round(1.0 / cs.n, 6) + 0 AS weight_r
+          |FROM comp JOIN cs USING (rep)
           |""".stripMargin),
     "q75_skip_scan" ->
       ("SELECT event_id, user_id, event_type, value FROM events " +

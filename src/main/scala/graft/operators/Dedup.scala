@@ -404,6 +404,21 @@ object Dedup {
   def dedupCorpus(docs: DataFrame, idCol: String, textCol: String,
                   thresholdNum: Int = 7, thresholdDen: Int = 10,
                   ngram: Int = 3): DataFrame = {
+    val comps = corpusComponents(docs, idCol, textCol,
+      thresholdNum, thresholdDen, ngram)
+    docs.join(comps.filter(col("id") === col("survivor_id")).select(col("id")),
+      docs(idCol) === col("id")).drop("id")
+  }
+
+  /** The component stage of [[dedupCorpus]], exposed: `(id,
+    * survivor_id)` for EVERY document — exact-collapse skew guard, LSH
+    * pairs among representatives, membership edges, min-label
+    * components. [[dedupCorpus]] keeps the survivors;
+    * [[softDedupWeights]] reweights by cluster size instead.
+    */
+  def corpusComponents(docs: DataFrame, idCol: String, textCol: String,
+                       thresholdNum: Int = 7, thresholdDen: Int = 10,
+                       ngram: Int = 3): DataFrame = {
     // stage 1: exact collapse on the RAW content hash — byte-identical
     // texts with at least `ngram` tokens have identical non-empty
     // shingle sets (Jaccard 1), so this collapse is invisible to the
@@ -431,9 +446,37 @@ object Dedup {
       .unionByName(repOf.filter(col("id") =!= col("rep"))
         .select(col("id").as("a_id"), col("rep").as("b_id")))
 
-    val comps = nearDupComponents(docs.select(col(idCol)), idCol, pairs)
-    docs.join(comps.filter(col("id") === col("survivor_id")).select(col("id")),
-      docs(idCol) === col("id")).drop("id")
+    nearDupComponents(docs.select(col(idCol)), idCol, pairs)
+  }
+
+  /** Soft deduplication (He et al., "SoftDedup: an Efficient Data
+    * Reweighting Method for Speeding Up Language Model Pre-training",
+    * ACL 2024, in its cluster-mass form): instead of DROPPING
+    * near-duplicates, every document keeps a sampling weight
+    * `1/|cluster|` under [[dedupCorpus]]'s exact clustering — each
+    * near-dup cluster contributes one unit of expected training mass,
+    * so common text is downweighted, not erased (the information a
+    * hard dedup throws away — which variants existed, how common the
+    * content is — stays available to the sampler).
+    *
+    * Returns `(idCol, cluster_rep, cluster_size, weight_r)`. Scale
+    * shape: [[corpusComponents]]'s measured-linear pipeline plus ONE
+    * cluster-keyed count and a cluster-keyed join — both shuffle on
+    * the representative id, partial-aggregated; no new skew surface
+    * (the exact-collapse stage already bounds per-bucket pair
+    * blowups).
+    */
+  def softDedupWeights(docs: DataFrame, idCol: String, textCol: String,
+                       thresholdNum: Int = 7, thresholdDen: Int = 10,
+                       ngram: Int = 3): DataFrame = {
+    val comps = corpusComponents(docs, idCol, textCol,
+      thresholdNum, thresholdDen, ngram)
+    val sizes = comps.groupBy(col("survivor_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+    comps.join(sizes, "survivor_id")
+      .select(col("id").as(idCol), col("survivor_id").as("cluster_rep"),
+        col("cluster_size"),
+        NumFunctions.roundNz(lit(1.0) / col("cluster_size"), 6).as("weight_r"))
   }
 
   /** SimHash near-duplicate pairs (Charikar, "Similarity estimation

@@ -119,6 +119,25 @@ class DedupSpec extends SparkSpec {
     assert(sIds === Set(1L, 9L))
   }
 
+  test("softDedupWeights: cluster mass sums to one; singletons keep weight 1.0") {
+    // same planted corpus as the collapse test: {1,2,3,5} form one
+    // cluster of 4 (exact trio + near-dup), 9 is a singleton
+    val base = (1 to 40).map(i => s"word$i").mkString(" ")
+    val near = base.replace("word20", "changed")
+    val docs = Seq(
+      (1L, base), (2L, base), (3L, base), (5L, near),
+      (9L, "completely different content about spark shuffle partitions and joins here"))
+      .toDF("doc_id", "text")
+    val got = Dedup.softDedupWeights(docs, "doc_id", "text")
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1)
+    assert(got.map(r => (r._1, r._2, r._3)).toSeq === Seq(
+      (1L, 1L, 4L), (2L, 1L, 4L), (3L, 1L, 4L), (5L, 1L, 4L), (9L, 9L, 1L)))
+    assert(got.filter(_._3 == 4L).forall(_._4 === 0.25))
+    assert(got.find(_._1 == 9L).get._4 === 1.0)
+    // expected training mass = one unit per cluster
+    assert(got.map(_._4).sum === 2.0)
+  }
+
   test("simhashPairs finds identical texts at hamming 0 and respects the cap") {
     val df = Seq(
       (1L, "the quick brown fox jumps over the lazy dog again and again"),
