@@ -1657,10 +1657,12 @@ object SparkEntry {
     * ([[graft.operators.QualityClassifier.scoreWith]]): q148's trained
     * weights applied back over the corpus — the inference face of the
     * learned filter (train once, rank everything; the pass a pipeline
-    * actually gates documents with). Map-side only: the 64 trained
-    * weights fold into a plan-literal map, no join reaches the doc
-    * side. Exact oracle: the q148 integer replay plus one scoring
-    * pass.
+    * actually gates documents with). Row-local: the 64 trained
+    * weights fold into a plan-literal map and the token array folds
+    * against it per row — ZERO exchanges in the scoring plan
+    * (PlanSpec-gated), so the pass streams unchanged
+    * (StatefulOpsSpec's gate twin). Exact oracle: the q148 integer
+    * replay plus one scoring pass.
     */
   def q150(s: SparkSession, d: String): DataFrame = {
     val dd = docs(s, d)
@@ -1668,7 +1670,7 @@ object SparkEntry {
         dim = 64, iterations = 3, etaDen = 64L)
       .orderBy(col("feat")).select(col("w_units"))
       .collect().map(_.getLong(0))
-    graft.operators.QualityClassifier.scoreWith(dd, "doc_id", "text", w)
+    graft.operators.QualityClassifier.scoreRowWise(dd, "doc_id", "text", w)
       .withColumn("p_r",
         graft.functions.NumFunctions.roundNz(
           col("p_units").cast("double") / 1000000.0, 6))

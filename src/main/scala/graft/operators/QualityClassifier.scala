@@ -177,4 +177,33 @@ object QualityClassifier {
       .select(col("id"), col("y"), col("__zc").as("z_units"),
         pUnitsExpr.as("p_units"))
   }
+
+  /** [[scoreWith]] as a ROW-LOCAL projection: `z = Σ_tokens
+    * w[bucket(token)]` folds the token array directly against the
+    * weight-map literal — identical integer result (summing per token
+    * ≡ summing `x_j·w_j` per bucket), but with NO aggregation in the
+    * plan at all. This is the production inference shape: zero
+    * exchanges at any corpus size, and because it is a pure
+    * projection it drops into a Structured Streaming query unchanged
+    * (the gate's streaming twin is spec-pinned against this batch
+    * path).
+    */
+  def scoreRowWise(docs: DataFrame, idCol: String, textCol: String,
+                   weights: Array[Long],
+                   labelFromTokens: Column => Column = distinctRatioLabel)
+      : DataFrame = {
+    val dim = weights.length
+    val wmap = typedlit(weights.indices.map(j => j -> weights(j)).toMap)
+    docs
+      .select(col(idCol).cast("string").as("id"),
+        TextFunctions.tokens(col(textCol)).as("__tk"))
+      .filter(size(col("__tk")) > 0)
+      .withColumn("__z", aggregate(col("__tk"), lit(0L), (acc, t) =>
+        acc + coalesce(
+          element_at(wmap, featureBucket(t, dim).cast("int")), lit(0L))))
+      .withColumn("__zc",
+        greatest(lit(-2L * Scale), least(lit(2L * Scale), col("__z"))))
+      .select(col("id"), labelFromTokens(col("__tk")).cast("long").as("y"),
+        col("__zc").as("z_units"), pUnitsExpr.as("p_units"))
+  }
 }

@@ -534,6 +534,15 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"cartesian pairing:\n$p")
   }
 
+  test("q150: learned-quality inference is a pure projection — zero exchanges") {
+    val p = plan(SparkEntry.q150(spark, sf0001))
+    // training runs eagerly inside q150; the PLAN under test is the
+    // scoring pass, which folds tokens against the weight-map literal
+    // row-locally — nothing shuffles at any corpus size
+    assert(!p.contains("Exchange"), s"inference plan must not shuffle:\n$p")
+    assert(!p.contains("Join"), s"inference plan must not join:\n$p")
+  }
+
   test("q149: DSIR weigh is one doc-keyed aggregate; cut plans TakeOrdered, no join") {
     val p = plan(SparkEntry.q149(spark, sf0001))
     // the score map is a plan literal folded map-side: no join reaches

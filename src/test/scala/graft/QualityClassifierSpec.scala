@@ -105,4 +105,20 @@ class QualityClassifierSpec extends SparkSpec {
       QualityClassifier.train(docs, "doc_id", "text", dim = 8, etaDen = 0L)
     }
   }
+
+  test("scoreRowWise equals scoreWith row-for-row (per-token fold = per-bucket fold)") {
+    val docs = planted(8).toDF("doc_id", "text")
+    val w = QualityClassifier.train(docs, "doc_id", "text",
+        dim = 32, iterations = 2, etaDen = 32L)
+      .collect().sortBy(_.getLong(0)).map(_.getLong(1))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(rows(QualityClassifier.scoreRowWise(docs, "doc_id", "text", w)) ===
+      rows(QualityClassifier.scoreWith(docs, "doc_id", "text", w)))
+    // the row-wise plan is a pure projection: no exchange anywhere
+    val plan = QualityClassifier.scoreRowWise(docs, "doc_id", "text", w)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"row-wise scoring must not shuffle:\n$plan")
+  }
 }

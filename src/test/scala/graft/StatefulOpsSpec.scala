@@ -326,4 +326,40 @@ class StatefulOpsSpec extends SparkSpec {
     // bucket 2 adds [a,c,d]+[d,d,e] = 6 tokens, new types {d,e}
     assert(curveOf(fState, bState) === Set((0L, 4L, 3L), (2L, 10L, 5L)))
   }
+
+  test("streams compose: the learned quality gate scores micro-batches exactly like batch (q150)") {
+    // scoreRowWise is a pure projection, so the trained gate drops
+    // into a streaming query unchanged: same weights, same integer
+    // scores, regardless of how documents are micro-batched
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "spam spam spam spam spam spam"),
+      (3L, "unique tokens make a quality document here"),
+      (4L, "dup dup dup dup"),
+      (5L, "mixed bag dup dup alpha beta"))
+    val docs = corpus.toDF("doc_id", "text")
+    val w = graft.operators.QualityClassifier.train(docs, "doc_id", "text",
+        dim = 16, iterations = 2, etaDen = 16L)
+      .collect().sortBy(_.getLong(0)).map(_.getLong(1))
+    val want = graft.operators.QualityClassifier
+      .scoreRowWise(docs, "doc_id", "text", w)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+
+    val input = MemoryStream[(Long, String)]
+    val gated = graft.operators.QualityClassifier.scoreRowWise(
+      input.toDS().toDF("doc_id", "text"), "doc_id", "text", w)
+    val q = gated.writeStream.format("memory").queryName("quality_gate_out")
+      .outputMode(OutputMode.Append()).start()
+    input.addData(corpus.take(2): _*)   // uneven micro-batches
+    q.processAllAvailable()
+    input.addData(corpus.drop(2): _*)
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.table("quality_gate_out")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got === want)
+  }
 }
