@@ -1400,56 +1400,82 @@ object Corpus {
     * units (|log ratio| < 30), so 1e9 tokens per document stays under
     * 2^63.
     *
-    * Scale shape: the two bucket histograms are partial-aggregated
-    * shuffles of `dim`-bounded rows; the driver holds 2·`dim` counters
-    * (metadata scale, the [[QualityClassifier]] contract) and folds
-    * them into a `dim`-entry score-map literal applied MAP-SIDE per
-    * token. The per-document weigh is then ONE doc-keyed
-    * partial-aggregating shuffle, and the cut plans TakeOrdered
-    * (per-partition heaps, never a global sort); the rank window runs
-    * over the `k` selected rows only (the [[hashSample]] k-row
-    * pattern). Nothing doc-scale reaches the driver.
+    * Scale shape: the two bucket histograms ([[dsirScoreMap]]) are
+    * partial-aggregated shuffles of `dim`-bounded rows; the driver
+    * holds 2·`dim` counters (metadata scale, the [[QualityClassifier]]
+    * contract) and freezes them into a `dim`-entry score-map literal.
+    * The per-document weigh ([[dsirScoreRowWise]]) is then a pure
+    * ROW-LOCAL projection — zero exchanges at any corpus size — and
+    * the cut plans TakeOrdered (per-partition heaps, never a global
+    * sort); the rank window runs over the `k` selected rows only (the
+    * [[hashSample]] k-row pattern). Nothing doc-scale reaches the
+    * driver.
     *
     * Returns `(id, n_tokens, logw_r, sel_rank)`, `sel_rank` 1-based by
     * `(weight desc, id)`.
     */
   def dsirSelect(raw: DataFrame, target: DataFrame, idCol: String,
                  textCol: String, dim: Int = 256, k: Int = 100): DataFrame = {
-    require(dim >= 2 && dim <= (1 << 20), s"dim must be in [2, 2^20], got $dim")
     require(k > 0, s"k must be positive, got $k")
+    val su = dsirScoreMap(raw, target, textCol, dim)
+    dsirScoreRowWise(raw, idCol, textCol, su, dim)
+      .orderBy(col("logw_units").desc, col("id").asc).limit(k)
+      .withColumn("sel_rank",
+        row_number().over(Window.orderBy(col("logw_units").desc, col("id").asc))
+          .cast("long"))
+      .select(col("id"), col("n_tokens"), col("logw_r"), col("sel_rank"))
+  }
+
+  /** [[dsirSelect]]'s scoring pass with a FROZEN score map, as a
+    * ROW-LOCAL projection: the token array folds per row against the
+    * `dim`-entry unit-score literal (per-token summing ≡ per-bucket
+    * `c_j·s_j` — same integers). Freeze the map once with
+    * [[dsirScoreMap]] over the reference corpora, then score any later
+    * batch — or a STREAM (pure projection, so it drops into a
+    * streaming query unchanged; the [[QualityClassifier.scoreRowWise]]
+    * contract) — without touching the histograms again. Zero
+    * exchanges. Returns `(id, n_tokens, logw_units, logw_r)`.
+    */
+  def dsirScoreRowWise(docs: DataFrame, idCol: String, textCol: String,
+                       su: Map[Long, Long], dim: Int): DataFrame = {
+    require(su.keySet == (0L until dim.toLong).toSet,
+      s"score map must cover exactly [0, $dim)")
     import graft.operators.QualityClassifier.featureBucket
-    def bucketed(df: DataFrame, keep: Seq[(Column, String)]): DataFrame =
-      df.select(keep.map { case (c, n) => c.as(n) } :+
-          explode(TextFunctions.tokens(col(textCol))).as("__tok"): _*)
-        .select(keep.map { case (_, n) => col(n) } :+
-          featureBucket(col("__tok"), dim).as("j"): _*)
+    val sMap = typedlit(su)
+    docs
+      .select(col(idCol).as("id"), TextFunctions.tokens(col(textCol)).as("__tk"))
+      .filter(size(col("__tk")) > 0)
+      .withColumn("__units", aggregate(col("__tk"), lit(0L), (acc, t) =>
+        acc + coalesce(element_at(sMap, featureBucket(t, dim)), lit(0L))))
+      .select(col("id"), size(col("__tk")).cast("long").as("n_tokens"),
+        col("__units").as("logw_units"),
+        NumFunctions.roundNz(col("__units").cast("double") / 1000000.0, 6)
+          .as("logw_r"))
+  }
+
+  /** Freeze the [[dsirSelect]] bucket score map — target-vs-raw
+    * smoothed log-ratios in integer 1e-6 units — for reuse by
+    * [[dsirScoreRowWise]] (train once / score many, the incremental
+    * and streaming face). Driver state: 2·`dim` counters.
+    */
+  def dsirScoreMap(raw: DataFrame, target: DataFrame, textCol: String,
+                   dim: Int = 256): Map[Long, Long] = {
+    require(dim >= 2 && dim <= (1 << 20), s"dim must be in [2, 2^20], got $dim")
+    import graft.operators.QualityClassifier.featureBucket
     def hist(df: DataFrame): Map[Long, Long] =
-      bucketed(df, Seq.empty).groupBy(col("j")).agg(count(lit(1)).as("c"))
+      df.select(explode(TextFunctions.tokens(col(textCol))).as("__tok"))
+        .select(featureBucket(col("__tok"), dim).as("j"))
+        .groupBy(col("j")).agg(count(lit(1)).as("c"))
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val ct = hist(target)
     val cr = hist(raw)
     val tt = ct.valuesIterator.sum
     val tr = cr.valuesIterator.sum
-    // per-bucket log-ratio in 1e-6 units; operation order fixed and
-    // mirrored by the oracle: ln((c+1)/(tot+dim)) via double division
-    // of exact longs, difference, ×1e6, half-away-from-zero
-    val su: Map[Long, Long] = (0L until dim.toLong).map { j =>
+    (0L until dim.toLong).map { j =>
       val pt = (ct.getOrElse(j, 0L) + 1).toDouble / (tt + dim).toDouble
       val pr = (cr.getOrElse(j, 0L) + 1).toDouble / (tr + dim).toDouble
       j -> BigDecimal((math.log(pt) - math.log(pr)) * 1e6)
         .setScale(0, BigDecimal.RoundingMode.HALF_UP).longValue
     }.toMap
-    val sMap = typedlit(su)
-    val weighed = bucketed(raw, Seq(col(idCol) -> "id"))
-      .groupBy(col("id"))
-      .agg(count(lit(1)).as("n_tokens"), sum(element_at(sMap, col("j"))).as("__units"))
-    weighed.orderBy(col("__units").desc, col("id").asc).limit(k)
-      .withColumn("sel_rank",
-        row_number().over(Window.orderBy(col("__units").desc, col("id").asc))
-          .cast("long"))
-      .select(col("id"), col("n_tokens"),
-        NumFunctions.roundNz(col("__units").cast("double") / 1000000.0, 6)
-          .as("logw_r"),
-        col("sel_rank"))
   }
 }

@@ -822,6 +822,27 @@ class CorpusSpec extends SparkSpec {
     assert(run(raw.repartition(7)) === got)
   }
 
+  test("dsirScoreMap freezes once; dsirScoreRowWise scores new batches without a shuffle") {
+    val target = docTable(Seq(100L -> "alpha beta gamma alpha"))
+    val raw = docTable(Seq(
+      0L -> "alpha beta gamma", 10L -> "delta epsilon zeta"))
+    val su = Corpus.dsirScoreMap(raw, target, "text", dim = 32)
+    // frozen map agrees with the end-to-end selection on the same pool
+    val sel = Corpus.dsirSelect(raw, target, "doc_id", "text", dim = 32, k = 2)
+      .as[(Long, Long, Double, Long)].collect().map(r => r._1 -> r._3).toMap
+    val scored = Corpus.dsirScoreRowWise(raw, "doc_id", "text", su, dim = 32)
+    assert(scored.as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r._4).toMap === sel)
+    // a LATER batch scores under the frozen map: in-domain above off-domain
+    val batch = docTable(Seq(50L -> "beta gamma beta", 51L -> "zeta zeta epsilon"))
+    val got = Corpus.dsirScoreRowWise(batch, "doc_id", "text", su, dim = 32)
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    assert(got(50L) > got(51L), s"frozen scorer lost the domain signal: $got")
+    // the scoring plan is a pure projection
+    val p = scored.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"row-wise DSIR scoring must not shuffle:\n$p")
+  }
+
   test("dsirSelect: n_tokens matches tokenization; weights are finite; k caps output") {
     val target = Tables.documents(spark, sf0001).filter($"source" === "src0")
     val raw = Tables.documents(spark, sf0001).filter($"source" =!= "src0")

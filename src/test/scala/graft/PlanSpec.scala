@@ -543,17 +543,17 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), s"inference plan must not join:\n$p")
   }
 
-  test("q149: DSIR weigh is one doc-keyed aggregate; cut plans TakeOrdered, no join") {
+  test("q149: DSIR weigh is a row-local projection; cut plans TakeOrdered, no join") {
     val p = plan(SparkEntry.q149(spark, sf0001))
-    // the score map is a plan literal folded map-side: no join reaches
-    // the doc-scale side, and the cut is per-partition heaps
+    // the frozen score map is a plan literal folded per row: no join,
+    // no aggregation, NO exchange reaches the doc-scale side — the cut
+    // is per-partition heaps and the rank window runs over the k cut
+    // rows (metadata scale by construction)
     assert(p.contains("TakeOrderedAndProject"), s"cut must be TakeOrdered:\n$p")
     assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
       s"score lookup must be the map literal, not a join:\n$p")
-    // the only data-scale exchange is the doc-keyed aggregate; the rank
-    // window runs over the k cut rows (metadata scale by construction)
     val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
-    assert(exchanges == 1, s"expected ONE doc-keyed exchange, got $exchanges:\n$p")
+    assert(exchanges == 0, s"expected ZERO doc-scale exchanges, got $exchanges:\n$p")
   }
 
   test("q129: exact set-sim join plans equi-joins only — no cartesian, no nested loop") {
