@@ -46,6 +46,12 @@ object Bench {
         run(name, fn)
         (System.nanoTime() - t0) / 1e9
       }.min
+      // between queries (outside the timed region): let the
+      // ContextCleaner reap the previous query's dead persist /
+      // checkpoint blocks — 151 queries in one JVM otherwise
+      // accumulate block-manager state no real deployment would carry,
+      // and neighbors' timings degrade under the leftover GC pressure
+      System.gc()
       name -> t
     }
     // 3-decimal timings: ms resolution is all the comparison needs, and

@@ -125,11 +125,16 @@ object QualityClassifier {
     require(etaDen >= 1L, s"need etaDen >= 1, got $etaDen")
     val spark = docs.sparkSession
 
-    // features once, checkpointed; partition budget follows doc count
+    // features once, persisted; partition budget follows doc count
     // (a 500-doc fixture otherwise spreads over the full shuffle width
-    // and every iteration schedules width-many near-empty tasks)
+    // and every iteration schedules width-many near-empty tasks).
+    // persist — NOT localCheckpoint — because the loop reuses the SAME
+    // frame each round (no lineage growth to cut), and unlike
+    // checkpoint blocks a persist can be dropped eagerly below: the
+    // returned weight table is built from driver-held longs, so it
+    // references nothing here
     val f0 = hashedFeatures(docs, idCol, textCol, dim, labelFromTokens)
-      .localCheckpoint(true)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = f0.count()
     require(n > 0, "no documents with tokens to train on")
     val parts = math.max(1L, math.min(
@@ -152,6 +157,11 @@ object QualityClassifier {
       // JVM long division truncates toward zero — the shared contract
       w = Array.tabulate(dim)(j => w(j) + g.getOrElse(j, 0L) / den)
     }
+    // training is done and the weights live on the driver: release the
+    // feature cache NOW instead of leaving it to the ContextCleaner — a
+    // long-lived driver training many models would otherwise accumulate
+    // doc-scale cached frames
+    f0.unpersist(blocking = false)
 
     import spark.implicits._
     w.toSeq.zipWithIndex.map { case (v, j) => (j.toLong, v) }
