@@ -1642,6 +1642,18 @@ object SparkEntry {
       "doc_id", "text", dim = 256, k = 100)
   }
 
+  /** Q152 — learned language ID
+    * ([[graft.operators.NaiveBayes.nbClassify]]; McCallum & Nigam
+    * 1998, the fastText-family linear classifier): multinomial NB over
+    * hashed bag-of-words trained on the documents' own `lang` labels,
+    * every document classified by fixed-point log-posterior argmax —
+    * the TRAINED counterpart of q19's character-n-gram heuristic.
+    * Exact oracle: histograms, unit scores and the argmax replay as
+    * integer SQL.
+    */
+  def q152(s: SparkSession, d: String): DataFrame =
+    graft.operators.NaiveBayes.nbClassify(docs(s, d), "doc_id", "text", "lang")
+
   /** Q151 — soft deduplication
     * ([[graft.operators.Dedup.softDedupWeights]]; He et al., ACL
     * 2024): q37's exact near-dup clustering, but each document keeps
@@ -2184,7 +2196,8 @@ object SparkEntry {
     "q148_quality_clf"    -> (q148 _),
     "q149_dsir_select"    -> (q149 _),
     "q150_quality_score"  -> (q150 _),
-    "q151_soft_dedup"     -> (q151 _))
+    "q151_soft_dedup"     -> (q151 _),
+    "q152_nb_langid"      -> (q152 _))
 
   // DuckDB twins. Shared SQL fragments for the text queries:
   // explicit class: Java \s includes \x0B, RE2 \s does not — see
@@ -2682,6 +2695,40 @@ object SparkEntry {
           |reach(a, b) AS (SELECT src, dst FROM edges
           |  UNION SELECT e.src, r.b FROM edges e JOIN reach r ON e.dst = r.a)
           |SELECT a AS doc_id FROM reach GROUP BY a HAVING min(b) = a
+          |""".stripMargin),
+    // q152: multinomial-NB replay — the q149 unit-freeze recipe per
+    // class (add-one token likelihoods + doc-count priors in integer
+    // 1e-6 units), per-doc class sums, argmax with name tie-break.
+    "q152_nb_langid" ->
+      (s"""WITH t2 AS (SELECT doc_id, lang, $TOKS AS tk FROM documents
+          |  WHERE lang IS NOT NULL AND len($TOKS) > 0),
+          |b AS (SELECT doc_id, lang,
+          |  CAST(('0x' || substr(md5(tok), 1, 6)) AS BIGINT) % 128 AS j
+          |  FROM (SELECT doc_id, lang, unnest(tk) AS tok FROM t2)),
+          |hist AS (SELECT lang AS c, j, count(*) AS n FROM b GROUP BY 1, 2),
+          |tot AS (SELECT c, sum(n) AS tn FROM hist GROUP BY 1),
+          |ndoc AS (SELECT lang AS c, count(*) AS nd FROM t2 GROUP BY 1),
+          |nn AS (SELECT count(*) AS n, count(DISTINCT lang) AS k FROM t2),
+          |grid AS (SELECT ndoc.c, CAST(range AS BIGINT) AS j
+          |  FROM ndoc CROSS JOIN range(128)),
+          |su AS (SELECT g.c, g.j, CAST(round(
+          |    ln(CAST(coalesce(h.n, 0) + 1 AS DOUBLE) /
+          |       CAST(t.tn + 128 AS DOUBLE)) * 1000000) AS BIGINT) AS u
+          |  FROM grid g LEFT JOIN hist h ON g.c = h.c AND g.j = h.j
+          |  JOIN tot t ON g.c = t.c),
+          |pri AS (SELECT ndoc.c, CAST(round(
+          |    ln(CAST(ndoc.nd + 1 AS DOUBLE) /
+          |       CAST(nn.n + nn.k AS DOUBLE)) * 1000000) AS BIGINT) AS p
+          |  FROM ndoc CROSS JOIN nn),
+          |z AS (SELECT b.doc_id, su.c, sum(su.u) AS s
+          |  FROM b JOIN su USING (j) GROUP BY 1, 2),
+          |zz AS (SELECT z.doc_id, z.c, z.s + pri.p AS zt
+          |  FROM z JOIN pri ON z.c = pri.c),
+          |best AS (SELECT doc_id, c, row_number() OVER (
+          |  PARTITION BY doc_id ORDER BY zt DESC, c ASC) AS rk FROM zz)
+          |SELECT t2.doc_id AS id, t2.lang AS label, best.c AS pred,
+          |  (t2.lang = best.c) AS correct
+          |FROM t2 JOIN best ON t2.doc_id = best.doc_id AND best.rk = 1
           |""".stripMargin),
     // q151: q37's component replay, kept per-document and extended
     // with the cluster count — weight = 1/|cluster|.
