@@ -1642,6 +1642,17 @@ object SparkEntry {
       "doc_id", "text", dim = 256, k = 100)
   }
 
+  /** Q153 — leakage-free split
+    * ([[graft.operators.Corpus.leakageFreeSplit]]): q63's
+    * content-addressed train/val/test draw keyed on each document's
+    * NEAR-DUP CLUSTER representative (q37's exact clustering) — a
+    * near-duplicate can never straddle train and test. Oracle: the
+    * q37 component CTE + the q63 hash predicate on the representative.
+    */
+  def q153(s: SparkSession, d: String): DataFrame =
+    graft.operators.Corpus.leakageFreeSplit(docs(s, d), "doc_id", "text",
+      salt = "graft")
+
   /** Q152 — learned language ID
     * ([[graft.operators.NaiveBayes.nbClassify]]; McCallum & Nigam
     * 1998, the fastText-family linear classifier): multinomial NB over
@@ -2197,7 +2208,8 @@ object SparkEntry {
     "q149_dsir_select"    -> (q149 _),
     "q150_quality_score"  -> (q150 _),
     "q151_soft_dedup"     -> (q151 _),
-    "q152_nb_langid"      -> (q152 _))
+    "q152_nb_langid"      -> (q152 _),
+    "q153_leakfree_split" -> (q153 _))
 
   // DuckDB twins. Shared SQL fragments for the text queries:
   // explicit class: Java \s includes \x0B, RE2 \s does not — see
@@ -2729,6 +2741,27 @@ object SparkEntry {
           |SELECT t2.doc_id AS id, t2.lang AS label, best.c AS pred,
           |  (t2.lang = best.c) AS correct
           |FROM t2 JOIN best ON t2.doc_id = best.doc_id AND best.rk = 1
+          |""".stripMargin),
+    // q153: q37's component replay + q63's split predicate on the rep.
+    "q153_leakfree_split" ->
+      (s"""WITH RECURSIVE toks AS (SELECT doc_id, $TOKS AS tk FROM documents),
+          |sh AS (SELECT doc_id, ${shinglesSql("tk")} AS s FROM toks),
+          |p0 AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+          |  len(list_intersect(a.s, b.s)) AS inter, len(a.s) + len(b.s) AS tot
+          |  FROM sh a JOIN sh b ON b.doc_id > a.doc_id),
+          |pairs AS (SELECT a_id, b_id FROM p0
+          |  WHERE (tot - inter) > 0 AND inter * 10 >= (tot - inter) * 7),
+          |edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+          |  UNION SELECT b_id, a_id FROM pairs
+          |  UNION SELECT doc_id, doc_id FROM documents),
+          |reach(a, b) AS (SELECT src, dst FROM edges
+          |  UNION SELECT e.src, r.b FROM edges e JOIN reach r ON e.dst = r.a),
+          |comp AS (SELECT a AS doc_id, min(b) AS rep FROM reach GROUP BY a)
+          |SELECT doc_id, rep AS cluster_rep, CASE
+          |  WHEN substring(md5('graft:' || CAST(rep AS VARCHAR)), 1, 2) < 'e6' THEN 'train'
+          |  WHEN substring(md5('graft:' || CAST(rep AS VARCHAR)), 1, 2) < 'f6' THEN 'val'
+          |  ELSE 'test' END AS split
+          |FROM comp
           |""".stripMargin),
     // q151: q37's component replay, kept per-document and extended
     // with the cluster count — weight = 1/|cluster|.

@@ -421,6 +421,28 @@ object Corpus {
       when(h2 < trainTo, "train").when(h2 < valTo, "val").otherwise("test"))
   }
 
+  /** Cluster-aware train/val/test split: [[splitAssign]]'s
+    * content-addressed draw applied to each document's NEAR-DUP CLUSTER
+    * representative, so a whole cluster lands in one split. The plain
+    * per-document split leaks: a near-duplicate of a training document
+    * in the test set scores as memorized generalization (the
+    * contamination Lee et al. 2022 measured across public benchmarks) —
+    * here that leak is structurally impossible, because split is a pure
+    * function of the cluster identity [[Dedup.corpusComponents]]
+    * computes exactly.
+    *
+    * Returns `(idCol, cluster_rep, split)`. Scale shape: the measured-
+    * linear component pipeline plus a map-side hash compare — no new
+    * shuffle beyond [[Dedup.corpusComponents]]'s own.
+    */
+  def leakageFreeSplit(docs: DataFrame, idCol: String, textCol: String,
+                       salt: String, trainTo: String = "e6",
+                       valTo: String = "f6"): DataFrame =
+    splitAssign(
+      Dedup.corpusComponents(docs, idCol, textCol)
+        .select(col("id").as(idCol), col("survivor_id").as("cluster_rep")),
+      "cluster_rep", salt, trainTo, valTo)
+
   /** Context-window chunking: each document yields
     * ⌊(n−1)/stride⌋+1 chunks starting every `stride` tokens, each
     * holding `min(size, n − start)` tokens — the overlapping-window

@@ -138,6 +138,27 @@ class DedupSpec extends SparkSpec {
     assert(got.map(_._4).sum === 2.0)
   }
 
+  test("leakageFreeSplit: a near-dup cluster never straddles splits; singleton matches plain split") {
+    val base = (1 to 40).map(i => s"word$i").mkString(" ")
+    val near = base.replace("word20", "changed")
+    val docs = Seq(
+      (1L, base), (2L, base), (3L, base), (5L, near),
+      (9L, "completely different content about spark shuffle partitions and joins here"))
+      .toDF("doc_id", "text")
+    val got = graft.operators.Corpus
+      .leakageFreeSplit(docs, "doc_id", "text", salt = "graft")
+      .as[(Long, Long, String)].collect().sortBy(_._1)
+    // the {1,2,3,5} cluster carries ONE split (its rep's), 9 its own
+    val clusterSplits = got.filter(_._2 == 1L).map(_._3).distinct
+    assert(got.map(_._2).toSeq === Seq(1L, 1L, 1L, 1L, 9L))
+    assert(clusterSplits.length === 1, s"cluster straddles splits: ${got.toSeq}")
+    // each split equals splitAssign applied to the representative id
+    val repSplit = graft.operators.Corpus
+      .splitAssign(Seq(1L, 9L).toDF("doc_id"), "doc_id", salt = "graft")
+      .as[(Long, String)].collect().toMap
+    got.foreach { case (_, rep, split) => assert(split === repSplit(rep)) }
+  }
+
   test("simhashPairs finds identical texts at hamming 0 and respects the cap") {
     val df = Seq(
       (1L, "the quick brown fox jumps over the lazy dog again and again"),
