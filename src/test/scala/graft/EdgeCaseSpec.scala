@@ -227,4 +227,35 @@ class EdgeCaseSpec extends SparkSpec {
     assert(graft.operators.Snapshot.diff(none, none, Seq("id"), Seq("v"))
       .count() === 0)
   }
+
+  test("round-10 operators on degenerate inputs: empty target, no dup pairs, single class, empty corpus") {
+    import graft.operators.{Corpus, Dedup, NaiveBayes}
+    val docs = Seq((1L, "alpha beta gamma"), (2L, "delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val empty = docs.filter(col("doc_id") < 0)
+
+    // DSIR with an EMPTY target: every bucket smooths to 1/(0+dim) —
+    // weights still finite, ranks dense, and k larger than the pool
+    // just returns the pool
+    val sel = Corpus.dsirSelect(docs, empty, "doc_id", "text", dim = 16, k = 10)
+      .as[(Long, Long, Double, Long)].collect()
+    assert(sel.length === 2)
+    assert(sel.map(_._4).sorted.toSeq === Seq(1L, 2L))
+    assert(sel.forall(r => !r._3.isNaN && !r._3.isInfinite))
+
+    // soft dedup with no near-dup pairs: all singletons, weight 1.0
+    val w = Dedup.softDedupWeights(docs, "doc_id", "text")
+      .as[(Long, Long, Long, Double)].collect()
+    assert(w.map(r => (r._1, r._2, r._3, r._4)).toSet ===
+      Set((1L, 1L, 1L, 1.0), (2L, 2L, 1L, 1.0)))
+
+    // leakage-free split of an empty corpus: empty, not an error
+    assert(Corpus.leakageFreeSplit(empty, "doc_id", "text", "graft").count() === 0)
+
+    // NB with a single class: everything predicts that class, correctly
+    val one = docs.withColumn("lang", lit("en"))
+    val nb = NaiveBayes.nbClassify(one, "doc_id", "text", "lang")
+      .as[(Long, String, String, Boolean)].collect()
+    assert(nb.length === 2 && nb.forall(r => r._3 == "en" && r._4))
+  }
 }
