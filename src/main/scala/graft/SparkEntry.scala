@@ -1642,6 +1642,25 @@ object SparkEntry {
       "doc_id", "text", dim = 256, k = 100)
   }
 
+  /** Q154 — BM25 lexical retrieval
+    * ([[graft.operators.Corpus.bm25TopK]]; Robertson & Walker 1994):
+    * the three lowest-id documents' first five tokens play the query
+    * set, and every query gets its 10 best BM25 documents — the
+    * lexical-retrieval baseline beside the dense q14/q26 family.
+    * Per-term scores route through DECIMAL(18,9) (the q67 recipe), so
+    * the oracle replays the ranking exactly.
+    */
+  def q154(s: SparkSession, d: String): DataFrame = {
+    val dd = docs(s, d)
+    val queries = dd.filter(col("doc_id") < 3)
+      .select(col("doc_id").as("qid"),
+        concat_ws(" ",
+          slice(graft.functions.TextFunctions.tokens(lower(col("text"))), 1, 5))
+          .as("qtext"))
+    graft.operators.Corpus.bm25TopK(dd, "doc_id", "text",
+      queries, "qid", "qtext", k = 10)
+  }
+
   /** Q153 — leakage-free split
     * ([[graft.operators.Corpus.leakageFreeSplit]]): q63's
     * content-addressed train/val/test draw keyed on each document's
@@ -2209,7 +2228,8 @@ object SparkEntry {
     "q150_quality_score"  -> (q150 _),
     "q151_soft_dedup"     -> (q151 _),
     "q152_nb_langid"      -> (q152 _),
-    "q153_leakfree_split" -> (q153 _))
+    "q153_leakfree_split" -> (q153 _),
+    "q154_bm25"           -> (q154 _))
 
   // DuckDB twins. Shared SQL fragments for the text queries:
   // explicit class: Java \s includes \x0B, RE2 \s does not — see
@@ -2741,6 +2761,35 @@ object SparkEntry {
           |SELECT t2.doc_id AS id, t2.lang AS label, best.c AS pred,
           |  (t2.lang = best.c) AS correct
           |FROM t2 JOIN best ON t2.doc_id = best.doc_id AND best.rk = 1
+          |""".stripMargin),
+    // q154: full BM25 replay — tf/df/dl tables, the "+1" idf, per-term
+    // DECIMAL(18,9) partial scores (the q67 ln-parity recipe), rank by
+    // (score desc, doc_id asc).
+    "q154_bm25" ->
+      (s"""WITH q AS (SELECT doc_id AS qid, list_slice($TOKS_LOWER, 1, 5) AS qt
+          |  FROM documents WHERE doc_id < 3),
+          |qterm AS (SELECT DISTINCT qid, unnest(qt) AS token FROM q),
+          |dtok AS (SELECT doc_id, CAST(len($TOKS_LOWER) AS BIGINT) AS dl,
+          |  unnest($TOKS_LOWER) AS token FROM documents),
+          |tf AS (SELECT doc_id, token, dl, CAST(count(*) AS BIGINT) AS tf
+          |  FROM dtok WHERE token IN (SELECT token FROM qterm) GROUP BY 1, 2, 3),
+          |dfreq AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+          |stats AS (SELECT CAST(count(*) AS BIGINT) AS ndocs,
+          |  CAST(sum(len($TOKS_LOWER)) AS BIGINT) AS totlen FROM documents),
+          |scored AS (SELECT qterm.qid, tf.doc_id,
+          |  CAST(ln(1.0 + (CAST(ndocs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+          |            / (CAST(df AS DOUBLE) + 0.5)) *
+          |    (CAST(tf AS DOUBLE) * (1.2 + 1.0) /
+          |     (CAST(tf AS DOUBLE) + 1.2 * (1.0 - 0.75 +
+          |       0.75 * CAST(dl AS DOUBLE) / (CAST(totlen AS DOUBLE) / ndocs))))
+          |    AS DECIMAL(18,9)) AS s
+          |  FROM tf JOIN dfreq USING (token) JOIN qterm USING (token)
+          |  CROSS JOIN stats),
+          |perdoc AS (SELECT qid, doc_id,
+          |  round(CAST(sum(s) AS DOUBLE), 6) + 0 AS score FROM scored GROUP BY 1, 2)
+          |SELECT qid, doc_id, score, rk FROM (SELECT qid, doc_id, score,
+          |  row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id ASC) AS rk
+          |  FROM perdoc) WHERE rk <= 10
           |""".stripMargin),
     // q153: q37's component replay + q63's split predicate on the rep.
     "q153_leakfree_split" ->

@@ -979,6 +979,76 @@ object Corpus {
           .as("postings"))
   }
 
+  /** Okapi BM25 top-k retrieval (Robertson & Walker, SIGIR 1994; the
+    * Robertson/Zaragoza 2009 survey's BM25 with the "+1" idf variant
+    * `ln(1 + (N − df + 0.5)/(df + 0.5))`, which keeps idf positive for
+    * terms in more than half the corpus). For every query in `queries`
+    * (`qidCol`, `qtextCol`), returns the `k` best-scoring documents:
+    * `(qidCol, idCol, score, rk)` — the lexical-retrieval baseline every
+    * RAG/eval pipeline runs before or beside dense retrieval, and the
+    * exact ranking function behind Lucene/Elasticsearch defaults.
+    *
+    * Determinism: each (term, doc) partial score routes through
+    * DECIMAL(18,9) before the per-doc sum (the [[unigramSurprisal]]
+    * recipe), so the total is exact and addition-order-independent; the
+    * final round(6) + (score desc, id asc) rank is a total order any
+    * engine replays bit-for-bit.
+    *
+    * Scale design (100 TB corpus, query set ≪ corpus — documented
+    * contract): the query term table broadcasts; the corpus token
+    * stream is pruned MAP-SIDE by a broadcast left-semi join on the
+    * query vocabulary before its only shuffle (the (doc, term) tf
+    * partial-aggregate), so shuffle volume is bounded by matching
+    * tokens, not the token stream. Document frequency derives from the
+    * tf table (query-vocab-scale, broadcast back), corpus N/avgdl is a
+    * 1-row aggregate, and the per-query cut is the bounded
+    * [[TopK.topKPerKey]] heap — at most k rows per query per map
+    * partition cross the final exchange, no window over the corpus.
+    */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+               queries: DataFrame, qidCol: String, qtextCol: String,
+               k: Int = 10, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(k1 >= 0 && b >= 0 && b <= 1, s"need k1 >= 0, 0 <= b <= 1, got k1=$k1 b=$b")
+    val qterm = queries
+      .select(col(qidCol).as("__qid"),
+        explode(array_distinct(TextFunctions.tokens(lower(col(qtextCol)))))
+          .as("token"))
+    val toks = TextFunctions.tokens(lower(col(textCol)))
+    // dl rides along with every surviving token row so no second join
+    // back to a per-doc length table is needed
+    val base = docs
+      .select(col(idCol).cast("long").as("__id"),
+        size(toks).cast("long").as("__dl"), explode(toks).as("token"))
+      .join(broadcast(qterm.select(col("token")).distinct()),
+        Seq("token"), "left_semi")
+    val tf = base.groupBy(col("__id"), col("token"))
+      .agg(count(lit(1)).as("__tf"), first(col("__dl")).as("__dl"))
+    val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("__df"))
+    val stats = docs.select(size(toks).cast("long").as("__n"))
+      .agg(count(lit(1)).as("__ndocs"), sum(col("__n")).as("__totlen"))
+    val perDoc = tf
+      .join(broadcast(dfreq), Seq("token"))
+      .join(broadcast(qterm), Seq("token"))
+      .crossJoin(broadcast(stats))
+      .withColumn("__avgdl", col("__totlen").cast("double") / col("__ndocs"))
+      .withColumn("__idf", log(lit(1.0) +
+        (col("__ndocs").cast("double") - col("__df") + lit(0.5)) /
+          (col("__df") + lit(0.5))))
+      .withColumn("__tfn",
+        col("__tf").cast("double") * (lit(k1) + lit(1.0)) /
+          (col("__tf").cast("double") + lit(k1) *
+            (lit(1.0) - lit(b) + lit(b) * col("__dl").cast("double") / col("__avgdl"))))
+      .withColumn("__s", (col("__idf") * col("__tfn"))
+        .cast(org.apache.spark.sql.types.DecimalType(18, 9)))
+      .groupBy(col("__qid"), col("__id"))
+      .agg(sum(col("__s")).as("__sum"))
+      .select(col("__qid").as(qidCol), col("__id").as(idCol),
+        NumFunctions.roundNz(col("__sum").cast("double"), 6).as("score"))
+    TopK.topKPerKey(perDoc.withColumn("__neg", -col("score")),
+      Seq(qidCol), struct(col("__neg"), col(idCol)), Seq(idCol, "score"), k)
+  }
+
   /** Per-source distinctive vocabulary — Monroe/Colaresi/Quinn
     * "Fightin' Words" (2008) log-odds with a +0.5 Haldane prior: each
     * (source, token)'s usage odds against the REST of the corpus,

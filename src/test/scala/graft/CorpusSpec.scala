@@ -857,4 +857,65 @@ class CorpusSpec extends SparkSpec {
       assert(!w.isNaN && !w.isInfinite)
     }
   }
+
+  private def bm25Queries(rows: Seq[(Long, String)]): DataFrame =
+    rows.toDF("qid", "qtext")
+
+  test("bm25TopK: single-term score matches the literal Robertson formula") {
+    // corpus: 4 docs, "whale" only in doc 0 (tf=2, dl=4), avgdl=(4+2+2+2)/4=2.5
+    val d = docTable(Seq(
+      0L -> "whale whale sea sky",
+      1L -> "sea sky", 2L -> "sky sun", 3L -> "sun sea"))
+    val q = bm25Queries(Seq(10L -> "whale"))
+    val got = Corpus.bm25TopK(d, "doc_id", "text", q, "qid", "qtext", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(got.length === 1)
+    val (qid, id, score, rk) = got.head
+    assert(qid === 10L && id === 0L && rk === 1L)
+    val idf = math.log(1.0 + (4.0 - 1.0 + 0.5) / (1L + 0.5))
+    val tfn = 2.0 * (1.2 + 1.0) / (2.0 + 1.2 * (1.0 - 0.75 + 0.75 * 4.0 / (10.0 / 4L)))
+    val want = new java.math.BigDecimal(idf * tfn)
+      .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue()
+    assert(score === math.round(want * 1e6) / 1e6)
+  }
+
+  test("bm25TopK: rarer terms outrank common ones; length normalization favors short docs") {
+    val d = docTable(Seq(
+      0L -> "alpha beta beta beta beta beta beta beta",
+      1L -> "alpha beta",
+      2L -> "beta gamma", 3L -> "gamma delta", 4L -> "delta alpha"))
+    val q = bm25Queries(Seq(1L -> "alpha"))
+    val got = Corpus.bm25TopK(d, "doc_id", "text", q, "qid", "qtext", k = 10)
+      .orderBy($"rk").collect()
+    // same tf=1 for docs 1 and 4 (dl=2) vs doc 0 (dl=8): short docs rank first
+    val ids = got.map(_.getLong(1)).toSeq
+    assert(ids.take(2).toSet === Set(1L, 4L) && ids(2) === 0L)
+    // equal scores tie-break by doc_id ascending
+    assert(got(0).getLong(1) === 1L && got(1).getLong(1) === 4L)
+    assert(got(0).getDouble(2) === got(1).getDouble(2))
+  }
+
+  test("bm25TopK: multi-term queries sum per-term scores; k cuts; no-hit query is empty") {
+    val d = docTable(Seq(
+      0L -> "alpha beta", 1L -> "alpha gamma", 2L -> "beta gamma",
+      3L -> "delta epsilon", 4L -> "epsilon zeta"))
+    val q = bm25Queries(Seq(1L -> "alpha beta", 2L -> "nosuchterm"))
+    val got = Corpus.bm25TopK(d, "doc_id", "text", q, "qid", "qtext", k = 2)
+    val byQ = got.collect().groupBy(_.getLong(0))
+    assert(!byQ.contains(2L), "query with no corpus terms yields no rows")
+    val q1 = byQ(1L).sortBy(_.getLong(3))
+    assert(q1.length === 2, "k=2 cuts the candidate list")
+    // doc 0 matches both terms, docs 1/2 match one: doc 0 must rank first
+    assert(q1.head.getLong(1) === 0L)
+  }
+
+  test("bm25TopK: corpus token stream prunes via broadcast semi-join, no corpus-wide window") {
+    val d = docTable((0L until 50L).map(i => i -> s"tok$i alpha common"))
+    val q = bm25Queries(Seq(1L -> "alpha"))
+    val plan = Corpus.bm25TopK(d, "doc_id", "text", q, "qid", "qtext", k = 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      s"query-vocab prune must be a broadcast semi-join:\n$plan")
+    assert(!plan.contains("Window"), s"top-k must be the heap, not a window:\n$plan")
+  }
 }
