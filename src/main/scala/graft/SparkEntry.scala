@@ -1642,6 +1642,33 @@ object SparkEntry {
       "doc_id", "text", dim = 256, k = 100)
   }
 
+  /** Q156 — containment near-dup join
+    * ([[graft.operators.Dedup.containmentJoinPrefix]]; Broder 1997's
+    * containment measure with the asymmetric prefix filter): every
+    * ordered pair with ≥ 70 % of the probe document's 3-gram shingles
+    * inside the other document — the embedded-copy relation Jaccard
+    * misses. Exact: prefix filtering is lossless and verification is
+    * an integer cross-multiplied intersection count; the oracle is the
+    * brute-force all-pairs SQL.
+    */
+  def q156(s: SparkSession, d: String): DataFrame =
+    Dedup.containmentJoinPrefix(docs(s, d), "doc_id", "text",
+      thresholdNum = 7, thresholdDen = 10)
+
+  /** Q155 — k-anonymity / l-diversity audit
+    * ([[graft.operators.Corpus.kAnonymityAudit]]; Sweeney 2002): the
+    * customer table audited on (nation, market segment) as
+    * quasi-identifiers with the width-2000 account-balance bucket as
+    * the sensitive attribute — per group, size, distinct sensitive
+    * classes, and the k<8 re-identification flag. Two partial-
+    * aggregating exchanges, exact SQL twin.
+    */
+  def q155(s: SparkSession, d: String): DataFrame =
+    graft.operators.Corpus.kAnonymityAudit(
+      Tables.customer(s, d).withColumn("bal_bucket",
+        floor(col("c_acctbal") / 2000).cast("long")),
+      Seq("c_nationkey", "c_mktsegment"), "bal_bucket", k = 8)
+
   /** Q154 — BM25 lexical retrieval
     * ([[graft.operators.Corpus.bm25TopK]]; Robertson & Walker 1994):
     * the three lowest-id documents' first five tokens play the query
@@ -2229,7 +2256,9 @@ object SparkEntry {
     "q151_soft_dedup"     -> (q151 _),
     "q152_nb_langid"      -> (q152 _),
     "q153_leakfree_split" -> (q153 _),
-    "q154_bm25"           -> (q154 _))
+    "q154_bm25"           -> (q154 _),
+    "q155_k_anonymity"    -> (q155 _),
+    "q156_containment"    -> (q156 _))
 
   // DuckDB twins. Shared SQL fragments for the text queries:
   // explicit class: Java \s includes \x0B, RE2 \s does not — see
@@ -2762,6 +2791,31 @@ object SparkEntry {
           |  (t2.lang = best.c) AS correct
           |FROM t2 JOIN best ON t2.doc_id = best.doc_id AND best.rk = 1
           |""".stripMargin),
+    // q156: brute-force all-ordered-pairs containment — the prefix
+    // filter is lossless, so the exact quadratic SQL is the oracle.
+    "q156_containment" ->
+      (s"""WITH toks AS (SELECT doc_id, $TOKS AS tk FROM documents),
+          |sh0 AS (SELECT doc_id, ${shinglesSql("tk")} AS s FROM toks),
+          |sh AS (SELECT doc_id, s FROM sh0 WHERE len(s) > 0),
+          |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+          |  CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS inter,
+          |  CAST(len(a.s) AS BIGINT) AS sz_a
+          |  FROM sh a JOIN sh b ON a.doc_id <> b.doc_id)
+          |SELECT a_id, b_id, inter, sz_a,
+          |  CAST(inter AS DOUBLE) / sz_a AS containment
+          |FROM p WHERE inter * 10 >= sz_a * 7
+          |""".stripMargin),
+    // q155: two-level distinct-sensitive replay, HUGEINT sums pinned
+    // back to BIGINT.
+    "q155_k_anonymity" ->
+      ("""WITH b AS (SELECT c_nationkey, c_mktsegment,
+         |  CAST(floor(c_acctbal / 2000) AS BIGINT) AS bal_bucket FROM customer),
+         |g AS (SELECT c_nationkey, c_mktsegment, bal_bucket, count(*) AS n
+         |  FROM b GROUP BY 1, 2, 3)
+         |SELECT c_nationkey, c_mktsegment, CAST(sum(n) AS BIGINT) AS n,
+         |  CAST(count(*) AS BIGINT) AS l_distinct, sum(n) < 8 AS at_risk
+         |FROM g GROUP BY 1, 2
+         |""".stripMargin),
     // q154: full BM25 replay — tf/df/dl tables, the "+1" idf, per-term
     // DECIMAL(18,9) partial scores (the q67 ln-parity recipe), rank by
     // (score desc, doc_id asc).

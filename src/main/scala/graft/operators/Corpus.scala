@@ -476,6 +476,35 @@ object Corpus {
     df.withColumn(outCol,
       sha2(concat(lit(salt + ":"), col(idCol).cast("string")), 256))
 
+  /** k-anonymity / l-diversity audit (Sweeney, IJUFKS 2002;
+    * Machanavajjhala et al., ICDE 2006): for every distinct
+    * quasi-identifier combination, the group size `n`, the number of
+    * distinct sensitive values `l_distinct`, and an `at_risk` flag for
+    * groups smaller than `k` — the re-identification report a pipeline
+    * reviews before releasing a dataset (a row in a group of size < k
+    * is linkable from the quasi-identifiers alone; a group with
+    * l_distinct = 1 leaks its sensitive value even when large). The
+    * privacy counterpart of [[pseudonymize]]: hashing ids does nothing
+    * when the quasi-identifiers themselves single a person out.
+    *
+    * Scale design: exact distinct-sensitive counts come from TWO-LEVEL
+    * aggregation — (quasi, sensitive) counts first, then a per-quasi
+    * collapse — so both exchanges partial-aggregate map-side and the
+    * second is bounded by the distinct (quasi, sensitive) set; no
+    * `count_distinct` row expansion, no window. Null sensitive values
+    * count as one class (documented contract).
+    */
+  def kAnonymityAudit(df: DataFrame, quasiCols: Seq[String],
+                      sensitiveCol: String, k: Int): DataFrame = {
+    require(quasiCols.nonEmpty, "need at least one quasi-identifier column")
+    require(k > 0, s"k must be positive, got $k")
+    df.groupBy((quasiCols :+ sensitiveCol).map(col): _*)
+      .agg(count(lit(1)).as("__n"))
+      .groupBy(quasiCols.map(col): _*)
+      .agg(sum(col("__n")).as("n"), count(lit(1)).as("l_distinct"))
+      .withColumn("at_risk", col("n") < k)
+  }
+
   /** Heavy-hitter profile: top-k keys by row count with their share of
     * the total — the skew scan run BEFORE choosing a join strategy
     * (its output decides [[Joins.saltedJoin]]'s factor, or which keys

@@ -691,18 +691,83 @@ object Dedup {
         .filter(size(col("shingles")) > 0),
       idCol, thresholdNum, thresholdDen)
 
-  private def prefixCandidates(sh: DataFrame, idCol: String,
-                               thresholdNum: Int, thresholdDen: Int): DataFrame = {
+  /** Per-doc shingle arrays rebuilt in the global (df asc, h asc) order
+    * — the rarest-first total order both prefix-filter joins key on.
+    * `array_sort` on (df, h) structs is a per-doc, bounded-size sort;
+    * no global sort anywhere.
+    */
+  private def dfOrderedSets(sh: DataFrame, idCol: String): DataFrame = {
     val ex = sh.select(col(idCol).as("id"), explode(col("shingles")).as("h"))
     val dfreq = ex.groupBy(col("h")).agg(count(lit(1)).as("df"))
-    // per-doc shingles in global (df asc, h asc) order; array_sort on
-    // (df, h) structs is the per-doc, bounded-size sort — no global sort
-    val ordered = ex.join(dfreq, "h")
+    ex.join(dfreq, "h")
       .groupBy(col("id"))
       .agg(array_sort(collect_list(struct(col("df"), col("h")))).as("ord"))
       .select(col("id"),
         transform(col("ord"), s => s.getField("h")).as("ord"),
         size(col("ord")).cast("long").as("sz"))
+  }
+
+  /** Asymmetric CONTAINMENT self-join by prefix filtering: every ordered
+    * pair (a, b), a ≠ b, with `|shingles(a) ∩ shingles(b)| / |shingles(a)|
+    * ≥ num/den` — the dedup relation symmetric Jaccard structurally
+    * misses: a document pasted verbatim inside a much larger one has
+    * containment 1.0 but Jaccard ≈ |A|/|B| → 0 (Broder 1997 defines both
+    * resemblance AND containment for exactly this reason). The operator a
+    * pipeline runs to find quotes, mirrored fragments, and
+    * boilerplate-wrapped copies that [[setSimJoinPrefix]] keeps.
+    *
+    * Prefix principle (asymmetric form): with sets ordered rarest-first,
+    * a qualifying pair must share one of A's first
+    * `|A| − ⌈t·|A|⌉ + 1` shingles — if the whole intersection sat in
+    * A's suffix, `|A∩B| ≤ ⌈t·|A|⌉ − 1 < t·|A|`. Only the PROBE side
+    * prefixes; the indexed side posts every shingle (containment puts
+    * no upper bound on |B|).
+    *
+    * Scale shape: identical exchange profile to [[setSimJoinPrefix]] —
+    * one df count on 8-byte hashes, one ordered-set rebuild, the
+    * prefix⋈postings equi-join (probe prefixes land on each set's
+    * RAREST shingles, so the big posting buckets of common shingles are
+    * only ever probed by sets that are mostly common shingles), the
+    * candidate distinct, and doc-scale verify joins. The size filter
+    * `|B|·den ≥ |A|·num` (integer cross-multiply) prunes before the
+    * distinct. Verification counts the exact intersection on sorted
+    * hash arrays — no float boundary, `inter·den ≥ |A|·num`.
+    */
+  def containmentJoinPrefix(docs: DataFrame, idCol: String, textCol: String,
+                            thresholdNum: Int = 7, thresholdDen: Int = 10,
+                            ngram: Int = 3): DataFrame = {
+    require(thresholdNum > 0 && thresholdDen >= thresholdNum,
+      s"need 0 < num/den <= 1, got $thresholdNum/$thresholdDen")
+    val sh = hashedShingles(docs, idCol, textCol, ngram)
+      .filter(size(col("shingles")) > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ordered = dfOrderedSets(sh, idCol)
+    val p = (col("sz") - floorDiv(col("sz") * thresholdNum + (thresholdDen - 1),
+      lit(thresholdDen.toLong)) + 1).cast("int")
+    val probe = ordered
+      .select(col("id").as("a_id"), col("sz").as("sz_a"),
+        explode(slice(col("ord"), lit(1), p)).as("h"))
+    val index = ordered
+      .select(col("id").as("b_id"), col("sz").as("sz_b"),
+        explode(col("ord")).as("h"))
+    val cand = probe.join(index,
+        probe("h") === index("h") && col("a_id") =!= col("b_id") &&
+          col("sz_b") * thresholdDen >= col("sz_a") * thresholdNum)
+      .select(col("a_id"), col("b_id")).distinct()
+    val a = sh.select(col(idCol).as("a_id"), col("shingles").as("sa"))
+    val b = sh.select(col(idCol).as("b_id"), col("shingles").as("sb"))
+    cand.join(a, "a_id").join(b, "b_id")
+      .withColumn("inter",
+        HashFunctions.sortedLongIntersectSize(col("sa"), col("sb")).cast("long"))
+      .withColumn("sz_a", size(col("sa")).cast("long"))
+      .filter(col("inter") * thresholdDen >= col("sz_a") * thresholdNum)
+      .select(col("a_id"), col("b_id"), col("inter"), col("sz_a"),
+        (col("inter").cast("double") / col("sz_a")).as("containment"))
+  }
+
+  private def prefixCandidates(sh: DataFrame, idCol: String,
+                               thresholdNum: Int, thresholdDen: Int): DataFrame = {
+    val ordered = dfOrderedSets(sh, idCol)
     // p = sz − ⌈t·sz⌉ + 1, all-integer; ⌈a/b⌉ = (a + b − 1) div b
     val p = (col("sz") - floorDiv(col("sz") * thresholdNum + (thresholdDen - 1),
       lit(thresholdDen.toLong)) + 1).cast("int")

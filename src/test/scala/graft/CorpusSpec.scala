@@ -909,6 +909,34 @@ class CorpusSpec extends SparkSpec {
     assert(q1.head.getLong(1) === 0L)
   }
 
+  test("kAnonymityAudit: group sizes, l-diversity, and the k flag are exact") {
+    val rows = Seq(
+      // (zip, age_band, disease): the classic Sweeney shape
+      ("37201", "20-30", "flu"), ("37201", "20-30", "flu"),
+      ("37201", "20-30", "cold"),
+      ("37215", "40-50", "flu"),                       // singleton → at risk
+      ("37220", "30-40", "asthma"), ("37220", "30-40", "asthma"))
+    val df = rows.toDF("zip", "age", "disease")
+    val got = Corpus.kAnonymityAudit(df, Seq("zip", "age"), "disease", k = 2)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getBoolean(4))).toSet
+    assert(got === Set(
+      ("37201", "20-30", 3L, 2L, false),
+      ("37215", "40-50", 1L, 1L, true),
+      ("37220", "30-40", 2L, 1L, false)))
+  }
+
+  test("kAnonymityAudit: null sensitive is one class; plan is two partial aggregates, no expand") {
+    val df = Seq(("a", Some(1)), ("a", None), ("a", None), ("b", Some(2)))
+      .toDF("q", "s")
+    val audited = Corpus.kAnonymityAudit(df, Seq("q"), "s", k = 3)
+    val got = audited.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getBoolean(3))).toSet
+    assert(got === Set(("a", 3L, 2L, false), ("b", 1L, 1L, true)))
+    val plan = audited.queryExecution.executedPlan.toString
+    assert(!plan.contains("Expand"), s"no count_distinct row expansion:\n$plan")
+  }
+
   test("bm25TopK: corpus token stream prunes via broadcast semi-join, no corpus-wide window") {
     val d = docTable((0L until 50L).map(i => i -> s"tok$i alpha common"))
     val q = bm25Queries(Seq(1L -> "alpha"))

@@ -371,6 +371,52 @@ class DedupSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("containmentJoinPrefix: an embedded copy is caught in its direction only; Jaccard misses it") {
+    // doc 1 is pasted verbatim inside doc 2 (with 12 tokens of wrapper):
+    // containment(1→2) = 1.0, containment(2→1) ≈ 0.27, Jaccard ≈ 0.27
+    val small = "alpha beta gamma delta epsilon"
+    val big = s"w1 w2 w3 w4 w5 w6 $small x1 x2 x3 x4 x5 x6"
+    val d = Seq(1L -> small, 2L -> big, 3L -> "totally unrelated words here").toDF("doc_id", "text")
+    val got = Dedup.containmentJoinPrefix(d, "doc_id", "text", 7, 10)
+      .select("a_id", "b_id", "containment")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got === Seq((1L, 2L, 1.0)))
+    val jac = Dedup.setSimJoinPrefix(d, "doc_id", "text", 7, 10).collect()
+    assert(jac.isEmpty, "symmetric Jaccard at 0.7 must miss the embedded copy")
+  }
+
+  test("containmentJoinPrefix: equals brute-force containment on the fixture corpus") {
+    val d = Tables.documents(spark, sf0001)
+    val got = Dedup.containmentJoinPrefix(d, "doc_id", "text", 7, 10)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    val sh = d.select(col("doc_id"),
+        graft.functions.HashFunctions.hashedWordNgrams(col("text"), 3).as("s"))
+      .as[(Long, Seq[Long])].collect().filter(_._2.nonEmpty)
+    val want = (for {
+      (a, sa) <- sh; (b, sb) <- sh; if a != b
+      inter = (sa.toSet & sb.toSet).size
+      if inter * 10 >= sa.toSet.size * 7
+    } yield (a, b)).toSet
+    assert(want.nonEmpty, "fixture should contain near-dup containment pairs")
+    assert(got === want)
+  }
+
+  test("containmentJoinPrefix: exact integer threshold boundary (inter·den >= szA·num kept)") {
+    // A has 10 shingles (12 tokens), exactly 7 shared with B → 7/10 kept at 7/10
+    val shared = "s1 s2 s3 s4 s5 s6 s7 s8 s9"           // 7 shingles
+    val a = s"$shared a1 a2 a3"                          // 10 shingles total
+    val b = s"$shared b1 b2 b3 b4 b5"                    // shares exactly the 7
+    val d = Seq(1L -> a, 2L -> b).toDF("doc_id", "text")
+    val got = Dedup.containmentJoinPrefix(d, "doc_id", "text", 7, 10)
+      .select("a_id", "b_id", "inter", "sz_a").as[(Long, Long, Long, Long)]
+      .collect().toSet
+    assert(got.contains((1L, 2L, 7L, 10L)), s"boundary pair must be kept, got $got")
+    // at 71% the same pair must drop
+    val tighter = Dedup.containmentJoinPrefix(d, "doc_id", "text", 71, 100)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(!tighter.contains((1L, 2L)))
+  }
+
   test("ngramNovelty: first occurrence wins by lowest id; duplicates score 0") {
     val d = Seq(
       (5L, "a b c d e"),      // 3 shingles, all first-seen here → 1.0
