@@ -1642,6 +1642,19 @@ object SparkEntry {
       "doc_id", "text", dim = 256, k = 100)
   }
 
+  /** Q157 — HITS hubs & authorities ([[graft.operators.Graph.hits]];
+    * Kleinberg 1999) over q133's token bigram graph, 3 iterations of
+    * the fixed-point integer recipe (L1 normalization to 1e6 units),
+    * top-50 by authority. The oracle unrolls all three mutual-recursion
+    * steps as integer CTEs — the q133 determinism contract.
+    */
+  def q157(s: SparkSession, d: String): DataFrame =
+    graft.operators.Graph.hits(
+        graft.operators.Corpus.bigramEdges(docs(s, d), "doc_id", "text"),
+        "src", "dst", iterations = 3)
+      .orderBy(col("auth_units").desc, col("node").asc)
+      .limit(50)
+
   /** Q156 — containment near-dup join
     * ([[graft.operators.Dedup.containmentJoinPrefix]]; Broder 1997's
     * containment measure with the asymmetric prefix filter): every
@@ -2258,7 +2271,8 @@ object SparkEntry {
     "q153_leakfree_split" -> (q153 _),
     "q154_bm25"           -> (q154 _),
     "q155_k_anonymity"    -> (q155 _),
-    "q156_containment"    -> (q156 _))
+    "q156_containment"    -> (q156 _),
+    "q157_hits"           -> (q157 _))
 
   // DuckDB twins. Shared SQL fragments for the text queries:
   // explicit class: Java \s includes \x0B, RE2 \s does not — see
@@ -2791,6 +2805,39 @@ object SparkEntry {
           |  (t2.lang = best.c) AS correct
           |FROM t2 JOIN best ON t2.doc_id = best.doc_id AND best.rk = 1
           |""".stripMargin),
+    // q157: three unrolled HITS steps in integer CTEs — raw in/out
+    // sums, exact L1 renormalization `(v * 1e6) // Σv` per half-step.
+    "q157_hits" -> {
+      def step(hp: String, k: Int): String =
+        s"""araw$k AS (SELECT e.dst AS node, sum($hp.hu) AS v
+           |  FROM e JOIN $hp ON e.src = $hp.node GROUP BY 1),
+           |sa$k AS (SELECT sum(v) AS s FROM araw$k),
+           |a$k AS (SELECT nodes.node, (coalesce(araw$k.v, 0) * 1000000) // sa$k.s AS au
+           |  FROM nodes LEFT JOIN araw$k USING (node) CROSS JOIN sa$k),
+           |hraw$k AS (SELECT e.src AS node, sum(a$k.au) AS v
+           |  FROM e JOIN a$k ON e.dst = a$k.node GROUP BY 1),
+           |sh$k AS (SELECT sum(v) AS s FROM hraw$k),
+           |h$k AS (SELECT nodes.node, (coalesce(hraw$k.v, 0) * 1000000) // sh$k.s AS hu
+           |  FROM nodes LEFT JOIN hraw$k USING (node) CROSS JOIN sh$k)"""
+          .stripMargin
+      s"""WITH t AS (SELECT doc_id, $TOKS AS tk FROM documents),
+         |b AS (SELECT unnest(tk[1:len(tk)-1]) AS src,
+         |  unnest(tk[2:len(tk)]) AS dst FROM t WHERE len(tk) >= 2),
+         |e AS (SELECT DISTINCT src, dst FROM b),
+         |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+         |n AS (SELECT count(*) AS n FROM nodes),
+         |h0 AS (SELECT node, 1000000 // n.n AS hu FROM nodes CROSS JOIN n),
+         |${step("h0", 1)},
+         |${step("h1", 2)},
+         |${step("h2", 3)}
+         |SELECT a3.node, CAST(a3.au AS BIGINT) AS auth_units,
+         |  CAST(h3.hu AS BIGINT) AS hub_units,
+         |  round(CAST(a3.au AS DOUBLE) / 1000000, 6) + 0 AS auth_r,
+         |  round(CAST(h3.hu AS DOUBLE) / 1000000, 6) + 0 AS hub_r
+         |FROM a3 JOIN h3 USING (node)
+         |ORDER BY auth_units DESC, a3.node LIMIT 50
+         |""".stripMargin
+    },
     // q156: brute-force all-ordered-pairs containment — the prefix
     // filter is lossless, so the exact quadratic SQL is the oracle.
     "q156_containment" ->

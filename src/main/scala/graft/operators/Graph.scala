@@ -141,4 +141,94 @@ object Graph {
       graft.functions.NumFunctions.roundNz(
         col("rank_units").cast("double") / Scale, 6).as("rank_r"))
   }
+
+  /** Fixed-point scale for [[hits]]: 1e6 units per unit of score mass.
+    * Smaller than [[Scale]] on purpose — each normalization multiplies a
+    * raw sum (≤ Σscores = 1e6) by the scale before the floor-divide, so
+    * the intermediate stays ≤ 1e12 and can never overflow a long even on
+    * pathological degree distributions.
+    */
+  val HitsScale: Long = 1000000L
+
+  /** HITS hubs & authorities (Kleinberg, JACM 1999) over the distinct
+    * directed edges `(srcCol, dstCol)`. Each iteration is the classic
+    * mutual recursion — authority(v) = Σ hub(u) over in-edges, then
+    * hub(u) = Σ authority(v) over out-edges — with each vector
+    * L1-normalized to [[HitsScale]] units. (Kleinberg normalizes L2;
+    * any per-iteration scalar normalization yields the same RANKING
+    * since the iterates differ only by a scalar factor — L1 is chosen
+    * because it stays in exact integer arithmetic: `(raw · Scale) div
+    * Σraw`, the [[pageRank]] determinism recipe, replayable bit-for-bit
+    * by any engine.)
+    *
+    * Returns `(node, auth_units, hub_units, auth_r, hub_r)`.
+    *
+    * Scale design: identical exchange profile to [[pageRank]] — edges
+    * and nodes persist once with an edge-count-proportional partition
+    * budget; per iteration two rank-scale equi-joins, two
+    * partial-aggregating BIGINT sums, and two 1-row total aggregates
+    * that ride in as broadcast scalars (never a collect). Score state
+    * is 24 bytes/node. Unlike [[pageRank]], each half-step references
+    * its predecessor TWICE (the normalization total and the join), so
+    * an uncut plan TREE grows 4^iterations — `checkpointEvery`
+    * therefore defaults to 1 (cut every iteration); 0 disables for
+    * equivalence testing only.
+    */
+  def hits(edges: DataFrame, srcCol: String, dstCol: String,
+           iterations: Int = 3, checkpointEvery: Int = 1): DataFrame = {
+    require(iterations >= 1, s"need iterations >= 1, got $iterations")
+    require(checkpointEvery >= 0,
+      s"need checkpointEvery >= 0 (0 disables), got $checkpointEvery")
+    val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sc = edges.sparkSession.sparkContext
+    val parts = math.max(1L, math.min(sc.defaultParallelism.toLong,
+      e0.count() / 65536L + 1L)).toInt
+    val e = if (e0.rdd.getNumPartitions > parts) e0.coalesce(parts) else e0
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct()
+      .coalesce(parts)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nTbl = nodes.agg(count(lit(1)).as("__n"))
+
+    // normalize a raw in/out sum to HitsScale L1 mass, exactly. The raw
+    // frame is referenced TWICE (its total and the join) — persist it
+    // so the join+agg computes once per half-step (measured: uncached,
+    // 3 iterations ran 68 s on a 31-node toy graph, pure recompute +
+    // plan overhead; cached ~1 s). Node-scale state; lazy-scoped
+    // lifecycle as in [[pageRank]].
+    def normalized(raw: DataFrame, outCol: String): DataFrame = {
+      val r = raw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val tot = r.agg(sum(col("__v")).as("__s"))
+      nodes.join(r, Seq("node"), "left")
+        .crossJoin(broadcast(tot))
+        .select(col("node"),
+          expr(s"(coalesce(__v, 0L) * $HitsScale) div __s").as(outCol))
+    }
+
+    var hubs = nodes.crossJoin(broadcast(nTbl))
+      .select(col("node"), expr(s"$HitsScale div __n").as("hu"))
+    var auths: DataFrame = null
+    for (it <- 1 to iterations) {
+      val araw = e.join(hubs, e("src") === hubs("node"))
+        .groupBy(col("dst").as("node")).agg(sum(col("hu")).as("__v"))
+      auths = normalized(araw, "au")
+      val hraw = e.join(auths, e("dst") === auths("node"))
+        .groupBy(col("src").as("node")).agg(sum(col("au")).as("__v"))
+      hubs = normalized(hraw, "hu")
+      if (checkpointEvery > 0 && it % checkpointEvery == 0) {
+        auths = auths.localCheckpoint(true)
+        hubs = hubs.localCheckpoint(true)
+      }
+    }
+    auths.join(hubs, Seq("node"))
+      .select(col("node"),
+        col("au").as("auth_units"), col("hu").as("hub_units"),
+        graft.functions.NumFunctions.roundNz(
+          col("au").cast("double") / HitsScale, 6).as("auth_r"),
+        graft.functions.NumFunctions.roundNz(
+          col("hu").cast("double") / HitsScale, 6).as("hub_r"))
+  }
 }

@@ -95,4 +95,45 @@ class GraphSpec extends SparkSpec {
       .as[(String, String)].collect().toSet
     assert(got === Set(("x", "y"), ("y", "x"), ("y", "z")))
   }
+
+  test("hits: hand-computed integer units after one mutual-recursion step") {
+    // 1,2,3 → 4 and 1 → 5: node 4 is the authority, node 1 the best hub
+    val e = Seq(("1", "4"), ("2", "4"), ("3", "4"), ("1", "5")).toDF("src", "dst")
+    val got = Graph.hits(e, "src", "dst", iterations = 1)
+      .select("node", "auth_units", "hub_units")
+      .as[(String, Long, Long)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+    // h0 = 1e6 div 5 = 200000 each.
+    // araw: 4 → 600000, 5 → 200000; Σ = 800000 → a = 750000 / 250000.
+    // hraw: 1 → a(4)+a(5) = 1e6, 2 → 750000, 3 → 750000; Σ = 2.5e6
+    //   → h = 400000 / 300000 / 300000.
+    assert(got === Map(
+      "1" -> (0L, 400000L), "2" -> (0L, 300000L), "3" -> (0L, 300000L),
+      "4" -> (750000L, 0L), "5" -> (250000L, 0L)))
+  }
+
+  test("hits: bit-identical under repartitioning and checkpointing") {
+    val docs = Tables.documents(spark, sf0001).limit(120)
+    val e = Corpus.bigramEdges(docs, "doc_id", "text")
+    val base = Graph.hits(e, "src", "dst", iterations = 3, checkpointEvery = 0)
+      .select("node", "auth_units", "hub_units")
+      .as[(String, Long, Long)].collect().toSet
+    val repart = Graph.hits(e.repartition(17), "src", "dst", iterations = 3,
+        checkpointEvery = 1)
+      .select("node", "auth_units", "hub_units")
+      .as[(String, Long, Long)].collect().toSet
+    assert(base === repart)
+    assert(base.exists(_._2 > 0L), "some authority mass must exist")
+  }
+
+  test("hits: L1 mass is conserved up to floor loss each half-step") {
+    val docs = Tables.documents(spark, sf0001).limit(60)
+    val e = Corpus.bigramEdges(docs, "doc_id", "text")
+    val got = Graph.hits(e, "src", "dst", iterations = 2)
+    val Array(sa, sh, n) = got
+      .agg(sum($"auth_units"), sum($"hub_units"), count(lit(1)))
+      .collect().head.toSeq.map(_.toString.toLong).toArray
+    // each normalization floors per node: Σ ∈ (Scale − n, Scale]
+    assert(sa <= Graph.HitsScale && sa > Graph.HitsScale - n)
+    assert(sh <= Graph.HitsScale && sh > Graph.HitsScale - n)
+  }
 }
