@@ -1642,6 +1642,23 @@ object SparkEntry {
       "doc_id", "text", dim = 256, k = 100)
   }
 
+  /** Q158 — exact Wasserstein-1 drift
+    * ([[graft.operators.Drift.w1Profile]]; Vallender 1974's 1-D closed
+    * form): earth-mover's distance between the even/odd event halves'
+    * value distributions per event type — the unit-bearing magnitude
+    * companion to q86's PSI and q116's KS. No binning; CDF trapezoid
+    * terms route through DECIMAL(18,9).
+    */
+  def q158(s: SparkSession, d: String): DataFrame = {
+    val e = ev(s, d).filter(col("value").isNotNull)
+      .select(col("event_type"), col("value"),
+        pmod(col("event_id"), lit(2)).as("__side"))
+    graft.operators.Drift.w1Profile(
+      e.filter(col("__side") === 0).drop("__side"),
+      e.filter(col("__side") === 1).drop("__side"),
+      "event_type", "value")
+  }
+
   /** Q157 — HITS hubs & authorities ([[graft.operators.Graph.hits]];
     * Kleinberg 1999) over q133's token bigram graph, 3 iterations of
     * the fixed-point integer recipe (L1 normalization to 1e6 units),
@@ -2272,7 +2289,8 @@ object SparkEntry {
     "q154_bm25"           -> (q154 _),
     "q155_k_anonymity"    -> (q155 _),
     "q156_containment"    -> (q156 _),
-    "q157_hits"           -> (q157 _))
+    "q157_hits"           -> (q157 _),
+    "q158_w1_drift"       -> (q158 _))
 
   // DuckDB twins. Shared SQL fragments for the text queries:
   // explicit class: Java \s includes \x0B, RE2 \s does not — see
@@ -2805,6 +2823,31 @@ object SparkEntry {
           |  (t2.lang = best.c) AS correct
           |FROM t2 JOIN best ON t2.doc_id = best.doc_id AND best.rk = 1
           |""".stripMargin),
+    // q158: merged-support CDF trapezoids — integer cumsums, one IEEE
+    // division each, DECIMAL(18,9) terms.
+    "q158_w1_drift" ->
+      ("""WITH s AS (SELECT event_type, value AS v, event_id % 2 AS side
+         |  FROM events WHERE value IS NOT NULL AND NOT isnan(value)),
+         |m AS (SELECT event_type, v,
+         |  sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS n_ref,
+         |  sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS n_cur
+         |  FROM s GROUP BY 1, 2),
+         |c AS (SELECT event_type, v, n_ref, n_cur,
+         |  sum(n_ref) OVER (PARTITION BY event_type ORDER BY v
+         |    ROWS UNBOUNDED PRECEDING) AS fr,
+         |  sum(n_cur) OVER (PARTITION BY event_type ORDER BY v
+         |    ROWS UNBOUNDED PRECEDING) AS fc,
+         |  sum(n_ref) OVER (PARTITION BY event_type) AS tr,
+         |  sum(n_cur) OVER (PARTITION BY event_type) AS tc,
+         |  lead(v) OVER (PARTITION BY event_type ORDER BY v) - v AS dv
+         |  FROM m)
+         |SELECT event_type,
+         |  round(CAST(sum(CAST(abs(CAST(fr AS DOUBLE) / tr - CAST(fc AS DOUBLE) / tc)
+         |    * dv AS DECIMAL(18,9))) AS DOUBLE), 6) + 0 AS w1,
+         |  CAST(max(tr) AS BIGINT) AS n_ref, CAST(max(tc) AS BIGINT) AS n_cur
+         |FROM c WHERE dv IS NOT NULL AND tr > 0 AND tc > 0
+         |GROUP BY 1
+         |""".stripMargin),
     // q157: three unrolled HITS steps in integer CTEs — raw in/out
     // sums, exact L1 renormalization `(v * 1e6) // Σv` per half-step.
     "q157_hits" -> {

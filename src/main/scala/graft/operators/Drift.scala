@@ -86,6 +86,67 @@ object Drift {
         max(col("__tc")).as("n_cur"))
   }
 
+  /** Exact 1-Wasserstein (earth mover's) distance per group between the
+    * two samples' empirical distributions:
+    * `W1 = Σ |F_ref(v) − F_cur(v)| · Δv` over adjacent DISTINCT values
+    * of the merged support (the closed form of the transport problem in
+    * one dimension — Vallender 1974). Complements the family: KS reads
+    * the existence of a shift (max CDF gap, scale-free), PSI its shape
+    * (density ratios over bins), W1 its MAGNITUDE in value units (how
+    * far mass actually moved) — the number a monitoring page can alarm
+    * on with a unit-bearing threshold. No binning: the exact statistic.
+    *
+    * Determinism: CDF levels are integer cumulative counts divided once
+    * (IEEE, identical on any engine); each `|ΔF| · Δv` term routes
+    * through DECIMAL(18,9) before the per-group sum (the q67 recipe),
+    * so summation order cannot change a bit. Nulls and NaNs are
+    * excluded; groups present in only one sample are omitted (W1
+    * against an empty distribution is undefined).
+    *
+    * Scale design: rows collapse FIRST to per-(group, value) counts —
+    * one partial-aggregating shuffle per side bounded by the distinct
+    * value set, not the row count; the CDF cumsum, totals, and
+    * adjacent-difference windows all carry a partition spec and run
+    * over distinct values per group; the term sum partial-aggregates.
+    * For groups whose distinct-value set is itself billions, quantize
+    * values upstream (the standard ε-approximation) — the operator is
+    * exact for whatever support it is given.
+    */
+  def w1Profile(ref: DataFrame, cur: DataFrame, groupCol: String,
+                valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def side(df: DataFrame, mine: String, other: String): DataFrame =
+      df.select(col(groupCol), col(valueCol).cast("double").as("__v"))
+        .filter(col("__v").isNotNull && !isnan(col("__v")))
+        .groupBy(col(groupCol), col("__v"))
+        .agg(count(lit(1)).as(mine))
+        .withColumn(other, lit(0L))
+        .select(col(groupCol), col("__v"), col("n_ref"), col("n_cur"))
+    val merged = side(ref, "n_ref", "n_cur")
+      .unionByName(side(cur, "n_cur", "n_ref"))
+      .groupBy(col(groupCol), col("__v"))
+      .agg(sum(col("n_ref")).as("n_ref"), sum(col("n_cur")).as("n_cur"))
+    val w = Window.partitionBy(col(groupCol)).orderBy(col("__v"))
+    val wCum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col(groupCol))
+    merged
+      .withColumn("__fr", sum(col("n_ref")).over(wCum))
+      .withColumn("__fc", sum(col("n_cur")).over(wCum))
+      .withColumn("__tr", sum(col("n_ref")).over(wAll))
+      .withColumn("__tc", sum(col("n_cur")).over(wAll))
+      .withColumn("__dv", lead(col("__v"), 1).over(w) - col("__v"))
+      .filter(col("__dv").isNotNull && col("__tr") > 0 && col("__tc") > 0)
+      .withColumn("__term",
+        (abs(col("__fr").cast("double") / col("__tr") -
+             col("__fc").cast("double") / col("__tc")) * col("__dv"))
+          .cast(org.apache.spark.sql.types.DecimalType(18, 9)))
+      .groupBy(col(groupCol))
+      .agg(
+        NumFunctions.roundNz(sum(col("__term")).cast("double"), 6).as("w1"),
+        max(col("__tr")).as("n_ref"),
+        max(col("__tc")).as("n_cur"))
+  }
+
   /** Robust per-group outlier profile by median absolute deviation
     * (Hampel 1974; the robust-statistics alternative to mean±kσ): a
     * value is an outlier when `|v − median| > k · MAD` with

@@ -119,6 +119,51 @@ class DriftSpec extends SparkSpec {
     assert(nOut === 8L, s"expected the 8 corrupt rows flagged, got $nOut")
   }
 
+  test("w1Profile: identical samples give 0; a constant shift gives exactly the shift") {
+    val ref = feat((1 to 50).map(_.toDouble))
+    val zero = Drift.w1Profile(ref, ref, "grp", "value")
+      .as[(String, Double, Long, Long)].collect().toSeq
+    assert(zero === Seq(("g", 0.0, 50L, 50L)))
+    // W1 between X and X+c is exactly c (mass moves distance c)
+    val cur = feat((1 to 50).map(_ + 7.25))
+    val shift = Drift.w1Profile(ref, cur, "grp", "value")
+      .as[(String, Double, Long, Long)].collect().head
+    assert(shift._2 === 7.25)
+  }
+
+  test("w1Profile: hand-computed two-point transport") {
+    // ref: all mass at 0; cur: half at 0, half at 4 → W1 = 0.5·4 = 2
+    val ref = Seq((1L, "g", 0.0), (2L, "g", 0.0)).toDF("id", "grp", "value")
+    val cur = Seq((3L, "g", 0.0), (4L, "g", 4.0)).toDF("id", "grp", "value")
+    val got = Drift.w1Profile(ref, cur, "grp", "value")
+      .as[(String, Double, Long, Long)].collect().head
+    assert(got === (("g", 2.0, 2L, 2L)))
+  }
+
+  test("w1Profile: one-sided groups are omitted; nulls and NaN excluded") {
+    val ref = Seq((1L, "a", 1.0), (2L, "a", 2.0), (3L, "only_ref", 5.0))
+      .toDF("id", "grp", "value")
+    val cur = Seq((4L, "a", 1.0), (5L, "a", Double.NaN),
+      (6L, "a", 2.0)).toDF("id", "grp", "value")
+    val got = Drift.w1Profile(ref, cur, "grp", "value")
+      .as[(String, Double, Long, Long)].collect().toSeq
+    assert(got === Seq(("a", 0.0, 2L, 2L)))
+  }
+
+  test("w1Profile: rows collapse to distinct values before any window (partition spec present)") {
+    val ref = feat((1 to 200).map(i => (i % 10).toDouble))
+    val cur = feat((1 to 200).map(i => (i % 7).toDouble))
+    val qe = Drift.w1Profile(ref, cur, "grp", "value").queryExecution
+    val plan = qe.executedPlan.toString
+    assert(!plan.contains("Window [") ||
+      !plan.contains("windowspecdefinition()"), "windows must carry a partition spec")
+    // the window input is the distinct-value table: aggregates run below the window
+    val windowIdx = plan.indexOf("Window")
+    val aggIdx = plan.lastIndexOf("HashAggregate")
+    assert(windowIdx >= 0 && aggIdx > windowIdx,
+      s"per-(group,value) aggregate must sit below the window:\n$plan")
+  }
+
   test("cutoffs come from the reference only — current cannot move bin edges") {
     val ref = feat((1 to 100).map(_.toDouble))
     val curA = feat((1 to 100).map(_.toDouble))
