@@ -1642,6 +1642,26 @@ object SparkEntry {
       "doc_id", "text", dim = 256, k = 100)
   }
 
+  /** Q159 — data-quality constraint audit
+    * ([[graft.operators.Audit.audit]]; the dbt-test/Deequ expectation
+    * surface): not-null, range, unique-key, and referential-integrity
+    * checks over orders and lineitem — one conditional-sum scan for
+    * all row-local checks, a two-level distinct for uniqueness, an
+    * anti-join for orphans. Exact SQL twin per constraint row.
+    */
+  def q159(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.Audit._
+    val o = Tables.orders(s, d)
+    audit(o, "orders", Seq(
+        NotNull("o_orderdate"),
+        InRange("o_totalprice", 0.0, 200000.0),
+        UniqueKey(Seq("o_orderkey")),
+        ForeignKey("o_custkey", Tables.customer(s, d), "c_custkey", "customer")))
+      .unionByName(audit(Tables.lineitem(s, d), "lineitem", Seq(
+        InRange("l_quantity", 1.0, 30.0),
+        ForeignKey("l_orderkey", o, "o_orderkey", "orders"))))
+  }
+
   /** Q158 — exact Wasserstein-1 drift
     * ([[graft.operators.Drift.w1Profile]]; Vallender 1974's 1-D closed
     * form): earth-mover's distance between the even/odd event halves'
@@ -2290,7 +2310,8 @@ object SparkEntry {
     "q155_k_anonymity"    -> (q155 _),
     "q156_containment"    -> (q156 _),
     "q157_hits"           -> (q157 _),
-    "q158_w1_drift"       -> (q158 _))
+    "q158_w1_drift"       -> (q158 _),
+    "q159_audit"          -> (q159 _))
 
   // DuckDB twins. Shared SQL fragments for the text queries:
   // explicit class: Java \s includes \x0B, RE2 \s does not — see
@@ -2823,6 +2844,40 @@ object SparkEntry {
           |  (t2.lang = best.c) AS correct
           |FROM t2 JOIN best ON t2.doc_id = best.doc_id AND best.rk = 1
           |""".stripMargin),
+    // q159: one UNION ALL branch per constraint, labels matching the
+    // engine's generated check names exactly.
+    "q159_audit" ->
+      ("""WITH o AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v_nn,
+         |  CAST(sum(CASE WHEN o_totalprice IS NOT NULL
+         |    AND (o_totalprice < 0.0 OR o_totalprice > 200000.0)
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS v_rng FROM orders),
+         |ou AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |  CAST(count(DISTINCT o_orderkey) AS BIGINT) AS d FROM orders),
+         |ofk AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM orders) AS n,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM orders WHERE o_custkey IS NOT NULL
+         |    AND o_custkey NOT IN (SELECT c_custkey FROM customer)) AS v),
+         |l AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(CASE WHEN l_quantity IS NOT NULL
+         |    AND (l_quantity < 1.0 OR l_quantity > 30.0)
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS v FROM lineitem),
+         |lfk AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM lineitem) AS n,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM lineitem WHERE l_orderkey IS NOT NULL
+         |    AND l_orderkey NOT IN (SELECT o_orderkey FROM orders)) AS v)
+         |SELECT 'orders' AS table_name, 'not_null(o_orderdate)' AS check_name,
+         |  n AS n_rows, v_nn AS n_violations,
+         |  round(CAST(v_nn AS DOUBLE) / n, 6) + 0 AS violation_rate FROM o
+         |UNION ALL SELECT 'orders', 'in_range(o_totalprice,0.0,200000.0)', n, v_rng,
+         |  round(CAST(v_rng AS DOUBLE) / n, 6) + 0 FROM o
+         |UNION ALL SELECT 'orders', 'unique(o_orderkey)', n, n - d,
+         |  round(CAST(n - d AS DOUBLE) / n, 6) + 0 FROM ou
+         |UNION ALL SELECT 'orders', 'fk(o_custkey->customer.c_custkey)', n, v,
+         |  round(CAST(v AS DOUBLE) / n, 6) + 0 FROM ofk
+         |UNION ALL SELECT 'lineitem', 'in_range(l_quantity,1.0,30.0)', n, v,
+         |  round(CAST(v AS DOUBLE) / n, 6) + 0 FROM l
+         |UNION ALL SELECT 'lineitem', 'fk(l_orderkey->orders.o_orderkey)', n, v,
+         |  round(CAST(v AS DOUBLE) / n, 6) + 0 FROM lfk
+         |""".stripMargin),
     // q158: merged-support CDF trapezoids — integer cumsums, one IEEE
     // division each, DECIMAL(18,9) terms.
     "q158_w1_drift" ->
