@@ -1642,6 +1642,17 @@ object SparkEntry {
       "doc_id", "text", dim = 256, k = 100)
   }
 
+  /** Q160 — recency-decayed activity score
+    * ([[graft.operators.TimeSeries.decayScore]]): per-user engagement
+    * with a 7-day stepped half-life against the corpus max date. The
+    * decay factor is a bit-shift power of two (exactly representable —
+    * no libm `pow`), terms route through DECIMAL(18,9); map-side +
+    * one keyed partial-aggregating shuffle.
+    */
+  def q160(s: SparkSession, d: String): DataFrame =
+    graft.operators.TimeSeries.decayScore(
+      ev(s, d), "user_id", "ts", "value", halfLifeDays = 7)
+
   /** Q159 — data-quality constraint audit
     * ([[graft.operators.Audit.audit]]; the dbt-test/Deequ expectation
     * surface): not-null, range, unique-key, and referential-integrity
@@ -2311,7 +2322,8 @@ object SparkEntry {
     "q156_containment"    -> (q156 _),
     "q157_hits"           -> (q157 _),
     "q158_w1_drift"       -> (q158 _),
-    "q159_audit"          -> (q159 _))
+    "q159_audit"          -> (q159 _),
+    "q160_decay_score"    -> (q160 _))
 
   // DuckDB twins. Shared SQL fragments for the text queries:
   // explicit class: Java \s includes \x0B, RE2 \s does not — see
@@ -2844,6 +2856,23 @@ object SparkEntry {
           |  (t2.lang = best.c) AS correct
           |FROM t2 JOIN best ON t2.doc_id = best.doc_id AND best.rk = 1
           |""".stripMargin),
+    // q160: bit-shift powers of two, IEEE multiply, decimal-path sum —
+    // no pow() anywhere.
+    "q160_decay_score" ->
+      ("""WITH b AS (SELECT user_id, CAST(ts AS DATE) AS d, value AS v FROM events
+         |  WHERE ts IS NOT NULL AND year(ts) <> 1970
+         |    AND value IS NOT NULL AND NOT isnan(value)),
+         |a AS (SELECT max(d) AS maxd FROM b),
+         |t AS (SELECT user_id, v,
+         |  least(CAST(floor(CAST(date_diff('day', d, maxd) AS DOUBLE) / 7)
+         |    AS BIGINT), 62) AS steps
+         |  FROM b CROSS JOIN a)
+         |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+         |  round(CAST(sum(CAST(v * (1.0 /
+         |    CAST((CAST(1 AS BIGINT) << CAST(steps AS INTEGER)) AS DOUBLE))
+         |    AS DECIMAL(18,9))) AS DOUBLE), 6) + 0 AS decay_score
+         |FROM t GROUP BY 1
+         |""".stripMargin),
     // q159: one UNION ALL branch per constraint, labels matching the
     // engine's generated check names exactly.
     "q159_audit" ->

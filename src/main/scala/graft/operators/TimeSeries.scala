@@ -170,6 +170,48 @@ object TimeSeries {
       .drop(tsCol)
   }
 
+  /** Recency-decayed activity score per key: `Σ value · 2^(−steps)`
+    * with `steps = min(⌊Δdays / halfLifeDays⌋, 62)` against the
+    * sample's max date — the freshness-weighted engagement number a
+    * ranking/curation pass uses where a plain sum would let dead
+    * accounts keep their score forever (stepped half-life form of
+    * exponential decay).
+    *
+    * Exactness contract: the decay factor is a POWER OF TWO built by
+    * bit-shift (`1 / (1L << steps)`) — an exactly representable double,
+    * no `pow` (libm pow is not correctly rounded and differs across
+    * engines); `value · weight` is one IEEE multiply; each term routes
+    * through DECIMAL(18,9) before the per-key sum (the q67 recipe).
+    * Steps cap at 62 (shift-safe; 2⁻⁶² is far below the decimal's
+    * resolution anyway). Null/NaN values and null/epoch-garbage
+    * timestamps are excluded.
+    *
+    * Scale shape: the anchor date is a 1-row aggregate broadcast back;
+    * everything else is one map-side projection and one
+    * partial-aggregating shuffle per key. No window, no collect.
+    */
+  def decayScore(df: DataFrame, keyCol: String, tsCol: String,
+                 valueCol: String, halfLifeDays: Int = 7): DataFrame = {
+    require(halfLifeDays > 0, s"halfLifeDays must be positive, got $halfLifeDays")
+    val base = df
+      .filter(col(tsCol).isNotNull && year(col(tsCol)) =!= 1970 &&
+        col(valueCol).isNotNull && !isnan(col(valueCol)))
+      .select(col(keyCol), to_date(col(tsCol)).as("__d"),
+        col(valueCol).cast("double").as("__v"))
+    val anchor = base.agg(max(col("__d")).as("__maxd"))
+    base.crossJoin(broadcast(anchor))
+      .withColumn("__steps",
+        least(floor(datediff(col("__maxd"), col("__d")).cast("double") /
+          halfLifeDays).cast("long"), lit(62L)))
+      .withColumn("__w",
+        lit(1.0) / expr("shiftleft(1L, cast(__steps as int))").cast("double"))
+      .withColumn("__term", (col("__v") * col("__w")).cast(DecimalType(18, 9)))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_events"),
+        NumFunctions.roundNz(sum(col("__term")).cast("double"), 6)
+          .as("decay_score"))
+  }
+
   def rollingZscore(df: DataFrame, keyCol: String, tsCol: String,
                     valueCol: String, win: Int = 7,
                     threshold: Double = 2.0): DataFrame = {

@@ -183,4 +183,43 @@ class TimeSeriesSpec extends SparkSpec {
       .select("event_id").as[Long].collect().toSeq
     assert(got === Seq(2L), s"lowest event_id must lead the burst: $got")
   }
+
+  test("decayScore: hand-computed stepped half-life weights (exact powers of two)") {
+    def day(d: String) = Timestamp.valueOf(s"$d 12:00:00")
+    val df = Seq(
+      (1L, day("2024-03-29"), 8.0),   // Δ=0 days → steps 0 → w=1
+      (1L, day("2024-03-22"), 8.0),   // Δ=7  → steps 1 → w=1/2
+      (1L, day("2024-03-14"), 8.0),   // Δ=15 → steps 2 → w=1/4
+      (2L, day("2024-03-29"), 3.5),   // steps 0
+      (2L, day("1970-01-01"), 99.0),  // epoch garbage: excluded
+      (3L, day("2024-03-28"), Double.NaN) // NaN: excluded → user 3 absent
+    ).toDF("user_id", "ts", "value")
+    val got = TimeSeries.decayScore(df, "user_id", "ts", "value", 7)
+      .as[(Long, Long, Double)].collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(got === Map(
+      1L -> ((3L, 8.0 + 4.0 + 2.0)),
+      2L -> ((1L, 3.5))))
+  }
+
+  test("decayScore: steps cap at 62 — ancient events score ~0, never a shift overflow") {
+    def day(d: String) = Timestamp.valueOf(s"$d 00:00:00")
+    val df = Seq(
+      (1L, day("2024-03-29"), 1.0),
+      (1L, day("1994-01-01"), 1000000.0)  // ~30 years ago at halfLife=1
+    ).toDF("user_id", "ts", "value")
+    val got = TimeSeries.decayScore(df, "user_id", "ts", "value", 1)
+      .as[(Long, Long, Double)].collect().head
+    assert(got === ((1L, 2L, 1.0)), s"2^-62 term must vanish at 6 decimals: $got")
+  }
+
+  test("decayScore: plan is map-side + one keyed aggregate (no window, anchor broadcasts)") {
+    def day(d: String) = Timestamp.valueOf(s"$d 00:00:00")
+    val df = (1 to 50).map(i => (i.toLong % 5, day("2024-03-01"), i.toDouble))
+      .toDF("user_id", "ts", "value")
+    val plan = TimeSeries.decayScore(df, "user_id", "ts", "value", 7)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"no window in the decay plan:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      s"the anchor date must broadcast:\n$plan")
+  }
 }
