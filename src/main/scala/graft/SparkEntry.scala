@@ -1642,6 +1642,19 @@ object SparkEntry {
       "doc_id", "text", dim = 256, k = 100)
   }
 
+  /** Q161 — classification report
+    * ([[graft.operators.Eval.classificationReport]]): per-class
+    * support/precision/recall/F1 for q152's NB language classifier —
+    * the evaluation face of the learned-gate family (rows collapse to
+    * K² confusion cells in one exchange; everything after is
+    * metadata-scale). Oracle: the shared NB prediction CTE + cell
+    * replay.
+    */
+  def q161(s: SparkSession, d: String): DataFrame =
+    graft.operators.Eval.classificationReport(
+      graft.operators.NaiveBayes.nbClassify(docs(s, d), "doc_id", "text", "lang"),
+      "label", "pred")
+
   /** Q160 — recency-decayed activity score
     * ([[graft.operators.TimeSeries.decayScore]]): per-user engagement
     * with a 7-day stepped half-life against the corpus max date. The
@@ -2323,7 +2336,8 @@ object SparkEntry {
     "q157_hits"           -> (q157 _),
     "q158_w1_drift"       -> (q158 _),
     "q159_audit"          -> (q159 _),
-    "q160_decay_score"    -> (q160 _))
+    "q160_decay_score"    -> (q160 _),
+    "q161_nb_report"      -> (q161 _))
 
   // DuckDB twins. Shared SQL fragments for the text queries:
   // explicit class: Java \s includes \x0B, RE2 \s does not — see
@@ -2364,6 +2378,40 @@ object SparkEntry {
        |${step("w1", 2)},
        |${step("w2", 3)}""".stripMargin
   }
+  /** Shared q152/q161 oracle prefix: the multinomial-NB prediction
+    * replay — hashed histograms, integer unit scores, prior, and the
+    * per-doc argmax in `best` ([[graft.operators.NaiveBayes]]'s
+    * fixed-point contract).
+    */
+  private lazy val NB_PRED_CTE: String =
+    s"""WITH t2 AS (SELECT doc_id, lang, $TOKS AS tk FROM documents
+       |  WHERE lang IS NOT NULL AND len($TOKS) > 0),
+       |b AS (SELECT doc_id, lang,
+       |  CAST(('0x' || substr(md5(tok), 1, 6)) AS BIGINT) % 128 AS j
+       |  FROM (SELECT doc_id, lang, unnest(tk) AS tok FROM t2)),
+       |hist AS (SELECT lang AS c, j, count(*) AS n FROM b GROUP BY 1, 2),
+       |tot AS (SELECT c, sum(n) AS tn FROM hist GROUP BY 1),
+       |ndoc AS (SELECT lang AS c, count(*) AS nd FROM t2 GROUP BY 1),
+       |nn AS (SELECT count(*) AS n, count(DISTINCT lang) AS k FROM t2),
+       |grid AS (SELECT ndoc.c, CAST(range AS BIGINT) AS j
+       |  FROM ndoc CROSS JOIN range(128)),
+       |su AS (SELECT g.c, g.j, CAST(round(
+       |    ln(CAST(coalesce(h.n, 0) + 1 AS DOUBLE) /
+       |       CAST(t.tn + 128 AS DOUBLE)) * 1000000) AS BIGINT) AS u
+       |  FROM grid g LEFT JOIN hist h ON g.c = h.c AND g.j = h.j
+       |  JOIN tot t ON g.c = t.c),
+       |pri AS (SELECT ndoc.c, CAST(round(
+       |    ln(CAST(ndoc.nd + 1 AS DOUBLE) /
+       |       CAST(nn.n + nn.k AS DOUBLE)) * 1000000) AS BIGINT) AS p
+       |  FROM ndoc CROSS JOIN nn),
+       |z AS (SELECT b.doc_id, su.c, sum(su.u) AS s
+       |  FROM b JOIN su USING (j) GROUP BY 1, 2),
+       |zz AS (SELECT z.doc_id, z.c, z.s + pri.p AS zt
+       |  FROM z JOIN pri ON z.c = pri.c),
+       |best AS (SELECT doc_id, c, row_number() OVER (
+       |  PARTITION BY doc_id ORDER BY zt DESC, c ASC) AS rk FROM zz)"""
+      .stripMargin
+
   private val TOKS_LOWER =
     "list_filter(regexp_split_to_array(trim(lower(text)), '[ \\t\\n\\f\\r]+'), x -> x <> '')"
   private def shinglesSql(tk: String): String =
@@ -2826,35 +2874,37 @@ object SparkEntry {
     // class (add-one token likelihoods + doc-count priors in integer
     // 1e-6 units), per-doc class sums, argmax with name tie-break.
     "q152_nb_langid" ->
-      (s"""WITH t2 AS (SELECT doc_id, lang, $TOKS AS tk FROM documents
-          |  WHERE lang IS NOT NULL AND len($TOKS) > 0),
-          |b AS (SELECT doc_id, lang,
-          |  CAST(('0x' || substr(md5(tok), 1, 6)) AS BIGINT) % 128 AS j
-          |  FROM (SELECT doc_id, lang, unnest(tk) AS tok FROM t2)),
-          |hist AS (SELECT lang AS c, j, count(*) AS n FROM b GROUP BY 1, 2),
-          |tot AS (SELECT c, sum(n) AS tn FROM hist GROUP BY 1),
-          |ndoc AS (SELECT lang AS c, count(*) AS nd FROM t2 GROUP BY 1),
-          |nn AS (SELECT count(*) AS n, count(DISTINCT lang) AS k FROM t2),
-          |grid AS (SELECT ndoc.c, CAST(range AS BIGINT) AS j
-          |  FROM ndoc CROSS JOIN range(128)),
-          |su AS (SELECT g.c, g.j, CAST(round(
-          |    ln(CAST(coalesce(h.n, 0) + 1 AS DOUBLE) /
-          |       CAST(t.tn + 128 AS DOUBLE)) * 1000000) AS BIGINT) AS u
-          |  FROM grid g LEFT JOIN hist h ON g.c = h.c AND g.j = h.j
-          |  JOIN tot t ON g.c = t.c),
-          |pri AS (SELECT ndoc.c, CAST(round(
-          |    ln(CAST(ndoc.nd + 1 AS DOUBLE) /
-          |       CAST(nn.n + nn.k AS DOUBLE)) * 1000000) AS BIGINT) AS p
-          |  FROM ndoc CROSS JOIN nn),
-          |z AS (SELECT b.doc_id, su.c, sum(su.u) AS s
-          |  FROM b JOIN su USING (j) GROUP BY 1, 2),
-          |zz AS (SELECT z.doc_id, z.c, z.s + pri.p AS zt
-          |  FROM z JOIN pri ON z.c = pri.c),
-          |best AS (SELECT doc_id, c, row_number() OVER (
-          |  PARTITION BY doc_id ORDER BY zt DESC, c ASC) AS rk FROM zz)
+      (s"""$NB_PRED_CTE
           |SELECT t2.doc_id AS id, t2.lang AS label, best.c AS pred,
           |  (t2.lang = best.c) AS correct
           |FROM t2 JOIN best ON t2.doc_id = best.doc_id AND best.rk = 1
+          |""".stripMargin),
+    // q161: q152's NB prediction CTE collapsed to confusion cells,
+    // then per-class support/predicted/diagonal and IEEE ratios.
+    "q161_nb_report" ->
+      (s"""$NB_PRED_CTE,
+          |pr AS (SELECT t2.lang AS label, best.c AS pred
+          |  FROM t2 JOIN best ON t2.doc_id = best.doc_id AND best.rk = 1),
+          |cells AS (SELECT label, pred, count(*) AS n FROM pr GROUP BY 1, 2),
+          |sup AS (SELECT label AS class, CAST(sum(n) AS BIGINT) AS support
+          |  FROM cells GROUP BY 1),
+          |prd AS (SELECT pred AS class, CAST(sum(n) AS BIGINT) AS predicted
+          |  FROM cells GROUP BY 1),
+          |tp AS (SELECT label AS class, CAST(n AS BIGINT) AS tp FROM cells
+          |  WHERE label = pred),
+          |j AS (SELECT coalesce(sup.class, prd.class) AS class,
+          |  coalesce(support, 0) AS support, coalesce(predicted, 0) AS predicted,
+          |  coalesce(tp, 0) AS tp
+          |  FROM sup FULL JOIN prd ON sup.class = prd.class
+          |  LEFT JOIN tp ON coalesce(sup.class, prd.class) = tp.class),
+          |m AS (SELECT class, support, predicted, tp,
+          |  CASE WHEN predicted > 0 THEN CAST(tp AS DOUBLE) / predicted ELSE 0.0 END AS p,
+          |  CASE WHEN support > 0 THEN CAST(tp AS DOUBLE) / support ELSE 0.0 END AS r
+          |  FROM j)
+          |SELECT class, support, predicted, tp,
+          |  round(p, 6) + 0 AS precision, round(r, 6) + 0 AS recall,
+          |  round(CASE WHEN p + r > 0 THEN 2.0 * p * r / (p + r) ELSE 0.0 END, 6) + 0 AS f1
+          |FROM m
           |""".stripMargin),
     // q160: bit-shift powers of two, IEEE multiply, decimal-path sum —
     // no pow() anywhere.

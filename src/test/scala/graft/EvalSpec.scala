@@ -1,0 +1,50 @@
+package graft
+
+import graft.operators.Eval
+
+/** [[graft.operators.Eval.classificationReport]] — hand-computed
+  * confusion arithmetic, zero-division conventions, and class coverage
+  * (a class appearing only in predictions still gets a row).
+  */
+class EvalSpec extends SparkSpec {
+  private val sp = spark
+  import sp.implicits._
+
+  test("classificationReport: hand-computed precision/recall/f1") {
+    // labels: a×3, b×2; preds: a correct 2/3, one a→b; b correct 1/2, one b→a
+    val df = Seq(
+      ("a", "a"), ("a", "a"), ("a", "b"),
+      ("b", "b"), ("b", "a")).toDF("label", "pred")
+    val got = Eval.classificationReport(df, "label", "pred")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getDouble(4), r.getDouble(5), r.getDouble(6)))).toMap
+    // a: support 3, predicted 3, tp 2 → p = r = 2/3, f1 = 2/3
+    val pa = 2.0 / 3
+    assert(got("a") === ((3L, 3L, 2L,
+      math.round(pa * 1e6) / 1e6, math.round(pa * 1e6) / 1e6,
+      math.round(2 * pa * pa / (pa + pa) * 1e6) / 1e6)))
+    // b: support 2, predicted 2, tp 1 → p = r = f1 = 0.5
+    assert(got("b") === ((2L, 2L, 1L, 0.5, 0.5, 0.5)))
+  }
+
+  test("classificationReport: prediction-only and label-only classes get rows; zero conventions") {
+    val df = Seq(("a", "c"), ("a", "a")).toDF("label", "pred")
+    val got = Eval.classificationReport(df, "label", "pred")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getDouble(4), r.getDouble(5), r.getDouble(6)))).toMap
+    assert(got("c") === ((0L, 1L, 0L, 0.0, 0.0, 0.0)),
+      "class only ever predicted: support 0, precision 0 (zero-division=0)")
+    assert(got("a") === ((2L, 1L, 1L, 1.0, 0.5, math.round(2.0 / 3 * 1e6) / 1e6)))
+  }
+
+  test("classificationReport: rows collapse to confusion cells before any per-class work") {
+    val df = (1 to 400).map(i => (s"c${i % 3}", s"c${i % 4 % 3}"))
+      .toDF("label", "pred")
+    val rep = Eval.classificationReport(df, "label", "pred")
+    assert(rep.count() === 3)
+    val plan = rep.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"no windows in the report plan:\n$plan")
+  }
+}
