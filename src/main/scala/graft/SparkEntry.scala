@@ -1642,6 +1642,25 @@ object SparkEntry {
       "doc_id", "text", dim = 256, k = 100)
   }
 
+  /** Q162 — classifier calibration
+    * ([[graft.operators.Eval.calibrationBuckets]]): reliability table
+    * for q148's trained quality classifier — 10 equal-width
+    * fixed-point probability buckets, mean predicted p vs observed
+    * positive rate. Integer bucket cuts; one keyed exchange. Oracle:
+    * the shared q148 training CTE + q150's scoring pass + bucket
+    * replay.
+    */
+  def q162(s: SparkSession, d: String): DataFrame = {
+    val dd = docs(s, d)
+    val w = graft.operators.QualityClassifier.train(dd, "doc_id", "text",
+        dim = 64, iterations = 3, etaDen = 64L)
+      .orderBy(col("feat")).select(col("w_units"))
+      .collect().map(_.getLong(0))
+    graft.operators.Eval.calibrationBuckets(
+      graft.operators.QualityClassifier.scoreRowWise(dd, "doc_id", "text", w),
+      "p_units", "y")
+  }
+
   /** Q161 — classification report
     * ([[graft.operators.Eval.classificationReport]]): per-class
     * support/precision/recall/F1 for q152's NB language classifier —
@@ -2337,7 +2356,8 @@ object SparkEntry {
     "q158_w1_drift"       -> (q158 _),
     "q159_audit"          -> (q159 _),
     "q160_decay_score"    -> (q160 _),
-    "q161_nb_report"      -> (q161 _))
+    "q161_nb_report"      -> (q161 _),
+    "q162_calibration"    -> (q162 _))
 
   // DuckDB twins. Shared SQL fragments for the text queries:
   // explicit class: Java \s includes \x0B, RE2 \s does not — see
@@ -4064,6 +4084,23 @@ object SparkEntry {
          |  CAST((2000000 + zc) // 4 AS BIGINT) AS p_units,
          |  round(CAST((2000000 + zc) // 4 AS DOUBLE) / 1000000, 6) + 0 AS p_r
          |FROM sc
+         |""".stripMargin),
+    // q162: q150's scoring pass bucketed by integer division of
+    // p_units — reliability cells with IEEE mean/rate divisions.
+    "q162_calibration" ->
+      (s"""$QC_TRAIN_CTE,
+         |z4 AS (SELECT f.doc_id, sum(f.x * w3.w) AS z
+         |  FROM f JOIN w3 USING (j) GROUP BY 1),
+         |sc AS (SELECT lab.doc_id, lab.y,
+         |  greatest(-2000000, least(2000000, coalesce(z4.z, 0))) AS zc
+         |  FROM lab LEFT JOIN z4 USING (doc_id)),
+         |pp AS (SELECT y, (2000000 + zc) // 4 AS p FROM sc),
+         |bk AS (SELECT least(9, p // 100000) AS bucket, count(*) AS n,
+         |  sum(p) AS sp, sum(y) AS sy FROM pp GROUP BY 1)
+         |SELECT CAST(bucket AS BIGINT) AS bucket, CAST(n AS BIGINT) AS n_docs,
+         |  round(CAST(sp AS DOUBLE) / n / 1000000, 6) + 0 AS mean_p,
+         |  round(CAST(sy AS DOUBLE) / n, 6) + 0 AS pos_rate
+         |FROM bk
          |""".stripMargin),
     // q149: DSIR replay — same md5 feature hash as q148, bucket
     // log-ratios frozen to integer 1e-6 units with the identical

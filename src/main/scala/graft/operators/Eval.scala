@@ -51,4 +51,38 @@ object Eval {
       .withColumn("f1", NumFunctions.roundNz(
         when(p + r > 0, lit(2.0) * p * r / (p + r)).otherwise(lit(0.0)), 6))
   }
+
+  /** Calibration (reliability) table for a probabilistic classifier
+    * whose scores are FIXED-POINT units (`scaleUnits` = probability
+    * 1.0, the [[QualityClassifier.Scale]] convention): equal-width
+    * probability buckets, and per bucket the document count, mean
+    * predicted probability, and observed positive rate — a
+    * well-calibrated model has mean_p ≈ pos_rate per bucket (the
+    * reliability-diagram table; Niculescu-Mizil & Caruana 2005). The
+    * bucket cut is INTEGER division of exact units, so bucketing can
+    * never disagree across engines at a boundary.
+    *
+    * Scale shape: one map-side bucket projection + one
+    * partial-aggregating shuffle over ≤ `buckets` groups.
+    */
+  def calibrationBuckets(df: DataFrame, pUnitsCol: String, labelCol: String,
+                         buckets: Int = 10,
+                         scaleUnits: Long = 1000000L): DataFrame = {
+    require(buckets > 0 && scaleUnits % buckets == 0,
+      s"buckets must divide scaleUnits evenly, got $buckets / $scaleUnits")
+    val width = scaleUnits / buckets
+    df
+      .withColumn("bucket",
+        least(lit(buckets - 1L), expr(s"$pUnitsCol div $width")))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col(pUnitsCol)).as("__sp"),
+        sum(col(labelCol).cast("long")).as("__sy"))
+      .select(col("bucket"), col("n_docs"),
+        NumFunctions.roundNz(
+          col("__sp").cast("double") / col("n_docs") / scaleUnits.toDouble, 6)
+          .as("mean_p"),
+        NumFunctions.roundNz(
+          col("__sy").cast("double") / col("n_docs"), 6).as("pos_rate"))
+  }
 }

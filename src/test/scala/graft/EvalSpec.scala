@@ -39,6 +39,30 @@ class EvalSpec extends SparkSpec {
     assert(got("a") === ((2L, 1L, 1L, 1.0, 0.5, math.round(2.0 / 3 * 1e6) / 1e6)))
   }
 
+  test("calibrationBuckets: integer bucket cuts, exact means and rates") {
+    val df = Seq(
+      (50000L, 0L),   // bucket 0
+      (99999L, 1L),   // bucket 0 (boundary stays below)
+      (100000L, 0L),  // bucket 1 (boundary promotes)
+      (950000L, 1L),  // bucket 9
+      (1000000L, 1L)  // p = 1.0 clamps into bucket 9
+    ).toDF("p_units", "y")
+    val got = Eval.calibrationBuckets(df, "p_units", "y")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(got(0L) === ((2L, math.round(149999.0 / 2 / 1000000 * 1e6) / 1e6, 0.5)))
+    assert(got(1L) === ((1L, 0.1, 0.0)))
+    assert(got(9L) === ((2L, 0.975, 1.0)))
+    assert(got.keySet === Set(0L, 1L, 9L))
+  }
+
+  test("calibrationBuckets: bucket width must divide the scale") {
+    val df = Seq((1L, 0L)).toDF("p_units", "y")
+    intercept[IllegalArgumentException] {
+      Eval.calibrationBuckets(df, "p_units", "y", buckets = 7)
+    }
+  }
+
   test("classificationReport: rows collapse to confusion cells before any per-class work") {
     val df = (1 to 400).map(i => (s"c${i % 3}", s"c${i % 4 % 3}"))
       .toDF("label", "pred")
