@@ -565,6 +565,39 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Sort [df"), s"global sort crept in:\n$p")
   }
 
+  test("q156: containment join plans equi-joins only — prefix probe vs full postings") {
+    val p = plan(SparkEntry.q156(spark, sf0001))
+    assert(!p.contains("CartesianProduct"), s"cartesian in containment join:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"nested-loop in containment join:\n$p")
+    assert(!p.contains("Sort [df"), s"global sort of the shingle stream:\n$p")
+  }
+
+  test("q158: W1 windows are keyed by group and run over collapsed distinct values") {
+    val p = plan(SparkEntry.q158(spark, sf0001))
+    assert(!p.contains("windowspecdefinition()"),
+      s"partition-less window in the W1 plan:\n$p")
+    // the (group, value) collapse aggregates BEFORE any window
+    val firstWindow = p.indexOf("Window")
+    val lastAgg = p.lastIndexOf("HashAggregate")
+    assert(firstWindow >= 0 && lastAgg > firstWindow,
+      s"distinct-value collapse must sit below the window:\n$p")
+  }
+
+  test("q154: BM25 prunes the token stream map-side and cuts with the heap, not a window") {
+    val p = plan(SparkEntry.q154(spark, sf0001))
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      s"query-vocab prune must broadcast-semi-join:\n$p")
+    assert(!p.contains("Window"), s"top-k must be the heap:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"all BM25 joins broadcast at this scale:\n$p")
+  }
+
+  test("q160: decay score is map-side + one keyed aggregate — no window, no sort") {
+    val p = plan(SparkEntry.q160(spark, sf0001))
+    assert(!p.contains("Window"), s"no window in the decay plan:\n$p")
+    val exchanges = "Exchange".r.findAllIn(p).length
+    assert(exchanges <= 3, s"decay plan should be ~1 keyed exchange (+AQE reads), got $exchanges:\n$p")
+  }
+
   test("q133: every PageRank iteration reads the persisted edge cache, not the corpus") {
     val p = plan(SparkEntry.q133(spark, sf0001))
     // each of the 5 iterations reads edges (contrib + outdeg legs) from
