@@ -1642,6 +1642,24 @@ object SparkEntry {
       "doc_id", "text", dim = 256, k = 100)
   }
 
+  /** Q163 — exact ROC-AUC + Brier score
+    * ([[graft.operators.Eval.binaryScoreEval]]): the Mann-Whitney U
+    * form with exact integer midrank tie handling over q148's
+    * fixed-point scores, plus the Brier decomposition over the same
+    * collapsed support. One collapse exchange; the cumulative window's
+    * support is bounded by the score scale, not the data.
+    */
+  def q163(s: SparkSession, d: String): DataFrame = {
+    val dd = docs(s, d)
+    val w = graft.operators.QualityClassifier.train(dd, "doc_id", "text",
+        dim = 64, iterations = 3, etaDen = 64L)
+      .orderBy(col("feat")).select(col("w_units"))
+      .collect().map(_.getLong(0))
+    graft.operators.Eval.binaryScoreEval(
+      graft.operators.QualityClassifier.scoreRowWise(dd, "doc_id", "text", w),
+      "p_units", "y")
+  }
+
   /** Q162 — classifier calibration
     * ([[graft.operators.Eval.calibrationBuckets]]): reliability table
     * for q148's trained quality classifier — 10 equal-width
@@ -2357,7 +2375,8 @@ object SparkEntry {
     "q159_audit"          -> (q159 _),
     "q160_decay_score"    -> (q160 _),
     "q161_nb_report"      -> (q161 _),
-    "q162_calibration"    -> (q162 _))
+    "q162_calibration"    -> (q162 _),
+    "q163_auc"            -> (q163 _))
 
   // DuckDB twins. Shared SQL fragments for the text queries:
   // explicit class: Java \s includes \x0B, RE2 \s does not — see
@@ -4084,6 +4103,37 @@ object SparkEntry {
          |  CAST((2000000 + zc) // 4 AS BIGINT) AS p_units,
          |  round(CAST((2000000 + zc) // 4 AS DOUBLE) / 1000000, 6) + 0 AS p_r
          |FROM sc
+         |""".stripMargin),
+    // q163: the scoring pass collapsed per distinct score, U2 in exact
+    // integers (HUGEINT side / DECIMAL(38,0) engine side), one IEEE
+    // division each for AUC and Brier.
+    "q163_auc" ->
+      (s"""$QC_TRAIN_CTE,
+         |z4 AS (SELECT f.doc_id, sum(f.x * w3.w) AS z
+         |  FROM f JOIN w3 USING (j) GROUP BY 1),
+         |sc AS (SELECT lab.doc_id, CAST(lab.y AS BIGINT) AS y,
+         |  greatest(-2000000, least(2000000, coalesce(z4.z, 0))) AS zc
+         |  FROM lab LEFT JOIN z4 USING (doc_id)),
+         |pp AS (SELECT y, (2000000 + zc) // 4 AS p FROM sc),
+         |s2 AS (SELECT p, sum(y) AS np, sum(1 - y) AS nn FROM pp GROUP BY 1),
+         |c2 AS (SELECT p, np, nn,
+         |  sum(nn) OVER (ORDER BY p ROWS UNBOUNDED PRECEDING) - nn AS cumn FROM s2),
+         |ag AS (SELECT CAST(sum(np) AS BIGINT) AS n_pos,
+         |  CAST(sum(nn) AS BIGINT) AS n_neg,
+         |  sum(np * (2 * cumn + nn)) AS u2,
+         |  sum(CAST((CAST(p AS DOUBLE) / 1000000 - 1.0)
+         |    * (CAST(p AS DOUBLE) / 1000000 - 1.0) * np
+         |    + (CAST(p AS DOUBLE) / 1000000) * (CAST(p AS DOUBLE) / 1000000) * nn
+         |    AS DECIMAL(28,9))) AS bs
+         |  FROM c2)
+         |SELECT n_pos, n_neg,
+         |  CASE WHEN n_pos > 0 AND n_neg > 0
+         |    THEN round(CAST(u2 AS DOUBLE) / (2.0 * n_pos * n_neg), 6) + 0
+         |    ELSE NULL END AS auc,
+         |  CASE WHEN n_pos + n_neg > 0
+         |    THEN round(CAST(bs AS DOUBLE) / (n_pos + n_neg), 6) + 0
+         |    ELSE NULL END AS brier
+         |FROM ag
          |""".stripMargin),
     // q162: q150's scoring pass bucketed by integer division of
     // p_units — reliability cells with IEEE mean/rate divisions.

@@ -52,6 +52,60 @@ object Eval {
         when(p + r > 0, lit(2.0) * p * r / (p + r)).otherwise(lit(0.0)), 6))
   }
 
+  /** Exact ROC-AUC (Mann-Whitney U form) and Brier score for a binary
+    * classifier with FIXED-POINT probability units: one summary row
+    * `(n_pos, n_neg, auc, brier)`. Tie handling is the exact midrank
+    * convention, in INTEGERS: over distinct scores ascending,
+    * `U·2 = Σ n_pos(s) · (2·cum_neg_below(s) + n_neg(s))`, so equal
+    * scores contribute half a concordant pair each — no float rank, no
+    * tie-break arbitrariness; AUC = U2 / (2·n_pos·n_neg) is a single
+    * IEEE division (null when either class is absent). The Brier sum
+    * folds over the same collapsed table
+    * (`n_pos·(p−1)² + n_neg·p²` per distinct score) through
+    * DECIMAL(28,9).
+    *
+    * Scale design: rows collapse ONCE to per-distinct-score counts
+    * (one partial-aggregating shuffle); the cumulative window then
+    * runs over a support BOUNDED BY CONSTRUCTION at `scaleUnits + 1`
+    * distinct values — independent of the row count — which is why a
+    * partition-less window is safe here (the documented bounded-window
+    * convention; fixed-point scores exist precisely to bound this).
+    * U2 products ride in DECIMAL(38,0), exact far beyond any long
+    * overflow (2n² at n = 10¹¹ rows ≈ 2·10²² ≪ 10³⁸).
+    */
+  def binaryScoreEval(df: DataFrame, pUnitsCol: String, labelCol: String,
+                      scaleUnits: Long = 1000000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val y = col(labelCol).cast("long")
+    val s = df.groupBy(col(pUnitsCol).as("__p"))
+      .agg(sum(y).as("__np"), sum(lit(1L) - y).as("__nn"))
+    val w = Window.orderBy(col("__p"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pd = col("__p").cast("double") / scaleUnits.toDouble
+    val t = s
+      .withColumn("__cumn", sum(col("__nn")).over(w) - col("__nn"))
+      .withColumn("__u2", col("__np").cast(DecimalType(38, 0)) *
+        (lit(2L) * col("__cumn") + col("__nn")).cast(DecimalType(38, 0)))
+      .withColumn("__bt",
+        ((pd - lit(1.0)) * (pd - lit(1.0)) * col("__np") + pd * pd * col("__nn"))
+          .cast(DecimalType(28, 9)))
+    t.agg(sum(col("__np")).as("n_pos"), sum(col("__nn")).as("n_neg"),
+        sum(col("__u2")).as("__u2s"), sum(col("__bt")).as("__bs"))
+      .select(
+        coalesce(col("n_pos"), lit(0L)).as("n_pos"),
+        coalesce(col("n_neg"), lit(0L)).as("n_neg"),
+        NumFunctions.roundNz(
+          when(col("n_pos") > 0 && col("n_neg") > 0,
+            col("__u2s").cast("double") /
+              (lit(2.0) * col("n_pos") * col("n_neg")))
+            .otherwise(lit(null)), 6).as("auc"),
+        NumFunctions.roundNz(
+          when(col("n_pos") + col("n_neg") > 0,
+            col("__bs").cast("double") / (col("n_pos") + col("n_neg")))
+            .otherwise(lit(null)), 6).as("brier"))
+  }
+
   /** Calibration (reliability) table for a probabilistic classifier
     * whose scores are FIXED-POINT units (`scaleUnits` = probability
     * 1.0, the [[QualityClassifier.Scale]] convention): equal-width

@@ -63,6 +63,34 @@ class EvalSpec extends SparkSpec {
     }
   }
 
+  test("binaryScoreEval: perfect separation gives AUC 1, reversal gives 0, ties midrank to 0.5") {
+    def auc(rows: Seq[(Long, Long)]): Option[Double] = {
+      val r = Eval.binaryScoreEval(rows.toDF("p_units", "y"), "p_units", "y")
+        .collect().head
+      if (r.isNullAt(2)) None else Some(r.getDouble(2))
+    }
+    assert(auc(Seq((900000L, 1L), (800000L, 1L), (100000L, 0L))) === Some(1.0))
+    assert(auc(Seq((100000L, 1L), (900000L, 0L))) === Some(0.0))
+    // every score tied → all pairs count half → AUC exactly 0.5
+    assert(auc(Seq((500000L, 1L), (500000L, 0L), (500000L, 1L), (500000L, 0L)))
+      === Some(0.5))
+    // single-class input: AUC undefined (null)
+    assert(auc(Seq((500000L, 1L), (900000L, 1L))) === None)
+  }
+
+  test("binaryScoreEval: hand-computed mixed ranking with a tie") {
+    // scores desc: 0.9(+), 0.6(+ and −  tied), 0.2(−)
+    // pairs: (0.9+,0.6−)=1, (0.9+,0.2−)=1, (0.6+,0.6−)=0.5, (0.6+,0.2−)=1
+    // AUC = 3.5 / 4 = 0.875
+    val df = Seq((900000L, 1L), (600000L, 1L), (600000L, 0L), (200000L, 0L))
+      .toDF("p_units", "y")
+    val r = Eval.binaryScoreEval(df, "p_units", "y").collect().head
+    assert((r.getLong(0), r.getLong(1)) === ((2L, 2L)))
+    assert(r.getDouble(2) === 0.875)
+    // Brier: (0.9−1)² + (0.6−1)² + 0.6² + 0.2² = 0.01+0.16+0.36+0.04 = 0.57/4
+    assert(r.getDouble(3) === 0.1425)
+  }
+
   test("classificationReport: rows collapse to confusion cells before any per-class work") {
     val df = (1 to 400).map(i => (s"c${i % 3}", s"c${i % 4 % 3}"))
       .toDF("label", "pred")
