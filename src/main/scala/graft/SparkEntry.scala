@@ -1642,6 +1642,15 @@ object SparkEntry {
       "doc_id", "text", dim = 256, k = 100)
   }
 
+  /** Q164 — Kneser-Ney bigram surprisal
+    * ([[graft.operators.Corpus.knSurprisal]]; Kneser & Ney 1995):
+    * per-doc mean −ln P under the interpolated-KN bigram model with
+    * D = 3/4 — the smoothed upgrade of q82's MLE. Vocab-scale
+    * collapses + one per-doc aggregate; DECIMAL(18,9) term path.
+    */
+  def q164(s: SparkSession, d: String): DataFrame =
+    graft.operators.Corpus.knSurprisal(docs(s, d), "doc_id", "text")
+
   /** Q163 — exact ROC-AUC + Brier score
     * ([[graft.operators.Eval.binaryScoreEval]]): the Mann-Whitney U
     * form with exact integer midrank tie handling over q148's
@@ -2376,7 +2385,8 @@ object SparkEntry {
     "q160_decay_score"    -> (q160 _),
     "q161_nb_report"      -> (q161 _),
     "q162_calibration"    -> (q162 _),
-    "q163_auc"            -> (q163 _))
+    "q163_auc"            -> (q163 _),
+    "q164_kn_surprisal"   -> (q164 _))
 
   // DuckDB twins. Shared SQL fragments for the text queries:
   // explicit class: Java \s includes \x0B, RE2 \s does not — see
@@ -4104,6 +4114,28 @@ object SparkEntry {
          |  round(CAST((2000000 + zc) // 4 AS DOUBLE) / 1000000, 6) + 0 AS p_r
          |FROM sc
          |""".stripMargin),
+    // q164: q82's bigram stream + KN terms — context totals,
+    // fan-out/continuation type counts, D = 3/4, ln-parity decimals.
+    "q164_kn_surprisal" ->
+      (s"""WITH t AS (SELECT doc_id, $TOKS AS tk FROM documents),
+          |b AS (SELECT doc_id, unnest(tk[1:len(tk)-1]) AS prev,
+          |  unnest(tk[2:len(tk)]) AS cur FROM t WHERE len(tk) >= 2),
+          |cb AS (SELECT prev, cur, count(*) AS cbg FROM b GROUP BY 1, 2),
+          |cx AS (SELECT prev, sum(cbg) AS cprefix, count(*) AS n1fw
+          |  FROM cb GROUP BY 1),
+          |co AS (SELECT cur, count(*) AS contw FROM cb GROUP BY 1),
+          |ty AS (SELECT count(*) AS types FROM cb),
+          |pr AS (SELECT cb.prev, cb.cur,
+          |  CAST(-ln((CAST(cbg AS DOUBLE) - 0.75) / cprefix
+          |    + 0.75 * CAST(n1fw AS DOUBLE) / cprefix
+          |      * (CAST(contw AS DOUBLE) / types)) AS DECIMAL(18,9)) AS s
+          |  FROM cb JOIN cx USING (prev) JOIN co USING (cur) CROSS JOIN ty)
+          |SELECT doc_id,
+          |  round(CAST(sum(s) AS DOUBLE) / count(*), 6) + 0 AS kn_surprisal,
+          |  count(*) AS n_bigrams
+          |FROM b JOIN pr USING (prev, cur)
+          |GROUP BY doc_id
+          |""".stripMargin),
     // q163: the scoring pass collapsed per distinct score, U2 in exact
     // integers (HUGEINT side / DECIMAL(38,0) engine side), one IEEE
     // division each for AUC and Brier.

@@ -631,6 +631,48 @@ object Corpus {
         count(lit(1)).as("n_bigrams"))
   }
 
+  /** Interpolated Kneser-Ney bigram surprisal (Kneser & Ney, ICASSP
+    * 1995; Chen & Goodman 1999's interpolated form with absolute
+    * discount D = 0.75): per-doc mean `−ln P_KN(cur|prev)` where
+    * `P_KN(w|v) = (c(vw) − D)/c(v·) + D·N₁₊(v·)/c(v·) · N₁₊(·w)/N₁₊(··)`
+    * — the proper smoothed LM score behind CCNet-style perplexity
+    * filtering, upgrading [[bigramSurprisal]]'s raw MLE: the
+    * continuation weight ranks a word by how many CONTEXTS it follows,
+    * so boilerplate that always rides one fixed phrase stops looking
+    * "predictable everywhere". D = 3/4 is exactly representable; every
+    * ratio is a double division of exact counts in a pinned order, and
+    * per-bigram surprisals route through DECIMAL(18,9) (the q67
+    * recipe).
+    *
+    * Scale shape: three partial-aggregating collapses of the bigram
+    * stream (type counts, context totals, continuation counts — each
+    * bounded by the bigram-type vocabulary), a 1-row type total riding
+    * as a broadcast scalar, vocab-keyed equi-joins back, and one
+    * per-doc aggregate. No window, no collect.
+    */
+  def knSurprisal(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val bg = bigramPairs(docs, idCol, textCol)
+    val cbg = bg.groupBy(col("prev"), col("cur")).agg(count(lit(1)).as("cbg"))
+    val ctx = cbg.groupBy(col("prev"))
+      .agg(sum(col("cbg")).as("cprefix"), count(lit(1)).as("n1fw"))
+    val cont = cbg.groupBy(col("cur")).agg(count(lit(1)).as("contw"))
+    val types = cbg.agg(count(lit(1)).as("types"))
+    val probs = cbg.join(ctx, "prev").join(cont, "cur")
+      .crossJoin(broadcast(types))
+      .select(col("prev"), col("cur"),
+        (-log(
+          (col("cbg").cast("double") - lit(0.75)) / col("cprefix") +
+            lit(0.75) * col("n1fw").cast("double") / col("cprefix") *
+              (col("contw").cast("double") / col("types"))))
+          .cast(org.apache.spark.sql.types.DecimalType(18, 9)).as("__s"))
+    bg.join(probs, Seq("prev", "cur"))
+      .groupBy(col("doc_id"))
+      .agg(NumFunctions.roundNz(
+          (sum(col("__s")).cast("double") / count(lit(1))), 6)
+          .as("kn_surprisal"),
+        count(lit(1)).as("n_bigrams"))
+  }
+
   /** Per-group winsorization: values clamped to the group's
     * [`lo`, `hi`] quantile band — the robust-stats outlier trim a
     * pipeline applies before normalizing a feature (a handful of

@@ -909,6 +909,38 @@ class CorpusSpec extends SparkSpec {
     assert(q1.head.getLong(1) === 0L)
   }
 
+  test("knSurprisal: hand-computed interpolated Kneser-Ney terms (D = 3/4)") {
+    val d = docTable(Seq(1L -> "a b", 2L -> "a b", 3L -> "c b", 4L -> "a d",
+      5L -> "single"))
+    // cbg: (a,b)=2 (c,b)=1 (a,d)=1; ctx a:(3,2) c:(1,1); cont b:2 d:1; types=3
+    def kn(cbg: Long, cprefix: Long, n1fw: Long, contw: Long): Double = {
+      val p = (cbg.toDouble - 0.75) / cprefix +
+        0.75 * n1fw.toDouble / cprefix * (contw.toDouble / 3L)
+      val s = new java.math.BigDecimal(-math.log(p))
+        .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue()
+      math.round(s / 1 * 1e6) / 1e6
+    }
+    val got = Corpus.knSurprisal(d, "doc_id", "text")
+      .as[(Long, Double, Long)].collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(got.keySet === Set(1L, 2L, 3L, 4L), "1-token docs are excluded")
+    assert(got(1L) === ((kn(2, 3, 2, 2), 1L)))
+    assert(got(3L) === ((kn(1, 1, 1, 2), 1L)))
+    assert(got(4L) === ((kn(1, 3, 2, 1), 1L)))
+  }
+
+  test("knSurprisal: continuation weighting separates one-context words from versatile ones") {
+    // "x" follows only "glue"; "y" follows many different contexts.
+    // Under MLE P(x|glue) = P(y|c1) = 1; KN discounts the one-context
+    // continuation harder: surprisal(glue x) > surprisal(c1 y).
+    val d = docTable(Seq(
+      1L -> "glue x", 2L -> "glue x", 3L -> "glue x",
+      4L -> "c1 y", 5L -> "c2 y", 6L -> "c3 y", 7L -> "c4 y"))
+    val got = Corpus.knSurprisal(d, "doc_id", "text")
+      .as[(Long, Double, Long)].collect().map(t => t._1 -> t._2).toMap
+    assert(got(1L) > got(4L),
+      s"one-context x must surprise more than versatile y: ${got(1L)} vs ${got(4L)}")
+  }
+
   test("kAnonymityAudit: group sizes, l-diversity, and the k flag are exact") {
     val rows = Seq(
       // (zip, age_band, disease): the classic Sweeney shape
