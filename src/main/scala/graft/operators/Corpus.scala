@@ -1093,8 +1093,12 @@ object Corpus {
         size(toks).cast("long").as("__dl"), explode(toks).as("token"))
       .join(broadcast(qterm.select(col("token")).distinct()),
         Seq("token"), "left_semi")
+    // tf feeds both the df count and the scoring join — persist it or
+    // the tokenize + semi-join + aggregate chain runs twice. Bounded by
+    // documents matching a query term; lazy-scoped lifecycle.
     val tf = base.groupBy(col("__id"), col("token"))
       .agg(count(lit(1)).as("__tf"), first(col("__dl")).as("__dl"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("__df"))
     val stats = docs.select(size(toks).cast("long").as("__n"))
       .agg(count(lit(1)).as("__ndocs"), sum(col("__n")).as("__totlen"))

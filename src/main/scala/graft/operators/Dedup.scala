@@ -741,19 +741,7 @@ object Dedup {
     val sh = hashedShingles(docs, idCol, textCol, ngram)
       .filter(size(col("shingles")) > 0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val ordered = dfOrderedSets(sh, idCol)
-    val p = (col("sz") - floorDiv(col("sz") * thresholdNum + (thresholdDen - 1),
-      lit(thresholdDen.toLong)) + 1).cast("int")
-    val probe = ordered
-      .select(col("id").as("a_id"), col("sz").as("sz_a"),
-        explode(slice(col("ord"), lit(1), p)).as("h"))
-    val index = ordered
-      .select(col("id").as("b_id"), col("sz").as("sz_b"),
-        explode(col("ord")).as("h"))
-    val cand = probe.join(index,
-        probe("h") === index("h") && col("a_id") =!= col("b_id") &&
-          col("sz_b") * thresholdDen >= col("sz_a") * thresholdNum)
-      .select(col("a_id"), col("b_id")).distinct()
+    val cand = containmentCandidatesFrom(sh, idCol, thresholdNum, thresholdDen)
     val a = sh.select(col(idCol).as("a_id"), col("shingles").as("sa"))
     val b = sh.select(col(idCol).as("b_id"), col("shingles").as("sb"))
     cand.join(a, "a_id").join(b, "b_id")
@@ -763,6 +751,40 @@ object Dedup {
       .filter(col("inter") * thresholdDen >= col("sz_a") * thresholdNum)
       .select(col("a_id"), col("b_id"), col("inter"), col("sz_a"),
         (col("inter").cast("double") / col("sz_a")).as("containment"))
+  }
+
+  /** The candidate-pair table [[containmentJoinPrefix]] verifies —
+    * exposed so the asymmetric-prefix economics can be measured
+    * (`ContainBench`, BASELINE.md `containment`).
+    */
+  def containmentPrefixCandidates(docs: DataFrame, idCol: String,
+                                  textCol: String, thresholdNum: Int,
+                                  thresholdDen: Int, ngram: Int = 3): DataFrame =
+    containmentCandidatesFrom(
+      hashedShingles(docs, idCol, textCol, ngram)
+        .filter(size(col("shingles")) > 0),
+      idCol, thresholdNum, thresholdDen)
+
+  /** Asymmetric prefix candidates: A's prefix probes B's FULL postings
+    * with the one-sided size filter — shared by the join and its
+    * economics bench.
+    */
+  private def containmentCandidatesFrom(sh: DataFrame, idCol: String,
+                                        thresholdNum: Int,
+                                        thresholdDen: Int): DataFrame = {
+    val ordered = dfOrderedSets(sh, idCol)
+    val p = (col("sz") - floorDiv(col("sz") * thresholdNum + (thresholdDen - 1),
+      lit(thresholdDen.toLong)) + 1).cast("int")
+    val probe = ordered
+      .select(col("id").as("a_id"), col("sz").as("sz_a"),
+        explode(slice(col("ord"), lit(1), p)).as("h"))
+    val index = ordered
+      .select(col("id").as("b_id"), col("sz").as("sz_b"),
+        explode(col("ord")).as("h"))
+    probe.join(index,
+        probe("h") === index("h") && col("a_id") =!= col("b_id") &&
+          col("sz_b") * thresholdDen >= col("sz_a") * thresholdNum)
+      .select(col("a_id"), col("b_id")).distinct()
   }
 
   private def prefixCandidates(sh: DataFrame, idCol: String,

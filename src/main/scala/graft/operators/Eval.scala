@@ -27,9 +27,15 @@ object Eval {
     */
   def classificationReport(df: DataFrame, labelCol: String,
                            predCol: String): DataFrame = {
+    // cells feed THREE aggregations (support, predicted, diagonal) —
+    // persist them or the full upstream prediction plan recomputes per
+    // branch (measured 2.4× on q161). K²-bounded state; lazy-scoped
+    // lifecycle (the result references the cache; ContextCleaner
+    // reclaims it with the result).
     val cells = df
       .groupBy(col(labelCol).as("label"), col(predCol).as("pred"))
       .agg(count(lit(1)).as("n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sup = cells.groupBy(col("label").as("class"))
       .agg(sum(col("n")).as("support"))
     val prd = cells.groupBy(col("pred").as("class"))

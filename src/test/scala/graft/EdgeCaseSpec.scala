@@ -258,4 +258,54 @@ class EdgeCaseSpec extends SparkSpec {
       .as[(Long, String, String, Boolean)].collect()
     assert(nb.length === 2 && nb.forall(r => r._3 == "en" && r._4))
   }
+
+  test("round-10b operators tolerate empty and degenerate inputs") {
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val docs = Seq((1L, "alpha beta gamma delta"), (2L, "epsilon zeta eta theta"))
+      .toDF("doc_id", "text")
+
+    // BM25 against an empty corpus / with an empty query set: no rows
+    val qs = Seq((1L, "alpha")).toDF("qid", "qtext")
+    assert(graft.operators.Corpus.bm25TopK(empty, "doc_id", "text", qs, "qid", "qtext").count() === 0)
+    val noQs = Seq.empty[(Long, String)].toDF("qid", "qtext")
+    assert(graft.operators.Corpus.bm25TopK(docs, "doc_id", "text", noQs, "qid", "qtext").count() === 0)
+
+    // containment join with no shared shingles: empty, not an error
+    assert(graft.operators.Dedup.containmentJoinPrefix(docs, "doc_id", "text").count() === 0)
+    assert(graft.operators.Dedup.containmentJoinPrefix(empty, "doc_id", "text").count() === 0)
+
+    // HITS on an empty edge table: empty result (no divide-by-zero on
+    // the Σraw normalizer — there are no rows to normalize)
+    val noEdges = Seq.empty[(String, String)].toDF("src", "dst")
+    assert(graft.operators.Graph.hits(noEdges, "src", "dst", 1).count() === 0)
+
+    // W1 with both sides empty / a k-anonymity audit of nothing
+    assert(graft.operators.Drift.w1Profile(
+      Seq.empty[(String, Double)].toDF("grp", "value"),
+      Seq.empty[(String, Double)].toDF("grp", "value"), "grp", "value")
+      .count() === 0)
+    assert(graft.operators.Corpus.kAnonymityAudit(empty, Seq("doc_id"), "text", 5).count() === 0)
+
+    // decay score over no valid timestamps: empty
+    val ev = Seq.empty[(Long, java.sql.Timestamp, Double)]
+      .toDF("user_id", "ts", "value")
+    assert(graft.operators.TimeSeries.decayScore(ev, "user_id", "ts", "value")
+      .count() === 0)
+
+    // KN surprisal: single-token docs have no bigrams → empty
+    val singles = Seq((1L, "solo"), (2L, "alone")).toDF("doc_id", "text")
+    assert(graft.operators.Corpus.knSurprisal(singles, "doc_id", "text").count() === 0)
+
+    // classification report of an empty prediction table: no classes
+    assert(graft.operators.Eval.classificationReport(
+      Seq.empty[(String, String)].toDF("label", "pred"), "label", "pred")
+      .count() === 0)
+
+    // AUC over an empty score table: one row, zero counts, null metrics
+    val auc = graft.operators.Eval.binaryScoreEval(
+      Seq.empty[(Long, Long)].toDF("p_units", "y"), "p_units", "y")
+      .collect().head
+    assert(auc.getLong(0) === 0L && auc.getLong(1) === 0L)
+    assert(auc.isNullAt(2) && auc.isNullAt(3))
+  }
 }
