@@ -1642,6 +1642,33 @@ object SparkEntry {
       "doc_id", "text", dim = 256, k = 100)
   }
 
+  /** Q165 — Jaccard k-nearest neighbors
+    * ([[graft.operators.Dedup.jaccardTopK]]): every document's 5 most
+    * similar others at Jaccard ≥ 0.3 — q129's lossless prefix-filtered
+    * pair set mirrored and cut by the bounded heap. Oracle: the
+    * brute-force pair table + rank window.
+    */
+  def q165(s: SparkSession, d: String): DataFrame =
+    Dedup.jaccardTopK(docs(s, d), "doc_id", "text", k = 5)
+
+  /** Q166 — uncertainty sampling
+    * ([[graft.operators.Eval.uncertaintyTopK]]; Lewis & Gale 1994):
+    * the 50 documents whose q148-classifier probability sits closest
+    * to 0.5 — where a labeling budget goes. Integer margins,
+    * TakeOrdered cut. Oracle: the shared training CTE + scoring +
+    * margin order.
+    */
+  def q166(s: SparkSession, d: String): DataFrame = {
+    val dd = docs(s, d)
+    val w = graft.operators.QualityClassifier.train(dd, "doc_id", "text",
+        dim = 64, iterations = 3, etaDen = 64L)
+      .orderBy(col("feat")).select(col("w_units"))
+      .collect().map(_.getLong(0))
+    graft.operators.Eval.uncertaintyTopK(
+      graft.operators.QualityClassifier.scoreRowWise(dd, "doc_id", "text", w),
+      "id", "p_units", k = 50)
+  }
+
   /** Q164 — Kneser-Ney bigram surprisal
     * ([[graft.operators.Corpus.knSurprisal]]; Kneser & Ney 1995):
     * per-doc mean −ln P under the interpolated-KN bigram model with
@@ -2386,7 +2413,9 @@ object SparkEntry {
     "q161_nb_report"      -> (q161 _),
     "q162_calibration"    -> (q162 _),
     "q163_auc"            -> (q163 _),
-    "q164_kn_surprisal"   -> (q164 _))
+    "q164_kn_surprisal"   -> (q164 _),
+    "q165_jaccard_knn"    -> (q165 _),
+    "q166_uncertainty"    -> (q166 _))
 
   // DuckDB twins. Shared SQL fragments for the text queries:
   // explicit class: Java \s includes \x0B, RE2 \s does not — see
@@ -4113,6 +4142,37 @@ object SparkEntry {
          |  CAST((2000000 + zc) // 4 AS BIGINT) AS p_units,
          |  round(CAST((2000000 + zc) // 4 AS DOUBLE) / 1000000, 6) + 0 AS p_r
          |FROM sc
+         |""".stripMargin),
+    // q165: brute-force mirrored pair table + rank window — the prefix
+    // filter is lossless, so the quadratic SQL is the oracle.
+    "q165_jaccard_knn" ->
+      (s"""WITH toks AS (SELECT doc_id, $TOKS AS tk FROM documents),
+          |sh0 AS (SELECT doc_id, ${shinglesSql("tk")} AS s FROM toks),
+          |sh AS (SELECT doc_id, s FROM sh0 WHERE len(s) > 0),
+          |p AS (SELECT a.doc_id AS id, b.doc_id AS nbr,
+          |  CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS inter,
+          |  CAST(len(a.s) + len(b.s) AS BIGINT) AS tot
+          |  FROM sh a JOIN sh b ON a.doc_id <> b.doc_id),
+          |pairs AS (SELECT id, nbr, inter,
+          |  CAST(inter AS DOUBLE) / (tot - inter) AS jac FROM p
+          |  WHERE (tot - inter) > 0 AND inter * 10 >= (tot - inter) * 3)
+          |SELECT id AS doc_id, nbr, jac, rk FROM (SELECT id, nbr, jac,
+          |  row_number() OVER (PARTITION BY id ORDER BY jac DESC, nbr ASC) AS rk
+          |  FROM pairs) WHERE rk <= 5
+          |""".stripMargin),
+    // q166: the scoring pass ordered by integer distance from the
+    // boundary, id tie-break, k-row cut.
+    "q166_uncertainty" ->
+      (s"""$QC_TRAIN_CTE,
+         |z4 AS (SELECT f.doc_id, sum(f.x * w3.w) AS z
+         |  FROM f JOIN w3 USING (j) GROUP BY 1),
+         |sc AS (SELECT lab.doc_id,
+         |  greatest(-2000000, least(2000000, coalesce(z4.z, 0))) AS zc
+         |  FROM lab LEFT JOIN z4 USING (doc_id)),
+         |pp AS (SELECT CAST(doc_id AS VARCHAR) AS id,
+         |  CAST((2000000 + zc) // 4 AS BIGINT) AS p_units FROM sc)
+         |SELECT id, p_units, CAST(abs(p_units - 500000) AS BIGINT) AS margin_units
+         |FROM pp ORDER BY margin_units ASC, id ASC LIMIT 50
          |""".stripMargin),
     // q164: q82's bigram stream + KN terms — context totals,
     // fan-out/continuation type counts, D = 3/4, ln-parity decimals.

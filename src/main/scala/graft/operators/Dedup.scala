@@ -757,6 +757,36 @@ object Dedup {
     * exposed so the asymmetric-prefix economics can be measured
     * (`ContainBench`, BASELINE.md `containment`).
     */
+  /** Per-document nearest neighbors by exact shingle Jaccard: for every
+    * document, its `k` most similar others with Jaccard ≥ num/den —
+    * the "more like this" retrieval face of the dedup family (a
+    * curation console shows it next to every near-dup report; Broder's
+    * resemblance as a k-NN relation instead of a pair predicate).
+    * Returns `(idCol, nbr, jac, rk)`, ties broken by neighbor id.
+    *
+    * Scale shape: exactly [[setSimJoinPrefix]]'s exchanges (the pair
+    * set IS that join's output — lossless prefix filtering bounds the
+    * verify set), plus one mirror union and a bounded
+    * [[TopK.topKPerKey]] heap cut — at most k rows per document per
+    * partition cross the final exchange, no window over the pair set.
+    * The threshold is load-bearing: k-NN without a similarity floor
+    * would be all-pairs; a floor is what makes prefix filtering apply
+    * (and is what a dedup console wants anyway).
+    */
+  def jaccardTopK(docs: DataFrame, idCol: String, textCol: String,
+                  k: Int = 5, thresholdNum: Int = 3, thresholdDen: Int = 10,
+                  ngram: Int = 3): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val pairs = setSimJoinPrefix(docs, idCol, textCol,
+      thresholdNum, thresholdDen, ngram)
+    val both = pairs
+      .select(col("a_id").as(idCol), col("b_id").as("nbr"), col("jac"))
+      .unionByName(pairs
+        .select(col("b_id").as(idCol), col("a_id").as("nbr"), col("jac")))
+    TopK.topKPerKey(both.withColumn("__neg", -col("jac")),
+      Seq(idCol), struct(col("__neg"), col("nbr")), Seq("nbr", "jac"), k)
+  }
+
   def containmentPrefixCandidates(docs: DataFrame, idCol: String,
                                   textCol: String, thresholdNum: Int,
                                   thresholdDen: Int, ngram: Int = 3): DataFrame =

@@ -112,6 +112,28 @@ object Eval {
             .otherwise(lit(null)), 6).as("brier"))
   }
 
+  /** Uncertainty sampling (Lewis & Gale, SIGIR 1994): the `k` documents
+    * whose predicted probability sits closest to the decision boundary
+    * — the rows a labeling budget should be spent on (active learning's
+    * classic query strategy; the companion pass after training q148's
+    * filter). Margin is computed in exact fixed-point units
+    * (`|p − scale/2|`), so the cut is a pure integer total order with
+    * an id tie-break. Returns `(idCol, p_units, margin_units)` in
+    * ascending-margin order.
+    *
+    * Scale shape: map-side margin projection + a global TakeOrdered
+    * k-row cut (per-partition heaps, no global sort materialization).
+    */
+  def uncertaintyTopK(df: DataFrame, idCol: String, pUnitsCol: String,
+                      k: Int, scaleUnits: Long = 1000000L): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(scaleUnits % 2 == 0, s"scaleUnits must be even, got $scaleUnits")
+    df.select(col(idCol), col(pUnitsCol).as("p_units"),
+        abs(col(pUnitsCol) - lit(scaleUnits / 2)).as("margin_units"))
+      .orderBy(col("margin_units").asc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** Calibration (reliability) table for a probabilistic classifier
     * whose scores are FIXED-POINT units (`scaleUnits` = probability
     * 1.0, the [[QualityClassifier.Scale]] convention): equal-width

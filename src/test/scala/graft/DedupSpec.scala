@@ -417,6 +417,29 @@ class DedupSpec extends SparkSpec {
     assert(!tighter.contains((1L, 2L)))
   }
 
+  test("jaccardTopK: symmetric neighbor lists ranked by similarity, k cut, floor applied") {
+    val base = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"
+    val d = Seq(
+      1L -> base,                              // anchor
+      2L -> s"$base x1",                       // very close to 1
+      3L -> s"$base y1 y2 y3 y4 y5 y6",        // close-ish to 1
+      4L -> "totally different words only here" // below the floor
+    ).toDF("doc_id", "text")
+    val got = Dedup.jaccardTopK(d, "doc_id", "text", k = 5)
+      .as[(Long, Long, Double, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._4).map(t => (t._2, t._3)).toSeq).toMap
+    // doc 1's best neighbor is 2 (higher Jaccard than 3); doc 4 has none
+    assert(got(1L).map(_._1) === Seq(2L, 3L))
+    assert(!got.contains(4L))
+    // symmetry: 1 appears first in 2's list and the Jaccard matches
+    assert(got(2L).head._1 === 1L)
+    assert(got(2L).head._2 === got(1L).head._2)
+    // k truly cuts: with k = 1 each list has one row
+    val cut = Dedup.jaccardTopK(d, "doc_id", "text", k = 1)
+      .groupBy("doc_id").count().select("count").as[Long].collect()
+    assert(cut.forall(_ === 1L))
+  }
+
   test("ngramNovelty: first occurrence wins by lowest id; duplicates score 0") {
     val d = Seq(
       (5L, "a b c d e"),      // 3 shingles, all first-seen here → 1.0

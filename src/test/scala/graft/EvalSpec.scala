@@ -63,6 +63,20 @@ class EvalSpec extends SparkSpec {
     }
   }
 
+  test("uncertaintyTopK: ascending integer margin with id tie-break, k cut") {
+    val df = Seq(
+      ("a", 500000L),  // margin 0
+      ("b", 400000L),  // margin 100000
+      ("c", 600000L),  // margin 100000 — ties with b, id order decides
+      ("d", 10000L),   // margin 490000
+      ("e", 990000L)   // margin 490000
+    ).toDF("id", "p_units")
+    val got = Eval.uncertaintyTopK(df, "id", "p_units", k = 3)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got === Seq(("a", 500000L, 0L), ("b", 400000L, 100000L),
+      ("c", 600000L, 100000L)))
+  }
+
   test("binaryScoreEval: perfect separation gives AUC 1, reversal gives 0, ties midrank to 0.5") {
     def auc(rows: Seq[(Long, Long)]): Option[Double] = {
       val r = Eval.binaryScoreEval(rows.toDF("p_units", "y"), "p_units", "y")
