@@ -71,6 +71,21 @@ object GraphScaleBench {
       println(f"""{"metric":"pagerank_iters","edges":$edges,"iters":$iters,""" +
         f""""sec":$sec%.3f,"sec_per_iter":${sec / iters}%.3f}""")
     }
+
+    // HITS: each half-step references its predecessor twice, so the
+    // per-iteration lineage cut is what keeps per-iteration wall flat
+    // (an uncut plan TREE is 4^iters) — measured the same way
+    Seq(3, 12).foreach { iters =>
+      def run() = graft.operators.Graph.hits(e, "src", "dst",
+          iterations = iters)
+        .write.format("noop").mode("overwrite").save()
+      run()
+      val t0 = System.nanoTime()
+      run()
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"""{"metric":"hits_iters","edges":$edges,"iters":$iters,""" +
+        f""""sec":$sec%.3f,"sec_per_iter":${sec / iters}%.3f}""")
+    }
     spark.stop()
   }
 }
