@@ -1642,6 +1642,15 @@ object SparkEntry {
       "doc_id", "text", dim = 256, k = 100)
   }
 
+  /** Q167 — per-type value trend
+    * ([[graft.operators.TimeSeries.trendSlope]]): OLS slope of `value`
+    * over the day index per event type — the sensor-drift scan for
+    * the reference's telemetry domain. Exact decimal component sums,
+    * IEEE closed form, one keyed exchange.
+    */
+  def q167(s: SparkSession, d: String): DataFrame =
+    graft.operators.TimeSeries.trendSlope(ev(s, d), "event_type", "ts", "value")
+
   /** Q165 — Jaccard k-nearest neighbors
     * ([[graft.operators.Dedup.jaccardTopK]]): every document's 5 most
     * similar others at Jaccard ≥ 0.3 — q129's lossless prefix-filtered
@@ -2415,7 +2424,8 @@ object SparkEntry {
     "q163_auc"            -> (q163 _),
     "q164_kn_surprisal"   -> (q164 _),
     "q165_jaccard_knn"    -> (q165 _),
-    "q166_uncertainty"    -> (q166 _))
+    "q166_uncertainty"    -> (q166 _),
+    "q167_trend"          -> (q167 _))
 
   // DuckDB twins. Shared SQL fragments for the text queries:
   // explicit class: Java \s includes \x0B, RE2 \s does not — see
@@ -4142,6 +4152,28 @@ object SparkEntry {
          |  CAST((2000000 + zc) // 4 AS BIGINT) AS p_units,
          |  round(CAST((2000000 + zc) // 4 AS DOUBLE) / 1000000, 6) + 0 AS p_r
          |FROM sc
+         |""".stripMargin),
+    // q167: day-index OLS closed form — exact decimal component sums,
+    // the q73 recipe, single-day groups null out.
+    "q167_trend" ->
+      ("""WITH b AS (SELECT event_type AS k, CAST(ts AS DATE) AS d, value AS y
+         |  FROM events WHERE ts IS NOT NULL AND year(ts) <> 1970
+         |    AND value IS NOT NULL AND NOT isnan(value)),
+         |a AS (SELECT min(d) AS mind FROM b),
+         |t AS (SELECT k, CAST(date_diff('day', mind, d) AS BIGINT) AS x, y
+         |  FROM b CROSS JOIN a),
+         |g AS (SELECT k, count(*) AS n,
+         |  CAST(sum(CAST(x AS DECIMAL(28,0))) AS DOUBLE) AS sx,
+         |  CAST(sum(CAST(y AS DECIMAL(28,6))) AS DOUBLE) AS sy,
+         |  CAST(sum(CAST(x * x AS DECIMAL(28,0))) AS DOUBLE) AS sxx,
+         |  CAST(sum(CAST(x * y AS DECIMAL(28,6))) AS DOUBLE) AS sxy
+         |  FROM t GROUP BY 1)
+         |SELECT k AS event_type, CAST(n AS BIGINT) AS n,
+         |  CASE WHEN n * sxx - sx * sx <> 0.0
+         |    THEN round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) + 0
+         |    ELSE NULL END AS slope,
+         |  round(sy / n, 6) + 0 AS mean_v
+         |FROM g
          |""".stripMargin),
     // q165: brute-force mirrored pair table + rank window — the prefix
     // filter is lossless, so the quadratic SQL is the oracle.

@@ -212,6 +212,50 @@ object TimeSeries {
           .as("decay_score"))
   }
 
+  /** Per-key OLS linear trend of `valueCol` over the DAY index — the
+    * "is this sensor drifting" scan for the reference's own telemetry
+    * domain: slope in value-units-per-day from the closed-form
+    * least-squares fit `(nΣxy − ΣxΣy)/(nΣx² − (Σx)²)`, with the mean
+    * alongside. Complements [[Drift.w1Profile]] (distribution shift
+    * between two loads) with a within-load direction and rate.
+    *
+    * Determinism: x is an integer day index anchored at the sample's
+    * min date (1-row broadcast); Σx/Σx² are exact integer sums in
+    * DECIMAL(28,0), Σy/Σxy route through DECIMAL(28,6) (the q73
+    * correlation recipe), and the final slope is IEEE arithmetic over
+    * those exact components in a pinned order. Keys observed on a
+    * single day have no defined slope → null.
+    *
+    * Scale shape: one map-side projection + one partial-aggregating
+    * shuffle per key. No window, no collect.
+    */
+  def trendSlope(df: DataFrame, keyCol: String, tsCol: String,
+                 valueCol: String): DataFrame = {
+    val base = df
+      .filter(col(tsCol).isNotNull && year(col(tsCol)) =!= 1970 &&
+        col(valueCol).isNotNull && !isnan(col(valueCol)))
+      .select(col(keyCol), to_date(col(tsCol)).as("__d"),
+        col(valueCol).cast("double").as("__y"))
+    val anchor = base.agg(min(col("__d")).as("__mind"))
+    val x = datediff(col("__d"), col("__mind")).cast("long")
+    val decSum = (c: Column, s: Int) => sum(c.cast(DecimalType(28, s))).cast("double")
+    val g = base.crossJoin(broadcast(anchor))
+      .select(col(keyCol), x.as("__x"), col("__y"))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n"),
+        decSum(col("__x"), 0).as("__sx"),
+        decSum(col("__y"), 6).as("__sy"),
+        decSum(col("__x") * col("__x"), 0).as("__sxx"),
+        decSum(col("__x") * col("__y"), 6).as("__sxy"))
+    val den = col("n") * col("__sxx") - col("__sx") * col("__sx")
+    g.select(col(keyCol), col("n"),
+      NumFunctions.roundNz(
+        when(den =!= 0.0,
+          (col("n") * col("__sxy") - col("__sx") * col("__sy")) / den)
+          .otherwise(lit(null)), 6).as("slope"),
+      NumFunctions.roundNz(col("__sy") / col("n"), 6).as("mean_v"))
+  }
+
   def rollingZscore(df: DataFrame, keyCol: String, tsCol: String,
                     valueCol: String, win: Int = 7,
                     threshold: Double = 2.0): DataFrame = {

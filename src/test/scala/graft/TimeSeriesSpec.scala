@@ -212,6 +212,26 @@ class TimeSeriesSpec extends SparkSpec {
     assert(got === ((1L, 2L, 1.0)), s"2^-62 term must vanish at 6 decimals: $got")
   }
 
+  test("trendSlope: exact OLS slope on a hand-built ramp; single-day key is null") {
+    def day(d: String) = Timestamp.valueOf(s"$d 10:00:00")
+    val df = Seq(
+      // key "up": y = 2x + 1 over days 0..3 → slope exactly 2, mean 4
+      ("up", day("2024-01-01"), 1.0), ("up", day("2024-01-02"), 3.0),
+      ("up", day("2024-01-03"), 5.0), ("up", day("2024-01-04"), 7.0),
+      // key "flat": constant → slope 0
+      ("flat", day("2024-01-01"), 5.0), ("flat", day("2024-01-03"), 5.0),
+      // key "one": a single day (two rows, same x) → denominator 0 → null
+      ("one", day("2024-01-02"), 1.0), ("one", day("2024-01-02"), 9.0)
+    ).toDF("k", "ts", "value")
+    val got = TimeSeries.trendSlope(df, "k", "ts", "value")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+          r.getDouble(3)))).toMap
+    assert(got("up") === ((4L, Some(2.0), 4.0)))
+    assert(got("flat") === ((2L, Some(0.0), 5.0)))
+    assert(got("one") === ((2L, None, 5.0)))
+  }
+
   test("decayScore: plan is map-side + one keyed aggregate (no window, anchor broadcasts)") {
     def day(d: String) = Timestamp.valueOf(s"$d 00:00:00")
     val df = (1 to 50).map(i => (i.toLong % 5, day("2024-03-01"), i.toDouble))
