@@ -1642,6 +1642,15 @@ object SparkEntry {
       "doc_id", "text", dim = 256, k = 100)
   }
 
+  /** Q168 — dedup savings datasheet
+    * ([[graft.operators.Dedup.dedupSavings]]): per-source doc and
+    * TOKEN counts before/after q37's exact near-dup dedup — the
+    * approve-this-destructive-pass report. Oracle: the q37 recursive
+    * component CTE + token sums.
+    */
+  def q168(s: SparkSession, d: String): DataFrame =
+    Dedup.dedupSavings(docs(s, d), "doc_id", "text", "source")
+
   /** Q167 — per-type value trend
     * ([[graft.operators.TimeSeries.trendSlope]]): OLS slope of `value`
     * over the day index per event type — the sensor-drift scan for
@@ -2425,7 +2434,8 @@ object SparkEntry {
     "q164_kn_surprisal"   -> (q164 _),
     "q165_jaccard_knn"    -> (q165 _),
     "q166_uncertainty"    -> (q166 _),
-    "q167_trend"          -> (q167 _))
+    "q167_trend"          -> (q167 _),
+    "q168_dedup_savings"  -> (q168 _))
 
   // DuckDB twins. Shared SQL fragments for the text queries:
   // explicit class: Java \s includes \x0B, RE2 \s does not — see
@@ -4153,6 +4163,36 @@ object SparkEntry {
          |  round(CAST((2000000 + zc) // 4 AS DOUBLE) / 1000000, 6) + 0 AS p_r
          |FROM sc
          |""".stripMargin),
+    // q168: q37's component closure, survivors flagged back onto the
+    // doc table, token sums per source.
+    "q168_dedup_savings" ->
+      (s"""WITH RECURSIVE toks AS (SELECT doc_id, $TOKS AS tk FROM documents),
+          |sh AS (SELECT doc_id, ${shinglesSql("tk")} AS s FROM toks),
+          |p0 AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+          |  len(list_intersect(a.s, b.s)) AS inter, len(a.s) + len(b.s) AS tot
+          |  FROM sh a JOIN sh b ON b.doc_id > a.doc_id),
+          |pairs AS (SELECT a_id, b_id FROM p0
+          |  WHERE (tot - inter) > 0 AND inter * 10 >= (tot - inter) * 7),
+          |edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+          |  UNION SELECT b_id, a_id FROM pairs
+          |  UNION SELECT doc_id, doc_id FROM documents),
+          |reach(a, b) AS (SELECT src, dst FROM edges
+          |  UNION SELECT e.src, r.b FROM edges e JOIN reach r ON e.dst = r.a),
+          |surv AS (SELECT a AS doc_id FROM reach GROUP BY a HAVING min(b) = a),
+          |t AS (SELECT doc_id, source, CAST(len(tk) AS BIGINT) AS tok FROM toks
+          |  JOIN documents USING (doc_id))
+          |SELECT t.source, CAST(count(*) AS BIGINT) AS n_docs,
+          |  CAST(sum(CASE WHEN surv.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+          |    AS n_kept,
+          |  CAST(sum(tok) AS BIGINT) AS n_tokens,
+          |  CAST(sum(CASE WHEN surv.doc_id IS NOT NULL THEN tok ELSE 0 END) AS BIGINT)
+          |    AS n_tokens_kept,
+          |  CASE WHEN sum(tok) > 0 THEN round(1.0 -
+          |    CAST(sum(CASE WHEN surv.doc_id IS NOT NULL THEN tok ELSE 0 END) AS DOUBLE)
+          |      / sum(tok), 6) + 0 ELSE NULL END AS token_savings
+          |FROM t LEFT JOIN surv USING (doc_id)
+          |GROUP BY 1
+          |""".stripMargin),
     // q167: day-index OLS closed form — exact decimal component sums,
     // the q73 recipe, single-day groups null out.
     "q167_trend" ->

@@ -757,6 +757,40 @@ object Dedup {
     * exposed so the asymmetric-prefix economics can be measured
     * (`ContainBench`, BASELINE.md `containment`).
     */
+  /** Per-source dedup savings datasheet: how many documents and TOKENS
+    * near-dup deduplication ([[dedupCorpus]], q37's exact pipeline)
+    * would remove from each source — the number a data lead reads
+    * before approving a destructive dedup pass, and the per-source
+    * duplication ranking that decides where crawl budget is wasted.
+    * Returns `(sourceCol, n_docs, n_kept, n_tokens, n_tokens_kept,
+    * token_savings)` with savings = fraction of tokens removed (null
+    * for a zero-token source).
+    *
+    * Scale shape: [[dedupCorpus]]'s exchanges plus one id-keyed left
+    * join (survivor flags) and one per-source partial aggregate.
+    */
+  def dedupSavings(docs: DataFrame, idCol: String, textCol: String,
+                   sourceCol: String,
+                   thresholdNum: Int = 7, thresholdDen: Int = 10,
+                   ngram: Int = 3): DataFrame = {
+    val surv = dedupCorpus(docs, idCol, textCol, thresholdNum, thresholdDen, ngram)
+      .select(col(idCol)).withColumn("__kept", lit(1L))
+    docs
+      .select(col(idCol), col(sourceCol),
+        TextFunctions.tokenCount(col(textCol)).as("__tok"))
+      .join(surv, Seq(idCol), "left")
+      .groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("__kept").isNotNull, 1L).otherwise(0L)).as("n_kept"),
+        sum(col("__tok")).as("n_tokens"),
+        sum(when(col("__kept").isNotNull, col("__tok")).otherwise(0L))
+          .as("n_tokens_kept"))
+      .withColumn("token_savings", NumFunctions.roundNz(
+        when(col("n_tokens") > 0,
+          lit(1.0) - col("n_tokens_kept").cast("double") / col("n_tokens"))
+          .otherwise(lit(null)), 6))
+  }
+
   /** Per-document nearest neighbors by exact shingle Jaccard: for every
     * document, its `k` most similar others with Jaccard ≥ num/den —
     * the "more like this" retrieval face of the dedup family (a

@@ -417,6 +417,23 @@ class DedupSpec extends SparkSpec {
     assert(!tighter.contains((1L, 2L)))
   }
 
+  test("dedupSavings: per-source doc and token accounting matches the survivor set") {
+    val txt = "d1 d2 d3 d4 d5 d6 d7 d8"          // 8 tokens
+    val d = Seq(
+      (1L, "a", txt), (2L, "a", txt),            // exact dups: one survives
+      (3L, "b", txt),                            // cross-source dup of 1/2
+      (4L, "b", "totally different text here now") // 5 tokens, unique
+    ).toDF("doc_id", "source", "text")
+    val got = Dedup.dedupSavings(d, "doc_id", "text", "source")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getDouble(5)))).toMap
+    // survivor of the {1,2,3} component is min id = 1 (source a)
+    assert(got("a") === ((2L, 1L, 16L, 8L, 0.5)))
+    assert(got("b") === ((2L, 1L, 13L, 5L,
+      math.round((1.0 - 5.0 / 13) * 1e6) / 1e6)))
+  }
+
   test("jaccardTopK: symmetric neighbor lists ranked by similarity, k cut, floor applied") {
     val base = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"
     val d = Seq(
