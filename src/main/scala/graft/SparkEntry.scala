@@ -1642,6 +1642,29 @@ object SparkEntry {
       "doc_id", "text", dim = 256, k = 100)
   }
 
+  /** Q169 — hybrid retrieval by reciprocal rank fusion
+    * ([[graft.operators.Similarity.rrfFuse]]; Cormack et al. 2009):
+    * q154's lexical BM25 lists fused with dense cosine top-10 lists
+    * over the same query ids (docs/vecs 0–2) — the standard hybrid
+    * search stack as one plan. Exact decimal rank-sum path.
+    */
+  def q169(s: SparkSession, d: String): DataFrame = {
+    val dd = docs(s, d)
+    val queries = dd.filter(col("doc_id") < 3)
+      .select(col("doc_id").as("qid"),
+        concat_ws(" ",
+          slice(graft.functions.TextFunctions.tokens(lower(col("text"))), 1, 5))
+          .as("qtext"))
+    val lexical = graft.operators.Corpus.bm25TopK(dd, "doc_id", "text",
+        queries, "qid", "qtext", k = 10)
+      .select(col("qid"), col("doc_id"), col("rk"))
+    val e = emb(s, d)
+    val dense = Similarity.topKCosine(e, e.filter(col("vec_id") < 3),
+        "vec_id", "embedding", 10)
+      .select(col("probe_id").as("qid"), col("vec_id").as("doc_id"), col("rk"))
+    Similarity.rrfFuse(Seq(lexical, dense), "qid", "doc_id", "rk", k = 10)
+  }
+
   /** Q168 — dedup savings datasheet
     * ([[graft.operators.Dedup.dedupSavings]]): per-source doc and
     * TOKEN counts before/after q37's exact near-dup dedup — the
@@ -2435,7 +2458,8 @@ object SparkEntry {
     "q165_jaccard_knn"    -> (q165 _),
     "q166_uncertainty"    -> (q166 _),
     "q167_trend"          -> (q167 _),
-    "q168_dedup_savings"  -> (q168 _))
+    "q168_dedup_savings"  -> (q168 _),
+    "q169_rrf_hybrid"     -> (q169 _))
 
   // DuckDB twins. Shared SQL fragments for the text queries:
   // explicit class: Java \s includes \x0B, RE2 \s does not — see
@@ -2508,6 +2532,34 @@ object SparkEntry {
        |  FROM z JOIN pri ON z.c = pri.c),
        |best AS (SELECT doc_id, c, row_number() OVER (
        |  PARTITION BY doc_id ORDER BY zt DESC, c ASC) AS rk FROM zz)"""
+      .stripMargin
+
+  /** Shared q154/q169 oracle prefix: the full BM25 replay ending in
+    * `perdoc` (qid, doc_id, score) — tf/df/dl tables, the "+1" idf,
+    * per-term DECIMAL(18,9) scores.
+    */
+  private lazy val BM25_CTE: String =
+    s"""WITH q AS (SELECT doc_id AS qid, list_slice($TOKS_LOWER, 1, 5) AS qt
+       |  FROM documents WHERE doc_id < 3),
+       |qterm AS (SELECT DISTINCT qid, unnest(qt) AS token FROM q),
+       |dtok AS (SELECT doc_id, CAST(len($TOKS_LOWER) AS BIGINT) AS dl,
+       |  unnest($TOKS_LOWER) AS token FROM documents),
+       |tf AS (SELECT doc_id, token, dl, CAST(count(*) AS BIGINT) AS tf
+       |  FROM dtok WHERE token IN (SELECT token FROM qterm) GROUP BY 1, 2, 3),
+       |dfreq AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+       |stats AS (SELECT CAST(count(*) AS BIGINT) AS ndocs,
+       |  CAST(sum(len($TOKS_LOWER)) AS BIGINT) AS totlen FROM documents),
+       |scored AS (SELECT qterm.qid, tf.doc_id,
+       |  CAST(ln(1.0 + (CAST(ndocs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+       |            / (CAST(df AS DOUBLE) + 0.5)) *
+       |    (CAST(tf AS DOUBLE) * (1.2 + 1.0) /
+       |     (CAST(tf AS DOUBLE) + 1.2 * (1.0 - 0.75 +
+       |       0.75 * CAST(dl AS DOUBLE) / (CAST(totlen AS DOUBLE) / ndocs))))
+       |    AS DECIMAL(18,9)) AS s
+       |  FROM tf JOIN dfreq USING (token) JOIN qterm USING (token)
+       |  CROSS JOIN stats),
+       |perdoc AS (SELECT qid, doc_id,
+       |  round(CAST(sum(s) AS DOUBLE), 6) + 0 AS score FROM scored GROUP BY 1, 2)"""
       .stripMargin
 
   private val TOKS_LOWER =
@@ -3142,30 +3194,35 @@ object SparkEntry {
     // DECIMAL(18,9) partial scores (the q67 ln-parity recipe), rank by
     // (score desc, doc_id asc).
     "q154_bm25" ->
-      (s"""WITH q AS (SELECT doc_id AS qid, list_slice($TOKS_LOWER, 1, 5) AS qt
-          |  FROM documents WHERE doc_id < 3),
-          |qterm AS (SELECT DISTINCT qid, unnest(qt) AS token FROM q),
-          |dtok AS (SELECT doc_id, CAST(len($TOKS_LOWER) AS BIGINT) AS dl,
-          |  unnest($TOKS_LOWER) AS token FROM documents),
-          |tf AS (SELECT doc_id, token, dl, CAST(count(*) AS BIGINT) AS tf
-          |  FROM dtok WHERE token IN (SELECT token FROM qterm) GROUP BY 1, 2, 3),
-          |dfreq AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
-          |stats AS (SELECT CAST(count(*) AS BIGINT) AS ndocs,
-          |  CAST(sum(len($TOKS_LOWER)) AS BIGINT) AS totlen FROM documents),
-          |scored AS (SELECT qterm.qid, tf.doc_id,
-          |  CAST(ln(1.0 + (CAST(ndocs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
-          |            / (CAST(df AS DOUBLE) + 0.5)) *
-          |    (CAST(tf AS DOUBLE) * (1.2 + 1.0) /
-          |     (CAST(tf AS DOUBLE) + 1.2 * (1.0 - 0.75 +
-          |       0.75 * CAST(dl AS DOUBLE) / (CAST(totlen AS DOUBLE) / ndocs))))
-          |    AS DECIMAL(18,9)) AS s
-          |  FROM tf JOIN dfreq USING (token) JOIN qterm USING (token)
-          |  CROSS JOIN stats),
-          |perdoc AS (SELECT qid, doc_id,
-          |  round(CAST(sum(s) AS DOUBLE), 6) + 0 AS score FROM scored GROUP BY 1, 2)
+      (s"""$BM25_CTE
           |SELECT qid, doc_id, score, rk FROM (SELECT qid, doc_id, score,
           |  row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id ASC) AS rk
           |  FROM perdoc) WHERE rk <= 10
+          |""".stripMargin),
+    // q169: the BM25 CTE's top-10 lists + a 3-probe dense cosine
+    // ranking, RRF-combined with exact decimal 1/(60+rk) terms.
+    "q169_rrf_hybrid" ->
+      (s"""$BM25_CTE,
+          |lex AS (SELECT qid, doc_id, rk FROM (SELECT qid, doc_id,
+          |  row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id ASC) AS rk
+          |  FROM perdoc) WHERE rk <= 10),
+          |dense0 AS (SELECT p.vec_id AS qid, e.vec_id AS doc_id,
+          |  list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+          |    CAST(p.embedding AS DOUBLE[])) AS sim
+          |  FROM embeddings e JOIN embeddings p
+          |    ON p.vec_id < 3 AND e.vec_id <> p.vec_id),
+          |dense AS (SELECT qid, doc_id, rk FROM (SELECT qid, doc_id,
+          |  row_number() OVER (PARTITION BY qid ORDER BY sim DESC, doc_id) AS rk
+          |  FROM dense0) WHERE rk <= 10),
+          |u AS (SELECT qid, doc_id, rk FROM lex
+          |  UNION ALL SELECT qid, doc_id, rk FROM dense),
+          |sc AS (SELECT qid, doc_id,
+          |  round(CAST(sum(CAST(CAST(1.0 AS DOUBLE) / (60 + rk) AS DECIMAL(18,9)))
+          |    AS DOUBLE), 6) + 0 AS rrf,
+          |  CAST(count(*) AS BIGINT) AS n_lists FROM u GROUP BY 1, 2)
+          |SELECT qid, doc_id, rrf, n_lists, rk FROM (SELECT qid, doc_id, rrf, n_lists,
+          |  row_number() OVER (PARTITION BY qid ORDER BY rrf DESC, doc_id ASC) AS rk
+          |  FROM sc) WHERE rk <= 10
           |""".stripMargin),
     // q153: q37's component replay + q63's split predicate on the rep.
     "q153_leakfree_split" ->

@@ -87,6 +87,44 @@ object Similarity {
       .select(col("probe_id"), col("vec_id"), col("rk"), NumFunctions.roundNz(col("sim"), 4).as("sim_r"))
   }
 
+  /** Reciprocal rank fusion (Cormack, Clarke & Buettcher, SIGIR 2009):
+    * combine any number of per-query rankings — lexical BM25, dense
+    * cosine, anything emitting `(qid, id, rk)` — into one hybrid list
+    * by `score(d) = Σ_lists 1/(k0 + rank_list(d))`. THE standard
+    * hybrid-search combiner: rank-based, so no score calibration
+    * across heterogeneous retrievers is needed, and k0 = 60 (the
+    * paper's constant) damps the head so one list cannot dictate the
+    * fusion. Returns `(qidCol, idCol, rrf, n_lists, rk)`.
+    *
+    * Determinism: each 1/(k0+rank) term is one IEEE division of exact
+    * integers routed through DECIMAL(18,9) before the sum (the q67
+    * recipe); the final cut is (score desc, id asc) — a total order.
+    *
+    * Scale shape: one union of the (already small, top-k-per-query)
+    * ranking tables, one partial-aggregating shuffle per (query, doc),
+    * and the bounded [[TopK.topKPerKey]] heap cut. No window, no
+    * collect.
+    */
+  def rrfFuse(rankings: Seq[DataFrame], qidCol: String, idCol: String,
+              rkCol: String, k: Int = 10, k0: Int = 60): DataFrame = {
+    require(rankings.nonEmpty, "need at least one ranking")
+    require(k > 0 && k0 >= 0, s"need k > 0, k0 >= 0, got k=$k k0=$k0")
+    val u = rankings
+      .map(_.select(col(qidCol), col(idCol), col(rkCol).as("__rk")))
+      .reduce(_ unionByName _)
+    val scored = u
+      .withColumn("__c", (lit(1.0) / (lit(k0.toLong) + col("__rk")))
+        .cast(org.apache.spark.sql.types.DecimalType(18, 9)))
+      .groupBy(col(qidCol), col(idCol))
+      .agg(sum(col("__c")).as("__s"), count(lit(1)).as("n_lists"))
+      .select(col(qidCol), col(idCol),
+        NumFunctions.roundNz(col("__s").cast("double"), 6).as("rrf"),
+        col("n_lists"))
+    TopK.topKPerKey(scored.withColumn("__neg", -col("rrf")),
+      Seq(qidCol), struct(col("__neg"), col(idCol)),
+      Seq(idCol, "rrf", "n_lists"), k)
+  }
+
   /** Hard-negative mining for contrastive training (the retrieval-
     * training data op: for each anchor, the most-similar examples with
     * a DIFFERENT label are the negatives that actually teach the

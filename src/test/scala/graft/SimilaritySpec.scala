@@ -256,4 +256,23 @@ class SimilaritySpec extends SparkSpec {
     assert(p.contains("BroadcastExchange"),
       s"centroids must broadcast back, not shuffle the corpus:\n$p")
   }
+
+  test("rrfFuse: hand-computed reciprocal-rank sums, agreement beats single-list head") {
+    // list A ranks (x, y, z); list B ranks (y, x, w).
+    val a = Seq((1L, "x", 1L), (1L, "y", 2L), (1L, "z", 3L)).toDF("qid", "id", "rk")
+    val b = Seq((1L, "y", 1L), (1L, "x", 2L), (1L, "w", 3L)).toDF("qid", "id", "rk")
+    val got = Similarity.rrfFuse(Seq(a, b), "qid", "id", "rk", k = 10)
+      .collect().map(r => r.getString(1) ->
+        ((r.getDouble(2), r.getLong(3), r.getLong(4)))).toMap
+    def dec9(v: Double) = BigDecimal(v)
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    def rrf(rks: Seq[Long]) =
+      (rks.map(r => dec9(1.0 / (60L + r))).sum.toDouble * 1e6).round / 1e6
+    // x: ranks 1+2, y: ranks 2+1 → identical score; both beat one-list w/z
+    assert(got("x") === ((rrf(Seq(1L, 2L)), 2L, 1L)))
+    assert(got("y") === ((rrf(Seq(2L, 1L)), 2L, 2L)))   // tie → id order
+    assert(got("z") === ((rrf(Seq(3L)), 1L, 4L)))
+    assert(got("w") === ((rrf(Seq(3L)), 1L, 3L)))
+    assert(got("x")._1 > got("w")._1, "two-list agreement outranks single-list rank 3")
+  }
 }
