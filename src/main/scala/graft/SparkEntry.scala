@@ -1642,6 +1642,26 @@ object SparkEntry {
       "doc_id", "text", dim = 256, k = 100)
   }
 
+  /** Q170 — tokenizer compression rate: UTF-8 bytes per BPE-style
+    * token, per source — the tokenizer-efficiency datasheet column
+    * (compression rate is the first-order predictor of how much
+    * sequence budget a domain consumes; pairs with q134's per-language
+    * fertility). Map-side byte/token counts, one ≤|sources| aggregate,
+    * exact integer sums.
+    */
+  def q170(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
+      .select(col("source"),
+        octet_length(col("text")).cast("long").as("__b"),
+        TextFunctions.bpeTokenCount(col("text")).cast("long").as("__t"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__b")).as("n_bytes"),
+        sum(col("__t")).as("n_tokens"))
+      .withColumn("bytes_per_token", NumFunctions.roundNz(
+        when(col("n_tokens") > 0,
+          col("n_bytes").cast("double") / col("n_tokens"))
+          .otherwise(lit(null)), 6))
+
   /** Q169 — hybrid retrieval by reciprocal rank fusion
     * ([[graft.operators.Similarity.rrfFuse]]; Cormack et al. 2009):
     * q154's lexical BM25 lists fused with dense cosine top-10 lists
@@ -2459,7 +2479,8 @@ object SparkEntry {
     "q166_uncertainty"    -> (q166 _),
     "q167_trend"          -> (q167 _),
     "q168_dedup_savings"  -> (q168 _),
-    "q169_rrf_hybrid"     -> (q169 _))
+    "q169_rrf_hybrid"     -> (q169 _),
+    "q170_bytes_per_tok"  -> (q170 _))
 
   // DuckDB twins. Shared SQL fragments for the text queries:
   // explicit class: Java \s includes \x0B, RE2 \s does not — see
@@ -4219,6 +4240,20 @@ object SparkEntry {
          |  CAST((2000000 + zc) // 4 AS BIGINT) AS p_units,
          |  round(CAST((2000000 + zc) // 4 AS DOUBLE) / 1000000, 6) + 0 AS p_r
          |FROM sc
+         |""".stripMargin),
+    // q170: octet_length bytes over the q134 BPE-ish token regex.
+    "q170_bytes_per_tok" ->
+      ("""SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(strlen(text)) AS BIGINT) AS n_bytes,
+         |  CAST(sum(len(regexp_extract_all(text,
+         |    ' ?\p{L}+| ?\p{N}+| ?[^ \t\n\f\r\p{L}\p{N}]+'))) AS BIGINT) AS n_tokens,
+         |  CASE WHEN sum(len(regexp_extract_all(text,
+         |    ' ?\p{L}+| ?\p{N}+| ?[^ \t\n\f\r\p{L}\p{N}]+'))) > 0
+         |    THEN round(CAST(sum(strlen(text)) AS DOUBLE) /
+         |      sum(len(regexp_extract_all(text,
+         |        ' ?\p{L}+| ?\p{N}+| ?[^ \t\n\f\r\p{L}\p{N}]+'))), 6) + 0
+         |    ELSE NULL END AS bytes_per_token
+         |FROM documents GROUP BY 1
          |""".stripMargin),
     // q168: q37's component closure, survivors flagged back onto the
     // doc table, token sums per source.
