@@ -1642,6 +1642,15 @@ object SparkEntry {
       "doc_id", "text", dim = 256, k = 100)
   }
 
+  /** Q171 — near-dup source matrix
+    * ([[graft.operators.Dedup.nearDupSourceMatrix]]): the exact
+    * Jaccard ≥ 0.7 pair set bucketed by unordered source pair —
+    * self-duplicating crawls vs mirrored feeds. Oracle: the q37 pair
+    * CTE + source lookups.
+    */
+  def q171(s: SparkSession, d: String): DataFrame =
+    Dedup.nearDupSourceMatrix(docs(s, d), "doc_id", "text", "source")
+
   /** Q170 — tokenizer compression rate: UTF-8 bytes per BPE-style
     * token, per source — the tokenizer-efficiency datasheet column
     * (compression rate is the first-order predictor of how much
@@ -2480,7 +2489,8 @@ object SparkEntry {
     "q167_trend"          -> (q167 _),
     "q168_dedup_savings"  -> (q168 _),
     "q169_rrf_hybrid"     -> (q169 _),
-    "q170_bytes_per_tok"  -> (q170 _))
+    "q170_bytes_per_tok"  -> (q170 _),
+    "q171_dup_sources"    -> (q171 _))
 
   // DuckDB twins. Shared SQL fragments for the text queries:
   // explicit class: Java \s includes \x0B, RE2 \s does not — see
@@ -4241,6 +4251,22 @@ object SparkEntry {
          |  round(CAST((2000000 + zc) // 4 AS DOUBLE) / 1000000, 6) + 0 AS p_r
          |FROM sc
          |""".stripMargin),
+    // q171: the exact-pair CTE + source lookups, unordered pair keys.
+    "q171_dup_sources" ->
+      (s"""WITH toks AS (SELECT doc_id, $TOKS AS tk FROM documents),
+          |sh AS (SELECT doc_id, ${shinglesSql("tk")} AS s FROM toks),
+          |p0 AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+          |  len(list_intersect(a.s, b.s)) AS inter, len(a.s) + len(b.s) AS tot
+          |  FROM sh a JOIN sh b ON b.doc_id > a.doc_id),
+          |pairs AS (SELECT a_id, b_id FROM p0
+          |  WHERE (tot - inter) > 0 AND inter * 10 >= (tot - inter) * 7),
+          |m AS (SELECT least(da.source, db.source) AS src_a,
+          |  greatest(da.source, db.source) AS src_b
+          |  FROM pairs JOIN documents da ON pairs.a_id = da.doc_id
+          |  JOIN documents db ON pairs.b_id = db.doc_id)
+          |SELECT src_a, src_b, CAST(count(*) AS BIGINT) AS n_pairs
+          |FROM m GROUP BY 1, 2
+          |""".stripMargin),
     // q170: octet_length bytes over the q134 BPE-ish token regex.
     "q170_bytes_per_tok" ->
       ("""SELECT source, CAST(count(*) AS BIGINT) AS n_docs,

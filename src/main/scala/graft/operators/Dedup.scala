@@ -791,6 +791,33 @@ object Dedup {
           .otherwise(lit(null)), 6))
   }
 
+  /** Near-duplicate source matrix: the exact Jaccard ≥ num/den pair set
+    * ([[setSimJoinPrefix]]) aggregated by UNORDERED source pair — which
+    * sources duplicate each other and which duplicate themselves. The
+    * routing diagnostic behind [[dedupSavings]]: heavy within-source
+    * mass means a crawler re-fetches its own content; heavy
+    * cross-source mass means two feeds mirror each other and one can
+    * be dropped. Returns `(src_a, src_b, n_pairs)` with src_a ≤ src_b.
+    *
+    * Scale shape: [[setSimJoinPrefix]]'s exchanges + two id-keyed
+    * joins for the source lookup + one ≤|sources|² aggregate.
+    */
+  def nearDupSourceMatrix(docs: DataFrame, idCol: String, textCol: String,
+                          sourceCol: String,
+                          thresholdNum: Int = 7, thresholdDen: Int = 10,
+                          ngram: Int = 3): DataFrame = {
+    val pairs = setSimJoinPrefix(docs, idCol, textCol,
+      thresholdNum, thresholdDen, ngram)
+    val src = docs.select(col(idCol), col(sourceCol))
+    pairs
+      .join(src.select(col(idCol).as("a_id"), col(sourceCol).as("__sa")), "a_id")
+      .join(src.select(col(idCol).as("b_id"), col(sourceCol).as("__sb")), "b_id")
+      .select(least(col("__sa"), col("__sb")).as("src_a"),
+        greatest(col("__sa"), col("__sb")).as("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
   /** Per-document nearest neighbors by exact shingle Jaccard: for every
     * document, its `k` most similar others with Jaccard ≥ num/den —
     * the "more like this" retrieval face of the dedup family (a
