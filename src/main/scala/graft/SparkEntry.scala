@@ -1642,6 +1642,16 @@ object SparkEntry {
       "doc_id", "text", dim = 256, k = 100)
   }
 
+  /** Q172 — LSH capture planner
+    * ([[graft.operators.Dedup.lshCapturePlan]]): for the exact
+    * Jaccard ≥ 0.3 pair set, the banding-theory probability
+    * `1 − (1 − j⁴)³²` that the q22 MinHash screen proposes each pair,
+    * averaged per Jaccard bucket — the table that places the LSH/exact
+    * trade. Squaring-chain IEEE arithmetic, exact decimal means.
+    */
+  def q172(s: SparkSession, d: String): DataFrame =
+    Dedup.lshCapturePlan(docs(s, d), "doc_id", "text")
+
   /** Q171 — near-dup source matrix
     * ([[graft.operators.Dedup.nearDupSourceMatrix]]): the exact
     * Jaccard ≥ 0.7 pair set bucketed by unordered source pair —
@@ -2490,7 +2500,8 @@ object SparkEntry {
     "q168_dedup_savings"  -> (q168 _),
     "q169_rrf_hybrid"     -> (q169 _),
     "q170_bytes_per_tok"  -> (q170 _),
-    "q171_dup_sources"    -> (q171 _))
+    "q171_dup_sources"    -> (q171 _),
+    "q172_lsh_planner"    -> (q172 _))
 
   // DuckDB twins. Shared SQL fragments for the text queries:
   // explicit class: Java \s includes \x0B, RE2 \s does not — see
@@ -4251,6 +4262,31 @@ object SparkEntry {
          |  round(CAST((2000000 + zc) // 4 AS DOUBLE) / 1000000, 6) + 0 AS p_r
          |FROM sc
          |""".stripMargin),
+    // q172: the exact-pair CTE at 3/10 + the same squaring chain
+    // (j² → j⁴; (1−j⁴) squared five times → ^32), decimal bucket means.
+    "q172_lsh_planner" ->
+      (s"""WITH toks AS (SELECT doc_id, $TOKS AS tk FROM documents),
+          |sh AS (SELECT doc_id, ${shinglesSql("tk")} AS s FROM toks),
+          |p0 AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+          |  len(list_intersect(a.s, b.s)) AS inter, len(a.s) + len(b.s) AS tot
+          |  FROM sh a JOIN sh b ON b.doc_id > a.doc_id),
+          |pairs AS (SELECT CAST(inter AS DOUBLE) / (tot - inter) AS jac FROM p0
+          |  WHERE (tot - inter) > 0 AND inter * 10 >= (tot - inter) * 3),
+          |cap AS (SELECT least(9, CAST(floor(jac * 10) AS BIGINT)) AS j_bucket,
+          |  CAST(1.0 AS DOUBLE) - power_chain AS c FROM (
+          |    SELECT jac, t16 * t16 AS power_chain FROM (
+          |      SELECT jac, t8 * t8 AS t16 FROM (
+          |        SELECT jac, t4 * t4 AS t8 FROM (
+          |          SELECT jac, t2 * t2 AS t4 FROM (
+          |            SELECT jac, t1 * t1 AS t2 FROM (
+          |              SELECT jac, CAST(1.0 AS DOUBLE) - (jac * jac) * (jac * jac) AS t1
+          |              FROM pairs))))))),
+          |b AS (SELECT j_bucket, count(*) AS n,
+          |  sum(CAST(c AS DECIMAL(18,9))) AS sc FROM cap GROUP BY 1)
+          |SELECT j_bucket, CAST(n AS BIGINT) AS n_pairs,
+          |  round(CAST(sc AS DOUBLE) / n, 6) + 0 AS capture_mean
+          |FROM b
+          |""".stripMargin),
     // q171: the exact-pair CTE + source lookups, unordered pair keys.
     "q171_dup_sources" ->
       (s"""WITH toks AS (SELECT doc_id, $TOKS AS tk FROM documents),

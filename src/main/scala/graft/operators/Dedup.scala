@@ -818,6 +818,50 @@ object Dedup {
       .agg(count(lit(1)).as("n_pairs"))
   }
 
+  /** LSH capture planner: for the TRUE near-dup pairs (exact Jaccard ≥
+    * num/den via [[setSimJoinPrefix]]), the probability the banded
+    * MinHash screen ([[minhashLshPairs]] with `bands` bands of
+    * `rowsPerBand` rows) would propose each pair —
+    * `P = 1 − (1 − j^r)^b` (Leskovec et al., MMDS ch. 3) — averaged
+    * per 0.1-wide Jaccard bucket. The table that justifies choosing
+    * the cheap LSH screen over the exact audit join at a given
+    * threshold: it shows exactly where the miss mass would sit.
+    * Returns `(j_bucket, n_pairs, capture_mean)`.
+    *
+    * Determinism: `j^r` and `(1−j^r)^b` are computed by REPEATED
+    * SQUARING with a fixed association order (both exponents must be
+    * powers of two — enforced), so every engine runs the same IEEE
+    * multiply chain; per-pair capture routes through DECIMAL(18,9)
+    * before the bucket mean.
+    *
+    * Scale shape: [[setSimJoinPrefix]]'s exchanges + one map-side
+    * capture projection + one ≤10-row aggregate.
+    */
+  def lshCapturePlan(docs: DataFrame, idCol: String, textCol: String,
+                     bands: Int = 32, rowsPerBand: Int = 4,
+                     thresholdNum: Int = 3, thresholdDen: Int = 10,
+                     ngram: Int = 3): DataFrame = {
+    def isPow2(x: Int) = x > 0 && (x & (x - 1)) == 0
+    require(isPow2(bands) && isPow2(rowsPerBand),
+      s"bands and rowsPerBand must be powers of two (squaring chain), got $bands/$rowsPerBand")
+    def powBySquaring(base: Column, e: Int): Column = {
+      var acc = base; var k = 1
+      while (k < e) { acc = acc * acc; k *= 2 }
+      acc
+    }
+    val pairs = setSimJoinPrefix(docs, idCol, textCol,
+      thresholdNum, thresholdDen, ngram)
+    val jr = powBySquaring(col("jac"), rowsPerBand)
+    val capture = lit(1.0) - powBySquaring(lit(1.0) - jr, bands)
+    pairs
+      .select(least(lit(9L), floor(col("jac") * 10).cast("long")).as("j_bucket"),
+        capture.cast(org.apache.spark.sql.types.DecimalType(18, 9)).as("__c"))
+      .groupBy(col("j_bucket"))
+      .agg(count(lit(1)).as("n_pairs"),
+        NumFunctions.roundNz(
+          sum(col("__c")).cast("double") / count(lit(1)), 6).as("capture_mean"))
+  }
+
   /** Per-document nearest neighbors by exact shingle Jaccard: for every
     * document, its `k` most similar others with Jaccard ≥ num/den —
     * the "more like this" retrieval face of the dedup family (a

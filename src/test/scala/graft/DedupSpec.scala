@@ -417,6 +417,26 @@ class DedupSpec extends SparkSpec {
     assert(!tighter.contains((1L, 2L)))
   }
 
+  test("lshCapturePlan: banding formula 1-(1-j^4)^32 per bucket, squaring-chain exact") {
+    // two exact dups (j = 1.0, bucket 9) and one ~0.5 pair
+    val base = "a1 a2 a3 a4 a5 a6 a7 a8 a9 a10"
+    val half = "a1 a2 a3 a4 a5 a6 a7 x1 x2 x3 x4 x5 x6 x7"
+    val d = Seq(1L -> base, 2L -> base, 3L -> half).toDF("doc_id", "text")
+    val got = Dedup.lshCapturePlan(d, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    // j(1,2) = 1.0 → capture 1 − 0^32 = 1.0 exactly, bucket 9
+    assert(got(9L) === ((1L, 1.0)))
+    // j(1,3) and j(2,3): 5 shared trigrams of 8 vs 12 → j = 5/15 = 1/3
+    val j = 5.0 / 15
+    val j4 = (j * j) * (j * j)
+    var t = 1.0 - j4
+    (1 to 5).foreach(_ => t = t * t)
+    val cap = BigDecimal(1.0 - t)
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val want = math.round(cap * 2 / 2 * 1e6) / 1e6
+    assert(got(3L) === ((2L, want)), s"bucket 3: ${got.get(3L)} vs $want")
+  }
+
   test("dedupSavings: per-source doc and token accounting matches the survivor set") {
     val txt = "d1 d2 d3 d4 d5 d6 d7 d8"          // 8 tokens
     val d = Seq(
