@@ -1642,6 +1642,25 @@ object SparkEntry {
       "doc_id", "text", dim = 256, k = 100)
   }
 
+  /** Q173 — per-document keywords
+    * ([[graft.operators.Corpus.keywordsPerDoc]]): each document's top-3
+    * tokens by tf·ln(N/df) — q56's scoring cut per document by the
+    * bounded heap. Oracle: the tf/df replay + rank window.
+    */
+  def q173(s: SparkSession, d: String): DataFrame =
+    graft.operators.Corpus.keywordsPerDoc(docs(s, d), "doc_id", "text", k = 3)
+
+  /** Q174 — event association rules
+    * ([[graft.operators.Corpus.associationPairs]]; Agrawal-Srikant
+    * 1994 + lift): which event types co-occur across users beyond
+    * chance — exact support and lift over deduped (user, type) sets;
+    * the pair join is keyed by user and bounded by the type
+    * vocabulary. Oracle: the same dedup + pair + ratio replay.
+    */
+  def q174(s: SparkSession, d: String): DataFrame =
+    graft.operators.Corpus.associationPairs(
+      ev(s, d), "user_id", "event_type", minKeys = 1L)
+
   /** Q172 — LSH capture planner
     * ([[graft.operators.Dedup.lshCapturePlan]]): for the exact
     * Jaccard ≥ 0.3 pair set, the banding-theory probability
@@ -2501,7 +2520,9 @@ object SparkEntry {
     "q169_rrf_hybrid"     -> (q169 _),
     "q170_bytes_per_tok"  -> (q170 _),
     "q171_dup_sources"    -> (q171 _),
-    "q172_lsh_planner"    -> (q172 _))
+    "q172_lsh_planner"    -> (q172 _),
+    "q173_keywords"       -> (q173 _),
+    "q174_associations"   -> (q174 _))
 
   // DuckDB twins. Shared SQL fragments for the text queries:
   // explicit class: Java \s includes \x0B, RE2 \s does not — see
@@ -4261,6 +4282,39 @@ object SparkEntry {
          |  CAST((2000000 + zc) // 4 AS BIGINT) AS p_units,
          |  round(CAST((2000000 + zc) // 4 AS DOUBLE) / 1000000, 6) + 0 AS p_r
          |FROM sc
+         |""".stripMargin),
+    // q173: whitespace tf/df replay, tf·ln(N/df) at 4 places, rank
+    // window per doc.
+    "q173_keywords" ->
+      ("""WITH tk AS (SELECT doc_id, unnest(list_filter(
+         |    regexp_split_to_array(trim(lower(text)), '[ \t\n\f\r]+'),
+         |    x -> x <> '')) AS token FROM documents),
+         |tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+         |  FROM tk GROUP BY 1, 2),
+         |dfreq AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+         |n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+         |sc AS (SELECT doc_id, token,
+         |  round(tf * ln(CAST(n_docs AS DOUBLE) / df), 4) + 0 AS tfidf
+         |  FROM tf JOIN dfreq USING (token) CROSS JOIN n)
+         |SELECT doc_id, token, tfidf, rk FROM (SELECT doc_id, token, tfidf,
+         |  row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, token ASC) AS rk
+         |  FROM sc) WHERE rk <= 3
+         |""".stripMargin),
+    // q174: dedup (user,type), pair self-join on the user, exact
+    // support/lift ratios.
+    "q174_associations" ->
+      ("""WITH ki AS (SELECT DISTINCT user_id AS k, event_type AS i FROM events
+         |  WHERE event_type IS NOT NULL AND user_id IS NOT NULL),
+         |itn AS (SELECT i, CAST(count(*) AS BIGINT) AS n FROM ki GROUP BY 1),
+         |nk AS (SELECT CAST(count(DISTINCT k) AS BIGINT) AS nk FROM ki),
+         |p AS (SELECT x.i AS item_a, y.i AS item_b, CAST(count(*) AS BIGINT) AS n_ab
+         |  FROM ki x JOIN ki y ON x.k = y.k AND x.i < y.i GROUP BY 1, 2)
+         |SELECT item_a, item_b, a.n AS n_a, b.n AS n_b, n_ab,
+         |  round(CAST(n_ab AS DOUBLE) / nk.nk, 6) + 0 AS support,
+         |  round(CAST(nk.nk AS DOUBLE) * n_ab / (CAST(a.n AS DOUBLE) * b.n), 6) + 0
+         |    AS lift
+         |FROM p JOIN itn a ON p.item_a = a.i JOIN itn b ON p.item_b = b.i
+         |CROSS JOIN nk
          |""".stripMargin),
     // q172: the exact-pair CTE at 3/10 + the same squaring chain
     // (j² → j⁴; (1−j⁴) squared five times → ^32), decimal bucket means.

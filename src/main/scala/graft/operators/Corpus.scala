@@ -55,6 +55,78 @@ object Corpus {
       .limit(k)
   }
 
+  /** Per-document keyword extraction: each document's `k` best tokens
+    * by `tf · ln(N/df)` — [[tfidf]]'s scoring turned into the per-doc
+    * keyword list a search snippet / tagging pass wants (the global
+    * variant cuts one corpus-wide top-k; this cuts per document).
+    * Returns `(doc_id, token, tfidf, rk)`, rounded score, (score desc,
+    * token asc) ties.
+    *
+    * Scale shape: same two partial-aggregating collapses as [[tfidf]]
+    * (tf, then df derived from it), the doc-count broadcast scalar,
+    * and the bounded [[TopK.topKPerKey]] heap per document — ≤ k rows
+    * per doc per partition cross the final exchange, no window.
+    */
+  def keywordsPerDoc(docs: DataFrame, idCol: String, textCol: String,
+                     k: Int = 3): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val tk = docs.select(col(idCol).as("doc_id"),
+        explode(split(trim(lower(col(textCol))), TextFunctions.whitespaceClass)).as("token"))
+      .filter(col("token") =!= "")
+    val tf = tk.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(dfreq, "token")
+      .crossJoin(broadcast(n))
+      .select(col("doc_id"), col("token"),
+        NumFunctions.roundNz(
+          col("tf") * log(col("n_docs").cast("double") / col("df")), 4).as("tfidf"))
+    TopK.topKPerKey(scored.withColumn("__neg", -col("tfidf")),
+      Seq("doc_id"), struct(col("__neg"), col("token")), Seq("token", "tfidf"), k)
+  }
+
+  /** Association profile over per-key item sets (Agrawal & Srikant,
+    * VLDB 1994's support/confidence frame plus lift): for every
+    * unordered pair of items co-occurring under at least `minKeys`
+    * keys, the exact support and lift
+    * `n·n_ab / (n_a·n_b)` — which event types travel together across
+    * users, which languages co-occur in a source, etc. Returns
+    * `(item_a, item_b, n_a, n_b, n_ab, support, lift)` with
+    * item_a < item_b.
+    *
+    * Scale shape: the (key, item) stream dedups FIRST (one
+    * partial-aggregating shuffle); per-item counts collapse from it;
+    * the pair generation is a self-join ON THE KEY whose per-key cost
+    * is |items-per-key|² — bounded by the ITEM VOCABULARY, not the
+    * row count (document the contract: this is a market-basket
+    * operator, not a free-text one); pair counts partial-aggregate,
+    * and the item counts join back vocab-keyed (AQE broadcasts).
+    * Ratios are IEEE divisions of exact longs.
+    */
+  def associationPairs(df: DataFrame, keyCol: String, itemCol: String,
+                       minKeys: Long = 1L): DataFrame = {
+    require(minKeys >= 1L, s"minKeys must be >= 1, got $minKeys")
+    val ki = df.select(col(keyCol).as("__k"), col(itemCol).as("__i"))
+      .filter(col("__i").isNotNull && col("__k").isNotNull).distinct()
+    val itemN = ki.groupBy(col("__i")).agg(count(lit(1)).as("__n"))
+    val nKeys = ki.select(col("__k")).distinct().agg(count(lit(1)).as("__nk"))
+    val pairs = ki.as("x").join(ki.as("y"),
+        col("x.__k") === col("y.__k") && col("x.__i") < col("y.__i"))
+      .groupBy(col("x.__i").as("item_a"), col("y.__i").as("item_b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minKeys)
+    pairs
+      .join(itemN.select(col("__i").as("item_a"), col("__n").as("n_a")), "item_a")
+      .join(itemN.select(col("__i").as("item_b"), col("__n").as("n_b")), "item_b")
+      .crossJoin(broadcast(nKeys))
+      .select(col("item_a"), col("item_b"), col("n_a"), col("n_b"), col("n_ab"),
+        NumFunctions.roundNz(
+          col("n_ab").cast("double") / col("__nk"), 6).as("support"),
+        NumFunctions.roundNz(
+          col("__nk").cast("double") * col("n_ab") /
+            (col("n_a").cast("double") * col("n_b")), 6).as("lift"))
+  }
+
   /** Deterministic exact-count stratified sample: within each stratum,
     * the first ⌊tot·num/den⌋ rows in `idCol` order. Unlike
     * `DataFrame.sampleBy` (Bernoulli — count varies run to run, seed

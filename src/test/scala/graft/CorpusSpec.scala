@@ -909,6 +909,40 @@ class CorpusSpec extends SparkSpec {
     assert(q1.head.getLong(1) === 0L)
   }
 
+  test("keywordsPerDoc: per-doc tf·ln(N/df) top-k with token tie-break") {
+    val d = docTable(Seq(
+      0L -> "rare rare common shared",
+      1L -> "common other shared",
+      2L -> "common third x"))
+    val got = Corpus.keywordsPerDoc(d, "doc_id", "text", k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(3)) -> r.getString(1)).toMap
+    // doc 0: "rare" tf=2 df=1 → 2·ln3 ≈ 2.197 beats "shared" (df=2, ln1.5)
+    assert(got((0L, 1L)) === "rare")
+    // "common" df=3 → score 0 everywhere; never rank 1
+    assert(!got.exists { case ((_, rk), t) => t == "common" && rk == 1L })
+    assert(got((2L, 1L)) === "third" || got((2L, 1L)) === "x",
+      s"doc 2's singletons tie at ln3, token order decides: ${got((2L, 1L))}")
+    assert(got((2L, 1L)) === "third", "tie-break is token ASC")
+  }
+
+  test("associationPairs: hand-computed support and lift; ordered pair keys") {
+    // users: 1 {a,b}, 2 {a,b}, 3 {a,c}, 4 {c}  → nk = 4
+    val df = Seq((1L, "a"), (1L, "b"), (1L, "b"), (2L, "a"), (2L, "b"),
+      (3L, "a"), (3L, "c"), (4L, "c")).toDF("user_id", "item")
+    val got = Corpus.associationPairs(df, "user_id", "item")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5),
+          r.getDouble(6)))).toMap
+    // (a,b): n_a=3, n_b=2, n_ab=2 → support 0.5, lift 4·2/(3·2) = 4/3
+    assert(got(("a", "b")) === ((3L, 2L, 2L, 0.5,
+      math.round(4.0 * 2 / (3.0 * 2) * 1e6) / 1e6)))
+    // (a,c): n_ab=1 → support 0.25, lift 4·1/(3·2) = 2/3
+    assert(got(("a", "c")) === ((3L, 2L, 1L, 0.25,
+      math.round(4.0 * 1 / (3.0 * 2) * 1e6) / 1e6)))
+    assert(!got.contains(("b", "c")), "never co-occur → absent")
+    assert(got.keys.forall { case (a, b) => a < b }, "unordered pairs keyed a < b")
+  }
+
   test("knSurprisal: hand-computed interpolated Kneser-Ney terms (D = 3/4)") {
     val d = docTable(Seq(1L -> "a b", 2L -> "a b", 3L -> "c b", 4L -> "a d",
       5L -> "single"))
