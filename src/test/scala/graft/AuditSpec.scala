@@ -56,6 +56,33 @@ class AuditSpec extends SparkSpec {
     assert(got.length === 4 && got.forall(_ == ((0L, 0.0))))
   }
 
+  test("streams compose: per-micro-batch constraint audit gates each load (foreachBatch)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.classic.SQLContext =
+      spark.sqlContext.asInstanceOf[org.apache.spark.sql.classic.SQLContext]
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val input = MemoryStream[(Long, Double)]
+    val q = input.toDS().toDF("id", "v")
+      .writeStream.foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        // the deployment shape: every incoming load audited before the
+        // sink sees it; total violations decide accept/quarantine
+        val viol = Audit.audit(batch, "load", Seq(
+            InRange("v", 0.0, 100.0), UniqueKey(Seq("id"))))
+          .agg(sum(col("n_violations"))).collect().head.getLong(0)
+        seen.synchronized { seen += ((id, viol)) }
+        ()
+      }.start()
+    try {
+      input.addData((1L, 5.0), (2L, 50.0))             // clean
+      q.processAllAvailable()
+      input.addData((3L, 500.0), (4L, 1.0), (4L, 2.0)) // range + dup key
+      q.processAllAvailable()
+    } finally q.stop()
+    val byBatch = seen.toMap
+    assert(byBatch(0L) === 0L, s"clean batch flagged: $byBatch")
+    assert(byBatch(1L) === 2L, s"dirty batch must show 2 violations: $byBatch")
+  }
+
   test("audit: empty table yields zero rates, no division error") {
     val empty = Seq.empty[(Long, Option[Double], Option[String])]
       .toDF("id", "v", "name")
