@@ -1642,6 +1642,23 @@ object SparkEntry {
       "doc_id", "text", dim = 256, k = 100)
   }
 
+  /** Q175 — token-mass concentration
+    * ([[graft.operators.Corpus.tokenConcentration]]): the Lorenz view
+    * of curation economics — quality deciles (exact ntile over q18's
+    * rounded score) vs cumulative token share. Two-level rank, k-row
+    * windows, broadcast total.
+    */
+  def q175(s: SparkSession, d: String): DataFrame =
+    graft.operators.Corpus.tokenConcentration(docs(s, d), "doc_id", "text")
+
+  /** Q176 — near-dup cluster-size histogram
+    * ([[graft.operators.Dedup.clusterSizeHistogram]]): the shape of
+    * q37's exact clustering — giant template clusters vs the size-2
+    * near-copy tail. Oracle: the component CTE + two collapses.
+    */
+  def q176(s: SparkSession, d: String): DataFrame =
+    Dedup.clusterSizeHistogram(docs(s, d), "doc_id", "text")
+
   /** Q173 — per-document keywords
     * ([[graft.operators.Corpus.keywordsPerDoc]]): each document's top-3
     * tokens by tf·ln(N/df) — q56's scoring cut per document by the
@@ -2522,7 +2539,9 @@ object SparkEntry {
     "q171_dup_sources"    -> (q171 _),
     "q172_lsh_planner"    -> (q172 _),
     "q173_keywords"       -> (q173 _),
-    "q174_associations"   -> (q174 _))
+    "q174_associations"   -> (q174 _),
+    "q175_lorenz"         -> (q175 _),
+    "q176_cluster_sizes"  -> (q176 _))
 
   // DuckDB twins. Shared SQL fragments for the text queries:
   // explicit class: Java \s includes \x0B, RE2 \s does not — see
@@ -4283,6 +4302,45 @@ object SparkEntry {
          |  round(CAST((2000000 + zc) // 4 AS DOUBLE) / 1000000, 6) + 0 AS p_r
          |FROM sc
          |""".stripMargin),
+    // q175: q18's rounded score, ntile(10) over (score desc, id), k-row
+    // cumulative window.
+    "q175_lorenz" ->
+      (s"""WITH t AS (SELECT doc_id, $TOKS AS tk FROM documents),
+          |s AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS ntok,
+          |  round(least(CAST(1.0 AS DOUBLE), CAST(len(tk) AS DOUBLE) / CAST(50 AS DOUBLE)) *
+          |        (CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk)), 6) + 0 AS score
+          |  FROM t),
+          |b AS (SELECT ntok,
+          |  CAST(ntile(10) OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS decile
+          |  FROM s),
+          |g AS (SELECT decile, CAST(count(*) AS BIGINT) AS n_docs,
+          |  CAST(sum(ntok) AS BIGINT) AS n_tokens FROM b GROUP BY 1),
+          |tot AS (SELECT sum(n_tokens) AS tt FROM g)
+          |SELECT decile, n_docs, n_tokens,
+          |  round(CAST(sum(n_tokens) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING)
+          |    AS DOUBLE) / tt, 6) + 0 AS cum_token_share
+          |FROM g CROSS JOIN tot
+          |""".stripMargin),
+    // q176: the q37 component CTE + per-survivor sizes + size counts.
+    "q176_cluster_sizes" ->
+      (s"""WITH RECURSIVE toks AS (SELECT doc_id, $TOKS AS tk FROM documents),
+          |sh AS (SELECT doc_id, ${shinglesSql("tk")} AS s FROM toks),
+          |p0 AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+          |  len(list_intersect(a.s, b.s)) AS inter, len(a.s) + len(b.s) AS tot
+          |  FROM sh a JOIN sh b ON b.doc_id > a.doc_id),
+          |pairs AS (SELECT a_id, b_id FROM p0
+          |  WHERE (tot - inter) > 0 AND inter * 10 >= (tot - inter) * 7),
+          |edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+          |  UNION SELECT b_id, a_id FROM pairs
+          |  UNION SELECT doc_id, doc_id FROM documents),
+          |reach(a, b) AS (SELECT src, dst FROM edges
+          |  UNION SELECT e.src, r.b FROM edges e JOIN reach r ON e.dst = r.a),
+          |comp AS (SELECT a AS doc_id, min(b) AS rep FROM reach GROUP BY a),
+          |cs AS (SELECT rep, CAST(count(*) AS BIGINT) AS cluster_size
+          |  FROM comp GROUP BY 1)
+          |SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
+          |FROM cs GROUP BY 1
+          |""".stripMargin),
     // q173: whitespace tf/df replay, tf·ln(N/df) at 4 places, rank
     // window per doc.
     "q173_keywords" ->

@@ -127,6 +127,41 @@ object Corpus {
             (col("n_a").cast("double") * col("n_b")), 6).as("lift"))
   }
 
+  /** Token-mass concentration curve (the Lorenz view of curation
+    * economics): documents cut into `k` quality deciles
+    * ([[Ranks.ntileExact]] over the rounded heuristic quality score,
+    * id tie-break) and, per decile, the doc count, token count, and
+    * CUMULATIVE token share — "the top 30 % of documents by quality
+    * hold X % of the tokens", the number that decides how aggressive a
+    * quality cut can be before it starves the token budget. Returns
+    * `(decile, n_docs, n_tokens, cum_token_share)`.
+    *
+    * Scale shape: one map-side score projection, the exact-ntile cut
+    * (two-level rank, no global one-partition window), one ≤ k-row
+    * aggregate; the cumulative window runs over k rows and the total
+    * rides as a broadcast scalar.
+    */
+  def tokenConcentration(docs: DataFrame, idCol: String, textCol: String,
+                         k: Int = 10): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val toks = TextFunctions.tokens(col(textCol))
+    val scored = docs.select(col(idCol),
+      size(toks).cast("long").as("__t"),
+      TextFunctions.qualityScore(toks).as("__score"))
+    val binned = Ranks.ntileExact(scored,
+      Seq(col("__score").desc, col(idCol).asc), k, outCol = "decile")
+    val g = binned.groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__t")).as("n_tokens"))
+    val tot = g.agg(sum(col("n_tokens")).as("__tt"))
+    val w = Window.orderBy(col("decile"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    g.withColumn("__cum", sum(col("n_tokens")).over(w))
+      .crossJoin(broadcast(tot))
+      .select(col("decile"), col("n_docs"), col("n_tokens"),
+        NumFunctions.roundNz(
+          col("__cum").cast("double") / col("__tt"), 6).as("cum_token_share"))
+  }
+
   /** Deterministic exact-count stratified sample: within each stratum,
     * the first ⌊tot·num/den⌋ rows in `idCol` order. Unlike
     * `DataFrame.sampleBy` (Bernoulli — count varies run to run, seed

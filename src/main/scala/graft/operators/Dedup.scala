@@ -818,6 +818,24 @@ object Dedup {
       .agg(count(lit(1)).as("n_pairs"))
   }
 
+  /** Near-dup cluster-size histogram: how many clusters of each size
+    * the exact [[dedupCorpus]] clustering produces — the shape report
+    * behind [[dedupSavings]]'s totals (a few giant clusters mean
+    * boilerplate/template content; a long size-2 tail means true
+    * near-copies). Returns `(cluster_size, n_clusters)`; singletons
+    * included (size 1 = unique documents).
+    *
+    * Scale shape: [[corpusComponents]]'s exchanges + two
+    * partial-aggregating collapses (per-survivor size, then per-size
+    * count).
+    */
+  def clusterSizeHistogram(docs: DataFrame, idCol: String, textCol: String,
+                           thresholdNum: Int = 7, thresholdDen: Int = 10,
+                           ngram: Int = 3): DataFrame =
+    corpusComponents(docs, idCol, textCol, thresholdNum, thresholdDen, ngram)
+      .groupBy(col("survivor_id")).agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size")).agg(count(lit(1)).as("n_clusters"))
+
   /** LSH capture planner: for the TRUE near-dup pairs (exact Jaccard ≥
     * num/den via [[setSimJoinPrefix]]), the probability the banded
     * MinHash screen ([[minhashLshPairs]] with `bands` bands of

@@ -909,6 +909,20 @@ class CorpusSpec extends SparkSpec {
     assert(q1.head.getLong(1) === 0L)
   }
 
+  test("tokenConcentration: deciles partition the corpus, cumulative share ends at 1") {
+    val d = docTable((0L until 40L).map(i =>
+      i -> (Seq.tabulate((i % 7 + 2).toInt)(j => s"w${i}_$j").mkString(" "))))
+    val got = Corpus.tokenConcentration(d, "doc_id", "text", k = 10)
+      .orderBy($"decile")
+      .as[(Long, Long, Long, Double)].collect()
+    assert(got.map(_._1).toSeq === (1L to 10L))
+    assert(got.map(_._2).sum === 40L, "deciles partition the docs")
+    val shares = got.map(_._4)
+    assert(shares.zip(shares.tail).forall { case (a, b) => a <= b },
+      "cumulative share is monotone")
+    assert(shares.last === 1.0)
+  }
+
   test("keywordsPerDoc: per-doc tf·ln(N/df) top-k with token tie-break") {
     val d = docTable(Seq(
       0L -> "rare rare common shared",

@@ -417,6 +417,19 @@ class DedupSpec extends SparkSpec {
     assert(!tighter.contains((1L, 2L)))
   }
 
+  test("clusterSizeHistogram: planted triple + pair + singletons") {
+    val txt = "c1 c2 c3 c4 c5 c6 c7 c8"
+    val other = "p1 p2 p3 p4 p5 p6 p7 p8"
+    val d = Seq(
+      1L -> txt, 2L -> txt, 3L -> txt,     // exact triple
+      4L -> other, 5L -> other,            // exact pair
+      6L -> "unique words entirely here",  // singleton
+      7L -> "another singleton of text").toDF("doc_id", "text")
+    val got = Dedup.clusterSizeHistogram(d, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(3L -> 1L, 2L -> 1L, 1L -> 2L))
+  }
+
   test("lshCapturePlan: banding formula 1-(1-j^4)^32 per bucket, squaring-chain exact") {
     // two exact dups (j = 1.0, bucket 9) and one ~0.5 pair
     val base = "a1 a2 a3 a4 a5 a6 a7 a8 a9 a10"
