@@ -1642,6 +1642,41 @@ object SparkEntry {
       "doc_id", "text", dim = 256, k = 100)
   }
 
+  /** Q177 — per-source language entropy
+    * ([[graft.operators.Corpus.classEntropy]]): Shannon diversity of
+    * each source's language mix — 0 = monoculture, ln(k) = uniform
+    * over k; the datasheet companion to q121's raw shares. Decimal
+    * p·ln p path.
+    */
+  def q177(s: SparkSession, d: String): DataFrame =
+    graft.operators.Corpus.classEntropy(docs(s, d), "source", "lang")
+
+  /** Q178 — TPC-H Q3 (shipping-priority revenue): top-10 unshipped
+    * BUILDING-segment orders by discounted revenue as of 1995-03-15 —
+    * the classic 3-table join + aggregate + total-order cut, with the
+    * customer dimension broadcast and revenue routed through
+    * DECIMAL(28,6) before the rounded rank.
+    */
+  def q178(s: SparkSession, d: String): DataFrame = {
+    val cut = lit("1995-03-15 00:00:00").cast("timestamp")
+    val c = Tables.customer(s, d)
+      .filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+    val o = Tables.orders(s, d).filter(col("o_orderdate") < cut)
+    val l = Tables.lineitem(s, d).filter(col("l_shipdate") > cut)
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .cast(org.apache.spark.sql.types.DecimalType(28, 6))).as("__r"))
+      .select(col("l_orderkey"),
+        NumFunctions.roundNz(col("__r").cast("double"), 2).as("revenue"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+        col("o_orderpriority"))
+      .orderBy(col("revenue").desc, col("o_orderdate").asc,
+        col("l_orderkey").asc)
+      .limit(10)
+  }
+
   /** Q175 — token-mass concentration
     * ([[graft.operators.Corpus.tokenConcentration]]): the Lorenz view
     * of curation economics — quality deciles (exact ntile over q18's
@@ -2541,7 +2576,9 @@ object SparkEntry {
     "q173_keywords"       -> (q173 _),
     "q174_associations"   -> (q174 _),
     "q175_lorenz"         -> (q175 _),
-    "q176_cluster_sizes"  -> (q176 _))
+    "q176_cluster_sizes"  -> (q176 _),
+    "q177_lang_entropy"   -> (q177 _),
+    "q178_tpch_q3"        -> (q178 _))
 
   // DuckDB twins. Shared SQL fragments for the text queries:
   // explicit class: Java \s includes \x0B, RE2 \s does not — see
@@ -4301,6 +4338,34 @@ object SparkEntry {
          |  CAST((2000000 + zc) // 4 AS BIGINT) AS p_units,
          |  round(CAST((2000000 + zc) // 4 AS DOUBLE) / 1000000, 6) + 0 AS p_r
          |FROM sc
+         |""".stripMargin),
+    // q177: (source, lang) counts, one p·ln p per cell through the
+    // decimal path.
+    "q177_lang_entropy" ->
+      ("""WITH c AS (SELECT source, lang, count(*) AS n FROM documents
+         |  WHERE lang IS NOT NULL GROUP BY 1, 2),
+         |t AS (SELECT source, sum(n) AS total FROM c GROUP BY 1)
+         |SELECT c.source, CAST(count(*) AS BIGINT) AS n_classes,
+         |  round(CAST(sum(CAST(-(CAST(n AS DOUBLE) / total *
+         |    ln(CAST(n AS DOUBLE) / total)) AS DECIMAL(18,9))) AS DOUBLE), 6) + 0
+         |    AS entropy
+         |FROM c JOIN t USING (source) GROUP BY 1
+         |""".stripMargin),
+    // q178: the classic Q3 join tree, revenue through DECIMAL(28,6),
+    // rounded rank with date + key tie-breaks.
+    "q178_tpch_q3" ->
+      ("""WITH j AS (SELECT l.l_orderkey, o.o_orderdate, o.o_orderpriority,
+         |  CAST(l.l_extendedprice * (1.0 - l.l_discount) AS DECIMAL(28,6)) AS r
+         |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |  JOIN customer c ON o.o_custkey = c.c_custkey
+         |  WHERE c.c_mktsegment = 'BUILDING'
+         |    AND o.o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+         |    AND l.l_shipdate > TIMESTAMP '1995-03-15 00:00:00'),
+         |g AS (SELECT l_orderkey, round(CAST(sum(r) AS DOUBLE), 2) + 0 AS revenue,
+         |  strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate, o_orderpriority
+         |  FROM j GROUP BY l_orderkey, j.o_orderdate, o_orderpriority)
+         |SELECT l_orderkey, revenue, o_orderdate, o_orderpriority FROM g
+         |ORDER BY revenue DESC, o_orderdate ASC, l_orderkey ASC LIMIT 10
          |""".stripMargin),
     // q175: q18's rounded score, ntile(10) over (score desc, id), k-row
     // cumulative window.

@@ -127,6 +127,34 @@ object Corpus {
             (col("n_a").cast("double") * col("n_b")), 6).as("lift"))
   }
 
+  /** Per-group Shannon entropy of a class column — `H = −Σ p·ln p`
+    * over the group's class distribution: the diversity index a
+    * mixture datasheet reports per source (language entropy, topic
+    * entropy). H = 0 means a monoculture; ln(k) means a uniform mix
+    * over k classes. Null classes are excluded. Returns
+    * `(groupCol, n_classes, entropy)`.
+    *
+    * Determinism: one IEEE `p·ln p` per (group, class) routed through
+    * DECIMAL(18,9) before the per-group sum (the q67 recipe).
+    *
+    * Scale shape: one partial-aggregating shuffle to (group, class)
+    * counts; totals collapse from that table and join back group-keyed
+    * (AQE broadcasts); the entropy sum is ≤ |classes| rows per group.
+    */
+  def classEntropy(df: DataFrame, groupCol: String,
+                   classCol: String): DataFrame = {
+    val counts = df.filter(col(classCol).isNotNull)
+      .groupBy(col(groupCol), col(classCol)).agg(count(lit(1)).as("__n"))
+    val tot = counts.groupBy(col(groupCol)).agg(sum(col("__n")).as("__total"))
+    val p = col("__n").cast("double") / col("__total")
+    counts.join(tot, groupCol)
+      .withColumn("__t",
+        (-(p * log(p))).cast(org.apache.spark.sql.types.DecimalType(18, 9)))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_classes"),
+        NumFunctions.roundNz(sum(col("__t")).cast("double"), 6).as("entropy"))
+  }
+
   /** Token-mass concentration curve (the Lorenz view of curation
     * economics): documents cut into `k` quality deciles
     * ([[Ranks.ntileExact]] over the rounded heuristic quality score,

@@ -909,6 +909,24 @@ class CorpusSpec extends SparkSpec {
     assert(q1.head.getLong(1) === 0L)
   }
 
+  test("classEntropy: 0 for a monoculture, ln(k) for a uniform mix, nulls excluded") {
+    val df = Seq(
+      ("mono", Some("en")), ("mono", Some("en")), ("mono", Some("en")),
+      ("uni", Some("en")), ("uni", Some("de")), ("uni", Some("fr")),
+      ("skew", Some("en")), ("skew", Some("en")), ("skew", Some("de")),
+      ("skew", None)).toDF("source", "lang")
+    val got = Corpus.classEntropy(df, "source", "lang")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got("mono") === ((1L, 0.0)))
+    def dec9(v: Double) = BigDecimal(v).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    val lnK = (1 to 3).map(_ => dec9(-(1.0 / 3 * math.log(1.0 / 3)))).sum.toDouble
+    assert(got("uni") === ((3L, math.round(lnK * 1e6) / 1e6)))
+    // skew: p = 2/3, 1/3 (the null row is excluded)
+    val h = (dec9(-(2.0 / 3 * math.log(2.0 / 3))) +
+      dec9(-(1.0 / 3 * math.log(1.0 / 3)))).toDouble
+    assert(got("skew") === ((2L, math.round(h * 1e6) / 1e6)))
+  }
+
   test("tokenConcentration: deciles partition the corpus, cumulative share ends at 1") {
     val d = docTable((0L until 40L).map(i =>
       i -> (Seq.tabulate((i % 7 + 2).toInt)(j => s"w${i}_$j").mkString(" "))))

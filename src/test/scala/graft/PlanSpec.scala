@@ -598,6 +598,15 @@ class PlanSpec extends SparkSpec {
     assert(exchanges <= 3, s"decay plan should be ~1 keyed exchange (+AQE reads), got $exchanges:\n$p")
   }
 
+  test("q178: TPC-H Q3 broadcasts the customer dimension and pushes both date filters") {
+    val p = plan(SparkEntry.q178(spark, sf0001))
+    assert(p.contains("BroadcastHashJoin"), s"customer dim must broadcast:\n$p")
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderdate)") ||
+      p.contains("LessThan(o_orderdate"), s"order-date filter not pushed:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-10 must be TakeOrdered, not a global sort:\n$p")
+  }
+
   test("q133: every PageRank iteration reads the persisted edge cache, not the corpus") {
     val p = plan(SparkEntry.q133(spark, sf0001))
     // each of the 5 iterations reads edges (contrib + outdeg legs) from
