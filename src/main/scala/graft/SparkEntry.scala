@@ -1642,6 +1642,39 @@ object SparkEntry {
       "doc_id", "text", dim = 256, k = 100)
   }
 
+  /** Q179 — TPC-H Q5 (local supplier volume): revenue by nation for
+    * ASIA-region customers served by same-nation suppliers in 1996 —
+    * the classic six-table join. The region→nation→supplier dimension
+    * chain broadcasts; lineitem streams through one shuffle join with
+    * orders; revenue routes through DECIMAL(28,6).
+    */
+  def q179(s: SparkSession, d: String): DataFrame = {
+    val lo = lit("1996-01-01 00:00:00").cast("timestamp")
+    val hi = lit("1997-01-01 00:00:00").cast("timestamp")
+    val nations = Tables.nation(s, d).join(
+      broadcast(Tables.region(s, d).filter(col("r_name") === "ASIA")),
+      col("n_regionkey") === col("r_regionkey"))
+    val sup = Tables.supplier(s, d)
+      .join(broadcast(nations), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_nationkey"), col("n_name"))
+    val cust = Tables.customer(s, d).select(col("c_custkey"), col("c_nationkey"))
+    val ord = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+      .select(col("o_orderkey"), col("o_custkey"))
+    Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_suppkey"),
+        col("l_extendedprice"), col("l_discount"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .cast(org.apache.spark.sql.types.DecimalType(28, 6))).as("__r"))
+      .select(col("n_name"),
+        NumFunctions.roundNz(col("__r").cast("double"), 2).as("revenue"))
+  }
+
   /** Q177 — per-source language entropy
     * ([[graft.operators.Corpus.classEntropy]]): Shannon diversity of
     * each source's language mix — 0 = monoculture, ln(k) = uniform
@@ -2578,7 +2611,8 @@ object SparkEntry {
     "q175_lorenz"         -> (q175 _),
     "q176_cluster_sizes"  -> (q176 _),
     "q177_lang_entropy"   -> (q177 _),
-    "q178_tpch_q3"        -> (q178 _))
+    "q178_tpch_q3"        -> (q178 _),
+    "q179_tpch_q5"        -> (q179 _))
 
   // DuckDB twins. Shared SQL fragments for the text queries:
   // explicit class: Java \s includes \x0B, RE2 \s does not — see
@@ -4338,6 +4372,20 @@ object SparkEntry {
          |  CAST((2000000 + zc) // 4 AS BIGINT) AS p_units,
          |  round(CAST((2000000 + zc) // 4 AS DOUBLE) / 1000000, 6) + 0 AS p_r
          |FROM sc
+         |""".stripMargin),
+    // q179: the Q5 join tree, revenue through DECIMAL(28,6).
+    "q179_tpch_q5" ->
+      ("""SELECT n_name,
+         |  round(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+         |    AS DECIMAL(28,6))) AS DOUBLE), 2) + 0 AS revenue
+         |FROM customer, orders, lineitem, supplier, nation, region
+         |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+         |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+         |  AND r_name = 'ASIA'
+         |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+         |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+         |GROUP BY 1
          |""".stripMargin),
     // q177: (source, lang) counts, one p·ln p per cell through the
     // decimal path.

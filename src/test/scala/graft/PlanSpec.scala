@@ -607,6 +607,13 @@ class PlanSpec extends SparkSpec {
       s"top-10 must be TakeOrdered, not a global sort:\n$p")
   }
 
+  test("q179: TPC-H Q5's dimension chain broadcasts — lineitem never sort-merge-joins a dim") {
+    val p = plan(SparkEntry.q179(spark, sf0001))
+    val bhj = "BroadcastHashJoin".r.findAllIn(p).length
+    assert(bhj >= 3, s"supplier/customer/nation-region chains must broadcast, got $bhj:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q133: every PageRank iteration reads the persisted edge cache, not the corpus") {
     val p = plan(SparkEntry.q133(spark, sf0001))
     // each of the 5 iterations reads edges (contrib + outdeg legs) from
