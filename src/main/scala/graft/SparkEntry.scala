@@ -3238,14 +3238,16 @@ object SparkEntry {
          |  CAST(count(DISTINCT o_orderkey) AS BIGINT) AS d FROM orders),
          |ofk AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM orders) AS n,
          |  (SELECT CAST(count(*) AS BIGINT) FROM orders WHERE o_custkey IS NOT NULL
-         |    AND o_custkey NOT IN (SELECT c_custkey FROM customer)) AS v),
+         |    AND NOT EXISTS (SELECT 1 FROM customer
+         |      WHERE c_custkey = o_custkey)) AS v),
          |l AS (SELECT CAST(count(*) AS BIGINT) AS n,
          |  CAST(sum(CASE WHEN l_quantity IS NOT NULL
          |    AND (l_quantity < 1.0 OR l_quantity > 30.0)
          |    THEN 1 ELSE 0 END) AS BIGINT) AS v FROM lineitem),
          |lfk AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM lineitem) AS n,
          |  (SELECT CAST(count(*) AS BIGINT) FROM lineitem WHERE l_orderkey IS NOT NULL
-         |    AND l_orderkey NOT IN (SELECT o_orderkey FROM orders)) AS v)
+         |    AND NOT EXISTS (SELECT 1 FROM orders
+         |      WHERE o_orderkey = l_orderkey)) AS v)
          |SELECT 'orders' AS table_name, 'not_null(o_orderdate)' AS check_name,
          |  n AS n_rows, v_nn AS n_violations,
          |  round(CAST(v_nn AS DOUBLE) / n, 6) + 0 AS violation_rate FROM o
@@ -3279,10 +3281,11 @@ object SparkEntry {
          |  lead(v) OVER (PARTITION BY event_type ORDER BY v) - v AS dv
          |  FROM m)
          |SELECT event_type,
-         |  round(CAST(sum(CAST(abs(CAST(fr AS DOUBLE) / tr - CAST(fc AS DOUBLE) / tc)
-         |    * dv AS DECIMAL(18,9))) AS DOUBLE), 6) + 0 AS w1,
+         |  round(CAST(sum(CAST(CASE WHEN dv IS NULL THEN 0.0
+         |    ELSE abs(CAST(fr AS DOUBLE) / tr - CAST(fc AS DOUBLE) / tc) * dv
+         |    END AS DECIMAL(18,9))) AS DOUBLE), 6) + 0 AS w1,
          |  CAST(max(tr) AS BIGINT) AS n_ref, CAST(max(tc) AS BIGINT) AS n_cur
-         |FROM c WHERE dv IS NOT NULL AND tr > 0 AND tc > 0
+         |FROM c WHERE tr > 0 AND tc > 0
          |GROUP BY 1
          |""".stripMargin),
     // q157: three unrolled HITS steps in integer CTEs — raw in/out
@@ -3305,8 +3308,7 @@ object SparkEntry {
          |  unnest(tk[2:len(tk)]) AS dst FROM t WHERE len(tk) >= 2),
          |e AS (SELECT DISTINCT src, dst FROM b),
          |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
-         |n AS (SELECT count(*) AS n FROM nodes),
-         |h0 AS (SELECT node, 1000000 // n.n AS hu FROM nodes CROSS JOIN n),
+         |h0 AS (SELECT node, 1 AS hu FROM nodes),
          |${step("h0", 1)},
          |${step("h1", 2)},
          |${step("h2", 3)}

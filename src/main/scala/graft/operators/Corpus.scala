@@ -1223,8 +1223,10 @@ object Corpus {
     val toks = TextFunctions.tokens(lower(col(textCol)))
     // dl rides along with every surviving token row so no second join
     // back to a per-doc length table is needed
+    // id carried through as-is — string keys / UUIDs rank the same as
+    // integral ids (a cast("long") here would NULL-collapse them)
     val base = docs
-      .select(col(idCol).cast("long").as("__id"),
+      .select(col(idCol).as("__id"),
         size(toks).cast("long").as("__dl"), explode(toks).as("token"))
       .join(broadcast(qterm.select(col("token")).distinct()),
         Seq("token"), "left_semi")

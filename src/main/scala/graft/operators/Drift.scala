@@ -101,7 +101,10 @@ object Drift {
     * through DECIMAL(18,9) before the per-group sum (the q67 recipe),
     * so summation order cannot change a bit. Nulls and NaNs are
     * excluded; groups present in only one sample are omitted (W1
-    * against an empty distribution is undefined).
+    * against an empty distribution is undefined). A group present in
+    * BOTH samples always yields a row — including the
+    * constant-and-equal case (a single shared distinct value), where
+    * W1 = 0 is well-defined and n_ref/n_cur remain reportable.
     *
     * Scale design: rows collapse FIRST to per-(group, value) counts —
     * one partial-aggregating shuffle per side bounded by the distinct
@@ -135,10 +138,15 @@ object Drift {
       .withColumn("__tr", sum(col("n_ref")).over(wAll))
       .withColumn("__tc", sum(col("n_cur")).over(wAll))
       .withColumn("__dv", lead(col("__v"), 1).over(w) - col("__v"))
-      .filter(col("__dv").isNotNull && col("__tr") > 0 && col("__tc") > 0)
+      // presence filter only — each group's LAST support row (dv null)
+      // survives with a 0 term, so two-sided groups always emit a row,
+      // including the singleton-support W1 = 0 case
+      .filter(col("__tr") > 0 && col("__tc") > 0)
       .withColumn("__term",
-        (abs(col("__fr").cast("double") / col("__tr") -
-             col("__fc").cast("double") / col("__tc")) * col("__dv"))
+        when(col("__dv").isNotNull,
+          abs(col("__fr").cast("double") / col("__tr") -
+              col("__fc").cast("double") / col("__tc")) * col("__dv"))
+          .otherwise(lit(0.0))
           .cast(org.apache.spark.sql.types.DecimalType(18, 9)))
       .groupBy(col(groupCol))
       .agg(

@@ -191,8 +191,6 @@ object Graph {
       .distinct()
       .coalesce(parts)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nTbl = nodes.agg(count(lit(1)).as("__n"))
-
     // normalize a raw in/out sum to HitsScale L1 mass, exactly. The raw
     // frame is referenced TWICE (its total and the join) — persist it
     // so the join+agg computes once per half-step (measured: uncached,
@@ -208,8 +206,15 @@ object Graph {
           expr(s"(coalesce(__v, 0L) * $HitsScale) div __s").as(outCol))
     }
 
-    var hubs = nodes.crossJoin(broadcast(nTbl))
-      .select(col("node"), expr(s"$HitsScale div __n").as("hu"))
+    // Uniform init at constant mass 1 per node, NOT `HitsScale div n`:
+    // every half-step L1-normalizes, so the absolute init scale cancels
+    // exactly inside the floor division ((indeg·c·S) div (E·c) =
+    // (indeg·S) div E for any common hub constant c) — bit-identical
+    // results to a quantized per-node split while eliminating the
+    // >HitsScale-node cliff where `S div n` floors to 0 and the first
+    // normalization divides by zero. Overflow-safe: first-step raw sums
+    // are bounded by the edge count, later steps by HitsScale.
+    var hubs = nodes.select(col("node"), lit(1L).as("hu"))
     var auths: DataFrame = null
     for (it <- 1 to iterations) {
       val araw = e.join(hubs, e("src") === hubs("node"))

@@ -879,6 +879,18 @@ class CorpusSpec extends SparkSpec {
     assert(score === math.round(want * 1e6) / 1e6)
   }
 
+  test("bm25TopK: non-numeric doc ids (UUID-style strings) rank per-doc, not null-collapsed") {
+    val d = Seq(
+      "a-0" -> "whale whale sea sky", "b-1" -> "sea sky",
+      "c-2" -> "sky sun", "d-3" -> "sun sea").toDF("doc_id", "text")
+    val q = bm25Queries(Seq(10L -> "sea"))
+    val got = Corpus.bm25TopK(d, "doc_id", "text", q, "qid", "qtext", k = 5)
+      .collect().map(r => (r.getString(1), r.getLong(3)))
+    // "sea" appears in three distinct docs — each must keep its own id
+    assert(got.map(_._1).toSet === Set("a-0", "b-1", "d-3"))
+    assert(got.map(_._2).sorted.toSeq === Seq(1L, 2L, 3L))
+  }
+
   test("bm25TopK: rarer terms outrank common ones; length normalization favors short docs") {
     val d = docTable(Seq(
       0L -> "alpha beta beta beta beta beta beta beta",

@@ -150,6 +150,19 @@ class DriftSpec extends SparkSpec {
     assert(got === Seq(("a", 0.0, 2L, 2L)))
   }
 
+  test("w1Profile: constant-and-equal group present in both samples emits w1 = 0") {
+    // singleton shared support: W1 = 0 is well-defined and the group
+    // must NOT vanish (only one-sided groups are omitted)
+    val ref = Seq((1L, "const", 3.5), (2L, "const", 3.5), (3L, "b", 1.0),
+      (4L, "b", 2.0)).toDF("id", "grp", "value")
+    val cur = Seq((5L, "const", 3.5), (6L, "b", 1.0), (7L, "b", 3.0))
+      .toDF("id", "grp", "value")
+    val got = Drift.w1Profile(ref, cur, "grp", "value")
+      .as[(String, Double, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got.map(_._1) === Seq("b", "const"))
+    assert(got(1) === (("const", 0.0, 2L, 1L)))
+  }
+
   test("w1Profile: rows collapse to distinct values before any window (partition spec present)") {
     val ref = feat((1 to 200).map(i => (i % 10).toDouble))
     val cur = feat((1 to 200).map(i => (i % 7).toDouble))
