@@ -1034,15 +1034,31 @@ object Corpus {
     * learn `numMerges` merge rules from the corpus. The corpus is
     * touched ONCE — a word-frequency aggregate (the original paper's
     * formulation trains on the word-count dictionary) — and every
-    * training round then runs at VOCABULARY scale: re-tokenize each
+    * training ROUND then runs at VOCABULARY scale: re-tokenize each
     * distinct word under the merges so far ([[graft.functions.BpePairs]]),
-    * weight its pairs by the word count, partial-aggregate, argmax one
-    * row to the driver. Measured 14 s → ~1 s at sf0.1 versus re-scanning
-    * documents per round. Ties break deterministically by (count desc,
-    * l asc, r asc). Returns `(rank, l, r, cnt)`; `cnt` is the pair's
-    * corpus frequency when chosen — the standard training statistic.
+    * weight its pairs by the word count, partial-aggregate, and collect
+    * the top candidate pairs once. Ties break deterministically by
+    * (count desc, l asc, r asc). Returns `(rank, l, r, cnt)`; `cnt` is
+    * the pair's corpus frequency when chosen — the standard training
+    * statistic.
+    *
+    * Two-tier execution — the shape every production tokenizer train
+    * has (HuggingFace tokenizers, SentencePiece): the corpus scan is
+    * the only DATA-scale step, and the word-count dict it produces is
+    * VOCABULARY-scale. When the dict fits `localDictMax` rows (it
+    * virtually always does — even web-scale corpora normalize to tens
+    * of millions of distinct words), it collects ONCE and the merge
+    * loop runs the exact incremental algorithm ([[localBpeTrain]]:
+    * lazy-invalidation heap + pair→word inverted index) with ZERO
+    * further Spark jobs — a 32k-merge train is ~3 jobs total instead
+    * of 32k driver round-trips. A larger dict falls back to the
+    * distributed per-round loop, which still accepts a certified BATCH
+    * of merges per candidate collect ([[certifyBpeBatch]]). Both paths
+    * are provably BIT-IDENTICAL to the naive sequential learner (the
+    * BpeSpec reference pin runs both).
     */
-  def learnBpe(docs: DataFrame, textCol: String, numMerges: Int): DataFrame = {
+  def learnBpe(docs: DataFrame, textCol: String, numMerges: Int,
+               localDictMax: Long = BpeLocalDictMax): DataFrame = {
     import graft.functions.BpeFunctions
     val spark = docs.sparkSession
     import spark.implicits._
@@ -1059,12 +1075,27 @@ object Corpus {
     // at 32 partitions pays 12 × 32 near-empty tasks for nothing, a
     // 10 M-word web dict still saturates the clamp
     val nw = words0.count()
+    if (nw <= localDictMax) {
+      // vocabulary-scale dict: one collect, zero jobs per merge
+      val dict = words0.collect().map(r => (r.getString(0), r.getLong(1)))
+      words0.unpersist(blocking = false)
+      return localBpeTrain(dict, numMerges).zipWithIndex
+        .map { case ((l, r, c), i) => (i + 1, l, r, c) }
+        .toDF("rank", "l", "r", "cnt")
+    }
     val sc = spark.sparkContext
     val wparts = math.max(1L, math.min(sc.defaultParallelism.toLong,
       nw / 16384L + 1L)).toInt
     val words =
       if (words0.rdd.getNumPartitions > wparts) words0.coalesce(wparts) else words0
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    // concat strings of every merge learned so far: a candidate whose
+    // concat collides with an EXISTING symbol is a batch barrier (its
+    // merge would add mass to that symbol's existing pairs). Initial
+    // symbols are single code points and concats are >= 2 code points,
+    // so the collision set is exactly the merge concats — no corpus
+    // scan needed.
+    val concats = scala.collection.mutable.HashSet.empty[String]
     var exhausted = false
     while (merges.length < numMerges && !exhausted) {
       val cur = merges.map(m => (m._1, m._2)).toArray
@@ -1072,17 +1103,214 @@ object Corpus {
         .select(explode(BpeFunctions.bpePairs(col("w"), cur)).as("p"), col("wc"))
         .groupBy(col("p.l"), col("p.r")).agg(sum(col("wc")).as("cnt"))
         .orderBy(col("cnt").desc, col("l").asc, col("r").asc)
-        .limit(1).collect()
+        .limit(BpeCandidateBatch).collect()
       if (top.isEmpty) exhausted = true // corpus fully merged: stop early
       else {
-        val r = top.head
-        merges += ((r.getString(0), r.getString(1), r.getLong(2)))
+        val rows = top.map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+        val batch = certifyBpeBatch(rows, top.length == BpeCandidateBatch,
+          concats, numMerges - merges.length)
+        merges ++= batch
+        concats ++= batch.iterator.map(m => m._1 + m._2)
       }
     }
     words0.unpersist(blocking = false)
     merges.zipWithIndex
       .map { case ((l, r, c), i) => (i + 1, l, r, c) }.toSeq
       .toDF("rank", "l", "r", "cnt")
+  }
+
+  /** Candidates collected per training round — bounds driver memory at
+    * ~100 KB of (l, r, cnt) rows while giving late (sparse, mostly
+    * non-interacting) rounds room to certify large batches.
+    */
+  val BpeCandidateBatch: Int = 2048
+
+  /** Word-count dict rows under which [[learnBpe]] trains locally —
+    * ~2M words × ~100 B ≈ 200 MB of driver state, covering essentially
+    * every real tokenizer train (web-scale corpora normalize to tens
+    * of millions of distinct words at most; the collect is the same
+    * vocabulary-scale class as the engine's other metadata collects).
+    */
+  val BpeLocalDictMax: Long = 2000000L
+
+  /** Code-point order (== UTF-8 byte order, == Spark's StringType sort)
+    * — NOT java.lang.String's UTF-16 order, which disagrees for
+    * supplementary-plane symbols. Keeps the local trainer's tie-break
+    * bit-identical to the distributed path's `orderBy(l asc, r asc)`.
+    */
+  private def cpCompare(a: String, b: String): Int = {
+    var i = 0; var j = 0
+    while (i < a.length && j < b.length) {
+      val ca = a.codePointAt(i); val cb = b.codePointAt(j)
+      if (ca != cb) return Integer.compare(ca, cb)
+      i += Character.charCount(ca); j += Character.charCount(cb)
+    }
+    Integer.compare(a.length - i, b.length - j)
+  }
+
+  /** Exact sequential BPE over a collected word-count dict — the
+    * classic incremental algorithm (pair→word inverted index + lazy-
+    * invalidation max-heap) every single-node trainer uses, with this
+    * engine's exact semantics: one-pass left-to-right greedy merge
+    * application per word ([[graft.functions.BpeKernel.applyMerges]])
+    * and (count desc, l asc, r asc) tie-break in code-point order.
+    * O(total symbol rewrites + log-factor heap traffic) for the whole
+    * train, instead of one full dict re-scan per merge.
+    */
+  private[graft] def localBpeTrain(dict: Array[(String, Long)],
+                                   k: Int): Seq[(String, String, Long)] = {
+    import scala.collection.mutable
+    val syms: Array[Array[String]] = dict.map { case (w, _) =>
+      val n = w.codePointCount(0, w.length)
+      val out = new Array[String](n)
+      var i = 0; var off = 0
+      while (i < n) {
+        val next = w.offsetByCodePoints(off, 1)
+        out(i) = w.substring(off, next); off = next; i += 1
+      }
+      out
+    }
+    val wc: Array[Long] = dict.map(_._2)
+    val counts = mutable.HashMap.empty[(String, String), Long]
+    val index = mutable.HashMap.empty[(String, String), mutable.ArrayBuffer[Int]]
+    def bump(p: (String, String), n: Long, wi: Int): Unit = {
+      val c = counts.getOrElse(p, 0L) + n
+      if (c == 0L) { counts.remove(p); () }
+      else counts(p) = c
+      if (n > 0L) { index.getOrElseUpdate(p, mutable.ArrayBuffer.empty) += wi; () }
+    }
+    for (wi <- syms.indices) {
+      val s = syms(wi)
+      var i = 0
+      while (i < s.length - 1) { bump((s(i), s(i + 1)), wc(wi), wi); i += 1 }
+    }
+    // max-heap of (cnt, l, r) snapshots; stale entries (count moved on)
+    // are discarded at pop time. A snapshot matching the CURRENT count
+    // is valid no matter when it was pushed.
+    val ord = new Ordering[(Long, String, String)] {
+      def compare(a: (Long, String, String), b: (Long, String, String)): Int = {
+        val c = java.lang.Long.compare(a._1, b._1)
+        if (c != 0) c
+        else {
+          val l = cpCompare(b._2, a._2) // smaller l = higher priority
+          if (l != 0) l else cpCompare(b._3, a._3)
+        }
+      }
+    }
+    val pq = mutable.PriorityQueue.empty[(Long, String, String)](ord)
+    counts.foreach { case ((l, r), c) => pq.enqueue((c, l, r)) }
+    def applyOne(s: Array[String], a: String, b: String): Array[String] = {
+      val buf = new mutable.ArrayBuffer[String](s.length)
+      var j = 0
+      while (j < s.length) {
+        if (j + 1 < s.length && s(j) == a && s(j + 1) == b) { buf += a + b; j += 2 }
+        else { buf += s(j); j += 1 }
+      }
+      buf.toArray
+    }
+    val out = mutable.ArrayBuffer.empty[(String, String, Long)]
+    while (out.length < k && pq.nonEmpty) {
+      val (c, l, r) = pq.dequeue()
+      if (counts.getOrElse((l, r), 0L) == c) {
+        out += ((l, r, c))
+        val changed = mutable.HashSet.empty[(String, String)]
+        val wids = index.remove((l, r)).getOrElse(mutable.ArrayBuffer.empty)
+        val seen = mutable.HashSet.empty[Int]
+        for (wi <- wids if seen.add(wi)) {
+          val s = syms(wi)
+          var has = false
+          var i = 0
+          while (!has && i < s.length - 1) {
+            if (s(i) == l && s(i + 1) == r) has = true else i += 1
+          }
+          if (has) { // index entries can be stale after earlier rewrites
+            i = 0
+            while (i < s.length - 1) {
+              bump((s(i), s(i + 1)), -wc(wi), wi)
+              changed += ((s(i), s(i + 1))); i += 1
+            }
+            val ns = applyOne(s, l, r)
+            syms(wi) = ns
+            i = 0
+            while (i < ns.length - 1) {
+              bump((ns(i), ns(i + 1)), wc(wi), wi)
+              changed += ((ns(i), ns(i + 1))); i += 1
+            }
+          }
+        }
+        changed.foreach { p =>
+          val cc = counts.getOrElse(p, 0L)
+          if (cc > 0L) pq.enqueue((cc, p._1, p._2))
+        }
+      }
+    }
+    out.toSeq
+  }
+
+  /** Certify the longest prefix of one round's sorted candidate list
+    * (count desc, l asc, r asc) that the SEQUENTIAL learner would
+    * provably pick in exactly this order — fast-BPE batching with a
+    * bit-identical guarantee instead of the usual heuristic one.
+    *
+    * Interaction classes under the greedy one-pass kernel
+    * ([[graft.functions.BpeKernel.applyMerges]]): merging `(a, b)` can
+    * only DECREASE counts of pairs `(x, a)` (their `a` consumed when
+    * followed by `b`) and `(b, y)` (their `b` consumed when preceded by
+    * `a`), and only INCREASE counts of pairs touching the new symbol
+    * `a+b`. Pairs sharing no symbol with `{a, b, a+b}` — including
+    * `(a, y)` for `y != b` and `(x, b)` for `x != a`, whose shared
+    * symbol can never be consumed by an occurrence of this merge — keep
+    * their counts exactly.
+    *
+    * Scan the list in order, accepting candidates whose count cannot
+    * have changed; stop at the first candidate in a may-change class
+    * (or whose concat collides with an existing merge symbol — merging
+    * it would ADD mass to that symbol's existing pairs, an unbounded
+    * boost). Let B = that candidate's count (or the last collected
+    * row's count when the list was truncated at the collect limit —
+    * every uncollected pair is <= it). Every pair whose count can
+    * change after the accepted merges is bounded by B: may-decrease
+    * pairs start <= B (a higher one would have stopped the scan
+    * earlier), and each NEW pair `(x, a+b)` / `(a+b, y)` inherits its
+    * count from occurrences of `(x, a)` / `(b, y)` — may-decrease
+    * pairs, themselves <= B. So every accepted candidate with count
+    * STRICTLY above B out-ranks everything whose count moved, and the
+    * sequential argmax sequence is exactly the accepted prefix. Kept =
+    * the strict-majority prefix `cnt > B`; when even the head fails
+    * (its concat collides, or it ties B), fall back to the head alone —
+    * the argmax is the sequential pick by definition.
+    *
+    * When the whole pair table fit under the collect limit and no
+    * candidate interacts, there is nothing left to change: accept all.
+    */
+  private[graft] def certifyBpeBatch(rows: Array[(String, String, Long)],
+                                     truncated: Boolean,
+                                     priorConcats: scala.collection.Set[String],
+                                     maxAccept: Int): Seq[(String, String, Long)] = {
+    val lefts = scala.collection.mutable.HashSet.empty[String]
+    val rights = scala.collection.mutable.HashSet.empty[String]
+    val fresh = scala.collection.mutable.HashSet.empty[String]
+    val accepted = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    var bound = if (truncated) rows.last._3 else -1L
+    var stopped = false
+    var i = 0
+    while (!stopped && i < rows.length) {
+      val (l, r, cnt) = rows(i)
+      val cc = l + r
+      val conflict =
+        rights.contains(l) ||                    // (b, y): may decrease
+        lefts.contains(r) ||                     // (x, a): may decrease
+        fresh.contains(l) || fresh.contains(r) ||  // touches a new symbol
+        fresh.contains(cc) || priorConcats.contains(cc) // concat collision
+      if (conflict) { bound = cnt; stopped = true }
+      else {
+        accepted += ((l, r, cnt))
+        lefts += l; rights += r; fresh += cc
+        i += 1
+      }
+    }
+    val kept = accepted.takeWhile(_._3 > bound).take(maxAccept)
+    if (kept.isEmpty) Seq(rows.head) else kept.toSeq
   }
 
   // learned merge tables keyed by (application, corpus key, numMerges):

@@ -51,11 +51,69 @@ class BpeSpec extends SparkSpec {
     "that mat is flat",
     "the the the banana stand")
 
-  test("learnBpe matches the reference learner merge-for-merge") {
-    val got = Corpus.learnBpe(corpus.toDF("text"), "text", numMerges = 10)
+  test("learnBpe matches the reference learner merge-for-merge (both execution tiers)") {
+    val want = refLearn(corpus, 10)
+    // local-dict tier (the default: vocabulary-scale dict collected once)
+    val local = Corpus.learnBpe(corpus.toDF("text"), "text", numMerges = 10)
       .orderBy("rank").as[(Int, String, String, Long)].collect()
       .map { case (_, l, r, c) => (l, r, c) }.toSeq
-    assert(got === refLearn(corpus, 10))
+    assert(local === want)
+    // distributed tier (forced with localDictMax = 0): certified batches
+    val dist = Corpus.learnBpe(corpus.toDF("text"), "text", numMerges = 10,
+        localDictMax = 0L)
+      .orderBy("rank").as[(Int, String, String, Long)].collect()
+      .map { case (_, l, r, c) => (l, r, c) }.toSeq
+    assert(dist === want)
+  }
+
+  test("batched learnBpe ≡ sequential reference on adversarial corpora") {
+    // each corpus is engineered to stress one certification hazard:
+    // chained tops that consume each other, concat collisions where two
+    // different pairs produce the same string, ties at the batch
+    // boundary, and same-symbol (a,a) merges
+    val corpora = Seq(
+      // heavy (t,h)/(h,e) interaction — "the" everywhere
+      Seq.fill(30)("the then there ha he at") ++ Seq("x y z"),
+      // concat collision: merges can form "abc" as (a,bc) and (ab,c)
+      Seq.fill(20)("abc abc ab bc a b c") ++ Seq.fill(10)("xabcx"),
+      // (a,a) self-merge with odd runs (greedy one-pass semantics)
+      Seq.fill(15)("aaa aaaa aa a") ++ Seq.fill(5)("baab aab"),
+      // many equal counts — tie-breaks must batch identically
+      Seq.fill(10)("pq rs tu vw xy") ++ Seq.fill(10)("qp sr ut wv yx"),
+      // boost hazard: symbol "ab" pre-formable, then (x,ab) pairs
+      Seq.fill(25)("xab ab xa") ++ Seq.fill(12)("cab abd"))
+    for ((c, i) <- corpora.zipWithIndex; k <- Seq(5, 25);
+         dictMax <- Seq(0L, Corpus.BpeLocalDictMax)) {
+      val got = Corpus.learnBpe(c.toDF("text"), "text", numMerges = k,
+          localDictMax = dictMax)
+        .orderBy("rank").as[(Int, String, String, Long)].collect()
+        .map { case (_, l, r, n) => (l, r, n) }.toSeq
+      assert(got === refLearn(c, k),
+        s"corpus #$i diverged at numMerges=$k dictMax=$dictMax")
+    }
+  }
+
+  test("certifyBpeBatch: accepts disjoint prefix, stops at interaction, strict bound on ties") {
+    // (t,h) then (e,r) disjoint; (h,e) interacts with (t,h) via its h
+    val rows = Array(("t", "h", 100L), ("e", "r", 80L), ("h", "e", 70L),
+      ("i", "n", 60L))
+    val got = Corpus.certifyBpeBatch(rows, truncated = false, Set.empty, 10)
+    assert(got === Seq(("t", "h", 100L), ("e", "r", 80L)))
+    // tie at the bound: accepted rows with cnt == first-conflict cnt drop
+    val tied = Array(("t", "h", 100L), ("e", "r", 70L), ("h", "e", 70L))
+    assert(Corpus.certifyBpeBatch(tied, truncated = false, Set.empty, 10) ===
+      Seq(("t", "h", 100L)))
+    // concat collision with a prior merge is a barrier — head-only fallback
+    val coll = Array(("a", "bc", 90L), ("x", "y", 50L))
+    assert(Corpus.certifyBpeBatch(coll, truncated = false, Set("abc"), 10) ===
+      Seq(("a", "bc", 90L)))
+    // truncated list: the tail count bounds everything uncollected
+    val trunc = Array(("t", "h", 100L), ("e", "r", 80L), ("i", "n", 80L))
+    assert(Corpus.certifyBpeBatch(trunc, truncated = true, Set.empty, 10) ===
+      Seq(("t", "h", 100L)))
+    // full table, all disjoint: accept everything
+    assert(Corpus.certifyBpeBatch(trunc, truncated = false, Set.empty, 10)
+      .length === 3)
   }
 
   test("bpeSymbols applies merges within words only; boundaries never merge") {
