@@ -162,13 +162,52 @@ object QualityClassifier {
     // long-lived driver training many models would otherwise accumulate
     // doc-scale cached frames
     f0.unpersist(blocking = false)
+    weightsTable(spark, w)
+  }
 
+  /** A trained weight vector as the `(feat, w_units, w_r)` table
+    * [[train]] returns — driver-held longs, no cluster work.
+    */
+  def weightsTable(spark: org.apache.spark.sql.SparkSession,
+                   w: Array[Long]): DataFrame = {
     import spark.implicits._
     w.toSeq.zipWithIndex.map { case (v, j) => (j.toLong, v) }
       .toDF("feat", "w_units")
       .withColumn("w_r",
         NumFunctions.roundNz(col("w_units").cast("double") / Scale, 6))
       .orderBy(col("feat"))
+  }
+
+  // trained weight vectors keyed by (application, corpus key, params):
+  // driver-side longs (dim ≤ 64k entries), the train-once / score-many
+  // lifecycle shared with Corpus.learnBpeCached / Quantize.fitPqCached.
+  // Entries from dead applications drop lazily on the next train.
+  private val trainedWeights =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Long]]()
+
+  /** [[train]] memoized per (session application, `key`, params),
+    * returning the weight vector ready for [[scoreWith]] /
+    * [[scoreRowWise]]. The whole evaluation family of a model (score,
+    * calibration, AUC, uncertainty sampling) shares ONE training run
+    * per session instead of each query silently retraining the
+    * identical classifier. Only the default label function is cached —
+    * a custom `labelFromTokens` is a different model, train it
+    * explicitly.
+    */
+  def trainCached(key: String, docs: DataFrame, idCol: String, textCol: String,
+                  dim: Int = 64, iterations: Int = 3, etaDen: Long = 64L)
+      : Array[Long] = {
+    val app = docs.sparkSession.sparkContext.applicationId
+    val full = s"$app|$key|$idCol|$textCol|$dim|$iterations|$etaDen"
+    val hit = trainedWeights.get(full)
+    if (hit != null) hit
+    else {
+      val it = trainedWeights.keySet.iterator()
+      while (it.hasNext) { if (!it.next().startsWith(app + "|")) it.remove() }
+      trainedWeights.computeIfAbsent(full, _ =>
+        train(docs, idCol, textCol, dim, iterations, etaDen)
+          .orderBy(col("feat")).collect().map(_.getLong(1)))
+    }
   }
 
   /** Score docs with a trained weight vector: `(id, y, z_units,

@@ -85,6 +85,24 @@ class QualityClassifierSpec extends SparkSpec {
     assert(got.toSeq === w.toSeq)
   }
 
+  test("trainCached memoizes per (key, params): same array, no retrain; params change misses") {
+    val docs = planted(8).toDF("doc_id", "text")
+    val w1 = QualityClassifier.trainCached("qcspec", docs, "doc_id", "text",
+      dim = 64, iterations = 2)
+    // identical key → the SAME driver array back, no second training run
+    assert(QualityClassifier.trainCached("qcspec", docs, "doc_id", "text",
+      dim = 64, iterations = 2) eq w1)
+    // different iterations = a different model
+    val w2 = QualityClassifier.trainCached("qcspec", docs, "doc_id", "text",
+      dim = 64, iterations = 3)
+    assert(!(w2 eq w1))
+    // the cached vector equals a fresh uncached train bit-for-bit
+    val fresh = QualityClassifier.train(docs, "doc_id", "text",
+        dim = 64, iterations = 2)
+      .orderBy("feat").select("w_units").as[Long].collect()
+    assert(w1.toSeq === fresh.toSeq)
+  }
+
   test("docs with no tokens are excluded; empty corpus rejected") {
     val docs = Seq((0L, "   "), (1L, "a b c")).toDF("doc_id", "text")
     val f = QualityClassifier.hashedFeatures(docs, "doc_id", "text",
