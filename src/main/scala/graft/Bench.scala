@@ -4,11 +4,18 @@ package graft
 /** Driver-run benchmark: times every `SparkEntry.queries` entry on
   * `SPARK_GRAFT_SF_DIR` and prints one JSON line.
   *
-  * Each query is executed once untimed (JIT + codegen compilation,
-  * parquet footer/metadata caches — the steady-state a long-running
-  * cluster actually operates in) and then timed three times, reporting
-  * the minimum. Queries run in sorted name order so timings are
-  * attributable and stable across runs.
+  * Per-query protocol (round 11 — isolation over throughput): warm
+  * once untimed (JIT + codegen + parquet footer caches — the
+  * steady-state a long-running cluster operates in), time three
+  * passes, then DROP all cached blocks and force a GC before the next
+  * query. The old shape (one global warmup building all 179 queries'
+  * caches up front, cleanup left to the ContextCleaner) accumulated
+  * block-manager state no real deployment would carry, and neighbors'
+  * timings drifted 2-3× under the leftover GC pressure — per-query
+  * deltas across rounds were untrustworthy. Reported: min of 3 (the
+  * steady-state cost) plus median of 3 (`queries_median`) so a
+  * min/median gap flags in-JVM variance explicitly instead of
+  * masquerading as a regression.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -33,32 +40,33 @@ object Bench {
       }
 
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
-    // warmup pass: codegen + file-metadata caches, not the data itself
-    ordered.foreach { case (name, fn) => run(name, fn) }
-    errors.clear() // timed pass re-records; warmup failures usually repeat
     // min-of-3: a single timed pass lets one GC pause / JIT recompile /
     // page-cache miss read as a multi-x regression in the per-round
     // artifact; the minimum of three passes is the steady-state cost and
     // is stable across reruns. Errors still red every pass they hit.
     val results = ordered.map { case (name, fn) =>
-      val t = (1 to 3).map { _ =>
+      errors.remove(name) // timed passes re-record; warmup failures repeat
+      run(name, fn)       // this query's own warm pass, nothing else's
+      val times = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         run(name, fn)
         (System.nanoTime() - t0) / 1e9
-      }.min
-      // between queries (outside the timed region): let the
-      // ContextCleaner reap the previous query's dead persist /
-      // checkpoint blocks — 151 queries in one JVM otherwise
-      // accumulate block-manager state no real deployment would carry,
-      // and neighbors' timings degrade under the leftover GC pressure
+      }.sorted
+      // isolation boundary: drop every cached block this query left
+      // (operator-internal persists, memoized index frames) and reap
+      // dead references NOW — the next query starts from the same
+      // clean slate a standalone run would
+      spark.catalog.clearCache()
       System.gc()
-      name -> t
+      (name, times.head, times(1))
     }
     // 3-decimal timings: ms resolution is all the comparison needs, and
     // the halved line length keeps the whole JSON inside log tail
     // windows that previously truncated the artifact mid-line
     def d3(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", v)
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + d3(v) }
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + d3(v) }
+      .mkString("{", ",", "}")
+    val qsMed = results.map { case (k, _, m) => "\"" + k + "\":" + d3(m) }
       .mkString("{", ",", "}")
     def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
       .replaceAll("[\\n\\r\\t]", " ") + "\""
@@ -66,7 +74,7 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val json = s"""{"metric":"total","value":${d3(total)},"unit":"sec","error_count":${errors.size},""" +
-      s""""errors":$errJson,"queries":$qs,"sf":"$sfDir"}"""
+      s""""errors":$errJson,"queries":$qs,"queries_median":$qsMed,"sf":"$sfDir"}"""
     println(json)
     // belt-and-braces artifact: the same line on disk survives any tail
     // window (overridable so a read-only CWD can't fail the bench)

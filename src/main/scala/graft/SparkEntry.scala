@@ -1087,19 +1087,20 @@ object SparkEntry {
   def q95(s: SparkSession, d: String): DataFrame =
     graft.operators.Pca.covariance(emb(s, d), "embedding", d = 64, scale = 6)
 
-  /** Q96 — PCA projection ([[graft.operators.Pca.fit]]/`project`):
-    * top-2 components from the driver-side Jacobi eigensolve of q95's
-    * covariance (d² metadata), projection as a map-side dot against
-    * eigenvector literals. Eigen-decomposition is not SQL-expressible:
-    * no oracle; the spectral invariants (Cv = λv, projection variance
-    * = λ, orthonormality) are spec-pinned (PcaSpec).
+  /** Q96 — spectral projection by fixed-point power iteration
+    * ([[graft.operators.Pca.powerProject]]): top-2 directions from 4
+    * exact-integer power steps over the 6-decimal-quantized covariance
+    * (L∞ normalization, truncating division, integer rank-1
+    * deflation — the q133/q148 fixed-point recipe applied to linear
+    * algebra), projections as map-side integer folds. Every step
+    * replays bit-for-bit in DuckDB HUGEINT CTEs — the full oracle the
+    * Jacobi path (spec-pinned in PcaSpec, and still the `Pca.fit`
+    * surface) cannot have. Alignment with the true eigenbasis is
+    * PcaSpec-pinned on a planted-spectrum corpus.
     */
-  def q96(s: SparkSession, d: String): DataFrame = {
-    val model = graft.operators.Pca.fit(emb(s, d), "embedding", d = 64, k = 2)
-    graft.operators.Pca.project(emb(s, d), "vec_id", "embedding", model)
-      .select(col("vec_id"), NumFunctions.roundNz(col("pc1"), 4).as("pc1"),
-        NumFunctions.roundNz(col("pc2"), 4).as("pc2"))
-  }
+  def q96(s: SparkSession, d: String): DataFrame =
+    graft.operators.Pca.powerProject(emb(s, d), "vec_id", "embedding",
+      d = 64, iters = 4)
 
   /** Q97 — semantic deduplication (SemDeDup, Abbas et al. 2023;
     * [[graft.operators.Dedup.semanticDedup]]): k-means cells bound the
@@ -1151,10 +1152,12 @@ object SparkEntry {
     * ([[graft.operators.Sketches]]; Cormode & Muthukrishnan 2005): the
     * MERGEABLE counter grid — one grid per partition through the
     * shuffle, elementwise adds — with the exact top-20 alongside so the
-    * never-underestimate guarantee is visible in the output. Estimates
-    * are hash-family-specific: no SQL oracle; the CMS guarantees
-    * (est ≥ exact, merge ≡ one-pass, error ≤ bound) are spec-pinned
-    * (SketchesSpec).
+    * never-underestimate guarantee is visible in the output. The grid
+    * is deterministic given the affine family, and the JVM's wrapping
+    * 64-bit hash replays exactly in HUGEINT mod-2^64 arithmetic — the
+    * oracle rebuilds the (depth, slot) grid and takes the same min.
+    * The CMS guarantees (est ≥ exact, merge ≡ one-pass, error ≤ bound)
+    * stay spec-pinned (SketchesSpec).
     */
   def q100(s: SparkSession, d: String): DataFrame =
     graft.operators.Sketches.heavyHittersWithEstimates(
@@ -1642,6 +1645,106 @@ object SparkEntry {
     graft.operators.Corpus.dsirSelect(
       dd.filter(col("source") =!= "src0"), dd.filter(col("source") === "src0"),
       "doc_id", "text", dim = 256, k = 100)
+  }
+
+  /** Q180 — TPC-H Q18 (large-volume orders): customers whose orders
+    * total more than 300 units — the classic large-group
+    * `HAVING sum(qty) > n` SEMI-JOIN planner stressor. The qualifying
+    * key set comes from one partial-aggregating pass over lineitem and
+    * re-enters as a left-semi on `l_orderkey`, so lineitem shuffles
+    * ONCE on the key both the semi and the orders join reuse; AQE
+    * decides whether the (selective) key set broadcasts. Quantity sums
+    * route through DECIMAL(18,2); the final order is total
+    * (totalprice desc, date, orderkey).
+    */
+  def q180(s: SparkSession, d: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(18, 2)
+    val l = Tables.lineitem(s, d)
+    val big = l.groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity").cast(dec)).as("__q"))
+      .filter(col("__q") > 300)
+      .select(col("l_orderkey").as("__bk"))
+    val o = Tables.orders(s, d)
+    val c = Tables.customer(s, d).select(col("c_custkey"), col("c_name"))
+    l.join(big, l("l_orderkey") === col("__bk"), "left_semi")
+      .join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .groupBy(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        col("o_orderdate"), col("o_totalprice"))
+      .agg(sum(col("l_quantity").cast(dec)).cast("double").as("sum_qty"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+        col("o_totalprice"), col("sum_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderdate").asc,
+        col("o_orderkey").asc)
+      .limit(100)
+  }
+
+  /** Q181 — TPC-H Q21 join shape (sole implicated supplier): for
+    * finalized orders with a RETURNED item, the suppliers who were the
+    * ONLY supplier with a return among an order's several suppliers —
+    * the classic multi-EXISTS / NOT-EXISTS self-join stressor (the
+    * fixture lacks commit/receipt dates, so `l_returnflag = 'R'` plays
+    * the "failed the order" role; the join geometry is Q21's exactly).
+    * The returned-line table semi-joins lineitem (another supplier
+    * exists), anti-joins the returned subset (no OTHER supplier
+    * returned), semi-joins 'F' orders — all three legs co-partitioned
+    * on `l_orderkey` — then the nation-filtered supplier dim
+    * broadcasts for the count.
+    */
+  def q181(s: SparkSession, d: String): DataFrame = {
+    val l = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_returnflag"))
+    val late = l.filter(col("l_returnflag") === "R")
+    val l1 = late.select(col("l_orderkey").as("__ok"), col("l_suppkey").as("__sk"))
+    val others = l.select(col("l_orderkey").as("__ok2"), col("l_suppkey").as("__sk2"))
+    val lateOthers = late.select(col("l_orderkey").as("__ok3"),
+      col("l_suppkey").as("__sk3"))
+    val sup = Tables.supplier(s, d)
+      .join(broadcast(Tables.nation(s, d).filter(col("n_name") === "NATION_3")
+        .select(col("n_nationkey"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_name"))
+    l1.join(others, col("__ok") === col("__ok2") && col("__sk") =!= col("__sk2"),
+        "left_semi")
+      .join(lateOthers,
+        col("__ok") === col("__ok3") && col("__sk") =!= col("__sk3"), "left_anti")
+      .join(Tables.orders(s, d).filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey")), col("__ok") === col("o_orderkey"), "left_semi")
+      .join(broadcast(sup), col("__sk") === col("s_suppkey"))
+      .groupBy(col("s_name")).agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name").asc)
+      .limit(100)
+  }
+
+  /** Q182 — perceptual image near-dup (dHash;
+    * [[graft.multimodal.Multimodal.imageDHash]] /
+    * [[graft.multimodal.Multimodal.dhashNearDupPairs]]): each document
+    * renders a deterministic 9×8 gradient PNG — pattern parameters
+    * from `doc_id % 25` (so ~4 % of docs share each pattern) plus a
+    * PER-DOC brightness shift dHash must cancel — decodes through the
+    * real JDK codec, hashes, and pairs by the lossless 4×16-bit-band
+    * Hamming join (ham ≤ 3 ⇒ one clean band, pigeonhole). The image
+    * dedup class exact payload hashing misses: re-encoded and
+    * brightness-shifted copies. Oracle: the gradient luma is
+    * arithmetic in doc_id, so DuckDB rebuilds every doc's bit set and
+    * brute-forces all pairs — a hash match proves the whole
+    * render → PNG bytes → decode → grid → hash → banded-join path.
+    */
+  def q182(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val media = docs(s, d)
+      .select(col("doc_id")).as[Long]
+      .map { id =>
+        val g = (id % 25).toInt
+        Multimodal.MediaRow(id, "image",
+          Multimodal.renderQuadGradPng(9, 8, offset = g,
+            shift = (id % 3).toInt * 4),
+          9, 8, 0)
+      }
+    val hashes = Multimodal.imageDHash(media)
+      .select(col("media_id").as("doc_id"), col("dhash"))
+    Multimodal.dhashNearDupPairs(hashes, "doc_id", "dhash", maxHamming = 3)
   }
 
   /** Q179 — TPC-H Q5 (local supplier volume): revenue by nation for
@@ -2606,7 +2709,10 @@ object SparkEntry {
     "q176_cluster_sizes"  -> (q176 _),
     "q177_lang_entropy"   -> (q177 _),
     "q178_tpch_q3"        -> (q178 _),
-    "q179_tpch_q5"        -> (q179 _))
+    "q179_tpch_q5"        -> (q179 _),
+    "q180_tpch_q18"       -> (q180 _),
+    "q181_tpch_q21"       -> (q181 _),
+    "q182_image_dhash"    -> (q182 _))
 
   // DuckDB twins. Shared SQL fragments for the text queries:
   // explicit class: Java \s includes \x0B, RE2 \s does not — see
@@ -3673,6 +3779,100 @@ object SparkEntry {
          |FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.pos <= b.pos
          |GROUP BY 1, 2
          |""".stripMargin),
+    // q100: the CMS grid is fully deterministic given the affine hash
+    // family, and the JVM's wrapping 64-bit arithmetic replays exactly
+    // in HUGEINT: slot_d(k) = ((k·a_d + b_d mod 2^64 unsigned) >> 33)
+    // % width. The four (a, b) pairs below ARE the seed-42 family
+    // (java.util.Random, pinned constants; slot replay cross-checked
+    // JVM vs DuckDB). The grid rebuilds as a (d, slot) count table and
+    // est = min over the key's four cells — never under exact.
+    "q100_cms_sketch" -> {
+      val T = "18446744073709551616" // 2^64
+      s"""WITH h(d, a, b) AS (VALUES
+         |  (0, CAST(-5025562857975149833 AS BIGINT), CAST(-3346207314135029174 AS BIGINT)),
+         |  (1, CAST(-5843495416241995735 AS BIGINT), CAST(7055661172365764401 AS BIGINT)),
+         |  (2, CAST(5694868678511409995 AS BIGINT), CAST(5727132727125604993 AS BIGINT)),
+         |  (3, CAST(5111195811822994797 AS BIGINT), CAST(9108621128106954951 AS BIGINT))),
+         |ks AS MATERIALIZED (SELECT CAST(user_id AS BIGINT) AS k FROM events
+         |  WHERE user_id IS NOT NULL),
+         |grid AS MATERIALIZED (SELECT h.d,
+         |  CAST((((CAST(ks.k AS HUGEINT) * h.a + h.b) % $T + $T) % $T)
+         |    // 8589934592 % 2048 AS BIGINT) AS s,
+         |  count(*) AS c
+         |  FROM ks CROSS JOIN h GROUP BY 1, 2),
+         |top AS MATERIALIZED (SELECT k AS key, count(*) AS exact FROM ks
+         |  GROUP BY 1 ORDER BY exact DESC, key LIMIT 20)
+         |SELECT CAST(t.key AS BIGINT) AS key, CAST(t.exact AS BIGINT) AS exact,
+         |  CAST(min(g.c) AS BIGINT) AS est
+         |FROM top t CROSS JOIN h
+         |JOIN grid g ON g.d = h.d AND g.s =
+         |  CAST((((CAST(t.key AS HUGEINT) * h.a + h.b) % $T + $T) % $T)
+         |    // 8589934592 % 2048 AS BIGINT)
+         |GROUP BY 1, 2
+         |""".stripMargin
+    },
+    // q96: the full fixed-point power-iteration replay in HUGEINT —
+    // quantized covariance grid, diagonal-argmax start, 4 steps of
+    // w = C·v then v = (w·1e6) // max|w| (// truncates toward zero,
+    // matching BigInt / and Spark div), sign pin at the largest-|x|
+    // coordinate, integer rank-1 deflation, per-row integer folds.
+    "q96_pca_project" -> {
+      def step(m: String, prev: String, k: String): String =
+        s"""w$k AS MATERIALIZED (SELECT mm.i, sum(mm.c * p.x) AS w
+           |  FROM $m mm JOIN $prev p ON mm.j = p.i GROUP BY 1),
+           |a$k AS MATERIALIZED (SELECT i, (w * 1000000) // (SELECT max(abs(w)) FROM w$k) AS x
+           |  FROM w$k)""".stripMargin
+      def pin(last: String, out: String): String =
+        s"""$out AS MATERIALIZED (SELECT a.i, a.x * (CASE WHEN (SELECT x FROM $last
+           |  ORDER BY abs(x) DESC, i LIMIT 1) < 0 THEN -1 ELSE 1 END) AS x
+           |  FROM $last a)""".stripMargin
+      s"""WITH e AS (
+         |  SELECT vec_id,
+         |    CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS pos,
+         |    CAST(unnest(embedding) AS DOUBLE) AS v
+         |  FROM embeddings),
+         |cov AS MATERIALIZED (SELECT a.pos AS i, b.pos AS j,
+         |  CAST(floor(round(covar_pop(a.v, b.v), 6) * 1000000 + 0.5) AS HUGEINT) AS c
+         |  FROM e a JOIN e b ON a.vec_id = b.vec_id GROUP BY 1, 2),
+         |a0 AS MATERIALIZED (SELECT i, CASE WHEN i = (SELECT i FROM cov WHERE i = j
+         |    ORDER BY c DESC, i LIMIT 1)
+         |  THEN CAST(1000000 AS HUGEINT) ELSE CAST(0 AS HUGEINT) END AS x
+         |  FROM (SELECT DISTINCT i FROM cov) dims),
+         |${step("cov", "a0", "1")},
+         |${step("cov", "a1", "2")},
+         |${step("cov", "a2", "3")},
+         |${step("cov", "a3", "4")},
+         |${pin("a4", "p1")},
+         |nd AS MATERIALIZED (SELECT
+         |  (SELECT sum(pa.x * c.c * pb.x) FROM cov c
+         |    JOIN p1 pa ON c.i = pa.i JOIN p1 pb ON c.j = pb.i) AS num,
+         |  (SELECT sum(x * x) FROM p1) AS den),
+         |cov2 AS MATERIALIZED (SELECT c.i, c.j,
+         |  (c.c * nd.den * nd.den - nd.num * pa.x * pb.x) // (nd.den * nd.den) AS c
+         |  FROM cov c CROSS JOIN nd
+         |  JOIN p1 pa ON c.i = pa.i JOIN p1 pb ON c.j = pb.i),
+         |b0 AS MATERIALIZED (SELECT i, CASE WHEN i = (SELECT i FROM cov2 WHERE i = j
+         |    ORDER BY c DESC, i LIMIT 1)
+         |  THEN CAST(1000000 AS HUGEINT) ELSE CAST(0 AS HUGEINT) END AS x
+         |  FROM (SELECT DISTINCT i FROM cov2) dims),
+         |${step("cov2", "b0", "5")},
+         |${step("cov2", "a5", "6")},
+         |${step("cov2", "a6", "7")},
+         |${step("cov2", "a7", "8")},
+         |${pin("a8", "p2")},
+         |xq AS MATERIALIZED (SELECT vec_id, pos,
+         |  CAST(floor(v * 1000000 + 0.5) AS HUGEINT) AS x FROM e),
+         |pr AS MATERIALIZED (SELECT xq.vec_id,
+         |  sum(xq.x * p1.x) AS u1, sum(xq.x * p2.x) AS u2
+         |  FROM xq JOIN p1 ON xq.pos = p1.i JOIN p2 ON xq.pos = p2.i
+         |  GROUP BY 1)
+         |SELECT vec_id, CAST(u1 AS BIGINT) AS pc1_units,
+         |  CAST(u2 AS BIGINT) AS pc2_units,
+         |  round(CAST(u1 AS DOUBLE) / 1000000000000, 6) + 0 AS pc1_r,
+         |  round(CAST(u2 AS DOUBLE) / 1000000000000, 6) + 0 AS pc2_r
+         |FROM pr
+         |""".stripMargin
+    },
     "q98_dpp_join" ->
       ("""WITH dim AS (
          |  SELECT event_type FROM events GROUP BY 1
@@ -4370,6 +4570,70 @@ object SparkEntry {
          |FROM sc
          |""".stripMargin),
     // q179: the Q5 join tree, revenue through DECIMAL(28,6).
+    // q182: every doc's 9×8 gradient luma is pure doc_id arithmetic
+    // (gray RGB → BT.601 luma is exact), so the bit set rebuilds as a
+    // (doc, k) table — bit y·8+x set iff lum(x+1,y) > lum(x,y) — and
+    // hamming(a, b) = |A| + |B| − 2·|A∩B| brute-forced over all pairs.
+    // The banded engine join is lossless at ham ≤ 3, so the row sets
+    // must agree exactly.
+    "q182_image_dhash" ->
+      ("""WITH g AS MATERIALIZED (SELECT doc_id, doc_id % 25 AS gk,
+         |    (doc_id % 3) * 4 AS base FROM documents),
+         |cells AS MATERIALIZED (SELECT doc_id,
+         |    x.range AS x, y.range AS y,
+         |    base + ((x.range + 9 * y.range + gk + 1)
+         |      * (x.range + 9 * y.range + gk + 1) * 13) % 150 AS lum
+         |  FROM g, range(9) x, range(8) y),
+         |bits AS MATERIALIZED (SELECT a.doc_id, a.y * 8 + a.x AS k
+         |  FROM cells a JOIN cells b
+         |    ON a.doc_id = b.doc_id AND a.y = b.y AND b.x = a.x + 1
+         |  WHERE b.lum > a.lum),
+         |cnts AS MATERIALIZED (SELECT d.doc_id, count(b.k) AS c
+         |  FROM documents d LEFT JOIN bits b USING (doc_id) GROUP BY 1),
+         |inter AS MATERIALIZED (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |    count(*) AS n
+         |  FROM bits a JOIN bits b ON a.k = b.k AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT p.a_id, p.b_id,
+         |  CAST(ca.c + cb.c - 2 * coalesce(i.n, 0) AS BIGINT) AS hamming
+         |FROM (SELECT a.doc_id AS a_id, b.doc_id AS b_id
+         |      FROM documents a JOIN documents b ON a.doc_id < b.doc_id) p
+         |LEFT JOIN inter i ON i.a_id = p.a_id AND i.b_id = p.b_id
+         |JOIN cnts ca ON ca.doc_id = p.a_id
+         |JOIN cnts cb ON cb.doc_id = p.b_id
+         |WHERE ca.c + cb.c - 2 * coalesce(i.n, 0) <= 3
+         |""".stripMargin),
+    // q180: the Q18 semi-join under the same DECIMAL(18,2) sum path;
+    // (totalprice, date, orderkey) is a total order so LIMIT is stable.
+    "q180_tpch_q18" ->
+      ("""SELECT c_name, c_custkey, o_orderkey,
+         |  strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate, o_totalprice,
+         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+         |FROM customer, orders, lineitem
+         |WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem GROUP BY 1
+         |    HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 300)
+         |  AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+         |GROUP BY 1, 2, 3, 4, 5
+         |ORDER BY o_totalprice DESC, o_orderdate, o_orderkey LIMIT 100
+         |""".stripMargin),
+    // q181: the Q21 EXISTS / NOT EXISTS self-join geometry with
+    // l_returnflag = 'R' as the failure mark (no commit/receipt dates
+    // in the fixture schema).
+    "q181_tpch_q21" ->
+      ("""WITH l1 AS (SELECT l_orderkey, l_suppkey FROM lineitem
+         |  WHERE l_returnflag = 'R')
+         |SELECT s_name, count(*) AS numwait
+         |FROM l1
+         |JOIN orders ON o_orderkey = l1.l_orderkey AND o_orderstatus = 'F'
+         |JOIN supplier ON s_suppkey = l1.l_suppkey
+         |JOIN nation ON s_nationkey = n_nationkey AND n_name = 'NATION_3'
+         |WHERE EXISTS (SELECT 1 FROM lineitem l2
+         |    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+         |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+         |    WHERE l3.l_returnflag = 'R' AND l3.l_orderkey = l1.l_orderkey
+         |      AND l3.l_suppkey <> l1.l_suppkey)
+         |GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 100
+         |""".stripMargin),
     "q179_tpch_q5" ->
       ("""SELECT n_name,
          |  round(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)

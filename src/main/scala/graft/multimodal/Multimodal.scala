@@ -147,6 +147,150 @@ object Multimodal {
     })
   }
 
+  /** Deterministic grayscale gradient PNG: `luma(x, y) = base +
+    * (x·sx + y·sy) % mod` (gray RGB, so BT.601 luma recovers the value
+    * exactly). The patterned counterpart of [[renderSolidPng]] —
+    * fixture images whose DIFFERENCE HASH is arithmetically
+    * predictable from the parameters, which is what lets q182's oracle
+    * replay perceptual dedup without a codec.
+    */
+  def renderGradientPng(w: Int, h: Int, base: Int, sx: Int, sy: Int,
+                        mod: Int): Array[Byte] = {
+    require(mod >= 1 && base >= 0 && base + mod - 1 <= 255,
+      s"luma range [base, base+mod) must fit 0..255, got base=$base mod=$mod")
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val l = base + (x * sx + y * sy) % mod
+        img.setRGB(x, y, (l << 16) | (l << 8) | l)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Quadratic-gradient grayscale PNG: `luma(x, y) = shift +
+    * ((x + 9y + offset + 1)²·13) % 150`. Unlike a LINEAR gradient
+    * (whose difference hash degenerates to near-all-ones — neighbors
+    * almost always increase), the squared term makes adjacent-cell
+    * comparisons flip pseudo-randomly, so distinct `offset`s produce
+    * dHashes ~30 bits apart while equal offsets collide exactly; the
+    * `shift` term is a uniform brightness change dHash cancels. The
+    * q182 fixture renderer — luma is pure integer arithmetic, so the
+    * oracle replays it without a codec.
+    */
+  def renderQuadGradPng(w: Int, h: Int, offset: Int, shift: Int): Array[Byte] = {
+    require(shift >= 0 && shift + 149 <= 255, s"shift out of range: $shift")
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val t = x + 9 * y + offset + 1
+        val l = shift + (t * t * 13) % 150
+        img.setRGB(x, y, (l << 16) | (l << 8) | l)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Per-image 64-bit difference hash. */
+  case class ImageHash(media_id: Long, decoded: Boolean, dhash: Long)
+
+  /** dHash (difference hash) — the standard perceptual image
+    * fingerprint: decode, reduce to a 9-wide × 8-high luma grid
+    * (bilinear, skipped when the payload is already 9×8), set bit
+    * `y·8 + x` when `luma(x+1, y) > luma(x, y)`. Horizontal gradients
+    * survive re-encoding, uniform brightness shifts, and mild resizes
+    * — exactly the duplicate classes exact payload-byte hashing (q12)
+    * misses on a multimodal corpus. Pixels never leave the partition;
+    * only the 8-byte hash shuffles (the q139 frame-hash contract).
+    * Corrupt payloads flag `decoded = false` with hash 0 instead of
+    * failing the task.
+    */
+  def imageDHash(media: Dataset[MediaRow]): Dataset[ImageHash] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { r =>
+      decodeImage(r.payload) match {
+        case Some(img0) =>
+          val img =
+            if (img0.getWidth == 9 && img0.getHeight == 8) img0
+            else {
+              val out = new java.awt.image.BufferedImage(9, 8,
+                java.awt.image.BufferedImage.TYPE_INT_RGB)
+              val g = out.createGraphics()
+              try {
+                g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+                  java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+                g.drawImage(img0, 0, 0, 9, 8, null)
+              } finally g.dispose()
+              out
+            }
+          var hash = 0L
+          var y = 0
+          while (y < 8) {
+            var x = 0
+            var prev = 0.0
+            while (x < 9) {
+              val rgb = img.getRGB(x, y)
+              val l = 0.299 * ((rgb >> 16) & 0xFF) +
+                0.587 * ((rgb >> 8) & 0xFF) + 0.114 * (rgb & 0xFF)
+              if (x > 0 && l > prev) hash |= 1L << (y * 8 + (x - 1))
+              prev = l
+              x += 1
+            }
+            y += 1
+          }
+          ImageHash(r.media_id, decoded = true, hash)
+        case None => ImageHash(r.media_id, decoded = false, 0L)
+      }
+    })
+  }
+
+  /** Near-duplicate image pairs by banded Hamming join — LOSSLESS for
+    * `maxHamming <= 3`: the 64-bit hash splits into four 16-bit bands,
+    * and ≤ 3 differing bits cannot touch all four (pigeonhole), so
+    * every qualifying pair shares at least one exact band — the q129
+    * prefix-filter argument in Hamming space. Candidates are pairs
+    * sharing a (band index, band value) bucket; the verify step is one
+    * `bit_count(xor)` per candidate. Returns `(a_id, b_id, hamming)`
+    * with a_id < b_id. Shuffle carries (id, 8-byte hash) rows only —
+    * never pixels — and bucket sizes track true duplicate-class sizes,
+    * not the corpus.
+    */
+  def dhashNearDupPairs(hashes: DataFrame, idCol: String, hashCol: String,
+                        maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"banding is lossless only for maxHamming <= 3, got $maxHamming")
+    val banded = hashes.select(col(idCol).as("__id"), col(hashCol).as("__h"))
+      .select(col("__id"), col("__h"),
+        explode(array((0 until 4).map(b =>
+          struct(lit(b).as("b"),
+            shiftrightunsigned(col("__h"), 16 * b).bitwiseAND(lit(0xFFFFL))
+              .as("v"))): _*)).as("band"))
+      .select(col("__id"), col("__h"), col("band.b").as("__b"), col("band.v").as("__v"))
+    val a = banded
+    val b = banded.select(col("__id").as("__id2"), col("__h").as("__h2"),
+      col("__b").as("__b2"), col("__v").as("__v2"))
+    a.join(b, col("__b") === col("__b2") && col("__v") === col("__v2") &&
+        col("__id") < col("__id2"))
+      .select(col("__id").as("a_id"), col("__id2").as("b_id"),
+        expr("bit_count(__h ^ __h2)").cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
   // ---- REAL AUDIO KERNEL (JDK javax.sound.sampled — no external deps) ----
 
   /** Decoded-audio metadata + sample stats (the audio twin of

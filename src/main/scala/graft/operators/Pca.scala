@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Encoder, Row}
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Row}
 import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
@@ -204,5 +204,94 @@ object Pca {
     }
     embeddings.filter(v.isNotNull)
       .select((col(idCol) +: pcs.toSeq): _*)
+  }
+
+  /** Top-2 spectral projection by FIXED-POINT POWER ITERATION — the
+    * oracle-replayable face of the PCA family. [[fit]]'s Jacobi solve
+    * is exact but float-iterative (no SQL engine can replay it);
+    * this operator instead derives its two directions from `iters`
+    * power-iteration steps in EXACT INTEGER arithmetic over the
+    * 6-decimal-quantized covariance grid, so every step — and the
+    * final per-row projection — replays bit-for-bit in any engine
+    * with big-integer math (the q133/q148 fixed-point recipe):
+    *
+    *  - covariance entries quantize to units `floor(cov·1e6 + 0.5)`,
+    *  - v₀ = the diagonal-argmax unit vector (ties → lowest index),
+    *  - each step: `w = C·v`, then `v ← (w·1e6) quot max|wᵢ|`
+    *    (truncate-toward-zero: BigInt `/` ≡ DuckDB `//` ≡ Spark `div`;
+    *    L∞ normalization keeps everything integral — no sqrt),
+    *  - sign pin: largest-|entry| coordinate positive (ties → lowest),
+    *  - deflation for the 2nd direction without leaving integers:
+    *    `C₂ = (C·den² − num·v vᵀ) quot den²` with `num = vᵀCv`,
+    *    `den = vᵀv` — a positive multiple of the exact rank-1
+    *    deflation, same eigenvectors, then the same iteration.
+    *
+    * Projection is map-side only: each vector quantizes to
+    * `floor(x·1e6 + 0.5)` and folds against the two component
+    * literals — `(id, pc1_units, pc2_units, pc1_r, pc2_r)` with
+    * `pc*_r = units / 1e12` rounded to 6. Projections are of RAW
+    * (uncentered) vectors: centering shifts every projection by one
+    * constant, preserving all pairwise geometry, and omitting it keeps
+    * the oracle free of a cross-engine float mean replay. Documented
+    * bound: |x| < 1e5 per coordinate (the int64 product headroom).
+    *
+    * Scale design: the covariance grid is ONE aggregator pass (the
+    * [[moments]] buffer — ~17 KB per partition at d=64); iteration is
+    * driver-side d² metadata; projection adds zero exchanges.
+    * Convergence: with iters ≈ 4 the directions approach the dominant
+    * eigenvectors at eigengap-dependent rate — PcaSpec pins alignment
+    * against [[fit]] on a planted-spectrum corpus; the ORACLE match is
+    * exact regardless of convergence (both sides replay the same
+    * arithmetic).
+    */
+  def powerProject(embeddings: DataFrame, idCol: String, vecCol: String,
+                   d: Int, iters: Int = 4): DataFrame = {
+    require(iters >= 1 && iters <= 16, s"need 1 <= iters <= 16, got $iters")
+    val S = BigInt(1000000)
+    val C = Array.fill(d, d)(BigInt(0))
+    covariance(embeddings, vecCol, d, scale = 6).collect().foreach { r =>
+      val i = r.getInt(0); val j = r.getInt(1)
+      val u = BigInt(math.floor(r.getDouble(2) * 1e6 + 0.5).toLong)
+      C(i)(j) = u; C(j)(i) = u
+    }
+    def powerIter(m: Array[Array[BigInt]]): Array[BigInt] = {
+      var best = 0
+      var i = 1
+      while (i < d) { if (m(i)(i) > m(best)(best)) best = i; i += 1 }
+      var v = Array.tabulate(d)(i => if (i == best) S else BigInt(0))
+      for (_ <- 1 to iters) {
+        val w = Array.tabulate(d) { i =>
+          var acc = BigInt(0); var j = 0
+          while (j < d) { acc += m(i)(j) * v(j); j += 1 }
+          acc
+        }
+        val mx = w.map(_.abs).max
+        if (mx > 0) v = w.map(x => (x * S) / mx)
+      }
+      var k = 0
+      i = 1
+      while (i < d) { if (v(i).abs > v(k).abs) k = i; i += 1 }
+      if (v(k) < 0) v.map(-_) else v
+    }
+    val v1 = powerIter(C)
+    val den = v1.map(x => x * x).sum
+    var num = BigInt(0)
+    for (i <- 0 until d; j <- 0 until d) num += v1(i) * C(i)(j) * v1(j)
+    val dd2 = den * den
+    val v2 = powerIter(Array.tabulate(d, d)((i, j) =>
+      (C(i)(j) * dd2 - num * v1(i) * v1(j)) / dd2))
+
+    val x = col(vecCol).cast("array<double>")
+    val xq = transform(x, e => floor(e * lit(1e6) + lit(0.5)).cast("long"))
+    def proj(v: Array[BigInt]): Column = {
+      val vlit = array(v.map(b => lit(b.toLong)).toIndexedSeq: _*)
+      aggregate(zip_with(xq, vlit, (a, b) => a * b), lit(0L), (acc, t) => acc + t)
+    }
+    embeddings.filter(x.isNotNull && size(x) === d)
+      .select(col(idCol), proj(v1).as("pc1_units"), proj(v2).as("pc2_units"))
+      .withColumn("pc1_r", graft.functions.NumFunctions.roundNz(
+        col("pc1_units").cast("double") / 1e12, 6))
+      .withColumn("pc2_r", graft.functions.NumFunctions.roundNz(
+        col("pc2_units").cast("double") / 1e12, 6))
   }
 }

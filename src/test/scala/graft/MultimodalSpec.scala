@@ -66,6 +66,73 @@ class MultimodalSpec extends SparkSpec {
     assert(out(1).payload === orig) // undecodable: unchanged, not dropped
   }
 
+  test("imageDHash: re-encode and brightness-shift copies collide; corrupt rows flag") {
+    // planted duplicate classes: 1/2 share a pattern (2 is brightness-
+    // shifted), 3 is the identity-resize RE-ENCODE of 1 (different PNG
+    // bytes, same pixels), 4 is a different pattern, 5 is corrupt
+    val base = Multimodal.renderQuadGradPng(9, 8, offset = 4, shift = 0)
+    // re-encode through a DIFFERENT container (BMP): same pixels,
+    // different payload bytes — exact byte hashing can never pair these
+    val bmp = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(
+      javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(base)),
+      "bmp", bmp)
+    val reenc = bmp.toByteArray
+    assert(!java.util.Arrays.equals(reenc, base)) // genuinely re-encoded
+    val hs = Multimodal.imageDHash(imageTable(Seq(
+        1L -> base,
+        2L -> Multimodal.renderQuadGradPng(9, 8, offset = 4, shift = 8),
+        3L -> reenc,
+        4L -> Multimodal.renderQuadGradPng(9, 8, offset = 11, shift = 0),
+        5L -> "corrupt".getBytes("UTF-8"))))
+      .collect().sortBy(_.media_id)
+    assert(hs.map(_.decoded).toSeq === Seq(true, true, true, true, false))
+    assert(hs(1).dhash === hs(0).dhash, "brightness shift must cancel")
+    assert(hs(2).dhash === hs(0).dhash, "re-encode must collide")
+    assert(java.lang.Long.bitCount(hs(3).dhash ^ hs(0).dhash) > 3,
+      "different pattern must not pair")
+  }
+
+  test("imageDHash: 2x pixel-doubled upscale hashes within small hamming of the original") {
+    // an 18x16 pixel-doubled copy goes through the REAL bilinear
+    // downscale path; block structure survives, so the hash stays
+    // within a small hamming ball of the 9x8 original
+    val small = Multimodal.renderQuadGradPng(9, 8, offset = 7, shift = 0)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(small))
+    val big = new java.awt.image.BufferedImage(18, 16,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 16; x <- 0 until 18)
+      big.setRGB(x, y, img.getRGB(x / 2, y / 2))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(big, "png", bos)
+    val hs = Multimodal.imageDHash(imageTable(Seq(
+        1L -> small, 2L -> bos.toByteArray))).collect().sortBy(_.media_id)
+    val ham = java.lang.Long.bitCount(hs(0).dhash ^ hs(1).dhash)
+    assert(ham <= 3, s"resized copy drifted to hamming $ham")
+  }
+
+  test("dhashNearDupPairs: banded join equals brute force (lossless at ham <= 3)") {
+    val sp2 = spark
+    import sp2.implicits._
+    // 60 images in 12 pattern classes of 5 — each class a hash-equal
+    // clique; cross-class pairs must only appear if truly within ham 3
+    val rows = (0L until 60L).map(i =>
+      i -> Multimodal.renderQuadGradPng(9, 8, offset = (i % 12).toInt,
+        shift = (i % 2).toInt * 4))
+    val hs = Multimodal.imageDHash(imageTable(rows))
+      .select(org.apache.spark.sql.functions.col("media_id"),
+        org.apache.spark.sql.functions.col("dhash"))
+    val hmap = hs.as[(Long, Long)].collect().toMap
+    val brute = (for {
+      a <- 0L until 60L; b <- (a + 1) until 60L
+      h = java.lang.Long.bitCount(hmap(a) ^ hmap(b)) if h <= 3
+    } yield (a, b, h.toLong)).toSet
+    val got = Multimodal.dhashNearDupPairs(hs, "media_id", "dhash")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got === brute)
+    assert(got.size === 12 * 10, s"expected 12 cliques of C(5,2), got ${got.size}")
+  }
+
   test("audioMeta: real JDK WAV decode — exact rate/frames/RMS, corrupt rows flagged") {
     val metas = Multimodal.audioMeta(imageTable(Seq(
         1L -> Multimodal.renderPcmWav(nSamples = 40, sampleRate = 11000, amplitude = 2500),

@@ -98,7 +98,40 @@ class PcaSpec extends SparkSpec {
     assert(cov.count() === 64L * 65 / 2)
     assert(cov.columns.toSeq === Seq("i", "j", "cov"))
     val pr = SparkEntry.q96(spark, sf0001)
-    assert(pr.columns.toSeq === Seq("vec_id", "pc1", "pc2"))
+    assert(pr.columns.toSeq ===
+      Seq("vec_id", "pc1_units", "pc2_units", "pc1_r", "pc2_r"))
     assert(pr.count() > 0)
+  }
+
+  test("powerProject aligns with the Jacobi eigenbasis on a planted spectrum") {
+    // strong eigengap: dim 0 has 10x the variance of dim 1, everything
+    // else is tiny — 4 power steps must lock onto dims 0 then 1.
+    // Deterministic +-1 patterns (i odd/even) give exact variances.
+    val d = 8
+    val rows = (0 until 256).map { i =>
+      val v = Array.fill(d)(0.001 * ((i * 7 + 3) % 5 - 2))
+      v(0) = if (i % 2 == 0) 10.0 else -10.0
+      v(1) = if (i % 4 < 2) 3.0 else -3.0
+      (i.toLong, v.toSeq)
+    }
+    val e = rows.toDF("vec_id", "embedding")
+    val pr = Pca.powerProject(e, "vec_id", "embedding", d, iters = 4)
+      .orderBy("vec_id")
+      .select("vec_id", "pc1_units", "pc2_units")
+      .as[(Long, Long, Long)].collect()
+    // pc1 must separate the +-10 strata of dim 0: sign of pc1 follows
+    // i % 2; pc2 follows the dim-1 strata (i % 4 < 2)
+    assert(pr.forall { case (i, p1, _) => (p1 > 0) == (i % 2 == 0) })
+    assert(pr.forall { case (i, _, p2) => (p2 > 0) == (i % 4 < 2) })
+    // magnitudes: |pc1| ~ 10 * 1e12 units dominated by dim 0
+    assert(pr.forall { case (_, p1, _) => math.abs(p1) > 5e12 })
+  }
+
+  test("powerProject survives a constant (zero-covariance) corpus") {
+    val e = (0 until 10).map(i => (i.toLong, Seq.fill(4)(2.5)))
+      .toDF("vec_id", "embedding")
+    val pr = Pca.powerProject(e, "vec_id", "embedding", 4, iters = 3)
+      .select("pc1_units").as[Long].collect()
+    assert(pr.length === 10) // no crash; v stays at the start vector
   }
 }

@@ -614,6 +614,23 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q180: TPC-H Q18's qualifying keys enter as a semi-join; top-100 is TakeOrdered") {
+    val p = plan(SparkEntry.q180(spark, sf0001))
+    assert(p.contains("LeftSemi"), s"HAVING>n keys must re-enter as a semi-join:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-100 must be TakeOrdered, not a global sort:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q181: TPC-H Q21 shape — semi + anti self-joins, supplier dim broadcasts") {
+    val p = plan(SparkEntry.q181(spark, sf0001))
+    assert(p.contains("LeftSemi"), s"other-supplier EXISTS must be a semi-join:\n$p")
+    assert(p.contains("LeftAnti"), s"no-other-late NOT EXISTS must be an anti-join:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the nation-filtered supplier dim must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q133: every PageRank iteration reads the persisted edge cache, not the corpus") {
     val p = plan(SparkEntry.q133(spark, sf0001))
     // each of the 5 iterations reads edges (contrib + outdeg legs) from
