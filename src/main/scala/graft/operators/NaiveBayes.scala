@@ -35,19 +35,23 @@ import graft.functions.TextFunctions
   */
 object NaiveBayes {
 
-  /** Train on `docs`' (`labelCol`, `textCol`) and predict every
-    * document's class in one call. Returns
-    * `(id, label, pred, correct)` over documents with ≥ 1 token and a
-    * non-null label.
+  /** A trained model: frozen 1e6-unit log-probability maps, driver
+    * metadata sized K·dim longs.
     */
-  def nbClassify(docs: DataFrame, idCol: String, textCol: String,
-                 labelCol: String, dim: Int = 128): DataFrame = {
+  final case class NbModel(classes: Seq[String], prior: Map[String, Long],
+                           su: Map[String, Map[Long, Long]])
+
+  /** Train the multinomial NB model on `docs`' (`labelCol`,
+    * `textCol`): one (K·dim)-bounded histogram pass + one class-count
+    * pass, Laplace smoothing, scores frozen into 1e6 units.
+    */
+  def nbTrain(docs: DataFrame, textCol: String, labelCol: String,
+              dim: Int = 128): NbModel = {
     require(dim >= 2 && dim <= 65536,
       s"dim must be in [2, 65536] (score maps are plan literals), got $dim")
     import graft.operators.QualityClassifier.featureBucket
-
     val toks = docs
-      .select(col(idCol).as("id"), col(labelCol).as("label"),
+      .select(col(labelCol).as("label"),
         TextFunctions.tokens(col(textCol)).as("__tk"))
       .filter(size(col("__tk")) > 0 && col("label").isNotNull)
 
@@ -80,18 +84,70 @@ object NaiveBayes {
       c -> units(math.log(
         (nByClass(c) + 1).toDouble / (nDocs + classes.size).toDouble))
     }.toMap
+    NbModel(classes, prior, su)
+  }
 
-    val scored = toks.select(col("id") +: col("label") +: classes.map { c =>
-      (lit(prior(c)) + aggregate(col("__tk"), lit(0L), (acc, t) =>
+  // trained models keyed by (application, corpus key, params): driver
+  // metadata (K·dim longs), the train-once / classify-many lifecycle
+  // shared with QualityClassifier.trainCached / Corpus.learnBpeCached.
+  private val trainedModels =
+    new java.util.concurrent.ConcurrentHashMap[String, NbModel]()
+
+  /** [[nbTrain]] memoized per (session application, `key`, params) —
+    * the prediction query and its evaluation report share one training
+    * run per session instead of silently retraining.
+    */
+  def nbTrainCached(key: String, docs: DataFrame, textCol: String,
+                    labelCol: String, dim: Int = 128): NbModel = {
+    val app = docs.sparkSession.sparkContext.applicationId
+    val full = s"$app|$key|$textCol|$labelCol|$dim"
+    val hit = trainedModels.get(full)
+    if (hit != null) hit
+    else {
+      val it = trainedModels.keySet.iterator()
+      while (it.hasNext) { if (!it.next().startsWith(app + "|")) it.remove() }
+      trainedModels.computeIfAbsent(full, _ =>
+        nbTrain(docs, textCol, labelCol, dim))
+    }
+  }
+
+  /** Score every document under a trained model — map-side only
+    * (per-class plan-literal folds, argmax over K structs). Returns
+    * `(id, label, pred, correct)` over documents with ≥ 1 token and a
+    * non-null label.
+    */
+  def nbApply(docs: DataFrame, idCol: String, textCol: String,
+              labelCol: String, model: NbModel, dim: Int = 128): DataFrame = {
+    import graft.operators.QualityClassifier.featureBucket
+    val toks = docs
+      .select(col(idCol).as("id"), col(labelCol).as("label"),
+        TextFunctions.tokens(col(textCol)).as("__tk"))
+      .filter(size(col("__tk")) > 0 && col("label").isNotNull)
+    val scored = toks.select(col("id") +: col("label") +: model.classes.map { c =>
+      (lit(model.prior(c)) + aggregate(col("__tk"), lit(0L), (acc, t) =>
         acc + coalesce(
-          element_at(typedlit(su(c)), featureBucket(t, dim)), lit(0L))))
+          element_at(typedlit(model.su(c)), featureBucket(t, dim)), lit(0L))))
         .as(s"__z_$c")
     }: _*)
     // argmax with deterministic ties: min over (−z, class) structs
-    val pick = array_min(array(classes.map(c =>
+    val pick = array_min(array(model.classes.map(c =>
       struct((-col(s"__z_$c")).as("nz"), lit(c).as("c"))): _*))
     scored
       .select(col("id"), col("label"), pick.getField("c").as("pred"))
       .withColumn("correct", col("label") === col("pred"))
+  }
+
+  /** Train on `docs` and predict every document's class in one call
+    * ([[nbTrain]] + [[nbApply]]). Pass `cacheKey` to memoize the
+    * trained model per session ([[nbTrainCached]]).
+    */
+  def nbClassify(docs: DataFrame, idCol: String, textCol: String,
+                 labelCol: String, dim: Int = 128,
+                 cacheKey: Option[String] = None): DataFrame = {
+    val model = cacheKey match {
+      case Some(k) => nbTrainCached(k, docs, textCol, labelCol, dim)
+      case None    => nbTrain(docs, textCol, labelCol, dim)
+    }
+    nbApply(docs, idCol, textCol, labelCol, model, dim)
   }
 }
