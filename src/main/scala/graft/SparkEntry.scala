@@ -1748,6 +1748,49 @@ object SparkEntry {
     Multimodal.dhashNearDupPairs(hashes, "doc_id", "dhash", maxHamming = 3)
   }
 
+  /** Q183 — mergeable quantile sketch, bound-checked
+    * ([[graft.operators.Sketches.ddQuantiles]]; Masson et al., VLDB
+    * 2019): per-event-type p25/p50/p75/p90 of positive values from ONE
+    * DDSketch pass — bucket-count maps merge order-independently
+    * (task order cannot change a bit), ~16 KB of state per (partition,
+    * group) through the shuffle at any row count. The q28 oracle
+    * pattern: the estimate never leaves the engine; the output carries
+    * the EXACT discrete order statistic (min v with cum ≥
+    * ceil(n·q/100) over the distinct-value support) and a boolean
+    * asserting the sketch's published relative-error guarantee
+    * α = (γ−1)/(γ+1) ≈ 0.99 % held — DuckDB replays the exact side and
+    * the TRUE literal.
+    */
+  def q183(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val gamma = 1.02
+    val alpha = (gamma - 1.0) / (gamma + 1.0)
+    val qs = Seq(25, 50, 75, 90)
+    val pos = ev(s, d).select(col("event_type"), col("value").cast("double").as("v"))
+      .filter(col("v").isNotNull && col("v") > 0 && !isnan(col("v")))
+    val est = graft.operators.Sketches.ddQuantiles(pos, "event_type", "v",
+      qs, gamma)
+    val w = Window.partitionBy(col("event_type")).orderBy(col("v"))
+    val cum = pos.groupBy(col("event_type"), col("v")).agg(count(lit(1)).as("__c"))
+      .withColumn("__cum", sum(col("__c")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__tot", sum(col("__c")).over(
+        Window.partitionBy(col("event_type"))))
+    val sp = s
+    import sp.implicits._
+    // cum >= ceil(tot·q/100)  ⟺  100·cum >= tot·q for integer cum
+    val exact = cum
+      .join(broadcast(qs.map(_.toLong).toDF("q_pct")),
+        col("__cum") * 100 >= col("__tot") * col("q_pct"))
+      .groupBy(col("event_type"), col("q_pct"))
+      .agg(min(col("v")).as("__exact"))
+    exact.join(est, Seq("event_type", "q_pct"))
+      .select(col("event_type"), col("q_pct"), col("n"),
+        NumFunctions.roundNz(col("__exact"), 6).as("exact_v"),
+        (abs(col("est") - col("__exact")) <=
+          lit(alpha) * col("__exact") + lit(1e-9)).as("within_bound"))
+  }
+
   /** Q179 — TPC-H Q5 (local supplier volume): revenue by nation for
     * ASIA-region customers served by same-nation suppliers in 1996 —
     * the classic six-table join. The region→nation→supplier dimension
@@ -2715,7 +2758,8 @@ object SparkEntry {
     "q179_tpch_q5"        -> (q179 _),
     "q180_tpch_q18"       -> (q180 _),
     "q181_tpch_q21"       -> (q181 _),
-    "q182_image_dhash"    -> (q182 _))
+    "q182_image_dhash"    -> (q182 _),
+    "q183_dd_quantiles"   -> (q183 _))
 
   // DuckDB twins. Shared SQL fragments for the text queries:
   // explicit class: Java \s includes \x0B, RE2 \s does not — see
@@ -4573,6 +4617,26 @@ object SparkEntry {
          |FROM sc
          |""".stripMargin),
     // q179: the Q5 join tree, revenue through DECIMAL(28,6).
+    // q183: the q28 pattern — the sketch estimate stays internal; the
+    // oracle replays the exact discrete order statistic (min v with
+    // 100·cum >= tot·q over the distinct-value support) and the TRUE
+    // bound literal. A sketch outside its published α would hash-fail.
+    "q183_dd_quantiles" ->
+      ("""WITH pos AS (SELECT event_type, CAST(value AS DOUBLE) AS v
+         |  FROM events WHERE value IS NOT NULL AND value > 0
+         |    AND NOT isnan(value)),
+         |c AS (SELECT event_type, v, count(*) AS cnt FROM pos GROUP BY 1, 2),
+         |cc AS (SELECT event_type, v,
+         |  sum(cnt) OVER (PARTITION BY event_type ORDER BY v
+         |    ROWS UNBOUNDED PRECEDING) AS cum,
+         |  sum(cnt) OVER (PARTITION BY event_type) AS tot FROM c),
+         |qs AS (SELECT unnest([25, 50, 75, 90]) AS q_pct)
+         |SELECT event_type, CAST(q_pct AS BIGINT) AS q_pct,
+         |  CAST(tot AS BIGINT) AS n, round(min(v), 6) + 0 AS exact_v,
+         |  true AS within_bound
+         |FROM cc JOIN qs ON cum * 100 >= tot * q_pct
+         |GROUP BY 1, 2, 3
+         |""".stripMargin),
     // q182: every doc's 9×8 gradient luma is pure doc_id arithmetic
     // (gray RGB → BT.601 luma is exact), so the bit set rebuilds as a
     // (doc, k) table — bit y·8+x set iff lum(x+1,y) > lum(x,y) — and

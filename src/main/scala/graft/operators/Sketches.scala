@@ -109,6 +109,97 @@ object Sketches {
     best
   }
 
+  /** Mergeable quantile sketch over POSITIVE doubles — the DDSketch
+    * design (Masson, Rim & Lee, "DDSketch: a fast and fully-mergeable
+    * quantile sketch with relative-error guarantees", VLDB 2019):
+    * value → geometric bucket `ceil(ln v / ln γ)`, sketch = bucket →
+    * count map. Unlike KLL/GK, the bucket of a value is a PURE
+    * FUNCTION of the value, so merges are plain count additions —
+    * fully order-independent (Spark task completion order cannot
+    * change a bit) — and the estimate for rank r (the bucket midpoint
+    * `2γ^b/(γ+1)` of the bucket containing r) carries a guaranteed
+    * RELATIVE error ≤ α = (γ−1)/(γ+1) against the true order
+    * statistic. `StrictMath.log` keeps bucketing bit-identical across
+    * heterogeneous executor JDKs. State: one count per OCCUPIED
+    * bucket — γ=1.02 spans 9 decades in ~1000 buckets (~16 KB per
+    * partition through the shuffle, the [[CountMinAggregator]]
+    * mergeability contract).
+    */
+  class DdSketchAggregator(gamma: Double)
+      extends Aggregator[Double, scala.collection.mutable.HashMap[Int, Long],
+                         Map[Int, Long]] {
+    require(gamma > 1.0 && gamma < 2.0, s"need 1 < gamma < 2, got $gamma")
+    @transient private lazy val invLnGamma = 1.0 / StrictMath.log(gamma)
+    override def zero: scala.collection.mutable.HashMap[Int, Long] =
+      scala.collection.mutable.HashMap.empty
+    override def reduce(b: scala.collection.mutable.HashMap[Int, Long],
+                        v: Double): scala.collection.mutable.HashMap[Int, Long] = {
+      if (v > 0 && !v.isInfinite && !v.isNaN) {
+        val k = math.ceil(StrictMath.log(v) * invLnGamma).toInt
+        b.update(k, b.getOrElse(k, 0L) + 1L)
+      }
+      b
+    }
+    override def merge(x: scala.collection.mutable.HashMap[Int, Long],
+                       y: scala.collection.mutable.HashMap[Int, Long])
+        : scala.collection.mutable.HashMap[Int, Long] = {
+      y.foreach { case (k, n) => x.update(k, x.getOrElse(k, 0L) + n) }
+      x
+    }
+    override def finish(b: scala.collection.mutable.HashMap[Int, Long]): Map[Int, Long] =
+      b.toMap
+    override def bufferEncoder: Encoder[scala.collection.mutable.HashMap[Int, Long]] =
+      ExpressionEncoder[scala.collection.mutable.HashMap[Int, Long]]()
+    override def outputEncoder: Encoder[Map[Int, Long]] =
+      ExpressionEncoder[Map[Int, Long]]()
+  }
+
+  /** Rank-`r` (1-based) estimate from a DDSketch bucket map: midpoint
+    * of the bucket containing the r-th smallest value.
+    */
+  def ddEstimate(buckets: Map[Int, Long], r: Long, gamma: Double): Double = {
+    require(r >= 1, s"rank must be >= 1, got $r")
+    val sorted = buckets.toSeq.sortBy(_._1)
+    var cum = 0L
+    for ((k, n) <- sorted) {
+      cum += n
+      if (cum >= r) return 2.0 * StrictMath.pow(gamma, k) / (gamma + 1.0)
+    }
+    if (sorted.nonEmpty)
+      2.0 * StrictMath.pow(gamma, sorted.last._1) / (gamma + 1.0)
+    else Double.NaN
+  }
+
+  /** Per-group quantile ESTIMATES from one mergeable-sketch pass:
+    * `(groupCol, q_pct, n, est)` for each requested percentile (rank
+    * `ceil(n·q/100)` — the discrete order-statistic convention).
+    * The scan shuffles one bucket map per (partition, group); nothing
+    * downstream grows with the rows. Guarantee: `|est − x_(r)| ≤
+    * α·x_(r)` with α = (γ−1)/(γ+1) — q183 checks it row by row
+    * against the exact order statistic.
+    */
+  def ddQuantiles(df: DataFrame, groupCol: String, valueCol: String,
+                  qPcts: Seq[Int], gamma: Double = 1.02): DataFrame = {
+    require(qPcts.nonEmpty && qPcts.forall(q => q >= 1 && q <= 100),
+      s"percentiles must be in [1, 100], got $qPcts")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val agg = udaf(new DdSketchAggregator(gamma), ExpressionEncoder[Double]())
+    val perGroup = df
+      .select(col(groupCol).cast("string").as("g"),
+        col(valueCol).cast("double").as("v"))
+      .filter(col("v").isNotNull && col("v") > 0 && !isnan(col("v")))
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("n"), agg(col("v")).as("sk"))
+      .as[(String, Long, Map[Int, Long])]
+    perGroup.flatMap { case (g, n, sk) =>
+      qPcts.map { q =>
+        val r = (n * q + 99L) / 100L
+        (g, q.toLong, n, ddEstimate(sk, r, gamma))
+      }
+    }.toDF(groupCol, "q_pct", "n", "est")
+  }
+
   /** Mergeable Bloom build over Long keys: each partition ORs into its
     * own bit array, the shuffle moves one array per partition (KB
     * metadata), arrays OR associatively — the same mergeability

@@ -80,6 +80,50 @@ class SketchesSpec extends SparkSpec {
       e1 > e2 || (e1 == e2 && k1 < k2) })
   }
 
+  test("ddQuantiles: relative-error guarantee holds across 6 decades; repartition-invariant") {
+    // adversarial spread: log-uniform values over ~6 decades, where a
+    // uniform-bin histogram sketch would be useless
+    val rows = (1 to 4000).map { i =>
+      ("g", math.exp((i % 601) / 100.0 * 2.3 - 3.0) * (1.0 + (i % 7) * 0.01))
+    }
+    val df = rows.toDF("grp", "v")
+    val qs = Seq(1, 10, 25, 50, 75, 90, 99)
+    val est = graft.operators.Sketches.ddQuantiles(df, "grp", "v", qs, gamma = 1.02)
+      .as[(String, Long, Long, Double)].collect()
+      .map { case (_, q, n, e) => q -> (n, e) }.toMap
+    val sorted = rows.map(_._2).sorted
+    val alpha = 0.02 / 2.02
+    for (q <- qs) {
+      val (n, e) = est(q.toLong)
+      assert(n === 4000L)
+      val exact = sorted(((n * q + 99) / 100).toInt - 1)
+      assert(math.abs(e - exact) <= alpha * exact + 1e-9,
+        s"p$q: est $e vs exact $exact breaks the ${alpha * 100}%% bound")
+    }
+    // bucket maps add order-independently: any partitioning, same bits
+    val one = graft.operators.Sketches.ddQuantiles(
+      df.repartition(1), "grp", "v", qs).collect().toSet
+    val many = graft.operators.Sketches.ddQuantiles(
+      df.repartition(16), "grp", "v", qs).collect().toSet
+    assert(one === many)
+  }
+
+  test("ddEstimate: hand-computed bucket walk; non-positive and NaN values excluded") {
+    // values 1.0 (bucket 0), ~gamma^5 midpoints: hand-plant buckets
+    val buckets = Map(0 -> 2L, 5 -> 3L)
+    val g = 1.02
+    // ranks 1-2 land in bucket 0; ranks 3-5 in bucket 5
+    assert(graft.operators.Sketches.ddEstimate(buckets, 1, g) ===
+      2.0 * 1.0 / (g + 1.0))
+    assert(graft.operators.Sketches.ddEstimate(buckets, 5, g) ===
+      2.0 * StrictMath.pow(g, 5) / (g + 1.0))
+    val df = Seq(("g", 1.0), ("g", -5.0), ("g", 0.0), ("g", Double.NaN))
+      .toDF("grp", "v")
+    val out = graft.operators.Sketches.ddQuantiles(df, "grp", "v", Seq(50))
+      .as[(String, Long, Long, Double)].collect()
+    assert(out.length === 1 && out.head._3 === 1L) // only the positive row
+  }
+
   test("streams compose: a bloom OR-maintained per micro-batch equals the batch build") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
