@@ -1720,7 +1720,7 @@ object SparkEntry {
 
   /** Q182 — perceptual image near-dup (dHash;
     * [[graft.multimodal.Multimodal.imageDHash]] /
-    * [[graft.multimodal.Multimodal.dhashNearDupPairs]]): each document
+    * [[graft.multimodal.Multimodal.hammingNearDupPairs]]): each document
     * renders a deterministic 9×8 gradient PNG — pattern parameters
     * from `doc_id % 25` (so ~4 % of docs share each pattern) plus a
     * PER-DOC brightness shift dHash must cancel — decodes through the
@@ -1745,7 +1745,41 @@ object SparkEntry {
       }
     val hashes = Multimodal.imageDHash(media)
       .select(col("media_id").as("doc_id"), col("dhash"))
-    Multimodal.dhashNearDupPairs(hashes, "doc_id", "dhash", maxHamming = 3)
+    Multimodal.hammingNearDupPairs(hashes, "doc_id", "dhash", maxHamming = 3)
+  }
+
+  /** Q184 — perceptual audio near-dup (envelope hash;
+    * [[graft.multimodal.Multimodal.audioEnvelopeHash]]): each document
+    * renders a deterministic 65-step amplitude-staircase WAV — step
+    * heights from `doc_id % 20`, scaled by a PER-DOC gain the
+    * energy-contour hash must cancel — decodes through the real JDK
+    * codec, fingerprints window-energy deltas into 64 bits, and pairs
+    * by the same lossless Hamming-band join as q182
+    * ([[graft.multimodal.Multimodal.hammingNearDupPairs]]). The audio
+    * dedup class byte hashing misses: re-encoded and gain-changed
+    * copies. Oracle: window energy is pure doc_id arithmetic (square
+    * wave: every sample is ±step height; windows align with steps), so
+    * DuckDB rebuilds every clip's bit set and brute-forces all pairs.
+    */
+  def q184(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val media = docs(s, d)
+      .select(col("doc_id")).as[Long]
+      .map { id =>
+        val g = (id % 20).toInt
+        val gain = 1 + (id % 4).toInt
+        val amps = Array.tabulate(65) { st =>
+          val t = st + g * 5 + 1
+          ((t * t * 7) % 97 + 1) * gain
+        }
+        Multimodal.MediaRow(id, "audio",
+          Multimodal.renderSteppedWav(amps, samplesPerStep = 64,
+            sampleRate = 8000),
+          0, 0, 8000)
+      }
+    val hashes = Multimodal.audioEnvelopeHash(media, windows = 65)
+      .select(col("media_id").as("doc_id"), col("ahash"))
+    Multimodal.hammingNearDupPairs(hashes, "doc_id", "ahash", maxHamming = 3)
   }
 
   /** Q183 — mergeable quantile sketch, bound-checked
@@ -2759,7 +2793,8 @@ object SparkEntry {
     "q180_tpch_q18"       -> (q180 _),
     "q181_tpch_q21"       -> (q181 _),
     "q182_image_dhash"    -> (q182 _),
-    "q183_dd_quantiles"   -> (q183 _))
+    "q183_dd_quantiles"   -> (q183 _),
+    "q184_audio_neardup"  -> (q184 _))
 
   // DuckDB twins. Shared SQL fragments for the text queries:
   // explicit class: Java \s includes \x0B, RE2 \s does not — see
@@ -4617,6 +4652,35 @@ object SparkEntry {
          |FROM sc
          |""".stripMargin),
     // q179: the Q5 join tree, revenue through DECIMAL(28,6).
+    // q184: window energies align with amplitude steps (64 samples
+    // each, every sample ±step height), so bit w = (step(w+1) energy >
+    // step(w) energy) reduces to comparing the doc_id-arithmetic step
+    // heights; the per-doc gain scales both sides by gain² and
+    // cancels. Same hamming brute force as q182.
+    "q184_audio_neardup" ->
+      ("""WITH g AS MATERIALIZED (SELECT doc_id, doc_id % 20 AS gk FROM documents),
+         |steps AS MATERIALIZED (SELECT doc_id, w.range AS w,
+         |    ((w.range + gk * 5 + 1) * (w.range + gk * 5 + 1) * 7) % 97 AS amp
+         |  FROM g, range(65) w),
+         |bits AS MATERIALIZED (SELECT a.doc_id, a.w AS k
+         |  FROM steps a JOIN steps b
+         |    ON a.doc_id = b.doc_id AND b.w = a.w + 1
+         |  WHERE b.amp > a.amp),
+         |cnts AS MATERIALIZED (SELECT d.doc_id, count(b.k) AS c
+         |  FROM documents d LEFT JOIN bits b USING (doc_id) GROUP BY 1),
+         |inter AS MATERIALIZED (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |    count(*) AS n
+         |  FROM bits a JOIN bits b ON a.k = b.k AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT p.a_id, p.b_id,
+         |  CAST(ca.c + cb.c - 2 * coalesce(i.n, 0) AS BIGINT) AS hamming
+         |FROM (SELECT a.doc_id AS a_id, b.doc_id AS b_id
+         |      FROM documents a JOIN documents b ON a.doc_id < b.doc_id) p
+         |LEFT JOIN inter i ON i.a_id = p.a_id AND i.b_id = p.b_id
+         |JOIN cnts ca ON ca.doc_id = p.a_id
+         |JOIN cnts cb ON cb.doc_id = p.b_id
+         |WHERE ca.c + cb.c - 2 * coalesce(i.n, 0) <= 3
+         |""".stripMargin),
     // q183: the q28 pattern — the sketch estimate stays internal; the
     // oracle replays the exact discrete order statistic (min v with
     // 100·cum >= tot·q over the distinct-value support) and the TRUE

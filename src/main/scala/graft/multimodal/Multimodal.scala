@@ -258,19 +258,20 @@ object Multimodal {
     })
   }
 
-  /** Near-duplicate image pairs by banded Hamming join — LOSSLESS for
-    * `maxHamming <= 3`: the 64-bit hash splits into four 16-bit bands,
-    * and ≤ 3 differing bits cannot touch all four (pigeonhole), so
-    * every qualifying pair shares at least one exact band — the q129
-    * prefix-filter argument in Hamming space. Candidates are pairs
-    * sharing a (band index, band value) bucket; the verify step is one
-    * `bit_count(xor)` per candidate. Returns `(a_id, b_id, hamming)`
-    * with a_id < b_id. Shuffle carries (id, 8-byte hash) rows only —
-    * never pixels — and bucket sizes track true duplicate-class sizes,
-    * not the corpus.
+  /** Near-duplicate pairs for ANY 64-bit perceptual hash (image dHash,
+    * audio envelope hash, video frame signatures) by banded Hamming
+    * join — LOSSLESS for `maxHamming <= 3`: the hash splits into four
+    * 16-bit bands, and ≤ 3 differing bits cannot touch all four
+    * (pigeonhole), so every qualifying pair shares at least one exact
+    * band — the q129 prefix-filter argument in Hamming space.
+    * Candidates are pairs sharing a (band index, band value) bucket;
+    * the verify step is one `bit_count(xor)` per candidate. Returns
+    * `(a_id, b_id, hamming)` with a_id < b_id. Shuffle carries
+    * (id, 8-byte hash) rows only — never pixels or samples — and
+    * bucket sizes track true duplicate-class sizes, not the corpus.
     */
-  def dhashNearDupPairs(hashes: DataFrame, idCol: String, hashCol: String,
-                        maxHamming: Int = 3): DataFrame = {
+  def hammingNearDupPairs(hashes: DataFrame, idCol: String, hashCol: String,
+                          maxHamming: Int = 3): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 3,
       s"banding is lossless only for maxHamming <= 3, got $maxHamming")
     val banded = hashes.select(col(idCol).as("__id"), col(hashCol).as("__h"))
@@ -289,6 +290,99 @@ object Multimodal {
         expr("bit_count(__h ^ __h2)").cast("long").as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Per-clip 64-bit envelope fingerprint. */
+  case class AudioHash(media_id: Long, decoded: Boolean, ahash: Long)
+
+  /** Audio envelope hash — the audio member of the perceptual-dedup
+    * family ([[imageDHash]] for images, [[videoFrameHashes]] for
+    * video): decode 16-bit mono PCM, split the frames into `windows`
+    * equal windows, and set bit `w` when window w+1 carries more
+    * energy (sum of squared samples — exact integer, no sqrt) than
+    * window w. The energy-envelope CONTOUR survives re-encoding and
+    * uniform gain changes (a constant gain scales every window by the
+    * same g², leaving all comparisons intact) — the duplicate classes
+    * byte hashing misses for audio. Clips shorter than `windows`
+    * frames, non-mono, or non-16-bit payloads flag `decoded = false`.
+    * Samples never leave the partition; only the 8-byte hash shuffles.
+    * Pairing: [[hammingNearDupPairs]], same as images.
+    */
+  def audioEnvelopeHash(media: Dataset[MediaRow], windows: Int = 65): Dataset[AudioHash] = {
+    require(windows >= 2 && windows <= 65,
+      s"need 2 <= windows <= 65 (64 hash bits), got $windows")
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { r =>
+      val bad = AudioHash(r.media_id, decoded = false, 0L)
+      decodeAudio(r.payload) match {
+        case Some((fmt, data)) =>
+          val pcmSigned =
+            fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+          if (!pcmSigned || fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1) bad
+          else {
+            val n = data.length / 2
+            val len = n / windows
+            if (len == 0) bad
+            else {
+              val sum2 = new Array[Long](windows)
+              var w = 0
+              while (w < windows) {
+                var acc = 0L
+                var i = w * len
+                val end = i + len
+                while (i < end) {
+                  val off = i * 2
+                  val b0 = data(off) & 0xFF; val b1 = data(off + 1) & 0xFF
+                  val raw = if (fmt.isBigEndian) (b0 << 8) | b1 else (b1 << 8) | b0
+                  val s = raw.toShort.toLong
+                  acc += s * s
+                  i += 1
+                }
+                sum2(w) = acc
+                w += 1
+              }
+              var hash = 0L
+              w = 0
+              while (w < windows - 1) {
+                if (sum2(w + 1) > sum2(w)) hash |= 1L << w
+                w += 1
+              }
+              AudioHash(r.media_id, decoded = true, hash)
+            }
+          }
+        case None => bad
+      }
+    })
+  }
+
+  /** Deterministic stepped square-wave WAV: 16-bit mono PCM, step `s`
+    * holds `samplesPerStep` frames of a ±`amps(s)` square wave — the
+    * amplitude STAIRCASE whose per-window energy is pure arithmetic in
+    * `amps`, which is what lets q184's oracle replay the envelope hash
+    * without a codec (the [[renderPcmWav]] trick with a time axis).
+    */
+  def renderSteppedWav(amps: Array[Int], samplesPerStep: Int,
+                       sampleRate: Int): Array[Byte] = {
+    require(samplesPerStep > 0 && amps.forall(a => a >= 0 && a <= Short.MaxValue),
+      "amplitudes must fit 16-bit samples")
+    val fmt = new javax.sound.sampled.AudioFormat(
+      sampleRate.toFloat, 16, 1, /*signed=*/ true, /*bigEndian=*/ false)
+    val n = amps.length * samplesPerStep
+    val pcm = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val a = amps(i / samplesPerStep)
+      val v = if (i % 2 == 0) a else -a
+      pcm(2 * i) = (v & 0xFF).toByte
+      pcm(2 * i + 1) = ((v >> 8) & 0xFF).toByte
+      i += 1
+    }
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
   }
 
   // ---- REAL AUDIO KERNEL (JDK javax.sound.sampled — no external deps) ----

@@ -111,7 +111,7 @@ class MultimodalSpec extends SparkSpec {
     assert(ham <= 3, s"resized copy drifted to hamming $ham")
   }
 
-  test("dhashNearDupPairs: banded join equals brute force (lossless at ham <= 3)") {
+  test("hammingNearDupPairs: banded join equals brute force (lossless at ham <= 3)") {
     val sp2 = spark
     import sp2.implicits._
     // 60 images in 12 pattern classes of 5 — each class a hash-equal
@@ -127,10 +127,36 @@ class MultimodalSpec extends SparkSpec {
       a <- 0L until 60L; b <- (a + 1) until 60L
       h = java.lang.Long.bitCount(hmap(a) ^ hmap(b)) if h <= 3
     } yield (a, b, h.toLong)).toSet
-    val got = Multimodal.dhashNearDupPairs(hs, "media_id", "dhash")
+    val got = Multimodal.hammingNearDupPairs(hs, "media_id", "dhash")
       .as[(Long, Long, Long)].collect().toSet
     assert(got === brute)
     assert(got.size === 12 * 10, s"expected 12 cliques of C(5,2), got ${got.size}")
+  }
+
+  test("audioEnvelopeHash: gain-changed copies collide; short/corrupt clips flag") {
+    def amps(off: Int, gain: Int) =
+      Array.tabulate(65)(st => (((st + off) * (st + off) * 7) % 97 + 1) * gain)
+    val hs = Multimodal.audioEnvelopeHash(imageTable(Seq(
+        1L -> Multimodal.renderSteppedWav(amps(3, 1), 64, 8000),
+        2L -> Multimodal.renderSteppedWav(amps(3, 4), 64, 8000), // 4x gain
+        3L -> Multimodal.renderSteppedWav(amps(9, 1), 64, 8000), // other contour
+        4L -> Multimodal.renderSteppedWav(amps(3, 1), 1, 8000),  // < 65 frames? 65 frames exactly
+        5L -> "not audio".getBytes("UTF-8"))), windows = 65)
+      .collect().sortBy(_.media_id)
+    assert(hs.map(_.decoded).toSeq === Seq(true, true, true, true, false))
+    assert(hs(1).ahash === hs(0).ahash, "uniform gain must cancel")
+    assert(java.lang.Long.bitCount(hs(2).ahash ^ hs(0).ahash) > 3,
+      "different energy contour must not pair")
+    // 65 one-sample steps: windows of len 1 still hash (samples ±amp)
+    assert(hs(3).ahash === hs(0).ahash, "envelope is timescale-free when steps align")
+  }
+
+  test("audioEnvelopeHash: clip shorter than the window count flags undecoded") {
+    val tiny = Multimodal.renderPcmWav(nSamples = 30, sampleRate = 8000,
+      amplitude = 900)
+    val hs = Multimodal.audioEnvelopeHash(imageTable(Seq(1L -> tiny)),
+      windows = 65).collect()
+    assert(hs.length === 1 && !hs.head.decoded)
   }
 
   test("audioMeta: real JDK WAV decode — exact rate/frames/RMS, corrupt rows flagged") {
