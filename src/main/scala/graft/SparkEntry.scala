@@ -1782,6 +1782,33 @@ object SparkEntry {
     Multimodal.hammingNearDupPairs(hashes, "doc_id", "ahash", maxHamming = 3)
   }
 
+  /** Q185 — incremental perceptual media dedup
+    * ([[graft.multimodal.Multimodal.incrementalHammingNearDup]]): the
+    * q105 daily-batch shape applied to q182's image hashes — every
+    * tenth document plays today's arriving batch, the rest the
+    * standing index, and the batch's hash bands broadcast while the
+    * corpus streams map-side to the probe (its only exchange is the
+    * matched-pair distinct). Oracle: the q182 luma arithmetic,
+    * brute-forced over CROSS pairs only.
+    */
+  def q185(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    def mediaOf(ids: org.apache.spark.sql.Dataset[Long]) = ids.map { id =>
+      val g = (id % 25).toInt
+      Multimodal.MediaRow(id, "image",
+        Multimodal.renderQuadGradPng(9, 8, offset = g,
+          shift = (id % 3).toInt * 4),
+        9, 8, 0)
+    }
+    val all = docs(s, d).select(col("doc_id")).as[Long]
+    def hashesOf(ids: org.apache.spark.sql.Dataset[Long]) =
+      Multimodal.imageDHash(mediaOf(ids))
+        .select(col("media_id").as("doc_id"), col("dhash"))
+    Multimodal.incrementalHammingNearDup(
+      hashesOf(all.filter(_ % 10 == 0)), hashesOf(all.filter(_ % 10 != 0)),
+      "doc_id", "dhash", maxHamming = 3)
+  }
+
   /** Q183 — mergeable quantile sketch, bound-checked
     * ([[graft.operators.Sketches.ddQuantiles]]; Masson et al., VLDB
     * 2019): per-event-type p25/p50/p75/p90 of positive values from ONE
@@ -2794,7 +2821,8 @@ object SparkEntry {
     "q181_tpch_q21"       -> (q181 _),
     "q182_image_dhash"    -> (q182 _),
     "q183_dd_quantiles"   -> (q183 _),
-    "q184_audio_neardup"  -> (q184 _))
+    "q184_audio_neardup"  -> (q184 _),
+    "q185_incr_media_dedup" -> (q185 _))
 
   // DuckDB twins. Shared SQL fragments for the text queries:
   // explicit class: Java \s includes \x0B, RE2 \s does not — see
@@ -4652,6 +4680,38 @@ object SparkEntry {
          |FROM sc
          |""".stripMargin),
     // q179: the Q5 join tree, revenue through DECIMAL(28,6).
+    // q185: the q182 bit replay, brute-forced over batch × corpus
+    // pairs only (batch = doc_id % 10 = 0).
+    "q185_incr_media_dedup" ->
+      ("""WITH g AS MATERIALIZED (SELECT doc_id, doc_id % 25 AS gk,
+         |    (doc_id % 3) * 4 AS base FROM documents),
+         |cells AS MATERIALIZED (SELECT doc_id,
+         |    x.range AS x, y.range AS y,
+         |    base + ((x.range + 9 * y.range + gk + 1)
+         |      * (x.range + 9 * y.range + gk + 1) * 13) % 150 AS lum
+         |  FROM g, range(9) x, range(8) y),
+         |bits AS MATERIALIZED (SELECT a.doc_id, a.y * 8 + a.x AS k
+         |  FROM cells a JOIN cells b
+         |    ON a.doc_id = b.doc_id AND a.y = b.y AND b.x = a.x + 1
+         |  WHERE b.lum > a.lum),
+         |cnts AS MATERIALIZED (SELECT d.doc_id, count(b.k) AS c
+         |  FROM documents d LEFT JOIN bits b USING (doc_id) GROUP BY 1),
+         |pairs AS (SELECT n.doc_id AS new_id, o.doc_id AS old_id
+         |  FROM documents n JOIN documents o
+         |    ON n.doc_id % 10 = 0 AND o.doc_id % 10 <> 0),
+         |inter AS MATERIALIZED (SELECT a.doc_id AS new_id, b.doc_id AS old_id,
+         |    count(*) AS n
+         |  FROM bits a JOIN bits b ON a.k = b.k
+         |  WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0
+         |  GROUP BY 1, 2)
+         |SELECT p.new_id, p.old_id,
+         |  CAST(ca.c + cb.c - 2 * coalesce(i.n, 0) AS BIGINT) AS hamming
+         |FROM pairs p
+         |LEFT JOIN inter i ON i.new_id = p.new_id AND i.old_id = p.old_id
+         |JOIN cnts ca ON ca.doc_id = p.new_id
+         |JOIN cnts cb ON cb.doc_id = p.old_id
+         |WHERE ca.c + cb.c - 2 * coalesce(i.n, 0) <= 3
+         |""".stripMargin),
     // q184: window energies align with amplitude steps (64 samples
     // each, every sample ±step height), so bit w = (step(w+1) energy >
     // step(w) energy) reduces to comparing the doc_id-arithmetic step

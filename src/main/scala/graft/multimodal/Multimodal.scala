@@ -292,6 +292,40 @@ object Multimodal {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Incremental perceptual dedup: the arriving batch's 64-bit hashes
+    * probed against the STANDING media index without re-pairing or
+    * shuffling it — the daily-ingest shape for media corpora (the
+    * [[graft.operators.Dedup.incrementalNearDup]] contract in Hamming
+    * space). The batch's four 16-bit bands BROADCAST (batch-scale);
+    * the corpus derives its bands map-side inside the same stage and
+    * probes the broadcast — the only exchange anywhere is the final
+    * distinct over MATCHED pairs, bounded by true duplicate hits.
+    * Lossless for `maxHamming <= 3` (the [[hammingNearDupPairs]]
+    * pigeonhole). Returns `(new_id, old_id, hamming)`.
+    */
+  def incrementalHammingNearDup(batch: DataFrame, corpus: DataFrame,
+                                idCol: String, hashCol: String,
+                                maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"banding is lossless only for maxHamming <= 3, got $maxHamming")
+    def banded(df: DataFrame, id: String, h: String) =
+      df.select(col(idCol).as(id), col(hashCol).as(h),
+          explode(array((0 until 4).map(b =>
+            struct(lit(b).as("b"),
+              shiftrightunsigned(col(hashCol), 16 * b).bitwiseAND(lit(0xFFFFL))
+                .as("v"))): _*)).as("band"))
+        .select(col(id), col(h),
+          col("band.b").as(s"__b_$id"), col("band.v").as(s"__v_$id"))
+    val b = broadcast(banded(batch, "new_id", "__hn"))
+    banded(corpus, "old_id", "__ho")
+      .join(b, col("__b_old_id") === col("__b_new_id") &&
+        col("__v_old_id") === col("__v_new_id"))
+      .select(col("new_id"), col("old_id"),
+        expr("bit_count(__hn ^ __ho)").cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** Per-clip 64-bit envelope fingerprint. */
   case class AudioHash(media_id: Long, decoded: Boolean, ahash: Long)
 

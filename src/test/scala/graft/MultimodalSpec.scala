@@ -159,6 +159,37 @@ class MultimodalSpec extends SparkSpec {
     assert(hs.length === 1 && !hs.head.decoded)
   }
 
+  test("incrementalHammingNearDup: batch probes the standing index; corpus never shuffles") {
+    val sp2 = spark
+    import sp2.implicits._
+    // standing index: 40 hashes; batch: exact dup, 2-bit variant,
+    // 4-bit variant (outside ham 3), and a novel hash
+    val corpus = (0L until 40L).map(i => (i, i * 0x9E3779B97F4A7C15L))
+      .toDF("media_id", "h")
+    val batch = Seq(
+      (100L, 7L * 0x9E3779B97F4A7C15L),           // exact dup of id 7
+      (101L, (11L * 0x9E3779B97F4A7C15L) ^ 0x42L), // 2 bits off id 11
+      (102L, (13L * 0x9E3779B97F4A7C15L) ^ 0xF0L), // 4 bits off id 13
+      (103L, 0x1234L)).toDF("media_id", "h")
+    val got = Multimodal.incrementalHammingNearDup(batch, corpus, "media_id", "h")
+    val rows = got.as[(Long, Long, Long)].collect().toSet
+    // brute-force expectation over the cross product
+    val cm = corpus.as[(Long, Long)].collect()
+    val bm = batch.as[(Long, Long)].collect()
+    val brute = (for {
+      (nid, nh) <- bm; (oid, oh) <- cm
+      ham = java.lang.Long.bitCount(nh ^ oh) if ham <= 3
+    } yield (nid, oid, ham.toLong)).toSet
+    assert(rows === brute)
+    assert(rows.exists(_._1 === 100L) && rows.exists(_._1 === 101L))
+    assert(!rows.exists(_._1 === 102L) && !rows.exists(_._1 === 103L))
+    // scale contract: the corpus side reaches the join through a
+    // BroadcastHashJoin — no sort-merge, no corpus-side exchange
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
   test("audioMeta: real JDK WAV decode — exact rate/frames/RMS, corrupt rows flagged") {
     val metas = Multimodal.audioMeta(imageTable(Seq(
         1L -> Multimodal.renderPcmWav(nSamples = 40, sampleRate = 11000, amplitude = 2500),
