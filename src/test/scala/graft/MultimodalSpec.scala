@@ -190,6 +190,44 @@ class MultimodalSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), plan)
   }
 
+  test("streams compose: per-micro-batch incremental media probe equals the batch pairing") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val sp2 = spark
+    import sp2.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // the daily-ingest shape in streaming form: each micro-batch of
+    // arriving media hashes probes the standing index via the same
+    // broadcast-band join; matches accumulate across batches
+    val corpus = (0L until 30L).map(i => (i, i * 1234567L ^ (i << 17)))
+      .toDF("media_id", "h").persist()
+    corpus.count()
+    val acc = scala.collection.mutable.Set.empty[(Long, Long, Long)]
+    val input = MemoryStream[(Long, Long)]
+    val q = input.toDF().toDF("media_id", "h")
+      .writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (!b.isEmpty) {
+          acc ++= Multimodal.incrementalHammingNearDup(b, corpus, "media_id", "h")
+            .as[(Long, Long, Long)].collect()
+        }
+        ()
+      }.start()
+    val arriving = Seq(
+      (100L, 5L * 1234567L ^ (5L << 17)),          // dup of corpus id 5
+      (101L, (9L * 1234567L ^ (9L << 17)) ^ 3L),   // 2 bits off id 9
+      (102L, 0xABCDEF0123L))                       // novel
+    input.addData(arriving.take(1)); q.processAllAvailable()
+    input.addData(arriving.drop(1)); q.processAllAvailable()
+    q.stop()
+    val batch = Multimodal.incrementalHammingNearDup(
+      arriving.toDF("media_id", "h"), corpus, "media_id", "h")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(acc.toSet === batch)
+    assert(batch.exists(p => p._1 == 100L && p._2 == 5L && p._3 == 0L))
+    corpus.unpersist(blocking = false)
+    ()
+  }
+
   test("audioMeta: real JDK WAV decode — exact rate/frames/RMS, corrupt rows flagged") {
     val metas = Multimodal.audioMeta(imageTable(Seq(
         1L -> Multimodal.renderPcmWav(nSamples = 40, sampleRate = 11000, amplitude = 2500),
