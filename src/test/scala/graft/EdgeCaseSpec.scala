@@ -308,4 +308,37 @@ class EdgeCaseSpec extends SparkSpec {
     assert(auc.getLong(0) === 0L && auc.getLong(1) === 0L)
     assert(auc.isNullAt(2) && auc.isNullAt(3))
   }
+
+  test("round-11 operators tolerate empty and degenerate inputs") {
+    import graft.multimodal.Multimodal
+
+    // hamming joins over no hashes / an empty arriving batch: empty
+    val noHashes = Seq.empty[(Long, Long)].toDF("media_id", "h")
+    val someHashes = Seq((1L, 42L), (2L, 43L)).toDF("media_id", "h")
+    assert(Multimodal.hammingNearDupPairs(noHashes, "media_id", "h").count() === 0)
+    assert(Multimodal.incrementalHammingNearDup(noHashes, someHashes,
+      "media_id", "h").count() === 0)
+    assert(Multimodal.incrementalHammingNearDup(someHashes, noHashes,
+      "media_id", "h").count() === 0)
+
+    // perceptual hashes over an empty media table: empty, no decode
+    val emptyMedia = Multimodal.asMediaTable(
+      Seq.empty[(Long, Array[Byte])].toDF("media_id", "payload"),
+      "media_id", "payload")
+    assert(Multimodal.imageDHash(emptyMedia).count() === 0)
+    assert(Multimodal.audioEnvelopeHash(emptyMedia).count() === 0)
+
+    // DDSketch quantiles of nothing / of all-non-positive values: empty
+    val noVals = Seq.empty[(String, Double)].toDF("grp", "v")
+    assert(graft.operators.Sketches.ddQuantiles(noVals, "grp", "v", Seq(50))
+      .count() === 0)
+    val negVals = Seq(("g", -1.0), ("g", 0.0)).toDF("grp", "v")
+    assert(graft.operators.Sketches.ddQuantiles(negVals, "grp", "v", Seq(50))
+      .count() === 0)
+
+    // certified BPE batching on a single candidate: accepts it
+    assert(graft.operators.Corpus.certifyBpeBatch(
+      Array(("a", "b", 5L)), truncated = false, Set.empty, 10) ===
+      Seq(("a", "b", 5L)))
+  }
 }
