@@ -1782,6 +1782,34 @@ object SparkEntry {
     Multimodal.hammingNearDupPairs(hashes, "doc_id", "ahash", maxHamming = 3)
   }
 
+  /** Q186 — subsequence similarity search
+    * ([[graft.operators.TimeSeries.ssdTopK]]): the 20 length-8 windows
+    * across all per-type value sequences closest (sum of squared
+    * differences, DECIMAL(38,12) terms) to the first type's opening
+    * 8-value pattern — "where does this sensor signature recur".
+    * Probe broadcasts as 8 rows; each series row fans out to ≤ 8
+    * windows feeding one partial-aggregating (type, start) shuffle and
+    * a bounded TakeOrdered cut. Exact oracle: the same window algebra
+    * over `row_number` sequences.
+    */
+  def q186(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sp = s
+    import sp.implicits._
+    val base = ev(s, d)
+      .filter(col("value").isNotNull && !isnan(col("value")))
+      .select(col("event_type"), col("event_id"),
+        col("value").cast("double").as("v"))
+      .withColumn("idx", row_number().over(
+        Window.partitionBy(col("event_type")).orderBy(col("event_id"))))
+    val probeType = base.agg(min(col("event_type"))).head().getString(0)
+    val probe = base
+      .filter(col("event_type") === probeType && col("idx") <= 8)
+      .orderBy("idx").select("v").as[Double].collect()
+    graft.operators.TimeSeries.ssdTopK(base, "event_type", "idx", "v",
+      probe, k = 20)
+  }
+
   /** Q185 — incremental perceptual media dedup
     * ([[graft.multimodal.Multimodal.incrementalHammingNearDup]]): the
     * q105 daily-batch shape applied to q182's image hashes — every
@@ -2822,7 +2850,8 @@ object SparkEntry {
     "q182_image_dhash"    -> (q182 _),
     "q183_dd_quantiles"   -> (q183 _),
     "q184_audio_neardup"  -> (q184 _),
-    "q185_incr_media_dedup" -> (q185 _))
+    "q185_incr_media_dedup" -> (q185 _),
+    "q186_subseq_search"  -> (q186 _))
 
   // DuckDB twins. Shared SQL fragments for the text queries:
   // explicit class: Java \s includes \x0B, RE2 \s does not — see
@@ -4680,6 +4709,27 @@ object SparkEntry {
          |FROM sc
          |""".stripMargin),
     // q179: the Q5 join tree, revenue through DECIMAL(28,6).
+    // q186: identical window algebra — row_number sequences, the probe
+    // from the lexicographically-first type's first 8 values, squared
+    // differences through DECIMAL(38,12), (ssd, type, start) total
+    // order for the LIMIT.
+    "q186_subseq_search" ->
+      ("""WITH s AS (SELECT event_type,
+         |    row_number() OVER (PARTITION BY event_type ORDER BY event_id) AS idx,
+         |    CAST(value AS DOUBLE) AS v
+         |  FROM events WHERE value IS NOT NULL AND NOT isnan(value)),
+         |p AS (SELECT idx - 1 AS j, v AS pv FROM s
+         |  WHERE event_type = (SELECT min(event_type) FROM s) AND idx <= 8),
+         |c AS (SELECT s.event_type, s.idx - p.j AS start_idx,
+         |    CAST((s.v - p.pv) * (s.v - p.pv) AS DECIMAL(38,12)) AS t
+         |  FROM s JOIN p ON s.idx - p.j >= 1),
+         |w AS (SELECT event_type, start_idx, sum(t) AS ssd, count(*) AS n
+         |  FROM c GROUP BY 1, 2)
+         |SELECT event_type, CAST(start_idx AS BIGINT) AS start_idx,
+         |  round(CAST(ssd AS DOUBLE), 6) + 0 AS ssd_r
+         |FROM w WHERE n = 8
+         |ORDER BY ssd_r, event_type, start_idx LIMIT 20
+         |""".stripMargin),
     // q185: the q182 bit replay, brute-forced over batch × corpus
     // pairs only (batch = doc_id % 10 = 0).
     "q185_incr_media_dedup" ->

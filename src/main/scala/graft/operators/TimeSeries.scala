@@ -256,6 +256,56 @@ object TimeSeries {
       NumFunctions.roundNz(col("__sy") / col("n"), 6).as("mean_v"))
   }
 
+  /** Subsequence similarity search: the `k` windows of length
+    * `probe.length` (over the per-key sequence `idxCol` — 1-based,
+    * dense) closest to `probe` by sum of squared differences — the
+    * time-series analogue of the exact cosine top-k (find where a
+    * pattern of interest recurs across all sensors/series). Returns
+    * `(keyCol, start_idx, ssd_r)` ordered by (ssd, key, start) — a
+    * total order, so the cut is deterministic.
+    *
+    * Determinism: each squared difference routes through
+    * DECIMAL(38,12) before the per-window sum (the q67 recipe), so
+    * any engine replays the ranking bit for bit.
+    *
+    * Scale design: the probe broadcasts as L rows and each series row
+    * fans out to the ≤ L windows it participates in — a constant-L
+    * row multiplier feeding ONE partial-aggregating (key, start)
+    * shuffle, then the bounded TakeOrdered cut; no self-join of the
+    * series against itself, no window over the sequence. L is the
+    * pattern length (8–128 in practice) — cost is linear in rows × L
+    * at any corpus size. For sub-linear candidate pruning at very
+    * large L, quantize a PAA signature upstream and equi-join buckets
+    * before this exact verify (the LSH-propose/exact-decide pattern
+    * used across the dedup tier).
+    */
+  def ssdTopK(series: DataFrame, keyCol: String, idxCol: String,
+              valueCol: String, probe: Array[Double], k: Int = 20): DataFrame = {
+    require(probe.nonEmpty && probe.length <= 1024,
+      s"probe length must be in [1, 1024], got ${probe.length}")
+    require(k >= 1, s"k must be >= 1, got $k")
+    val spark = series.sparkSession
+    import spark.implicits._
+    val l = probe.length
+    val p = broadcast(probe.toSeq.zipWithIndex
+      .map { case (v, j) => (j.toLong, v) }.toDF("__j", "__pv"))
+    val contrib = series
+      .select(col(keyCol), col(idxCol).cast("long").as("__idx"),
+        col(valueCol).cast("double").as("__v"))
+      .filter(col("__v").isNotNull && !isnan(col("__v")))
+      .join(p, col("__idx") - col("__j") >= 1)
+      .select(col(keyCol), (col("__idx") - col("__j")).as("start_idx"),
+        ((col("__v") - col("__pv")) * (col("__v") - col("__pv")))
+          .cast(DecimalType(38, 12)).as("__t"))
+    val ssd = contrib.groupBy(col(keyCol), col("start_idx"))
+      .agg(sum(col("__t")).as("__ssd"), count(lit(1)).as("__n"))
+      .filter(col("__n") === l) // complete windows only
+      .select(col(keyCol), col("start_idx"),
+        NumFunctions.roundNz(col("__ssd").cast("double"), 6).as("ssd_r"))
+    ssd.orderBy(col("ssd_r").asc, col(keyCol).asc, col("start_idx").asc)
+      .limit(k)
+  }
+
   def rollingZscore(df: DataFrame, keyCol: String, tsCol: String,
                     valueCol: String, win: Int = 7,
                     threshold: Double = 2.0): DataFrame = {

@@ -66,6 +66,32 @@ class TimeSeriesSpec extends SparkSpec {
     assert(got === Seq((1L, 2L), (2L, 1L)))
   }
 
+  test("ssdTopK: hand-computed distances; self-match is 0; incomplete windows excluded") {
+    // series a = [1, 2, 3, 4, 5]; b = [2, 3, 4, 9]; probe [2, 3, 4]
+    val series = (Seq((1L, 1.0), (2L, 2.0), (3L, 3.0), (4L, 4.0), (5L, 5.0))
+      .map { case (i, v) => ("a", i, v) } ++
+      Seq((1L, 2.0), (2L, 3.0), (3L, 4.0), (4L, 9.0))
+        .map { case (i, v) => ("b", i, v) })
+      .toDF("key", "idx", "v")
+    val got = graft.operators.TimeSeries.ssdTopK(series, "key", "idx", "v",
+        Array(2.0, 3.0, 4.0), k = 10)
+      .as[(String, Long, Double)].collect().toSeq
+    // windows: a@1=[1,2,3]→3, a@2=[2,3,4]→0, a@3=[3,4,5]→3,
+    //          b@1=[2,3,4]→0, b@2=[3,4,9]→27; a@4/b@3 incomplete → absent
+    assert(got === Seq(("a", 2L, 0.0), ("b", 1L, 0.0),
+      ("a", 1L, 3.0), ("a", 3L, 3.0), ("b", 2L, 27.0)))
+  }
+
+  test("ssdTopK: k cuts on the (ssd, key, start) total order; NaN rows dropped") {
+    val series = Seq(("a", 1L, 5.0), ("a", 2L, 5.0), ("a", 3L, Double.NaN),
+      ("b", 1L, 5.0), ("b", 2L, 5.0)).toDF("key", "idx", "v")
+    val got = graft.operators.TimeSeries.ssdTopK(series, "key", "idx", "v",
+        Array(5.0, 5.0), k = 1)
+      .as[(String, Long, Double)].collect().toSeq
+    // both complete windows tie at 0; key "a" wins the tie-break
+    assert(got === Seq(("a", 1L, 0.0)))
+  }
+
   test("rollingZscore: trailing-window mean/std arithmetic, leading rows unscored") {
     // key with daily values 1,2,3,4 and win=3:
     // day1: n=1 → null; day2: n=2, mean 1.5, var 0.5; day3: n=3 over {1,2,3}
