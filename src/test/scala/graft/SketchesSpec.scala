@@ -108,6 +108,46 @@ class SketchesSpec extends SparkSpec {
     assert(one === many)
   }
 
+  test("streams compose: DD sketches maintained per micro-batch equal the batch estimate") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val gamma = 1.02
+    val invLn = 1.0 / StrictMath.log(gamma)
+    // per-batch bucket maps add into one global map — the mergeability
+    // contract is literally the streaming state update
+    var global = Map.empty[Int, Long]
+    def bucketsOf(vs: Seq[Double]): Map[Int, Long] =
+      vs.filter(_ > 0).groupBy(v => math.ceil(StrictMath.log(v) * invLn).toInt)
+        .map { case (k, g) => k -> g.size.toLong }
+    val input = MemoryStream[Double]
+    val q = input.toDF().toDF("v")
+      .writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (!b.isEmpty) {
+          val vs = b.collect().map(_.getDouble(0)).toSeq
+          val part = bucketsOf(vs)
+          global = (global.keySet ++ part.keySet).map(k =>
+            k -> (global.getOrElse(k, 0L) + part.getOrElse(k, 0L))).toMap
+        }
+        ()
+      }.start()
+    val data = (1 to 300).map(i => math.exp((i % 50) / 10.0) * 0.37)
+    input.addData(data.take(120)); q.processAllAvailable()
+    input.addData(data.drop(120)); q.processAllAvailable()
+    q.stop()
+    // the streamed global map estimates every percentile identically to
+    // the one-shot batch sketch
+    val est = Sketches.ddQuantiles(data.map(("g", _)).toDF("grp", "v"),
+        "grp", "v", Seq(10, 50, 90), gamma)
+      .as[(String, Long, Long, Double)].collect()
+      .map { case (_, qp, _, e) => qp -> e }.toMap
+    for (qp <- Seq(10L, 50L, 90L)) {
+      val r = (300 * qp + 99) / 100
+      assert(Sketches.ddEstimate(global, r, gamma) === est(qp),
+        s"p$qp streamed != batch")
+    }
+  }
+
   test("ddEstimate: hand-computed bucket walk; non-positive and NaN values excluded") {
     // values 1.0 (bucket 0), ~gamma^5 midpoints: hand-plant buckets
     val buckets = Map(0 -> 2L, 5 -> 3L)
