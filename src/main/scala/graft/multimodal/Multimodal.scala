@@ -337,7 +337,9 @@ object Multimodal {
     * window w. The energy-envelope CONTOUR survives re-encoding and
     * uniform gain changes (a constant gain scales every window by the
     * same g², leaving all comparisons intact) — the duplicate classes
-    * byte hashing misses for audio. Clips shorter than `windows`
+    * byte hashing misses for audio. The trailing `n mod windows`
+    * frames are ignored (windows stay equal-length so energy
+    * comparisons are like-for-like). Clips shorter than `windows`
     * frames, non-mono, or non-16-bit payloads flag `decoded = false`.
     * Samples never leave the partition; only the 8-byte hash shuffles.
     * Pairing: [[hammingNearDupPairs]], same as images.

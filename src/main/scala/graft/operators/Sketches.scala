@@ -172,7 +172,9 @@ object Sketches {
 
   /** Per-group quantile ESTIMATES from one mergeable-sketch pass:
     * `(groupCol, q_pct, n, est)` for each requested percentile (rank
-    * `ceil(n·q/100)` — the discrete order-statistic convention).
+    * `ceil(n·q/100)` — the discrete order-statistic convention). The
+    * group key surfaces as STRING (the typed flatMap's fixed row
+    * shape) — join back on the stringified key for non-string groups.
     * The scan shuffles one bucket map per (partition, group); nothing
     * downstream grows with the rows. Guarantee: `|est − x_(r)| ≤
     * α·x_(r)` with α = (γ−1)/(γ+1) — q183 checks it row by row

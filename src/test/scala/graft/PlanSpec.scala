@@ -631,6 +631,16 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q182/q186: no cartesian products; q186's top-20 is TakeOrdered over one keyed aggregate") {
+    val p182 = plan(SparkEntry.q182(spark, sf0001))
+    assert(!p182.contains("CartesianProduct"),
+      s"banded hamming join must never go quadratic:\n$p182")
+    val p186 = plan(SparkEntry.q186(spark, sf0001))
+    assert(!p186.contains("CartesianProduct"), p186)
+    assert(p186.contains("TakeOrderedAndProject"),
+      s"top-20 must be TakeOrdered, not a global sort:\n$p186")
+  }
+
   test("q133: every PageRank iteration reads the persisted edge cache, not the corpus") {
     val p = plan(SparkEntry.q133(spark, sf0001))
     // each of the 5 iterations reads edges (contrib + outdeg legs) from
