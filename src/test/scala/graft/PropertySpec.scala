@@ -22,6 +22,57 @@ class PropertySpec extends SparkSpec {
   private def samples[A](gen: Gen[A], n: Int = 12): Seq[A] =
     (1 to n).map(i => gen.pureApply(Gen.Parameters.default, Seed(i.toLong)))
 
+  test("property: both BPE tiers ≡ the sequential reference on arbitrary small-alphabet corpora") {
+    // small alphabets maximize merge interaction (chained tops, concat
+    // collisions, (a,a) self-merges appear constantly) — the hardest
+    // regime for the certified-batch proof and the incremental trainer
+    val corpusGen = for {
+      nDocs <- Gen.choose(3, 10)
+      docs <- Gen.listOfN(nDocs, Gen.nonEmptyListOf(
+        Gen.nonEmptyListOf(Gen.oneOf('a', 'b', 'c')).map(_.take(6).mkString))
+        .map(_.take(8).mkString(" ")))
+    } yield docs
+    def refLearn(texts: Seq[String], k: Int): Seq[(String, String, Long)] = {
+      def split(w: String) = w.toVector.map(_.toString)
+      def applyMerge(syms: Vector[String], a: String, b: String) = {
+        val buf = Vector.newBuilder[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+            buf += a + b; i += 2
+          } else { buf += syms(i); i += 1 }
+        }
+        buf.result()
+      }
+      var words = texts.flatMap(_.split("[ \t\n\f\r]+")).filter(_.nonEmpty).map(split)
+      val out = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+      var done = false
+      while (out.length < k && !done) {
+        val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+        for (w <- words; i <- 0 until w.length - 1)
+          counts((w(i), w(i + 1))) = counts.getOrElse((w(i), w(i + 1)), 0L) + 1
+        if (counts.isEmpty) done = true
+        else {
+          val ((a, b), c) = counts.toSeq.minBy { case ((l, r), n) => (-n, l, r) }
+          out += ((a, b, c))
+          words = words.map(applyMerge(_, a, b))
+        }
+      }
+      out.toSeq
+    }
+    samples(corpusGen, 10).foreach { docs =>
+      val want = refLearn(docs, 18)
+      for (dictMax <- Seq(0L, graft.operators.Corpus.BpeLocalDictMax)) {
+        val got = graft.operators.Corpus
+          .learnBpe(docs.toDF("text"), "text", 18, localDictMax = dictMax)
+          .orderBy("rank").as[(Int, String, String, Long)].collect()
+          .map { case (_, l, r, c) => (l, r, c) }.toSeq
+        assert(got === want,
+          s"tier dictMax=$dictMax diverged on corpus: ${docs.mkString(" | ")}")
+      }
+    }
+  }
+
   test("property: normalize is idempotent and whitespace-insensitive") {
     val wsGen = Gen.listOf(Gen.oneOf(" ", "\t", "\n", "  ")).map(_.mkString)
     val wordGen = Gen.listOfN(3, Gen.alphaNumStr.map(_.take(6)))
