@@ -1743,7 +1743,10 @@ object SparkEntry {
             shift = (id % 3).toInt * 4),
           9, 8, 0)
       }
+    // decoded = false rows carry hash 0L — pairing them would report any
+    // two corrupt payloads as exact duplicates, so drop them before banding
     val hashes = Multimodal.imageDHash(media)
+      .filter(col("decoded"))
       .select(col("media_id").as("doc_id"), col("dhash"))
     Multimodal.hammingNearDupPairs(hashes, "doc_id", "dhash", maxHamming = 3)
   }
@@ -1778,6 +1781,7 @@ object SparkEntry {
           0, 0, 8000)
       }
     val hashes = Multimodal.audioEnvelopeHash(media, windows = 65)
+      .filter(col("decoded"))
       .select(col("media_id").as("doc_id"), col("ahash"))
     Multimodal.hammingNearDupPairs(hashes, "doc_id", "ahash", maxHamming = 3)
   }
@@ -1806,6 +1810,11 @@ object SparkEntry {
     val probe = base
       .filter(col("event_type") === probeType && col("idx") <= 8)
       .orderBy("idx").select("v").as[Double].collect()
+    // the DuckDB twin hard-codes complete windows as n = 8: a shorter
+    // probe (first type has < 8 rows) must fail loudly here, not
+    // silently diverge from the oracle's window-length literal
+    require(probe.length == 8,
+      s"q186 probe must be exactly 8 values (oracle pins n = 8), got ${probe.length}")
     graft.operators.TimeSeries.ssdTopK(base, "event_type", "idx", "v",
       probe, k = 20)
   }
@@ -1831,6 +1840,7 @@ object SparkEntry {
     val all = docs(s, d).select(col("doc_id")).as[Long]
     def hashesOf(ids: org.apache.spark.sql.Dataset[Long]) =
       Multimodal.imageDHash(mediaOf(ids))
+        .filter(col("decoded"))
         .select(col("media_id").as("doc_id"), col("dhash"))
     Multimodal.incrementalHammingNearDup(
       hashesOf(all.filter(_ % 10 == 0)), hashesOf(all.filter(_ % 10 != 0)),
@@ -1856,7 +1866,8 @@ object SparkEntry {
     val alpha = (gamma - 1.0) / (gamma + 1.0)
     val qs = Seq(25, 50, 75, 90)
     val pos = ev(s, d).select(col("event_type"), col("value").cast("double").as("v"))
-      .filter(col("v").isNotNull && col("v") > 0 && !isnan(col("v")))
+      .filter(col("v").isNotNull && col("v") > 0 && !isnan(col("v")) &&
+        col("v") =!= Double.PositiveInfinity)
     val est = graft.operators.Sketches.ddQuantiles(pos, "event_type", "v",
       qs, gamma)
     val w = Window.partitionBy(col("event_type")).orderBy(col("v"))
@@ -4798,7 +4809,7 @@ object SparkEntry {
     "q183_dd_quantiles" ->
       ("""WITH pos AS (SELECT event_type, CAST(value AS DOUBLE) AS v
          |  FROM events WHERE value IS NOT NULL AND value > 0
-         |    AND NOT isnan(value)),
+         |    AND NOT isnan(value) AND isfinite(CAST(value AS DOUBLE))),
          |c AS (SELECT event_type, v, count(*) AS cnt FROM pos GROUP BY 1, 2),
          |cc AS (SELECT event_type, v,
          |  sum(cnt) OVER (PARTITION BY event_type ORDER BY v

@@ -1,6 +1,6 @@
 package graft.multimodal
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
 /** Multimodal column support (north-star): image/audio/video payloads as
@@ -258,48 +258,109 @@ object Multimodal {
     })
   }
 
+  /** The four 16-bit bands of a 64-bit hash as an exploded
+    * `struct(b, v)` column — shared by every banded-Hamming operator
+    * below so the bucketing math cannot drift between them.
+    */
+  private def bandStructs(h: Column): Column =
+    explode(array((0 until 4).map(b =>
+      struct(lit(b).as("b"),
+        shiftrightunsigned(h, 16 * b).bitwiseAND(lit(0xFFFFL)).as("v"))): _*))
+
+  /** Class-level view of a banded-Hamming dedup:
+    * `membership` = `(id, class_id, class_size)` where a CLASS is one
+    * distinct hash value (its minimum member id is the class id), and
+    * `classPairs` = `(a_class, b_class, hamming)` for distinct-hash
+    * class pairs within `maxHamming`. Intra-class pairs are implicit
+    * (every same-class pair has Hamming 0).
+    */
+  case class HammingDupClasses(membership: DataFrame, classPairs: DataFrame)
+
+  /** Hamming-0 class collapse + banded class pairing — the form of
+    * [[hammingNearDupPairs]] that survives DEGENERATE duplicate
+    * classes. Real media corpora concentrate mass on a few identical
+    * hashes (black frames, digital silence, blank pages): a
+    * million-member class fed straight into a band self-join
+    * materializes m²/2 ≈ 5·10¹¹ pairs from one bucket. Here identical
+    * hashes collapse FIRST (one groupBy on the 8-byte hash — the exact
+    * skew guard [[graft.operators.Dedup.corpusComponents]] applies to
+    * text), only DISTINCT hashes enter the four-band join, and the
+    * result is class-scale: membership rows (linear in ids) plus
+    * cross-class pairs (linear in genuinely-near hash values). Banding
+    * stays lossless for `maxHamming <= 3` (pigeonhole over four 16-bit
+    * bands). Downstream component/survivor logic should run on class
+    * ids and expand through `membership` at the end — the q187
+    * pipeline shape.
+    */
+  def hammingNearDupClasses(hashes: DataFrame, idCol: String, hashCol: String,
+                            maxHamming: Int = 3): HammingDupClasses = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"banding is lossless only for maxHamming <= 3, got $maxHamming")
+    val members = hashes.select(col(idCol).as("id"), col(hashCol).as("__h"))
+    val classes = members.groupBy(col("__h"))
+      .agg(min(col("id")).as("class_id"), count(lit(1)).as("class_size"))
+    val membership = members.join(classes, Seq("__h"))
+      .select(col("id"), col("class_id"), col("class_size"))
+    val banded = classes
+      .select(col("class_id"), col("__h"), bandStructs(col("__h")).as("band"))
+      .select(col("class_id"), col("__h"),
+        col("band.b").as("__b"), col("band.v").as("__v"))
+    val b2 = banded.select(col("class_id").as("__c2"), col("__h").as("__h2"),
+      col("__b").as("__b2"), col("__v").as("__v2"))
+    val classPairs = banded
+      .join(b2, col("__b") === col("__b2") && col("__v") === col("__v2") &&
+        col("class_id") < col("__c2"))
+      .select(col("class_id").as("a_class"), col("__c2").as("b_class"),
+        expr("bit_count(__h ^ __h2)").cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+    HammingDupClasses(membership, classPairs)
+  }
+
   /** Near-duplicate pairs for ANY 64-bit perceptual hash (image dHash,
     * audio envelope hash, video frame signatures) by banded Hamming
     * join — LOSSLESS for `maxHamming <= 3`: the hash splits into four
     * 16-bit bands, and ≤ 3 differing bits cannot touch all four
     * (pigeonhole), so every qualifying pair shares at least one exact
     * band — the q129 prefix-filter argument in Hamming space.
-    * Candidates are pairs sharing a (band index, band value) bucket;
-    * the verify step is one `bit_count(xor)` per candidate. Returns
-    * `(a_id, b_id, hamming)` with a_id < b_id. Shuffle carries
+    * Identical hashes collapse to one class BEFORE banding
+    * ([[hammingNearDupClasses]]), so a degenerate m-member identical
+    * class costs the band join ONE row, not m — though the pair
+    * CONTRACT still expands it to m(m−1)/2 output rows (all Hamming
+    * 0); callers facing black-frame/silence-heavy corpora should
+    * consume [[hammingNearDupClasses]] directly and stay class-scale.
+    * Returns `(a_id, b_id, hamming)` with a_id < b_id. Shuffle carries
     * (id, 8-byte hash) rows only — never pixels or samples — and
-    * bucket sizes track true duplicate-class sizes, not the corpus.
+    * band bucket sizes track DISTINCT near-dup hash values, not
+    * duplicate-class sizes.
     */
   def hammingNearDupPairs(hashes: DataFrame, idCol: String, hashCol: String,
                           maxHamming: Int = 3): DataFrame = {
-    require(maxHamming >= 0 && maxHamming <= 3,
-      s"banding is lossless only for maxHamming <= 3, got $maxHamming")
-    val banded = hashes.select(col(idCol).as("__id"), col(hashCol).as("__h"))
-      .select(col("__id"), col("__h"),
-        explode(array((0 until 4).map(b =>
-          struct(lit(b).as("b"),
-            shiftrightunsigned(col("__h"), 16 * b).bitwiseAND(lit(0xFFFFL))
-              .as("v"))): _*)).as("band"))
-      .select(col("__id"), col("__h"), col("band.b").as("__b"), col("band.v").as("__v"))
-    val a = banded
-    val b = banded.select(col("__id").as("__id2"), col("__h").as("__h2"),
-      col("__b").as("__b2"), col("__v").as("__v2"))
-    a.join(b, col("__b") === col("__b2") && col("__v") === col("__v2") &&
-        col("__id") < col("__id2"))
-      .select(col("__id").as("a_id"), col("__id2").as("b_id"),
-        expr("bit_count(__h ^ __h2)").cast("long").as("hamming"))
-      .distinct()
-      .filter(col("hamming") <= maxHamming)
+    val c = hammingNearDupClasses(hashes, idCol, hashCol, maxHamming)
+    val ma = c.membership.select(col("class_id").as("a_class"), col("id").as("__ida"))
+    val mb = c.membership.select(col("class_id").as("b_class"), col("id").as("__idb"))
+    val cross = c.classPairs.join(ma, Seq("a_class")).join(mb, Seq("b_class"))
+      .select(least(col("__ida"), col("__idb")).as("a_id"),
+        greatest(col("__ida"), col("__idb")).as("b_id"), col("hamming"))
+    val ia = c.membership.select(col("class_id").as("__c"), col("id").as("__ida"))
+    val ib = c.membership.select(col("class_id").as("__c"), col("id").as("__idb"))
+    val intra = ia.join(ib, Seq("__c"))
+      .filter(col("__ida") < col("__idb"))
+      .select(col("__ida").as("a_id"), col("__idb").as("b_id"),
+        lit(0L).as("hamming"))
+    cross.unionByName(intra)
   }
 
   /** Incremental perceptual dedup: the arriving batch's 64-bit hashes
     * probed against the STANDING media index without re-pairing or
     * shuffling it — the daily-ingest shape for media corpora (the
     * [[graft.operators.Dedup.incrementalNearDup]] contract in Hamming
-    * space). The batch's four 16-bit bands BROADCAST (batch-scale);
-    * the corpus derives its bands map-side inside the same stage and
-    * probes the broadcast — the only exchange anywhere is the final
-    * distinct over MATCHED pairs, bounded by true duplicate hits.
+    * space). The four 16-bit bands of the batch's DISTINCT hashes
+    * BROADCAST (batch-scale); the corpus derives its bands map-side
+    * inside the same stage and probes the broadcast — the only
+    * exchange anywhere is the distinct over verified
+    * (corpus id, batch hash class) matches, bounded by true duplicate
+    * hits at batch-CLASS granularity.
     * Lossless for `maxHamming <= 3` (the [[hammingNearDupPairs]]
     * pigeonhole). Returns `(new_id, old_id, hamming)`.
     */
@@ -308,22 +369,93 @@ object Multimodal {
                                 maxHamming: Int = 3): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 3,
       s"banding is lossless only for maxHamming <= 3, got $maxHamming")
-    def banded(df: DataFrame, id: String, h: String) =
-      df.select(col(idCol).as(id), col(hashCol).as(h),
-          explode(array((0 until 4).map(b =>
-            struct(lit(b).as("b"),
-              shiftrightunsigned(col(hashCol), 16 * b).bitwiseAND(lit(0xFFFFL))
-                .as("v"))): _*)).as("band"))
-        .select(col(id), col(h),
-          col("band.b").as(s"__b_$id"), col("band.v").as(s"__v_$id"))
-    val b = broadcast(banded(batch, "new_id", "__hn"))
-    banded(corpus, "old_id", "__ho")
-      .join(b, col("__b_old_id") === col("__b_new_id") &&
-        col("__v_old_id") === col("__v_new_id"))
-      .select(col("new_id"), col("old_id"),
+    // the batch collapses to DISTINCT hashes before broadcasting — a
+    // degenerate batch class of m identical hashes (today's black
+    // frames) would otherwise probe every corpus candidate m times and
+    // push m× rows through the matched-pair exchange; membership
+    // re-expands (broadcast, batch-scale) only after the verify filter
+    val bm = batch.select(col(idCol).as("new_id"), col(hashCol).as("__hn"))
+    val bBands = broadcast(bm.groupBy(col("__hn")).agg(count(lit(1)))
+      .select(col("__hn"), bandStructs(col("__hn")).as("band"))
+      .select(col("__hn"), col("band.b").as("__bb"), col("band.v").as("__bv")))
+    corpus.select(col(idCol).as("old_id"), col(hashCol).as("__ho"))
+      .select(col("old_id"), col("__ho"), bandStructs(col("__ho")).as("band"))
+      .select(col("old_id"), col("__ho"),
+        col("band.b").as("__ob"), col("band.v").as("__ov"))
+      .join(bBands, col("__ob") === col("__bb") && col("__ov") === col("__bv"))
+      .select(col("old_id"), col("__hn"),
         expr("bit_count(__hn ^ __ho)").cast("long").as("hamming"))
-      .distinct()
       .filter(col("hamming") <= maxHamming)
+      .distinct()
+      .join(broadcast(bm), Seq("__hn"))
+      .select(col("new_id"), col("old_id"), col("hamming"))
+  }
+
+  /** End-to-end media dedup — the [[graft.operators.Dedup.dedupCorpus]]
+    * shape for a multimodal lake, composed from the tier's own pieces:
+    *
+    *  1. EXACT payload collapse: min-id representative per
+    *     (kind, md5(payload)) class — one map-side fingerprint, no
+    *     decode, so it also dedups rows no codec can read;
+    *  2. per-modality PERCEPTUAL hash, map-side (pixels and samples
+    *     never leave their decode partitions): [[imageDHash]] for
+    *     images, [[audioEnvelopeHash]] for audio — corrupt payloads
+    *     (`decoded = false`) skip this stage and rely on (1);
+    *  3. banded Hamming CLASS pairs per modality
+    *     ([[hammingNearDupClasses]]) — only distinct hash values enter
+    *     the band join, so degenerate black-frame/silence classes cost
+    *     one row each;
+    *  4. connected components over LINEAR edges — exact membership
+    *     (id → exact rep), hash-class membership (id → class id), and
+    *     the class-pair edges — via
+    *     [[graft.operators.Dedup.nearDupComponents]]: edge count is
+    *     O(ids + near-dup hash pairs), never O(pairs-of-members);
+    *  5. survivor datasheet: one row per kept item with its duplicate
+    *     class size, distinct exact-byte variants, and bytes
+    *     reclaimable by keeping only the survivor.
+    *
+    * Video rows participate in (1) only — clip-level perceptual video
+    * dedup composes [[videoFrameHashes]] externally (the q139 frame
+    * profile). Returns `(survivor_id, kind, n_members,
+    * n_exact_classes, total_bytes, bytes_saved)`; singletons appear
+    * with `n_members = 1`, `bytes_saved = 0`.
+    */
+  def mediaDedupPipeline(media: Dataset[MediaRow], maxHamming: Int = 3,
+                         audioWindows: Int = 65): DataFrame = {
+    val base = media.toDF().select(col("media_id"), col("kind"),
+      md5(col("payload")).as("__fp"),
+      octet_length(col("payload")).cast("long").as("__bytes"))
+    val exactRep = base.groupBy(col("kind"), col("__fp"))
+      .agg(min(col("media_id")).as("__erep"))
+    val exactEdges = base.join(exactRep, Seq("kind", "__fp"))
+      .filter(col("media_id") =!= col("__erep"))
+      .select(col("media_id").as("a_id"), col("__erep").as("b_id"))
+    def classEdges(hashes: DataFrame, hashCol: String): DataFrame = {
+      val c = hammingNearDupClasses(hashes, "media_id", hashCol, maxHamming)
+      c.membership.filter(col("id") =!= col("class_id"))
+        .select(col("id").as("a_id"), col("class_id").as("b_id"))
+        .unionByName(c.classPairs
+          .select(col("a_class").as("a_id"), col("b_class").as("b_id")))
+    }
+    val imgEdges = classEdges(
+      imageDHash(media.filter(m => m.kind == "image")).toDF()
+        .filter(col("decoded")).select(col("media_id"), col("dhash")), "dhash")
+    val audEdges = classEdges(
+      audioEnvelopeHash(media.filter(m => m.kind == "audio"), audioWindows).toDF()
+        .filter(col("decoded")).select(col("media_id"), col("ahash")), "ahash")
+    val edges = exactEdges.unionByName(imgEdges).unionByName(audEdges)
+    val comp = graft.operators.Dedup.nearDupComponents(
+      base.select(col("media_id")), "media_id", edges)
+    base.join(comp, base("media_id") === comp("id"))
+      .groupBy(col("survivor_id"))
+      .agg(first(col("kind")).as("kind"),
+        count(lit(1)).as("n_members"),
+        countDistinct(col("__fp")).as("n_exact_classes"),
+        sum(col("__bytes")).as("total_bytes"))
+      .join(base.select(col("media_id").as("survivor_id"),
+        col("__bytes").as("__sb")), Seq("survivor_id"))
+      .withColumn("bytes_saved", col("total_bytes") - col("__sb"))
+      .drop("__sb")
   }
 
   /** Per-clip 64-bit envelope fingerprint. */

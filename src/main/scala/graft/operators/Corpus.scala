@@ -1045,9 +1045,12 @@ object Corpus {
     * Two-tier execution — the shape every production tokenizer train
     * has (HuggingFace tokenizers, SentencePiece): the corpus scan is
     * the only DATA-scale step, and the word-count dict it produces is
-    * VOCABULARY-scale. When the dict fits `localDictMax` rows (it
-    * virtually always does — even web-scale corpora normalize to tens
-    * of millions of distinct words), it collects ONCE and the merge
+    * VOCABULARY-scale. When the dict fits `localDictMax` rows (the
+    * 2M-row default routes moderate vocabularies — books, code, one
+    * language's news — locally; web-scale corpora with tens of
+    * millions of distinct "words" take the distributed tier, or raise
+    * the cap if driver memory allows ~100 B/row), it collects ONCE
+    * and the merge
     * loop runs the exact incremental algorithm ([[localBpeTrain]]:
     * lazy-invalidation heap + pair→word inverted index) with ZERO
     * further Spark jobs — a 32k-merge train is ~3 jobs total instead

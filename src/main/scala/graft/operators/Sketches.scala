@@ -190,7 +190,11 @@ object Sketches {
     val perGroup = df
       .select(col(groupCol).cast("string").as("g"),
         col(valueCol).cast("double").as("v"))
-      .filter(col("v").isNotNull && col("v") > 0 && !isnan(col("v")))
+      // finite-positive only, matching DdSketchAggregator.reduce exactly:
+      // admitting +Inf into n but not the sketch would push rank targets
+      // past the sketch mass and silently return the top bucket
+      .filter(col("v").isNotNull && col("v") > 0 && !isnan(col("v")) &&
+        col("v") =!= Double.PositiveInfinity)
       .groupBy(col("g"))
       .agg(count(lit(1)).as("n"), agg(col("v")).as("sk"))
       .as[(String, Long, Map[Int, Long])]

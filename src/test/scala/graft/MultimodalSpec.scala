@@ -133,6 +133,49 @@ class MultimodalSpec extends SparkSpec {
     assert(got.size === 12 * 10, s"expected 12 cliques of C(5,2), got ${got.size}")
   }
 
+  test("hammingNearDupClasses: a planted 10k-identical class stays class-scale, never m²") {
+    val sp2 = spark
+    import sp2.implicits._
+    // the degenerate shape real media corpora always have — black
+    // frames / digital silence: 10 000 ids share ONE hash; pair-level
+    // output would be C(10000,2) ≈ 5·10⁷ rows, class-level must stay
+    // linear (membership) + tiny (cross-class pairs)
+    val base = 0x5A5A5A5AL
+    val rows = (0L until 10000L).map(i => (i, base)) ++ Seq(
+      (20000L, base ^ 1L),          // hamming 1 from the class hash
+      (20001L, base ^ 0x3L),        // hamming 2
+      (20002L, 0x123456789AL))      // far away — must not pair
+    val c = Multimodal.hammingNearDupClasses(
+      rows.toDF("media_id", "h"), "media_id", "h", maxHamming = 3)
+    assert(c.membership.count() === 10003L)
+    val big = c.membership.filter(
+      org.apache.spark.sql.functions.col("class_id") === 0L)
+    assert(big.count() === 10000L)
+    assert(big.select("class_size").distinct().as[Long].collect().toSeq === Seq(10000L))
+    // cross-class pairs: one row per genuinely-near DISTINCT hash pair
+    val pairs = c.classPairs.as[(Long, Long, Long)].collect().toSet
+    assert(pairs === Set((0L, 20000L, 1L), (0L, 20001L, 2L), (20000L, 20001L, 1L)))
+  }
+
+  test("hammingNearDupPairs: expansion through classes preserves the exact pair contract") {
+    val sp2 = spark
+    import sp2.implicits._
+    // small planted class (6 identical) + near + far: the pair surface
+    // must still equal brute force, intra-class hamming-0 rows included
+    val rows = (0L until 6L).map(i => (i, 0xF0F0L)) ++ Seq(
+      (10L, 0xF0F1L), (11L, 0xFF00FF00L))
+    val hmap = rows.toMap
+    val brute = (for {
+      a <- hmap.keys; b <- hmap.keys if a < b
+      h = java.lang.Long.bitCount(hmap(a) ^ hmap(b)) if h <= 3
+    } yield (a, b, h.toLong)).toSet
+    val got = Multimodal.hammingNearDupPairs(
+      rows.toDF("media_id", "h"), "media_id", "h", maxHamming = 3)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got === brute)
+    assert(got.count(_._3 == 0L) === 15, "C(6,2) intra-class hamming-0 pairs")
+  }
+
   test("audioEnvelopeHash: gain-changed copies collide; short/corrupt clips flag") {
     def amps(off: Int, gain: Int) =
       Array.tabulate(65)(st => (((st + off) * (st + off) * 7) % 97 + 1) * gain)
