@@ -1847,6 +1847,48 @@ object SparkEntry {
       "doc_id", "dhash", maxHamming = 3)
   }
 
+  /** Q187 — end-to-end media dedup pipeline
+    * ([[graft.multimodal.Multimodal.mediaDedupPipeline]]): the q37
+    * corpus-dedup composition for a MULTIMODAL lake — even doc_ids
+    * render q182's brightness-shifted gradient PNGs, odd doc_ids
+    * q184's gain-scaled staircase WAVs, and the pipeline runs exact
+    * payload collapse → per-modality perceptual hash → banded CLASS
+    * pairs → connected components → survivor datasheet in one query.
+    * Pixels and samples never shuffle (hashing is map-side); the band
+    * join sees only distinct hash values; components run over linear
+    * membership + class-pair edges. Oracle: both modalities' bit sets
+    * are pure doc_id arithmetic (the q182 luma and q184 step-energy
+    * replays), so DuckDB brute-forces each modality's ham ≤ 3 pairs,
+    * closes them with a recursive CTE (the q37 closure), and rebuilds
+    * each survivor's member and exact-byte-class counts.
+    */
+  def q187(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val media = docs(s, d).select(col("doc_id")).as[Long].map { id =>
+      if (id % 2 == 0) {
+        val g = (id % 25).toInt
+        Multimodal.MediaRow(id, "image",
+          Multimodal.renderQuadGradPng(9, 8, offset = g,
+            shift = (id % 3).toInt * 4),
+          9, 8, 0)
+      } else {
+        val g = (id % 20).toInt
+        val gain = 1 + (id % 4).toInt
+        val amps = Array.tabulate(65) { st =>
+          val t = st + g * 5 + 1
+          ((t * t * 7) % 97 + 1) * gain
+        }
+        Multimodal.MediaRow(id, "audio",
+          Multimodal.renderSteppedWav(amps, samplesPerStep = 64,
+            sampleRate = 8000),
+          0, 0, 8000)
+      }
+    }
+    Multimodal.mediaDedupPipeline(media, maxHamming = 3)
+      .select(col("survivor_id"), col("kind"), col("n_members"),
+        col("n_exact_classes"))
+  }
+
   /** Q183 — mergeable quantile sketch, bound-checked
     * ([[graft.operators.Sketches.ddQuantiles]]; Masson et al., VLDB
     * 2019): per-event-type p25/p50/p75/p90 of positive values from ONE
@@ -2862,7 +2904,8 @@ object SparkEntry {
     "q183_dd_quantiles"   -> (q183 _),
     "q184_audio_neardup"  -> (q184 _),
     "q185_incr_media_dedup" -> (q185 _),
-    "q186_subseq_search"  -> (q186 _))
+    "q186_subseq_search"  -> (q186 _),
+    "q187_media_dedup_pipeline" -> (q187 _))
 
   // DuckDB twins. Shared SQL fragments for the text queries:
   // explicit class: Java \s includes \x0B, RE2 \s does not — see
@@ -4854,6 +4897,74 @@ object SparkEntry {
          |JOIN cnts ca ON ca.doc_id = p.a_id
          |JOIN cnts cb ON cb.doc_id = p.b_id
          |WHERE ca.c + cb.c - 2 * coalesce(i.n, 0) <= 3
+         |""".stripMargin),
+    // q187: both modalities' bit sets replay arithmetically (the q182
+    // luma CTE over even ids, the q184 step-energy CTE over odd ids),
+    // each modality brute-forces its ham <= 3 pairs, and the q37
+    // recursive closure labels components; exact byte classes rebuild
+    // as distinct render-parameter pairs (the renderers are injective
+    // in their parameters).
+    "q187_media_dedup_pipeline" ->
+      ("""WITH RECURSIVE
+         |ig AS (SELECT doc_id, doc_id % 25 AS gk, (doc_id % 3) * 4 AS base
+         |  FROM documents WHERE doc_id % 2 = 0),
+         |icells AS MATERIALIZED (SELECT doc_id, x.range AS x, y.range AS y,
+         |    base + ((x.range + 9 * y.range + gk + 1)
+         |      * (x.range + 9 * y.range + gk + 1) * 13) % 150 AS lum
+         |  FROM ig, range(9) x, range(8) y),
+         |ibits AS MATERIALIZED (SELECT a.doc_id, a.y * 8 + a.x AS k
+         |  FROM icells a JOIN icells b
+         |    ON a.doc_id = b.doc_id AND a.y = b.y AND b.x = a.x + 1
+         |  WHERE b.lum > a.lum),
+         |icnts AS MATERIALIZED (SELECT d.doc_id, count(b.k) AS c
+         |  FROM ig d LEFT JOIN ibits b USING (doc_id) GROUP BY 1),
+         |iinter AS MATERIALIZED (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |    count(*) AS n
+         |  FROM ibits a JOIN ibits b ON a.k = b.k AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |ipairs AS (SELECT p.a_id, p.b_id
+         |  FROM (SELECT a.doc_id AS a_id, b.doc_id AS b_id
+         |        FROM ig a JOIN ig b ON a.doc_id < b.doc_id) p
+         |  LEFT JOIN iinter i ON i.a_id = p.a_id AND i.b_id = p.b_id
+         |  JOIN icnts ca ON ca.doc_id = p.a_id
+         |  JOIN icnts cb ON cb.doc_id = p.b_id
+         |  WHERE ca.c + cb.c - 2 * coalesce(i.n, 0) <= 3),
+         |ag AS (SELECT doc_id, doc_id % 20 AS gk FROM documents
+         |  WHERE doc_id % 2 = 1),
+         |asteps AS MATERIALIZED (SELECT doc_id, w.range AS w,
+         |    ((w.range + gk * 5 + 1) * (w.range + gk * 5 + 1) * 7) % 97 AS amp
+         |  FROM ag, range(65) w),
+         |abits AS MATERIALIZED (SELECT a.doc_id, a.w AS k
+         |  FROM asteps a JOIN asteps b ON a.doc_id = b.doc_id AND b.w = a.w + 1
+         |  WHERE b.amp > a.amp),
+         |acnts AS MATERIALIZED (SELECT d.doc_id, count(b.k) AS c
+         |  FROM ag d LEFT JOIN abits b USING (doc_id) GROUP BY 1),
+         |ainter AS MATERIALIZED (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |    count(*) AS n
+         |  FROM abits a JOIN abits b ON a.k = b.k AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |apairs AS (SELECT p.a_id, p.b_id
+         |  FROM (SELECT a.doc_id AS a_id, b.doc_id AS b_id
+         |        FROM ag a JOIN ag b ON a.doc_id < b.doc_id) p
+         |  LEFT JOIN ainter i ON i.a_id = p.a_id AND i.b_id = p.b_id
+         |  JOIN acnts ca ON ca.doc_id = p.a_id
+         |  JOIN acnts cb ON cb.doc_id = p.b_id
+         |  WHERE ca.c + cb.c - 2 * coalesce(i.n, 0) <= 3),
+         |pairs AS (SELECT a_id, b_id FROM ipairs
+         |  UNION ALL SELECT a_id, b_id FROM apairs),
+         |edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+         |  UNION SELECT b_id, a_id FROM pairs
+         |  UNION SELECT doc_id, doc_id FROM documents),
+         |reach(a, b) AS (SELECT src, dst FROM edges
+         |  UNION SELECT e.src, r.b FROM edges e JOIN reach r ON e.dst = r.a),
+         |comp AS (SELECT a AS doc_id, min(b) AS survivor_id FROM reach GROUP BY a)
+         |SELECT survivor_id,
+         |  CASE WHEN survivor_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
+         |  CAST(count(*) AS BIGINT) AS n_members,
+         |  CAST(count(DISTINCT CASE WHEN doc_id % 2 = 0
+         |    THEN doc_id % 25 * 10 + doc_id % 3
+         |    ELSE doc_id % 20 * 10 + doc_id % 4 END) AS BIGINT) AS n_exact_classes
+         |FROM comp GROUP BY 1, 2
          |""".stripMargin),
     // q180: the Q18 semi-join under the same DECIMAL(18,2) sum path;
     // (totalprice, date, orderkey) is a total order so LIMIT is stable.

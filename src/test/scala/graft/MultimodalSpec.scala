@@ -176,6 +176,48 @@ class MultimodalSpec extends SparkSpec {
     assert(got.count(_._3 == 0L) === 15, "C(6,2) intra-class hamming-0 pairs")
   }
 
+  test("mediaDedupPipeline: exact + perceptual + components compose; corrupt rows dedup by bytes") {
+    val sp2 = spark
+    import sp2.implicits._
+    def amps(off: Int, gain: Int) =
+      Array.tabulate(65)(st => (((st + off) * (st + off) * 7) % 97 + 1) * gain)
+    val junk = "definitely not decodable media".getBytes("UTF-8")
+    val rows = Seq(
+      // 3 byte-identical corrupt blobs: no codec reads them, exact
+      // collapse must still dedup all three
+      Multimodal.MediaRow(1L, "image", junk, 0, 0, 0),
+      Multimodal.MediaRow(2L, "image", junk, 0, 0, 0),
+      Multimodal.MediaRow(3L, "image", junk, 0, 0, 0),
+      // same gradient pattern, different brightness: different bytes,
+      // equal dHash — the perceptual edge exact hashing misses
+      Multimodal.MediaRow(4L, "image",
+        Multimodal.renderQuadGradPng(9, 8, offset = 1, shift = 0), 9, 8, 0),
+      Multimodal.MediaRow(5L, "image",
+        Multimodal.renderQuadGradPng(9, 8, offset = 1, shift = 4), 9, 8, 0),
+      // unrelated pattern: singleton
+      Multimodal.MediaRow(6L, "image",
+        Multimodal.renderQuadGradPng(9, 8, offset = 7, shift = 0), 9, 8, 0),
+      // two byte-identical clips + one gain-scaled re-master: one
+      // component via exact edge + envelope-hash edge
+      Multimodal.MediaRow(7L, "audio",
+        Multimodal.renderSteppedWav(amps(2, 1), 64, 8000), 0, 0, 8000),
+      Multimodal.MediaRow(8L, "audio",
+        Multimodal.renderSteppedWav(amps(2, 1), 64, 8000), 0, 0, 8000),
+      Multimodal.MediaRow(9L, "audio",
+        Multimodal.renderSteppedWav(amps(2, 3), 64, 8000), 0, 0, 8000))
+    val ds = rows.toDS()
+    val got = Multimodal.mediaDedupPipeline(ds)
+      .as[(Long, String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got.keySet === Set(1L, 4L, 6L, 7L))
+    assert(got(1L) === ((1L, "image", 3L, 1L, 3L * junk.length, 2L * junk.length)))
+    val (_, k4, m4, e4, _, saved4) = got(4L)
+    assert(k4 === "image" && m4 === 2L && e4 === 2L && saved4 > 0L)
+    assert(got(6L)._3 === 1L && got(6L)._6 === 0L)
+    val (_, k7, m7, e7, _, _) = got(7L)
+    assert(k7 === "audio" && m7 === 3L && e7 === 2L)
+  }
+
   test("audioEnvelopeHash: gain-changed copies collide; short/corrupt clips flag") {
     def amps(off: Int, gain: Int) =
       Array.tabulate(65)(st => (((st + off) * (st + off) * 7) % 97 + 1) * gain)

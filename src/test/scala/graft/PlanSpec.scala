@@ -641,6 +641,32 @@ class PlanSpec extends SparkSpec {
       s"top-20 must be TakeOrdered, not a global sort:\n$p186")
   }
 
+  test("q187: media dedup pipeline — no cartesian anywhere, pixels stay in their decode stage") {
+    // AQE off for this one plan so EnsureRequirements-inserted
+    // exchanges are inspectable as concrete nodes with input schemas.
+    // Set AFTER construction: Tables.* re-enable it via
+    // GraftSession.configure, and physical planning is lazy.
+    val df = SparkEntry.q187(spark, sf0001)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val p = plan(df)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"pipeline pairing must stay banded/keyed:\n$p")
+      // the payload column must die at the map-side hash projection: an
+      // Exchange whose input schema carries it would mean pixels/samples
+      // cross the wire
+      val shuffles = df.queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => s
+      }
+      assert(shuffles.nonEmpty, s"expected keyed exchanges in:\n$p")
+      shuffles.foreach { s =>
+        val names = s.child.output.map(_.name.toLowerCase)
+        assert(!names.exists(_.contains("payload")),
+          s"payload bytes must never shuffle; exchange schema was $names")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("q133: every PageRank iteration reads the persisted edge cache, not the corpus") {
     val p = plan(SparkEntry.q133(spark, sf0001))
     // each of the 5 iterations reads edges (contrib + outdeg legs) from
