@@ -228,9 +228,20 @@ object SparkEntry {
       bits = 8, tables = 8)
   }
 
-  /** Q27 — SimHash near-dup pairs (hash-specific: no oracle). */
+  /** Q27 — SimHash near-dup pairs in PORTABLE-hash mode
+    * ([[graft.operators.Dedup.simhashPairs]] with
+    * [[graft.functions.SimHash64Md5]]): identical Charikar banding and
+    * verification as the production xxHash mode (which DedupSpec
+    * pins), but each token's 64 voting bits come from the first 8
+    * bytes of standard MD5 — so the oracle rebuilds every document's
+    * bit set in DuckDB (both engines ship the same MD5 and the same
+    * whitespace tokenizer) and brute-forces all pairs at hamming ≤ 3.
+    * A banding bug, a vote-count bug, or a tokenizer divergence all
+    * hash-fail.
+    */
   def q27(s: SparkSession, d: String): DataFrame =
-    Dedup.simhashPairs(docs(s, d), "doc_id", "text", maxHamming = 3)
+    Dedup.simhashPairs(docs(s, d), "doc_id", "text", maxHamming = 3,
+      portableHash = true)
 
   /** Q28 — HLL++ approximate distinct (`approx_count_distinct`, Heule
     * et al. 2013) with its accuracy contract made oracle-checkable: the
@@ -257,8 +268,16 @@ object SparkEntry {
     docs(s, d).select(col("doc_id"),
       TextFunctions.bpeTokenCount(col("text")).as("n_bpe_tokens"))
 
-  /** Q30 — winnowed rolling-hash fingerprints (hash-specific: no
-    * oracle; pinned against a driver-side reimplementation in specs).
+  /** Q30 — winnowed rolling-hash fingerprints (Schleimer et al.,
+    * "Winnowing: local algorithms for document fingerprinting",
+    * SIGMOD 2003). Exact oracle: the whole hash path replays in
+    * DuckDB — the base-257 k-gram polynomial mod 2^64 rebuilds from
+    * `ascii()` bytes (the fixture is pure ASCII; strlen = length
+    * verified), the XXH64 single-long finalizer expands to its
+    * mul/rotl/xor steps in HUGEINT with & 2^64−1 wraps (constants are
+    * the published xxHash64 primes, seed 42), and the winnow is a
+    * plain window-min + distinct count. Any drift in the rolling
+    * update, the finalizer, or the unsigned window compare hash-fails.
     */
   def q30(s: SparkSession, d: String): DataFrame =
     docs(s, d).select(col("doc_id"),
@@ -2465,9 +2484,12 @@ object SparkEntry {
     * twin of q81's text dup profile (re-broadcast detection, credit
     * sequences, mirrored uploads). Pixel data never shuffles: frames
     * leave their partition as 8-byte hashes, then one hash-scale
-    * aggregate + one doc-scale join. Codec-derived hashes: no SQL
-    * oracle; MultimodalSpec pins the profile arithmetically from the
-    * planted luma construction.
+    * aggregate + one doc-scale join. Exact oracle: the output exposes
+    * only hash EQUALITY classes, and two frames hash equal iff their
+    * (w, h, luma) construction is equal — pure doc-length arithmetic
+    * DuckDB replays directly (an FNV collision on the fixture would
+    * hash-fail the compare); MultimodalSpec additionally pins the
+    * profile from the planted luma construction.
     */
   def q139(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -4897,6 +4919,107 @@ object SparkEntry {
          |JOIN cnts ca ON ca.doc_id = p.a_id
          |JOIN cnts cb ON cb.doc_id = p.b_id
          |WHERE ca.c + cb.c - 2 * coalesce(i.n, 0) <= 3
+         |""".stripMargin),
+    // q30: full winnow replay — base-257 polynomial k-gram hash
+    // mod 2^64 from ascii() bytes, the xxHash64 single-long
+    // finalizer unrolled in HUGEINT (& 2^64-1 wraps; + binds tighter
+    // than & in DuckDB, hence the extra parens), unsigned window-min
+    // over w = 4, distinct count + signed min per document.
+    "q30_winnow_fp" ->
+      ("""WITH d AS (SELECT doc_id, text, strlen(text) AS len FROM documents),
+         |grams AS MATERIALIZED (
+         |  SELECT doc_id, CAST(i.range AS INT) AS i,
+         |    (CAST(ascii(substr(text, CAST(i.range AS INT), 1)) AS HUGEINT) * 74051159531521793
+         |     + ascii(substr(text, CAST(i.range AS INT) + 1, 1)) * 288136807515649
+         |     + ascii(substr(text, CAST(i.range AS INT) + 2, 1)) * 1121154893057
+         |     + ascii(substr(text, CAST(i.range AS INT) + 3, 1)) * 4362470401
+         |     + ascii(substr(text, CAST(i.range AS INT) + 4, 1)) * 16974593
+         |     + ascii(substr(text, CAST(i.range AS INT) + 5, 1)) * 66049
+         |     + ascii(substr(text, CAST(i.range AS INT) + 6, 1)) * 257
+         |     + ascii(substr(text, CAST(i.range AS INT) + 7, 1))) & 18446744073709551615 AS g,
+         |    ((((g >> 32) * 14029467366897019727) & 4294967295) * 4294967296
+         |      + (g & 4294967295) * 14029467366897019727) & 18446744073709551615 AS m1,
+         |    ((m1 & 8589934591) << 31) + (m1 >> 33) AS r1,
+         |    ((((r1 >> 32) * 11400714785074694791) & 4294967295) * 4294967296
+         |      + (r1 & 4294967295) * 11400714785074694791) & 18446744073709551615 AS m2,
+         |    xor(CAST(2870177450012600311 AS HUGEINT), m2) AS x1,
+         |    ((x1 & 137438953471) << 27) + (x1 >> 37) AS r2,
+         |    ((((((r2 >> 32) * 11400714785074694791) & 4294967295) * 4294967296
+         |      + (r2 & 4294967295) * 11400714785074694791) & 18446744073709551615)
+         |      + 9650029242287828579) & 18446744073709551615 AS m3,
+         |    xor(m3, m3 >> 33) AS x2,
+         |    ((((x2 >> 32) * 14029467366897019727) & 4294967295) * 4294967296
+         |      + (x2 & 4294967295) * 14029467366897019727) & 18446744073709551615 AS m4,
+         |    xor(m4, m4 >> 29) AS x3,
+         |    ((((x3 >> 32) * 1609587929392839161) & 4294967295) * 4294967296
+         |      + (x3 & 4294967295) * 1609587929392839161) & 18446744073709551615 AS m5,
+         |    xor(m5, m5 >> 32) AS fh
+         |  FROM d, range(1, 8192) i
+         |  WHERE len >= 8 AND i.range <= len - 7),
+         |dn AS (SELECT doc_id, len - 7 AS n FROM d WHERE len >= 8),
+         |wins AS (SELECT doc_id, n, CAST(i.range AS INT) AS wi
+         |  FROM dn, range(1, 8192) i WHERE i.range <= greatest(1, n - 3)),
+         |wmin AS MATERIALIZED (SELECT w.doc_id, w.wi, min(g.fh) AS pick
+         |  FROM wins w JOIN grams g ON g.doc_id = w.doc_id
+         |    AND g.i BETWEEN w.wi AND w.wi + 3
+         |  GROUP BY 1, 2),
+         |agg AS (SELECT doc_id, count(DISTINCT pick) AS n_fp,
+         |  min(CASE WHEN pick >= 9223372036854775808
+         |      THEN pick - 18446744073709551616 ELSE pick END) AS fp_min
+         |  FROM wmin GROUP BY 1)
+         |SELECT d.doc_id, CAST(coalesce(a.n_fp, 0) AS BIGINT) AS n_fp,
+         |  CAST(a.fp_min AS BIGINT) AS fp_min
+         |FROM d LEFT JOIN agg a USING (doc_id)
+         |""".stripMargin),
+    // q27: the portable MD5 token hash replays directly — DuckDB
+    // parses each token's md5 prefix as a u64, rebuilds the 64 voting
+    // bits per document, and brute-forces all pairs at hamming <= 3
+    // via |A| + |B| - 2|A∩B| (the q182 pattern in token space).
+    "q27_simhash_pairs" ->
+      (s"""WITH toks AS (SELECT doc_id, unnest($TOKS) AS tok FROM documents),
+          |hv AS MATERIALIZED (SELECT doc_id,
+          |    CAST('0x' || substr(md5(tok), 1, 16) AS UBIGINT) AS u FROM toks),
+          |votes AS MATERIALIZED (SELECT doc_id, j.range AS j,
+          |    sum(CASE WHEN (u >> CAST(j.range AS INT)) & 1 = 1
+          |        THEN 1 ELSE -1 END) AS c
+          |  FROM hv, range(64) j GROUP BY 1, 2),
+          |bits AS MATERIALIZED (SELECT doc_id, j AS k FROM votes WHERE c > 0),
+          |cnts AS MATERIALIZED (SELECT d.doc_id, count(b.k) AS c
+          |  FROM documents d LEFT JOIN bits b USING (doc_id) GROUP BY 1),
+          |inter AS MATERIALIZED (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+          |    count(*) AS n
+          |  FROM bits a JOIN bits b ON a.k = b.k AND a.doc_id < b.doc_id
+          |  GROUP BY 1, 2)
+          |SELECT p.a_id, p.b_id,
+          |  CAST(ca.c + cb.c - 2 * coalesce(i.n, 0) AS INT) AS hamming
+          |FROM (SELECT a.doc_id AS a_id, b.doc_id AS b_id
+          |      FROM documents a JOIN documents b ON a.doc_id < b.doc_id) p
+          |LEFT JOIN inter i ON i.a_id = p.a_id AND i.b_id = p.b_id
+          |JOIN cnts ca ON ca.doc_id = p.a_id
+          |JOIN cnts cb ON cb.doc_id = p.b_id
+          |WHERE ca.c + cb.c - 2 * coalesce(i.n, 0) <= 3
+          |""".stripMargin),
+    // q139: the output exposes only frame-hash EQUALITY classes, and
+    // the FNV input bytes are exactly (w, h, luma-fill) — so sharing
+    // replays as tuple equality over the planted doc-length arithmetic
+    // (w = n%11+2, h = n%9+2, frame k luma = (n+7k)%256, k <= n%6); a
+    // hash collision in the engine would diverge and hash-fail.
+    "q139_frame_dedup" ->
+      ("""WITH d AS (SELECT doc_id, strlen(text) AS n FROM documents),
+         |f AS (SELECT doc_id, n % 11 + 2 AS w, n % 9 + 2 AS h,
+         |    (n + k.range * 7) % 256 AS luma
+         |  FROM d, range(6) k WHERE k.range <= n % 6),
+         |pd AS (SELECT doc_id, count(*) AS n_frames FROM f GROUP BY 1),
+         |sh AS (SELECT w, h, luma
+         |  FROM (SELECT DISTINCT doc_id, w, h, luma FROM f)
+         |  GROUP BY 1, 2, 3 HAVING count(*) >= 2),
+         |sp AS (SELECT f.doc_id, count(*) AS n_shared
+         |  FROM f JOIN sh USING (w, h, luma) GROUP BY 1)
+         |SELECT pd.doc_id, CAST(pd.n_frames AS BIGINT) AS n_frames,
+         |  CAST(coalesce(sp.n_shared, 0) AS BIGINT) AS n_shared,
+         |  round(CAST(coalesce(sp.n_shared, 0) AS DOUBLE) / pd.n_frames, 6)
+         |    + 0 AS shared_ratio
+         |FROM pd LEFT JOIN sp USING (doc_id)
          |""".stripMargin),
     // q187: both modalities' bit sets replay arithmetically (the q182
     // luma CTE over even ids, the q184 step-energy CTE over odd ids),

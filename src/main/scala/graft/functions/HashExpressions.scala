@@ -334,6 +334,48 @@ case class SimHash64(child: Expression, seed: Long)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** [[SimHash64]] with a PORTABLE per-token hash: the first 8 bytes of
+  * standard MD5 over the token's UTF-8 bytes, big-endian, as the
+  * 64-bit value whose bits vote. Same signature semantics, slower per
+  * token than xxHash — its purpose is cross-engine verifiability:
+  * every SQL engine ships the same MD5, so an external system (the
+  * q27 DuckDB oracle) can rebuild the exact bit sets and brute-force
+  * the pair ground truth. Use [[SimHash64]] for production corpora,
+  * this for runs whose output must be independently auditable.
+  */
+case class SimHash64Md5(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val counts = new Array[Int](64)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        md.reset()
+        val d = md.digest(arr.getUTF8String(i).getBytes)
+        var h = 0L
+        var b = 0
+        while (b < 8) { h = (h << 8) | (d(b) & 0xFFL); b += 1 }
+        var j = 0
+        while (j < 64) {
+          if (((h >>> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1
+          j += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0L
+    var j = 0
+    while (j < 64) { if (counts(j) > 0) out |= (1L << j); j += 1 }
+    out
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 object HashFunctions {
   import ColumnBridge.{column, expression}
 
@@ -344,6 +386,12 @@ object HashFunctions {
   /** 64-bit SimHash of a token array. */
   def simhash64(tokens: Column, seed: Long = 42L): Column =
     column(SimHash64(expression(tokens), seed))
+
+  /** 64-bit SimHash with the portable MD5 token hash (see
+    * [[SimHash64Md5]]).
+    */
+  def simhash64Md5(tokens: Column): Column =
+    column(SimHash64Md5(expression(tokens)))
 
   /** One-pass tokenize + word-n-gram + hash + sort + dedup (see
     * [[HashedWordNgrams]]).

@@ -523,12 +523,20 @@ object Dedup {
     * fingerprints, candidates via
     * 4×16-bit chunk banding (pigeonhole: hamming ≤ 3 ⇒ ≥1 identical
     * chunk), verified with `bit_count(a^b) <= maxHamming`.
+    *
+    * `portableHash = true` swaps the per-token xxHash for the MD5
+    * prefix ([[graft.functions.SimHash64Md5]]): identical banding and
+    * verification, but the bit sets rebuild in any SQL engine — the
+    * auditable mode the q27 oracle checks; `seed` is ignored there.
     */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int = 3, seed: Long = 42L): DataFrame = {
+                   maxHamming: Int = 3, seed: Long = 42L,
+                   portableHash: Boolean = false): DataFrame = {
     require(maxHamming <= 3, "4-chunk banding only guarantees recall for hamming <= 3")
+    val toks = TextFunctions.tokens(col(textCol))
     val hashed = docs.select(col(idCol).as("id"),
-      HashFunctions.simhash64(TextFunctions.tokens(col(textCol)), seed).as("sh"))
+      (if (portableHash) HashFunctions.simhash64Md5(toks)
+       else HashFunctions.simhash64(toks, seed)).as("sh"))
     val chunkCols = (0 until 4).map { c =>
       struct(lit(c).as("c"),
         shiftrightunsigned(col("sh"), c * 16).bitwiseAND(lit(0xFFFFL)).as("v"))

@@ -67,6 +67,35 @@ class ExpressionsSpec extends SparkSpec {
     assert(java.lang.Long.bitCount(hs("a") ^ hs("c")) > 10)
   }
 
+  test("simhash64Md5: portable bits match a direct MD5 reference; empty array -> 0") {
+    // reference: per token, first 8 md5 bytes big-endian vote on 64 bits
+    def ref(toks: Seq[String]): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val counts = new Array[Int](64)
+      toks.foreach { t =>
+        md.reset()
+        val d = md.digest(t.getBytes("UTF-8"))
+        val h = (0 until 8).foldLeft(0L)((a, b) => (a << 8) | (d(b) & 0xFFL))
+        (0 until 64).foreach(j =>
+          if (((h >>> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1)
+      }
+      (0 until 64).foldLeft(0L)((a, j) => if (counts(j) > 0) a | (1L << j) else a)
+    }
+    val samples = Seq(
+      Seq("alpha", "beta", "gamma", "delta"),
+      Seq("the", "the", "the", "cat"),          // multiplicity votes
+      Seq("héllo", "wörld"),                    // non-ASCII UTF-8 bytes
+      Seq.empty[String])
+    val got = samples.zipWithIndex.map { case (t, i) => (i, t) }
+      .toDF("id", "toks")
+      .select(col("id"), HashFunctions.simhash64Md5(col("toks")).as("h"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    samples.zipWithIndex.foreach { case (t, i) =>
+      assert(got(i) === ref(t), s"sample $i diverged from the MD5 reference")
+    }
+    assert(got(3) === 0L)
+  }
+
   test("shingles: n-gram set with short-document guard") {
     val df = Seq("one two three four", "just two").toDF("text")
     val out = df.select(TextFunctions.shingles(TextFunctions.tokens(col("text")), 3).as("s"))
