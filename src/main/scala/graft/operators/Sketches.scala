@@ -173,37 +173,33 @@ object Sketches {
   /** Per-group quantile ESTIMATES from one mergeable-sketch pass:
     * `(groupCol, q_pct, n, est)` for each requested percentile (rank
     * `ceil(n·q/100)` — the discrete order-statistic convention). The
-    * group key surfaces as STRING (the typed flatMap's fixed row
-    * shape) — join back on the stringified key for non-string groups.
-    * The scan shuffles one bucket map per (partition, group); nothing
-    * downstream grows with the rows. Guarantee: `|est − x_(r)| ≤
-    * α·x_(r)` with α = (γ−1)/(γ+1) — q183 checks it row by row
-    * against the exact order statistic.
+    * group key keeps its NATIVE type — the estimate is evaluated by
+    * the [[graft.functions.DdEstimate]] expression over the bucket
+    * map, so no typed row shape ever forces a cast. The scan shuffles
+    * one bucket map per (partition, group); nothing downstream grows
+    * with the rows. Guarantee: `|est − x_(r)| ≤ α·x_(r)` with
+    * α = (γ−1)/(γ+1) — q183 checks it row by row against the exact
+    * order statistic.
     */
   def ddQuantiles(df: DataFrame, groupCol: String, valueCol: String,
                   qPcts: Seq[Int], gamma: Double = 1.02): DataFrame = {
     require(qPcts.nonEmpty && qPcts.forall(q => q >= 1 && q <= 100),
       s"percentiles must be in [1, 100], got $qPcts")
-    val spark = df.sparkSession
-    import spark.implicits._
     val agg = udaf(new DdSketchAggregator(gamma), ExpressionEncoder[Double]())
-    val perGroup = df
-      .select(col(groupCol).cast("string").as("g"),
-        col(valueCol).cast("double").as("v"))
+    df.select(col(groupCol).as("__g"), col(valueCol).cast("double").as("v"))
       // finite-positive only, matching DdSketchAggregator.reduce exactly:
       // admitting +Inf into n but not the sketch would push rank targets
       // past the sketch mass and silently return the top bucket
       .filter(col("v").isNotNull && col("v") > 0 && !isnan(col("v")) &&
         col("v") =!= Double.PositiveInfinity)
-      .groupBy(col("g"))
-      .agg(count(lit(1)).as("n"), agg(col("v")).as("sk"))
-      .as[(String, Long, Map[Int, Long])]
-    perGroup.flatMap { case (g, n, sk) =>
-      qPcts.map { q =>
-        val r = (n * q + 99L) / 100L
-        (g, q.toLong, n, ddEstimate(sk, r, gamma))
-      }
-    }.toDF(groupCol, "q_pct", "n", "est")
+      .groupBy(col("__g"))
+      .agg(count(lit(1)).as("n"), agg(col("v")).as("__sk"))
+      .select(col("__g"), col("n"), col("__sk"),
+        explode(lit(qPcts.map(_.toLong).toArray)).as("q_pct"))
+      // rank ceil(n·q/100) in pure integer arithmetic (n ≥ 1 ⇒ r ≥ 1)
+      .withColumn("est", graft.functions.SketchFunctions.ddEstimate(
+        col("__sk"), expr("CAST((n * q_pct + 99) DIV 100 AS BIGINT)"), gamma))
+      .select(col("__g").as(groupCol), col("q_pct"), col("n"), col("est"))
   }
 
   /** Mergeable Bloom build over Long keys: each partition ORs into its

@@ -164,6 +164,25 @@ class SketchesSpec extends SparkSpec {
     assert(out.length === 1 && out.head._3 === 1L) // only the positive row
   }
 
+  test("ddQuantiles: native group-key type survives; +Inf excluded from n AND the sketch") {
+    val df = Seq((7L, 1.0), (7L, 2.0), (7L, Double.PositiveInfinity), (8L, 5.0))
+      .toDF("grp", "v")
+    val out = graft.operators.Sketches.ddQuantiles(df, "grp", "v", Seq(100))
+    assert(out.schema("grp").dataType ===
+      org.apache.spark.sql.types.LongType,
+      "group key must keep its native type, not stringify")
+    val rows = out.as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    val alpha = 0.02 / 2.02
+    // +Inf is outside the sketch's domain: were it counted in n, the
+    // p100 rank target (3) would exceed sketch mass and return the top
+    // bucket; excluded consistently, p100 of group 7 is ~2.0
+    assert(rows(7L)._3 === 2L)
+    assert(math.abs(rows(7L)._4 - 2.0) <= alpha * 2.0 + 1e-9)
+    assert(rows(8L)._3 === 1L)
+    assert(math.abs(rows(8L)._4 - 5.0) <= alpha * 5.0 + 1e-9)
+  }
+
   test("streams compose: a bloom OR-maintained per micro-batch equals the batch build") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
