@@ -306,6 +306,126 @@ object TimeSeries {
       .limit(k)
   }
 
+  /** [[ssdTopK]] for LARGE probes: PAA lower-bound propose → exact
+    * verify, returning the IDENTICAL top-k (same rows, same order) for
+    * a fraction of the fan-out. Three phases:
+    *
+    *  1. PROPOSE: ONE keyed window pass — a prefix sum plus
+    *     `segments` fixed-offset `lead`s (denseness makes row offset ≡
+    *     index offset) yields every window's `segments`-piece PAA
+    *     map-side, so the lower bound
+    *     `LB(w) = (L/S)·Σ_s (paa_w(s) − paa_probe(s))² ≤ SSD(w)`
+    *     (Keogh et al.'s PAA lower-bounding lemma) costs O(rows · S)
+    *     arithmetic after the per-key sort — no join, no row fan-out —
+    *     versus the exact path's rows × L join rows (L/S = 32× fewer
+    *     value touches at L = 512, S = 16; BASELINE.md `ssd_paa`).
+    *  2. SEED: the `seedFactor·k` windows with smallest LB are scored
+    *     exactly (windows are metadata-scale, so their rows re-enter
+    *     through a broadcast range join); the k-th smallest exact SSD
+    *     becomes the pruning threshold τ — correct for ANY seed set,
+    *     the LB ordering just makes τ tight.
+    *  3. VERIFY: only windows with `LB ≤ τ (+ fp slack)` are scored
+    *     exactly (same DECIMAL(38,12) path, same complete-window
+    *     filter, same total order). Every true top-k window satisfies
+    *     `LB ≤ SSD ≤ τ`, so the cut loses nothing — TimeSeriesSpec
+    *     pins PAA+verify ≡ exact. If the prune leaves more than
+    *     `maxCandidates` windows (an adversarial LB collapse), the
+    *     operator falls back to the exact path rather than broadcast
+    *     an unbounded candidate list.
+    *
+    * Contract (inherited from [[ssdTopK]] and load-bearing here):
+    * `idxCol` is 1-based and DENSE per key — prefix differences only
+    * equal segment sums when every in-window position exists.
+    */
+  def ssdTopKPaa(series: DataFrame, keyCol: String, idxCol: String,
+                 valueCol: String, probe: Array[Double], k: Int = 20,
+                 segments: Int = 16, seedFactor: Int = 4,
+                 maxCandidates: Long = 100000L): DataFrame = {
+    val l = probe.length
+    require(l <= 1024, s"probe length must be <= 1024, got $l")
+    require(segments >= 1 && l % segments == 0,
+      s"segments must divide the probe length, got $l / $segments")
+    require(k >= 1 && seedFactor >= 1)
+    val spark = series.sparkSession
+    import spark.implicits._
+    val segLen = l / segments
+    val base = series
+      .select(col(keyCol), col(idxCol).cast("long").as("__idx"),
+        col(valueCol).cast("double").as("__v"))
+      .filter(col("__v").isNotNull && !isnan(col("__v")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // exact SSD for a SMALL (broadcastable) window set: re-enter each
+    // window's rows via a broadcast range join, then the ssdTopK path
+    def exactFor(cands: DataFrame): DataFrame = {
+      val c = broadcast(cands.select(col(keyCol).as("__ck"),
+        col("start_idx").as("__cs")))
+      val p = broadcast(probe.toSeq.zipWithIndex
+        .map { case (v, j) => (j.toLong, v) }.toDF("__j", "__pv"))
+      base.join(c, col(keyCol) === col("__ck") &&
+          col("__idx") >= col("__cs") && col("__idx") < col("__cs") + l)
+        .join(p, col("__idx") - col("__cs") === col("__j"))
+        .select(col(keyCol), col("__cs").as("start_idx"),
+          ((col("__v") - col("__pv")) * (col("__v") - col("__pv")))
+            .cast(DecimalType(38, 12)).as("__t"))
+        .groupBy(col(keyCol), col("start_idx"))
+        .agg(sum(col("__t")).as("__ssd"), count(lit(1)).as("__n"))
+        .filter(col("__n") === l)
+        .select(col(keyCol), col("start_idx"),
+          NumFunctions.roundNz(col("__ssd").cast("double"), 6).as("ssd_r"))
+    }
+    // phase 1: per-window PAA lower bound from ONE keyed window pass —
+    // prefix sum + S fixed-offset leads (denseness makes row offset ≡
+    // index offset), so propose is entirely map-side after the per-key
+    // sort: no join, no extra shuffle, and window completeness is just
+    // "the farthest lead exists"
+    val wk = Window.partitionBy(col(keyCol)).orderBy(col("__idx"))
+    val probePaa = probe.grouped(segLen).map(s => s.sum / segLen).toSeq
+    val withCum = base.withColumn("__cum",
+      sum(col("__v")).over(wk.rowsBetween(Window.unboundedPreceding,
+        Window.currentRow)))
+    val cumCols = (col("__cum") - col("__v")).as("__c0") +:
+      (1 to segments).map(s =>
+        lead(col("__cum"), s * segLen - 1).over(wk).as(s"__c$s"))
+    val lbExpr = (1 to segments).map { s =>
+      val d = (col(s"__c$s") - col(s"__c${s - 1}")) / segLen -
+        lit(probePaa(s - 1))
+      d * d
+    }.reduce(_ + _) * segLen
+    val lbTbl = withCum
+      .select(col(keyCol) +: col("__idx").as("start_idx") +: cumCols: _*)
+      .filter(col(s"__c$segments").isNotNull)
+      .select(col(keyCol), col("start_idx"), lbExpr.as("__lb"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // phase 2: exact-score the best-LB seeds, τ = k-th smallest
+    val seeds = lbTbl.orderBy(col("__lb").asc, col(keyCol).asc,
+        col("start_idx").asc)
+      .limit(k * seedFactor).select(col(keyCol), col("start_idx"))
+    val seedSsd = exactFor(seeds)
+      .orderBy(col("ssd_r").asc, col(keyCol).asc, col("start_idx").asc)
+      .limit(k).select(col("ssd_r")).as[Double].collect()
+    val out = if (seedSsd.length < k) {
+      // fewer complete windows than k among seeds: don't prune, the
+      // exact path is already ~candidate-scale
+      ssdTopK(series, keyCol, idxCol, valueCol, probe, k)
+    } else {
+      val tau = seedSsd.last
+      // fp slack: LB is double prefix arithmetic vs the exact DECIMAL
+      // path, and τ is rounded to 6 dp — relax by a hair, never tighten
+      val survivors = lbTbl
+        .filter(col("__lb") <= lit(tau) * (1 + 1e-9) + lit(1e-6))
+        .select(col(keyCol), col("start_idx"))
+      if (survivors.count() > maxCandidates)
+        ssdTopK(series, keyCol, idxCol, valueCol, probe, k)
+      else
+        exactFor(survivors)
+          .orderBy(col("ssd_r").asc, col(keyCol).asc, col("start_idx").asc)
+          .limit(k)
+    }
+    base.unpersist(blocking = false)
+    lbTbl.unpersist(blocking = false)
+    out
+  }
+
   def rollingZscore(df: DataFrame, keyCol: String, tsCol: String,
                     valueCol: String, win: Int = 7,
                     threshold: Double = 2.0): DataFrame = {

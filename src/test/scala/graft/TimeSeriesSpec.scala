@@ -92,6 +92,42 @@ class TimeSeriesSpec extends SparkSpec {
     assert(got === Seq(("a", 1L, 0.0)))
   }
 
+  test("ssdTopKPaa: propose+verify returns the exact path's rows in the exact order (L=64)") {
+    // 6 keys × 200 dense points, deterministic pseudo-values with
+    // planted near-matches of the probe at known offsets; L = 64,
+    // S = 16 → 4-point segments
+    def v(key: Int, i: Int): Double =
+      ((i * 37 + key * 101) % 97) / 9.7 + (if (i % 13 == 0) 3.0 else 0.0)
+    val probe = Array.tabulate(64)(j => v(2, j + 50)) // key 2's window @50
+    val rows = for (key <- 0 until 6; i <- 1 to 200)
+      yield (s"k$key", i.toLong, v(key, i))
+    val series = rows.toDF("key", "idx", "v")
+    val exact = graft.operators.TimeSeries.ssdTopK(
+      series, "key", "idx", "v", probe, k = 25)
+      .as[(String, Long, Double)].collect().toSeq
+    val paa = graft.operators.TimeSeries.ssdTopKPaa(
+      series, "key", "idx", "v", probe, k = 25, segments = 16)
+      .as[(String, Long, Double)].collect().toSeq
+    assert(paa === exact, "PAA propose/verify must reproduce the exact top-k bit-for-bit")
+    // the planted self-match surfaces at distance 0 (the periodic
+    // fixture admits other exact matches; ties break by key)
+    assert(exact.contains(("k2", 50L, 0.0)))
+    assert(exact.head._3 === 0.0)
+  }
+
+  test("ssdTopKPaa: degenerate corpora (fewer windows than k, ties) fall back losslessly") {
+    val series = (1 to 40).map(i => ("only", i.toLong, (i % 5).toDouble))
+      .toDF("key", "idx", "v")
+    val probe = Array.tabulate(8)(j => ((j + 1) % 5).toDouble)
+    val exact = graft.operators.TimeSeries.ssdTopK(
+      series, "key", "idx", "v", probe, k = 50)
+      .as[(String, Long, Double)].collect().toSeq
+    val paa = graft.operators.TimeSeries.ssdTopKPaa(
+      series, "key", "idx", "v", probe, k = 50, segments = 4)
+      .as[(String, Long, Double)].collect().toSeq
+    assert(paa === exact)
+  }
+
   test("rollingZscore: trailing-window mean/std arithmetic, leading rows unscored") {
     // key with daily values 1,2,3,4 and win=3:
     // day1: n=1 → null; day2: n=2, mean 1.5, var 0.5; day3: n=3 over {1,2,3}
