@@ -1922,15 +1922,28 @@ object SparkEntry {
     * the TRUE literal.
     */
   def q183(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val gamma = 1.02
-    val alpha = (gamma - 1.0) / (gamma + 1.0)
-    val qs = Seq(25, 50, 75, 90)
-    val pos = ev(s, d).select(col("event_type"), col("value").cast("double").as("v"))
+    val pos = ddPos(s, d)
+    val est = graft.operators.Sketches.ddQuantiles(pos, "event_type", "v",
+      Seq(25, 50, 75, 90), 1.02)
+    ddBoundCheck(s, pos, est, Seq(25, 50, 75, 90), 1.02)
+  }
+
+  /** The sketch-admissible event values (positive finite), shared by
+    * q183/q188.
+    */
+  private def ddPos(s: SparkSession, d: String): DataFrame =
+    ev(s, d).select(col("event_type"), col("value").cast("double").as("v"))
       .filter(col("v").isNotNull && col("v") > 0 && !isnan(col("v")) &&
         col("v") =!= Double.PositiveInfinity)
-    val est = graft.operators.Sketches.ddQuantiles(pos, "event_type", "v",
-      qs, gamma)
+
+  /** The q28/q183 oracle pattern: join an estimate table against the
+    * exact per-group order statistic and emit `(exact_v,
+    * within_bound)` — the engine-specific estimate stays internal.
+    */
+  private def ddBoundCheck(s: SparkSession, pos: DataFrame, est: DataFrame,
+                           qs: Seq[Int], gamma: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val alpha = (gamma - 1.0) / (gamma + 1.0)
     val w = Window.partitionBy(col("event_type")).orderBy(col("v"))
     val cum = pos.groupBy(col("event_type"), col("v")).agg(count(lit(1)).as("__c"))
       .withColumn("__cum", sum(col("__c")).over(
@@ -1950,6 +1963,37 @@ object SparkEntry {
         NumFunctions.roundNz(col("__exact"), 6).as("exact_v"),
         (abs(col("est") - col("__exact")) <=
           lit(alpha) * col("__exact") + lit(1e-9)).as("within_bound"))
+  }
+
+  /** Q188 — STANDING quantile table, maintained then bound-checked
+    * ([[graft.sinks.QuantileSink]]): the events split into two
+    * micro-batches (the q76 incremental-rollup drill), each folded
+    * into the partitioned sketch table — only touched partitions
+    * rewritten, bucket counts merged by addition — and the standing
+    * table's estimates checked exactly like q183's one-shot sketch:
+    * the output carries the exact order statistic and a
+    * `within_bound` flag, so the oracle is the same SQL. Because the
+    * maintained state merges order-independently and buckets with the
+    * identical StrictMath code, maintained ≡ one-shot bit for bit
+    * (QuantilesSinkSpec) — and therefore this query's rows match
+    * q183's exactly.
+    */
+  def q188(s: SparkSession, d: String): DataFrame = {
+    val root = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft-qsink-${math.abs(d.hashCode)}/sk").toString
+    val p = new org.apache.hadoop.fs.Path(root)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    val src = ev(s, d).select(col("event_type"), col("value"),
+      pmod(col("event_id"), lit(2)).as("__b"))
+    for (b <- 0 to 1)
+      graft.sinks.QuantileSink.maintain(s,
+        src.filter(col("__b") === b).drop("__b"), root,
+        partCols = Seq("event_type"), keyCols = Seq("event_type"),
+        valueCol = "value", gamma = 1.02)
+    val est = graft.sinks.QuantileSink.quantiles(s, root,
+      Seq("event_type"), Seq(25, 50, 75, 90), 1.02)
+    ddBoundCheck(s, ddPos(s, d), est, Seq(25, 50, 75, 90), 1.02)
   }
 
   /** Q179 — TPC-H Q5 (local supplier volume): revenue by nation for
@@ -2927,11 +2971,32 @@ object SparkEntry {
     "q184_audio_neardup"  -> (q184 _),
     "q185_incr_media_dedup" -> (q185 _),
     "q186_subseq_search"  -> (q186 _),
-    "q187_media_dedup_pipeline" -> (q187 _))
+    "q187_media_dedup_pipeline" -> (q187 _),
+    "q188_quantile_sink"  -> (q188 _))
 
   // DuckDB twins. Shared SQL fragments for the text queries:
   // explicit class: Java \s includes \x0B, RE2 \s does not — see
   // TextFunctions.whitespaceClass
+  /** Shared q183/q188 oracle: exact per-group order statistic + the
+    * TRUE bound literal (the estimate never leaves the engine).
+    */
+  private val DD_QUANT_ORACLE: String =
+    """WITH pos AS (SELECT event_type, CAST(value AS DOUBLE) AS v
+      |  FROM events WHERE value IS NOT NULL AND value > 0
+      |    AND NOT isnan(value) AND isfinite(CAST(value AS DOUBLE))),
+      |c AS (SELECT event_type, v, count(*) AS cnt FROM pos GROUP BY 1, 2),
+      |cc AS (SELECT event_type, v,
+      |  sum(cnt) OVER (PARTITION BY event_type ORDER BY v
+      |    ROWS UNBOUNDED PRECEDING) AS cum,
+      |  sum(cnt) OVER (PARTITION BY event_type) AS tot FROM c),
+      |qs AS (SELECT unnest([25, 50, 75, 90]) AS q_pct)
+      |SELECT event_type, CAST(q_pct AS BIGINT) AS q_pct,
+      |  CAST(tot AS BIGINT) AS n, round(min(v), 6) + 0 AS exact_v,
+      |  true AS within_bound
+      |FROM cc JOIN qs ON cum * 100 >= tot * q_pct
+      |GROUP BY 1, 2, 3
+      |""".stripMargin
+
   private val TOKS =
     "list_filter(regexp_split_to_array(trim(text), '[ \\t\\n\\f\\r]+'), x -> x <> '')"
 
@@ -4871,22 +4936,11 @@ object SparkEntry {
     // oracle replays the exact discrete order statistic (min v with
     // 100·cum >= tot·q over the distinct-value support) and the TRUE
     // bound literal. A sketch outside its published α would hash-fail.
-    "q183_dd_quantiles" ->
-      ("""WITH pos AS (SELECT event_type, CAST(value AS DOUBLE) AS v
-         |  FROM events WHERE value IS NOT NULL AND value > 0
-         |    AND NOT isnan(value) AND isfinite(CAST(value AS DOUBLE))),
-         |c AS (SELECT event_type, v, count(*) AS cnt FROM pos GROUP BY 1, 2),
-         |cc AS (SELECT event_type, v,
-         |  sum(cnt) OVER (PARTITION BY event_type ORDER BY v
-         |    ROWS UNBOUNDED PRECEDING) AS cum,
-         |  sum(cnt) OVER (PARTITION BY event_type) AS tot FROM c),
-         |qs AS (SELECT unnest([25, 50, 75, 90]) AS q_pct)
-         |SELECT event_type, CAST(q_pct AS BIGINT) AS q_pct,
-         |  CAST(tot AS BIGINT) AS n, round(min(v), 6) + 0 AS exact_v,
-         |  true AS within_bound
-         |FROM cc JOIN qs ON cum * 100 >= tot * q_pct
-         |GROUP BY 1, 2, 3
-         |""".stripMargin),
+    "q183_dd_quantiles" -> DD_QUANT_ORACLE,
+    // q188: the MAINTAINED sketch table is bit-identical to q183's
+    // one-shot sketch (addition-merged buckets, same bucketing code),
+    // so the same exact-order-statistic oracle applies verbatim.
+    "q188_quantile_sink" -> DD_QUANT_ORACLE,
     // q182: every doc's 9×8 gradient luma is pure doc_id arithmetic
     // (gray RGB → BT.601 luma is exact), so the bit set rebuilds as a
     // (doc, k) table — bit y·8+x set iff lum(x+1,y) > lum(x,y) — and
