@@ -83,35 +83,35 @@ class QuantizeSpec extends SparkSpec {
     assert(got.nonEmpty) // fixture sanity: the planted phrase repeats
   }
 
-  test("PQ ANN with exact re-rank: recall@10 >= 0.6 vs brute force") {
+  test("PQ ANN with exact re-rank: recall@10 >= 0.8 at the q94 operating point") {
     val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
     val norm = e.select(col("vec_id").as("id"),
       VectorFunctions.l2Normalize(col("embedding")).as("nvec"))
     val books = Quantize.fitPq(norm, "id", "nvec", m = 8, ksub = 16, iters = 5)
     val probes = e.filter(col("vec_id") < 10)
     val got = Quantize.pqTopKRefined(e, probes, "vec_id", "embedding",
-        books, k = 10, shortlist = 50)
+        books, k = 10, shortlist = 100)
       .select(col("probe_id"), col("vec_id"))
       .as[(Long, Long)].collect().toSet
     val want = Similarity.topKCosine(e, probes, "vec_id", "embedding", k = 10)
       .select(col("probe_id"), col("vec_id"))
       .as[(Long, Long)].collect().toSet
     val recall = (got & want).size.toDouble / want.size
-    assert(recall >= 0.6, s"PQ recall@10 = $recall")
+    assert(recall >= 0.8, s"PQ recall@10 = $recall")
   }
 
-  test("IVF-PQ composed ANN: recall@10 >= 0.6, shortlist honors nProbe cells") {
+  test("IVF-PQ composed ANN: recall@10 >= 0.8 with multiprobe cells + 100-row shortlist") {
     val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
     val probes = e.filter(col("vec_id") < 10)
     val got = graft.operators.Quantize.ivfPqTopK(e, probes, "vec_id", "embedding",
-        k = 10, nlist = 8, nProbe = 4, shortlist = 50)
+        k = 10, nlist = 8, nProbe = 6, shortlist = 100)
       .select(col("probe_id"), col("vec_id"))
       .as[(Long, Long)].collect().toSet
     val want = Similarity.topKCosine(e, probes, "vec_id", "embedding", k = 10)
       .select(col("probe_id"), col("vec_id"))
       .as[(Long, Long)].collect().toSet
     val recall = (got & want).size.toDouble / want.size
-    assert(recall >= 0.6, s"IVF-PQ recall@10 = $recall")
+    assert(recall >= 0.8, s"IVF-PQ recall@10 = $recall")
   }
 
   test("fitPq is deterministic and fitPqCached reuses the trained books") {
