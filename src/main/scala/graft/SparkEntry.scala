@@ -1842,6 +1842,38 @@ object SparkEntry {
       probe, k = 20)
   }
 
+  /** Q189 — LARGE-probe subsequence search through the PAA
+    * propose/verify path ([[graft.operators.TimeSeries.ssdTopKPaa]]):
+    * q186's shape at L = 64 (segments = 8) — the probe is the first
+    * type's values at positions 101–164, and the top-15 closest
+    * windows anywhere are found by the PAA lower-bound prune + exact
+    * DECIMAL verify. Because the PAA path is output-identical to the
+    * exact operator (TimeSeriesSpec pins it), the oracle is the SAME
+    * exact window algebra as q186's — which means the whole
+    * propose/seed/τ-prune machinery is oracle-checked end to end, not
+    * just spec-pinned.
+    */
+  def q189(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sp = s
+    import sp.implicits._
+    val base = ev(s, d)
+      .filter(col("value").isNotNull && !isnan(col("value")))
+      .select(col("event_type"), col("event_id"),
+        col("value").cast("double").as("v"))
+      .withColumn("idx", row_number().over(
+        Window.partitionBy(col("event_type")).orderBy(col("event_id"))))
+    val probeType = base.agg(min(col("event_type"))).head().getString(0)
+    val probe = base
+      .filter(col("event_type") === probeType &&
+        col("idx").between(101, 164))
+      .orderBy("idx").select("v").as[Double].collect()
+    require(probe.length == 64,
+      s"q189 probe must be exactly 64 values (oracle pins n = 64), got ${probe.length}")
+    graft.operators.TimeSeries.ssdTopKPaa(base, "event_type", "idx", "v",
+      probe, k = 15, segments = 8)
+  }
+
   /** Q185 — incremental perceptual media dedup
     * ([[graft.multimodal.Multimodal.incrementalHammingNearDup]]): the
     * q105 daily-batch shape applied to q182's image hashes — every
@@ -2976,7 +3008,8 @@ object SparkEntry {
     "q185_incr_media_dedup" -> (q185 _),
     "q186_subseq_search"  -> (q186 _),
     "q187_media_dedup_pipeline" -> (q187 _),
-    "q188_quantile_sink"  -> (q188 _))
+    "q188_quantile_sink"  -> (q188 _),
+    "q189_subseq_paa"     -> (q189 _))
 
   // DuckDB twins. Shared SQL fragments for the text queries:
   // explicit class: Java \s includes \x0B, RE2 \s does not — see
@@ -4858,6 +4891,27 @@ object SparkEntry {
     // from the lexicographically-first type's first 8 values, squared
     // differences through DECIMAL(38,12), (ssd, type, start) total
     // order for the LIMIT.
+    // q189: q186's exact window algebra at L = 64 (probe = the first
+    // type's positions 101-164) — the PAA propose/verify path must
+    // reproduce the exact top-15, so the same SQL is the oracle.
+    "q189_subseq_paa" ->
+      ("""WITH s AS (SELECT event_type,
+         |    row_number() OVER (PARTITION BY event_type ORDER BY event_id) AS idx,
+         |    CAST(value AS DOUBLE) AS v
+         |  FROM events WHERE value IS NOT NULL AND NOT isnan(value)),
+         |p AS (SELECT idx - 101 AS j, v AS pv FROM s
+         |  WHERE event_type = (SELECT min(event_type) FROM s)
+         |    AND idx BETWEEN 101 AND 164),
+         |c AS (SELECT s.event_type, s.idx - p.j AS start_idx,
+         |    CAST((s.v - p.pv) * (s.v - p.pv) AS DECIMAL(38,12)) AS t
+         |  FROM s JOIN p ON s.idx - p.j >= 1),
+         |w AS (SELECT event_type, start_idx, sum(t) AS ssd, count(*) AS n
+         |  FROM c GROUP BY 1, 2)
+         |SELECT event_type, CAST(start_idx AS BIGINT) AS start_idx,
+         |  round(CAST(ssd AS DOUBLE), 6) + 0 AS ssd_r
+         |FROM w WHERE n = 64
+         |ORDER BY ssd_r, event_type, start_idx LIMIT 15
+         |""".stripMargin),
     "q186_subseq_search" ->
       ("""WITH s AS (SELECT event_type,
          |    row_number() OVER (PARTITION BY event_type ORDER BY event_id) AS idx,
