@@ -41,12 +41,12 @@ object PqRecallBench {
       ((got & want).size.toDouble / want.size, sec)
     }
 
-    val ivf = Seq((2, 50), (4, 50), (4, 100), (6, 100), (8, 150)).map {
-      case (np, sl) =>
-        val (r, s) = recOf(Quantize.ivfPqTopK(e, probes, "vec_id", "embedding",
-          k = 10, nlist = 16, nProbe = np, shortlist = sl))
-        s"""{"nProbe":$np,"shortlist":$sl,"recall":$r,"sec":$s}"""
-    }
+    val ivf = (for ((np, sl) <- Seq((2, 50), (4, 50), (4, 100), (6, 100), (8, 150));
+                    res <- Seq(false, true)) yield {
+      val (r, s) = recOf(Quantize.ivfPqTopK(e, probes, "vec_id", "embedding",
+        k = 10, nlist = 16, nProbe = np, shortlist = sl, residual = res))
+      s"""{"nProbe":$np,"shortlist":$sl,"residual":$res,"recall":$r,"sec":$s}"""
+    }).toSeq
     val norm = e.select(col("vec_id").as("id"),
       VectorFunctions.l2Normalize(col("embedding")).as("nvec"))
     val books = Quantize.fitPq(norm, "id", "nvec", m = 8, ksub = 16, iters = 5)

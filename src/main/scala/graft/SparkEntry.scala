@@ -1190,13 +1190,14 @@ object SparkEntry {
     * Approximate: recall pinned by spec (QuantizeSpec), no SQL oracle.
     */
   def q101(s: SparkSession, d: String): DataFrame =
-    // nProbe = 6 of 16 cells (multiprobe) + a 100-row shortlist: the
-    // PqRecallBench frontier point — recall@10 0.94 on the fixture at
-    // ~2.4× the candidate volume of the old (4, 50) corner (which sat
-    // at 0.6–0.7); scoring still touches only m-byte codes
+    // nProbe = 6 of 16 cells (multiprobe) + a 100-row shortlist +
+    // RESIDUAL codes (books quantize v − centroid; ADC adds the
+    // per-(probe, cell) p·centroid bias): the PqRecallBench frontier
+    // point — recall@10 0.95 on the fixture vs 0.6–0.7 at the old
+    // (4, 50, raw-code) corner; scoring still touches only m-byte codes
     graft.operators.Quantize.ivfPqTopK(emb(s, d), emb(s, d).filter(col("vec_id") < 5),
       "vec_id", "embedding", k = 10, nlist = 16, nProbe = 6,
-      shortlist = 100, cacheKey = Some(d))
+      shortlist = 100, cacheKey = Some(d), residual = true)
 
   /** Q102 — BPE apply ([[graft.operators.Corpus.bpeStats]]): tokenize
     * the corpus under a PINNED production merge table (the inference

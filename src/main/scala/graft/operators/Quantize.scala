@@ -256,9 +256,16 @@ object Quantize {
     * restores precision. Everything runs in the L2-normalized space so
     * ADC's inner product approximates cosine.
     *
-    * This variant encodes raw normalized vectors (IVFFlat-style codes);
-    * residual encoding (codes of `v − centroid`, one LUT per probe ×
-    * cell) is the next refinement step and slots into the same plan.
+    * `residual = false` encodes raw normalized vectors (IVFFlat-style
+    * codes). `residual = true` is the Jégou-paper refinement: codes
+    * quantize `v − centroid(cell)` — residuals concentrate near the
+    * origin, so the same (m, ksub) code budget spends its resolution
+    * on the part of the vector the coarse quantizer did NOT explain.
+    * ADC then scores `p·v = p·centroid + p·residual`: the first term
+    * is a per-(probe, cell) BIAS computed on the driver (cell
+    * metadata), the second the usual LUT sum — same join, same plan,
+    * one extra broadcast column. Recall at the same operating point
+    * measured in BASELINE.md `pq_recall`.
     *
     * Scale: probes collect to the driver (routing + LUTs are per-probe
     * metadata, bounded by `maxProbes`); the codes table streams through
@@ -271,7 +278,7 @@ object Quantize {
                 vecCol: String, k: Int, nlist: Int = 16, nProbe: Int = 4,
                 m: Int = 8, ksub: Int = 16, iters: Int = 3,
                 shortlist: Int = 50, cacheKey: Option[String] = None,
-                maxProbes: Int = 10000): DataFrame = {
+                maxProbes: Int = 10000, residual: Boolean = false): DataFrame = {
     import graft.functions.VectorFunctions
     val spark = embeddings.sparkSession
     import spark.implicits._
@@ -281,15 +288,24 @@ object Quantize {
       case Some(ck) => IvfIndex.fitCached(s"$ck|ivfpq", corpus, "id", "nvec", nlist, iters)
       case None     => IvfIndex.fit(corpus, "id", "nvec", nlist, iters)
     }
+    // what the PQ books quantize: the vector itself, or the residual
+    // v − centroid(cell) (a broadcast join on cell metadata, map-side)
+    val encSrc =
+      if (residual)
+        assigned.join(broadcast(centroids.select(col("cell"), col("cvec"))), "cell")
+          .select(col("id"), col("cell"),
+            zip_with(col("vec"), col("cvec"), (a, b) => a - b).as("evec"))
+      else assigned.select(col("id"), col("cell"), col("vec").as("evec"))
     val books = cacheKey match {
-      case Some(ck) => fitPqCached(s"$ck|ivfpq", corpus, "id", "nvec", m, ksub, iters)
-      case None     => fitPq(corpus, "id", "nvec", m, ksub, iters)
+      case Some(ck) => fitPqCached(s"$ck|ivfpq|res=$residual", encSrc, "id", "evec",
+        m, ksub, iters)
+      case None     => fitPq(encSrc, "id", "evec", m, ksub, iters)
     }
     val dsub = books(0)(0).length
-    val encoded = assigned.select(col("id"), col("cell"),
+    val encoded = encSrc.select(col("id"), col("cell"),
       array((0 until m).map { s =>
         VectorFunctions.nearestCentroidL2(
-          slice(col("vec"), s * dsub + 1, dsub), books(s))
+          slice(col("evec"), s * dsub + 1, dsub), books(s))
       }: _*).as("codes"))
 
     // probe-side metadata on the driver: normalize, route to nProbe
@@ -312,7 +328,13 @@ object Quantize {
       if (na == 0.0 || nb == 0.0) Double.NegativeInfinity
       else d / math.sqrt(na * nb)
     }
-    val routed: Seq[(Long, Int, Seq[Double])] = pRows.toSeq.flatMap { r =>
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) { d += a(i) * b(i); i += 1 }
+      d
+    }
+    val routed: Seq[(Long, Int, Seq[Double], Double)] = pRows.toSeq.flatMap { r =>
       val pid = r.getLong(0)
       val pv = r.getSeq[Double](1).toArray
       val lut = new Array[Double](m * ksub)
@@ -331,14 +353,19 @@ object Quantize {
       cents.map { case (cell, cv) => (cell, cosine(pv, cv)) }
         .sortBy { case (cell, sim) => (-sim, cell) }
         .take(nProbe)
-        .map { case (cell, _) => (pid, cell, lut.toSeq) }
+        .map { case (cell, _) =>
+          // residual ADC: p·v = p·centroid (this bias) + p·residual (LUT)
+          val bias =
+            if (residual) dot(pv, cents.find(_._1 == cell).get._2) else 0.0
+          (pid, cell, lut.toSeq, bias)
+        }
     }
-    val routedDf = routed.toDF("probe_id", "cell", "lut")
+    val routedDf = routed.toDF("probe_id", "cell", "lut", "bias")
     val scored = encoded.join(broadcast(routedDf), "cell")
       .filter(col("id") =!= col("probe_id"))
       .select(col("probe_id"), col("id"),
-        graft.functions.VectorFunctions.pqAdcScore(col("codes"), col("lut"), ksub)
-          .as("score"))
+        (graft.functions.VectorFunctions.pqAdcScore(col("codes"), col("lut"), ksub)
+          + col("bias")).as("score"))
       .filter(col("score").isNotNull)
     val short = TopK.topKPerKey(scored, Seq("probe_id"),
       struct(negate(col("score")), col("id")), Seq("id"), shortlist)

@@ -114,6 +114,26 @@ class QuantizeSpec extends SparkSpec {
     assert(recall >= 0.8, s"IVF-PQ recall@10 = $recall")
   }
 
+  test("residual IVF-PQ: recall@10 >= 0.8; residual codes never lose to raw at the same budget") {
+    val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val probes = e.filter(col("vec_id") < 10)
+    val want = Similarity.topKCosine(e, probes, "vec_id", "embedding", k = 10)
+      .select(col("probe_id"), col("vec_id"))
+      .as[(Long, Long)].collect().toSet
+    def recallOf(residual: Boolean): Double = {
+      val got = graft.operators.Quantize.ivfPqTopK(e, probes, "vec_id", "embedding",
+          k = 10, nlist = 8, nProbe = 6, shortlist = 100, residual = residual)
+        .select(col("probe_id"), col("vec_id"))
+        .as[(Long, Long)].collect().toSet
+      (got & want).size.toDouble / want.size
+    }
+    val res = recallOf(residual = true)
+    assert(res >= 0.8, s"residual IVF-PQ recall@10 = $res")
+    // small fixture noise allowed, but residual must not be WORSE by
+    // more than a couple of list slots at the same (m, ksub) budget
+    assert(res >= recallOf(residual = false) - 0.05)
+  }
+
   test("fitPq is deterministic and fitPqCached reuses the trained books") {
     val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
     val a = Quantize.fitPq(e, "vec_id", "embedding", m = 4, ksub = 8, iters = 2)
