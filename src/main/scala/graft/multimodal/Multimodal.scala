@@ -414,9 +414,11 @@ object Multimodal {
     *     class size, distinct exact-byte variants, and bytes
     *     reclaimable by keeping only the survivor.
     *
-    * Video rows participate in (1) only — clip-level perceptual video
-    * dedup composes [[videoFrameHashes]] externally (the q139 frame
-    * profile). Returns `(survivor_id, kind, n_members,
+    * Video rows route through [[videoSequenceHash]] — the clip-level
+    * frame-sequence fingerprint that catches re-muxed copies (same
+    * frames, different container metadata) as hamming-0 classes;
+    * frame-LEVEL sharing analysis stays with [[videoFrameHashes]]
+    * (the q139 profile). Returns `(survivor_id, kind, n_members,
     * n_exact_classes, total_bytes, bytes_saved)`; singletons appear
     * with `n_members = 1`, `bytes_saved = 0`.
     */
@@ -443,7 +445,11 @@ object Multimodal {
     val audEdges = classEdges(
       audioEnvelopeHash(media.filter(m => m.kind == "audio"), audioWindows).toDF()
         .filter(col("decoded")).select(col("media_id"), col("ahash")), "ahash")
+    val vidEdges = classEdges(
+      videoSequenceHash(media.filter(m => m.kind == "video")).toDF()
+        .filter(col("decoded")).select(col("media_id"), col("vhash")), "vhash")
     val edges = exactEdges.unionByName(imgEdges).unionByName(audEdges)
+      .unionByName(vidEdges)
     val comp = graft.operators.Dedup.nearDupComponents(
       base.select(col("media_id")), "media_id", edges)
     base.join(comp, base("media_id") === comp("id"))
@@ -924,17 +930,59 @@ object Multimodal {
     media.flatMap { r =>
       parseY4m(r.payload).iterator.flatMap { v =>
         Iterator.range(0, v.yOffsets.size, stride).map { k =>
-          val off = v.yOffsets(k)
-          var h = 0xcbf29ce484222325L                 // FNV-1a offset basis
-          def mix(b: Int): Unit = { h ^= (b & 0xFF); h *= 0x100000001b3L }
-          mix(v.w); mix(v.w >> 8); mix(v.h); mix(v.h >> 8)
-          var i = off
-          val end = off + v.ySize
-          while (i < end) { mix(r.payload(i)); i += 1 }
-          VideoFrameHash(r.media_id, k, v.w, v.h, h)
+          VideoFrameHash(r.media_id, k, v.w, v.h,
+            fnvFrameHash(r.payload, v.w, v.h, v.yOffsets(k), v.ySize))
         }
       }
     }
+  }
+
+  /** FNV-1a over (dims, Y-plane bytes) — the per-frame content hash
+    * shared by [[videoFrameHashes]] and [[videoSequenceHash]] so the
+    * two can never disagree about frame identity.
+    */
+  private def fnvFrameHash(payload: Array[Byte], w: Int, h0: Int,
+                           off: Int, ySize: Int): Long = {
+    var h = 0xcbf29ce484222325L                 // FNV-1a offset basis
+    def mix(b: Int): Unit = { h ^= (b & 0xFF); h *= 0x100000001b3L }
+    mix(w); mix(w >> 8); mix(h0); mix(h0 >> 8)
+    var i = off
+    val end = off + ySize
+    while (i < end) { mix(payload(i)); i += 1 }
+    h
+  }
+
+  /** Per-clip 64-bit content fingerprint. */
+  case class VideoHash(media_id: Long, decoded: Boolean, vhash: Long)
+
+  /** Clip-level video content hash: FNV-1a folded over the ORDERED
+    * per-frame content hashes ([[fnvFrameHash]] — dims + Y plane), so
+    * two clips collide iff their DECODED frame sequences are equal.
+    * This is the duplicate class exact payload hashing misses for
+    * video: re-muxed copies — same frames behind different container
+    * metadata (framerate tag, header spelling) — collide, while any
+    * frame edit, reorder, insertion, or resize separates. Unparseable
+    * payloads flag `decoded = false`. Pixels never leave the decode
+    * partition; downstream pairing is the hamming-0 class path of
+    * [[hammingNearDupClasses]] (identical hashes collapse, no band
+    * blowup), which [[mediaDedupPipeline]] wires in for `video` rows.
+    */
+  def videoSequenceHash(media: Dataset[MediaRow]): Dataset[VideoHash] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { r =>
+      parseY4m(r.payload) match {
+        case Some(v) =>
+          var h = 0xcbf29ce484222325L
+          def mix(b: Int): Unit = { h ^= (b & 0xFF); h *= 0x100000001b3L }
+          v.yOffsets.foreach { off =>
+            val fh = fnvFrameHash(r.payload, v.w, v.h, off, v.ySize)
+            var s = 0
+            while (s < 64) { mix((fh >>> s).toInt); s += 8 }
+          }
+          VideoHash(r.media_id, decoded = true, h)
+        case None => VideoHash(r.media_id, decoded = false, 0L)
+      }
+    })
   }
 
   /** Real video resize: parse the Y4M stream, nearest-neighbor-rescale

@@ -218,6 +218,40 @@ class MultimodalSpec extends SparkSpec {
     assert(k7 === "audio" && m7 === 3L && e7 === 2L)
   }
 
+  test("videoSequenceHash: re-muxed copies collide, any frame change separates; pipeline dedups them") {
+    val sp2 = spark
+    import sp2.implicits._
+    val framesA = Array(40, 90, 140)
+    val rows = Seq(
+      // same frame sequence behind different container metadata — the
+      // dup class payload md5 misses
+      Multimodal.MediaRow(1L, "video",
+        Multimodal.renderY4m(6, 4, framesA, fpsNum = 25), 6, 4, 0),
+      Multimodal.MediaRow(2L, "video",
+        Multimodal.renderY4m(6, 4, framesA, fpsNum = 30), 6, 4, 0),
+      // one frame edited
+      Multimodal.MediaRow(3L, "video",
+        Multimodal.renderY4m(6, 4, Array(40, 91, 140)), 6, 4, 0),
+      // frames reordered
+      Multimodal.MediaRow(4L, "video",
+        Multimodal.renderY4m(6, 4, Array(140, 90, 40)), 6, 4, 0),
+      // corrupt
+      Multimodal.MediaRow(5L, "video",
+        "not a y4m stream at all".getBytes("UTF-8"), 0, 0, 0))
+    val hs = Multimodal.videoSequenceHash(rows.toDS())
+      .collect().map(v => v.media_id -> v).toMap
+    assert(hs(1L).decoded && hs(2L).decoded)
+    assert(hs(1L).vhash === hs(2L).vhash, "re-muxed copy must collide")
+    assert(hs(3L).vhash !== hs(1L).vhash, "frame edit must separate")
+    assert(hs(4L).vhash !== hs(1L).vhash, "frame reorder must separate")
+    assert(!hs(5L).decoded)
+    // end-to-end: the pipeline collapses 1+2 into one survivor
+    val got = Multimodal.mediaDedupPipeline(rows.toDS())
+      .as[(Long, String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r._3).toMap
+    assert(got === Map(1L -> 2L, 3L -> 1L, 4L -> 1L, 5L -> 1L))
+  }
+
   test("audioEnvelopeHash: gain-changed copies collide; short/corrupt clips flag") {
     def amps(off: Int, gain: Int) =
       Array.tabulate(65)(st => (((st + off) * (st + off) * 7) % 97 + 1) * gain)
