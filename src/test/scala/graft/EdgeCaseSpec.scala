@@ -341,4 +341,34 @@ class EdgeCaseSpec extends SparkSpec {
       Array(("a", "b", 5L)), truncated = false, Set.empty, 10) ===
       Seq(("a", "b", 5L)))
   }
+
+  test("round-12 operator guards reject invalid arguments loudly") {
+    val sp2 = spark
+    import sp2.implicits._
+    val series = Seq(("k", 1L, 1.0)).toDF("key", "idx", "v")
+    // PAA segments must divide the probe length
+    intercept[IllegalArgumentException] {
+      graft.operators.TimeSeries.ssdTopKPaa(series, "key", "idx", "v",
+        Array.fill(10)(0.0), k = 1, segments = 4)
+    }
+    // banding is lossless only to hamming 3
+    intercept[IllegalArgumentException] {
+      graft.multimodal.Multimodal.hammingNearDupClasses(
+        Seq((1L, 2L)).toDF("media_id", "h"), "media_id", "h", maxHamming = 4)
+    }
+    // sink partition columns must be key columns
+    intercept[IllegalArgumentException] {
+      graft.sinks.QuantileSink.maintain(spark,
+        Seq(("g", 1.0)).toDF("grp", "v"), "/tmp/never-written",
+        partCols = Seq("other"), keyCols = Seq("grp"), valueCol = "v")
+    }
+    // dd_estimate type checking: wrong map type fails analysis
+    intercept[org.apache.spark.sql.AnalysisException] {
+      Seq((Map("a" -> 1L), 1L)).toDF("m", "r")
+        .select(graft.functions.SketchFunctions.ddEstimate(
+          org.apache.spark.sql.functions.col("m"),
+          org.apache.spark.sql.functions.col("r"), 1.02))
+        .collect()
+    }
+  }
 }
