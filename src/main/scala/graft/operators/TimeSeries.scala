@@ -328,10 +328,28 @@ object TimeSeries {
     *     exactly (same DECIMAL(38,12) path, same complete-window
     *     filter, same total order). Every true top-k window satisfies
     *     `LB ≤ SSD ≤ τ`, so the cut loses nothing — TimeSeriesSpec
-    *     pins PAA+verify ≡ exact. If the prune leaves more than
-    *     `maxCandidates` windows (an adversarial LB collapse), the
-    *     operator falls back to the exact path rather than broadcast
-    *     an unbounded candidate list.
+    *     pins PAA+verify ≡ exact. If the prune is ineffective — more
+    *     than `maxCandidates` survivors, or more than a quarter of all
+    *     windows (noise-like data gives PAA nothing to cut: every
+    *     window's segment means hover near the global mean, so LB is
+    *     tiny for all of them while exact SSDs are large for all of
+    *     them) — the operator falls back to the exact path, whose
+    *     single partial-aggregating shuffle beats re-entering rows
+    *     for a candidate list that is most of the corpus.
+    *
+    * The candidate re-entry join buckets on (key, ⌊(idx−1)/L⌋): each
+    * candidate window spans at most two L-blocks, so it enters the
+    * broadcast hash join under ≤ 2 block keys and a series row meets
+    * only the candidates overlapping its own block — without the
+    * bucket, a low-cardinality key column (5 event types) would make
+    * the equality join enumerate |rows| × |same-key candidates| pairs
+    * before the range condition filtered them.
+    *
+    * The returned frame is a materialized LOCAL relation of ≤ k rows
+    * (top-k is metadata by construction) — the operator's internal
+    * caches are released before returning, so a lazy plan would
+    * recompute the whole propose/verify pipeline on every downstream
+    * action.
     *
     * Contract (inherited from [[ssdTopK]] and load-bearing here):
     * `idxCol` is 1-based and DENSE per key — prefix differences only
@@ -357,11 +375,19 @@ object TimeSeries {
     // exact SSD for a SMALL (broadcastable) window set: re-enter each
     // window's rows via a broadcast range join, then the ssdTopK path
     def exactFor(cands: DataFrame): DataFrame = {
+      // bucket on the L-block so the broadcast hash join keys on
+      // (key, block) — a candidate window [cs, cs+L) overlaps at most
+      // two blocks, so it enters under ≤ 2 keys and each series row
+      // meets only block-local candidates (not every same-key one)
       val c = broadcast(cands.select(col(keyCol).as("__ck"),
-        col("start_idx").as("__cs")))
+          col("start_idx").as("__cs"))
+        .withColumn("__cblk", explode(array_distinct(array(
+          floor((col("__cs") - 1) / l),
+          floor((col("__cs") + l - 2) / l))))))
       val p = broadcast(probe.toSeq.zipWithIndex
         .map { case (v, j) => (j.toLong, v) }.toDF("__j", "__pv"))
-      base.join(c, col(keyCol) === col("__ck") &&
+      base.withColumn("__blk", floor((col("__idx") - 1) / l))
+        .join(c, col(keyCol) === col("__ck") && col("__blk") === col("__cblk") &&
           col("__idx") >= col("__cs") && col("__idx") < col("__cs") + l)
         .join(p, col("__idx") - col("__cs") === col("__j"))
         .select(col(keyCol), col("__cs").as("start_idx"),
@@ -403,10 +429,14 @@ object TimeSeries {
     val seedSsd = exactFor(seeds)
       .orderBy(col("ssd_r").asc, col(keyCol).asc, col("start_idx").asc)
       .limit(k).select(col("ssd_r")).as[Double].collect()
+    // the cached base already carries the normalized (key, idx, value)
+    // columns — the fallback reuses it instead of recomputing `series`
+    def exactFallback(): DataFrame =
+      ssdTopK(base, keyCol, "__idx", "__v", probe, k)
     val out = if (seedSsd.length < k) {
       // fewer complete windows than k among seeds: don't prune, the
       // exact path is already ~candidate-scale
-      ssdTopK(series, keyCol, idxCol, valueCol, probe, k)
+      exactFallback()
     } else {
       val tau = seedSsd.last
       // fp slack: LB is double prefix arithmetic vs the exact DECIMAL
@@ -414,16 +444,27 @@ object TimeSeries {
       val survivors = lbTbl
         .filter(col("__lb") <= lit(tau) * (1 + 1e-9) + lit(1e-6))
         .select(col(keyCol), col("start_idx"))
-      if (survivors.count() > maxCandidates)
-        ssdTopK(series, keyCol, idxCol, valueCol, probe, k)
+      val totalWindows = lbTbl.count()
+      val nSurv = survivors.count()
+      // prune must EARN the candidate re-entry joins: on noise-like
+      // data PAA cuts nothing (all LBs tiny, all SSDs large) and
+      // re-entering ~every window costs more than the exact path's
+      // one partial-aggregating shuffle
+      if (nSurv > maxCandidates || nSurv * 4L > totalWindows)
+        exactFallback()
       else
         exactFor(survivors)
           .orderBy(col("ssd_r").asc, col(keyCol).asc, col("start_idx").asc)
           .limit(k)
     }
+    // materialize the ≤ k result rows BEFORE dropping the caches — the
+    // returned frame must not lazily recompute the pipeline uncached
+    val outRows = out.collect()
+    val local = spark.createDataFrame(
+      java.util.Arrays.asList(outRows: _*), out.schema)
     base.unpersist(blocking = false)
     lbTbl.unpersist(blocking = false)
-    out
+    local
   }
 
   def rollingZscore(df: DataFrame, keyCol: String, tsCol: String,

@@ -128,6 +128,30 @@ class TimeSeriesSpec extends SparkSpec {
     assert(paa === exact)
   }
 
+  test("ssdTopKPaa: noise collapse (LB prunes nothing) takes the exact fallback losslessly") {
+    // hash-noise values: every window's segment means sit near the
+    // global mean, so the PAA lower bound is tiny for ALL windows
+    // while exact SSDs are large for all — survivors exceed a quarter
+    // of the windows and the operator must fall back to the exact
+    // single-shuffle path instead of re-entering ~the whole corpus
+    def noise(key: Int, i: Int): Double = ((i * 2654435761L + key * 40503L) % 997L) / 99.7
+    val rows = for (key <- 0 until 3; i <- 1 to 300)
+      yield (s"k$key", i.toLong, noise(key, i))
+    val series = rows.toDF("key", "idx", "v")
+    val probe = Array.tabulate(32)(j => noise(1, j + 40))
+    val exact = graft.operators.TimeSeries.ssdTopK(
+      series, "key", "idx", "v", probe, k = 10)
+      .as[(String, Long, Double)].collect().toSeq
+    val paa = graft.operators.TimeSeries.ssdTopKPaa(
+      series, "key", "idx", "v", probe, k = 10, segments = 8)
+      .as[(String, Long, Double)].collect().toSeq
+    assert(paa === exact)
+    // the planted self-window surfaces at distance 0 (the modular
+    // fixture admits other exact matches; ties break by key)
+    assert(exact.contains(("k1", 40L, 0.0)))
+    assert(exact.head._3 === 0.0)
+  }
+
   test("rollingZscore: trailing-window mean/std arithmetic, leading rows unscored") {
     // key with daily values 1,2,3,4 and win=3:
     // day1: n=1 → null; day2: n=2, mean 1.5, var 0.5; day3: n=3 over {1,2,3}
