@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 import graft.ops.EventOps
-import graft.functions.{NumFunctions, TextFunctions}
+import graft.functions.{NumFunctions, TextFunctions, UnigramKernel}
 import graft.multimodal.Multimodal
 import graft.operators.{Dedup, Similarity}
 
@@ -1875,6 +1875,139 @@ object SparkEntry {
       probe, k = 15, segments = 8)
   }
 
+  /** Q190 — unigram-LM tokenizer apply
+    * ([[graft.operators.Unigram.unigramStats]]): the corpus tokenized
+    * under a PINNED unigram vocabulary (q102's fixed-published-vocab
+    * shape for the SECOND production tokenizer family — SentencePiece's
+    * unigram model), reporting per-doc piece counts and total integer
+    * cost. The pinned costs are chosen so the Viterbi DP actually
+    * decides: `table` must take tab+le over the whole-word piece (the
+    * whole word costs MORE than the split), `join` must beat jo+in on
+    * the fewest-pieces tie-break at EQUAL cost, and `dup` exercises
+    * the single-char UNK fallback (`u` is deliberately absent).
+    *
+    * Exact oracle: the packed-integer Viterbi (`cost·64 + pieces`,
+    * integer min) replays in SQL as a 16-level unrolled shortest-path
+    * over distinct word chunks — generated programmatically in
+    * [[q190OracleSql]], same pinned vocab literal, same UNK constant,
+    * same 16-code-point chunk contract. The LEARNED-vocab path
+    * ([[graft.operators.Unigram.learnUnigram]]) is pinned by
+    * UnigramSpec against an independent sequential reference trainer
+    * instead (data-dependent vocab — same reasoning as q99).
+    */
+  def q190(s: SparkSession, d: String): DataFrame =
+    graft.operators.Unigram.unigramStats(docs(s, d), "doc_id", "text",
+      q190Vocab, maxPieceLen = 5)
+
+  /** The pinned q190 vocabulary (piece → integer micro-nat cost) —
+    * mirrored literally by the VALUES table in [[q190OracleSql]].
+    * Singles cover the corpus alphabet EXCEPT `u` (forcing the UNK
+    * path on `dup`); multi pieces are priced to exercise the DP's
+    * choices (see [[q190]]).
+    */
+  private val q190Vocab: Array[(String, Long)] = Array(
+    // singles (no 'u' — UNK exercises at 20e6)
+    ("a", 2500000L), ("b", 3000000L), ("c", 3000000L), ("d", 3000000L),
+    ("e", 2600000L), ("f", 3000000L), ("g", 3000000L), ("h", 3000000L),
+    ("i", 2800000L), ("j", 3200000L), ("k", 3000000L), ("l", 2900000L),
+    ("m", 3000000L), ("n", 2700000L), ("o", 2600000L), ("p", 3000000L),
+    ("q", 3500000L), ("r", 2800000L), ("s", 2700000L), ("t", 2500000L),
+    ("v", 3300000L), ("w", 3100000L), ("y", 3400000L),
+    // multi-character pieces
+    ("th", 1400000L), ("the", 900000L), ("er", 1300000L),
+    ("ta", 1500000L), ("tab", 1000000L), ("le", 1000000L),
+    ("ble", 1600000L), ("table", 3500000L),
+    ("me", 1800000L), ("rge", 2200000L), ("merge", 2000000L),
+    ("jo", 1000000L), ("in", 1000000L), ("join", 2000000L),
+    ("sp", 1500000L), ("ark", 1700000L), ("spark", 1600000L),
+    ("qu", 1500000L), ("ery", 1500000L), ("query", 1400000L),
+    ("fil", 1500000L), ("ter", 1400000L), ("filter", 2400000L),
+    ("row", 1200000L), ("ow", 1500000L), ("scan", 1300000L),
+    ("str", 1500000L), ("eam", 1600000L), ("batch", 1500000L),
+    ("wind", 1500000L), ("window", 2600000L),
+    ("or", 1300000L), ("der", 1500000L), ("order", 2300000L),
+    ("val", 1500000L), ("ue", 1500000L), ("agg", 1200000L),
+    ("col", 1400000L), ("umn", 1500000L), ("data", 1300000L),
+    ("sl", 1500000L), ("slow", 2000000L), ("fast", 1400000L),
+    ("key", 1300000L), ("part", 1400000L), ("small", 1900000L),
+    ("hash", 1400000L), ("big", 1300000L),
+    ("gr", 1500000L), ("oup", 1600000L), ("group", 2200000L),
+    ("li", 1400000L), ("ne", 1300000L), ("line", 1800000L),
+    ("cust", 1500000L), ("omer", 1600000L),
+    ("vec", 1500000L), ("tor", 1400000L))
+
+  /** q190's exact oracle, generated: the packed-integer Viterbi DP
+    * (`v = cost_units·64 + n_pieces`, minimized as ONE integer — cost
+    * first, fewest pieces on ties) unrolled to the 16-code-point chunk
+    * bound as chained CTEs `dp0..dp16`. Level k extends level j ∈
+    * [k−5, k−1]: single-char steps LEFT JOIN the vocab with the
+    * 20 000 000-unit UNK fallback; multi-char steps INNER JOIN (no
+    * piece, no path). The DP runs over DISTINCT word chunks
+    * (vocabulary scale), then joins back through word occurrences to
+    * per-document sums — exactly [[graft.functions.UnigramKernel]]'s
+    * arithmetic, so the engines hash-match bit-for-bit.
+    */
+  private def q190OracleSql: String = {
+    val maxLen = UnigramKernel.MaxWordLen // 16
+    val maxPiece = 5
+    val unk = UnigramKernel.UnkCostUnits
+    val vocabValues = q190Vocab
+      .map { case (p, c) => s"('${p.replace("'", "''")}', CAST($c AS BIGINT))" }
+      .mkString(",\n    ")
+    val dps = (1 to maxLen).map { k =>
+      val branches = scala.collection.mutable.ArrayBuffer.empty[String]
+      branches +=
+        s"""    SELECT d.chunk, d.v + (coalesce(vv.cu, $unk) * 64 + 1) AS v
+           |    FROM dp${k - 1} d LEFT JOIN vocab vv ON substr(d.chunk, $k, 1) = vv.piece
+           |    WHERE length(d.chunk) >= $k""".stripMargin
+      for (j <- math.max(0, k - maxPiece) until (k - 1)) {
+        branches +=
+          s"""    SELECT d.chunk, d.v + (vv.cu * 64 + 1) AS v
+             |    FROM dp$j d JOIN vocab vv ON substr(d.chunk, ${j + 1}, ${k - j}) = vv.piece
+             |    WHERE length(d.chunk) >= $k""".stripMargin
+      }
+      // MATERIALIZED is load-bearing: DuckDB inlines plain CTEs, and
+      // dpK referencing dp(k-1)..dp(k-5) would expand the chain
+      // EXPONENTIALLY (a ~5^16-node plan) — materializing makes each
+      // level compute once, the DP's actual O(len·maxPiece) shape
+      s"dp$k AS MATERIALIZED (SELECT chunk, min(v) AS v FROM (\n" +
+        branches.mkString("\n    UNION ALL\n") + "\n  ) GROUP BY chunk)"
+    }
+    val fin = (1 to maxLen)
+      .map(k => s"  SELECT chunk, v FROM dp$k WHERE length(chunk) = $k")
+      .mkString("\n  UNION ALL\n")
+    s"""WITH vocab(piece, cu) AS (VALUES
+       |    $vocabValues),
+       |docsrc AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+       |wordocc AS MATERIALIZED (SELECT doc_id, w FROM (
+       |  SELECT doc_id, unnest(regexp_split_to_array(text, '[ \\t\\n\\f\\r]+')) AS w
+       |  FROM docsrc) WHERE w <> ''),
+       |dwords AS (SELECT DISTINCT w FROM wordocc),
+       |wchunks AS MATERIALIZED (SELECT w, unnest(list_transform(
+       |  range(CAST(ceil(length(w) / $maxLen.0) AS BIGINT)),
+       |  i -> substr(w, CAST(i * $maxLen + 1 AS INT), $maxLen))) AS chunk FROM dwords),
+       |chunks AS MATERIALIZED (SELECT DISTINCT chunk FROM wchunks),
+       |dp0 AS MATERIALIZED (SELECT chunk, CAST(0 AS BIGINT) AS v FROM chunks),
+       |${dps.mkString(",\n")},
+       |fin AS (
+       |$fin),
+       |wstat AS (SELECT wc.w, CAST(sum(f.v // 64) AS BIGINT) AS cu,
+       |    CAST(sum(f.v % 64) AS BIGINT) AS np
+       |  FROM wchunks wc JOIN fin f USING (chunk) GROUP BY wc.w),
+       |daggr AS (SELECT o.doc_id, sum(s.np) AS np, sum(s.cu) AS cu
+       |  FROM wordocc o JOIN wstat s ON o.w = s.w GROUP BY 1)
+       |SELECT d.doc_id AS id,
+       |  CAST(coalesce(a.np, 0) AS BIGINT) AS n_pieces,
+       |  CAST(coalesce(a.cu, 0) AS BIGINT) AS cost_units,
+       |  CAST(length(regexp_replace(d.text, '[ \\t\\n\\f\\r]+', '', 'g')) AS BIGINT) AS n_chars,
+       |  CASE WHEN coalesce(a.np, 0) > 0
+       |       THEN round(CAST(length(regexp_replace(d.text, '[ \\t\\n\\f\\r]+', '', 'g'))
+       |                       AS DOUBLE) / a.np, 4) + 0
+       |  END AS chars_per_piece
+       |FROM docsrc d LEFT JOIN daggr a USING (doc_id)
+       |""".stripMargin
+  }
+
   /** Q185 — incremental perceptual media dedup
     * ([[graft.multimodal.Multimodal.incrementalHammingNearDup]]): the
     * q105 daily-batch shape applied to q182's image hashes — every
@@ -3010,7 +3143,8 @@ object SparkEntry {
     "q186_subseq_search"  -> (q186 _),
     "q187_media_dedup_pipeline" -> (q187 _),
     "q188_quantile_sink"  -> (q188 _),
-    "q189_subseq_paa"     -> (q189 _))
+    "q189_subseq_paa"     -> (q189 _),
+    "q190_unigram_apply"  -> (q190 _))
 
   // DuckDB twins. Shared SQL fragments for the text queries:
   // explicit class: Java \s includes \x0B, RE2 \s does not — see
@@ -4913,6 +5047,10 @@ object SparkEntry {
          |FROM w WHERE n = 64
          |ORDER BY ssd_r, event_type, start_idx LIMIT 15
          |""".stripMargin),
+    // q190: the packed-integer Viterbi DP (cost*64 + pieces) unrolled
+    // to the 16-char chunk bound — generated in q190OracleSql, pinned
+    // vocab VALUES literal, UNK = 20e6 units.
+    "q190_unigram_apply" -> q190OracleSql,
     "q186_subseq_search" ->
       ("""WITH s AS (SELECT event_type,
          |    row_number() OVER (PARTITION BY event_type ORDER BY event_id) AS idx,

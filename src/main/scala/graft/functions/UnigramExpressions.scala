@@ -1,0 +1,248 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Unigram-LM tokenizer kernels (Kudo, "Subword Regularization", ACL
+  * 2018 — the SentencePiece unigram model): each word segments into the
+  * vocabulary pieces minimizing total piece cost, found by Viterbi
+  * dynamic programming. The training face
+  * ([[graft.operators.Unigram.learnUnigram]]) iterates Viterbi-EM over
+  * the distributed word dictionary; the inference face
+  * ([[graft.operators.Unigram.unigramStats]]) applies a FROZEN vocab
+  * corpus-wide.
+  *
+  * Determinism contract (load-bearing for the exact q190 oracle):
+  * piece costs are INTEGER micro-nat units, and the DP minimizes the
+  * combined value `cost_units * 64 + n_pieces` — cost first, then
+  * fewest pieces — so the optimum is a single integer comparison any
+  * engine replays exactly. Characters absent from the vocabulary
+  * segment as single-character UNK pieces at [[UnigramKernel.UnkCostUnits]].
+  * Words longer than [[UnigramKernel.MaxWordLen]] code points split
+  * into MaxWordLen-sized chunks segmented independently (bounds the DP
+  * and lets the SQL replay unroll to a fixed depth); a chunk never
+  * holds more than MaxWordLen < 64 pieces, so the `*64` packing is
+  * collision-free per chunk.
+  */
+private[graft] object UnigramKernel {
+  /** Cost of an out-of-vocabulary single character, in micro-nats
+    * (-ln p = 20 — rarer than anything a real corpus estimates). */
+  val UnkCostUnits = 20000000L
+
+  /** Chunk bound: words longer than this segment per 16-code-point
+    * block. Keeps the oracle's DP unroll finite and the piece count
+    * per chunk under the 64 packing radix. */
+  val MaxWordLen = 16
+
+  /** One word as code-point strings (the BpeKernel symbol convention —
+    * DuckDB's substr/length count characters, not UTF-16 units). */
+  def codePoints(word: String): Array[String] = {
+    val n = word.codePointCount(0, word.length)
+    val out = new Array[String](n)
+    var i = 0; var off = 0
+    while (i < n) {
+      val next = word.offsetByCodePoints(off, 1)
+      out(i) = word.substring(off, next)
+      off = next; i += 1
+    }
+    out
+  }
+
+  /** Viterbi DP over one chunk (≤ MaxWordLen code points): the packed
+    * `cost_units * 64 + n_pieces` minimum over all segmentations into
+    * vocab pieces of ≤ `maxPieceLen` code points (plus single-char UNK
+    * fallbacks). Every position is reachable (UNK guarantees it), so
+    * the result is total.
+    */
+  def chunkValue(cps: Array[String], from: Int, until: Int,
+                 vocab: Map[String, Long], maxPieceLen: Int): Long = {
+    val n = until - from
+    val dp = new Array[Long](n + 1)
+    java.util.Arrays.fill(dp, Long.MaxValue)
+    dp(0) = 0L
+    var k = 1
+    while (k <= n) {
+      var j = math.max(0, k - maxPieceLen)
+      while (j < k) {
+        if (dp(j) != Long.MaxValue) {
+          val piece = {
+            val sb = new java.lang.StringBuilder
+            var i = from + j
+            while (i < from + k) { sb.append(cps(i)); i += 1 }
+            sb.toString
+          }
+          val cost = vocab.get(piece) match {
+            case Some(c) => c
+            case None => if (k - j == 1) UnkCostUnits else -1L
+          }
+          if (cost >= 0L) {
+            val v = dp(j) + cost * 64L + 1L
+            if (v < dp(k)) dp(k) = v
+          }
+        }
+        j += 1
+      }
+      k += 1
+    }
+    dp(n)
+  }
+
+  /** Packed value of a whole word: sum of per-chunk (cost, pieces)
+    * decompositions — returned as `(costUnits, nPieces)`. */
+  def segmentWord(word: String, vocab: Map[String, Long],
+                  maxPieceLen: Int): (Long, Long) = {
+    val cps = codePoints(word)
+    var cost = 0L; var pieces = 0L
+    var off = 0
+    while (off < cps.length) {
+      val end = math.min(off + MaxWordLen, cps.length)
+      val v = chunkValue(cps, off, end, vocab, maxPieceLen)
+      cost += v / 64L; pieces += v % 64L
+      off = end
+    }
+    (cost, pieces)
+  }
+
+  /** The optimal piece sequence itself (training's E-step face).
+    * Tie-break beyond (cost, fewest pieces): while backtracking from
+    * the end, prefer the LONGEST final piece (smallest predecessor
+    * index) — implemented by accepting only strictly-smaller dp values
+    * as `j` ascends. Fully deterministic.
+    */
+  def segmentPieces(word: String, vocab: Map[String, Long],
+                    maxPieceLen: Int): Array[String] = {
+    val cps = codePoints(word)
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var off = 0
+    while (off < cps.length) {
+      val end = math.min(off + MaxWordLen, cps.length)
+      val n = end - off
+      val dp = new Array[Long](n + 1)
+      val back = new Array[Int](n + 1)
+      java.util.Arrays.fill(dp, Long.MaxValue)
+      dp(0) = 0L
+      var k = 1
+      while (k <= n) {
+        var j = math.max(0, k - maxPieceLen)
+        while (j < k) {
+          if (dp(j) != Long.MaxValue) {
+            val piece = cps.slice(off + j, off + k).mkString
+            val cost = vocab.get(piece) match {
+              case Some(c) => c
+              case None => if (k - j == 1) UnkCostUnits else -1L
+            }
+            if (cost >= 0L) {
+              val v = dp(j) + cost * 64L + 1L
+              if (v < dp(k)) { dp(k) = v; back(k) = j }
+            }
+          }
+          j += 1
+        }
+        k += 1
+      }
+      val stack = scala.collection.mutable.ArrayBuffer.empty[String]
+      var pos = n
+      while (pos > 0) {
+        val j = back(pos)
+        stack += cps.slice(off + j, off + pos).mkString
+        pos = j
+      }
+      out ++= stack.reverse
+      off = end
+    }
+    out.toArray
+  }
+
+  /** All substrings of 1..maxPieceLen code points, with multiplicity —
+    * the seed-vocabulary statistic. */
+  def allSubstrings(word: String, maxPieceLen: Int): Array[String] = {
+    val cps = codePoints(word)
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < cps.length) {
+      var len = 1
+      while (len <= maxPieceLen && i + len <= cps.length) {
+        out += cps.slice(i, i + len).mkString
+        len += 1
+      }
+      i += 1
+    }
+    out.toArray
+  }
+}
+
+/** `unigram_stats(text)` — per-document (n_pieces, cost_units) under a
+  * FROZEN vocab: every whitespace word Viterbi-segmented, counts and
+  * integer costs summed. Row-local; zero exchanges at any corpus size.
+  */
+case class UnigramStats(child: Expression, vocab: Map[String, Long],
+                        maxPieceLen: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_pieces", LongType, nullable = false),
+    StructField("cost_units", LongType, nullable = false)))
+
+  override def nullSafeEval(input: Any): Any = {
+    val text = input.asInstanceOf[UTF8String].toString
+    var pieces = 0L; var cost = 0L
+    for (w <- BpeKernel.words(text)) {
+      val (c, p) = UnigramKernel.segmentWord(w, vocab, maxPieceLen)
+      cost += c; pieces += p
+    }
+    InternalRow(pieces, cost)
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** `unigram_pieces(text)` — the optimal piece sequence of every word,
+  * flattened: the tokens face, and the E-step counting statistic (one
+  * explode + count per EM round). */
+case class UnigramPieces(child: Expression, vocab: Map[String, Long],
+                         maxPieceLen: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    val text = input.asInstanceOf[UTF8String].toString
+    val out = scala.collection.mutable.ArrayBuffer.empty[AnyRef]
+    for (w <- BpeKernel.words(text);
+         p <- UnigramKernel.segmentPieces(w, vocab, maxPieceLen))
+      out += UTF8String.fromString(p)
+    new GenericArrayData(out.toArray)
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** `unigram_seed_substrings(text)` — all 1..maxPieceLen-code-point
+  * substrings of every word, with multiplicity: the seed-vocabulary
+  * counting statistic. */
+case class UnigramSeedSubstrings(child: Expression, maxPieceLen: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    val text = input.asInstanceOf[UTF8String].toString
+    val out = scala.collection.mutable.ArrayBuffer.empty[AnyRef]
+    for (w <- BpeKernel.words(text);
+         s <- UnigramKernel.allSubstrings(w, maxPieceLen))
+      out += UTF8String.fromString(s)
+    new GenericArrayData(out.toArray)
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object UnigramFunctions {
+  import ColumnBridge.{column, expression}
+  def unigramStats(text: Column, vocab: Map[String, Long], maxPieceLen: Int): Column =
+    column(UnigramStats(expression(text), vocab, maxPieceLen))
+  def unigramPieces(text: Column, vocab: Map[String, Long], maxPieceLen: Int): Column =
+    column(UnigramPieces(expression(text), vocab, maxPieceLen))
+  def unigramSeedSubstrings(text: Column, maxPieceLen: Int): Column =
+    column(UnigramSeedSubstrings(expression(text), maxPieceLen))
+}
