@@ -237,11 +237,15 @@ object SparkEntry {
     * bit set in DuckDB (both engines ship the same MD5 and the same
     * whitespace tokenizer) and brute-forces all pairs at hamming ≤ 3.
     * A banding bug, a vote-count bug, or a tokenizer divergence all
-    * hash-fail.
+    * hash-fail. NULL texts are filtered out IDENTICALLY on both sides
+    * (here and in the oracle's `doc0` CTE): the engine's simhash of a
+    * null text is null (never banded) while a brute-force oracle would
+    * otherwise assign it an empty bit set and pair it with token-poor
+    * documents — the engines must agree on degenerate rows.
     */
   def q27(s: SparkSession, d: String): DataFrame =
-    Dedup.simhashPairs(docs(s, d), "doc_id", "text", maxHamming = 3,
-      portableHash = true)
+    Dedup.simhashPairs(docs(s, d).filter(col("text").isNotNull),
+      "doc_id", "text", maxHamming = 3, portableHash = true)
 
   /** Q28 — HLL++ approximate distinct (`approx_count_distinct`, Heule
     * et al. 2013) with its accuracy contract made oracle-checkable: the
@@ -1883,8 +1887,11 @@ object SparkEntry {
     * cost. The pinned costs are chosen so the Viterbi DP actually
     * decides: `table` must take tab+le over the whole-word piece (the
     * whole word costs MORE than the split), `join` must beat jo+in on
-    * the fewest-pieces tie-break at EQUAL cost, and `dup` exercises
-    * the single-char UNK fallback (`u` is deliberately absent).
+    * the fewest-pieces tie-break at EQUAL cost, `dup` exercises
+    * the single-char UNK fallback (`u` is deliberately absent), and
+    * the 6-code-point pieces `filter`/`window` must WIN over their
+    * splits (fil+ter / wind+ow cost more) — `maxPieceLen = 6`, so
+    * every pinned vocab entry is reachable by the DP.
     *
     * Exact oracle: the packed-integer Viterbi (`cost·64 + pieces`,
     * integer min) replays in SQL as a 16-level unrolled shortest-path
@@ -1897,7 +1904,7 @@ object SparkEntry {
     */
   def q190(s: SparkSession, d: String): DataFrame =
     graft.operators.Unigram.unigramStats(docs(s, d), "doc_id", "text",
-      q190Vocab, maxPieceLen = 5)
+      q190Vocab, maxPieceLen = 6)
 
   /** The pinned q190 vocabulary (piece → integer micro-nat cost) —
     * mirrored literally by the VALUES table in [[q190OracleSql]].
@@ -1940,7 +1947,7 @@ object SparkEntry {
     * (`v = cost_units·64 + n_pieces`, minimized as ONE integer — cost
     * first, fewest pieces on ties) unrolled to the 16-code-point chunk
     * bound as chained CTEs `dp0..dp16`. Level k extends level j ∈
-    * [k−5, k−1]: single-char steps LEFT JOIN the vocab with the
+    * [k−6, k−1]: single-char steps LEFT JOIN the vocab with the
     * 20 000 000-unit UNK fallback; multi-char steps INNER JOIN (no
     * piece, no path). The DP runs over DISTINCT word chunks
     * (vocabulary scale), then joins back through word occurrences to
@@ -1949,7 +1956,7 @@ object SparkEntry {
     */
   private def q190OracleSql: String = {
     val maxLen = UnigramKernel.MaxWordLen // 16
-    val maxPiece = 5
+    val maxPiece = 6
     val unk = UnigramKernel.UnkCostUnits
     val vocabValues = q190Vocab
       .map { case (p, c) => s"('${p.replace("'", "''")}', CAST($c AS BIGINT))" }
@@ -1967,7 +1974,7 @@ object SparkEntry {
              |    WHERE length(d.chunk) >= $k""".stripMargin
       }
       // MATERIALIZED is load-bearing: DuckDB inlines plain CTEs, and
-      // dpK referencing dp(k-1)..dp(k-5) would expand the chain
+      // dpK referencing dp(k-1)..dp(k-6) would expand the chain
       // EXPONENTIALLY (a ~5^16-node plan) — materializing makes each
       // level compute once, the DP's actual O(len·maxPiece) shape
       s"dp$k AS MATERIALIZED (SELECT chunk, min(v) AS v FROM (\n" +
@@ -5175,19 +5182,25 @@ object SparkEntry {
     // mod 2^64 from ascii() bytes, the xxHash64 single-long
     // finalizer unrolled in HUGEINT (& 2^64-1 wraps; + binds tighter
     // than & in DuckDB, hence the extra parens), unsigned window-min
-    // over w = 4, distinct count + signed min per document.
+    // over w = 4, distinct count + signed min per document. Index
+    // ranges derive from each document's own length via scalar
+    // range()+unnest (no fixture-size cap — any document length
+    // replays, however long).
     "q30_winnow_fp" ->
       ("""WITH d AS (SELECT doc_id, text, strlen(text) AS len FROM documents),
+         |gi AS (SELECT doc_id, text,
+         |    CAST(unnest(range(1, len - 6)) AS INT) AS i
+         |  FROM d WHERE len >= 8),
          |grams AS MATERIALIZED (
-         |  SELECT doc_id, CAST(i.range AS INT) AS i,
-         |    (CAST(ascii(substr(text, CAST(i.range AS INT), 1)) AS HUGEINT) * 74051159531521793
-         |     + ascii(substr(text, CAST(i.range AS INT) + 1, 1)) * 288136807515649
-         |     + ascii(substr(text, CAST(i.range AS INT) + 2, 1)) * 1121154893057
-         |     + ascii(substr(text, CAST(i.range AS INT) + 3, 1)) * 4362470401
-         |     + ascii(substr(text, CAST(i.range AS INT) + 4, 1)) * 16974593
-         |     + ascii(substr(text, CAST(i.range AS INT) + 5, 1)) * 66049
-         |     + ascii(substr(text, CAST(i.range AS INT) + 6, 1)) * 257
-         |     + ascii(substr(text, CAST(i.range AS INT) + 7, 1))) & 18446744073709551615 AS g,
+         |  SELECT doc_id, i,
+         |    (CAST(ascii(substr(text, i, 1)) AS HUGEINT) * 74051159531521793
+         |     + ascii(substr(text, i + 1, 1)) * 288136807515649
+         |     + ascii(substr(text, i + 2, 1)) * 1121154893057
+         |     + ascii(substr(text, i + 3, 1)) * 4362470401
+         |     + ascii(substr(text, i + 4, 1)) * 16974593
+         |     + ascii(substr(text, i + 5, 1)) * 66049
+         |     + ascii(substr(text, i + 6, 1)) * 257
+         |     + ascii(substr(text, i + 7, 1))) & 18446744073709551615 AS g,
          |    ((((g >> 32) * 14029467366897019727) & 4294967295) * 4294967296
          |      + (g & 4294967295) * 14029467366897019727) & 18446744073709551615 AS m1,
          |    ((m1 & 8589934591) << 31) + (m1 >> 33) AS r1,
@@ -5205,11 +5218,11 @@ object SparkEntry {
          |    ((((x3 >> 32) * 1609587929392839161) & 4294967295) * 4294967296
          |      + (x3 & 4294967295) * 1609587929392839161) & 18446744073709551615 AS m5,
          |    xor(m5, m5 >> 32) AS fh
-         |  FROM d, range(1, 8192) i
-         |  WHERE len >= 8 AND i.range <= len - 7),
+         |  FROM gi),
          |dn AS (SELECT doc_id, len - 7 AS n FROM d WHERE len >= 8),
-         |wins AS (SELECT doc_id, n, CAST(i.range AS INT) AS wi
-         |  FROM dn, range(1, 8192) i WHERE i.range <= greatest(1, n - 3)),
+         |wins AS (SELECT doc_id, n,
+         |    CAST(unnest(range(1, greatest(1, n - 3) + 1)) AS INT) AS wi
+         |  FROM dn),
          |wmin AS MATERIALIZED (SELECT w.doc_id, w.wi, min(g.fh) AS pick
          |  FROM wins w JOIN grams g ON g.doc_id = w.doc_id
          |    AND g.i BETWEEN w.wi AND w.wi + 3
@@ -5227,7 +5240,8 @@ object SparkEntry {
     // bits per document, and brute-forces all pairs at hamming <= 3
     // via |A| + |B| - 2|A∩B| (the q182 pattern in token space).
     "q27_simhash_pairs" ->
-      (s"""WITH toks AS (SELECT doc_id, unnest($TOKS) AS tok FROM documents),
+      (s"""WITH doc0 AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+          |toks AS (SELECT doc_id, unnest($TOKS) AS tok FROM doc0),
           |hv AS MATERIALIZED (SELECT doc_id,
           |    CAST('0x' || substr(md5(tok), 1, 16) AS UBIGINT) AS u FROM toks),
           |votes AS MATERIALIZED (SELECT doc_id, j.range AS j,
@@ -5236,7 +5250,7 @@ object SparkEntry {
           |  FROM hv, range(64) j GROUP BY 1, 2),
           |bits AS MATERIALIZED (SELECT doc_id, j AS k FROM votes WHERE c > 0),
           |cnts AS MATERIALIZED (SELECT d.doc_id, count(b.k) AS c
-          |  FROM documents d LEFT JOIN bits b USING (doc_id) GROUP BY 1),
+          |  FROM doc0 d LEFT JOIN bits b USING (doc_id) GROUP BY 1),
           |inter AS MATERIALIZED (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
           |    count(*) AS n
           |  FROM bits a JOIN bits b ON a.k = b.k AND a.doc_id < b.doc_id
@@ -5244,7 +5258,7 @@ object SparkEntry {
           |SELECT p.a_id, p.b_id,
           |  CAST(ca.c + cb.c - 2 * coalesce(i.n, 0) AS INT) AS hamming
           |FROM (SELECT a.doc_id AS a_id, b.doc_id AS b_id
-          |      FROM documents a JOIN documents b ON a.doc_id < b.doc_id) p
+          |      FROM doc0 a JOIN doc0 b ON a.doc_id < b.doc_id) p
           |LEFT JOIN inter i ON i.a_id = p.a_id AND i.b_id = p.b_id
           |JOIN cnts ca ON ca.doc_id = p.a_id
           |JOIN cnts cb ON cb.doc_id = p.b_id

@@ -1,6 +1,7 @@
 package graft.functions
 
-import org.apache.spark.sql.Column
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
@@ -181,9 +182,13 @@ private[graft] object UnigramKernel {
   * FROZEN vocab: every whitespace word Viterbi-segmented, counts and
   * integer costs summed. Row-local; zero exchanges at any corpus size.
   */
-case class UnigramStats(child: Expression, vocab: Map[String, Long],
+case class UnigramStats(child: Expression, vocabBc: Broadcast[Map[String, Long]],
                         maxPieceLen: Int)
     extends UnaryExpression with CodegenFallback {
+  // the expression tree ships only the broadcast HANDLE in each task
+  // binary; the vocab itself travels once per executor via the
+  // broadcast machinery (torrent blocks), not once per task
+  @transient private lazy val vocab: Map[String, Long] = vocabBc.value
   override def dataType: DataType = StructType(Seq(
     StructField("n_pieces", LongType, nullable = false),
     StructField("cost_units", LongType, nullable = false)))
@@ -203,9 +208,10 @@ case class UnigramStats(child: Expression, vocab: Map[String, Long],
 /** `unigram_pieces(text)` — the optimal piece sequence of every word,
   * flattened: the tokens face, and the E-step counting statistic (one
   * explode + count per EM round). */
-case class UnigramPieces(child: Expression, vocab: Map[String, Long],
+case class UnigramPieces(child: Expression, vocabBc: Broadcast[Map[String, Long]],
                          maxPieceLen: Int)
     extends UnaryExpression with CodegenFallback {
+  @transient private lazy val vocab: Map[String, Long] = vocabBc.value
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
 
   override def nullSafeEval(input: Any): Any = {
@@ -239,10 +245,18 @@ case class UnigramSeedSubstrings(child: Expression, maxPieceLen: Int)
 
 object UnigramFunctions {
   import ColumnBridge.{column, expression}
+
+  /** One broadcast per COLUMN CONSTRUCTION (one per query / EM round),
+    * referenced by handle from every task — never serialized into the
+    * expression tree itself. Stale round vocabs are reclaimed by the
+    * ContextCleaner once the round's plan is garbage. */
+  private def bcast(vocab: Map[String, Long]): Broadcast[Map[String, Long]] =
+    SparkSession.active.sparkContext.broadcast(vocab)
+
   def unigramStats(text: Column, vocab: Map[String, Long], maxPieceLen: Int): Column =
-    column(UnigramStats(expression(text), vocab, maxPieceLen))
+    column(UnigramStats(expression(text), bcast(vocab), maxPieceLen))
   def unigramPieces(text: Column, vocab: Map[String, Long], maxPieceLen: Int): Column =
-    column(UnigramPieces(expression(text), vocab, maxPieceLen))
+    column(UnigramPieces(expression(text), bcast(vocab), maxPieceLen))
   def unigramSeedSubstrings(text: Column, maxPieceLen: Int): Column =
     column(UnigramSeedSubstrings(expression(text), maxPieceLen))
 }

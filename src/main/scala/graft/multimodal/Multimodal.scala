@@ -389,6 +389,11 @@ object Multimodal {
       .distinct()
       .join(broadcast(bm), Seq("__hn"))
       .select(col("new_id"), col("old_id"), col("hamming"))
+      // a batch that carries the SAME (id, hash) row twice would
+      // otherwise emit its pairs twice after the membership re-join —
+      // dedup at output granularity (matched-pair scale, the same
+      // exchange bound as the pre-class-collapse implementation)
+      .distinct()
   }
 
   /** End-to-end media dedup — the [[graft.operators.Dedup.dedupCorpus]]
