@@ -2176,8 +2176,10 @@ object SparkEntry {
   /** Q179 — TPC-H Q5 (local supplier volume): revenue by nation for
     * ASIA-region customers served by same-nation suppliers in 1996 —
     * the classic six-table join. The region→nation→supplier dimension
-    * chain broadcasts; lineitem streams through one shuffle join with
-    * orders; revenue routes through DECIMAL(28,6).
+    * chain broadcasts (genuinely bounded); customer carries NO hint
+    * (fact-scaling — AQE size-picks its join); lineitem streams through
+    * one shuffle join with orders; revenue routes through
+    * DECIMAL(28,6).
     */
   def q179(s: SparkSession, d: String): DataFrame = {
     val lo = lit("1996-01-01 00:00:00").cast("timestamp")
@@ -2197,7 +2199,12 @@ object SparkEntry {
         col("l_extendedprice"), col("l_discount"))
       .join(ord, col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey") &&
+      // customer scales LINEARLY with the fact side (sf·150k rows): no
+      // broadcast HINT — AQE size-picks BHJ while it fits and falls back
+      // to a shuffle join at lake scale, where a forced driver-side
+      // broadcast of a growing table would OOM. Only genuinely bounded
+      // dims (nation/region/supplier chain) stay pinned.
+      .join(cust, col("o_custkey") === col("c_custkey") &&
         col("c_nationkey") === col("s_nationkey"))
       .groupBy(col("n_name"))
       .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
@@ -2217,9 +2224,11 @@ object SparkEntry {
 
   /** Q178 — TPC-H Q3 (shipping-priority revenue): top-10 unshipped
     * BUILDING-segment orders by discounted revenue as of 1995-03-15 —
-    * the classic 3-table join + aggregate + total-order cut, with the
-    * customer dimension broadcast and revenue routed through
-    * DECIMAL(28,6) before the rounded rank.
+    * the classic 3-table join + aggregate + total-order cut, with
+    * revenue routed through DECIMAL(28,6) before the rounded rank.
+    * The customer side carries NO broadcast hint (it scales with the
+    * fact side) — AQE size-picks the join strategy; PlanSpec gates
+    * that no fact-scaling table is ever hint-pinned.
     */
   def q178(s: SparkSession, d: String): DataFrame = {
     val cut = lit("1995-03-15 00:00:00").cast("timestamp")
@@ -2228,7 +2237,9 @@ object SparkEntry {
     val o = Tables.orders(s, d).filter(col("o_orderdate") < cut)
     val l = Tables.lineitem(s, d).filter(col("l_shipdate") > cut)
     l.join(o, l("l_orderkey") === o("o_orderkey"))
-      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      // customer is fact-scaling (sf·150k): no broadcast hint — AQE
+      // size-picks the strategy (BHJ at test SF, shuffle join at scale)
+      .join(c, o("o_custkey") === c("c_custkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
       .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
         .cast(org.apache.spark.sql.types.DecimalType(28, 6))).as("__r"))

@@ -598,20 +598,42 @@ class PlanSpec extends SparkSpec {
     assert(exchanges <= 3, s"decay plan should be ~1 keyed exchange (+AQE reads), got $exchanges:\n$p")
   }
 
-  test("q178: TPC-H Q3 broadcasts the customer dimension and pushes both date filters") {
+  test("q178: TPC-H Q3 pushes both date filters; top-10 is TakeOrdered") {
     val p = plan(SparkEntry.q178(spark, sf0001))
-    assert(p.contains("BroadcastHashJoin"), s"customer dim must broadcast:\n$p")
     assert(p.contains("PushedFilters: [IsNotNull(o_orderdate)") ||
       p.contains("LessThan(o_orderdate"), s"order-date filter not pushed:\n$p")
     assert(p.contains("TakeOrderedAndProject"),
       s"top-10 must be TakeOrdered, not a global sort:\n$p")
   }
 
-  test("q179: TPC-H Q5's dimension chain broadcasts — lineitem never sort-merge-joins a dim") {
+  test("q179: TPC-H Q5's bounded dimension chain broadcasts — lineitem never sort-merge-joins a dim") {
     val p = plan(SparkEntry.q179(spark, sf0001))
     val bhj = "BroadcastHashJoin".r.findAllIn(p).length
-    assert(bhj >= 3, s"supplier/customer/nation-region chains must broadcast, got $bhj:\n$p")
+    assert(bhj >= 3, s"supplier/nation-region chains must broadcast, got $bhj:\n$p")
     assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("no broadcast HINT ever pins a fact-scaling table (customer/orders/lineitem)") {
+    // a broadcast() hint disables AQE's size-based choice: fine for
+    // genuinely bounded dims (nation/region/supplier chain), an OOM at
+    // lake scale for tables that grow with the fact side. The gate
+    // walks every analyzed plan's ResolvedHint subtrees and rejects
+    // any whose leaves scan a fact-scaling parquet.
+    import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+    val factTables = Seq("customer.parquet", "orders.parquet", "lineitem.parquet")
+    for (q <- Seq(SparkEntry.q09 _, SparkEntry.q38 _, SparkEntry.q48 _,
+        SparkEntry.q98 _, SparkEntry.q178 _, SparkEntry.q179 _,
+        SparkEntry.q180 _, SparkEntry.q181 _)) {
+      val analyzed = q(spark, sf0001).queryExecution.analyzed
+      analyzed.foreach {
+        case h: ResolvedHint =>
+          val leaves = h.child.collectLeaves().map(_.toString.toLowerCase)
+          val pinned = leaves.filter(l => factTables.exists(l.contains))
+          assert(pinned.isEmpty,
+            s"broadcast hint pinned a fact-scaling table:\n${pinned.mkString("\n")}")
+        case _ =>
+      }
+    }
   }
 
   test("q180: TPC-H Q18's qualifying keys enter as a semi-join; top-100 is TakeOrdered") {
