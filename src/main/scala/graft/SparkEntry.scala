@@ -1814,6 +1814,22 @@ object SparkEntry {
     Multimodal.hammingNearDupPairs(hashes, "doc_id", "ahash", maxHamming = 3)
   }
 
+  /** The q186/q189 dense per-type index: `(event_type, idx, v)` with
+    * `idx` = 1-based position of each event within its type by
+    * event_id. Derived via [[graft.operators.Ranks.perKeyRank]] — the
+    * two-level range-partitioned rank — NOT a
+    * `row_number() OVER (PARTITION BY event_type ...)` window:
+    * event_type has ~5 values, so the keyed window would sort N/5 rows
+    * in ONE task per key at any scale; the two-level shape spreads
+    * every hot key across the range split (PlanSpec gates it).
+    */
+  private def ssdBase(s: SparkSession, d: String): DataFrame =
+    graft.operators.Ranks.perKeyRank(
+      ev(s, d).filter(col("value").isNotNull && !isnan(col("value")))
+        .select(col("event_type"), col("event_id"),
+          col("value").cast("double").as("v")),
+      Seq("event_type"), Seq(col("event_id")), outCol = "idx")
+
   /** Q186 — subsequence similarity search
     * ([[graft.operators.TimeSeries.ssdTopK]]): the 20 length-8 windows
     * across all per-type value sequences closest (sum of squared
@@ -1825,15 +1841,9 @@ object SparkEntry {
     * over `row_number` sequences.
     */
   def q186(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val sp = s
     import sp.implicits._
-    val base = ev(s, d)
-      .filter(col("value").isNotNull && !isnan(col("value")))
-      .select(col("event_type"), col("event_id"),
-        col("value").cast("double").as("v"))
-      .withColumn("idx", row_number().over(
-        Window.partitionBy(col("event_type")).orderBy(col("event_id"))))
+    val base = ssdBase(s, d)
     val probeType = base.agg(min(col("event_type"))).head().getString(0)
     val probe = base
       .filter(col("event_type") === probeType && col("idx") <= 8)
@@ -1859,15 +1869,9 @@ object SparkEntry {
     * just spec-pinned.
     */
   def q189(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val sp = s
     import sp.implicits._
-    val base = ev(s, d)
-      .filter(col("value").isNotNull && !isnan(col("value")))
-      .select(col("event_type"), col("event_id"),
-        col("value").cast("double").as("v"))
-      .withColumn("idx", row_number().over(
-        Window.partitionBy(col("event_type")).orderBy(col("event_id"))))
+    val base = ssdBase(s, d)
     val probeType = base.agg(min(col("event_type"))).head().getString(0)
     val probe = base
       .filter(col("event_type") === probeType &&

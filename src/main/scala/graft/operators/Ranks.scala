@@ -75,6 +75,50 @@ object Ranks {
       .drop("__part", "__poff")
   }
 
+  /** Per-KEY dense rank without a per-key window task — the
+    * [[globalRank]] two-level decomposition applied under a partition
+    * key: `row_number() OVER (PARTITION BY keys ORDER BY order)` where
+    * the key has FEW (or skewed) values would serialize each key's
+    * whole stream through one task. Here:
+    *
+    *   1. range-repartition on `(keys, order)` — each physical
+    *      partition holds a contiguous slice of some key's order, and a
+    *      hot key SPANS many partitions instead of owning one task;
+    *   2. count rows per `(key, __part)`; exclusive-cumsum the counts
+    *      with a window partitioned by key over the partition list —
+    *      ≤ keys + numPartitions rows, metadata not data;
+    *   3. broadcast the offsets back; `row_number()` within
+    *      `(key, __part)` (bounded by the range split) plus the key's
+    *      offset at that partition is the exact per-key rank.
+    *
+    * `order` must be total WITHIN each key (include a tiebreaker).
+    * The ranged frame persists for the same boundary-stability reason
+    * as [[globalRank]]: offsets and data must read ONE sampled range
+    * split.
+    */
+  def perKeyRank(df: DataFrame, keyCols: Seq[String], order: Seq[Column],
+                 outCol: String = "rank", numPartitions: Int = 0): DataFrame = {
+    require(keyCols.nonEmpty, "perKeyRank needs at least one key column")
+    require(order.nonEmpty, "perKeyRank needs at least one order column")
+    val parts = if (numPartitions > 0) numPartitions
+      else df.sparkSession.sparkContext.defaultParallelism
+    val keys = keyCols.map(col)
+    val ranged = df.repartitionByRange(parts, (keys ++ order): _*)
+      .withColumn("__part", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val counts = ranged.groupBy(keys :+ col("__part"): _*)
+      .agg(count(lit(1)).as("__cnt"))
+    val wMeta = Window.partitionBy(keys: _*).orderBy(col("__part"))
+    val offsets = counts
+      .withColumn("__poff", coalesce(sum(col("__cnt"))
+        .over(wMeta.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .drop("__cnt")
+    val wLocal = Window.partitionBy(keys :+ col("__part"): _*).orderBy(order: _*)
+    ranged.join(broadcast(offsets), keyCols :+ "__part")
+      .withColumn(outCol, col("__poff") + row_number().over(wLocal))
+      .drop("__part", "__poff")
+  }
+
   /** SQL `NTILE(k) OVER (ORDER BY order)` — exactly, including the
     * first-`n mod k`-buckets-get-the-extra-row fill rule and tie
     * placement (the order is total) — as rank arithmetic over

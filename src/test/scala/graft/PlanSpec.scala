@@ -661,6 +661,14 @@ class PlanSpec extends SparkSpec {
     assert(!p186.contains("CartesianProduct"), p186)
     assert(p186.contains("TakeOrderedAndProject"),
       s"top-20 must be TakeOrdered, not a global sort:\n$p186")
+    // the dense index must come from the two-level per-key rank: every
+    // window either carries the __part range-split key (data scale,
+    // bounded per task) or is the metadata cumsum over the (key, part)
+    // counts (__cnt input) — a bare PARTITION BY event_type window
+    // would serialize each ~5-value key through one task
+    val windows = "Window \\[[^\\n]*".r.findAllIn(p186).toSeq
+    assert(windows.forall(w => w.contains("__part") || w.contains("__cnt")),
+      s"q186 index window is single-task per key:\n${windows.mkString("\n")}")
   }
 
   test("q187: media dedup pipeline — no cartesian anywhere, pixels stay in their decode stage") {

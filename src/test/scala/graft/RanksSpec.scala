@@ -73,4 +73,49 @@ class RanksSpec extends SparkSpec {
       .select(col("rk")).collect().map(_.getLong(0)).sorted
     assert(rks.toSeq === (1L to 257L))
   }
+
+  private def keyed(n: Int, keys: Int) = {
+    val s = spark
+    import s.implicits._
+    // FEW hot keys — exactly the regime where a keyed window serializes
+    (1 to n).map(i => (s"k${i % keys}", i.toLong, (i % 13).toDouble))
+      .toDF("k", "id", "v").repartition(8)
+  }
+
+  test("perKeyRank matches row_number() OVER (PARTITION BY key) on a 3-hot-key stream") {
+    val df = keyed(1201, keys = 3)
+    val order = Seq(col("v").desc, col("id").asc)
+    val got = Ranks.perKeyRank(df, Seq("k"), order, outCol = "rk", numPartitions = 7)
+      .select(col("k"), col("id"), col("rk")).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val want = df.withColumn("rk", row_number().over(
+        Window.partitionBy(col("k")).orderBy(order: _*)).cast("long"))
+      .select(col("k"), col("id"), col("rk")).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got === want)
+  }
+
+  test("perKeyRank: each key's ranks are a dense 1..n_k permutation under adversarial splits") {
+    val df = keyed(509, keys = 2)
+    val byKey = Ranks.perKeyRank(df, Seq("k"), Seq(col("id").asc), outCol = "rk",
+        numPartitions = 11)
+      .select(col("k"), col("rk")).collect()
+      .groupBy(_.getString(0)).view.mapValues(_.map(_.getLong(1)).sorted.toSeq).toMap
+    byKey.foreach { case (k, rks) =>
+      assert(rks === (1L to rks.length.toLong), s"key $k ranks not dense: $rks")
+    }
+  }
+
+  test("perKeyRank plans no single-task key window: data windows carry __part") {
+    val df = keyed(503, keys = 2)
+    val p = Ranks.perKeyRank(df, Seq("k"), Seq(col("id").asc), outCol = "rk")
+      .queryExecution.executedPlan.toString
+    val windows = "Window \\[[^\\n]*".r.findAllIn(p).toSeq
+    // the data-scale window must partition by (k, __part); the only
+    // window WITHOUT __part is the metadata cumsum over (key, part)
+    // counts, identified by its __cnt input
+    assert(windows.nonEmpty, s"expected windows in:\n$p")
+    assert(windows.forall(w => w.contains("__part") || w.contains("__cnt")),
+      s"found a per-key window not bounded by the range split:\n$p")
+  }
 }
