@@ -56,6 +56,30 @@ object SsdPaaBench {
       s""""segments":$segments,"exact_fanout_rows":${nRows * l},""" +
       s""""propose_fanout_rows":${nWindows * segments},""" +
       s""""exact_sec":$exactSec,"paa_sec":$paaSec}""")
+
+    // ---- hot-key regime: the SAME total rows concentrated in ONE key.
+    // Before round 13 the propose phase ran a Window.partitionBy(key)
+    // prefix sum — one task owning the whole series here; the
+    // block-local propose bounds every task by B regardless of key
+    // cardinality, so this config must cost about the same as the
+    // many-key one rather than serializing.
+    val hotN = keys * perKey
+    val hotSeries = (1 to hotN).map(i => ("hot", i.toLong, v(0, i)))
+      .toDF("key", "idx", "v").repartition(32).persist()
+    hotSeries.count()
+    val hotProbe = Array.tabulate(l)(j => v(0, j + 1000))
+    def hotExact(): DataFrame = graft.operators.TimeSeries.ssdTopK(
+      hotSeries, "key", "idx", "v", hotProbe, k = 20)
+    def hotPaa(): DataFrame = graft.operators.TimeSeries.ssdTopKPaa(
+      hotSeries, "key", "idx", "v", hotProbe, k = 20, segments = segments)
+    val ha = hotExact().collect().toSeq
+    val hb = hotPaa().collect().toSeq
+    require(ha == hb, s"hot-key PAA diverged from exact: $hb vs $ha")
+    val hotExactSec = time(hotExact _)
+    val hotPaaSec = time(hotPaa _)
+    println(s"""{"metric":"ssd_paa_hotkey","rows":$hotN,"keys":1,""" +
+      s""""l":$l,"segments":$segments,""" +
+      s""""exact_sec":$hotExactSec,"paa_sec":$hotPaaSec}""")
     spark.stop()
   }
 }

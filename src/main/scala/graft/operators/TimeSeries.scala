@@ -310,15 +310,19 @@ object TimeSeries {
     * verify, returning the IDENTICAL top-k (same rows, same order) for
     * a fraction of the fan-out. Three phases:
     *
-    *  1. PROPOSE: ONE keyed window pass — a prefix sum plus
-    *     `segments` fixed-offset `lead`s (denseness makes row offset ≡
-    *     index offset) yields every window's `segments`-piece PAA
-    *     map-side, so the lower bound
+    *  1. PROPOSE: block-local prefix sums — the sequence blocks on
+    *     `⌊(idx−1)/B⌋` (B ≥ L), each block's running sums come from a
+    *     (key, block) window bounded by B rows, and each block joins
+    *     its successor; a window spans ≤ 2 blocks, so every segment
+    *     boundary's cumulative sum is an array lookup in the pair
+    *     (the global carry cancels in the segment differences — no
+    *     bucket-carry window, no per-key pass, tasks bounded by B at
+    *     ANY key cardinality or series length). The lower bound
     *     `LB(w) = (L/S)·Σ_s (paa_w(s) − paa_probe(s))² ≤ SSD(w)`
     *     (Keogh et al.'s PAA lower-bounding lemma) costs O(rows · S)
-    *     arithmetic after the per-key sort — no join, no row fan-out —
-    *     versus the exact path's rows × L join rows (L/S = 32× fewer
-    *     value touches at L = 512, S = 16; BASELINE.md `ssd_paa`).
+    *     arithmetic — no row fan-out — versus the exact path's
+    *     rows × L join rows (L/S = 32× fewer value touches at
+    *     L = 512, S = 16; BASELINE.md `ssd_paa`).
     *  2. SEED: the `seedFactor·k` windows with smallest LB are scored
     *     exactly (windows are metadata-scale, so their rows re-enter
     *     through a broadcast range join); the k-th smallest exact SSD
@@ -399,28 +403,67 @@ object TimeSeries {
         .select(col(keyCol), col("start_idx"),
           NumFunctions.roundNz(col("__ssd").cast("double"), 6).as("ssd_r"))
     }
-    // phase 1: per-window PAA lower bound from ONE keyed window pass —
-    // prefix sum + S fixed-offset leads (denseness makes row offset ≡
-    // index offset), so propose is entirely map-side after the per-key
-    // sort: no join, no extra shuffle, and window completeness is just
-    // "the farthest lead exists"
-    val wk = Window.partitionBy(col(keyCol)).orderBy(col("__idx"))
+    // phase 1 (PROPOSE): per-window PAA lower bounds with NO per-key
+    // pass anywhere — a `Window.partitionBy(key)` prefix sum would
+    // serialize each key's whole stream through one task (fatal for
+    // few-hot-key series: exactly q189's 5 event types). Instead the
+    // sequence blocks on __b = ⌊(idx−1)/B⌋ with B ≥ L: block-LOCAL
+    // prefix sums come from a (key, block) window bounded by B rows,
+    // each block joins its successor, and since a window [start,
+    // start+L) spans at most TWO blocks, every segment boundary's
+    // cumulative sum is an array lookup in the pair. Block-local cums
+    // difference exactly like global ones — the global carry CANCELS
+    // in c_s − c_{s−1}; only the cross-block step adds the block
+    // total, which rides as a column. No bucket-carry window over
+    // block totals is needed at all, so no phase is serial in a hot
+    // key's length: tasks are bounded by B at any key cardinality.
+    // The LB arithmetic per start is still O(S) lookups, computed
+    // inside a transform() over the block array so the pair arrays
+    // never replicate per exploded row.
     val probePaa = probe.grouped(segLen).map(s => s.sum / segLen).toSeq
-    val withCum = base.withColumn("__cum",
-      sum(col("__v")).over(wk.rowsBetween(Window.unboundedPreceding,
-        Window.currentRow)))
-    val cumCols = (col("__cum") - col("__v")).as("__c0") +:
-      (1 to segments).map(s =>
-        lead(col("__cum"), s * segLen - 1).over(wk).as(s"__c$s"))
-    val lbExpr = (1 to segments).map { s =>
-      val d = (col(s"__c$s") - col(s"__c${s - 1}")) / segLen -
-        lit(probePaa(s - 1))
-      d * d
-    }.reduce(_ + _) * segLen
-    val lbTbl = withCum
-      .select(col(keyCol) +: col("__idx").as("start_idx") +: cumCols: _*)
-      .filter(col(s"__c$segments").isNotNull)
-      .select(col(keyCol), col("start_idx"), lbExpr.as("__lb"))
+    val bSize = math.max(l, 256).toLong
+    val withB = base.withColumn("__b",
+      ((col("__idx") - 1) - pmod(col("__idx") - 1, lit(bSize))) / bSize)
+    val wb = Window.partitionBy(col(keyCol), col("__b")).orderBy(col("__idx"))
+    val blocks = withB
+      .withColumn("__bc", sum(col("__v")).over(
+        wb.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(keyCol), col("__b"))
+      .agg(sort_array(collect_list(struct(col("__idx"), col("__v"),
+        col("__bc")))).as("__arr"),
+        sum(col("__v")).as("__bsum"))
+    val nxt = blocks.select(col(keyCol).as("__k2"),
+      (col("__b") - 1).as("__b2"), col("__arr").as("__arr2"))
+    val joined = blocks.join(nxt,
+      col(keyCol) === col("__k2") && col("__b") === col("__b2"), "left")
+    val lbStructs = transform(col("__arr"), e => {
+      val start = e.getField("__idx")
+      // inclusive block-local cum through idx t: in-block when t lands
+      // within this block's index range (denseness makes the offset
+      // arithmetic exact; a tail block shorter than B yields null via
+      // try_element_at, which IS the incomplete-window filter), else
+      // this block's total plus the successor's local cum
+      def cAt(s: Int): Column = {
+        val t = start - 1 + s * segLen
+        when(t <= (col("__b") + 1) * bSize,
+          try_element_at(col("__arr"),
+            (t - col("__b") * bSize).cast("int")).getField("__bc"))
+        .otherwise(col("__bsum") + try_element_at(col("__arr2"),
+            (t - (col("__b") + 1) * bSize).cast("int")).getField("__bc"))
+      }
+      val cs = (0 to segments).map(s =>
+        if (s == 0) e.getField("__bc") - e.getField("__v") else cAt(s))
+      val lb = (1 to segments).map { s =>
+        val d = (cs(s) - cs(s - 1)) / segLen - lit(probePaa(s - 1))
+        d * d
+      }.reduce(_ + _) * segLen
+      struct(start.as("start_idx"), lb.as("lb"))
+    })
+    val lbTbl = joined
+      .select(col(keyCol), explode(lbStructs).as("__e"))
+      .select(col(keyCol), col("__e.start_idx").as("start_idx"),
+        col("__e.lb").as("__lb"))
+      .filter(col("__lb").isNotNull)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // phase 2: exact-score the best-LB seeds, τ = k-th smallest
     val seeds = lbTbl.orderBy(col("__lb").asc, col(keyCol).asc,

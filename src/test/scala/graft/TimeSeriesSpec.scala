@@ -128,6 +128,30 @@ class TimeSeriesSpec extends SparkSpec {
     assert(paa === exact)
   }
 
+  test("ssdTopKPaa: ONE hot key spanning many blocks — cross-block lookups exact, prune path taken") {
+    // 1 key × 1200 dense points with B = 256 → 5 blocks: every window
+    // whose start sits in a block's last L−1 positions resolves its
+    // later segment boundaries through the SUCCESSOR block's array
+    // (the __bsum + __arr2 branch), and the probe is planted at
+    // idx 601 so the best window itself straddles blocks 2 and 3.
+    // The ramp makes PAA prune hard (segment means grow away from the
+    // probe), so this exercises the propose path, not the fallback —
+    // and the single hot key is exactly the regime where the old
+    // per-key window pass was serial.
+    def v(i: Int): Double = i * 0.1 + (i % 7) * 0.01
+    val series = (1 to 1200).map(i => ("hot", i.toLong, v(i)))
+      .toDF("key", "idx", "v").repartition(8)
+    val probe = Array.tabulate(64)(j => v(601 + j))
+    val exact = graft.operators.TimeSeries.ssdTopK(
+      series, "key", "idx", "v", probe, k = 12)
+      .as[(String, Long, Double)].collect().toSeq
+    val paa = graft.operators.TimeSeries.ssdTopKPaa(
+      series, "key", "idx", "v", probe, k = 12, segments = 16)
+      .as[(String, Long, Double)].collect().toSeq
+    assert(paa === exact)
+    assert(exact.head === (("hot", 601L, 0.0)))
+  }
+
   test("ssdTopKPaa: noise collapse (LB prunes nothing) takes the exact fallback losslessly") {
     // hash-noise values: every window's segment means sit near the
     // global mean, so the PAA lower bound is tiny for ALL windows
