@@ -421,43 +421,50 @@ object TimeSeries {
     // inside a transform() over the block array so the pair arrays
     // never replicate per exploded row.
     val probePaa = probe.grouped(segLen).map(s => s.sum / segLen).toSeq
-    val bSize = math.max(l, 256).toLong
+    val bSize = math.max(l, 1024).toLong
     val withB = base.withColumn("__b",
-      ((col("__idx") - 1) - pmod(col("__idx") - 1, lit(bSize))) / bSize)
+      (((col("__idx") - 1) - pmod(col("__idx") - 1, lit(bSize))) / bSize)
+        .cast("long"))
     val wb = Window.partitionBy(col(keyCol), col("__b")).orderBy(col("__idx"))
+    // one primitive double array per block: __arr(p) = Σ v over the
+    // block's first p values (inclusive block-local cum at position p)
     val blocks = withB
       .withColumn("__bc", sum(col("__v")).over(
         wb.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .groupBy(col(keyCol), col("__b"))
-      .agg(sort_array(collect_list(struct(col("__idx"), col("__v"),
-        col("__bc")))).as("__arr"),
-        sum(col("__v")).as("__bsum"))
+      .agg(transform(sort_array(collect_list(struct(col("__idx"),
+        col("__bc")))), e => e.getField("__bc")).as("__arr"))
     val nxt = blocks.select(col(keyCol).as("__k2"),
       (col("__b") - 1).as("__b2"), col("__arr").as("__arr2"))
     val joined = blocks.join(nxt,
       col(keyCol) === col("__k2") && col("__b") === col("__b2"), "left")
-    val lbStructs = transform(col("__arr"), e => {
-      val start = e.getField("__idx")
-      // inclusive block-local cum through idx t: in-block when t lands
-      // within this block's index range (denseness makes the offset
-      // arithmetic exact; a tail block shorter than B yields null via
-      // try_element_at, which IS the incomplete-window filter), else
+    // a block needing cross-block lookups is necessarily FULL (blocks
+    // are dense, only the last block of a key is short and it has no
+    // successor), so its total is element B of its own cum array; the
+    // try_ guard keeps the short-tail case null-propagating instead of
+    // ANSI-throwing on the dead branch
+    val bTot = try_element_at(col("__arr"), lit(bSize.toInt))
+    val lbStructs = transform(sequence(lit(1), size(col("__arr"))), p => {
+      // inclusive block-local cum at in-block position tp = p−1+s·S:
+      // in this block's array when tp ≤ B (a tail block shorter than
+      // B yields null via try_element_at, which IS the incomplete-
+      // window filter — as is a missing successor, arr2 = null), else
       // this block's total plus the successor's local cum
       def cAt(s: Int): Column = {
-        val t = start - 1 + s * segLen
-        when(t <= (col("__b") + 1) * bSize,
-          try_element_at(col("__arr"),
-            (t - col("__b") * bSize).cast("int")).getField("__bc"))
-        .otherwise(col("__bsum") + try_element_at(col("__arr2"),
-            (t - (col("__b") + 1) * bSize).cast("int")).getField("__bc"))
+        val tp = p - 1 + s * segLen
+        when(tp <= bSize, try_element_at(col("__arr"), tp.cast("int")))
+          .otherwise(bTot +
+            try_element_at(col("__arr2"), (tp - bSize).cast("int")))
       }
       val cs = (0 to segments).map(s =>
-        if (s == 0) e.getField("__bc") - e.getField("__v") else cAt(s))
+        if (s == 0) when(p === 1, lit(0.0))
+          .otherwise(element_at(col("__arr"), (p - 1).cast("int")))
+        else cAt(s))
       val lb = (1 to segments).map { s =>
         val d = (cs(s) - cs(s - 1)) / segLen - lit(probePaa(s - 1))
         d * d
       }.reduce(_ + _) * segLen
-      struct(start.as("start_idx"), lb.as("lb"))
+      struct((col("__b") * bSize + p).as("start_idx"), lb.as("lb"))
     })
     val lbTbl = joined
       .select(col(keyCol), explode(lbStructs).as("__e"))
