@@ -87,10 +87,14 @@ object EventOps {
     old.unionByName(fresh, allowMissingColumns = true)
 
   /** Dimension enrichment — the "enrich" half of the pipeline's
-    * clean/enrich contract: left-join a (small, broadcast) dimension
-    * table onto the event stream. Works identically on micro-batches
-    * inside `foreachBatch` (stream-static join) and in batch queries.
+    * clean/enrich contract: left-join a dimension table onto the event
+    * stream. Works identically on micro-batches inside `foreachBatch`
+    * (stream-static join) and in batch queries. No broadcast hint:
+    * callers pass dims of unknown scale (q38's is customer, which
+    * grows WITH the fact side), and a forced hint would both pin a
+    * driver OOM at lake scale and disable AQE's size-based choice —
+    * AQE broadcasts automatically while the dim fits.
     */
   def enrich(events: DataFrame, dim: DataFrame, joinCols: Seq[String]): DataFrame =
-    events.join(broadcast(dim), joinCols, "left")
+    events.join(dim, joinCols, "left")
 }
