@@ -215,17 +215,26 @@ object SparkEntry {
       ceil(octet_length(col("text")).cast("double") / 256.0d).cast("long").as("n_chunks"),
       md5(col("text")).as("fp"))
 
-  // ---- rows-only (non-SQL-expressible) ---------------------------------
+  // ---- hash/sketch replays and accuracy-contract queries ---------------
 
-  /** Q26 — ANN top-k via random-hyperplane LSH (approximate: no oracle;
-    * recall vs exact asserted in AnnSpec).
+  /** Q26 — ANN top-k via random-hyperplane LSH in PORTABLE-plane mode
+    * ([[graft.operators.Similarity.annTopKCosine]] with Rademacher ±1
+    * planes drawn from MD5 low bits): identical bucketing, candidate
+    * join, and exact cosine re-rank as the production Gaussian mode
+    * (whose recall SimilaritySpec pins), but every plane entry replays
+    * in DuckDB — so the oracle rebuilds all 8 tables' 8-bit signatures
+    * with `list_dot_product` against the same ±1 lists, joins buckets,
+    * and re-ranks candidates with the same rounded cosine. A plane-gen
+    * bug, a bucket-join bug, or a re-rank ordering divergence all
+    * hash-fail. The approximation is thus oracle-CHECKED, not merely
+    * recall-pinned: both engines agree on the exact candidate set.
     */
   def q26(s: SparkSession, d: String): DataFrame = {
     val e = emb(s, d)
     // 8-bit signatures: the fixture embeddings are near-uniform (no real
     // clusters), so shorter signatures keep candidate sets non-degenerate.
     Similarity.annTopKCosine(e, e.filter(col("vec_id") < 5), "vec_id", "embedding", 10,
-      bits = 8, tables = 8)
+      bits = 8, tables = 8, portablePlanes = true)
   }
 
   /** Q27 — SimHash near-dup pairs in PORTABLE-hash mode
@@ -2833,9 +2842,16 @@ object SparkEntry {
     * ([[graft.operators.Similarity.topKCosine]]) — the
     * decode → featurize → similarity-search composition a multimodal
     * pipeline runs, partition-wise kernels plus the broadcast-probe
-    * ranking, no shuffle before the bounded-heap top-k. Codec-derived
-    * feature: no SQL oracle; MultimodalSpec pins the histogram AND the
-    * ranking arithmetically from the planted luma values.
+    * ranking, no shuffle before the bounded-heap top-k. EXACT oracle
+    * (the q182/q184 replay discipline composed): every frame's uniform
+    * luma is planted arithmetic ((n + 7k) % 256), so the decoded
+    * histogram is pure integer counting — bin m·w·h over total F·w·h,
+    * and the w·h factors cancel EXACTLY under IEEE division (both are
+    * the correctly-rounded quotient of the same real number) — and the
+    * cosine re-rank replays through `list_cosine_similarity` with the
+    * same float→double widening. A codec bug, a histogram bug, or a
+    * ranking divergence all hash-fail; MultimodalSpec additionally
+    * pins the histogram against hand-computed values.
     */
   def q106(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -4476,6 +4492,34 @@ object SparkEntry {
           |  CAST(inter AS DOUBLE) / (tot - inter) AS jac
           |FROM pairs WHERE (tot - inter) > 0 AND inter * 10 >= (tot - inter) * 7
           |""".stripMargin),
+    // q106: the decoded per-frame uniform lumas are planted arithmetic,
+    // so the 64-bin histogram replays as integer frame counting — each
+    // frame adds w·h to bin ((n+7k)%256)>>2, and the w·h factors cancel
+    // EXACTLY in the normalization (same real quotient → same IEEE
+    // double); the float squeeze and the cosine re-rank replay through
+    // CAST(… AS REAL) and list_cosine_similarity.
+    "q106_media_topk" ->
+      ("""WITH d AS (SELECT doc_id, strlen(text) AS n FROM documents
+         |  WHERE text IS NOT NULL),
+         |fr AS (SELECT doc_id, ((n + k.range * 7) % 256) // 4 AS bin
+         |  FROM d, range(6) k WHERE k.range <= n % 6),
+         |bins AS (SELECT doc_id, bin, count(*) AS m FROM fr GROUP BY 1, 2),
+         |vecs AS (SELECT d.doc_id,
+         |    list(CAST(CAST(CAST(coalesce(b2.m, 0) AS DOUBLE) / (d.n % 6 + 1)
+         |      AS REAL) AS DOUBLE) ORDER BY bb.range) AS v
+         |  FROM d CROSS JOIN range(64) bb
+         |  LEFT JOIN bins b2 ON b2.doc_id = d.doc_id AND b2.bin = bb.range
+         |  GROUP BY 1),
+         |sc AS (SELECT p.doc_id AS probe_id, c.doc_id AS vec_id,
+         |    list_cosine_similarity(c.v, p.v) AS sim
+         |  FROM vecs p JOIN vecs c ON c.doc_id <> p.doc_id
+         |  WHERE p.doc_id < 5)
+         |SELECT probe_id, vec_id,
+         |  CAST(row_number() OVER (PARTITION BY probe_id
+         |    ORDER BY sim DESC, vec_id) AS BIGINT) AS rk,
+         |  round(sim, 4) + 0 AS sim_r
+         |FROM sc QUALIFY rk <= 5
+         |""".stripMargin),
     "q107_vocab_coverage" ->
       (s"""WITH tk AS (SELECT unnest($TOKS_LOWER) AS token FROM documents),
           |c AS (SELECT token, count(*) AS cnt FROM tk GROUP BY 1),
@@ -5249,6 +5293,42 @@ object SparkEntry {
          |SELECT d.doc_id, CAST(coalesce(a.n_fp, 0) AS BIGINT) AS n_fp,
          |  CAST(a.fp_min AS BIGINT) AS fp_min
          |FROM d LEFT JOIN agg a USING (doc_id)
+         |""".stripMargin),
+    // q26: the portable ±1 planes replay directly — DuckDB rebuilds
+    // every (table, bit) plane from the same MD5 low bit, packs the 8
+    // sign bits per table with the same sequential dot product
+    // (list_dot_product over the ordered ±1 list ≡ the expression's
+    // accumulation loop), joins buckets, and re-ranks the IDENTICAL
+    // candidate set with the rounded exact cosine.
+    "q26_ann_topk" ->
+      ("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |  FROM embeddings),
+         |dims AS (SELECT unnest(range(len(e0.embedding))) AS i
+         |  FROM (SELECT embedding FROM embeddings LIMIT 1) e0),
+         |pl AS MATERIALIZED (SELECT t.range AS t, b.range AS b,
+         |    list(CASE WHEN CAST('0x' || substr(md5(
+         |          (42 + t.range) || ':' || b.range || ':' || dims.i),
+         |        16, 1) AS INT) & 1 = 1
+         |      THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END
+         |      ORDER BY dims.i) AS p
+         |  FROM range(8) t, range(8) b, dims
+         |  GROUP BY 1, 2),
+         |sg AS MATERIALIZED (SELECT e.vec_id, pl.t,
+         |    sum(CASE WHEN list_dot_product(e.v, pl.p) >= 0
+         |        THEN 1 << pl.b ELSE 0 END) AS sig
+         |  FROM e, pl GROUP BY 1, 2),
+         |cand AS (SELECT DISTINCT p.vec_id AS probe_id, c.vec_id
+         |  FROM sg p JOIN sg c ON p.t = c.t AND p.sig = c.sig
+         |  WHERE p.vec_id < 5 AND c.vec_id <> p.vec_id),
+         |sc AS (SELECT cand.probe_id, cand.vec_id,
+         |    list_cosine_similarity(ce.v, pe.v) AS sim
+         |  FROM cand JOIN e pe ON pe.vec_id = cand.probe_id
+         |  JOIN e ce ON ce.vec_id = cand.vec_id)
+         |SELECT probe_id, vec_id,
+         |  CAST(row_number() OVER (PARTITION BY probe_id
+         |    ORDER BY sim DESC, vec_id) AS BIGINT) AS rk,
+         |  round(sim, 4) + 0 AS sim_r
+         |FROM sc QUALIFY rk <= 10
          |""".stripMargin),
     // q27: the portable MD5 token hash replays directly — DuckDB
     // parses each token's md5 prefix as a u64, rebuilds the 64 voting

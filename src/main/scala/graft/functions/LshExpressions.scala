@@ -14,8 +14,19 @@ import org.apache.spark.sql.types._
   * Hyperplanes are generated lazily per observed input dimension from
   * java.util.Random(seed ⊕ dim) — the JDK specifies the generator
   * algorithm, so buckets are identical on every executor/JVM.
+  *
+  * `portable = true` swaps the Gaussian entries for Rademacher ±1
+  * drawn from the low bit of MD5(`"seed:bit:dim-index"`) — sign random
+  * projection with ±1 entries is the same Charikar family (Achlioptas,
+  * JCSS 2003 shows ±1 projections preserve the geometry), and unlike
+  * `nextGaussian()` (a rejection loop) the construction replays in
+  * plain SQL, so an oracle can rebuild every bucket bit-for-bit
+  * (`SparkEntry.q26`'s DuckDB twin does exactly that). Production
+  * callers keep the Gaussian default; recall of both modes is pinned
+  * in SimilaritySpec.
   */
-case class RandomHyperplaneSignature(child: Expression, bits: Int, seed: Long)
+case class RandomHyperplaneSignature(child: Expression, bits: Int, seed: Long,
+                                     portable: Boolean = false)
     extends UnaryExpression with CodegenFallback {
   require(bits >= 1 && bits <= 64, "bits must be in [1, 64]")
 
@@ -30,8 +41,21 @@ case class RandomHyperplaneSignature(child: Expression, bits: Int, seed: Long)
 
   private def planes(dim: Int): Array[Double] =
     planeCache.computeIfAbsent(dim, d => {
-      val rnd = new java.util.Random(seed ^ (d.toLong * 0x9E3779B97F4A7C15L))
-      Array.fill(bits * d)(rnd.nextGaussian())
+      if (portable) {
+        val md = java.security.MessageDigest.getInstance("MD5")
+        Array.tabulate(bits * d) { j =>
+          val b = j / d
+          val i = j % d
+          val h = md.digest(s"$seed:$b:$i"
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          // low bit of the first 8 big-endian bytes = low bit of byte 7
+          // = parity of the 16th hex digit — what the oracle replays
+          if ((h(7) & 1) == 1) 1.0 else -1.0
+        }
+      } else {
+        val rnd = new java.util.Random(seed ^ (d.toLong * 0x9E3779B97F4A7C15L))
+        Array.fill(bits * d)(rnd.nextGaussian())
+      }
     })
 
   override def nullSafeEval(input: Any): Any = {

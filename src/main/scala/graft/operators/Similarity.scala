@@ -324,14 +324,16 @@ object Similarity {
     */
   def annTopKCosine(corpus: DataFrame, probes: DataFrame, idCol: String,
                     vecCol: String, k: Int, bits: Int = 12, tables: Int = 8,
-                    seed: Long = 42L, maxProbes: Int = 100000): DataFrame = {
+                    seed: Long = 42L, maxProbes: Int = 100000,
+                    portablePlanes: Boolean = false): DataFrame = {
     requireSmallProbes(probes, maxProbes, "annTopKCosine")
     def withBuckets(df: DataFrame, id: String, vec: String): DataFrame =
       df.select(col(id), col(vec),
         explode(array((0 until tables).map { t =>
           struct(lit(t).as("t"),
             ColumnBridge.column(RandomHyperplaneSignature(
-              ColumnBridge.expression(col(vec)), bits, seed + t)).as("sig"))
+              ColumnBridge.expression(col(vec)), bits, seed + t,
+              portablePlanes)).as("sig"))
         }: _*)).as("bucket"))
 
     val cb = withBuckets(spreadIfNarrow(

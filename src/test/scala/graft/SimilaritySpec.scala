@@ -69,6 +69,28 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.9, s"ANN recall $recall < 0.9 on planted clusters")
   }
 
+  test("annTopKCosine portable ±1 planes: same recall contract as the Gaussian mode") {
+    // the q26 oracle-replayable mode must remain a real LSH, not a
+    // degraded stand-in: same planted clusters, same floor. Rademacher
+    // projections preserve the angle geometry (Achlioptas 2003), so
+    // the sign-agreement probability — and with it the recall — match
+    // the Gaussian family's.
+    val rnd = new scala.util.Random(7)
+    val rows = for {
+      c <- 0 until 20
+      base = Array.fill(32)(rnd.nextGaussian().toFloat)
+      m <- 0 until 10
+    } yield ((c * 10 + m).toLong, base.map(x => x + 0.05f * rnd.nextGaussian().toFloat))
+    val df = rows.toDF("vec_id", "embedding")
+    val probes = df.filter(col("vec_id") % 10 === 0)
+    val ann = Similarity.annTopKCosine(df, probes, "vec_id", "embedding",
+        k = 9, bits = 12, tables = 8, portablePlanes = true)
+      .select("probe_id", "vec_id").as[(Long, Long)].collect()
+    val hits = ann.count { case (p, v) => v / 10 == p / 10 }
+    val recall = hits.toDouble / (20 * 9)
+    assert(recall >= 0.9, s"portable-plane ANN recall $recall < 0.9")
+  }
+
   test("cosineNearDupBanded respects the id window and threshold") {
     val out = SparkEntry.q23(spark, sf0001)
       .select("a_id", "b_id", "sim_r").as[(Long, Long, Double)].collect()
