@@ -1919,6 +1919,70 @@ object SparkEntry {
     graft.operators.Unigram.unigramStats(docs(s, d), "doc_id", "text",
       q190Vocab, maxPieceLen = 6)
 
+  /** Q191 — frame-level video NEAR-dup
+    * ([[graft.multimodal.Multimodal.videoNearDupClips]] over
+    * [[graft.multimodal.Multimodal.videoFrameDHash]]): recover
+    * re-encoded / trimmed / partially-edited clip pairs that the exact
+    * sequence hash (q139's frame classes, `videoSequenceHash`'s
+    * re-mux catcher) cannot see. Each document renders a 9×8 Y4M clip
+    * whose per-frame dHash bits are PLANTED arithmetic — grid column
+    * steps of ±4 whose signs come from MD5("v191:gk:c:y:x") low bits
+    * (the q26/q27 portable-hash discipline), with gk = doc_id % 40
+    * the shared-content group. Encoder generations vary by
+    * jit = doc_id % 3: jit 1 trims the head frame and flips one grid
+    * sign per frame (1-bit Hamming — the band join must catch it, not
+    * hash equality); jit 2 replaces frame 1 with doc-unique MD5 noise
+    * (coverage < 1, the 0.6 threshold filters the 2-frame clips).
+    * The oracle rebuilds every frame hash from the same MD5 bits,
+    * brute-forces ALL frame pairs at Hamming ≤ 3 (the banding is
+    * lossless, so candidate-set equality is part of what's checked),
+    * and replays the offset-evidence/best-offset/coverage pipeline.
+    * Decode runs through the real Y4M codec end-to-end; pixels never
+    * shuffle.
+    */
+  def q191(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val media = docs(s, d)
+      .select(col("doc_id"), octet_length(col("text")).cast("int").as("n"))
+      .as[(Long, Int)]
+      .map { case (id, n) =>
+        val gk = id % 40
+        val jit = (id % 3).toInt
+        val f = n % 5 + 2
+        val nf = f - (if (jit == 1) 1 else 0)
+        val md = java.security.MessageDigest.getInstance("MD5")
+        def upBit(key: String): Boolean = {
+          val h = md.digest(key.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          (h(7) & 1) == 1
+        }
+        val frames = (0 until nf).map { i =>
+          val c = if (jit == 1) i + 1 else i
+          val noise = jit == 2 && i == 1
+          val plane = new Array[Byte](9 * 8)
+          var y = 0
+          while (y < 8) {
+            var l = 128
+            plane(y * 9) = l.toByte
+            var x = 1
+            while (x < 9) {
+              val up =
+                if (noise) upBit(s"u191:$id:$y:$x")
+                else upBit(s"v191:$gk:$c:$y:$x") ^
+                  (jit > 0 && x == jit && y == jit)
+              l += (if (up) 4 else -4)
+              plane(y * 9 + x) = l.toByte
+              x += 1
+            }
+            y += 1
+          }
+          plane
+        }
+        Multimodal.MediaRow(id, "video",
+          Multimodal.renderPlanesY4m(9, 8, frames), 9, 8, 0)
+      }
+    Multimodal.videoNearDupClips(media, maxHamming = 3, minCoverage = 0.6)
+  }
+
   /** The pinned q190 vocabulary (piece → integer micro-nat cost) —
     * mirrored literally by the VALUES table in [[q190OracleSql]].
     * Singles cover the corpus alphabet EXCEPT `u` (forcing the UNK
@@ -3182,7 +3246,8 @@ object SparkEntry {
     "q187_media_dedup_pipeline" -> (q187 _),
     "q188_quantile_sink"  -> (q188 _),
     "q189_subseq_paa"     -> (q189 _),
-    "q190_unigram_apply"  -> (q190 _))
+    "q190_unigram_apply"  -> (q190 _),
+    "q191_video_neardup"  -> (q191 _))
 
   // DuckDB twins. Shared SQL fragments for the text queries:
   // explicit class: Java \s includes \x0B, RE2 \s does not — see
@@ -5117,6 +5182,58 @@ object SparkEntry {
     // to the 16-char chunk bound — generated in q190OracleSql, pinned
     // vocab VALUES literal, UNK = 20e6 units.
     "q190_unigram_apply" -> q190OracleSql,
+    // q191: frame hashes rebuild from the same MD5 low bits (the ±4
+    // step signs ARE the dHash bits — the prefix construction cannot
+    // produce ties), ALL frame pairs brute-force at hamming <= 3
+    // via HUGEINT xor/bit_count, then the offset-evidence /
+    // best-offset / rounded-coverage pipeline replays verbatim.
+    "q191_video_neardup" ->
+      ("""WITH d AS (SELECT doc_id, strlen(text) AS n, doc_id % 40 AS gk,
+         |    doc_id % 3 AS jit, strlen(text) % 5 + 2 AS f FROM documents
+         |  WHERE text IS NOT NULL),
+         |d2 AS (SELECT doc_id, gk, jit, f,
+         |    f - CASE WHEN jit = 1 THEN 1 ELSE 0 END AS nf FROM d),
+         |fr AS (SELECT doc_id, gk, jit, i.range AS i,
+         |    CASE WHEN jit = 1 THEN i.range + 1 ELSE i.range END AS c,
+         |    (jit = 2 AND i.range = 1) AS noise
+         |  FROM d2, range(6) i WHERE i.range < nf),
+         |cells AS (SELECT doc_id, i, y.range AS y, x.range AS x,
+         |    CASE WHEN noise THEN
+         |      CASE WHEN CAST('0x' || substr(md5('u191:' || doc_id || ':'
+         |            || y.range || ':' || x.range), 16, 1) AS INT) & 1 = 1
+         |        THEN 1 ELSE 0 END
+         |    ELSE
+         |      CASE WHEN (CAST('0x' || substr(md5('v191:' || gk || ':' || c
+         |            || ':' || y.range || ':' || x.range), 16, 1) AS INT)
+         |            & 1 = 1)
+         |          <> (jit > 0 AND x.range = jit AND y.range = jit)
+         |        THEN 1 ELSE 0 END
+         |    END AS up
+         |  FROM fr, range(8) y, range(1, 9) x),
+         |fh AS MATERIALIZED (SELECT doc_id, i,
+         |    sum(CASE WHEN up = 1
+         |        THEN CAST(1 AS HUGEINT) << CAST(y * 8 + x - 1 AS INT)
+         |        ELSE CAST(0 AS HUGEINT) END) AS h
+         |  FROM cells GROUP BY 1, 2),
+         |m AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, b.i - a.i AS off
+         |  FROM fh a JOIN fh b ON a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.h, b.h)) <= 3),
+         |ev AS (SELECT a_id, b_id, off, count(*) AS n_matched
+         |  FROM m GROUP BY 1, 2, 3),
+         |best AS (SELECT a_id, b_id, off, n_matched,
+         |    row_number() OVER (PARTITION BY a_id, b_id
+         |      ORDER BY n_matched DESC, off ASC) AS rn
+         |  FROM ev)
+         |SELECT b.a_id, b.b_id, CAST(b.off AS INT) AS offset,
+         |  CAST(b.n_matched AS BIGINT) AS n_matched,
+         |  round(CAST(b.n_matched AS DOUBLE) / least(la.nf, lb.nf), 6) + 0
+         |    AS coverage_r
+         |FROM best b JOIN d2 la ON la.doc_id = b.a_id
+         |JOIN d2 lb ON lb.doc_id = b.b_id
+         |WHERE rn = 1
+         |  AND round(CAST(b.n_matched AS DOUBLE) / least(la.nf, lb.nf), 6)
+         |    >= 0.6
+         |""".stripMargin),
     "q186_subseq_search" ->
       ("""WITH s AS (SELECT event_type,
          |    row_number() OVER (PARTITION BY event_type ORDER BY event_id) AS idx,

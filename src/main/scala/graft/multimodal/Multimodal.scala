@@ -790,6 +790,36 @@ object Multimodal {
     bos.toByteArray
   }
 
+  /** Deterministic Y4M encode from EXPLICIT Y planes — the per-pixel
+    * sibling of [[renderY4m]] (which fills each frame with one luma):
+    * frame k's Y plane is `yPlanes(k)` verbatim (row-major, `w·h`
+    * bytes), chroma at neutral 128. This is the fixture encoder for
+    * content with real spatial structure (gradients, planted dHash bit
+    * patterns) that uniform frames cannot express; q191 renders its
+    * re-encoded-clip corpus through it.
+    */
+  def renderPlanesY4m(w: Int, h: Int, yPlanes: Seq[Array[Byte]],
+                      fpsNum: Int = 25, fpsDen: Int = 1,
+                      colorspace: String = "444"): Array[Byte] = {
+    require(w > 0 && h > 0, s"dims positive: w=$w h=$h")
+    require(yPlanes.forall(_.length == w * h),
+      s"each Y plane must be w*h = ${w * h} bytes")
+    val cs = chromaPlaneSize(colorspace, w, h)
+      .getOrElse(throw new IllegalArgumentException(s"colorspace: $colorspace"))
+    val header = s"YUV4MPEG2 W$w H$h F$fpsNum:$fpsDen Ip A1:1 C$colorspace\n"
+    val bos = new java.io.ByteArrayOutputStream()
+    bos.write(header.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    yPlanes.foreach { y =>
+      bos.write("FRAME\n".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+      bos.write(y)
+      if (cs > 0) {
+        val c = new Array[Byte](cs); java.util.Arrays.fill(c, 128.toByte)
+        bos.write(c); bos.write(c)
+      }
+    }
+    bos.toByteArray
+  }
+
   /** Chroma plane dimensions, or None for an unsupported colorspace tag
     * (or dims the tag's subsampling cannot represent). 420 halves both
     * axes (even dims required, per the Y4M spec), 422 halves width only,
@@ -988,6 +1018,130 @@ object Multimodal {
         case None => VideoHash(r.media_id, decoded = false, 0L)
       }
     })
+  }
+
+  case class VideoFrameDHash(media_id: Long, frame_idx: Int, dhash: Long)
+
+  /** Per-frame PERCEPTUAL hash — the near-dup complement of
+    * [[videoFrameHashes]]' exact content address: each decoded frame
+    * reduces to a 9-wide × 8-high luma grid (nearest sampling,
+    * `px = ⌊cx·w/9⌋`, `py = ⌊cy·h/8⌋` — O(72) pixel reads per frame)
+    * and hashes to [[imageDHash]]'s difference bits (bit `y·8+x` set
+    * when `grid(x+1, y) > grid(x, y)`). A re-encoded frame — same
+    * content, per-pixel luma jitter below the local gradient magnitude
+    * — keeps its grid gradients and lands within small Hamming
+    * distance of the original, the class the exact FNV hash separates
+    * on the first changed byte. Pixels never leave the partition; only
+    * `(id, frame_idx, 8-byte hash)` rows shuffle downstream.
+    * Undecodable payloads emit nothing ([[videoFrameMeta]] contract).
+    */
+  def videoFrameDHash(media: Dataset[MediaRow], stride: Int = 1): Dataset[VideoFrameDHash] = {
+    require(stride >= 1, s"stride must be >= 1, got $stride")
+    import media.sparkSession.implicits._
+    media.flatMap { r =>
+      parseY4m(r.payload).iterator.flatMap { v =>
+        Iterator.range(0, v.yOffsets.size, stride).map { k =>
+          val off = v.yOffsets(k)
+          var hash = 0L
+          var cy = 0
+          while (cy < 8) {
+            val py = cy * v.h / 8
+            var cx = 0
+            var prev = 0
+            while (cx < 9) {
+              val px = cx * v.w / 9
+              val l = r.payload(off + py * v.w + px) & 0xFF
+              if (cx > 0 && l > prev) hash |= 1L << (cy * 8 + (cx - 1))
+              prev = l
+              cx += 1
+            }
+            cy += 1
+          }
+          VideoFrameDHash(r.media_id, k, hash)
+        }
+      }
+    }
+  }
+
+  /** Frame-level video NEAR-dup: recover re-encoded clip pairs — same
+    * content, per-frame luma jitter — that [[videoSequenceHash]]'s
+    * exact sequence fingerprint (re-muxed copies only) cannot see.
+    * Three metadata-scale stages over [[videoFrameDHash]] rows:
+    *
+    *  1. FRAME MATCHING: distinct frame hashes band-join within
+    *     `maxHamming` ([[hammingNearDupClasses]]' lossless four-band
+    *     pigeonhole), identical hashes collapse first, and hashes
+    *     carried by more than `maxHashFrames` frames are dropped
+    *     BEFORE any expansion — the black-frame/test-card stop-frame
+    *     guard: a ubiquitous frame is evidence of nothing and would
+    *     otherwise pair every clip with every clip.
+    *  2. TEMPORAL EVIDENCE: matched frame pairs group by
+    *     `(a_id, b_id, offset = b_idx − a_idx)` — a true re-encode
+    *     aligns at ONE offset, so scattered coincidental matches
+    *     cannot accumulate into a clip claim.
+    *  3. CLIP VERDICT: each pair keeps its best offset (most matched
+    *     frames, smallest offset on ties — a total order) and reports
+    *     `coverage = n_matched / min(frames_a, frames_b)`, cut at
+    *     `minCoverage`.
+    *
+    * Returns `(a_id, b_id, offset, n_matched, coverage_r)` with
+    * `a_id < b_id`. 100 TB shape: every stage joins/aggregates 8-byte
+    * hashes and frame ordinals — pixels never shuffle; the band join
+    * sees DISTINCT guarded hashes only; the only data-scale expansion
+    * is the matched-frame set itself, which the stop-frame guard
+    * bounds per hash.
+    */
+  def videoNearDupClips(media: Dataset[MediaRow], maxHamming: Int = 3,
+                        minCoverage: Double = 0.6,
+                        maxHashFrames: Long = 100000L,
+                        stride: Int = 1): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"banding is lossless only for maxHamming <= 3, got $maxHamming")
+    require(minCoverage > 0.0 && minCoverage <= 1.0,
+      s"minCoverage must be in (0, 1], got $minCoverage")
+    val fh = videoFrameDHash(media, stride).toDF()
+    val lens = fh.groupBy(col("media_id")).agg(count(lit(1)).as("__nf"))
+    val hs = fh.groupBy(col("dhash")).agg(count(lit(1)).as("__cnt"))
+      .filter(col("__cnt") <= maxHashFrames)
+      .select(col("dhash"))
+    val guarded = fh.join(hs, "dhash")
+    // symmetric near-hash pairs: every distinct hash matches itself,
+    // plus both directions of each banded pair within maxHamming
+    val banded = hs.select(col("dhash"), bandStructs(col("dhash")).as("band"))
+      .select(col("dhash"), col("band.b").as("__b"), col("band.v").as("__v"))
+    val b2 = banded.select(col("dhash").as("__h2"), col("__b").as("__b2"),
+      col("__v").as("__v2"))
+    val near = banded
+      .join(b2, col("__b") === col("__b2") && col("__v") === col("__v2") &&
+        col("dhash") =!= col("__h2"))
+      .select(col("dhash").as("__ha"), col("__h2").as("__hb"))
+      .distinct()
+      .filter(expr("bit_count(__ha ^ __hb)") <= maxHamming)
+    val pairsH = hs.select(col("dhash").as("__ha"), col("dhash").as("__hb"))
+      .unionByName(near)
+    val am = guarded.select(col("media_id").as("a_id"),
+      col("frame_idx").as("__ai"), col("dhash").as("__ha"))
+    val bm = guarded.select(col("media_id").as("b_id"),
+      col("frame_idx").as("__bi"), col("dhash").as("__hb"))
+    val evidence = am.join(pairsH, "__ha").join(bm, "__hb")
+      .filter(col("a_id") < col("b_id"))
+      .groupBy(col("a_id"), col("b_id"),
+        (col("__bi") - col("__ai")).as("offset"))
+      .agg(count(lit(1)).as("n_matched"))
+    val best = evidence
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(max(struct(col("n_matched"), negate(col("offset")).as("__no"),
+        col("offset"))).as("__best"))
+      .select(col("a_id"), col("b_id"), col("__best.offset").as("offset"),
+        col("__best.n_matched").as("n_matched"))
+    best
+      .join(lens.select(col("media_id").as("a_id"), col("__nf").as("__na")), "a_id")
+      .join(lens.select(col("media_id").as("b_id"), col("__nf").as("__nb")), "b_id")
+      .withColumn("coverage_r", graft.functions.NumFunctions.roundNz(
+        col("n_matched").cast("double") / least(col("__na"), col("__nb")), 6))
+      .filter(col("coverage_r") >= minCoverage)
+      .select(col("a_id"), col("b_id"), col("offset"), col("n_matched"),
+        col("coverage_r"))
   }
 
   /** Real video resize: parse the Y4M stream, nearest-neighbor-rescale

@@ -674,4 +674,113 @@ class MultimodalSpec extends SparkSpec {
     }
     assert(got.exists(_._3 > 0), "fixture should contain cross-doc shared frames")
   }
+
+  /** Block-constant 18×16 Y plane over a 9×8 cell grid whose horizontal
+    * steps are ±4 with signs from `sgn(x, cy, k)` — cell (cx, cy) holds
+    * 128 + Σ_{x ≤ cx} 4·sgn(x, cy, k), so the frame's dHash bit
+    * `cy·8 + (x−1)` is exactly [sgn(x, cy, k) > 0]: the planted bits
+    * ARE the expected hash. `jit` adds a sub-gradient per-pixel
+    * perturbation (the re-encode model): |Δ| ≤ 1 < 4 never flips a
+    * comparison.
+    */
+  private def cellPlane(k: Int, sgn: (Int, Int, Int) => Int,
+                        jit: (Int, Int) => Int = (_, _) => 0): Array[Byte] = {
+    val cell = Array.tabulate(8, 9) { (cy, cx) =>
+      128 + (1 to cx).map(x => 4 * sgn(x, cy, k)).sum
+    }
+    Array.tabulate(18 * 16) { i =>
+      val x = i % 18; val y = i / 18
+      (cell(y / 2)(x / 2) + jit(x, y)).toByte
+    }
+  }
+
+  private def expectedDHash(k: Int, sgn: (Int, Int, Int) => Int): Long =
+    (for (cy <- 0 until 8; x <- 1 until 9 if sgn(x, cy, k) > 0)
+      yield 1L << (cy * 8 + (x - 1))).foldLeft(0L)(_ | _)
+
+  /** Scrambled sign bits — a linear-in-parity formula here is a trap:
+    * parities of (a·x + b·cy + c·k) make every pattern the exact
+    * equal-or-complement of every other across frames, so "unrelated"
+    * clips collide. Murmur scrambling gives genuinely independent bits.
+    */
+  private def saltedSgn(salt: Int)(x: Int, cy: Int, k: Int): Int =
+    if ((scala.util.hashing.MurmurHash3.productHash((salt, x, cy, k)) & 1) == 0)
+      1 else -1
+
+  private def baseSgn(x: Int, cy: Int, k: Int): Int = saltedSgn(1)(x, cy, k)
+
+  test("videoFrameDHash: bits equal the planted grid-step signs, jitter below the gradient is invisible") {
+    val sp = spark
+    import sp.implicits._
+    val clean = Multimodal.renderPlanesY4m(18, 16,
+      (0 until 3).map(k => cellPlane(k, baseSgn)))
+    val jittered = Multimodal.renderPlanesY4m(18, 16,
+      (0 until 3).map(k => cellPlane(k, baseSgn,
+        jit = (x, y) => if ((x + y) % 3 == 0) 1 else 0)))
+    val media = Seq(
+      Multimodal.MediaRow(0L, "video", clean, 18, 16, 0),
+      Multimodal.MediaRow(1L, "video", jittered, 18, 16, 0)).toDS()
+    val got = Multimodal.videoFrameDHash(media)
+      .collect().map(f => (f.media_id, f.frame_idx) -> f.dhash).toMap
+    for (k <- 0 until 3) {
+      assert(got((0L, k)) === expectedDHash(k, baseSgn), s"frame $k hash")
+      assert(got((1L, k)) === got((0L, k)), s"frame $k jitter flipped a bit")
+    }
+    // frames differ from each other (sgn depends on k)
+    assert(got((0L, 0)) !== got((0L, 1)))
+  }
+
+  test("videoNearDupClips: re-encoded and trimmed clips recovered, unrelated clip untouched") {
+    val sp = spark
+    import sp.implicits._
+    def clip(frames: Seq[Int], sgn: (Int, Int, Int) => Int,
+             jit: (Int, Int) => Int = (_, _) => 0): Array[Byte] =
+      Multimodal.renderPlanesY4m(18, 16, frames.map(k => cellPlane(k, sgn, jit)))
+    val unrelated: (Int, Int, Int) => Int = saltedSgn(99)
+    // one sign flipped at (x=4, cy=3) in every frame: per-frame hamming 1
+    val oneBit: (Int, Int, Int) => Int =
+      (x, cy, k) => if (x == 4 && cy == 3) -baseSgn(x, cy, k) else baseSgn(x, cy, k)
+    val media = Seq(
+      Multimodal.MediaRow(0L, "video", clip(0 until 4, baseSgn), 18, 16, 0),
+      Multimodal.MediaRow(1L, "video", clip(0 until 4, baseSgn,
+        jit = (x, y) => if ((x + y) % 3 == 0) 1 else 0), 18, 16, 0),
+      Multimodal.MediaRow(2L, "video", clip(0 until 4, unrelated), 18, 16, 0),
+      Multimodal.MediaRow(3L, "video", clip(1 until 4, baseSgn), 18, 16, 0),
+      Multimodal.MediaRow(4L, "video", clip(0 until 4, oneBit), 18, 16, 0)).toDS()
+    val got = Multimodal.videoNearDupClips(media)
+      .select("a_id", "b_id", "offset", "n_matched", "coverage_r")
+      .as[(Long, Long, Int, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    // re-encode (jitter): perfect alignment at offset 0
+    assert(got((0L, 1L)) === ((0, 4L, 1.0)))
+    // trimmed clip (A's frames 1..3): aligns one frame EARLIER
+    assert(got((0L, 3L)) === ((-1, 3L, 1.0)))
+    // per-frame hamming-1 re-encode: still recovered via the band join
+    assert(got((0L, 4L)) === ((0, 4L, 1.0)))
+    // the unrelated clip pairs with nothing
+    assert(!got.keySet.exists(p => p._1 == 2L || p._2 == 2L),
+      s"unrelated clip paired: ${got.keySet}")
+  }
+
+  test("videoNearDupClips: the stop-frame guard keeps ubiquitous frames out of the evidence") {
+    val sp = spark
+    import sp.implicits._
+    val black = Array.fill(18 * 16)(0.toByte)
+    def clip(pat: (Int, Int, Int) => Int): Array[Byte] =
+      Multimodal.renderPlanesY4m(18, 16, Seq(black, cellPlane(0, pat)))
+    val p1: (Int, Int, Int) => Int = saltedSgn(7)
+    val p2: (Int, Int, Int) => Int = saltedSgn(8)
+    val media = Seq(
+      Multimodal.MediaRow(0L, "video", clip(p1), 18, 16, 0),
+      Multimodal.MediaRow(1L, "video", clip(p2), 18, 16, 0)).toDS()
+    // without the guard the shared black frame is "evidence" and the two
+    // unrelated clips pair at coverage 1/2
+    val unguarded = Multimodal.videoNearDupClips(media, minCoverage = 0.4)
+    assert(unguarded.count() === 1)
+    // the guard drops any hash carried by more than maxHashFrames frames
+    // BEFORE expansion — no evidence survives, no pair
+    val guarded = Multimodal.videoNearDupClips(media, minCoverage = 0.4,
+      maxHashFrames = 1)
+    assert(guarded.count() === 0)
+  }
 }
