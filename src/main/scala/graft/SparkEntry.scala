@@ -2031,6 +2031,23 @@ object SparkEntry {
     * per-document sums — exactly [[graft.functions.UnigramKernel]]'s
     * arithmetic, so the engines hash-match bit-for-bit.
     */
+  /** Q192 — unigram tokenizer PIECES face
+    * ([[graft.operators.Unigram.unigramTopPieces]] under the q190
+    * pinned vocab): the corpus-wide top-30 piece histogram. Piece
+    * IDENTITY depends on the full canonical tie-break (cost, fewest
+    * pieces, longest-final-piece backtrack) — which is now
+    * oracle-checkable because the kernel's packed DP carries the
+    * tiebreak as base-`maxPieceLen` DIGITS THAT ARE THE PIECE LENGTHS
+    * (`UnigramKernel.chunkPacked`): the oracle replays the same
+    * 16-level DP over HUGEINT `v·2^64 + t`, takes the minimum, and
+    * DECODES the winning segmentation from t's digits — no backtrack,
+    * no arg-min plumbing, identity from two integers. A cost bug, a
+    * tie-break divergence, or a digit-packing bug all hash-fail.
+    */
+  def q192(s: SparkSession, d: String): DataFrame =
+    graft.operators.Unigram.unigramTopPieces(docs(s, d), "text",
+      q190Vocab, maxPieceLen = 6, k = 30)
+
   private def q190OracleSql: String = {
     val maxLen = UnigramKernel.MaxWordLen // 16
     val maxPiece = 6
@@ -2089,6 +2106,79 @@ object SparkEntry {
        |                       AS DOUBLE) / a.np, 4) + 0
        |  END AS chars_per_piece
        |FROM docsrc d LEFT JOIN daggr a USING (doc_id)
+       |""".stripMargin
+  }
+
+  /** The q192 pieces-face oracle: the q190 DP skeleton lifted to
+    * HUGEINT `p = v·2^64 + t` (t = the length-digit tiebreak of
+    * `UnigramKernel.chunkPacked`, base `maxPiece`, last piece most
+    * significant), min(p) per chunk, then the winning segmentation
+    * DECODED from t's digits — `len_i = maxPiece − (t ÷ b^i) mod b` —
+    * sliced out of the chunk text and counted per word occurrence.
+    */
+  private def q192OracleSql: String = {
+    val maxLen = UnigramKernel.MaxWordLen // 16
+    val maxPiece = 6
+    val unk = UnigramKernel.UnkCostUnits
+    val h = "18446744073709551616" // 2^64, parses as HUGEINT
+    val pow = Iterator.iterate(1L)(_ * maxPiece).take(maxLen).mkString("[", ", ", "]")
+    val vocabValues = q190Vocab
+      .map { case (p, c) => s"('${p.replace("'", "''")}', CAST($c AS BIGINT))" }
+      .mkString(",\n    ")
+    // step(cuExpr, len): the packed increment for appending one piece of
+    // `len` code points to the dp-j prefix (whose piece count is m_j)
+    def step(cu: String, len: Int): String =
+      s"($cu * 64 + 1) * $h + " +
+        s"(${maxPiece - len}) * ($pow)[CAST((d.p // $h) % 64 AS INT) + 1]"
+    val dps = (1 to maxLen).map { k =>
+      val branches = scala.collection.mutable.ArrayBuffer.empty[String]
+      branches +=
+        s"""    SELECT d.chunk, d.p + ${step(s"coalesce(vv.cu, $unk)", 1)} AS p
+           |    FROM dp${k - 1} d LEFT JOIN vocab vv ON substr(d.chunk, $k, 1) = vv.piece
+           |    WHERE length(d.chunk) >= $k""".stripMargin
+      for (j <- math.max(0, k - maxPiece) until (k - 1)) {
+        branches +=
+          s"""    SELECT d.chunk, d.p + ${step("vv.cu", k - j)} AS p
+             |    FROM dp$j d JOIN vocab vv ON substr(d.chunk, ${j + 1}, ${k - j}) = vv.piece
+             |    WHERE length(d.chunk) >= $k""".stripMargin
+      }
+      s"dp$k AS MATERIALIZED (SELECT chunk, min(p) AS p FROM (\n" +
+        branches.mkString("\n    UNION ALL\n") + "\n  ) GROUP BY chunk)"
+    }
+    val fin = (1 to maxLen)
+      .map(k => s"  SELECT chunk, p FROM dp$k WHERE length(chunk) = $k")
+      .mkString("\n  UNION ALL\n")
+    s"""WITH vocab(piece, cu) AS (VALUES
+       |    $vocabValues),
+       |docsrc AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+       |wordocc AS MATERIALIZED (SELECT doc_id, w FROM (
+       |  SELECT doc_id, unnest(regexp_split_to_array(text, '[ \\t\\n\\f\\r]+')) AS w
+       |  FROM docsrc) WHERE w <> ''),
+       |dwords AS (SELECT DISTINCT w FROM wordocc),
+       |wchunks AS MATERIALIZED (SELECT w, unnest(list_transform(
+       |  range(CAST(ceil(length(w) / $maxLen.0) AS BIGINT)),
+       |  i -> substr(w, CAST(i * $maxLen + 1 AS INT), $maxLen))) AS chunk FROM dwords),
+       |chunks AS MATERIALIZED (SELECT DISTINCT chunk FROM wchunks),
+       |dp0 AS MATERIALIZED (SELECT chunk, CAST(0 AS HUGEINT) AS p FROM chunks),
+       |${dps.mkString(",\n")},
+       |fin AS (
+       |$fin),
+       |fpc AS (SELECT chunk, CAST((p // $h) % 64 AS INT) AS m,
+       |    CAST(p % $h AS BIGINT) AS t FROM fin),
+       |pl AS (SELECT chunk, i.range AS i,
+       |    $maxPiece - CAST((t // ($pow)[CAST(i.range AS INT) + 1]) % $maxPiece AS INT) AS len
+       |  FROM fpc, range($maxLen) i WHERE i.range < m),
+       |ps AS (SELECT chunk, i, len,
+       |    CAST(1 + coalesce(sum(len) OVER (PARTITION BY chunk ORDER BY i
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS INT) AS s
+       |  FROM pl),
+       |cpieces AS MATERIALIZED (SELECT chunk, substr(chunk, s, len) AS piece
+       |  FROM ps),
+       |occ AS (SELECT o.doc_id, wc.chunk FROM wordocc o JOIN wchunks wc ON o.w = wc.w),
+       |pcnt AS (SELECT cp.piece, count(*) AS cnt
+       |  FROM occ JOIN cpieces cp USING (chunk) GROUP BY 1)
+       |SELECT piece, CAST(cnt AS BIGINT) AS cnt FROM pcnt
+       |ORDER BY cnt DESC, piece ASC LIMIT 30
        |""".stripMargin
   }
 
@@ -3247,7 +3337,8 @@ object SparkEntry {
     "q188_quantile_sink"  -> (q188 _),
     "q189_subseq_paa"     -> (q189 _),
     "q190_unigram_apply"  -> (q190 _),
-    "q191_video_neardup"  -> (q191 _))
+    "q191_video_neardup"  -> (q191 _),
+    "q192_unigram_pieces" -> (q192 _))
 
   // DuckDB twins. Shared SQL fragments for the text queries:
   // explicit class: Java \s includes \x0B, RE2 \s does not — see
@@ -5182,6 +5273,7 @@ object SparkEntry {
     // to the 16-char chunk bound — generated in q190OracleSql, pinned
     // vocab VALUES literal, UNK = 20e6 units.
     "q190_unigram_apply" -> q190OracleSql,
+    "q192_unigram_pieces" -> q192OracleSql,
     // q191: frame hashes rebuild from the same MD5 low bits (the ±4
     // step signs ARE the dHash bits — the prefix construction cannot
     // produce ties), ALL frame pairs brute-force at hamming <= 3

@@ -55,23 +55,50 @@ private[graft] object UnigramKernel {
     out
   }
 
-  /** Viterbi DP over one chunk (≤ MaxWordLen code points): the packed
-    * `cost_units * 64 + n_pieces` minimum over all segmentations into
-    * vocab pieces of ≤ `maxPieceLen` code points (plus single-char UNK
-    * fallbacks). Every position is reachable (UNK guarantees it), so
-    * the result is total.
+  /** Viterbi DP over one chunk (≤ MaxWordLen code points), returning
+    * the packed pair `(v, t)`:
+    *
+    *  - `v` = min `cost_units · 64 + n_pieces` over all segmentations
+    *    into vocab pieces of ≤ `maxPieceLen` code points (plus
+    *    single-char UNK fallbacks) — cost first, fewest pieces on
+    *    ties. Every position is reachable (UNK guarantees it).
+    *  - `t` = the canonical TIEBREAK among equal-`v` segmentations: a
+    *    base-`maxPieceLen` digit string where piece i contributes
+    *    digit `maxPieceLen − len_i` at weight `b^(i−1)` — the LAST
+    *    piece carries the most significant digit, so minimizing `t`
+    *    (unsigned) picks the longest final piece, then the longest
+    *    second-to-last, … : the lexicographically-smallest reversed
+    *    start vector, the SAME canonical the old backtrack
+    *    implemented. Equal `v` implies equal piece count (`v` packs
+    *    it), so digit strings compare at equal length and the forward
+    *    DP keeps optimal substructure.
+    *
+    * Because the digits ARE the piece lengths, the minimal `(v, t)`
+    * pair determines the segmentation outright — piece identity
+    * replays from two integers with NO backtrack, which is exactly
+    * what q192's SQL oracle does. `t` can reach 2^64 − 1 at
+    * `maxPieceLen = 16` (base 16, 16 digits), so every `t` comparison
+    * and decode is UNSIGNED.
     */
-  def chunkValue(cps: Array[String], from: Int, until: Int,
-                 vocab: Map[String, Long], maxPieceLen: Int): Long = {
+  def chunkPacked(cps: Array[String], from: Int, until: Int,
+                  vocab: Map[String, Long], maxPieceLen: Int): (Long, Long) = {
     val n = until - from
-    val dp = new Array[Long](n + 1)
-    java.util.Arrays.fill(dp, Long.MaxValue)
-    dp(0) = 0L
+    val b = math.max(1L, maxPieceLen.toLong)
+    // weights b^0..b^(n-1); an extending prefix holds <= n-1 pieces,
+    // so index n is never read (it would wrap at base 16)
+    val pow = new Array[Long](n + 1)
+    pow(0) = 1L
+    var i = 1
+    while (i <= n) { pow(i) = pow(i - 1) * b; i += 1 }
+    val dpV = new Array[Long](n + 1)
+    val dpT = new Array[Long](n + 1)
+    java.util.Arrays.fill(dpV, Long.MaxValue)
+    dpV(0) = 0L
     var k = 1
     while (k <= n) {
       var j = math.max(0, k - maxPieceLen)
       while (j < k) {
-        if (dp(j) != Long.MaxValue) {
+        if (dpV(j) != Long.MaxValue) {
           val piece = {
             val sb = new java.lang.StringBuilder
             var i = from + j
@@ -83,16 +110,29 @@ private[graft] object UnigramKernel {
             case None => if (k - j == 1) UnkCostUnits else -1L
           }
           if (cost >= 0L) {
-            val v = dp(j) + cost * 64L + 1L
-            if (v < dp(k)) dp(k) = v
+            val v = dpV(j) + cost * 64L + 1L
+            val mj = (dpV(j) % 64L).toInt // pieces in the j-prefix
+            val t = dpT(j) + (maxPieceLen - (k - j)).toLong * pow(mj)
+            if (v < dpV(k) ||
+                (v == dpV(k) && java.lang.Long.compareUnsigned(t, dpT(k)) < 0)) {
+              dpV(k) = v; dpT(k) = t
+            }
           }
         }
         j += 1
       }
       k += 1
     }
-    dp(n)
+    (dpV(n), dpT(n))
   }
+
+  /** The packed `cost_units · 64 + n_pieces` minimum alone — the stats
+    * face. Delegates to [[chunkPacked]] so the value and the pieces
+    * can never disagree about the optimum.
+    */
+  def chunkValue(cps: Array[String], from: Int, until: Int,
+                 vocab: Map[String, Long], maxPieceLen: Int): Long =
+    chunkPacked(cps, from, until, vocab, maxPieceLen)._1
 
   /** Packed value of a whole word: sum of per-chunk (cost, pieces)
     * decompositions — returned as `(costUnits, nPieces)`. */
@@ -110,51 +150,36 @@ private[graft] object UnigramKernel {
     (cost, pieces)
   }
 
-  /** The optimal piece sequence itself (training's E-step face).
-    * Tie-break beyond (cost, fewest pieces): while backtracking from
-    * the end, prefer the LONGEST final piece (smallest predecessor
-    * index) — implemented by accepting only strictly-smaller dp values
-    * as `j` ascends. Fully deterministic.
+  /** The optimal piece sequence itself (training's E-step face), with
+    * the full canonical tie-break (cost, fewest pieces, longest final
+    * piece, longest second-to-last, …). No backtrack: [[chunkPacked]]'s
+    * tiebreak digits ARE the piece lengths, so the sequence decodes
+    * from `(v, t)` directly — first piece in `t`'s least significant
+    * digit. Structurally identical to what the q192 oracle replays in
+    * SQL, so engine and oracle cannot disagree about identity.
     */
   def segmentPieces(word: String, vocab: Map[String, Long],
                     maxPieceLen: Int): Array[String] = {
     val cps = codePoints(word)
+    val b = math.max(1L, maxPieceLen.toLong)
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
     var off = 0
     while (off < cps.length) {
       val end = math.min(off + MaxWordLen, cps.length)
-      val n = end - off
-      val dp = new Array[Long](n + 1)
-      val back = new Array[Int](n + 1)
-      java.util.Arrays.fill(dp, Long.MaxValue)
-      dp(0) = 0L
-      var k = 1
-      while (k <= n) {
-        var j = math.max(0, k - maxPieceLen)
-        while (j < k) {
-          if (dp(j) != Long.MaxValue) {
-            val piece = cps.slice(off + j, off + k).mkString
-            val cost = vocab.get(piece) match {
-              case Some(c) => c
-              case None => if (k - j == 1) UnkCostUnits else -1L
-            }
-            if (cost >= 0L) {
-              val v = dp(j) + cost * 64L + 1L
-              if (v < dp(k)) { dp(k) = v; back(k) = j }
-            }
-          }
-          j += 1
-        }
-        k += 1
+      val (v, t0) = chunkPacked(cps, off, end, vocab, maxPieceLen)
+      val m = (v % 64L).toInt
+      var t = t0
+      var pos = off
+      var i = 0
+      while (i < m) {
+        val len =
+          if (b <= 1L) 1
+          else maxPieceLen - java.lang.Long.remainderUnsigned(t, b).toInt
+        t = java.lang.Long.divideUnsigned(t, b)
+        out += cps.slice(pos, pos + len).mkString
+        pos += len
+        i += 1
       }
-      val stack = scala.collection.mutable.ArrayBuffer.empty[String]
-      var pos = n
-      while (pos > 0) {
-        val j = back(pos)
-        stack += cps.slice(off + j, off + pos).mkString
-        pos = j
-      }
-      out ++= stack.reverse
       off = end
     }
     out.toArray

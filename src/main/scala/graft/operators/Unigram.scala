@@ -209,10 +209,11 @@ object Unigram {
 
   /** Corpus top-`k` pieces under a frozen vocab — the tokens face
     * (map-side explode, one partial-aggregated vocab-bounded shuffle,
-    * TakeOrdered cut). Piece identity depends on the full tie-break
-    * (cost, fewest pieces, longest-piece backtrack), which the q190
-    * oracle's packed-min DP does not pin — so this face is spec-pinned
-    * on planted fixtures rather than oracle-hashed. */
+    * TakeOrdered cut). Piece identity follows the full canonical
+    * tie-break (cost, fewest pieces, longest-final-piece), which
+    * [[graft.functions.UnigramKernel.chunkPacked]] carries as
+    * length-digit tiebreak integers — so identity replays exactly and
+    * this face is oracle-hashed end to end (q192). */
   def unigramTopPieces(docs: DataFrame, textCol: String,
                        vocab: Seq[(String, Long)], maxPieceLen: Int,
                        k: Int = 20): DataFrame = {
