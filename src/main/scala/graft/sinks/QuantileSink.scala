@@ -32,10 +32,37 @@ object QuantileSink {
     * sketch can never disagree on a boundary). Only positive finite
     * values enter, matching [[Sketches.ddQuantiles]]. Returns the
     * number of partitions rewritten.
+    *
+    * `batchId` makes the fold EXACTLY-ONCE under Structured
+    * Streaming's replay model (restart re-invokes `foreachBatch` with
+    * the same id and — for replayable sources — the same rows):
+    *
+    *   1. `root/_batches/<id>/_APPLIED` present → the fold committed;
+    *      skip. This alone is not enough — a crash between the data
+    *      write and the marker would otherwise double-fold — so:
+    *   2. before touching the live table, the touched partitions'
+    *      CURRENT rows are snapshotted to `root/_batches/<id>/snapshot`
+    *      (sketch state is KB-scale per group, so this copy is cheap),
+    *      sealed by `_SNAPSHOT_DONE`;
+    *   3. the merge reads the SNAPSHOT, never the live partitions, so
+    *      re-running after ANY crash point recomputes the identical
+    *      merged rows and the dynamic-partition overwrite is an
+    *      idempotent rewrite;
+    *   4. `_APPLIED` commits, the snapshot is dropped.
+    *
+    * Crash replay matrix: before the snapshot seals → live is
+    * untouched, the snapshot rebuilds; after sealing, anywhere through
+    * the overwrite → the refold reads the sealed pre-batch state and
+    * converges; after `_APPLIED` → skipped. `_`-prefixed paths are
+    * invisible to parquet readers. Single-writer (the `foreachBatch`
+    * serialization contract) is assumed, as in [[IncrementalAgg]].
+    * Without `batchId` the fold reads the live table directly (the
+    * batch-job path, where re-running means re-adding by intent).
     */
   def maintain(spark: SparkSession, batch: DataFrame, root: String,
                partCols: Seq[String], keyCols: Seq[String],
-               valueCol: String, gamma: Double = 1.02): Int = {
+               valueCol: String, gamma: Double = 1.02,
+               batchId: Option[Long] = None): Int = {
     require(partCols.nonEmpty && partCols.forall(keyCols.contains),
       s"partCols $partCols must be a subset of keyCols $keyCols")
     val agg = udaf(new Sketches.DdSketchAggregator(gamma),
@@ -49,30 +76,61 @@ object QuantileSink {
       .select(keyCols.map(col) :+ explode(col("__sk")): _*)
       .withColumnRenamed("key", "k").withColumnRenamed("value", "cnt")
 
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val applied = batchId.map(id =>
+      new org.apache.hadoop.fs.Path(root, s"_batches/$id/_APPLIED"))
+    if (applied.exists(fs.exists)) return 0
+
     val touched: Array[Row] = partial.select(partCols.map(col): _*).distinct().collect()
     if (touched.isEmpty) return 0
 
-    val fs = new org.apache.hadoop.fs.Path(root)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val existing = fs.exists(new org.apache.hadoop.fs.Path(root))
-    val merged = if (existing) {
+    def liveTouched: DataFrame = {
       val pruning = touched.map { r =>
         partCols.zipWithIndex.map { case (c, i) => col(c) === lit(r.get(i)) }
           .reduce(_ && _)
       }.reduce(_ || _)
-      val current = spark.read.parquet(root).filter(pruning)
+      spark.read.parquet(root).filter(pruning)
         .select(partial.columns.toIndexedSeq.map(col): _*)
-      // bucket counts ADD — the whole mergeability contract
-      partial.unionByName(current)
-        .groupBy((keyCols :+ "k").map(col): _*)
-        .agg(sum(col("cnt")).cast("long").as("cnt"))
-    } else partial
+    }
+    val current: Option[DataFrame] = batchId match {
+      case Some(id) =>
+        val bdir = new org.apache.hadoop.fs.Path(root, s"_batches/$id")
+        val snapDir = new org.apache.hadoop.fs.Path(bdir, "snapshot")
+        val snapDone = new org.apache.hadoop.fs.Path(bdir, "_SNAPSHOT_DONE")
+        if (!fs.exists(snapDone)) {
+          if (fs.exists(snapDir)) fs.delete(snapDir, true) // partial copy
+          if (existing) liveTouched.write.mode("overwrite")
+            .parquet(snapDir.toString)
+          else spark.createDataFrame(
+            spark.sparkContext.emptyRDD[Row], partial.schema)
+            .write.mode("overwrite").parquet(snapDir.toString)
+          fs.create(snapDone, true).close()
+        }
+        Some(spark.read.parquet(snapDir.toString))
+      case None => if (existing) Some(liveTouched) else None
+    }
+    val merged = current match {
+      case Some(cur) =>
+        // bucket counts ADD — the whole mergeability contract
+        partial.unionByName(cur)
+          .groupBy((keyCols :+ "k").map(col): _*)
+          .agg(sum(col("cnt")).cast("long").as("cnt"))
+      case None => partial
+    }
     // cut lineage before overwriting paths the plan reads
     val pinned = merged.localCheckpoint(eager = true)
     pinned.write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy(partCols: _*)
       .parquet(root)
+    applied.foreach { marker =>
+      fs.create(marker, true).close()
+      val bdir = marker.getParent
+      fs.delete(new org.apache.hadoop.fs.Path(bdir, "snapshot"), true)
+      fs.delete(new org.apache.hadoop.fs.Path(bdir, "_SNAPSHOT_DONE"), true)
+    }
     touched.length
   }
 

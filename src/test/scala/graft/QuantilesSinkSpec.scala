@@ -89,4 +89,77 @@ class QuantilesSinkSpec extends SparkSpec {
     assert(maintained === recomputed)
     assert(maintained.forall(_._3 === 150L))
   }
+
+  test("streaming twin with batch ids: exact replay folds once, maintained ≡ one-shot") {
+    // the real wiring a production stream uses: foreachBatch passes its
+    // batchId through, and a replayed batch (restart re-delivery of the
+    // last uncommitted micro-batch) must not double-fold
+    val root = java.nio.file.Files.createTempDirectory("qsinkr").toString + "/sk"
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(String, Double)]
+    val q = input.toDF().toDF("grp", "v")
+      .writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        if (!b.isEmpty) {
+          QuantileSink.maintain(spark, b, root, Seq("grp"), Seq("grp"), "v",
+            batchId = Some(id))
+          ()
+        }
+      }.start()
+    val b0 = (1 to 120).map(i => (s"s${i % 3}", math.exp((i % 50) / 12.0)))
+    val b1 = (1 to 90).map(i => (s"s${i % 2}", math.exp((i % 40) / 9.0) * 0.7))
+    input.addData(b0); q.processAllAvailable()
+    input.addData(b1); q.processAllAvailable()
+    q.stop()
+    val after = quantRows(root, Seq(50, 99))
+    // CLEAN replay: the committed batch 1 re-delivered verbatim (the
+    // restart shape) — the _APPLIED marker skips it, table unchanged
+    val re = QuantileSink.maintain(spark, b1.toDF("grp", "v"), root,
+      Seq("grp"), Seq("grp"), "v", batchId = Some(1L))
+    assert(re === 0)
+    assert(quantRows(root, Seq(50, 99)) === after)
+    val oneShot = graft.operators.Sketches
+      .ddQuantiles((b0 ++ b1).toDF("grp", "v"), "grp", "v", Seq(50, 99))
+      .as[(String, Long, Long, Double)].collect().toSet
+    assert(after === oneShot)
+  }
+
+  test("crash-window replay: data written, marker missing — refold from the snapshot converges") {
+    // the adversarial crash point the marker alone cannot survive: the
+    // dynamic overwrite finished but _APPLIED never got written. The
+    // protocol refolds from the SEALED pre-batch snapshot, so re-running
+    // the batch rewrites the identical rows instead of adding them twice.
+    val root = java.nio.file.Files.createTempDirectory("qsinkc").toString + "/sk"
+    val b0 = (1 to 100).map(i => (s"g${i % 2}", math.exp((i % 30) / 8.0)))
+    val b1 = (1 to 80).map(i => (s"g${i % 2}", math.exp((i % 25) / 6.0) * 1.3))
+    QuantileSink.maintain(spark, b0.toDF("grp", "v"), root,
+      Seq("grp"), Seq("grp"), "v", batchId = Some(0L))
+    QuantileSink.maintain(spark, b1.toDF("grp", "v"), root,
+      Seq("grp"), Seq("grp"), "v", batchId = Some(1L))
+    val committed = quantRows(root, Seq(50, 90))
+    // forge the crash state: batch 1's data IS in the live table, but
+    // its commit marker is gone and its sealed snapshot (the pre-batch
+    // rows, i.e. batch 0's fold) is back in place
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bdir = new org.apache.hadoop.fs.Path(root, "_batches/1")
+    fs.delete(new org.apache.hadoop.fs.Path(bdir, "_APPLIED"), false)
+    val snap = new org.apache.hadoop.fs.Path(bdir, "snapshot")
+    val sk0 = java.nio.file.Files.createTempDirectory("qsinkq").toString + "/sk0"
+    QuantileSink.maintain(spark, b0.toDF("grp", "v"), sk0,
+      Seq("grp"), Seq("grp"), "v") // rebuild batch 0's fold standalone
+    spark.read.parquet(sk0).select(col("grp"), col("k"), col("cnt"))
+      .write.mode("overwrite").parquet(snap.toString)
+    fs.create(new org.apache.hadoop.fs.Path(bdir, "_SNAPSHOT_DONE"), true).close()
+    // replay of batch 1 against the forged crash state
+    val re = QuantileSink.maintain(spark, b1.toDF("grp", "v"), root,
+      Seq("grp"), Seq("grp"), "v", batchId = Some(1L))
+    assert(re === 2)
+    assert(quantRows(root, Seq(50, 90)) === committed,
+      "crash-window replay must converge, not double-fold")
+    val oneShot = graft.operators.Sketches
+      .ddQuantiles((b0 ++ b1).toDF("grp", "v"), "grp", "v", Seq(50, 90))
+      .as[(String, Long, Long, Double)].collect().toSet
+    assert(quantRows(root, Seq(50, 90)) === oneShot)
+  }
 }
