@@ -2109,6 +2109,38 @@ object SparkEntry {
        |""".stripMargin
   }
 
+  /** The q140 oracle: both Count-Min grids replayed as GROUP BYs over
+    * the SAME affine-hash slot arithmetic — constants inlined from
+    * [[graft.functions.HashFamilies]] at generation time (one code
+    * path, no drift) — then `min_d ⟨row_d(orders), row_d(lineitem)⟩`.
+    * All mod-2^64 wrapping runs in HUGEINT.
+    */
+  private def q140OracleSql: String = {
+    val (depth, width, seed) = (4, 8192, 42L)
+    val as = graft.functions.HashFamilies.multipliers(depth, seed)
+    val bs = graft.functions.HashFamilies.offsets(depth, seed)
+    val consts = (0 until depth)
+      .map(d => s"($d, CAST(${as(d)} AS HUGEINT), CAST(${bs(d)} AS HUGEINT))")
+      .mkString(",\n  ")
+    val h = "18446744073709551616" // 2^64
+    def slotCte(name: String, table: String, key: String): String =
+      s"""$name AS (SELECT c.d,
+         |    CAST((((CAST($key AS HUGEINT) * c.a + c.b) % $h + $h) % $h)
+         |      // 8589934592 % $width AS INT) AS s, count(*) AS cnt
+         |  FROM $table, consts c WHERE $key IS NOT NULL GROUP BY 1, 2)""".stripMargin
+    s"""WITH consts(d, a, b) AS (VALUES
+       |  $consts),
+       |${slotCte("oslot", "orders", "o_orderkey")},
+       |${slotCte("lslot", "lineitem", "l_orderkey")},
+       |dd AS (SELECT range AS d FROM range($depth)),
+       |dots AS (SELECT dd.d, coalesce(sum(o.cnt * l.cnt), 0) AS dot
+       |  FROM dd LEFT JOIN oslot o ON o.d = dd.d
+       |  LEFT JOIN lslot l ON l.d = o.d AND l.s = o.s
+       |  GROUP BY 1)
+       |SELECT CAST(min(dot) AS BIGINT) AS est_join_rows FROM dots
+       |""".stripMargin
+  }
+
   /** The q192 pieces-face oracle: the q190 DP skeleton lifted to
     * HUGEINT `p = v·2^64 + t` (t = the length-digit tiebreak of
     * `UnigramKernel.chunkPacked`, base `maxPiece`, last piece most
@@ -2861,9 +2893,17 @@ object SparkEntry {
     * ([[graft.operators.Sketches.cmsJoinSize]]): |orders ⋈ lineitem|
     * on the order key from two one-pass KB-size Count-Min grids — the
     * planner-side oracle consulted before committing a join order or a
-    * broadcast decision. Never under the true size; hash-specific
-    * value, so no SQL oracle — SketchesSpec pins the ≥-exact and
-    * ε-bound guarantees against the exactly-computed join size.
+    * broadcast decision. Never under the true size (SketchesSpec pins
+    * the ≥-exact and ε-bound guarantees against the exactly-computed
+    * join size). EXACT oracle: the affine hash family is deterministic
+    * integer arithmetic — `slot_d(k) = ((k·a_d + b_d) ≫ 33) mod width`
+    * with the eight (a, b) constants derived from seed 42 — so
+    * [[q140OracleSql]] INLINES the very constants
+    * `HashFamilies.multipliers/offsets` produce (generated from the
+    * same code, they cannot drift) and replays both grids as GROUP BYs
+    * over HUGEINT mod-2^64 arithmetic, then the min-of-inner-products
+    * estimator. A hash bug, a grid-merge bug, or an estimator bug all
+    * hash-fail.
     */
   def q140(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -5274,6 +5314,7 @@ object SparkEntry {
     // vocab VALUES literal, UNK = 20e6 units.
     "q190_unigram_apply" -> q190OracleSql,
     "q192_unigram_pieces" -> q192OracleSql,
+    "q140_join_card" -> q140OracleSql,
     // q191: frame hashes rebuild from the same MD5 low bits (the ±4
     // step signs ARE the dHash bits — the prefix construction cannot
     // produce ties), ALL frame pairs brute-force at hamming <= 3
