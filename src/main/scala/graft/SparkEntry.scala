@@ -1139,9 +1139,18 @@ object SparkEntry {
     * [[graft.operators.Dedup.semanticDedup]]): k-means cells bound the
     * pairwise cosine stage, connected components pick lowest-id
     * survivors. τ = 0.42 sits just inside the fixture's cosine tail so
-    * real duplicate groups form. Cluster assignment is k-means —
-    * not SQL-expressible: no oracle; semantics pinned by SemanticDedupSpec
-    * planted-cluster tests.
+    * real duplicate groups form. EXACT oracle: the whole Lloyd loop is
+    * deterministic arithmetic — init = the `nlist` lowest-id vectors,
+    * assignment = the [[graft.functions.NearestCentroid]] argmax
+    * (sequential dot × 1/√‖c‖², smallest cell on ties), and the
+    * centroid update routes per-dim sums through DECIMAL(27,18) (an
+    * order-independent fold — a plain avg(double) would make the
+    * fitted centroids partition-order-dependent and unreplayable) — so
+    * [[q97OracleSql]] unrolls the three iterations verbatim in DuckDB,
+    * replays the final assignment, the in-cell cosine pairs, and the
+    * q37 recursive component closure. A drift in ANY iteration's
+    * assignment or mean hash-fails; SemanticDedupSpec additionally
+    * pins planted-cluster semantics.
     */
   def q97(s: SparkSession, d: String): DataFrame =
     graft.operators.Dedup.semanticDedup(emb(s, d), "vec_id", "embedding",
@@ -2106,6 +2115,63 @@ object SparkEntry {
        |                       AS DOUBLE) / a.np, 4) + 0
        |  END AS chars_per_piece
        |FROM docsrc d LEFT JOIN daggr a USING (doc_id)
+       |""".stripMargin
+  }
+
+  /** The q97 oracle: the Lloyd loop unrolled — per iteration, the
+    * [[graft.functions.NearestCentroid]] assignment (same operation
+    * order: sequential dot, × 1/√‖c‖², ties to the smallest cell) and
+    * the DECIMAL(27,18)-routed per-dim mean with lost cells keeping
+    * their previous centroid — then the final assignment, the in-cell
+    * cosine pair stage at τ, and the q37 recursive reach closure.
+    */
+  private def q97OracleSql: String = {
+    val (nlist, tau, iters) = (8, 0.42, 3)
+    def assign(prev: String, name: String): String =
+      s"""$name AS MATERIALIZED (SELECT id, cell FROM (
+         |  SELECT e.id, c.cell,
+         |    row_number() OVER (PARTITION BY e.id ORDER BY
+         |      list_dot_product(e.vec, c.cvec) *
+         |        (1.0 / sqrt(list_dot_product(c.cvec, c.cvec))) DESC,
+         |      c.cell ASC) AS rk
+         |  FROM e, $prev c
+         |  WHERE list_dot_product(c.cvec, c.cvec) > 0 AND len(c.cvec) = len(e.vec)
+         |) WHERE rk = 1)""".stripMargin
+    def update(a: String, prev: String, name: String): String =
+      s"""${name}m AS MATERIALIZED (SELECT a.cell, ev.pos,
+         |    CAST(sum(CAST(ev.v AS DECIMAL(27,18))) AS DOUBLE) / count(*) AS m
+         |  FROM $a a JOIN ev ON ev.id = a.id GROUP BY 1, 2),
+         |$name AS MATERIALIZED (SELECT cell, list(newv ORDER BY pos) AS cvec FROM (
+         |  SELECT cp.cell, cp.pos, coalesce(m.m, cp.oldv) AS newv
+         |  FROM (SELECT cell, generate_subscripts(cvec, 1) - 1 AS pos,
+         |        unnest(cvec) AS oldv FROM $prev) cp
+         |  LEFT JOIN ${name}m m ON m.cell = cp.cell AND m.pos = cp.pos
+         |) GROUP BY cell)""".stripMargin
+    val rounds = (1 to iters).map(i =>
+      assign(s"c${i - 1}", s"a$i") + ",\n" + update(s"a$i", s"c${i - 1}", s"c$i"))
+      .mkString(",\n")
+    s"""WITH RECURSIVE
+       |e AS MATERIALIZED (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS vec
+       |  FROM embeddings WHERE embedding IS NOT NULL),
+       |ev AS MATERIALIZED (SELECT id, generate_subscripts(vec, 1) - 1 AS pos,
+       |  unnest(vec) AS v FROM e),
+       |c0 AS MATERIALIZED (SELECT row_number() OVER (ORDER BY id) - 1 AS cell,
+       |  vec AS cvec FROM (SELECT id, vec FROM e ORDER BY id LIMIT $nlist)),
+       |$rounds,
+       |${assign(s"c$iters", "af")},
+       |pairs AS (SELECT x.id AS a_id, y.id AS b_id
+       |  FROM af ax JOIN af ay ON ax.cell = ay.cell AND ax.id < ay.id
+       |  JOIN e x ON x.id = ax.id JOIN e y ON y.id = ay.id
+       |  WHERE list_cosine_similarity(x.vec, y.vec) >= $tau),
+       |edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+       |  UNION SELECT b_id, a_id FROM pairs
+       |  UNION SELECT id, id FROM e),
+       |reach(a, b) AS (SELECT src, dst FROM edges
+       |  UNION SELECT e2.src, r.b FROM edges e2 JOIN reach r ON e2.dst = r.a),
+       |surv AS (SELECT a AS id, min(b) AS survivor_id FROM reach GROUP BY a)
+       |SELECT af.id, CAST(af.cell AS INT) AS cell, s.survivor_id,
+       |  (af.id = s.survivor_id) AS is_survivor
+       |FROM af JOIN surv s USING (id)
        |""".stripMargin
   }
 
@@ -5315,6 +5381,7 @@ object SparkEntry {
     "q190_unigram_apply" -> q190OracleSql,
     "q192_unigram_pieces" -> q192OracleSql,
     "q140_join_card" -> q140OracleSql,
+    "q97_semantic_dedup" -> q97OracleSql,
     // q191: frame hashes rebuild from the same MD5 low bits (the ±4
     // step signs ARE the dHash bits — the prefix construction cannot
     // produce ties), ALL frame pairs brute-force at hamming <= 3

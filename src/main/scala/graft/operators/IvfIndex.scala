@@ -57,10 +57,18 @@ object IvfIndex {
       // the in-expression centroid matrix); the update aggregation
       // shuffles only the partial (cell, pos) means — nlist × dim rows
       // per input partition after map-side combine
+      // the per-dim mean routes through an exact decimal sum: a plain
+      // avg(double) folds in partition-completion order, so the fitted
+      // centroids (and every assignment derived from them) would vary
+      // run to run — decimal addition is order-independent, making the
+      // whole Lloyd loop replay-stable and SQL-replayable (q97's exact
+      // oracle unrolls these very iterations in DuckDB)
       val means = corpus
         .withColumn("cell", VectorFunctions.nearestCentroid(col("vec"), cents))
         .select(col("cell"), posexplode(col("vec")).as(Seq("pos", "v")))
-        .groupBy(col("cell"), col("pos")).agg(avg(col("v")).as("m"))
+        .groupBy(col("cell"), col("pos"))
+        .agg((sum(col("v").cast(org.apache.spark.sql.types.DecimalType(27, 18)))
+          .cast("double") / count(lit(1))).as("m"))
         .collect()
       val next = cents.map(_.clone()) // cells that lost all members keep their centroid
       // a ragged corpus (rows longer than the init vectors) produces
