@@ -301,8 +301,15 @@ object SparkEntry {
         // INVALID_ARRAY_INDEX under ANSI mode (the Spark 4 default)
         try_element_at(col("fps"), lit(1)).as("fp_min"))
 
-  /** Q31 — IVF ANN (k-means-trained coarse quantizer: no oracle; recall
-    * asserted in specs).
+  /** Q31 — IVF ANN ([[graft.operators.IvfIndex.annTopK]]): the
+    * k-means-trained coarse quantizer, probes routed to their `nProbe`
+    * best cells, exact cosine re-rank inside the probed cells. EXACT
+    * oracle since the trainer went replay-stable (the q97 decimal-mean
+    * Lloyd loop): [[q31OracleSql]] unrolls the two fit iterations,
+    * replays the cell routing (cosine to each centroid, smallest cell
+    * on ties) and the candidate re-rank — the index's approximation
+    * vs TRUE top-k stays a recall-vs-exact property (spec-pinned),
+    * but the COMPUTATION itself is oracle-checked bit for bit.
     */
   def q31(s: SparkSession, d: String): DataFrame = {
     val e = emb(s, d)
@@ -1209,7 +1216,11 @@ object SparkEntry {
     * Jégou et al. 2011 end-to-end): coarse cells bound WHICH rows score,
     * PQ codes bound WHAT is read to score them, exact re-rank restores
     * precision. Index cached per corpus (build-once / probe-many).
-    * Approximate: recall pinned by spec (QuantizeSpec), no SQL oracle.
+    * EXACT oracle since both trainers went replay-stable (decimal-mean
+    * Lloyd loops): [[q101OracleSql]] unrolls the coarse quantizer, the
+    * residual PQ books, the multiprobe routing, the bias+LUT ADC fold,
+    * and the re-rank — the recall-vs-exact property stays spec-pinned
+    * (QuantizeSpec), but the computation is oracle-checked bit for bit.
     */
   def q101(s: SparkSession, d: String): DataFrame =
     // nProbe = 6 of 16 cells (multiprobe) + a 100-row shortlist +
@@ -2125,8 +2136,15 @@ object SparkEntry {
     * their previous centroid — then the final assignment, the in-cell
     * cosine pair stage at τ, and the q37 recursive reach closure.
     */
-  private def q97OracleSql: String = {
-    val (nlist, tau, iters) = (8, 0.42, 3)
+  /** Shared Lloyd-loop CTE builder: `e` (vectors), `ev` (exploded
+    * dims), `c0` (lowest-id init), `iters` assign/update rounds, and
+    * the final assignment `af` — the exact replay of
+    * [[graft.operators.IvfIndex.fit]] (sequential-dot argmax with
+    * smallest-cell ties, DECIMAL(27,18) means, lost cells keep their
+    * centroid). q97 and q31 both build on it.
+    */
+  private def kmeansCtes(nlist: Int, iters: Int,
+                         normalized: Boolean = false): String = {
     def assign(prev: String, name: String): String =
       s"""$name AS MATERIALIZED (SELECT id, cell FROM (
          |  SELECT e.id, c.cell,
@@ -2150,15 +2168,31 @@ object SparkEntry {
     val rounds = (1 to iters).map(i =>
       assign(s"c${i - 1}", s"a$i") + ",\n" + update(s"a$i", s"c${i - 1}", s"c$i"))
       .mkString(",\n")
-    s"""WITH RECURSIVE
-       |e AS MATERIALIZED (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS vec
-       |  FROM embeddings WHERE embedding IS NOT NULL),
+    // `normalized` replays [[graft.functions.L2Normalize]] first (the
+    // q94 CTE): IvfIndex.fit inside ivfPqTopK runs on the L2-normalized
+    // corpus, while q97/q31 train on raw vectors
+    val eCtes =
+      if (normalized)
+        """en AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS raw
+          |  FROM embeddings WHERE embedding IS NOT NULL),
+          |e AS MATERIALIZED (SELECT id, list_transform(raw,
+          |  x -> x * (1.0 / sqrt(list_dot_product(raw, raw)))) AS vec FROM en)""".stripMargin
+      else
+        """e AS MATERIALIZED (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS vec
+          |  FROM embeddings WHERE embedding IS NOT NULL)""".stripMargin
+    s"""$eCtes,
        |ev AS MATERIALIZED (SELECT id, generate_subscripts(vec, 1) - 1 AS pos,
        |  unnest(vec) AS v FROM e),
        |c0 AS MATERIALIZED (SELECT row_number() OVER (ORDER BY id) - 1 AS cell,
        |  vec AS cvec FROM (SELECT id, vec FROM e ORDER BY id LIMIT $nlist)),
        |$rounds,
-       |${assign(s"c$iters", "af")},
+       |${assign(s"c$iters", "af")}""".stripMargin
+  }
+
+  private def q97OracleSql: String = {
+    val (nlist, tau, iters) = (8, 0.42, 3)
+    s"""WITH RECURSIVE
+       |${kmeansCtes(nlist, iters)},
        |pairs AS (SELECT x.id AS a_id, y.id AS b_id
        |  FROM af ax JOIN af ay ON ax.cell = ay.cell AND ax.id < ay.id
        |  JOIN e x ON x.id = ax.id JOIN e y ON y.id = ay.id
@@ -2172,6 +2206,184 @@ object SparkEntry {
        |SELECT af.id, CAST(af.cell AS INT) AS cell, s.survivor_id,
        |  (af.id = s.survivor_id) AS is_survivor
        |FROM af JOIN surv s USING (id)
+       |""".stripMargin
+  }
+
+  /** The q31 oracle: the fitted index replayed ([[kmeansCtes]], two
+    * Lloyd rounds), probes routed to their `nProbe` best cells by
+    * cosine (ties to the smallest cell), candidates = members of the
+    * probed cells, exact cosine re-rank top-k — the IDENTICAL
+    * deterministic computation, so the "approximate" index is
+    * oracle-CHECKED end to end, cell routing included.
+    */
+  private def q31OracleSql: String = {
+    val (nlist, iters, nProbe, k) = (8, 2, 3, 10)
+    s"""WITH RECURSIVE
+       |${kmeansCtes(nlist, iters)},
+       |routed AS (SELECT probe_id, cell FROM (
+       |  SELECT p.id AS probe_id, c.cell,
+       |    row_number() OVER (PARTITION BY p.id ORDER BY
+       |      list_cosine_similarity(p.vec, c.cvec) DESC, c.cell ASC) AS crk
+       |  FROM e p, c$iters c WHERE p.id < 5
+       |) WHERE crk <= $nProbe),
+       |cand AS (SELECT r.probe_id, af.id,
+       |    list_cosine_similarity(x.vec, pv.vec) AS sim
+       |  FROM routed r JOIN af ON af.cell = r.cell AND af.id <> r.probe_id
+       |  JOIN e x ON x.id = af.id JOIN e pv ON pv.id = r.probe_id)
+       |SELECT probe_id, id AS vec_id,
+       |  CAST(row_number() OVER (PARTITION BY probe_id
+       |    ORDER BY sim DESC, id) AS BIGINT) AS rk,
+       |  round(sim, 4) + 0 AS sim_r
+       |FROM cand QUALIFY rk <= $k
+       |""".stripMargin
+  }
+
+  /** The q94 oracle: the PQ pipeline replayed end to end — L2
+    * normalization (elementwise × 1/√‖v‖²), five unrolled per-subspace
+    * Lloyd rounds with [[graft.functions.NearestCentroidL2]]'s exact
+    * scoring (`‖c‖² − 2·dot`, ties to the smallest centroid) and
+    * DECIMAL(27,18) means, corpus encoding, per-probe LUTs
+    * (`list_dot_product` of probe subvector × centroid — the driver
+    * loop's order), the ADC shortlist as a LEFT-TO-RIGHT `list_reduce`
+    * fold of subspace terms (the PqAdcScore accumulation order), and
+    * the exact cosine re-rank. Every trained byte and every score is
+    * checked, codebooks included.
+    */
+  /** Shared PQ-training CTE builder over `$src` (columns `id`,
+    * `vec`): `sv`/`svv` (subvector split), `b0` (first-`ksub`-by-id
+    * init), `iters` assign/update rounds with
+    * [[graft.functions.NearestCentroidL2]]'s exact scoring
+    * (`‖c‖² − 2·dot`, ties to the smallest centroid) and
+    * DECIMAL(27,18) means, and the final `codes` assignment — the
+    * exact replay of [[graft.operators.Quantize.fitPq]] +
+    * `encodePq`. q94 feeds it the normalized corpus; q101 the IVF
+    * residuals.
+    */
+  private def pqCtes(src: String, m: Int, ksub: Int, dsub: Int,
+                     iters: Int): String = {
+    def assignCte(books: String, name: String): String =
+      s"""$name AS MATERIALIZED (SELECT id, sub, cent FROM (
+         |  SELECT sv.id, sv.sub, b.cent,
+         |    row_number() OVER (PARTITION BY sv.id, sv.sub ORDER BY
+         |      list_dot_product(b.bvec, b.bvec) -
+         |        2.0 * list_dot_product(sv.sv, b.bvec) ASC,
+         |      b.cent ASC) AS rk
+         |  FROM sv JOIN $books b ON b.sub = sv.sub AND len(b.bvec) = len(sv.sv)
+         |) WHERE rk = 1)""".stripMargin
+    def updateCte(a: String, prev: String, name: String): String =
+      s"""${name}m AS MATERIALIZED (SELECT a.sub, a.cent, vv.pos,
+         |    CAST(sum(CAST(vv.v AS DECIMAL(27,18))) AS DOUBLE) / count(*) AS m
+         |  FROM $a a JOIN svv vv ON vv.id = a.id AND vv.sub = a.sub
+         |  GROUP BY 1, 2, 3),
+         |$name AS MATERIALIZED (SELECT sub, cent, list(nv ORDER BY pos) AS bvec
+         |  FROM (SELECT bp.sub, bp.cent, bp.pos, coalesce(m.m, bp.ov) AS nv
+         |    FROM (SELECT sub, cent, generate_subscripts(bvec, 1) - 1 AS pos,
+         |          unnest(bvec) AS ov FROM $prev) bp
+         |    LEFT JOIN ${name}m m ON m.sub = bp.sub AND m.cent = bp.cent
+         |      AND m.pos = bp.pos
+         |  ) GROUP BY 1, 2)""".stripMargin
+    val rounds = (1 to iters).map(i =>
+      assignCte(s"b${i - 1}", s"p$i") + ",\n" +
+        updateCte(s"p$i", s"b${i - 1}", s"b$i")).mkString(",\n")
+    s"""sv AS MATERIALIZED (SELECT id, s.range AS sub,
+       |    vec[CAST(s.range * $dsub + 1 AS INT):CAST(s.range * $dsub + $dsub AS INT)] AS sv
+       |  FROM $src, range($m) s),
+       |svv AS MATERIALIZED (SELECT id, sub, generate_subscripts(sv, 1) - 1 AS pos,
+       |  unnest(sv) AS v FROM sv),
+       |b0 AS MATERIALIZED (SELECT sv.sub, r.cent, sv.sv AS bvec
+       |  FROM (SELECT id, row_number() OVER (ORDER BY id) - 1 AS cent
+       |        FROM $src ORDER BY id LIMIT $ksub) r
+       |  JOIN sv ON sv.id = r.id),
+       |$rounds,
+       |${assignCte(s"b$iters", "codes")}""".stripMargin
+  }
+
+  private def q94OracleSql: String = {
+    val (m, ksub, dsub, iters, shortlist, k) = (8, 16, 8, 5, 100, 10)
+    s"""WITH en AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS raw
+       |  FROM embeddings WHERE embedding IS NOT NULL),
+       |e AS MATERIALIZED (SELECT id, list_transform(raw,
+       |  x -> x * (1.0 / sqrt(list_dot_product(raw, raw)))) AS vec FROM en),
+       |${pqCtes("e", m, ksub, dsub, iters)},
+       |lut AS MATERIALIZED (SELECT sv.id AS probe_id, b.sub, b.cent,
+       |    list_dot_product(sv.sv, b.bvec) AS t
+       |  FROM sv JOIN b$iters b ON b.sub = sv.sub WHERE sv.id < 5),
+       |sc AS MATERIALIZED (SELECT l.probe_id, c.id,
+       |    list_reduce(list(l.t ORDER BY l.sub), (x, y) -> x + y) AS score
+       |  FROM codes c JOIN lut l ON l.sub = c.sub AND l.cent = c.cent
+       |  WHERE c.id <> l.probe_id GROUP BY 1, 2),
+       |short AS (SELECT probe_id, id FROM (SELECT probe_id, id,
+       |    row_number() OVER (PARTITION BY probe_id
+       |      ORDER BY score DESC, id ASC) AS srk FROM sc) WHERE srk <= $shortlist),
+       |rer AS (SELECT s.probe_id, s.id,
+       |    list_cosine_similarity(cx.vec, px.vec) AS sim
+       |  FROM short s JOIN e cx ON cx.id = s.id JOIN e px ON px.id = s.probe_id)
+       |SELECT probe_id, id AS vec_id,
+       |  CAST(row_number() OVER (PARTITION BY probe_id
+       |    ORDER BY sim DESC, id) AS BIGINT) AS rk,
+       |  round(sim, 4) + 0 AS sim_r
+       |FROM rer QUALIFY rk <= $k
+       |""".stripMargin
+  }
+
+  /** The q101 oracle: the COMPOSED IVF-PQ pipeline replayed end to
+    * end — L2 normalization, the coarse quantizer's three Lloyd rounds
+    * ([[kmeansCtes]] in normalized mode), the RESIDUAL encoding
+    * (`v − centroid(cell)` rebuilt per-dimension from the exploded
+    * corpus × the final centroid table), three per-subspace PQ Lloyd
+    * rounds over those residuals ([[pqCtes]]), multiprobe cell routing
+    * (cosine to each centroid, `nProbe` best, ties to the smallest
+    * cell), per-(probe, cell) bias `p·centroid` + per-subspace LUTs
+    * (the residual-ADC identity `p·v = p·c + p·r`), the ADC shortlist
+    * as a left-to-right fold + bias (the PqAdcScore + bias order), and
+    * the exact cosine re-rank. Both trained codebooks, the cell
+    * routing, and every score replay bit for bit — the approximation
+    * vs TRUE top-k stays a recall property (QuantizeSpec pins it), but
+    * the computation itself is oracle-checked.
+    */
+  private def q101OracleSql: String = {
+    val (nlist, nProbe, m, ksub, dsub, iters, shortlist, k) =
+      (16, 6, 8, 16, 8, 3, 100, 10)
+    s"""WITH RECURSIVE
+       |${kmeansCtes(nlist, iters, normalized = true)},
+       |cf AS MATERIALIZED (SELECT cell, generate_subscripts(cvec, 1) - 1 AS pos,
+       |  unnest(cvec) AS cv FROM c$iters),
+       |rv AS MATERIALIZED (SELECT af.id, ev.pos, ev.v - cf.cv AS v
+       |  FROM af JOIN ev ON ev.id = af.id
+       |  JOIN cf ON cf.cell = af.cell AND cf.pos = ev.pos),
+       |r AS MATERIALIZED (SELECT id, list(v ORDER BY pos) AS vec
+       |  FROM rv GROUP BY id),
+       |${pqCtes("r", m, ksub, dsub, iters)},
+       |pr AS MATERIALIZED (SELECT id, vec FROM e WHERE id < 5),
+       |routed AS MATERIALIZED (SELECT probe_id, cell, bias FROM (
+       |  SELECT p.id AS probe_id, c.cell,
+       |    list_dot_product(p.vec, c.cvec) AS bias,
+       |    row_number() OVER (PARTITION BY p.id ORDER BY
+       |      list_cosine_similarity(p.vec, c.cvec) DESC, c.cell ASC) AS crk
+       |  FROM pr p, c$iters c
+       |) WHERE crk <= $nProbe),
+       |lut AS MATERIALIZED (SELECT p.id AS probe_id, b.sub, b.cent,
+       |    list_dot_product(
+       |      p.vec[CAST(b.sub * $dsub + 1 AS INT):CAST(b.sub * $dsub + $dsub AS INT)],
+       |      b.bvec) AS t
+       |  FROM pr p, b$iters b),
+       |sc AS MATERIALIZED (SELECT rt.probe_id, af.id,
+       |    list_reduce(list(l.t ORDER BY l.sub), (x, y) -> x + y) + rt.bias AS score
+       |  FROM routed rt JOIN af ON af.cell = rt.cell AND af.id <> rt.probe_id
+       |  JOIN codes c ON c.id = af.id
+       |  JOIN lut l ON l.probe_id = rt.probe_id AND l.sub = c.sub AND l.cent = c.cent
+       |  GROUP BY rt.probe_id, af.id, rt.bias),
+       |short AS (SELECT probe_id, id FROM (SELECT probe_id, id,
+       |    row_number() OVER (PARTITION BY probe_id
+       |      ORDER BY score DESC, id ASC) AS srk FROM sc) WHERE srk <= $shortlist),
+       |rer AS (SELECT s.probe_id, s.id,
+       |    list_cosine_similarity(cx.vec, px.vec) AS sim
+       |  FROM short s JOIN e cx ON cx.id = s.id JOIN pr px ON px.id = s.probe_id)
+       |SELECT probe_id, id AS vec_id,
+       |  CAST(row_number() OVER (PARTITION BY probe_id
+       |    ORDER BY sim DESC, id) AS BIGINT) AS rk,
+       |  round(sim, 4) + 0 AS sim_r
+       |FROM rer QUALIFY rk <= $k
        |""".stripMargin
   }
 
@@ -5382,6 +5594,9 @@ object SparkEntry {
     "q192_unigram_pieces" -> q192OracleSql,
     "q140_join_card" -> q140OracleSql,
     "q97_semantic_dedup" -> q97OracleSql,
+    "q31_ivf_ann" -> q31OracleSql,
+    "q94_pq_ann" -> q94OracleSql,
+    "q101_ivfpq_ann" -> q101OracleSql,
     // q191: frame hashes rebuild from the same MD5 low bits (the ±4
     // step signs ARE the dHash bits — the prefix construction cannot
     // produce ties), ALL frame pairs brute-force at hamming <= 3

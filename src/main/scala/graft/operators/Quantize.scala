@@ -112,7 +112,11 @@ object Quantize {
         }: _*)).as("e"))
         .select(col("e.sub"), col("e.cent"), posexplode(col("e.sv")).as(Seq("pos", "v")))
         .groupBy(col("sub"), col("cent"), col("pos"))
-        .agg(avg(col("v")).as("mean"))
+        // decimal-routed mean: order-independent fold, so the trained
+        // codebooks are replay-stable and SQL-replayable (the q94
+        // oracle unrolls these rounds) — the IvfIndex.fit recipe
+        .agg((sum(col("v").cast(org.apache.spark.sql.types.DecimalType(27, 18)))
+          .cast("double") / count(lit(1))).as("mean"))
         .collect()
       val next = books.map(_.map(_.clone()))
       means.foreach { r =>
@@ -326,7 +330,10 @@ object Quantize {
       val n = math.min(a.length, b.length)
       while (i < n) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
       if (na == 0.0 || nb == 0.0) Double.NegativeInfinity
-      else d / math.sqrt(na * nb)
+      // sqrt(na) * sqrt(nb), NOT sqrt(na * nb): bit-identical to the
+      // CosineSimilarity expression and DuckDB's list_cosine_similarity,
+      // so the q101 oracle's cell routing replays rank-for-rank
+      else d / (math.sqrt(na) * math.sqrt(nb))
     }
     def dot(a: Array[Double], b: Array[Double]): Double = {
       var d = 0.0; var i = 0

@@ -45,6 +45,12 @@ def main(sfdir, outdir):
 
     failures = []
     for name in sorted(oracles):
+        # skip oracles whose Spark dump wasn't selected (SPARK_GRAFT_ONLY
+        # local iteration) BEFORE running the oracle SQL — the Lloyd /
+        # recursive-closure replays are the expensive side at sf0.1
+        import os
+        if not os.path.isdir(f"{outdir}/{name}"):
+            continue
         sql = oracles[name]
         try:
             want = con.execute(sql).fetchdf()
