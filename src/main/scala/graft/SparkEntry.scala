@@ -1664,15 +1664,20 @@ object SparkEntry {
     * table persists. The probe side multiprobes its 2 least-confident
     * bit flips per table (recall 15/16 vs 13/16 planted-mate floor;
     * the tables-vs-probes cost trade is measured in BASELINE.md
-    * `ann_mine_recall`). Hash-bucket-specific output: no SQL oracle;
-    * SimilaritySpec pins partner agreement with the exact miner.
+    * `ann_mine_recall`). Runs in PORTABLE-plane mode (MD5 Rademacher
+    * ±1, the q26/q27 discipline), so the EXACT oracle
+    * ([[q147OracleSql]]) rebuilds every table's per-bit dots, the base
+    * signatures, the 2 least-confident flips, the bucket join, and
+    * q144's margin machinery over the candidate set — bucketing
+    * included, bit for bit. The production Gaussian mode's recall
+    * stays SimilaritySpec-pinned (partner agreement with q144).
     */
   def q147(s: SparkSession, d: String): DataFrame = {
     val e = emb(s, d)
     graft.operators.Similarity.marginMiningAnn(
       e.filter(pmod(col("vec_id"), lit(2)) === 0),
       e.filter(pmod(col("vec_id"), lit(2)) === 1),
-      "vec_id", "embedding", k = 4)
+      "vec_id", "embedding", k = 4, portablePlanes = true)
   }
 
   /** Q148 — learned quality classifier
@@ -2238,17 +2243,6 @@ object SparkEntry {
        |""".stripMargin
   }
 
-  /** The q94 oracle: the PQ pipeline replayed end to end — L2
-    * normalization (elementwise × 1/√‖v‖²), five unrolled per-subspace
-    * Lloyd rounds with [[graft.functions.NearestCentroidL2]]'s exact
-    * scoring (`‖c‖² − 2·dot`, ties to the smallest centroid) and
-    * DECIMAL(27,18) means, corpus encoding, per-probe LUTs
-    * (`list_dot_product` of probe subvector × centroid — the driver
-    * loop's order), the ADC shortlist as a LEFT-TO-RIGHT `list_reduce`
-    * fold of subspace terms (the PqAdcScore accumulation order), and
-    * the exact cosine re-rank. Every trained byte and every score is
-    * checked, codebooks included.
-    */
   /** Shared PQ-training CTE builder over `$src` (columns `id`,
     * `vec`): `sv`/`svv` (subvector split), `b0` (first-`ksub`-by-id
     * init), `iters` assign/update rounds with
@@ -2384,6 +2378,72 @@ object SparkEntry {
        |    ORDER BY sim DESC, id) AS BIGINT) AS rk,
        |  round(sim, 4) + 0 AS sim_r
        |FROM rer QUALIFY rk <= $k
+       |""".stripMargin
+  }
+
+  /** The q147 oracle: the multiprobe-LSH bitext miner replayed end to
+    * end — the q26 MD5 Rademacher plane construction per table
+    * (seed 42 + t), per-bit dots, base signatures, the probe side's 2
+    * least-confident single-bit flips (sorted by (|dot|, bit) — the
+    * expression's strict-< selection order), the (t, sig) bucket join,
+    * DISTINCT candidate pairs, and q144's margin machinery (top-4 both
+    * directions over the CANDIDATE set, DECIMAL(18,4) averages,
+    * rounded margin, top-1 per probe). A plane bug, a flip-order bug,
+    * a bucket-join bug, or a margin divergence all hash-fail.
+    */
+  private def q147OracleSql: String = {
+    val (bits, tables, probes, k, seed) = (8, 8, 2, 4, 42)
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |dims AS (SELECT unnest(range(len(e0.embedding))) AS i
+       |  FROM (SELECT embedding FROM embeddings LIMIT 1) e0),
+       |pl AS MATERIALIZED (SELECT t.range AS t, b.range AS b,
+       |    list(CASE WHEN CAST('0x' || substr(md5(
+       |          ($seed + t.range) || ':' || b.range || ':' || dims.i),
+       |        16, 1) AS INT) & 1 = 1
+       |      THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END
+       |      ORDER BY dims.i) AS p
+       |  FROM range($tables) t, range($bits) b, dims
+       |  GROUP BY 1, 2),
+       |db AS MATERIALIZED (SELECT e.vec_id, pl.t, pl.b,
+       |    list_dot_product(e.v, pl.p) AS d
+       |  FROM e, pl),
+       |sg AS MATERIALIZED (SELECT vec_id, t,
+       |    CAST(sum(CASE WHEN d >= 0 THEN 1 << b ELSE 0 END) AS BIGINT) AS sig
+       |  FROM db GROUP BY 1, 2),
+       |fl AS (SELECT vec_id, t, b FROM (SELECT vec_id, t, b,
+       |    row_number() OVER (PARTITION BY vec_id, t
+       |      ORDER BY abs(d) ASC, b ASC) AS frk
+       |  FROM db WHERE vec_id % 2 = 0) WHERE frk <= $probes),
+       |asig AS (SELECT vec_id, t, sig FROM sg WHERE vec_id % 2 = 0
+       |  UNION ALL
+       |  SELECT f.vec_id, f.t, xor(s.sig, CAST(1 << f.b AS BIGINT)) AS sig
+       |  FROM fl f JOIN sg s ON s.vec_id = f.vec_id AND s.t = f.t),
+       |cand AS (SELECT DISTINCT a.vec_id AS a_id, c.vec_id AS b_id
+       |  FROM asig a JOIN sg c ON c.t = a.t AND c.sig = a.sig
+       |  WHERE c.vec_id % 2 = 1),
+       |pr AS MATERIALIZED (SELECT c.a_id, c.b_id,
+       |    list_cosine_similarity(bv.v, av.v) AS sim
+       |  FROM cand c JOIN e av ON av.vec_id = c.a_id
+       |  JOIN e bv ON bv.vec_id = c.b_id),
+       |fwd AS (SELECT a_id, b_id, round(sim, 4) + 0 AS sim_r
+       |  FROM (SELECT a_id, b_id, sim,
+       |    row_number() OVER (PARTITION BY a_id ORDER BY sim DESC, b_id) AS rk
+       |  FROM pr) WHERE rk <= $k),
+       |bwd AS (SELECT b_id, round(sim, 4) + 0 AS sim_r
+       |  FROM (SELECT b_id, sim,
+       |    row_number() OVER (PARTITION BY b_id ORDER BY sim DESC, a_id) AS rk
+       |  FROM pr) WHERE rk <= $k),
+       |aa AS (SELECT a_id, CAST(sum(CAST(sim_r AS DECIMAL(18,4))) AS DOUBLE)
+       |  / count(*) AS avg_a FROM fwd GROUP BY 1),
+       |ab AS (SELECT b_id, CAST(sum(CAST(sim_r AS DECIMAL(18,4))) AS DOUBLE)
+       |  / count(*) AS avg_b FROM bwd GROUP BY 1),
+       |sc AS (SELECT f.a_id, f.b_id, f.sim_r,
+       |  round(f.sim_r / ((aa.avg_a + ab.avg_b) / 2), 6) + 0 AS margin
+       |  FROM fwd f JOIN aa USING (a_id) JOIN ab USING (b_id)),
+       |r AS (SELECT a_id, b_id, sim_r, margin,
+       |  row_number() OVER (PARTITION BY a_id ORDER BY margin DESC, b_id) AS rk
+       |  FROM sc)
+       |SELECT a_id, b_id, sim_r, margin FROM r WHERE rk = 1
        |""".stripMargin
   }
 
@@ -5597,6 +5657,7 @@ object SparkEntry {
     "q31_ivf_ann" -> q31OracleSql,
     "q94_pq_ann" -> q94OracleSql,
     "q101_ivfpq_ann" -> q101OracleSql,
+    "q147_margin_ann" -> q147OracleSql,
     // q191: frame hashes rebuild from the same MD5 low bits (the ±4
     // step signs ARE the dHash bits — the prefix construction cannot
     // produce ties), ALL frame pairs brute-force at hamming <= 3

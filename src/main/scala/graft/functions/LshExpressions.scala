@@ -25,6 +25,30 @@ import org.apache.spark.sql.types._
   * callers keep the Gaussian default; recall of both modes is pinned
   * in SimilaritySpec.
   */
+/** Hyperplane matrix generation shared by [[RandomHyperplaneSignature]]
+  * and [[RandomHyperplaneMultiprobe]] — one construction, so a
+  * multiprobed side always joins the single-signature side's buckets
+  * in BOTH modes.
+  */
+private[functions] object HyperplanePlanes {
+  def gen(bits: Int, dim: Int, seed: Long, portable: Boolean): Array[Double] =
+    if (portable) {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      Array.tabulate(bits * dim) { j =>
+        val b = j / dim
+        val i = j % dim
+        val h = md.digest(s"$seed:$b:$i"
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        // low bit of the first 8 big-endian bytes = low bit of byte 7
+        // = parity of the 16th hex digit — what the oracle replays
+        if ((h(7) & 1) == 1) 1.0 else -1.0
+      }
+    } else {
+      val rnd = new java.util.Random(seed ^ (dim.toLong * 0x9E3779B97F4A7C15L))
+      Array.fill(bits * dim)(rnd.nextGaussian())
+    }
+}
+
 case class RandomHyperplaneSignature(child: Expression, bits: Int, seed: Long,
                                      portable: Boolean = false)
     extends UnaryExpression with CodegenFallback {
@@ -40,23 +64,8 @@ case class RandomHyperplaneSignature(child: Expression, bits: Int, seed: Long,
     new java.util.concurrent.ConcurrentHashMap[Int, Array[Double]]()
 
   private def planes(dim: Int): Array[Double] =
-    planeCache.computeIfAbsent(dim, d => {
-      if (portable) {
-        val md = java.security.MessageDigest.getInstance("MD5")
-        Array.tabulate(bits * d) { j =>
-          val b = j / d
-          val i = j % d
-          val h = md.digest(s"$seed:$b:$i"
-            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-          // low bit of the first 8 big-endian bytes = low bit of byte 7
-          // = parity of the 16th hex digit — what the oracle replays
-          if ((h(7) & 1) == 1) 1.0 else -1.0
-        }
-      } else {
-        val rnd = new java.util.Random(seed ^ (d.toLong * 0x9E3779B97F4A7C15L))
-        Array.fill(bits * d)(rnd.nextGaussian())
-      }
-    })
+    planeCache.computeIfAbsent(dim, d =>
+      HyperplanePlanes.gen(bits, d, seed, portable))
 
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
@@ -90,14 +99,19 @@ case class RandomHyperplaneSignature(child: Expression, bits: Int, seed: Long,
   * recall extra hash tables would buy at a fraction of the candidate
   * volume (probing multiplies only the PROBE side's rows; a new table
   * re-hashes both sides). Plane generation is IDENTICAL to
-  * [[RandomHyperplaneSignature]] for the same seed, so a multiprobed
-  * side joins directly against single-signature buckets.
+  * [[RandomHyperplaneSignature]] for the same seed (and the same
+  * `portable` mode — MD5 Rademacher ±1 planes that replay in SQL, the
+  * q26 discipline; `SparkEntry.q147`'s oracle rebuilds the multiprobe
+  * buckets from them), so a multiprobed side joins directly against
+  * single-signature buckets.
   *
   * Returns `array<bigint>` of 1 + `probes` distinct signatures, base
-  * first, then flips in increasing |dot| order.
+  * first, then flips in increasing (|dot|, bit) order — the tie on
+  * equal |dot| goes to the LOWER bit index (strict `<` selection),
+  * which the oracle's `(abs(d), b)` sort key replays.
   */
 case class RandomHyperplaneMultiprobe(child: Expression, bits: Int, seed: Long,
-                                      probes: Int)
+                                      probes: Int, portable: Boolean = false)
     extends UnaryExpression with CodegenFallback {
   require(bits >= 1 && bits <= 64, "bits must be in [1, 64]")
   require(probes >= 0 && probes < bits, "probes must be in [0, bits)")
@@ -111,10 +125,8 @@ case class RandomHyperplaneMultiprobe(child: Expression, bits: Int, seed: Long,
     new java.util.concurrent.ConcurrentHashMap[Int, Array[Double]]()
 
   private def planes(dim: Int): Array[Double] =
-    planeCache.computeIfAbsent(dim, d => {
-      val rnd = new java.util.Random(seed ^ (d.toLong * 0x9E3779B97F4A7C15L))
-      Array.fill(bits * d)(rnd.nextGaussian())
-    })
+    planeCache.computeIfAbsent(dim, d =>
+      HyperplanePlanes.gen(bits, d, seed, portable))
 
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]

@@ -263,7 +263,8 @@ object Similarity {
   def marginMiningAnn(a: DataFrame, b: DataFrame, idCol: String,
                       vecCol: String, k: Int, bits: Int = 8,
                       tables: Int = 8, probes: Int = 2,
-                      seed: Long = 42L): DataFrame = {
+                      seed: Long = 42L,
+                      portablePlanes: Boolean = false): DataFrame = {
     // `a` is the probe side: it additionally visits each table's
     // `probes` least-confident bit-flip buckets (multiprobe — recall
     // close to 2-4x the table count at ~(1+probes)x one side's rows,
@@ -274,7 +275,8 @@ object Similarity {
         explode(concat((0 until tables).map { t =>
           transform(
             ColumnBridge.column(graft.functions.RandomHyperplaneMultiprobe(
-              ColumnBridge.expression(col(vec)), bits, seed + t, nProbes)),
+              ColumnBridge.expression(col(vec)), bits, seed + t, nProbes,
+              portablePlanes)),
             s => struct(lit(t).as("t"), s.as("sig")))
         }: _*)).as("bucket"))
     val ab = withBuckets(spreadIfNarrow(

@@ -259,6 +259,14 @@ class SimilaritySpec extends SparkSpec {
       .select("a_id", "b_id").as[(Long, Long)].collect().toMap
     val rec0 = (0L until 16L).count(i => zeroProbe.get(2 * i).contains(2 * i + 1))
     assert(rec0 <= recovered, s"probes must not lose mates: $rec0 vs $recovered")
+    // portable (MD5 Rademacher) planes are the same Charikar family —
+    // the mode q147 runs so its oracle can replay the buckets; recall
+    // must hold there too, not just under the Gaussian default
+    val portable = graft.operators.Similarity.marginMiningAnn(
+        a, b, "vec_id", "embedding", k = 4, portablePlanes = true)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toMap
+    val recP = (0L until 16L).count(i => portable.get(2 * i).contains(2 * i + 1))
+    assert(recP >= 14, s"portable-plane miner recovered only $recP/16 mates")
   }
 
   test("centroidSpread: aligned class scores 1.0; its centroid broadcasts back") {
