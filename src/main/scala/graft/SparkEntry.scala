@@ -1190,9 +1190,16 @@ object SparkEntry {
 
   /** Q99 — BPE tokenizer training ([[graft.operators.Corpus.learnBpe]];
     * Sennrich et al. 2016): 12 merge rules learned from the documents
-    * corpus, one partial-aggregated pair-count pass per round.
-    * Iterative argmax is not SQL-expressible: no oracle; the learner is
-    * pinned against a driver-side reference implementation (BpeSpec).
+    * corpus, one partial-aggregated pair-count pass per round. EXACT
+    * oracle ([[q99OracleSql]]): the sequential reference semantics —
+    * overlapping adjacent-pair counts weighted by word frequency,
+    * argmax by (count DESC, left, right) in code-point order, merge
+    * applied left-to-right non-overlapping — replay as 12 unrolled CTE
+    * rounds under the q102 sentinel-encoding trick (each learned
+    * symbol ↦ a private-use code point, so one merge application ≡ one
+    * string `replace`); a decode table maps sentinels back to symbol
+    * strings for the tie-break and the output. The distributed batch
+    * path's ≡-to-sequential property stays BpeSpec-pinned.
     */
   def q99(s: SparkSession, d: String): DataFrame =
     graft.operators.Corpus.learnBpe(docs(s, d), "text", numMerges = 12)
@@ -2379,6 +2386,50 @@ object SparkEntry {
        |  round(sim, 4) + 0 AS sim_r
        |FROM rer QUALIFY rk <= $k
        |""".stripMargin
+  }
+
+  /** The q99 oracle: 12 rounds of sequential BPE unrolled. Round k
+    * extracts every adjacent code-point pair of the current
+    * sentinel-encoded word strings (OVERLAPPING positions — "aaa"
+    * counts (a,a) twice, the Sennrich reference convention
+    * [[graft.operators.Corpus.localBpeTrain]] implements), weights by
+    * word frequency, decodes pair halves through the sentinel table
+    * for the (cnt DESC, l, r) code-point tie-break (UTF-8 binary
+    * collation ≡ code-point order), records the winner, and applies
+    * the merge as `replace(s, lc||rc, chr(0xE000+k))` — left-to-right
+    * non-overlapping, exactly `applyOne`. Incremental-count drift in
+    * the engine (the heap path) or any tokenize/tie-break divergence
+    * hash-fails against this from-scratch recount.
+    */
+  private def q99OracleSql: String = {
+    val numMerges = 12
+    val head =
+      """w AS MATERIALIZED (SELECT w AS s0, CAST(count(*) AS BIGINT) AS wc FROM (
+        |  SELECT unnest(regexp_split_to_array(text, '[ \t\n\f\r]+')) AS w
+        |  FROM documents) WHERE w <> '' GROUP BY 1),
+        |s0 AS MATERIALIZED (SELECT s0 AS s, wc FROM w),
+        |dec0 AS (SELECT '' AS cp, '' AS str WHERE false)""".stripMargin
+    val rounds = (1 to numMerges).map { k =>
+      val p = k - 1
+      val sent = 0xE000 + k
+      s"""p$k AS (SELECT substr(s, CAST(i AS INT), 1) AS lc,
+         |    substr(s, CAST(i AS INT) + 1, 1) AS rc, wc
+         |  FROM (SELECT s, wc, unnest(range(1, length(s))) AS i FROM s$p)),
+         |c$k AS (SELECT lc, rc, sum(wc) AS cnt FROM p$k GROUP BY 1, 2),
+         |b$k AS MATERIALIZED (SELECT lc, rc, CAST(cnt AS BIGINT) AS cnt,
+         |    coalesce(dl.str, lc) AS l, coalesce(dr.str, rc) AS r
+         |  FROM c$k LEFT JOIN dec$p dl ON dl.cp = c$k.lc
+         |  LEFT JOIN dec$p dr ON dr.cp = c$k.rc
+         |  ORDER BY cnt DESC, l ASC, r ASC LIMIT 1),
+         |s$k AS MATERIALIZED (SELECT replace(s, (SELECT lc || rc FROM b$k),
+         |    chr($sent)) AS s, wc FROM s$p),
+         |dec$k AS (SELECT * FROM dec$p
+         |  UNION ALL SELECT chr($sent), (SELECT l || r FROM b$k))""".stripMargin
+    }.mkString(",\n")
+    val finals = (1 to numMerges)
+      .map(k => s"SELECT CAST($k AS INT) AS rank, l, r, cnt FROM b$k")
+      .mkString("\nUNION ALL ")
+    s"WITH $head,\n$rounds\n$finals\n"
   }
 
   /** The q147 oracle: the multiprobe-LSH bitext miner replayed end to
@@ -5658,6 +5709,7 @@ object SparkEntry {
     "q94_pq_ann" -> q94OracleSql,
     "q101_ivfpq_ann" -> q101OracleSql,
     "q147_margin_ann" -> q147OracleSql,
+    "q99_bpe_learn" -> q99OracleSql,
     // q191: frame hashes rebuild from the same MD5 low bits (the ±4
     // step signs ARE the dHash bits — the prefix construction cannot
     // produce ties), ALL frame pairs brute-force at hamming <= 3
