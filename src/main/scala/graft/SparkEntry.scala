@@ -2080,6 +2080,19 @@ object SparkEntry {
     graft.operators.Unigram.unigramTopPieces(docs(s, d), "text",
       q190Vocab, maxPieceLen = 6, k = 30)
 
+  /** Q193 — Gopher-style repetition metrics
+    * ([[graft.operators.Corpus.repetitionMetrics]]; Rae et al. 2021
+    * Appendix A): the repetition family of quality gates per document —
+    * duplicate-line fraction (count and characters), the
+    * most-frequent-n-gram character share for n = 2..4, and the
+    * duplicated-n-gram character share for n = 5..10. Every column is
+    * one integer ÷ integer division rounded to 6 decimals, so the
+    * oracle replays all eleven bit for bit (same n-gram join
+    * convention, same (count DESC, gram) argmax tie).
+    */
+  def q193(s: SparkSession, d: String): DataFrame =
+    graft.operators.Corpus.repetitionMetrics(docs(s, d), "doc_id", "text")
+
   private def q190OracleSql: String = {
     val maxLen = UnigramKernel.MaxWordLen // 16
     val maxPiece = 6
@@ -2430,6 +2443,70 @@ object SparkEntry {
       .map(k => s"SELECT CAST($k AS INT) AS rank, l, r, cnt FROM b$k")
       .mkString("\nUNION ALL ")
     s"WITH $head,\n$rounds\n$finals\n"
+  }
+
+  /** The q193 oracle: the repetition metrics replayed column for
+    * column — the same token convention ($TOKS), the same 9-size
+    * n-gram join (grams joined by single spaces, positions via the
+    * slice window), the (count DESC, gram ASC) argmax, the
+    * (count − 1)-weighted duplicate character sums, and the non-empty
+    * line grouping. All eleven ratios are single integer ÷ integer
+    * divisions rounded to 6, so both engines agree bit for bit.
+    */
+  private def q193OracleSql: String = {
+    def frac(num: String, den: String): String =
+      s"CASE WHEN coalesce($den, 0) = 0 OR $num IS NULL THEN 0.0 " +
+        s"ELSE round(CAST($num AS DOUBLE) / $den, 6) + 0 END"
+    val tops = (2 to 4).map(n =>
+      s"max(CASE WHEN n = $n THEN num END) AS t$n").mkString(",\n    ")
+    val dups = (5 to 10).map(n =>
+      s"max(CASE WHEN n = $n THEN dnum END) AS d$n").mkString(",\n    ")
+    val topCols = (2 to 4).map(n =>
+      s"  ${frac(s"tp.t$n", "b.tchars")} AS top${n}_r").mkString(",\n")
+    val dupCols = (5 to 10).map(n =>
+      s"  ${frac(s"dp.d$n", "b.tchars")} AS dup${n}_r").mkString(",\n")
+    s"""WITH d AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+       |tk AS (SELECT doc_id, $TOKS AS t FROM d),
+       |base AS MATERIALIZED (SELECT doc_id, t, len(t) AS nt,
+       |  CASE WHEN len(t) = 0 THEN 0
+       |    ELSE CAST(list_reduce(list_transform(t, x -> length(x)),
+       |      (a, b) -> a + b) AS BIGINT) + len(t) - 1
+       |  END AS tchars FROM tk),
+       |gr AS (SELECT doc_id, n.range AS n, t,
+       |    unnest(range(1, nt - n.range + 2)) AS i
+       |  FROM base, range(2, 11) n WHERE nt >= n.range),
+       |g2 AS (SELECT doc_id, n,
+       |  array_to_string(t[CAST(i AS INT):CAST(i + n - 1 AS INT)], ' ') AS gm
+       |  FROM gr),
+       |gc AS MATERIALIZED (SELECT doc_id, n, gm, count(*) AS c
+       |  FROM g2 GROUP BY 1, 2, 3),
+       |top AS (SELECT doc_id, n, c * length(gm) AS num FROM (
+       |  SELECT doc_id, n, gm, c, row_number() OVER (PARTITION BY doc_id, n
+       |    ORDER BY c DESC, gm ASC) AS rk FROM gc) WHERE rk = 1),
+       |dup AS (SELECT doc_id, n, sum((c - 1) * length(gm)) AS dnum
+       |  FROM gc WHERE c >= 2 GROUP BY 1, 2),
+       |tp AS (SELECT doc_id,
+       |    $tops
+       |  FROM top GROUP BY 1),
+       |dp AS (SELECT doc_id,
+       |    $dups
+       |  FROM dup GROUP BY 1),
+       |ln AS (SELECT doc_id,
+       |  unnest(list_filter(string_split(text, chr(10)), x -> x <> '')) AS l
+       |  FROM d),
+       |lc AS (SELECT doc_id, l, count(*) AS c FROM ln GROUP BY 1, 2),
+       |la AS (SELECT doc_id, sum(c) AS n_lines, sum(c) - count(*) AS dupl,
+       |    sum((c - 1) * length(l)) AS duplc, sum(c * length(l)) AS lchars
+       |  FROM lc GROUP BY 1)
+       |SELECT b.doc_id,
+       |  CAST(coalesce(la.n_lines, 0) AS BIGINT) AS n_lines,
+       |  ${frac("la.dupl", "la.n_lines")} AS dup_line_r,
+       |  ${frac("la.duplc", "la.lchars")} AS dup_line_char_r,
+       |$topCols,
+       |$dupCols
+       |FROM base b LEFT JOIN la USING (doc_id)
+       |LEFT JOIN tp USING (doc_id) LEFT JOIN dp USING (doc_id)
+       |""".stripMargin
   }
 
   /** The q147 oracle: the multiprobe-LSH bitext miner replayed end to
@@ -3767,7 +3844,8 @@ object SparkEntry {
     "q189_subseq_paa"     -> (q189 _),
     "q190_unigram_apply"  -> (q190 _),
     "q191_video_neardup"  -> (q191 _),
-    "q192_unigram_pieces" -> (q192 _))
+    "q192_unigram_pieces" -> (q192 _),
+    "q193_repetition"     -> (q193 _))
 
   // DuckDB twins. Shared SQL fragments for the text queries:
   // explicit class: Java \s includes \x0B, RE2 \s does not — see
@@ -5710,6 +5788,7 @@ object SparkEntry {
     "q101_ivfpq_ann" -> q101OracleSql,
     "q147_margin_ann" -> q147OracleSql,
     "q99_bpe_learn" -> q99OracleSql,
+    "q193_repetition" -> q193OracleSql,
     // q191: frame hashes rebuild from the same MD5 low bits (the ±4
     // step signs ARE the dHash bits — the prefix construction cannot
     // produce ties), ALL frame pairs brute-force at hamming <= 3

@@ -1006,6 +1006,47 @@ class CorpusSpec extends SparkSpec {
     assert(got(4L) === ((kn(1, 3, 2, 1), 1L)))
   }
 
+  test("repetitionMetrics: hand-computed line and n-gram repetition shares") {
+    // doc 1: 11 tokens, tchars = 27 + 10 = 37; lines: "a b a b c",
+    // "x"×2, "longer line"×2 → dupl = 2/5, dup chars = (1 + 11)/33;
+    // top2 tie at c=2 between "a b" and "longer line" → "a b" (2×3)/37
+    // doc 2: period-5 repeat → every 5..10-gram duplicates across
+    // period boundaries; dup5 = (2+1+1+1+1)·9/29, dup10 = 1·19/29
+    val d = docTable(Seq(
+      1L -> "a b a b c\nx\nx\nlonger line\nlonger line",
+      2L -> "p q r s t p q r s t p q r s t",
+      3L -> "",
+      4L -> "solo"))
+    def r6(x: Double): Double = math.round(x * 1e6) / 1e6
+    val got = Corpus.repetitionMetrics(d, "doc_id", "text")
+    assert(got.columns === Array("doc_id", "n_lines", "dup_line_r",
+      "dup_line_char_r", "top2_r", "top3_r", "top4_r",
+      "dup5_r", "dup6_r", "dup7_r", "dup8_r", "dup9_r", "dup10_r"))
+    val byId = got.collect().map(r => r.getLong(0) -> r).toMap
+    val r1 = byId(1L)
+    assert(r1.getLong(1) === 5L)
+    assert(r1.getDouble(2) === 0.4)
+    assert(r1.getDouble(3) === r6(12.0 / 33))
+    assert(r1.getDouble(4) === r6(6.0 / 37))
+    assert(r1.getDouble(5) === r6(5.0 / 37))
+    assert(r1.getDouble(6) === r6(7.0 / 37))
+    (7 to 12).foreach(i => assert(r1.getDouble(i) === 0.0,
+      s"doc 1 col $i: no 5..10-gram repeats"))
+    val r2 = byId(2L)
+    assert(r2.getDouble(4) === r6(9.0 / 29))
+    assert(r2.getDouble(7) === r6(54.0 / 29),
+      "overlap convention: duplicated-char share may exceed 1")
+    assert(r2.getDouble(12) === r6(19.0 / 29))
+    val r3 = byId(3L)
+    assert(r3.getLong(1) === 0L)
+    (2 to 12).foreach(i => assert(r3.getDouble(i) === 0.0,
+      s"empty doc col $i must be 0.0, not null/NaN"))
+    val r4 = byId(4L)
+    assert(r4.getLong(1) === 1L)
+    assert(r4.getDouble(2) === 0.0)
+    assert(r4.getDouble(4) === 0.0, "single token: no grams")
+  }
+
   test("knSurprisal: continuation weighting separates one-context words from versatile ones") {
     // "x" follows only "glue"; "y" follows many different contexts.
     // Under MLE P(x|glue) = P(y|c1) = 1; KN discounts the one-context
