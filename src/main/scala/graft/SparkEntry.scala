@@ -2093,6 +2093,21 @@ object SparkEntry {
   def q193(s: SparkSession, d: String): DataFrame =
     graft.operators.Corpus.repetitionMetrics(docs(s, d), "doc_id", "text")
 
+  /** Q194 — exact repeated-span profile over the corpus suffix ranking
+    * ([[graft.operators.SuffixArray.repeatProfile]]; Lee et al., ACL
+    * 2022's exact-substring signal): for every character position the
+    * longest suffix prefix (≤ 32 chars) that recurs ANYWHERE in the
+    * corpus, collapsed per document into (position count, longest
+    * repeated span, positions starting a ≥ 20-char repeat). Hash-free —
+    * a window-hash tier (q93) can collide; this measures literal
+    * equality via ONE order-32 prefix sort + neighbor LCP. All-integer
+    * output: the oracle replays the same sort, the same truncation-as-
+    * cap convention, and the same per-position/per-doc collapses.
+    */
+  def q194(s: SparkSession, d: String): DataFrame =
+    graft.operators.SuffixArray.repeatProfile(docs(s, d), "doc_id", "text",
+      maxOrder = 32, minLen = 20)
+
   private def q190OracleSql: String = {
     val maxLen = UnigramKernel.MaxWordLen // 16
     val maxPiece = 6
@@ -2506,6 +2521,44 @@ object SparkEntry {
        |$dupCols
        |FROM base b LEFT JOIN la USING (doc_id)
        |LEFT JOIN tp USING (doc_id) LEFT JOIN dp USING (doc_id)
+       |""".stripMargin
+  }
+
+  /** The q194 oracle: the repeated-span profile replayed from the same
+    * order-32 prefix sort — positions exploded, `substr(text, pos, 32)`
+    * keys ordered by (prefix, doc, pos) binary collation (≡ Spark's
+    * UTF8String order), rank-adjacent pairs joined on ord + 1, LCP as
+    * the max k with equal k-prefixes (monotone, so max ≡ LCP; the
+    * truncated keys make `min(lcp, 32, remaining)` automatic — the
+    * engine's [[graft.functions.CommonPrefixLen]] convention), then
+    * the per-position max and per-doc collapse. All-integer.
+    */
+  private def q194OracleSql: String = {
+    val (h, minLen) = (32, 20)
+    s"""WITH d AS (SELECT doc_id, text FROM documents
+       |  WHERE text IS NOT NULL AND length(text) > 0),
+       |p AS (SELECT doc_id, CAST(unnest(range(1, length(text) + 1)) AS BIGINT)
+       |    AS pos, text FROM d),
+       |s AS MATERIALIZED (SELECT doc_id, pos,
+       |  substr(text, CAST(pos AS INT), $h) AS pfx FROM p),
+       |o AS MATERIALIZED (SELECT doc_id, pos, pfx,
+       |    row_number() OVER (ORDER BY pfx, doc_id, pos) AS ord FROM s),
+       |adj AS (SELECT x.doc_id AS a_doc, x.pos AS a_pos, x.pfx AS a,
+       |    y.doc_id AS b_doc, y.pos AS b_pos, y.pfx AS b
+       |  FROM o x JOIN o y ON y.ord = x.ord + 1),
+       |lc AS MATERIALIZED (SELECT a_doc, a_pos, b_doc, b_pos,
+       |    coalesce(max(CASE WHEN substr(a, 1, CAST(k AS INT)) =
+       |      substr(b, 1, CAST(k AS INT)) THEN k END), 0) AS lcp
+       |  FROM (SELECT *, unnest(range(1, least(length(a), length(b)) + 1)) AS k
+       |        FROM adj)
+       |  GROUP BY 1, 2, 3, 4),
+       |pp AS (SELECT doc_id, pos, max(lcp) AS m FROM (
+       |  SELECT a_doc AS doc_id, a_pos AS pos, lcp FROM lc
+       |  UNION ALL SELECT b_doc, b_pos, lcp FROM lc) GROUP BY 1, 2)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pos,
+       |  CAST(max(m) AS BIGINT) AS max_rep,
+       |  CAST(sum(CASE WHEN m >= $minLen THEN 1 ELSE 0 END) AS BIGINT) AS n_rep
+       |FROM pp GROUP BY 1
        |""".stripMargin
   }
 
@@ -3845,7 +3898,8 @@ object SparkEntry {
     "q190_unigram_apply"  -> (q190 _),
     "q191_video_neardup"  -> (q191 _),
     "q192_unigram_pieces" -> (q192 _),
-    "q193_repetition"     -> (q193 _))
+    "q193_repetition"     -> (q193 _),
+    "q194_repeat_spans"   -> (q194 _))
 
   // DuckDB twins. Shared SQL fragments for the text queries:
   // explicit class: Java \s includes \x0B, RE2 \s does not — see
@@ -5789,6 +5843,7 @@ object SparkEntry {
     "q147_margin_ann" -> q147OracleSql,
     "q99_bpe_learn" -> q99OracleSql,
     "q193_repetition" -> q193OracleSql,
+    "q194_repeat_spans" -> q194OracleSql,
     // q191: frame hashes rebuild from the same MD5 low bits (the ±4
     // step signs ARE the dHash bits — the prefix construction cannot
     // produce ties), ALL frame pairs brute-force at hamming <= 3

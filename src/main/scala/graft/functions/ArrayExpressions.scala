@@ -158,6 +158,43 @@ case class CdcChunkHashes(child: Expression, width: Int, maskBits: Int,
     copy(child = c)
 }
 
+/** `common_prefix_len(a, b)` — length in CODE POINTS of the longest
+  * common prefix of two strings; the row-local LCP kernel of
+  * [[graft.operators.SuffixArray.repeatProfile]] (rank-adjacent
+  * suffixes carry their order-H prefixes side by side, so their LCP
+  * needs no join at all). Code-point counting matches DuckDB's
+  * `length`/`substr` character semantics, which is what lets the q194
+  * oracle replay the comparison exactly.
+  */
+case class CommonPrefixLen(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with CodegenFallback {
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (left.dataType == StringType && right.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName needs two strings, got ${left.dataType} / ${right.dataType}")
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[UTF8String].toString
+    val b = r.asInstanceOf[UTF8String].toString
+    var i = 0
+    var n = 0L
+    var done = false
+    while (!done && i < a.length && i < b.length) {
+      val ca = a.codePointAt(i)
+      if (ca != b.codePointAt(i)) done = true
+      else { i += Character.charCount(ca); n += 1 }
+    }
+    n
+  }
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): Expression = copy(left = l, right = r)
+}
+
 /** Column-level accessors for the array expressions. */
 object ArrayFunctions {
   import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
@@ -165,6 +202,10 @@ object ArrayFunctions {
 
   def stringArrayExceptSet(arr: Column, excluded: Array[String]): Column =
     column(StringArrayExceptSet(expression(arr), excluded))
+
+  /** Code-point length of the longest common prefix of two strings. */
+  def commonPrefixLen(a: Column, b: Column): Column =
+    column(CommonPrefixLen(expression(a), expression(b)))
 
   /** Content-defined chunks of a text column (see [[CdcChunkHashes]]). */
   def cdcChunks(text: Column, width: Int = 8, maskBits: Int = 6,

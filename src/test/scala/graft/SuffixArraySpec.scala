@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import graft.operators.SuffixArray
+
+/** [[graft.operators.SuffixArray.repeatProfile]] — the exact
+  * repeated-span profile: brute-force equality, the truncation-as-cap
+  * convention, degenerate inputs, and partitioning invariance.
+  */
+class SuffixArraySpec extends SparkSpec {
+  private val sp = spark
+  import sp.implicits._
+
+  /** max-over-all-pairs reference: every suffix against every other. */
+  private def brute(rows: Seq[(Long, String)], maxOrder: Int,
+                    minLen: Int): Map[Long, (Long, Long, Long)] = {
+    val all = rows.flatMap { case (id, t) =>
+      (0 until t.length).map(i => (id, i + 1, t.substring(i)))
+    }
+    def lcp(a: String, b: String): Int = {
+      var i = 0
+      val n = math.min(math.min(a.length, b.length), maxOrder)
+      while (i < n && a(i) == b(i)) i += 1
+      i
+    }
+    all.map { case (id, p, s) =>
+      (id, all.filter(o => !(o._1 == id && o._2 == p))
+        .map(o => lcp(s, o._3)).max)
+    }.groupBy(_._1).map { case (id, xs) =>
+      id -> ((xs.length.toLong, xs.map(_._2).max.toLong,
+        xs.map(_._2).count(_ >= minLen).toLong))
+    }
+  }
+
+  private def run(df: DataFrame, maxOrder: Int = 32,
+                  minLen: Int = 10): Map[Long, (Long, Long, Long)] =
+    SuffixArray.repeatProfile(df, "doc_id", "text", maxOrder, minLen)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4))).toMap
+
+  private val fixture = Seq(
+    1L -> "abcdefghij_THE_SHARED_SPAN_xyz",
+    2L -> "qrs_THE_SHARED_SPAN_uvw",
+    3L -> "nothing in common here!",
+    4L -> "zz",
+    5L -> "aaaaaaaa",          // run-length: overlapping self-repeats
+    6L -> "aaaa",              // run shared with doc 5
+    7L -> "identical twin doc",
+    8L -> "identical twin doc", // byte-identical pair
+    9L -> "prefix",
+    10L -> "prefix and then some more text")
+
+  test("repeatProfile matches the all-pairs brute force") {
+    val got = run(fixture.toDF("doc_id", "text"))
+    val want = brute(fixture, maxOrder = 32, minLen = 10)
+    assert(got === want)
+  }
+
+  test("a span longer than maxOrder is reported AT the cap") {
+    val span = "S" * 50
+    val d = Seq(1L -> s"left_$span", 2L -> s"other_$span").toDF("doc_id", "text")
+    val got = run(d, maxOrder = 16, minLen = 8)
+    assert(got(1L)._2 === 16L, "max_rep is capped at maxOrder")
+    assert(got(2L)._2 === 16L)
+  }
+
+  test("null and empty texts contribute nothing; lone docs still profile") {
+    val d = Seq((1L, "shared words here"), (2L, "shared words there"),
+      (3L, ""), (4L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val got = run(d)
+    assert(got.keySet === Set(1L, 2L))
+    assert(got(1L)._2 >= 13L, "the 'shared words ' prefix repeats")
+  }
+
+  test("profile is invariant under adversarial repartitioning") {
+    val df = fixture.toDF("doc_id", "text")
+    val a = run(df.repartition(13))
+    val b = run(df.repartition(1))
+    assert(a === b)
+  }
+
+  test("commonPrefixLen counts code points and handles mismatch at 0") {
+    import org.apache.spark.sql.functions._
+    val got = Seq(("abcd", "abxx"), ("", "abc"), ("same", "same"),
+        ("a", "b"))
+      .toDF("a", "b")
+      .select(graft.functions.ArrayFunctions
+        .commonPrefixLen(col("a"), col("b")).as("l"))
+      .as[Long].collect().toSeq
+    assert(got === Seq(2L, 0L, 4L, 0L))
+  }
+}
