@@ -826,74 +826,24 @@ object Corpus {
     * decimals — bit-exact cross-engine, which is what lets q193 carry
     * a full SQL oracle over all eleven columns.
     *
-    * Scale shape: one 9-size n-gram explosion partial-aggregating into
-    * (doc, n, gram) counts, one line explosion, then doc-keyed
-    * conditional-aggregation pivots — no windows, no collect; the only
-    * exchanges are doc/gram-keyed partial aggregates.
+    * Scale shape: a pure map-side projection — every column is a
+    * per-document statistic, so the whole family folds row-locally
+    * inside [[graft.functions.RepetitionMetrics]] (one hash map per
+    * gram size over the token array, memory bounded by the document's
+    * own length — the q190 `UnigramKernel` zero-exchange discipline).
+    * ZERO exchanges at any corpus size; the previous implementation's
+    * corpus-wide `(doc, n, gram)` aggregate shuffled ~9× the token
+    * stream (~50× the text bytes as full gram strings) for numbers no
+    * other row influences.
     */
   def repetitionMetrics(docs: DataFrame, idCol: String,
                         textCol: String): DataFrame = {
-    val ns = 2 to 10
-    val base = docs.filter(col(textCol).isNotNull)
-      .select(col(idCol).as("doc_id"),
-        TextFunctions.tokens(col(textCol)).as("__t"),
-        filter(split(col(textCol), "\n"), l => l =!= "").as("__l"))
-      .withColumn("__tchars",
-        when(size(col("__t")) === 0, lit(0L)).otherwise(
-          aggregate(transform(col("__t"), t => length(t).cast("long")),
-            lit(0L), (a, x) => a + x) + size(col("__t")) - 1))
-    // all 9 gram sizes ride ONE explosion: rows ≈ 9 × token stream,
-    // collapsed map-side by the (doc, n, gram) partial aggregate
-    val grams = base.filter(size(col("__t")) >= 2)
-      .select(col("doc_id"), explode(expr(
-        """flatten(transform(array(2,3,4,5,6,7,8,9,10), n ->
-          |  transform(slice(sequence(1, size(__t)), 1,
-          |      greatest(size(__t) - n + 1, 0)),
-          |    i -> named_struct('n', n,
-          |      'g', concat_ws(' ', slice(__t, i, n))))))""".stripMargin)).as("e"))
-      .select(col("doc_id"), col("e.n").as("n"), col("e.g").as("g"))
-    val gc = grams.groupBy(col("doc_id"), col("n"), col("g"))
-      .agg(count(lit(1)).as("c"))
-    // min of struct(-c, g) = (count DESC, gram ASC) argmax — the tie
-    // discipline the oracle's row_number replays
-    val gAgg = gc.groupBy(col("doc_id"), col("n")).agg(
-        min(struct(negate(col("c")).as("nc"), col("g").as("g"))).as("__top"),
-        sum(when(col("c") >= 2,
-          (col("c") - 1) * length(col("g")).cast("long")).otherwise(0L))
-          .as("__dupn"))
-      .select(col("doc_id"), col("n"),
-        (negate(col("__top.nc")) * length(col("__top.g")).cast("long"))
-          .as("__topn"),
-        col("__dupn"))
-    val wide = {
-      val aggs = ns.flatMap { n =>
-        (if (n <= 4) Seq(max(when(col("n") === n, col("__topn"))).as(s"__top$n"))
-         else Seq.empty) ++
-          (if (n >= 5) Seq(max(when(col("n") === n, col("__dupn"))).as(s"__dup$n"))
-           else Seq.empty)
-      }
-      gAgg.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
-    }
-    val lines = base.select(col("doc_id"), explode(col("__l")).as("ln"))
-      .groupBy(col("doc_id"), col("ln")).agg(count(lit(1)).as("c"))
-      .groupBy(col("doc_id")).agg(
-        sum(col("c")).as("n_lines"),
-        (sum(col("c")) - count(lit(1))).as("__dupl"),
-        sum((col("c") - 1) * length(col("ln")).cast("long")).as("__duplc"),
-        sum(col("c") * length(col("ln")).cast("long")).as("__lchars"))
-    def frac(num: Column, den: Column): Column =
-      NumFunctions.roundNz(
-        when(den.isNull || den === 0 || num.isNull, lit(0.0))
-          .otherwise(num.cast("double") / den), 6)
-    base.select(col("doc_id"), col("__tchars"))
-      .join(lines, Seq("doc_id"), "left")
-      .join(wide, Seq("doc_id"), "left")
-      .select(Seq(col("doc_id"),
-        coalesce(col("n_lines"), lit(0L)).as("n_lines"),
-        frac(col("__dupl"), col("n_lines")).as("dup_line_r"),
-        frac(col("__duplc"), col("__lchars")).as("dup_line_char_r")) ++
-        (2 to 4).map(n => frac(col(s"__top$n"), col("__tchars")).as(s"top${n}_r")) ++
-        (5 to 10).map(n => frac(col(s"__dup$n"), col("__tchars")).as(s"dup${n}_r")): _*)
+    val m = graft.functions.RepetitionMetrics.repetitionMetrics(col(textCol))
+    docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"), m.as("__m"))
+      .select(col("doc_id") +: (col("__m.n_lines").as("n_lines") +:
+        graft.functions.RepetitionMetrics.ratioFields
+          .map(f => col(s"__m.$f").as(f))): _*)
   }
 
   /** Per-group winsorization: values clamped to the group's

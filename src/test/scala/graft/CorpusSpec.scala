@@ -1047,6 +1047,97 @@ class CorpusSpec extends SparkSpec {
     assert(r4.getDouble(4) === 0.0, "single token: no grams")
   }
 
+  test("repetitionMetrics: row-local kernel equals the legacy shuffle-based replay on random docs") {
+    // the legacy (doc, n, gram) corpus-wide aggregate the kernel
+    // replaced — kept here as the independent arithmetic witness: same
+    // token convention, same (count DESC, gram ASC) argmax, same
+    // Spark-round(…, 6) discipline. Any kernel divergence in
+    // tokenization, tie order, code-point lengths, or rounding fails
+    // this bit-for-bit comparison.
+    def legacy(docs: DataFrame): DataFrame = {
+      import graft.functions.{NumFunctions, TextFunctions}
+      val base = docs.filter(col("text").isNotNull)
+        .select(col("doc_id"),
+          TextFunctions.tokens(col("text")).as("__t"),
+          filter(split(col("text"), "\n"), l => l =!= "").as("__l"))
+        .withColumn("__tchars",
+          when(size(col("__t")) === 0, lit(0L)).otherwise(
+            aggregate(transform(col("__t"), t => length(t).cast("long")),
+              lit(0L), (a, x) => a + x) + size(col("__t")) - 1))
+      val grams = base.filter(size(col("__t")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          """flatten(transform(array(2,3,4,5,6,7,8,9,10), n ->
+            |  transform(slice(sequence(1, size(__t)), 1,
+            |      greatest(size(__t) - n + 1, 0)),
+            |    i -> named_struct('n', n,
+            |      'g', concat_ws(' ', slice(__t, i, n))))))""".stripMargin)).as("e"))
+        .select(col("doc_id"), col("e.n").as("n"), col("e.g").as("g"))
+      val gc = grams.groupBy(col("doc_id"), col("n"), col("g"))
+        .agg(count(lit(1)).as("c"))
+      val gAgg = gc.groupBy(col("doc_id"), col("n")).agg(
+          min(struct(negate(col("c")).as("nc"), col("g").as("g"))).as("__top"),
+          sum(when(col("c") >= 2,
+            (col("c") - 1) * length(col("g")).cast("long")).otherwise(0L))
+            .as("__dupn"))
+        .select(col("doc_id"), col("n"),
+          (negate(col("__top.nc")) * length(col("__top.g")).cast("long"))
+            .as("__topn"),
+          col("__dupn"))
+      val wide = {
+        val aggs = (2 to 10).flatMap { n =>
+          (if (n <= 4) Seq(max(when(col("n") === n, col("__topn"))).as(s"__top$n"))
+           else Seq.empty) ++
+            (if (n >= 5) Seq(max(when(col("n") === n, col("__dupn"))).as(s"__dup$n"))
+             else Seq.empty)
+        }
+        gAgg.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+      }
+      val lines = base.select(col("doc_id"), explode(col("__l")).as("ln"))
+        .groupBy(col("doc_id"), col("ln")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id")).agg(
+          sum(col("c")).as("n_lines"),
+          (sum(col("c")) - count(lit(1))).as("__dupl"),
+          sum((col("c") - 1) * length(col("ln")).cast("long")).as("__duplc"),
+          sum(col("c") * length(col("ln")).cast("long")).as("__lchars"))
+      def fr(num: org.apache.spark.sql.Column,
+             den: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        NumFunctions.roundNz(
+          when(den.isNull || den === 0 || num.isNull, lit(0.0))
+            .otherwise(num.cast("double") / den), 6)
+      base.select(col("doc_id"), col("__tchars"))
+        .join(lines, Seq("doc_id"), "left")
+        .join(wide, Seq("doc_id"), "left")
+        .select(Seq(col("doc_id"),
+          coalesce(col("n_lines"), lit(0L)).as("n_lines"),
+          fr(col("__dupl"), col("n_lines")).as("dup_line_r"),
+          fr(col("__duplc"), col("__lchars")).as("dup_line_char_r")) ++
+          (2 to 4).map(n => fr(col(s"__top$n"), col("__tchars")).as(s"top${n}_r")) ++
+          (5 to 10).map(n => fr(col(s"__dup$n"), col("__tchars")).as(s"dup${n}_r")): _*)
+    }
+    val rnd = new scala.util.Random(193)
+    // small vocab forces gram collisions; π/µ exercise code-point
+    // lengths and the UTF-8-order tie-break; \t and runs of blanks
+    // exercise the whitespace class
+    val vocab = Array("a", "b", "ab", "π", "µx", "zz", "q1")
+    val docs = (0L until 60L).map { id =>
+      val n = rnd.nextInt(30)
+      val toks = Seq.fill(n)(vocab(rnd.nextInt(vocab.length)))
+      val sepChoices = Seq(" ", "  ", "\t", "\n", " \n ")
+      val seps = Seq.fill(math.max(n - 1, 0))(sepChoices(rnd.nextInt(5)))
+      val body = if (n == 0) "" else
+        toks.head + seps.zip(toks.tail).map { case (s, t) => s + t }.mkString
+      // occasionally duplicate the whole body to force line + long-gram dups
+      id -> (if (rnd.nextBoolean()) body + "\n" + body else body)
+    } :+ (999L -> "") :+ (998L -> "solo")
+    val d = docTable(docs)
+    val want = legacy(d).collect().map(r => r.getLong(0) -> r.toSeq).toMap
+    val got = Corpus.repetitionMetrics(d, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.toSeq).toMap
+    assert(got.keySet === want.keySet)
+    for (id <- want.keySet)
+      assert(got(id) === want(id), s"doc $id: ${got(id)} vs legacy ${want(id)}")
+  }
+
   test("knSurprisal: continuation weighting separates one-context words from versatile ones") {
     // "x" follows only "glue"; "y" follows many different contexts.
     // Under MLE P(x|glue) = P(y|c1) = 1; KN discounts the one-context

@@ -301,6 +301,17 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), s"encode must not join the stats table:\n$p")
   }
 
+  test("q193: repetition metrics are row-local — zero exchanges, no join, no window") {
+    // every output column is per-document: the gram maps fold inside
+    // RepetitionMetrics, so the plan must be scan -> project, with no
+    // shuffle anywhere (the legacy 9x gram explosion is the regression
+    // this gate exists to catch)
+    val p = plan(SparkEntry.q193(spark, sf0001))
+    assert(!p.contains("Exchange"), s"repetition metrics must not shuffle:\n$p")
+    assert(!p.contains("Join") && !p.contains("Window"),
+      s"repetition metrics must stay a pure projection:\n$p")
+  }
+
   test("q93: substrings materialize only after the hash-count join") {
     val p = plan(SparkEntry.q93(spark, sf0001))
     // stage A shuffles 8-byte hashes (count per hash); raw window strings
