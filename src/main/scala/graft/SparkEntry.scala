@@ -394,6 +394,7 @@ object SparkEntry {
   def q39(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val media = docs(s, d)
+      .filter(col("text").isNotNull) // mirror the oracle's doc filter
       .select(col("doc_id"), octet_length(col("text")).cast("int").as("n"))
       .as[(Long, Int)]
       .map { case (id, n) =>
@@ -422,6 +423,7 @@ object SparkEntry {
   def q43(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val media = docs(s, d)
+      .filter(col("text").isNotNull) // mirror the oracle's doc filter
       .select(col("doc_id"), octet_length(col("text")).cast("int").as("n"))
       .as[(Long, Int)]
       .map { case (id, n) =>
@@ -452,6 +454,7 @@ object SparkEntry {
   def q44(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val media = docs(s, d)
+      .filter(col("text").isNotNull) // mirror the oracle's doc filter
       .select(col("doc_id"), octet_length(col("text")).cast("int").as("n"))
       .as[(Long, Int)]
       .map { case (id, n) =>
@@ -1975,6 +1978,7 @@ object SparkEntry {
   def q191(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val media = docs(s, d)
+      .filter(col("text").isNotNull) // mirror the oracle's doc filter
       .select(col("doc_id"), octet_length(col("text")).cast("int").as("n"))
       .as[(Long, Int)]
       .map { case (id, n) =>
@@ -3452,6 +3456,7 @@ object SparkEntry {
   def q139(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val media = docs(s, d)
+      .filter(col("text").isNotNull) // mirror the oracle's doc filter
       .select(col("doc_id"), octet_length(col("text")).cast("int").as("n"))
       .as[(Long, Int)]
       .map { case (id, n) =>
@@ -3569,6 +3574,7 @@ object SparkEntry {
   def q106(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val media = docs(s, d)
+      .filter(col("text").isNotNull) // mirror the oracle's doc filter
       .select(col("doc_id"), octet_length(col("text")).cast("int").as("n"))
       .as[(Long, Int)]
       .map { case (id, n) =>
@@ -4242,7 +4248,7 @@ object SparkEntry {
       ("SELECT doc_id, CAST(octet_length(encode(text)) % 13 + 3 AS BIGINT) AS width, " +
        "CAST(octet_length(encode(text)) % 7 + 2 AS BIGINT) AS height, " +
        "round(CAST(octet_length(encode(text)) % 256 AS DOUBLE), 6) + 0 AS mean_luma " +
-       "FROM documents"),
+       "FROM documents WHERE text IS NOT NULL"),
     // q43: the oracle never decodes a WAV — it derives the expected
     // decoded rate/frames/RMS arithmetically from the same byte length
     // the engine renders from (the RMS of a ±A square wave is exactly A)
@@ -4251,13 +4257,13 @@ object SparkEntry {
        "CAST(8000 + (octet_length(encode(text)) % 5) * 1000 AS BIGINT) AS sample_rate, " +
        "CAST(octet_length(encode(text)) % 50 + 10 AS BIGINT) AS n_samples, " +
        "round(CAST((octet_length(encode(text)) % 100 + 1) * 100 AS DOUBLE), 6) + 0 AS rms " +
-       "FROM documents"),
+       "FROM documents WHERE text IS NOT NULL"),
     // q44: the oracle never parses Y4M — it derives each frame's
     // dimensions and constant-plane luma arithmetically from the same
     // byte length the engine renders from (one output row per frame)
     "q44_video_decode" ->
       ("WITH f AS (SELECT doc_id, octet_length(encode(text)) AS n, " +
-       "unnest(generate_series(0, octet_length(encode(text)) % 6)) AS g FROM documents) " +
+       "unnest(generate_series(0, octet_length(encode(text)) % 6)) AS g FROM documents WHERE text IS NOT NULL) " +
        "SELECT doc_id, CAST(g AS BIGINT) AS frame_idx, " +
        "CAST(n % 11 + 2 AS BIGINT) AS width, CAST(n % 9 + 2 AS BIGINT) AS height, " +
        "round(CAST((n + g * 7) % 256 AS DOUBLE), 6) + 0 AS luma FROM f"),
@@ -6144,7 +6150,8 @@ object SparkEntry {
     // (w = n%11+2, h = n%9+2, frame k luma = (n+7k)%256, k <= n%6); a
     // hash collision in the engine would diverge and hash-fail.
     "q139_frame_dedup" ->
-      ("""WITH d AS (SELECT doc_id, strlen(text) AS n FROM documents),
+      ("""WITH d AS (SELECT doc_id, strlen(text) AS n FROM documents
+         |  WHERE text IS NOT NULL),
          |f AS (SELECT doc_id, n % 11 + 2 AS w, n % 9 + 2 AS h,
          |    (n + k.range * 7) % 256 AS luma
          |  FROM d, range(6) k WHERE k.range <= n % 6),

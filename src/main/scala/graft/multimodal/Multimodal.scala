@@ -1039,27 +1039,67 @@ object Multimodal {
     require(stride >= 1, s"stride must be >= 1, got $stride")
     import media.sparkSession.implicits._
     media.flatMap { r =>
-      parseY4m(r.payload).iterator.flatMap { v =>
-        Iterator.range(0, v.yOffsets.size, stride).map { k =>
-          val off = v.yOffsets(k)
-          var hash = 0L
-          var cy = 0
-          while (cy < 8) {
-            val py = cy * v.h / 8
-            var cx = 0
-            var prev = 0
-            while (cx < 9) {
-              val px = cx * v.w / 9
-              val l = r.payload(off + py * v.w + px) & 0xFF
-              if (cx > 0 && l > prev) hash |= 1L << (cy * 8 + (cx - 1))
-              prev = l
-              cx += 1
-            }
-            cy += 1
+      frameDHashes(r, stride).map { case (k, hash) =>
+        VideoFrameDHash(r.media_id, k, hash)
+      }
+    }
+  }
+
+  /** `(frame_idx, dhash)` for every `stride`-th decodable frame — the
+    * shared kernel behind [[videoFrameDHash]] and
+    * [[videoFrameDHashRuns]], so the per-frame and run-collapsed faces
+    * can never disagree about a hash bit. */
+  private def frameDHashes(r: MediaRow, stride: Int): Iterator[(Int, Long)] =
+    parseY4m(r.payload).iterator.flatMap { v =>
+      Iterator.range(0, v.yOffsets.size, stride).map { k =>
+        val off = v.yOffsets(k)
+        var hash = 0L
+        var cy = 0
+        while (cy < 8) {
+          val py = cy * v.h / 8
+          var cx = 0
+          var prev = 0
+          while (cx < 9) {
+            val px = cx * v.w / 9
+            val l = r.payload(off + py * v.w + px) & 0xFF
+            if (cx > 0 && l > prev) hash |= 1L << (cy * 8 + (cx - 1))
+            prev = l
+            cx += 1
           }
-          VideoFrameDHash(r.media_id, k, hash)
+          cy += 1
+        }
+        (k, hash)
+      }
+    }
+
+  case class VideoFrameRun(media_id: Long, dhash: Long, start_idx: Int, run_len: Int)
+
+  /** [[videoFrameDHash]] run-length collapsed: maximal runs of
+    * CONSECUTIVE emitted frames carrying the same hash become one
+    * `(media_id, dhash, start_idx, run_len)` row. A static scene — a
+    * title card, a freeze frame, a black lead-in — is one row instead
+    * of `m`, so any downstream pairing joins runs (and pays run-pair
+    * cardinality) rather than m × m frame pairs. Collapsing happens in
+    * the decode partition, row-locally per clip; the emitted frame
+    * indices step by `stride`, so a run covers frames
+    * `start_idx, start_idx + stride, …` — consumers recover exact
+    * frame offsets from `(start, len, stride)` arithmetic. */
+  def videoFrameDHashRuns(media: Dataset[MediaRow],
+                          stride: Int = 1): Dataset[VideoFrameRun] = {
+    require(stride >= 1, s"stride must be >= 1, got $stride")
+    import media.sparkSession.implicits._
+    media.flatMap { r =>
+      val out = scala.collection.mutable.ArrayBuffer.empty[VideoFrameRun]
+      var runStart = -1; var runHash = 0L; var runLen = 0
+      frameDHashes(r, stride).foreach { case (k, hash) =>
+        if (runLen > 0 && hash == runHash) runLen += 1
+        else {
+          if (runLen > 0) out += VideoFrameRun(r.media_id, runHash, runStart, runLen)
+          runStart = k; runHash = hash; runLen = 1
         }
       }
+      if (runLen > 0) out += VideoFrameRun(r.media_id, runHash, runStart, runLen)
+      out
     }
   }
 
@@ -1073,12 +1113,22 @@ object Multimodal {
     *     pigeonhole), identical hashes collapse first, and hashes
     *     carried by more than `maxHashFrames` frames are dropped
     *     BEFORE any expansion — the black-frame/test-card stop-frame
-    *     guard: a ubiquitous frame is evidence of nothing and would
-    *     otherwise pair every clip with every clip.
-    *  2. TEMPORAL EVIDENCE: matched frame pairs group by
-    *     `(a_id, b_id, offset = b_idx − a_idx)` — a true re-encode
-    *     aligns at ONE offset, so scattered coincidental matches
-    *     cannot accumulate into a clip claim.
+    *     guard: a ubiquitous frame is evidence of nothing (shared by
+    *     everything, it cannot separate a re-encode from a stranger),
+    *     and would otherwise pair every clip with every clip. The
+    *     default (1000) is deliberately tight: evidence from a frame
+    *     hash carried by more frames than that is worthless anyway,
+    *     and the cap bounds the join's per-hash expansion at lake
+    *     scale.
+    *  2. TEMPORAL EVIDENCE: frames travel RUN-LENGTH COLLAPSED
+    *     ([[videoFrameDHashRuns]] — a static scene is one `(hash,
+    *     start, len)` row, not `m` frames), matched runs join, and
+    *     each run pair contributes its boxcar overlap to every offset
+    *     it spans: `la + lb − 1` `(offset, count)` rows instead of
+    *     `la × lb` frame pairs, summed per `(a_id, b_id,
+    *     offset = b_idx − a_idx)`. Bit-identical to the all-frame-pair
+    *     count — a true re-encode aligns at ONE offset, so scattered
+    *     coincidental matches cannot accumulate into a clip claim.
     *  3. CLIP VERDICT: each pair keeps its best offset (most matched
     *     frames, smallest offset on ties — a total order) and reports
     *     `coverage = n_matched / min(frames_a, frames_b)`, cut at
@@ -1086,25 +1136,27 @@ object Multimodal {
     *
     * Returns `(a_id, b_id, offset, n_matched, coverage_r)` with
     * `a_id < b_id`. 100 TB shape: every stage joins/aggregates 8-byte
-    * hashes and frame ordinals — pixels never shuffle; the band join
-    * sees DISTINCT guarded hashes only; the only data-scale expansion
-    * is the matched-frame set itself, which the stop-frame guard
-    * bounds per hash.
+    * hashes and run ordinals — pixels never shuffle; the band join
+    * sees DISTINCT guarded hashes only; the evidence join's expansion
+    * is run pairs × their offset span, with static scenes collapsed
+    * BEFORE the join (a 100-frame frozen scene shared by two clips is
+    * 1 × 1 runs → 199 offset rows, not 10⁴ frame pairs) and the
+    * stop-frame guard bounding the per-hash fan-out.
     */
   def videoNearDupClips(media: Dataset[MediaRow], maxHamming: Int = 3,
                         minCoverage: Double = 0.6,
-                        maxHashFrames: Long = 100000L,
+                        maxHashFrames: Long = 1000L,
                         stride: Int = 1): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 3,
       s"banding is lossless only for maxHamming <= 3, got $maxHamming")
     require(minCoverage > 0.0 && minCoverage <= 1.0,
       s"minCoverage must be in (0, 1], got $minCoverage")
-    val fh = videoFrameDHash(media, stride).toDF()
-    val lens = fh.groupBy(col("media_id")).agg(count(lit(1)).as("__nf"))
-    val hs = fh.groupBy(col("dhash")).agg(count(lit(1)).as("__cnt"))
+    val runs = videoFrameDHashRuns(media, stride).toDF()
+    val lens = runs.groupBy(col("media_id")).agg(sum(col("run_len")).as("__nf"))
+    val hs = runs.groupBy(col("dhash")).agg(sum(col("run_len")).as("__cnt"))
       .filter(col("__cnt") <= maxHashFrames)
       .select(col("dhash"))
-    val guarded = fh.join(hs, "dhash")
+    val guarded = runs.join(hs, "dhash")
     // symmetric near-hash pairs: every distinct hash matches itself,
     // plus both directions of each banded pair within maxHamming
     val banded = hs.select(col("dhash"), bandStructs(col("dhash")).as("band"))
@@ -1119,15 +1171,23 @@ object Multimodal {
       .filter(expr("bit_count(__ha ^ __hb)") <= maxHamming)
     val pairsH = hs.select(col("dhash").as("__ha"), col("dhash").as("__hb"))
       .unionByName(near)
-    val am = guarded.select(col("media_id").as("a_id"),
-      col("frame_idx").as("__ai"), col("dhash").as("__ha"))
-    val bm = guarded.select(col("media_id").as("b_id"),
-      col("frame_idx").as("__bi"), col("dhash").as("__hb"))
+    val am = guarded.select(col("media_id").as("a_id"), col("start_idx").as("__sa"),
+      col("run_len").as("__la"), col("dhash").as("__ha"))
+    val bm = guarded.select(col("media_id").as("b_id"), col("start_idx").as("__sb"),
+      col("run_len").as("__lb"), col("dhash").as("__hb"))
+    // each matched run pair is the boxcar cross-correlation of its two
+    // runs: relative shift t ∈ [1 − la, lb − 1] holds exactly
+    // min(la, lb − t) − max(0, −t) aligned frame pairs, all at frame
+    // offset (sb − sa) + stride·t — la + lb − 1 rows replace la × lb
     val evidence = am.join(pairsH, "__ha").join(bm, "__hb")
       .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"), col("__sa"), col("__la"),
+        col("__sb"), col("__lb"),
+        explode(sequence(lit(1) - col("__la"), col("__lb") - 1)).as("__t"))
       .groupBy(col("a_id"), col("b_id"),
-        (col("__bi") - col("__ai")).as("offset"))
-      .agg(count(lit(1)).as("n_matched"))
+        (col("__sb") - col("__sa") + lit(stride) * col("__t")).as("offset"))
+      .agg(sum((least(col("__la"), col("__lb") - col("__t")) -
+        greatest(lit(0), -col("__t"))).cast("long")).as("n_matched"))
     val best = evidence
       .groupBy(col("a_id"), col("b_id"))
       .agg(max(struct(col("n_matched"), negate(col("offset")).as("__no"),

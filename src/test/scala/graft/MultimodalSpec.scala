@@ -762,6 +762,63 @@ class MultimodalSpec extends SparkSpec {
       s"unrelated clip paired: ${got.keySet}")
   }
 
+  test("videoNearDupClips: run-collapsed evidence equals the all-frame-pair brute force (static scenes included)") {
+    val sp = spark
+    import sp.implicits._
+    // two clips sharing a 100-frame FROZEN scene (plus distinct heads /
+    // tails, and a mid-clip repeat of the scene's hash in clip B): the
+    // legacy path would expand 100×200 frame pairs for the scene alone;
+    // the run path joins 1×2 runs and must produce the SAME per-offset
+    // counts. Clip C repeats A's head at an offset, exercising
+    // multi-run accumulation into one offset bucket.
+    def plane(k: Int): Array[Byte] = cellPlane(k, baseSgn)
+    val frozen = plane(7)
+    val a = Multimodal.renderPlanesY4m(18, 16,
+      Seq(plane(0), plane(1)) ++ Seq.fill(100)(frozen) ++ Seq(plane(2)))
+    val b = Multimodal.renderPlanesY4m(18, 16,
+      Seq(plane(3)) ++ Seq.fill(100)(frozen) ++ Seq(plane(4)) ++
+        Seq.fill(100)(frozen))
+    val c = Multimodal.renderPlanesY4m(18, 16,
+      Seq(plane(5), plane(0), plane(1), plane(0), plane(1)))
+    val media = Seq(
+      Multimodal.MediaRow(0L, "video", a, 18, 16, 0),
+      Multimodal.MediaRow(1L, "video", b, 18, 16, 0),
+      Multimodal.MediaRow(2L, "video", c, 18, 16, 0)).toDS()
+
+    // independent witness: per-frame hashes brute-forced over ALL frame
+    // pairs in Scala — the un-collapsed evidence the run path replaces
+    val fh = Multimodal.videoFrameDHash(media).collect()
+      .groupBy(_.media_id).view.mapValues(_.map(f => f.frame_idx -> f.dhash)).toMap
+    def ham(x: Long, y: Long) = java.lang.Long.bitCount(x ^ y)
+    val want = scala.collection.mutable.Map.empty[(Long, Long, Int), Long]
+    for (aId <- fh.keys; bId <- fh.keys if aId < bId;
+         (ai, ahh) <- fh(aId); (bi, bh) <- fh(bId) if ham(ahh, bh) <= 3)
+      want((aId, bId, bi - ai)) = want.getOrElse((aId, bId, bi - ai), 0L) + 1L
+    val wantBest = want.groupBy { case ((x, y, _), _) => (x, y) }
+      .map { case (k, m) =>
+        val (off, n) = m.map { case ((_, _, o), c) => (o, c) }
+          .toSeq.minBy { case (o, c) => (-c, o) }
+        k -> ((off, n))
+      }
+
+    val got = Multimodal.videoNearDupClips(media, minCoverage = 0.01)
+      .as[(Long, Long, Int, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    for ((k, (off, n)) <- wantBest) {
+      val cov = n.toDouble / math.min(fh(k._1).length, fh(k._2).length)
+      if (cov >= 0.01)
+        assert(got(k) === ((off, n)), s"pair $k: got ${got.get(k)}, want ($off, $n)")
+    }
+    // the frozen-scene pair dominates: 100-frame runs aligned
+    assert(got((0L, 1L))._2 >= 100L, s"frozen scene under-counted: ${got((0L, 1L))}")
+    // run collapse really happened: clip A is 4 runs, clip B is 5
+    val runs = Multimodal.videoFrameDHashRuns(media).collect()
+      .groupBy(_.media_id).view.mapValues(_.length).toMap
+    assert(runs(0L) === 4 && runs(1L) === 4,
+      s"expected 4/4 collapsed runs, got $runs")
+    assert(runs(2L) === 5, "no false collapsing of distinct frames")
+  }
+
   test("videoNearDupClips: the stop-frame guard keeps ubiquitous frames out of the evidence") {
     val sp = spark
     import sp.implicits._
