@@ -52,9 +52,33 @@ object Ranks {
     * boundary set for both consumers; Spark's CacheManager dedups by
     * canonical plan, so repeated calls over the same input share the
     * entry rather than growing the cache.
+    *
+    * CALLER CONTRACT (cache lifetime): the cached ranged frame lives
+    * until the session ends or someone unpersists it. For one-shot
+    * queries (build plan → driver materializes → session moves on)
+    * that is exactly the lifetime needed. A LONG-LIVED session calling
+    * rank operators repeatedly over changing inputs — e.g. a streaming
+    * `foreachBatch` ranking every trigger — must use [[globalRankOwned]]
+    * and `release()` after materializing everything it needs from the
+    * result, or corpus-scale blocks accumulate in the cache manager
+    * (one entry per distinct input plan).
     */
   def globalRank(df: DataFrame, order: Seq[Column], outCol: String = "rank",
-                 totalCol: String = "__total", numPartitions: Int = 0): DataFrame = {
+                 totalCol: String = "__total", numPartitions: Int = 0): DataFrame =
+    globalRankOwned(df, order, outCol, totalCol, numPartitions)._1
+
+  /** [[globalRank]] plus OWNERSHIP of the internally persisted ranged
+    * frame: `release()` unpersists it. Call release only after every
+    * consumer of the returned frame has MATERIALIZED (count / collect /
+    * write) — releasing while the plan is still lazy re-exposes the
+    * double-sampled-boundary hazard the persist exists to prevent
+    * (the next execution would recompute the range exchange twice with
+    * independent boundary samples). [[graft.operators.SuffixArray.repeatProfile]]
+    * shows the pattern: materialize the small output, then release.
+    */
+  def globalRankOwned(df: DataFrame, order: Seq[Column], outCol: String = "rank",
+                      totalCol: String = "__total",
+                      numPartitions: Int = 0): (DataFrame, () => Unit) = {
     require(order.nonEmpty, "globalRank needs at least one order column")
     val parts = if (numPartitions > 0) numPartitions
       else df.sparkSession.sparkContext.defaultParallelism
@@ -70,9 +94,10 @@ object Ranks {
         .over(wMeta.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
       .drop("__cnt")
     val wLocal = Window.partitionBy(col("__part")).orderBy(order: _*)
-    ranged.join(broadcast(offsets), "__part")
+    val out = ranged.join(broadcast(offsets), "__part")
       .withColumn(outCol, col("__poff") + row_number().over(wLocal))
       .drop("__part", "__poff")
+    (out, () => { ranged.unpersist(blocking = false); () })
   }
 
   /** Per-KEY dense rank without a per-key window task — the
@@ -94,10 +119,19 @@ object Ranks {
     * `order` must be total WITHIN each key (include a tiebreaker).
     * The ranged frame persists for the same boundary-stability reason
     * as [[globalRank]]: offsets and data must read ONE sampled range
-    * split.
+    * split. Same caller contract as [[globalRank]] — long-lived
+    * sessions use [[perKeyRankOwned]] and release after materializing.
     */
   def perKeyRank(df: DataFrame, keyCols: Seq[String], order: Seq[Column],
-                 outCol: String = "rank", numPartitions: Int = 0): DataFrame = {
+                 outCol: String = "rank", numPartitions: Int = 0): DataFrame =
+    perKeyRankOwned(df, keyCols, order, outCol, numPartitions)._1
+
+  /** [[perKeyRank]] plus ownership of the internal cache — the
+    * [[globalRankOwned]] contract: `release()` only after every
+    * consumer of the result has materialized. */
+  def perKeyRankOwned(df: DataFrame, keyCols: Seq[String], order: Seq[Column],
+                      outCol: String = "rank",
+                      numPartitions: Int = 0): (DataFrame, () => Unit) = {
     require(keyCols.nonEmpty, "perKeyRank needs at least one key column")
     require(order.nonEmpty, "perKeyRank needs at least one order column")
     val parts = if (numPartitions > 0) numPartitions
@@ -114,9 +148,10 @@ object Ranks {
         .over(wMeta.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .drop("__cnt")
     val wLocal = Window.partitionBy(keys :+ col("__part"): _*).orderBy(order: _*)
-    ranged.join(broadcast(offsets), keyCols :+ "__part")
+    val out = ranged.join(broadcast(offsets), keyCols :+ "__part")
       .withColumn(outCol, col("__poff") + row_number().over(wLocal))
       .drop("__part", "__poff")
+    (out, () => { ranged.unpersist(blocking = false); () })
   }
 
   /** SQL `NTILE(k) OVER (ORDER BY order)` — exactly, including the

@@ -67,9 +67,12 @@ object SuffixArray {
     // suffix order = total order (prefix, doc, pos): the two-level
     // exact rank — neighbors in this order attain every suffix's
     // maximal LCP, so the profile never compares non-adjacent pairs.
-    // Persisted: both sides of the ord±1 self-join read it.
-    val ord = Ranks.globalRank(sfx,
+    // Persisted: both sides of the ord±1 self-join read it. The OWNED
+    // rank variant hands back the inner ranged frame's release, so the
+    // position-scale cache inside globalRank drains too.
+    val (ranked, releaseRank) = Ranks.globalRankOwned(sfx,
         Seq(col("pfx"), col("doc_id"), col("pos")), outCol = "__ord")
+    val ord = ranked
       .select(col("doc_id"), col("pos"), col("pfx"), col("__ord"))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
@@ -92,11 +95,13 @@ object SuffixArray {
         max(col("__m")).as("max_rep"),
         sum(when(col("__m") >= minLen, 1L).otherwise(0L)).as("n_rep"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // materialize the doc-count-scale result, then release the
-    // position-scale rank frame — an uncached call must not leave
-    // corpus-scale blocks in the cache manager
+    // materialize the doc-count-scale result, then release BOTH
+    // position-scale caches (the ord frame here and the ranged frame
+    // inside globalRank) — a finished call must not leave corpus-scale
+    // blocks in the cache manager
     out.count()
     ord.unpersist(blocking = false)
+    releaseRank()
     out
   }
 }

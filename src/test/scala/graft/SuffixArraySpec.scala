@@ -79,6 +79,20 @@ class SuffixArraySpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("repeatProfile leaves no position-scale blocks cached after returning") {
+    // the operator persists TWO position-scale frames internally (the
+    // ranged frame inside globalRankOwned and its own ord projection);
+    // a finished call must release both — only the doc-count-scale
+    // result may remain (the caller owns that one)
+    val before = sp.sparkContext.getPersistentRDDs.keySet
+    val out = run(fixture.toDF("doc_id", "text"))
+    assert(out.nonEmpty)
+    val added = sp.sparkContext.getPersistentRDDs.keySet -- before
+    assert(added.size <= 1,
+      s"repeatProfile leaked ${added.size} cached RDDs (expected at most " +
+        s"the doc-scale result): ids $added")
+  }
+
   test("commonPrefixLen counts code points and handles mismatch at 0") {
     import org.apache.spark.sql.functions._
     val got = Seq(("abcd", "abxx"), ("", "abc"), ("same", "same"),
