@@ -149,21 +149,26 @@ case class RandomHyperplaneMultiprobe(child: Expression, bits: Int, seed: Long,
       absDots(b) = math.abs(dot)
       b += 1
     }
-    // partial selection sort of bit indices by |dot| — bits <= 64, and
-    // probes is typically 1-3, so this stays trivially cheap per row
-    val order = Array.tabulate(bits)(identity)
+    // per round, pick the unselected bit minimizing (|dot|, bit): the
+    // ascending-index scan with strict < resolves exact |dot| ties to
+    // the LOWEST bit — the documented order, and what the q147
+    // oracle's ORDER BY abs(d), b replays. (A swap-based selection
+    // sort would permute the scan order and break tie resolution.)
+    // bits <= 64 and probes is typically 1-3, so this stays trivially
+    // cheap per row.
+    val selected = new Array[Boolean](bits)
     val out = new Array[Any](1 + probes)
     out(0) = sig
     var k = 0
     while (k < probes) {
-      var best = k
-      var j = k + 1
+      var best = -1
+      var j = 0
       while (j < bits) {
-        if (absDots(order(j)) < absDots(order(best))) best = j
+        if (!selected(j) && (best < 0 || absDots(j) < absDots(best))) best = j
         j += 1
       }
-      val t = order(k); order(k) = order(best); order(best) = t
-      out(k + 1) = sig ^ (1L << order(k))
+      selected(best) = true
+      out(k + 1) = sig ^ (1L << best)
       k += 1
     }
     new GenericArrayData(out)

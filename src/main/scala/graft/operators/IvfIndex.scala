@@ -62,12 +62,16 @@ object IvfIndex {
       // centroids (and every assignment derived from them) would vary
       // run to run — decimal addition is order-independent, making the
       // whole Lloyd loop replay-stable and SQL-replayable (q97's exact
-      // oracle unrolls these very iterations in DuckDB)
+      // oracle unrolls these very iterations in DuckDB).
+      // DECIMAL(38,18) leaves 20 integer digits per value: components
+      // up to |v| < 1e20 cast losslessly at 18 fractional digits —
+      // any real embedding scale. (A narrower (27,18) would throw
+      // under ANSI mode at |v| >= 1e9.)
       val means = corpus
         .withColumn("cell", VectorFunctions.nearestCentroid(col("vec"), cents))
         .select(col("cell"), posexplode(col("vec")).as(Seq("pos", "v")))
         .groupBy(col("cell"), col("pos"))
-        .agg((sum(col("v").cast(org.apache.spark.sql.types.DecimalType(27, 18)))
+        .agg((sum(col("v").cast(org.apache.spark.sql.types.DecimalType(38, 18)))
           .cast("double") / count(lit(1))).as("m"))
         .collect()
       val next = cents.map(_.clone()) // cells that lost all members keep their centroid

@@ -114,8 +114,9 @@ object Quantize {
         .groupBy(col("sub"), col("cent"), col("pos"))
         // decimal-routed mean: order-independent fold, so the trained
         // codebooks are replay-stable and SQL-replayable (the q94
-        // oracle unrolls these rounds) — the IvfIndex.fit recipe
-        .agg((sum(col("v").cast(org.apache.spark.sql.types.DecimalType(27, 18)))
+        // oracle unrolls these rounds) — the IvfIndex.fit recipe.
+        // (38,18) = 20 integer digits: lossless for |v| < 1e20
+        .agg((sum(col("v").cast(org.apache.spark.sql.types.DecimalType(38, 18)))
           .cast("double") / count(lit(1))).as("mean"))
         .collect()
       val next = books.map(_.map(_.clone()))

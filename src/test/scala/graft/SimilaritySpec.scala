@@ -218,6 +218,26 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("multiprobe flip selection: exact |dot| ties resolve to ascending bit index") {
+    import org.apache.spark.sql.graft.ColumnBridge
+    val sp = spark
+    import sp.implicits._
+    // portable (Rademacher ±1) planes against a one-hot vector: every
+    // bit's |dot| is exactly 1.0 — an all-way tie, so the documented
+    // (|dot|, bit) order must flip bits 0, 1, 2 in that order. A
+    // selection that permutes its scan on swaps picks a different set.
+    val df = Seq((1L, Array.fill(8)(0.0f).updated(3, 1.0f))).toDF("id", "embedding")
+    val got = df.select(
+        ColumnBridge.column(graft.functions.RandomHyperplaneSignature(
+          ColumnBridge.expression(col("embedding")), 8, 7L, portable = true)).as("sig"),
+        ColumnBridge.column(graft.functions.RandomHyperplaneMultiprobe(
+          ColumnBridge.expression(col("embedding")), 8, 7L, 3, portable = true)).as("mp"))
+      .as[(Long, Seq[Long])].collect().head
+    val (sig, mp) = got
+    assert(mp === Seq(sig, sig ^ 1L, sig ^ 2L, sig ^ 4L),
+      s"tie order must flip bits 0,1,2: sig=$sig mp=$mp")
+  }
+
   test("marginMiningAnn: recovers planted cross-side mates the exact miner finds") {
     // 16 planted translation pairs: a-side 2i and b-side 2i+1 share a
     // deterministic direction (b lightly perturbed); background vectors

@@ -44,12 +44,14 @@ def main(sfdir, outdir):
         oracles = json.load(f)
 
     failures = []
+    skipped = []
     for name in sorted(oracles):
         # skip oracles whose Spark dump wasn't selected (SPARK_GRAFT_ONLY
         # local iteration) BEFORE running the oracle SQL — the Lloyd /
         # recursive-closure replays are the expensive side at sf0.1
         import os
         if not os.path.isdir(f"{outdir}/{name}"):
+            skipped.append(name)
             continue
         sql = oracles[name]
         try:
@@ -97,7 +99,13 @@ def main(sfdir, outdir):
 
     for name, why in failures:
         print(f"  FAIL {name}: {why}")
-    print(f"\n{len(oracles) - len(failures)}/{len(oracles)} oracle-checked queries match")
+    compared = len(oracles) - len(skipped)
+    if skipped:
+        # a query that FAILED to dump (crash in Verify) also lands here —
+        # never read "N/N" without checking the skip list
+        print(f"  SKIP (no spark dump): {', '.join(skipped)}")
+    print(f"\n{compared - len(failures)}/{compared} compared oracle queries match"
+          f" ({len(skipped)} of {len(oracles)} skipped)")
     return 1 if failures else 0
 
 
