@@ -2112,6 +2112,22 @@ object SparkEntry {
     graft.operators.SuffixArray.repeatProfile(docs(s, d), "doc_id", "text",
       maxOrder = 32, minLen = 20)
 
+  /** Q195 — exact-substring REMOVAL
+    * ([[graft.operators.SuffixArray.dedupSpans]]; Lee et al., ACL 2022
+    * §4.1's payoff: q194 profiles the repeated spans, this one deletes
+    * them): every character covered by a ≥ 20-char span that recurs
+    * anywhere in the corpus is dropped (all occurrences — the
+    * released-pipeline variant), survivors stitched back in document
+    * order. The same order-32 prefix sort feeds the profile and the
+    * removal. Oracle: the q194 sort/LCP replay, then the identical
+    * running-max interval merge and gap stitch in SQL — clean_text is
+    * compared as a STRING, so a single off-by-one in any survivor
+    * boundary hash-fails.
+    */
+  def q195(s: SparkSession, d: String): DataFrame =
+    graft.operators.SuffixArray.dedupSpans(docs(s, d), "doc_id", "text",
+      maxOrder = 32, minLen = 20)
+
   private def q190OracleSql: String = {
     val maxLen = UnigramKernel.MaxWordLen // 16
     val maxPiece = 6
@@ -2563,6 +2579,67 @@ object SparkEntry {
        |  CAST(max(m) AS BIGINT) AS max_rep,
        |  CAST(sum(CASE WHEN m >= $minLen THEN 1 ELSE 0 END) AS BIGINT) AS n_rep
        |FROM pp GROUP BY 1
+       |""".stripMargin
+  }
+
+  /** The q195 oracle: the q194 sort/LCP replay (identical CTE prefix),
+    * then the removal — qualifying spans become [pos, pos + m)
+    * intervals, the running-max sweep merges them per document, and
+    * the survivor text is the ORDER BY gap stitch of `substr` slices
+    * (the engine's row-local `aggregate` fold, replayed as
+    * `string_agg`). `clean_text` compares as a string, so survivor
+    * boundaries are pinned character-exactly.
+    */
+  private def q195OracleSql: String = {
+    val (h, minLen) = (32, 20)
+    s"""WITH d AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+       |de AS (SELECT doc_id, text FROM d WHERE length(text) > 0),
+       |p AS (SELECT doc_id, CAST(unnest(range(1, length(text) + 1)) AS BIGINT)
+       |    AS pos, text FROM de),
+       |s AS MATERIALIZED (SELECT doc_id, pos,
+       |  substr(text, CAST(pos AS INT), $h) AS pfx FROM p),
+       |o AS MATERIALIZED (SELECT doc_id, pos, pfx,
+       |    row_number() OVER (ORDER BY pfx, doc_id, pos) AS ord FROM s),
+       |adj AS (SELECT x.doc_id AS a_doc, x.pos AS a_pos, x.pfx AS a,
+       |    y.doc_id AS b_doc, y.pos AS b_pos, y.pfx AS b
+       |  FROM o x JOIN o y ON y.ord = x.ord + 1),
+       |lc AS MATERIALIZED (SELECT a_doc, a_pos, b_doc, b_pos,
+       |    coalesce(max(CASE WHEN substr(a, 1, CAST(k AS INT)) =
+       |      substr(b, 1, CAST(k AS INT)) THEN k END), 0) AS lcp
+       |  FROM (SELECT *, unnest(range(1, least(length(a), length(b)) + 1)) AS k
+       |        FROM adj)
+       |  GROUP BY 1, 2, 3, 4),
+       |pp AS (SELECT doc_id, pos, max(lcp) AS m FROM (
+       |  SELECT a_doc AS doc_id, a_pos AS pos, lcp FROM lc
+       |  UNION ALL SELECT b_doc, b_pos, lcp FROM lc) GROUP BY 1, 2),
+       |spn AS (SELECT doc_id, pos AS st, pos + m AS en FROM pp
+       |  WHERE m >= $minLen),
+       |sw AS (SELECT doc_id, st, en, max(en) OVER (PARTITION BY doc_id
+       |    ORDER BY st ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+       |    AS pmax FROM spn),
+       |sg AS (SELECT doc_id, st, en,
+       |    sum(CASE WHEN pmax IS NULL OR st > pmax THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY doc_id ORDER BY st) AS grp FROM sw),
+       |mi AS MATERIALIZED (SELECT doc_id, grp, min(st) AS st, max(en) AS en
+       |  FROM sg GROUP BY 1, 2),
+       |rm AS (SELECT doc_id, sum(en - st) AS removed FROM mi GROUP BY 1),
+       |gaps AS (
+       |  SELECT doc_id, coalesce(lag(en) OVER (PARTITION BY doc_id
+       |      ORDER BY st), 1) AS ss, st AS se FROM mi
+       |  UNION ALL
+       |  SELECT m2.doc_id, max(m2.en) AS ss,
+       |    any_value(length(d2.text)) + 1 AS se
+       |  FROM mi m2 JOIN d d2 USING (doc_id) GROUP BY m2.doc_id),
+       |ct AS (SELECT g.doc_id,
+       |    string_agg(substr(d2.text, CAST(g.ss AS INT),
+       |      CAST(g.se - g.ss AS INT)), '' ORDER BY g.ss) AS clean
+       |  FROM gaps g JOIN d d2 USING (doc_id) GROUP BY g.doc_id)
+       |SELECT d.doc_id,
+       |  CASE WHEN rm.removed IS NULL THEN d.text
+       |       ELSE coalesce(ct.clean, '') END AS clean_text,
+       |  CAST(length(d.text) - coalesce(rm.removed, 0) AS BIGINT) AS kept_chars,
+       |  CAST(coalesce(rm.removed, 0) AS BIGINT) AS removed_chars
+       |FROM d LEFT JOIN rm USING (doc_id) LEFT JOIN ct USING (doc_id)
        |""".stripMargin
   }
 
@@ -3905,7 +3982,8 @@ object SparkEntry {
     "q191_video_neardup"  -> (q191 _),
     "q192_unigram_pieces" -> (q192 _),
     "q193_repetition"     -> (q193 _),
-    "q194_repeat_spans"   -> (q194 _))
+    "q194_repeat_spans"   -> (q194 _),
+    "q195_dedup_spans"    -> (q195 _))
 
   // DuckDB twins. Shared SQL fragments for the text queries:
   // explicit class: Java \s includes \x0B, RE2 \s does not — see
@@ -5850,6 +5928,7 @@ object SparkEntry {
     "q99_bpe_learn" -> q99OracleSql,
     "q193_repetition" -> q193OracleSql,
     "q194_repeat_spans" -> q194OracleSql,
+    "q195_dedup_spans" -> q195OracleSql,
     // q191: frame hashes rebuild from the same MD5 low bits (the ±4
     // step signs ARE the dHash bits — the prefix construction cannot
     // produce ties), ALL frame pairs brute-force at hamming <= 3

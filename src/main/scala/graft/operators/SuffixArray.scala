@@ -1,17 +1,20 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
-/** Order-`H` suffix ranking and the per-document repeated-span profile
-  * it enables — the exact-substring duplication signal of Lee et al.,
+/** Order-`H` suffix ranking and the two operators it enables — the
+  * exact-substring duplication signal AND removal of Lee et al.,
   * "Deduplicating Training Data Makes Language Models Better" (ACL
   * 2022), computed WITHOUT hashing: two positions repeat iff their
   * suffixes literally agree, so unlike the
   * [[Dedup.repeatedWindows]] window-hash tier there are no collisions
   * to argue away, and the span length is measured (up to `H`), not
-  * fixed in advance.
+  * fixed in advance. [[repeatProfile]] reports the per-document
+  * profile; [[dedupSpans]] actually removes the repeated spans and
+  * stitches the survivor text — one suffix sort feeds both.
   *
   * Design note — direct sort, not prefix doubling. A full suffix array
   * wants Manber–Myers prefix doubling (log n rounds of pair-rank
@@ -27,34 +30,30 @@ import org.apache.spark.storage.StorageLevel
   *
   * Scale shape: one projection (`substr`), one
   * [[Ranks.globalRank]] total-order rank (two-level — no global
-  * window), one self-join on `ord ± 1`, one map-side LCP, two
-  * partial-aggregating collapses. Nothing is serial in a document's
-  * length or the corpus size.
+  * window), one self-join on `ord ± 1`, one map-side LCP, then
+  * partial-aggregating collapses (profile) or doc-keyed interval
+  * merges (dedup). Nothing is serial in the corpus size; the dedup
+  * stitch is serial only within one document, the unit a single text
+  * column already bounds.
   */
 object SuffixArray {
 
-  /** Per-document repeated-span profile over the corpus suffix
-    * ranking: for every character position, the longest prefix of its
-    * suffix (capped at `maxOrder`) that also occurs at ANY other
-    * position in the corpus — the maximum is attained at a
-    * rank-adjacent suffix, so only the two suffix-order neighbors are
-    * inspected. Returns one row per document:
-    * `(doc_id, n_pos, max_rep, n_rep)` — position count, the longest
-    * repeated span seen, and how many positions start a repeated span
-    * of at least `minLen` characters. All-integer output: the q194
-    * oracle replays it bit for bit from the same prefix sort.
+  /** The shared core: `(doc_id, pos, __m)` — for every character
+    * position, the longest prefix of its suffix (≤ `maxOrder`) that
+    * also occurs at ANY other position in the corpus. The maximum over
+    * all other positions is attained at a rank-adjacent suffix, so
+    * only the two suffix-order neighbors are inspected. The returned
+    * release drains both position-scale caches (the ord frame and the
+    * ranged frame inside [[Ranks.globalRankOwned]]); call it only
+    * after materializing everything derived from the frame.
     *
     * Truncation doubles as the cap: each prefix string ends at
     * `maxOrder` characters AND at its document's end, so the row-local
     * common-prefix length is automatically `min(true LCP, maxOrder,
     * remaining)` — no separate bounds arithmetic.
     */
-  def repeatProfile(docs: DataFrame, idCol: String, textCol: String,
-                    maxOrder: Int = 32, minLen: Int = 20): DataFrame = {
-    require(maxOrder >= 2, s"maxOrder must be >= 2, got $maxOrder")
-    require(minLen >= 1 && minLen <= maxOrder,
-      s"minLen must be in [1, maxOrder], got $minLen")
-
+  private def positionRepeats(docs: DataFrame, idCol: String, textCol: String,
+                              maxOrder: Int): (DataFrame, () => Unit) = {
     // (doc_id, pos 1-based, order-H prefix) — the suffix universe;
     // empty/null texts contribute nothing
     val sfx = docs.filter(col(textCol).isNotNull && length(col(textCol)) > 0)
@@ -67,9 +66,7 @@ object SuffixArray {
     // suffix order = total order (prefix, doc, pos): the two-level
     // exact rank — neighbors in this order attain every suffix's
     // maximal LCP, so the profile never compares non-adjacent pairs.
-    // Persisted: both sides of the ord±1 self-join read it. The OWNED
-    // rank variant hands back the inner ranged frame's release, so the
-    // position-scale cache inside globalRank drains too.
+    // Persisted: both sides of the ord±1 self-join read it.
     val (ranked, releaseRank) = Ranks.globalRankOwned(sfx,
         Seq(col("pfx"), col("doc_id"), col("pos")), outCol = "__ord")
     val ord = ranked
@@ -90,18 +87,114 @@ object SuffixArray {
         col("b_pos").as("pos"), col("__lcp")))
       .groupBy(col("doc_id"), col("pos"))
       .agg(max(col("__lcp")).as("__m"))
+    (perPos, () => { ord.unpersist(blocking = false); releaseRank() })
+  }
+
+  /** Per-document repeated-span profile over the corpus suffix
+    * ranking. Returns one row per document:
+    * `(doc_id, n_pos, max_rep, n_rep)` — position count, the longest
+    * repeated span seen, and how many positions start a repeated span
+    * of at least `minLen` characters. All-integer output: the q194
+    * oracle replays it bit for bit from the same prefix sort.
+    */
+  def repeatProfile(docs: DataFrame, idCol: String, textCol: String,
+                    maxOrder: Int = 32, minLen: Int = 20): DataFrame = {
+    require(maxOrder >= 2, s"maxOrder must be >= 2, got $maxOrder")
+    require(minLen >= 1 && minLen <= maxOrder,
+      s"minLen must be in [1, maxOrder], got $minLen")
+    val (perPos, release) = positionRepeats(docs, idCol, textCol, maxOrder)
     val out = perPos.groupBy(col("doc_id")).agg(
         count(lit(1)).as("n_pos"),
         max(col("__m")).as("max_rep"),
         sum(when(col("__m") >= minLen, 1L).otherwise(0L)).as("n_rep"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     // materialize the doc-count-scale result, then release BOTH
-    // position-scale caches (the ord frame here and the ranged frame
-    // inside globalRank) — a finished call must not leave corpus-scale
-    // blocks in the cache manager
+    // position-scale caches (the ord frame and the ranged frame inside
+    // globalRank) — a finished call must not leave corpus-scale blocks
+    // in the cache manager
     out.count()
-    ord.unpersist(blocking = false)
-    releaseRank()
+    release()
+    out
+  }
+
+  /** Exact-substring REMOVAL (Lee et al. §4.1's payoff): every
+    * character covered by a repeated span of at least `minLen`
+    * characters (capped at `maxOrder` — the measured profile length)
+    * is dropped, and the survivors stitch back in document order.
+    * Removal is the ALL-OCCURRENCES variant: both copies of a
+    * duplicated span disappear (Lee et al.'s released pipeline does
+    * the same, noting a span worth removing typically recurs many
+    * times, so keeping one canonical copy changes little while
+    * requiring a global occurrence election).
+    *
+    * Returns one row per non-null-text document:
+    * `(doc_id, clean_text, kept_chars, removed_chars)` — documents
+    * with no qualifying repeats pass through verbatim, fully-covered
+    * documents come back as the empty string.
+    *
+    * Shape: the shared [[positionRepeats]] sort, then per-DOCUMENT
+    * interval merging (classic running-max sweep under a doc-keyed
+    * window — a document's spans are its own; no cross-doc traffic)
+    * and one row-local `aggregate` fold that substrings the gaps
+    * between merged intervals out of the original text. Merged
+    * intervals are ≥ `minLen` chars each, so a document carries at
+    * most `len / minLen` of them — the stitch list is strictly smaller
+    * than the text it rebuilds.
+    */
+  def dedupSpans(docs: DataFrame, idCol: String, textCol: String,
+                 maxOrder: Int = 32, minLen: Int = 20): DataFrame = {
+    require(maxOrder >= 2, s"maxOrder must be >= 2, got $maxOrder")
+    require(minLen >= 1 && minLen <= maxOrder,
+      s"minLen must be in [1, maxOrder], got $minLen")
+    val (perPos, release) = positionRepeats(docs, idCol, textCol, maxOrder)
+
+    // covered intervals [s, e): every position starting a qualifying
+    // repeat covers its measured span. Merge overlapping/touching
+    // intervals per document with the running-max sweep: a new group
+    // starts where s jumps past everything seen before it.
+    val spans = perPos.filter(col("__m") >= minLen)
+      .select(col("doc_id"), col("pos").cast("int").as("s"),
+        (col("pos") + col("__m")).cast("int").as("e"))
+    val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("s"))
+    val merged = spans
+      .withColumn("__pmax", max(col("e"))
+        .over(wDoc.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("__ng",
+        when(col("__pmax").isNull || col("s") > col("__pmax"), 1L).otherwise(0L))
+      .withColumn("__grp", sum(col("__ng")).over(wDoc))
+      .groupBy(col("doc_id"), col("__grp"))
+      .agg(min(col("s")).as("s"), max(col("e")).as("e"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("s"), col("e")))).as("__ivs"),
+        sum((col("e") - col("s")).cast("long")).as("removed_chars"))
+
+    // stitch: fold the interval list left to right, emitting the gap
+    // before each interval, then the tail — row-local, one pass
+    def stitch(text: Column, ivs: Column): Column = {
+      val folded = aggregate(ivs,
+        struct(lit("").as("acc"), lit(1).as("cur")),
+        (st, iv) => struct(
+          concat(st.getField("acc"),
+            text.substr(st.getField("cur"),
+              iv.getField("s") - st.getField("cur"))).as("acc"),
+          iv.getField("e").as("cur")),
+        st => concat(st.getField("acc"),
+          text.substr(st.getField("cur"), length(text) - st.getField("cur") + 1)))
+      folded
+    }
+
+    val base = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"), col(textCol).as("__txt"))
+    val out = base.join(merged, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("__ivs").isNull, col("__txt"))
+          .otherwise(stitch(col("__txt"), col("__ivs"))).as("clean_text"),
+        (length(col("__txt")).cast("long") -
+          coalesce(col("removed_chars"), lit(0L))).as("kept_chars"),
+        coalesce(col("removed_chars"), lit(0L)).as("removed_chars"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    release()
     out
   }
 }

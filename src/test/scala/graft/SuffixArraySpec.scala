@@ -79,6 +79,92 @@ class SuffixArraySpec extends SparkSpec {
     assert(a === b)
   }
 
+  /** brute-force removal witness: per position the max pairwise LCP,
+    * union the qualifying spans into a covered mask, keep the rest. */
+  private def bruteClean(rows: Seq[(Long, String)], maxOrder: Int,
+                         minLen: Int): Map[Long, (String, Long, Long)] = {
+    val all = rows.filter(_._2.nonEmpty).flatMap { case (id, t) =>
+      (0 until t.length).map(i => (id, i, t.substring(i)))
+    }
+    def lcp(a: String, b: String): Int = {
+      var i = 0
+      val n = math.min(math.min(a.length, b.length), maxOrder)
+      while (i < n && a(i) == b(i)) i += 1
+      i
+    }
+    val masks = all.map { case (id, p, s) =>
+      val m = all.filter(o => !(o._1 == id && o._2 == p))
+        .map(o => lcp(s, o._3)).max
+      (id, p, m)
+    }.groupBy(_._1).map { case (id, xs) =>
+      val text = rows.find(_._1 == id).get._2
+      val covered = new Array[Boolean](text.length)
+      xs.foreach { case (_, p, m) =>
+        if (m >= minLen) (p until math.min(p + m, text.length))
+          .foreach(covered(_) = true)
+      }
+      val clean = text.zipWithIndex.filterNot(c => covered(c._2)).map(_._1).mkString
+      id -> ((clean, clean.length.toLong, covered.count(identity).toLong))
+    }
+    rows.map { case (id, t) =>
+      id -> masks.getOrElse(id, (t, t.length.toLong, 0L))
+    }.toMap
+  }
+
+  test("dedupSpans: planted boilerplate is removed from every copy, survivors stitch exactly") {
+    // 3 docs share a 26-char boilerplate header and 2 share a footer;
+    // unique middles survive; doc 4 is all boilerplate (fully covered);
+    // doc 5 has nothing repeated; doc 6 is empty
+    val header = "COMMON_BOILERPLATE_HEADER:"
+    val footer = "(c) same footer every time"
+    val rows = Seq(
+      1L -> s"${header}alpha body one$footer",
+      2L -> s"${header}beta body two$footer",
+      3L -> s"${header}gamma middle text here",
+      4L -> header,
+      5L -> "totally unique content!",
+      6L -> "")
+    val want = bruteClean(rows, maxOrder = 32, minLen = 20)
+    val got = SuffixArray.dedupSpans(rows.toDF("doc_id", "text"),
+        "doc_id", "text", maxOrder = 32, minLen = 20)
+      .as[(Long, String, Long, Long)].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4))).toMap
+    assert(got.keySet === rows.map(_._1).toSet)
+    for ((id, w) <- want)
+      assert(got(id) === w, s"doc $id: got ${got(id)}, want $w")
+    // the planted shape really exercised removal: headers gone
+    assert(!got(1L)._1.contains(header) && !got(2L)._1.contains(header))
+    assert(got(4L)._1 === "", "fully-covered doc must come back empty")
+    assert(got(5L)._1 === rows.find(_._1 == 5L).get._2, "unique doc untouched")
+  }
+
+  test("dedupSpans: overlapping and touching spans merge before stitching") {
+    // 'abcdefghijklmnopqrstuvwxyz' repeated with 1-char offsets makes a
+    // dense overlapping span family — the interval merge must collapse
+    // them, never double-remove or split survivors
+    val core = "abcdefghijklmnopqrstuvwxyz0123456789"
+    val rows = Seq(
+      1L -> s"XX${core}YY",
+      2L -> s"PP${core}QQ${core}RR")
+    val want = bruteClean(rows, maxOrder = 32, minLen = 20)
+    val got = SuffixArray.dedupSpans(rows.toDF("doc_id", "text"),
+        "doc_id", "text", maxOrder = 32, minLen = 20)
+      .as[(Long, String, Long, Long)].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4))).toMap
+    for ((id, w) <- want)
+      assert(got(id) === w, s"doc $id: got ${got(id)}, want $w")
+  }
+
+  test("dedupSpans leaves no position-scale blocks cached after returning") {
+    val before = sp.sparkContext.getPersistentRDDs.keySet
+    val out = SuffixArray.dedupSpans(fixture.toDF("doc_id", "text"),
+      "doc_id", "text", 32, 10).collect()
+    assert(out.nonEmpty)
+    val added = sp.sparkContext.getPersistentRDDs.keySet -- before
+    assert(added.size <= 1,
+      s"dedupSpans leaked ${added.size} cached RDDs: ids $added")
+  }
+
   test("repeatProfile leaves no position-scale blocks cached after returning") {
     // the operator persists TWO position-scale frames internally (the
     // ranged frame inside globalRankOwned and its own ord projection);
