@@ -1823,6 +1823,37 @@ object SparkEntry {
     Multimodal.hammingNearDupPairs(hashes, "doc_id", "dhash", maxHamming = 3)
   }
 
+  /** Q197 — transform-invariant image near-dup (dihedral-canonical
+    * hash; [[graft.multimodal.Multimodal.imageDihedralHash]] /
+    * [[graft.multimodal.Multimodal.hammingNearDupPairs]]): each
+    * document renders q182's quadratic-gradient pattern on an 8×8
+    * grid THROUGH a dihedral transform (`doc_id % 8` — a mirrored or
+    * rotated re-upload) plus the per-doc brightness shift, decodes
+    * through the real JDK codec, and hashes to the MINIMUM over all 8
+    * grid isometries of the 56-bit difference hash — so every
+    * transform of the same pattern collapses to one canonical value
+    * (D4 closure), the duplicate class plain dHash (q182) misses by
+    * ~30 bits. Pairing is the same lossless 4×16-bit-band Hamming
+    * join. Oracle: luma, transform table, per-variant bit packing,
+    * min, and the all-pairs Hamming brute force all replay in integer
+    * SQL — a transform-composition bug anywhere hash-fails.
+    */
+  def q197(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val media = docs(s, d)
+      .select(col("doc_id")).as[Long]
+      .map { id =>
+        Multimodal.MediaRow(id, "image",
+          Multimodal.renderDihedralGradPng(offset = (id % 25).toInt,
+            shift = (id % 3).toInt * 4, t = (id % 8).toInt),
+          8, 8, 0)
+      }
+    val hashes = Multimodal.imageDihedralHash(media)
+      .filter(col("decoded"))
+      .select(col("media_id").as("doc_id"), col("dhash"))
+    Multimodal.hammingNearDupPairs(hashes, "doc_id", "dhash", maxHamming = 3)
+  }
+
   /** Q184 — perceptual audio near-dup (envelope hash;
     * [[graft.multimodal.Multimodal.audioEnvelopeHash]]): each document
     * renders a deterministic 65-step amplitude-staircase WAV — step
@@ -2127,6 +2158,29 @@ object SparkEntry {
   def q195(s: SparkSession, d: String): DataFrame =
     graft.operators.SuffixArray.dedupSpans(docs(s, d), "doc_id", "text",
       maxOrder = 32, minLen = 20)
+
+  /** Q196 — cross-corpus exact-substring decontamination audit
+    * ([[graft.operators.SuffixArray.contamination]]; Lee et al., ACL
+    * 2022 §6.2 measured BENCHMARK contamination this way): the corpus
+    * splits content-addressed into train (q63's md5 draw, 'train'
+    * bucket) vs eval (val + test), and for every eval position the
+    * longest suffix prefix (≤ 32 chars) appearing verbatim ANYWHERE in
+    * train — per eval doc: position count, longest train-verbatim
+    * span, ≥ 20-char match starts, and merged-interval character
+    * coverage. Hash-free and length-measuring where q59/q104 are
+    * fixed-n n-gram tiers; eval-on-eval duplication deliberately does
+    * NOT count. One src-tagged order-32 prefix sort + a two-level
+    * nearest-train-neighbor scan — no global window. The oracle
+    * replays the same sort with IGNORE-NULLS running windows and the
+    * same interval merge.
+    */
+  def q196(s: SparkSession, d: String): DataFrame = {
+    val dd = graft.operators.Corpus.splitAssign(docs(s, d), "doc_id",
+      salt = "graft")
+    graft.operators.SuffixArray.contamination(
+      dd.filter(col("split") === "train"), dd.filter(col("split") =!= "train"),
+      "doc_id", "text", maxOrder = 32, minLen = 20)
+  }
 
   private def q190OracleSql: String = {
     val maxLen = UnigramKernel.MaxWordLen // 16
@@ -2640,6 +2694,63 @@ object SparkEntry {
        |  CAST(length(d.text) - coalesce(rm.removed, 0) AS BIGINT) AS kept_chars,
        |  CAST(coalesce(rm.removed, 0) AS BIGINT) AS removed_chars
        |FROM d LEFT JOIN rm USING (doc_id) LEFT JOIN ct USING (doc_id)
+       |""".stripMargin
+  }
+
+  /** The q196 oracle: the contamination scan replayed — q63's md5
+    * split draw tags each document train (0) / eval (1), the q194
+    * prefix sort runs over BOTH corpora, IGNORE-NULLS running windows
+    * find every row's nearest train prefix above and below in suffix
+    * order, the LCP against each unrolls character-by-character (the
+    * q194 unnest idiom), and the qualifying spans merge with the q195
+    * interval sweep. A neighbor-selection bug, an LCP bug, or an
+    * interval-merge bug all hash-fail.
+    */
+  private def q196OracleSql: String = {
+    val (h, minLen) = (32, 20)
+    s"""WITH doc AS (SELECT doc_id, text,
+       |    CASE WHEN substring(md5('graft:' || CAST(doc_id AS VARCHAR)), 1, 2)
+       |      < 'e6' THEN 0 ELSE 1 END AS src
+       |  FROM documents WHERE text IS NOT NULL AND length(text) > 0),
+       |p AS (SELECT src, doc_id, CAST(unnest(range(1, length(text) + 1))
+       |    AS BIGINT) AS pos, text FROM doc),
+       |s AS MATERIALIZED (SELECT src, doc_id, pos,
+       |  substr(text, CAST(pos AS INT), $h) AS pfx FROM p),
+       |nb AS MATERIALIZED (SELECT src, doc_id, pos, pfx,
+       |    last_value(CASE WHEN src = 0 THEN pfx END IGNORE NULLS) OVER (
+       |      ORDER BY pfx, src, doc_id, pos
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
+       |    first_value(CASE WHEN src = 0 THEN pfx END IGNORE NULLS) OVER (
+       |      ORDER BY pfx, src, doc_id, pos
+       |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
+       |  FROM s),
+       |ev AS (SELECT doc_id, pos, pfx, pt, nt FROM nb WHERE src = 1),
+       |lx AS MATERIALIZED (SELECT doc_id, pos, greatest(
+       |    coalesce(max(CASE WHEN substr(pfx, 1, CAST(k AS INT)) =
+       |      substr(pt, 1, CAST(k AS INT)) THEN k END), 0),
+       |    coalesce(max(CASE WHEN substr(pfx, 1, CAST(k AS INT)) =
+       |      substr(nt, 1, CAST(k AS INT)) THEN k END), 0)) AS m
+       |  FROM (SELECT *, unnest(range(1, length(pfx) + 1)) AS k FROM ev)
+       |  GROUP BY 1, 2),
+       |spn AS (SELECT doc_id, pos AS st, pos + m AS en FROM lx
+       |  WHERE m >= $minLen),
+       |sw AS (SELECT doc_id, st, en, max(en) OVER (PARTITION BY doc_id
+       |    ORDER BY st ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+       |    AS pmax FROM spn),
+       |sg AS (SELECT doc_id, st, en,
+       |    sum(CASE WHEN pmax IS NULL OR st > pmax THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY doc_id ORDER BY st) AS grp FROM sw),
+       |mi AS (SELECT doc_id, grp, min(st) AS st, max(en) AS en
+       |  FROM sg GROUP BY 1, 2),
+       |cv AS (SELECT doc_id, sum(en - st) AS contam FROM mi GROUP BY 1),
+       |prof AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pos,
+       |    CAST(max(m) AS BIGINT) AS max_match,
+       |    CAST(sum(CASE WHEN m >= $minLen THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_hits
+       |  FROM lx GROUP BY 1)
+       |SELECT prof.doc_id, prof.n_pos, prof.max_match, prof.n_hits,
+       |  CAST(coalesce(cv.contam, 0) AS BIGINT) AS contam_chars
+       |FROM prof LEFT JOIN cv USING (doc_id)
        |""".stripMargin
   }
 
@@ -3983,7 +4094,9 @@ object SparkEntry {
     "q192_unigram_pieces" -> (q192 _),
     "q193_repetition"     -> (q193 _),
     "q194_repeat_spans"   -> (q194 _),
-    "q195_dedup_spans"    -> (q195 _))
+    "q195_dedup_spans"    -> (q195 _),
+    "q196_decontam_audit" -> (q196 _),
+    "q197_dihedral_dedup" -> (q197 _))
 
   // DuckDB twins. Shared SQL fragments for the text queries:
   // explicit class: Java \s includes \x0B, RE2 \s does not — see
@@ -5929,6 +6042,7 @@ object SparkEntry {
     "q193_repetition" -> q193OracleSql,
     "q194_repeat_spans" -> q194OracleSql,
     "q195_dedup_spans" -> q195OracleSql,
+    "q196_decontam_audit" -> q196OracleSql,
     // q191: frame hashes rebuild from the same MD5 low bits (the ±4
     // step signs ARE the dHash bits — the prefix construction cannot
     // produce ties), ALL frame pairs brute-force at hamming <= 3
@@ -6074,6 +6188,46 @@ object SparkEntry {
     // hamming(a, b) = |A| + |B| − 2·|A∩B| brute-forced over all pairs.
     // The banded engine join is lossless at ham ≤ 3, so the row sets
     // must agree exactly.
+    // q197: the dihedral-canonical replay — the q182 luma arithmetic
+    // rendered THROUGH the doc's own transform (rt), the 8-variant
+    // 56-bit packing, the min, then an all-pairs xor/bit_count brute
+    // force. The tf CTE is the ONE transform table; the engine's
+    // Multimodal.dihedral composes exactly these maps.
+    "q197_dihedral_dedup" ->
+      ("""WITH g AS MATERIALIZED (SELECT doc_id, doc_id % 25 AS gk,
+         |    (doc_id % 3) * 4 AS base, doc_id % 8 AS rt FROM documents),
+         |tf AS MATERIALIZED (SELECT t.range AS t, x.range AS x, y.range AS y,
+         |    CASE t.range WHEN 0 THEN x.range WHEN 1 THEN 7 - y.range
+         |      WHEN 2 THEN 7 - x.range WHEN 3 THEN y.range
+         |      WHEN 4 THEN 7 - x.range WHEN 5 THEN x.range
+         |      WHEN 6 THEN y.range ELSE 7 - y.range END AS sx,
+         |    CASE t.range WHEN 0 THEN y.range WHEN 1 THEN x.range
+         |      WHEN 2 THEN 7 - y.range WHEN 3 THEN 7 - x.range
+         |      WHEN 4 THEN y.range WHEN 5 THEN 7 - y.range
+         |      WHEN 6 THEN x.range ELSE 7 - x.range END AS sy
+         |  FROM range(8) t, range(8) x, range(8) y),
+         |img AS MATERIALIZED (SELECT doc_id, f.x, f.y,
+         |    base + ((f.sx + 9 * f.sy + gk + 1) * (f.sx + 9 * f.sy + gk + 1)
+         |      * 13) % 150 AS lum
+         |  FROM g JOIN tf f ON f.t = g.rt),
+         |bits AS MATERIALIZED (SELECT i1.doc_id, a.t, a.y * 7 + a.x AS k
+         |  FROM (SELECT * FROM tf WHERE x < 7) a
+         |  JOIN tf b ON b.t = a.t AND b.y = a.y AND b.x = a.x + 1
+         |  JOIN img i1 ON i1.x = a.sx AND i1.y = a.sy
+         |  JOIN img i2 ON i2.doc_id = i1.doc_id AND i2.x = b.sx AND i2.y = b.sy
+         |  WHERE i2.lum > i1.lum),
+         |allt AS (SELECT doc_id, t.range AS t FROM documents, range(8) t),
+         |hsh AS MATERIALIZED (SELECT a.doc_id, a.t,
+         |    coalesce(sum(CAST(1 AS BIGINT) << b.k), 0) AS h
+         |  FROM allt a LEFT JOIN bits b ON b.doc_id = a.doc_id AND b.t = a.t
+         |  GROUP BY 1, 2),
+         |canon AS MATERIALIZED (SELECT doc_id, CAST(min(h) AS BIGINT) AS ch
+         |  FROM hsh GROUP BY 1)
+         |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |  CAST(bit_count(xor(a.ch, b.ch)) AS BIGINT) AS hamming
+         |FROM canon a JOIN canon b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.ch, b.ch)) <= 3
+         |""".stripMargin),
     "q182_image_dhash" ->
       ("""WITH g AS MATERIALIZED (SELECT doc_id, doc_id % 25 AS gk,
          |    (doc_id % 3) * 4 AS base FROM documents),

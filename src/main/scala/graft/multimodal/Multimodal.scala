@@ -205,6 +205,54 @@ object Multimodal {
     bos.toByteArray
   }
 
+  /** The 8 isometries of an n×n grid (the dihedral group D4):
+    * `F_t(x, y)` = source coordinates of transformed-grid cell (x, y).
+    * t 0–3 are the rotations, 4–7 the reflections. One shared table —
+    * the fixture renderer, the canonical hash, and the q197 oracle all
+    * compose EXACTLY these maps, so transform identity replays bit for
+    * bit.
+    */
+  private[graft] def dihedral(t: Int, x: Int, y: Int, n: Int): (Int, Int) =
+    t match {
+      case 0 => (x, y)
+      case 1 => (n - 1 - y, x)
+      case 2 => (n - 1 - x, n - 1 - y)
+      case 3 => (y, n - 1 - x)
+      case 4 => (n - 1 - x, y)
+      case 5 => (x, n - 1 - y)
+      case 6 => (y, x)
+      case _ => (n - 1 - y, n - 1 - x)
+    }
+
+  /** The q197 fixture: the [[renderQuadGradPng]] quadratic-gradient
+    * luma rendered on an 8×8 grid THROUGH a dihedral transform —
+    * `img(x, y) = shift + ((u + 9v + offset + 1)²·13) % 150` with
+    * `(u, v) = F_t(x, y)` — a mirrored/rotated re-upload of the same
+    * underlying pattern. Pure integer arithmetic: the oracle replays
+    * render, transform, and hash without a codec.
+    */
+  def renderDihedralGradPng(offset: Int, shift: Int, t: Int): Array[Byte] = {
+    require(shift >= 0 && shift + 149 <= 255, s"shift out of range: $shift")
+    require(t >= 0 && t < 8, s"dihedral transform must be 0..7, got $t")
+    val img = new java.awt.image.BufferedImage(8, 8,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        val (u, v) = dihedral(t, x, y, 8)
+        val s = u + 9 * v + offset + 1
+        val l = shift + (s * s * 13) % 150
+        img.setRGB(x, y, (l << 16) | (l << 8) | l)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
   /** Per-image 64-bit difference hash. */
   case class ImageHash(media_id: Long, decoded: Boolean, dhash: Long)
 
@@ -253,6 +301,76 @@ object Multimodal {
             y += 1
           }
           ImageHash(r.media_id, decoded = true, hash)
+        case None => ImageHash(r.media_id, decoded = false, 0L)
+      }
+    })
+  }
+
+  /** Dihedral-CANONICAL perceptual hash: the minimum over the 8 grid
+    * isometries ([[dihedral]]) of a 56-bit horizontal-difference hash
+    * on the 8×8 luma grid — bit `y·7 + x` of variant `t` is set when
+    * `g(F_t(x+1, y)) > g(F_t(x, y))`. A mirrored or rotated re-upload
+    * permutes the grid by some `s ∈ D4`, so its 8 variant hashes are
+    * the SAME SET (`{g∘s∘t} = {g∘t'}` — D4 closure) and the minimum is
+    * identical: canonical hashes catch the transform-duplicate class
+    * plain [[imageDHash]] misses (a mirror lands ~30 bits away), while
+    * uniform brightness shifts still cancel in the comparisons. At
+    * grid level the rotation is exact; for non-square source images
+    * the 8×8 resample makes it the standard approximation. Pixels
+    * never leave the partition — only the canonical 8-byte hash
+    * shuffles, and [[hammingNearDupPairs]]' 4×16-bit banding stays
+    * lossless (the value is < 2^56).
+    */
+  def imageDihedralHash(media: Dataset[MediaRow]): Dataset[ImageHash] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { r =>
+      decodeImage(r.payload) match {
+        case Some(img0) =>
+          val img =
+            if (img0.getWidth == 8 && img0.getHeight == 8) img0
+            else {
+              val out = new java.awt.image.BufferedImage(8, 8,
+                java.awt.image.BufferedImage.TYPE_INT_RGB)
+              val g = out.createGraphics()
+              try {
+                g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+                  java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+                g.drawImage(img0, 0, 0, 8, 8, null)
+              } finally g.dispose()
+              out
+            }
+          val lum = new Array[Double](64)
+          var y = 0
+          while (y < 8) {
+            var x = 0
+            while (x < 8) {
+              val rgb = img.getRGB(x, y)
+              lum(y * 8 + x) = 0.299 * ((rgb >> 16) & 0xFF) +
+                0.587 * ((rgb >> 8) & 0xFF) + 0.114 * (rgb & 0xFF)
+              x += 1
+            }
+            y += 1
+          }
+          var best = Long.MaxValue
+          var t = 0
+          while (t < 8) {
+            var h = 0L
+            var yy = 0
+            while (yy < 8) {
+              var xx = 0
+              while (xx < 7) {
+                val (ax, ay) = dihedral(t, xx, yy, 8)
+                val (bx, by) = dihedral(t, xx + 1, yy, 8)
+                if (lum(by * 8 + bx) > lum(ay * 8 + ax))
+                  h |= 1L << (yy * 7 + xx)
+                xx += 1
+              }
+              yy += 1
+            }
+            if (h < best) best = h
+            t += 1
+          }
+          ImageHash(r.media_id, decoded = true, best)
         case None => ImageHash(r.media_id, decoded = false, 0L)
       }
     })

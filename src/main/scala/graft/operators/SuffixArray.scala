@@ -117,6 +117,141 @@ object SuffixArray {
     out
   }
 
+  /** The contamination core, exposed lazily for plan inspection:
+    * `(doc_id, pos, __m)` for every EVAL position — the longest
+    * train-verbatim match — plus ownership of the internal range-slice
+    * cache ([[Ranks.globalRankOwned]]'s contract: release only after
+    * every consumer materialized).
+    */
+  private[graft] def positionMatches(train: DataFrame, eval: DataFrame,
+                                     idCol: String, textCol: String,
+                                     maxOrder: Int): (DataFrame, () => Unit) = {
+    val spark = train.sparkSession
+
+    def positions(docs: DataFrame, src: Int): DataFrame =
+      docs.filter(col(textCol).isNotNull && length(col(textCol)) > 0)
+        .select(lit(src).as("__src"), col(idCol).as("doc_id"),
+          explode(sequence(lit(1), length(col(textCol)))).as("pos"),
+          col(textCol).as("__txt"))
+        .select(col("__src"), col("doc_id"), col("pos").cast("long").as("pos"),
+          substring(col("__txt"), col("pos"), lit(maxOrder)).as("pfx"))
+
+    val tagged = positions(train, 0).unionByName(positions(eval, 1))
+    val ordCols = Seq(col("pfx"), col("__src"), col("doc_id"), col("pos"))
+    val parts = spark.sparkContext.defaultParallelism
+    // one range exchange: each physical partition is a contiguous slice
+    // of the combined suffix order. Persisted for the same boundary-
+    // stability reason as Ranks.globalRank — the carry subtree and the
+    // data subtree must read ONE sampled range split.
+    val ranged = tagged.repartitionByRange(parts, ordCols: _*)
+      .withColumn("__part", spark_partition_id())
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    // per-slice train extremes (metadata: ≤ numPartitions rows), then
+    // exclusive running carries across slices — the prev-train prefix
+    // entering each slice from above, the next-train prefix from below
+    val tKey = struct(col("pfx"), col("doc_id"), col("pos"))
+    val sums = ranged.filter(col("__src") === 0).groupBy(col("__part")).agg(
+      max_by(col("pfx"), tKey).as("__lastT"),
+      min_by(col("pfx"), tKey).as("__firstT"))
+    val wUp = Window.orderBy(col("__part"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wDn = Window.orderBy(col("__part").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carries = ranged.select(col("__part")).distinct()
+      .join(sums, Seq("__part"), "left")
+      .select(col("__part"),
+        last(col("__lastT"), ignoreNulls = true).over(wUp).as("__cprev"),
+        last(col("__firstT"), ignoreNulls = true).over(wDn).as("__cnext"))
+
+    // within each slice: running last-train prefix at-or-before (asc)
+    // and at-or-after (desc) every row; a slice with no train rows
+    // falls through to its carry. Train rows see themselves — harmless,
+    // only eval rows are scored.
+    val trainPfx = when(col("__src") === 0, col("pfx"))
+    val wAsc = Window.partitionBy(col("__part")).orderBy(ordCols: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wDesc = Window.partitionBy(col("__part"))
+      .orderBy(ordCols.map(_.desc): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val lcp = graft.functions.ArrayFunctions.commonPrefixLen _
+    val perPos = ranged.join(broadcast(carries), "__part")
+      .withColumn("__pT", coalesce(
+        last(trainPfx, ignoreNulls = true).over(wAsc), col("__cprev")))
+      .withColumn("__nT", coalesce(
+        last(trainPfx, ignoreNulls = true).over(wDesc), col("__cnext")))
+      .filter(col("__src") === 1)
+      .select(col("doc_id"), col("pos"),
+        greatest(coalesce(lcp(col("pfx"), col("__pT")), lit(0L)),
+          coalesce(lcp(col("pfx"), col("__nT")), lit(0L))).as("__m"))
+    (perPos, () => { ranged.unpersist(blocking = false); () })
+  }
+
+  /** Cross-corpus exact-substring CONTAMINATION (the decontamination
+    * measurement of Lee et al. §6.2, character-exact): for every
+    * position of every EVAL document, the longest prefix of its suffix
+    * (≤ `maxOrder` chars) that occurs verbatim ANYWHERE in the TRAIN
+    * corpus, collapsed per eval document into
+    * `(doc_id, n_pos, max_match, n_hits, contam_chars)` — position
+    * count, the longest train-verbatim span, positions starting a
+    * ≥ `minLen` match, and the character coverage of the qualifying
+    * spans after the [[dedupSpans]] interval merge. Unlike the n-gram
+    * tiers (q59 exact n-gram join, q104 Bloom prefilter) this is
+    * hash-free AND measures the match length, not a fixed `n`; eval
+    * docs duplicating OTHER EVAL docs do not count — contamination is
+    * eval ∩ train only.
+    *
+    * Shape: ONE src-tagged order-`maxOrder` prefix sort over both
+    * corpora (the q194 range exchange), then a nearest-train-neighbor
+    * scan. In the combined suffix order the train suffix maximizing
+    * the LCP with an eval suffix is the NEAREST train row above or
+    * below it (for sorted strings, LCP(x, z) = min of adjacent LCPs
+    * between them, so moving past the nearest train row can only
+    * shrink the match) — and since every row carries its `maxOrder`-
+    * char prefix string, the LCP against that neighbor is computed
+    * directly, row-locally. The scan itself is two running
+    * `last(ignoreNulls)` window passes (asc and desc) WITHIN each
+    * contiguous range slice, plus per-slice first/last-train carries
+    * cumulated over a `numPartitions`-row metadata window — the
+    * [[Ranks.globalRank]] two-level discipline: no global window,
+    * no phase serial in the corpus size.
+    */
+  def contamination(train: DataFrame, eval: DataFrame, idCol: String,
+                    textCol: String, maxOrder: Int = 32,
+                    minLen: Int = 20): DataFrame = {
+    require(maxOrder >= 2, s"maxOrder must be >= 2, got $maxOrder")
+    require(minLen >= 1 && minLen <= maxOrder,
+      s"minLen must be in [1, maxOrder], got $minLen")
+    val (perPos, release) =
+      positionMatches(train, eval, idCol, textCol, maxOrder)
+
+    // per-doc profile + merged-interval coverage (the dedupSpans sweep)
+    val spans = perPos.filter(col("__m") >= minLen)
+      .select(col("doc_id"), col("pos").as("s"), (col("pos") + col("__m")).as("e"))
+    val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("s"))
+    val contam = spans
+      .withColumn("__pmax", max(col("e"))
+        .over(wDoc.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("__ng",
+        when(col("__pmax").isNull || col("s") > col("__pmax"), 1L).otherwise(0L))
+      .withColumn("__grp", sum(col("__ng")).over(wDoc))
+      .groupBy(col("doc_id"), col("__grp"))
+      .agg(min(col("s")).as("s"), max(col("e")).as("e"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("e") - col("s")).as("contam_chars"))
+    val out = perPos.groupBy(col("doc_id")).agg(
+        count(lit(1)).as("n_pos"),
+        max(col("__m")).as("max_match"),
+        sum(when(col("__m") >= minLen, 1L).otherwise(0L)).as("n_hits"))
+      .join(contam, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_pos"), col("max_match"), col("n_hits"),
+        coalesce(col("contam_chars"), lit(0L)).as("contam_chars"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    release()
+    out
+  }
+
   /** Exact-substring REMOVAL (Lee et al. §4.1's payoff): every
     * character covered by a repeated span of at least `minLen`
     * characters (capped at `maxOrder` — the measured profile length)

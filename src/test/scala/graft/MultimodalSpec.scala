@@ -111,6 +111,60 @@ class MultimodalSpec extends SparkSpec {
     assert(ham <= 3, s"resized copy drifted to hamming $ham")
   }
 
+  test("imageDihedralHash: all 8 transforms of a pattern collide canonically") {
+    // the same underlying pattern re-uploaded under every dihedral
+    // transform (mirror, rotations, transposes) plus brightness shifts
+    // must land on ONE canonical hash; a different pattern stays far
+    val rows = (0 until 8).map(t =>
+      (t + 1).toLong -> Multimodal.renderDihedralGradPng(
+        offset = 4, shift = (t % 3) * 4, t = t)) :+
+      (100L -> Multimodal.renderDihedralGradPng(offset = 11, shift = 0, t = 2)) :+
+      (101L -> "corrupt".getBytes("UTF-8"))
+    val hs = Multimodal.imageDihedralHash(imageTable(rows))
+      .collect().sortBy(_.media_id)
+    assert(hs.take(8).forall(_.decoded) && hs(8).decoded && !hs(9).decoded)
+    val canon = hs(0).dhash
+    for (i <- 1 until 8)
+      assert(hs(i).dhash === canon,
+        s"transform ${i} broke canonical identity: ${hs(i).dhash} vs $canon")
+    assert(java.lang.Long.bitCount(hs(8).dhash ^ canon) > 3,
+      "different pattern must not pair")
+    assert((canon >>> 56) === 0L, "canonical hash must fit 56 bits")
+  }
+
+  test("imageDihedralHash: catches the mirror that plain dHash misses") {
+    // the motivating class: a horizontally mirrored re-upload — the
+    // plain difference hash lands far away, the canonical hash collides
+    val a = Multimodal.renderDihedralGradPng(offset = 7, shift = 0, t = 0)
+    val b = Multimodal.renderDihedralGradPng(offset = 7, shift = 0, t = 4)
+    val plain = Multimodal.imageDHash(imageTable(Seq(1L -> a, 2L -> b)))
+      .collect().sortBy(_.media_id)
+    assert(java.lang.Long.bitCount(plain(0).dhash ^ plain(1).dhash) > 3,
+      "fixture degenerate: plain dHash already pairs the mirror")
+    val canon = Multimodal.imageDihedralHash(imageTable(Seq(1L -> a, 2L -> b)))
+      .collect().sortBy(_.media_id)
+    assert(canon(0).dhash === canon(1).dhash, "canonical hash must collide")
+  }
+
+  test("imageDihedralHash: container re-encode collides; dihedral maps are 8 distinct bijections") {
+    val base = Multimodal.renderDihedralGradPng(offset = 4, shift = 0, t = 3)
+    val bmp = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(
+      javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(base)),
+      "bmp", bmp)
+    val hs = Multimodal.imageDihedralHash(imageTable(Seq(
+        1L -> base, 2L -> bmp.toByteArray))).collect().sortBy(_.media_id)
+    assert(hs(0).dhash === hs(1).dhash, "re-encode must collide")
+    // the transform table really is the dihedral group's 8 elements:
+    // each map permutes the 64 cells, and no two maps agree everywhere
+    val perms = (0 until 8).map { t =>
+      (for (y <- 0 until 8; x <- 0 until 8)
+        yield Multimodal.dihedral(t, x, y, 8)).toVector
+    }
+    perms.foreach(p => assert(p.distinct.size === 64, "map must be a bijection"))
+    assert(perms.distinct.size === 8, "all 8 maps must be distinct")
+  }
+
   test("hammingNearDupPairs: banded join equals brute force (lossless at ham <= 3)") {
     val sp2 = spark
     import sp2.implicits._

@@ -312,6 +312,36 @@ class PlanSpec extends SparkSpec {
       s"repetition metrics must stay a pure projection:\n$p")
   }
 
+  test("q196: the contamination scan has no global window over position-scale data") {
+    // the nearest-train-neighbor scan must run inside the range slices
+    // (windows partitioned by __part) and on the per-doc interval keys;
+    // the ONLY partition-less windows allowed are the slice-carry
+    // cumulations over the <= numPartitions metadata rows (identified
+    // by their __lastT/__firstT inputs), and the carry frame itself
+    // must broadcast back, never shuffle the position rows again
+    val sp = spark
+    import sp.implicits._
+    val train = Seq(1L -> "some training text here").toDF("doc_id", "text")
+    val eval = Seq(2L -> "some evaluation text here").toDF("doc_id", "text")
+    val (perPos, release) = graft.operators.SuffixArray
+      .positionMatches(train, eval, "doc_id", "text", 32)
+    try {
+      val p = plan(perPos)
+      val windows = "Window \\[[^\\n]*".r.findAllIn(p).toSeq
+      val globals = windows.filter(w => "\\], \\[".r.findAllIn(w).size == 1)
+      val partitioned = windows.filter(w => "\\], \\[".r.findAllIn(w).size == 2)
+      assert(partitioned.nonEmpty && partitioned.forall(_.contains("[__part")),
+        s"position-scale windows must partition by the range slice:\n$p")
+      assert(globals.nonEmpty && globals.forall(w =>
+          w.contains("__lastT") || w.contains("__firstT")),
+        s"found a global window that is not the metadata carry cumulation:\n$p")
+      assert(p.contains("BroadcastHashJoin"),
+        s"the carry frame must broadcast back to the slices:\n$p")
+      assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+        s"no position-scale join may shuffle:\n$p")
+    } finally release()
+  }
+
   test("q93: substrings materialize only after the hash-count join") {
     val p = plan(SparkEntry.q93(spark, sf0001))
     // stage A shuffles 8-byte hashes (count per hash); raw window strings

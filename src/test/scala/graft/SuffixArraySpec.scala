@@ -179,6 +179,123 @@ class SuffixArraySpec extends SparkSpec {
         s"the doc-scale result): ids $added")
   }
 
+  /** brute-force contamination witness: each eval position against
+    * EVERY train suffix; coverage mask like [[bruteClean]]. */
+  private def bruteContam(train: Seq[(Long, String)], eval: Seq[(Long, String)],
+                          maxOrder: Int, minLen: Int)
+      : Map[Long, (Long, Long, Long, Long)] = {
+    def lcp(a: String, b: String): Int = {
+      var i = 0
+      val n = math.min(math.min(a.length, b.length), maxOrder)
+      while (i < n && a(i) == b(i)) i += 1
+      i
+    }
+    val tSfx = train.filter(r => r._2 != null && r._2.nonEmpty)
+      .flatMap { case (_, t) => (0 until t.length).map(t.substring) }
+    eval.filter(r => r._2 != null && r._2.nonEmpty).map { case (id, t) =>
+      val ms = (0 until t.length).map { i =>
+        val s = t.substring(i)
+        if (tSfx.isEmpty) 0 else tSfx.map(o => lcp(s, o)).max
+      }
+      val covered = new Array[Boolean](t.length)
+      ms.zipWithIndex.foreach { case (m, i) =>
+        if (m >= minLen) (i until math.min(i + m, t.length))
+          .foreach(covered(_) = true)
+      }
+      id -> ((t.length.toLong, ms.max.toLong,
+        ms.count(_ >= minLen).toLong, covered.count(identity).toLong))
+    }.toMap
+  }
+
+  private def runContam(train: Seq[(Long, String)], eval: Seq[(Long, String)],
+                        maxOrder: Int = 32, minLen: Int = 20)
+      : Map[Long, (Long, Long, Long, Long)] =
+    SuffixArray.contamination(train.toDF("doc_id", "text"),
+        eval.toDF("doc_id", "text"), "doc_id", "text", maxOrder, minLen)
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4, t._5))).toMap
+
+  test("contamination matches the all-train-suffixes brute force") {
+    val secret = "THE_SECRET_BENCHMARK_ANSWER_IS_42"
+    val train = Seq(
+      1L -> s"training text with $secret inside it",
+      2L -> "other unrelated training material",
+      3L -> "short")
+    val eval = Seq(
+      10L -> s"eval question quoting $secret verbatim",   // contaminated
+      11L -> "completely novel evaluation prompt",        // clean
+      12L -> s"training text with $secret inside it",     // full copy of 1
+      13L -> "other unrelated tra",                       // 19-char overlap < minLen
+      14L -> "zz")
+    val want = bruteContam(train, eval, maxOrder = 32, minLen = 20)
+    val got = runContam(train, eval)
+    assert(got === want)
+    assert(got(10L)._4 >= secret.length.toLong, "quoted span is covered")
+    assert(got(11L)._3 === 0L && got(11L)._4 === 0L, "novel doc is clean")
+    assert(got(12L)._4 === got(12L)._1, "full copy is fully covered")
+    assert(got(13L)._3 === 0L, "a sub-minLen overlap never qualifies")
+    assert(got(13L)._2 === 19L, "but max_match still reports it")
+  }
+
+  test("contamination: eval-on-eval duplication does NOT count") {
+    val dupe = "THIS EXACT SENTENCE APPEARS IN TWO EVAL DOCS."
+    val train = Seq(1L -> "train corpus with nothing shared")
+    val eval = Seq(10L -> s"first: $dupe", 11L -> s"second: $dupe")
+    val got = runContam(train, eval)
+    val want = bruteContam(train, eval, 32, 20)
+    assert(got === want)
+    assert(got(10L)._3 === 0L && got(11L)._3 === 0L,
+      "eval-internal duplication must not register as train contamination")
+  }
+
+  test("contamination: empty train corpus yields all-zero matches") {
+    val eval = Seq(10L -> "anything at all", 11L -> "more of anything")
+    val got = runContam(Seq.empty[(Long, String)], eval)
+    assert(got === Map(
+      10L -> ((15L, 0L, 0L, 0L)), 11L -> ((16L, 0L, 0L, 0L))))
+  }
+
+  test("contamination: spans longer than maxOrder still cover fully via chained starts") {
+    // a 60-char copied block under maxOrder = 16: every position's match
+    // caps at 16, but successive starts chain the coverage to the whole
+    // block — the interval merge must deliver full contam_chars
+    val block = (1 to 6).map(i => f"SEG$i%02d_ABCDE").mkString // 60 chars
+    val train = Seq(1L -> s"lead $block trail")
+    val eval = Seq(10L -> s"Q: $block?")
+    val want = bruteContam(train, eval, maxOrder = 16, minLen = 10)
+    val got = runContam(train, eval, maxOrder = 16, minLen = 10)
+    assert(got === want)
+    assert(got(10L)._4 >= block.length.toLong)
+  }
+
+  test("contamination is invariant under adversarial repartitioning") {
+    val train = fixture.take(5)
+    val eval = fixture.drop(5).map { case (id, t) => (id + 100L, t) }
+    val a = SuffixArray.contamination(
+      train.toDF("doc_id", "text").repartition(13),
+      eval.toDF("doc_id", "text").repartition(7),
+      "doc_id", "text", 32, 10)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    val b = SuffixArray.contamination(
+      train.toDF("doc_id", "text").repartition(1),
+      eval.toDF("doc_id", "text").repartition(1),
+      "doc_id", "text", 32, 10)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(a === b)
+    assert(a === bruteContam(train, eval, 32, 10)
+      .map { case (id, t) => (id, t._1, t._2, t._3, t._4) }.toSet)
+  }
+
+  test("contamination leaves no position-scale blocks cached after returning") {
+    val before = sp.sparkContext.getPersistentRDDs.keySet
+    val out = runContam(fixture.take(5),
+      fixture.drop(5).map { case (id, t) => (id + 100L, t) }, 32, 10)
+    assert(out.nonEmpty)
+    val added = sp.sparkContext.getPersistentRDDs.keySet -- before
+    assert(added.size <= 1,
+      s"contamination leaked ${added.size} cached RDDs: ids $added")
+  }
+
   test("commonPrefixLen counts code points and handles mismatch at 0") {
     import org.apache.spark.sql.functions._
     val got = Seq(("abcd", "abxx"), ("", "abc"), ("same", "same"),
