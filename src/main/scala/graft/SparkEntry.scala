@@ -3162,6 +3162,38 @@ object SparkEntry {
       .limit(10)
   }
 
+  /** Q198 — zero-exchange co-located join over bucketed tables
+    * ([[graft.sinks.Layout.bucketedTable]]): orders and lineitem are
+    * laid out ONCE as 16-bucket parquet tables keyed on orderkey (one
+    * sorted file per bucket), and the fact-fact join then sort-merges
+    * with NO shuffle on either side — each bucketed scan reports its
+    * hash partitioning and sort order, so the only exchange in the
+    * whole plan is the 5-row priority aggregate above the join. The
+    * layout-vs-query trade every lake makes: pay the co-location at
+    * write/compaction time, never per query; at 100 TB this deletes
+    * the two largest exchanges a TPC-H-shaped join pipeline has. The
+    * `merge` hint pins the scale-relevant strategy at test SF (size
+    * stats would otherwise broadcast the small fixture). Plan-gated:
+    * exactly one exchange, and it carries the post-join aggregate.
+    */
+  def q198(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_orderpriority"))
+    val l = Tables.lineitem(s, d)
+      .select(col("l_orderkey"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast(org.apache.spark.sql.types.DecimalType(28, 6)).as("__r"))
+    val ot = graft.sinks.Layout.bucketedTable(o, s"q198-orders|$d",
+      "o_orderkey", 16)
+    val lt = graft.sinks.Layout.bucketedTable(l, s"q198-lineitem|$d",
+      "l_orderkey", 16)
+    s.table(ot).hint("merge")
+      .join(s.table(lt), col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_items"),
+        NumFunctions.roundNz(sum(col("__r")).cast("double"), 2).as("revenue"))
+  }
+
   /** Q175 — token-mass concentration
     * ([[graft.operators.Corpus.tokenConcentration]]): the Lorenz view
     * of curation economics — quality deciles (exact ntile over q18's
@@ -4096,7 +4128,8 @@ object SparkEntry {
     "q194_repeat_spans"   -> (q194 _),
     "q195_dedup_spans"    -> (q195 _),
     "q196_decontam_audit" -> (q196 _),
-    "q197_dihedral_dedup" -> (q197 _))
+    "q197_dihedral_dedup" -> (q197 _),
+    "q198_bucket_join"    -> (q198 _))
 
   // DuckDB twins. Shared SQL fragments for the text queries:
   // explicit class: Java \s includes \x0B, RE2 \s does not — see
@@ -6526,6 +6559,15 @@ object SparkEntry {
          |""".stripMargin),
     // q178: the classic Q3 join tree, revenue through DECIMAL(28,6),
     // rounded rank with date + key tie-breaks.
+    // q198: the bucketed layout changes the PLAN, never the answer —
+    // the oracle is the plain join/aggregate over the original tables
+    "q198_bucket_join" ->
+      ("""SELECT o.o_orderpriority, CAST(count(*) AS BIGINT) AS n_items,
+         |  round(CAST(sum(CAST(l.l_extendedprice * (1.0 - l.l_discount)
+         |    AS DECIMAL(28,6))) AS DOUBLE), 2) + 0 AS revenue
+         |FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+         |GROUP BY 1
+         |""".stripMargin),
     "q178_tpch_q3" ->
       ("""WITH j AS (SELECT l.l_orderkey, o.o_orderdate, o.o_orderpriority,
          |  CAST(l.l_extendedprice * (1.0 - l.l_discount) AS DECIMAL(28,6)) AS r

@@ -174,6 +174,43 @@ object Layout {
     (df, keep.length, files.length)
   }
 
+  /** Save `df` ONCE as a bucketed, per-bucket-sorted parquet table in
+    * the session catalog and return the table name — the layout that
+    * removes the JOIN exchange entirely: two tables bucketed on their
+    * join keys into the SAME bucket count sort-merge join with ZERO
+    * ShuffleExchange (each bucketed scan reports its hash
+    * partitioning, so EnsureRequirements inserts nothing), the
+    * co-location big lakes buy once at write time instead of paying a
+    * fact-table shuffle on every query. The input repartitions to one
+    * partition per bucket before the write, so every bucket is ONE
+    * sorted file and the scan also reports its sort order — the merge
+    * side needs no Sort either.
+    *
+    * The table is EXTERNAL with data at a deterministic temp path;
+    * same single-writer contract as [[zOrderedWithStats]]. Existence
+    * is checked against the CATALOG (not a JVM map), so a new session
+    * in the same JVM rebuilds instead of serving a dangling name.
+    */
+  def bucketedTable(df: DataFrame, cacheKey: String, bucketCol: String,
+                    nBuckets: Int): String = {
+    require(nBuckets >= 1, s"bucket count must be >= 1, got $nBuckets")
+    val fullKey = s"$cacheKey|$bucketCol|$nBuckets"
+    val keyHex = java.security.MessageDigest.getInstance("MD5")
+      .digest(fullKey.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val name = s"graft_bucketed_$keyHex"
+    this.synchronized {
+      if (!df.sparkSession.catalog.tableExists(name)) {
+        val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+          s"graft-bucketed-$keyHex/lake").toString
+        df.repartition(nBuckets, col(bucketCol))
+          .write.mode("overwrite").format("parquet")
+          .bucketBy(nBuckets, bucketCol).sortBy(bucketCol)
+          .option("path", dir).saveAsTable(name)
+      }
+    }
+    name
+  }
+
   // Hive-partitioned copies, same once-per-key lifecycle as [[copies]]
   private val partCopies =
     new java.util.concurrent.ConcurrentHashMap[String, String]()

@@ -121,4 +121,29 @@ class LayoutSpec extends SparkSpec {
     val (df, read, total) = Layout.readPruned(spark, dir, stats, "x", 1000, 2000)
     assert(read === 0 && total === 4 && df.count() === 0)
   }
+
+  test("bucketedTable: co-located join result equals plain join; table is reused") {
+    val sp2 = spark
+    import sp2.implicits._
+    val left = (0L until 200L).map(i => (i, s"l$i")).toDF("k", "lv")
+    val right = (0L until 400L).map(i => (i % 200L, i)).toDF("k2", "rv")
+    val lt = Layout.bucketedTable(left, "spec-bkt-left", "k", 4)
+    val rt = Layout.bucketedTable(right, "spec-bkt-right", "k2", 4)
+    val got = spark.table(lt).hint("merge")
+      .join(spark.table(rt), col("k") === col("k2"))
+      .groupBy(col("k")).count().as[(Long, Long)].collect().toMap
+    val want = left.join(right, col("k") === col("k2"))
+      .groupBy(col("k")).count().as[(Long, Long)].collect().toMap
+    assert(got === want)
+    // second call with the same key must reuse, not rewrite
+    assert(Layout.bucketedTable(left, "spec-bkt-left", "k", 4) === lt)
+    // different bucket count is a different layout identity
+    assert(Layout.bucketedTable(left, "spec-bkt-left", "k", 8) !== lt)
+    // the join itself planned no exchange below the aggregation
+    val p = spark.table(lt).hint("merge")
+      .join(spark.table(rt), col("k") === col("k2"))
+      .queryExecution.executedPlan.toString
+    assert(p.contains("SortMergeJoin"), s"expected SMJ over bucketed scans:\n$p")
+    assert(!p.contains("Exchange"), s"bucketed join must not shuffle:\n$p")
+  }
 }

@@ -342,6 +342,22 @@ class PlanSpec extends SparkSpec {
     } finally release()
   }
 
+  test("q198: the bucketed fact-fact join plans ZERO join exchanges") {
+    // both sides are bucketed catalog tables keyed on orderkey: the
+    // sort-merge join must consume the bucket partitioning directly —
+    // the ONLY exchange in the plan is the 5-row priority aggregate
+    val p = plan(SparkEntry.q198(spark, sf0001))
+    assert(p.contains("SortMergeJoin"), s"expected a sort-merge join:\n$p")
+    assert(!p.contains("BroadcastHashJoin"),
+      s"the merge hint must pin the scale-relevant strategy:\n$p")
+    val ex = "Exchange [^\\n]*".r.findAllIn(p).toSeq
+    assert(ex.size === 1, s"expected exactly one exchange, got ${ex.size}:\n$p")
+    assert(ex.head.contains("o_orderpriority"),
+      s"the one exchange must be the post-join aggregate:\n$p")
+    assert(p.contains("graft_bucketed_"),
+      s"both scans must read the bucketed layout:\n$p")
+  }
+
   test("q93: substrings materialize only after the hash-count join") {
     val p = plan(SparkEntry.q93(spark, sf0001))
     // stage A shuffles 8-byte hashes (count per hash); raw window strings
