@@ -3194,6 +3194,29 @@ object SparkEntry {
         NumFunctions.roundNz(sum(col("__r")).cast("double"), 2).as("revenue"))
   }
 
+  /** Q199 — bucket-PRUNED point lookup over q198's layout (the same
+    * [[graft.sinks.Layout.bucketedTable]] copy, same cache key — one
+    * compaction pass serves the co-located join AND the point reads):
+    * an IN-list on the bucket key scans only the buckets the keys hash
+    * to, `SelectedBucketsCount ≤ 3 out of 16` instead of the full
+    * table — at 100 TB a point lookup touches 1/16th of the files
+    * before any row-group stat is even consulted. Plan-gated on the
+    * selected-bucket count. Oracle: the plain IN-list aggregate —
+    * layout changes the scan, never the answer.
+    */
+  def q199(s: SparkSession, d: String): DataFrame = {
+    val l = Tables.lineitem(s, d)
+      .select(col("l_orderkey"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast(org.apache.spark.sql.types.DecimalType(28, 6)).as("__r"))
+    val lt = graft.sinks.Layout.bucketedTable(l, s"q198-lineitem|$d",
+      "l_orderkey", 16)
+    s.table(lt).filter(col("l_orderkey").isin(1L, 7L, 32L))
+      .groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n_items"),
+        NumFunctions.roundNz(sum(col("__r")).cast("double"), 2).as("revenue"))
+  }
+
   /** Q175 — token-mass concentration
     * ([[graft.operators.Corpus.tokenConcentration]]): the Lorenz view
     * of curation economics — quality deciles (exact ntile over q18's
@@ -4129,7 +4152,8 @@ object SparkEntry {
     "q195_dedup_spans"    -> (q195 _),
     "q196_decontam_audit" -> (q196 _),
     "q197_dihedral_dedup" -> (q197 _),
-    "q198_bucket_join"    -> (q198 _))
+    "q198_bucket_join"    -> (q198 _),
+    "q199_bucket_lookup"  -> (q199 _))
 
   // DuckDB twins. Shared SQL fragments for the text queries:
   // explicit class: Java \s includes \x0B, RE2 \s does not — see
@@ -6567,6 +6591,12 @@ object SparkEntry {
          |    AS DECIMAL(28,6))) AS DOUBLE), 2) + 0 AS revenue
          |FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
          |GROUP BY 1
+         |""".stripMargin),
+    "q199_bucket_lookup" ->
+      ("""SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n_items,
+         |  round(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+         |    AS DECIMAL(28,6))) AS DOUBLE), 2) + 0 AS revenue
+         |FROM lineitem WHERE l_orderkey IN (1, 7, 32) GROUP BY 1
          |""".stripMargin),
     "q178_tpch_q3" ->
       ("""WITH j AS (SELECT l.l_orderkey, o.o_orderdate, o.o_orderpriority,

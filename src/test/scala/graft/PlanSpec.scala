@@ -358,6 +358,19 @@ class PlanSpec extends SparkSpec {
       s"both scans must read the bucketed layout:\n$p")
   }
 
+  test("q199: the IN-list point lookup prunes to the keys' buckets") {
+    // the filter is on the bucket column, so the scan must select only
+    // the (at most 3) buckets the keys hash into — file-level skipping
+    // before any row-group stat is consulted
+    val q = SparkEntry.q199(spark, sf0001)
+    val p = q.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val m = "SelectedBucketsCount: (\\d+) out of 16".r.findFirstMatchIn(p)
+    assert(m.isDefined, s"scan is not bucket-pruned:\n$p")
+    assert(m.get.group(1).toInt <= 3,
+      s"expected <= 3 selected buckets, got ${m.get.group(1)}:\n$p")
+  }
+
   test("q93: substrings materialize only after the hash-count join") {
     val p = plan(SparkEntry.q93(spark, sf0001))
     // stage A shuffles 8-byte hashes (count per hash); raw window strings
