@@ -3217,6 +3217,35 @@ object SparkEntry {
         NumFunctions.roundNz(sum(col("__r")).cast("double"), 2).as("revenue"))
   }
 
+  /** Q200 — self-maintaining streaming dedup index
+    * ([[graft.sinks.DedupIndexSink]]): the corpus arrives as three
+    * content-keyed daily batches (`doc_id % 3`); each batch is probed
+    * against the STANDING MinHash index (cross-day pairs — the index
+    * side never shuffles, q105's discipline), checked against itself
+    * (intra-day pairs), and appended as prepared per-document state
+    * (shingle hashes + signature — text never re-read), all
+    * exactly-once under streaming replay (per-batch overwrite dirs +
+    * `_APPLIED` markers; the probe reads only SEALED prior batches).
+    * Day N costs O(batch · probe), never O(corpus²). Output: every
+    * committed batch's matches. Oracle: brute-force day-ordered
+    * cross-Jaccard — `(new, old)` qualifies when day(new) > day(old),
+    * or same day with new > old, at Jaccard ≥ 0.7.
+    */
+  def q200(s: SparkSession, d: String): DataFrame = {
+    val keyHex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"q200|v1|$d".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val root = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft-dedupsink-$keyHex/idx").toString
+    (0L to 2L).foreach { day =>
+      graft.sinks.DedupIndexSink.maintain(s,
+        docs(s, d).filter(pmod(col("doc_id"), lit(3)) === day),
+        root, "doc_id", "text", day)
+    }
+    graft.sinks.DedupIndexSink.allMatches(s, root)
+      .select(col("new_id"), col("old_id"), col("inter"), col("un"),
+        col("jac"))
+  }
+
   /** Q175 — token-mass concentration
     * ([[graft.operators.Corpus.tokenConcentration]]): the Lorenz view
     * of curation economics — quality deciles (exact ntile over q18's
@@ -4153,7 +4182,8 @@ object SparkEntry {
     "q196_decontam_audit" -> (q196 _),
     "q197_dihedral_dedup" -> (q197 _),
     "q198_bucket_join"    -> (q198 _),
-    "q199_bucket_lookup"  -> (q199 _))
+    "q199_bucket_lookup"  -> (q199 _),
+    "q200_dedup_sink"     -> (q200 _))
 
   // DuckDB twins. Shared SQL fragments for the text queries:
   // explicit class: Java \s includes \x0B, RE2 \s does not — see
@@ -5412,6 +5442,21 @@ object SparkEntry {
           |pairs AS (SELECT a.doc_id AS new_id, b.doc_id AS old_id,
           |  len(list_intersect(a.s, b.s)) AS inter, len(a.s) + len(b.s) AS tot
           |  FROM sh a JOIN sh b ON a.source = 'src1' AND b.source <> 'src1')
+          |SELECT new_id, old_id, CAST(inter AS BIGINT) AS inter,
+          |  CAST(tot - inter AS BIGINT) AS un,
+          |  CAST(inter AS DOUBLE) / (tot - inter) AS jac
+          |FROM pairs WHERE (tot - inter) > 0 AND inter * 10 >= (tot - inter) * 7
+          |""".stripMargin),
+    // q200: the maintained index's lifetime match set — brute-force
+    // day-ordered cross-Jaccard (day = doc_id % 3); a pair qualifies
+    // when the new side's day is later, or same-day with the larger id
+    "q200_dedup_sink" ->
+      (s"""WITH toks AS (SELECT doc_id, $TOKS AS tk FROM documents),
+          |sh AS (SELECT doc_id, ${shinglesSql("tk")} AS s FROM toks),
+          |pairs AS (SELECT a.doc_id AS new_id, b.doc_id AS old_id,
+          |  len(list_intersect(a.s, b.s)) AS inter, len(a.s) + len(b.s) AS tot
+          |  FROM sh a JOIN sh b ON (a.doc_id % 3 > b.doc_id % 3)
+          |    OR (a.doc_id % 3 = b.doc_id % 3 AND a.doc_id > b.doc_id))
           |SELECT new_id, old_id, CAST(inter AS BIGINT) AS inter,
           |  CAST(tot - inter AS BIGINT) AS un,
           |  CAST(inter AS DOUBLE) / (tot - inter) AS jac

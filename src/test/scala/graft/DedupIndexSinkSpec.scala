@@ -1,0 +1,128 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sinks.DedupIndexSink
+
+/** [[graft.sinks.DedupIndexSink]] — the self-maintaining streaming
+  * dedup index: maintained matches equal the brute-force day-ordered
+  * pair set, replay with a committed batch id is a no-op, a crash
+  * between the data writes and the marker converges, and the real
+  * foreachBatch wiring produces the identical index.
+  */
+class DedupIndexSinkSpec extends SparkSpec {
+  private val sp = spark
+  import sp.implicits._
+
+  // three "days": day 1 doc 20 duplicates day 0 doc 10; day 2 doc 30
+  // duplicates both; day 2 docs 31/32 duplicate EACH OTHER (intra-day);
+  // the rest are noise. ~20 tokens so 3-gram Jaccard is decisive.
+  private val sentence =
+    "the quick brown fox jumps over the lazy dog while seven wizards " +
+    "brew strong potions behind the old stone wall tonight"
+  private val other =
+    "completely different material about spark catalyst optimizer rules " +
+    "and tungsten codegen stages that shares nothing with the fox story"
+  private def day(id: Long): Long = id / 10 - 1
+  private val rows = Seq(
+    10L -> sentence, 11L -> other, 12L -> "short one here",
+    20L -> sentence, 21L -> (other + " with a small tail change"),
+    30L -> sentence, 31L -> ("alpha " + other), 32L -> ("alpha " + other))
+    .toDF("doc_id", "text")
+
+  private def runDays(root: String): Unit =
+    (0L to 2L).foreach { d =>
+      DedupIndexSink.maintain(spark,
+        rows.filter(floor(col("doc_id") / 10) - 1 === d), root,
+        "doc_id", "text", d)
+    }
+
+  private def matchSet(root: String): Set[(Long, Long)] =
+    DedupIndexSink.allMatches(spark, root)
+      .select(col("new_id"), col("old_id")).as[(Long, Long)]
+      .collect().toSet
+
+  private def freshRoot(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"dedupsink-$tag").toString + "/idx"
+
+  /** day-ordered brute force mirroring the q200 oracle: 3-gram word
+    * shingles, exact Jaccard ≥ 7/10, pair (new, old) when day(new) >
+    * day(old) or same-day with new > old. */
+  private def brute(data: Seq[(Long, String)]): Set[(Long, Long)] = {
+    def sh(t: String): Set[String] = {
+      val w = t.trim.split("\\s+").filter(_.nonEmpty)
+      if (w.length < 3) Set.empty
+      else w.sliding(3).map(_.mkString(" ")).toSet
+    }
+    (for {
+      (a, ta) <- data; (b, tb) <- data
+      if day(a) > day(b) || (day(a) == day(b) && a > b)
+      inter = (sh(ta) & sh(tb)).size
+      un = sh(ta).size + sh(tb).size - inter
+      if un > 0 && inter * 10 >= un * 7
+    } yield (a, b)).toSet
+  }
+
+  test("maintained matches = day-ordered brute force on the planted fixture") {
+    val root = freshRoot("base")
+    runDays(root)
+    val got = matchSet(root)
+    val want = brute(rows.as[(Long, String)].collect().toSeq)
+    assert(got === want)
+    // the planted duplicate chains really fired: the cross-day copy
+    // family (10/20/30) and the intra-day identical pair (31/32)
+    assert(got((20L, 10L)) && got((30L, 20L)) && got((32L, 31L)))
+    // the standing state holds every document exactly once, text-free
+    val st = DedupIndexSink.state(spark, root)
+    assert(st.count() === 8)
+    assert(st.columns.toSet === Set("ingest_batch", "doc_id", "shingles", "sig"))
+  }
+
+  test("replaying a committed batch id is a no-op: state and matches unchanged") {
+    val root = freshRoot("replay")
+    runDays(root)
+    val (s0, m0) = (DedupIndexSink.state(spark, root).count(), matchSet(root))
+    // replay day 1 (same rows, same id) — the marker must short-circuit
+    val re = DedupIndexSink.maintain(spark,
+      rows.filter(floor(col("doc_id") / 10) - 1 === 1L), root, "doc_id", "text", 1L)
+    assert(re.select(col("new_id")).as[Long].collect().toSet === Set(20L, 21L))
+    assert(DedupIndexSink.state(spark, root).count() === s0)
+    assert(matchSet(root) === m0)
+  }
+
+  test("crash window: data written, marker missing — re-run converges bit-for-bit") {
+    val root = freshRoot("crash")
+    runDays(root)
+    val m0 = matchSet(root)
+    // simulate a crash after day 2's writes but before its commit:
+    // delete the marker, leave both data directories in place
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(root, "_batches/2/_APPLIED"), false)
+    DedupIndexSink.maintain(spark,
+      rows.filter(floor(col("doc_id") / 10) - 1 === 2L), root, "doc_id", "text", 2L)
+    assert(matchSet(root) === m0, "replayed fold must converge")
+    assert(DedupIndexSink.state(spark, root).count() === 8)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(root, "_batches/2/_APPLIED")))
+  }
+
+  test("foreachBatch wiring: a 3-batch stream maintains the identical index") {
+    val root = freshRoot("stream")
+    val batchRoot = freshRoot("batchtwin")
+    runDays(batchRoot)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val q = input.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        DedupIndexSink.maintain(spark, b, root, "doc_id", "text", id); ()
+      }
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("dedupsink-ck").toString)
+      .start()
+    val byDay = rows.as[(Long, String)].collect().groupBy(r => r._1 / 10 - 1)
+    (0L to 2L).foreach { d => input.addData(byDay(d).toSeq); q.processAllAvailable() }
+    q.stop()
+    assert(matchSet(root) === matchSet(batchRoot),
+      "streamed index must equal the sequential batch index")
+  }
+}
