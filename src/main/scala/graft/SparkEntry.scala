@@ -2754,6 +2754,43 @@ object SparkEntry {
        |""".stripMargin
   }
 
+  /** The q201 oracle: the greedy facility-location selection unrolled —
+    * the 6-dp DECIMAL sim matrix once, then per round an argmax CTE
+    * (ORDER BY gain DESC, cid — the engine's exact tie order) and a
+    * cover-update CTE. A sim-rounding bug, a tie-break bug, or a
+    * cover-clip bug diverges the whole selection chain.
+    */
+  private def q201OracleSql: String = {
+    val k = 6
+    val rounds = (1 to k).map { r =>
+      val prior = (1 until r).map(i => s"SELECT cid FROM s$i").mkString(" UNION ALL ")
+      val excl = if (r == 1) "" else s"WHERE s.cid NOT IN ($prior)"
+      s"""g$r AS (SELECT s.cid, sum(greatest(s.s, c.c) - c.c) AS gain
+         |  FROM sims s JOIN cov${r - 1} c USING (tid) $excl GROUP BY 1),
+         |s$r AS MATERIALIZED (SELECT cid, gain FROM g$r
+         |  ORDER BY gain DESC, cid LIMIT 1),
+         |cov$r AS MATERIALIZED (SELECT c.tid, greatest(c.c, s.s) AS c
+         |  FROM cov${r - 1} c JOIN sims s ON s.tid = c.tid
+         |  JOIN s$r x ON s.cid = x.cid)""".stripMargin
+    }.mkString(",\n")
+    val out = (1 to k).map(r =>
+      s"SELECT CAST($r AS BIGINT) AS sel_rank, cid AS vec_id, " +
+      s"CAST(gain * 1000000 AS BIGINT) AS gain_micros FROM s$r")
+      .mkString("\nUNION ALL\n")
+    s"""WITH tgt AS (SELECT vec_id AS tid, CAST(embedding AS DOUBLE[]) AS v
+       |  FROM embeddings WHERE vec_id % 20 = 0),
+       |cand AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS v
+       |  FROM embeddings WHERE vec_id % 20 <> 0),
+       |sims AS MATERIALIZED (SELECT cid, tid,
+       |    CAST(round(list_cosine_similarity(c.v, t.v), 6) + 0
+       |      AS DECIMAL(18,6)) AS s
+       |  FROM cand c JOIN tgt t ON true),
+       |cov0 AS (SELECT tid, CAST(0 AS DECIMAL(18,6)) AS c FROM tgt),
+       |$rounds
+       |$out
+       |""".stripMargin
+  }
+
   /** The q147 oracle: the multiprobe-LSH bitext miner replayed end to
     * end — the q26 MD5 Rademacher plane construction per table
     * (seed 42 + t), per-bit dots, base signatures, the probe side's 2
@@ -3244,6 +3281,25 @@ object SparkEntry {
     graft.sinks.DedupIndexSink.allMatches(s, root)
       .select(col("new_id"), col("old_id"), col("inter"), col("un"),
         col("jac"))
+  }
+
+  /** Q201 — greedy facility-location data selection
+    * ([[graft.operators.Selection.facilityLocation]]; Lin & Bilmes,
+    * ACL 2011): pick 6 candidates maximizing target coverage
+    * `Σ_t max(0, max_sel sim)` against the 5 % target slice
+    * (`vec_id % 20 = 0`) — target-RELEVANT and DIVERSE at once (a
+    * near-dup of a prior pick gains nothing), the submodular selector
+    * similarity-top-k lacks. Sims route through 6-dp DECIMAL so every
+    * greedy round is exact in any partitioning; per round the plan is
+    * one zero-exchange row-local fold + TakeOrdered(1). Oracle unrolls
+    * all 6 rounds (argmax CTE + cover update per round).
+    */
+  def q201(s: SparkSession, d: String): DataFrame = {
+    val e = emb(s, d)
+    graft.operators.Selection.facilityLocation(
+      e.filter(pmod(col("vec_id"), lit(20)) =!= 0),
+      e.filter(pmod(col("vec_id"), lit(20)) === 0),
+      "vec_id", "embedding", k = 6)
   }
 
   /** Q175 — token-mass concentration
@@ -4183,7 +4239,8 @@ object SparkEntry {
     "q197_dihedral_dedup" -> (q197 _),
     "q198_bucket_join"    -> (q198 _),
     "q199_bucket_lookup"  -> (q199 _),
-    "q200_dedup_sink"     -> (q200 _))
+    "q200_dedup_sink"     -> (q200 _),
+    "q201_facility_select" -> (q201 _))
 
   // DuckDB twins. Shared SQL fragments for the text queries:
   // explicit class: Java \s includes \x0B, RE2 \s does not — see
@@ -6145,6 +6202,7 @@ object SparkEntry {
     "q194_repeat_spans" -> q194OracleSql,
     "q195_dedup_spans" -> q195OracleSql,
     "q196_decontam_audit" -> q196OracleSql,
+    "q201_facility_select" -> q201OracleSql,
     // q191: frame hashes rebuild from the same MD5 low bits (the ±4
     // step signs ARE the dHash bits — the prefix construction cannot
     // produce ties), ALL frame pairs brute-force at hamming <= 3

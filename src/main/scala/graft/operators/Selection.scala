@@ -1,0 +1,104 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.storage.StorageLevel
+
+import graft.functions.{NumFunctions, VectorFunctions}
+
+/** Greedy submodular data selection — facility location (Lin & Bilmes,
+  * "A Class of Submodular Functions for Document Summarization", ACL
+  * 2011; the standard target-matched subset selector in training-data
+  * curation): pick `k` candidates maximizing
+  * `F(S) = Σ_t max(0, max_{c ∈ S} sim(c, t))` over a TARGET set — each
+  * greedy round adds the candidate with the largest marginal coverage
+  * gain, so the selection is target-RELEVANT (high sims) and DIVERSE
+  * (a near-duplicate of an already-selected candidate gains ~nothing —
+  * exactly what similarity-top-k selection lacks). Greedy is within
+  * (1 − 1/e) of optimal for monotone submodular F.
+  *
+  * Scale shape: target sets are metadata by contract (an eval/probe
+  * suite, bounded by `maxTargets`); candidate×target sims build ONCE
+  * via a broadcast cross join into per-candidate tid-ordered DECIMAL
+  * arrays (one candidate-keyed exchange, persisted). Each of the `k`
+  * rounds is then a zero-exchange row-local fold of the sim array
+  * against the current cover vector (a plan literal) plus ONE
+  * TakeOrdered(1) — no per-round shuffle of anything candidate-scale,
+  * and the driver state is one decimal per target.
+  *
+  * Determinism (the oracle replays all `k` rounds): per-pair cosines
+  * round to 6 dp and route through DECIMAL(18,6), so gains are EXACT
+  * integer-scaled sums in any partitioning, and the argmax tie-breaks
+  * on the candidate id.
+  *
+  * Returns `k` rows `(sel_rank, vec_id, gain_micros)` in selection
+  * order — the marginal gain in exact 1e-6 units (an integer, so the
+  * oracle compares without a decimal→double conversion ulp).
+  */
+object Selection {
+
+  def facilityLocation(candidates: DataFrame, targets: DataFrame,
+                       idCol: String, vecCol: String, k: Int,
+                       maxTargets: Int = 10000): DataFrame = {
+    require(k >= 1, s"selection size must be >= 1, got $k")
+    val spark = candidates.sparkSession
+    val dec = DecimalType(18, 6)
+    val wide = DecimalType(38, 6)
+
+    val t = targets.select(col(idCol).cast("long").as("tid"),
+      col(vecCol).as("tvec"))
+    val nT = t.count()
+    require(nT > 0 && nT <= maxTargets,
+      s"target set must be metadata-scale (1..$maxTargets rows), got $nT")
+
+    // candidate × target sims, built once: broadcast targets, row-local
+    // cosine, 6-dp decimal routing, then ONE candidate-keyed collapse
+    // into tid-ordered arrays. Zero-norm vectors score 0 by convention.
+    val scored = candidates
+      .select(col(idCol).cast("long").as("cid"), col(vecCol).as("cvec"))
+      .crossJoin(broadcast(t))
+      .select(col("cid"), col("tid"),
+        coalesce(NumFunctions.roundNz(VectorFunctions
+          .cosineSimilarity(col("cvec"), col("tvec")), 6), lit(0.0))
+          .cast(dec).as("s"))
+    val arr = scored.groupBy(col("cid"))
+      .agg(transform(array_sort(collect_list(struct(col("tid"), col("s")))),
+        e => e.getField("s")).as("ss"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    arr.count()
+
+    val zero = new java.math.BigDecimal("0.000000")
+    var cover = Array.fill(nT.toInt)(zero)
+    val picked = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    try {
+      var r = 1
+      var exhausted = false
+      while (r <= k && !exhausted) {
+        val covLit = array(cover.map(c => lit(c).cast(dec)).toIndexedSeq: _*)
+        val gain = aggregate(
+          zip_with(col("ss"), covLit,
+            (s, c) => (greatest(s, c) - c).cast(wide)),
+          lit(zero).cast(wide), (acc, x) => acc + x)
+        val rest =
+          if (picked.isEmpty) arr
+          else arr.filter(!col("cid").isin(picked.map(_._2).toSeq: _*))
+        val best = rest.select(col("cid"), gain.as("g"), col("ss"))
+          .orderBy(col("g").desc, col("cid").asc).limit(1).collect()
+        if (best.isEmpty) exhausted = true
+        else {
+          val row = best(0)
+          val cid = row.getLong(0)
+          val g = row.getDecimal(1)
+          val ss = row.getAs[scala.collection.Seq[java.math.BigDecimal]](2)
+          cover = cover.zip(ss).map { case (c, s) => c.max(s) }
+          picked += ((r.toLong, cid, g.movePointRight(6).longValueExact))
+          r += 1
+        }
+      }
+    } finally arr.unpersist(blocking = false)
+
+    import spark.implicits._
+    picked.toSeq.toDF("sel_rank", "vec_id", "gain_micros")
+  }
+}
