@@ -2791,6 +2791,69 @@ object SparkEntry {
        |""".stripMargin
   }
 
+  /** The q202 oracle: the q196 sort/neighbor/LCP replay, then the q195
+    * removal applied to the EVAL side — qualifying spans merge per doc
+    * and the survivor text rebuilds as the ORDER BY gap stitch.
+    */
+  private def q202OracleSql: String = {
+    val (h, minLen) = (32, 20)
+    s"""WITH ed AS (SELECT doc_id, text,
+       |    CASE WHEN substring(md5('graft:' || CAST(doc_id AS VARCHAR)), 1, 2)
+       |      < 'e6' THEN 0 ELSE 1 END AS src
+       |  FROM documents WHERE text IS NOT NULL),
+       |doc AS (SELECT doc_id, text, src FROM ed WHERE length(text) > 0),
+       |p AS (SELECT src, doc_id, CAST(unnest(range(1, length(text) + 1))
+       |    AS BIGINT) AS pos, text FROM doc),
+       |s AS MATERIALIZED (SELECT src, doc_id, pos,
+       |  substr(text, CAST(pos AS INT), $h) AS pfx FROM p),
+       |nb AS MATERIALIZED (SELECT src, doc_id, pos, pfx,
+       |    last_value(CASE WHEN src = 0 THEN pfx END IGNORE NULLS) OVER (
+       |      ORDER BY pfx, src, doc_id, pos
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
+       |    first_value(CASE WHEN src = 0 THEN pfx END IGNORE NULLS) OVER (
+       |      ORDER BY pfx, src, doc_id, pos
+       |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
+       |  FROM s),
+       |ev AS (SELECT doc_id, pos, pfx, pt, nt FROM nb WHERE src = 1),
+       |lx AS MATERIALIZED (SELECT doc_id, pos, greatest(
+       |    coalesce(max(CASE WHEN substr(pfx, 1, CAST(k AS INT)) =
+       |      substr(pt, 1, CAST(k AS INT)) THEN k END), 0),
+       |    coalesce(max(CASE WHEN substr(pfx, 1, CAST(k AS INT)) =
+       |      substr(nt, 1, CAST(k AS INT)) THEN k END), 0)) AS m
+       |  FROM (SELECT *, unnest(range(1, length(pfx) + 1)) AS k FROM ev)
+       |  GROUP BY 1, 2),
+       |spn AS (SELECT doc_id, pos AS st, pos + m AS en FROM lx
+       |  WHERE m >= $minLen),
+       |sw AS (SELECT doc_id, st, en, max(en) OVER (PARTITION BY doc_id
+       |    ORDER BY st ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+       |    AS pmax FROM spn),
+       |sg AS (SELECT doc_id, st, en,
+       |    sum(CASE WHEN pmax IS NULL OR st > pmax THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY doc_id ORDER BY st) AS grp FROM sw),
+       |mi AS MATERIALIZED (SELECT doc_id, grp, min(st) AS st, max(en) AS en
+       |  FROM sg GROUP BY 1, 2),
+       |rm AS (SELECT doc_id, sum(en - st) AS removed FROM mi GROUP BY 1),
+       |evd AS (SELECT doc_id, text FROM ed WHERE src = 1),
+       |gaps AS (
+       |  SELECT doc_id, coalesce(lag(en) OVER (PARTITION BY doc_id
+       |      ORDER BY st), 1) AS ss, st AS se FROM mi
+       |  UNION ALL
+       |  SELECT m2.doc_id, max(m2.en) AS ss,
+       |    any_value(length(d2.text)) + 1 AS se
+       |  FROM mi m2 JOIN evd d2 USING (doc_id) GROUP BY m2.doc_id),
+       |ct AS (SELECT g.doc_id,
+       |    string_agg(substr(d2.text, CAST(g.ss AS INT),
+       |      CAST(g.se - g.ss AS INT)), '' ORDER BY g.ss) AS clean
+       |  FROM gaps g JOIN evd d2 USING (doc_id) GROUP BY g.doc_id)
+       |SELECT d.doc_id,
+       |  CASE WHEN rm.removed IS NULL THEN d.text
+       |       ELSE coalesce(ct.clean, '') END AS clean_text,
+       |  CAST(length(d.text) - coalesce(rm.removed, 0) AS BIGINT) AS kept_chars,
+       |  CAST(coalesce(rm.removed, 0) AS BIGINT) AS removed_chars
+       |FROM evd d LEFT JOIN rm USING (doc_id) LEFT JOIN ct USING (doc_id)
+       |""".stripMargin
+  }
+
   /** The q147 oracle: the multiprobe-LSH bitext miner replayed end to
     * end — the q26 MD5 Rademacher plane construction per table
     * (seed 42 + t), per-bit dots, base signatures, the probe side's 2
@@ -3300,6 +3363,25 @@ object SparkEntry {
       e.filter(pmod(col("vec_id"), lit(20)) =!= 0),
       e.filter(pmod(col("vec_id"), lit(20)) === 0),
       "vec_id", "embedding", k = 6)
+  }
+
+  /** Q202 — contamination REMOVAL
+    * ([[graft.operators.SuffixArray.decontaminate]]; q196's payoff
+    * face, the cross-corpus twin of q195): every eval character
+    * covered by a ≥ 20-char span occurring verbatim anywhere in the
+    * train split is dropped, survivors stitched in order — the eval
+    * set a benchmark can actually be scored on. One src-tagged
+    * order-32 sort feeds the q196 audit and this removal. Oracle: the
+    * q196 sort/neighbor/LCP replay, then the q195 interval merge and
+    * `string_agg` gap stitch applied to the eval docs — clean_text is
+    * compared as a STRING, pinning every survivor boundary.
+    */
+  def q202(s: SparkSession, d: String): DataFrame = {
+    val dd = graft.operators.Corpus.splitAssign(docs(s, d), "doc_id",
+      salt = "graft")
+    graft.operators.SuffixArray.decontaminate(
+      dd.filter(col("split") === "train"), dd.filter(col("split") =!= "train"),
+      "doc_id", "text", maxOrder = 32, minLen = 20)
   }
 
   /** Q175 — token-mass concentration
@@ -4240,7 +4322,8 @@ object SparkEntry {
     "q198_bucket_join"    -> (q198 _),
     "q199_bucket_lookup"  -> (q199 _),
     "q200_dedup_sink"     -> (q200 _),
-    "q201_facility_select" -> (q201 _))
+    "q201_facility_select" -> (q201 _),
+    "q202_decontam_clean"  -> (q202 _))
 
   // DuckDB twins. Shared SQL fragments for the text queries:
   // explicit class: Java \s includes \x0B, RE2 \s does not — see
@@ -6203,6 +6286,7 @@ object SparkEntry {
     "q195_dedup_spans" -> q195OracleSql,
     "q196_decontam_audit" -> q196OracleSql,
     "q201_facility_select" -> q201OracleSql,
+    "q202_decontam_clean" -> q202OracleSql,
     // q191: frame hashes rebuild from the same MD5 low bits (the ±4
     // step signs ARE the dHash bits — the prefix construction cannot
     // produce ties), ALL frame pairs brute-force at hamming <= 3

@@ -252,41 +252,15 @@ object SuffixArray {
     out
   }
 
-  /** Exact-substring REMOVAL (Lee et al. §4.1's payoff): every
-    * character covered by a repeated span of at least `minLen`
-    * characters (capped at `maxOrder` — the measured profile length)
-    * is dropped, and the survivors stitch back in document order.
-    * Removal is the ALL-OCCURRENCES variant: both copies of a
-    * duplicated span disappear (Lee et al.'s released pipeline does
-    * the same, noting a span worth removing typically recurs many
-    * times, so keeping one canonical copy changes little while
-    * requiring a global occurrence election).
-    *
-    * Returns one row per non-null-text document:
-    * `(doc_id, clean_text, kept_chars, removed_chars)` — documents
-    * with no qualifying repeats pass through verbatim, fully-covered
-    * documents come back as the empty string.
-    *
-    * Shape: the shared [[positionRepeats]] sort, then per-DOCUMENT
-    * interval merging (classic running-max sweep under a doc-keyed
-    * window — a document's spans are its own; no cross-doc traffic)
-    * and one row-local `aggregate` fold that substrings the gaps
-    * between merged intervals out of the original text. Merged
-    * intervals are ≥ `minLen` chars each, so a document carries at
-    * most `len / minLen` of them — the stitch list is strictly smaller
-    * than the text it rebuilds.
+  /** Shared removal tail: merge every qualifying span `[pos, pos+__m)`
+    * of `perPos` per document (running-max sweep under a doc-keyed
+    * window) and stitch each document's survivor text row-locally.
+    * Returns the LAZY `(doc_id, clean_text, kept_chars, removed_chars)`
+    * frame over every non-null-text row of `docs` — the caller
+    * materializes it before releasing the position caches.
     */
-  def dedupSpans(docs: DataFrame, idCol: String, textCol: String,
-                 maxOrder: Int = 32, minLen: Int = 20): DataFrame = {
-    require(maxOrder >= 2, s"maxOrder must be >= 2, got $maxOrder")
-    require(minLen >= 1 && minLen <= maxOrder,
-      s"minLen must be in [1, maxOrder], got $minLen")
-    val (perPos, release) = positionRepeats(docs, idCol, textCol, maxOrder)
-
-    // covered intervals [s, e): every position starting a qualifying
-    // repeat covers its measured span. Merge overlapping/touching
-    // intervals per document with the running-max sweep: a new group
-    // starts where s jumps past everything seen before it.
+  private def removeSpans(docs: DataFrame, idCol: String, textCol: String,
+                          perPos: DataFrame, minLen: Int): DataFrame = {
     val spans = perPos.filter(col("__m") >= minLen)
       .select(col("doc_id"), col("pos").cast("int").as("s"),
         (col("pos") + col("__m")).cast("int").as("e"))
@@ -320,13 +294,74 @@ object SuffixArray {
 
     val base = docs.filter(col(textCol).isNotNull)
       .select(col(idCol).as("doc_id"), col(textCol).as("__txt"))
-    val out = base.join(merged, Seq("doc_id"), "left")
+    base.join(merged, Seq("doc_id"), "left")
       .select(col("doc_id"),
         when(col("__ivs").isNull, col("__txt"))
           .otherwise(stitch(col("__txt"), col("__ivs"))).as("clean_text"),
         (length(col("__txt")).cast("long") -
           coalesce(col("removed_chars"), lit(0L))).as("kept_chars"),
         coalesce(col("removed_chars"), lit(0L)).as("removed_chars"))
+  }
+
+  /** Exact-substring REMOVAL (Lee et al. §4.1's payoff): every
+    * character covered by a repeated span of at least `minLen`
+    * characters (capped at `maxOrder` — the measured profile length)
+    * is dropped, and the survivors stitch back in document order.
+    * Removal is the ALL-OCCURRENCES variant: both copies of a
+    * duplicated span disappear (Lee et al.'s released pipeline does
+    * the same, noting a span worth removing typically recurs many
+    * times, so keeping one canonical copy changes little while
+    * requiring a global occurrence election).
+    *
+    * Returns one row per non-null-text document:
+    * `(doc_id, clean_text, kept_chars, removed_chars)` — documents
+    * with no qualifying repeats pass through verbatim, fully-covered
+    * documents come back as the empty string.
+    *
+    * Shape: the shared [[positionRepeats]] sort, then per-DOCUMENT
+    * interval merging (classic running-max sweep under a doc-keyed
+    * window — a document's spans are its own; no cross-doc traffic)
+    * and one row-local `aggregate` fold that substrings the gaps
+    * between merged intervals out of the original text. Merged
+    * intervals are ≥ `minLen` chars each, so a document carries at
+    * most `len / minLen` of them — the stitch list is strictly smaller
+    * than the text it rebuilds.
+    */
+  def dedupSpans(docs: DataFrame, idCol: String, textCol: String,
+                 maxOrder: Int = 32, minLen: Int = 20): DataFrame = {
+    require(maxOrder >= 2, s"maxOrder must be >= 2, got $maxOrder")
+    require(minLen >= 1 && minLen <= maxOrder,
+      s"minLen must be in [1, maxOrder], got $minLen")
+    val (perPos, release) = positionRepeats(docs, idCol, textCol, maxOrder)
+    val out = removeSpans(docs, idCol, textCol, perPos, minLen)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    release()
+    out
+  }
+
+  /** Contamination REMOVAL (q196's payoff face, the cross-corpus twin
+    * of [[dedupSpans]]): every eval character covered by a ≥ `minLen`
+    * span occurring verbatim anywhere in TRAIN is dropped and the
+    * survivors stitch back in order — the eval set the benchmark can
+    * actually be scored on (Lee et al. §6.2 dropped contaminated eval
+    * items; this removes the contaminated SPANS, the finer-grained
+    * repair). Train is untouched; eval-on-eval duplication is
+    * preserved. One [[positionMatches]] sort feeds the q196 audit and
+    * this removal.
+    *
+    * Returns one row per non-null-text EVAL document:
+    * `(doc_id, clean_text, kept_chars, removed_chars)`.
+    */
+  def decontaminate(train: DataFrame, eval: DataFrame, idCol: String,
+                    textCol: String, maxOrder: Int = 32,
+                    minLen: Int = 20): DataFrame = {
+    require(maxOrder >= 2, s"maxOrder must be >= 2, got $maxOrder")
+    require(minLen >= 1 && minLen <= maxOrder,
+      s"minLen must be in [1, maxOrder], got $minLen")
+    val (perPos, release) =
+      positionMatches(train, eval, idCol, textCol, maxOrder)
+    val out = removeSpans(eval, idCol, textCol, perPos, minLen)
       .persist(StorageLevel.MEMORY_AND_DISK)
     out.count()
     release()

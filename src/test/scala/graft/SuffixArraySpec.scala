@@ -296,6 +296,65 @@ class SuffixArraySpec extends SparkSpec {
       s"contamination leaked ${added.size} cached RDDs: ids $added")
   }
 
+  /** brute removal witness over the cross-corpus matches: coverage mask
+    * from [[bruteContam]]-style per-position maxima, stitched. */
+  private def bruteDecontam(train: Seq[(Long, String)], eval: Seq[(Long, String)],
+                            maxOrder: Int, minLen: Int)
+      : Map[Long, (String, Long, Long)] = {
+    def lcp(a: String, b: String): Int = {
+      var i = 0
+      val n = math.min(math.min(a.length, b.length), maxOrder)
+      while (i < n && a(i) == b(i)) i += 1
+      i
+    }
+    val tSfx = train.filter(r => r._2 != null && r._2.nonEmpty)
+      .flatMap { case (_, t) => (0 until t.length).map(t.substring) }
+    eval.filter(_._2 != null).map { case (id, t) =>
+      val covered = new Array[Boolean](t.length)
+      (0 until t.length).foreach { i =>
+        val m = if (tSfx.isEmpty) 0 else tSfx.map(o => lcp(t.substring(i), o)).max
+        if (m >= minLen) (i until math.min(i + m, t.length))
+          .foreach(covered(_) = true)
+      }
+      val clean = t.zipWithIndex.filterNot(c => covered(c._2)).map(_._1).mkString
+      id -> ((clean, clean.length.toLong, covered.count(identity).toLong))
+    }.toMap
+  }
+
+  test("decontaminate: train-verbatim spans excised, eval-on-eval dup preserved") {
+    val leaked = "THE LEAKED BENCHMARK PASSAGE EVERYONE TRAINS ON"
+    val evalDup = "AN EVAL-ONLY SENTENCE SHARED BY TWO EVAL DOCS!"
+    val train = Seq(1L -> s"corpus text containing $leaked mid-document",
+      2L -> "other train material")
+    val eval = Seq(
+      10L -> s"Q: $leaked — answer?",     // contaminated: span excised
+      11L -> s"first $evalDup",           // eval-on-eval dup: must SURVIVE
+      12L -> s"second $evalDup",
+      13L -> "perfectly clean eval text")
+    val want = bruteDecontam(train, eval, 32, 20)
+    val got = SuffixArray.decontaminate(train.toDF("doc_id", "text"),
+        eval.toDF("doc_id", "text"), "doc_id", "text", 32, 20)
+      .as[(Long, String, Long, Long)].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4))).toMap
+    assert(got === want)
+    assert(!got(10L)._1.contains(leaked), "leaked span must be excised")
+    assert(got(11L)._1.contains(evalDup) && got(12L)._1.contains(evalDup),
+      "eval-internal duplication must survive decontamination")
+    assert(got(13L) === (("perfectly clean eval text", 25L, 0L)))
+  }
+
+  test("decontaminate leaves no position-scale blocks cached after returning") {
+    val before = sp.sparkContext.getPersistentRDDs.keySet
+    val out = SuffixArray.decontaminate(
+      fixture.take(5).toDF("doc_id", "text"),
+      fixture.drop(5).map { case (id, t) => (id + 100L, t) }
+        .toDF("doc_id", "text"), "doc_id", "text", 32, 10).collect()
+    assert(out.nonEmpty)
+    val added = sp.sparkContext.getPersistentRDDs.keySet -- before
+    assert(added.size <= 1,
+      s"decontaminate leaked ${added.size} cached RDDs: ids $added")
+  }
+
   test("commonPrefixLen counts code points and handles mismatch at 0") {
     import org.apache.spark.sql.functions._
     val got = Seq(("abcd", "abxx"), ("", "abc"), ("same", "same"),
