@@ -2854,6 +2854,46 @@ object SparkEntry {
        |""".stripMargin
   }
 
+  /** The q203 oracle: MMR unrolled — the 6-dp query-sim column, a
+    * candidate-pair sim matrix for the redundancy term, then per round
+    * an argmax CTE over `7·sq − 3·max(sim to selected)` (round 1 is
+    * pure relevance) with the engine's exact (score DESC, cid) order.
+    */
+  private def q203OracleSql: String = {
+    val (k, lamNum, lamDen) = (6, 7, 10)
+    val rounds = (1 to k).map { r =>
+      val prior = (1 to r - 1).map(i => s"SELECT cid FROM s$i").mkString(" UNION ALL ")
+      val score =
+        if (r == 1) s"$lamNum * q.sq"
+        else s"""$lamNum * q.sq - ${lamDen - lamNum} *
+           |    (SELECT max(cc.s) FROM cc WHERE cc.ca = q.cid
+           |     AND cc.cb IN ($prior))""".stripMargin
+      val excl = if (r == 1) "" else s"WHERE q.cid NOT IN ($prior)"
+      s"""g$r AS (SELECT q.cid, $score AS sc FROM simq q $excl),
+         |s$r AS MATERIALIZED (SELECT cid, sc FROM g$r
+         |  ORDER BY sc DESC, cid LIMIT 1)""".stripMargin
+    }.mkString(",\n")
+    val out = (1 to k).map(r =>
+      s"SELECT CAST($r AS BIGINT) AS sel_rank, cid AS vec_id, " +
+      s"CAST(sc * 1000000 AS BIGINT) AS score_micros FROM s$r")
+      .mkString("\nUNION ALL\n")
+    s"""WITH qv AS (SELECT CAST(embedding AS DOUBLE[]) AS v
+       |  FROM embeddings WHERE vec_id = 0),
+       |cand AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS v
+       |  FROM embeddings WHERE vec_id <> 0),
+       |simq AS MATERIALIZED (SELECT cid,
+       |    CAST(round(list_cosine_similarity(c.v, q.v), 6) + 0
+       |      AS DECIMAL(18,6)) AS sq
+       |  FROM cand c, qv q),
+       |cc AS MATERIALIZED (SELECT a.cid AS ca, b.cid AS cb,
+       |    CAST(round(list_cosine_similarity(a.v, b.v), 6) + 0
+       |      AS DECIMAL(18,6)) AS s
+       |  FROM cand a JOIN cand b ON a.cid <> b.cid),
+       |$rounds
+       |$out
+       |""".stripMargin
+  }
+
   /** The q147 oracle: the multiprobe-LSH bitext miner replayed end to
     * end — the q26 MD5 Rademacher plane construction per table
     * (seed 42 + t), per-bit dots, base signatures, the probe side's 2
@@ -3382,6 +3422,21 @@ object SparkEntry {
     graft.operators.SuffixArray.decontaminate(
       dd.filter(col("split") === "train"), dd.filter(col("split") =!= "train"),
       "doc_id", "text", maxOrder = 32, minLen = 20)
+  }
+
+  /** Q203 — MMR diversified re-ranking
+    * ([[graft.operators.Selection.mmr]]; Carbonell & Goldstein, SIGIR
+    * 1998): q14's relevance list re-ranked for diversity — greedy
+    * `λ·sim(query, c) − (1−λ)·max_sel sim` at λ = 7/10 against probe
+    * vec 0, k = 6. Exact decimal scoring (6-dp sims, rational λ never
+    * divided), zero-exchange rounds; the oracle unrolls every round
+    * with a candidate-pair sim matrix.
+    */
+  def q203(s: SparkSession, d: String): DataFrame = {
+    val e = emb(s, d)
+    graft.operators.Selection.mmr(e.filter(col("vec_id") =!= 0),
+      e.filter(col("vec_id") === 0), "vec_id", "embedding", k = 6,
+      lamNum = 7, lamDen = 10)
   }
 
   /** Q175 — token-mass concentration
@@ -4323,7 +4378,8 @@ object SparkEntry {
     "q199_bucket_lookup"  -> (q199 _),
     "q200_dedup_sink"     -> (q200 _),
     "q201_facility_select" -> (q201 _),
-    "q202_decontam_clean"  -> (q202 _))
+    "q202_decontam_clean"  -> (q202 _),
+    "q203_mmr_rerank"      -> (q203 _))
 
   // DuckDB twins. Shared SQL fragments for the text queries:
   // explicit class: Java \s includes \x0B, RE2 \s does not — see
@@ -6287,6 +6343,7 @@ object SparkEntry {
     "q196_decontam_audit" -> q196OracleSql,
     "q201_facility_select" -> q201OracleSql,
     "q202_decontam_clean" -> q202OracleSql,
+    "q203_mmr_rerank" -> q203OracleSql,
     // q191: frame hashes rebuild from the same MD5 low bits (the ±4
     // step signs ARE the dHash bits — the prefix construction cannot
     // produce ties), ALL frame pairs brute-force at hamming <= 3

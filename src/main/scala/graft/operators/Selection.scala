@@ -101,4 +101,84 @@ object Selection {
     import spark.implicits._
     picked.toSeq.toDF("sel_rank", "vec_id", "gain_micros")
   }
+
+  /** MMR — maximal marginal relevance re-ranking (Carbonell &
+    * Goldstein, SIGIR 1998), the query-time sibling of
+    * [[facilityLocation]]: greedily pick `k` candidates maximizing
+    * `λ·sim(query, c) − (1−λ)·max_{s ∈ S} sim(c, s)` — relevance traded
+    * against redundancy with what's already selected, THE standard
+    * diversified re-ranker for retrieval/RAG contexts. Round 1 has no
+    * selected set, so it is the pure relevance argmax.
+    *
+    * Scale shape: the query sim computes once into a persisted
+    * `(cid, cvec, sq)` frame (broadcast-free — the query vector is a
+    * plan literal); each round's redundancy term folds the ≤ k − 1
+    * SELECTED vectors (plan literals) against the candidate vector
+    * row-locally, so no round shuffles anything candidate-scale —
+    * one TakeOrdered(1) each.
+    *
+    * Determinism: every cosine rounds to 6 dp through DECIMAL(18,6)
+    * and λ enters as the rational `lamNum/lamDen`, so the score
+    * `lamNum·sq − (lamDen − lamNum)·maxSel` is EXACT decimal
+    * arithmetic (never divided); ties break on the candidate id.
+    * Returns `(sel_rank, vec_id, score_micros)` with the λ-SCALED
+    * score in 1e-6 units (×`lamDen` relative to the textbook form —
+    * rank-equivalent, integer-exact).
+    */
+  def mmr(candidates: DataFrame, query: DataFrame, idCol: String,
+          vecCol: String, k: Int, lamNum: Int = 7,
+          lamDen: Int = 10): DataFrame = {
+    require(k >= 1, s"selection size must be >= 1, got $k")
+    require(lamDen >= 1 && lamNum >= 0 && lamNum <= lamDen,
+      s"lambda must be a rational in [0, 1], got $lamNum/$lamDen")
+    val spark = candidates.sparkSession
+    val dec = DecimalType(18, 6)
+
+    val qRows = query.select(col(vecCol)).collect()
+    require(qRows.length == 1, s"query must be ONE row, got ${qRows.length}")
+    val qVec = qRows(0).getAs[scala.collection.Seq[Any]](0)
+      .map { case f: Float => f.toDouble; case d: Double => d }.toSeq
+    def simTo(vec: Seq[Double]): org.apache.spark.sql.Column =
+      coalesce(NumFunctions.roundNz(VectorFunctions
+        .cosineSimilarity(col("cvec"), typedLit(vec)), 6), lit(0.0)).cast(dec)
+
+    val base = candidates
+      .select(col(idCol).cast("long").as("cid"), col(vecCol).as("cvec"))
+      .withColumn("sq", simTo(qVec))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    base.count()
+
+    val picked = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    val selVecs = scala.collection.mutable.ArrayBuffer.empty[Seq[Double]]
+    try {
+      var r = 1
+      var exhausted = false
+      while (r <= k && !exhausted) {
+        val score =
+          if (selVecs.isEmpty) lit(lamNum) * col("sq")
+          else {
+            val sims = selVecs.map(simTo).toIndexedSeq
+            val maxSel = if (sims.size == 1) sims.head else greatest(sims: _*)
+            lit(lamNum) * col("sq") - lit(lamDen - lamNum) * maxSel
+          }
+        val rest =
+          if (picked.isEmpty) base
+          else base.filter(!col("cid").isin(picked.map(_._2).toSeq: _*))
+        val best = rest.select(col("cid"), score.as("sc"), col("cvec"))
+          .orderBy(col("sc").desc, col("cid").asc).limit(1).collect()
+        if (best.isEmpty) exhausted = true
+        else {
+          val row = best(0)
+          picked += ((r.toLong, row.getLong(0),
+            row.getDecimal(1).movePointRight(6).longValueExact))
+          selVecs += row.getAs[scala.collection.Seq[Any]](2)
+            .map { case f: Float => f.toDouble; case d: Double => d }.toSeq
+          r += 1
+        }
+      }
+    } finally base.unpersist(blocking = false)
+
+    import spark.implicits._
+    picked.toSeq.toDF("sel_rank", "vec_id", "score_micros")
+  }
 }

@@ -108,6 +108,86 @@ class SelectionSpec extends SparkSpec {
     assert(got === brute(small, tgts, 10))
   }
 
+  /** exact micro-unit MMR witness: 6-dp sims, λ-scaled integer score
+    * `lamNum·sq − (lamDen−lamNum)·maxSel`, ties to the smallest id. */
+  private def bruteMmr(cands: Seq[(Long, Array[Double])], q: Array[Double],
+                       k: Int, lamNum: Int, lamDen: Int)
+      : Seq[(Long, Long, Long)] = {
+    def cosMicros(a: Array[Double], b: Array[Double]): Long = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      new java.math.BigDecimal(dot / (math.sqrt(na) * math.sqrt(nb)))
+        .setScale(6, java.math.RoundingMode.HALF_UP)
+        .movePointRight(6).longValueExact
+    }
+    val sq = cands.map { case (id, v) => id -> cosMicros(v, q) }.toMap
+    val vecs = cands.toMap
+    val left = scala.collection.mutable.SortedSet(cands.map(_._1): _*)
+    val sel = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    var r = 1
+    while (r <= k && left.nonEmpty) {
+      val (bid, bsc) = left.toSeq.map { c =>
+        val red = if (sel.isEmpty) 0L
+          else sel.map(s => cosMicros(vecs(c), vecs(s))).max
+        val sc = if (sel.isEmpty) lamNum.toLong * sq(c)
+          else lamNum.toLong * sq(c) - (lamDen - lamNum).toLong * red
+        (c, sc)
+      }.maxBy { case (c, sc) => (sc, -c) }
+      out += ((r.toLong, bid, bsc)); sel += bid; left -= bid; r += 1
+    }
+    out.toSeq
+  }
+
+  test("mmr equals the exact micro-unit witness and diversifies the redundant head") {
+    // the query straddles two topics (axes 0 and 1); candidates 1/2
+    // are axis-0 near-twins, candidate 3 covers axis 1 — equally
+    // relevant but different. Pure top-k takes both twins; MMR's
+    // redundancy penalty must take the axis-1 candidate second.
+    val q = axisVec(0, 2, 0.0); q(1) = 1.0
+    val pool: Seq[(Long, Array[Double])] = Seq(
+      1L -> axisVec(0, 2, 0.020), 2L -> axisVec(0, 2, 0.021),
+      3L -> axisVec(1, 2, 0.020)) ++
+      (4L to 30L).map(i => i -> axisVec(3 + (i % 5).toInt, 2, 0.001 * i))
+    val got = Selection.mmr(pool.toDF("vec_id", "embedding"),
+        Seq((0L, q)).toDF("vec_id", "embedding"), "vec_id", "embedding",
+        k = 4, lamNum = 7, lamDen = 10)
+      .as[(Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    val want = bruteMmr(pool, q, 4, 7, 10)
+    assert(got === want)
+    assert(got(0)._2 === 1L, s"pick 1 is the most relevant: $got")
+    assert(got(1)._2 === 3L,
+      s"pick 2 must be the diverse mixed vector, not the redundant twin: $got")
+  }
+
+  test("mmr at lambda = 1 degenerates to pure relevance order") {
+    val q = axisVec(0, 2, 0.0)
+    val pool = cands
+    val got = Selection.mmr(pool.toDF("vec_id", "embedding"),
+        Seq((0L, q)).toDF("vec_id", "embedding"), "vec_id", "embedding",
+        k = 5, lamNum = 1, lamDen = 1)
+      .as[(Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(got === bruteMmr(pool, q, 5, 1, 1))
+    // with no redundancy penalty the ranks are the simQ descending order
+    val bySq = bruteMmr(pool, q, pool.length, 1, 1).map(_._2)
+    assert(got.map(_._2) === bySq.take(5))
+  }
+
+  test("mmr rejects a multi-row query and exhausts a small pool") {
+    intercept[IllegalArgumentException] {
+      Selection.mmr(cands.toDF("vec_id", "embedding"),
+        cands.take(2).toDF("vec_id", "embedding"), "vec_id", "embedding", 3)
+    }
+    val small = cands.take(3)
+    val got = Selection.mmr(small.toDF("vec_id", "embedding"),
+        Seq((0L, axisVec(0, 2, 0.0))).toDF("vec_id", "embedding"),
+        "vec_id", "embedding", k = 10)
+      .as[(Long, Long, Long)].collect()
+    assert(got.length === 3)
+  }
+
   test("facilityLocation leaves no candidate-scale blocks cached after returning") {
     val before = sp.sparkContext.getPersistentRDDs.keySet
     run(3)
