@@ -35,18 +35,45 @@ import graft.operators.Dedup
   */
 object DedupIndexSink {
 
+  import org.apache.hadoop.fs.Path
+
   private def fsOf(spark: SparkSession, root: String) =
-    new org.apache.hadoop.fs.Path(root)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** All path arithmetic goes through hadoop [[Path]] — NEVER
+    * `java.io.File` — so a scheme-qualified root (`s3a://bucket/x`,
+    * `hdfs://nn/x`) survives joining: `File` would collapse the
+    * `scheme://` double slash into `scheme:/` and the sink would
+    * write to a local path that does not exist. See the sibling
+    * [[QuantileSink]] which established the pattern.
+    */
+  private[graft] def join(root: String, segments: String*): Path =
+    segments.foldLeft(new Path(root))((p, s) => new Path(p, s))
 
   private def batchDirs(spark: SparkSession, dir: String): Seq[(Long, String)] = {
-    val p = new org.apache.hadoop.fs.Path(dir)
+    val p = new Path(dir)
     val fs = fsOf(spark, dir)
     if (!fs.exists(p)) Seq.empty
     else fs.listStatus(p).toSeq.map(_.getPath)
       .filter(_.getName.startsWith("ingest_batch="))
       .map(q => (q.getName.stripPrefix("ingest_batch=").toLong, q.toString))
       .sortBy(_._1)
+  }
+
+  /** Batch ids under `root` whose `_batches/<id>/_APPLIED` marker
+    * exists — i.e. batches that committed. A crashed batch may leave
+    * `ingest_batch=<id>/` or `_matches/ingest_batch=<id>/` data with
+    * no marker; readers must not surface it (the stream will replay
+    * that id and overwrite both directories idempotently).
+    */
+  private def committedIds(spark: SparkSession, root: String): Set[Long] = {
+    val base = join(root, "_batches")
+    val fs = fsOf(spark, root)
+    if (!fs.exists(base)) Set.empty
+    else fs.listStatus(base).toSeq.map(_.getPath)
+      .filter(d => fs.exists(new Path(d, "_APPLIED")))
+      .flatMap(d => scala.util.Try(d.getName.toLong).toOption)
+      .toSet
   }
 
   /** Probe `batch` against the standing index and fold its prepared
@@ -62,10 +89,8 @@ object DedupIndexSink {
                thresholdNum: Int = 7, thresholdDen: Int = 10,
                ngram: Int = 3, seed: Long = 42L): DataFrame = {
     val fs = fsOf(spark, root)
-    val applied = new org.apache.hadoop.fs.Path(root,
-      s"_batches/$batchId/_APPLIED")
-    val matchesDir = new java.io.File(new java.io.File(root, "_matches"),
-      s"ingest_batch=$batchId").toString
+    val applied = join(root, "_batches", batchId.toString, "_APPLIED")
+    val matchesDir = join(root, "_matches", s"ingest_batch=$batchId").toString
     if (!fs.exists(applied)) {
       val idT = batch.schema(idCol).dataType
       val matchSchema = StructType(Seq(StructField("new_id", idT),
@@ -95,25 +120,32 @@ object DedupIndexSink {
         .write.mode("overwrite").parquet(matchesDir)
       Dedup.prepareNearDupIndex(batch, idCol, textCol, ngram, numHashes, seed)
         .write.mode("overwrite")
-        .parquet(new java.io.File(root, s"ingest_batch=$batchId").toString)
+        .parquet(join(root, s"ingest_batch=$batchId").toString)
       fs.create(applied, true).close()
     }
     spark.read.parquet(matchesDir)
   }
 
-  /** Every committed batch's matches, with the `ingest_batch` id. */
+  /** Every committed batch's matches, with the `ingest_batch` id.
+    * Listed directories are filtered by the `_APPLIED` marker, so a
+    * crashed batch's half-written matches never surface here — only
+    * after its replay re-commits them.
+    */
   def allMatches(spark: SparkSession, root: String): DataFrame = {
-    val dirs = batchDirs(spark, new java.io.File(root, "_matches").toString)
+    val base = join(root, "_matches").toString
+    val ok = committedIds(spark, root)
+    val dirs = batchDirs(spark, base).filter(d => ok(d._1))
     require(dirs.nonEmpty, s"no committed batches under $root")
-    spark.read.option("basePath", new java.io.File(root, "_matches").toString)
-      .parquet(dirs.map(_._2): _*)
+    spark.read.option("basePath", base).parquet(dirs.map(_._2): _*)
   }
 
   /** The standing per-document index state across all committed
-    * batches: `(ingest_batch, idCol, shingles, sig)`.
+    * batches: `(ingest_batch, idCol, shingles, sig)`. Filtered by the
+    * `_APPLIED` marker like [[allMatches]].
     */
   def state(spark: SparkSession, root: String): DataFrame = {
-    val dirs = batchDirs(spark, root)
+    val ok = committedIds(spark, root)
+    val dirs = batchDirs(spark, root).filter(d => ok(d._1))
     require(dirs.nonEmpty, s"no committed batches under $root")
     spark.read.option("basePath", root).parquet(dirs.map(_._2): _*)
   }

@@ -105,6 +105,50 @@ class DedupIndexSinkSpec extends SparkSpec {
     assert(fs.exists(new org.apache.hadoop.fs.Path(root, "_batches/2/_APPLIED")))
   }
 
+  test("scheme-qualified roots survive path construction (s3a://, hdfs://)") {
+    // the sink's whole point is an object-store lake root; java.io.File
+    // would collapse "s3a://bucket" into "s3a:/bucket". Assert every
+    // constructed path keeps its scheme + authority intact.
+    assert(DedupIndexSink.join("s3a://bucket/idx", "_matches",
+      "ingest_batch=5").toString === "s3a://bucket/idx/_matches/ingest_batch=5")
+    assert(DedupIndexSink.join("s3a://bucket/idx", "_batches", "7",
+      "_APPLIED").toString === "s3a://bucket/idx/_batches/7/_APPLIED")
+    assert(DedupIndexSink.join("hdfs://nn:8020/lake/idx",
+      "ingest_batch=0").toString === "hdfs://nn:8020/lake/idx/ingest_batch=0")
+  }
+
+  test("end-to-end against a scheme-qualified (file://) root") {
+    // full maintain/allMatches/state loop with an explicit URI scheme on
+    // the root — the closest runnable stand-in for an object-store root
+    val root = "file://" + freshRoot("scheme")
+    runDays(root)
+    assert(matchSet(root) === brute(rows.as[(Long, String)].collect().toSeq))
+    assert(DedupIndexSink.state(spark, root).count() === 8)
+  }
+
+  test("uncommitted (crashed) batch data never surfaces in allMatches/state") {
+    val root = freshRoot("uncommitted")
+    runDays(root)
+    val m0 = matchSet(root)
+    val s0 = DedupIndexSink.state(spark, root).count()
+    // simulate a crash mid-batch-3: matches + state written, no marker
+    val extra = Seq(40L -> sentence).toDF("doc_id", "text")
+    graft.operators.Dedup.prepareNearDupIndex(extra, "doc_id", "text", 3, 128, 42L)
+      .write.mode("overwrite")
+      .parquet(DedupIndexSink.join(root, "ingest_batch=3").toString)
+    extra.select(col("doc_id").as("new_id"), lit(10L).as("old_id"),
+        lit(1L).as("inter"), lit(1L).as("un"), lit(1.0).as("jac"))
+      .write.mode("overwrite")
+      .parquet(DedupIndexSink.join(root, "_matches", "ingest_batch=3").toString)
+    // readers must not see the half-committed batch
+    assert(matchSet(root) === m0)
+    assert(DedupIndexSink.state(spark, root).count() === s0)
+    // the replay commits it, and only then it appears
+    DedupIndexSink.maintain(spark, extra, root, "doc_id", "text", 3L)
+    assert(matchSet(root).contains((40L, 30L)))
+    assert(DedupIndexSink.state(spark, root).count() === s0 + 1)
+  }
+
   test("foreachBatch wiring: a 3-batch stream maintains the identical index") {
     val root = freshRoot("stream")
     val batchRoot = freshRoot("batchtwin")
