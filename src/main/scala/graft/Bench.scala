@@ -4,18 +4,21 @@ package graft
 /** Driver-run benchmark: times every `SparkEntry.queries` entry on
   * `SPARK_GRAFT_SF_DIR` and prints one JSON line.
   *
-  * Per-query protocol (round 11 — isolation over throughput): warm
-  * once untimed (JIT + codegen + parquet footer caches — the
-  * steady-state a long-running cluster operates in), time three
-  * passes, then DROP all cached blocks and force a GC before the next
-  * query. The old shape (one global warmup building all 179 queries'
-  * caches up front, cleanup left to the ContextCleaner) accumulated
+  * Per-query protocol (round 11 — isolation over throughput; round 15
+  * — sub-second densification): warm once untimed (JIT + codegen +
+  * parquet footer caches — the steady-state a long-running cluster
+  * operates in), time three passes — five when the 3-pass minimum is
+  * under 1 s, where fixed noise is a large fraction of the number —
+  * then DROP all cached blocks and force a GC before the next query.
+  * The old shape (one global warmup building all 179 queries' caches
+  * up front, cleanup left to the ContextCleaner) accumulated
   * block-manager state no real deployment would carry, and neighbors'
   * timings drifted 2-3× under the leftover GC pressure — per-query
-  * deltas across rounds were untrustworthy. Reported: min of 3 (the
-  * steady-state cost) plus median of 3 (`queries_median`) so a
+  * deltas across rounds were untrustworthy. Reported: min of passes
+  * (the steady-state cost) plus median (`queries_median`) so a
   * min/median gap flags in-JVM variance explicitly instead of
-  * masquerading as a regression.
+  * masquerading as a regression. Cross-round comparisons should lead
+  * with `queries_median` for sub-second queries.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -46,25 +49,36 @@ object Bench {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter(kv => only.forall(names => names.exists(kv._1.startsWith)))
-    // min-of-3: a single timed pass lets one GC pause / JIT recompile /
+    // min-of-3, raised to min-of-5 for sub-second queries (round 15):
+    // a single timed pass lets one GC pause / JIT recompile /
     // page-cache miss read as a multi-x regression in the per-round
-    // artifact; the minimum of three passes is the steady-state cost and
-    // is stable across reruns. Errors still red every pass they hit.
+    // artifact; the minimum of the passes is the steady-state cost and
+    // is stable across reruns. Sub-second queries are where fixed
+    // noise (one GC pause ≈ 100-500 ms) is a large FRACTION of the
+    // measurement — the round-14 same-binary runs disagreed 2× on ~10
+    // of them — so when the 3-pass minimum lands under 1 s the query
+    // earns two more passes; min/median then come from all 5. The two
+    // extra passes cost < 2 s each by construction, so the suite-level
+    // overhead is bounded while the artifact's run-to-run spread on
+    // the cheap tail tightens. Errors still red every pass they hit.
     val results = ordered.map { case (name, fn) =>
       errors.remove(name) // timed passes re-record; warmup failures repeat
       run(name, fn)       // this query's own warm pass, nothing else's
-      val times = (1 to 3).map { _ =>
+      def pass(): Double = {
         val t0 = System.nanoTime()
         run(name, fn)
         (System.nanoTime() - t0) / 1e9
-      }.sorted
+      }
+      val first3 = (1 to 3).map(_ => pass())
+      val times = (if (first3.min < 1.0) first3 ++ (1 to 2).map(_ => pass())
+                   else first3).sorted
       // isolation boundary: drop every cached block this query left
       // (operator-internal persists, memoized index frames) and reap
       // dead references NOW — the next query starts from the same
       // clean slate a standalone run would
       spark.catalog.clearCache()
       System.gc()
-      (name, times.head, times(1))
+      (name, times.head, times(times.length / 2))
     }
     // 3-decimal timings: ms resolution is all the comparison needs, and
     // the halved line length keeps the whole JSON inside log tail

@@ -23,9 +23,15 @@ import graft.functions.{NumFunctions, VectorFunctions}
   * via a broadcast cross join into per-candidate tid-ordered DECIMAL
   * arrays (one candidate-keyed exchange, persisted). Each of the `k`
   * rounds is then a zero-exchange row-local fold of the sim array
-  * against the current cover vector (a plan literal) plus ONE
-  * TakeOrdered(1) — no per-round shuffle of anything candidate-scale,
-  * and the driver state is one decimal per target.
+  * against the current cover vector plus ONE TakeOrdered(1) — no
+  * per-round shuffle of anything candidate-scale, and the driver
+  * state is one decimal per target. The cover vector rides as a
+  * SINGLE literal array value (one `Literal` node, not nT scalar
+  * literals) while `nT <= coverLiteralMax`; beyond that it routes
+  * through a broadcast one-row cover frame joined to the candidates,
+  * so plan size and per-round analysis cost stay O(1) in nT either
+  * way. The two paths are bit-identical by construction (a
+  * SelectionSpec pin re-runs the same input down both).
   *
   * Determinism (the oracle replays all `k` rounds): per-pair cosines
   * round to 6 dp and route through DECIMAL(18,6), so gains are EXACT
@@ -40,11 +46,14 @@ object Selection {
 
   def facilityLocation(candidates: DataFrame, targets: DataFrame,
                        idCol: String, vecCol: String, k: Int,
-                       maxTargets: Int = 10000): DataFrame = {
+                       maxTargets: Int = 10000,
+                       coverLiteralMax: Int = 1024): DataFrame = {
     require(k >= 1, s"selection size must be >= 1, got $k")
     val spark = candidates.sparkSession
+    import spark.implicits._
     val dec = DecimalType(18, 6)
     val wide = DecimalType(38, 6)
+    val decArr = org.apache.spark.sql.types.ArrayType(dec)
 
     val t = targets.select(col(idCol).cast("long").as("tid"),
       col(vecCol).as("tvec"))
@@ -75,15 +84,24 @@ object Selection {
       var r = 1
       var exhausted = false
       while (r <= k && !exhausted) {
-        val covLit = array(cover.map(c => lit(c).cast(dec)).toIndexedSeq: _*)
-        val gain = aggregate(
-          zip_with(col("ss"), covLit,
-            (s, c) => (greatest(s, c) - c).cast(wide)),
-          lit(zero).cast(wide), (acc, x) => acc + x)
+        val covSeq = cover.map(scala.math.BigDecimal(_)).toSeq
         val rest =
           if (picked.isEmpty) arr
           else arr.filter(!col("cid").isin(picked.map(_._2).toSeq: _*))
-        val best = rest.select(col("cid"), gain.as("g"), col("ss"))
+        // the cover vector enters the round's plan either as ONE
+        // literal array value (small nT) or via a broadcast one-row
+        // frame (large nT) — identical values, O(1) plan nodes both ways
+        val (frame, covCol) =
+          if (nT <= coverLiteralMax)
+            (rest, typedLit(covSeq).cast(decArr))
+          else
+            (rest.crossJoin(broadcast(Seq(Tuple1(covSeq)).toDF("cov")
+              .select(col("cov").cast(decArr).as("cov")))), col("cov"))
+        val gain = aggregate(
+          zip_with(col("ss"), covCol,
+            (s, c) => (greatest(s, c) - c).cast(wide)),
+          lit(zero).cast(wide), (acc, x) => acc + x)
+        val best = frame.select(col("cid"), gain.as("g"), col("ss"))
           .orderBy(col("g").desc, col("cid").asc).limit(1).collect()
         if (best.isEmpty) exhausted = true
         else {
@@ -98,7 +116,6 @@ object Selection {
       }
     } finally arr.unpersist(blocking = false)
 
-    import spark.implicits._
     picked.toSeq.toDF("sel_rank", "vec_id", "gain_micros")
   }
 
@@ -113,9 +130,12 @@ object Selection {
     * Scale shape: the query sim computes once into a persisted
     * `(cid, cvec, sq)` frame (broadcast-free — the query vector is a
     * plan literal); each round's redundancy term folds the ≤ k − 1
-    * SELECTED vectors (plan literals) against the candidate vector
-    * row-locally, so no round shuffles anything candidate-scale —
-    * one TakeOrdered(1) each.
+    * SELECTED vectors against the candidate vector row-locally, so no
+    * round shuffles anything candidate-scale — one TakeOrdered(1)
+    * each. The selected vectors enter the round's plan as ONE nested
+    * array literal value (a single `Literal` node folded with
+    * `transform` + `array_max`), not k − 1 scalar-literal vectors, so
+    * plan size stays O(1) in the selection size.
     *
     * Determinism: every cosine rounds to 6 dp through DECIMAL(18,6)
     * and λ enters as the rational `lamNum/lamDen`, so the score
@@ -157,8 +177,12 @@ object Selection {
         val score =
           if (selVecs.isEmpty) lit(lamNum) * col("sq")
           else {
-            val sims = selVecs.map(simTo).toIndexedSeq
-            val maxSel = if (sims.size == 1) sims.head else greatest(sims: _*)
+            // one nested-array literal holding ALL selected vectors;
+            // per-row: cosine against each, max — same 6-dp decimal
+            // routing as the per-vector form it replaces
+            val maxSel = array_max(transform(typedLit(selVecs.toSeq),
+              v => coalesce(NumFunctions.roundNz(VectorFunctions
+                .cosineSimilarity(col("cvec"), v), 6), lit(0.0)).cast(dec)))
             lit(lamNum) * col("sq") - lit(lamDen - lamNum) * maxSel
           }
         val rest =

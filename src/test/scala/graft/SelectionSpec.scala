@@ -188,6 +188,18 @@ class SelectionSpec extends SparkSpec {
     assert(got.length === 3)
   }
 
+  test("cover literal path ≡ broadcast-join path, bit for bit") {
+    // coverLiteralMax = 0 forces every round through the broadcast
+    // one-row cover frame; the default (nT = 6 ≤ 1024) stays on the
+    // single-literal path. Same input must produce identical rows.
+    val viaJoin = Selection.facilityLocation(cands.toDF("vec_id", "embedding"),
+        tgts.toDF("vec_id", "embedding"), "vec_id", "embedding", k = 6,
+        coverLiteralMax = 0)
+      .as[(Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(viaJoin === run(6), "join path must equal literal path")
+    assert(viaJoin === brute(cands, tgts, 6), "and both equal the witness")
+  }
+
   test("facilityLocation leaves no candidate-scale blocks cached after returning") {
     val before = sp.sparkContext.getPersistentRDDs.keySet
     run(3)
