@@ -36,14 +36,24 @@ object IncrementalAgg {
     * per-`keyCols` row counts and the exact decimal sum of `valueCol`,
     * partitioned by `partCols` (a prefix of `keyCols` describing the
     * directory layout). Returns the number of partitions rewritten.
+    *
+    * `batchId` (streaming callers) makes the fold EXACTLY-ONCE under
+    * Structured Streaming's replay model, by the [[QuantileSink]]
+    * snapshot protocol: committed ids (`root/_batches/<id>/_APPLIED`)
+    * skip; otherwise the touched partitions' pre-batch rows are
+    * snapshotted and sealed before the live table is touched, the
+    * merge reads the SNAPSHOT (never the live partitions), and the
+    * dynamic overwrite is an idempotent rewrite from any crash point.
+    * Without `batchId` the fold reads the live table directly (the
+    * batch-job path, where re-running means re-adding by intent).
     */
   def maintain(spark: SparkSession, batch: DataFrame, root: String,
                partCols: Seq[String], keyCols: Seq[String],
-               valueCol: String): Int =
+               valueCol: String, batchId: Option[Long] = None): Int =
     fold(spark,
       batch.withColumn("__dn", lit(1L))
         .withColumn("__dv", col(valueCol).cast(DecimalType(18, 2))),
-      root, partCols, keyCols)
+      root, partCols, keyCols, batchId)
 
   /** Fold SIGNED deltas into the aggregate — the CDC path: feed it
     * [[graft.operators.Snapshot.toDeltas]] of a snapshot diff and the
@@ -57,14 +67,16 @@ object IncrementalAgg {
     */
   def maintainDeltas(spark: SparkSession, deltas: DataFrame, root: String,
                      partCols: Seq[String], keyCols: Seq[String],
-                     dnCol: String, dvCol: String): Int =
+                     dnCol: String, dvCol: String,
+                     batchId: Option[Long] = None): Int =
     fold(spark,
       deltas.withColumn("__dn", col(dnCol).cast("long"))
         .withColumn("__dv", col(dvCol).cast(DecimalType(18, 2))),
-      root, partCols, keyCols)
+      root, partCols, keyCols, batchId)
 
   private def fold(spark: SparkSession, batch: DataFrame, root: String,
-                   partCols: Seq[String], keyCols: Seq[String]): Int = {
+                   partCols: Seq[String], keyCols: Seq[String],
+                   batchId: Option[Long]): Int = {
     require(partCols.nonEmpty && partCols.forall(keyCols.contains),
       s"partCols $partCols must be a subset of keyCols $keyCols")
     // sum(decimal(18,2)) widens to decimal(28,2); pin the STORED type to
@@ -74,25 +86,53 @@ object IncrementalAgg {
       .agg(sum(col("__dn")).cast("long").as("n"),
         sum(col("__dv")).cast(DecimalType(18, 2)).as("sum_v"))
 
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val applied = batchId.map(id =>
+      new org.apache.hadoop.fs.Path(root, s"_batches/$id/_APPLIED"))
+    if (applied.exists(fs.exists)) return 0
+
     val touched: Array[Row] = partial.select(partCols.map(col): _*).distinct().collect()
     if (touched.isEmpty) return 0
 
-    val fs = new org.apache.hadoop.fs.Path(root)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val existing = fs.exists(new org.apache.hadoop.fs.Path(root))
-    val merged = if (existing) {
+    def liveTouched: DataFrame = {
       // literal disjunction over the touched tuples → static partition pruning
       val pruning = touched.map { r =>
         partCols.zipWithIndex.map { case (c, i) => col(c) === lit(r.get(i)) }
           .reduce(_ && _)
       }.reduce(_ || _)
-      val current = spark.read.parquet(root).filter(pruning)
+      spark.read.parquet(root).filter(pruning)
         .select(partial.columns.toIndexedSeq.map(col): _*) // align column order for the union
-      partial.unionByName(current)
-        .groupBy(keyCols.map(col): _*)
-        .agg(sum(col("n")).cast("long").as("n"),
-          sum(col("sum_v")).cast(DecimalType(18, 2)).as("sum_v"))
-    } else partial
+    }
+    // streaming path: merge against a SEALED pre-batch snapshot of the
+    // touched partitions, so any crash-point replay recomputes the
+    // identical merged rows (the QuantileSink protocol)
+    val current: Option[DataFrame] = batchId match {
+      case Some(id) =>
+        val bdir = new org.apache.hadoop.fs.Path(root, s"_batches/$id")
+        val snapDir = new org.apache.hadoop.fs.Path(bdir, "snapshot")
+        val snapDone = new org.apache.hadoop.fs.Path(bdir, "_SNAPSHOT_DONE")
+        if (!fs.exists(snapDone)) {
+          if (fs.exists(snapDir)) fs.delete(snapDir, true) // partial copy
+          if (existing) liveTouched.write.mode("overwrite")
+            .parquet(snapDir.toString)
+          else spark.createDataFrame(
+            spark.sparkContext.emptyRDD[Row], partial.schema)
+            .write.mode("overwrite").parquet(snapDir.toString)
+          fs.create(snapDone, true).close()
+        }
+        Some(spark.read.parquet(snapDir.toString))
+      case None => if (existing) Some(liveTouched) else None
+    }
+    val merged = current match {
+      case Some(cur) =>
+        partial.unionByName(cur)
+          .groupBy(keyCols.map(col): _*)
+          .agg(sum(col("n")).cast("long").as("n"),
+            sum(col("sum_v")).cast(DecimalType(18, 2)).as("sum_v"))
+      case None => partial
+    }
     // fully-retracted keys (count folded to zero) leave the table, the
     // way a recompute over the corrected source would drop them
     val alive = merged.filter(col("n") =!= 0L)
@@ -125,6 +165,12 @@ object IncrementalAgg {
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy(partCols: _*)
       .parquet(root)
+    applied.foreach { marker =>
+      fs.create(marker, true).close()
+      val bdir = marker.getParent
+      fs.delete(new org.apache.hadoop.fs.Path(bdir, "snapshot"), true)
+      fs.delete(new org.apache.hadoop.fs.Path(bdir, "_SNAPSHOT_DONE"), true)
+    }
     touched.length
   }
 

@@ -1,0 +1,89 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
+
+import graft.sinks.{DedupIndexSink, IncrementalAgg, QuantileSink}
+
+/** The production curation loop: ONE `foreachBatch` body that feeds
+  * every arriving document micro-batch through the three certified
+  * incremental sinks, in order —
+  *
+  *   1. [[DedupIndexSink.maintain]] — probe against the standing
+  *      near-dup index, fold the batch's prepared state in;
+  *   2. [[QuantileSink.maintain]] — fold the batch's quality metric
+  *      into the standing per-group DDSketch quantile table;
+  *   3. [[IncrementalAgg.maintain]] — fold (count, exact sum) into the
+  *      standing per-group corpus-stats rollup.
+  *
+  * This is the single-writer flush loop the reference's CRON job
+  * implies (`run.py:117-125` — one process draining the queue into
+  * every derived table), composed from sinks that are each
+  * EXACTLY-ONCE per `batchId` on their own markers: a crash at ANY
+  * point — between sinks, or inside one — replays the same batch id,
+  * the already-committed sinks skip on their `_APPLIED` markers, and
+  * the uncommitted ones redo their deterministic fold, so the
+  * composition converges to the identical bytes a never-crashed run
+  * produces (the CurationLoopSpec replay matrix). No cross-sink
+  * transaction is needed BECAUSE each sink is idempotent per id;
+  * mid-crash the tables may transiently disagree by one batch, which
+  * the restart heals before processing new data.
+  *
+  * Layout under `root` (all joins via hadoop [[Path]] — object-store
+  * roots survive): `dedup_index/`, `quality_quantiles/`,
+  * `corpus_stats/`.
+  */
+object CurationLoop {
+
+  def dedupRoot(root: String): String = new Path(root, "dedup_index").toString
+  def quantRoot(root: String): String = new Path(root, "quality_quantiles").toString
+  def statsRoot(root: String): String = new Path(root, "corpus_stats").toString
+
+  /** The `foreachBatch` body. `batch` must carry `idCol` (unique doc
+    * id), `textCol`, the grouping `keyCols` (with `partCols` a subset
+    * describing the directory layout), and the numeric `valueCol`
+    * (the quality metric both the quantile table and the stats rollup
+    * summarize). The batch persists across the three folds — each
+    * sink re-reads it, and recomputing the upstream per fold would
+    * triple the source work. Returns the batch's dedup match set
+    * (the [[DedupIndexSink.maintain]] result) for callers that act on
+    * duplicates inline.
+    */
+  def apply(spark: SparkSession, batch: DataFrame, root: String,
+            idCol: String, textCol: String,
+            partCols: Seq[String], keyCols: Seq[String], valueCol: String,
+            batchId: Long): DataFrame = {
+    batch.persist()
+    try {
+      val matches = DedupIndexSink.maintain(spark, batch, dedupRoot(root),
+        idCol, textCol, batchId)
+      QuantileSink.maintain(spark, batch, quantRoot(root),
+        partCols, keyCols, valueCol, batchId = Some(batchId))
+      IncrementalAgg.maintain(spark, batch, statsRoot(root),
+        partCols, keyCols, valueCol, batchId = Some(batchId))
+      matches
+    } finally batch.unpersist()
+  }
+
+  /** Wire a document stream to the composed loop. `availableNow = true`
+    * is CRON-drain mode (process everything, checkpoint, exit), the
+    * [[IngestPipeline.writer]] convention.
+    */
+  def writer(stream: DataFrame, root: String, checkpoint: String,
+             idCol: String, textCol: String,
+             partCols: Seq[String], keyCols: Seq[String], valueCol: String,
+             availableNow: Boolean = true,
+             interval: String = "10 seconds"): DataStreamWriter[Row] =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(if (availableNow) Trigger.AvailableNow()
+               else Trigger.ProcessingTime(interval))
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        if (!batch.isEmpty) {
+          apply(batch.sparkSession, batch, root, idCol, textCol,
+            partCols, keyCols, valueCol, id)
+          ()
+        }
+      }
+}

@@ -1,0 +1,121 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.sinks.{DedupIndexSink, IncrementalAgg, QuantileSink}
+import graft.streaming.CurationLoop
+
+/** [[graft.streaming.CurationLoop]] — the composed single-writer
+  * curation loop: one `foreachBatch` feeding the dedup index, the
+  * quantile table, and the stats rollup. Invariants: the streamed
+  * composition equals the sequential batch twin on ALL THREE sinks,
+  * and a crash at any between-sink point replays convergently (each
+  * sink skips or redoes on its own `_APPLIED` marker).
+  */
+class CurationLoopSpec extends SparkSpec {
+  private val sp = spark
+  import sp.implicits._
+
+  private val sentence =
+    "the quick brown fox jumps over the lazy dog while seven wizards " +
+    "brew strong potions behind the old stone wall tonight"
+  private val other =
+    "completely different material about spark catalyst optimizer rules " +
+    "and tungsten codegen stages that shares nothing with the fox story"
+
+  // three "days" of documents: day d carries ids d0..; doc 20 duplicates
+  // doc 10 across days, 31/32 duplicate each other intra-day; `quality`
+  // is the numeric metric both numeric sinks fold
+  private val docs = Seq(
+    (10L, "en", sentence, 0.91), (11L, "en", other, 0.55),
+    (12L, "de", "kurzer text hier", 0.30),
+    (20L, "en", sentence, 0.88), (21L, "de", other + " tail", 0.62),
+    (30L, "en", sentence, 0.97), (31L, "de", "alpha " + other, 0.41),
+    (32L, "de", "alpha " + other, 0.44))
+    .toDF("doc_id", "lang", "text", "quality")
+  private def day(d: Long) = docs.filter(floor(col("doc_id") / 10) - 1 === d)
+
+  private def runLoop(root: String, ids: Seq[Long] = Seq(0L, 1L, 2L)): Unit =
+    ids.foreach { d =>
+      CurationLoop(spark, day(d), root, "doc_id", "text",
+        Seq("lang"), Seq("lang"), "quality", d)
+    }
+
+  private def fingerprint(root: String): (Set[(Long, Long)],
+      Set[(String, Long, Long, Double)], Set[(String, Long, Double)]) = (
+    DedupIndexSink.allMatches(spark, CurationLoop.dedupRoot(root))
+      .select(col("new_id"), col("old_id")).as[(Long, Long)].collect().toSet,
+    QuantileSink.quantiles(spark, CurationLoop.quantRoot(root),
+        Seq("lang"), Seq(50, 90))
+      .as[(String, Long, Long, Double)].collect().toSet,
+    IncrementalAgg.read(spark, CurationLoop.statsRoot(root))
+      .select(col("lang"), col("n"), col("sum_v").cast("double"))
+      .as[(String, Long, Double)].collect().toSet)
+
+  private def freshRoot(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"curation-$tag").toString + "/lake"
+
+  test("streamed composition ≡ sequential batch twin on all three sinks") {
+    val streamRoot = freshRoot("stream")
+    val batchRoot = freshRoot("twin")
+    runLoop(batchRoot)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String, String, Double)]
+    val q = CurationLoop.writer(
+        input.toDF().toDF("doc_id", "lang", "text", "quality"),
+        streamRoot, freshRoot("ck"), "doc_id", "text",
+        Seq("lang"), Seq("lang"), "quality",
+        availableNow = false, interval = "1 second")
+      .start()
+    val byDay = docs.as[(Long, String, String, Double)].collect()
+      .groupBy(r => r._1 / 10 - 1)
+    (0L to 2L).foreach { d => input.addData(byDay(d).toSeq); q.processAllAvailable() }
+    q.stop()
+    assert(fingerprint(streamRoot) === fingerprint(batchRoot))
+    // and the content itself is right: the planted dup chains fired,
+    // both langs hold quantile + stats state
+    val (m, quant, stats) = fingerprint(streamRoot)
+    assert(m((20L, 10L)) && m((30L, 20L)) && m((32L, 31L)))
+    assert(quant.map(_._1) === Set("en", "de"))
+    assert(stats === Set(("en", 4L, 3.31), ("de", 4L, 1.77)))
+  }
+
+  test("crash between sinks: dedup committed, numeric sinks not — replay converges") {
+    val root = freshRoot("crash1")
+    val twin = freshRoot("crash1t")
+    runLoop(twin)
+    runLoop(root, Seq(0L, 1L))
+    // batch 2 crashes after sink 1 (dedup) committed: only the dedup
+    // maintain ran
+    DedupIndexSink.maintain(spark, day(2L), CurationLoop.dedupRoot(root),
+      "doc_id", "text", 2L)
+    // the restart re-delivers batch 2 through the full loop
+    CurationLoop(spark, day(2L), root, "doc_id", "text",
+      Seq("lang"), Seq("lang"), "quality", 2L)
+    assert(fingerprint(root) === fingerprint(twin))
+  }
+
+  test("crash between sinks: dedup + quantiles committed, stats not — replay converges") {
+    val root = freshRoot("crash2")
+    val twin = freshRoot("crash2t")
+    runLoop(twin)
+    runLoop(root, Seq(0L, 1L))
+    DedupIndexSink.maintain(spark, day(2L), CurationLoop.dedupRoot(root),
+      "doc_id", "text", 2L)
+    QuantileSink.maintain(spark, day(2L), CurationLoop.quantRoot(root),
+      Seq("lang"), Seq("lang"), "quality", batchId = Some(2L))
+    CurationLoop(spark, day(2L), root, "doc_id", "text",
+      Seq("lang"), Seq("lang"), "quality", 2L)
+    assert(fingerprint(root) === fingerprint(twin))
+  }
+
+  test("full-loop replay of a committed batch id is a no-op") {
+    val root = freshRoot("noop")
+    runLoop(root)
+    val before = fingerprint(root)
+    CurationLoop(spark, day(1L), root, "doc_id", "text",
+      Seq("lang"), Seq("lang"), "quality", 1L)
+    assert(fingerprint(root) === before)
+  }
+}

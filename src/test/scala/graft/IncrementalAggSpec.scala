@@ -100,6 +100,47 @@ class IncrementalAggSpec extends SparkSpec {
     assert(parquetFiles(root) === before)
   }
 
+  test("batchId replay: committed id skips, crash window refolds from the snapshot") {
+    val root = java.nio.file.Files.createTempDirectory("incrx").toString + "/agg"
+    val b0 = batch(("a", 1, 10.0), ("b", 1, 4.0))
+    val b1 = batch(("a", 1, 2.5), ("a", 2, 1.0))
+    IncrementalAgg.maintain(spark, b0, root,
+      Seq("entity"), Seq("entity", "month"), "value", batchId = Some(0L))
+    IncrementalAgg.maintain(spark, b1, root,
+      Seq("entity"), Seq("entity", "month"), "value", batchId = Some(1L))
+    def state() = IncrementalAgg.read(spark, root)
+      .select(col("entity"), col("month"), col("n"), col("sum_v").cast("double"))
+      .as[(String, Int, Long, Double)].collect().sorted.toSeq
+    val committed = state()
+    assert(committed === Seq(("a", 1, 2L, 12.5), ("a", 2, 1L, 1.0), ("b", 1, 1L, 4.0)))
+
+    // CLEAN replay of a committed id: _APPLIED short-circuits, 0 rewrites
+    assert(IncrementalAgg.maintain(spark, b1, root,
+      Seq("entity"), Seq("entity", "month"), "value", batchId = Some(1L)) === 0)
+    assert(state() === committed)
+
+    // forge the adversarial crash: batch 1's data IS in the live table
+    // but its marker never landed and its sealed snapshot (batch 0's
+    // fold of entity a) is back in place — the replay must refold from
+    // the snapshot and converge, not double-add batch 1
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bdir = new org.apache.hadoop.fs.Path(root, "_batches/1")
+    fs.delete(new org.apache.hadoop.fs.Path(bdir, "_APPLIED"), false)
+    val standalone = java.nio.file.Files.createTempDirectory("incrx0").toString + "/agg"
+    IncrementalAgg.maintain(spark, b0, standalone,
+      Seq("entity"), Seq("entity", "month"), "value")
+    spark.read.parquet(standalone).filter(col("entity") === "a")
+      .select("entity", "month", "n", "sum_v")
+      .write.mode("overwrite")
+      .parquet(new org.apache.hadoop.fs.Path(bdir, "snapshot").toString)
+    fs.create(new org.apache.hadoop.fs.Path(bdir, "_SNAPSHOT_DONE"), true).close()
+    IncrementalAgg.maintain(spark, b1, root,
+      Seq("entity"), Seq("entity", "month"), "value", batchId = Some(1L))
+    assert(state() === committed, "crash-window replay must converge, not double-fold")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(bdir, "_APPLIED")))
+  }
+
   test("CDC deltas advance the view to exactly the recompute of the new snapshot") {
     import graft.operators.Snapshot
     def snap(rows: (Long, String, Double)*) =
