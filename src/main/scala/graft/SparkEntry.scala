@@ -3168,25 +3168,26 @@ object SparkEntry {
     * within_bound)` — the engine-specific estimate stays internal.
     */
   private def ddBoundCheck(s: SparkSession, pos: DataFrame, est: DataFrame,
-                           qs: Seq[Int], gamma: Double): DataFrame = {
+                           qs: Seq[Int], gamma: Double,
+                           keyCol: String = "event_type"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val alpha = (gamma - 1.0) / (gamma + 1.0)
-    val w = Window.partitionBy(col("event_type")).orderBy(col("v"))
-    val cum = pos.groupBy(col("event_type"), col("v")).agg(count(lit(1)).as("__c"))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("v"))
+    val cum = pos.groupBy(col(keyCol), col("v")).agg(count(lit(1)).as("__c"))
       .withColumn("__cum", sum(col("__c")).over(
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .withColumn("__tot", sum(col("__c")).over(
-        Window.partitionBy(col("event_type"))))
+        Window.partitionBy(col(keyCol))))
     val sp = s
     import sp.implicits._
     // cum >= ceil(tot·q/100)  ⟺  100·cum >= tot·q for integer cum
     val exact = cum
       .join(broadcast(qs.map(_.toLong).toDF("q_pct")),
         col("__cum") * 100 >= col("__tot") * col("q_pct"))
-      .groupBy(col("event_type"), col("q_pct"))
+      .groupBy(col(keyCol), col("q_pct"))
       .agg(min(col("v")).as("__exact"))
-    exact.join(est, Seq("event_type", "q_pct"))
-      .select(col("event_type"), col("q_pct"), col("n"),
+    exact.join(est, Seq(keyCol, "q_pct"))
+      .select(col(keyCol), col("q_pct"), col("n"),
         NumFunctions.roundNz(col("__exact"), 6).as("exact_v"),
         (abs(col("est") - col("__exact")) <=
           lit(alpha) * col("__exact") + lit(1e-9)).as("within_bound"))
@@ -3437,6 +3438,56 @@ object SparkEntry {
     graft.operators.Selection.mmr(e.filter(col("vec_id") =!= 0),
       e.filter(col("vec_id") === 0), "vec_id", "embedding", k = 6,
       lamNum = 7, lamDen = 10)
+  }
+
+  /** Q204 — the COMPOSED streaming curation loop
+    * ([[graft.streaming.CurationLoop]]): one `foreachBatch` body
+    * driving all three certified incremental sinks — the near-dup
+    * index ([[graft.sinks.DedupIndexSink]]), the per-lang DDSketch
+    * quantile table ([[graft.sinks.QuantileSink]]), and the per-lang
+    * (count, exact sum) rollup ([[graft.sinks.IncrementalAgg]]) —
+    * over three content-keyed daily batches (`doc_id % 3`, the q200
+    * fixture), each sink exactly-once on its own `_APPLIED` marker.
+    * The production shape of the reference's flush loop
+    * (`run.py:117-125`): one writer, every derived table advanced per
+    * batch, crash-replay convergent at any point (CurationLoopSpec).
+    * Output grain (lang, q_pct ∈ {50, 90}): the maintained rollup
+    * (n_docs, sum_chars), the maintained sketch checked against the
+    * exact order statistic (q188's bound protocol — the estimate
+    * never leaves the engine), and the lifetime dedup match count by
+    * the new side's lang. Oracle: per-lang recompute + brute-force
+    * day-ordered cross-Jaccard count + the TRUE bound literal.
+    */
+  def q204(s: SparkSession, d: String): DataFrame = {
+    val keyHex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"q204|v1|$d".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val root = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft-curation-$keyHex/lake").toString
+    val src = docs(s, d).select(col("doc_id"), col("lang"), col("text"),
+      col("n_chars").cast("double").as("quality"))
+    (0L to 2L).foreach { day =>
+      graft.streaming.CurationLoop(s,
+        src.filter(pmod(col("doc_id"), lit(3)) === day), root,
+        "doc_id", "text", Seq("lang"), Seq("lang"), "quality", day)
+    }
+    val stats = graft.sinks.IncrementalAgg
+      .read(s, graft.streaming.CurationLoop.statsRoot(root))
+      .select(col("lang"), col("n").as("n_docs"),
+        col("sum_v").cast("double").as("sum_chars"))
+    val matches = graft.sinks.DedupIndexSink
+      .allMatches(s, graft.streaming.CurationLoop.dedupRoot(root))
+      .join(docs(s, d).select(col("doc_id").as("new_id"), col("lang")),
+        "new_id")
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_matches"))
+    val est = graft.sinks.QuantileSink.quantiles(s,
+      graft.streaming.CurationLoop.quantRoot(root), Seq("lang"),
+      Seq(50, 90), 1.02)
+    val pos = src.filter(col("quality") > 0)
+      .select(col("lang"), col("quality").as("v"))
+    ddBoundCheck(s, pos, est, Seq(50, 90), 1.02, keyCol = "lang")
+      .join(stats, Seq("lang"))
+      .join(matches, Seq("lang"), "left")
+      .na.fill(0L, Seq("n_matches"))
   }
 
   /** Q175 — token-mass concentration
@@ -4379,7 +4430,8 @@ object SparkEntry {
     "q200_dedup_sink"     -> (q200 _),
     "q201_facility_select" -> (q201 _),
     "q202_decontam_clean"  -> (q202 _),
-    "q203_mmr_rerank"      -> (q203 _))
+    "q203_mmr_rerank"      -> (q203 _),
+    "q204_curation_loop"   -> (q204 _))
 
   // DuckDB twins. Shared SQL fragments for the text queries:
   // explicit class: Java \s includes \x0B, RE2 \s does not — see
@@ -5642,6 +5694,42 @@ object SparkEntry {
           |  CAST(tot - inter AS BIGINT) AS un,
           |  CAST(inter AS DOUBLE) / (tot - inter) AS jac
           |FROM pairs WHERE (tot - inter) > 0 AND inter * 10 >= (tot - inter) * 7
+          |""".stripMargin),
+    // q204: the composed curation loop — per-lang recompute of the
+    // rollup (n_docs, sum_chars), exact order statistic + TRUE bound
+    // literal (the q188 protocol: the sketch estimate never leaves the
+    // engine), and the q200 brute-force day-ordered cross-Jaccard
+    // match count attributed to the new side's lang
+    "q204_curation_loop" ->
+      (s"""WITH stats AS (SELECT lang, count(*) AS n_docs,
+          |    CAST(sum(n_chars) AS DOUBLE) AS sum_chars
+          |  FROM documents GROUP BY 1),
+          |toks AS (SELECT doc_id, $TOKS AS tk FROM documents),
+          |sh AS (SELECT doc_id, ${shinglesSql("tk")} AS s FROM toks),
+          |pairs AS (SELECT a.doc_id AS new_id,
+          |  len(list_intersect(a.s, b.s)) AS inter, len(a.s) + len(b.s) AS tot
+          |  FROM sh a JOIN sh b ON (a.doc_id % 3 > b.doc_id % 3)
+          |    OR (a.doc_id % 3 = b.doc_id % 3 AND a.doc_id > b.doc_id)),
+          |mt AS (SELECT d.lang, count(*) AS n_matches FROM pairs p
+          |  JOIN documents d ON d.doc_id = p.new_id
+          |  WHERE (p.tot - p.inter) > 0 AND p.inter * 10 >= (p.tot - p.inter) * 7
+          |  GROUP BY 1),
+          |pos AS (SELECT lang, CAST(n_chars AS DOUBLE) AS v FROM documents
+          |  WHERE n_chars > 0),
+          |c AS (SELECT lang, v, count(*) AS cnt FROM pos GROUP BY 1, 2),
+          |cc AS (SELECT lang, v,
+          |  sum(cnt) OVER (PARTITION BY lang ORDER BY v
+          |    ROWS UNBOUNDED PRECEDING) AS cum,
+          |  sum(cnt) OVER (PARTITION BY lang) AS tot FROM c),
+          |qs AS (SELECT unnest([50, 90]) AS q_pct),
+          |ex AS (SELECT lang, CAST(q_pct AS BIGINT) AS q_pct,
+          |  CAST(tot AS BIGINT) AS n, round(min(v), 6) + 0 AS exact_v
+          |  FROM cc JOIN qs ON cum * 100 >= tot * q_pct GROUP BY 1, 2, 3)
+          |SELECT e.lang, e.q_pct, e.n, e.exact_v, true AS within_bound,
+          |  CAST(st.n_docs AS BIGINT) AS n_docs, st.sum_chars,
+          |  CAST(coalesce(mt.n_matches, 0) AS BIGINT) AS n_matches
+          |FROM ex e JOIN stats st ON st.lang = e.lang
+          |LEFT JOIN mt ON mt.lang = e.lang
           |""".stripMargin),
     // q200: the maintained index's lifetime match set — brute-force
     // day-ordered cross-Jaccard (day = doc_id % 3); a pair qualifies
