@@ -38,6 +38,32 @@ import org.apache.spark.storage.StorageLevel
   */
 object SuffixArray {
 
+  /** Slice-width policy (round 15): the suffix tiers buffer one
+    * contiguous range slice per task (the within-slice window passes
+    * and the local rank sort), so the number of range slices must grow
+    * WITH the corpus — a fixed `defaultParallelism` split makes the
+    * per-task buffer linear in corpus size and eventually exhausts
+    * executor memory (measured: the 64 k-doc / 17 M-char corpus dies
+    * with UNABLE_TO_ACQUIRE_MEMORY under an 8 GiB heap at 16 fixed
+    * slices). Policy: one slice per [[positionsPerSlice]] = 2^18
+    * suffix positions (≈ 25 MB of position rows at order 32), floored
+    * at `defaultParallelism` — per-task memory is CONSTANT in corpus
+    * size, slice count is linear, and the per-slice carry table stays
+    * metadata-scale (one row per slice). Costs one column-pruned
+    * `sum(length(text))` pre-pass per input, trivial next to the sort.
+    */
+  private val positionsPerSlice: Long = 1L << 18
+
+  private def slicesFor(textCol: String, inputs: DataFrame*): Int = {
+    val total = inputs.map { df =>
+      df.filter(col(textCol).isNotNull)
+        .select(coalesce(sum(length(col(textCol)).cast("long")), lit(0L)))
+        .head().getLong(0)
+    }.sum
+    val byWidth = ((total + positionsPerSlice - 1) / positionsPerSlice).toInt
+    math.max(inputs.head.sparkSession.sparkContext.defaultParallelism, byWidth)
+  }
+
   /** The shared core: `(doc_id, pos, __m)` — for every character
     * position, the longest prefix of its suffix (≤ `maxOrder`) that
     * also occurs at ANY other position in the corpus. The maximum over
@@ -67,8 +93,10 @@ object SuffixArray {
     // exact rank — neighbors in this order attain every suffix's
     // maximal LCP, so the profile never compares non-adjacent pairs.
     // Persisted: both sides of the ord±1 self-join read it.
+    // Slice count follows the corpus (see the slice-width policy).
     val (ranked, releaseRank) = Ranks.globalRankOwned(sfx,
-        Seq(col("pfx"), col("doc_id"), col("pos")), outCol = "__ord")
+        Seq(col("pfx"), col("doc_id"), col("pos")), outCol = "__ord",
+        numPartitions = slicesFor(textCol, docs))
     val ord = ranked
       .select(col("doc_id"), col("pos"), col("pfx"), col("__ord"))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -138,7 +166,9 @@ object SuffixArray {
 
     val tagged = positions(train, 0).unionByName(positions(eval, 1))
     val ordCols = Seq(col("pfx"), col("__src"), col("doc_id"), col("pos"))
-    val parts = spark.sparkContext.defaultParallelism
+    // slice count follows the combined corpus (see the slice-width
+    // policy) — per-task window buffers stay constant-size at any scale
+    val parts = slicesFor(textCol, train, eval)
     // one range exchange: each physical partition is a contiguous slice
     // of the combined suffix order. Persisted for the same boundary-
     // stability reason as Ranks.globalRank — the carry subtree and the
