@@ -2894,6 +2894,42 @@ object SparkEntry {
        |""".stripMargin
   }
 
+  /** The q205 oracle: k-center greedy unrolled — the candidate-pair
+    * 6-dp decimal distance matrix (1 − cosine), the smallest-id seed,
+    * then per round an argmax CTE over the min distance to the
+    * selected set with the engine's exact (d DESC, cid) order; radii
+    * in exact 1e-6 integer units (seed row = the 2 000 000 ceiling).
+    */
+  private def q205OracleSql: String = {
+    val k = 8
+    val rounds = (2 to k).map { r =>
+      val prior = (1 until r).map(i => s"SELECT cid FROM s$i").mkString(" UNION ALL ")
+      s"""g$r AS (SELECT q.cid,
+         |    (SELECT min(cc.d) FROM cc WHERE cc.ca = q.cid
+         |     AND cc.cb IN ($prior)) AS d
+         |  FROM cand q WHERE q.cid NOT IN ($prior)),
+         |s$r AS MATERIALIZED (SELECT cid, d FROM g$r
+         |  ORDER BY d DESC, cid LIMIT 1)""".stripMargin
+    }.mkString(",\n")
+    val out = (Seq("SELECT CAST(1 AS BIGINT) AS sel_rank, cid AS vec_id, " +
+      "CAST(2000000 AS BIGINT) AS radius_micros FROM s1") ++
+      (2 to k).map(r =>
+        s"SELECT CAST($r AS BIGINT) AS sel_rank, cid AS vec_id, " +
+        s"CAST(d * 1000000 AS BIGINT) AS radius_micros FROM s$r"))
+      .mkString("\nUNION ALL\n")
+    s"""WITH cand AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS v
+       |  FROM embeddings),
+       |cc AS MATERIALIZED (SELECT a.cid AS ca, b.cid AS cb,
+       |    CAST(1 AS DECIMAL(18,6)) -
+       |    CAST(round(list_cosine_similarity(a.v, b.v), 6) + 0
+       |      AS DECIMAL(18,6)) AS d
+       |  FROM cand a JOIN cand b ON a.cid <> b.cid),
+       |s1 AS MATERIALIZED (SELECT cid FROM cand ORDER BY cid LIMIT 1),
+       |$rounds
+       |$out
+       |""".stripMargin
+  }
+
   /** The q147 oracle: the multiprobe-LSH bitext miner replayed end to
     * end — the q26 MD5 Rademacher plane construction per table
     * (seed 42 + t), per-bit dots, base signatures, the probe side's 2
@@ -3439,6 +3475,20 @@ object SparkEntry {
       e.filter(col("vec_id") === 0), "vec_id", "embedding", k = 6,
       lamNum = 7, lamDen = 10)
   }
+
+  /** Q205 — k-center greedy coreset
+    * ([[graft.operators.Selection.kcenter]]; Gonzalez, TCS 1985;
+    * Sener & Savarese, ICLR 2018): seed at the smallest id, then 7
+    * farthest-point rounds over the embeddings table — each pick
+    * maximizes the min 6-dp-decimal cosine distance to the selected
+    * set, ties to the smallest id. Zero-exchange rounds (selected
+    * vectors ride as ONE nested-array literal), one TakeOrdered(1)
+    * each. Oracle: the candidate-pair distance matrix + all 8 rounds
+    * unrolled in argmax CTEs, radius in exact 1e-6 units.
+    */
+  def q205(s: SparkSession, d: String): DataFrame =
+    graft.operators.Selection.kcenter(emb(s, d), "vec_id", "embedding",
+      k = 8)
 
   /** Q204 — the COMPOSED streaming curation loop
     * ([[graft.streaming.CurationLoop]]): one `foreachBatch` body
@@ -4431,7 +4481,8 @@ object SparkEntry {
     "q201_facility_select" -> (q201 _),
     "q202_decontam_clean"  -> (q202 _),
     "q203_mmr_rerank"      -> (q203 _),
-    "q204_curation_loop"   -> (q204 _))
+    "q204_curation_loop"   -> (q204 _),
+    "q205_kcenter_coreset" -> (q205 _))
 
   // DuckDB twins. Shared SQL fragments for the text queries:
   // explicit class: Java \s includes \x0B, RE2 \s does not — see
@@ -6432,6 +6483,7 @@ object SparkEntry {
     "q201_facility_select" -> q201OracleSql,
     "q202_decontam_clean" -> q202OracleSql,
     "q203_mmr_rerank" -> q203OracleSql,
+    "q205_kcenter_coreset" -> q205OracleSql,
     // q191: frame hashes rebuild from the same MD5 low bits (the ±4
     // step signs ARE the dHash bits — the prefix construction cannot
     // produce ties), ALL frame pairs brute-force at hamming <= 3

@@ -119,6 +119,82 @@ object Selection {
     picked.toSeq.toDF("sel_rank", "vec_id", "gain_micros")
   }
 
+  /** k-center greedy coreset — farthest-point traversal (Gonzalez,
+    * "Clustering to minimize the maximum intercluster distance", TCS
+    * 1985; the standard diverse-coreset selector, e.g. active-learning
+    * core-set selection, Sener & Savarese ICLR 2018): seed with the
+    * smallest-id candidate, then each round add the candidate FARTHEST
+    * from the selected set (max over remaining of min cosine distance
+    * to any selected vector). Greedy is a 2-approximation of the
+    * optimal k-center radius; the selection is maximally SPREAD — the
+    * diversity complement of [[facilityLocation]] (which maximizes
+    * target coverage) and [[mmr]] (which trades relevance against
+    * redundancy).
+    *
+    * Scale shape: the [[mmr]] round discipline — candidates persist
+    * once; each round folds the ≤ r − 1 selected vectors from ONE
+    * nested-array literal (`transform` + `array_min`) against the
+    * candidate vector row-locally, then ONE TakeOrdered(1). No round
+    * shuffles anything candidate-scale; plan size is O(1) in k.
+    *
+    * Determinism: distance = 1 − cosine rounded to 6 dp through
+    * DECIMAL(18,6) — exact in any partitioning; argmax ties break on
+    * the smallest candidate id. Returns `(sel_rank, vec_id,
+    * radius_micros)` in pick order; `radius_micros` is the pick's
+    * min-distance-to-selected in exact 1e-6 units, with the seed row
+    * reporting 2 000 000 (the cosine-distance ceiling — no selected
+    * set exists yet).
+    */
+  def kcenter(candidates: DataFrame, idCol: String, vecCol: String,
+              k: Int): DataFrame = {
+    require(k >= 1, s"selection size must be >= 1, got $k")
+    val spark = candidates.sparkSession
+    import spark.implicits._
+    val dec = DecimalType(18, 6)
+    val one = new java.math.BigDecimal("1.000000")
+
+    val base = candidates
+      .select(col(idCol).cast("long").as("cid"), col(vecCol).as("cvec"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    base.count()
+
+    val picked = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    val selVecs = scala.collection.mutable.ArrayBuffer.empty[Seq[Double]]
+    try {
+      val seed = base.select(col("cid"), col("cvec"))
+        .orderBy(col("cid").asc).limit(1).collect()
+      if (seed.nonEmpty) {
+        picked += ((1L, seed(0).getLong(0), 2000000L))
+        selVecs += seed(0).getAs[scala.collection.Seq[Any]](1)
+          .map { case f: Float => f.toDouble; case d: Double => d }.toSeq
+      }
+      var r = 2
+      var exhausted = seed.isEmpty
+      while (r <= k && !exhausted) {
+        // min cosine distance to the selected set, from one nested-array
+        // literal — 1 − cos6 stays exact decimal
+        val minSel = array_min(transform(typedLit(selVecs.toSeq),
+          v => (lit(one).cast(dec) - coalesce(NumFunctions.roundNz(
+            VectorFunctions.cosineSimilarity(col("cvec"), v), 6), lit(0.0))
+            .cast(dec)).cast(dec)))
+        val rest = base.filter(!col("cid").isin(picked.map(_._2).toSeq: _*))
+        val best = rest.select(col("cid"), minSel.as("d"), col("cvec"))
+          .orderBy(col("d").desc, col("cid").asc).limit(1).collect()
+        if (best.isEmpty) exhausted = true
+        else {
+          val row = best(0)
+          picked += ((r.toLong, row.getLong(0),
+            row.getDecimal(1).movePointRight(6).longValueExact))
+          selVecs += row.getAs[scala.collection.Seq[Any]](2)
+            .map { case f: Float => f.toDouble; case d: Double => d }.toSeq
+          r += 1
+        }
+      }
+    } finally base.unpersist(blocking = false)
+
+    picked.toSeq.toDF("sel_rank", "vec_id", "radius_micros")
+  }
+
   /** MMR — maximal marginal relevance re-ranking (Carbonell &
     * Goldstein, SIGIR 1998), the query-time sibling of
     * [[facilityLocation]]: greedily pick `k` candidates maximizing

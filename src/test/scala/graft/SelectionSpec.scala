@@ -188,6 +188,67 @@ class SelectionSpec extends SparkSpec {
     assert(got.length === 3)
   }
 
+  /** exact micro-unit k-center witness: smallest-id seed, then argmax
+    * of min (1 − cos6) distance to selected, ties to smallest id. */
+  private def bruteKc(cands: Seq[(Long, Array[Double])], k: Int)
+      : Seq[(Long, Long, Long)] = {
+    def distMicros(a: Array[Double], b: Array[Double]): Long = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      1000000L - new java.math.BigDecimal(dot / (math.sqrt(na) * math.sqrt(nb)))
+        .setScale(6, java.math.RoundingMode.HALF_UP)
+        .movePointRight(6).longValueExact
+    }
+    val vecs = cands.toMap
+    val left = scala.collection.mutable.SortedSet(cands.map(_._1): _*)
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    val seed = left.head
+    out += ((1L, seed, 2000000L)); left -= seed
+    var r = 2
+    while (r <= k && left.nonEmpty) {
+      val (bid, bd) = left.toSeq
+        .map(c => (c, out.map(s => distMicros(vecs(c), vecs(s._2))).min))
+        .maxBy { case (c, d) => (d, -c) }
+      out += ((r.toLong, bid, bd)); left -= bid; r += 1
+    }
+    out.toSeq
+  }
+
+  test("kcenter equals the exact micro-unit witness and spreads across clusters") {
+    val got = Selection.kcenter(cands.toDF("vec_id", "embedding"),
+        "vec_id", "embedding", k = 5)
+      .as[(Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(got === bruteKc(cands, 5))
+    // the seed is the smallest id; pick 2 must leave the seed's axis
+    // cluster entirely (candidates 1/2 are near-twins on axis 0 — a
+    // farthest-point pick never takes the twin while other axes exist)
+    assert(got(0)._2 === 1L && got(0)._3 === 2000000L)
+    assert(got.map(_._2).take(4).toSet.intersect(Set(2L)).isEmpty,
+      s"the seed's near-twin must not be an early pick: $got")
+    // radii are non-increasing after the seed row (greedy k-center
+    // monotonicity: every later pick is at most as far from the
+    // selected set as earlier ones)
+    val radii = got.drop(1).map(_._3)
+    assert(radii === radii.sorted.reverse, s"radii must be non-increasing: $got")
+  }
+
+  test("kcenter exhausts a small pool and is repartition-invariant") {
+    val small = cands.take(3)
+    val got = Selection.kcenter(small.toDF("vec_id", "embedding"),
+        "vec_id", "embedding", k = 10)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got.length === 3 && got.map(_._2).toSet === small.map(_._1).toSet)
+    val a = Selection.kcenter(cands.toDF("vec_id", "embedding")
+        .repartition(13), "vec_id", "embedding", k = 6)
+      .as[(Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    val b = Selection.kcenter(cands.toDF("vec_id", "embedding")
+        .repartition(1), "vec_id", "embedding", k = 6)
+      .as[(Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(a === b)
+  }
+
   test("cover literal path ≡ broadcast-join path, bit for bit") {
     // coverLiteralMax = 0 forces every round through the broadcast
     // one-row cover frame; the default (nT = 6 ≤ 1024) stays on the
