@@ -3490,6 +3490,20 @@ object SparkEntry {
     graft.operators.Selection.kcenter(emb(s, d), "vec_id", "embedding",
       k = 8)
 
+  /** Q206 — sorted-neighborhood near-dup blocking
+    * ([[graft.operators.Dedup.sortedNeighborhoodPairs]]; Hernández &
+    * Stolfo, SIGMOD 1995): sort by the 24-char normalized-text key,
+    * compare each document to its 5 successors in that order, verify
+    * with exact shingle Jaccard ≥ 0.7 — the deterministic
+    * entity-resolution blocking tier next to the probabilistic LSH
+    * family; candidates are exactly n·5. Oracle: the same key sort
+    * via ROW_NUMBER, the same window pair set, the same exact-Jaccard
+    * gate.
+    */
+  def q206(s: SparkSession, d: String): DataFrame =
+    graft.operators.Dedup.sortedNeighborhoodPairs(docs(s, d), "doc_id",
+      "text", window = 6, keyLen = 24)
+
   /** Q204 — the COMPOSED streaming curation loop
     * ([[graft.streaming.CurationLoop]]): one `foreachBatch` body
     * driving all three certified incremental sinks — the near-dup
@@ -4482,7 +4496,8 @@ object SparkEntry {
     "q202_decontam_clean"  -> (q202 _),
     "q203_mmr_rerank"      -> (q203 _),
     "q204_curation_loop"   -> (q204 _),
-    "q205_kcenter_coreset" -> (q205 _))
+    "q205_kcenter_coreset" -> (q205 _),
+    "q206_sorted_neighbors" -> (q206 _))
 
   // DuckDB twins. Shared SQL fragments for the text queries:
   // explicit class: Java \s includes \x0B, RE2 \s does not — see
@@ -5781,6 +5796,31 @@ object SparkEntry {
           |  CAST(coalesce(mt.n_matches, 0) AS BIGINT) AS n_matches
           |FROM ex e JOIN stats st ON st.lang = e.lang
           |LEFT JOIN mt ON mt.lang = e.lang
+          |""".stripMargin),
+    // q206: sorted-neighborhood blocking — the same normalized-prefix
+    // key sort via ROW_NUMBER (binary collation matches Spark's UTF8
+    // order on this corpus), each row paired with its 5 successors,
+    // then the exact shingle-Jaccard gate
+    "q206_sorted_neighbors" ->
+      (s"""WITH d AS (SELECT doc_id, text FROM documents
+          |  WHERE text IS NOT NULL),
+          |keyed AS (SELECT doc_id, substr(lower(trim(regexp_replace(text,
+          |    '[ \t\n\f\r]+', ' ', 'g'))), 1, 24) AS k FROM d),
+          |rn AS (SELECT doc_id,
+          |  row_number() OVER (ORDER BY k, doc_id) AS rn FROM keyed),
+          |toks AS (SELECT doc_id, $TOKS AS tk FROM d),
+          |sh AS (SELECT doc_id, ${shinglesSql("tk")} AS s FROM toks),
+          |pairs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
+          |  FROM rn a JOIN rn b ON b.rn > a.rn AND b.rn <= a.rn + 5),
+          |j AS (SELECT p.a_id, p.b_id,
+          |  len(list_intersect(sa.s, sb.s)) AS inter,
+          |  len(sa.s) + len(sb.s) AS tot FROM pairs p
+          |  JOIN sh sa ON sa.doc_id = p.a_id
+          |  JOIN sh sb ON sb.doc_id = p.b_id)
+          |SELECT a_id, b_id, CAST(inter AS BIGINT) AS inter,
+          |  CAST(tot - inter AS BIGINT) AS un,
+          |  CAST(inter AS DOUBLE) / (tot - inter) AS jac
+          |FROM j WHERE (tot - inter) > 0 AND inter * 10 >= (tot - inter) * 7
           |""".stripMargin),
     // q200: the maintained index's lifetime match set — brute-force
     // day-ordered cross-Jaccard (day = doc_id % 3); a pair qualifies

@@ -66,6 +66,45 @@ class DedupSpec extends SparkSpec {
     assert(got === Set((1L, 2L)))
   }
 
+  test("sortedNeighborhoodPairs: window-restricted key-sort brute force, late edits caught") {
+    // planted fixture: docs 1/2 share a long head and diverge in the
+    // TAIL (the family sorted-neighborhood catches deterministically —
+    // their normalized 24-char keys are identical, so they sort
+    // adjacent); doc 3 is an unrelated text that happens to sort
+    // between nothing relevant; 4/5 are identical twins with distinct
+    // leading words (different keys — adjacency not guaranteed, the
+    // documented blocking limitation).
+    val head = "alpha beta gamma delta epsilon zeta eta theta iota " +
+      "kappa lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val rows = Seq(
+      1L -> (head + " shared tail one two three four five six seven"),
+      2L -> (head + " shared tail one two three four five six DIFFER"),
+      3L -> "quebec romeo sierra tango unrelated words entirely here now",
+      4L -> "zulu prefix common body words repeated across the pair here",
+      5L -> "zulu prefix common body words repeated across the pair here")
+      .toDF("doc_id", "text")
+    val got = Dedup.sortedNeighborhoodPairs(rows, "doc_id", "text",
+        window = 3, keyLen = 24, thresholdNum = 7, thresholdDen = 10)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    // witness: key-sort in plain Scala, window-3 pairs, exact Jaccard
+    val data = rows.as[(Long, String)].collect().toSeq
+    def sh(t: String) = t.trim.split("\\s+").filter(_.nonEmpty)
+      .sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet
+    val sorted = data.map { case (id, t) =>
+      (t.trim.replaceAll("[ \t\n\f\r]+", " ").toLowerCase.take(24), id, t)
+    }.sorted
+    val want = (for {
+      i <- sorted.indices; j <- (i + 1) until math.min(i + 3, sorted.length)
+      (_, ida, ta) = sorted(i); (_, idb, tb) = sorted(j)
+      inter = (sh(ta) & sh(tb)).size
+      un = sh(ta).size + sh(tb).size - inter
+      if un > 0 && inter * 10 >= un * 7
+    } yield (ida, idb)).toSet
+    assert(got === want)
+    assert(got((1L, 2L)), s"tail-divergent near-twins must be caught: $got")
+    assert(got((4L, 5L)), s"adjacent identical twins must be caught: $got")
+  }
+
   test("ngramJaccardBanded == brute force restricted to the id window") {
     val got = SparkEntry.q21(spark, sf0001)
       .select("a_id", "b_id").as[(Long, Long)].collect().toSet
