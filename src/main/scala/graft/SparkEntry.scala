@@ -3504,6 +3504,16 @@ object SparkEntry {
     graft.operators.Dedup.sortedNeighborhoodPairs(docs(s, d), "doc_id",
       "text", window = 6, keyLen = 24)
 
+  /** Q207 — deterministic span-corruption planner
+    * ([[graft.operators.Corpus.spanCorruptionPlan]]; Raffel et al.,
+    * JMLR 2020 §3.1.4): md5-keyed anchors at ~38/256 density, span
+    * lengths 2–4 from the next md5 nibble, touching spans coalesced
+    * row-locally — zero exchanges, one output row per document.
+    * Oracle replays the md5 gates and the window interval merge.
+    */
+  def q207(s: SparkSession, d: String): DataFrame =
+    graft.operators.Corpus.spanCorruptionPlan(docs(s, d), "doc_id", "text")
+
   /** Q204 — the COMPOSED streaming curation loop
     * ([[graft.streaming.CurationLoop]]): one `foreachBatch` body
     * driving all three certified incremental sinks — the near-dup
@@ -4497,7 +4507,8 @@ object SparkEntry {
     "q203_mmr_rerank"      -> (q203 _),
     "q204_curation_loop"   -> (q204 _),
     "q205_kcenter_coreset" -> (q205 _),
-    "q206_sorted_neighbors" -> (q206 _))
+    "q206_sorted_neighbors" -> (q206 _),
+    "q207_span_corruption"  -> (q207 _))
 
   // DuckDB twins. Shared SQL fragments for the text queries:
   // explicit class: Java \s includes \x0B, RE2 \s does not — see
@@ -5796,6 +5807,41 @@ object SparkEntry {
           |  CAST(coalesce(mt.n_matches, 0) AS BIGINT) AS n_matches
           |FROM ex e JOIN stats st ON st.lang = e.lang
           |LEFT JOIN mt ON mt.lang = e.lang
+          |""".stripMargin),
+    // q207: span-corruption plan — the same md5 anchor/length gates
+    // over unnested token positions, the q202-style window interval
+    // merge (touching spans coalesce: new group only when s > pmax),
+    // then per-doc counts
+    "q207_span_corruption" ->
+      (s"""WITH d AS (SELECT doc_id, len($TOKS) AS n FROM documents
+          |  WHERE text IS NOT NULL),
+          |p AS (SELECT doc_id, n, unnest(range(1, n + 1)) AS pos
+          |  FROM d WHERE n >= 1),
+          |h AS (SELECT doc_id, n, pos,
+          |  md5('sc' || ':' || doc_id || ':' || pos) AS hx FROM p),
+          |a AS (SELECT doc_id, n, pos, least(pos + 2 +
+          |    CAST('0x' || substr(hx, 3, 1) AS INT) % 3, n + 1) AS e
+          |  FROM h WHERE substr(hx, 1, 2) < '26'),
+          |sw AS (SELECT doc_id, pos AS s, e, max(e) OVER (
+          |    PARTITION BY doc_id ORDER BY pos
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+          |  FROM a),
+          |sg AS (SELECT doc_id, s, e,
+          |  sum(CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END)
+          |    OVER (PARTITION BY doc_id ORDER BY s) AS grp FROM sw),
+          |mi AS (SELECT doc_id, grp, min(s) AS s, max(e) AS e
+          |  FROM sg GROUP BY 1, 2),
+          |agg AS (SELECT doc_id, count(*) AS n_spans,
+          |  sum(e - s) AS n_masked FROM mi GROUP BY 1),
+          |an AS (SELECT doc_id, count(*) AS n_anchors FROM a GROUP BY 1)
+          |SELECT d.doc_id, CAST(d.n AS BIGINT) AS n_tokens,
+          |  CAST(coalesce(an.n_anchors, 0) AS BIGINT) AS n_anchors,
+          |  CAST(coalesce(agg.n_spans, 0) AS BIGINT) AS n_spans,
+          |  CAST(coalesce(agg.n_masked, 0) AS BIGINT) AS n_masked,
+          |  CASE WHEN d.n > 0 THEN round(
+          |    CAST(coalesce(agg.n_masked, 0) AS DOUBLE) / d.n, 6) + 0
+          |    ELSE 0 END AS mask_ratio
+          |FROM d LEFT JOIN agg USING (doc_id) LEFT JOIN an USING (doc_id)
           |""".stripMargin),
     // q206: sorted-neighborhood blocking — the same normalized-prefix
     // key sort via ROW_NUMBER (binary collation matches Spark's UTF8

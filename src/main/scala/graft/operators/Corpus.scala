@@ -846,6 +846,79 @@ object Corpus {
           .map(f => col(s"__m.$f").as(f))): _*)
   }
 
+  /** Deterministic span-corruption PLANNER — the masking plan for
+    * T5-style denoising pretraining (Raffel et al., "Exploring the
+    * Limits of Transfer Learning with a Unified Text-to-Text
+    * Transformer", JMLR 2020 §3.1.4: corrupt ~15 % of tokens in
+    * mean-length-3 spans, one sentinel per contiguous masked run).
+    * Randomness is md5-keyed on `(salt, doc, position)` — the q63/q109
+    * hash-split discipline — so the plan is a pure function of the
+    * corpus: reproducible across runs, engines, and partitionings,
+    * with no RNG state to ship.
+    *
+    * Per token position `p`: `p` anchors a span iff the first md5
+    * byte < `densityNum`/256; an anchored span covers
+    * `minSpan + (md5 nibble mod spanRange)` tokens (clipped at the
+    * document end). Overlapping or touching spans COALESCE — a
+    * contiguous masked run is ONE sentinel, exactly the T5 packing
+    * rule — via a row-local running-max fold over the (ascending)
+    * anchor list. Expected mask ratio ≈ density · meanSpan against
+    * sparse anchors; the realized per-doc numbers are what this
+    * reports.
+    *
+    * Scale shape: ZERO exchanges — token counting, anchor selection
+    * (`filter` over the position sequence), span-length draws, and the
+    * interval-merge fold (`aggregate`) all run inside the document
+    * row; the output is one row per input row. The q193
+    * row-local-metrics discipline applied to mask planning.
+    *
+    * Returns `(doc_id, n_tokens, n_anchors, n_spans, n_masked,
+    * mask_ratio)` — counts exact integers, ratio rounded to 6.
+    */
+  def spanCorruptionPlan(docs: DataFrame, idCol: String, textCol: String,
+                         salt: String = "sc", densityNum: Int = 38,
+                         minSpan: Int = 2, spanRange: Int = 3): DataFrame = {
+    require(densityNum >= 1 && densityNum <= 255,
+      s"densityNum must be in [1, 255], got $densityNum")
+    require(minSpan >= 1 && spanRange >= 1,
+      s"minSpan/spanRange must be >= 1, got $minSpan/$spanRange")
+    val hexThr = f"$densityNum%02x"
+    val n = TextFunctions.tokenCount(col(textCol))
+    def h(p: Column) = md5(concat_ws(":", lit(salt),
+      col(idCol).cast("string"), p.cast("string")))
+    val positions = when(n >= 1, sequence(lit(1L), n))
+      .otherwise(array().cast("array<long>"))
+    val anchors = filter(positions, p => substring(h(p), 1, 2) < lit(hexThr))
+    val ivs = transform(anchors, p => struct(
+      p.as("s"),
+      least(p + lit(minSpan.toLong) +
+        pmod(conv(substring(h(p), 3, 1), 16, 10).cast("long"),
+          lit(spanRange.toLong)), n + 1).as("e")))
+    // running-max interval merge: anchors ascend, so one fold tracks
+    // (union length, span count, current exclusive end); s > cur opens
+    // a new span, s <= cur extends the current one by max(e - cur, 0)
+    val folded = aggregate(ivs,
+      struct(lit(0L).as("masked"), lit(0L).as("spans"), lit(0L).as("cur")),
+      (st, iv) => {
+        val s = iv.getField("s"); val e = iv.getField("e")
+        val cur = st.getField("cur")
+        struct(
+          (st.getField("masked") + when(s > cur, e - s)
+            .otherwise(greatest(e - cur, lit(0L)))).as("masked"),
+          (st.getField("spans") +
+            when(s > cur, lit(1L)).otherwise(lit(0L))).as("spans"),
+          greatest(cur, e).as("cur"))
+      })
+    docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"), n.as("n_tokens"),
+        size(anchors).cast("long").as("n_anchors"), folded.as("__f"))
+      .select(col("doc_id"), col("n_tokens"), col("n_anchors"),
+        col("__f.spans").as("n_spans"), col("__f.masked").as("n_masked"),
+        when(col("n_tokens") > 0, NumFunctions.roundNz(
+          col("__f.masked").cast("double") / col("n_tokens"), 6))
+          .otherwise(lit(0.0)).as("mask_ratio"))
+  }
+
   /** Per-group winsorization: values clamped to the group's
     * [`lo`, `hi`] quantile band — the robust-stats outlier trim a
     * pipeline applies before normalizing a feature (a handful of

@@ -17,6 +17,51 @@ class CorpusSpec extends SparkSpec {
   private def docTable(rows: Seq[(Long, String)]): DataFrame =
     rows.toDF("doc_id", "text")
 
+  test("spanCorruptionPlan equals the driver-side md5 replay; spans coalesce") {
+    // plain-Scala witness of the whole plan: same md5 keying, same
+    // anchor gate (< 0x26), same 2-4 span lengths, same touching-spans-
+    // merge — independent of every engine expression
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    def witness(id: Long, text: String): (Long, Long, Long, Long, Double) = {
+      val n = text.trim.split("[ \t\n\f\r]+").count(_.nonEmpty).toLong
+      val ivs = (1L to n).flatMap { p =>
+        val hx = md5hex(s"sc:$id:$p")
+        if (hx.substring(0, 2) < "26")
+          Some((p, math.min(p + 2 + Integer.parseInt(hx.substring(2, 3), 16) % 3,
+            n + 1)))
+        else None
+      }
+      var masked = 0L; var spans = 0L; var cur = 0L
+      ivs.foreach { case (s, e) =>
+        if (s > cur) { masked += e - s; spans += 1; cur = e }
+        else if (e > cur) { masked += e - cur; cur = e }
+      }
+      (n, ivs.length.toLong, spans, masked,
+        if (n > 0) BigDecimal(masked.toDouble / n)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble else 0.0)
+    }
+    val fixture = Seq(
+      1L -> ("the quick brown fox jumps over the lazy dog and then " +
+        "continues running through the forest for a very long time " +
+        "while seven wizards watch from the old stone tower nearby"),
+      2L -> "short text here",
+      3L -> "", // zero tokens: all-zero row, ratio 0
+      4L -> ("alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+        "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi psi"))
+    val got = Corpus.spanCorruptionPlan(docTable(fixture), "doc_id", "text")
+      .as[(Long, Long, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+    fixture.foreach { case (id, text) =>
+      val (n, na, ns, nm, ratio) = witness(id, text)
+      assert(got(id) === ((n, na, ns, nm, ratio)), s"doc $id diverged")
+    }
+    // sanity: the long docs actually anchored something (density ~15 %)
+    assert(got(1L)._2 > 0 && got(4L)._2 > 0)
+    assert(got(3L) === ((0L, 0L, 0L, 0L, 0.0)))
+  }
+
   test("tfidf: score is tf·ln(N/df), rounded, cut by a total order") {
     // 4 docs; "rare" appears 3× in doc 0 only → tf=3, df=1, N=4:
     // score = 3·ln(4) ≈ 4.1589. "common" is in every doc → ln(1) = 0.

@@ -312,6 +312,15 @@ class PlanSpec extends SparkSpec {
       s"repetition metrics must stay a pure projection:\n$p")
   }
 
+  test("q207: span-corruption plan is row-local — zero exchanges, no join, no window") {
+    // anchor selection, span-length draws, and the interval-merge fold
+    // all run inside the document row: the plan must be scan -> project
+    val p = plan(SparkEntry.q207(spark, sf0001))
+    assert(!p.contains("Exchange"), s"span-corruption plan must not shuffle:\n$p")
+    assert(!p.contains("Join") && !p.contains("Window"),
+      s"span-corruption plan must stay a pure projection:\n$p")
+  }
+
   test("q196: the contamination scan has no global window over position-scale data") {
     // the nearest-train-neighbor scan must run inside the range slices
     // (windows partitioned by __part) and on the per-doc interval keys;
