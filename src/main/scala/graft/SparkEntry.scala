@@ -2894,6 +2894,44 @@ object SparkEntry {
        |""".stripMargin
   }
 
+  /** The q208 oracle: both q169 legs replayed (BM25 + dense top-10),
+    * then the exact-integer RBO fold — each common item keyed by
+    * max(rank_a, rank_b) through the cumulative weight VALUES table
+    * the builder derives from the same closed form.
+    */
+  private def q208OracleSql: String = {
+    val depth = 10
+    val lcm = 2520L
+    def pow(x: Long, e: Int): Long = (0 until e).foldLeft(1L)((r, _) => r * x)
+    val w = (1 to depth).map(i => (lcm / i) * pow(9, i - 1) * pow(10, depth - i))
+    val cum = (1 to depth).map(m => w.drop(m - 1).sum)
+    val norm = (1 to depth).map(i => lcm * pow(9, i - 1) * pow(10, depth - i)).sum
+    val values = (1 to depth).map(m => s"($m, ${cum(m - 1)})").mkString(", ")
+    s"""$BM25_CTE,
+       |lex AS (SELECT qid, doc_id, rk FROM (SELECT qid, doc_id,
+       |  row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id ASC) AS rk
+       |  FROM perdoc) WHERE rk <= 10),
+       |dense0 AS (SELECT p.vec_id AS qid, e.vec_id AS doc_id,
+       |  list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+       |    CAST(p.embedding AS DOUBLE[])) AS sim
+       |  FROM embeddings e JOIN embeddings p
+       |    ON p.vec_id < 3 AND e.vec_id <> p.vec_id),
+       |dense AS (SELECT qid, doc_id, rk FROM (SELECT qid, doc_id,
+       |  row_number() OVER (PARTITION BY qid ORDER BY sim DESC, doc_id) AS rk
+       |  FROM dense0) WHERE rk <= 10),
+       |wt(mx, w) AS (VALUES $values),
+       |m AS (SELECT l.qid, greatest(l.rk, dn.rk) AS mx
+       |  FROM lex l JOIN dense dn ON dn.qid = l.qid AND dn.doc_id = l.doc_id),
+       |sc AS (SELECT m.qid, count(*) AS n_common, sum(w.w) AS rbo_scaled
+       |  FROM m JOIN wt w ON w.mx = m.mx GROUP BY 1),
+       |qs AS (SELECT DISTINCT qid FROM lex)
+       |SELECT qs.qid, CAST(coalesce(sc.n_common, 0) AS BIGINT) AS n_common,
+       |  CAST(coalesce(sc.rbo_scaled, 0) AS BIGINT) AS rbo_scaled,
+       |  round(CAST(coalesce(sc.rbo_scaled, 0) AS DOUBLE) / $norm, 6) + 0 AS rbo
+       |FROM qs LEFT JOIN sc USING (qid)
+       |""".stripMargin
+  }
+
   /** The q205 oracle: k-center greedy unrolled — the candidate-pair
     * 6-dp decimal distance matrix (1 − cosine), the smallest-id seed,
     * then per round an argmax CTE over the min distance to the
@@ -3513,6 +3551,32 @@ object SparkEntry {
     */
   def q207(s: SparkSession, d: String): DataFrame =
     graft.operators.Corpus.spanCorruptionPlan(docs(s, d), "doc_id", "text")
+
+  /** Q208 — rank-biased overlap between retrieval runs
+    * ([[graft.operators.Similarity.rbo]]; Webber, Moffat & Zobel, TOIS
+    * 2010): the top-weighted agreement between q169's two legs — the
+    * BM25 lexical top-10 and the dense cosine top-10 — per query, at
+    * p = 0.9. Exact integer evaluation through the cumulative-weight
+    * lookup (`rbo_scaled`); the normalized score divides two exact
+    * integers and rounds to 6. Oracle replays both legs (the q169
+    * CTEs) and the same weight table.
+    */
+  def q208(s: SparkSession, d: String): DataFrame = {
+    val dd = docs(s, d)
+    val queries = dd.filter(col("doc_id") < 3)
+      .select(col("doc_id").as("qid"),
+        concat_ws(" ",
+          slice(graft.functions.TextFunctions.tokens(lower(col("text"))), 1, 5))
+          .as("qtext"))
+    val lexical = graft.operators.Corpus.bm25TopK(dd, "doc_id", "text",
+        queries, "qid", "qtext", k = 10)
+      .select(col("qid"), col("doc_id"), col("rk"))
+    val e = emb(s, d)
+    val dense = Similarity.topKCosine(e, e.filter(col("vec_id") < 3),
+        "vec_id", "embedding", 10)
+      .select(col("probe_id").as("qid"), col("vec_id").as("doc_id"), col("rk"))
+    Similarity.rbo(lexical, dense, "qid", "doc_id", "rk", depth = 10)
+  }
 
   /** Q204 — the COMPOSED streaming curation loop
     * ([[graft.streaming.CurationLoop]]): one `foreachBatch` body
@@ -4508,7 +4572,8 @@ object SparkEntry {
     "q204_curation_loop"   -> (q204 _),
     "q205_kcenter_coreset" -> (q205 _),
     "q206_sorted_neighbors" -> (q206 _),
-    "q207_span_corruption"  -> (q207 _))
+    "q207_span_corruption"  -> (q207 _),
+    "q208_rbo_agreement"    -> (q208 _))
 
   // DuckDB twins. Shared SQL fragments for the text queries:
   // explicit class: Java \s includes \x0B, RE2 \s does not — see
@@ -6570,6 +6635,7 @@ object SparkEntry {
     "q202_decontam_clean" -> q202OracleSql,
     "q203_mmr_rerank" -> q203OracleSql,
     "q205_kcenter_coreset" -> q205OracleSql,
+    "q208_rbo_agreement" -> q208OracleSql,
     // q191: frame hashes rebuild from the same MD5 low bits (the ±4
     // step signs ARE the dHash bits — the prefix construction cannot
     // produce ties), ALL frame pairs brute-force at hamming <= 3

@@ -125,6 +125,64 @@ object Similarity {
       Seq(idCol, "rrf", "n_lists"), k)
   }
 
+  /** Rank-biased overlap between two per-key rankings (Webber, Moffat
+    * & Zobel, "A similarity measure for indefinite rankings", TOIS
+    * 2010), truncated at `depth` with persistence `p = pNum/pDen` —
+    * THE standard top-weighted agreement measure between two retrieval
+    * runs (e.g. the lexical and dense legs of a hybrid system before
+    * fusion): `RBO@d = (1−p) Σ_{i≤d} p^{i−1} · |A_i ∩ B_i| / i`,
+    * where `A_i`/`B_i` are the top-i prefixes. Kendall/Spearman treat
+    * all depths equally; RBO weights the head, which is what matters
+    * when only the top-k is consumed.
+    *
+    * EXACT integer evaluation: an item ranked `ra` in A and `rb` in B
+    * joins every prefix intersection from depth `m = max(ra, rb)`
+    * on, so `RBO@d · C = Σ_matched W(m)` with
+    * `W(m) = Σ_{i=m..d} (lcm(1..d)/i) · (pDen−pNum) · pNum^{i−1} ·
+    * pDen^{d−i}` and `C = lcm(1..d) · pDen^d` — a `depth`-entry
+    * integer lookup, no floating point until the final normalized
+    * quotient (both engines divide the same two integers and round
+    * to 6). Returns one row per key of `a`: `(key, n_common,
+    * rbo_scaled, rbo)` — `rbo_scaled` is the exact integer, `rbo` the
+    * normalized [0, 1] score (1 ≡ identical top-`depth` prefixes).
+    *
+    * Scale shape: one equi-join of the two (already ≤ depth-row)
+    * rankings on (key, item), a `greatest` projection through the
+    * literal weight array, one partial-aggregating collapse per key —
+    * nothing rank-scale shuffles twice, no window.
+    */
+  def rbo(a: DataFrame, b: DataFrame, keyCol: String, itemCol: String,
+          rankCol: String, depth: Int = 10, pNum: Int = 9,
+          pDen: Int = 10): DataFrame = {
+    require(depth >= 1 && depth <= 12, s"depth must be in [1, 12], got $depth")
+    require(pNum >= 1 && pNum < pDen, s"need 1 <= pNum < pDen, got $pNum/$pDen")
+    val lcm = (1 to depth).foldLeft(1L)((acc, i) =>
+      acc * i / BigInt(acc).gcd(BigInt(i)).toLong)
+    def pow(x: Long, e: Int): Long = (0 until e).foldLeft(1L)((r, _) => r * x)
+    val w = (1 to depth).map(i => (lcm / i) * (pDen - pNum) *
+      pow(pNum.toLong, i - 1) * pow(pDen.toLong, depth - i))
+    val cum = (1 to depth).map(m => w.drop(m - 1).sum)
+    val norm = (1 to depth).map(i => lcm * (pDen - pNum) *
+      pow(pNum.toLong, i - 1) * pow(pDen.toLong, depth - i)).sum
+
+    def side(df: DataFrame, rk: String) =
+      df.filter(col(rankCol) <= depth)
+        .select(col(keyCol).as("__k"), col(itemCol).as("__it"),
+          col(rankCol).cast("int").as(rk))
+    val scored = side(a, "__ra").join(side(b, "__rb"), Seq("__k", "__it"))
+      .select(col("__k"),
+        element_at(typedLit(cum), greatest(col("__ra"), col("__rb"))).as("__w"))
+      .groupBy(col("__k"))
+      .agg(count(lit(1)).as("n_common"), sum(col("__w")).as("rbo_scaled"))
+    a.select(col(keyCol).as("__k")).distinct()
+      .join(scored, Seq("__k"), "left")
+      .select(col("__k").as(keyCol),
+        coalesce(col("n_common"), lit(0L)).as("n_common"),
+        coalesce(col("rbo_scaled"), lit(0L)).as("rbo_scaled"),
+        NumFunctions.roundNz(coalesce(col("rbo_scaled"), lit(0L))
+          .cast("double") / lit(norm.toDouble), 6).as("rbo"))
+  }
+
   /** Hard-negative mining for contrastive training (the retrieval-
     * training data op: for each anchor, the most-similar examples with
     * a DIFFERENT label are the negatives that actually teach the

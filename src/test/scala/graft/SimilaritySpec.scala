@@ -325,4 +325,34 @@ class SimilaritySpec extends SparkSpec {
     assert(got("w") === ((rrf(Seq(3L)), 1L, 3L)))
     assert(got("x")._1 > got("w")._1, "two-list agreement outranks single-list rank 3")
   }
+
+  test("rbo: identical rankings score 1, disjoint 0, head agreement outweighs tail") {
+    def ranking(q: String, items: Seq[Long]) =
+      items.zipWithIndex.map { case (it, i) => (q, it, (i + 1).toLong) }
+    val a = (ranking("q1", 1L to 10L) ++ ranking("q2", 1L to 10L) ++
+      ranking("q3", 1L to 10L) ++ ranking("q4", 1L to 10L))
+      .toDF("qid", "item", "rk")
+    // q1: identical; q2: disjoint; q3: agrees at rank 1 only;
+    // q4: agrees at rank 10 only (same overlap size as q3, deep)
+    val b = (ranking("q1", 1L to 10L) ++ ranking("q2", 101L to 110L) ++
+      ranking("q3", 1L +: (201L to 209L)) ++
+      ranking("q4", (301L to 309L) :+ 10L))
+      .toDF("qid", "item", "rk")
+    val got = Similarity.rbo(a, b, "qid", "item", "rk", depth = 10)
+      .as[(String, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got("q1")._3 === 1.0, s"identical prefixes must score 1: $got")
+    assert(got("q2") === ((0L, 0L, 0.0)), s"disjoint prefixes must score 0: $got")
+    assert(got("q3")._1 === 1L && got("q4")._1 === 1L)
+    assert(got("q3")._3 > got("q4")._3,
+      s"rank-1 agreement must outweigh rank-10 agreement: $got")
+    // exact closed form for q3: one item at m=1 contributes W(1) = sum
+    // over i of (2520/i)*9^(i-1)*10^(10-i); norm = sum of 2520*9^(i-1)*10^(10-i)
+    def pow(x: Long, e: Int) = (0 until e).foldLeft(1L)((r, _) => r * x)
+    val w1 = (1 to 10).map(i => (2520L / i) * pow(9, i - 1) * pow(10, 10 - i)).sum
+    val norm = (1 to 10).map(i => 2520L * pow(9, i - 1) * pow(10, 10 - i)).sum
+    assert(got("q3")._2 === w1)
+    assert(got("q3")._3 === BigDecimal(w1.toDouble / norm)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
 }
