@@ -3578,6 +3578,18 @@ object SparkEntry {
     Similarity.rbo(lexical, dense, "qid", "doc_id", "rk", depth = 10)
   }
 
+  /** Q209 — deterministic bootstrap confidence band
+    * ([[graft.operators.Eval.bootstrapMeanCI]]; Efron's percentile
+    * bootstrap): 200 md5-keyed with-replacement resamples of the
+    * documents table, each resample's exact-integer mean of `n_chars`,
+    * exact order-statistic percentiles (5/50/95) across the resample
+    * means. Oracle replays the md5 draw indices, the position join,
+    * and the percentile CTE.
+    */
+  def q209(s: SparkSession, d: String): DataFrame =
+    graft.operators.Eval.bootstrapMeanCI(docs(s, d), "doc_id", "n_chars",
+      numResamples = 200, qPcts = Seq(5, 50, 95))
+
   /** Q204 — the COMPOSED streaming curation loop
     * ([[graft.streaming.CurationLoop]]): one `foreachBatch` body
     * driving all three certified incremental sinks — the near-dup
@@ -4573,7 +4585,8 @@ object SparkEntry {
     "q205_kcenter_coreset" -> (q205 _),
     "q206_sorted_neighbors" -> (q206 _),
     "q207_span_corruption"  -> (q207 _),
-    "q208_rbo_agreement"    -> (q208 _))
+    "q208_rbo_agreement"    -> (q208 _),
+    "q209_bootstrap_ci"     -> (q209 _))
 
   // DuckDB twins. Shared SQL fragments for the text queries:
   // explicit class: Java \s includes \x0B, RE2 \s does not — see
@@ -5873,6 +5886,31 @@ object SparkEntry {
           |FROM ex e JOIN stats st ON st.lang = e.lang
           |LEFT JOIN mt ON mt.lang = e.lang
           |""".stripMargin),
+    // q209: bootstrap CI — the same md5 draw indices over the
+    // row_number position order, exact-integer resample sums, one IEEE
+    // division rounded to 6, exact order-statistic percentiles
+    "q209_bootstrap_ci" ->
+      ("""WITH base AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS v
+         |  FROM documents),
+         |ranked AS (SELECT v, row_number() OVER (ORDER BY doc_id) AS idx
+         |  FROM base),
+         |nn AS (SELECT count(*) AS n FROM base),
+         |draws AS (SELECT b.range + 1 AS b,
+         |  (CAST('0x' || substr(md5('bs:' || (b.range + 1) || ':' || r2.idx),
+         |    1, 8) AS BIGINT) % (SELECT n FROM nn)) + 1 AS idx
+         |  FROM range(200) b, ranked r2),
+         |means AS (SELECT d.b,
+         |  round(CAST(sum(r.v) AS DOUBLE) / (SELECT n FROM nn), 6) + 0 AS m
+         |  FROM draws d JOIN ranked r USING (idx) GROUP BY 1),
+         |c AS (SELECT m, count(*) AS cnt FROM means GROUP BY 1),
+         |cc AS (SELECT m, sum(cnt) OVER (ORDER BY m
+         |  ROWS UNBOUNDED PRECEDING) AS cum FROM c),
+         |qs AS (SELECT unnest([5, 50, 95]) AS q_pct)
+         |SELECT CAST(q_pct AS BIGINT) AS q_pct,
+         |  CAST((SELECT n FROM nn) AS BIGINT) AS n_docs,
+         |  CAST(200 AS BIGINT) AS n_resamples, min(m) AS boot_mean
+         |FROM cc JOIN qs ON cum * 100 >= 200 * q_pct GROUP BY 1, 2, 3
+         |""".stripMargin),
     // q207: span-corruption plan — the same md5 anchor/length gates
     // over unnested token positions, the q202-style window interval
     // merge (touching spans coalesce: new group only when s > pmax),

@@ -1253,7 +1253,21 @@ object Multimodal {
     *     `minCoverage`.
     *
     * Returns `(a_id, b_id, offset, n_matched, coverage_r)` with
-    * `a_id < b_id`. 100 TB shape: every stage joins/aggregates 8-byte
+    * `a_id < b_id`.
+    *
+    * '''Compatibility note (round 14)''': `maxHashFrames` defaulted to
+    * 100 000 through round 13 and now defaults to 1 000. The old
+    * ceiling only dropped hashes that were ALREADY evidence-free at
+    * corpus scale; the new one actually engages for mid-frequency
+    * boilerplate frames (title cards, channel idents) shared by many
+    * clips — exactly the fan-out the guard exists to bound. Callers
+    * that relied on the looser ceiling must now pass
+    * `maxHashFrames = 100000L` explicitly; a hash dropped by the guard
+    * removes ALL its evidence rows, so results for pairs whose only
+    * shared content is such a frame change from (weak) matches to
+    * nothing.
+    *
+    * 100 TB shape: every stage joins/aggregates 8-byte
     * hashes and run ordinals — pixels never shuffle; the band join
     * sees DISTINCT guarded hashes only; the evidence join's expansion
     * is run pairs × their offset span, with static scenes collapsed

@@ -167,4 +167,74 @@ object Eval {
         NumFunctions.roundNz(
           col("__sy").cast("double") / col("n_docs"), 6).as("pos_rate"))
   }
+
+  /** Deterministic BOOTSTRAP confidence band for a corpus-mean metric
+    * (Efron's nonparametric bootstrap, percentile method): `numResamples`
+    * with-replacement resamples of the full corpus, each resample's
+    * mean of the integer `metricCol`, then exact order-statistic
+    * percentiles across the resample means — the uncertainty a
+    * datasheet should attach to any "mean tokens per doc"-style claim
+    * before two corpus versions are compared on it.
+    *
+    * Randomness is md5-keyed on `(salt, resample, draw)` — the q63/
+    * q207 hash discipline — so the band is a pure function of the
+    * corpus: reproducible across runs, engines, and partitionings.
+    * Draw `i` of resample `b` picks the document at 1-based position
+    * `(md5 first-8-hex mod n) + 1` in the `idCol` order (position via
+    * the two-level [[Ranks.globalRank]] — no global window over doc
+    * rows). The metric must be integer-valued: each resample's sum is
+    * then EXACT, its mean one IEEE division rounded to 6, and the
+    * percentile an exact order statistic over `numResamples` means.
+    *
+    * Scale shape: the draw grid is `numResamples × n` rows — one
+    * md5 projection, one equi-join against the position-keyed corpus,
+    * one partial-aggregating collapse to `numResamples` rows; the
+    * percentile windows run over those `numResamples` metadata rows
+    * only. Cost is `numResamples` corpus passes' worth of JOIN rows,
+    * the honest price of a bootstrap; `numResamples` bounds it.
+    *
+    * Returns one row per requested percentile:
+    * `(q_pct, n_docs, n_resamples, boot_mean)`.
+    */
+  def bootstrapMeanCI(df: DataFrame, idCol: String, metricCol: String,
+                      numResamples: Int = 200, qPcts: Seq[Int] = Seq(5, 50, 95),
+                      salt: String = "bs"): DataFrame = {
+    require(numResamples >= 1 && numResamples <= 10000,
+      s"numResamples must be in [1, 10000], got $numResamples")
+    require(qPcts.nonEmpty && qPcts.forall(q => q >= 1 && q <= 100),
+      s"percentiles must be in [1, 100], got $qPcts")
+    val spark = df.sparkSession
+    import spark.implicits._
+
+    val base = df.select(col(idCol).as("__id"),
+      col(metricCol).cast("long").as("__v"))
+    val n = base.count()
+    require(n >= 1, "bootstrap needs a non-empty corpus")
+    val ranked = Ranks.globalRank(base, Seq(col("__id")), outCol = "__idx")
+
+    val grid = spark.range(1, numResamples + 1L).toDF("__b")
+      .select(col("__b"), explode(sequence(lit(1L), lit(n))).as("__i"))
+      .select(col("__b"), (pmod(conv(substring(md5(concat_ws(":",
+        lit(salt), col("__b").cast("string"), col("__i").cast("string"))),
+        1, 8), 16, 10).cast("long"), lit(n)) + 1L).as("__idx"))
+    val means = grid
+      .join(ranked.select(col("__idx"), col("__v")), "__idx")
+      .groupBy(col("__b"))
+      .agg(NumFunctions.roundNz(
+        sum(col("__v")).cast("double") / lit(n.toDouble), 6).as("__m"))
+
+    // exact order-statistic percentiles over numResamples means —
+    // metadata-scale windows (<= numResamples rows)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("__m"))
+    val cum = means.groupBy(col("__m")).agg(count(lit(1)).as("__c"))
+      .withColumn("__cum", sum(col("__c")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    cum.join(broadcast(qPcts.map(_.toLong).toDF("q_pct")),
+        col("__cum") * 100 >= lit(numResamples.toLong) * col("q_pct"))
+      .groupBy(col("q_pct"))
+      .agg(min(col("__m")).as("boot_mean"))
+      .select(col("q_pct"), lit(n).as("n_docs"),
+        lit(numResamples.toLong).as("n_resamples"), col("boot_mean"))
+  }
 }

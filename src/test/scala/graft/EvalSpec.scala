@@ -10,6 +10,44 @@ class EvalSpec extends SparkSpec {
   private val sp = spark
   import sp.implicits._
 
+  test("bootstrapMeanCI equals the driver-side md5 replay; constant metric collapses the band") {
+    // plain-Scala witness: same md5 draw indices over the id-order
+    // positions, same exact-integer sums, same percentile rule
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val vals = Seq(10L, 20L, 30L, 40L, 50L, 60L, 70L, 80L)
+    val rows = vals.zipWithIndex.map { case (v, i) => ((i + 1).toLong * 7, v) }
+    val df = rows.toDF("doc_id", "metric")
+    val b = 50
+    val byPos = rows.sortBy(_._1).map(_._2) // id order = position order
+    val n = byPos.length
+    val means = (1 to b).map { bb =>
+      val s = (1 to n).map { i =>
+        val idx = (java.lang.Long.parseLong(
+          md5hex(s"bs:$bb:$i").substring(0, 8), 16) % n).toInt
+        byPos(idx)
+      }.sum
+      BigDecimal(s.toDouble / n).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble
+    }.sorted
+    def pct(q: Int): Double = means((b * q + 99) / 100 - 1)
+    val got = Eval.bootstrapMeanCI(df, "doc_id", "metric",
+        numResamples = b, qPcts = Seq(5, 50, 95))
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    Seq(5, 50, 95).foreach { q =>
+      assert(got(q.toLong) === ((n.toLong, b.toLong, pct(q))), s"q=$q diverged")
+    }
+    assert(got(5L)._3 <= got(50L)._3 && got(50L)._3 <= got(95L)._3)
+    // constant metric: every resample mean is the constant — band width 0
+    val const = (1L to 20L).map(i => (i, 42L)).toDF("doc_id", "metric")
+    val cg = Eval.bootstrapMeanCI(const, "doc_id", "metric",
+        numResamples = 25, qPcts = Seq(5, 95))
+      .as[(Long, Long, Long, Double)].collect().map(_._4).toSet
+    assert(cg === Set(42.0))
+  }
+
   test("classificationReport: hand-computed precision/recall/f1") {
     // labels: a×3, b×2; preds: a correct 2/3, one a→b; b correct 1/2, one b→a
     val df = Seq(
