@@ -371,4 +371,49 @@ class EdgeCaseSpec extends SparkSpec {
         .collect()
     }
   }
+
+  test("round-15 operators on degenerate inputs") {
+    import graft.operators.{Corpus, Dedup, Eval, Selection, Similarity}
+
+    // kcenter: all-identical vectors — every post-seed distance is 0,
+    // picks fall back to id order with radius 0
+    val twins = (1L to 4L).map(i => (i, Seq(1.0, 0.0))).toDF("vec_id", "embedding")
+    val kc = Selection.kcenter(twins, "vec_id", "embedding", k = 3)
+      .as[(Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(kc.map(_._2) === Seq(1L, 2L, 3L))
+    assert(kc.head._3 === 2000000L && kc.tail.forall(_._3 === 0L))
+    // empty candidate pool: empty result, no exception
+    assert(Selection.kcenter(twins.filter(col("vec_id") < 0), "vec_id",
+      "embedding", k = 3).count() === 0)
+
+    // sortedNeighborhood: empty corpus and single doc produce no pairs
+    val docs1 = Seq((1L, "only one document here")).toDF("doc_id", "text")
+    assert(Dedup.sortedNeighborhoodPairs(docs1, "doc_id", "text").count() === 0)
+    assert(Dedup.sortedNeighborhoodPairs(docs1.filter(col("doc_id") < 0),
+      "doc_id", "text").count() === 0)
+
+    // spanCorruptionPlan: null text rows drop, empty text keeps a zero row
+    val sc = Corpus.spanCorruptionPlan(
+        Seq((1L, Some("")), (2L, None)).toDF("doc_id", "text"),
+        "doc_id", "text")
+      .as[(Long, Long, Long, Long, Long, Double)].collect()
+    assert(sc.toSeq === Seq((1L, 0L, 0L, 0L, 0L, 0.0)))
+
+    // rbo: keys of `a` with NO counterpart ranking in b still get a row
+    val ra = Seq(("q1", 1L, 1L), ("q2", 9L, 1L)).toDF("qid", "item", "rk")
+    val rb = Seq(("q1", 1L, 1L)).toDF("qid", "item", "rk")
+    val rr = Similarity.rbo(ra, rb, "qid", "item", "rk", depth = 10)
+      .as[(String, Long, Long, Double)].collect().map(r => r._1 -> r._4).toMap
+    assert(rr.keySet === Set("q1", "q2") && rr("q2") === 0.0)
+
+    // bootstrap: single-row corpus — every resample is that row
+    val b1 = Eval.bootstrapMeanCI(Seq((1L, 5L)).toDF("doc_id", "m"),
+        "doc_id", "m", numResamples = 10, qPcts = Seq(50))
+      .as[(Long, Long, Long, Double)].collect()
+    assert(b1.toSeq === Seq((50L, 1L, 10L, 5.0)))
+    intercept[IllegalArgumentException] {
+      Eval.bootstrapMeanCI(Seq.empty[(Long, Long)].toDF("doc_id", "m"),
+        "doc_id", "m")
+    }
+  }
 }

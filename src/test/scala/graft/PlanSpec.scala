@@ -321,6 +321,43 @@ class PlanSpec extends SparkSpec {
       s"span-corruption plan must stay a pure projection:\n$p")
   }
 
+  test("q206: sorted-neighborhood rank windows stay slice-partitioned; offsets broadcast") {
+    // the key sort must be the two-level globalRank shape: corpus-scale
+    // row_number windows partitioned by __part, the ONLY partition-less
+    // window the <= numPartitions offsets cumsum (identified by __cnt),
+    // offsets broadcast back — never a global window over doc rows
+    val sp = spark
+    import sp.implicits._
+    val docs = Seq(1L -> "alpha beta gamma delta epsilon zeta eta",
+      2L -> "alpha beta gamma delta epsilon zeta theta")
+      .toDF("doc_id", "text")
+    val p = plan(graft.operators.Dedup.sortedNeighborhoodPairs(
+      docs, "doc_id", "text", window = 3))
+    val windows = "Window \\[[^\\n]*".r.findAllIn(p).toSeq
+    val globals = windows.filter(w => "\\], \\[".r.findAllIn(w).size == 1)
+    val partitioned = windows.filter(w => "\\], \\[".r.findAllIn(w).size == 2)
+    assert(partitioned.nonEmpty && partitioned.forall(_.contains("[__part")),
+      s"rank windows must partition by the range slice:\n$p")
+    assert(globals.forall(_.contains("__cnt")),
+      s"found a global window that is not the offsets cumsum:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"rank offsets must broadcast back:\n$p")
+  }
+
+  test("q209: bootstrap grid joins on the draw position, windows stay resample-scale") {
+    // the only corpus-scale work is the grid⋈corpus equi-join on __idx
+    // (a hash join); the percentile inequality join runs over
+    // <= numResamples mean rows against the broadcast q_pct list —
+    // a metadata-scale BroadcastNestedLoopJoin is the expected shape
+    // there (the ddBoundCheck pattern), but nothing may Cartesian
+    val p = plan(SparkEntry.q209(spark, sf0001))
+    assert(!p.contains("CartesianProduct"),
+      s"bootstrap must not cross-join:\n$p")
+    assert("HashJoin [^\n]*__idx".r.findFirstIn(p).isDefined ||
+      "SortMergeJoin [^\n]*__idx".r.findFirstIn(p).isDefined,
+      s"grid must equi-join the corpus on the draw position:\n$p")
+  }
+
   test("q196: the contamination scan has no global window over position-scale data") {
     // the nearest-train-neighbor scan must run inside the range slices
     // (windows partitioned by __part) and on the per-doc interval keys;
