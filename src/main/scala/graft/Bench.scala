@@ -93,8 +93,17 @@ object Bench {
     val errJson = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    // whole-run GC seconds: the round-15 heap finding (multi-second
+    // full collections masquerading as query regressions) made GC time
+    // a first-class artifact column — a run whose gc_sec is a large
+    // fraction of value is a machine-conditions run, not a code signal
+    val gcSec = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(_.getCollectionTime).sum / 1000.0
+    }
     val json = s"""{"metric":"total","value":${d3(total)},"unit":"sec","error_count":${errors.size},""" +
-      s""""errors":$errJson,"queries":$qs,"queries_median":$qsMed,"sf":"$sfDir"}"""
+      s""""gc_sec":${d3(gcSec)},"errors":$errJson,"queries":$qs,"queries_median":$qsMed,"sf":"$sfDir"}"""
     println(json)
     // belt-and-braces artifact: the same line on disk survives any tail
     // window (overridable so a read-only CWD can't fail the bench)

@@ -27,6 +27,31 @@ class QuantilesSinkSpec extends SparkSpec {
     QuantileSink.quantiles(spark, root, Seq("grp"), qs)
       .as[(String, Long, Long, Double)].collect().toSet
 
+  test("two maintained tables MERGE by bucket addition ≡ one-shot over the union") {
+    // the mergeability claim in the object doc, closed: two tables
+    // maintained independently (e.g. two ingest pipelines, two
+    // regions) combine by plain (keys, k)-summed counts into exactly
+    // the sketch ONE table over all the data would hold
+    val rootA = java.nio.file.Files.createTempDirectory("qsma").toString + "/sk"
+    val rootB = java.nio.file.Files.createTempDirectory("qsmb").toString + "/sk"
+    val rootM = java.nio.file.Files.createTempDirectory("qsmm").toString + "/sk"
+    val a = (1 to 90).map(i => (s"g${i % 2}", math.exp((i % 31) / 7.0)))
+    val b = (1 to 70).map(i => (s"g${i % 3}", math.exp((i % 23) / 5.0) * 1.7))
+    QuantileSink.maintain(spark, a.toDF("grp", "v"), rootA,
+      Seq("grp"), Seq("grp"), "v")
+    QuantileSink.maintain(spark, b.toDF("grp", "v"), rootB,
+      Seq("grp"), Seq("grp"), "v")
+    spark.read.parquet(rootA).unionByName(spark.read.parquet(rootB))
+      .groupBy(col("grp"), col("k"))
+      .agg(sum(col("cnt")).cast("long").as("cnt"))
+      .write.partitionBy("grp").parquet(rootM)
+    val oneShot = java.nio.file.Files.createTempDirectory("qsm1").toString + "/sk"
+    QuantileSink.maintain(spark, (a ++ b).toDF("grp", "v"), oneShot,
+      Seq("grp"), Seq("grp"), "v")
+    assert(quantRows(rootM, Seq(25, 50, 90)) === quantRows(oneShot, Seq(25, 50, 90)),
+      "addition-merged tables must answer identically to the one-shot sketch")
+  }
+
   test("fold of batches equals the one-shot ddQuantiles; only touched partitions rewritten") {
     val root = java.nio.file.Files.createTempDirectory("qsink").toString + "/sk"
     // ~3 decades of spread per group so bucketing actually matters
