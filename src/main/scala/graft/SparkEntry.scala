@@ -2894,6 +2894,49 @@ object SparkEntry {
        |""".stripMargin
   }
 
+  /** The q210 oracle: the water-filling allocation unrolled — q85's
+    * weight shape (share → pow → normalize → 6-dp micro ints), HUGEINT
+    * budget/caps, then 21 fill rounds (capped set grows by >= 1 per
+    * non-final round over <= 20 sources, so round 21 is a fixpoint
+    * no-op) with the engine's floor-division arithmetic.
+    */
+  private def q210OracleSql: String = {
+    val rounds = 21
+    val roundCtes = (1 to rounds).map { k =>
+      s"""a$k AS MATERIALIZED (SELECT w.grp,
+         |  ((SELECT b FROM b) - coalesce((SELECT sum(w2.cap) FROM w w2
+         |      WHERE w2.grp IN (SELECT grp FROM c${k - 1})), 0))
+         |    * CAST(w.m AS HUGEINT)
+         |    // (SELECT sum(CAST(w3.m AS HUGEINT)) FROM w w3
+         |        WHERE w3.grp NOT IN (SELECT grp FROM c${k - 1})) AS a
+         |  FROM w WHERE w.grp NOT IN (SELECT grp FROM c${k - 1})),
+         |c$k AS MATERIALIZED (SELECT grp FROM c${k - 1}
+         |  UNION SELECT x.grp FROM a$k x JOIN w USING (grp)
+         |  WHERE x.a > w.cap)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH g AS (SELECT source AS grp, CAST(sum(n_chars) AS BIGINT) AS n_tok
+       |  FROM documents GROUP BY 1),
+       |t AS (SELECT sum(n_tok) AS tot FROM g),
+       |sc AS (SELECT grp, n_tok,
+       |  pow(CAST(n_tok AS DOUBLE) / tot, 0.5) AS pa FROM g, t),
+       |z AS (SELECT sum(pa) AS z FROM sc),
+       |w AS MATERIALIZED (SELECT grp, n_tok,
+       |  CAST(round(round(pa / z, 6) * 1000000, 0) AS BIGINT) AS m,
+       |  CAST(n_tok AS HUGEINT) * 3 // 2 AS cap FROM sc, z),
+       |b AS (SELECT CAST(tot AS HUGEINT) * 6 // 5 AS b FROM t),
+       |c0 AS (SELECT grp FROM w WHERE 1 = 0),
+       |$roundCtes
+       |SELECT w.grp, w.n_tok AS n_tokens, w.m AS weight_micros,
+       |  CAST(w.cap AS BIGINT) AS cap_tokens,
+       |  CAST(CASE WHEN c.grp IS NOT NULL THEN w.cap ELSE a.a END
+       |    AS BIGINT) AS alloc_tokens,
+       |  round(CAST(CASE WHEN c.grp IS NOT NULL THEN w.cap ELSE a.a END
+       |    AS DOUBLE) / w.n_tok, 6) + 0 AS epochs_r
+       |FROM w LEFT JOIN c$rounds c USING (grp)
+       |LEFT JOIN a$rounds a USING (grp)
+       |""".stripMargin
+  }
+
   /** The q208 oracle: both q169 legs replayed (BM25 + dense top-10),
     * then the exact-integer RBO fold — each common item keyed by
     * max(rank_a, rank_b) through the cumulative weight VALUES table
@@ -3589,6 +3632,18 @@ object SparkEntry {
   def q209(s: SparkSession, d: String): DataFrame =
     graft.operators.Eval.bootstrapMeanCI(docs(s, d), "doc_id", "n_chars",
       numResamples = 200, qPcts = Seq(5, 50, 95))
+
+  /** Q210 — capped-epochs mixture allocation
+    * ([[graft.operators.Corpus.mixtureAllocate]]): the data-mixing
+    * planner — distribute a 1.2×-corpus token budget over the 20
+    * sources ∝ α = 0.5 temperature weights, cap every source at 1.5
+    * epochs of itself, water-fill the freed budget to fixpoint. Exact
+    * BigInt arithmetic end to end; oracle unrolls the fill rounds in
+    * HUGEINT CTEs.
+    */
+  def q210(s: SparkSession, d: String): DataFrame =
+    graft.operators.Corpus.mixtureAllocate(docs(s, d), "source", "n_chars",
+      alpha = 0.5, budgetNum = 6, budgetDen = 5, maxEpNum = 3, maxEpDen = 2)
 
   /** Q204 — the COMPOSED streaming curation loop
     * ([[graft.streaming.CurationLoop]]): one `foreachBatch` body
@@ -4586,7 +4641,8 @@ object SparkEntry {
     "q206_sorted_neighbors" -> (q206 _),
     "q207_span_corruption"  -> (q207 _),
     "q208_rbo_agreement"    -> (q208 _),
-    "q209_bootstrap_ci"     -> (q209 _))
+    "q209_bootstrap_ci"     -> (q209 _),
+    "q210_mixture_alloc"    -> (q210 _))
 
   // DuckDB twins. Shared SQL fragments for the text queries:
   // explicit class: Java \s includes \x0B, RE2 \s does not — see
@@ -6674,6 +6730,7 @@ object SparkEntry {
     "q203_mmr_rerank" -> q203OracleSql,
     "q205_kcenter_coreset" -> q205OracleSql,
     "q208_rbo_agreement" -> q208OracleSql,
+    "q210_mixture_alloc" -> q210OracleSql,
     // q191: frame hashes rebuild from the same MD5 low bits (the ±4
     // step signs ARE the dHash bits — the prefix construction cannot
     // produce ties), ALL frame pairs brute-force at hamming <= 3

@@ -846,6 +846,87 @@ object Corpus {
           .map(f => col(s"__m.$f").as(f))): _*)
   }
 
+  /** Token-budget MIXTURE ALLOCATION with repeat caps — the data-mixing
+    * planner that turns [[temperatureMixture]]'s weights into an
+    * actual per-domain token allocation under a total budget and a
+    * maximum-epochs bound (the practice in large-pretraining mixes:
+    * low-resource domains are up-weighted by temperature but never
+    * repeated past a few epochs; see e.g. Llama's reported per-source
+    * epoch caps and the sampling analyses around them): allocate the
+    * budget ∝ the 6-dp temperature weights, CAP any domain exceeding
+    * `maxEpNum/maxEpDen` epochs of its own tokens, redistribute the
+    * freed budget over the uncapped domains, and repeat to fixpoint —
+    * classic water-filling, ≤ D rounds for D domains since each
+    * non-final round caps at least one.
+    *
+    * Exactness: weights follow q85's exact shape (share → `pow` →
+    * normalized, rounded to 6 dp → integer micro-weights); budget,
+    * caps, and every round's allocations are floor-divided BigInt
+    * arithmetic (HUGEINT in the oracle), so the whole table replays
+    * bit-for-bit. The fill loop itself runs on the collected per-DOMAIN
+    * table — metadata by contract (`maxGroups`), like the selection
+    * operators' greedy rounds.
+    *
+    * Returns one row per domain: `(grp, n_tokens, weight_micros,
+    * cap_tokens, alloc_tokens, epochs_r)` — `epochs_r` the realized
+    * repeat factor, ≤ the cap by construction.
+    */
+  def mixtureAllocate(df: DataFrame, groupCol: String, tokensCol: String,
+                      alpha: Double, budgetNum: Int, budgetDen: Int,
+                      maxEpNum: Int, maxEpDen: Int,
+                      maxGroups: Int = 1024): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0,
+      s"temperature alpha must be in (0, 1], got $alpha")
+    require(budgetNum >= 1 && budgetDen >= 1 && maxEpNum >= 1 && maxEpDen >= 1,
+      "budget and epoch-cap rationals must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+
+    val counts = df.groupBy(col(groupCol).cast("string").as("grp"))
+      .agg(sum(col(tokensCol).cast("long")).as("n_tok"))
+    val scored = counts
+      .crossJoin(broadcast(counts.agg(sum(col("n_tok")).as("__t"))))
+      .withColumn("__share", col("n_tok").cast("double") / col("__t"))
+      .withColumn("__pa", pow(col("__share"), alpha))
+    val z = scored.agg(sum(col("__pa")).as("__z"))
+    val w = scored.crossJoin(broadcast(z))
+      .select(col("grp"), col("n_tok"),
+        round(round(col("__pa") / col("__z"), 6) * 1e6, 0)
+          .cast("long").as("w_micro"))
+      .collect()
+    require(w.length >= 1 && w.length <= maxGroups,
+      s"mixture allocation is a per-DOMAIN planner: need 1..$maxGroups " +
+        s"groups, got ${w.length}")
+
+    val groups = w.map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val total = groups.map(g => BigInt(g._2)).sum
+    val budget = total * budgetNum / budgetDen
+    val cap = groups.map(g => g._1 -> (BigInt(g._2) * maxEpNum / maxEpDen)).toMap
+    val micro = groups.map(g => g._1 -> BigInt(g._3)).toMap
+
+    var capped = Set.empty[String]
+    var last = Map.empty[String, BigInt]
+    var done = false
+    while (!done) {
+      val open = groups.map(_._1).filterNot(capped)
+      val m = open.map(micro).sum
+      if (open.isEmpty || m == 0) { last = Map.empty; done = true }
+      else {
+        val r = budget - capped.toSeq.map(cap).sum
+        val a = open.map(g => g -> r * micro(g) / m).toMap
+        val newly = a.collect { case (g, v) if v > cap(g) => g }.toSet
+        if (newly.isEmpty) { last = a; done = true }
+        else capped ++= newly
+      }
+    }
+    groups.toSeq.map { case (g, nTok, wm) =>
+      val alloc = if (capped(g)) cap(g) else last(g)
+      (g, nTok, wm, cap(g).toLong, alloc.toLong)
+    }.toDF("grp", "n_tokens", "weight_micros", "cap_tokens", "alloc_tokens")
+      .withColumn("epochs_r", NumFunctions.roundNz(
+        col("alloc_tokens").cast("double") / col("n_tokens"), 6))
+  }
+
   /** Deterministic span-corruption PLANNER — the masking plan for
     * T5-style denoising pretraining (Raffel et al., "Exploring the
     * Limits of Transfer Learning with a Unified Text-to-Text

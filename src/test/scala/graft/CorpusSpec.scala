@@ -17,6 +17,46 @@ class CorpusSpec extends SparkSpec {
   private def docTable(rows: Seq[(Long, String)]): DataFrame =
     rows.toDF("doc_id", "text")
 
+  test("mixtureAllocate: caps fire, freed budget water-fills, invariants hold") {
+    // skewed domains: tiny 'rare' is heavily up-weighted by alpha=0.5
+    // and MUST cap at 2 epochs; its freed budget flows to the others.
+    // (doc_id, source, tokens): rare = 100 tokens, mid = 1000, big = 10000
+    val d = Seq((1L, "rare", 100L), (2L, "mid", 1000L), (3L, "big", 10000L))
+      .toDF("doc_id", "source", "n_tok")
+    val got = graft.operators.Corpus.mixtureAllocate(d, "source", "n_tok",
+        alpha = 0.5, budgetNum = 1, budgetDen = 1, maxEpNum = 2, maxEpDen = 1)
+      .as[(String, Long, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+
+    // driver witness of the whole fill (same arithmetic, BigInt floors)
+    val total = 11100L
+    def w(n: Long) = math.pow(n.toDouble / total, 0.5)
+    val z = w(100) + w(1000) + w(10000)
+    def micro(n: Long) = math.round(
+      BigDecimal(w(n) / z).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble * 1e6)
+    val (mR, mM, mB) = (micro(100), micro(1000), micro(10000))
+    // round 1: rare's share of the full budget exceeds its 200-token cap
+    val r1rare = BigInt(total) * mR / (mR + mM + mB)
+    assert(r1rare > 200, s"fixture must force the cap: $r1rare")
+    // round 2: mid's share of (budget - 200) over {mid, big} vs cap 2000
+    val r2mid = (BigInt(total) - 200) * mM / (mM + mB)
+    val midCaps = r2mid > 2000
+    val expMid = if (midCaps) 2000L else r2mid.toLong
+    val expBig =
+      if (midCaps) ((BigInt(total) - 200 - 2000) * mB / mB).toLong
+      else ((BigInt(total) - 200) * mB / (mM + mB)).toLong
+    assert(got("rare")._5 === 200L && got("rare")._6 === 2.0)
+    assert(got("mid")._5 === expMid)
+    assert(got("big")._5 === expBig)
+    // invariants: nothing exceeds its cap; the budget is not exceeded
+    got.values.foreach(r => assert(r._5 <= r._4, s"alloc over cap: $r"))
+    assert(got.values.map(_._5).sum <= total)
+    // weight monotonicity survives allocation: temperature UP-weights
+    // the rare domain per token (epochs descending in size)
+    assert(got("rare")._6 >= got("mid")._6 && got("mid")._6 >= got("big")._6)
+  }
+
   test("spanCorruptionPlan equals the driver-side md5 replay; spans coalesce") {
     // plain-Scala witness of the whole plan: same md5 keying, same
     // anchor gate (< 0x26), same 2-4 span lengths, same touching-spans-
