@@ -3645,6 +3645,18 @@ object SparkEntry {
     graft.operators.Corpus.mixtureAllocate(docs(s, d), "source", "n_chars",
       alpha = 0.5, budgetNum = 6, budgetDen = 5, maxEpNum = 3, maxEpDen = 2)
 
+  /** Q211 — kNN-distance outlier scores
+    * ([[graft.operators.Similarity.knnOutlierScores]]; Ramaswamy et
+    * al., SIGMOD 2000): each embedding's distance to its 10th nearest
+    * neighbor — the embedding-space curation gate for corrupt or
+    * off-distribution vectors. Broadcast probes, one corpus pass,
+    * bounded-heap ranking. Oracle: the dense pair matrix +
+    * row_number at rk = 10.
+    */
+  def q211(s: SparkSession, d: String): DataFrame =
+    graft.operators.Similarity.knnOutlierScores(emb(s, d), "vec_id",
+      "embedding", k = 10)
+
   /** Q204 — the COMPOSED streaming curation loop
     * ([[graft.streaming.CurationLoop]]): one `foreachBatch` body
     * driving all three certified incremental sinks — the near-dup
@@ -4642,7 +4654,8 @@ object SparkEntry {
     "q207_span_corruption"  -> (q207 _),
     "q208_rbo_agreement"    -> (q208 _),
     "q209_bootstrap_ci"     -> (q209 _),
-    "q210_mixture_alloc"    -> (q210 _))
+    "q210_mixture_alloc"    -> (q210 _),
+    "q211_knn_outliers"     -> (q211 _))
 
   // DuckDB twins. Shared SQL fragments for the text queries:
   // explicit class: Java \s includes \x0B, RE2 \s does not — see
@@ -4832,6 +4845,20 @@ object SparkEntry {
     "q13_text_stats" ->
       ("SELECT lang, count(*) AS n, CAST(sum(n_chars) AS DOUBLE) / count(*) AS avg_chars, " +
        "min(n_chars) AS min_chars, max(n_chars) AS max_chars FROM documents GROUP BY lang"),
+    // q211: the dense pair matrix, k-th row per probe by (sim DESC, id),
+    // the engine's 4-dp rounding on both the similarity and its
+    // distance complement
+    "q211_knn_outliers" ->
+      ("""WITH pr AS (SELECT a.vec_id AS vec_id, b.vec_id AS nb,
+         |  list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+         |    CAST(b.embedding AS DOUBLE[])) AS sim
+         |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id),
+         |r AS (SELECT vec_id, nb, sim, row_number() OVER (
+         |  PARTITION BY vec_id ORDER BY sim DESC, nb) AS rk FROM pr)
+         |SELECT vec_id, nb AS kth_neighbor, round(sim, 4) + 0 AS kth_sim_r,
+         |  round(1 - round(sim, 4), 4) + 0 AS outlier_score_r
+         |FROM r WHERE rk = 10
+         |""".stripMargin),
     "q14_cosine_topk" ->
       ("""WITH p AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
          |scored AS (SELECT e.vec_id,

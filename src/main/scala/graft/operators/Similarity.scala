@@ -125,6 +125,38 @@ object Similarity {
       Seq(idCol, "rrf", "n_lists"), k)
   }
 
+  /** kNN-distance outlier scoring (Ramaswamy, Rastogi & Shim,
+    * "Efficient algorithms for mining outliers from large data sets",
+    * SIGMOD 2000 — the classic Dk definition): a point's outlierness
+    * is its distance to its k-th nearest neighbor, here
+    * `1 − cosine(kth NN)` over an embedding column. The embedding-
+    * space curation gate: corrupt encodes, mislabeled modalities, and
+    * off-distribution documents sit far from ALL their neighbors,
+    * where a density metric around a single NN misses paired
+    * corruption.
+    *
+    * Scale contract = [[topKCosine]]'s: the scored set broadcasts
+    * (bounded by `maxProbes`), the corpus scans once map-side, the
+    * per-point ranking is the bounded-heap aggregate; at corpus scale
+    * score a SAMPLE or route through the ANN tier (q101's IVF-PQ) and
+    * re-rank exactly. Points with fewer than `k` neighbors (corpus
+    * smaller than k + 1) emit no row.
+    *
+    * Returns `(vec_id, kth_neighbor, kth_sim_r, outlier_score_r)` —
+    * larger score = more isolated; both values 4-dp rounded.
+    */
+  def knnOutlierScores(embeddings: DataFrame, idCol: String, vecCol: String,
+                       k: Int, maxProbes: Int = 100000): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    topKCosine(embeddings, embeddings, idCol, vecCol, k, maxProbes)
+      .filter(col("rk") === k)
+      .select(col("probe_id").as("vec_id"),
+        col("vec_id").as("kth_neighbor"),
+        col("sim_r").as("kth_sim_r"),
+        NumFunctions.roundNz(lit(1.0) - col("sim_r"), 4)
+          .as("outlier_score_r"))
+  }
+
   /** Rank-biased overlap between two per-key rankings (Webber, Moffat
     * & Zobel, "A similarity measure for indefinite rankings", TOIS
     * 2010), truncated at `depth` with persistence `p = pNum/pDen` —

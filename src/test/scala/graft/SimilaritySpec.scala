@@ -326,6 +326,37 @@ class SimilaritySpec extends SparkSpec {
     assert(got("x")._1 > got("w")._1, "two-list agreement outranks single-list rank 3")
   }
 
+  test("knnOutlierScores: planted isolate tops the ranking, witness agrees") {
+    // 10 clustered vectors jittered around axis 0; one isolate on axis 3
+    def v(axis: Int, jit: Double): Array[Double] = {
+      val a = Array.fill(4)(0.05); a(axis) = 1.0; a(1) += jit; a
+    }
+    val pool = (1L to 10L).map(i => (i, v(0, 0.01 * i))) :+ (99L, v(3, 0.0))
+    val got = Similarity.knnOutlierScores(pool.toDF("vec_id", "embedding"),
+        "vec_id", "embedding", k = 3)
+      .as[(Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    // driver witness: per point, 3rd-highest cosine to the others
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map(x => x._1 * x._2).sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    def r4(x: Double) =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    pool.foreach { case (id, vec) =>
+      val kth = pool.filter(_._1 != id)
+        .map { case (oid, ov) => (cos(vec, ov), oid) }
+        .sortBy { case (s, oid) => (-s, oid) }(
+          Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Long))(2)
+      assert(got(id)._3 === r4(kth._1), s"kth sim diverged for $id")
+      assert(got(id)._4 === r4(1.0 - r4(kth._1)), s"score diverged for $id")
+    }
+    // the isolate is the clear top outlier
+    val top = got.values.maxBy(_._4)
+    assert(top._1 === 99L, s"planted isolate must top the ranking: $top")
+    assert(got.values.filter(_._1 != 99L).forall(_._4 < top._4))
+  }
+
   test("rbo: identical rankings score 1, disjoint 0, head agreement outweighs tail") {
     def ranking(q: String, items: Seq[Long]) =
       items.zipWithIndex.map { case (it, i) => (q, it, (i + 1).toLong) }
