@@ -3647,15 +3647,21 @@ object SparkEntry {
 
   /** Q211 — kNN-distance outlier scores
     * ([[graft.operators.Similarity.knnOutlierScores]]; Ramaswamy et
-    * al., SIGMOD 2000): each embedding's distance to its 10th nearest
-    * neighbor — the embedding-space curation gate for corrupt or
-    * off-distribution vectors. Broadcast probes, one corpus pass,
-    * bounded-heap ranking. Oracle: the dense pair matrix +
+    * al., SIGMOD 2000): the 20 % audit slice's (`vec_id % 5 = 0`)
+    * distance to its 10th nearest neighbor in the FULL corpus — the
+    * embedding-space curation gate for corrupt or off-distribution
+    * vectors. The probe side is an explicit bounded slice (the
+    * broadcast-audit contract: only the probes broadcast, neighbors
+    * scan map-side); lake-scale full sweeps batch the probes or route
+    * through the ANN tier. Oracle: the slice-by-corpus pair matrix +
     * row_number at rk = 10.
     */
-  def q211(s: SparkSession, d: String): DataFrame =
-    graft.operators.Similarity.knnOutlierScores(emb(s, d), "vec_id",
+  def q211(s: SparkSession, d: String): DataFrame = {
+    val e = emb(s, d)
+    graft.operators.Similarity.knnOutlierScores(e,
+      e.filter(pmod(col("vec_id"), lit(5)) === 0), "vec_id",
       "embedding", k = 10)
+  }
 
   /** Q204 — the COMPOSED streaming curation loop
     * ([[graft.streaming.CurationLoop]]): one `foreachBatch` body
@@ -4852,7 +4858,8 @@ object SparkEntry {
       ("""WITH pr AS (SELECT a.vec_id AS vec_id, b.vec_id AS nb,
          |  list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
          |    CAST(b.embedding AS DOUBLE[])) AS sim
-         |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id),
+         |  FROM embeddings a JOIN embeddings b
+         |    ON a.vec_id % 5 = 0 AND a.vec_id <> b.vec_id),
          |r AS (SELECT vec_id, nb, sim, row_number() OVER (
          |  PARTITION BY vec_id ORDER BY sim DESC, nb) AS rk FROM pr)
          |SELECT vec_id, nb AS kth_neighbor, round(sim, 4) + 0 AS kth_sim_r,

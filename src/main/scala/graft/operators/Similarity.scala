@@ -135,20 +135,25 @@ object Similarity {
     * where a density metric around a single NN misses paired
     * corruption.
     *
-    * Scale contract = [[topKCosine]]'s: the scored set broadcasts
-    * (bounded by `maxProbes`), the corpus scans once map-side, the
-    * per-point ranking is the bounded-heap aggregate; at corpus scale
-    * score a SAMPLE or route through the ANN tier (q101's IVF-PQ) and
-    * re-rank exactly. Points with fewer than `k` neighbors (corpus
-    * smaller than k + 1) emit no row.
+    * Scale contract = [[topKCosine]]'s: the SCORED set (`probes`)
+    * broadcasts — so it must be an explicitly bounded slice (a
+    * sample, a suspect batch, today's ingest), never the raw corpus;
+    * the registry-wide broadcast audit rejects an unbounded probe
+    * side by construction. Neighbors always come from the FULL
+    * `corpus`, which scans once map-side with the bounded-heap
+    * ranking. Scoring every point at lake scale is the ANN tier's job
+    * (q101's IVF-PQ shortlist, exact re-rank) or a loop over probe
+    * batches. Points with fewer than `k` neighbors (corpus smaller
+    * than k + 1) emit no row.
     *
     * Returns `(vec_id, kth_neighbor, kth_sim_r, outlier_score_r)` —
     * larger score = more isolated; both values 4-dp rounded.
     */
-  def knnOutlierScores(embeddings: DataFrame, idCol: String, vecCol: String,
+  def knnOutlierScores(corpus: DataFrame, probes: DataFrame,
+                       idCol: String, vecCol: String,
                        k: Int, maxProbes: Int = 100000): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    topKCosine(embeddings, embeddings, idCol, vecCol, k, maxProbes)
+    topKCosine(corpus, probes, idCol, vecCol, k, maxProbes)
       .filter(col("rk") === k)
       .select(col("probe_id").as("vec_id"),
         col("vec_id").as("kth_neighbor"),

@@ -332,7 +332,8 @@ class SimilaritySpec extends SparkSpec {
       val a = Array.fill(4)(0.05); a(axis) = 1.0; a(1) += jit; a
     }
     val pool = (1L to 10L).map(i => (i, v(0, 0.01 * i))) :+ (99L, v(3, 0.0))
-    val got = Similarity.knnOutlierScores(pool.toDF("vec_id", "embedding"),
+    val poolDf = pool.toDF("vec_id", "embedding")
+    val got = Similarity.knnOutlierScores(poolDf, poolDf,
         "vec_id", "embedding", k = 3)
       .as[(Long, Long, Double, Double)].collect()
       .map(r => r._1 -> r).toMap
