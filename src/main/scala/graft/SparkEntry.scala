@@ -3587,7 +3587,8 @@ object SparkEntry {
 
   /** Q207 — deterministic span-corruption planner
     * ([[graft.operators.Corpus.spanCorruptionPlan]]; Raffel et al.,
-    * JMLR 2020 §3.1.4): md5-keyed anchors at ~38/256 density, span
+    * JMLR 2020 §3.1.4): md5-keyed anchors at 13/256 ≈ 5.1 % density
+    * (× mean span 3 ≈ the T5 ~15 % token-corruption rate), span
     * lengths 2–4 from the next md5 nibble, touching spans coalesced
     * row-locally — zero exchanges, one output row per document.
     * Oracle replays the md5 gates and the window interval merge.
@@ -3662,6 +3663,21 @@ object SparkEntry {
       e.filter(pmod(col("vec_id"), lit(5)) === 0), "vec_id",
       "embedding", k = 10)
   }
+
+  /** Q212 — one-pass Poisson bootstrap confidence band
+    * ([[graft.operators.Eval.bootstrapMeanCIPooled]]; Chamandy et
+    * al. 2012): q209's band recomputed the way a 100 TB corpus must —
+    * every document draws a Poisson(1) weight per resample from
+    * `md5(bsp:b:doc_id) mod 1e6` against the integer CDF table, all
+    * 200 weighted sums fold map-side in ONE corpus pass (no draw
+    * grid, no join, no rank), resample mean = Σw·v / Σw, exact
+    * order-statistic percentiles over the retained means. Oracle
+    * replays the md5 draws, the threshold lookup, and the percentile
+    * CTE with the same integer table.
+    */
+  def q212(s: SparkSession, d: String): DataFrame =
+    graft.operators.Eval.bootstrapMeanCIPooled(docs(s, d), "doc_id",
+      "n_chars", numResamples = 200, qPcts = Seq(5, 50, 95))
 
   /** Q204 — the COMPOSED streaming curation loop
     * ([[graft.streaming.CurationLoop]]): one `foreachBatch` body
@@ -4661,7 +4677,8 @@ object SparkEntry {
     "q208_rbo_agreement"    -> (q208 _),
     "q209_bootstrap_ci"     -> (q209 _),
     "q210_mixture_alloc"    -> (q210 _),
-    "q211_knn_outliers"     -> (q211 _))
+    "q211_knn_outliers"     -> (q211 _),
+    "q212_bootstrap_pooled" -> (q212 _))
 
   // DuckDB twins. Shared SQL fragments for the text queries:
   // explicit class: Java \s includes \x0B, RE2 \s does not — see
@@ -6001,6 +6018,34 @@ object SparkEntry {
          |  CAST(200 AS BIGINT) AS n_resamples, min(m) AS boot_mean
          |FROM cc JOIN qs ON cum * 100 >= 200 * q_pct GROUP BY 1, 2, 3
          |""".stripMargin),
+    // q212: Poisson bootstrap — the same md5 (salt:b:doc_id) draws,
+    // the same integer Poisson(1) CDF thresholds via list_filter,
+    // weighted means over retained resamples, same percentile CTE
+    "q212_bootstrap_pooled" ->
+      ("""WITH base AS (SELECT CAST(doc_id AS VARCHAR) AS id,
+         |  CAST(n_chars AS BIGINT) AS v FROM documents),
+         |draws AS (SELECT b.range + 1 AS b, v,
+         |  CAST('0x' || substr(md5('bsp:' || (b.range + 1) || ':' || id),
+         |    1, 8) AS BIGINT) % 1000000 AS u
+         |  FROM range(200) b, base),
+         |wt AS (SELECT b, v, len(list_filter(
+         |  [367879, 735759, 919699, 981012, 996340,
+         |   999406, 999917, 999990, 999999], t -> t <= u)) AS w
+         |  FROM draws),
+         |means AS (SELECT b, count(*) AS nd,
+         |  round(CAST(sum(w * v) AS DOUBLE) / sum(w), 6) + 0 AS m
+         |  FROM wt GROUP BY 1 HAVING sum(w) > 0),
+         |c AS (SELECT m, count(*) AS cnt, max(nd) AS nd
+         |  FROM means GROUP BY 1),
+         |cc AS (SELECT m, sum(cnt) OVER (ORDER BY m
+         |    ROWS UNBOUNDED PRECEDING) AS cum,
+         |  sum(cnt) OVER () AS tot, max(nd) OVER () AS ndg FROM c),
+         |qs AS (SELECT unnest([5, 50, 95]) AS q_pct)
+         |SELECT CAST(q_pct AS BIGINT) AS q_pct,
+         |  CAST(max(ndg) AS BIGINT) AS n_docs,
+         |  CAST(max(tot) AS BIGINT) AS n_resamples, min(m) AS boot_mean
+         |FROM cc JOIN qs ON cum * 100 >= tot * q_pct GROUP BY 1
+         |""".stripMargin),
     // q207: span-corruption plan — the same md5 anchor/length gates
     // over unnested token positions, the q202-style window interval
     // merge (touching spans coalesce: new group only when s > pmax),
@@ -6014,7 +6059,7 @@ object SparkEntry {
           |  md5('sc' || ':' || doc_id || ':' || pos) AS hx FROM p),
           |a AS (SELECT doc_id, n, pos, least(pos + 2 +
           |    CAST('0x' || substr(hx, 3, 1) AS INT) % 3, n + 1) AS e
-          |  FROM h WHERE substr(hx, 1, 2) < '26'),
+          |  FROM h WHERE substr(hx, 1, 2) < '0d'),
           |sw AS (SELECT doc_id, pos AS s, e, max(e) OVER (
           |    PARTITION BY doc_id ORDER BY pos
           |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax

@@ -910,7 +910,12 @@ object Corpus {
     while (!done) {
       val open = groups.map(_._1).filterNot(capped)
       val m = open.map(micro).sum
-      if (open.isEmpty || m == 0) { last = Map.empty; done = true }
+      // m == 0 with open groups: every uncapped domain's 6-dp
+      // micro-weight rounded to zero — allocate them zero explicitly
+      // so the final mapping below never misses a key
+      if (open.isEmpty || m == 0) {
+        last = open.map(_ -> BigInt(0)).toMap; done = true
+      }
       else {
         val r = budget - capped.toSeq.map(cap).sum
         val a = open.map(g => g -> r * micro(g) / m).toMap
@@ -944,8 +949,10 @@ object Corpus {
     * contiguous masked run is ONE sentinel, exactly the T5 packing
     * rule — via a row-local running-max fold over the (ascending)
     * anchor list. Expected mask ratio ≈ density · meanSpan against
-    * sparse anchors; the realized per-doc numbers are what this
-    * reports.
+    * sparse anchors: the default `densityNum = 13` anchors
+    * 13/256 ≈ 5.1 % of positions at mean span 3, ≈ 15 % of tokens —
+    * the T5 recipe (coalescing trims the realized ratio slightly);
+    * the realized per-doc numbers are what this reports.
     *
     * Scale shape: ZERO exchanges — token counting, anchor selection
     * (`filter` over the position sequence), span-length draws, and the
@@ -957,7 +964,7 @@ object Corpus {
     * mask_ratio)` — counts exact integers, ratio rounded to 6.
     */
   def spanCorruptionPlan(docs: DataFrame, idCol: String, textCol: String,
-                         salt: String = "sc", densityNum: Int = 38,
+                         salt: String = "sc", densityNum: Int = 13,
                          minSpan: Int = 2, spanRange: Int = 3): DataFrame = {
     require(densityNum >= 1 && densityNum <= 255,
       s"densityNum must be in [1, 255], got $densityNum")

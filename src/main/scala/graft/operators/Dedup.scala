@@ -311,11 +311,14 @@ object Dedup {
     val pairs = probes
       .join(ranked.select(col("__id").as("b_id"), col("__rn")), "__rn")
       .select(col("a_id"), col("b_id"))
+    // eager localCheckpoint: materializes the (threshold-filtered)
+    // pair set and CUTS its lineage off the rank frame, so release()
+    // is safe immediately and — unlike persist — no cacheManager entry
+    // outlives the call (checkpoint blocks free with the frame's GC)
     val out = verifyJaccard(pairs,
         hashedShingles(base, idCol, textCol, ngram), idCol,
         thresholdNum, thresholdDen)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    out.count()
+      .localCheckpoint(true)
     release()
     out
   }

@@ -191,7 +191,9 @@ object Eval {
     * one partial-aggregating collapse to `numResamples` rows; the
     * percentile windows run over those `numResamples` metadata rows
     * only. Cost is `numResamples` corpus passes' worth of JOIN rows,
-    * the honest price of a bootstrap; `numResamples` bounds it.
+    * the honest price of an EXACT multinomial bootstrap; for large
+    * corpora prefer [[bootstrapMeanCIPooled]], the one-corpus-pass
+    * Poisson twin with no grid join at all.
     *
     * Returns one row per requested percentile:
     * `(q_pct, n_docs, n_resamples, boot_mean)`.
@@ -212,8 +214,13 @@ object Eval {
     require(n >= 1, "bootstrap needs a non-empty corpus")
     val ranked = Ranks.globalRank(base, Seq(col("__id")), outCol = "__idx")
 
-    val grid = spark.range(1, numResamples + 1L).toDF("__b")
-      .select(col("__b"), explode(sequence(lit(1L), lit(n))).as("__i"))
+    // grid = range(n) × broadcast(range(numResamples)): streams the
+    // numResamples × n draw rows without ever materializing an
+    // n-element array per resample row (sequence+explode allocates 8n
+    // bytes per row before exploding — an OOM at corpus n, and an
+    // outright error past 2^31 elements)
+    val grid = spark.range(1, n + 1).toDF("__i")
+      .crossJoin(broadcast(spark.range(1, numResamples + 1L).toDF("__b")))
       .select(col("__b"), (pmod(conv(substring(md5(concat_ws(":",
         lit(salt), col("__b").cast("string"), col("__i").cast("string"))),
         1, 8), 16, 10).cast("long"), lit(n)) + 1L).as("__idx"))
@@ -236,5 +243,94 @@ object Eval {
       .agg(min(col("__m")).as("boot_mean"))
       .select(col("q_pct"), lit(n).as("n_docs"),
         lit(numResamples.toLong).as("n_resamples"), col("boot_mean"))
+  }
+
+  /** Poisson(1) cumulative thresholds on the integer grid [0, 1e6):
+    * a draw `u` (uniform from md5) maps to weight
+    * `w = |{t ∈ table : t ≤ u}|` — the inverse-CDF lookup, truncated
+    * at w = 9 (tail mass < 1e-6). Integer thresholds make the lookup
+    * EXACT and engine-portable: both sides compare the same integers,
+    * no floating-point CDF to diverge on.
+    */
+  private val poissonThresholds: Seq[Long] = Seq(
+    367879L, 735759L, 919699L, 981012L, 996340L,
+    999406L, 999917L, 999990L, 999999L)
+
+  /** ONE-PASS Poisson bootstrap confidence band — the at-scale twin of
+    * [[bootstrapMeanCI]] (Chamandy et al., "Estimating uncertainty for
+    * massive data streams", Google TR 2012; Kleiner et al.'s scalable
+    * bootstrap line): instead of materializing a `numResamples × n`
+    * draw grid and joining it back to the corpus, each document draws
+    * an independent Poisson(1) weight PER RESAMPLE — the classic
+    * approximation of the multinomial resample for large n — and every
+    * resample's weighted sum folds MAP-SIDE in a single corpus pass:
+    * explode to `(doc, resample)` inside the scan partition, hash-agg
+    * partials collapse to ≤ `numResamples` rows per partition before
+    * the only (metadata-scale) shuffle. No grid, no join, no rank.
+    *
+    * Determinism: the weight for `(resample b, doc id)` is the
+    * inverse-CDF lookup of `md5(salt:b:id) mod 1e6` against the
+    * integer [[poissonThresholds]] table — a pure function of the
+    * corpus (q63/q207 hash discipline), bit-replayable in any engine
+    * that has md5. Resample means are `Σ w·v / Σ w` (the Poisson
+    * bootstrap normalizes by the REALIZED weight, which concentrates
+    * at n); resamples whose total weight is zero are dropped (mean
+    * undefined; probability ≈ e^{-n}), and `n_resamples` reports the
+    * retained count so the percentile denominator is honest.
+    *
+    * Returns one row per requested percentile:
+    * `(q_pct, n_docs, n_resamples, boot_mean)`; empty corpus → empty
+    * frame (the grid twin raises instead — it must count first, this
+    * one never does).
+    */
+  def bootstrapMeanCIPooled(df: DataFrame, idCol: String, metricCol: String,
+                            numResamples: Int = 200,
+                            qPcts: Seq[Int] = Seq(5, 50, 95),
+                            salt: String = "bsp"): DataFrame = {
+    require(numResamples >= 1 && numResamples <= 10000,
+      s"numResamples must be in [1, 10000], got $numResamples")
+    require(qPcts.nonEmpty && qPcts.forall(q => q >= 1 && q <= 100),
+      s"percentiles must be in [1, 100], got $qPcts")
+    val spark = df.sparkSession
+    import spark.implicits._
+
+    val drawn = df
+      .select(col(idCol).cast("string").as("__id"),
+        col(metricCol).cast("long").as("__v"))
+      .select(col("__id"), col("__v"),
+        explode(sequence(lit(1), lit(numResamples))).as("__b"))
+      .withColumn("__u", pmod(conv(substring(md5(concat_ws(":",
+        lit(salt), col("__b").cast("string"), col("__id"))),
+        1, 8), 16, 10).cast("long"), lit(1000000L)))
+      .withColumn("__w", size(filter(typedLit(poissonThresholds),
+        t => t <= col("__u"))).cast("long"))
+    val means = drawn.groupBy(col("__b"))
+      .agg(count(lit(1)).as("__nd"), sum(col("__w")).as("__c"),
+        sum(col("__w") * col("__v")).as("__s"))
+      .filter(col("__c") > 0)
+      .select(col("__nd"), NumFunctions.roundNz(
+        col("__s").cast("double") / col("__c").cast("double"), 6).as("__m"))
+
+    // exact order-statistic percentiles over the retained resample
+    // means — metadata-scale windows (≤ numResamples rows); the
+    // retained total rides an unbounded window so no driver action
+    // ever touches the frame
+    import org.apache.spark.sql.expressions.Window
+    val wOrd = Window.orderBy(col("__m"))
+    val cum = means.groupBy(col("__m"))
+      .agg(count(lit(1)).as("__c"), max(col("__nd")).as("__nd"))
+      .withColumn("__cum", sum(col("__c")).over(
+        wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__tot", sum(col("__c")).over(
+        wOrd.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .withColumn("__n", max(col("__nd")).over(
+        wOrd.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+    cum.join(broadcast(qPcts.map(_.toLong).toDF("q_pct")),
+        col("__cum") * 100 >= col("__tot") * col("q_pct"))
+      .groupBy(col("q_pct"))
+      .agg(max(col("__n")).as("n_docs"), max(col("__tot")).as("n_resamples"),
+        min(col("__m")).as("boot_mean"))
+      .select(col("q_pct"), col("n_docs"), col("n_resamples"),
+        col("boot_mean"))
   }
 }

@@ -193,14 +193,23 @@ object Similarity {
           pDen: Int = 10): DataFrame = {
     require(depth >= 1 && depth <= 12, s"depth must be in [1, 12], got $depth")
     require(pNum >= 1 && pNum < pDen, s"need 1 <= pNum < pDen, got $pNum/$pDen")
-    val lcm = (1 to depth).foldLeft(1L)((acc, i) =>
-      acc * i / BigInt(acc).gcd(BigInt(i)).toLong)
-    def pow(x: Long, e: Int): Long = (0 until e).foldLeft(1L)((r, _) => r * x)
-    val w = (1 to depth).map(i => (lcm / i) * (pDen - pNum) *
-      pow(pNum.toLong, i - 1) * pow(pDen.toLong, depth - i))
-    val cum = (1 to depth).map(m => w.drop(m - 1).sum)
-    val norm = (1 to depth).map(i => lcm * (pDen - pNum) *
-      pow(pNum.toLong, i - 1) * pow(pDen.toLong, depth - i)).sum
+    // weight tables in BigInt — pDen^depth overflows Long silently for
+    // moderate pDen (pDen = 100 at depth 12 needs 1e22); build exact,
+    // then require the largest table entry (norm bounds them all) fits
+    // the Long the engine/oracle columns carry
+    val lcm = (1 to depth).foldLeft(BigInt(1))((acc, i) =>
+      acc * i / acc.gcd(BigInt(i)))
+    val wB = (1 to depth).map(i => (lcm / i) * (pDen - pNum) *
+      BigInt(pNum).pow(i - 1) * BigInt(pDen).pow(depth - i))
+    val cumB = (1 to depth).map(m => wB.drop(m - 1).sum)
+    val normB = (1 to depth).map(i => lcm * (pDen - pNum) *
+      BigInt(pNum).pow(i - 1) * BigInt(pDen).pow(depth - i)).sum
+    require(normB.isValidLong,
+      s"rbo exact-integer tables overflow Long for p=$pNum/$pDen at " +
+        s"depth=$depth (norm=$normB); reduce pDen (e.g. express p with " +
+        s"a smaller denominator) or depth")
+    val cum = cumB.map(_.toLong)
+    val norm = normB.toLong
 
     def side(df: DataFrame, rk: String) =
       df.filter(col(rankCol) <= depth)

@@ -59,8 +59,9 @@ class CorpusSpec extends SparkSpec {
 
   test("spanCorruptionPlan equals the driver-side md5 replay; spans coalesce") {
     // plain-Scala witness of the whole plan: same md5 keying, same
-    // anchor gate (< 0x26), same 2-4 span lengths, same touching-spans-
-    // merge — independent of every engine expression
+    // anchor gate (< 0x0d, the ~15 %-token T5 density), same 2-4 span
+    // lengths, same touching-spans-merge — independent of every engine
+    // expression
     def md5hex(s: String): String = java.security.MessageDigest
       .getInstance("MD5").digest(s.getBytes("UTF-8"))
       .map("%02x".format(_)).mkString
@@ -68,7 +69,7 @@ class CorpusSpec extends SparkSpec {
       val n = text.trim.split("[ \t\n\f\r]+").count(_.nonEmpty).toLong
       val ivs = (1L to n).flatMap { p =>
         val hx = md5hex(s"sc:$id:$p")
-        if (hx.substring(0, 2) < "26")
+        if (hx.substring(0, 2) < "0d")
           Some((p, math.min(p + 2 + Integer.parseInt(hx.substring(2, 3), 16) % 3,
             n + 1)))
         else None
@@ -89,7 +90,10 @@ class CorpusSpec extends SparkSpec {
       2L -> "short text here",
       3L -> "", // zero tokens: all-zero row, ratio 0
       4L -> ("alpha beta gamma delta epsilon zeta eta theta iota kappa " +
-        "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi psi"))
+        "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi psi"),
+      // long doc: enough positions that the 13/256 gate statistically
+      // must anchor — exercises coalescing at the T5 density
+      5L -> (1 to 400).map(i => s"tok$i").mkString(" "))
     val got = Corpus.spanCorruptionPlan(docTable(fixture), "doc_id", "text")
       .as[(Long, Long, Long, Long, Long, Double)].collect()
       .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
@@ -97,8 +101,11 @@ class CorpusSpec extends SparkSpec {
       val (n, na, ns, nm, ratio) = witness(id, text)
       assert(got(id) === ((n, na, ns, nm, ratio)), s"doc $id diverged")
     }
-    // sanity: the long docs actually anchored something (density ~15 %)
-    assert(got(1L)._2 > 0 && got(4L)._2 > 0)
+    // sanity: the long doc anchored, and its realized mask ratio sits
+    // near the T5 ~15 % target (wide band: 400 tokens is still small)
+    assert(got(5L)._2 > 0)
+    assert(got(5L)._5 > 0.05 && got(5L)._5 < 0.30,
+      s"mask ratio ${got(5L)._5} far from the ~15 % T5 target")
     assert(got(3L) === ((0L, 0L, 0L, 0L, 0.0)))
   }
 

@@ -48,6 +48,65 @@ class EvalSpec extends SparkSpec {
     assert(cg === Set(42.0))
   }
 
+  test("bootstrapMeanCIPooled equals the driver-side Poisson replay; band agrees with the exact grid") {
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    // same integer Poisson(1) CDF table the operator embeds
+    val thr = Seq(367879L, 735759L, 919699L, 981012L, 996340L,
+      999406L, 999917L, 999990L, 999999L)
+    val rows = (1L to 40L).map(i => (i * 3, i * 10 % 97))
+    val df = rows.toDF("doc_id", "metric")
+    val b = 60
+    // plain-Scala witness: md5(bsp:b:id) mod 1e6 → threshold lookup →
+    // weighted mean per resample → order-statistic percentiles
+    val means = (1 to b).flatMap { bb =>
+      val (s, c) = rows.foldLeft((0L, 0L)) { case ((s, c), (id, v)) =>
+        val u = java.lang.Long.parseLong(
+          md5hex(s"bsp:$bb:$id").substring(0, 8), 16) % 1000000L
+        val w = thr.count(_ <= u).toLong
+        (s + w * v, c + w)
+      }
+      if (c > 0) Some(BigDecimal(s.toDouble / c)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      else None
+    }.sorted
+    val r = means.length
+    def pct(q: Int): Double = means((r * q + 99) / 100 - 1)
+    val got = Eval.bootstrapMeanCIPooled(df, "doc_id", "metric",
+        numResamples = b, qPcts = Seq(5, 50, 95))
+      .as[(Long, Long, Long, Double)].collect()
+      .map(x => x._1 -> ((x._2, x._3, x._4))).toMap
+    Seq(5, 50, 95).foreach { q =>
+      assert(got(q.toLong) === ((40L, r.toLong, pct(q))), s"q=$q diverged")
+    }
+    // the Poisson band approximates the exact multinomial band: same
+    // center to within the band width, positive overlapping width
+    val exact = Eval.bootstrapMeanCI(df, "doc_id", "metric",
+        numResamples = b, qPcts = Seq(5, 50, 95))
+      .as[(Long, Long, Long, Double)].collect()
+      .map(x => x._1 -> x._4).toMap
+    val wP = got(95L)._3 - got(5L)._3
+    val wE = exact(95L) - exact(5L)
+    assert(wP > 0 && wE > 0)
+    assert(math.abs(got(50L)._3 - exact(50L)) < math.max(wP, wE),
+      s"pooled median ${got(50L)._3} vs exact ${exact(50L)} " +
+        s"beyond band width ${math.max(wP, wE)}")
+    assert(wP < 3 * wE && wE < 3 * wP,
+      s"band widths diverge: pooled $wP vs exact $wE")
+    // constant metric: weighted mean of a constant is the constant —
+    // band collapses exactly (zero-weight resamples drop, never skew)
+    val const = (1L to 20L).map(i => (i, 42L)).toDF("doc_id", "metric")
+    val cg = Eval.bootstrapMeanCIPooled(const, "doc_id", "metric",
+        numResamples = 25, qPcts = Seq(5, 95))
+      .as[(Long, Long, Long, Double)].collect().map(_._4).toSet
+    assert(cg === Set(42.0))
+    // empty corpus: empty frame (the documented pooled-twin contract)
+    assert(Eval.bootstrapMeanCIPooled(
+      Seq.empty[(Long, Long)].toDF("doc_id", "metric"),
+      "doc_id", "metric", numResamples = 5).count() === 0L)
+  }
+
   test("classificationReport: hand-computed precision/recall/f1") {
     // labels: a×3, b×2; preds: a correct 2/3, one a→b; b correct 1/2, one b→a
     val df = Seq(
