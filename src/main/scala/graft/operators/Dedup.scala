@@ -297,6 +297,27 @@ object Dedup {
                               window: Int = 5, keyLen: Int = 24,
                               thresholdNum: Int = 7, thresholdDen: Int = 10,
                               ngram: Int = 3): DataFrame = {
+    val (lazyPairs, release) = sortedNeighborhoodPairsPlan(docs, idCol,
+      textCol, window, keyLen, thresholdNum, thresholdDen, ngram)
+    // eager localCheckpoint: materializes the (threshold-filtered)
+    // pair set and CUTS its lineage off the rank frame, so release()
+    // is safe immediately and — unlike persist — no cacheManager entry
+    // outlives the call (checkpoint blocks free with the frame's GC)
+    val out = lazyPairs.localCheckpoint(true)
+    release()
+    out
+  }
+
+  /** The LAZY sorted-neighborhood plan + the rank-frame release handle
+    * — the shape PlanSpec gates (the public method checkpoints the
+    * result, which collapses the visible plan to the checkpoint scan).
+    * Callers must exhaust or checkpoint the frame before `release()`.
+    */
+  private[graft] def sortedNeighborhoodPairsPlan(
+      docs: DataFrame, idCol: String, textCol: String,
+      window: Int = 5, keyLen: Int = 24,
+      thresholdNum: Int = 7, thresholdDen: Int = 10,
+      ngram: Int = 3): (DataFrame, () => Unit) = {
     require(window >= 2, s"window must be >= 2, got $window")
     require(keyLen >= 1, s"keyLen must be >= 1, got $keyLen")
     val base = docs.filter(col(textCol).isNotNull)
@@ -311,16 +332,9 @@ object Dedup {
     val pairs = probes
       .join(ranked.select(col("__id").as("b_id"), col("__rn")), "__rn")
       .select(col("a_id"), col("b_id"))
-    // eager localCheckpoint: materializes the (threshold-filtered)
-    // pair set and CUTS its lineage off the rank frame, so release()
-    // is safe immediately and — unlike persist — no cacheManager entry
-    // outlives the call (checkpoint blocks free with the frame's GC)
-    val out = verifyJaccard(pairs,
-        hashedShingles(base, idCol, textCol, ngram), idCol,
-        thresholdNum, thresholdDen)
-      .localCheckpoint(true)
-    release()
-    out
+    (verifyJaccard(pairs,
+      hashedShingles(base, idCol, textCol, ngram), idCol,
+      thresholdNum, thresholdDen), release)
   }
 
   /** Banded n-gram Jaccard: compare each doc only to ids within `window`

@@ -29,13 +29,42 @@ import graft.operators.Dedup
   * crash point converges to identical bytes. Single-writer (the
   * `foreachBatch` serialization contract) is assumed.
   *
+  * STANDING-INDEX COMPACTION ([[compact]]): append-only per-batch
+  * directories make every probe list and read O(#batches) directories
+  * and markers — after a year of daily batches that quietly erodes the
+  * sink's O(batch) daily-cost contract. `compact` folds every sealed
+  * batch (plus the previous generation) into ONE generation directory
+  * of `targetBytes`-sized files: probes then read one generation plus
+  * the short post-compaction tail, so probe cost is flat in the number
+  * of folded batches. The fold is pure data movement — the exact same
+  * state/match ROWS, so probe results are bit-identical pre/post
+  * (DedupIndexSinkSpec pins this, and crash convergence at every
+  * protocol point).
+  *
+  * Generation crash protocol (the [[PartitionedSink.compactPartitions]]
+  * manifest + marker discipline, simpler because generations are
+  * append-new-directory, never in-place): generation `G` writes its
+  * data under `root/_gen/<G>/{state,matches}/` (overwrite — idempotent
+  * per G), then `_gen/<G>/_MANIFEST` (the folded horizon), and commits
+  * with `_gen/<G>/_COMMITTED`; only after the commit are the folded
+  * per-batch directories and the previous generation deleted. Readers
+  * decide solely by `_COMMITTED`: a crash before it leaves the old view
+  * untouched (the half-written generation is invisible and the next
+  * pass overwrites it); a crash after it, mid-cleanup, leaves stale
+  * per-batch directories BELOW the committed horizon, which every
+  * reader excludes by id and the next pass sweeps. `_batches/<id>`
+  * markers are kept forever (tiny, and [[maintain]]'s replay
+  * short-circuit checks one direct path — never a listing).
+  *
   * Use from streaming as
   * `stream.writeStream.foreachBatch((b, id) => maintain(spark, b, root,
-  * "doc_id", "text", id))`.
+  * "doc_id", "text", id))`, with `compact(spark, root)` as the
+  * periodic (e.g. weekly) maintenance pass from the same single
+  * writer.
   */
 object DedupIndexSink {
 
-  import org.apache.hadoop.fs.Path
+  import org.apache.hadoop.fs.{FileSystem, Path}
 
   private def fsOf(spark: SparkSession, root: String) =
     new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -60,20 +89,163 @@ object DedupIndexSink {
       .sortBy(_._1)
   }
 
-  /** Batch ids under `root` whose `_batches/<id>/_APPLIED` marker
-    * exists — i.e. batches that committed. A crashed batch may leave
-    * `ingest_batch=<id>/` or `_matches/ingest_batch=<id>/` data with
-    * no marker; readers must not surface it (the stream will replay
-    * that id and overwrite both directories idempotently).
+  /** Does `_batches/<id>/_APPLIED` exist — i.e. did batch `id` commit?
+    * A crashed batch may leave `ingest_batch=<id>/` or
+    * `_matches/ingest_batch=<id>/` data with no marker; readers must
+    * not surface it (the stream will replay that id and overwrite both
+    * directories idempotently). One direct existence probe per
+    * CANDIDATE directory — never a listing of `_batches`, so reader
+    * cost tracks the visible directory count, not batch history.
     */
-  private def committedIds(spark: SparkSession, root: String): Set[Long] = {
-    val base = join(root, "_batches")
+  private def isCommitted(fs: FileSystem, root: String, id: Long): Boolean =
+    fs.exists(join(root, "_batches", id.toString, "_APPLIED"))
+
+  // ---------------------------------------------------------------
+  // generations
+
+  private def writeSmall(fs: FileSystem, p: Path, text: String): Unit = {
+    val out = fs.create(p, true)
+    try out.write(text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  private def readSmall(fs: FileSystem, p: Path): String = {
+    val in = fs.open(p)
+    try {
+      val buf = new java.io.ByteArrayOutputStream()
+      val chunk = new Array[Byte](8192)
+      var n = in.read(chunk)
+      while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+      new String(buf.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+    } finally in.close()
+  }
+
+  /** The current COMMITTED generation, if any: `(gen, maxFoldedId,
+    * dir)`. Only `_COMMITTED` generations exist to readers; the one
+    * with the largest id wins (older committed generations are
+    * pre-cleanup leftovers of the pass that superseded them).
+    */
+  private def committedGen(spark: SparkSession,
+                           root: String): Option[(Long, Long, Path)] = {
+    val base = join(root, "_gen")
     val fs = fsOf(spark, root)
-    if (!fs.exists(base)) Set.empty
-    else fs.listStatus(base).toSeq.map(_.getPath)
-      .filter(d => fs.exists(new Path(d, "_APPLIED")))
-      .flatMap(d => scala.util.Try(d.getName.toLong).toOption)
-      .toSet
+    if (!fs.exists(base)) None
+    else {
+      val gens = fs.listStatus(base).toSeq.map(_.getPath)
+        .flatMap(p => scala.util.Try(p.getName.toLong).toOption.map((_, p)))
+        .filter { case (_, p) => fs.exists(new Path(p, "_COMMITTED")) }
+        .sortBy(_._1)
+      gens.lastOption.map { case (g, p) =>
+        val maxId = readSmall(fs, new Path(p, "_MANIFEST")).linesIterator
+          .collectFirst { case l if l.startsWith("max_id\t") =>
+            l.stripPrefix("max_id\t").trim.toLong }
+          .getOrElse(sys.error(
+            s"generation $g under $root has no max_id in its manifest"))
+        (g, maxId, p)
+      }
+    }
+  }
+
+  /** Committed horizon: every batch id ≤ this is folded into the
+    * current generation (-1 when no generation exists). Per-batch
+    * directories at or below it are pre-cleanup leftovers and must be
+    * invisible.
+    */
+  private def horizon(spark: SparkSession, root: String): Long =
+    committedGen(spark, root).map(_._2).getOrElse(-1L)
+
+  private def normBatch(df: DataFrame): DataFrame =
+    df.withColumn("ingest_batch", col("ingest_batch").cast("long"))
+
+  /** Union of the committed generation's `sub` table and the committed
+    * post-horizon per-batch directories under `dirRoot` with
+    * `lo < id` (and `id < lt` when bounded), `ingest_batch` normalized
+    * to long.
+    */
+  private def readMerged(spark: SparkSession, root: String, sub: String,
+                         dirRoot: String, lt: Option[Long]): Seq[DataFrame] = {
+    val fs = fsOf(spark, root)
+    val gen = committedGen(spark, root)
+    val lo = gen.map(_._2).getOrElse(-1L)
+    val tail = batchDirs(spark, dirRoot)
+      .filter(d => d._1 > lo && lt.forall(d._1 < _))
+      .filter(d => isCommitted(fs, root, d._1))
+    gen.toSeq.map { case (_, _, p) =>
+      normBatch(spark.read.parquet(new Path(p, sub).toString))
+        .filter(lt.map(col("ingest_batch") < _).getOrElse(lit(true)))
+    } ++ (if (tail.isEmpty) Nil
+          else Seq(normBatch(spark.read.option("basePath", dirRoot)
+            .parquet(tail.map(_._2): _*))))
+  }
+
+  /** Fold every committed batch with `id ≤ upTo` — plus the previous
+    * generation — into a new generation of `targetBytes`-sized files
+    * (see the object doc for the crash protocol). Pure data movement:
+    * readers see the exact same rows before and after, but a probe
+    * after the fold reads ONE generation directory instead of one
+    * directory per folded batch. Also sweeps pre-cleanup leftovers of
+    * a crashed prior pass. Idempotent and crash-convergent at every
+    * step. Returns the committed horizon (max folded id; -1 when
+    * nothing has ever been folded). Single-writer, same as
+    * [[maintain]]: run it from the stream's own maintenance window.
+    */
+  def compact(spark: SparkSession, root: String, upTo: Long = Long.MaxValue,
+              targetBytes: Long = 128L * 1024 * 1024): Long = {
+    require(targetBytes >= 1L, s"targetBytes must be >= 1, got $targetBytes")
+    val fs = fsOf(spark, root)
+    val gen = committedGen(spark, root)
+    val lo = gen.map(_._2).getOrElse(-1L)
+
+    // self-heal a crash that committed but never finished cleanup:
+    // batch dirs at or below the horizon are folded already — sweep
+    // them, and any generation other than the committed one
+    batchDirs(spark, root).filter(_._1 <= lo)
+      .foreach(d => fs.delete(new Path(d._2), true))
+    batchDirs(spark, join(root, "_matches").toString).filter(_._1 <= lo)
+      .foreach(d => fs.delete(new Path(d._2), true))
+    val genBase = join(root, "_gen")
+    if (fs.exists(genBase)) fs.listStatus(genBase).map(_.getPath)
+      .filter(p => scala.util.Try(p.getName.toLong).toOption
+        .exists(g => gen.forall(_._1 != g)))
+      .foreach(p => fs.delete(p, true))
+
+    val tail = batchDirs(spark, root)
+      .filter(d => d._1 > lo && d._1 <= upTo)
+      .filter(d => isCommitted(fs, root, d._1))
+    if (tail.isEmpty) return lo
+    val newMax = tail.map(_._1).max
+    val g = gen.map(_._1 + 1).getOrElse(0L)
+    val gDir = join(root, "_gen", g.toString)
+
+    def fold(sub: String, dirRoot: String, srcTail: Seq[(Long, String)]): Unit = {
+      val frames = gen.toSeq.map { case (_, _, p) =>
+        normBatch(spark.read.parquet(new Path(p, sub).toString)) } ++
+        (if (srcTail.isEmpty) Nil
+         else Seq(normBatch(spark.read.option("basePath", dirRoot)
+           .parquet(srcTail.map(_._2): _*))))
+      val bytes = gen.toSeq.map(gp =>
+          fs.getContentSummary(new Path(gp._3, sub)).getLength) ++
+        srcTail.map(d => fs.getContentSummary(new Path(d._2)).getLength)
+      val nFiles = math.max(1L, (bytes.sum + targetBytes - 1) / targetBytes).toInt
+      frames.reduce(_.unionByName(_)).repartition(nFiles)
+        .write.mode("overwrite").parquet(new Path(gDir, sub).toString)
+    }
+    val matchTail = batchDirs(spark, join(root, "_matches").toString)
+      .filter(d => d._1 > lo && d._1 <= upTo)
+      .filter(d => isCommitted(fs, root, d._1))
+    fold("state", root, tail)
+    fold("matches", join(root, "_matches").toString, matchTail)
+
+    writeSmall(fs, new Path(gDir, "_MANIFEST"),
+      (Seq(s"max_id\t$newMax") ++ gen.map(x => s"prev_gen\t${x._1}") ++
+        tail.map(d => s"folded\t${d._1}")).mkString("\n") + "\n")
+    fs.create(new Path(gDir, "_COMMITTED"), true).close() // commit point
+
+    // cleanup after the commit — a crash here is healed by the sweep
+    tail.foreach(d => fs.delete(new Path(d._2), true))
+    matchTail.foreach(d => fs.delete(new Path(d._2), true))
+    gen.foreach { case (_, _, p) => fs.delete(p, true) }
+    newMax
   }
 
   /** Probe `batch` against the standing index and fold its prepared
@@ -81,7 +253,8 @@ object DedupIndexSink {
     * the batch's match set `(new_id, old_id, inter, un, jac)`:
     * cross pairs (new in this batch, old already indexed) plus
     * intra-batch pairs (`new_id` is the larger id). Re-invoking with a
-    * committed id skips all work and re-reads the stored result.
+    * committed id skips all work and re-reads the stored result
+    * (from the generation when the batch has since been folded).
     */
   def maintain(spark: SparkSession, batch: DataFrame, root: String,
                idCol: String, textCol: String, batchId: Long,
@@ -90,22 +263,32 @@ object DedupIndexSink {
                ngram: Int = 3, seed: Long = 42L): DataFrame = {
     val fs = fsOf(spark, root)
     val applied = join(root, "_batches", batchId.toString, "_APPLIED")
-    val matchesDir = join(root, "_matches", s"ingest_batch=$batchId").toString
     if (!fs.exists(applied)) {
+      // an unapplied batch must sit ABOVE the compaction horizon: a
+      // replay below it cannot re-probe the pre-batch state (its own
+      // rows are folded into the generation) — that only happens when
+      // a checkpoint older than the last compaction is restored
+      val hz = horizon(spark, root)
+      require(hz < batchId,
+        s"batch $batchId has no _APPLIED marker but the index is " +
+          s"compacted through $hz: an uncommitted batch below the " +
+          s"compaction horizon cannot replay — restore a checkpoint at " +
+          s"or above the horizon, or rebuild the index")
       val idT = batch.schema(idCol).dataType
       val matchSchema = StructType(Seq(StructField("new_id", idT),
         StructField("old_id", idT), StructField("inter", LongType),
         StructField("un", LongType), StructField("jac", DoubleType)))
-      // the probe reads ONLY sealed prior batches, by explicit path —
-      // partition discovery must not touch this id's own (possibly
-      // half-written, pre-crash) directory
-      val prior = batchDirs(spark, root).filter(_._1 < batchId).map(_._2)
+      // the probe reads ONLY sealed prior state, by explicit path —
+      // the committed generation plus post-horizon batch directories
+      // below this id; partition discovery must not touch this id's
+      // own (possibly half-written, pre-crash) directory
+      val prior = readMerged(spark, root, "state", root, Some(batchId))
+        .map(_.drop("ingest_batch"))
       val cross =
         if (prior.isEmpty)
           spark.createDataFrame(spark.sparkContext.emptyRDD[Row], matchSchema)
         else Dedup.incrementalNearDupPrepared(batch,
-          spark.read.option("basePath", root).parquet(prior: _*)
-            .drop("ingest_batch"),
+          prior.reduce(_.unionByName(_)),
           idCol, textCol, numHashes, bands, thresholdNum, thresholdDen,
           ngram, seed)
       val intra = Dedup.minhashLshPairs(batch, idCol, textCol, numHashes,
@@ -117,36 +300,50 @@ object DedupIndexSink {
           col("inter").cast("long").as("inter"),
           col("un").cast("long").as("un"), col("jac"))
         .unionByName(intra)
-        .write.mode("overwrite").parquet(matchesDir)
+        .write.mode("overwrite")
+        .parquet(join(root, "_matches", s"ingest_batch=$batchId").toString)
       Dedup.prepareNearDupIndex(batch, idCol, textCol, ngram, numHashes, seed)
         .write.mode("overwrite")
         .parquet(join(root, s"ingest_batch=$batchId").toString)
       fs.create(applied, true).close()
     }
-    spark.read.parquet(matchesDir)
+    matchesOf(spark, root, batchId)
   }
 
-  /** Every committed batch's matches, with the `ingest_batch` id.
-    * Listed directories are filtered by the `_APPLIED` marker, so a
-    * crashed batch's half-written matches never surface here — only
-    * after its replay re-commits them.
+  /** Batch `batchId`'s committed match set `(new_id, old_id, inter,
+    * un, jac)` — from its per-batch directory while it is in the
+    * post-compaction tail, from the generation after it is folded.
+    */
+  def matchesOf(spark: SparkSession, root: String, batchId: Long): DataFrame = {
+    val dir = join(root, "_matches", s"ingest_batch=$batchId")
+    if (horizon(spark, root) < batchId || fsOf(spark, root).exists(dir))
+      spark.read.parquet(dir.toString)
+    else {
+      val (_, _, p) = committedGen(spark, root).get
+      spark.read.parquet(new Path(p, "matches").toString)
+        .filter(col("ingest_batch") === batchId).drop("ingest_batch")
+    }
+  }
+
+  /** Every committed batch's matches, with the `ingest_batch` id
+    * (long). Uncommitted (crashed, marker-less) batch data never
+    * surfaces — the tail is filtered per-directory by its `_APPLIED`
+    * marker, and the generation holds committed batches only.
     */
   def allMatches(spark: SparkSession, root: String): DataFrame = {
-    val base = join(root, "_matches").toString
-    val ok = committedIds(spark, root)
-    val dirs = batchDirs(spark, base).filter(d => ok(d._1))
-    require(dirs.nonEmpty, s"no committed batches under $root")
-    spark.read.option("basePath", base).parquet(dirs.map(_._2): _*)
+    val frames = readMerged(spark, root, "matches",
+      join(root, "_matches").toString, None)
+    require(frames.nonEmpty, s"no committed batches under $root")
+    frames.reduce(_.unionByName(_))
   }
 
   /** The standing per-document index state across all committed
-    * batches: `(ingest_batch, idCol, shingles, sig)`. Filtered by the
-    * `_APPLIED` marker like [[allMatches]].
+    * batches: `(idCol, shingles, sig, ingest_batch)` with
+    * `ingest_batch` long. Filtered like [[allMatches]].
     */
   def state(spark: SparkSession, root: String): DataFrame = {
-    val ok = committedIds(spark, root)
-    val dirs = batchDirs(spark, root).filter(d => ok(d._1))
-    require(dirs.nonEmpty, s"no committed batches under $root")
-    spark.read.option("basePath", root).parquet(dirs.map(_._2): _*)
+    val frames = readMerged(spark, root, "state", root, None)
+    require(frames.nonEmpty, s"no committed batches under $root")
+    frames.reduce(_.unionByName(_))
   }
 }

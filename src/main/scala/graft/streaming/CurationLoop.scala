@@ -66,6 +66,17 @@ object CurationLoop {
     } finally batch.unpersist()
   }
 
+  /** Periodic index maintenance (run from the same single writer, e.g.
+    * weekly between drains): fold the dedup index's sealed per-batch
+    * directories into one generation so probe cost stays flat as batch
+    * history grows — [[DedupIndexSink.compact]]'s manifest + marker
+    * protocol; readers see identical rows throughout. Returns the
+    * committed horizon.
+    */
+  def compact(spark: SparkSession, root: String,
+              targetBytes: Long = 128L * 1024 * 1024): Long =
+    DedupIndexSink.compact(spark, dedupRoot(root), targetBytes = targetBytes)
+
   /** Wire a document stream to the composed loop. `availableNow = true`
     * is CRON-drain mode (process everything, checkpoint, exit), the
     * [[IngestPipeline.writer]] convention.

@@ -149,6 +149,97 @@ class DedupIndexSinkSpec extends SparkSpec {
     assert(DedupIndexSink.state(spark, root).count() === s0 + 1)
   }
 
+  test("compact: probe results and readers identical pre/post; probe reads ONE generation") {
+    val root = freshRoot("compact")
+    val twin = freshRoot("compact-twin")
+    runDays(root); runDays(twin)
+    val m0 = matchSet(root)
+    val st0 = DedupIndexSink.state(spark, root)
+      .select(col("ingest_batch").cast("long"), col("doc_id"))
+      .as[(Long, Long)].collect().toSet
+    assert(DedupIndexSink.compact(spark, root) === 2L)
+    // identical rows through every reader
+    assert(matchSet(root) === m0)
+    assert(DedupIndexSink.state(spark, root)
+      .select(col("ingest_batch"), col("doc_id"))
+      .as[(Long, Long)].collect().toSet === st0)
+    assert(DedupIndexSink.matchesOf(spark, root, 2L)
+        .select(col("new_id")).as[Long].collect().toSet ===
+      DedupIndexSink.matchesOf(spark, twin, 2L)
+        .select(col("new_id")).as[Long].collect().toSet)
+    // per-batch dirs folded away: the index root holds NO batch dirs
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.listStatus(new org.apache.hadoop.fs.Path(root))
+      .exists(_.getPath.getName.startsWith("ingest_batch=")))
+    // probing a NEW batch against the compacted index = against the
+    // uncompacted twin, bit-identical
+    val d3 = Seq(40L -> sentence, 41L -> "brand new unrelated words")
+      .toDF("doc_id", "text")
+    val a = DedupIndexSink.maintain(spark, d3, root, "doc_id", "text", 3L)
+      .as[(Long, Long, Long, Long, Double)].collect().toSet
+    val b = DedupIndexSink.maintain(spark, d3, twin, "doc_id", "text", 3L)
+      .as[(Long, Long, Long, Long, Double)].collect().toSet
+    assert(a === b && a.exists(_._1 == 40L))
+    assert(matchSet(root) === matchSet(twin))
+    // a second compact folds the tail batch into generation 1
+    assert(DedupIndexSink.compact(spark, root) === 3L)
+    assert(matchSet(root) === matchSet(twin))
+    // replaying committed-but-folded id 2 short-circuits to its matches
+    val re = DedupIndexSink.maintain(spark,
+      rows.filter(floor(col("doc_id") / 10) - 1 === 2L), root,
+      "doc_id", "text", 2L)
+    assert(re.select(col("new_id")).as[Long].collect().toSet ===
+      Set(30L, 31L, 32L))
+  }
+
+  test("compact crash matrix: every protocol point converges") {
+    import org.apache.hadoop.fs.Path
+    val root = freshRoot("compact-crash")
+    runDays(root)
+    val m0 = matchSet(root)
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    // crash BEFORE commit: generation data + manifest written, no
+    // _COMMITTED — readers ignore it entirely, retry overwrites it
+    DedupIndexSink.state(spark, root).write.mode("overwrite")
+      .parquet(root + "/_gen/0/state")
+    DedupIndexSink.allMatches(spark, root).write.mode("overwrite")
+      .parquet(root + "/_gen/0/matches")
+    val mf = fs.create(new Path(root, "_gen/0/_MANIFEST"), true)
+    mf.write("max_id\t2\n".getBytes("UTF-8")); mf.close()
+    assert(matchSet(root) === m0, "uncommitted generation must be invisible")
+    assert(DedupIndexSink.state(spark, root).count() === 8)
+    assert(DedupIndexSink.compact(spark, root) === 2L, "retry commits")
+    assert(matchSet(root) === m0)
+
+    // crash AFTER commit, mid-cleanup: a folded per-batch dir survives
+    // below the horizon — readers exclude it by id, next pass sweeps it
+    val leftoverState = new Path(root, "ingest_batch=1")
+    val leftoverMatch = new Path(root, "_matches/ingest_batch=1")
+    DedupIndexSink.state(spark, root).filter(col("ingest_batch") === 1L)
+      .drop("ingest_batch").write.mode("overwrite")
+      .parquet(leftoverState.toString)
+    DedupIndexSink.allMatches(spark, root)
+      .filter(col("ingest_batch") === 1L).drop("ingest_batch")
+      .write.mode("overwrite").parquet(leftoverMatch.toString)
+    assert(matchSet(root) === m0, "sub-horizon leftovers must be invisible")
+    assert(DedupIndexSink.state(spark, root).count() === 8)
+    assert(DedupIndexSink.compact(spark, root) === 2L) // no new batches
+    assert(!fs.exists(leftoverState) && !fs.exists(leftoverMatch),
+      "the next pass must sweep pre-cleanup leftovers")
+    assert(matchSet(root) === m0)
+
+    // replay BELOW the horizon (older checkpoint restored): refuse
+    fs.delete(new Path(root, "_batches/1/_APPLIED"), false)
+    val ex = intercept[IllegalArgumentException] {
+      DedupIndexSink.maintain(spark,
+        rows.filter(floor(col("doc_id") / 10) - 1 === 1L), root,
+        "doc_id", "text", 1L)
+    }
+    assert(ex.getMessage.contains("compaction horizon"))
+  }
+
   test("foreachBatch wiring: a 3-batch stream maintains the identical index") {
     val root = freshRoot("stream")
     val batchRoot = freshRoot("batchtwin")

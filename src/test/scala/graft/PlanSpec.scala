@@ -331,8 +331,13 @@ class PlanSpec extends SparkSpec {
     val docs = Seq(1L -> "alpha beta gamma delta epsilon zeta eta",
       2L -> "alpha beta gamma delta epsilon zeta theta")
       .toDF("doc_id", "text")
-    val p = plan(graft.operators.Dedup.sortedNeighborhoodPairs(
-      docs, "doc_id", "text", window = 3))
+    // gate the LAZY plan: the public method localCheckpoints (which
+    // collapses the visible plan to the checkpoint scan), so the plan
+    // shape lives on the internal builder
+    val (lazyPairs, release) = graft.operators.Dedup
+      .sortedNeighborhoodPairsPlan(docs, "doc_id", "text", window = 3)
+    val p = plan(lazyPairs)
+    release()
     val windows = "Window \\[[^\\n]*".r.findAllIn(p).toSeq
     val globals = windows.filter(w => "\\], \\[".r.findAllIn(w).size == 1)
     val partitioned = windows.filter(w => "\\], \\[".r.findAllIn(w).size == 2)
