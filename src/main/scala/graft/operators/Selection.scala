@@ -44,11 +44,43 @@ import graft.functions.{NumFunctions, VectorFunctions}
   */
 object Selection {
 
+  /** Exclude already-picked candidate ids from a round's frame. The
+    * greedy loops run up to `maxK` rounds: a growing `isin` literal
+    * puts O(r) nodes into round r's plan (re-analyzed every round),
+    * while a broadcast left-anti join against the driver-side picked
+    * set keeps every round's plan O(1) in the selection size. The two
+    * paths are value-identical (SelectionSpec pins them against each
+    * other); the anti-join is the default, the `isin` form kept for
+    * the pin.
+    */
+  private[graft] def excludePicked(df: DataFrame, ids: Seq[Long],
+                                   antiJoin: Boolean = true): DataFrame =
+    if (ids.isEmpty) df
+    else if (!antiJoin) df.filter(!col("cid").isin(ids: _*))
+    else {
+      val spark = df.sparkSession
+      import spark.implicits._
+      df.join(broadcast(ids.toDF("cid")), Seq("cid"), "left_anti")
+    }
+
+  /** Greedy-round ceiling shared by the selectors: each round is one
+    * TakeOrdered(1) job plus O(picked) driver state (ids, and for
+    * kcenter/mmr the selected vectors in the round literal), so k is
+    * METADATA-bounded by contract — selecting corpus-scale subsets
+    * belongs to the threshold/sample operators, not a greedy loop.
+    */
+  private val maxK = 4096
+
+  private def requireK(k: Int): Unit =
+    require(k >= 1 && k <= maxK,
+      s"selection size must be in [1, $maxK] (greedy rounds are " +
+        s"metadata-bounded: one driver-visible pick per round), got $k")
+
   def facilityLocation(candidates: DataFrame, targets: DataFrame,
                        idCol: String, vecCol: String, k: Int,
                        maxTargets: Int = 10000,
                        coverLiteralMax: Int = 1024): DataFrame = {
-    require(k >= 1, s"selection size must be >= 1, got $k")
+    requireK(k)
     val spark = candidates.sparkSession
     import spark.implicits._
     val dec = DecimalType(18, 6)
@@ -85,9 +117,7 @@ object Selection {
       var exhausted = false
       while (r <= k && !exhausted) {
         val covSeq = cover.map(scala.math.BigDecimal(_)).toSeq
-        val rest =
-          if (picked.isEmpty) arr
-          else arr.filter(!col("cid").isin(picked.map(_._2).toSeq: _*))
+        val rest = excludePicked(arr, picked.map(_._2).toSeq)
         // the cover vector enters the round's plan either as ONE
         // literal array value (small nT) or via a broadcast one-row
         // frame (large nT) — identical values, O(1) plan nodes both ways
@@ -147,7 +177,7 @@ object Selection {
     */
   def kcenter(candidates: DataFrame, idCol: String, vecCol: String,
               k: Int): DataFrame = {
-    require(k >= 1, s"selection size must be >= 1, got $k")
+    requireK(k)
     val spark = candidates.sparkSession
     import spark.implicits._
     val dec = DecimalType(18, 6)
@@ -177,7 +207,7 @@ object Selection {
           v => (lit(one).cast(dec) - coalesce(NumFunctions.roundNz(
             VectorFunctions.cosineSimilarity(col("cvec"), v), 6), lit(0.0))
             .cast(dec)).cast(dec)))
-        val rest = base.filter(!col("cid").isin(picked.map(_._2).toSeq: _*))
+        val rest = excludePicked(base, picked.map(_._2).toSeq)
         val best = rest.select(col("cid"), minSel.as("d"), col("cvec"))
           .orderBy(col("d").desc, col("cid").asc).limit(1).collect()
         if (best.isEmpty) exhausted = true
@@ -224,7 +254,7 @@ object Selection {
   def mmr(candidates: DataFrame, query: DataFrame, idCol: String,
           vecCol: String, k: Int, lamNum: Int = 7,
           lamDen: Int = 10): DataFrame = {
-    require(k >= 1, s"selection size must be >= 1, got $k")
+    requireK(k)
     require(lamDen >= 1 && lamNum >= 0 && lamNum <= lamDen,
       s"lambda must be a rational in [0, 1], got $lamNum/$lamDen")
     val spark = candidates.sparkSession
@@ -261,9 +291,7 @@ object Selection {
                 .cosineSimilarity(col("cvec"), v), 6), lit(0.0)).cast(dec)))
             lit(lamNum) * col("sq") - lit(lamDen - lamNum) * maxSel
           }
-        val rest =
-          if (picked.isEmpty) base
-          else base.filter(!col("cid").isin(picked.map(_._2).toSeq: _*))
+        val rest = excludePicked(base, picked.map(_._2).toSeq)
         val best = rest.select(col("cid"), score.as("sc"), col("cvec"))
           .orderBy(col("sc").desc, col("cid").asc).limit(1).collect()
         if (best.isEmpty) exhausted = true

@@ -261,6 +261,36 @@ class SelectionSpec extends SparkSpec {
     assert(viaJoin === brute(cands, tgts, 6), "and both equal the witness")
   }
 
+  test("excludePicked: anti-join exclusion ≡ isin exclusion, and k is metadata-bounded") {
+    // the greedy rounds exclude picked ids via a broadcast left-anti
+    // join (O(1) plan per round); the growing-isin form it replaced
+    // must produce the identical frame
+    val df = (1L to 50L).map(i => (i, i * 2)).toDF("cid", "v")
+    val ids = Seq(3L, 17L, 42L)
+    val viaAnti = Selection.excludePicked(df, ids)
+      .as[(Long, Long)].collect().toSet
+    val viaIsin = Selection.excludePicked(df, ids, antiJoin = false)
+      .as[(Long, Long)].collect().toSet
+    assert(viaAnti === viaIsin)
+    assert(viaAnti.map(_._1).intersect(ids.toSet).isEmpty)
+    assert(Selection.excludePicked(df, Nil).count() === 50L)
+    // the metadata-bounded-rounds contract is enforced, not just documented
+    val ex = intercept[IllegalArgumentException] {
+      Selection.kcenter(cands.toDF("vec_id", "embedding"),
+        "vec_id", "embedding", k = 5000)
+    }
+    assert(ex.getMessage.contains("metadata-bounded"))
+    intercept[IllegalArgumentException] {
+      Selection.mmr(cands.toDF("vec_id", "embedding"),
+        tgts.toDF("vec_id", "embedding").limit(1), "vec_id", "embedding",
+        k = 999999)
+    }
+    intercept[IllegalArgumentException] {
+      Selection.facilityLocation(cands.toDF("vec_id", "embedding"),
+        tgts.toDF("vec_id", "embedding"), "vec_id", "embedding", k = 4097)
+    }
+  }
+
   test("facilityLocation leaves no candidate-scale blocks cached after returning") {
     val before = sp.sparkContext.getPersistentRDDs.keySet
     run(3)
