@@ -43,6 +43,26 @@ object GraftSession {
     spark
   }
 
+  /** Root directory for the engine's memoized materialized copies —
+    * prepared near-dup indexes ([[graft.operators.Dedup
+    * .prepareNearDupIndexStored]]) and the [[graft.sinks.Layout]]
+    * z-order / bucketed / Hive-partitioned copies: the
+    * `spark.graft.scratchDir` conf when set, else the JVM tmpdir. At
+    * cluster scale the default is WRONG — a driver-local tmpdir is
+    * invisible to executors reading back the copy — so production
+    * sessions must point the conf at a shared filesystem root
+    * (`hdfs://…`, `s3a://…`); the tmpdir default keeps local/test
+    * behavior unchanged. Joined via hadoop [[org.apache.hadoop.fs
+    * .Path]] so scheme-qualified roots survive (the [[graft.sinks
+    * .QuantileSink]] discipline).
+    */
+  def scratchRoot(spark: SparkSession): String =
+    spark.conf.get("spark.graft.scratchDir",
+      System.getProperty("java.io.tmpdir"))
+
+  def scratchPath(spark: SparkSession, name: String): String =
+    new org.apache.hadoop.fs.Path(scratchRoot(spark), name).toString
+
   /** Local session for tests / ad-hoc runs. `cores` should track the
     * machine; shuffle partitions are sized to cores, not the 200 default
     * (local mode has no cluster to fan out to).

@@ -153,12 +153,16 @@ object Dedup {
                                 numHashes: Int = 128,
                                 seed: Long = 42L): DataFrame = {
     val spark = docs.sparkSession
+    // the resolved scratch root is part of the memo identity: a session
+    // that relocates spark.graft.scratchDir must not be served a copy
+    // stored under the old root
+    val scratch = graft.GraftSession.scratchRoot(spark)
     val path = storedIndexes.computeIfAbsent(
-      s"$cacheKey|$idCol|$textCol|$ngram|$numHashes|$seed", fullKey => {
+      s"$scratch|$cacheKey|$idCol|$textCol|$ngram|$numHashes|$seed", fullKey => {
         val keyHex = java.security.MessageDigest.getInstance("MD5")
           .digest(fullKey.getBytes("UTF-8")).map("%02x".format(_)).mkString
-        val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
-          s"graft-neardupidx-$keyHex").toString
+        val dir = graft.GraftSession.scratchPath(spark,
+          s"graft-neardupidx-$keyHex")
         prepareNearDupIndex(docs, idCol, textCol, ngram, numHashes, seed)
           .write.mode("overwrite").parquet(dir)
         dir

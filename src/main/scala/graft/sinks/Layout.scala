@@ -134,13 +134,16 @@ object Layout {
                         nFiles: Int, bits: Int = 16): (String, DataFrame) =
     // the layout parameters are part of the identity: the same string
     // key with different zCols/nFiles/bits must not serve a stale copy
+    // the resolved scratch root rides in the memo key: relocating
+    // spark.graft.scratchDir must rebuild, not serve the old root
     copies.computeIfAbsent(
-      s"$cacheKey|${zCols.mkString(",")}|$nFiles|$bits", fullKey => {
+      s"${graft.GraftSession.scratchRoot(df.sparkSession)}|" +
+        s"$cacheKey|${zCols.mkString(",")}|$nFiles|$bits", fullKey => {
       val keyHex = java.security.MessageDigest.getInstance("MD5")
         .digest(fullKey.getBytes("UTF-8")).map("%02x".format(_)).mkString
       // the overwrite-mode write wipes any stale copy from a prior run
-      val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
-        s"graft-zorder-$keyHex/lake").toString
+      val dir = graft.GraftSession.scratchPath(df.sparkSession,
+        s"graft-zorder-$keyHex/lake")
       val maxRow = df.agg(
         max(col(zCols.head)).cast("long").as("m0"),
         zCols.tail.zipWithIndex.map { case (c, i) =>
@@ -194,14 +197,17 @@ object Layout {
   def bucketedTable(df: DataFrame, cacheKey: String, bucketCol: String,
                     nBuckets: Int): String = {
     require(nBuckets >= 1, s"bucket count must be >= 1, got $nBuckets")
-    val fullKey = s"$cacheKey|$bucketCol|$nBuckets"
+    // scratch root in the identity: a relocated root names a different
+    // catalog table, so the existence check cannot serve the old path
+    val fullKey = s"${graft.GraftSession.scratchRoot(df.sparkSession)}|" +
+      s"$cacheKey|$bucketCol|$nBuckets"
     val keyHex = java.security.MessageDigest.getInstance("MD5")
       .digest(fullKey.getBytes("UTF-8")).map("%02x".format(_)).mkString
     val name = s"graft_bucketed_$keyHex"
     this.synchronized {
       if (!df.sparkSession.catalog.tableExists(name)) {
-        val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
-          s"graft-bucketed-$keyHex/lake").toString
+        val dir = graft.GraftSession.scratchPath(df.sparkSession,
+          s"graft-bucketed-$keyHex/lake")
         df.repartition(nBuckets, col(bucketCol))
           .write.mode("overwrite").format("parquet")
           .bucketBy(nBuckets, bucketCol).sortBy(bucketCol)
@@ -222,11 +228,13 @@ object Layout {
     * single-writer contract as [[zOrderedWithStats]].
     */
   def partitionedCopy(df: DataFrame, cacheKey: String, partCol: String): String =
-    partCopies.computeIfAbsent(s"$cacheKey|$partCol", fullKey => {
+    partCopies.computeIfAbsent(
+      s"${graft.GraftSession.scratchRoot(df.sparkSession)}|" +
+        s"$cacheKey|$partCol", fullKey => {
       val keyHex = java.security.MessageDigest.getInstance("MD5")
         .digest(fullKey.getBytes("UTF-8")).map("%02x".format(_)).mkString
-      val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
-        s"graft-hivepart-$keyHex/lake").toString
+      val dir = graft.GraftSession.scratchPath(df.sparkSession,
+        s"graft-hivepart-$keyHex/lake")
       df.write.mode("overwrite").partitionBy(partCol).parquet(dir)
       dir
     })

@@ -121,6 +121,47 @@ class LayoutSpec extends SparkSpec {
     assert(d1 !== d2, "different zCols must not share a cached copy")
   }
 
+  test("spark.graft.scratchDir relocates every memoized copy root") {
+    // all four scratch consumers must land under the configured root —
+    // and a relocated root must REBUILD, never serve the old root's copy
+    val newRoot = java.nio.file.Files.createTempDirectory("graft-scratch").toString
+    val old = spark.conf.getOption("spark.graft.scratchDir")
+    spark.conf.set("spark.graft.scratchDir", newRoot)
+    try {
+      val (zDir, zStats) = Layout.zOrderedWithStats(data, "spec-scratch",
+        Seq("x", "y"), nFiles = 4)
+      assert(zDir.startsWith(newRoot), s"z-order copy outside scratch: $zDir")
+      val (df, _, _) = Layout.readPruned(spark, zDir, zStats, "x", 0, 7)
+      assert(df.count() === data.filter(col("x").between(0, 7)).count())
+      val pDir = Layout.partitionedCopy(data.withColumn("p", col("x") % 2),
+        "spec-scratch", "p")
+      assert(pDir.startsWith(newRoot), s"hive copy outside scratch: $pDir")
+      val sp2 = spark; import sp2.implicits._
+      val bt = Layout.bucketedTable((0L to 9L).map(i => (i, i)).toDF("k", "v"),
+        "spec-scratch-bkt", "k", 2)
+      val loc = spark.sql(s"DESCRIBE TABLE EXTENDED $bt")
+        .filter(col("col_name") === "Location").select("data_type")
+        .as[String].head()
+      assert(loc.contains(newRoot.stripPrefix("/")),
+        s"bucketed table outside scratch: $loc")
+      val idx = graft.operators.Dedup.prepareNearDupIndexStored(
+        Seq(1L -> "alpha beta gamma delta epsilon").toDF("doc_id", "text"),
+        "doc_id", "text", "spec-scratch-idx")
+      assert(idx.count() === 1)
+      assert(idx.inputFiles.forall(_.contains(newRoot.stripPrefix("/"))),
+        s"prepared index outside scratch: ${idx.inputFiles.toSeq}")
+      // relocating again rebuilds under the new root (memo key carries it)
+      val newRoot2 = java.nio.file.Files.createTempDirectory("graft-scratch2").toString
+      spark.conf.set("spark.graft.scratchDir", newRoot2)
+      val (zDir2, _) = Layout.zOrderedWithStats(data, "spec-scratch",
+        Seq("x", "y"), nFiles = 4)
+      assert(zDir2.startsWith(newRoot2), s"stale copy served: $zDir2")
+    } finally old match {
+      case Some(v) => spark.conf.set("spark.graft.scratchDir", v)
+      case None    => spark.conf.unset("spark.graft.scratchDir")
+    }
+  }
+
   test("readPruned: empty band reads zero files and returns an empty frame") {
     val dir = java.nio.file.Files.createTempDirectory("zempty").toString + "/lake"
     Layout.writeZOrdered(data, Seq(col("x"), col("y")), dir, nFiles = 4, bits = 8)
