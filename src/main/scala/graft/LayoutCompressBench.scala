@@ -52,10 +52,12 @@ object LayoutCompressBench {
     val shuffled = write("shuffled", docs
       .withColumn("__o", md5(col("doc_id").cast("string")))
       .coalesce(1).sortWithinPartitions(col("__o")).select(cols: _*))
-    val simsort = write("simsort", docs
-      .withColumn("__k", graft.functions.TextFunctions.normalize(col("text")))
-      .coalesce(1).sortWithinPartitions(col("__k"), col("doc_id"))
-      .select(cols: _*))
+    // the simsort legs go through the first-class writer — the bench
+    // measures the operator a user actually calls, not a bench-local
+    // ordering recipe
+    graft.sinks.Layout.similarityOrdered(docs, "text", s"$base/simsort",
+      nFiles = 1)
+    val simsort = bytesOf(s"$base/simsort")
 
     def mb(b: Long): String = f"${b / 1048576.0}%.1f"
     val ratio = f"${simsort.toDouble / arrival}%.3f"
@@ -79,13 +81,11 @@ object LayoutCompressBench {
       .withColumn("text", concat(body(col("__tpl")),
         lit(" tail"), col("doc_id") % 7))        // light per-copy edit
       .select(col("doc_id"), col("text"))
-    val dupCols = dupDocs.columns.map(col).toIndexedSeq
     val dArrival = write("dup_arrival",
       dupDocs.coalesce(1).sortWithinPartitions(col("doc_id")))
-    val dSim = write("dup_simsort", dupDocs
-      .withColumn("__k", graft.functions.TextFunctions.normalize(col("text")))
-      .coalesce(1).sortWithinPartitions(col("__k"), col("doc_id"))
-      .select(dupCols: _*))
+    graft.sinks.Layout.similarityOrdered(dupDocs, "text",
+      s"$base/dup_simsort", nFiles = 1)
+    val dSim = bytesOf(s"$base/dup_simsort")
     val dRatio = f"${dSim.toDouble / dArrival}%.3f"
     println(s"""{"metric":"layout_compress","corpus":"dup40","rows":$nDup,""" +
       s""""arrival_mb":${mb(dArrival)},"simsort_mb":${mb(dSim)},""" +

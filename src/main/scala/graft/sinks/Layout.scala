@@ -62,6 +62,36 @@ object Layout {
       .drop("__z")
       .write.mode("overwrite").parquet(outDir)
 
+  /** Opt-in CONTENT-SIMILARITY write ordering: write `df` as `nFiles`
+    * parquet files ordered by the normalized prefix of `textCol` (the
+    * q206 sorted-neighborhood key — lowercased, whitespace-collapsed,
+    * first `keyLen` chars). Parquet compresses page-locally, so at
+    * corpus scale (written once, scanned thousands of times) placing
+    * near-identical documents in the same row groups is a first-class
+    * storage lever: 33 % fewer bytes at web-crawl-like 40 % near-dup
+    * mass (BASELINE `layout_compress`), negligible on mostly-unique
+    * corpora — opt in where the dup mass is.
+    *
+    * Scale shape: ONE range exchange on the bounded `keyLen`-byte key
+    * (the same shuffle any global sort pays — never the full text),
+    * then a partition-local sort on (key, full text) so equal-prefix
+    * documents are page-adjacent too; the helper key is dropped before
+    * the write. Composes with (does not replace) dedup, and the
+    * [[writeZOrdered]]/[[bucketedTable]] tiers still own the
+    * query-pruning side of layout — this one buys bytes-on-disk.
+    */
+  def similarityOrdered(df: DataFrame, textCol: String, outDir: String,
+                        nFiles: Int, keyLen: Int = 64): Unit = {
+    require(nFiles >= 1, s"file count must be >= 1, got $nFiles")
+    require(keyLen >= 1, s"keyLen must be >= 1, got $keyLen")
+    df.withColumn("__simkey", substring(
+        graft.functions.TextFunctions.normalize(col(textCol)), 1, keyLen))
+      .repartitionByRange(nFiles, col("__simkey"))
+      .sortWithinPartitions(col("__simkey"), col(textCol))
+      .drop("__simkey")
+      .write.mode("overwrite").parquet(outDir)
+  }
+
   /** Per-file [min, max] of `statCols`: one aggregate grouped on
     * `input_file_name` — n_files rows out, computed distributed. In a
     * real lake this materializes once per compaction pass and is cached
