@@ -3679,6 +3679,20 @@ object SparkEntry {
     graft.operators.Eval.bootstrapMeanCIPooled(docs(s, d), "doc_id",
       "n_chars", numResamples = 200, qPcts = Seq(5, 50, 95))
 
+  /** Q213 — quality-aware dedup survivors
+    * ([[graft.operators.Dedup.dedupCorpusByQuality]]; the RefinedWeb
+    * keep-the-best-copy discipline): q37's exact clustering
+    * (exact-collapse → MinHash-LSH → components, shared via the same
+    * cacheKey so the expensive stage computes once per session), but
+    * each cluster keeps its highest-`n_chars` member, ties to the
+    * smallest id. Oracle: the q37 recursive reach closure + a
+    * per-component (quality DESC, id ASC) row_number at 1.
+    */
+  def q213(s: SparkSession, d: String): DataFrame =
+    graft.operators.Dedup.dedupCorpusByQuality(docs(s, d), "doc_id",
+        "text", "n_chars", cacheKey = Some(d))
+      .select(col("doc_id"), col("n_chars").cast("long").as("quality"))
+
   /** Q204 — the COMPOSED streaming curation loop
     * ([[graft.streaming.CurationLoop]]): one `foreachBatch` body
     * driving all three certified incremental sinks — the near-dup
@@ -4678,7 +4692,8 @@ object SparkEntry {
     "q209_bootstrap_ci"     -> (q209 _),
     "q210_mixture_alloc"    -> (q210 _),
     "q211_knn_outliers"     -> (q211 _),
-    "q212_bootstrap_pooled" -> (q212 _))
+    "q212_bootstrap_pooled" -> (q212 _),
+    "q213_quality_dedup"    -> (q213 _))
 
   // DuckDB twins. Shared SQL fragments for the text queries:
   // explicit class: Java \s includes \x0B, RE2 \s does not — see
@@ -5273,6 +5288,29 @@ object SparkEntry {
           |reach(a, b) AS (SELECT src, dst FROM edges
           |  UNION SELECT e.src, r.b FROM edges e JOIN reach r ON e.dst = r.a)
           |SELECT a AS doc_id FROM reach GROUP BY a HAVING min(b) = a
+          |""".stripMargin),
+    // q213: q37's reach closure, then per component the (quality DESC,
+    // id ASC) head — the quality-aware survivor
+    "q213_quality_dedup" ->
+      (s"""WITH RECURSIVE toks AS (SELECT doc_id, $TOKS AS tk FROM documents),
+          |sh AS (SELECT doc_id, ${shinglesSql("tk")} AS s FROM toks),
+          |p0 AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+          |  len(list_intersect(a.s, b.s)) AS inter, len(a.s) + len(b.s) AS tot
+          |  FROM sh a JOIN sh b ON b.doc_id > a.doc_id),
+          |pairs AS (SELECT a_id, b_id FROM p0
+          |  WHERE (tot - inter) > 0 AND inter * 10 >= (tot - inter) * 7),
+          |edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+          |  UNION SELECT b_id, a_id FROM pairs
+          |  UNION SELECT doc_id, doc_id FROM documents),
+          |reach(a, b) AS (SELECT src, dst FROM edges
+          |  UNION SELECT e.src, r.b FROM edges e JOIN reach r ON e.dst = r.a),
+          |comp AS (SELECT a AS doc_id, min(b) AS grp FROM reach GROUP BY a),
+          |r AS (SELECT c.doc_id, c.grp,
+          |  CAST(d.n_chars AS BIGINT) AS quality,
+          |  row_number() OVER (PARTITION BY c.grp
+          |    ORDER BY d.n_chars DESC, c.doc_id ASC) AS rk
+          |  FROM comp c JOIN documents d USING (doc_id))
+          |SELECT doc_id, quality FROM r WHERE rk = 1
           |""".stripMargin),
     // q152: multinomial-NB replay — the q149 unit-freeze recipe per
     // class (add-one token likelihoods + doc-count priors in integer

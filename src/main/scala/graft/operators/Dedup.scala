@@ -873,6 +873,45 @@ object Dedup {
         (col("inter").cast("double") / col("sz_a")).as("containment"))
   }
 
+  /** QUALITY-AWARE corpus dedup: the exact clustering of
+    * [[dedupCorpus]], but each near-dup cluster keeps its
+    * HIGHEST-`qualityCol` member (ties → smallest id) instead of the
+    * smallest id — the curation choice when copies are not equal: a
+    * less-truncated crawl of the same page, a cleaner mirror, a
+    * higher-scoring extraction of the same document (web-curation
+    * pipelines routinely keep the longest/best-scored copy rather
+    * than an arbitrary one — see e.g. Penedo et al., RefinedWeb 2023
+    * §3 on keeping one representative per duplicate cluster).
+    *
+    * Scale shape: [[dedupCorpus]]'s exchanges plus ONE component-keyed
+    * `min_by` aggregate (partial map-side — component labels are the
+    * grouping key, one row out per cluster) and one id equi-join to
+    * re-attach the kept documents. `qualityCol` must be numeric; the
+    * argmax is exact (no rounding enters the comparison).
+    *
+    * Returns the kept documents with their original columns, exactly
+    * one per cluster — same cardinality as [[dedupCorpus]] on the
+    * same input, possibly different representatives.
+    */
+  def dedupCorpusByQuality(docs: DataFrame, idCol: String, textCol: String,
+                           qualityCol: String,
+                           thresholdNum: Int = 7, thresholdDen: Int = 10,
+                           ngram: Int = 3,
+                           cacheKey: Option[String] = None): DataFrame = {
+    val comps = componentsFor(docs, idCol, textCol,
+      thresholdNum, thresholdDen, ngram, cacheKey)
+    val q = docs.select(col(idCol).as("id"), col(qualityCol).as("__q"))
+    // min over (-q, id): the largest quality, ties to the smallest id —
+    // one struct-ordered min_by per component, deterministic in any
+    // partitioning because the (quality, id) pair is unique per row
+    val keepers = comps.join(q, "id")
+      .groupBy(col("survivor_id"))
+      .agg(min_by(col("id"),
+        struct(negate(col("__q")).as("nq"), col("id").as("i"))).as("keep_id"))
+    docs.join(keepers.select(col("keep_id")),
+      docs(idCol) === col("keep_id")).drop("keep_id")
+  }
+
   /** The candidate-pair table [[containmentJoinPrefix]] verifies —
     * exposed so the asymmetric-prefix economics can be measured
     * (`ContainBench`, BASELINE.md `containment`).

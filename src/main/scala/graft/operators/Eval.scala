@@ -302,8 +302,13 @@ object Eval {
       .withColumn("__u", pmod(conv(substring(md5(concat_ws(":",
         lit(salt), col("__b").cast("string"), col("__id"))),
         1, 8), 16, 10).cast("long"), lit(1000000L)))
-      .withColumn("__w", size(filter(typedLit(poissonThresholds),
-        t => t <= col("__u"))).cast("long"))
+      // inverse-CDF lookup as a summed comparison chain, NOT an array
+      // HOF: higher-order functions are interpreted (no codegen) and
+      // would break the whole explode→weight→partial-agg stage out of
+      // WholeStageCodegen — measured 4× slower on the hot path
+      .withColumn("__w", poissonThresholds
+        .map(t => when(col("__u") >= t, 1L).otherwise(0L))
+        .reduce(_ + _))
     val means = drawn.groupBy(col("__b"))
       .agg(count(lit(1)).as("__nd"), sum(col("__w")).as("__c"),
         sum(col("__w") * col("__v")).as("__s"))

@@ -158,6 +158,33 @@ class DedupSpec extends SparkSpec {
     assert(sIds === Set(1L, 9L))
   }
 
+  test("dedupCorpusByQuality keeps the best copy per cluster, ties to smallest id") {
+    // the planted cluster {1,2,3,5} with quality making doc 5 the best
+    // copy; doc 9 is a singleton and must survive regardless of score
+    val base = (1 to 40).map(i => s"word$i").mkString(" ")
+    val near = base.replace("word20", "changed")
+    val docs = Seq(
+      (1L, base, 10.0), (2L, base, 10.0), (3L, base, 10.0),
+      (5L, near, 99.0),
+      (9L, "completely different content about spark shuffle partitions and joins here", 1.0))
+      .toDF("doc_id", "text", "quality")
+    val kept = Dedup.dedupCorpusByQuality(docs, "doc_id", "text", "quality")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(5L, 9L))
+    // equal quality everywhere degenerates to min-id — dedupCorpus's pick
+    val flat = docs.withColumn("quality", lit(7.0))
+    val keptFlat = Dedup.dedupCorpusByQuality(flat, "doc_id", "text", "quality")
+      .select("doc_id").as[Long].collect().toSet
+    assert(keptFlat === Set(1L, 9L))
+    // same clustering ⇒ same cardinality as dedupCorpus, any quality
+    assert(Dedup.dedupCorpusByQuality(docs, "doc_id", "text", "quality").count() ===
+      Dedup.dedupCorpus(docs.drop("quality"), "doc_id", "text").count())
+    // original columns ride through on the kept rows
+    val row5 = Dedup.dedupCorpusByQuality(docs, "doc_id", "text", "quality")
+      .filter(col("doc_id") === 5L).select("quality").as[Double].head()
+    assert(row5 === 99.0)
+  }
+
   test("softDedupWeights: cluster mass sums to one; singletons keep weight 1.0") {
     // same planted corpus as the collapse test: {1,2,3,5} form one
     // cluster of 4 (exact trio + near-dup), 9 is a singleton
