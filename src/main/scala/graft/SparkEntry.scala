@@ -3693,6 +3693,19 @@ object SparkEntry {
         "text", "n_chars", cacheKey = Some(d))
       .select(col("doc_id"), col("n_chars").cast("long").as("quality"))
 
+  /** Q214 — self-BLEU-2 corpus diversity
+    * ([[graft.operators.Corpus.selfBleu2]]; Zhu et al., SIGIR 2018):
+    * per document, the modified bigram precision against the rest of
+    * the corpus as references — the diversity gate a synthetic-data
+    * pipeline reads before mixing generated text in. Linear via the
+    * per-bigram top-2 reduction (no pairwise BLEU calls); precision =
+    * exact clipped/total integers, one rounded division. Oracle
+    * replays the bigram counts, the (count DESC, id ASC) top-2
+    * window, and the clip.
+    */
+  def q214(s: SparkSession, d: String): DataFrame =
+    graft.operators.Corpus.selfBleu2(docs(s, d), "doc_id", "text")
+
   /** Q204 — the COMPOSED streaming curation loop
     * ([[graft.streaming.CurationLoop]]): one `foreachBatch` body
     * driving all three certified incremental sinks — the near-dup
@@ -4693,7 +4706,8 @@ object SparkEntry {
     "q210_mixture_alloc"    -> (q210 _),
     "q211_knn_outliers"     -> (q211 _),
     "q212_bootstrap_pooled" -> (q212 _),
-    "q213_quality_dedup"    -> (q213 _))
+    "q213_quality_dedup"    -> (q213 _),
+    "q214_self_bleu"        -> (q214 _))
 
   // DuckDB twins. Shared SQL fragments for the text queries:
   // explicit class: Java \s includes \x0B, RE2 \s does not — see
@@ -5311,6 +5325,29 @@ object SparkEntry {
           |    ORDER BY d.n_chars DESC, c.doc_id ASC) AS rk
           |  FROM comp c JOIN documents d USING (doc_id))
           |SELECT doc_id, quality FROM r WHERE rk = 1
+          |""".stripMargin),
+    // q214: bigram counts per doc, per-bigram top-2 by (c DESC, id ASC),
+    // clip = min(c, m1) or the runner-up when the doc owns the max
+    "q214_self_bleu" ->
+      (s"""WITH t AS (SELECT doc_id, $TOKS AS tk FROM documents
+          |  WHERE text IS NOT NULL),
+          |b0 AS (SELECT doc_id, unnest(tk[1:len(tk)-1]) AS w1,
+          |  unnest(tk[2:len(tk)]) AS w2 FROM t WHERE len(tk) >= 2),
+          |b AS (SELECT doc_id, w1 || ' ' || w2 AS g FROM b0),
+          |cnt AS (SELECT doc_id, g, count(*) AS c FROM b GROUP BY 1, 2),
+          |rk AS (SELECT doc_id, g, c, row_number() OVER (
+          |    PARTITION BY g ORDER BY c DESC, doc_id ASC) AS rk FROM cnt),
+          |top AS (SELECT g, max(CASE WHEN rk = 1 THEN c END) AS m1,
+          |  max(CASE WHEN rk = 1 THEN doc_id END) AS d1,
+          |  coalesce(max(CASE WHEN rk = 2 THEN c END), 0) AS m2
+          |  FROM rk WHERE rk <= 2 GROUP BY 1),
+          |cl AS (SELECT cnt.doc_id, cnt.c, least(cnt.c,
+          |    CASE WHEN cnt.doc_id = top.d1 THEN top.m2 ELSE top.m1 END) AS clip
+          |  FROM cnt JOIN top USING (g))
+          |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+          |  CAST(sum(clip) AS BIGINT) AS clipped,
+          |  round(CAST(sum(clip) AS DOUBLE) / sum(c), 6) + 0 AS self_p2
+          |FROM cl GROUP BY 1
           |""".stripMargin),
     // q152: multinomial-NB replay — the q149 unit-freeze recipe per
     // class (add-one token likelihoods + doc-count priors in integer

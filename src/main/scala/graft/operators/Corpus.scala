@@ -2212,4 +2212,57 @@ object Corpus {
         .setScale(0, BigDecimal.RoundingMode.HALF_UP).longValue
     }.toMap
   }
+
+  /** Self-BLEU-2 precision core (Zhu et al., "Texygen: A Benchmarking
+    * Platform for Text Generation Models", SIGIR 2018): per document,
+    * the MODIFIED BIGRAM PRECISION of the document against all OTHER
+    * documents as references — THE standard diversity gate for
+    * synthetic/generated training data (scores near 1 mean the corpus
+    * is restating itself; near 0, diverse). BLEU's multi-reference
+    * clip takes the MAX reference count per n-gram, so corpus-as-
+    * references needs no pairwise work at all: for bigram `g`, doc
+    * `d`'s clip is `min(c_d(g), max_{d'≠d} c_{d'}(g))` — the global
+    * top count unless `d` itself owns it, then the runner-up. Reported
+    * WITHOUT the brevity penalty: BP is an `exp()` of a length ratio —
+    * transcendental, engine-divergent — and the precision core is the
+    * diversity signal; the ratio is one IEEE division of two exact
+    * integers, rounded to 6.
+    *
+    * Scale shape: LINEAR where the textbook definition is quadratic
+    * (n² BLEU calls) — bigram explode, one (doc, g) count aggregate,
+    * one per-g top-2 (a g-partitioned rank window over the count
+    * table, which is already collapsed to distinct (doc, g) rows),
+    * one g-keyed join back, one per-doc collapse. Nothing pairwise,
+    * nothing driver-side.
+    *
+    * Returns `(doc_id, n_bigrams, clipped, self_p2)`; documents with
+    * fewer than 2 tokens have no bigrams and emit no row.
+    */
+  def selfBleu2(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = TextFunctions.tokens(col(textCol))
+    // tokens contain no whitespace (split on it), so the single-space
+    // join is an injective bigram key
+    val grams = when(size(toks) >= 2,
+      transform(sequence(lit(1), size(toks) - 1),
+        i => concat(element_at(toks, i), lit(" "), element_at(toks, i + 1))))
+      .otherwise(array().cast("array<string>"))
+    val cnt = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"), explode(grams).as("g"))
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(col("g"))
+      .orderBy(col("c").desc, col("doc_id").asc)
+    val top = cnt.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 2)
+      .groupBy(col("g")).agg(
+        max(when(col("rk") === 1, col("c"))).as("m1"),
+        max(when(col("rk") === 1, col("doc_id"))).as("d1"),
+        coalesce(max(when(col("rk") === 2, col("c"))), lit(0L)).as("m2"))
+    cnt.join(top, "g")
+      .withColumn("__clip", least(col("c"),
+        when(col("doc_id") === col("d1"), col("m2")).otherwise(col("m1"))))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_bigrams"), sum(col("__clip")).as("clipped"))
+      .withColumn("self_p2", NumFunctions.roundNz(
+        col("clipped").cast("double") / col("n_bigrams"), 6))
+  }
 }

@@ -109,6 +109,30 @@ class CorpusSpec extends SparkSpec {
     assert(got(3L) === ((0L, 0L, 0L, 0L, 0.0)))
   }
 
+  test("selfBleu2 equals the hand-computed clip arithmetic") {
+    // A = "a b a b": bigrams {a b:2, b a:1}, total 3
+    // B = "a b c":   bigrams {a b:1, b c:1}, total 2
+    // C = "x y":     bigram  {x y:1},        total 1
+    // per-g top-2: "a b" m1=2(d1=A) m2=1; others m1=1 m2=0
+    // A: min(2, m2=1) + min(1, 0) = 1 → p2 = 1/3
+    // B: min(1, m1=2) + min(1, 0) = 1 → p2 = 1/2 (copies A's phrase)
+    // C: owns its only bigram, no other holder → p2 = 0 (fully novel)
+    val d = docTable(Seq(1L -> "a b a b", 2L -> "a b c", 3L -> "x y",
+      4L -> "solo")) // < 2 tokens: no bigrams, no row
+    val got = Corpus.selfBleu2(d, "doc_id", "text")
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got === Map(
+      1L -> ((3L, 1L, 0.333333)),
+      2L -> ((2L, 1L, 0.5)),
+      3L -> ((1L, 0L, 0.0))))
+    // a corpus restating itself scores 1.0 on the copies
+    val dup = docTable(Seq(1L -> "p q r s", 2L -> "p q r s", 3L -> "p q r s"))
+    val all1 = Corpus.selfBleu2(dup, "doc_id", "text")
+      .as[(Long, Long, Long, Double)].collect().map(_._4).toSet
+    assert(all1 === Set(1.0))
+  }
+
   test("tfidf: score is tf·ln(N/df), rounded, cut by a total order") {
     // 4 docs; "rare" appears 3× in doc 0 only → tf=3, df=1, N=4:
     // score = 3·ln(4) ≈ 4.1589. "common" is in every doc → ln(1) = 0.

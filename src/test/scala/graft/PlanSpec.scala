@@ -363,6 +363,26 @@ class PlanSpec extends SparkSpec {
       s"grid must equi-join the corpus on the draw position:\n$p")
   }
 
+  test("q212: pooled bootstrap is one corpus pass — no grid join, codegen'd weight fold") {
+    // the Poisson twin must never join corpus-scale frames: the only
+    // joins allowed are the metadata-scale percentile inequality join
+    // against the broadcast q_pct list; the weight chain must stay
+    // inside WholeStageCodegen (an array HOF here once cost 4×)
+    val p = plan(SparkEntry.q212(spark, sf0001))
+    assert(!p.contains("CartesianProduct"),
+      s"pooled bootstrap must not cross-join:\n$p")
+    assert(!"HashJoin [^\n]*__idx".r.findFirstIn(p).isDefined &&
+      !"SortMergeJoin".r.findFirstIn(p).isDefined,
+      s"pooled bootstrap must have NO draw-grid join:\n$p")
+    // the corpus-side stage (scan → explode → weight → partial agg)
+    // is one codegen span: the Generate feeds a HashAggregate with no
+    // exchange between them, and no interpreted HOF breaks the stage
+    assert(!p.contains("ArrayFilter") && !p.contains("filter(lambda"),
+      s"weight lookup must not be an interpreted HOF:\n$p")
+    assert(p.contains("Generate explode"),
+      s"expected the per-doc resample explode:\n$p")
+  }
+
   test("q196: the contamination scan has no global window over position-scale data") {
     // the nearest-train-neighbor scan must run inside the range slices
     // (windows partitioned by __part) and on the per-doc interval keys;
