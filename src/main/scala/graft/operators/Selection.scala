@@ -47,16 +47,20 @@ object Selection {
   /** Exclude already-picked candidate ids from a round's frame. The
     * greedy loops run up to `maxK` rounds: a growing `isin` literal
     * puts O(r) nodes into round r's plan (re-analyzed every round),
-    * while a broadcast left-anti join against the driver-side picked
-    * set keeps every round's plan O(1) in the selection size. The two
-    * paths are value-identical (SelectionSpec pins them against each
-    * other); the anti-join is the default, the `isin` form kept for
-    * the pin.
+    * while a broadcast left-anti join keeps every round's plan O(1) in
+    * the selection size — but builds a broadcast relation per round
+    * (~50 ms), which dominates at toy k. Adaptive cut: `isin` while
+    * the picked set is small (codegen'd, zero extra jobs, plan growth
+    * bounded by the threshold), the anti-join beyond it. The two paths
+    * are value-identical (SelectionSpec pins them against each other).
     */
+  private[graft] val isinMax = 32
+
   private[graft] def excludePicked(df: DataFrame, ids: Seq[Long],
-                                   antiJoin: Boolean = true): DataFrame =
+                                   antiJoin: Option[Boolean] = None): DataFrame =
     if (ids.isEmpty) df
-    else if (!antiJoin) df.filter(!col("cid").isin(ids: _*))
+    else if (!antiJoin.getOrElse(ids.length > isinMax))
+      df.filter(!col("cid").isin(ids: _*))
     else {
       val spark = df.sparkSession
       import spark.implicits._

@@ -267,13 +267,22 @@ class SelectionSpec extends SparkSpec {
     // must produce the identical frame
     val df = (1L to 50L).map(i => (i, i * 2)).toDF("cid", "v")
     val ids = Seq(3L, 17L, 42L)
-    val viaAnti = Selection.excludePicked(df, ids)
+    val viaAnti = Selection.excludePicked(df, ids, antiJoin = Some(true))
       .as[(Long, Long)].collect().toSet
-    val viaIsin = Selection.excludePicked(df, ids, antiJoin = false)
+    val viaIsin = Selection.excludePicked(df, ids, antiJoin = Some(false))
       .as[(Long, Long)].collect().toSet
     assert(viaAnti === viaIsin)
     assert(viaAnti.map(_._1).intersect(ids.toSet).isEmpty)
     assert(Selection.excludePicked(df, Nil).count() === 50L)
+    // the adaptive default crosses to the anti-join above isinMax
+    val many = (1L to Selection.isinMax + 1L).toSeq
+    assert(Selection.excludePicked(df, many).count() === 50L - many.length)
+    assert(Selection.excludePicked(df, many)
+      .queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+      "large picked sets must route through the broadcast anti-join")
+    assert(!Selection.excludePicked(df, ids)
+      .queryExecution.executedPlan.toString.contains("Join"),
+      "small picked sets must stay on the isin filter")
     // the metadata-bounded-rounds contract is enforced, not just documented
     val ex = intercept[IllegalArgumentException] {
       Selection.kcenter(cands.toDF("vec_id", "embedding"),
