@@ -2230,10 +2230,12 @@ object Corpus {
     *
     * Scale shape: LINEAR where the textbook definition is quadratic
     * (n² BLEU calls) — bigram explode, one (doc, g) count aggregate,
-    * one per-g top-2 (a g-partitioned rank window over the count
-    * table, which is already collapsed to distinct (doc, g) rows),
-    * one g-keyed join back, one per-doc collapse. Nothing pairwise,
-    * nothing driver-side.
+    * then the per-g top-2 AND the clip both as window functions over
+    * ONE g-partitioned exchange of the already-collapsed count table
+    * (the rank and the per-g maxes share the partitioning, so no join
+    * back and the scan runs once — a join formulation re-scanned the
+    * corpus, measured 2 scans / 5 exchanges vs 1 / 3 here), one
+    * per-doc collapse. Nothing pairwise, nothing driver-side.
     *
     * Returns `(doc_id, n_bigrams, clipped, self_p2)`; documents with
     * fewer than 2 tokens have no bigrams and emit no row.
@@ -2249,15 +2251,16 @@ object Corpus {
     val cnt = docs.filter(col(textCol).isNotNull)
       .select(col(idCol).as("doc_id"), explode(grams).as("g"))
       .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
-    val w = Window.partitionBy(col("g"))
+    val wRank = Window.partitionBy(col("g"))
       .orderBy(col("c").desc, col("doc_id").asc)
-    val top = cnt.withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= 2)
-      .groupBy(col("g")).agg(
-        max(when(col("rk") === 1, col("c"))).as("m1"),
-        max(when(col("rk") === 1, col("doc_id"))).as("d1"),
-        coalesce(max(when(col("rk") === 2, col("c"))), lit(0L)).as("m2"))
-    cnt.join(top, "g")
+    val wG = Window.partitionBy(col("g"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    cnt.withColumn("rk", row_number().over(wRank))
+      .withColumn("m1", max(col("c")).over(wG))
+      .withColumn("d1",
+        max(when(col("rk") === 1, col("doc_id"))).over(wG))
+      .withColumn("m2", coalesce(
+        max(when(col("rk") === 2, col("c"))).over(wG), lit(0L)))
       .withColumn("__clip", least(col("c"),
         when(col("doc_id") === col("d1"), col("m2")).otherwise(col("m1"))))
       .groupBy(col("doc_id"))
