@@ -3706,6 +3706,34 @@ object SparkEntry {
   def q214(s: SparkSession, d: String): DataFrame =
     graft.operators.Corpus.selfBleu2(docs(s, d), "doc_id", "text")
 
+  /** Q215 — near-dup pair forensics
+    * ([[graft.operators.Dedup.pairEvidence]]): for every q22 verified
+    * near-dup pair, the 3 rarest shared 3-grams by corpus document
+    * frequency — the human-readable WHY behind each pair a reviewer
+    * samples before approving a destructive dedup pass. One string-
+    * shingle explode, one df collapse, pair fan-out over the a-side,
+    * (id, shingle) semi-match on the b-side, bounded-heap top-k per
+    * pair. Oracle: the q22 brute-force Jaccard pair set + unnested
+    * shingles + df join + (df ASC, shingle ASC) row_number ≤ 3.
+    */
+  def q215(s: SparkSession, d: String): DataFrame =
+    graft.operators.Dedup.pairEvidence(docs(s, d), "doc_id", "text")
+
+  /** Q216 — McNemar filter-promotion gate
+    * ([[graft.operators.Eval.mcnemarGate]]): per language, does
+    * quality-filter B (≥ 50 tokens) pass a significantly different
+    * document set than filter A (≥ 300 chars) on the SAME corpus?
+    * Paired-data discordant counts, z = (n_ab − n_ba)/√(n_ab + n_ba)
+    * (IEEE sqrt is correctly rounded in both engines), significance
+    * on the rounded z vs the 1.96 literal. One partial-aggregating
+    * collapse; the flags evaluate in the scan projection. Oracle
+    * replays the flags, counts, and the same sqrt arithmetic.
+    */
+  def q216(s: SparkSession, d: String): DataFrame =
+    graft.operators.Eval.mcnemarGate(docs(s, d), "lang",
+      col("n_chars") >= 300,
+      graft.functions.TextFunctions.tokenCount(col("text")) >= 50)
+
   /** Q204 — the COMPOSED streaming curation loop
     * ([[graft.streaming.CurationLoop]]): one `foreachBatch` body
     * driving all three certified incremental sinks — the near-dup
@@ -4707,7 +4735,9 @@ object SparkEntry {
     "q211_knn_outliers"     -> (q211 _),
     "q212_bootstrap_pooled" -> (q212 _),
     "q213_quality_dedup"    -> (q213 _),
-    "q214_self_bleu"        -> (q214 _))
+    "q214_self_bleu"        -> (q214 _),
+    "q215_pair_evidence"    -> (q215 _),
+    "q216_mcnemar_gate"     -> (q216 _))
 
   // DuckDB twins. Shared SQL fragments for the text queries:
   // explicit class: Java \s includes \x0B, RE2 \s does not — see
@@ -5348,6 +5378,53 @@ object SparkEntry {
           |  CAST(sum(clip) AS BIGINT) AS clipped,
           |  round(CAST(sum(clip) AS DOUBLE) / sum(c), 6) + 0 AS self_p2
           |FROM cl GROUP BY 1
+          |""".stripMargin),
+    // q215: brute-force jaccard pairs, shared shingles, rarest-first
+    // evidence ranking per pair
+    "q215_pair_evidence" ->
+      (s"""WITH toks AS (SELECT doc_id, $TOKS AS tk FROM documents),
+          |sh AS (SELECT doc_id, ${shinglesSql("tk")} AS s FROM toks),
+          |p0 AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+          |  len(list_intersect(a.s, b.s)) AS inter, len(a.s) + len(b.s) AS tot
+          |  FROM sh a JOIN sh b ON b.doc_id > a.doc_id),
+          |pairs AS (SELECT a_id, b_id FROM p0
+          |  WHERE (tot - inter) > 0 AND inter * 10 >= (tot - inter) * 7),
+          |shr AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+          |dfq AS (SELECT shingle, count(*) AS df FROM shr GROUP BY 1),
+          |ev AS (SELECT p.a_id, p.b_id, a.shingle
+          |  FROM pairs p JOIN shr a ON a.doc_id = p.a_id
+          |  JOIN shr b ON b.doc_id = p.b_id AND b.shingle = a.shingle),
+          |r AS (SELECT a_id, b_id, shingle, df, row_number() OVER (
+          |    PARTITION BY a_id, b_id ORDER BY df ASC, shingle ASC) AS rk
+          |  FROM ev JOIN dfq USING (shingle))
+          |SELECT a_id, b_id, CAST(rk AS BIGINT) AS rk, shingle,
+          |  CAST(df AS BIGINT) AS df
+          |FROM r WHERE rk <= 3
+          |""".stripMargin),
+    // q216: paired pass flags per doc, discordant counts per lang,
+    // the same sqrt z and the 1.96 literal on the rounded value
+    "q216_mcnemar_gate" ->
+      (s"""WITH f AS (SELECT lang,
+          |  (n_chars >= 300) AS a, (len($TOKS) >= 50) AS b
+          |  FROM documents),
+          |g AS (SELECT lang AS grp, count(*) AS n_docs,
+          |  sum(CASE WHEN a THEN 1 ELSE 0 END) AS a_pass,
+          |  sum(CASE WHEN b THEN 1 ELSE 0 END) AS b_pass,
+          |  sum(CASE WHEN a AND NOT b THEN 1 ELSE 0 END) AS n_ab,
+          |  sum(CASE WHEN b AND NOT a THEN 1 ELSE 0 END) AS n_ba
+          |  FROM f GROUP BY 1)
+          |SELECT grp, CAST(n_docs AS BIGINT) AS n_docs,
+          |  CAST(a_pass AS BIGINT) AS a_pass,
+          |  CAST(b_pass AS BIGINT) AS b_pass,
+          |  CAST(n_ab AS BIGINT) AS n_ab, CAST(n_ba AS BIGINT) AS n_ba,
+          |  CASE WHEN n_ab + n_ba = 0 THEN 0.0 ELSE
+          |    round(CAST(n_ab - n_ba AS DOUBLE) /
+          |      sqrt(CAST(n_ab + n_ba AS DOUBLE)), 6) + 0 END AS z_r,
+          |  CASE WHEN n_ab + n_ba = 0 THEN abs(0.0) > 1.96 ELSE
+          |    abs(round(CAST(n_ab - n_ba AS DOUBLE) /
+          |      sqrt(CAST(n_ab + n_ba AS DOUBLE)), 6) + 0) > 1.96 END
+          |    AS significant
+          |FROM g
           |""".stripMargin),
     // q152: multinomial-NB replay — the q149 unit-freeze recipe per
     // class (add-one token likelihoods + doc-count priors in integer

@@ -873,6 +873,48 @@ object Dedup {
         (col("inter").cast("double") / col("sz_a")).as("containment"))
   }
 
+  /** Near-dup pair FORENSICS: for every verified near-dup pair, the
+    * `k` most CHARACTERISTIC shared shingles — shared n-grams ranked
+    * rarest-first by corpus document frequency (a boilerplate phrase
+    * in half the corpus explains nothing; a 3-gram shared by exactly
+    * these two documents is the evidence). The audit face a
+    * destructive dedup pass needs: before dropping a million
+    * "duplicates", a reviewer samples pairs and reads WHY the engine
+    * called them duplicates, in actual text rather than hash values.
+    *
+    * Scale shape: pairs come from the same banded LSH tier as
+    * [[minhashLshPairs]] (never all-pairs); the evidence join explodes
+    * STRING shingles once (one corpus pass), computes global df with
+    * one partial-aggregating collapse, fans the pair set out over the
+    * a-side shingles and semi-matches the b-side on (id, shingle) —
+    * everything linear in pair-shingle mass — and the per-pair top-k
+    * is the bounded-heap aggregate, no window. Returns
+    * `(a_id, b_id, rk, shingle, df)`, rk 1-based by (df ASC, shingle
+    * ASC).
+    */
+  def pairEvidence(docs: DataFrame, idCol: String, textCol: String,
+                   thresholdNum: Int = 7, thresholdDen: Int = 10,
+                   ngram: Int = 3, k: Int = 3): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val pairs = minhashLshPairs(docs, idCol, textCol,
+        thresholdNum = thresholdNum, thresholdDen = thresholdDen,
+        ngram = ngram)
+      .select(col("a_id"), col("b_id"))
+    val sh = docs.select(col(idCol).as("__id"),
+      explode(TextFunctions.shingles(
+        TextFunctions.tokens(col(textCol)), ngram)).as("shingle"))
+    // shingles are distinct within a doc, so count(*) IS document freq
+    val dfq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    val shared = pairs
+      .join(sh.select(col("__id").as("a_id"), col("shingle")), Seq("a_id"))
+      .join(sh.select(col("__id").as("b_id"), col("shingle")),
+        Seq("b_id", "shingle"))
+      .join(dfq, Seq("shingle"))
+    TopK.topKPerKey(shared, Seq("a_id", "b_id"),
+        struct(col("df"), col("shingle")), Seq("shingle", "df"), k)
+      .select(col("a_id"), col("b_id"), col("rk"), col("shingle"), col("df"))
+  }
+
   /** QUALITY-AWARE corpus dedup: the exact clustering of
     * [[dedupCorpus]], but each near-dup cluster keeps its
     * HIGHEST-`qualityCol` member (ties → smallest id) instead of the

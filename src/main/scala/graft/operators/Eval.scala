@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.functions.NumFunctions
 
@@ -243,6 +243,49 @@ object Eval {
       .agg(min(col("__m")).as("boot_mean"))
       .select(col("q_pct"), lit(n).as("n_docs"),
         lit(numResamples.toLong).as("n_resamples"), col("boot_mean"))
+  }
+
+  /** McNemar's paired gate for FILTER A/B promotion (McNemar 1947;
+    * the correct test when two filter versions run on the SAME corpus
+    * — a two-proportion z assumes independent samples and overstates
+    * significance on paired data): per group, count the concordant
+    * and DISCORDANT documents (passed A but not B, and vice versa);
+    * the statistic `z = (n_ab − n_ba) / sqrt(n_ab + n_ba)` asks
+    * whether the version change moved the pass set beyond chance.
+    * This is the number a data lead reads before promoting quality
+    * filter v2: "it passes 2 % more" means nothing if the discordant
+    * counts are 30 vs 28 on a million docs.
+    *
+    * Determinism: counts are exact; `sqrt` is IEEE-754
+    * correctly-rounded in every engine, so one divide + round(6) is
+    * replayable bit-for-bit; `significant` compares the ROUNDED z
+    * against the 1.96 two-sided 95 % literal (both engines compare
+    * identical doubles). Groups with zero discordant docs report
+    * z = 0, not NaN (the versions agree everywhere — nothing to
+    * promote or block).
+    *
+    * Scale shape: ONE partial-aggregating collapse to a row per group
+    * — both pass flags evaluate row-local in the scan projection;
+    * nothing joins, nothing windows.
+    *
+    * Returns `(group, n_docs, a_pass, b_pass, n_ab, n_ba, z_r,
+    * significant)`.
+    */
+  def mcnemarGate(df: DataFrame, groupCol: String, passA: Column,
+                  passB: Column): DataFrame = {
+    val a = passA.cast("boolean")
+    val b = passB.cast("boolean")
+    df.groupBy(col(groupCol).as("grp"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(a, 1L).otherwise(0L)).as("a_pass"),
+        sum(when(b, 1L).otherwise(0L)).as("b_pass"),
+        sum(when(a && !b, 1L).otherwise(0L)).as("n_ab"),
+        sum(when(!a && b, 1L).otherwise(0L)).as("n_ba"))
+      .withColumn("z_r", when(col("n_ab") + col("n_ba") === 0, lit(0.0))
+        .otherwise(NumFunctions.roundNz(
+          (col("n_ab") - col("n_ba")).cast("double") /
+            sqrt((col("n_ab") + col("n_ba")).cast("double")), 6)))
+      .withColumn("significant", abs(col("z_r")) > 1.96)
   }
 
   /** Poisson(1) cumulative thresholds on the integer grid [0, 1e6):

@@ -158,6 +158,27 @@ class DedupSpec extends SparkSpec {
     assert(sIds === Set(1L, 9L))
   }
 
+  test("pairEvidence ranks shared shingles rarest-first with exact df") {
+    // docs 1 and 2 are identical (the verified pair); doc 3 shares ONLY
+    // the boilerplate "p q r" 3-gram (jaccard 1/7, below threshold) —
+    // so "p q r" has df 3 (uninformative) and the pair's evidence must
+    // lead with the df-2 shingles unique to the duplicated text
+    val d = Seq(
+      1L -> "p q r s t u",
+      2L -> "p q r s t u",
+      3L -> "p q r x y z w").toDF("doc_id", "text")
+    val got = Dedup.pairEvidence(d, "doc_id", "text", k = 3)
+      .as[(Long, Long, Long, String, Long)].collect().sortBy(_._3)
+    assert(got.map(x => (x._1, x._2)).toSet === Set((1L, 2L)))
+    assert(got.map(x => (x._3, x._4, x._5)).toSeq === Seq(
+      (1L, "q r s", 2L), (2L, "r s t", 2L), (3L, "s t u", 2L)))
+    // k beyond the shared set exhausts it, boilerplate ranked LAST
+    val all = Dedup.pairEvidence(d, "doc_id", "text", k = 10)
+      .as[(Long, Long, Long, String, Long)].collect().sortBy(_._3)
+    assert(all.length === 4)
+    assert(all.last._4 === "p q r" && all.last._5 === 3L)
+  }
+
   test("dedupCorpusByQuality keeps the best copy per cluster, ties to smallest id") {
     // the planted cluster {1,2,3,5} with quality making doc 5 the best
     // copy; doc 9 is a singleton and must survive regardless of score

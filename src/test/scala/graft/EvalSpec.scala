@@ -107,6 +107,26 @@ class EvalSpec extends SparkSpec {
       "doc_id", "metric", numResamples = 5).count() === 0L)
   }
 
+  test("mcnemarGate: hand-computed discordant z, agreement gives z = 0") {
+    // group g1: 12 docs — a-only 9, b-only 1, both 2:
+    //   n_ab = 9, n_ba = 1 → z = 8/sqrt(10) ≈ 2.529822 → significant
+    // group g2: both filters agree on every doc → z = 0, insignificant
+    val rows =
+      (1 to 9).map(i => ("g1", true, false)) ++
+      Seq(("g1", false, true)) ++
+      (1 to 2).map(_ => ("g1", true, true)) ++
+      Seq(("g2", true, true), ("g2", false, false), ("g2", true, true))
+    val df = rows.toDF("grp0", "a", "b")
+    import org.apache.spark.sql.functions.col
+    val got = Eval.mcnemarGate(df, "grp0", col("a"), col("b"))
+      .as[(String, Long, Long, Long, Long, Long, Double, Boolean)]
+      .collect().map(r => r._1 -> r).toMap
+    val z = BigDecimal(8.0 / math.sqrt(10.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got("g1") === (("g1", 12L, 11L, 3L, 9L, 1L, z, true)))
+    assert(got("g2") === (("g2", 3L, 2L, 2L, 0L, 0L, 0.0, false)))
+  }
+
   test("classificationReport: hand-computed precision/recall/f1") {
     // labels: a×3, b×2; preds: a correct 2/3, one a→b; b correct 1/2, one b→a
     val df = Seq(
