@@ -450,6 +450,77 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: selfBleu2 matches the pairwise-max witness on arbitrary tiny corpora") {
+    val docGen = Gen.listOfN(8, Gen.oneOf("a", "b", "c")).map(_.mkString(" "))
+    samples(Gen.listOfN(6, docGen), 8).foreach { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val got = graft.operators.Corpus.selfBleu2(df, "doc_id", "text")
+        .as[(Long, Long, Long, Double)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      def bg(t: String): Map[String, Int] = t.split(" ").sliding(2)
+        .map(_.mkString(" ")).toSeq.groupBy(identity)
+        .view.mapValues(_.size).toMap
+      val all = texts.zipWithIndex.map { case (t, i) => i.toLong -> bg(t) }
+      all.foreach { case (id, counts) =>
+        val total = counts.values.sum.toLong
+        val clipped = counts.map { case (g, c) =>
+          val others = all.filter(_._1 != id).map(_._2.getOrElse(g, 0)).max
+          math.min(c, others).toLong
+        }.sum
+        assert(got(id) === ((total, clipped)), s"doc $id in $texts")
+      }
+    }
+  }
+
+  test("property: mcnemarGate — swapping the filters negates z; counts partition n") {
+    val rowGen = for {
+      g <- Gen.oneOf("x", "y"); a <- Gen.oneOf(true, false)
+      b <- Gen.oneOf(true, false)
+    } yield (g, a, b)
+    samples(Gen.listOfN(40, rowGen), 8).foreach { rows =>
+      val df = rows.toDF("grp0", "a", "b")
+      val ab = graft.operators.Eval.mcnemarGate(df, "grp0", col("a"), col("b"))
+        .as[(String, Long, Long, Long, Long, Long, Double, Boolean)]
+        .collect().map(r => r._1 -> r).toMap
+      val ba = graft.operators.Eval.mcnemarGate(df, "grp0", col("b"), col("a"))
+        .as[(String, Long, Long, Long, Long, Long, Double, Boolean)]
+        .collect().map(r => r._1 -> r).toMap
+      ab.foreach { case (g, r) =>
+        assert(ba(g)._7 === -r._7 && ba(g)._8 === r._8, s"swap must negate z for $g")
+        assert(ba(g)._5 === r._6 && ba(g)._6 === r._5)
+        val n = rows.count(_._1 == g)
+        assert(r._2 === n.toLong)
+        // discordant counts are bounded by the pass counts
+        assert(r._5 <= r._3 && r._6 <= r._4)
+      }
+    }
+  }
+
+  test("property: pairEvidence shingles occur in BOTH pair members, ranks dense from 1") {
+    // near-dup-heavy generator: few distinct templates so pairs exist
+    val tmplGen = Gen.oneOf(
+      "p q r s t u v w", "p q r s t u v x", "m n o k l j h g")
+    samples(Gen.listOfN(5, tmplGen), 6).foreach { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val got = graft.operators.Dedup.pairEvidence(df, "doc_id", "text", k = 5)
+        .as[(Long, Long, Long, String, Long)].collect()
+      def sh(t: String): Set[String] =
+        t.split(" ").sliding(3).map(_.mkString(" ")).toSet
+      val byId = texts.zipWithIndex.map { case (t, i) => i.toLong -> sh(t) }.toMap
+      got.foreach { case (a, b, _, g, df0) =>
+        assert(byId(a).contains(g) && byId(b).contains(g),
+          s"evidence '$g' must be in both $a and $b")
+        assert(df0 === byId.values.count(_.contains(g)).toLong)
+      }
+      got.groupBy(r => (r._1, r._2)).foreach { case (pair, rs) =>
+        assert(rs.map(_._3).sorted.toSeq === (1L to rs.length).toSeq,
+          s"ranks must be dense from 1 for $pair")
+      }
+    }
+  }
+
   test("property: modePerKey's winner count equals the true max count") {
     val rowGen = for {
       k <- Gen.choose(0L, 5L); v <- Gen.oneOf("a", "b", "c", "d")
