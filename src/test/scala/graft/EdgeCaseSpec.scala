@@ -416,4 +416,61 @@ class EdgeCaseSpec extends SparkSpec {
         "doc_id", "m")
     }
   }
+
+  test("round-16 operators on degenerate inputs") {
+    import graft.operators.{Corpus, Dedup, Eval, Similarity}
+    // selfBleu2: empty corpus and sub-bigram docs emit nothing;
+    // a single multi-bigram doc scores 0 (no other holder of any gram)
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Corpus.selfBleu2(empty, "doc_id", "text").count() === 0)
+    assert(Corpus.selfBleu2(Seq((1L, "solo")).toDF("doc_id", "text"),
+      "doc_id", "text").count() === 0)
+    val single = Corpus.selfBleu2(
+        Seq((1L, "a b c d")).toDF("doc_id", "text"), "doc_id", "text")
+      .as[(Long, Long, Long, Double)].collect()
+    assert(single.toSeq === Seq((1L, 3L, 0L, 0.0)))
+    // null text drops, never NPEs
+    assert(Corpus.selfBleu2(Seq((1L, Option.empty[String]),
+        (2L, Some("x y z"))).toDF("doc_id", "text"),
+      "doc_id", "text").count() === 1)
+
+    // pairEvidence: no qualifying pairs -> empty frame, not an error
+    assert(Dedup.pairEvidence(Seq(
+      (1L, "completely unrelated first document text body"),
+      (2L, "another entirely different second story line")).toDF("doc_id", "text"),
+      "doc_id", "text").count() === 0)
+    assert(Dedup.pairEvidence(empty, "doc_id", "text").count() === 0)
+
+    // dedupCorpusByQuality: null text docs survive as singletons (the
+    // fingerprint stage gives them per-id identities), quality nulls of
+    // OTHER clusters never bleed in
+    val mixed = Seq((1L, Some("one two three four five six seven"), 2.0),
+        (2L, Option.empty[String], 9.0))
+      .toDF("doc_id", "text", "q")
+    assert(Dedup.dedupCorpusByQuality(mixed.filter(col("text").isNotNull),
+      "doc_id", "text", "q").count() === 1)
+
+    // mcnemarGate: empty input -> empty frame; all-pass group -> z = 0
+    assert(Eval.mcnemarGate(Seq.empty[(String, Boolean, Boolean)]
+      .toDF("g", "a", "b"), "g", col("a"), col("b")).count() === 0)
+    val allPass = Eval.mcnemarGate(Seq(("g", true, true), ("g", true, true))
+        .toDF("g", "a", "b"), "g", col("a"), col("b"))
+      .as[(String, Long, Long, Long, Long, Long, Double, Boolean)].collect()
+    assert(allPass.toSeq === Seq(("g", 2L, 2L, 2L, 0L, 0L, 0.0, false)))
+
+    // bootstrapMeanCIPooled: single-row corpus — every retained
+    // resample's weighted mean is that row's value
+    val p1 = Eval.bootstrapMeanCIPooled(Seq((1L, 5L)).toDF("doc_id", "m"),
+        "doc_id", "m", numResamples = 10, qPcts = Seq(50))
+      .as[(Long, Long, Long, Double)].collect()
+    assert(p1.length === 1 && p1(0)._1 === 50L && p1(0)._4 === 5.0)
+    assert(p1(0)._3 <= 10L && p1(0)._3 >= 1L) // zero-weight resamples drop
+
+    // knnOutlierScoresBatched: empty probes -> empty result
+    val vecs = (1L to 5L).map(i => (i, Array(1.0, 0.0)))
+      .toDF("vec_id", "embedding")
+    assert(Similarity.knnOutlierScoresBatched(vecs,
+      vecs.filter(col("vec_id") < 0), "vec_id", "embedding", k = 2)
+      .count() === 0)
+  }
 }
