@@ -2230,11 +2230,13 @@ object Corpus {
     *
     * Scale shape: LINEAR where the textbook definition is quadratic
     * (n² BLEU calls) — bigram explode, one (doc, g) count aggregate,
-    * then the per-g top-2 AND the clip both as window functions over
-    * ONE g-partitioned exchange of the already-collapsed count table
-    * (the rank and the per-g maxes share the partitioning, so no join
-    * back and the scan runs once — a join formulation re-scanned the
-    * corpus, measured 2 scans / 5 exchanges vs 1 / 3 here), one
+    * per-g top-2 via the BOUNDED-HEAP aggregate (map-side partial
+    * heaps — deliberately NOT a g-partitioned rank window: a stopword
+    * bigram like "of the" holds a count row for nearly every document,
+    * and a window would sort that whole group inside ONE task — a
+    * straggler/OOM at corpus scale, where the heap's partials combine
+    * skew-free), then a g-keyed equi-join of the 2-row-per-g top table
+    * back onto the counts (AQE splits any residual join skew), one
     * per-doc collapse. Nothing pairwise, nothing driver-side.
     *
     * Returns `(doc_id, n_bigrams, clipped, self_p2)`; documents with
@@ -2251,16 +2253,14 @@ object Corpus {
     val cnt = docs.filter(col(textCol).isNotNull)
       .select(col(idCol).as("doc_id"), explode(grams).as("g"))
       .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
-    val wRank = Window.partitionBy(col("g"))
-      .orderBy(col("c").desc, col("doc_id").asc)
-    val wG = Window.partitionBy(col("g"))
-      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    cnt.withColumn("rk", row_number().over(wRank))
-      .withColumn("m1", max(col("c")).over(wG))
-      .withColumn("d1",
-        max(when(col("rk") === 1, col("doc_id"))).over(wG))
-      .withColumn("m2", coalesce(
-        max(when(col("rk") === 2, col("c"))).over(wG), lit(0L)))
+    val top = TopK.topKPerKey(cnt, Seq("g"),
+        struct(negate(col("c")).as("nc"), col("doc_id").as("d")),
+        Seq("doc_id", "c"), 2)
+      .groupBy(col("g")).agg(
+        max(when(col("rk") === 1, col("c"))).as("m1"),
+        max(when(col("rk") === 1, col("doc_id"))).as("d1"),
+        coalesce(max(when(col("rk") === 2, col("c"))), lit(0L)).as("m2"))
+    cnt.join(top, "g")
       .withColumn("__clip", least(col("c"),
         when(col("doc_id") === col("d1"), col("m2")).otherwise(col("m1"))))
       .groupBy(col("doc_id"))
