@@ -3734,6 +3734,19 @@ object SparkEntry {
       col("n_chars") >= 300,
       graft.functions.TextFunctions.tokenCount(col("text")) >= 50)
 
+  /** Q217 — windowed code-switch audit
+    * ([[graft.operators.Corpus.codeSwitchAudit]]; the CCNet/C4
+    * per-segment language-filter discipline): the q19 marker
+    * heuristic applied per 30-token window instead of per document —
+    * window count, distinct window languages, majority language
+    * (ties to the smallest) and its share per document. Window texts
+    * build row-locally; majority via one struct min_by, no window
+    * function. Oracle replays the token slices, the marker counts,
+    * and the (count DESC, lang ASC) head per document.
+    */
+  def q217(s: SparkSession, d: String): DataFrame =
+    graft.operators.Corpus.codeSwitchAudit(docs(s, d), "doc_id", "text")
+
   /** Q204 — the COMPOSED streaming curation loop
     * ([[graft.streaming.CurationLoop]]): one `foreachBatch` body
     * driving all three certified incremental sinks — the near-dup
@@ -4737,7 +4750,8 @@ object SparkEntry {
     "q213_quality_dedup"    -> (q213 _),
     "q214_self_bleu"        -> (q214 _),
     "q215_pair_evidence"    -> (q215 _),
-    "q216_mcnemar_gate"     -> (q216 _))
+    "q216_mcnemar_gate"     -> (q216 _),
+    "q217_code_switch"      -> (q217 _))
 
   // DuckDB twins. Shared SQL fragments for the text queries:
   // explicit class: Java \s includes \x0B, RE2 \s does not — see
@@ -5425,6 +5439,42 @@ object SparkEntry {
           |      sqrt(CAST(n_ab + n_ba AS DOUBLE)), 6) + 0) > 1.96 END
           |    AS significant
           |FROM g
+          |""".stripMargin),
+    // q217: 30-token window slices, the q19 marker CASE per window,
+    // per-doc (count DESC, lang ASC) majority head
+    "q217_code_switch" ->
+      (s"""WITH t AS (SELECT doc_id, $TOKS AS tk FROM documents
+          |  WHERE text IS NOT NULL),
+          |w AS (SELECT doc_id, tk, len(tk) AS n,
+          |  unnest(range(CAST(ceil(len(tk) / 30.0) AS BIGINT))) AS i
+          |  FROM t WHERE len(tk) >= 1),
+          |sl AS (SELECT doc_id, i,
+          |  tk[CAST(i * 30 + 1 AS BIGINT):CAST(least((i + 1) * 30, n) AS BIGINT)] AS wt
+          |  FROM w),
+          |sc AS (SELECT doc_id, i, array_to_string(wt, ' ') AS wtext,
+          |  list_transform(wt, x -> lower(x)) AS lt FROM sl),
+          |m AS (SELECT doc_id, i,
+          |  len(list_filter(lt, x -> x IN ('the','a','of','and','is'))) AS en,
+          |  len(list_filter(lt, x -> x IN ('der','die','und','ist','nicht'))) AS de,
+          |  len(list_filter(lt, x -> x IN ('el','los','una','es','y'))) AS es,
+          |  len(list_filter(lt, x -> x IN ('le','les','une','est','et'))) AS fr,
+          |  wtext FROM sc),
+          |l AS (SELECT doc_id, CASE
+          |  WHEN regexp_matches(wtext, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
+          |  WHEN de > en AND de >= es AND de >= fr THEN 'de'
+          |  WHEN es > en AND es >= fr THEN 'es'
+          |  WHEN fr > en THEN 'fr'
+          |  ELSE 'en' END AS lang FROM m),
+          |g AS (SELECT doc_id, lang, count(*) AS c FROM l GROUP BY 1, 2),
+          |r AS (SELECT doc_id, lang, c,
+          |  row_number() OVER (PARTITION BY doc_id
+          |    ORDER BY c DESC, lang ASC) AS rk,
+          |  sum(c) OVER (PARTITION BY doc_id) AS nw,
+          |  count(*) OVER (PARTITION BY doc_id) AS nl FROM g)
+          |SELECT doc_id, CAST(nw AS BIGINT) AS n_windows,
+          |  CAST(nl AS BIGINT) AS n_langs, lang AS major_lang,
+          |  round(CAST(c AS DOUBLE) / nw, 6) + 0 AS major_share_r
+          |FROM r WHERE rk = 1
           |""".stripMargin),
     // q152: multinomial-NB replay — the q149 unit-freeze recipe per
     // class (add-one token likelihoods + doc-count priors in integer

@@ -2213,6 +2213,51 @@ object Corpus {
     }.toMap
   }
 
+  /** Windowed CODE-SWITCH audit: language consistency WITHIN each
+    * document. A document-level language id (q19) happily labels a
+    * half-English/half-German page "en" and a curation pipeline then
+    * files mixed-language noise into its English corpus; windowing the
+    * same marker heuristic over fixed `windowTokens` slices exposes
+    * the mix — per document: how many windows, how many distinct
+    * window languages, the majority language (ties to the
+    * lexicographically smallest) and its share. `n_langs > 1` or a low
+    * `major_share_r` is the code-switching / boilerplate-mix flag
+    * (the CCNet/C4 line of per-segment language filtering).
+    *
+    * Scale shape: window texts build ROW-LOCALLY (token slice +
+    * rejoin inside the document row), one explode, two
+    * partial-aggregating collapses ((doc, lang) then doc — the
+    * majority via one struct `min_by`, no window function). Documents
+    * with zero tokens emit no row.
+    *
+    * Returns `(doc_id, n_windows, n_langs, major_lang,
+    * major_share_r)`, share rounded to 6.
+    */
+  def codeSwitchAudit(docs: DataFrame, idCol: String, textCol: String,
+                      windowTokens: Int = 30): DataFrame = {
+    require(windowTokens >= 1,
+      s"windowTokens must be >= 1, got $windowTokens")
+    val toks = TextFunctions.tokens(col(textCol))
+    val nW = ceil(size(toks).cast("double") / windowTokens).cast("int")
+    val wins = transform(sequence(lit(0), nW - 1),
+      i => concat_ws(" ",
+        slice(toks, i * windowTokens + 1, lit(windowTokens))))
+    val wl = docs.filter(col(textCol).isNotNull && size(toks) >= 1)
+      .select(col(idCol).as("doc_id"), explode(wins).as("__wtext"))
+      .select(col("doc_id"), TextFunctions.langId(col("__wtext")).as("lang"))
+    wl.groupBy(col("doc_id"), col("lang")).agg(count(lit(1)).as("__c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("__c")).as("n_windows"),
+        count(lit(1)).as("n_langs"),
+        min_by(col("lang"),
+          struct(negate(col("__c")).as("nc"), col("lang").as("l")))
+          .as("major_lang"),
+        max(col("__c")).as("__mc"))
+      .withColumn("major_share_r", NumFunctions.roundNz(
+        col("__mc").cast("double") / col("n_windows"), 6))
+      .drop("__mc")
+  }
+
   /** Self-BLEU-2 precision core (Zhu et al., "Texygen: A Benchmarking
     * Platform for Text Generation Models", SIGIR 2018): per document,
     * the MODIFIED BIGRAM PRECISION of the document against all OTHER

@@ -109,6 +109,29 @@ class CorpusSpec extends SparkSpec {
     assert(got(3L) === ((0L, 0L, 0L, 0L, 0.0)))
   }
 
+  test("codeSwitchAudit flags the planted mixed-language doc; pure docs score 1.0") {
+    // doc 1: 30 English-marker tokens then 30 German-marker tokens —
+    // exactly two windows, one per language → n_langs 2, share 0.5
+    // (majority tie 1-1 breaks to 'de' < 'en' lexicographically)
+    val en = Seq.fill(6)("the a of and is").mkString(" ")   // 30 toks
+    val de = Seq.fill(6)("der die und ist nicht").mkString(" ")
+    val d = docTable(Seq(
+      1L -> (en + " " + de),
+      2L -> en,                          // one pure-en window
+      3L -> (en + " " + en + " " + en))) // three pure-en windows
+    val got = Corpus.codeSwitchAudit(d, "doc_id", "text")
+      .as[(Long, Long, Long, String, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got(1L) === ((2L, 2L, "de", 0.5)))
+    assert(got(2L) === ((1L, 1L, "en", 1.0)))
+    assert(got(3L) === ((3L, 1L, "en", 1.0)))
+    // empty text emits no row; a short window still classifies
+    val e = Corpus.codeSwitchAudit(docTable(Seq(9L -> "", 10L -> "le les une")),
+        "doc_id", "text")
+      .as[(Long, Long, Long, String, Double)].collect()
+    assert(e.toSeq === Seq((10L, 1L, 1L, "fr", 1.0)))
+  }
+
   test("selfBleu2 equals the hand-computed clip arithmetic") {
     // A = "a b a b": bigrams {a b:2, b a:1}, total 3
     // B = "a b c":   bigrams {a b:1, b c:1}, total 2
