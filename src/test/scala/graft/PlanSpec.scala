@@ -383,6 +383,29 @@ class PlanSpec extends SparkSpec {
       s"expected the per-doc resample explode:\n$p")
   }
 
+  test("q214/q215/q217: the round-16 text ops avoid windows over corpus-scale keys") {
+    // q214: the per-bigram top-2 must be the bounded-heap aggregate —
+    // a g-partitioned rank window would sort a stopword bigram's whole
+    // count group in one task
+    val p214 = plan(SparkEntry.q214(spark, sf0001))
+    assert(!p214.contains("Window"),
+      s"selfBleu2 must not window over bigram keys:\n$p214")
+    assert(!p214.contains("CartesianProduct"),
+      s"selfBleu2 must not cross-join:\n$p214")
+    // q215: pair evidence is equi-joins + the heap top-k — nothing
+    // cartesian, no window
+    val p215 = plan(SparkEntry.q215(spark, sf0001))
+    assert(!p215.contains("CartesianProduct") && !p215.contains("Window"),
+      s"pairEvidence must stay equi-join + heap:\n$p215")
+    // q217: window texts build row-locally; the majority is a struct
+    // min_by — the plan is scan → generate → two hash aggregates
+    val p217 = plan(SparkEntry.q217(spark, sf0001))
+    assert(!p217.contains("Window") && !p217.contains("Join"),
+      s"codeSwitchAudit must be generate + aggregates only:\n$p217")
+    assert(p217.contains("Generate explode"),
+      s"expected the per-doc window explode:\n$p217")
+  }
+
   test("q196: the contamination scan has no global window over position-scale data") {
     // the nearest-train-neighbor scan must run inside the range slices
     // (windows partitioned by __part) and on the per-doc interval keys;
