@@ -2295,8 +2295,14 @@ object Corpus {
       transform(sequence(lit(1), size(toks) - 1),
         i => concat(element_at(toks, i), lit(" "), element_at(toks, i + 1))))
       .otherwise(array().cast("array<string>"))
-    val cnt = docs.filter(col(textCol).isNotNull)
-      .select(col(idCol).as("doc_id"), explode(grams).as("g"))
+    // bigram texts build through interpreted HOFs (no codegen); spread
+    // a narrow single-file scan so the per-doc work parallelizes (the
+    // q215 lesson: one task otherwise owns the whole explode)
+    val cnt = Similarity.spreadIfNarrow(
+        docs.filter(col(textCol).isNotNull)
+          .select(col(idCol).as("doc_id"), col(textCol)),
+        computeWeight = 512)
+      .select(col("doc_id"), explode(grams).as("g"))
       .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
     val top = TopK.topKPerKey(cnt, Seq("g"),
         struct(negate(col("c")).as("nc"), col("doc_id").as("d")),

@@ -883,12 +883,14 @@ object Dedup {
     * called them duplicates, in actual text rather than hash values.
     *
     * Scale shape: pairs come from the same banded LSH tier as
-    * [[minhashLshPairs]] (never all-pairs); the evidence join explodes
-    * STRING shingles once (one corpus pass), computes global df with
-    * one partial-aggregating collapse, fans the pair set out over the
-    * a-side shingles and semi-matches the b-side on (id, shingle) —
-    * everything linear in pair-shingle mass — and the per-pair top-k
-    * is the bounded-heap aggregate, no window. Returns
+    * [[minhashLshPairs]] (never all-pairs). The corpus-scale STRING
+    * shingle explode — the dominant cost — runs exactly once: the
+    * pair-member id set broadcasts onto the exploded rows, and ONE
+    * shingle-keyed partial-aggregating collapse produces the global
+    * document frequency AND the pair-member occurrence list per
+    * shingle together; everything after (the a/b evidence joins, the
+    * per-pair bounded-heap top-k) touches only dup-mass-sized frames
+    * pinned by an eager localCheckpoint. No window anywhere. Returns
     * `(a_id, b_id, rk, shingle, df)`, rk 1-based by (df ASC, shingle
     * ASC).
     */
@@ -900,16 +902,39 @@ object Dedup {
         thresholdNum = thresholdNum, thresholdDen = thresholdDen,
         ngram = ngram)
       .select(col("a_id"), col("b_id"))
-    val sh = docs.select(col(idCol).as("__id"),
-      explode(TextFunctions.shingles(
+    // STRING shingles ride interpreted HOFs (split/filter/transform —
+    // no codegen), ~30 µs/row: a single-file input would run the whole
+    // explode in ONE task (measured 8 s for 260 k rows at sf0.1), so
+    // spread narrow scans before the per-doc work
+    val sh = Similarity.spreadIfNarrow(
+        docs.select(col(idCol).as("__id"), col(textCol)),
+        computeWeight = 512)
+      .select(col("__id"), explode(TextFunctions.shingles(
         TextFunctions.tokens(col(textCol)), ngram)).as("shingle"))
-    // shingles are distinct within a doc, so count(*) IS document freq
-    val dfq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    val ids = pairs.select(col("a_id").as("__id"))
+      .unionByName(pairs.select(col("b_id").as("__id"))).distinct()
+    // the corpus-scale shingle explode is the dominant cost (measured
+    // ~8 s/pass at sf0.1) — so it runs EXACTLY ONCE: the pair-member
+    // marker broadcasts onto the exploded rows, and one shingle-keyed
+    // collapse yields global df AND the member id list per shingle
+    // (collect_list skips the nulls of non-member rows; list length is
+    // bounded by the pair-member doc count — dup-mass, not corpus).
+    // The eager localCheckpoint pins the dup-mass-sized result so the
+    // a/b evidence branches below don't re-run the pass.
+    val shPd = sh
+      .join(broadcast(ids.withColumn("__m", lit(1))), Seq("__id"), "left")
+      .groupBy(col("shingle"))
+      .agg(count(lit(1)).as("df"),
+        collect_list(when(col("__m") === 1, col("__id"))).as("__members"))
+      .filter(size(col("__members")) > 0)
+      .select(col("shingle"), col("df"),
+        explode(col("__members")).as("__id"))
+      .localCheckpoint(true)
     val shared = pairs
-      .join(sh.select(col("__id").as("a_id"), col("shingle")), Seq("a_id"))
-      .join(sh.select(col("__id").as("b_id"), col("shingle")),
+      .join(shPd.select(col("__id").as("a_id"), col("shingle"), col("df")),
+        Seq("a_id"))
+      .join(shPd.select(col("__id").as("b_id"), col("shingle")),
         Seq("b_id", "shingle"))
-      .join(dfq, Seq("shingle"))
     TopK.topKPerKey(shared, Seq("a_id", "b_id"),
         struct(col("df"), col("shingle")), Seq("shingle", "df"), k)
       .select(col("a_id"), col("b_id"), col("rk"), col("shingle"), col("df"))
