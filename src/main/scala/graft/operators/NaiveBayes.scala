@@ -50,9 +50,12 @@ object NaiveBayes {
     require(dim >= 2 && dim <= 65536,
       s"dim must be in [2, 65536] (score maps are plan literals), got $dim")
     import graft.operators.QualityClassifier.featureBucket
-    val toks = docs
-      .select(col(labelCol).as("label"),
-        TextFunctions.tokens(col(textCol)).as("__tk"))
+    // tokens() is an interpreted HOF chain — spread a narrow
+    // single-file scan so the per-doc work parallelizes (q215 lesson)
+    val toks = Similarity.spreadIfNarrow(
+        docs.select(col(labelCol).as("label"), col(textCol)),
+        computeWeight = 512)
+      .select(col("label"), TextFunctions.tokens(col(textCol)).as("__tk"))
       .filter(size(col("__tk")) > 0 && col("label").isNotNull)
 
     // every class histogram in ONE pass; (K·dim)-bounded result
@@ -119,8 +122,13 @@ object NaiveBayes {
   def nbApply(docs: DataFrame, idCol: String, textCol: String,
               labelCol: String, model: NbModel, dim: Int = 128): DataFrame = {
     import graft.operators.QualityClassifier.featureBucket
-    val toks = docs
-      .select(col(idCol).as("id"), col(labelCol).as("label"),
+    // the per-class score folds are interpreted `aggregate` HOFs —
+    // spread narrow scans before the per-doc work (q215 lesson)
+    val toks = Similarity.spreadIfNarrow(
+        docs.select(col(idCol).as("id"), col(labelCol).as("label"),
+          col(textCol)),
+        computeWeight = 512)
+      .select(col("id"), col("label"),
         TextFunctions.tokens(col(textCol)).as("__tk"))
       .filter(size(col("__tk")) > 0 && col("label").isNotNull)
     val scored = toks.select(col("id") +: col("label") +: model.classes.map { c =>
