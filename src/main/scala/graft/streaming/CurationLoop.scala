@@ -79,13 +79,21 @@ object CurationLoop {
 
   /** Wire a document stream to the composed loop. `availableNow = true`
     * is CRON-drain mode (process everything, checkpoint, exit), the
-    * [[IngestPipeline.writer]] convention.
+    * [[IngestPipeline.writer]] convention. `compactEvery > 0` folds
+    * the dedup index's sealed batches into a generation every that
+    * many batches, FROM the same foreachBatch body — the single-writer
+    * serialization the compaction protocol requires comes free, and
+    * the probe wall stays pinned to index size as history grows
+    * (BASELINE `curation_scale`). The fold runs AFTER the batch
+    * commits, so a crash between them replays convergently (the
+    * batch's markers short-circuit, the fold re-runs idempotently).
     */
   def writer(stream: DataFrame, root: String, checkpoint: String,
              idCol: String, textCol: String,
              partCols: Seq[String], keyCols: Seq[String], valueCol: String,
              availableNow: Boolean = true,
-             interval: String = "10 seconds"): DataStreamWriter[Row] =
+             interval: String = "10 seconds",
+             compactEvery: Int = 0): DataStreamWriter[Row] =
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(if (availableNow) Trigger.AvailableNow()
@@ -94,7 +102,9 @@ object CurationLoop {
         if (!batch.isEmpty) {
           apply(batch.sparkSession, batch, root, idCol, textCol,
             partCols, keyCols, valueCol, id)
-          ()
+          if (compactEvery > 0 && (id + 1) % compactEvery == 0) {
+            compact(batch.sparkSession, root); ()
+          }
         }
       }
 }

@@ -81,6 +81,36 @@ class CurationLoopSpec extends SparkSpec {
     assert(stats === Set(("en", 4L, 3.31), ("de", 4L, 1.77)))
   }
 
+  test("writer with compactEvery folds the index mid-stream; readers identical to the uncompacted twin") {
+    val streamRoot = freshRoot("stream-compact")
+    val batchRoot = freshRoot("twin-plain")
+    runLoop(batchRoot)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String, String, Double)]
+    val q = CurationLoop.writer(
+        input.toDF().toDF("doc_id", "lang", "text", "quality"),
+        streamRoot, freshRoot("ck2"), "doc_id", "text",
+        Seq("lang"), Seq("lang"), "quality",
+        availableNow = false, interval = "1 second", compactEvery = 2)
+      .start()
+    val byDay = docs.as[(Long, String, String, Double)].collect()
+      .groupBy(r => r._1 / 10 - 1)
+    (0L to 2L).foreach { d => input.addData(byDay(d).toSeq); q.processAllAvailable() }
+    q.stop()
+    // batch ids 0..2 with compactEvery = 2 → one fold after batch 1:
+    // a committed generation exists and batches 0-1's dirs are gone
+    val fs = new org.apache.hadoop.fs.Path(streamRoot)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val gen0 = new org.apache.hadoop.fs.Path(
+      CurationLoop.dedupRoot(streamRoot), "_gen/0/_COMMITTED")
+    assert(fs.exists(gen0), "compactEvery must have folded a generation")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(
+      CurationLoop.dedupRoot(streamRoot), "ingest_batch=0")))
+    // every reader sees the identical state the never-compacted twin has
+    assert(fingerprint(streamRoot) === fingerprint(batchRoot))
+  }
+
   test("crash between sinks: dedup committed, numeric sinks not — replay converges") {
     val root = freshRoot("crash1")
     val twin = freshRoot("crash1t")
