@@ -3747,6 +3747,151 @@ object SparkEntry {
   def q217(s: SparkSession, d: String): DataFrame =
     graft.operators.Corpus.codeSwitchAudit(docs(s, d), "doc_id", "text")
 
+  /** Q218 — Fleiss' kappa inter-annotator agreement
+    * ([[graft.operators.Eval.fleissKappa]], Fleiss 1971): per
+    * language, the chance-corrected agreement of a 3-rater panel
+    * labeling each document short/mid/long — rater judgments are the
+    * document's length perturbed by a per-(doc, rater) md5 jitter, so
+    * the panel disagrees exactly at bucket boundaries and the whole
+    * fixture is a pure function of the corpus. The kappa itself is
+    * ONE division of two exact 128-bit integers. Oracle replays the
+    * jittered labels, both integer marginals, and the cleared-denominator
+    * formula in HUGEINT.
+    */
+  def q218(s: SparkSession, d: String): DataFrame = {
+    val eff = col("n_chars") + pmod(conv(substring(md5(concat_ws(":",
+      lit("fk"), col("doc_id").cast("string"), col("rater").cast("string"))),
+      1, 8), 16, 10).cast("long"), lit(200L))
+    val ratings = docs(s, d)
+      .select(col("lang"), col("doc_id"), col("n_chars"),
+        explode(sequence(lit(1), lit(3))).as("rater"))
+      .withColumn("label", when(eff < 400, lit("short"))
+        .when(eff < 700, lit("mid")).otherwise(lit("long")))
+    graft.operators.Eval.fleissKappa(ratings, "lang", "doc_id", "rater",
+      "label", ratersPerItem = 3)
+  }
+
+  /** Q219 — Good-Turing unseen-mass estimate
+    * ([[graft.operators.Corpus.goodTuringMass]], Good 1953): per
+    * language, the probability the next token is unseen (`N1/N`) and
+    * the Good-Turing adjusted hapax count (`2·N2/N1`) — exact integer
+    * counts off one (lang, term) table, one IEEE division each.
+    * Oracle replays the whitespace tokens and counts-of-counts.
+    */
+  def q219(s: SparkSession, d: String): DataFrame =
+    graft.operators.Corpus.goodTuringMass(docs(s, d), "lang", "text")
+
+  /** Q220 — recursive (c, l)-diversity audit
+    * ([[graft.operators.Corpus.recursiveCLDiversity]],
+    * Machanavajjhala et al. 2006): q155's quasi-identifier classes
+    * ((nation, segment) with the balance bucket sensitive), but the
+    * STRONGER dominance test — the top sensitive count must stay
+    * under c = 2 times the tail mass from the 2nd value down, as an
+    * exact integer cross-multiplication. Oracle replays the
+    * frequency-ranked window and the integer test.
+    */
+  def q220(s: SparkSession, d: String): DataFrame =
+    graft.operators.Corpus.recursiveCLDiversity(
+      Tables.customer(s, d).withColumn("bal_bucket",
+        floor(col("c_acctbal") / 2000).cast("long")),
+      Seq("c_nationkey", "c_mktsegment"), "bal_bucket",
+      l = 2, cNum = 2, cDen = 1)
+
+  /** Q221 — Benjamini-Hochberg FDR step-up
+    * ([[graft.operators.Eval.bhFdr]], Benjamini & Hochberg 1995):
+    * one significance gate per (lang, source) cell with a
+    * deterministic md5 p-value (even-length sources draw from
+    * [0, 1000) ppm — the "real effects"; odd-length from the full
+    * million — the nulls), then the exact-integer step-up at
+    * q = 0.1: which alarms survive FDR control. Oracle replays the
+    * p-values, both windows, and the cleared-denominator comparison.
+    */
+  def q221(s: SparkSession, d: String): DataFrame = {
+    val u = conv(substring(md5(concat_ws(":", lit("bh"), col("lang"),
+      col("source"))), 1, 8), 16, 10).cast("long")
+    val gates = docs(s, d).select(col("lang"), col("source")).distinct()
+      .withColumn("test", concat_ws("/", col("lang"), col("source")))
+      .withColumn("p_ppm", when(length(col("source")) % 2 === 0,
+        pmod(u, lit(1000L))).otherwise(pmod(u, lit(1000000L))))
+    graft.operators.Eval.bhFdr(gates, "test", "p_ppm", qPpm = 100000L)
+  }
+
+  /** Q222 — paired sign-flip permutation test
+    * ([[graft.operators.Eval.pairedPermutationTest]], Fisher's
+    * randomization logic with the Phipson-Smyth add-one estimator):
+    * per language, does the character count differ from 6× the token
+    * count beyond chance — 200 md5-keyed sign assignments of each
+    * document's exact integer difference, folded in ONE corpus pass
+    * (the q212 skeleton). Oracle replays the signs, the permuted
+    * totals, and the add-one ratio.
+    */
+  def q222(s: SparkSession, d: String): DataFrame =
+    graft.operators.Eval.pairedPermutationTest(
+      docs(s, d).filter(col("text").isNotNull), "lang", "doc_id",
+      col("n_chars"),
+      lit(6L) * graft.functions.TextFunctions.tokenCount(col("text")),
+      numPerms = 200)
+
+  /** Q224 — Cochran's Q over three paired gate versions
+    * ([[graft.operators.Eval.cochranQ]], Cochran 1950): per language,
+    * do the 300-char, 50-token, and 500-char gates pass different
+    * document sets beyond chance — the k-version generalization of
+    * q216 in one exact-integer statistic (ONE division of two
+    * DECIMAL(38,0) integers, χ²₀.₀₅ at df 2 on the rounded value).
+    * Oracle replays the flags, the per-doc pass counts, and the
+    * cleared-denominator formula in HUGEINT.
+    */
+  def q224(s: SparkSession, d: String): DataFrame =
+    graft.operators.Eval.cochranQ(docs(s, d), "lang", Seq(
+      col("n_chars") >= 300,
+      graft.functions.TextFunctions.tokenCount(col("text")) >= 50,
+      col("n_chars") >= 500))
+
+  /** Q225 — Cohen's d between corpus halves
+    * ([[graft.operators.Eval.cohensD]], Cohen 1988): per language,
+    * the standardized character-count difference between even- and
+    * odd-id documents — exact integer sums of squares, a fixed chain
+    * of IEEE divides and one sqrt. Oracle replays the slice sums and
+    * the same operation chain.
+    */
+  def q225(s: SparkSession, d: String): DataFrame =
+    graft.operators.Eval.cohensD(docs(s, d), "lang", "n_chars",
+      col("doc_id") % 2 === 0)
+
+  /** Q226 — Cliff's delta between corpus halves
+    * ([[graft.operators.Eval.cliffsDelta]], Cliff 1993): the
+    * distribution-free companion of q225 on the same slices — exact
+    * integer greater/less pair counts via per-value collapse + one
+    * group-partitioned cumulative window, one division. Oracle
+    * replays the value counts, the cumulative window, and the pair
+    * products.
+    */
+  def q226(s: SparkSession, d: String): DataFrame =
+    graft.operators.Eval.cliffsDelta(docs(s, d), "lang", "n_chars",
+      col("doc_id") % 2 === 0)
+
+  /** Q223 — Fellegi-Sunter record-linkage scoring
+    * ([[graft.operators.Linkage.fellegiSunterScores]], Fellegi &
+    * Sunter 1969): customers blocked on (segment, balance-thousand),
+    * compared on nation / name-suffix / balance-hundred with supplied
+    * m-probabilities and data-estimated u-probabilities, scored as an
+    * odds product (no logarithm — every factor is one IEEE division
+    * of exact 128-bit integers) and banded match / possible /
+    * nonmatch. Oracle replays the frequency-based u estimates, the
+    * blocked pairs, and the factor product in fixed order.
+    */
+  def q223(s: SparkSession, d: String): DataFrame = {
+    val recs = Tables.customer(s, d).select(
+      col("c_custkey"), col("c_mktsegment"),
+      floor(col("c_acctbal") / 1000).cast("long").as("bal_kb"),
+      col("c_nationkey").as("nation"),
+      substring(col("c_name"), -2, 2).as("name2"),
+      floor(col("c_acctbal") / 100).cast("long").as("bal_hb"))
+    graft.operators.Linkage.fellegiSunterScores(recs, "c_custkey",
+      Seq("c_mktsegment", "bal_kb"), Seq("nation", "name2", "bal_hb"),
+      Seq(900000L, 800000L, 700000L), upper = 1000.0, lower = 1.0)
+  }
+
   /** Q204 — the COMPOSED streaming curation loop
     * ([[graft.streaming.CurationLoop]]): one `foreachBatch` body
     * driving all three certified incremental sinks — the near-dup
@@ -4751,7 +4896,16 @@ object SparkEntry {
     "q214_self_bleu"        -> (q214 _),
     "q215_pair_evidence"    -> (q215 _),
     "q216_mcnemar_gate"     -> (q216 _),
-    "q217_code_switch"      -> (q217 _))
+    "q217_code_switch"      -> (q217 _),
+    "q218_fleiss_kappa"     -> (q218 _),
+    "q219_good_turing"      -> (q219 _),
+    "q220_cl_diversity"     -> (q220 _),
+    "q221_bh_fdr"           -> (q221 _),
+    "q222_perm_test"        -> (q222 _),
+    "q223_fs_linkage"       -> (q223 _),
+    "q224_cochran_q"        -> (q224 _),
+    "q225_cohens_d"         -> (q225 _),
+    "q226_cliffs_delta"     -> (q226 _))
 
   // DuckDB twins. Shared SQL fragments for the text queries:
   // explicit class: Java \s includes \x0B, RE2 \s does not — see
@@ -5476,6 +5630,267 @@ object SparkEntry {
           |  round(CAST(c AS DOUBLE) / nw, 6) + 0 AS major_share_r
           |FROM r WHERE rk = 1
           |""".stripMargin),
+    // q218: the md5-jittered 3-rater labels, per-item and per-category
+    // integer marginals over complete items, and the cleared-denominator
+    // Fleiss formula in HUGEINT — one divide, rounded at the edge
+    "q218_fleiss_kappa" ->
+      ("""WITH r AS (SELECT lang, doc_id, n_chars, b.range + 1 AS rater
+         |  FROM documents, range(3) b),
+         |lab AS (SELECT lang, doc_id,
+         |  CASE WHEN n_chars + CAST('0x' || substr(md5('fk:' || doc_id ||
+         |      ':' || rater), 1, 8) AS BIGINT) % 200 < 400 THEN 'short'
+         |    WHEN n_chars + CAST('0x' || substr(md5('fk:' || doc_id ||
+         |      ':' || rater), 1, 8) AS BIGINT) % 200 < 700 THEN 'mid'
+         |    ELSE 'long' END AS label FROM r),
+         |cells AS (SELECT lang, doc_id, label, count(*) AS nij
+         |  FROM lab GROUP BY 1, 2, 3),
+         |items AS (SELECT lang, doc_id, sum(nij) AS ni,
+         |  sum(nij * nij) AS s2i FROM cells GROUP BY 1, 2),
+         |gi AS (SELECT lang,
+         |  sum(CASE WHEN ni = 3 THEN 1 ELSE 0 END) AS n_items,
+         |  sum(CASE WHEN ni <> 3 THEN 1 ELSE 0 END) AS n_dropped,
+         |  sum(CASE WHEN ni = 3 THEN s2i ELSE 0 END) AS s2
+         |  FROM items GROUP BY 1),
+         |ct AS (SELECT c.lang, c.label, sum(c.nij) AS cj
+         |  FROM cells c JOIN items i
+         |  ON c.lang = i.lang AND c.doc_id = i.doc_id
+         |  WHERE i.ni = 3 GROUP BY 1, 2),
+         |gc AS (SELECT lang, count(*) AS n_categories,
+         |  sum(CAST(cj AS HUGEINT) * CAST(cj AS HUGEINT)) AS cs
+         |  FROM ct GROUP BY 1)
+         |SELECT gi.lang AS grp, CAST(n_items AS BIGINT) AS n_items,
+         |  CAST(n_dropped AS BIGINT) AS n_dropped,
+         |  CAST(coalesce(n_categories, 0) AS BIGINT) AS n_categories,
+         |  CASE WHEN n_items = 0 THEN NULL
+         |    WHEN (CAST(n_items AS HUGEINT) * 3 * (CAST(n_items AS HUGEINT)
+         |      * 3) - coalesce(cs, 0)) * 2 = 0 THEN 1.0
+         |    ELSE round(CAST((CAST(s2 AS HUGEINT) - n_items * 3) *
+         |      (CAST(n_items AS HUGEINT) * 3) - coalesce(cs, 0) * 2 AS DOUBLE)
+         |      / CAST((CAST(n_items AS HUGEINT) * 3 *
+         |      (CAST(n_items AS HUGEINT) * 3) - coalesce(cs, 0)) * 2
+         |      AS DOUBLE), 6) + 0 END AS kappa_r
+         |FROM gi LEFT JOIN gc USING (lang)
+         |""".stripMargin),
+    // q219: whitespace term counts per lang, counts-of-counts, the
+    // hapax-share unseen mass and the 2·N2/N1 adjusted hapax count
+    "q219_good_turing" ->
+      (s"""WITH t AS (SELECT lang, unnest($TOKS) AS tok FROM documents
+          |  WHERE text IS NOT NULL),
+          |c AS (SELECT lang, tok, count(*) AS c FROM t GROUP BY 1, 2),
+          |g AS (SELECT lang, sum(c) AS n_tokens, count(*) AS vocab,
+          |  sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS n1,
+          |  sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS n2
+          |  FROM c GROUP BY 1)
+          |SELECT lang, CAST(n_tokens AS BIGINT) AS n_tokens,
+          |  CAST(vocab AS BIGINT) AS vocab, CAST(n1 AS BIGINT) AS n1,
+          |  CAST(n2 AS BIGINT) AS n2,
+          |  round(CAST(n1 AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) + 0
+          |    AS p0_r,
+          |  CASE WHEN n1 = 0 THEN 0.0 ELSE round(CAST(2 * n2 AS DOUBLE)
+          |    / CAST(n1 AS DOUBLE), 6) + 0 END AS gt1_r
+          |FROM g
+          |""".stripMargin),
+    // q220: frequency-ranked sensitive counts per quasi class
+    // (ties to the smaller bucket), then the exact integer
+    // r1·cDen < cNum·tail test at l = 2, c = 2
+    "q220_cl_diversity" ->
+      ("""WITH b AS (SELECT c_nationkey, c_mktsegment,
+         |  CAST(floor(c_acctbal / 2000) AS BIGINT) AS bal_bucket
+         |  FROM customer),
+         |c AS (SELECT c_nationkey, c_mktsegment, bal_bucket,
+         |  count(*) AS r FROM b GROUP BY 1, 2, 3),
+         |rk AS (SELECT *, row_number() OVER (
+         |  PARTITION BY c_nationkey, c_mktsegment
+         |  ORDER BY r DESC, bal_bucket ASC) AS rk FROM c),
+         |g AS (SELECT c_nationkey, c_mktsegment, sum(r) AS n,
+         |  count(*) AS m_distinct, max(CASE WHEN rk = 1 THEN r END) AS r1,
+         |  sum(CASE WHEN rk >= 2 THEN r ELSE 0 END) AS tail_sum
+         |  FROM rk GROUP BY 1, 2)
+         |SELECT c_nationkey, c_mktsegment, CAST(n AS BIGINT) AS n,
+         |  CAST(m_distinct AS BIGINT) AS m_distinct,
+         |  CAST(r1 AS BIGINT) AS r1, CAST(tail_sum AS BIGINT) AS tail_sum,
+         |  (m_distinct >= 2 AND r1 * 1 < 2 * tail_sum) AS ok_cl
+         |FROM g
+         |""".stripMargin),
+    // q221: md5 gate p-values (even-length sources draw small),
+    // rank/total windows, the exact p·m ≤ rank·q step-up, and the
+    // bottom-up running min for the adjusted p
+    "q221_bh_fdr" ->
+      ("""WITH g AS (SELECT DISTINCT lang, source FROM documents),
+         |p AS (SELECT lang || '/' || source AS test,
+         |  CASE WHEN len(source) % 2 = 0
+         |    THEN CAST('0x' || substr(md5('bh:' || lang || ':' || source),
+         |      1, 8) AS BIGINT) % 1000
+         |    ELSE CAST('0x' || substr(md5('bh:' || lang || ':' || source),
+         |      1, 8) AS BIGINT) % 1000000 END AS p_ppm FROM g),
+         |r AS (SELECT test, p_ppm,
+         |  row_number() OVER (ORDER BY p_ppm, test) AS rnk,
+         |  count(*) OVER () AS m FROM p),
+         |a AS (SELECT *, least(1.0, CAST(p_ppm * m AS DOUBLE) /
+         |  CAST(rnk * 1000000 AS DOUBLE)) AS raw FROM r),
+         |b AS (SELECT *, min(raw) OVER (ORDER BY p_ppm, test
+         |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS adj,
+         |  max(CASE WHEN p_ppm * m <= rnk * 100000 THEN rnk ELSE 0 END)
+         |    OVER () AS k FROM a)
+         |SELECT test, CAST(p_ppm AS BIGINT) AS p_ppm,
+         |  CAST(m AS BIGINT) AS m, CAST(rnk AS BIGINT) AS "rank",
+         |  round(adj, 6) + 0 AS adj_p_r, rnk <= k AS rejected
+         |FROM b
+         |""".stripMargin),
+    // q222: exact integer differences, 200 md5 sign assignments,
+    // permuted totals vs the observed total, add-one p
+    "q222_perm_test" ->
+      (s"""WITH base AS (SELECT lang, CAST(doc_id AS VARCHAR) AS id,
+          |  CAST(n_chars AS BIGINT) - 6 * len($TOKS) AS d
+          |  FROM documents WHERE text IS NOT NULL),
+          |obs AS (SELECT lang, count(*) AS n_docs, sum(d) AS t_obs
+          |  FROM base GROUP BY 1),
+          |pr AS (SELECT lang, d, b.range + 1 AS p,
+          |  2 * (CAST('0x' || substr(md5('pt:' || (b.range + 1) || ':' ||
+          |    id), 1, 8) AS BIGINT) % 2) - 1 AS s
+          |  FROM base, range(200) b),
+          |t AS (SELECT lang, p, sum(s * d) AS t FROM pr GROUP BY 1, 2),
+          |g AS (SELECT t.lang, max(n_docs) AS n_docs,
+          |  max(obs.t_obs) AS t_obs,
+          |  sum(CASE WHEN abs(t.t) >= abs(obs.t_obs) THEN 1 ELSE 0 END)
+          |    AS n_ge
+          |  FROM t JOIN obs ON t.lang = obs.lang GROUP BY 1)
+          |SELECT lang AS grp, CAST(n_docs AS BIGINT) AS n_docs,
+          |  CAST(t_obs AS BIGINT) AS t_obs, CAST(n_ge AS BIGINT) AS n_ge,
+          |  round(CAST(n_ge + 1 AS DOUBLE) / 201.0, 6) + 0 AS p_r
+          |FROM g
+          |""".stripMargin),
+    // q224: row-local pass flags and pass counts, one collapse per
+    // lang, the cleared-denominator Q in HUGEINT, χ² literal on the
+    // rounded statistic
+    "q224_cochran_q" ->
+      (s"""WITH f AS (SELECT lang,
+          |  CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS f0,
+          |  CASE WHEN len($TOKS) >= 50 THEN 1 ELSE 0 END AS f1,
+          |  CASE WHEN n_chars >= 500 THEN 1 ELSE 0 END AS f2
+          |  FROM documents),
+          |g AS (SELECT lang, count(*) AS n_docs, sum(f0) AS c0,
+          |  sum(f1) AS c1, sum(f2) AS c2, sum(f0 + f1 + f2) AS nn,
+          |  sum((f0 + f1 + f2) * (f0 + f1 + f2)) AS sr2
+          |  FROM f GROUP BY 1)
+          |SELECT lang AS grp, CAST(n_docs AS BIGINT) AS n_docs,
+          |  CAST(c0 AS BIGINT) AS c0, CAST(c1 AS BIGINT) AS c1,
+          |  CAST(c2 AS BIGINT) AS c2,
+          |  CASE WHEN 3 * nn - sr2 = 0 THEN 0.0
+          |    ELSE round(CAST(1 * (3 * (CAST(c0 AS HUGEINT) * c0 +
+          |      CAST(c1 AS HUGEINT) * c1 + CAST(c2 AS HUGEINT) * c2) -
+          |      CAST(nn AS HUGEINT) * nn) * 2 AS DOUBLE) /
+          |      CAST(3 * CAST(nn AS HUGEINT) - sr2 AS DOUBLE), 6) + 0
+          |    END AS q_r,
+          |  CASE WHEN 3 * nn - sr2 = 0 THEN 0.0 > 5.991464
+          |    ELSE round(CAST(1 * (3 * (CAST(c0 AS HUGEINT) * c0 +
+          |      CAST(c1 AS HUGEINT) * c1 + CAST(c2 AS HUGEINT) * c2) -
+          |      CAST(nn AS HUGEINT) * nn) * 2 AS DOUBLE) /
+          |      CAST(3 * CAST(nn AS HUGEINT) - sr2 AS DOUBLE), 6) + 0
+          |      > 5.991464 END AS significant
+          |FROM g
+          |""".stripMargin),
+    // q225: exact slice sums/squares per lang, then the same fixed
+    // chain — means, n·Σx²−S² centered squares, pooled variance, one
+    // sqrt — operation for operation
+    "q225_cohens_d" ->
+      ("""WITH b AS (SELECT lang, CAST(n_chars AS BIGINT) AS v,
+         |  (doc_id % 2 = 0) AS a FROM documents),
+         |g AS (SELECT lang,
+         |  sum(CASE WHEN a THEN 1 ELSE 0 END) AS na,
+         |  sum(CASE WHEN a THEN 0 ELSE 1 END) AS nb,
+         |  sum(CASE WHEN a THEN CAST(v AS HUGEINT) ELSE 0 END) AS sa,
+         |  sum(CASE WHEN a THEN 0 ELSE CAST(v AS HUGEINT) END) AS sb,
+         |  sum(CASE WHEN a THEN CAST(v AS HUGEINT) * v ELSE 0 END) AS qa,
+         |  sum(CASE WHEN a THEN 0 ELSE CAST(v AS HUGEINT) * v END) AS qb
+         |  FROM b GROUP BY 1),
+         |e AS (SELECT lang, na, nb,
+         |  CAST(sa AS DOUBLE) / CAST(na AS DOUBLE) AS ma,
+         |  CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE) AS mb,
+         |  CAST(na * qa - sa * sa AS DOUBLE) / CAST(na AS DOUBLE) AS ssa,
+         |  CAST(nb * qb - sb * sb AS DOUBLE) / CAST(nb AS DOUBLE) AS ssb
+         |  FROM g)
+         |SELECT lang AS grp, CAST(na AS BIGINT) AS n_a,
+         |  CAST(nb AS BIGINT) AS n_b,
+         |  CASE WHEN na = 0 OR nb = 0 THEN NULL
+         |    ELSE round(ma - mb, 6) + 0 END AS mean_diff_r,
+         |  CASE WHEN na < 2 OR nb < 2 THEN NULL
+         |    WHEN ssa + ssb = 0.0 THEN NULL
+         |    ELSE round((ma - mb) / sqrt((ssa + ssb) /
+         |      CAST(na + nb - 2 AS DOUBLE)), 6) + 0 END AS d_r
+         |FROM e
+         |""".stripMargin),
+    // q226: per-(lang, value) slice counts, cumulative-below window
+    // inside each lang, exact pair products, one divide
+    "q226_cliffs_delta" ->
+      ("""WITH b AS (SELECT lang, CAST(n_chars AS BIGINT) AS v,
+         |  CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS a
+         |  FROM documents),
+         |c AS (SELECT lang, v, sum(a) AS ca, sum(1 - a) AS cb
+         |  FROM b GROUP BY 1, 2),
+         |w AS (SELECT lang, v, ca, cb,
+         |  sum(cb) OVER (PARTITION BY lang ORDER BY v
+         |    ROWS UNBOUNDED PRECEDING) - cb AS below,
+         |  sum(cb) OVER (PARTITION BY lang) AS totb FROM c),
+         |g AS (SELECT lang, sum(ca) AS na, max(totb) AS nb,
+         |  sum(CAST(ca AS HUGEINT) * below) AS gt,
+         |  sum(CAST(ca AS HUGEINT) * (totb - below - cb)) AS lt
+         |  FROM w GROUP BY 1)
+         |SELECT lang AS grp, CAST(na AS BIGINT) AS n_a,
+         |  CAST(nb AS BIGINT) AS n_b, CAST(gt AS BIGINT) AS gt,
+         |  CAST(lt AS BIGINT) AS lt,
+         |  CASE WHEN na = 0 OR nb = 0 THEN NULL
+         |    ELSE round(CAST(gt - lt AS DOUBLE) /
+         |      CAST(CAST(na AS HUGEINT) * nb AS DOUBLE), 6) + 0
+         |    END AS delta_r
+         |FROM g
+         |""".stripMargin),
+    // q223: frequency-method u estimates per field (Laplace-clamped),
+    // blocked pairs under the id total order, the odds product in
+    // fixed field order, and the banded decision on the rounded odds
+    "q223_fs_linkage" ->
+      ("""WITH r AS (SELECT c_custkey AS id, c_mktsegment,
+         |  CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_kb,
+         |  c_nationkey AS nation, substr(c_name, -2) AS name2,
+         |  CAST(floor(c_acctbal / 100) AS BIGINT) AS bal_hb FROM customer),
+         |nr AS (SELECT CAST(count(*) AS HUGEINT) AS n FROM r),
+         |s0 AS (SELECT coalesce(sum(CAST(f AS HUGEINT) * (f - 1)), 0) AS s
+         |  FROM (SELECT count(*) AS f FROM r GROUP BY nation)),
+         |s1 AS (SELECT coalesce(sum(CAST(f AS HUGEINT) * (f - 1)), 0) AS s
+         |  FROM (SELECT count(*) AS f FROM r GROUP BY name2)),
+         |s2 AS (SELECT coalesce(sum(CAST(f AS HUGEINT) * (f - 1)), 0) AS s
+         |  FROM (SELECT count(*) AS f FROM r GROUP BY bal_hb)),
+         |st AS (SELECT n * (n - 1) AS nn1,
+         |  greatest(s0.s, 1) AS sa0, greatest(n * (n - 1) - s0.s, 1) AS sd0,
+         |  greatest(s1.s, 1) AS sa1, greatest(n * (n - 1) - s1.s, 1) AS sd1,
+         |  greatest(s2.s, 1) AS sa2, greatest(n * (n - 1) - s2.s, 1) AS sd2
+         |  FROM nr, s0, s1, s2),
+         |p AS (SELECT a.id AS id_a, b.id AS id_b,
+         |  a.nation IS NOT DISTINCT FROM b.nation AS ag0,
+         |  a.name2 IS NOT DISTINCT FROM b.name2 AS ag1,
+         |  a.bal_hb IS NOT DISTINCT FROM b.bal_hb AS ag2
+         |  FROM r a JOIN r b ON a.c_mktsegment = b.c_mktsegment
+         |    AND a.bal_kb = b.bal_kb AND a.id < b.id),
+         |sc AS (SELECT id_a, id_b, ag0, ag1, ag2, round(
+         |  (CASE WHEN ag0
+         |    THEN CAST(900000 * nn1 AS DOUBLE) / CAST(1000000 * sa0 AS DOUBLE)
+         |    ELSE CAST(100000 * nn1 AS DOUBLE) / CAST(1000000 * sd0 AS DOUBLE)
+         |    END) *
+         |  (CASE WHEN ag1
+         |    THEN CAST(800000 * nn1 AS DOUBLE) / CAST(1000000 * sa1 AS DOUBLE)
+         |    ELSE CAST(200000 * nn1 AS DOUBLE) / CAST(1000000 * sd1 AS DOUBLE)
+         |    END) *
+         |  (CASE WHEN ag2
+         |    THEN CAST(700000 * nn1 AS DOUBLE) / CAST(1000000 * sa2 AS DOUBLE)
+         |    ELSE CAST(300000 * nn1 AS DOUBLE) / CAST(1000000 * sd2 AS DOUBLE)
+         |    END), 6) + 0 AS odds_r FROM p, st)
+         |SELECT id_a, id_b, ag0 AS agree_nation, ag1 AS agree_name2,
+         |  ag2 AS agree_bal_hb, odds_r,
+         |  CASE WHEN odds_r >= 1000.0 THEN 'match'
+         |    WHEN odds_r <= 1.0 THEN 'nonmatch'
+         |    ELSE 'possible' END AS decision
+         |FROM sc
+         |""".stripMargin),
     // q152: multinomial-NB replay — the q149 unit-freeze recipe per
     // class (add-one token likelihoods + doc-count priors in integer
     // 1e-6 units), per-doc class sums, argmax with name tie-break.

@@ -640,6 +640,92 @@ object Corpus {
       .withColumn("at_risk", col("n") < k)
   }
 
+  /** Recursive (c, l)-diversity audit (Machanavajjhala et al., ICDE
+    * 2006 §4.2) — the STRONGER check [[kAnonymityAudit]]'s
+    * `l_distinct` only approximates: a group can hold l distinct
+    * sensitive values and still leak when one value dominates (99 %
+    * "cancer", 1 % noise still tells an attacker the answer). A class
+    * is recursively (c, l)-diverse when its most frequent sensitive
+    * count `r_1` is bounded by c times the tail mass from the l-th
+    * value down: `r_1 < c · (r_l + r_{l+1} + … + r_m)` — even after
+    * discarding the l−1 most frequent values, the top value cannot
+    * dominate. `c` arrives as the rational `cNum/cDen`, so the test is
+    * an exact integer cross-multiplication — no float boundary an
+    * engine could disagree on.
+    *
+    * Scale shape: rows collapse ONCE to (quasi, sensitive) counts
+    * (partial-aggregating shuffle); the rank window partitions BY THE
+    * QUASI CLASS and runs over that class's distinct sensitive values
+    * — bounded by the sensitive domain, never by row count; the final
+    * collapse is one regroup of the same table. Ties in the frequency
+    * order break by sensitive value, so `r_1` is deterministic.
+    *
+    * Returns per class: `(quasi…, n, m_distinct, r1, tail_sum, ok_cl)`
+    * where `tail_sum = Σ_{j ≥ l} r_j` and
+    * `ok_cl = (m_distinct ≥ l) ∧ (r1·cDen < cNum·tail_sum)`.
+    */
+  def recursiveCLDiversity(df: DataFrame, quasiCols: Seq[String],
+                           sensitiveCol: String, l: Int,
+                           cNum: Long, cDen: Long): DataFrame = {
+    require(quasiCols.nonEmpty, "need at least one quasi-identifier column")
+    require(l >= 2, s"l must be at least 2, got $l")
+    require(cNum >= 1 && cDen >= 1, s"c must be positive, got $cNum/$cDen")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(quasiCols.map(col): _*)
+      .orderBy(col("__r").desc, col(sensitiveCol).asc)
+    df.groupBy((quasiCols :+ sensitiveCol).map(col): _*)
+      .agg(count(lit(1)).as("__r"))
+      .withColumn("__rk", row_number().over(w))
+      .groupBy(quasiCols.map(col): _*)
+      .agg(sum(col("__r")).as("n"), count(lit(1)).as("m_distinct"),
+        max(when(col("__rk") === 1, col("__r"))).as("r1"),
+        sum(when(col("__rk") >= l, col("__r")).otherwise(0L)).as("tail_sum"))
+      .withColumn("ok_cl", col("m_distinct") >= l &&
+        col("r1") * cDen < lit(cNum) * col("tail_sum"))
+  }
+
+  /** Good-Turing unseen-mass estimate per language (Good, Biometrika
+    * 1953; the Gale & Sampson 1995 reading): the probability that the
+    * NEXT token drawn from each language is a word never seen in the
+    * corpus, estimated by the hapax share `p0 = N1/N` — the
+    * vocabulary-coverage number a tokenizer or LM training run reads
+    * before trusting per-language statistics ("this slice's vocab is
+    * closed" vs "every 20th token here is new"). Also reports the
+    * Good-Turing adjusted count for hapaxes, `r*₁ = 2·N2/N1`: how much
+    * a singleton's raw count overstates its true frequency.
+    *
+    * Exactness: `N`, vocab, `N1`, `N2` are exact integers off one
+    * term-count table; each estimate is a single IEEE division of
+    * exact longs, rounded at the edge. `N1 = 0` (no hapaxes) reports
+    * `gt1_r = 0` rather than a division by zero — a corpus with a
+    * closed vocabulary has nothing to discount.
+    *
+    * Scale shape: ONE partial-aggregating collapse to (lang, term)
+    * counts, then a per-language regroup — the same two-exchange shape
+    * as every term-statistic operator here ([[distinctiveTerms]],
+    * BM25's document frequencies); no window, no join.
+    *
+    * Returns `(lang, n_tokens, vocab, n1, n2, p0_r, gt1_r)`.
+    */
+  def goodTuringMass(df: DataFrame, langCol: String,
+                     textCol: String): DataFrame = {
+    import graft.functions.TextFunctions
+    df.filter(col(textCol).isNotNull)
+      .select(col(langCol).as("lang"),
+        explode(TextFunctions.tokens(col(textCol))).as("__t"))
+      .groupBy(col("lang"), col("__t"))
+      .agg(count(lit(1)).as("__c"))
+      .groupBy(col("lang"))
+      .agg(sum(col("__c")).as("n_tokens"), count(lit(1)).as("vocab"),
+        sum(when(col("__c") === 1, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("__c") === 2, 1L).otherwise(0L)).as("n2"))
+      .withColumn("p0_r", NumFunctions.roundNz(
+        col("n1").cast("double") / col("n_tokens").cast("double"), 6))
+      .withColumn("gt1_r", when(col("n1") === 0, lit(0.0))
+        .otherwise(NumFunctions.roundNz(
+          (lit(2L) * col("n2")).cast("double") / col("n1").cast("double"), 6)))
+  }
+
   /** Heavy-hitter profile: top-k keys by row count with their share of
     * the total — the skew scan run BEFORE choosing a join strategy
     * (its output decides [[Joins.saltedJoin]]'s factor, or which keys

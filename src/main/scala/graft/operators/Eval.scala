@@ -381,4 +381,357 @@ object Eval {
       .select(col("q_pct"), col("n_docs"), col("n_resamples"),
         col("boot_mean"))
   }
+
+  /** Fleiss' kappa inter-annotator agreement per group (Fleiss,
+    * Psychological Bulletin 1971): the chance-corrected agreement of a
+    * FIXED panel of `ratersPerItem` raters labeling the same items —
+    * the number a labeling program reads before trusting its rubric
+    * ("raters agree 85 %" means nothing when two labels cover 90 % of
+    * the data; kappa subtracts the agreement chance alone would buy).
+    * Cohen's kappa is the 2-rater special case; Fleiss is the panel
+    * generalization an annotation pipeline actually runs.
+    *
+    * Exactness: every term of the textbook formula is a RATIO OF
+    * INTEGERS — per-item category counts `n_ij`, their squares, and
+    * category totals. Clearing denominators gives
+    * `kappa = [(S2 − Nn)·Nn − Cs·(n−1)] / [((Nn)² − Cs)·(n−1)]`
+    * with `S2 = Σ_i Σ_j n_ij²`, `Cs = Σ_j c_j²`, `N` items, `n`
+    * raters: ONE division of two exact DECIMAL(38,0) integers, rounded
+    * at the edge — bit-replayable in any engine with 128-bit integer
+    * arithmetic. A zero denominator means every rating landed in one
+    * category (P̄e = 1 forces P̄ = 1): reported as kappa 1.0, perfect
+    * if vacuous agreement. Items rated by ≠ `ratersPerItem` raters are
+    * EXCLUDED (Fleiss requires a constant panel) and surfaced in
+    * `n_dropped`; a group with no complete items reports null kappa.
+    *
+    * Scale shape: ratings collapse ONCE to (group, item, label) cells
+    * (partial-aggregating shuffle); item and category marginals are
+    * two key-local regroups of the cell table; the kappa arithmetic
+    * runs on one row per group. The cell table is persisted because it
+    * feeds both marginals (the [[classificationReport]] lazy-scoped
+    * lifecycle). No window, no join wider than group grain.
+    *
+    * Returns `(grp, n_items, n_dropped, n_categories, kappa_r)`.
+    */
+  def fleissKappa(ratings: DataFrame, groupCol: String, itemCol: String,
+                  raterCol: String, labelCol: String,
+                  ratersPerItem: Int): DataFrame = {
+    require(ratersPerItem >= 2,
+      s"Fleiss' kappa needs at least 2 raters per item, got $ratersPerItem")
+    import org.apache.spark.sql.types.DecimalType
+    val d38 = DecimalType(38, 0)
+    val cells = ratings
+      .groupBy(col(groupCol).as("grp"), col(itemCol).as("__item"),
+        col(labelCol).as("__lab"))
+      .agg(count(lit(1)).as("__nij"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val items = cells.groupBy(col("grp"), col("__item"))
+      .agg(sum(col("__nij")).as("__ni"),
+        sum(col("__nij") * col("__nij")).as("__s2i"))
+    val perGroup = items.groupBy(col("grp")).agg(
+      sum(when(col("__ni") === ratersPerItem, 1L).otherwise(0L)).as("n_items"),
+      sum(when(col("__ni") =!= ratersPerItem, 1L).otherwise(0L)).as("n_dropped"),
+      sum(when(col("__ni") === ratersPerItem, col("__s2i")).otherwise(lit(0L)))
+        .as("__S2"))
+    // category totals over COMPLETE items only — the same cells joined
+    // back to the item grain they came from (key-local equi-join)
+    val catTotals = cells
+      .join(items.filter(col("__ni") === ratersPerItem)
+        .select(col("grp"), col("__item")), Seq("grp", "__item"))
+      .groupBy(col("grp"), col("__lab"))
+      .agg(sum(col("__nij")).as("__cj"))
+    val perGroupCats = catTotals.groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_categories"),
+        sum(col("__cj").cast(d38) * col("__cj").cast(d38)).as("__Cs"))
+    val nn = (col("n_items") * ratersPerItem).cast(d38)
+    val s2 = col("__S2").cast(d38)
+    val cs = coalesce(col("__Cs"), lit(0).cast(d38))
+    val num = (s2 - nn) * nn - cs * (ratersPerItem - 1)
+    val den = (nn * nn - cs) * (ratersPerItem - 1)
+    perGroup.join(perGroupCats, Seq("grp"), "left")
+      .select(col("grp"), col("n_items"), col("n_dropped"),
+        coalesce(col("n_categories"), lit(0L)).as("n_categories"),
+        when(col("n_items") === 0, lit(null).cast("double"))
+          .when(den === 0, lit(1.0))
+          .otherwise(NumFunctions.roundNz(
+            num.cast("double") / den.cast("double"), 6)).as("kappa_r"))
+  }
+
+  /** Paired sign-flip PERMUTATION test per group (Fisher's exact
+    * randomization logic; the add-one p estimator of Phipson & Smyth
+    * 2010): for two scorers run on the SAME documents, is the observed
+    * total score difference larger than chance relabeling explains?
+    * Under the null the two scores are exchangeable within each pair,
+    * so each document's difference `d = a − b` keeps or flips its sign
+    * with equal probability; the p-value is the fraction of
+    * `numPerms` sign assignments whose |Σ ± d| reaches the observed
+    * |Σ d|. The distribution-free companion of [[mcnemarGate]] — that
+    * gate tests paired PASS FLAGS, this one paired integer SCORES,
+    * with no normality assumption at all.
+    *
+    * Determinism: the sign for `(perm p, doc id)` is the low bit of
+    * `md5(salt:p:id)` (the q63/q207/q212 hash discipline) — the test
+    * is a pure function of the corpus, replayable in any engine with
+    * md5. Scores must be integer-valued: every permuted total is an
+    * EXACT long, the comparison `|T_p| ≥ |T_obs|` is integer-exact,
+    * and the only float is the final add-one ratio
+    * `(n_ge + 1)/(numPerms + 1)`, rounded at the edge.
+    *
+    * Scale shape: the [[bootstrapMeanCIPooled]] one-pass skeleton —
+    * differences explode to `(doc, perm)` INSIDE the scan partition
+    * and hash-agg partials collapse to ≤ numPerms rows per group
+    * before the only shuffle; the observed totals join back at group
+    * grain. No draw grid, no window over data rows.
+    *
+    * Returns `(grp, n_docs, t_obs, n_ge, p_r)`.
+    */
+  def pairedPermutationTest(df: DataFrame, groupCol: String, idCol: String,
+                            scoreA: Column, scoreB: Column,
+                            numPerms: Int = 200,
+                            salt: String = "pt"): DataFrame = {
+    require(numPerms >= 1 && numPerms <= 10000,
+      s"numPerms must be in [1, 10000], got $numPerms")
+    val base = df.select(col(groupCol).as("grp"),
+      col(idCol).cast("string").as("__id"),
+      (scoreA.cast("long") - scoreB.cast("long")).as("__d"))
+    val obs = base.groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__d")).as("t_obs"))
+    val totals = base
+      .select(col("grp"), col("__id"), col("__d"),
+        explode(sequence(lit(1), lit(numPerms))).as("__p"))
+      .withColumn("__s", lit(2L) * pmod(conv(substring(md5(concat_ws(":",
+        lit(salt), col("__p").cast("string"), col("__id"))),
+        1, 8), 16, 10).cast("long"), lit(2L)) - 1L)
+      .groupBy(col("grp"), col("__p"))
+      .agg(sum(col("__s") * col("__d")).as("__t"))
+    totals.join(obs, "grp")
+      .groupBy(col("grp"))
+      .agg(max(col("n_docs")).as("n_docs"), max(col("t_obs")).as("t_obs"),
+        sum(when(abs(col("__t")) >= abs(col("t_obs")), 1L).otherwise(0L))
+          .as("n_ge"))
+      .withColumn("p_r", NumFunctions.roundNz(
+        (col("n_ge") + 1).cast("double") / lit((numPerms + 1).toDouble), 6))
+  }
+
+  /** Cochran's Q test for k PAIRED filter versions (Cochran,
+    * Biometrika 1950): the k-treatment generalization of
+    * [[mcnemarGate]] — when THREE OR MORE gate versions run on the
+    * same corpus, pairwise McNemars inflate the false-alarm rate; Q
+    * asks once whether ANY version's pass rate differs, per group.
+    * In the cleared-denominator integer form
+    * `Q = (k−1)·(k·ΣC_j² − N²) / (k·N − ΣR_i²)` with `C_j` the
+    * per-version pass totals, `R_i` each document's pass count, and
+    * `N = ΣC_j`: every term is an exact integer (DECIMAL(38,0) for the
+    * squares), the statistic is ONE division rounded at the edge, and
+    * at k = 2 it reduces algebraically to McNemar's z². `significant`
+    * compares the ROUNDED Q against the caller's chi-square critical
+    * value (df = k−1; the default 5.991464 is χ²₀.₀₅ at df 2 for the
+    * three-version case). A zero denominator means every document
+    * passed all or none of the versions — nothing to test, Q = 0.
+    *
+    * Scale shape: all flags and the per-document pass count evaluate
+    * row-local in the scan projection; ONE partial-aggregating
+    * collapse to a row per group. No join, no window — the
+    * [[mcnemarGate]] shape at any k.
+    *
+    * Returns `(grp, n_docs, c0…c{k−1}, q_r, significant)`.
+    */
+  def cochranQ(df: DataFrame, groupCol: String, passCols: Seq[Column],
+               critQ: Double = 5.991464): DataFrame = {
+    require(passCols.size >= 2 && passCols.size <= 8,
+      s"need 2..8 paired versions, got ${passCols.size}")
+    import org.apache.spark.sql.types.DecimalType
+    val d38 = DecimalType(38, 0)
+    val k = passCols.size
+    val flags = passCols.zipWithIndex.map { case (c, j) =>
+      when(c.cast("boolean"), 1L).otherwise(0L).as(s"__f$j")
+    }
+    val r = (0 until k).map(j => col(s"__f$j")).reduce(_ + _)
+    val cSums = (0 until k).map(j => sum(col(s"__f$j")).as(s"c$j"))
+    val base = df.select(col(groupCol).as("grp") +: flags: _*)
+      .withColumn("__r", r)
+    val g = base.groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_docs"),
+        (cSums :+ sum(col("__r") * col("__r")).as("__sr2")): _*)
+    val n = (0 until k).map(j => col(s"c$j")).reduce(_ + _).cast(d38)
+    val sumC2 = (0 until k).map(j => col(s"c$j").cast(d38) *
+      col(s"c$j").cast(d38)).reduce(_ + _)
+    val num = lit(k - 1).cast(d38) * (lit(k).cast(d38) * sumC2 - n * n)
+    val den = lit(k).cast(d38) * n - col("__sr2").cast(d38)
+    g.withColumn("q_r", when(den === 0, lit(0.0))
+        .otherwise(NumFunctions.roundNz(
+          num.cast("double") / den.cast("double"), 6)))
+      .withColumn("significant", col("q_r") > critQ)
+      .drop("__sr2")
+  }
+
+  /** Cohen's d standardized effect size per group (Cohen 1988): HOW
+    * LARGE is the difference between two document slices on an
+    * integer metric, in pooled-standard-deviation units — the number
+    * read NEXT TO a significance test ([[pairedPermutationTest]],
+    * [[mcnemarGate]]): on a hundred-million-doc corpus everything is
+    * "significant"; d says whether anyone should care (0.2 small /
+    * 0.5 medium / 0.8 large, Cohen's own benchmarks).
+    *
+    * Exactness: per slice, `n`, `Σx`, `Σx²` are exact DECIMAL(38,0)
+    * sums; `n·Σx² − (Σx)²` (= n times the centered sum of squares) is
+    * an exact integer, so means, the pooled variance
+    * `(ss_a + ss_b)/(n_a + n_b − 2)`, and d itself are a FIXED chain
+    * of IEEE divisions and one correctly-rounded sqrt — replayable
+    * operation-for-operation in any engine. Slices with fewer than 2
+    * rows, or zero pooled variance, report null d (undefined, not 0).
+    *
+    * Scale shape: the slice flag evaluates row-local; ONE
+    * partial-aggregating collapse to a row per group. No join, no
+    * window.
+    *
+    * Returns `(grp, n_a, n_b, mean_diff_r, d_r)`.
+    */
+  def cohensD(df: DataFrame, groupCol: String, metricCol: String,
+              isA: Column): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val d38 = DecimalType(38, 0)
+    val a = isA.cast("boolean")
+    val x = col(metricCol).cast("long")
+    val g = df
+      .select(col(groupCol).as("grp"), x.as("__x"),
+        when(a, 1L).otherwise(0L).as("__a"))
+      .groupBy(col("grp"))
+      .agg(sum(col("__a")).as("n_a"),
+        sum(lit(1L) - col("__a")).as("n_b"),
+        sum(when(col("__a") === 1, col("__x").cast(d38))
+          .otherwise(lit(0).cast(d38))).as("__sa"),
+        sum(when(col("__a") === 0, col("__x").cast(d38))
+          .otherwise(lit(0).cast(d38))).as("__sb"),
+        sum(when(col("__a") === 1, col("__x").cast(d38) *
+          col("__x").cast(d38)).otherwise(lit(0).cast(d38))).as("__qa"),
+        sum(when(col("__a") === 0, col("__x").cast(d38) *
+          col("__x").cast(d38)).otherwise(lit(0).cast(d38))).as("__qb"))
+    val ma = col("__sa").cast("double") / col("n_a").cast("double")
+    val mb = col("__sb").cast("double") / col("n_b").cast("double")
+    val va = col("n_a").cast(d38) * col("__qa") - col("__sa") * col("__sa")
+    val vb = col("n_b").cast(d38) * col("__qb") - col("__sb") * col("__sb")
+    val ssa = va.cast("double") / col("n_a").cast("double")
+    val ssb = vb.cast("double") / col("n_b").cast("double")
+    val pooled = (ssa + ssb) / (col("n_a") + col("n_b") - 2).cast("double")
+    g.select(col("grp"), col("n_a"), col("n_b"),
+      when(col("n_a") === 0 || col("n_b") === 0, lit(null).cast("double"))
+        .otherwise(NumFunctions.roundNz(ma - mb, 6)).as("mean_diff_r"),
+      when(col("n_a") < 2 || col("n_b") < 2, lit(null).cast("double"))
+        .when(ssa + ssb === 0.0, lit(null).cast("double"))
+        .otherwise(NumFunctions.roundNz((ma - mb) / sqrt(pooled), 6))
+        .as("d_r"))
+  }
+
+  /** Cliff's delta ordinal effect size per group (Cliff, Psychological
+    * Bulletin 1993): `P(x > y) − P(x < y)` over all cross-slice pairs
+    * — the DISTRIBUTION-FREE companion of [[cohensD]] (d assumes the
+    * metric's spread is meaningfully summarized by a variance; delta
+    * only uses order, so a heavy-tailed length distribution can't lie
+    * through it). Ties count for neither side, the standard
+    * convention; delta = 2·AUC − 1 against [[binaryScoreEval]]'s
+    * Mann-Whitney form.
+    *
+    * Exactness: rows collapse to per-(group, value) slice counts; the
+    * greater/less pair counts are exact integer products of those
+    * counts with a cumulative window, and delta is ONE division by
+    * `n_a·n_b`, rounded at the edge. Pair counts are emitted as longs
+    * — exact while `n_a·n_b < 2⁶³`, i.e. either slice under ~3·10⁹
+    * rows per group, the documented bound.
+    *
+    * Scale shape: one partial-aggregating collapse to (group, value)
+    * counts; the cumulative window partitions BY GROUP and runs over
+    * each group's DISTINCT metric values — bounded by the value
+    * support, never the row count (the [[binaryScoreEval]] fixed-point
+    * convention: integer metrics exist precisely to bound this).
+    *
+    * Returns `(grp, n_a, n_b, gt, lt, delta_r)`.
+    */
+  def cliffsDelta(df: DataFrame, groupCol: String, metricCol: String,
+                  isA: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val d38 = DecimalType(38, 0)
+    val a = isA.cast("boolean")
+    val c = df
+      .select(col(groupCol).as("grp"), col(metricCol).cast("long").as("__v"),
+        when(a, 1L).otherwise(0L).as("__a"))
+      .groupBy(col("grp"), col("__v"))
+      .agg(sum(col("__a")).as("__ca"), sum(lit(1L) - col("__a")).as("__cb"))
+    val wCum = Window.partitionBy(col("grp")).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("grp"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val g = c
+      .withColumn("__below", sum(col("__cb")).over(wCum) - col("__cb"))
+      .withColumn("__totb", sum(col("__cb")).over(wAll))
+      .groupBy(col("grp"))
+      .agg(sum(col("__ca")).as("n_a"), max(col("__totb")).as("n_b"),
+        sum(col("__ca").cast(d38) * col("__below").cast(d38)).as("__gt"),
+        sum(col("__ca").cast(d38) * (col("__totb") - col("__below") -
+          col("__cb")).cast(d38)).as("__lt"))
+    g.select(col("grp"), col("n_a"), col("n_b"),
+      col("__gt").cast("long").as("gt"), col("__lt").cast("long").as("lt"),
+      when(col("n_a") === 0 || col("n_b") === 0, lit(null).cast("double"))
+        .otherwise(NumFunctions.roundNz(
+          (col("__gt") - col("__lt")).cast("double") /
+            (col("n_a").cast(d38) * col("n_b").cast(d38)).cast("double"), 6))
+        .as("delta_r"))
+  }
+
+  /** Benjamini-Hochberg FDR step-up over a battery of test gates
+    * (Benjamini & Hochberg, JRSS-B 1995): a pipeline that runs one
+    * significance test per (filter, slice) cell runs HUNDREDS of them
+    * — at α = 0.05, five "significant" regressions per hundred gates
+    * are expected from noise alone. BH controls the FALSE DISCOVERY
+    * RATE: sort the m p-values ascending, find the largest rank k with
+    * `p_(k) ≤ k·q/m`, reject exactly ranks 1..k. The triage step
+    * between the per-gate tests ([[mcnemarGate]],
+    * [[pairedPermutationTest]]) and any action on their alarms.
+    *
+    * Exactness: p-values arrive as integer PARTS-PER-MILLION (the
+    * fixed-point convention of [[binaryScoreEval]]), so the step-up
+    * comparison clears denominators — `p_ppm·m ≤ rank·q_ppm`, exact
+    * longs, no float boundary. The BH-ADJUSTED p-value (the smallest
+    * q at which each gate would be rejected,
+    * `min_{j ≥ i} m·p_(j)/j` capped at 1) is one exact-integer
+    * division per gate followed by a running min from the bottom,
+    * rounded at the edge. Ties on p break by gate name, so rank — and
+    * therefore the whole report — is a total order.
+    *
+    * Scale shape: gates are METADATA by contract (one row per test
+    * cell, ≤ thousands — never document grain), so the partition-less
+    * rank/min windows run over a bounded set (the documented
+    * bounded-window convention, [[binaryScoreEval]]'s fixed-point
+    * support bound).
+    *
+    * Returns `(test, p_ppm, m, rank, adj_p_r, rejected)`.
+    */
+  def bhFdr(tests: DataFrame, testCol: String, pPpmCol: String,
+            qPpm: Long = 50000L): DataFrame = {
+    require(qPpm >= 1 && qPpm <= 1000000L,
+      s"qPpm must be in [1, 1e6], got $qPpm")
+    import org.apache.spark.sql.expressions.Window
+    val wAsc = Window.orderBy(col("p_ppm").asc, col("test").asc)
+    val wAll = wAsc.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    val wTail = wAsc.rowsBetween(Window.currentRow,
+      Window.unboundedFollowing)
+    tests
+      .select(col(testCol).cast("string").as("test"),
+        col(pPpmCol).cast("long").as("p_ppm"))
+      .withColumn("rank", row_number().over(wAsc).cast("long"))
+      .withColumn("m", count(lit(1)).over(wAll))
+      .withColumn("__raw", least(lit(1.0),
+        (col("p_ppm") * col("m")).cast("double") /
+          (col("rank") * lit(1000000L)).cast("double")))
+      .withColumn("adj_p_r", NumFunctions.roundNz(
+        min(col("__raw")).over(wTail), 6))
+      .withColumn("__k", max(when(
+        col("p_ppm") * col("m") <= col("rank") * qPpm, col("rank"))
+        .otherwise(lit(0L))).over(wAll))
+      .withColumn("rejected", col("rank") <= col("__k"))
+      .select(col("test"), col("p_ppm"), col("m"), col("rank"),
+        col("adj_p_r"), col("rejected"))
+  }
 }

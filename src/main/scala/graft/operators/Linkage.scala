@@ -1,0 +1,120 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.functions.NumFunctions
+
+/** Probabilistic record linkage (Fellegi & Sunter, JASA 1969) — the
+  * classic decision theory for STRUCTURED-record dedup, where identity
+  * is argued from several weak fields at once rather than one strong
+  * text similarity: each compared field contributes a likelihood-ratio
+  * factor (agreement on a rare value is strong evidence; disagreement
+  * on a noisy field is weak counter-evidence), and the product ranks
+  * candidate pairs into match / possible / non-match bands. The
+  * structured-record counterpart of the text near-dup family
+  * ([[Dedup.sortedNeighborhoodPairs]] supplies bounded candidates for
+  * text; here the caller's blocking keys do).
+  */
+object Linkage {
+
+  /** Fellegi-Sunter match scoring over blocked candidate pairs.
+    *
+    * For each field `j`, the likelihood ratio uses:
+    *  - `m_j` (P[fields agree | same entity]) — supplied by the caller
+    *    in parts-per-million (from a labeled sample or prior, the
+    *    standard practice when no EM fit is run);
+    *  - `u_j` (P[fields agree | different entities]) — ESTIMATED from
+    *    the data itself as the random-pair agreement probability
+    *    `u_j = Σ_v f_v(f_v − 1) / (N(N − 1))` over the field's value
+    *    frequencies (Fellegi-Sunter §3.3.1's frequency method).
+    * A pair's score is the product of per-field factors, `m_j/u_j` on
+    * agreement and `(1−m_j)/(1−u_j)` on disagreement — reported as the
+    * ODDS rather than the traditional log-weight sum, so the whole
+    * computation stays in products of exactly-derived doubles: every
+    * numerator and denominator is an exact DECIMAL(38,0) integer
+    * (`m·N(N−1)` vs `1e6·S_j`), each factor is ONE IEEE division, the
+    * product folds in fixed field order, and the only rounding is at
+    * the edge. No logarithm anywhere — nothing transcendental for an
+    * engine to disagree on. Degenerate fields are Laplace-clamped:
+    * `S_j = 0` (no value repeats — agreement between non-matches
+    * "impossible") and `S_j = N(N−1)` (field constant — disagreement
+    * "impossible") clamp the zero side to 1, keeping factors finite.
+    *
+    * Field agreement is NULL-SAFE equality (two missing values agree —
+    * document the fields accordingly). Decisions compare the ROUNDED
+    * odds against the thresholds (the [[Eval.mcnemarGate]] convention):
+    * `odds_r ≥ upper → match`, `odds_r ≤ lower → nonmatch`, else
+    * `possible` — the middle band is exactly the pairs Fellegi-Sunter
+    * sends to clerical review.
+    *
+    * Scale shape: the u-estimation is one value-frequency aggregation
+    * per field (each a partial-aggregating shuffle collapsing to one
+    * scalar row, cross-joined into a single broadcast stats row);
+    * candidate generation is a self-equi-join on the blocking key with
+    * an id total order (`id_a < id_b`), so cost is Σ block², which the
+    * CALLER bounds by choosing block keys with bounded classes — the
+    * documented contract of every blocked pairer here (q206's
+    * sorted-neighborhood window is the alternative when no natural
+    * bounded key exists). Scoring itself is row-local projection over
+    * the pairs; nothing windows, nothing collects.
+    *
+    * Returns `(id_a, id_b, agree_<field>…, odds_r, decision)`.
+    */
+  def fellegiSunterScores(records: DataFrame, idCol: String,
+                          blockCols: Seq[String], fieldCols: Seq[String],
+                          mPpm: Seq[Long], upper: Double,
+                          lower: Double): DataFrame = {
+    require(blockCols.nonEmpty, "need at least one blocking column")
+    require(fieldCols.nonEmpty && fieldCols.size <= 8,
+      s"need 1..8 comparison fields, got ${fieldCols.size}")
+    require(mPpm.size == fieldCols.size,
+      s"need one m per field: ${fieldCols.size} fields, ${mPpm.size} m values")
+    require(mPpm.forall(m => m >= 1 && m <= 999999),
+      s"m must be in [1, 999999] ppm, got $mPpm")
+    require(lower <= upper, s"thresholds out of order: $lower > $upper")
+    val d38 = DecimalType(38, 0)
+
+    // one scalar stats row: N and each field's repeat-pair sum S_j
+    val nRow = records.agg(count(lit(1)).cast(d38).as("__n"))
+    val stats = fieldCols.zipWithIndex
+      .map { case (f, j) =>
+        records.groupBy(col(f)).agg(count(lit(1)).as("__f"))
+          .agg(coalesce(sum(col("__f").cast(d38) *
+            (col("__f") - 1).cast(d38)), lit(0).cast(d38)).as(s"__s$j"))
+      }
+      .foldLeft(nRow)((acc, s) => acc.crossJoin(s))
+
+    // candidate pairs: block-key self-join under an id total order
+    val left = records.select(
+      (blockCols.map(col) ++ fieldCols.map(col)) :+ col(idCol).as("id_a"): _*)
+    val right = records.select(
+      (blockCols.map(col) ++
+        fieldCols.map(f => col(f).as(s"${f}__b"))) :+ col(idCol).as("id_b"): _*)
+    val pairs = left.join(right, blockCols)
+      .filter(col("id_a") < col("id_b"))
+
+    val nn1 = col("__n") * (col("__n") - 1)
+    val odds = fieldCols.zipWithIndex.map { case (f, j) =>
+      val s = col(s"__s$j")
+      val fa = (lit(mPpm(j)).cast(d38) * nn1).cast("double") /
+        (lit(1000000L).cast(d38) * greatest(s, lit(1).cast(d38)))
+          .cast("double")
+      val fd = (lit(1000000L - mPpm(j)).cast(d38) * nn1).cast("double") /
+        (lit(1000000L).cast(d38) * greatest(nn1 - s, lit(1).cast(d38)))
+          .cast("double")
+      when(col(f) <=> col(s"${f}__b"), fa).otherwise(fd)
+    }.reduce(_ * _)
+
+    pairs.crossJoin(broadcast(stats))
+      .withColumn("odds_r", NumFunctions.roundNz(odds, 6))
+      .withColumn("decision",
+        when(col("odds_r") >= upper, lit("match"))
+          .when(col("odds_r") <= lower, lit("nonmatch"))
+          .otherwise(lit("possible")))
+      .select(Seq(col("id_a"), col("id_b")) ++
+        fieldCols.map(f => (col(f) <=> col(s"${f}__b")).as(s"agree_$f")) ++
+        Seq(col("odds_r"), col("decision")): _*)
+  }
+}

@@ -1327,4 +1327,52 @@ class CorpusSpec extends SparkSpec {
       s"query-vocab prune must be a broadcast semi-join:\n$plan")
     assert(!plan.contains("Window"), s"top-k must be the heap, not a window:\n$plan")
   }
+
+  test("recursiveCLDiversity: dominance test is exact integers; distinct-l alone is not enough") {
+    // class x: {a:5, b:1} — two distinct values, but the top one
+    //   dominates: 5·1 < 2·1 is FALSE → not (2,2)-diverse
+    // class y: {a:2, b:2, c:1} — tail from rank 2 is 3: 2 < 6 → ok
+    // class z: one value → m_distinct < l → not diverse
+    val rows =
+      (1 to 5).map(_ => ("x", "a")) ++ Seq(("x", "b")) ++
+      Seq(("y", "a"), ("y", "a"), ("y", "b"), ("y", "b"), ("y", "c")) ++
+      Seq(("z", "a"), ("z", "a"))
+    val got = Corpus.recursiveCLDiversity(rows.toDF("q", "s"), Seq("q"), "s",
+        l = 2, cNum = 2, cDen = 1)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getBoolean(5)))).toMap
+    assert(got("x") === ((6L, 2L, 5L, 1L, false)))
+    assert(got("y") === ((5L, 3L, 2L, 3L, true)))
+    assert(got("z") === ((2L, 1L, 2L, 0L, false)))
+    // rank-1 ties break by sensitive value, so r1 is deterministic
+    val tied = Seq(("t", "b"), ("t", "a")).toDF("q", "s")
+    val t = Corpus.recursiveCLDiversity(tied, Seq("q"), "s", 2, 2, 1)
+      .collect().head
+    assert((t.getLong(3), t.getLong(4)) === ((1L, 1L)))
+    intercept[IllegalArgumentException] {
+      Corpus.recursiveCLDiversity(tied, Seq("q"), "s", l = 1, 2, 1)
+    }
+  }
+
+  test("goodTuringMass: hand-counted hapax share and adjusted count; closed vocab reports 0") {
+    // en: tokens a a a b b c d → N=7, vocab 4, N1=2 (c,d), N2=1 (b)
+    //   p0 = 2/7, r*₁ = 2·1/2 = 1.0
+    // de: x x — N2 = 1 but N1 = 0 → gt1_r = 0 (nothing to discount)
+    val df = Seq(
+      ("en", "a a a b"), ("en", "b c d"),
+      ("de", "x x")).toDF("lang", "text")
+    val got = Corpus.goodTuringMass(df, "lang", "text")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getDouble(5), r.getDouble(6)))).toMap
+    val p0 = BigDecimal(2.0 / 7)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got("en") === ((7L, 4L, 2L, 1L, p0, 1.0)))
+    assert(got("de") === ((2L, 1L, 0L, 1L, 0.0, 0.0)))
+    // null/empty texts contribute nothing; a lang with only those is absent
+    val sparse = Seq(("fr", null: String), ("fr", "  "), ("en", "tok"))
+      .toDF("lang", "text")
+    assert(Corpus.goodTuringMass(sparse, "lang", "text").count() === 1)
+  }
 }

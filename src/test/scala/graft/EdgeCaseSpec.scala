@@ -472,5 +472,44 @@ class EdgeCaseSpec extends SparkSpec {
     assert(Similarity.knnOutlierScoresBatched(vecs,
       vecs.filter(col("vec_id") < 0), "vec_id", "embedding", k = 2)
       .count() === 0)
+
+    // fleissKappa: empty ratings -> empty frame
+    assert(Eval.fleissKappa(Seq.empty[(String, Long, Int, String)]
+      .toDF("g", "i", "r", "l"), "g", "i", "r", "l", 2).count() === 0)
+
+    // pairedPermutationTest: single doc — every permuted |T| equals
+    // |T_obs| (sign flip preserves magnitude) → p = 1
+    val permOne = Eval.pairedPermutationTest(
+        Seq(("g", 1L, 10L, 3L)).toDF("g", "id", "a", "b"),
+        "g", "id", col("a"), col("b"), numPerms = 7)
+      .as[(String, Long, Long, Long, Double)].collect()
+    assert(permOne.toSeq === Seq(("g", 1L, 7L, 7L, 1.0)))
+
+    // bhFdr: empty battery -> empty; one gate is its own Bonferroni
+    assert(Eval.bhFdr(Seq.empty[(String, Long)].toDF("t", "p"), "t", "p")
+      .count() === 0)
+    val one = Eval.bhFdr(Seq(("t", 40000L)).toDF("t", "p"), "t", "p",
+        qPpm = 50000L)
+      .as[(String, Long, Long, Long, Double, Boolean)].collect()
+    assert(one.toSeq === Seq(("t", 40000L, 1L, 1L, 0.04, true)))
+
+    // goodTuringMass / recursiveCLDiversity: empty inputs -> empty
+    assert(Corpus.goodTuringMass(Seq.empty[(String, String)]
+      .toDF("lang", "text"), "lang", "text").count() === 0)
+    assert(Corpus.recursiveCLDiversity(Seq.empty[(String, String)]
+      .toDF("q", "s"), Seq("q"), "s", 2, 2, 1).count() === 0)
+
+    // fellegiSunterScores: singleton blocks produce no pairs
+    val solo = Seq((1L, "B1", "x"), (2L, "B2", "x")).toDF("id", "bk", "f")
+    assert(graft.operators.Linkage.fellegiSunterScores(solo, "id",
+      Seq("bk"), Seq("f"), Seq(900000L), 1.0, 0.0).count() === 0)
+
+    // cochranQ / cohensD / cliffsDelta: empty inputs -> empty frames
+    val noFlags = Seq.empty[(String, Boolean, Boolean)].toDF("g", "a", "b")
+    assert(Eval.cochranQ(noFlags, "g", Seq(col("a"), col("b")))
+      .count() === 0)
+    val noMetric = Seq.empty[(String, Long, Boolean)].toDF("g", "x", "a")
+    assert(Eval.cohensD(noMetric, "g", "x", col("a")).count() === 0)
+    assert(Eval.cliffsDelta(noMetric, "g", "x", col("a")).count() === 0)
   }
 }

@@ -230,4 +230,160 @@ class EvalSpec extends SparkSpec {
     val plan = rep.queryExecution.executedPlan.toString
     assert(!plan.contains("Window"), s"no windows in the report plan:\n$plan")
   }
+
+  test("fleissKappa: textbook integer arithmetic, incomplete items dropped, degenerate groups") {
+    // group g: 3 items × 2 raters — (A,A), (A,B), (B,B).
+    //   S2 = 4 + 2 + 4 = 10; c_A = c_B = 3 → Cs = 18; N = 3, n = 2.
+    //   P̄ = 2/3, P̄e = 1/2 → kappa = (2/3 − 1/2)/(1/2) = 1/3.
+    // group h: one item rated by ONE rater only → dropped, null kappa.
+    // group k: every rating in one category → P̄e = 1 → kappa 1.0.
+    val rows = Seq(
+      ("g", 1L, 1, "A"), ("g", 1L, 2, "A"),
+      ("g", 2L, 1, "A"), ("g", 2L, 2, "B"),
+      ("g", 3L, 1, "B"), ("g", 3L, 2, "B"),
+      ("h", 9L, 1, "A"),
+      ("k", 5L, 1, "X"), ("k", 5L, 2, "X"),
+      ("k", 6L, 1, "X"), ("k", 6L, 2, "X"))
+    val got = Eval.fleissKappa(rows.toDF("grp0", "item", "rater", "lab"),
+        "grp0", "item", "rater", "lab", ratersPerItem = 2)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3),
+          if (r.isNullAt(4)) None else Some(r.getDouble(4))))).toMap
+    assert(got("g") === ((3L, 0L, 2L, Some(0.333333))))
+    assert(got("h") === ((0L, 1L, 0L, None)))
+    assert(got("k") === ((2L, 0L, 1L, Some(1.0))))
+    // panel-size contract enforced
+    intercept[IllegalArgumentException] {
+      Eval.fleissKappa(rows.toDF("g", "i", "r", "l"), "g", "i", "r", "l", 1)
+    }
+  }
+
+  test("pairedPermutationTest equals the driver-side md5 sign replay; A/B swap is p-symmetric") {
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val a = Seq(10L, 3L, 7L, 2L, 9L, 5L)
+    val b = Seq(4L, 8L, 1L, 2L, 3L, 9L)
+    val ids = (1 to 6).map(_.toLong)
+    val df = ids.zip(a.zip(b)).map { case (i, (x, y)) => ("g", i, x, y) }
+      .toDF("grp0", "id", "a", "b")
+    val ds = ids.zip(a.zip(b)).map { case (i, (x, y)) => i -> (x - y) }.toMap
+    val tObs = ds.values.sum
+    val perms = 25
+    val nGe = (1 to perms).count { p =>
+      val t = ids.map { i =>
+        val bit = java.lang.Long.parseLong(
+          md5hex(s"pt:$p:$i").substring(0, 8), 16) % 2
+        (2 * bit - 1) * ds(i)
+      }.sum
+      math.abs(t) >= math.abs(tObs)
+    }
+    val pR = BigDecimal((nGe + 1).toDouble / (perms + 1))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    import org.apache.spark.sql.functions.col
+    val got = Eval.pairedPermutationTest(df, "grp0", "id",
+      col("a"), col("b"), numPerms = perms).collect().head
+    assert((got.getString(0), got.getLong(1), got.getLong(2),
+      got.getLong(3), got.getDouble(4)) ===
+      (("g", 6L, tObs, nGe.toLong, pR)))
+    // swapping the scorers negates every total: |T| and therefore the
+    // whole test is unchanged
+    val swp = Eval.pairedPermutationTest(df, "grp0", "id",
+      col("b"), col("a"), numPerms = perms).collect().head
+    assert(swp.getLong(2) === -tObs)
+    assert((swp.getLong(3), swp.getDouble(4)) === ((nGe.toLong, pR)))
+  }
+
+  test("bhFdr: hand-computed step-up, boundary-tie rejection, adjusted-p cummin") {
+    // m = 5 at q = 0.05: crit_i = i·50000/5 — p(3) = 30000 sits EXACTLY
+    // on 3·50000/5·10⁶ → rejected (≤, not <); k = 3 rejects ranks 1..3
+    // even though nothing between them failed
+    val df = Seq(("t1", 1000L), ("t2", 20000L), ("t3", 30000L),
+      ("t4", 500000L), ("t5", 900000L)).toDF("test0", "p")
+    val got = Eval.bhFdr(df, "test0", "p", qPpm = 50000L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getDouble(4), r.getBoolean(5)))).toMap
+    assert(got("t1") === ((1000L, 5L, 1L, 0.005, true)))
+    assert(got("t2") === ((20000L, 5L, 2L, 0.05, true)))
+    assert(got("t3") === ((30000L, 5L, 3L, 0.05, true)),
+      "exact boundary must reject (step-up is ≤)")
+    assert(got("t4") === ((500000L, 5L, 4L, 0.625, false)))
+    assert(got("t5") === ((900000L, 5L, 5L, 0.9, false)))
+    // adjusted p is monotone along the rank order by construction
+    val adj = got.values.toSeq.sortBy(_._3).map(_._4)
+    assert(adj === adj.sorted)
+  }
+
+  test("cochranQ: reduces to McNemar z² at k = 2; hand-computed k = 3; agreement gives 0") {
+    import org.apache.spark.sql.functions.col
+    // the mcnemarGate fixture: 9 a-only, 1 b-only, 2 both →
+    // z = 8/√10 → z² = 6.4; Cochran Q at k = 2 must equal it exactly
+    val two = ((1 to 9).map(_ => ("g", true, false)) ++
+      Seq(("g", false, true)) ++ (1 to 2).map(_ => ("g", true, true)))
+      .toDF("grp0", "a", "b")
+    val got2 = Eval.cochranQ(two, "grp0", Seq(col("a"), col("b")),
+      critQ = 3.841459).collect().head
+    assert((got2.getLong(1), got2.getLong(2), got2.getLong(3),
+      got2.getDouble(4), got2.getBoolean(5)) === ((12L, 11L, 3L, 6.4, true)))
+    // k = 3 hand example: rows (1,1,0),(1,0,0),(1,1,1) →
+    // C = (3,2,1), N = 6, ΣR² = 14 → Q = 2·(42−36)/(18−14) = 3.0
+    val three = Seq(("g", true, true, false), ("g", true, false, false),
+      ("g", true, true, true)).toDF("grp0", "a", "b", "c")
+    val got3 = Eval.cochranQ(three, "grp0",
+      Seq(col("a"), col("b"), col("c"))).collect().head
+    assert((got3.getLong(2), got3.getLong(3), got3.getLong(4),
+      got3.getDouble(5), got3.getBoolean(6)) === ((3L, 2L, 1L, 3.0, false)))
+    // full agreement (all versions pass everything) → denominator 0 → Q = 0
+    val agree = Seq(("g", true, true, true), ("g", true, true, true))
+      .toDF("grp0", "a", "b", "c")
+    assert(Eval.cochranQ(agree, "grp0", Seq(col("a"), col("b"), col("c")))
+      .collect().head.getDouble(5) === 0.0)
+    intercept[IllegalArgumentException] {
+      Eval.cochranQ(agree, "grp0", Seq(col("a")))
+    }
+  }
+
+  test("cohensD: hand-computed pooled-variance d; undefined cases are null") {
+    import org.apache.spark.sql.functions.col
+    // A = [1,2,3]: m = 2, Σ(x−m)² = 2; B = [4,6]: m = 5, Σ(x−m)² = 2
+    // pooled = 4/3 → d = −3/√(4/3) = −2.598076…
+    val df = Seq(("g", 1L, true), ("g", 2L, true), ("g", 3L, true),
+      ("g", 4L, false), ("g", 6L, false)).toDF("grp0", "x", "a")
+    val got = Eval.cohensD(df, "grp0", "x", col("a")).collect().head
+    val d = BigDecimal(-3.0 / math.sqrt(4.0 / 3))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert((got.getLong(1), got.getLong(2), got.getDouble(3),
+      got.getDouble(4)) === ((3L, 2L, -3.0, d)))
+    // a slice of one: mean diff defined, d null
+    val thin = Seq(("g", 1L, true), ("g", 5L, false), ("g", 7L, false))
+      .toDF("grp0", "x", "a")
+    val t = Eval.cohensD(thin, "grp0", "x", col("a")).collect().head
+    assert(t.getDouble(3) === -5.0 && t.isNullAt(4))
+    // zero spread in both slices: d undefined (null), not ±∞
+    val flat = Seq(("g", 5L, true), ("g", 5L, true),
+      ("g", 5L, false), ("g", 5L, false)).toDF("grp0", "x", "a")
+    assert(Eval.cohensD(flat, "grp0", "x", col("a")).collect().head.isNullAt(4))
+  }
+
+  test("cliffsDelta: hand-counted pairs with ties; one-slice group is null") {
+    import org.apache.spark.sql.functions.col
+    // A = [1,2,2], B = [1,3]: gt = 2, lt = 3, one tie → δ = −1/6
+    val df = Seq(("g", 1L, true), ("g", 2L, true), ("g", 2L, true),
+      ("g", 1L, false), ("g", 3L, false)).toDF("grp0", "x", "a")
+    val got = Eval.cliffsDelta(df, "grp0", "x", col("a")).collect().head
+    val delta = BigDecimal(-1.0 / 6)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert((got.getLong(1), got.getLong(2), got.getLong(3), got.getLong(4),
+      got.getDouble(5)) === ((3L, 2L, 2L, 3L, delta)))
+    // all of A above all of B → δ = 1 exactly
+    val sep = Seq(("g", 9L, true), ("g", 8L, true), ("g", 1L, false))
+      .toDF("grp0", "x", "a")
+    assert(Eval.cliffsDelta(sep, "grp0", "x", col("a"))
+      .collect().head.getDouble(5) === 1.0)
+    // no B rows: delta undefined
+    val solo = Seq(("g", 1L, true)).toDF("grp0", "x", "a")
+    assert(Eval.cliffsDelta(solo, "grp0", "x", col("a"))
+      .collect().head.isNullAt(5))
+  }
 }

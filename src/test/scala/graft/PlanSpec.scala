@@ -406,6 +406,53 @@ class PlanSpec extends SparkSpec {
       s"expected the per-doc window explode:\n$p217")
   }
 
+  test("q218-q223: the round-16 stats/linkage ops keep windows off data-scale keys") {
+    // q218: kappa is aggregates + key-local joins — no window at all
+    val p218 = plan(SparkEntry.q218(spark, sf0001))
+    assert(!p218.contains("Window") && !p218.contains("CartesianProduct"),
+      s"fleissKappa must stay aggregate + equi-join:\n$p218")
+    // q219: two aggregation levels, nothing else
+    val p219 = plan(SparkEntry.q219(spark, sf0001))
+    assert(!p219.contains("Window") && !p219.contains("Join"),
+      s"goodTuringMass must be generate + aggregates only:\n$p219")
+    assert(p219.contains("Generate explode"), s"expected token explode:\n$p219")
+    // q220: the frequency-rank window must partition BY THE QUASI
+    // CLASS — a global window here would sort every class in one task
+    val p220 = plan(SparkEntry.q220(spark, sf0001))
+    val w220 = "Window \\[[^\\n]*".r.findAllIn(p220).toSeq
+    assert(w220.nonEmpty && w220.forall(_.contains("c_nationkey")),
+      s"the rank window must partition by the quasi class:\n$p220")
+    // q222: the q212 one-pass shape — per-doc sign explode, partial
+    // agg, group-grain join; no window, no cartesian
+    val p222 = plan(SparkEntry.q222(spark, sf0001))
+    assert(!p222.contains("Window") && !p222.contains("CartesianProduct"),
+      s"permutation totals must fold map-side:\n$p222")
+    assert(p222.contains("Generate explode"),
+      s"expected the per-doc permutation explode:\n$p222")
+    // q223: the u-stats row rides a broadcast; candidate pairs come
+    // from the block-key EQUI-join, never a cartesian
+    val p223 = plan(SparkEntry.q223(spark, sf0001))
+    assert(p223.contains("BroadcastNestedLoopJoin") ||
+      p223.contains("BroadcastExchange"),
+      s"the scalar stats row must broadcast:\n$p223")
+    assert(!p223.contains("CartesianProduct"),
+      s"pair generation must be the block equi-join:\n$p223")
+    // q224/q225: the mcnemar shape at any k — one collapse, no join,
+    // no window
+    Seq("q224" -> plan(SparkEntry.q224(spark, sf0001)),
+        "q225" -> plan(SparkEntry.q225(spark, sf0001))).foreach {
+      case (n, p) =>
+        assert(!p.contains("Window") && !p.contains("Join"),
+          s"$n must be one aggregation pass:\n$p")
+    }
+    // q226: the cumulative pair window must partition by the group —
+    // it runs over distinct metric values, never a global sort
+    val p226 = plan(SparkEntry.q226(spark, sf0001))
+    val w226 = "Window \\[[^\\n]*".r.findAllIn(p226).toSeq
+    assert(w226.nonEmpty && w226.forall(_.contains("grp")),
+      s"cliffsDelta windows must partition by group:\n$p226")
+  }
+
   test("q196: the contamination scan has no global window over position-scale data") {
     // the nearest-train-neighbor scan must run inside the range slices
     // (windows partitioned by __part) and on the per-doc interval keys;
