@@ -3870,6 +3870,129 @@ object SparkEntry {
     graft.operators.Eval.cliffsDelta(docs(s, d), "lang", "n_chars",
       col("doc_id") % 2 === 0)
 
+  /** Q227 — Krippendorff's alpha with varying panel sizes
+    * ([[graft.operators.Eval.krippendorffAlpha]], Krippendorff 2011):
+    * per language, nominal agreement over panels of 2 OR 3 raters
+    * (`2 + doc_id % 2` — the varying-panel table q218's Fleiss must
+    * drop rows from), md5-jittered length labels; the
+    * lcm-cleared disagreement ratio is ONE division of two exact
+    * DECIMAL(38,0) integers. Oracle replays the panels, both
+    * disagreement sums, and the lcm scaling in HUGEINT.
+    */
+  def q227(s: SparkSession, d: String): DataFrame = {
+    val eff = col("n_chars") + pmod(conv(substring(md5(concat_ws(":",
+      lit("ka"), col("doc_id").cast("string"), col("rater").cast("string"))),
+      1, 8), 16, 10).cast("long"), lit(200L))
+    val ratings = docs(s, d)
+      .select(col("lang"), col("doc_id"), col("n_chars"),
+        explode(sequence(lit(1L), lit(2L) + pmod(col("doc_id"), lit(2L))))
+          .as("rater"))
+      .withColumn("label", when(eff < 400, lit("short"))
+        .when(eff < 700, lit("mid")).otherwise(lit("long")))
+    graft.operators.Eval.krippendorffAlpha(ratings, "lang", "doc_id",
+      "label", maxRaters = 12)
+  }
+
+  /** Q228 — simplified silhouette clustering quality
+    * ([[graft.operators.Similarity.silhouetteSimplified]], Rousseeuw
+    * 1987 / Hruschka et al. 2004): per embedding label, the mean
+    * (b − a)/max(a, b) of cosine distances to the own vs nearest
+    * foreign centroid — the cluster-validity gate over the q89
+    * centroids; centroids collect (metadata tier) and score in one
+    * zero-exchange projection. Oracle replays the centroid table, the
+    * vector×centroid distance fan-out, and the same rounded chain.
+    */
+  def q228(s: SparkSession, d: String): DataFrame =
+    graft.operators.Similarity.silhouetteSimplified(
+      Tables.embeddings(s, d), "label", "embedding")
+
+  /** Q229 — Wilcoxon signed-rank paired test
+    * ([[graft.operators.Eval.wilcoxonSignedRank]], Wilcoxon 1945):
+    * per language, the magnitude-aware paired test on q222's exact
+    * difference (characters vs 6× tokens) — doubled midranks over
+    * tie groups, the tie-corrected z with every fraction cleared to
+    * exact integers, one divide + one sqrt. Oracle replays the tie
+    * groups, the doubled ranks, and the cleared-denominator z.
+    */
+  def q229(s: SparkSession, d: String): DataFrame =
+    graft.operators.Eval.wilcoxonSignedRank(
+      docs(s, d).filter(col("text").isNotNull), "lang",
+      col("n_chars"),
+      lit(6L) * graft.functions.TextFunctions.tokenCount(col("text")))
+
+  /** Q230 — Spearman rank correlation
+    * ([[graft.operators.Eval.spearmanRho]], Spearman 1904): per
+    * language, the monotone association between character and token
+    * counts — doubled midranks joined back by value, Pearson over
+    * exact DECIMAL(38,0) rank sums, one fixed IEEE chain. Oracle
+    * replays both rank tables, the joins, and the same formula.
+    */
+  def q230(s: SparkSession, d: String): DataFrame =
+    graft.operators.Eval.spearmanRho(
+      docs(s, d).filter(col("text").isNotNull)
+        .withColumn("n_toks",
+          graft.functions.TextFunctions.tokenCount(col("text"))),
+      "lang", "n_chars", "n_toks")
+
+  /** Q233 — chi-square drift test
+    * ([[graft.operators.Drift.chiSquareHomogeneity]], Pearson 1900):
+    * the q86/q116 even/odd event split over the SAME reference-decile
+    * bins, but as the proper homogeneity TEST — expected counts from
+    * exact integer margin products, per-cell contributions frozen at
+    * 9 places into decimal before the order-independent sum, the
+    * χ²₀.₀₅(df 9) gate on the rounded statistic. Oracle replays the
+    * q86 bin CTEs and the same frozen-contribution chain.
+    */
+  def q233(s: SparkSession, d: String): DataFrame = {
+    val e = ev(s, d).select(col("event_id"), col("event_type"), col("value"))
+    graft.operators.Drift.chiSquareHomogeneity(
+      e.filter(pmod(col("event_id"), lit(2)) === 0),
+      e.filter(pmod(col("event_id"), lit(2)) === 1),
+      "event_type", "value")
+  }
+
+  /** Q231 — maintained vocabulary: Good-Turing off the standing table
+    * ([[graft.sinks.VocabSink]]): three content-keyed batches
+    * (`doc_id % 3`, the q200 fixture) fold exactly-once into the
+    * (lang, bucket)-partitioned vocabulary via the [[graft.sinks
+    * .IncrementalAgg]] snapshot/marker protocol; the q219 statistics
+    * then read the MAINTAINED table. Oracle is q219's raw-token
+    * recompute verbatim — the maintained ≡ recomputed gate.
+    */
+  def q231(s: SparkSession, d: String): DataFrame = {
+    val keyHex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"q231|v1|$d".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val root = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft-vocabsink-$keyHex/vocab").toString
+    (0L to 2L).foreach { day =>
+      graft.sinks.VocabSink.maintain(s,
+        docs(s, d).filter(pmod(col("doc_id"), lit(3)) === day),
+        root, "lang", "text", day)
+    }
+    graft.sinks.VocabSink.goodTuring(s, root)
+  }
+
+  /** Q232 — probe OOV against the maintained vocabulary
+    * ([[graft.sinks.VocabSink.oovRate]]): days 1 and 2 fold into the
+    * standing table, then day 0 probes it — per language, the probe's
+    * token count, unseen-token count, and share, via one key-local
+    * left join against the vocabulary (the historical corpus is never
+    * re-read). Oracle replays train-distinct terms and the probe join.
+    */
+  def q232(s: SparkSession, d: String): DataFrame = {
+    val keyHex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"q232|v1|$d".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val root = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft-vocabsink-$keyHex/vocab").toString
+    (1L to 2L).foreach { day =>
+      graft.sinks.VocabSink.maintain(s,
+        docs(s, d).filter(pmod(col("doc_id"), lit(3)) === day),
+        root, "lang", "text", day)
+    }
+    graft.sinks.VocabSink.oovRate(s, root,
+      docs(s, d).filter(pmod(col("doc_id"), lit(3)) === 0), "lang", "text")
+  }
+
   /** Q223 — Fellegi-Sunter record-linkage scoring
     * ([[graft.operators.Linkage.fellegiSunterScores]], Fellegi &
     * Sunter 1969): customers blocked on (segment, balance-thousand),
@@ -4905,7 +5028,14 @@ object SparkEntry {
     "q223_fs_linkage"       -> (q223 _),
     "q224_cochran_q"        -> (q224 _),
     "q225_cohens_d"         -> (q225 _),
-    "q226_cliffs_delta"     -> (q226 _))
+    "q226_cliffs_delta"     -> (q226 _),
+    "q227_krippendorff"     -> (q227 _),
+    "q228_silhouette"       -> (q228 _),
+    "q229_wilcoxon"         -> (q229 _),
+    "q230_spearman"         -> (q230 _),
+    "q231_vocab_sink"       -> (q231 _),
+    "q232_vocab_oov"        -> (q232 _),
+    "q233_chi2_drift"       -> (q233 _))
 
   // DuckDB twins. Shared SQL fragments for the text queries:
   // explicit class: Java \s includes \x0B, RE2 \s does not — see
@@ -4932,6 +5062,28 @@ object SparkEntry {
 
   private val TOKS =
     "list_filter(regexp_split_to_array(trim(text), '[ \\t\\n\\f\\r]+'), x -> x <> '')"
+
+  /** Shared q219/q231 oracle: Good-Turing stats recomputed from raw
+    * tokens — q231 reads the identical numbers off the MAINTAINED
+    * vocabulary table (maintained ≡ recomputed).
+    */
+  private lazy val GOOD_TURING_ORACLE: String =
+    s"""WITH t AS (SELECT lang, unnest($TOKS) AS tok FROM documents
+       |  WHERE text IS NOT NULL),
+       |c AS (SELECT lang, tok, count(*) AS c FROM t GROUP BY 1, 2),
+       |g AS (SELECT lang, sum(c) AS n_tokens, count(*) AS vocab,
+       |  sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS n1,
+       |  sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS n2
+       |  FROM c GROUP BY 1)
+       |SELECT lang, CAST(n_tokens AS BIGINT) AS n_tokens,
+       |  CAST(vocab AS BIGINT) AS vocab, CAST(n1 AS BIGINT) AS n1,
+       |  CAST(n2 AS BIGINT) AS n2,
+       |  round(CAST(n1 AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) + 0
+       |    AS p0_r,
+       |  CASE WHEN n1 = 0 THEN 0.0 ELSE round(CAST(2 * n2 AS DOUBLE)
+       |    / CAST(n1 AS DOUBLE), 6) + 0 END AS gt1_r
+       |FROM g
+       |""".stripMargin
 
   /** Shared q148/q150 oracle prefix: hashed features, labels, and the
     * three unrolled integer gradient steps ending in trained weights
@@ -5673,22 +5825,28 @@ object SparkEntry {
          |""".stripMargin),
     // q219: whitespace term counts per lang, counts-of-counts, the
     // hapax-share unseen mass and the 2·N2/N1 adjusted hapax count
-    "q219_good_turing" ->
-      (s"""WITH t AS (SELECT lang, unnest($TOKS) AS tok FROM documents
-          |  WHERE text IS NOT NULL),
-          |c AS (SELECT lang, tok, count(*) AS c FROM t GROUP BY 1, 2),
-          |g AS (SELECT lang, sum(c) AS n_tokens, count(*) AS vocab,
-          |  sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS n1,
-          |  sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS n2
-          |  FROM c GROUP BY 1)
-          |SELECT lang, CAST(n_tokens AS BIGINT) AS n_tokens,
-          |  CAST(vocab AS BIGINT) AS vocab, CAST(n1 AS BIGINT) AS n1,
-          |  CAST(n2 AS BIGINT) AS n2,
-          |  round(CAST(n1 AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) + 0
-          |    AS p0_r,
-          |  CASE WHEN n1 = 0 THEN 0.0 ELSE round(CAST(2 * n2 AS DOUBLE)
-          |    / CAST(n1 AS DOUBLE), 6) + 0 END AS gt1_r
-          |FROM g
+    "q219_good_turing" -> GOOD_TURING_ORACLE,
+    // q231: the SAME Good-Turing stats, but read off the MAINTAINED
+    // vocabulary table after three exactly-once batch folds — the
+    // maintained ≡ recomputed gate (the q188/q204 protocol), so the
+    // oracle is q219's recompute verbatim
+    "q231_vocab_sink" -> GOOD_TURING_ORACLE,
+    // q232: probe-slice OOV against the 2-batch maintained vocabulary
+    // — train terms from day 1/2 docs, probe tokens from day-0 docs,
+    // one key-local left join
+    "q232_vocab_oov" ->
+      (s"""WITH tr AS (SELECT lang, unnest($TOKS) AS term FROM documents
+          |  WHERE text IS NOT NULL AND doc_id % 3 <> 0),
+          |v AS (SELECT DISTINCT lang, term FROM tr),
+          |pr AS (SELECT lang, unnest($TOKS) AS term FROM documents
+          |  WHERE text IS NOT NULL AND doc_id % 3 = 0)
+          |SELECT pr.lang, CAST(count(*) AS BIGINT) AS n_tokens,
+          |  CAST(sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END)
+          |    AS BIGINT) AS n_oov,
+          |  round(CAST(sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END)
+          |    AS DOUBLE) / count(*), 6) + 0 AS oov_r
+          |FROM pr LEFT JOIN v ON pr.lang = v.lang AND pr.term = v.term
+          |GROUP BY 1
           |""".stripMargin),
     // q220: frequency-ranked sensitive counts per quasi class
     // (ties to the smaller bucket), then the exact integer
@@ -5845,6 +6003,131 @@ object SparkEntry {
          |    END AS delta_r
          |FROM g
          |""".stripMargin),
+    // q227: varying 2/3-rater panels, the same md5 labels, both
+    // disagreement sums lcm-scaled (L = lcm(1..11) = 27720), one
+    // HUGEINT divide
+    "q227_krippendorff" ->
+      ("""WITH r AS (SELECT lang, doc_id, n_chars,
+         |  unnest(range(2 + doc_id % 2)) + 1 AS rater FROM documents),
+         |lab AS (SELECT lang, doc_id,
+         |  CASE WHEN n_chars + CAST('0x' || substr(md5('ka:' || doc_id ||
+         |      ':' || rater), 1, 8) AS BIGINT) % 200 < 400 THEN 'short'
+         |    WHEN n_chars + CAST('0x' || substr(md5('ka:' || doc_id ||
+         |      ':' || rater), 1, 8) AS BIGINT) % 200 < 700 THEN 'mid'
+         |    ELSE 'long' END AS label FROM r),
+         |cells AS (SELECT lang, doc_id, label, count(*) AS nij
+         |  FROM lab GROUP BY 1, 2, 3),
+         |items AS (SELECT lang, doc_id, sum(nij) AS ni
+         |  FROM cells GROUP BY 1, 2),
+         |j AS (SELECT c.lang, c.label, c.nij, i.ni FROM cells c
+         |  JOIN items i ON c.lang = i.lang AND c.doc_id = i.doc_id
+         |  WHERE i.ni BETWEEN 2 AND 12),
+         |num AS (SELECT lang, sum(CAST(nij AS HUGEINT) * (ni - nij) *
+         |  (27720 // (ni - 1))) AS numl FROM j GROUP BY 1),
+         |cat AS (SELECT lang, label, sum(nij) AS nc FROM j GROUP BY 1, 2),
+         |nt AS (SELECT lang, sum(ni) AS n FROM items
+         |  WHERE ni BETWEEN 2 AND 12 GROUP BY 1),
+         |dd AS (SELECT cat.lang, max(n) AS n,
+         |  sum(CAST(nc AS HUGEINT) * (n - nc)) AS dden
+         |  FROM cat JOIN nt ON cat.lang = nt.lang GROUP BY 1),
+         |cnt AS (SELECT lang,
+         |  sum(CASE WHEN ni BETWEEN 2 AND 12 THEN 1 ELSE 0 END) AS n_items,
+         |  sum(CASE WHEN ni = 1 THEN 1 ELSE 0 END) AS n_single,
+         |  sum(CASE WHEN ni > 12 THEN 1 ELSE 0 END) AS n_oversize
+         |  FROM items GROUP BY 1)
+         |SELECT cnt.lang AS grp, CAST(n_items AS BIGINT) AS n_items,
+         |  CAST(n_single AS BIGINT) AS n_single,
+         |  CAST(n_oversize AS BIGINT) AS n_oversize,
+         |  CAST(coalesce(q.n, 0) AS BIGINT) AS n_ratings,
+         |  CASE WHEN n_items = 0 THEN NULL
+         |    WHEN 27720 * q.dden = 0 THEN 1.0
+         |    ELSE round(CAST(27720 * q.dden - (q.n - 1) * q.numl AS DOUBLE)
+         |      / CAST(27720 * q.dden AS DOUBLE), 6) + 0 END AS alpha_r
+         |FROM cnt LEFT JOIN (SELECT num.lang, numl, n, dden FROM num
+         |  JOIN dd ON num.lang = dd.lang) q ON cnt.lang = q.lang
+         |""".stripMargin),
+    // q228: the q90 centroid CTE, a vector×centroid distance fan-out
+    // (the engine keeps this row-local off collected literals), own vs
+    // min-foreign distances, the same rounded silhouette chain
+    "q228_silhouette" ->
+      ("""WITH x AS (SELECT label,
+         |  unnest(range(len(embedding))) AS pos,
+         |  CAST(CAST(unnest(embedding) AS DOUBLE) AS DECIMAL(18,9)) AS x
+         |  FROM embeddings),
+         |cd AS (SELECT label, pos,
+         |  round(CAST(sum(x) AS DOUBLE) / count(*), 6) + 0 AS c
+         |  FROM x GROUP BY 1, 2),
+         |cv AS (SELECT label, list(c ORDER BY pos) AS cvec FROM cd GROUP BY 1),
+         |p AS (SELECT e.vec_id, e.label AS lab, cv.label AS cl,
+         |  1.0 - round(list_cosine_similarity(
+         |    CAST(e.embedding AS DOUBLE[]), cv.cvec), 4) AS d
+         |  FROM embeddings e, cv),
+         |ab AS (SELECT vec_id, lab,
+         |  min(CASE WHEN cl = lab THEN d END) AS a,
+         |  min(CASE WHEN cl <> lab THEN d END) AS b FROM p GROUP BY 1, 2),
+         |s AS (SELECT lab,
+         |  CASE WHEN greatest(a, b) = 0 THEN CAST(0.0 AS DECIMAL(18,9))
+         |    ELSE CAST(round((b - a) / greatest(a, b), 6) AS DECIMAL(18,9))
+         |    END AS sv FROM ab)
+         |SELECT lab AS label, CAST(count(*) AS BIGINT) AS n,
+         |  round(CAST(sum(sv) AS DOUBLE) / count(*), 6) + 0 AS mean_sil_r
+         |FROM s GROUP BY 1
+         |""".stripMargin),
+    // q229: nonzero differences to (lang, |d|) tie groups, doubled
+    // midranks via the cumulative window, the cleared-fraction
+    // tie-corrected z
+    "q229_wilcoxon" ->
+      (s"""WITH base AS (SELECT lang,
+          |  CAST(n_chars AS BIGINT) - 6 * len($TOKS) AS d
+          |  FROM documents WHERE text IS NOT NULL),
+          |nz AS (SELECT lang, abs(d) AS ad,
+          |  CASE WHEN d > 0 THEN 1 ELSE 0 END AS pos
+          |  FROM base WHERE d <> 0),
+          |c AS (SELECT lang, ad, count(*) AS t, sum(pos) AS ca
+          |  FROM nz GROUP BY 1, 2),
+          |w AS (SELECT lang, ad, t, ca, sum(t) OVER (PARTITION BY lang
+          |  ORDER BY ad ROWS UNBOUNDED PRECEDING) - t AS cb FROM c),
+          |g AS (SELECT lang, sum(t) AS n,
+          |  sum(CAST(ca AS HUGEINT) * (2 * cb + t + 1)) AS w2,
+          |  sum(CAST(t AS HUGEINT) * t * t - t) AS tie FROM w GROUP BY 1)
+          |SELECT lang AS grp, CAST(n AS BIGINT) AS n_nz,
+          |  CAST(w2 AS BIGINT) AS w2,
+          |  round(CAST(2 * w2 - CAST(n AS HUGEINT) * (n + 1) AS DOUBLE) /
+          |    sqrt(CAST(2 * CAST(n AS HUGEINT) * (n + 1) * (2 * n + 1) -
+          |      tie AS DOUBLE) / 3.0), 6) + 0 AS z_r,
+          |  abs(round(CAST(2 * w2 - CAST(n AS HUGEINT) * (n + 1) AS DOUBLE) /
+          |    sqrt(CAST(2 * CAST(n AS HUGEINT) * (n + 1) * (2 * n + 1) -
+          |      tie AS DOUBLE) / 3.0), 6) + 0) > 1.96 AS significant
+          |FROM g
+          |""".stripMargin),
+    // q230: doubled midranks per metric, value joins back to rows,
+    // Pearson over exact rank sums
+    "q230_spearman" ->
+      (s"""WITH base AS (SELECT lang, CAST(n_chars AS BIGINT) AS x,
+          |  len($TOKS) AS y FROM documents WHERE text IS NOT NULL),
+          |cx AS (SELECT lang, x, count(*) AS t FROM base GROUP BY 1, 2),
+          |wx AS (SELECT lang, x, 2 * (sum(t) OVER (PARTITION BY lang
+          |  ORDER BY x ROWS UNBOUNDED PRECEDING) - t) + t + 1 AS rx FROM cx),
+          |cy AS (SELECT lang, y, count(*) AS t FROM base GROUP BY 1, 2),
+          |wy AS (SELECT lang, y, 2 * (sum(t) OVER (PARTITION BY lang
+          |  ORDER BY y ROWS UNBOUNDED PRECEDING) - t) + t + 1 AS ry FROM cy),
+          |j AS (SELECT b.lang, wx.rx, wy.ry FROM base b
+          |  JOIN wx ON b.lang = wx.lang AND b.x = wx.x
+          |  JOIN wy ON b.lang = wy.lang AND b.y = wy.y),
+          |g AS (SELECT lang, count(*) AS n,
+          |  sum(CAST(rx AS HUGEINT)) AS sx, sum(CAST(ry AS HUGEINT)) AS sy,
+          |  sum(CAST(rx AS HUGEINT) * rx) AS sxx,
+          |  sum(CAST(ry AS HUGEINT) * ry) AS syy,
+          |  sum(CAST(rx AS HUGEINT) * ry) AS sxy FROM j GROUP BY 1)
+          |SELECT lang AS grp, CAST(n AS BIGINT) AS n,
+          |  CASE WHEN n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0
+          |    THEN NULL
+          |    ELSE round(CAST(n * sxy - sx * sy AS DOUBLE) /
+          |      (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
+          |       sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6) + 0
+          |    END AS rho_r
+          |FROM g
+          |""".stripMargin),
     // q223: frequency-method u estimates per field (Laplace-clamped),
     // blocked pairs under the id total order, the odds product in
     // fixed field order, and the banded decision on the rounded odds
@@ -6286,6 +6569,70 @@ object SparkEntry {
          |  CASE WHEN p_ref > 0 AND p_cur > 0 THEN
          |    round((p_ref - p_cur) * ln(p_ref / p_cur), 6) END + 0 AS psi_term
          |FROM p
+         |""".stripMargin),
+    // q233: the q86 decile-bin CTEs, margin-product expected counts,
+    // per-cell contributions frozen at 9 places into DECIMAL(18,9)
+    // before the order-independent sum, χ² gate on the rounded value
+    "q233_chi2_drift" ->
+      ("""WITH e AS (SELECT event_type, value, event_id % 2 AS side FROM events
+         |  WHERE value IS NOT NULL),
+         |cuts AS (SELECT event_type,
+         |  round(quantile_cont(value, 0.1), 6) AS c1,
+         |  round(quantile_cont(value, 0.2), 6) AS c2,
+         |  round(quantile_cont(value, 0.3), 6) AS c3,
+         |  round(quantile_cont(value, 0.4), 6) AS c4,
+         |  round(quantile_cont(value, 0.5), 6) AS c5,
+         |  round(quantile_cont(value, 0.6), 6) AS c6,
+         |  round(quantile_cont(value, 0.7), 6) AS c7,
+         |  round(quantile_cont(value, 0.8), 6) AS c8,
+         |  round(quantile_cont(value, 0.9), 6) AS c9
+         |  FROM e WHERE side = 0 GROUP BY 1),
+         |b AS (SELECT e.event_type, side,
+         |  (CASE WHEN value >= c1 THEN 1 ELSE 0 END) +
+         |  (CASE WHEN value >= c2 THEN 1 ELSE 0 END) +
+         |  (CASE WHEN value >= c3 THEN 1 ELSE 0 END) +
+         |  (CASE WHEN value >= c4 THEN 1 ELSE 0 END) +
+         |  (CASE WHEN value >= c5 THEN 1 ELSE 0 END) +
+         |  (CASE WHEN value >= c6 THEN 1 ELSE 0 END) +
+         |  (CASE WHEN value >= c7 THEN 1 ELSE 0 END) +
+         |  (CASE WHEN value >= c8 THEN 1 ELSE 0 END) +
+         |  (CASE WHEN value >= c9 THEN 1 ELSE 0 END) AS bin
+         |  FROM e JOIN cuts USING (event_type)),
+         |g AS (SELECT event_type, bin,
+         |  count(CASE WHEN side = 0 THEN 1 END) AS n_ref,
+         |  count(CASE WHEN side = 1 THEN 1 END) AS n_cur
+         |  FROM b GROUP BY 1, 2),
+         |t AS (SELECT event_type, sum(n_ref) AS tr, sum(n_cur) AS tc
+         |  FROM g GROUP BY 1),
+         |c2 AS (SELECT g.event_type, n_ref, n_cur, tr, tc,
+         |  n_ref + n_cur AS cb, tr + tc AS n
+         |  FROM g JOIN t USING (event_type)),
+         |k AS (SELECT event_type, tr, tc,
+         |  (CASE WHEN tr = 0 THEN CAST(0 AS DECIMAL(18,9)) ELSE
+         |  CAST(round((CAST(n_ref AS DOUBLE) -
+         |      CAST(CAST(tr AS HUGEINT) * cb AS DOUBLE) / CAST(n AS DOUBLE))
+         |    * (CAST(n_ref AS DOUBLE) -
+         |      CAST(CAST(tr AS HUGEINT) * cb AS DOUBLE) / CAST(n AS DOUBLE))
+         |    / (CAST(CAST(tr AS HUGEINT) * cb AS DOUBLE) / CAST(n AS DOUBLE)),
+         |    9) AS DECIMAL(18,9)) END) +
+         |  (CASE WHEN tc = 0 THEN CAST(0 AS DECIMAL(18,9)) ELSE
+         |  CAST(round((CAST(n_cur AS DOUBLE) -
+         |      CAST(CAST(tc AS HUGEINT) * cb AS DOUBLE) / CAST(n AS DOUBLE))
+         |    * (CAST(n_cur AS DOUBLE) -
+         |      CAST(CAST(tc AS HUGEINT) * cb AS DOUBLE) / CAST(n AS DOUBLE))
+         |    / (CAST(CAST(tc AS HUGEINT) * cb AS DOUBLE) / CAST(n AS DOUBLE)),
+         |    9) AS DECIMAL(18,9)) END) AS kk
+         |  FROM c2),
+         |f AS (SELECT event_type, max(tr) AS n_ref, max(tc) AS n_cur,
+         |  count(*) AS n_bins, sum(kk) AS s FROM k GROUP BY 1)
+         |SELECT event_type, CAST(n_ref AS BIGINT) AS n_ref,
+         |  CAST(n_cur AS BIGINT) AS n_cur, CAST(n_bins AS BIGINT) AS n_bins,
+         |  CASE WHEN n_ref = 0 OR n_cur = 0 THEN NULL
+         |    ELSE round(CAST(s AS DOUBLE), 6) + 0 END AS chi2_r,
+         |  CASE WHEN n_ref = 0 OR n_cur = 0 THEN NULL
+         |    ELSE round(CAST(s AS DOUBLE), 6) + 0 > 16.918978
+         |    END AS significant
+         |FROM f
          |""".stripMargin),
     "q87_mode" ->
       ("""WITH c AS (SELECT user_id, event_type, count(*) AS n FROM events

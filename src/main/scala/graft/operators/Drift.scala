@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.functions.NumFunctions
 
@@ -210,6 +210,65 @@ object Drift {
   /** Shared PSI/KS core: per (group, bin) counts and rounded population
     * shares, binned on the reference's rounded decile cutoffs.
     */
+  /** Chi-square test of homogeneity per group (Pearson 1900), over the
+    * SAME ten reference-decile bins [[psiProfile]] and [[ksProfile]]
+    * compare — the proper TEST STATISTIC next to those descriptive
+    * measures: PSI says how far the shares moved, KS where the CDFs
+    * separate; χ² says whether the movement exceeds what sampling
+    * noise explains at these row counts. `significant` compares the
+    * rounded statistic against the caller's critical value (default
+    * 16.918978 = χ²₀.₀₅ at df 9, the full ten-bin case; groups binning
+    * coarser report their `n_bins` so the reader can pick the right
+    * quantile).
+    *
+    * Determinism: expected counts are ratios of exact DECIMAL(38,0)
+    * integer products (`rowTot·colTot / N`), each cell's contribution
+    * `(o − e)²/e` is a fixed IEEE chain FROZEN at 9 places into
+    * DECIMAL(18,9) before summation — decimal addition is exact, so
+    * the sum is partitioning- and order-independent (the unit-freeze
+    * discipline), and the final statistic rounds once at the edge.
+    * A side with zero rows in a group has no sampling test: null.
+    *
+    * Scale shape: [[binShares]]' two partial-aggregating bin counts,
+    * then everything operates on ≤ 10 rows per group. No window.
+    *
+    * Returns `(group, n_ref, n_cur, n_bins, chi2_r, significant)`.
+    */
+  def chiSquareHomogeneity(ref: DataFrame, cur: DataFrame, groupCol: String,
+                           valueCol: String,
+                           critChi2: Double = 16.918978): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType => DT}
+    val cells = binShares(ref, cur, groupCol, valueCol)
+      .select(col(groupCol), col("bin"), col("n_ref"), col("n_cur"))
+    val totals = cells.groupBy(col(groupCol))
+      .agg(sum(col("n_ref")).as("__tr"), sum(col("n_cur")).as("__tc"))
+    val j = cells.join(totals, Seq(groupCol))
+      .withColumn("__cb", col("n_ref") + col("n_cur"))
+      .withColumn("__n", col("__tr") + col("__tc"))
+    def contrib(o: Column, t: Column): Column = {
+      val e = (t.cast(DT(38, 0)) * col("__cb").cast(DT(38, 0))).cast("double") /
+        col("__n").cast("double")
+      // t = 0 ⟺ e = 0 (a one-sided group): contribute 0 here — the
+      // group's statistic is nulled by the output guard anyway, and
+      // ANSI division must never see the zero
+      when(t === 0, lit(0.0))
+        .otherwise(NumFunctions.roundNz(
+          (o.cast("double") - e) * (o.cast("double") - e) / e, 9))
+        .cast(DT(18, 9))
+    }
+    j.withColumn("__k",
+        contrib(col("n_ref"), col("__tr")) + contrib(col("n_cur"), col("__tc")))
+      .groupBy(col(groupCol))
+      .agg(max(col("__tr")).as("n_ref"), max(col("__tc")).as("n_cur"),
+        count(lit(1)).as("n_bins"), sum(col("__k")).as("__s"))
+      .select(col(groupCol), col("n_ref"), col("n_cur"), col("n_bins"),
+        when(col("n_ref") === 0 || col("n_cur") === 0,
+          lit(null).cast("double"))
+          .otherwise(NumFunctions.roundNz(col("__s").cast("double"), 6))
+          .as("chi2_r"))
+      .withColumn("significant", col("chi2_r") > critChi2)
+  }
+
   private def binShares(ref: DataFrame, cur: DataFrame, groupCol: String,
                         valueCol: String): DataFrame = {
     val deciles = (1 to 9).map(i =>

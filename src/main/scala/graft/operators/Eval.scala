@@ -457,6 +457,87 @@ object Eval {
             num.cast("double") / den.cast("double"), 6)).as("kappa_r"))
   }
 
+  /** Krippendorff's alpha for NOMINAL data per group (Krippendorff
+    * 2011, "Computing Krippendorff's alpha-reliability"): the
+    * agreement coefficient for the panels [[fleissKappa]] must drop —
+    * real annotation tables have items rated by 2 raters here and 3
+    * there, and alpha's disagreement form handles exactly that:
+    * `alpha = 1 − (n−1)·D_num/D_den` with
+    * `D_num = Σ_items Σ_c n_ic(n_i − n_ic)/(n_i − 1)`,
+    * `D_den = Σ_c n_c(n − n_c)`, over the PAIRABLE ratings (items with
+    * at least 2 ratings; `n` their total).
+    *
+    * Exactness: the only fractions are the per-item `1/(n_i − 1)`
+    * factors, and panels are BOUNDED (`n_i ≤ maxRaters` by contract),
+    * so scaling by `L = lcm(1 … maxRaters−1)` clears every
+    * denominator: `alpha = (L·D_den − (n−1)·D_numL) / (L·D_den)` is
+    * ONE division of two exact DECIMAL(38,0) integers, rounded at the
+    * edge. All ratings in one category → D_den = 0 → alpha 1.0
+    * (vacuously perfect); no pairable items → null. Excluded items are
+    * SURFACED, not silently capped: `n_single` (one rating — nothing
+    * to pair) and `n_oversize` (panel above `maxRaters` — raise the
+    * bound rather than trust a silent drop).
+    *
+    * Scale shape: the [[fleissKappa]] skeleton — one collapse to
+    * (group, item, label) cells, item marginals, a key-local join
+    * restricting cells to pairable items, and group-grain arithmetic.
+    * No window.
+    *
+    * Returns `(grp, n_items, n_single, n_oversize, n_ratings,
+    * alpha_r)`.
+    */
+  def krippendorffAlpha(ratings: DataFrame, groupCol: String,
+                        itemCol: String, labelCol: String,
+                        maxRaters: Int = 12): DataFrame = {
+    require(maxRaters >= 2 && maxRaters <= 24,
+      s"maxRaters must be in [2, 24], got $maxRaters")
+    import org.apache.spark.sql.types.DecimalType
+    val d38 = DecimalType(38, 0)
+    val L = (1 until maxRaters).map(BigInt(_))
+      .foldLeft(BigInt(1))((a, b) => a * b / a.gcd(b)).toLong
+    val cells = ratings
+      .groupBy(col(groupCol).as("grp"), col(itemCol).as("__item"),
+        col(labelCol).as("__lab"))
+      .agg(count(lit(1)).as("__nij"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val items = cells.groupBy(col("grp"), col("__item"))
+      .agg(sum(col("__nij")).as("__ni"))
+    val pairable = items
+      .filter(col("__ni") >= 2 && col("__ni") <= maxRaters)
+    val joined = cells.join(pairable, Seq("grp", "__item"))
+    // D_numL = Σ n_ij(n_i − n_ij)·(L/(n_i−1)) — the divisor is exact
+    // because L is divisible by every possible n_i − 1
+    val numL = joined.groupBy(col("grp"))
+      .agg(sum(col("__nij").cast(d38) * (col("__ni") - col("__nij"))
+        .cast(d38) * (lit(L) / (col("__ni") - 1)).cast(d38)).as("__numL"))
+    val cat = joined.groupBy(col("grp"), col("__lab"))
+      .agg(sum(col("__nij")).as("__nc"))
+    val nTot = pairable.groupBy(col("grp"))
+      .agg(sum(col("__ni")).as("n_ratings"))
+    val dden = cat.join(nTot, "grp")
+      .groupBy(col("grp"))
+      .agg(max(col("n_ratings")).as("n_ratings"),
+        sum(col("__nc").cast(d38) *
+          (col("n_ratings") - col("__nc")).cast(d38)).as("__dden"))
+    val counts = items.groupBy(col("grp")).agg(
+      sum(when(col("__ni") >= 2 && col("__ni") <= maxRaters, 1L)
+        .otherwise(0L)).as("n_items"),
+      sum(when(col("__ni") === 1, 1L).otherwise(0L)).as("n_single"),
+      sum(when(col("__ni") > maxRaters, 1L).otherwise(0L)).as("n_oversize"))
+    val lDden = lit(L).cast(d38) * col("__dden")
+    val alpha = when(col("n_items") === 0, lit(null).cast("double"))
+      .when(lDden === 0, lit(1.0))
+      .otherwise(NumFunctions.roundNz(
+        (lDden - (col("n_ratings") - 1).cast(d38) * col("__numL"))
+          .cast("double") / lDden.cast("double"), 6))
+    counts
+      .join(numL.join(dden, "grp"), Seq("grp"), "left")
+      .select(col("grp"), col("n_items"), col("n_single"),
+        col("n_oversize"),
+        coalesce(col("n_ratings"), lit(0L)).as("n_ratings"),
+        alpha.as("alpha_r"))
+  }
+
   /** Paired sign-flip PERMUTATION test per group (Fisher's exact
     * randomization logic; the add-one p estimator of Phipson & Smyth
     * 2010): for two scorers run on the SAME documents, is the observed
@@ -677,6 +758,125 @@ object Eval {
           (col("__gt") - col("__lt")).cast("double") /
             (col("n_a").cast(d38) * col("n_b").cast(d38)).cast("double"), 6))
         .as("delta_r"))
+  }
+
+  /** Wilcoxon signed-rank test per group (Wilcoxon, Biometrics 1945;
+    * normal approximation with the standard tie correction): the
+    * magnitude-aware PAIRED test between [[pairedPermutationTest]]
+    * (signs only, exact but resampled) and a t-test (assumes
+    * normality): rank the nonzero |differences|, sum the ranks of the
+    * positive ones, and ask how far that sum sits from its null mean.
+    * Zero differences drop (the standard convention); ties share
+    * MIDRANKS.
+    *
+    * Exactness: midranks are half-integers, so everything carries in
+    * DOUBLED units — `rank2 = 2·cum_before + t + 1` is an exact
+    * integer per tie group, `W2 = Σ ca·rank2` an exact DECIMAL(38,0),
+    * and the tie-corrected z clears every fraction:
+    * `z = (2·W2 − n(n+1)) / sqrt((2·n(n+1)(2n+1) − Σ(t³−t))/3)` —
+    * integer numerator, one divide + one IEEE sqrt on an exact
+    * integer, rounded at the edge. The variance term is strictly
+    * positive for n ≥ 1, so no zero-denominator case exists; groups
+    * whose differences are ALL zero have nothing to rank and drop
+    * from the output (documented).
+    *
+    * Scale shape: one collapse to (group, |d|) tie groups; the rank
+    * window partitions BY GROUP over distinct |d| values — the
+    * bounded-value-support convention ([[cliffsDelta]]); one final
+    * group collapse. No join.
+    *
+    * Returns `(grp, n_nz, w2, z_r, significant)` — `w2` is the
+    * doubled positive-rank sum, `significant` the 1.96 two-sided gate
+    * on the rounded z.
+    */
+  def wilcoxonSignedRank(df: DataFrame, groupCol: String, scoreA: Column,
+                         scoreB: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val d38 = DecimalType(38, 0)
+    val d = (scoreA.cast("long") - scoreB.cast("long"))
+    val nz = df.select(col(groupCol).as("grp"), d.as("__d"))
+      .filter(col("__d") =!= 0)
+      .select(col("grp"), abs(col("__d")).as("__ad"),
+        when(col("__d") > 0, 1L).otherwise(0L).as("__pos"))
+    val c = nz.groupBy(col("grp"), col("__ad"))
+      .agg(count(lit(1)).as("__t"), sum(col("__pos")).as("__ca"))
+    val wCum = Window.partitionBy(col("grp")).orderBy(col("__ad"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val g = c
+      .withColumn("__cb", sum(col("__t")).over(wCum) - col("__t"))
+      .groupBy(col("grp"))
+      .agg(sum(col("__t")).as("n_nz"),
+        sum(col("__ca").cast(d38) *
+          (lit(2L) * col("__cb") + col("__t") + 1).cast(d38)).as("__w2"),
+        sum(col("__t").cast(d38) * col("__t").cast(d38) * col("__t").cast(d38)
+          - col("__t").cast(d38)).as("__tie"))
+    val n = col("n_nz").cast(d38)
+    val num = lit(2).cast(d38) * col("__w2") - n * (n + 1)
+    val var16 = (lit(2).cast(d38) * n * (n + 1) * (lit(2).cast(d38) * n + 1)
+      - col("__tie")).cast("double") / lit(3.0)
+    g.select(col("grp"), col("n_nz"), col("__w2").cast("long").as("w2"),
+        NumFunctions.roundNz(num.cast("double") / sqrt(var16), 6).as("z_r"))
+      .withColumn("significant", abs(col("z_r")) > 1.96)
+  }
+
+  /** Spearman rank correlation per group (Spearman 1904; the
+    * tie-corrected Pearson-on-midranks form): the monotone-association
+    * companion of the q73 Pearson — a length metric and a token count
+    * can be perfectly rank-correlated while wildly non-linear, and a
+    * heavy tail can't drag ranks the way it drags raw moments.
+    *
+    * Exactness: midranks carry in DOUBLED units per metric
+    * (`rank2 = 2·cum_before + t + 1` over each group's distinct
+    * values, exact integers), both rank columns join back by value
+    * (key-local), and the correlation is the textbook
+    * `(nΣxy − ΣxΣy) / (√(nΣxx − Σx²)·√(nΣyy − Σy²))` over exact
+    * DECIMAL(38,0) rank sums — the 2× unit scales cancel — with one
+    * fixed chain of IEEE ops, rounded at the edge. A metric constant
+    * within a group has zero rank variance → null rho (undefined).
+    *
+    * Scale shape: two (group, value) collapses with group-partitioned
+    * rank windows over the bounded value supports, two key-local
+    * equi-joins back to the rows, one final collapse. The
+    * [[cliffsDelta]] window convention throughout.
+    *
+    * Returns `(grp, n, rho_r)`.
+    */
+  def spearmanRho(df: DataFrame, groupCol: String, xCol: String,
+                  yCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val d38 = DecimalType(38, 0)
+    val base = df.select(col(groupCol).as("grp"),
+      col(xCol).cast("long").as("__x"), col(yCol).cast("long").as("__y"))
+    def rank2(vCol: String, out: String) = {
+      val wCum = Window.partitionBy(col("grp")).orderBy(col(vCol))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      base.groupBy(col("grp"), col(vCol))
+        .agg(count(lit(1)).as("__t"))
+        .withColumn(out, lit(2L) * (sum(col("__t")).over(wCum) - col("__t"))
+          + col("__t") + 1)
+        .drop("__t")
+    }
+    val g = base
+      .join(rank2("__x", "__rx"), Seq("grp", "__x"))
+      .join(rank2("__y", "__ry"), Seq("grp", "__y"))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("__rx").cast(d38)).as("__sx"),
+        sum(col("__ry").cast(d38)).as("__sy"),
+        sum(col("__rx").cast(d38) * col("__rx").cast(d38)).as("__sxx"),
+        sum(col("__ry").cast(d38) * col("__ry").cast(d38)).as("__syy"),
+        sum(col("__rx").cast(d38) * col("__ry").cast(d38)).as("__sxy"))
+    val n = col("n").cast(d38)
+    val vx = n * col("__sxx") - col("__sx") * col("__sx")
+    val vy = n * col("__syy") - col("__sy") * col("__sy")
+    val num = n * col("__sxy") - col("__sx") * col("__sy")
+    g.select(col("grp"), col("n"),
+      when(vx === 0 || vy === 0, lit(null).cast("double"))
+        .otherwise(NumFunctions.roundNz(num.cast("double") /
+          (sqrt(vx.cast("double")) * sqrt(vy.cast("double"))), 6))
+        .as("rho_r"))
   }
 
   /** Benjamini-Hochberg FDR step-up over a battery of test gates

@@ -558,6 +558,73 @@ object Similarity {
     * an exact decimal sum. One corpus shuffle total (the final
     * per-label aggregate).
     */
+  /** Simplified silhouette per cluster (Hruschka et al. 2004's
+    * centroid variant of Rousseeuw 1987): for each vector, `a` = its
+    * cosine DISTANCE to its own cluster's centroid and `b` = the
+    * minimum distance to any OTHER centroid; `s = (b − a)/max(a, b)`
+    * averaged per cluster — the clustering-quality gate read before
+    * trusting a semantic-dedup or selection pass built on those
+    * clusters (s near 1: tight and separated; near 0: boundary mush;
+    * negative: members closer to a foreign prototype than their own).
+    * The centroid variant is the one that SCALES: the classic
+    * silhouette needs all pairwise distances (quadratic); this needs
+    * k distances per vector.
+    *
+    * Determinism: centroids come from [[labelCentroids]] (exact
+    * decimal sums, rounded once); per-vector cosines round at 4 (the
+    * q14/q90 cross-engine parity bound) so `a`, `b`, and `s` are a
+    * fixed chain of exact IEEE ops; per-cluster means fold through
+    * DECIMAL(18,9). Both distances zero (vector equals two centroids)
+    * reports s = 0. Singleton clusters keep their definitional s
+    * (their member IS the centroid → a = 0), documented rather than
+    * special-cased.
+    *
+    * Scale shape: centroids COLLECT to the driver (metadata by
+    * contract — `k ≤ maxClusters` enforced; the established bounded
+    * collect of the centroid/vocab tier) and ride into a single
+    * row-local projection as literal vectors — the per-vector scoring
+    * pass has ZERO exchanges beyond the final per-cluster collapse;
+    * nothing joins, nothing windows.
+    *
+    * Returns `(label, n, mean_sil_r)`.
+    */
+  def silhouetteSimplified(embeddings: DataFrame, labelCol: String,
+                           vecCol: String,
+                           maxClusters: Int = 256): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val cent = labelCentroids(embeddings, labelCol, vecCol)
+      .groupBy(col("label"))
+      .agg(sort_array(collect_list(struct(col("pos"), col("c")))).as("__pc"))
+      .select(col("label"), col("__pc").getField("c").as("__cvec"))
+      .collect()
+    require(cent.length >= 2,
+      s"silhouette needs at least 2 clusters, got ${cent.length}")
+    require(cent.length <= maxClusters,
+      s"${cent.length} clusters exceed maxClusters = $maxClusters")
+    val cents: Seq[(Any, Array[Double])] =
+      cent.toSeq.map(r => (r.get(0), r.getSeq[Double](1).toArray))
+    val base = embeddings.select(col(labelCol).as("label"),
+      col(vecCol).cast("array<double>").as("__v"))
+    val dists = cents.map { case (l, c) =>
+      (l, lit(1.0) - NumFunctions.roundNz(
+        VectorFunctions.cosineSimilarity(col("__v"),
+          typedLit(c.toSeq)), 4))
+    }
+    val a = dists.foldLeft(lit(null).cast("double")) {
+      case (acc, (l, d)) => when(col("label") === lit(l), d).otherwise(acc)
+    }
+    val b = least(dists.map { case (l, d) =>
+      when(col("label") === lit(l), lit(null).cast("double")).otherwise(d)
+    }: _*)
+    val s = when(greatest(a, b) === 0, lit(0.0))
+      .otherwise(NumFunctions.roundNz((b - a) / greatest(a, b), 6))
+    base
+      .withColumn("__s", s.cast(DecimalType(18, 9)))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n"), NumFunctions.roundNz(
+        sum(col("__s")).cast("double") / count(lit(1)), 6).as("mean_sil_r"))
+  }
+
   def centroidSpread(embeddings: DataFrame, labelCol: String,
                      vecCol: String): DataFrame = {
     val cent = labelCentroids(embeddings, labelCol, vecCol)

@@ -187,4 +187,23 @@ class DriftSpec extends SparkSpec {
     assert(refCounts(curA) === refCounts(curB),
       "reference bin counts must not depend on the current batch")
   }
+
+  test("chiSquareHomogeneity: identical loads score 0, a collapsed load fires the gate, empty side is null") {
+    val ref = feat((1 to 100).map(_.toDouble))
+    // identical distributions: every expected count equals the observed
+    // count exactly → every frozen contribution is 0 → χ² = 0
+    val same = Drift.chiSquareHomogeneity(ref,
+      feat((1 to 100).map(_.toDouble)), "grp", "value").collect().head
+    assert((same.getLong(1), same.getLong(2), same.getLong(3),
+      same.getDouble(4), same.getBoolean(5)) === ((100L, 100L, 10L, 0.0, false)))
+    // the whole current load collapsed into the top bin: far beyond
+    // the df-9 critical value
+    val shifted = Drift.chiSquareHomogeneity(ref,
+      feat((1 to 100).map(_ => 1e6)), "grp", "value").collect().head
+    assert(shifted.getDouble(4) > 16.918978 && shifted.getBoolean(5))
+    // a group with no current rows has no sampling test to run
+    val emptyCur = Drift.chiSquareHomogeneity(ref,
+      feat(Seq.empty), "grp", "value").collect().head
+    assert(emptyCur.isNullAt(4))
+  }
 }

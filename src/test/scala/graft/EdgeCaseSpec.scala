@@ -504,6 +504,10 @@ class EdgeCaseSpec extends SparkSpec {
     assert(graft.operators.Linkage.fellegiSunterScores(solo, "id",
       Seq("bk"), Seq("f"), Seq(900000L), 1.0, 0.0).count() === 0)
 
+    // krippendorffAlpha: empty ratings -> empty frame
+    assert(Eval.krippendorffAlpha(Seq.empty[(String, Long, String)]
+      .toDF("g", "i", "l"), "g", "i", "l").count() === 0)
+
     // cochranQ / cohensD / cliffsDelta: empty inputs -> empty frames
     val noFlags = Seq.empty[(String, Boolean, Boolean)].toDF("g", "a", "b")
     assert(Eval.cochranQ(noFlags, "g", Seq(col("a"), col("b")))
@@ -511,5 +515,11 @@ class EdgeCaseSpec extends SparkSpec {
     val noMetric = Seq.empty[(String, Long, Boolean)].toDF("g", "x", "a")
     assert(Eval.cohensD(noMetric, "g", "x", col("a")).count() === 0)
     assert(Eval.cliffsDelta(noMetric, "g", "x", col("a")).count() === 0)
+
+    // wilcoxonSignedRank / spearmanRho: empty inputs -> empty frames
+    val noPairs = Seq.empty[(String, Long, Long)].toDF("g", "a", "b")
+    assert(Eval.wilcoxonSignedRank(noPairs, "g", col("a"), col("b"))
+      .count() === 0)
+    assert(Eval.spearmanRho(noPairs, "g", "a", "b").count() === 0)
   }
 }

@@ -366,6 +366,99 @@ class EvalSpec extends SparkSpec {
     assert(Eval.cohensD(flat, "grp0", "x", col("a")).collect().head.isNullAt(4))
   }
 
+  test("krippendorffAlpha: hand-computed panels, varying sizes, exclusions surfaced") {
+    // group g, 2-rater panels: (A,A), (B,B), (A,B) →
+    //   D_num = 2 (the mixed item), n = 6, D_den = 3·3 + 3·3 = 18
+    //   alpha = 1 − 5·2/18 = 4/9
+    val g = Seq(("g", 1L, "A"), ("g", 1L, "A"), ("g", 2L, "B"),
+      ("g", 2L, "B"), ("g", 3L, "A"), ("g", 3L, "B"))
+    // group h, MIXED panels (what Fleiss drops): (A,A,B) and (A,B) →
+    //   D_num = 4/2·2 + 2 = 4, n = 5, D_den = 3·2 + 2·3 = 12
+    //   alpha = 1 − 4·4/12 = −1/3
+    val h = Seq(("h", 1L, "A"), ("h", 1L, "A"), ("h", 1L, "B"),
+      ("h", 2L, "A"), ("h", 2L, "B"))
+    // group k: perfect single-category agreement → alpha 1.0; plus a
+    // single-rating item (surfaced, excluded)
+    val k = Seq(("k", 1L, "X"), ("k", 1L, "X"), ("k", 9L, "X"))
+    val got = Eval.krippendorffAlpha((g ++ h ++ k).toDF("grp0", "item", "lab"),
+        "grp0", "item", "lab")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          if (r.isNullAt(5)) None else Some(r.getDouble(5))))).toMap
+    val a49 = BigDecimal(4.0 / 9)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val am13 = BigDecimal(-1.0 / 3)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got("g") === ((3L, 0L, 0L, 6L, Some(a49))))
+    assert(got("h") === ((2L, 0L, 0L, 5L, Some(am13))))
+    assert(got("k") === ((1L, 1L, 0L, 2L, Some(1.0))))
+    // oversize panels excluded AND surfaced (maxRaters = 3: lcm = 2)
+    val big = Seq.tabulate(4)(i => ("b", 1L, s"L$i")) ++
+      Seq(("b", 2L, "A"), ("b", 2L, "B"))
+    val gotB = Eval.krippendorffAlpha(big.toDF("grp0", "item", "lab"),
+      "grp0", "item", "lab", maxRaters = 3).collect().head
+    assert((gotB.getLong(1), gotB.getLong(2), gotB.getLong(3),
+      gotB.getLong(4)) === ((1L, 0L, 1L, 2L)))
+    // no pairable items at all → null alpha
+    val lonely = Seq(("l", 1L, "A"), ("l", 2L, "B")).toDF("grp0", "item", "lab")
+    assert(Eval.krippendorffAlpha(lonely, "grp0", "item", "lab")
+      .collect().head.isNullAt(5))
+  }
+
+  test("wilcoxonSignedRank: hand-ranked ties, cleared-fraction z, sign conventions") {
+    import org.apache.spark.sql.functions.col
+    // d = +3, −1, +2, +2: |d| tie groups 1(t=1), 2(t=2), 3(t=1) →
+    // midranks 1, 2.5, 2.5, 4 → W+ = 9 (w2 = 18), n = 4
+    // z = (2·18 − 20)/√((2·180 − 6)/3) = 16/√118
+    val df = Seq(("g", 13L, 10L), ("g", 9L, 10L), ("g", 12L, 10L),
+      ("g", 7L, 5L)).toDF("grp0", "a", "b")
+    val got = Eval.wilcoxonSignedRank(df, "grp0", col("a"), col("b"))
+      .collect().head
+    val z = BigDecimal(16.0 / math.sqrt(118.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert((got.getLong(1), got.getLong(2), got.getDouble(3),
+      got.getBoolean(4)) === ((4L, 18L, z, false)))
+    // tie-free all-positive run: W2 = 30, z = 30/√220 > 1.96
+    val pos = (1L to 5L).map(i => ("p", 10L + i, 10L)).toDF("grp0", "a", "b")
+    val gp = Eval.wilcoxonSignedRank(pos, "grp0", col("a"), col("b"))
+      .collect().head
+    val zp = BigDecimal(30.0 / math.sqrt(220.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert((gp.getLong(2), gp.getDouble(3), gp.getBoolean(4)) ===
+      ((30L, zp, true)))
+    // swapping the scorers negates z; all-zero differences drop the group
+    val gn = Eval.wilcoxonSignedRank(pos, "grp0", col("b"), col("a"))
+      .collect().head
+    assert(gn.getDouble(3) === -zp)
+    val zero = Seq(("z", 5L, 5L)).toDF("grp0", "a", "b")
+    assert(Eval.wilcoxonSignedRank(zero, "grp0", col("a"), col("b"))
+      .count() === 0)
+  }
+
+  test("spearmanRho: monotone ±1 exactly, tie midranks, zero-variance null") {
+    // strictly increasing pairs → rho = 1 from exact integer algebra
+    val up = Seq(("g", 1L, 10L), ("g", 2L, 20L), ("g", 3L, 30L))
+      .toDF("grp0", "x", "y")
+    assert(Eval.spearmanRho(up, "grp0", "x", "y")
+      .collect().head.getDouble(2) === 1.0)
+    val down = Seq(("g", 1L, 30L), ("g", 2L, 20L), ("g", 3L, 10L))
+      .toDF("grp0", "x", "y")
+    assert(Eval.spearmanRho(down, "grp0", "x", "y")
+      .collect().head.getDouble(2) === -1.0)
+    // y ties: (1,5),(2,5),(3,7) → rank2 pairs (2,3),(4,3),(6,6) →
+    // rho = 18/(√24·√18)
+    val tied = Seq(("g", 1L, 5L), ("g", 2L, 5L), ("g", 3L, 7L))
+      .toDF("grp0", "x", "y")
+    val rt = BigDecimal(18.0 / (math.sqrt(24.0) * math.sqrt(18.0)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(Eval.spearmanRho(tied, "grp0", "x", "y")
+      .collect().head.getDouble(2) === rt)
+    // constant metric → zero rank variance → null
+    val flat = Seq(("g", 1L, 5L), ("g", 2L, 5L)).toDF("grp0", "x", "y")
+    assert(Eval.spearmanRho(flat, "grp0", "x", "y")
+      .collect().head.isNullAt(2))
+  }
+
   test("cliffsDelta: hand-counted pairs with ties; one-slice group is null") {
     import org.apache.spark.sql.functions.col
     // A = [1,2,2], B = [1,3]: gt = 2, lt = 3, one tie → δ = −1/6

@@ -451,6 +451,25 @@ class PlanSpec extends SparkSpec {
     val w226 = "Window \\[[^\\n]*".r.findAllIn(p226).toSeq
     assert(w226.nonEmpty && w226.forall(_.contains("grp")),
       s"cliffsDelta windows must partition by group:\n$p226")
+    // q227: the fleiss skeleton — aggregates + key-local joins only
+    val p227 = plan(SparkEntry.q227(spark, sf0001))
+    assert(!p227.contains("Window") && !p227.contains("CartesianProduct"),
+      s"krippendorffAlpha must stay aggregate + equi-join:\n$p227")
+    // q228: centroids are collected literals — the scoring pass joins
+    // NOTHING and windows nothing (scan → project → one aggregate)
+    val p228 = plan(SparkEntry.q228(spark, sf0001))
+    assert(!p228.contains("Join") && !p228.contains("Window"),
+      s"silhouette scoring must be a zero-join projection:\n$p228")
+    // q229/q230: every rank window partitions by the group (bounded
+    // value support), never a global sort; no cartesian anywhere
+    Seq("q229" -> plan(SparkEntry.q229(spark, sf0001)),
+        "q230" -> plan(SparkEntry.q230(spark, sf0001))).foreach {
+      case (n, p) =>
+        val ws = "Window \\[[^\\n]*".r.findAllIn(p).toSeq
+        assert(ws.nonEmpty && ws.forall(_.contains("grp")),
+          s"$n rank windows must partition by group:\n$p")
+        assert(!p.contains("CartesianProduct"), s"$n must not cross-join:\n$p")
+    }
   }
 
   test("q196: the contamination scan has no global window over position-scale data") {

@@ -414,4 +414,59 @@ class SimilaritySpec extends SparkSpec {
     assert(got("q3")._3 === BigDecimal(w1.toDouble / norm)
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
   }
+
+  test("silhouetteSimplified: separated clusters score 1; witness replay; contracts") {
+    // two tight orthogonal clusters: every member sits ON its centroid
+    // and orthogonal to the other → a = 0, b = 1, s = 1 exactly
+    val tight = Seq((1L, Array(1.0f, 0.0f), 0), (2L, Array(1.0f, 0.0f), 0),
+      (3L, Array(0.0f, 1.0f), 1), (4L, Array(0.0f, 1.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val t = Similarity.silhouetteSimplified(tight, "label", "embedding")
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(t(0) === ((2L, 1.0)) && t(1) === ((2L, 1.0)))
+
+    // mixed cluster with a member AT the foreign centroid: replay the
+    // whole chain (centroid round-6, cosine round-4, s round-6,
+    // decimal mean) in plain Scala and compare bit-for-bit
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f), 0), (2L, Array(1.0f, 0.0f), 0),
+      (3L, Array(0.0f, 1.0f), 0),
+      (4L, Array(0.0f, 1.0f), 1), (5L, Array(0.0f, 1.0f), 1))
+    def r(x: Double, p: Int) = BigDecimal(x)
+      .setScale(p, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val byLab = vecs.groupBy(_._3)
+    val centroids = byLab.map { case (l, vs) =>
+      l -> Array(0, 1).map(i => r(vs.map(_._2(i).toDouble).sum / vs.size, 6))
+    }
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val expected = byLab.map { case (l, vs) =>
+      val ss = vs.map { v =>
+        val dists = centroids.map { case (cl, c) =>
+          cl -> (1.0 - r(cos(v._2.map(_.toDouble), c), 4))
+        }
+        val a = dists(l)
+        val b = dists.filter(_._1 != l).values.min
+        if (math.max(a, b) == 0) 0.0 else r((b - a) / math.max(a, b), 6)
+      }
+      l -> r(ss.map(s => BigDecimal(s)).sum.toDouble / ss.size, 6)
+    }
+    val got = Similarity.silhouetteSimplified(vecs.toDF("vec_id", "embedding",
+        "label"), "label", "embedding")
+      .collect().map(r0 => r0.getInt(0) -> r0.getDouble(2)).toMap
+    assert(got === expected, s"engine $got vs witness $expected")
+
+    // contracts: a single cluster has no silhouette; bounded collect
+    val one = Seq((1L, Array(1.0f), 0), (2L, Array(1.0f), 0))
+      .toDF("vec_id", "embedding", "label")
+    intercept[IllegalArgumentException] {
+      Similarity.silhouetteSimplified(one, "label", "embedding")
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.silhouetteSimplified(tight, "label", "embedding",
+        maxClusters = 1)
+    }
+  }
 }
