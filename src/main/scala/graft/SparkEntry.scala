@@ -3934,6 +3934,30 @@ object SparkEntry {
           graft.functions.TextFunctions.tokenCount(col("text"))),
       "lang", "n_chars", "n_toks")
 
+  /** Q234 — the FOUR-sink curation loop's vocabulary reads
+    * ([[graft.streaming.CurationLoop]] with `langCol` set): the q204
+    * three-day composition, now also maintaining the
+    * [[graft.sinks.VocabSink]] vocabulary in the same `foreachBatch`
+    * body — the Good-Turing statistics then read the loop-maintained
+    * standing table. Oracle is q219's raw-token recompute verbatim:
+    * maintained-through-the-composed-loop ≡ recomputed.
+    */
+  def q234(s: SparkSession, d: String): DataFrame = {
+    val keyHex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"q234|v1|$d".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val root = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft-curvocab-$keyHex/lake").toString
+    (0L to 2L).foreach { day =>
+      graft.streaming.CurationLoop(s,
+        docs(s, d).filter(pmod(col("doc_id"), lit(3)) === day)
+          .withColumn("quality", col("n_chars").cast("double")),
+        root, "doc_id", "text", Seq("lang"), Seq("lang"), "quality",
+        day, langCol = Some("lang"))
+    }
+    graft.sinks.VocabSink.goodTuring(s,
+      graft.streaming.CurationLoop.vocabRoot(root))
+  }
+
   /** Q233 — chi-square drift test
     * ([[graft.operators.Drift.chiSquareHomogeneity]], Pearson 1900):
     * the q86/q116 even/odd event split over the SAME reference-decile
@@ -5035,7 +5059,8 @@ object SparkEntry {
     "q230_spearman"         -> (q230 _),
     "q231_vocab_sink"       -> (q231 _),
     "q232_vocab_oov"        -> (q232 _),
-    "q233_chi2_drift"       -> (q233 _))
+    "q233_chi2_drift"       -> (q233 _),
+    "q234_curation_vocab"   -> (q234 _))
 
   // DuckDB twins. Shared SQL fragments for the text queries:
   // explicit class: Java \s includes \x0B, RE2 \s does not — see
@@ -5831,6 +5856,9 @@ object SparkEntry {
     // maintained ≡ recomputed gate (the q188/q204 protocol), so the
     // oracle is q219's recompute verbatim
     "q231_vocab_sink" -> GOOD_TURING_ORACLE,
+    // q234: the four-sink composed loop's vocabulary — again q219's
+    // recompute verbatim (maintained through the loop ≡ recomputed)
+    "q234_curation_vocab" -> GOOD_TURING_ORACLE,
     // q232: probe-slice OOV against the 2-batch maintained vocabulary
     // — train terms from day 1/2 docs, probe tokens from day-0 docs,
     // one key-local left join

@@ -4,7 +4,7 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
 
-import graft.sinks.{DedupIndexSink, IncrementalAgg, QuantileSink}
+import graft.sinks.{DedupIndexSink, IncrementalAgg, QuantileSink, VocabSink}
 
 /** The production curation loop: ONE `foreachBatch` body that feeds
   * every arriving document micro-batch through the three certified
@@ -30,15 +30,21 @@ import graft.sinks.{DedupIndexSink, IncrementalAgg, QuantileSink}
   * mid-crash the tables may transiently disagree by one batch, which
   * the restart heals before processing new data.
   *
+  * An optional FOURTH table composes in the same way: pass `langCol`
+  * and the loop also maintains the [[VocabSink]] vocabulary, under the
+  * same batch ids and the same idempotence argument (q234 drives the
+  * four-sink loop and oracle-checks its vocabulary reads).
+  *
   * Layout under `root` (all joins via hadoop [[Path]] — object-store
   * roots survive): `dedup_index/`, `quality_quantiles/`,
-  * `corpus_stats/`.
+  * `corpus_stats/`, `vocabulary/` (when enabled).
   */
 object CurationLoop {
 
   def dedupRoot(root: String): String = new Path(root, "dedup_index").toString
   def quantRoot(root: String): String = new Path(root, "quality_quantiles").toString
   def statsRoot(root: String): String = new Path(root, "corpus_stats").toString
+  def vocabRoot(root: String): String = new Path(root, "vocabulary").toString
 
   /** The `foreachBatch` body. `batch` must carry `idCol` (unique doc
     * id), `textCol`, the grouping `keyCols` (with `partCols` a subset
@@ -46,14 +52,19 @@ object CurationLoop {
     * (the quality metric both the quantile table and the stats rollup
     * summarize). The batch persists across the three folds — each
     * sink re-reads it, and recomputing the upstream per fold would
-    * triple the source work. Returns the batch's dedup match set
-    * (the [[DedupIndexSink.maintain]] result) for callers that act on
+    * triple the source work. `langCol` (optional) adds a FOURTH
+    * standing table: the [[VocabSink]] maintained vocabulary at
+    * `vocabulary/`, folded under the same batch id and marker
+    * discipline — the composition's exactly-once argument is unchanged
+    * because the new sink is idempotent per id like the other three.
+    * Returns the batch's dedup match set (the
+    * [[DedupIndexSink.maintain]] result) for callers that act on
     * duplicates inline.
     */
   def apply(spark: SparkSession, batch: DataFrame, root: String,
             idCol: String, textCol: String,
             partCols: Seq[String], keyCols: Seq[String], valueCol: String,
-            batchId: Long): DataFrame = {
+            batchId: Long, langCol: Option[String] = None): DataFrame = {
     batch.persist()
     try {
       val matches = DedupIndexSink.maintain(spark, batch, dedupRoot(root),
@@ -62,6 +73,10 @@ object CurationLoop {
         partCols, keyCols, valueCol, batchId = Some(batchId))
       IncrementalAgg.maintain(spark, batch, statsRoot(root),
         partCols, keyCols, valueCol, batchId = Some(batchId))
+      langCol.foreach { lc =>
+        VocabSink.maintain(spark, batch, vocabRoot(root), lc, textCol,
+          batchId)
+      }
       matches
     } finally batch.unpersist()
   }
@@ -93,7 +108,8 @@ object CurationLoop {
              partCols: Seq[String], keyCols: Seq[String], valueCol: String,
              availableNow: Boolean = true,
              interval: String = "10 seconds",
-             compactEvery: Int = 0): DataStreamWriter[Row] =
+             compactEvery: Int = 0,
+             langCol: Option[String] = None): DataStreamWriter[Row] =
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(if (availableNow) Trigger.AvailableNow()
@@ -101,7 +117,7 @@ object CurationLoop {
       .foreachBatch { (batch: DataFrame, id: Long) =>
         if (!batch.isEmpty) {
           apply(batch.sparkSession, batch, root, idCol, textCol,
-            partCols, keyCols, valueCol, id)
+            partCols, keyCols, valueCol, id, langCol)
           if (compactEvery > 0 && (id + 1) % compactEvery == 0) {
             compact(batch.sparkSession, root); ()
           }

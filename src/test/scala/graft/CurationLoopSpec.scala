@@ -182,4 +182,34 @@ class CurationLoopSpec extends SparkSpec {
       Seq("lang"), Seq("lang"), "quality", 1L)
     assert(fingerprint(root) === before)
   }
+
+  test("langCol adds the vocabulary as a fourth exactly-once sink; default leaves no vocab dir") {
+    // default (q204) path: the three-sink layout only
+    val plain = freshRoot("vocab-off")
+    runLoop(plain)
+    assert(!new java.io.File(CurationLoop.vocabRoot(plain)).exists,
+      "no vocabulary table unless langCol is passed")
+
+    // four-sink loop: vocabulary equals the direct-maintain twin, and
+    // replaying a committed id leaves all FOUR tables byte-identical
+    val root = freshRoot("vocab-on")
+    Seq(0L, 1L, 2L).foreach { d =>
+      CurationLoop(spark, day(d), root, "doc_id", "text",
+        Seq("lang"), Seq("lang"), "quality", d, langCol = Some("lang"))
+    }
+    val twin = freshRoot("vocab-twin") + "/v"
+    Seq(0L, 1L, 2L).foreach { d =>
+      graft.sinks.VocabSink.maintain(spark, day(d), twin, "lang", "text", d)
+    }
+    def counts(path: String) =
+      graft.sinks.VocabSink.read(spark, path)
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+        .toMap
+    assert(counts(CurationLoop.vocabRoot(root)) === counts(twin))
+    val before = (fingerprint(root), counts(CurationLoop.vocabRoot(root)))
+    CurationLoop(spark, day(2L), root, "doc_id", "text",
+      Seq("lang"), Seq("lang"), "quality", 2L, langCol = Some("lang"))
+    assert((fingerprint(root), counts(CurationLoop.vocabRoot(root))) === before,
+      "replaying a committed id must not touch any of the four tables")
+  }
 }
