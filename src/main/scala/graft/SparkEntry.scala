@@ -3958,6 +3958,19 @@ object SparkEntry {
       graft.streaming.CurationLoop.vocabRoot(root))
   }
 
+  /** Q235 — linkage blocking pre-flight profile
+    * ([[graft.operators.Linkage.blockProfile]]): per q223 block key,
+    * the record count, the exact `n(n−1)/2` candidate-pair count the
+    * linkage would generate, and its share of total pair work — the
+    * Σ block² cost made visible BEFORE the pass runs. Oracle replays
+    * the block counts and the HUGEINT pair arithmetic.
+    */
+  def q235(s: SparkSession, d: String): DataFrame =
+    graft.operators.Linkage.blockProfile(
+      Tables.customer(s, d).select(col("c_mktsegment"),
+        floor(col("c_acctbal") / 1000).cast("long").as("bal_kb")),
+      Seq("c_mktsegment", "bal_kb"))
+
   /** Q233 — chi-square drift test
     * ([[graft.operators.Drift.chiSquareHomogeneity]], Pearson 1900):
     * the q86/q116 even/odd event split over the SAME reference-decile
@@ -5060,7 +5073,8 @@ object SparkEntry {
     "q231_vocab_sink"       -> (q231 _),
     "q232_vocab_oov"        -> (q232 _),
     "q233_chi2_drift"       -> (q233 _),
-    "q234_curation_vocab"   -> (q234 _))
+    "q234_curation_vocab"   -> (q234 _),
+    "q235_block_profile"    -> (q235 _))
 
   // DuckDB twins. Shared SQL fragments for the text queries:
   // explicit class: Java \s includes \x0B, RE2 \s does not — see
@@ -6156,6 +6170,22 @@ object SparkEntry {
           |    END AS rho_r
           |FROM g
           |""".stripMargin),
+    // q235: block counts, exact n(n−1)/2 pair counts in HUGEINT, one
+    // scalar total for the shares
+    "q235_block_profile" ->
+      ("""WITH r AS (SELECT c_mktsegment,
+         |  CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_kb FROM customer),
+         |c AS (SELECT c_mktsegment, bal_kb, count(*) AS n_records
+         |  FROM r GROUP BY 1, 2),
+         |p AS (SELECT *, CAST(n_records AS HUGEINT) * (n_records - 1) // 2
+         |  AS n_pairs FROM c),
+         |t AS (SELECT greatest(sum(n_pairs), 1) AS tot FROM p)
+         |SELECT c_mktsegment, bal_kb, CAST(n_records AS BIGINT) AS n_records,
+         |  CAST(n_pairs AS BIGINT) AS n_pairs,
+         |  round(CAST(n_pairs AS DOUBLE) / CAST(tot AS DOUBLE), 6) + 0
+         |    AS pair_share
+         |FROM p, t
+         |""".stripMargin),
     // q223: frequency-method u estimates per field (Laplace-clamped),
     // blocked pairs under the id total order, the odds product in
     // fixed field order, and the banded decision on the rounded odds

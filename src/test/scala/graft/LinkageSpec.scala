@@ -75,6 +75,20 @@ class LinkageSpec extends SparkSpec {
     assert(pairs === Set((1L, 2L)), "only the in-block ordered pair survives")
   }
 
+  test("blockProfile: exact pair counts and shares, worst block first") {
+    // blocks: B1 holds 4 records (6 pairs), B2 holds 2 (1 pair),
+    // B3 holds 1 (0 pairs) → shares 6/7, 1/7, 0
+    val recs = (1L to 4L).map(i => (i, "B1")) ++
+      Seq((5L, "B2"), (6L, "B2"), (7L, "B3"))
+    val got = Linkage.blockProfile(recs.toDF("id", "bk"), Seq("bk"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    def sh(n: Long) = BigDecimal(n.toDouble / 7)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.toSeq === Seq(("B1", 4L, 6L, sh(6)), ("B2", 2L, 1L, sh(1)),
+      ("B3", 1L, 0L, 0.0)), "ordered by pair work descending")
+  }
+
   test("contracts: m arity, m range, block columns, threshold order") {
     val recs = Seq((1L, "B", "x")).toDF("id", "bk", "f")
     intercept[IllegalArgumentException] {
