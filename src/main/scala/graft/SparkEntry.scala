@@ -3958,6 +3958,19 @@ object SparkEntry {
       graft.streaming.CurationLoop.vocabRoot(root))
   }
 
+  /** Q236 — CLUSTER bootstrap confidence band
+    * ([[graft.operators.Eval.bootstrapMeanCIPooled]] keyed on the
+    * SOURCE, Field & Welsh 2007): documents within a source draw the
+    * same Poisson weight per resample, so whole sources resample
+    * together — the honest band when in-source correlation would make
+    * q212's iid band too tight. Same one-pass fold, same md5
+    * discipline, different resampling unit. Oracle replays the
+    * source-keyed draws through the q212 CTE chain.
+    */
+  def q236(s: SparkSession, d: String): DataFrame =
+    graft.operators.Eval.bootstrapMeanCIPooled(docs(s, d), "source",
+      "n_chars", numResamples = 200, salt = "bspc")
+
   /** Q235 — linkage blocking pre-flight profile
     * ([[graft.operators.Linkage.blockProfile]]): per q223 block key,
     * the record count, the exact `n(n−1)/2` candidate-pair count the
@@ -5074,7 +5087,8 @@ object SparkEntry {
     "q232_vocab_oov"        -> (q232 _),
     "q233_chi2_drift"       -> (q233 _),
     "q234_curation_vocab"   -> (q234 _),
-    "q235_block_profile"    -> (q235 _))
+    "q235_block_profile"    -> (q235 _),
+    "q236_cluster_bootstrap" -> (q236 _))
 
   // DuckDB twins. Shared SQL fragments for the text queries:
   // explicit class: Java \s includes \x0B, RE2 \s does not — see
@@ -6170,6 +6184,33 @@ object SparkEntry {
           |    END AS rho_r
           |FROM g
           |""".stripMargin),
+    // q236: the q212 Poisson chain with the draw keyed on SOURCE —
+    // every doc of a source shares its weight per resample
+    "q236_cluster_bootstrap" ->
+      ("""WITH base AS (SELECT source AS id,
+         |  CAST(n_chars AS BIGINT) AS v FROM documents),
+         |draws AS (SELECT b.range + 1 AS b, v,
+         |  CAST('0x' || substr(md5('bspc:' || (b.range + 1) || ':' || id),
+         |    1, 8) AS BIGINT) % 1000000 AS u
+         |  FROM range(200) b, base),
+         |wt AS (SELECT b, v, len(list_filter(
+         |  [367879, 735759, 919699, 981012, 996340,
+         |   999406, 999917, 999990, 999999], t -> t <= u)) AS w
+         |  FROM draws),
+         |means AS (SELECT b, count(*) AS nd,
+         |  round(CAST(sum(w * v) AS DOUBLE) / sum(w), 6) + 0 AS m
+         |  FROM wt GROUP BY 1 HAVING sum(w) > 0),
+         |c AS (SELECT m, count(*) AS cnt, max(nd) AS nd
+         |  FROM means GROUP BY 1),
+         |cc AS (SELECT m, sum(cnt) OVER (ORDER BY m
+         |    ROWS UNBOUNDED PRECEDING) AS cum,
+         |  sum(cnt) OVER () AS tot, max(nd) OVER () AS ndg FROM c),
+         |qs AS (SELECT unnest([5, 50, 95]) AS q_pct)
+         |SELECT CAST(q_pct AS BIGINT) AS q_pct,
+         |  CAST(max(ndg) AS BIGINT) AS n_docs,
+         |  CAST(max(tot) AS BIGINT) AS n_resamples, min(m) AS boot_mean
+         |FROM cc JOIN qs ON cum * 100 >= tot * q_pct GROUP BY 1
+         |""".stripMargin),
     // q235: block counts, exact n(n−1)/2 pair counts in HUGEINT, one
     // scalar total for the shares
     "q235_block_profile" ->

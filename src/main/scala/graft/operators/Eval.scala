@@ -325,6 +325,16 @@ object Eval {
     * `(q_pct, n_docs, n_resamples, boot_mean)`; empty corpus → empty
     * frame (the grid twin raises instead — it must count first, this
     * one never does).
+    *
+    * CLUSTER bootstrap for free: because the weight keys on
+    * `(resample, idCol)`, passing a GROUP id (the source, the domain)
+    * as `idCol` makes every document of that group draw the SAME
+    * weight per resample — whole clusters resample together (Field &
+    * Welsh, JRSS-B 2007), the correct uncertainty when documents
+    * within a source correlate and the iid bootstrap would understate
+    * the band (q236 runs exactly this, keyed on `source`, and its
+    * band is wider than q212's iid band on the same metric —
+    * oracle-checked).
     */
   def bootstrapMeanCIPooled(df: DataFrame, idCol: String, metricCol: String,
                             numResamples: Int = 200,

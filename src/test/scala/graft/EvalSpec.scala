@@ -366,6 +366,29 @@ class EvalSpec extends SparkSpec {
     assert(Eval.cohensD(flat, "grp0", "x", col("a")).collect().head.isNullAt(4))
   }
 
+  test("cluster bootstrap: keying the Poisson draw on the group widens the band under in-cluster correlation") {
+    // two perfectly-internally-correlated clusters (all 0s vs all
+    // 100s): iid resampling mixes 20 draws → tight band around 50;
+    // cluster resampling draws TWO weights → the mean swings to the
+    // cluster extremes
+    val docs = ((1L to 10L).map(i => (i, "sA", 0L)) ++
+      (11L to 20L).map(i => (i, "sB", 100L)))
+      .toDF("doc_id", "src", "metric")
+    def width(keyCol: String, salt: String): Double = {
+      val m = Eval.bootstrapMeanCIPooled(docs, keyCol, "metric",
+          numResamples = 100, qPcts = Seq(5, 95), salt = salt)
+        .as[(Long, Long, Long, Double)].collect()
+        .map(r => r._1 -> r._4).toMap
+      m(95L) - m(5L)
+    }
+    val iid = width("doc_id", "bsp")
+    val clustered = width("src", "bspc")
+    assert(clustered > iid,
+      s"cluster band ($clustered) must exceed the iid band ($iid)")
+    assert(clustered >= 50.0,
+      s"two-cluster resampling must reach a cluster-extreme mean: $clustered")
+  }
+
   test("krippendorffAlpha: hand-computed panels, varying sizes, exclusions surfaced") {
     // group g, 2-rater panels: (A,A), (B,B), (A,B) →
     //   D_num = 2 (the mixed item), n = 6, D_den = 3·3 + 3·3 = 18
