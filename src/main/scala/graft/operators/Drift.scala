@@ -207,9 +207,6 @@ object Drift {
         NumFunctions.roundNz(max(col("__mad")), 6).as("mad_r"))
   }
 
-  /** Shared PSI/KS core: per (group, bin) counts and rounded population
-    * shares, binned on the reference's rounded decile cutoffs.
-    */
   /** Chi-square test of homogeneity per group (Pearson 1900), over the
     * SAME ten reference-decile bins [[psiProfile]] and [[ksProfile]]
     * compare — the proper TEST STATISTIC next to those descriptive
@@ -238,11 +235,13 @@ object Drift {
                            valueCol: String,
                            critChi2: Double = 16.918978): DataFrame = {
     import org.apache.spark.sql.types.{DecimalType => DT}
-    val cells = binShares(ref, cur, groupCol, valueCol)
-      .select(col(groupCol), col("bin"), col("n_ref"), col("n_cur"))
-    val totals = cells.groupBy(col(groupCol))
-      .agg(sum(col("n_ref")).as("__tr"), sum(col("n_cur")).as("__tc"))
-    val j = cells.join(totals, Seq(groupCol))
+    // binShares already carries the per-group totals (__tr/__tc) on
+    // every row — reuse them; re-aggregating here would evaluate the
+    // whole (percentile cuts + two bin counts + full-outer) subplan a
+    // second time
+    val j = binShares(ref, cur, groupCol, valueCol)
+      .select(col(groupCol), col("bin"), col("n_ref"), col("n_cur"),
+        col("__tr"), col("__tc"))
       .withColumn("__cb", col("n_ref") + col("n_cur"))
       .withColumn("__n", col("__tr") + col("__tc"))
     def contrib(o: Column, t: Column): Column = {
@@ -268,6 +267,10 @@ object Drift {
           .as("chi2_r"))
       .withColumn("significant", col("chi2_r") > critChi2)
   }
+
+  /** Shared PSI/KS core: per (group, bin) counts and rounded population
+    * shares, binned on the reference's rounded decile cutoffs.
+    */
 
   private def binShares(ref: DataFrame, cur: DataFrame, groupCol: String,
                         valueCol: String): DataFrame = {

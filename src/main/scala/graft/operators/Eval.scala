@@ -410,9 +410,12 @@ object Eval {
     * at the edge — bit-replayable in any engine with 128-bit integer
     * arithmetic. A zero denominator means every rating landed in one
     * category (P̄e = 1 forces P̄ = 1): reported as kappa 1.0, perfect
-    * if vacuous agreement. Items rated by ≠ `ratersPerItem` raters are
-    * EXCLUDED (Fleiss requires a constant panel) and surfaced in
-    * `n_dropped`; a group with no complete items reports null kappa.
+    * if vacuous agreement. Items whose ratings don't come from exactly
+    * `ratersPerItem` DISTINCT raters — too few, too many, or a
+    * duplicated rating from one rater (a replayed event masquerading
+    * as a panel) — are EXCLUDED (Fleiss requires a constant panel) and
+    * surfaced in `n_dropped`; a group with no complete items reports
+    * null kappa.
     *
     * Scale shape: ratings collapse ONCE to (group, item, label) cells
     * (partial-aggregating shuffle); item and category marginals are
@@ -435,19 +438,30 @@ object Eval {
         col(labelCol).as("__lab"))
       .agg(count(lit(1)).as("__nij"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // panel validity needs RATER IDENTITY, not just the rating count —
+    // a duplicated rating from one rater plus a missing rater would
+    // otherwise masquerade as a complete panel. Distinct raters per
+    // item via two-level aggregation (the kAnonymityAudit no-Expand
+    // discipline); complete ⟺ ratings = distinct raters = panel size.
+    val raters = ratings
+      .select(col(groupCol).as("grp"), col(itemCol).as("__item"),
+        col(raterCol).as("__rater")).distinct()
+      .groupBy(col("grp"), col("__item"))
+      .agg(count(lit(1)).as("__nr"))
     val items = cells.groupBy(col("grp"), col("__item"))
       .agg(sum(col("__nij")).as("__ni"),
         sum(col("__nij") * col("__nij")).as("__s2i"))
+      .join(raters, Seq("grp", "__item"))
+    val ok = col("__ni") === ratersPerItem && col("__nr") === ratersPerItem
     val perGroup = items.groupBy(col("grp")).agg(
-      sum(when(col("__ni") === ratersPerItem, 1L).otherwise(0L)).as("n_items"),
-      sum(when(col("__ni") =!= ratersPerItem, 1L).otherwise(0L)).as("n_dropped"),
-      sum(when(col("__ni") === ratersPerItem, col("__s2i")).otherwise(lit(0L)))
-        .as("__S2"))
+      sum(when(ok, 1L).otherwise(0L)).as("n_items"),
+      sum(when(!ok, 1L).otherwise(0L)).as("n_dropped"),
+      sum(when(ok, col("__s2i")).otherwise(lit(0L))).as("__S2"))
     // category totals over COMPLETE items only — the same cells joined
     // back to the item grain they came from (key-local equi-join)
     val catTotals = cells
-      .join(items.filter(col("__ni") === ratersPerItem)
-        .select(col("grp"), col("__item")), Seq("grp", "__item"))
+      .join(items.filter(ok).select(col("grp"), col("__item")),
+        Seq("grp", "__item"))
       .groupBy(col("grp"), col("__lab"))
       .agg(sum(col("__nij")).as("__cj"))
     val perGroupCats = catTotals.groupBy(col("grp"))
@@ -582,9 +596,14 @@ object Eval {
                             salt: String = "pt"): DataFrame = {
     require(numPerms >= 1 && numPerms <= 10000,
       s"numPerms must be in [1, 10000], got $numPerms")
+    // the projected differences feed BOTH the observed totals and the
+    // permutation fold — persist them or the upstream (often a
+    // tokenizing projection) recomputes per branch (the
+    // classificationReport lazy-scoped lifecycle)
     val base = df.select(col(groupCol).as("grp"),
       col(idCol).cast("string").as("__id"),
       (scoreA.cast("long") - scoreB.cast("long")).as("__d"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val obs = base.groupBy(col("grp"))
       .agg(count(lit(1)).as("n_docs"), sum(col("__d")).as("t_obs"))
     val totals = base
@@ -684,7 +703,9 @@ object Eval {
     val d38 = DecimalType(38, 0)
     val a = isA.cast("boolean")
     val x = col(metricCol).cast("long")
-    val g = df
+    // null metrics carry no position: drop them, or they would count
+    // in a slice's n while contributing nothing to its sums
+    val g = df.filter(col(metricCol).isNotNull)
       .select(col(groupCol).as("grp"), x.as("__x"),
         when(a, 1L).otherwise(0L).as("__a"))
       .groupBy(col("grp"))
@@ -744,7 +765,10 @@ object Eval {
     import org.apache.spark.sql.types.DecimalType
     val d38 = DecimalType(38, 0)
     val a = isA.cast("boolean")
-    val c = df
+    // null metrics have no rank position: drop them (ASC windows sort
+    // nulls FIRST, so a kept null row would inflate every cumulative-
+    // below count as if null were the smallest value)
+    val c = df.filter(col(metricCol).isNotNull)
       .select(col(groupCol).as("grp"), col(metricCol).cast("long").as("__v"),
         when(a, 1L).otherwise(0L).as("__a"))
       .groupBy(col("grp"), col("__v"))
@@ -857,8 +881,12 @@ object Eval {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.types.DecimalType
     val d38 = DecimalType(38, 0)
+    // the projection feeds both rank tables AND the row-level join
+    // chain (three references) — persist it or the upstream recomputes
+    // per branch (the classificationReport lazy-scoped lifecycle)
     val base = df.select(col(groupCol).as("grp"),
       col(xCol).cast("long").as("__x"), col(yCol).cast("long").as("__y"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     def rank2(vCol: String, out: String) = {
       val wCum = Window.partitionBy(col("grp")).orderBy(col(vCol))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)

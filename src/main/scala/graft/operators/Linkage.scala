@@ -19,6 +19,43 @@ import graft.functions.NumFunctions
   */
 object Linkage {
 
+  /** Pre-flight blocking profile: per block key, the record count and
+    * the candidate-pair count `n·(n−1)/2` that
+    * [[fellegiSunterScores]] would generate, plus each block's share
+    * of the total pair work — the skew scan run BEFORE a linkage pass
+    * (the [[Corpus.heavyHitters]] discipline applied to blocked
+    * pairers): Σ block² is the linkage's real cost, and one oversized
+    * block dominates it long before the total row count looks scary.
+    * Sorted by pair count descending so the first rows ARE the
+    * decision: refine the block key, or proceed.
+    *
+    * One partial-aggregating collapse to block counts; pair counts in
+    * DECIMAL(38,0) (n² at any scale); the total joins in as one
+    * broadcast scalar. A NULL-keyed block reports its record count
+    * with `n_pairs = 0` — the equi-join in [[fellegiSunterScores]]
+    * never matches null keys, so those records genuinely generate no
+    * pairs, but the dirty rows stay visible in the profile.
+    */
+  def blockProfile(records: DataFrame, blockCols: Seq[String]): DataFrame = {
+    require(blockCols.nonEmpty, "need at least one blocking column")
+    val nullKey = blockCols.map(col(_).isNull).reduce(_ || _)
+    val counts = records.groupBy(blockCols.map(col): _*)
+      .agg(count(lit(1)).as("n_records"))
+      .withColumn("n_pairs", when(nullKey, lit(0).cast(d38))
+        .otherwise((col("n_records").cast(d38) *
+          (col("n_records") - 1).cast(d38) / 2).cast(d38)))
+    val total = counts.agg(
+      greatest(sum(col("n_pairs")), lit(1).cast(d38)).as("__tot"))
+    counts.crossJoin(broadcast(total))
+      .select(blockCols.map(col) :+ col("n_records") :+
+        col("n_pairs").cast("long").as("n_pairs") :+
+        NumFunctions.roundNz(col("n_pairs").cast("double") /
+          col("__tot").cast("double"), 6).as("pair_share"): _*)
+      .orderBy(col("n_pairs").desc +: blockCols.map(col): _*)
+  }
+
+  private val d38 = DecimalType(38, 0)
+
   /** Fellegi-Sunter match scoring over blocked candidate pairs.
     *
     * For each field `j`, the likelihood ratio uses:
@@ -62,38 +99,6 @@ object Linkage {
     *
     * Returns `(id_a, id_b, agree_<field>…, odds_r, decision)`.
     */
-  /** Pre-flight blocking profile: per block key, the record count and
-    * the candidate-pair count `n·(n−1)/2` that
-    * [[fellegiSunterScores]] would generate, plus each block's share
-    * of the total pair work — the skew scan run BEFORE a linkage pass
-    * (the [[Corpus.heavyHitters]] discipline applied to blocked
-    * pairers): Σ block² is the linkage's real cost, and one oversized
-    * block dominates it long before the total row count looks scary.
-    * Sorted by pair count descending so the first rows ARE the
-    * decision: refine the block key, or proceed.
-    *
-    * One partial-aggregating collapse to block counts; pair counts in
-    * DECIMAL(38,0) (n² at any scale); the total joins in as one
-    * broadcast scalar.
-    */
-  def blockProfile(records: DataFrame, blockCols: Seq[String]): DataFrame = {
-    require(blockCols.nonEmpty, "need at least one blocking column")
-    val counts = records.groupBy(blockCols.map(col): _*)
-      .agg(count(lit(1)).as("n_records"))
-      .withColumn("n_pairs", (col("n_records").cast(d38) *
-        (col("n_records") - 1).cast(d38) / 2).cast(d38))
-    val total = counts.agg(
-      greatest(sum(col("n_pairs")), lit(1).cast(d38)).as("__tot"))
-    counts.crossJoin(broadcast(total))
-      .select(blockCols.map(col) :+ col("n_records") :+
-        col("n_pairs").cast("long").as("n_pairs") :+
-        NumFunctions.roundNz(col("n_pairs").cast("double") /
-          col("__tot").cast("double"), 6).as("pair_share"): _*)
-      .orderBy(col("n_pairs").desc +: blockCols.map(col): _*)
-  }
-
-  private val d38 = DecimalType(38, 0)
-
   def fellegiSunterScores(records: DataFrame, idCol: String,
                           blockCols: Seq[String], fieldCols: Seq[String],
                           mPpm: Seq[Long], upper: Double,
@@ -106,7 +111,6 @@ object Linkage {
     require(mPpm.forall(m => m >= 1 && m <= 999999),
       s"m must be in [1, 999999] ppm, got $mPpm")
     require(lower <= upper, s"thresholds out of order: $lower > $upper")
-    val d38 = DecimalType(38, 0)
 
     // one scalar stats row: N and each field's repeat-pair sum S_j
     val nRow = records.agg(count(lit(1)).cast(d38).as("__n"))

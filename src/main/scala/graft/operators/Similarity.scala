@@ -544,20 +544,6 @@ object Similarity {
           .cast("double") / count(lit(1)), 6).as("c"),
         count(lit(1)).as("n"))
 
-  /** Intra-class cohesion: each vector's cosine to its OWN label's
-    * centroid (from [[labelCentroids]]), averaged per label — the
-    * SemDeDup scoring pass (prune members too close to the prototype)
-    * and the first diagnostic for embedding quality (a label whose
-    * members don't face their own centroid is mislabeled or multimodal).
-    *
-    * Scale design: the long-form centroids reassemble into one
-    * `array<double>` per label (`sort_array(collect_list(struct))` —
-    * label-count × d rows, metadata scale) and BROADCAST back onto the
-    * corpus, so the scoring pass is map-side; per-vector cosines round
-    * to 4 places (the q14 cross-engine parity bound) and average through
-    * an exact decimal sum. One corpus shuffle total (the final
-    * per-label aggregate).
-    */
   /** Simplified silhouette per cluster (Hruschka et al. 2004's
     * centroid variant of Rousseeuw 1987): for each vector, `a` = its
     * cosine DISTANCE to its own cluster's centroid and `b` = the
@@ -592,7 +578,12 @@ object Similarity {
                            vecCol: String,
                            maxClusters: Int = 256): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
-    val cent = labelCentroids(embeddings, labelCol, vecCol)
+    // null labels/vectors carry no cluster position: excluded from both
+    // the centroid tier and the scored rows (a kept row would land a
+    // null silhouette that count() silently dilutes the mean with)
+    val clean = embeddings
+      .filter(col(labelCol).isNotNull && col(vecCol).isNotNull)
+    val cent = labelCentroids(clean, labelCol, vecCol)
       .groupBy(col("label"))
       .agg(sort_array(collect_list(struct(col("pos"), col("c")))).as("__pc"))
       .select(col("label"), col("__pc").getField("c").as("__cvec"))
@@ -603,7 +594,7 @@ object Similarity {
       s"${cent.length} clusters exceed maxClusters = $maxClusters")
     val cents: Seq[(Any, Array[Double])] =
       cent.toSeq.map(r => (r.get(0), r.getSeq[Double](1).toArray))
-    val base = embeddings.select(col(labelCol).as("label"),
+    val base = clean.select(col(labelCol).as("label"),
       col(vecCol).cast("array<double>").as("__v"))
     val dists = cents.map { case (l, c) =>
       (l, lit(1.0) - NumFunctions.roundNz(
@@ -618,12 +609,29 @@ object Similarity {
     }: _*)
     val s = when(greatest(a, b) === 0, lit(0.0))
       .otherwise(NumFunctions.roundNz((b - a) / greatest(a, b), 6))
+    // count NON-NULL silhouettes only (count(col) skips nulls), so a
+    // row whose cosine degenerates to null cannot deflate the mean
     base
       .withColumn("__s", s.cast(DecimalType(18, 9)))
       .groupBy(col("label"))
-      .agg(count(lit(1)).as("n"), NumFunctions.roundNz(
-        sum(col("__s")).cast("double") / count(lit(1)), 6).as("mean_sil_r"))
+      .agg(count(col("__s")).as("n"), NumFunctions.roundNz(
+        sum(col("__s")).cast("double") / count(col("__s")), 6).as("mean_sil_r"))
   }
+
+  /** Intra-class cohesion: each vector's cosine to its OWN label's
+    * centroid (from [[labelCentroids]]), averaged per label — the
+    * SemDeDup scoring pass (prune members too close to the prototype)
+    * and the first diagnostic for embedding quality (a label whose
+    * members don't face their own centroid is mislabeled or multimodal).
+    *
+    * Scale design: the long-form centroids reassemble into one
+    * `array<double>` per label (`sort_array(collect_list(struct))` —
+    * label-count × d rows, metadata scale) and BROADCAST back onto the
+    * corpus, so the scoring pass is map-side; per-vector cosines round
+    * to 4 places (the q14 cross-engine parity bound) and average through
+    * an exact decimal sum. One corpus shuffle total (the final
+    * per-label aggregate).
+    */
 
   def centroidSpread(embeddings: DataFrame, labelCol: String,
                      vecCol: String): DataFrame = {

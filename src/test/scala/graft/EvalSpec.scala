@@ -252,6 +252,14 @@ class EvalSpec extends SparkSpec {
     assert(got("g") === ((3L, 0L, 2L, Some(0.333333))))
     assert(got("h") === ((0L, 1L, 0L, None)))
     assert(got("k") === ((2L, 0L, 1L, Some(1.0))))
+    // a DUPLICATED rating from one rater plus a missing rater has the
+    // right ratings COUNT but the wrong panel — dropped, not scored
+    val dup = Seq(("d", 1L, 1, "A"), ("d", 1L, 1, "A"),
+      ("d", 2L, 1, "A"), ("d", 2L, 2, "B"))
+    val gotD = Eval.fleissKappa(dup.toDF("grp0", "item", "rater", "lab"),
+      "grp0", "item", "rater", "lab", 2).collect().head
+    assert((gotD.getLong(1), gotD.getLong(2)) === ((1L, 1L)),
+      "replayed single-rater ratings must not masquerade as a panel")
     // panel-size contract enforced
     intercept[IllegalArgumentException] {
       Eval.fleissKappa(rows.toDF("g", "i", "r", "l"), "g", "i", "r", "l", 1)
@@ -364,6 +372,15 @@ class EvalSpec extends SparkSpec {
     val flat = Seq(("g", 5L, true), ("g", 5L, true),
       ("g", 5L, false), ("g", 5L, false)).toDF("grp0", "x", "a")
     assert(Eval.cohensD(flat, "grp0", "x", col("a")).collect().head.isNullAt(4))
+    // null metrics drop — they must not count in a slice's n while
+    // contributing nothing to its sums
+    val withNull = Seq(("g", Some(1L), true), ("g", Some(3L), true),
+      ("g", Option.empty[Long], true), ("g", Some(4L), false),
+      ("g", Some(6L), false)).toDF("grp0", "x", "a")
+    val noNull = Seq(("g", 1L, true), ("g", 3L, true),
+      ("g", 4L, false), ("g", 6L, false)).toDF("grp0", "x", "a")
+    assert(Eval.cohensD(withNull, "grp0", "x", col("a")).collect().toSeq ===
+      Eval.cohensD(noNull, "grp0", "x", col("a")).collect().toSeq)
   }
 
   test("cluster bootstrap: keying the Poisson draw on the group widens the band under in-cluster correlation") {
@@ -501,5 +518,14 @@ class EvalSpec extends SparkSpec {
     val solo = Seq(("g", 1L, true)).toDF("grp0", "x", "a")
     assert(Eval.cliffsDelta(solo, "grp0", "x", col("a"))
       .collect().head.isNullAt(5))
+    // null metrics drop — a kept null would sort FIRST and inflate
+    // every cumulative-below count
+    val withNull = Seq(("g", Some(9L), true), ("g", Some(8L), true),
+      ("g", Option.empty[Long], false), ("g", Some(1L), false))
+      .toDF("grp0", "x", "a")
+    val gotN = Eval.cliffsDelta(withNull, "grp0", "x", col("a"))
+      .collect().head
+    assert((gotN.getLong(1), gotN.getLong(2), gotN.getDouble(5)) ===
+      ((2L, 1L, 1.0)))
   }
 }

@@ -87,6 +87,16 @@ class LinkageSpec extends SparkSpec {
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     assert(got.toSeq === Seq(("B1", 4L, 6L, sh(6)), ("B2", 2L, 1L, sh(1)),
       ("B3", 1L, 0L, 0.0)), "ordered by pair work descending")
+    // null block keys never pair in the scorer's equi-join: visible in
+    // the profile, but with zero pair work
+    val dirty = Seq((1L, "B1"), (2L, "B1"), (3L, null: String),
+      (4L, null: String)).toDF("id", "bk")
+    val gd = Linkage.blockProfile(dirty, Seq("bk"))
+      .collect().map(r => Option(r.getString(0)) ->
+        ((r.getLong(1), r.getLong(2)))).toMap
+    assert(gd(Some("B1")) === ((2L, 1L)))
+    assert(gd(None) === ((2L, 0L)),
+      "null-keyed records are visible but generate no pairs")
   }
 
   test("contracts: m arity, m range, block columns, threshold order") {
