@@ -3971,6 +3971,28 @@ object SparkEntry {
     graft.operators.Eval.bootstrapMeanCIPooled(docs(s, d), "source",
       "n_chars", numResamples = 200, salt = "bspc")
 
+  /** Q237 — Kendall's W judge concordance
+    * ([[graft.operators.Eval.kendallW]], Kendall & Babington Smith
+    * 1939): per language, do three judges ORDER the documents
+    * consistently — each judge's score is the length perturbed by a
+    * per-(doc, judge) md5 jitter, ranked in doubled midrank units per
+    * judge; the tie-corrected W clears to one division of two exact
+    * DECIMAL(38,0) integers. The ordinal companion of q218/q227.
+    * Oracle replays the per-judge rank tables, the per-item rank
+    * sums, and the cleared formula in HUGEINT.
+    */
+  def q237(s: SparkSession, d: String): DataFrame = {
+    val score = col("n_chars") + pmod(conv(substring(md5(concat_ws(":",
+      lit("kw"), col("doc_id").cast("string"), col("judge").cast("string"))),
+      1, 8), 16, 10).cast("long"), lit(200L))
+    val ratings = docs(s, d)
+      .select(col("lang"), col("doc_id"), col("n_chars"),
+        explode(sequence(lit(1), lit(3))).as("judge"))
+      .withColumn("score", score)
+    graft.operators.Eval.kendallW(ratings, "lang", "doc_id", "judge",
+      "score")
+  }
+
   /** Q235 — linkage blocking pre-flight profile
     * ([[graft.operators.Linkage.blockProfile]]): per q223 block key,
     * the record count, the exact `n(n−1)/2` candidate-pair count the
@@ -5088,7 +5110,8 @@ object SparkEntry {
     "q233_chi2_drift"       -> (q233 _),
     "q234_curation_vocab"   -> (q234 _),
     "q235_block_profile"    -> (q235 _),
-    "q236_cluster_bootstrap" -> (q236 _))
+    "q236_cluster_bootstrap" -> (q236 _),
+    "q237_kendall_w"        -> (q237 _))
 
   // DuckDB twins. Shared SQL fragments for the text queries:
   // explicit class: Java \s includes \x0B, RE2 \s does not — see
@@ -6184,6 +6207,33 @@ object SparkEntry {
           |    END AS rho_r
           |FROM g
           |""".stripMargin),
+    // q237: per-judge doubled midranks over the jittered scores,
+    // per-item rank sums, the tie-corrected W cleared to HUGEINT
+    "q237_kendall_w" ->
+      ("""WITH r AS (SELECT lang, doc_id, b.range + 1 AS judge,
+         |  n_chars + CAST('0x' || substr(md5('kw:' || doc_id || ':' ||
+         |    (b.range + 1)), 1, 8) AS BIGINT) % 200 AS s
+         |  FROM documents, range(3) b),
+         |c AS (SELECT lang, judge, s, count(*) AS t FROM r GROUP BY 1, 2, 3),
+         |rk AS (SELECT lang, judge, s, t,
+         |  2 * (sum(t) OVER (PARTITION BY lang, judge ORDER BY s
+         |    ROWS UNBOUNDED PRECEDING) - t) + t + 1 AS r2 FROM c),
+         |ts AS (SELECT lang, sum(CAST(t AS HUGEINT) * t * t - t) AS tt
+         |  FROM rk GROUP BY 1),
+         |ri AS (SELECT r.lang, r.doc_id, sum(rk.r2) AS rr FROM r
+         |  JOIN rk ON r.lang = rk.lang AND r.judge = rk.judge
+         |    AND r.s = rk.s
+         |  GROUP BY 1, 2),
+         |sr AS (SELECT lang, count(*) AS n,
+         |  sum(CAST(rr AS HUGEINT) * rr) AS sr2 FROM ri GROUP BY 1)
+         |SELECT sr.lang AS grp, CAST(n AS BIGINT) AS n_items,
+         |  CAST(3 AS BIGINT) AS k_judges, true AS complete,
+         |  round(CAST(3 * (sr2 - 9 * CAST(n AS HUGEINT) * (n + 1) *
+         |    (n + 1)) AS DOUBLE) /
+         |    CAST(9 * CAST(n AS HUGEINT) * (CAST(n AS HUGEINT) * n - 1)
+         |    - 3 * tt AS DOUBLE), 6) + 0 AS w_r
+         |FROM sr JOIN ts ON sr.lang = ts.lang
+         |""".stripMargin),
     // q236: the q212 Poisson chain with the draw keyed on SOURCE —
     // every doc of a source shares its weight per resample
     "q236_cluster_bootstrap" ->

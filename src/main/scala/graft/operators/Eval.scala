@@ -917,6 +917,90 @@ object Eval {
         .as("rho_r"))
   }
 
+  /** Kendall's coefficient of concordance W per group (Kendall &
+    * Babington Smith, Annals of Math. Stat. 1939; the tie-corrected
+    * form): do k judges RANK the same items consistently — the ordinal
+    * companion of [[fleissKappa]]/[[krippendorffAlpha]] (those score
+    * label agreement; W scores ORDER agreement, the right question
+    * when annotators grade quality on a scale rather than pick a
+    * class). W = 1: every judge induces the same order; W = 0: the
+    * rank sums are indistinguishable from chance.
+    *
+    * Exactness: each judge's scores midrank in DOUBLED units over the
+    * judge's value support (`r2 = 2·cum_before + t + 1`, the
+    * [[wilcoxonSignedRank]]/[[spearmanRho]] discipline), so
+    * `ΣR2²` (squared per-item rank sums) is an exact DECIMAL(38,0)
+    * and the tie-corrected statistic clears every fraction:
+    * `W = 3·(ΣR2² − k²n(n+1)²) / (k²n(n²−1) − k·ΣT)` with
+    * `T_j = Σ(t³−t)` per judge — one division of two exact integers,
+    * rounded at the edge. Each GROUP requires a complete panel: every
+    * judge scores every item exactly once; groups violating that (or
+    * with fewer than 2 items or 2 judges) report null W with the
+    * counts surfaced so the gap is visible, never silently scored.
+    *
+    * Scale shape: one collapse to (group, judge, score) tie groups;
+    * rank windows partition by (group, judge) over the bounded value
+    * support; one key-local join back to the ratings; two group-grain
+    * collapses. The shared projection persists (it feeds the
+    * completeness check, the rank tables, and the join).
+    *
+    * Returns `(grp, n_items, k_judges, complete, w_r)`.
+    */
+  def kendallW(ratings: DataFrame, groupCol: String, itemCol: String,
+               judgeCol: String, scoreCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val d38 = DecimalType(38, 0)
+    val base = ratings.filter(col(scoreCol).isNotNull)
+      .select(col(groupCol).as("grp"), col(itemCol).as("__item"),
+        col(judgeCol).as("__judge"), col(scoreCol).cast("long").as("__s"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // completeness: n_items × k_judges distinct cells, one rating each
+    // — all via two-level aggregation (the kAnonymityAudit no-Expand
+    // discipline), never count_distinct's row expansion
+    val cellCounts = base
+      .groupBy(col("grp"), col("__item"), col("__judge"))
+      .agg(count(lit(1)).as("__c"))
+    val shape = cellCounts.groupBy(col("grp"))
+      .agg(count(lit(1)).as("__cells"), max(col("__c")).as("__maxc"))
+      .join(cellCounts.select(col("grp"), col("__item")).distinct()
+        .groupBy(col("grp")).agg(count(lit(1)).as("n_items")), "grp")
+      .join(cellCounts.select(col("grp"), col("__judge")).distinct()
+        .groupBy(col("grp")).agg(count(lit(1)).as("k_judges")), "grp")
+    // doubled midranks per (group, judge) over that judge's score ties
+    val c = base.groupBy(col("grp"), col("__judge"), col("__s"))
+      .agg(count(lit(1)).as("__t"))
+    val wCum = Window.partitionBy(col("grp"), col("__judge"))
+      .orderBy(col("__s"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = c
+      .withColumn("__r2", lit(2L) * (sum(col("__t")).over(wCum) - col("__t"))
+        + col("__t") + 1)
+    val tSum = ranked.groupBy(col("grp"))
+      .agg(sum(col("__t").cast(d38) * col("__t").cast(d38) *
+        col("__t").cast(d38) - col("__t").cast(d38)).as("__T"))
+    val r2sq = base
+      .join(ranked.select(col("grp"), col("__judge"), col("__s"),
+        col("__r2")), Seq("grp", "__judge", "__s"))
+      .groupBy(col("grp"), col("__item"))
+      .agg(sum(col("__r2")).as("__R2"))
+      .groupBy(col("grp"))
+      .agg(sum(col("__R2").cast(d38) * col("__R2").cast(d38)).as("__SR2"))
+    val n = col("n_items").cast(d38)
+    val k = col("k_judges").cast(d38)
+    val num = lit(3).cast(d38) * (col("__SR2") - k * k * n * (n + 1) * (n + 1))
+    val den = k * k * n * (n * n - 1) - k * col("__T")
+    shape.join(r2sq, "grp").join(tSum, "grp")
+      .withColumn("complete",
+        col("__cells") === col("n_items") * col("k_judges") &&
+          col("__maxc") === 1L)
+      .select(col("grp"), col("n_items"), col("k_judges"), col("complete"),
+        when(!col("complete") || col("n_items") < 2 || col("k_judges") < 2
+            || den === 0, lit(null).cast("double"))
+          .otherwise(NumFunctions.roundNz(
+            num.cast("double") / den.cast("double"), 6)).as("w_r"))
+  }
+
   /** Benjamini-Hochberg FDR step-up over a battery of test gates
     * (Benjamini & Hochberg, JRSS-B 1995): a pipeline that runs one
     * significance test per (filter, slice) cell runs HUNDREDS of them

@@ -499,6 +499,38 @@ class EvalSpec extends SparkSpec {
       .collect().head.isNullAt(2))
   }
 
+  test("kendallW: perfect/inverted orders hit 1 and 0, tie-corrected hand case, incomplete panels null") {
+    // two judges, two items, same order → W = 1; reversed → W = 0
+    val same = Seq(("g", 1L, 1, 10L), ("g", 2L, 1, 20L),
+      ("g", 1L, 2, 5L), ("g", 2L, 2, 9L)).toDF("grp0", "item", "j", "sc")
+    val g1 = Eval.kendallW(same, "grp0", "item", "j", "sc").collect().head
+    assert((g1.getLong(1), g1.getLong(2), g1.getBoolean(3),
+      g1.getDouble(4)) === ((2L, 2L, true, 1.0)))
+    val rev = Seq(("g", 1L, 1, 10L), ("g", 2L, 1, 20L),
+      ("g", 1L, 2, 9L), ("g", 2L, 2, 5L)).toDF("grp0", "item", "j", "sc")
+    assert(Eval.kendallW(rev, "grp0", "item", "j", "sc")
+      .collect().head.getDouble(4) === 0.0)
+    // tie-corrected hand case: judge1 (1,2,3), judge2 (1,1,2) →
+    // R2 = (5,7,12), ΣR2² = 218, T = 6 → W = 78/84
+    val tied = Seq(("g", 1L, 1, 1L), ("g", 2L, 1, 2L), ("g", 3L, 1, 3L),
+      ("g", 1L, 2, 1L), ("g", 2L, 2, 1L), ("g", 3L, 2, 2L))
+      .toDF("grp0", "item", "j", "sc")
+    val wt = BigDecimal(78.0 / 84)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(Eval.kendallW(tied, "grp0", "item", "j", "sc")
+      .collect().head.getDouble(4) === wt)
+    // a missing rating breaks the panel: surfaced, never scored
+    val holes = Seq(("g", 1L, 1, 10L), ("g", 2L, 1, 20L), ("g", 1L, 2, 5L))
+      .toDF("grp0", "item", "j", "sc")
+    val gh = Eval.kendallW(holes, "grp0", "item", "j", "sc").collect().head
+    assert(!gh.getBoolean(3) && gh.isNullAt(4))
+    // a duplicated rating breaks it too
+    val dup = Seq(("g", 1L, 1, 10L), ("g", 1L, 1, 11L), ("g", 2L, 1, 20L),
+      ("g", 1L, 2, 5L), ("g", 2L, 2, 9L)).toDF("grp0", "item", "j", "sc")
+    val gd = Eval.kendallW(dup, "grp0", "item", "j", "sc").collect().head
+    assert(!gd.getBoolean(3) && gd.isNullAt(4))
+  }
+
   test("cliffsDelta: hand-counted pairs with ties; one-slice group is null") {
     import org.apache.spark.sql.functions.col
     // A = [1,2,2], B = [1,3]: gt = 2, lt = 3, one tie → δ = −1/6

@@ -460,10 +460,11 @@ class PlanSpec extends SparkSpec {
     val p228 = plan(SparkEntry.q228(spark, sf0001))
     assert(!p228.contains("Join") && !p228.contains("Window"),
       s"silhouette scoring must be a zero-join projection:\n$p228")
-    // q229/q230: every rank window partitions by the group (bounded
-    // value support), never a global sort; no cartesian anywhere
+    // q229/q230/q237: every rank window partitions by the group
+    // (bounded value support), never a global sort; no cartesian
     Seq("q229" -> plan(SparkEntry.q229(spark, sf0001)),
-        "q230" -> plan(SparkEntry.q230(spark, sf0001))).foreach {
+        "q230" -> plan(SparkEntry.q230(spark, sf0001)),
+        "q237" -> plan(SparkEntry.q237(spark, sf0001))).foreach {
       case (n, p) =>
         val ws = "Window \\[[^\\n]*".r.findAllIn(p).toSeq
         assert(ws.nonEmpty && ws.forall(_.contains("grp")),
