@@ -26,5 +26,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Default matches the recorded bench methodology (BASELINE.md round-15:
+  // "heap size is a bench variable — pin it at 16 GiB"). Every committed
+  // BENCH_local_r*.json artifact ran at 16 GiB; a default-env run must
+  // reproduce that envelope. Override with SPARK_DRIVER_MEM for controls.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )

@@ -94,6 +94,43 @@ object CurationScaleBench {
         "quality", nBatches.toLong).count(): Unit
     }
 
+    // lake bytes: the loop's optional fifth sink writes each batch
+    // similarity-ordered; measure its on-disk bytes against an
+    // arrival-ordered control write of the SAME rows. The fixture here
+    // carries ~30 % near-dup token mass per batch (every 3rd doc
+    // re-derives batch-0 text), the web-crawl-like regime where the
+    // ordered layout pays (BASELINE `layout_compress`)
+    def dupBatchOf(b: Long) = spark.range(docsPerBatch)
+      .select((col("id") + b * docsPerBatch).as("doc_id"))
+      .withColumn("lang", concat(lit("l"), pmod(col("doc_id"), lit(4))))
+      .withColumn("text",
+        when(pmod(col("doc_id"), lit(3)) === 0,
+          text(pmod(col("doc_id"), lit(docsPerBatch / 10)), "c0"))
+          .otherwise(text(col("doc_id"), s"c$b")))
+      .withColumn("quality", (pmod(col("doc_id"), lit(997)) + 1).cast("double"))
+    val lakeLoopRoot = work.resolve("lakeloop/lake").toString
+    val lakeBatches = 12
+    (0 until lakeBatches).foreach { b =>
+      graft.streaming.CurationLoop(spark, dupBatchOf(b.toLong), lakeLoopRoot,
+        "doc_id", "text", Seq("lang"), Seq("lang"), "quality",
+        b.toLong, lakeFiles = 1).count(): Unit
+    }
+    val arrivalDir = work.resolve("lake-arrival").toString
+    (0 until lakeBatches).foreach { b =>
+      dupBatchOf(b.toLong).write.mode("overwrite")
+        .parquet(new org.apache.hadoop.fs.Path(arrivalDir,
+          s"ingest_batch=$b").toString)
+    }
+    def dirBytes(dir: String): Long = {
+      def walk(f: java.io.File): Long =
+        if (f.isDirectory) Option(f.listFiles()).map(_.map(walk).sum).getOrElse(0L)
+        else if (f.getName.endsWith(".parquet")) f.length else 0L
+      walk(new java.io.File(dir))
+    }
+    val orderedBytes = dirBytes(
+      graft.streaming.CurationLoop.lakeRoot(lakeLoopRoot))
+    val arrivalBytes = dirBytes(arrivalDir)
+
     println(s"""{"metric":"curation_scale","batches":$nBatches,""" +
       s""""docs_per_batch":$docsPerBatch,"plain_first_sec":$pf,""" +
       s""""plain_mid_sec":$pm,"plain_last_sec":$pl,""" +
@@ -101,7 +138,10 @@ object CurationScaleBench {
       s""""compacted_first_sec":$cf,"compacted_mid_sec":$cm,""" +
       s""""compacted_last_sec":$cl,"compacted_fresh_sec":$cExtra,""" +
       s""""compact_every":$compactEvery,""" +
-      s""""compact_total_sec":${cs + csFinal}}""")
+      s""""compact_total_sec":${cs + csFinal},""" +
+      s""""lake_batches":$lakeBatches,""" +
+      s""""lake_ordered_bytes":$orderedBytes,""" +
+      s""""lake_arrival_bytes":$arrivalBytes}""")
     spark.stop()
   }
 }

@@ -41,6 +41,28 @@ object SparkEntry {
   private def docs(s: SparkSession, d: String): DataFrame = Tables.documents(s, d)
   private def emb(s: SparkSession, d: String): DataFrame = Tables.embeddings(s, d)
 
+  /** Scratch-root key for the standing-sink queries (q200/q204/q231/
+    * q232/q234): md5 over the query tag plus the dataset's CONTENT
+    * fingerprint — each backing file's name, byte length, and mtime —
+    * not the path string alone. A dataset REGENERATED at the same path
+    * must get a fresh scratch root, or the sinks' `_APPLIED` markers
+    * would short-circuit the folds and serve stale standing state
+    * (round-16 ADVICE); and two concurrent suites over different
+    * content no longer race one marker protocol. File metadata only —
+    * no data read — so the key costs microseconds.
+    */
+  private def scratchKeyHex(tag: String, d: String, table: String): String = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory)
+        Option(f.listFiles()).map(_.sortBy(_.getName).toSeq).getOrElse(Seq.empty)
+          .flatMap(walk)
+      else Seq(f)
+    val sig = walk(new java.io.File(d, s"$table.parquet"))
+      .map(p => s"${p.getName}|${p.length}|${p.lastModified}").mkString(",")
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$tag|$d|$sig".getBytes("UTF-8")).map("%02x".format(_)).mkString
+  }
+
   // ---- reference-surface queries (SURVEY §2.2) --------------------------
 
   /** Q1 — O3/O11 scan + projection. */
@@ -3490,8 +3512,7 @@ object SparkEntry {
     * or same day with new > old, at Jaccard ≥ 0.7.
     */
   def q200(s: SparkSession, d: String): DataFrame = {
-    val keyHex = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"q200|v1|$d".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val keyHex = scratchKeyHex("q200|v2", d, "documents")
     val root = new java.io.File(System.getProperty("java.io.tmpdir"),
       s"graft-dedupsink-$keyHex/idx").toString
     (0L to 2L).foreach { day =>
@@ -3943,8 +3964,7 @@ object SparkEntry {
     * maintained-through-the-composed-loop ≡ recomputed.
     */
   def q234(s: SparkSession, d: String): DataFrame = {
-    val keyHex = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"q234|v1|$d".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val keyHex = scratchKeyHex("q234|v2", d, "documents")
     val root = new java.io.File(System.getProperty("java.io.tmpdir"),
       s"graft-curvocab-$keyHex/lake").toString
     (0L to 2L).foreach { day =>
@@ -4032,8 +4052,7 @@ object SparkEntry {
     * recompute verbatim — the maintained ≡ recomputed gate.
     */
   def q231(s: SparkSession, d: String): DataFrame = {
-    val keyHex = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"q231|v1|$d".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val keyHex = scratchKeyHex("q231|v2", d, "documents")
     val root = new java.io.File(System.getProperty("java.io.tmpdir"),
       s"graft-vocabsink-$keyHex/vocab").toString
     (0L to 2L).foreach { day =>
@@ -4052,8 +4071,7 @@ object SparkEntry {
     * re-read). Oracle replays train-distinct terms and the probe join.
     */
   def q232(s: SparkSession, d: String): DataFrame = {
-    val keyHex = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"q232|v1|$d".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val keyHex = scratchKeyHex("q232|v2", d, "documents")
     val root = new java.io.File(System.getProperty("java.io.tmpdir"),
       s"graft-vocabsink-$keyHex/vocab").toString
     (1L to 2L).foreach { day =>
@@ -4106,8 +4124,7 @@ object SparkEntry {
     * day-ordered cross-Jaccard count + the TRUE bound literal.
     */
   def q204(s: SparkSession, d: String): DataFrame = {
-    val keyHex = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"q204|v1|$d".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val keyHex = scratchKeyHex("q204|v2", d, "documents")
     val root = new java.io.File(System.getProperty("java.io.tmpdir"),
       s"graft-curation-$keyHex/lake").toString
     val src = docs(s, d).select(col("doc_id"), col("lang"), col("text"),
@@ -6720,7 +6737,7 @@ object SparkEntry {
          |FROM p
          |""".stripMargin),
     // q233: the q86 decile-bin CTEs, margin-product expected counts,
-    // per-cell contributions frozen at 9 places into DECIMAL(18,9)
+    // per-cell contributions frozen at 9 places into DECIMAL(28,9)
     // before the order-independent sum, χ² gate on the rounded value
     "q233_chi2_drift" ->
       ("""WITH e AS (SELECT event_type, value, event_id % 2 AS side FROM events
@@ -6757,20 +6774,20 @@ object SparkEntry {
          |  n_ref + n_cur AS cb, tr + tc AS n
          |  FROM g JOIN t USING (event_type)),
          |k AS (SELECT event_type, tr, tc,
-         |  (CASE WHEN tr = 0 THEN CAST(0 AS DECIMAL(18,9)) ELSE
+         |  (CASE WHEN tr = 0 THEN CAST(0 AS DECIMAL(28,9)) ELSE
          |  CAST(round((CAST(n_ref AS DOUBLE) -
          |      CAST(CAST(tr AS HUGEINT) * cb AS DOUBLE) / CAST(n AS DOUBLE))
          |    * (CAST(n_ref AS DOUBLE) -
          |      CAST(CAST(tr AS HUGEINT) * cb AS DOUBLE) / CAST(n AS DOUBLE))
          |    / (CAST(CAST(tr AS HUGEINT) * cb AS DOUBLE) / CAST(n AS DOUBLE)),
-         |    9) AS DECIMAL(18,9)) END) +
-         |  (CASE WHEN tc = 0 THEN CAST(0 AS DECIMAL(18,9)) ELSE
+         |    9) AS DECIMAL(28,9)) END) +
+         |  (CASE WHEN tc = 0 THEN CAST(0 AS DECIMAL(28,9)) ELSE
          |  CAST(round((CAST(n_cur AS DOUBLE) -
          |      CAST(CAST(tc AS HUGEINT) * cb AS DOUBLE) / CAST(n AS DOUBLE))
          |    * (CAST(n_cur AS DOUBLE) -
          |      CAST(CAST(tc AS HUGEINT) * cb AS DOUBLE) / CAST(n AS DOUBLE))
          |    / (CAST(CAST(tc AS HUGEINT) * cb AS DOUBLE) / CAST(n AS DOUBLE)),
-         |    9) AS DECIMAL(18,9)) END) AS kk
+         |    9) AS DECIMAL(28,9)) END) AS kk
          |  FROM c2),
          |f AS (SELECT event_type, max(tr) AS n_ref, max(tc) AS n_cur,
          |  count(*) AS n_bins, sum(kk) AS s FROM k GROUP BY 1)

@@ -883,14 +883,23 @@ object Dedup {
     * called them duplicates, in actual text rather than hash values.
     *
     * Scale shape: pairs come from the same banded LSH tier as
-    * [[minhashLshPairs]] (never all-pairs). The corpus-scale STRING
-    * shingle explode — the dominant cost — runs exactly once: the
-    * pair-member id set broadcasts onto the exploded rows, and ONE
-    * shingle-keyed partial-aggregating collapse produces the global
-    * document frequency AND the pair-member occurrence list per
-    * shingle together; everything after (the a/b evidence joins, the
-    * per-pair bounded-heap top-k) touches only dup-mass-sized frames
-    * pinned by an eager localCheckpoint. No window anywhere. Returns
+    * [[minhashLshPairs]] (never all-pairs), and the repo's "hashes
+    * shuffle, never text" discipline (q128/q93/q108) holds here too:
+    * the global document-frequency collapse keys on the 64-bit
+    * [[graft.functions.HashedWordNgrams]] gram hash — the corpus-scale
+    * exchange carries ONE long per shingle occurrence, never the
+    * 3-gram string (string-keyed, this query degraded ~15× under an
+    * 8 GiB driver heap; hash-keyed it holds its envelope). The string
+    * form is materialized only for pair-member documents (dup-mass,
+    * not corpus): a standalone shingle is exactly `n` single-space-
+    * joined whitespace-free tokens, so `HashedWordNgrams(shingle, n)`
+    * reproduces the full-document gram hash bit-for-bit and the df
+    * joins back on the long key. Shingle identity is preserved w.h.p.
+    * (64-bit collisions ≈ n²/2⁶⁴ — the same contract every
+    * hashed-shingle operator here relies on). Everything after the df
+    * join (the a/b evidence joins, the per-pair bounded-heap top-k)
+    * touches only dup-mass-sized frames pinned by an eager
+    * localCheckpoint. No window anywhere. Returns
     * `(a_id, b_id, rk, shingle, df)`, rk 1-based by (df ASC, shingle
     * ASC).
     */
@@ -902,43 +911,46 @@ object Dedup {
         thresholdNum = thresholdNum, thresholdDen = thresholdDen,
         ngram = ngram)
       .select(col("a_id"), col("b_id"))
-    // STRING shingles ride interpreted HOFs (split/filter/transform —
-    // no codegen), ~30 µs/row: a single-file input would run the whole
-    // explode in ONE task (measured 8 s for 260 k rows at sf0.1), so
-    // spread narrow scans before the per-doc work
-    val sh = Similarity.spreadIfNarrow(
-        docs.select(col(idCol).as("__id"), col(textCol)),
-        computeWeight = 512)
-      .select(col("__id"), explode(TextFunctions.shingles(
-        TextFunctions.tokens(col(textCol)), ngram)).as("shingle"))
+    val dfByHash = pairEvidenceDfByHash(docs, textCol, ngram)
     val ids = pairs.select(col("a_id").as("__id"))
       .unionByName(pairs.select(col("b_id").as("__id"))).distinct()
-    // the corpus-scale shingle explode is the dominant cost (measured
-    // ~8 s/pass at sf0.1) — so it runs EXACTLY ONCE: the pair-member
-    // marker broadcasts onto the exploded rows, and one shingle-keyed
-    // collapse yields global df AND the member id list per shingle
-    // (collect_list skips the nulls of non-member rows; list length is
-    // bounded by the pair-member doc count — dup-mass, not corpus).
-    // The eager localCheckpoint pins the dup-mass-sized result so the
-    // a/b evidence branches below don't re-run the pass.
-    val shPd = sh
-      .join(broadcast(ids.withColumn("__m", lit(1))), Seq("__id"), "left")
-      .groupBy(col("shingle"))
-      .agg(count(lit(1)).as("df"),
-        collect_list(when(col("__m") === 1, col("__id"))).as("__members"))
-      .filter(size(col("__members")) > 0)
-      .select(col("shingle"), col("df"),
-        explode(col("__members")).as("__id"))
+    // pair-member docs only (dup-mass): the STRING shingles ride
+    // interpreted HOFs (~30 µs/row) but over member docs, not the
+    // corpus; spreadIfNarrow keeps a single-file member set from
+    // running in one task. The standalone-shingle rehash recovers the
+    // df join key without ever shuffling corpus text.
+    val mem = Similarity.spreadIfNarrow(
+        docs.select(col(idCol).as("__id"), col(textCol)),
+        computeWeight = 512)
+      .join(broadcast(ids), Seq("__id"))
+      .select(col("__id"), explode(TextFunctions.shingles(
+        TextFunctions.tokens(col(textCol)), ngram)).as("shingle"))
+      .withColumn("__h", element_at(
+        HashFunctions.hashedWordNgrams(col("shingle"), ngram), 1))
+      .join(dfByHash, Seq("__h"))
+      .select(col("__id"), col("shingle"), col("df"))
       .localCheckpoint(true)
     val shared = pairs
-      .join(shPd.select(col("__id").as("a_id"), col("shingle"), col("df")),
+      .join(mem.select(col("__id").as("a_id"), col("shingle"), col("df")),
         Seq("a_id"))
-      .join(shPd.select(col("__id").as("b_id"), col("shingle")),
+      .join(mem.select(col("__id").as("b_id"), col("shingle")),
         Seq("b_id", "shingle"))
     TopK.topKPerKey(shared, Seq("a_id", "b_id"),
         struct(col("df"), col("shingle")), Seq("shingle", "df"), k)
       .select(col("a_id"), col("b_id"), col("rk"), col("shingle"), col("df"))
   }
+
+  /** The corpus-scale half of [[pairEvidence]]: global shingle document
+    * frequency keyed on the 64-bit gram hash — `(__h, df)`. Exposed
+    * `private[graft]` so PlanSpec can gate that the one corpus-wide
+    * exchange in q215 carries longs, not shingle strings.
+    */
+  private[graft] def pairEvidenceDfByHash(docs: DataFrame, textCol: String,
+                                          ngram: Int): DataFrame =
+    Similarity.spreadIfNarrow(docs.select(col(textCol)), computeWeight = 512)
+      .select(explode(
+        HashFunctions.hashedWordNgrams(col(textCol), ngram)).as("__h"))
+      .groupBy(col("__h")).agg(count(lit(1)).as("df"))
 
   /** QUALITY-AWARE corpus dedup: the exact clustering of
     * [[dedupCorpus]], but each near-dup cluster keeps its

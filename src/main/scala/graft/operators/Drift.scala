@@ -221,9 +221,15 @@ object Drift {
     * Determinism: expected counts are ratios of exact DECIMAL(38,0)
     * integer products (`rowTot·colTot / N`), each cell's contribution
     * `(o − e)²/e` is a fixed IEEE chain FROZEN at 9 places into
-    * DECIMAL(18,9) before summation — decimal addition is exact, so
+    * DECIMAL(28,9) before summation — decimal addition is exact, so
     * the sum is partitioning- and order-independent (the unit-freeze
     * discipline), and the final statistic rounds once at the edge.
+    * Bound (the [[Ranks.cliffsDelta]] convention of documenting the
+    * frozen type's headroom): a single cell's contribution is at most
+    * `max(o, e) ≤ N`, so the integer part fits DECIMAL(28,9) up to
+    * N ≈ 10¹⁹ rows per group — beyond any real corpus; the earlier
+    * DECIMAL(18,9) capped near 10⁹, which one extreme-drift cell at
+    * large row counts could overflow to null (round-16 ADVICE).
     * A side with zero rows in a group has no sampling test: null.
     *
     * Scale shape: [[binShares]]' two partial-aggregating bin counts,
@@ -253,7 +259,7 @@ object Drift {
       when(t === 0, lit(0.0))
         .otherwise(NumFunctions.roundNz(
           (o.cast("double") - e) * (o.cast("double") - e) / e, 9))
-        .cast(DT(18, 9))
+        .cast(DT(28, 9))
     }
     j.withColumn("__k",
         contrib(col("n_ref"), col("__tr")) + contrib(col("n_cur"), col("__tc")))
@@ -271,7 +277,6 @@ object Drift {
   /** Shared PSI/KS core: per (group, bin) counts and rounded population
     * shares, binned on the reference's rounded decile cutoffs.
     */
-
   private def binShares(ref: DataFrame, cur: DataFrame, groupCol: String,
                         valueCol: String): DataFrame = {
     val deciles = (1 to 9).map(i =>

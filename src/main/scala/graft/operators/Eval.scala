@@ -598,8 +598,14 @@ object Eval {
       s"numPerms must be in [1, 10000], got $numPerms")
     // the projected differences feed BOTH the observed totals and the
     // permutation fold — persist them or the upstream (often a
-    // tokenizing projection) recomputes per branch (the
-    // classificationReport lazy-scoped lifecycle)
+    // tokenizing projection) recomputes per branch. UNLIKE
+    // classificationReport's K²-bounded state this cache is
+    // CORPUS-SCALE (one row per doc) and is reclaimed only when the
+    // ContextCleaner collects the returned frame — callers issuing
+    // many statistics calls in one session should materialize each
+    // result promptly so the cache can drop (the returned plan must
+    // stay live for the PlanSpec window gates, so the operator cannot
+    // eagerly localize it here)
     val base = df.select(col(groupCol).as("grp"),
       col(idCol).cast("string").as("__id"),
       (scoreA.cast("long") - scoreB.cast("long")).as("__d"))
@@ -883,7 +889,10 @@ object Eval {
     val d38 = DecimalType(38, 0)
     // the projection feeds both rank tables AND the row-level join
     // chain (three references) — persist it or the upstream recomputes
-    // per branch (the classificationReport lazy-scoped lifecycle)
+    // per branch. This cache is CORPUS-SCALE (one row per doc), not
+    // classificationReport's K²-bounded state: it drops only when the
+    // ContextCleaner collects the returned frame, so long sessions
+    // should materialize each result promptly
     val base = df.select(col(groupCol).as("grp"),
       col(xCol).cast("long").as("__x"), col(yCol).cast("long").as("__y"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -942,7 +951,10 @@ object Eval {
     * rank windows partition by (group, judge) over the bounded value
     * support; one key-local join back to the ratings; two group-grain
     * collapses. The shared projection persists (it feeds the
-    * completeness check, the rank tables, and the join).
+    * completeness check, the rank tables, and the join) — a
+    * CORPUS-SCALE cache (one row per rating) reclaimed only when the
+    * ContextCleaner collects the returned frame, so long sessions
+    * should materialize each result promptly.
     *
     * Returns `(grp, n_items, k_judges, complete, w_r)`.
     */

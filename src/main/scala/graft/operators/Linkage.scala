@@ -94,16 +94,32 @@ object Linkage {
     * CALLER bounds by choosing block keys with bounded classes — the
     * documented contract of every blocked pairer here (q206's
     * sorted-neighborhood window is the alternative when no natural
-    * bounded key exists). Scoring itself is row-local projection over
-    * the pairs; nothing windows, nothing collects.
+    * bounded key exists). That contract is now ENFORCED, not assumed:
+    * the same per-block counts [[blockProfile]] prices are checked
+    * before the pairer runs, and one block exceeding
+    * `maxPairsPerBlock` candidate pairs fails fast with the worst
+    * block's size in the message — a null-heavy or constant block key
+    * is a near-cartesian self-join that no downstream stage can
+    * recover from, and the failure must name the block BEFORE the
+    * shuffle, not OOM inside it. Escape hatch: pass
+    * `maxPairsPerBlock = Long.MaxValue` to run a deliberately heavy
+    * block (e.g. a one-off backfill where the cost is priced and
+    * accepted via [[blockProfile]]). The guard costs one
+    * partial-aggregating pass over `records` — noise next to the
+    * per-field u-estimation passes the scorer already pays. Scoring
+    * itself is row-local projection over the pairs; nothing windows,
+    * nothing collects.
     *
     * Returns `(id_a, id_b, agree_<field>…, odds_r, decision)`.
     */
   def fellegiSunterScores(records: DataFrame, idCol: String,
                           blockCols: Seq[String], fieldCols: Seq[String],
                           mPpm: Seq[Long], upper: Double,
-                          lower: Double): DataFrame = {
+                          lower: Double,
+                          maxPairsPerBlock: Long = 10000000L): DataFrame = {
     require(blockCols.nonEmpty, "need at least one blocking column")
+    require(maxPairsPerBlock >= 1,
+      s"maxPairsPerBlock must be >= 1, got $maxPairsPerBlock")
     require(fieldCols.nonEmpty && fieldCols.size <= 8,
       s"need 1..8 comparison fields, got ${fieldCols.size}")
     require(mPpm.size == fieldCols.size,
@@ -121,6 +137,28 @@ object Linkage {
             (col("__f") - 1).cast(d38)), lit(0).cast(d38)).as(s"__s$j"))
       }
       .foldLeft(nRow)((acc, s) => acc.crossJoin(s))
+
+    // pre-flight pair-volume gate: the worst block's n(n−1)/2 from the
+    // same counts blockProfile reports, checked before the self-join
+    if (maxPairsPerBlock != Long.MaxValue) {
+      val nullKey = blockCols.map(col(_).isNull).reduce(_ || _)
+      val worst = records.filter(!nullKey)
+        .groupBy(blockCols.map(col): _*)
+        .agg(count(lit(1)).as("__nb"))
+        .agg(max(struct((col("__nb").cast(d38) * (col("__nb") - 1)
+          .cast(d38) / 2).cast(d38).as("p"),
+          to_json(struct(blockCols.map(col): _*)).as("k"))).as("w"))
+        .select(col("w.p"), col("w.k")).head()
+      if (!worst.isNullAt(0)) {
+        val pairsWorst = worst.getDecimal(0)
+        require(pairsWorst.compareTo(
+            new java.math.BigDecimal(maxPairsPerBlock)) <= 0,
+          s"block ${worst.getString(1)} would generate $pairsWorst candidate " +
+            s"pairs (> maxPairsPerBlock = $maxPairsPerBlock): refine the " +
+            "blocking key (run blockProfile for the full ranking) or pass " +
+            "maxPairsPerBlock = Long.MaxValue to accept the cost explicitly")
+      }
+    }
 
     // candidate pairs: block-key self-join under an id total order
     val left = records.select(

@@ -632,7 +632,6 @@ object Similarity {
     * an exact decimal sum. One corpus shuffle total (the final
     * per-label aggregate).
     */
-
   def centroidSpread(embeddings: DataFrame, labelCol: String,
                      vecCol: String): DataFrame = {
     val cent = labelCentroids(embeddings, labelCol, vecCol)

@@ -289,10 +289,24 @@ object TimeSeries {
     val l = probe.length
     val p = broadcast(probe.toSeq.zipWithIndex
       .map { case (v, j) => (j.toLong, v) }.toDF("__j", "__pv"))
-    val contrib = series
+    val narrow = series
       .select(col(keyCol), col(idxCol).cast("long").as("__idx"),
         col(valueCol).cast("double").as("__v"))
       .filter(col("__v").isNotNull && !isnan(col("__v")))
+    // L-scaled partition budget: the probe join fans each series row ×L
+    // into the (key, start) partial aggregate, so per-task hash-agg
+    // state scales with rows/task × L. Spreading the fan-out's INPUT
+    // (a narrow 3-column shuffle, paid once on rows — not on rows × L)
+    // keeps each task's partial-aggregate footprint at the L = 8
+    // baseline's; the unspread L = 64 stage is what thrashed under an
+    // 8 GiB driver heap (round-16 verdict). Capped ×8 — beyond that the
+    // per-task maps are small enough that scheduling overhead dominates.
+    val spread =
+      if (l > 8)
+        narrow.repartition(
+          spark.sparkContext.defaultParallelism * math.min(8, l / 8))
+      else narrow
+    val contrib = spread
       .join(p, col("__idx") - col("__j") >= 1)
       .select(col(keyCol), (col("__idx") - col("__j")).as("start_idx"),
         ((col("__v") - col("__pv")) * (col("__v") - col("__pv")))
@@ -308,7 +322,11 @@ object TimeSeries {
 
   /** [[ssdTopK]] for LARGE probes: PAA lower-bound propose → exact
     * verify, returning the IDENTICAL top-k (same rows, same order) for
-    * a fraction of the fan-out. Three phases:
+    * a fraction of the fan-out. A PRE-PROBE (one small aggregate, see
+    * [[paaStructureRatio]]) routes noise-like data straight to the
+    * exact path before any propose work is built — PAA prunes nothing
+    * when segment means carry no variance, and detecting that only
+    * after the propose pass means paying both paths. Then three phases:
     *
     *  1. PROPOSE: block-local prefix sums — the sequence blocks on
     *     `⌊(idx−1)/B⌋` (B ≥ L), each block's running sums come from a
@@ -376,6 +394,32 @@ object TimeSeries {
         col(valueCol).cast("double").as("__v"))
       .filter(col("__v").isNotNull && !isnan(col("__v")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the ≤ k result rows materialize BEFORE the caches drop — a lazy
+    // return would recompute the whole pipeline uncached downstream
+    def finish(out: DataFrame): DataFrame = {
+      val outRows = out.collect()
+      val local = spark.createDataFrame(
+        java.util.Arrays.asList(outRows: _*), out.schema)
+      base.unpersist(blocking = false)
+      local
+    }
+    // PRE-PROBE (one small partial aggregate — no row fan-out, no
+    // window): route noise-like data straight to the exact path BEFORE
+    // paying the propose pass. PAA's pruning power is exactly the share
+    // of value variance the segment means carry: white noise puts
+    // var(segment means) ≈ var(values)/segLen — normalized ratio ≈ 1 —
+    // so every window's LB hovers near zero while exact SSDs are large,
+    // and the old post-hoc guard detected that only AFTER the propose
+    // windows/arrays were built, then re-ran the exact ×L fan-out on
+    // top (pay-both-paths: 23–107 s under an 8 GiB heap, round-16
+    // verdict). Structured series put most variance in the segment
+    // means (a pure ramp scores segLen); 2.0 sits between noise's ≈ 1
+    // (measured 0.81–0.97 on the q189 fixtures) and any series PAA can
+    // actually cut. The post-hoc survivor guard stays as the backstop
+    // for data the ratio misjudges — both paths are output-identical,
+    // so routing is a pure performance decision.
+    if (!(paaStructureRatio(base, keyCol, segLen) >= 2.0))
+      return finish(ssdTopK(base, keyCol, "__idx", "__v", probe, k))
     // exact SSD for a SMALL (broadcastable) window set: re-enter each
     // window's rows via a broadcast range join, then the ssdTopK path
     def exactFor(cands: DataFrame): DataFrame = {
@@ -507,14 +551,39 @@ object TimeSeries {
           .orderBy(col("ssd_r").asc, col(keyCol).asc, col("start_idx").asc)
           .limit(k)
     }
-    // materialize the ≤ k result rows BEFORE dropping the caches — the
-    // returned frame must not lazily recompute the pipeline uncached
-    val outRows = out.collect()
-    val local = spark.createDataFrame(
-      java.util.Arrays.asList(outRows: _*), out.schema)
-    base.unpersist(blocking = false)
+    val local = finish(out)
     lbTbl.unpersist(blocking = false)
     local
+  }
+
+  /** [[ssdTopKPaa]]'s routing statistic: the share of value variance the
+    * `segLen`-point segment means carry, normalized so white noise ≈ 1
+    * and a pure ramp = segLen — `var(segment means) · segLen /
+    * var(values)`, pooled over complete segments of every key. One
+    * partial-aggregating pass (map-side combine on (key, segment), then
+    * a scalar fold); complete segments only, so short tails can't bias
+    * the means. Returns 0 when fewer than 2 complete segments exist or
+    * the series is constant — both route to the exact path, where
+    * pruning has nothing to offer. Exposed `private[graft]` so
+    * TimeSeriesSpec can pin the router's decision on both fixture
+    * families.
+    */
+  private[graft] def paaStructureRatio(base: DataFrame, keyCol: String,
+                                       segLen: Int): Double = {
+    val seg = base
+      .groupBy(col(keyCol), floor((col("__idx") - 1) / segLen).as("__sg"))
+      .agg(count(lit(1)).as("n"), sum(col("__v")).as("s1"),
+        sum(col("__v") * col("__v")).as("s2"))
+      .filter(col("n") === segLen)
+    val r = seg.agg(count(lit(1)).as("m"), sum(col("s1")).as("t1"),
+      sum(col("s2")).as("t2"), sum(col("s1") * col("s1")).as("q1")).head()
+    if (r.isNullAt(0) || r.getLong(0) < 2) return 0.0
+    val m = r.getLong(0).toDouble
+    val n = m * segLen
+    val mean = r.getDouble(1) / n
+    val varTot = r.getDouble(2) / n - mean * mean
+    val varSeg = r.getDouble(3) / (m * segLen * segLen) - mean * mean
+    if (varTot <= 0) 0.0 else varSeg * segLen / varTot
   }
 
   def rollingZscore(df: DataFrame, keyCol: String, tsCol: String,

@@ -81,13 +81,19 @@ object Layout {
     * query-pruning side of layout — this one buys bytes-on-disk.
     */
   def similarityOrdered(df: DataFrame, textCol: String, outDir: String,
-                        nFiles: Int, keyLen: Int = 64): Unit = {
+                        nFiles: Int, keyLen: Int = 64,
+                        tieCols: Seq[Column] = Nil): Unit = {
     require(nFiles >= 1, s"file count must be >= 1, got $nFiles")
     require(keyLen >= 1, s"keyLen must be >= 1, got $keyLen")
+    // tieCols (e.g. the unique id) totalize the within-partition sort:
+    // without them, rows sharing (key, text) order arbitrarily and a
+    // replayed write is set-equal but not byte-identical — the
+    // CurationLoop lake replays under exactly-once markers, so its
+    // bytes must be deterministic
     df.withColumn("__simkey", substring(
         graft.functions.TextFunctions.normalize(col(textCol)), 1, keyLen))
       .repartitionByRange(nFiles, col("__simkey"))
-      .sortWithinPartitions(col("__simkey"), col(textCol))
+      .sortWithinPartitions(col("__simkey") +: col(textCol) +: tieCols: _*)
       .drop("__simkey")
       .write.mode("overwrite").parquet(outDir)
   }

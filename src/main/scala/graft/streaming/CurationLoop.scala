@@ -4,7 +4,7 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
 
-import graft.sinks.{DedupIndexSink, IncrementalAgg, QuantileSink, VocabSink}
+import graft.sinks.{DedupIndexSink, IncrementalAgg, Layout, QuantileSink, VocabSink}
 
 /** The production curation loop: ONE `foreachBatch` body that feeds
   * every arriving document micro-batch through the three certified
@@ -35,9 +35,22 @@ import graft.sinks.{DedupIndexSink, IncrementalAgg, QuantileSink, VocabSink}
   * same batch ids and the same idempotence argument (q234 drives the
   * four-sink loop and oracle-checks its vocabulary reads).
   *
+  * An optional FIFTH table is the DOCUMENT LAKE itself: pass
+  * `lakeFiles > 0` and each batch's documents materialize to
+  * `doc_lake/ingest_batch=<id>/`, SIMILARITY-ORDERED within the batch
+  * ([[graft.sinks.Layout.similarityOrdered]]'s normalized-prefix key,
+  * id tie-broken so replays are byte-identical) — arrival order wastes
+  * bytes when the stream carries near-dup mass, since parquet
+  * compresses page-locally (33 % fewer bytes at 40 % dup mass,
+  * BASELINE `layout_compress`; the `curation_scale` bench carries the
+  * loop-composed bytes column). Exactly-once per batch id on the same
+  * marker discipline as every other sink here; [[lake]] reads
+  * committed batches only.
+  *
   * Layout under `root` (all joins via hadoop [[Path]] — object-store
   * roots survive): `dedup_index/`, `quality_quantiles/`,
-  * `corpus_stats/`, `vocabulary/` (when enabled).
+  * `corpus_stats/`, `vocabulary/` (when enabled), `doc_lake/` (when
+  * enabled).
   */
 object CurationLoop {
 
@@ -45,6 +58,7 @@ object CurationLoop {
   def quantRoot(root: String): String = new Path(root, "quality_quantiles").toString
   def statsRoot(root: String): String = new Path(root, "corpus_stats").toString
   def vocabRoot(root: String): String = new Path(root, "vocabulary").toString
+  def lakeRoot(root: String): String = new Path(root, "doc_lake").toString
 
   /** The `foreachBatch` body. `batch` must carry `idCol` (unique doc
     * id), `textCol`, the grouping `keyCols` (with `partCols` a subset
@@ -64,7 +78,8 @@ object CurationLoop {
   def apply(spark: SparkSession, batch: DataFrame, root: String,
             idCol: String, textCol: String,
             partCols: Seq[String], keyCols: Seq[String], valueCol: String,
-            batchId: Long, langCol: Option[String] = None): DataFrame = {
+            batchId: Long, langCol: Option[String] = None,
+            lakeFiles: Int = 0): DataFrame = {
     batch.persist()
     try {
       val matches = DedupIndexSink.maintain(spark, batch, dedupRoot(root),
@@ -77,8 +92,53 @@ object CurationLoop {
         VocabSink.maintain(spark, batch, vocabRoot(root), lc, textCol,
           batchId)
       }
+      if (lakeFiles > 0)
+        maintainLake(spark, batch, root, idCol, textCol, batchId, lakeFiles)
       matches
     } finally batch.unpersist()
+  }
+
+  /** The fifth sink's fold: batch → `doc_lake/ingest_batch=<id>/`,
+    * similarity-ordered within the batch, exactly-once per id on the
+    * `_batches/<id>/_APPLIED` marker (a replay of a committed id skips;
+    * a crashed half-write has no marker, is invisible to [[lake]], and
+    * the replay's deterministic overwrite converges to identical
+    * bytes).
+    */
+  private def maintainLake(spark: SparkSession, batch: DataFrame,
+                           root: String, idCol: String, textCol: String,
+                           batchId: Long, lakeFiles: Int): Unit = {
+    val lr = new Path(lakeRoot(root))
+    val fs = lr.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val applied = new Path(new Path(lr, "_batches"),
+      s"$batchId/_APPLIED")
+    if (!fs.exists(applied)) {
+      Layout.similarityOrdered(batch,
+        textCol, new Path(lr, s"ingest_batch=$batchId").toString,
+        nFiles = lakeFiles, tieCols = Seq(org.apache.spark.sql.functions.col(idCol)))
+      fs.create(applied, true).close()
+    }
+  }
+
+  /** Read the committed document lake: every `ingest_batch=<id>/`
+    * directory whose `_APPLIED` marker exists, with the `ingest_batch`
+    * id as a column (the [[DedupIndexSink]] reader discipline —
+    * uncommitted crash debris never surfaces). Empty frame with no
+    * committed batches is the caller's empty-lake signal.
+    */
+  def lake(spark: SparkSession, root: String): DataFrame = {
+    val lr = new Path(lakeRoot(root))
+    val fs = lr.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val committed =
+      if (!fs.exists(lr)) Seq.empty[String]
+      else fs.listStatus(lr).toSeq.map(_.getPath)
+        .filter(_.getName.startsWith("ingest_batch="))
+        .filter(p => fs.exists(new Path(new Path(lr, "_batches"),
+          s"${p.getName.stripPrefix("ingest_batch=")}/_APPLIED")))
+        .map(_.toString).sorted
+    require(committed.nonEmpty,
+      s"no committed lake batches under $lr — run the loop with lakeFiles > 0")
+    spark.read.option("basePath", lr.toString).parquet(committed: _*)
   }
 
   /** Periodic index maintenance (run from the same single writer, e.g.
@@ -109,7 +169,8 @@ object CurationLoop {
              availableNow: Boolean = true,
              interval: String = "10 seconds",
              compactEvery: Int = 0,
-             langCol: Option[String] = None): DataStreamWriter[Row] =
+             langCol: Option[String] = None,
+             lakeFiles: Int = 0): DataStreamWriter[Row] =
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(if (availableNow) Trigger.AvailableNow()
@@ -117,7 +178,7 @@ object CurationLoop {
       .foreachBatch { (batch: DataFrame, id: Long) =>
         if (!batch.isEmpty) {
           apply(batch.sparkSession, batch, root, idCol, textCol,
-            partCols, keyCols, valueCol, id, langCol)
+            partCols, keyCols, valueCol, id, langCol, lakeFiles)
           if (compactEvery > 0 && (id + 1) % compactEvery == 0) {
             compact(batch.sparkSession, root); ()
           }

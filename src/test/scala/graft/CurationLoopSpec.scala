@@ -212,4 +212,57 @@ class CurationLoopSpec extends SparkSpec {
     assert((fingerprint(root), counts(CurationLoop.vocabRoot(root))) === before,
       "replaying a committed id must not touch any of the four tables")
   }
+
+  test("lakeFiles adds the similarity-ordered document lake as a fifth sink") {
+    // default path: no lake directory at all
+    val plain = freshRoot("lake-off")
+    runLoop(plain)
+    assert(!new java.io.File(CurationLoop.lakeRoot(plain)).exists,
+      "no document lake unless lakeFiles > 0 is passed")
+
+    // five-sink loop: the lake reads back exactly the source rows with
+    // their batch ids (set identity — order is a storage property)
+    val root = freshRoot("lake-on")
+    Seq(0L, 1L, 2L).foreach { d =>
+      CurationLoop(spark, day(d), root, "doc_id", "text",
+        Seq("lang"), Seq("lang"), "quality", d, lakeFiles = 1)
+    }
+    def lakeRows() = CurationLoop.lake(spark, root)
+      .select(col("ingest_batch").cast("long"), col("doc_id"), col("lang"),
+        col("text"), col("quality"))
+      .as[(Long, Long, String, String, Double)].collect().toSet
+    val expected = Seq(0L, 1L, 2L).flatMap { d =>
+      day(d).as[(Long, String, String, Double)].collect()
+        .map { case (id, lang, text, q) => (d, id, lang, text, q) }
+    }.toSet
+    assert(lakeRows() === expected, "lake read-back must equal the source")
+
+    // replay of a committed id is a byte-level no-op: same file names,
+    // same lengths, same content hashes
+    def bytes() = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().sortBy(_.getName).toSeq.flatMap(walk)
+        else Seq(f)
+      walk(new java.io.File(CurationLoop.lakeRoot(root)))
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => (f.getPath, f.length,
+          java.util.Arrays.hashCode(
+            java.nio.file.Files.readAllBytes(f.toPath))))
+    }
+    val before = bytes()
+    CurationLoop(spark, day(1L), root, "doc_id", "text",
+      Seq("lang"), Seq("lang"), "quality", 1L, lakeFiles = 1)
+    assert(bytes() === before,
+      "replaying a committed id must leave the lake byte-identical")
+
+    // within a batch, near-identical documents are adjacent: doc 31/32
+    // (same normalized prefix) must land consecutively in batch 2's file
+    val b2 = sp.read.parquet(
+      new org.apache.hadoop.fs.Path(CurationLoop.lakeRoot(root),
+        "ingest_batch=2").toString)
+      .select(col("doc_id")).as[Long].collect().toSeq
+    val i31 = b2.indexOf(31L); val i32 = b2.indexOf(32L)
+    assert(math.abs(i31 - i32) === 1,
+      s"near-dup docs must be row-adjacent in the ordered lake, got $b2")
+  }
 }

@@ -118,4 +118,33 @@ class LinkageSpec extends SparkSpec {
         Seq(900000L), upper = 0.5, lower = 1.0)
     }
   }
+
+  test("pair-volume gate: an oversized block fails fast, named; the hatch runs it") {
+    // one block of 6 → 15 candidate pairs; cap at 10 → rejected with
+    // the block key and its pair count in the message
+    val recs = (1L to 6L).map(i => (i, "HOT", s"v$i")).toDF("id", "bk", "f")
+    val ex = intercept[IllegalArgumentException] {
+      Linkage.fellegiSunterScores(recs, "id", Seq("bk"), Seq("f"),
+        Seq(900000L), 1.0, 0.0, maxPairsPerBlock = 10L)
+    }
+    assert(ex.getMessage.contains("HOT") && ex.getMessage.contains("15"),
+      s"rejection must name the worst block and its pair count: ${ex.getMessage}")
+    assert(ex.getMessage.contains("blockProfile"),
+      "rejection must point at the pre-flight profiler")
+    // escape hatch: Long.MaxValue accepts the priced cost explicitly
+    val ran = Linkage.fellegiSunterScores(recs, "id", Seq("bk"), Seq("f"),
+      Seq(900000L), 1.0, 0.0, maxPairsPerBlock = Long.MaxValue)
+    assert(ran.count() === 15L)
+    // a cap the worst block fits under runs untouched
+    val ok = Linkage.fellegiSunterScores(recs, "id", Seq("bk"), Seq("f"),
+      Seq(900000L), 1.0, 0.0, maxPairsPerBlock = 15L)
+    assert(ok.count() === 15L)
+    // null-keyed blocks generate no pairs — they must not trip the gate
+    val withNull = recs.unionByName((7L to 40L)
+      .map(i => (i, null: String, s"w$i")).toDF("id", "bk", "f"))
+    val nullsOk = Linkage.fellegiSunterScores(withNull, "id", Seq("bk"),
+      Seq("f"), Seq(900000L), 1.0, 0.0, maxPairsPerBlock = 15L)
+    assert(nullsOk.count() === 15L,
+      "null block keys never join, so they must not count toward the gate")
+  }
 }

@@ -397,6 +397,15 @@ class PlanSpec extends SparkSpec {
     val p215 = plan(SparkEntry.q215(spark, sf0001))
     assert(!p215.contains("CartesianProduct") && !p215.contains("Window"),
       s"pairEvidence must stay equi-join + heap:\n$p215")
+    // q215's one corpus-scale exchange (the global df collapse) must
+    // carry 64-bit gram hashes, never the shingle STRING — string-keyed
+    // it degraded ~15× under an 8 GiB driver heap (round-16 verdict)
+    val docs0 = spark.read.parquet(s"$sf0001/documents.parquet")
+    val pDf = plan(graft.operators.Dedup.pairEvidenceDfByHash(docs0, "text", 3))
+    assert(pDf.contains("hashpartitioning(__h"),
+      s"df collapse must key on the gram hash:\n$pDf")
+    assert(!pDf.contains("shingle"),
+      s"no shingle string may reach the corpus-scale df exchange:\n$pDf")
     // q217: window texts build row-locally; the majority is a struct
     // min_by — the plan is scan → generate → two hash aggregates
     val p217 = plan(SparkEntry.q217(spark, sf0001))

@@ -95,9 +95,14 @@ class TimeSeriesSpec extends SparkSpec {
   test("ssdTopKPaa: propose+verify returns the exact path's rows in the exact order (L=64)") {
     // 6 keys × 200 dense points, deterministic pseudo-values with
     // planted near-matches of the probe at known offsets; L = 64,
-    // S = 16 → 4-point segments
+    // S = 16 → 4-point segments. The 0.15·i ramp component puts enough
+    // variance in the segment means (structure ratio ≈ 3.6 > 2) that
+    // the pre-probe routes THIS fixture through the propose path — the
+    // identity assertion below covers propose/seed/τ-prune, not the
+    // exact fallback
     def v(key: Int, i: Int): Double =
-      ((i * 37 + key * 101) % 97) / 9.7 + (if (i % 13 == 0) 3.0 else 0.0)
+      ((i * 37 + key * 101) % 97) / 9.7 + (if (i % 13 == 0) 3.0 else 0.0) +
+        i * 0.15
     val probe = Array.tabulate(64)(j => v(2, j + 50)) // key 2's window @50
     val rows = for (key <- 0 until 6; i <- 1 to 200)
       yield (s"k$key", i.toLong, v(key, i))
@@ -174,6 +179,42 @@ class TimeSeriesSpec extends SparkSpec {
     // fixture admits other exact matches; ties break by key)
     assert(exact.contains(("k1", 40L, 0.0)))
     assert(exact.head._3 === 0.0)
+  }
+
+  test("paaStructureRatio: the pre-probe router separates noise from structure") {
+    import org.apache.spark.sql.functions.col
+    def norm(df: org.apache.spark.sql.DataFrame) = df.select(col("key"),
+      col("idx").cast("long").as("__idx"), col("v").cast("double").as("__v"))
+    // white-noise-like values: segment means carry ~1/segLen of the
+    // variance → normalized ratio ≈ 1, routed to the exact path (the
+    // q189 driver fixture measures 0.81–0.97 at sf0.001/sf0.01)
+    def noise(key: Int, i: Int): Double = {
+      // xor-shift mix — a raw multiplicative congruence mod 997 yields
+      // sawtooth ramps (arithmetic steps), which HAVE segment structure
+      val x0 = (i * 31 + key * 17).toLong * 2654435761L
+      val x = x0 ^ (x0 >>> 16)
+      Math.floorMod(x, 997L) / 99.7
+    }
+    val noisy = (for (k <- 0 until 3; i <- 1 to 400)
+      yield (s"k$k", i.toLong, noise(k, i))).toDF("key", "idx", "v")
+    val rNoise = graft.operators.TimeSeries.paaStructureRatio(
+      norm(noisy), "key", segLen = 8)
+    assert(rNoise < 2.0, s"noise must route exact, ratio = $rNoise")
+    // ramp: segment means carry ~all the variance → ratio ≈ segLen,
+    // routed through the propose path
+    val ramp = (1 to 400).map(i => ("hot", i.toLong, i * 0.1))
+      .toDF("key", "idx", "v")
+    val rRamp = graft.operators.TimeSeries.paaStructureRatio(
+      norm(ramp), "key", segLen = 8)
+    assert(rRamp >= 2.0, s"ramp must route through propose, ratio = $rRamp")
+    // degenerate guards: constant series and sub-2-segment corpora
+    // report 0 (exact path — pruning has nothing to offer)
+    val const = (1 to 64).map(i => ("c", i.toLong, 5.0)).toDF("key", "idx", "v")
+    assert(graft.operators.TimeSeries.paaStructureRatio(
+      norm(const), "key", segLen = 8) === 0.0)
+    val tiny = (1 to 9).map(i => ("t", i.toLong, i * 1.0)).toDF("key", "idx", "v")
+    assert(graft.operators.TimeSeries.paaStructureRatio(
+      norm(tiny), "key", segLen = 8) === 0.0)
   }
 
   test("rollingZscore: trailing-window mean/std arithmetic, leading rows unscored") {
