@@ -1968,16 +1968,24 @@ object SparkEntry {
   def q189(s: SparkSession, d: String): DataFrame = {
     val sp = s
     import sp.implicits._
+    // the ranked base feeds THREE actions (probe-type min, the probe
+    // collect, and the search itself) — persist it or perKeyRank's
+    // two-level rank recomputes per action (~1 s each at sf0.1). Safe
+    // to release before returning: ssdTopKPaa materializes its ≤ k
+    // result rows eagerly, so the returned frame never re-reads base
     val base = ssdBase(s, d)
-    val probeType = base.agg(min(col("event_type"))).head().getString(0)
-    val probe = base
-      .filter(col("event_type") === probeType &&
-        col("idx").between(101, 164))
-      .orderBy("idx").select("v").as[Double].collect()
-    require(probe.length == 64,
-      s"q189 probe must be exactly 64 values (oracle pins n = 64), got ${probe.length}")
-    graft.operators.TimeSeries.ssdTopKPaa(base, "event_type", "idx", "v",
-      probe, k = 15, segments = 8)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val probeType = base.agg(min(col("event_type"))).head().getString(0)
+      val probe = base
+        .filter(col("event_type") === probeType &&
+          col("idx").between(101, 164))
+        .orderBy("idx").select("v").as[Double].collect()
+      require(probe.length == 64,
+        s"q189 probe must be exactly 64 values (oracle pins n = 64), got ${probe.length}")
+      graft.operators.TimeSeries.ssdTopKPaa(base, "event_type", "idx", "v",
+        probe, k = 15, segments = 8)
+    } finally base.unpersist(blocking = false)
   }
 
   /** Q190 — unigram-LM tokenizer apply

