@@ -4021,6 +4021,23 @@ object SparkEntry {
       "score")
   }
 
+  /** Q238 — corpus-wide line-level exact dedup, keep-first
+    * ([[graft.operators.Dedup.dedupLines]], the C4/Dolma paragraph-
+    * dedup recipe): every ≥ 2-char newline-delimited line is
+    * deduplicated across the whole corpus — first occurrence by
+    * (doc_id, position) survives, later occurrences are deleted in
+    * place, documents rebuilt with surviving lines in order. The tier
+    * between whole-document exact dedup (q12) and suffix-array span
+    * dedup (q195): line granularity with natural boundaries, so
+    * cross-page boilerplate (nav bars, license headers) dies while
+    * the surrounding unique prose survives. Oracle replays the
+    * line explode, the keep-first window, and the ordered string_agg
+    * rebuild on raw strings (the engine's 64-bit line hashes are
+    * identity w.h.p. — the shared hashed-shingle contract).
+    */
+  def q238(s: SparkSession, d: String): DataFrame =
+    graft.operators.Dedup.dedupLines(docs(s, d), "doc_id", "text")
+
   /** Q235 — linkage blocking pre-flight profile
     * ([[graft.operators.Linkage.blockProfile]]): per q223 block key,
     * the record count, the exact `n(n−1)/2` candidate-pair count the
@@ -5136,7 +5153,8 @@ object SparkEntry {
     "q234_curation_vocab"   -> (q234 _),
     "q235_block_profile"    -> (q235 _),
     "q236_cluster_bootstrap" -> (q236 _),
-    "q237_kendall_w"        -> (q237 _))
+    "q237_kendall_w"        -> (q237 _),
+    "q238_line_dedup"       -> (q238 _))
 
   // DuckDB twins. Shared SQL fragments for the text queries:
   // explicit class: Java \s includes \x0B, RE2 \s does not — see
@@ -6258,6 +6276,34 @@ object SparkEntry {
          |    CAST(9 * CAST(n AS HUGEINT) * (CAST(n AS HUGEINT) * n - 1)
          |    - 3 * tt AS DOUBLE), 6) + 0 AS w_r
          |FROM sr JOIN ts ON sr.lang = ts.lang
+         |""".stripMargin),
+    // q238: line explode with 0-based positions, keep-first window
+    // over the raw line string, ordered string_agg rebuild; docs with
+    // no drops rebuild to their identical text (split/join identity),
+    // null text stays null, a fully-deduped doc becomes ''
+    "q238_line_dedup" ->
+      ("""WITH p AS (SELECT doc_id, lang, source, n_chars, text,
+         |  string_split(text, chr(10)) AS parts FROM documents),
+         |ln AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+         |  parts[CAST(i + 1 AS BIGINT)] AS line
+         |  FROM p, unnest(range(len(parts))) AS u(i)),
+         |el AS (SELECT * FROM ln WHERE length(line) >= 2),
+         |w AS (SELECT doc_id, pos, count(*) OVER (PARTITION BY line) AS n,
+         |  row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rn
+         |  FROM el),
+         |drops AS (SELECT doc_id, pos FROM w WHERE n > 1 AND rn > 1),
+         |kept AS (SELECT ln.doc_id, ln.pos, ln.line FROM ln
+         |  LEFT JOIN drops d ON ln.doc_id = d.doc_id AND ln.pos = d.pos
+         |  WHERE d.doc_id IS NULL),
+         |reb AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos)
+         |  AS text2 FROM kept GROUP BY 1),
+         |nd AS (SELECT doc_id, count(*) AS ndrop FROM drops GROUP BY 1)
+         |SELECT p.doc_id, p.lang, p.source, p.n_chars,
+         |  CASE WHEN p.text IS NULL THEN NULL
+         |    ELSE coalesce(reb.text2, '') END AS text,
+         |  CAST(coalesce(nd.ndrop, 0) AS BIGINT) AS n_dropped
+         |FROM p LEFT JOIN reb ON p.doc_id = reb.doc_id
+         |LEFT JOIN nd ON p.doc_id = nd.doc_id
          |""".stripMargin),
     // q236: the q212 Poisson chain with the draw keyed on SOURCE —
     // every doc of a source shares its weight per resample

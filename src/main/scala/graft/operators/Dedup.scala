@@ -1030,6 +1030,67 @@ object Dedup {
           .otherwise(lit(null)), 6))
   }
 
+  /** Corpus-wide LINE-level exact dedup, keep-first (the C4 §2.2 /
+    * Dolma "paragraph deduplication" recipe — Raffel et al. 2020,
+    * Soldaini et al. 2024): boilerplate lines (nav bars, cookie
+    * banners, license headers) repeat across millions of pages, and
+    * doc-level dedup never sees them because the SURROUNDING text
+    * differs. Every newline-delimited line of at least `minLineChars`
+    * characters is deduplicated across the WHOLE corpus: the first
+    * occurrence (smallest `(idCol, line position)` — a total order, so
+    * replay-stable under any partitioning) survives, every later
+    * occurrence is deleted in place, and each document's text is
+    * rebuilt with its surviving lines in original order. Lines shorter
+    * than `minLineChars` (e.g. blank separators) are structural, not
+    * content — they are never candidates and always survive. The tier
+    * between [[exactDedup]] (whole-document) and
+    * [[SuffixArray.dedupSpans]] (length-L char spans anywhere): line
+    * granularity with natural boundaries.
+    *
+    * Scale shape ("hashes shuffle, never text"): the corpus-scale
+    * exchanges carry `(id, pos, xxhash64(line))` — 8-byte line hashes,
+    * never line text. One hash-keyed partial-aggregating collapse
+    * yields each duplicated line's occurrence count and winner; unique
+    * lines (`n = 1`, the vast majority) never re-enter. Drop decisions
+    * aggregate to one bounded per-document position array, broadcast
+    * back by id, and the rebuild is a map-side indexed `filter` over
+    * `split(text)` — a document with no drops keeps its ORIGINAL
+    * string byte-for-byte (no split/rejoin round trip). Line identity
+    * is 64-bit-hash w.h.p. — the contract every hashed-shingle
+    * operator here shares.
+    *
+    * Returns the input columns with `textCol` rewritten plus
+    * `n_dropped` (lines deleted from this document; 0 for untouched
+    * and null-text documents).
+    */
+  def dedupLines(docs: DataFrame, idCol: String, textCol: String,
+                 minLineChars: Int = 2): DataFrame = {
+    require(minLineChars >= 1, s"minLineChars must be >= 1, got $minLineChars")
+    val lines = docs
+      .select(col(idCol).as("__id"),
+        posexplode(split(col(textCol), "\n")).as(Seq("__pos", "__line")))
+      .filter(length(col("__line")) >= minLineChars)
+      .select(col("__id"), col("__pos"), xxhash64(col("__line")).as("__h"))
+    val dupWinners = lines.groupBy(col("__h"))
+      .agg(count(lit(1)).as("__n"),
+        min(struct(col("__id").as("i"), col("__pos").as("p"))).as("__w"))
+      .filter(col("__n") > 1)
+      .select(col("__h"), col("__w"))
+    val drops = lines.join(dupWinners, "__h")
+      .filter(!(col("__id") === col("__w.i") && col("__pos") === col("__w.p")))
+      .groupBy(col("__id"))
+      .agg(sort_array(collect_list(col("__pos"))).as("__drops"),
+        count(lit(1)).as("__nd"))
+    val rebuilt = when(col("__drops").isNotNull,
+      concat_ws("\n", filter(split(col(textCol), "\n"),
+        (_, i) => !array_contains(col("__drops"), i))))
+      .otherwise(col(textCol))
+    val keep = docs.columns.filterNot(_ == textCol).map(docs(_))
+    docs.join(drops, docs(idCol) === col("__id"), "left")
+      .select(keep :+ rebuilt.as(textCol)
+        :+ coalesce(col("__nd"), lit(0L)).as("n_dropped"): _*)
+  }
+
   /** Near-duplicate source matrix: the exact Jaccard ≥ num/den pair set
     * ([[setSimJoinPrefix]]) aggregated by UNORDERED source pair — which
     * sources duplicate each other and which duplicate themselves. The

@@ -158,6 +158,30 @@ class DedupSpec extends SparkSpec {
     assert(sIds === Set(1L, 9L))
   }
 
+  test("dedupLines: corpus-wide keep-first line dedup, untouched docs byte-identical") {
+    val d = Seq(
+      (1L, "unique alpha\nBOILERPLATE NAV\nunique beta"),
+      (2L, "BOILERPLATE NAV\nother prose\n\nBOILERPLATE NAV"),
+      (3L, "totally original\n\ncontent here"),
+      (4L, null: String),
+      (5L, "BOILERPLATE NAV")).toDF("doc_id", "text")
+    val byId = Dedup.dedupLines(d, "doc_id", "text")
+      .select("doc_id", "text", "n_dropped")
+      .as[(Long, String, Long)].collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    // first occurrence (doc 1, pos 1) keeps the boilerplate; every
+    // later occurrence — including doc 2's SECOND copy and doc 5's
+    // whole body — is deleted in place
+    assert(byId(1L) === (("unique alpha\nBOILERPLATE NAV\nunique beta", 0L)))
+    assert(byId(2L) === (("other prose\n", 2L)),
+      "both copies in doc 2 drop; the sub-2-char blank line is structural and survives")
+    assert(byId(3L) === (("totally original\n\ncontent here", 0L)),
+      "untouched documents keep their original text byte-for-byte")
+    assert(byId(4L) === ((null, 0L)), "null text passes through")
+    assert(byId(5L) === (("", 1L)),
+      "a fully-deduplicated document becomes the empty string")
+    assert(byId.size === 5)
+  }
+
   test("pairEvidence ranks shared shingles rarest-first with exact df") {
     // docs 1 and 2 are identical (the verified pair); doc 3 shares ONLY
     // the boilerplate "p q r" 3-gram (jaccard 1/7, below threshold) —

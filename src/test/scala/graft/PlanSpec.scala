@@ -406,6 +406,29 @@ class PlanSpec extends SparkSpec {
       s"df collapse must key on the gram hash:\n$pDf")
     assert(!pDf.contains("shingle"),
       s"no shingle string may reach the corpus-scale df exchange:\n$pDf")
+  }
+
+  test("ssdTopK large-probe fan-out is range-co-located; small probes stay unshuffled") {
+    val sp2 = spark
+    import sp2.implicits._
+    val series = (1 to 200).map(i => ("k", i.toLong, i * 0.5))
+      .toDF("key", "idx", "v")
+    // L > 8: the fan-out input must range-partition on (key, idx) so
+    // each window's L contributions co-locate and the (key, start)
+    // partial aggregate collapses them BEFORE the exchange — a
+    // round-robin spread would scatter them and inflate the shuffle ×L
+    val big = plan(graft.operators.TimeSeries.ssdTopK(
+      series, "key", "idx", "v", Array.tabulate(64)(_.toDouble), k = 5))
+    assert(big.contains("rangepartitioning(key"),
+      s"large-probe fan-out must range-partition on (key, idx):\n$big")
+    assert(!big.contains("RoundRobinPartitioning"),
+      s"round-robin would scatter window contributions:\n$big")
+    assert(big.contains("partial"), s"fan-out aggregate must combine map-side:\n$big")
+    // L <= 8 (q186's regime): no extra exchange at all
+    val small = plan(graft.operators.TimeSeries.ssdTopK(
+      series, "key", "idx", "v", Array.tabulate(8)(_.toDouble), k = 5))
+    assert(!small.contains("rangepartitioning(key"),
+      s"small probes must not pay the spread shuffle:\n$small")
     // q217: window texts build row-locally; the majority is a struct
     // min_by — the plan is scan → generate → two hash aggregates
     val p217 = plan(SparkEntry.q217(spark, sf0001))
