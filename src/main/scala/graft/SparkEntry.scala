@@ -4021,22 +4021,56 @@ object SparkEntry {
       "score")
   }
 
+  /** The q238/q239 multi-line view of `documents`: each text re-lined
+    * at 10-token boundaries (the fixture's texts are single-line, so
+    * the line tier would otherwise be a no-op; near-dup documents
+    * share 10-token runs, so the re-lined corpus carries real
+    * duplicate-line mass — 134 duplicated lines at sf0.001). Both
+    * engines build the view with the shared tokenizer, so the oracle
+    * replays it exactly.
+    */
+  private def linedDocs(s: SparkSession, d: String): DataFrame = {
+    val toks = TextFunctions.tokens(col("text"))
+    val lined = when(col("text").isNull, lit(null).cast("string"))
+      .when(size(toks) === 0, lit(""))
+      .otherwise(concat_ws("\n",
+        transform(
+          sequence(lit(0), (ceil(size(toks) / lit(10.0)) - 1).cast("int")),
+          i => concat_ws(" ", slice(toks, i * 10 + 1, lit(10))))))
+    docs(s, d).select(col("doc_id"), col("lang"), col("source"),
+      col("n_chars"), lined.as("text"))
+  }
+
   /** Q238 — corpus-wide line-level exact dedup, keep-first
     * ([[graft.operators.Dedup.dedupLines]], the C4/Dolma paragraph-
-    * dedup recipe): every ≥ 2-char newline-delimited line is
-    * deduplicated across the whole corpus — first occurrence by
-    * (doc_id, position) survives, later occurrences are deleted in
-    * place, documents rebuilt with surviving lines in order. The tier
-    * between whole-document exact dedup (q12) and suffix-array span
-    * dedup (q195): line granularity with natural boundaries, so
-    * cross-page boilerplate (nav bars, license headers) dies while
-    * the surrounding unique prose survives. Oracle replays the
-    * line explode, the keep-first window, and the ordered string_agg
-    * rebuild on raw strings (the engine's 64-bit line hashes are
-    * identity w.h.p. — the shared hashed-shingle contract).
+    * dedup recipe): every ≥ 2-char newline-delimited line of the
+    * [[linedDocs]] view is deduplicated across the whole corpus —
+    * first occurrence by (doc_id, position) survives, later
+    * occurrences are deleted in place, documents rebuilt with
+    * surviving lines in order. The tier between whole-document exact
+    * dedup (q12) and suffix-array span dedup (q195): line granularity
+    * with natural boundaries, so cross-page boilerplate (nav bars,
+    * license headers) dies while the surrounding unique prose
+    * survives. Oracle replays the re-lining, the line explode, the
+    * keep-first window, and the ordered string_agg rebuild on raw
+    * strings (the engine's 64-bit line hashes are identity w.h.p. —
+    * the shared hashed-shingle contract).
     */
   def q238(s: SparkSession, d: String): DataFrame =
-    graft.operators.Dedup.dedupLines(docs(s, d), "doc_id", "text")
+    graft.operators.Dedup.dedupLines(linedDocs(s, d), "doc_id", "text")
+
+  /** Q239 — boilerplate top-k, the audit face of q238
+    * ([[graft.operators.Dedup.boilerplateTopK]]): the 20 most-
+    * duplicated lines corpus-wide in actual text, ranked by occurrence
+    * count (ties by first occurrence) — what a reviewer reads before
+    * approving the destructive line-dedup pass. Line counts collapse
+    * on 8-byte hashes; text materializes for exactly the k winners
+    * via one broadcast join. Oracle replays the count, the keep-first
+    * window, and the rank on raw strings.
+    */
+  def q239(s: SparkSession, d: String): DataFrame =
+    graft.operators.Dedup.boilerplateTopK(linedDocs(s, d), "doc_id", "text",
+      k = 20)
 
   /** Q235 — linkage blocking pre-flight profile
     * ([[graft.operators.Linkage.blockProfile]]): per q223 block key,
@@ -5154,7 +5188,8 @@ object SparkEntry {
     "q235_block_profile"    -> (q235 _),
     "q236_cluster_bootstrap" -> (q236 _),
     "q237_kendall_w"        -> (q237 _),
-    "q238_line_dedup"       -> (q238 _))
+    "q238_line_dedup"       -> (q238 _),
+    "q239_boilerplate_topk" -> (q239 _))
 
   // DuckDB twins. Shared SQL fragments for the text queries:
   // explicit class: Java \s includes \x0B, RE2 \s does not — see
@@ -5181,6 +5216,21 @@ object SparkEntry {
 
   private val TOKS =
     "list_filter(regexp_split_to_array(trim(text), '[ \\t\\n\\f\\r]+'), x -> x <> '')"
+
+  /** The q238/q239 oracle twin of [[linedDocs]]: `documents` re-lined
+    * at 10-token boundaries (null text stays null, token-less text
+    * becomes ''). Exposed as a `lined(...)` CTE body.
+    */
+  private lazy val LINED_DOCS: String =
+    s"""toks0 AS (SELECT doc_id, lang, source, n_chars, text,
+       |  $TOKS AS tk FROM documents),
+       |lined AS (SELECT doc_id, lang, source, n_chars,
+       |  CASE WHEN text IS NULL THEN NULL WHEN len(tk) = 0 THEN ''
+       |  ELSE array_to_string(list_transform(
+       |    range(CAST(ceil(len(tk) / 10.0) AS BIGINT)),
+       |    i -> array_to_string(tk[CAST(i * 10 + 1 AS BIGINT):
+       |      CAST(least((i + 1) * 10, len(tk)) AS BIGINT)], ' ')),
+       |    chr(10)) END AS text FROM toks0)""".stripMargin
 
   /** Shared q219/q231 oracle: Good-Turing stats recomputed from raw
     * tokens — q231 reads the identical numbers off the MAINTAINED
@@ -6277,13 +6327,15 @@ object SparkEntry {
          |    - 3 * tt AS DOUBLE), 6) + 0 AS w_r
          |FROM sr JOIN ts ON sr.lang = ts.lang
          |""".stripMargin),
-    // q238: line explode with 0-based positions, keep-first window
-    // over the raw line string, ordered string_agg rebuild; docs with
-    // no drops rebuild to their identical text (split/join identity),
-    // null text stays null, a fully-deduped doc becomes ''
+    // q238: the 10-token re-lining, line explode with 0-based
+    // positions, keep-first window over the raw line string, ordered
+    // string_agg rebuild; docs with no drops rebuild to their
+    // identical text (split/join identity), null text stays null, a
+    // fully-deduped doc becomes ''
     "q238_line_dedup" ->
-      ("""WITH p AS (SELECT doc_id, lang, source, n_chars, text,
-         |  string_split(text, chr(10)) AS parts FROM documents),
+      (s"""WITH $LINED_DOCS,
+         |p AS (SELECT doc_id, lang, source, n_chars, text,
+         |  string_split(text, chr(10)) AS parts FROM lined),
          |ln AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
          |  parts[CAST(i + 1 AS BIGINT)] AS line
          |  FROM p, unnest(range(len(parts))) AS u(i)),
@@ -6304,6 +6356,28 @@ object SparkEntry {
          |  CAST(coalesce(nd.ndrop, 0) AS BIGINT) AS n_dropped
          |FROM p LEFT JOIN reb ON p.doc_id = reb.doc_id
          |LEFT JOIN nd ON p.doc_id = nd.doc_id
+         |""".stripMargin),
+    // q239: same re-lining + explode, count per raw line string,
+    // keep-first winner, rank by (n DESC, winner id, winner pos)
+    "q239_boilerplate_topk" ->
+      (s"""WITH $LINED_DOCS,
+         |p AS (SELECT doc_id, string_split(text, chr(10)) AS parts
+         |  FROM lined),
+         |ln AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+         |  parts[CAST(i + 1 AS BIGINT)] AS line
+         |  FROM p, unnest(range(len(parts))) AS u(i)),
+         |el AS (SELECT * FROM ln WHERE length(line) >= 2),
+         |w AS (SELECT line, doc_id, pos,
+         |  count(*) OVER (PARTITION BY line) AS n,
+         |  row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rn
+         |  FROM el),
+         |t AS (SELECT line, n, doc_id AS example_id, pos FROM w
+         |  WHERE rn = 1 AND n > 1),
+         |r AS (SELECT *, row_number() OVER (ORDER BY n DESC,
+         |  example_id ASC, pos ASC) AS rk FROM t)
+         |SELECT CAST(rk AS BIGINT) AS rk, line,
+         |  CAST(n AS BIGINT) AS n_occurrences, example_id
+         |FROM r WHERE rk <= 20
          |""".stripMargin),
     // q236: the q212 Poisson chain with the draw keyed on SOURCE —
     // every doc of a source shares its weight per resample

@@ -1091,6 +1091,50 @@ object Dedup {
         :+ coalesce(col("__nd"), lit(0L)).as("n_dropped"): _*)
   }
 
+  /** The audit face of [[dedupLines]] (the q37→dedupSavings /
+    * q22→pairEvidence discipline: every destructive pass gets a
+    * reviewer-facing profile): the `k` most-duplicated lines corpus-
+    * wide, in actual text — what a reviewer reads to confirm the
+    * line-dedup pass is about to delete cookie banners and license
+    * headers, not legitimate repeated quotations. Returns
+    * `(rk, line, n_occurrences, example_id)` ranked by occurrence
+    * count descending, ties by first occurrence `(id, pos)` — a total
+    * order, so the cut is deterministic.
+    *
+    * Scale shape: the same 8-byte line-hash collapse as
+    * [[dedupLines]] (text never rides the corpus exchange), a
+    * TakeOrdered cut to `k` metadata rows, and ONE broadcast join back
+    * to the k winner documents to re-extract the line string — text
+    * materializes for exactly `k` rows.
+    */
+  def boilerplateTopK(docs: DataFrame, idCol: String, textCol: String,
+                      k: Int = 20, minLineChars: Int = 2): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val lines = docs
+      .select(col(idCol).as("__id"),
+        posexplode(split(col(textCol), "\n")).as(Seq("__pos", "__line")))
+      .filter(length(col("__line")) >= minLineChars)
+      .select(col("__id"), col("__pos"), xxhash64(col("__line")).as("__h"))
+    val top = lines.groupBy(col("__h"))
+      .agg(count(lit(1)).as("n_occurrences"),
+        min(struct(col("__id").as("i"), col("__pos").as("p"))).as("__w"))
+      .filter(col("n_occurrences") > 1)
+      .select(col("n_occurrences"), col("__w.i").as("example_id"),
+        col("__w.p").as("__p"))
+      .orderBy(col("n_occurrences").desc, col("example_id").asc,
+        col("__p").asc)
+      .limit(k)
+      .withColumn("rk", row_number().over(Window.orderBy(
+        col("n_occurrences").desc, col("example_id").asc, col("__p").asc))
+        .cast("long"))
+    broadcast(top).join(docs.select(col(idCol).as("example_id"),
+        col(textCol).as("__t")), Seq("example_id"))
+      .select(col("rk"),
+        element_at(split(col("__t"), "\n"), (col("__p") + 1).cast("int"))
+          .as("line"),
+        col("n_occurrences"), col("example_id"))
+  }
+
   /** Near-duplicate source matrix: the exact Jaccard ≥ num/den pair set
     * ([[setSimJoinPrefix]]) aggregated by UNORDERED source pair — which
     * sources duplicate each other and which duplicate themselves. The

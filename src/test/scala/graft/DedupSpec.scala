@@ -182,6 +182,26 @@ class DedupSpec extends SparkSpec {
     assert(byId.size === 5)
   }
 
+  test("boilerplateTopK: most-duplicated lines in text, count-ranked, winner example") {
+    val d = Seq(
+      (1L, "COOKIE BANNER\nreal prose one"),
+      (2L, "COOKIE BANNER\nreal prose two\nFOOTER TXT"),
+      (3L, "COOKIE BANNER\nFOOTER TXT"),
+      (4L, "all original here")).toDF("doc_id", "text")
+    val got = Dedup.boilerplateTopK(d, "doc_id", "text", k = 5)
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1)
+    // COOKIE BANNER ×3 ranks first with its first occurrence (doc 1,
+    // pos 0); FOOTER TXT ×2 second (first seen in doc 2); unique
+    // lines never surface
+    assert(got === Seq(
+      (1L, "COOKIE BANNER", 3L, 1L),
+      (2L, "FOOTER TXT", 2L, 2L)))
+    // k cuts deterministically when more duplicated lines exist
+    val one = Dedup.boilerplateTopK(d, "doc_id", "text", k = 1)
+      .as[(Long, String, Long, Long)].collect()
+    assert(one.toSeq === Seq((1L, "COOKIE BANNER", 3L, 1L)))
+  }
+
   test("pairEvidence ranks shared shingles rarest-first with exact df") {
     // docs 1 and 2 are identical (the verified pair); doc 3 shares ONLY
     // the boilerplate "p q r" 3-gram (jaccard 1/7, below threshold) —

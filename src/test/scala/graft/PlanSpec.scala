@@ -408,6 +408,25 @@ class PlanSpec extends SparkSpec {
       s"no shingle string may reach the corpus-scale df exchange:\n$pDf")
   }
 
+  test("q238/q239: line-tier exchanges carry hashes; q239's text join broadcasts") {
+    // q238: the corpus-scale collapse keys on the xxhash64 line hash —
+    // the line STRING must never be a corpus exchange key
+    val p238 = plan(SparkEntry.q238(spark, sf0001))
+    assert(p238.contains("hashpartitioning(__h"),
+      s"line-df collapse must key on the line hash:\n$p238")
+    assert(!p238.contains("hashpartitioning(__line"),
+      s"line strings must not key a corpus exchange:\n$p238")
+    assert(!p238.contains("CartesianProduct") && !p238.contains("Window"),
+      s"line dedup is aggregates + equi-joins, no window:\n$p238")
+    // q239: k winner rows broadcast back for the text re-extract; the
+    // only window runs AFTER the limit (≤ k metadata rows)
+    val p239 = plan(SparkEntry.q239(spark, sf0001))
+    assert(p239.contains("BroadcastHashJoin"),
+      s"the k-winner text join must broadcast:\n$p239")
+    assert(!p239.contains("SortMergeJoin") && !p239.contains("CartesianProduct"),
+      s"no corpus-scale join in the audit query:\n$p239")
+  }
+
   test("ssdTopK large-probe fan-out is range-co-located; small probes stay unshuffled") {
     val sp2 = spark
     import sp2.implicits._
