@@ -4072,6 +4072,30 @@ object SparkEntry {
     graft.operators.Dedup.boilerplateTopK(linedDocs(s, d), "doc_id", "text",
       k = 20)
 
+  /** Q240 — self-maintaining streaming line dedup
+    * ([[graft.sinks.LineDedupSink]]): three content-keyed batches
+    * (`doc_id % 3`, the q200 fixture) of the [[linedDocs]] view flow
+    * through the standing line-hash filter — each batch cleaned
+    * against every line the stream has already seen (plus its own
+    * within-batch keep-first), its new hashes folded exactly-once
+    * under the marker protocol. The composed result is global
+    * keep-first in `(batch, doc_id, pos)` order, which the oracle
+    * replays as one window; the sink's crash/replay/compaction
+    * discipline is spec-pinned (LineDedupSinkSpec). Returns the union
+    * of the three cleaned batches.
+    */
+  def q240(s: SparkSession, d: String): DataFrame = {
+    val keyHex = scratchKeyHex("q240|v1", d, "documents")
+    val root = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft-linededup-$keyHex/idx").toString
+    val lined = linedDocs(s, d)
+    (0L to 2L).map { day =>
+      graft.sinks.LineDedupSink.maintain(s,
+        lined.filter(pmod(col("doc_id"), lit(3)) === day),
+        root, "doc_id", "text", day)
+    }.reduce(_.unionByName(_))
+  }
+
   /** Q235 — linkage blocking pre-flight profile
     * ([[graft.operators.Linkage.blockProfile]]): per q223 block key,
     * the record count, the exact `n(n−1)/2` candidate-pair count the
@@ -5189,7 +5213,8 @@ object SparkEntry {
     "q236_cluster_bootstrap" -> (q236 _),
     "q237_kendall_w"        -> (q237 _),
     "q238_line_dedup"       -> (q238 _),
-    "q239_boilerplate_topk" -> (q239 _))
+    "q239_boilerplate_topk" -> (q239 _),
+    "q240_incr_line_dedup"  -> (q240 _))
 
   // DuckDB twins. Shared SQL fragments for the text queries:
   // explicit class: Java \s includes \x0B, RE2 \s does not — see
@@ -6378,6 +6403,34 @@ object SparkEntry {
          |SELECT CAST(rk AS BIGINT) AS rk, line,
          |  CAST(n AS BIGINT) AS n_occurrences, example_id
          |FROM r WHERE rk <= 20
+         |""".stripMargin),
+    // q240: the streamed keep-first composes to ONE global window in
+    // (batch = doc_id % 3, doc_id, pos) order — rn > 1 drops, same
+    // rebuild as q238
+    "q240_incr_line_dedup" ->
+      (s"""WITH $LINED_DOCS,
+         |p AS (SELECT doc_id, lang, source, n_chars, text,
+         |  doc_id % 3 AS b, string_split(text, chr(10)) AS parts
+         |  FROM lined),
+         |ln AS (SELECT doc_id, b, CAST(i AS BIGINT) AS pos,
+         |  parts[CAST(i + 1 AS BIGINT)] AS line
+         |  FROM p, unnest(range(len(parts))) AS u(i)),
+         |el AS (SELECT * FROM ln WHERE length(line) >= 2),
+         |w AS (SELECT doc_id, pos, row_number() OVER (
+         |  PARTITION BY line ORDER BY b, doc_id, pos) AS rn FROM el),
+         |drops AS (SELECT doc_id, pos FROM w WHERE rn > 1),
+         |kept AS (SELECT ln.doc_id, ln.pos, ln.line FROM ln
+         |  LEFT JOIN drops d ON ln.doc_id = d.doc_id AND ln.pos = d.pos
+         |  WHERE d.doc_id IS NULL),
+         |reb AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos)
+         |  AS text2 FROM kept GROUP BY 1),
+         |nd AS (SELECT doc_id, count(*) AS ndrop FROM drops GROUP BY 1)
+         |SELECT p.doc_id, p.lang, p.source, p.n_chars,
+         |  CASE WHEN p.text IS NULL THEN NULL
+         |    ELSE coalesce(reb.text2, '') END AS text,
+         |  CAST(coalesce(nd.ndrop, 0) AS BIGINT) AS n_dropped
+         |FROM p LEFT JOIN reb ON p.doc_id = reb.doc_id
+         |LEFT JOIN nd ON p.doc_id = nd.doc_id
          |""".stripMargin),
     // q236: the q212 Poisson chain with the draw keyed on SOURCE —
     // every doc of a source shares its weight per resample

@@ -1081,6 +1081,19 @@ object Dedup {
       .groupBy(col("__id"))
       .agg(sort_array(collect_list(col("__pos"))).as("__drops"),
         count(lit(1)).as("__nd"))
+    applyLineDrops(docs, idCol, textCol, drops)
+  }
+
+  /** Shared rebuild of [[dedupLines]] and [[graft.sinks.LineDedupSink]]:
+    * apply a `(__id, __drops, __nd)` per-document drop-position frame —
+    * documents with no drops keep their ORIGINAL string byte-for-byte
+    * (no split/rejoin round trip), null text passes through, a
+    * fully-deleted document becomes ''. Returns the input columns with
+    * `textCol` rewritten plus `n_dropped`.
+    */
+  private[graft] def applyLineDrops(docs: DataFrame, idCol: String,
+                                    textCol: String,
+                                    drops: DataFrame): DataFrame = {
     val rebuilt = when(col("__drops").isNotNull,
       concat_ws("\n", filter(split(col(textCol), "\n"),
         (_, i) => !array_contains(col("__drops"), i))))

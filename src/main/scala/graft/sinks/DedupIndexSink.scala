@@ -66,7 +66,7 @@ object DedupIndexSink {
 
   import org.apache.hadoop.fs.{FileSystem, Path}
 
-  private def fsOf(spark: SparkSession, root: String) =
+  private[sinks] def fsOf(spark: SparkSession, root: String) =
     new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   /** All path arithmetic goes through hadoop [[Path]] — NEVER
@@ -79,7 +79,7 @@ object DedupIndexSink {
   private[graft] def join(root: String, segments: String*): Path =
     segments.foldLeft(new Path(root))((p, s) => new Path(p, s))
 
-  private def batchDirs(spark: SparkSession, dir: String): Seq[(Long, String)] = {
+  private[sinks] def batchDirs(spark: SparkSession, dir: String): Seq[(Long, String)] = {
     val p = new Path(dir)
     val fs = fsOf(spark, dir)
     if (!fs.exists(p)) Seq.empty
@@ -97,7 +97,7 @@ object DedupIndexSink {
     * CANDIDATE directory — never a listing of `_batches`, so reader
     * cost tracks the visible directory count, not batch history.
     */
-  private def isCommitted(fs: FileSystem, root: String, id: Long): Boolean =
+  private[sinks] def isCommitted(fs: FileSystem, root: String, id: Long): Boolean =
     fs.exists(join(root, "_batches", id.toString, "_APPLIED"))
 
   // ---------------------------------------------------------------
@@ -125,7 +125,7 @@ object DedupIndexSink {
     * with the largest id wins (older committed generations are
     * pre-cleanup leftovers of the pass that superseded them).
     */
-  private def committedGen(spark: SparkSession,
+  private[sinks] def committedGen(spark: SparkSession,
                            root: String): Option[(Long, Long, Path)] = {
     val base = join(root, "_gen")
     val fs = fsOf(spark, root)
@@ -151,10 +151,10 @@ object DedupIndexSink {
     * directories at or below it are pre-cleanup leftovers and must be
     * invisible.
     */
-  private def horizon(spark: SparkSession, root: String): Long =
+  private[sinks] def horizon(spark: SparkSession, root: String): Long =
     committedGen(spark, root).map(_._2).getOrElse(-1L)
 
-  private def normBatch(df: DataFrame): DataFrame =
+  private[sinks] def normBatch(df: DataFrame): DataFrame =
     df.withColumn("ingest_batch", col("ingest_batch").cast("long"))
 
   /** Union of the committed generation's `sub` table and the committed
@@ -162,7 +162,7 @@ object DedupIndexSink {
     * `lo < id` (and `id < lt` when bounded), `ingest_batch` normalized
     * to long.
     */
-  private def readMerged(spark: SparkSession, root: String, sub: String,
+  private[sinks] def readMerged(spark: SparkSession, root: String, sub: String,
                          dirRoot: String, lt: Option[Long]): Seq[DataFrame] = {
     val fs = fsOf(spark, root)
     val gen = committedGen(spark, root)
@@ -190,8 +190,25 @@ object DedupIndexSink {
     * [[maintain]]: run it from the stream's own maintenance window.
     */
   def compact(spark: SparkSession, root: String, upTo: Long = Long.MaxValue,
-              targetBytes: Long = 128L * 1024 * 1024): Long = {
+              targetBytes: Long = 128L * 1024 * 1024): Long =
+    compactSubs(spark, root,
+      Seq("state" -> root, "matches" -> join(root, "_matches").toString),
+      upTo, targetBytes)
+
+  /** The generation fold over an arbitrary set of `(sub, dirRoot)`
+    * tables sharing one root's marker/manifest protocol — extracted so
+    * sibling append-only sinks ([[LineDedupSink]]) inherit the whole
+    * crash discipline instead of re-implementing it. The first `sub`
+    * drives the tail selection; every sub folds its own committed
+    * post-horizon directories. A sub with nothing to fold anywhere
+    * (no generation, empty tail) is skipped — readers already treat a
+    * missing generation sub as empty.
+    */
+  private[sinks] def compactSubs(spark: SparkSession, root: String,
+                                 subs: Seq[(String, String)], upTo: Long,
+                                 targetBytes: Long): Long = {
     require(targetBytes >= 1L, s"targetBytes must be >= 1, got $targetBytes")
+    require(subs.nonEmpty, "need at least one sub table")
     val fs = fsOf(spark, root)
     val gen = committedGen(spark, root)
     val lo = gen.map(_._2).getOrElse(-1L)
@@ -199,42 +216,44 @@ object DedupIndexSink {
     // self-heal a crash that committed but never finished cleanup:
     // batch dirs at or below the horizon are folded already — sweep
     // them, and any generation other than the committed one
-    batchDirs(spark, root).filter(_._1 <= lo)
-      .foreach(d => fs.delete(new Path(d._2), true))
-    batchDirs(spark, join(root, "_matches").toString).filter(_._1 <= lo)
-      .foreach(d => fs.delete(new Path(d._2), true))
+    subs.foreach { case (_, dirRoot) =>
+      batchDirs(spark, dirRoot).filter(_._1 <= lo)
+        .foreach(d => fs.delete(new Path(d._2), true))
+    }
     val genBase = join(root, "_gen")
     if (fs.exists(genBase)) fs.listStatus(genBase).map(_.getPath)
       .filter(p => scala.util.Try(p.getName.toLong).toOption
         .exists(g => gen.forall(_._1 != g)))
       .foreach(p => fs.delete(p, true))
 
-    val tail = batchDirs(spark, root)
-      .filter(d => d._1 > lo && d._1 <= upTo)
-      .filter(d => isCommitted(fs, root, d._1))
+    val tails = subs.map { case (sub, dirRoot) =>
+      (sub, dirRoot, batchDirs(spark, dirRoot)
+        .filter(d => d._1 > lo && d._1 <= upTo)
+        .filter(d => isCommitted(fs, root, d._1)))
+    }
+    val tail = tails.head._3
     if (tail.isEmpty) return lo
     val newMax = tail.map(_._1).max
     val g = gen.map(_._1 + 1).getOrElse(0L)
     val gDir = join(root, "_gen", g.toString)
 
-    def fold(sub: String, dirRoot: String, srcTail: Seq[(Long, String)]): Unit = {
-      val frames = gen.toSeq.map { case (_, _, p) =>
+    tails.foreach { case (sub, dirRoot, srcTail) =>
+      val genSub = gen.filter { case (_, _, p) =>
+        fs.exists(new Path(p, sub)) }
+      val frames = genSub.toSeq.map { case (_, _, p) =>
         normBatch(spark.read.parquet(new Path(p, sub).toString)) } ++
         (if (srcTail.isEmpty) Nil
          else Seq(normBatch(spark.read.option("basePath", dirRoot)
            .parquet(srcTail.map(_._2): _*))))
-      val bytes = gen.toSeq.map(gp =>
-          fs.getContentSummary(new Path(gp._3, sub)).getLength) ++
-        srcTail.map(d => fs.getContentSummary(new Path(d._2)).getLength)
-      val nFiles = math.max(1L, (bytes.sum + targetBytes - 1) / targetBytes).toInt
-      frames.reduce(_.unionByName(_)).repartition(nFiles)
-        .write.mode("overwrite").parquet(new Path(gDir, sub).toString)
+      if (frames.nonEmpty) {
+        val bytes = genSub.toSeq.map(gp =>
+            fs.getContentSummary(new Path(gp._3, sub)).getLength) ++
+          srcTail.map(d => fs.getContentSummary(new Path(d._2)).getLength)
+        val nFiles = math.max(1L, (bytes.sum + targetBytes - 1) / targetBytes).toInt
+        frames.reduce(_.unionByName(_)).repartition(nFiles)
+          .write.mode("overwrite").parquet(new Path(gDir, sub).toString)
+      }
     }
-    val matchTail = batchDirs(spark, join(root, "_matches").toString)
-      .filter(d => d._1 > lo && d._1 <= upTo)
-      .filter(d => isCommitted(fs, root, d._1))
-    fold("state", root, tail)
-    fold("matches", join(root, "_matches").toString, matchTail)
 
     writeSmall(fs, new Path(gDir, "_MANIFEST"),
       (Seq(s"max_id\t$newMax") ++ gen.map(x => s"prev_gen\t${x._1}") ++
@@ -242,8 +261,8 @@ object DedupIndexSink {
     fs.create(new Path(gDir, "_COMMITTED"), true).close() // commit point
 
     // cleanup after the commit — a crash here is healed by the sweep
-    tail.foreach(d => fs.delete(new Path(d._2), true))
-    matchTail.foreach(d => fs.delete(new Path(d._2), true))
+    tails.foreach { case (_, _, srcTail) =>
+      srcTail.foreach(d => fs.delete(new Path(d._2), true)) }
     gen.foreach { case (_, _, p) => fs.delete(p, true) }
     newMax
   }
