@@ -19,7 +19,12 @@ import org.apache.spark.sql.functions._
   *   "lines_per_doc":L,"plain_first_sec":…,"plain_mid_sec":…,
   *   "plain_last_sec":…,"compacted_first_sec":…,"compacted_mid_sec":…,
   *   "compacted_last_sec":…,"compacted_fresh_sec":…,
-  *   "compact_every":K,"compact_total_sec":…,"standing_hashes":…}`.
+  *   "compact_every":K,"compact_total_sec":…,
+  *   "probe_shuffle_mb_full":…,"probe_shuffle_mb_empty":…,
+  *   "standing_hashes":…}` — the two shuffle columns are the round-17
+  * probe-direction evidence: per-batch shuffle write at full standing
+  * size vs zero standing state must be ~equal (the batch winner
+  * collapse only; standing hashes never ride an exchange).
   * Recorded in BASELINE.md (`linededup_scale`).
   */
 object LineDedupScaleBench {
@@ -50,6 +55,24 @@ object LineDedupScaleBench {
     val work = java.nio.file.Files.createTempDirectory("linededup-scale")
     def timed(f: => Unit): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    // shuffle-write accounting (round-17 verdict evidence column): the
+    // probe must shuffle O(batch) — the winner collapse — never the
+    // standing set, so probe shuffle at full standing size must match
+    // the empty-standing baseline instead of growing with the corpus
+    val shuffleBytes = new java.util.concurrent.atomic.AtomicLong()
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        shuffleBytes.addAndGet(
+          sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten); ()
+      }
+    })
+    def shuffledMb(f: => Unit): Double = {
+      val s0 = shuffleBytes.get
+      f
+      Thread.sleep(1500) // listener bus drains asynchronously
+      (shuffleBytes.get - s0) / 1048576.0
     }
     def run(root: String, compact: Boolean,
             nB: Int = nBatches): (Double, Double, Double, Double) = {
@@ -84,9 +107,19 @@ object LineDedupScaleBench {
     val csFinal = timed {
       graft.sinks.LineDedupSink.compact(spark, compactedRoot): Unit
     }
-    val cExtra = timed {
+    var cExtra = 0.0
+    val fullMb = shuffledMb {
+      cExtra = timed {
+        graft.sinks.LineDedupSink.maintain(spark, batchOf(nBatches.toLong),
+          compactedRoot, "doc_id", "text", nBatches.toLong).count(): Unit
+      }
+    }
+    // the empty-standing baseline: same batch shape, zero prior state —
+    // any excess of fullMb over this is standing state riding a shuffle
+    val emptyMb = shuffledMb {
       graft.sinks.LineDedupSink.maintain(spark, batchOf(nBatches.toLong),
-        compactedRoot, "doc_id", "text", nBatches.toLong).count(): Unit
+        work.resolve("baseline/idx").toString, "doc_id", "text", 0L)
+        .count(): Unit
     }
     val standing = graft.sinks.LineDedupSink.read(spark, compactedRoot).count()
 
@@ -96,6 +129,8 @@ object LineDedupScaleBench {
       s""""compacted_first_sec":$cf,"compacted_mid_sec":$cm,""" +
       s""""compacted_last_sec":$cl,"compacted_fresh_sec":$cExtra,""" +
       s""""compact_every":12,"compact_total_sec":${cs + csFinal},""" +
+      s""""probe_shuffle_mb_full":${math.rint(fullMb * 1000) / 1000},""" +
+      s""""probe_shuffle_mb_empty":${math.rint(emptyMb * 1000) / 1000},""" +
       s""""standing_hashes":$standing}""")
     spark.stop()
   }

@@ -18,10 +18,13 @@ import graft.operators.Dedup
   * corpus with that ordering — which is what Dolma's Bloom-filter
   * paragraph dedup computes, here exact rather than probabilistic.
   *
-  * Day N's cost is O(batch lines + one anti-join probe against the
-  * standing hash set): 8 bytes per distinct line ever seen, text never
-  * stored and never re-read — the q105/DedupIndexSink incremental
-  * discipline applied to the line tier.
+  * Day N's cost is O(batch lines + one MAP-SIDE scan of the standing
+  * hash set): the batch's distinct hashes broadcast into the standing
+  * set (which never shuffles and never broadcasts — it grows with the
+  * corpus), the matched subset (≤ batch hashes) broadcasts back for
+  * the split. 8 bytes per distinct line ever seen, text never stored
+  * and never re-read — the q105/DedupIndexSink incremental discipline
+  * applied to the line tier (PlanSpec gates the probe direction).
   *
   * Protocol: everything is inherited from [[DedupIndexSink]]'s
   * append-only machinery — per-batch hash directories at
@@ -64,33 +67,29 @@ object LineDedupSink {
       .filter(length(col("__line")) >= minLineChars)
       .select(col("__id"), col("__pos"), xxhash64(col("__line")).as("__h"))
       .persist()
+    val winners = batchWinners(lines).persist()
     try {
       // prior state: committed generation + sealed batch dirs < batchId
       val prior = readMerged(spark, root, "state", root, Some(batchId))
         .map(_.select(col("h").as("__h")))
-      val seen = prior.reduceOption(_.unionByName(_))
-        .map(_.distinct().withColumn("__old", lit(1)))
-      val winners = lines.groupBy(col("__h"))
-        .agg(min(struct(col("__id").as("i"), col("__pos").as("p"))).as("__w"))
-      val flagged = seen match {
-        case Some(s) => lines.join(winners, "__h").join(s, Seq("__h"), "left")
-        case None => lines.join(winners, "__h").withColumn("__old",
-          lit(null).cast("int"))
-      }
-      // drop: every occurrence of an already-seen line, and every
-      // non-first occurrence of a batch-new line
-      val drops = flagged
-        .filter(col("__old").isNotNull ||
-          !(col("__id") === col("__w.i") && col("__pos") === col("__w.p")))
-        .groupBy(col("__id"))
-        .agg(sort_array(collect_list(col("__pos"))).as("__drops"),
-          count(lit(1)).as("__nd"))
+      // PROBE DIRECTION (the q105/DedupIndexSink discipline, round-17
+      // verdict fix): the standing set grows with the corpus, so it must
+      // NEVER shuffle and never broadcast. The batch's distinct hashes
+      // (bounded by batch size) broadcast INTO one map-side scan of the
+      // standing set; the matched subset that comes back is ≤ the batch
+      // hash count, materialized eagerly (one standing scan total), and
+      // IT alone broadcasts into the line-tier split and the new-hash
+      // anti-probe. No per-batch .distinct() on standing state either —
+      // the state is distinct by construction (each batch folds only
+      // hashes absent from all prior state; replays skip the fold;
+      // compaction is pure data movement).
+      val matched = probeMatched(prior, winners).map(_.localCheckpoint(true))
+      val drops = dropsFor(lines, winners, matched)
       if (!fs.exists(applied)) {
         // fold ONLY batch-new hashes (a seen line's hash is already in
         // the standing set); overwrite is idempotent per id
-        val newHashes = seen match {
-          case Some(s) => winners.join(s, Seq("__h"), "left")
-            .filter(col("__old").isNull)
+        val newHashes = matched match {
+          case Some(m) => winners.join(broadcast(m), Seq("__h"), "left_anti")
           case None => winners
         }
         newHashes.select(col("__h").as("h"))
@@ -102,7 +101,51 @@ object LineDedupSink {
       // the returned frame must not lazily re-run the probe
       val cleaned = Dedup.applyLineDrops(batch, idCol, textCol, drops)
       cleaned.localCheckpoint(true)
-    } finally lines.unpersist(blocking = false)
+    } finally {
+      winners.unpersist(blocking = false)
+      lines.unpersist(blocking = false)
+    }
+  }
+
+  /** Per-hash keep-first winner within the batch: `(__h, __w{i, p})`,
+    * distinct on `__h` by construction (one partial-aggregating
+    * batch-scale collapse).
+    */
+  private[graft] def batchWinners(lines: DataFrame): DataFrame =
+    lines.groupBy(col("__h"))
+      .agg(min(struct(col("__id").as("i"), col("__pos").as("p"))).as("__w"))
+
+  /** The standing-set probe, exposed for PlanSpec's gate: the batch's
+    * distinct hashes (`winners`, bounded by batch size) broadcast into
+    * ONE inner join against the standing set, which therefore scans
+    * map-side — zero exchange of standing state. Returns the matched
+    * hash subset (≤ batch hashes); `None` when no prior state exists.
+    */
+  private[graft] def probeMatched(prior: Seq[DataFrame],
+                                  winners: DataFrame): Option[DataFrame] =
+    prior.reduceOption(_.unionByName(_))
+      .map(_.join(broadcast(winners.select(col("__h"))), "__h")
+        .select(col("__h")))
+
+  /** The per-document drop positions: every occurrence of an
+    * already-seen line (hash in `matched`, which broadcasts — it is ≤
+    * batch hashes) and every non-first occurrence of a batch-new line.
+    * Exposed for PlanSpec's gate.
+    */
+  private[graft] def dropsFor(lines: DataFrame, winners: DataFrame,
+                              matched: Option[DataFrame]): DataFrame = {
+    val flagged = matched match {
+      case Some(m) => lines.join(winners, "__h")
+        .join(broadcast(m.withColumn("__old", lit(1))), Seq("__h"), "left")
+      case None => lines.join(winners, "__h").withColumn("__old",
+        lit(null).cast("int"))
+    }
+    flagged
+      .filter(col("__old").isNotNull ||
+        !(col("__id") === col("__w.i") && col("__pos") === col("__w.p")))
+      .groupBy(col("__id"))
+      .agg(sort_array(collect_list(col("__pos"))).as("__drops"),
+        count(lit(1)).as("__nd"))
   }
 
   /** Fold sealed batch directories into one generation —

@@ -427,6 +427,42 @@ class PlanSpec extends SparkSpec {
       s"no corpus-scale join in the audit query:\n$p239")
   }
 
+  test("q240: standing line-hash set never shuffles — batch hashes broadcast in, matched set broadcasts back") {
+    val sp2 = spark
+    import sp2.implicits._
+    val lines = Seq((1L, 0, 100L), (1L, 1, 200L), (2L, 0, 100L))
+      .toDF("__id", "__pos", "__h")
+    val winners = graft.sinks.LineDedupSink.batchWinners(lines)
+    // standing state arrives as a parquet scan (what readMerged yields) —
+    // the gate must exercise that shape, not a local relation
+    val dir = java.nio.file.Files.createTempDirectory("q240gate").toString
+    Seq(100L, 300L).toDF("h").write.mode("overwrite").parquet(dir)
+    val prior = Seq(spark.read.parquet(dir).select($"h".as("__h")))
+    val probe = graft.sinks.LineDedupSink.probeMatched(prior, winners).get
+    val pProbe = plan(probe)
+    assert(pProbe.contains("BroadcastHashJoin"),
+      s"batch hashes must broadcast into the standing scan:\n$pProbe")
+    assert(!pProbe.contains("SortMergeJoin") && !pProbe.contains("ShuffledHashJoin"),
+      s"standing state must never shuffle for the probe:\n$pProbe")
+    // exactly ONE broadcast build (the batch winners) and at most the
+    // batch-lines winner collapse as an exchange — the standing parquet
+    // scan feeds the join with no exchange of its own (round-17 verdict:
+    // the old probe shuffled the corpus-scale standing set twice a batch)
+    assert("BroadcastExchange".r.findAllIn(pProbe).length === 1,
+      s"only the batch side may broadcast:\n$pProbe")
+    assert("Exchange hashpartitioning".r.findAllIn(pProbe).length <= 1,
+      s"standing state must not hash-exchange:\n$pProbe")
+    // downstream split: the matched subset (≤ batch hashes) broadcasts
+    // back; no corpus-scale join shape anywhere
+    val matched = Seq(100L).toDF("__h")
+    val pDrops = plan(graft.sinks.LineDedupSink.dropsFor(
+      lines, winners, Some(matched)))
+    assert(pDrops.contains("BroadcastHashJoin"),
+      s"the matched set must broadcast back into the split:\n$pDrops")
+    assert(!pDrops.contains("CartesianProduct") && !pDrops.contains("Window"),
+      s"the split stays equi-join + aggregate:\n$pDrops")
+  }
+
   test("ssdTopK large-probe fan-out is range-co-located; small probes stay unshuffled") {
     val sp2 = spark
     import sp2.implicits._
