@@ -130,6 +130,19 @@ object CurationScaleBench {
     val orderedBytes = dirBytes(
       graft.streaming.CurationLoop.lakeRoot(lakeLoopRoot))
     val arrivalBytes = dirBytes(arrivalDir)
+    // cleaned + ordered (round 18): the same batches through the loop
+    // with the line filter on — duplicated lines are deleted BEFORE the
+    // lake write (the Dolma order: dedup paragraphs, then land), so
+    // cleaned+ordered must come in at or under ordered
+    val cleanedLoopRoot = work.resolve("lakeclean/lake").toString
+    (0 until lakeBatches).foreach { b =>
+      graft.streaming.CurationLoop(spark, dupBatchOf(b.toLong),
+        cleanedLoopRoot, "doc_id", "text", Seq("lang"), Seq("lang"),
+        "quality", b.toLong, lakeFiles = 1, cleanLines = true)
+        .count(): Unit
+    }
+    val cleanedBytes = dirBytes(
+      graft.streaming.CurationLoop.lakeRoot(cleanedLoopRoot))
 
     println(s"""{"metric":"curation_scale","batches":$nBatches,""" +
       s""""docs_per_batch":$docsPerBatch,"plain_first_sec":$pf,""" +
@@ -141,7 +154,8 @@ object CurationScaleBench {
       s""""compact_total_sec":${cs + csFinal},""" +
       s""""lake_batches":$lakeBatches,""" +
       s""""lake_ordered_bytes":$orderedBytes,""" +
-      s""""lake_arrival_bytes":$arrivalBytes}""")
+      s""""lake_arrival_bytes":$arrivalBytes,""" +
+      s""""lake_cleaned_bytes":$cleanedBytes}""")
     spark.stop()
   }
 }

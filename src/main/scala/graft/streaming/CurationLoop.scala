@@ -4,7 +4,7 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
 
-import graft.sinks.{DedupIndexSink, IncrementalAgg, Layout, QuantileSink, VocabSink}
+import graft.sinks.{DedupIndexSink, IncrementalAgg, Layout, LineDedupSink, QuantileSink, VocabSink}
 
 /** The production curation loop: ONE `foreachBatch` body that feeds
   * every arriving document micro-batch through the three certified
@@ -47,10 +47,22 @@ import graft.sinks.{DedupIndexSink, IncrementalAgg, Layout, QuantileSink, VocabS
   * marker discipline as every other sink here; [[lake]] reads
   * committed batches only.
   *
+  * An optional SIXTH table is the standing LINE-dedup filter
+  * ([[LineDedupSink]] — Dolma's pipeline dedups paragraphs BEFORE the
+  * lake write): pass `cleanLines = true` and each batch's text is
+  * cleaned against every line the stream has already seen (plus its
+  * own within-batch keep-first) with the batch's new line hashes
+  * folded into `line_index/` exactly-once on that sink's own markers —
+  * and the document lake (when enabled) lands the CLEANED text, which
+  * both shrinks the lake and compresses better (near-dup mass carries
+  * duplicated lines). A replay of a committed id recomputes the same
+  * cleaned batch against the same prior state (the probe reads only
+  * sealed earlier batches), so lake bytes stay replay-identical.
+  *
   * Layout under `root` (all joins via hadoop [[Path]] — object-store
   * roots survive): `dedup_index/`, `quality_quantiles/`,
   * `corpus_stats/`, `vocabulary/` (when enabled), `doc_lake/` (when
-  * enabled).
+  * enabled), `line_index/` (when enabled).
   */
 object CurationLoop {
 
@@ -59,6 +71,7 @@ object CurationLoop {
   def statsRoot(root: String): String = new Path(root, "corpus_stats").toString
   def vocabRoot(root: String): String = new Path(root, "vocabulary").toString
   def lakeRoot(root: String): String = new Path(root, "doc_lake").toString
+  def lineRoot(root: String): String = new Path(root, "line_index").toString
 
   /** The `foreachBatch` body. `batch` must carry `idCol` (unique doc
     * id), `textCol`, the grouping `keyCols` (with `partCols` a subset
@@ -79,7 +92,7 @@ object CurationLoop {
             idCol: String, textCol: String,
             partCols: Seq[String], keyCols: Seq[String], valueCol: String,
             batchId: Long, langCol: Option[String] = None,
-            lakeFiles: Int = 0): DataFrame = {
+            lakeFiles: Int = 0, cleanLines: Boolean = false): DataFrame = {
     batch.persist()
     try {
       val matches = DedupIndexSink.maintain(spark, batch, dedupRoot(root),
@@ -92,8 +105,19 @@ object CurationLoop {
         VocabSink.maintain(spark, batch, vocabRoot(root), lc, textCol,
           batchId)
       }
+      // the line filter folds its own standing table exactly-once and
+      // returns the cleaned batch (a committed-id replay recomputes it
+      // deterministically without folding) — the lake then lands the
+      // CLEANED text; `n_dropped` is the cleaner's audit column, not
+      // document data, so the lake schema stays the input's
+      val lakeBatch =
+        if (cleanLines)
+          LineDedupSink.maintain(spark, batch, lineRoot(root),
+            idCol, textCol, batchId).drop("n_dropped")
+        else batch
       if (lakeFiles > 0)
-        maintainLake(spark, batch, root, idCol, textCol, batchId, lakeFiles)
+        maintainLake(spark, lakeBatch, root, idCol, textCol, batchId,
+          lakeFiles)
       matches
     } finally batch.unpersist()
   }
@@ -123,8 +147,11 @@ object CurationLoop {
   /** Read the committed document lake: every `ingest_batch=<id>/`
     * directory whose `_APPLIED` marker exists, with the `ingest_batch`
     * id as a column (the [[DedupIndexSink]] reader discipline —
-    * uncommitted crash debris never surfaces). Empty frame with no
-    * committed batches is the caller's empty-lake signal.
+    * uncommitted crash debris never surfaces). THROWS
+    * (`IllegalArgumentException`) when no committed batch exists —
+    * with zero batches there is no schema to hand back, so a loud
+    * failure beats a silently-empty schemaless frame (the
+    * [[DedupIndexSink.allMatches]] convention).
     */
   def lake(spark: SparkSession, root: String): DataFrame = {
     val lr = new Path(lakeRoot(root))
@@ -145,12 +172,18 @@ object CurationLoop {
     * weekly between drains): fold the dedup index's sealed per-batch
     * directories into one generation so probe cost stays flat as batch
     * history grows — [[DedupIndexSink.compact]]'s manifest + marker
-    * protocol; readers see identical rows throughout. Returns the
-    * committed horizon.
+    * protocol; readers see identical rows throughout. The line index
+    * (when the loop runs with `cleanLines = true`) folds under the
+    * same call — probe results are identical pre/post for both.
+    * Returns the dedup index's committed horizon.
     */
   def compact(spark: SparkSession, root: String,
-              targetBytes: Long = 128L * 1024 * 1024): Long =
+              targetBytes: Long = 128L * 1024 * 1024): Long = {
+    val lr = new Path(lineRoot(root))
+    if (lr.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(lr))
+      LineDedupSink.compact(spark, lineRoot(root), targetBytes = targetBytes)
     DedupIndexSink.compact(spark, dedupRoot(root), targetBytes = targetBytes)
+  }
 
   /** Wire a document stream to the composed loop. `availableNow = true`
     * is CRON-drain mode (process everything, checkpoint, exit), the
@@ -170,7 +203,8 @@ object CurationLoop {
              interval: String = "10 seconds",
              compactEvery: Int = 0,
              langCol: Option[String] = None,
-             lakeFiles: Int = 0): DataStreamWriter[Row] =
+             lakeFiles: Int = 0,
+             cleanLines: Boolean = false): DataStreamWriter[Row] =
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(if (availableNow) Trigger.AvailableNow()
@@ -178,7 +212,7 @@ object CurationLoop {
       .foreachBatch { (batch: DataFrame, id: Long) =>
         if (!batch.isEmpty) {
           apply(batch.sparkSession, batch, root, idCol, textCol,
-            partCols, keyCols, valueCol, id, langCol, lakeFiles)
+            partCols, keyCols, valueCol, id, langCol, lakeFiles, cleanLines)
           if (compactEvery > 0 && (id + 1) % compactEvery == 0) {
             compact(batch.sparkSession, root); ()
           }

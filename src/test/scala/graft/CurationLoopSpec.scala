@@ -213,6 +213,64 @@ class CurationLoopSpec extends SparkSpec {
       "replaying a committed id must not touch any of the four tables")
   }
 
+  test("cleanLines adds the line filter as a sixth exactly-once sink; the lake lands cleaned text") {
+    // default path: no line index directory at all
+    val plain = freshRoot("lines-off")
+    runLoop(plain)
+    assert(!new java.io.File(CurationLoop.lineRoot(plain)).exists,
+      "no line index unless cleanLines = true is passed")
+
+    // six-sink loop (vocab + lake + line filter on): the lake's text is
+    // the CLEANED text — equal to the one-shot corpus-wide line dedup
+    // on the concatenated days (batch order = id order here, so the
+    // streamed keep-first composes to the same global keep-first)
+    val root = freshRoot("lines-on")
+    Seq(0L, 1L, 2L).foreach { d =>
+      CurationLoop(spark, day(d), root, "doc_id", "text",
+        Seq("lang"), Seq("lang"), "quality", d, langCol = Some("lang"),
+        lakeFiles = 1, cleanLines = true)
+    }
+    def lakeText() = CurationLoop.lake(spark, root)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect().toMap
+    val oneShot = graft.operators.Dedup.dedupLines(docs, "doc_id", "text")
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect().toMap
+    assert(lakeText() === oneShot,
+      "the lake must land the line-cleaned text, not the raw batch")
+    // the cleaner touches ONLY the lake: dedup index, quantiles, and
+    // stats still see the raw batch and equal the plain twin
+    val rawTwin = freshRoot("lines-raw")
+    runLoop(rawTwin)
+    assert(fingerprint(root) === fingerprint(rawTwin),
+      "the other sinks must keep seeing the raw batch")
+
+    // replay of a committed id is a no-op across ALL SIX tables —
+    // lake checked at the byte level (its files must not be rewritten)
+    def lineHashes() = graft.sinks.LineDedupSink
+      .read(spark, CurationLoop.lineRoot(root))
+      .select(col("h")).as[Long].collect().toSet
+    def vocabCounts() = graft.sinks.VocabSink
+      .read(spark, CurationLoop.vocabRoot(root))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    def lakeBytes() = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().sortBy(_.getName).toSeq.flatMap(walk)
+        else Seq(f)
+      walk(new java.io.File(CurationLoop.lakeRoot(root)))
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => (f.getPath, f.length,
+          java.util.Arrays.hashCode(
+            java.nio.file.Files.readAllBytes(f.toPath))))
+    }
+    val before = (fingerprint(root), lineHashes(), vocabCounts(), lakeBytes())
+    CurationLoop(spark, day(1L), root, "doc_id", "text",
+      Seq("lang"), Seq("lang"), "quality", 1L, langCol = Some("lang"),
+      lakeFiles = 1, cleanLines = true)
+    assert((fingerprint(root), lineHashes(), vocabCounts(), lakeBytes())
+      === before,
+      "replaying a committed id must leave all six tables untouched")
+  }
+
   test("lakeFiles adds the similarity-ordered document lake as a fifth sink") {
     // default path: no lake directory at all
     val plain = freshRoot("lake-off")
