@@ -106,7 +106,14 @@ object Linkage {
     * block (e.g. a one-off backfill where the cost is priced and
     * accepted via [[blockProfile]]). The guard costs one
     * partial-aggregating pass over `records` — noise next to the
-    * per-field u-estimation passes the scorer already pays. Scoring
+    * per-field u-estimation passes the scorer already pays. NOTE the
+    * gate makes this call EAGER: it runs one Spark job (`.head()` on
+    * the per-block counts) at plan-CONSTRUCTION time, and `records`
+    * is scanned once for the gate plus once per self-join side when
+    * the result executes — a caller whose `records` is an expensive
+    * upstream pipeline should `.persist()` it first (this function
+    * deliberately does not: it cannot know when the caller's lazy
+    * result is done to unpersist). Scoring
     * itself is row-local projection over the pairs; nothing windows,
     * nothing collects.
     *

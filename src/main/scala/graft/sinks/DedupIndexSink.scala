@@ -170,7 +170,10 @@ object DedupIndexSink {
     val tail = batchDirs(spark, dirRoot)
       .filter(d => d._1 > lo && lt.forall(d._1 < _))
       .filter(d => isCommitted(fs, root, d._1))
-    gen.toSeq.map { case (_, _, p) =>
+    // a generation may legitimately lack a sub: compactSubs skips a sub
+    // with nothing to fold anywhere — treat missing as empty
+    gen.toSeq.filter { case (_, _, p) => fs.exists(new Path(p, sub)) }
+      .map { case (_, _, p) =>
       normBatch(spark.read.parquet(new Path(p, sub).toString))
         .filter(lt.map(col("ingest_batch") < _).getOrElse(lit(true)))
     } ++ (if (tail.isEmpty) Nil

@@ -147,4 +147,27 @@ class LinkageSpec extends SparkSpec {
     assert(nullsOk.count() === 15L,
       "null block keys never join, so they must not count toward the gate")
   }
+
+  test("q223 registry entry runs GATED (round-17 item 5): construction fires the pre-flight job") {
+    // the gate is an EAGER job at plan-construction time (the .head()
+    // over per-block counts); the Long.MaxValue hatch skips it and runs
+    // zero jobs at construction. Asserting >= 1 job during construction
+    // pins the registry entry to the gated path, so a future fixture
+    // change cannot silently flip it to the hatch.
+    val jobs = new java.util.concurrent.atomic.AtomicInteger()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      SparkEntry.q223(spark, sf0001) // construction only — no action
+      Thread.sleep(2000)             // listener bus drains asynchronously
+      assert(jobs.get >= 1,
+        "constructing q223 must run the eager pair-volume gate; zero " +
+          "jobs means maxPairsPerBlock = Long.MaxValue bypassed it")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
 }
