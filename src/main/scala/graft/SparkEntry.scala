@@ -48,8 +48,12 @@ object SparkEntry {
     * must get a fresh scratch root, or the sinks' `_APPLIED` markers
     * would short-circuit the folds and serve stale standing state
     * (round-16 ADVICE); and two concurrent suites over different
-    * content no longer race one marker protocol. File metadata only —
-    * no data read — so the key costs microseconds.
+    * content no longer race one marker protocol. Besides metadata the
+    * key folds in each file's LAST 64 BYTES (the parquet footer tail:
+    * metadata length + stats offsets — content-sensitive even when a
+    * regeneration lands identical names/sizes inside one mtime tick,
+    * round-17 ADVICE), so the key still costs microseconds (one tail
+    * read per file, no data scan).
     */
   private def scratchKeyHex(tag: String, d: String, table: String): String = {
     def walk(f: java.io.File): Seq[java.io.File] =
@@ -57,8 +61,19 @@ object SparkEntry {
         Option(f.listFiles()).map(_.sortBy(_.getName).toSeq).getOrElse(Seq.empty)
           .flatMap(walk)
       else Seq(f)
+    def tail64(p: java.io.File): String = {
+      val raf = new java.io.RandomAccessFile(p, "r")
+      try {
+        val n = math.min(64L, raf.length).toInt
+        raf.seek(raf.length - n)
+        val buf = new Array[Byte](n)
+        raf.readFully(buf)
+        java.util.Base64.getEncoder.encodeToString(buf)
+      } finally raf.close()
+    }
     val sig = walk(new java.io.File(d, s"$table.parquet"))
-      .map(p => s"${p.getName}|${p.length}|${p.lastModified}").mkString(",")
+      .map(p => s"${p.getName}|${p.length}|${p.lastModified}|${tail64(p)}")
+      .mkString(",")
     java.security.MessageDigest.getInstance("MD5")
       .digest(s"$tag|$d|$sig".getBytes("UTF-8")).map("%02x".format(_)).mkString
   }
