@@ -4131,6 +4131,30 @@ object SparkEntry {
       normalize = true)
   }
 
+  /** Q242 — self-maintaining streaming NORMALIZED line dedup
+    * ([[graft.sinks.LineDedupSink]] with `normalize = true`): the q240
+    * stream over the q241 case-perturbed view — three content-keyed
+    * batches cleaned against the standing set of NORMALIZED line
+    * hashes, so a batch-2 `COOKIE POLICY` dies against batch-0's
+    * `cookie policy` while every survivor keeps its original bytes.
+    * Completes the line tier's 2×2: {one-shot, streaming} ×
+    * {exact, normalized}. Oracle composes q240's (batch, doc_id, pos)
+    * global keep-first window with q241's normalized partition key.
+    */
+  def q242(s: SparkSession, d: String): DataFrame = {
+    val keyHex = scratchKeyHex("q242|v1", d, "documents")
+    val root = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft-linededup-$keyHex/nidx").toString
+    val cased = linedDocs(s, d).withColumn("text",
+      when(pmod(col("doc_id"), lit(2)) === 1, upper(col("text")))
+        .otherwise(col("text")))
+    (0L to 2L).map { day =>
+      graft.sinks.LineDedupSink.maintain(s,
+        cased.filter(pmod(col("doc_id"), lit(3)) === day),
+        root, "doc_id", "text", day, normalize = true)
+    }.reduce(_.unionByName(_))
+  }
+
   /** Q235 — linkage blocking pre-flight profile
     * ([[graft.operators.Linkage.blockProfile]]): per q223 block key,
     * the record count, the exact `n(n−1)/2` candidate-pair count the
@@ -5250,7 +5274,8 @@ object SparkEntry {
     "q238_line_dedup"       -> (q238 _),
     "q239_boilerplate_topk" -> (q239 _),
     "q240_incr_line_dedup"  -> (q240 _),
-    "q241_norm_line_dedup"  -> (q241 _))
+    "q241_norm_line_dedup"  -> (q241 _),
+    "q242_incr_norm_lines"  -> (q242 _))
 
   // DuckDB twins. Shared SQL fragments for the text queries:
   // explicit class: Java \s includes \x0B, RE2 \s does not — see
@@ -6489,6 +6514,39 @@ object SparkEntry {
          |w AS (SELECT doc_id, pos,
          |  row_number() OVER (PARTITION BY nline ORDER BY doc_id, pos)
          |    AS rn FROM el),
+         |drops AS (SELECT doc_id, pos FROM w WHERE rn > 1),
+         |kept AS (SELECT ln.doc_id, ln.pos, ln.line FROM ln
+         |  LEFT JOIN drops d ON ln.doc_id = d.doc_id AND ln.pos = d.pos
+         |  WHERE d.doc_id IS NULL),
+         |reb AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos)
+         |  AS text2 FROM kept GROUP BY 1),
+         |nd AS (SELECT doc_id, count(*) AS ndrop FROM drops GROUP BY 1)
+         |SELECT p.doc_id, p.lang, p.source, p.n_chars,
+         |  CASE WHEN p.text IS NULL THEN NULL
+         |    ELSE coalesce(reb.text2, '') END AS text,
+         |  CAST(coalesce(nd.ndrop, 0) AS BIGINT) AS n_dropped
+         |FROM p LEFT JOIN reb ON p.doc_id = reb.doc_id
+         |LEFT JOIN nd ON p.doc_id = nd.doc_id
+         |""".stripMargin),
+    // q242: q240's (batch, doc_id, pos) streamed keep-first window
+    // over q241's cased view, PARTITIONED BY the normalized line
+    "q242_incr_norm_lines" ->
+      (s"""WITH $LINED_DOCS,
+         |cased AS (SELECT doc_id, lang, source, n_chars,
+         |  CASE WHEN doc_id % 2 = 1 THEN upper(text) ELSE text END
+         |    AS text FROM lined),
+         |p AS (SELECT doc_id, lang, source, n_chars, text,
+         |  doc_id % 3 AS b, string_split(text, chr(10)) AS parts
+         |  FROM cased),
+         |ln AS (SELECT doc_id, b, CAST(i AS BIGINT) AS pos,
+         |  parts[CAST(i + 1 AS BIGINT)] AS line
+         |  FROM p, unnest(range(len(parts))) AS u(i)),
+         |el AS (SELECT doc_id, b, pos,
+         |  lower(trim(regexp_replace(line, '[ \\t\\n\\f\\r]+', ' ', 'g')))
+         |    AS nline
+         |  FROM ln WHERE length(line) >= 2),
+         |w AS (SELECT doc_id, pos, row_number() OVER (
+         |  PARTITION BY nline ORDER BY b, doc_id, pos) AS rn FROM el),
          |drops AS (SELECT doc_id, pos FROM w WHERE rn > 1),
          |kept AS (SELECT ln.doc_id, ln.pos, ln.line FROM ln
          |  LEFT JOIN drops d ON ln.doc_id = d.doc_id AND ln.pos = d.pos

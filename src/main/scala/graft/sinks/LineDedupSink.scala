@@ -45,10 +45,18 @@ object LineDedupSink {
     * the input columns with `textCol` rewritten (cross-batch-duplicate
     * and within-batch-duplicate lines deleted in place, documents
     * rebuilt with surviving lines in order) plus `n_dropped`.
+    *
+    * `normalize = true` keys the standing set on the NORMALIZED line
+    * ([[Dedup.dedupLines]]'s normalized tier — case-folded,
+    * whitespace-collapsed before hashing, survivors keep original
+    * bytes). The flag is part of the INDEX's identity: every batch of
+    * one root must pass the same value, or probes compare hashes from
+    * different key spaces (same contract as the MinHash parameters on
+    * [[DedupIndexSink.maintain]]).
     */
   def maintain(spark: SparkSession, batch: DataFrame, root: String,
                idCol: String, textCol: String, batchId: Long,
-               minLineChars: Int = 2): DataFrame = {
+               minLineChars: Int = 2, normalize: Boolean = false): DataFrame = {
     require(minLineChars >= 1, s"minLineChars must be >= 1, got $minLineChars")
     val fs = fsOf(spark, root)
     val applied = join(root, "_batches", batchId.toString, "_APPLIED")
@@ -61,11 +69,14 @@ object LineDedupSink {
           s"compacted through $hz: restore a checkpoint at or above the " +
           "horizon, or rebuild the index")
     }
+    val key = if (normalize)
+      graft.functions.TextFunctions.normalize(col("__line"))
+    else col("__line")
     val lines = batch
       .select(col(idCol).as("__id"),
         posexplode(split(col(textCol), "\n")).as(Seq("__pos", "__line")))
       .filter(length(col("__line")) >= minLineChars)
-      .select(col("__id"), col("__pos"), xxhash64(col("__line")).as("__h"))
+      .select(col("__id"), col("__pos"), xxhash64(key).as("__h"))
       .persist()
     val winners = batchWinners(lines).persist()
     try {

@@ -58,6 +58,33 @@ class LineDedupSinkSpec extends SparkSpec {
     assert(streamed(30L)._1 === "day two original")
   }
 
+  test("normalize=true: streamed normalized cleaning ≡ one-shot normalized dedupLines") {
+    val vRows = Seq(
+      (10L, "Cookie  Policy\nday zero prose"),
+      (20L, "COOKIE POLICY\nday one prose"),
+      (30L, "cookie\tpolicy\nday two text"))
+    def vDay(d: Long) = vRows.toDF("doc_id", "text")
+      .filter(floor(col("doc_id") / 10) - 1 === d)
+    val root = freshRoot("norm")
+    val streamed = (0L to 2L).map(d => LineDedupSink.maintain(spark,
+        vDay(d), root, "doc_id", "text", d, normalize = true))
+      .reduce(_.unionByName(_))
+      .select(col("doc_id"), col("text"), col("n_dropped"))
+      .as[(Long, String, Long)].collect()
+      .map(t => t._1 -> ((t._2, t._3))).toMap
+    val oneShot = Dedup.dedupLines(vRows.toDF("doc_id", "text"),
+        "doc_id", "text", normalize = true)
+      .select(col("doc_id"), col("text"), col("n_dropped"))
+      .as[(Long, String, Long)].collect()
+      .map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(streamed === oneShot)
+    // the later case variants died against day 0's normalized key, and
+    // the survivor kept its ORIGINAL bytes (double space intact)
+    assert(streamed(10L) === (("Cookie  Policy\nday zero prose", 0L)))
+    assert(streamed(20L) === (("day one prose", 1L)))
+    assert(streamed(30L) === (("day two text", 1L)))
+  }
+
   test("replay of a committed id recomputes the same cleaned batch, folds nothing") {
     val root = freshRoot("replay")
     cleanAll(root)
