@@ -25,6 +25,10 @@ import graft.operators.Dedup
   * the split. 8 bytes per distinct line ever seen, text never stored
   * and never re-read — the q105/DedupIndexSink incremental discipline
   * applied to the line tier (PlanSpec gates the probe direction).
+  * Because BATCH state is what broadcasts, the sink's regime is
+  * micro-batches (the `foreachBatch` contract it runs under); a
+  * corpus-scale backfill is a one-shot [[Dedup.dedupLines]] job, not
+  * one giant batch through this sink.
   *
   * Protocol: everything is inherited from [[DedupIndexSink]]'s
   * append-only machinery — per-batch hash directories at
