@@ -98,6 +98,22 @@ class LineDedupSinkSpec extends SparkSpec {
     assert(hashes(root) === before, "replay must not grow the standing set")
   }
 
+  test("empty batch: commits an empty fold, changes nothing, later batches unaffected") {
+    val root = freshRoot("empty")
+    LineDedupSink.maintain(spark, day(0L), root, "doc_id", "text", 0L)
+    val before = hashes(root)
+    val cleaned = LineDedupSink.maintain(spark,
+      day(0L).filter(col("doc_id") < 0), root, "doc_id", "text", 1L)
+    assert(cleaned.count() === 0L)
+    assert(hashes(root) === before, "an empty batch folds nothing new")
+    // batch 2 still probes the day-0 state correctly across the gap
+    val c2 = LineDedupSink.maintain(spark, day(1L), root,
+        "doc_id", "text", 2L)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect().toMap
+    assert(c2(20L) === "day one prose",
+      "the standing set survives an empty batch intact")
+  }
+
   test("uncommitted (marker-less) state is invisible to the probe") {
     val root = freshRoot("crash")
     LineDedupSink.maintain(spark, day(0L), root, "doc_id", "text", 0L)
