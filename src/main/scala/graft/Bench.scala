@@ -28,17 +28,25 @@ package graft
   *     is an environment finding, adjudicable from the artifact alone
   *     with no judge re-run.
   *  2. Fresh-JVM chunking: the parent process runs NO Spark at all; it
-  *     partitions the query list into `SPARK_GRAFT_BENCH_CHUNK`-sized
-  *     chunks (default 30 → 8 JVMs for 240 queries), forks one child
-  *     JVM per chunk sequentially (same JVM flags via
+  *     partitions the query list into ~`SPARK_GRAFT_BENCH_CHUNK`-sized
+  *     chunks (default 30 → 9 JVMs for 242 queries) by HASH of the
+  *     query name (stable across rounds: adding a query does not shift
+  *     every boundary, so per-query chunk context stays comparable),
+  *     forks one child JVM per chunk sequentially (same JVM flags via
   *     RuntimeMXBean.inputArguments, same classpath via
   *     java.class.path), and merges the children's per-query rows into
   *     the single JSON line. Accumulated block-manager / JIT /
   *     code-cache churn is bounded at one chunk (the round-15/16/17
   *     outlier mechanism was 240 queries' churn landing on whichever
-  *     heavy query ran late), at ~10 s JVM spin-up per chunk. Each
-  *     child runs the unchanged per-query protocol, so numbers remain
-  *     comparable with every recorded BENCH_local_r*.json.
+  *     heavy query ran late), at ~45 s per-chunk overhead (JVM +
+  *     SparkSession spin-up + the chunk-level JIT warm-up below).
+  *     Each child runs the unchanged per-query protocol. NOTE the
+  *     one-time baseline step this implies: a fresh JVM is HONEST
+  *     where the old 240-query single JVM was flattering — a query
+  *     that ran late in the old suite rode 200 queries' JIT warmth
+  *     (q238 read 0.30 s in-suite r17 vs ~1.9 s in any standalone
+  *     fresh-JVM control); r18+ numbers are the fresh-JVM steady
+  *     state, directly comparable to standalone controls.
   *
   * Fallback ladder: `SPARK_GRAFT_BENCH_NOFORK=1`, an explicit
   * `SPARK_GRAFT_BENCH_ONLY` filter (local iteration — already a
@@ -98,6 +106,33 @@ object Bench {
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter(kv => names.forall(ns =>
         if (exact) ns.contains(kv._1) else ns.exists(kv._1.startsWith)))
+
+    // chunk-level JIT warm-up: a fresh JVM taxes its first ~5 queries
+    // 1.5-2× (run-1 evidence, round 18) because the shared machinery —
+    // parquet scan, Janino codegen compile, exchange write/read, hash
+    // aggregate, join, window — is still interpreted/C1 during their
+    // timed passes. Three passes of one representative pipeline over
+    // the real fixture push those paths through C2 before any query is
+    // timed; each query's own warm pass then covers its specific
+    // codegen. Costs ~5 s per JVM, bounds the chunk-position tax.
+    try {
+      import org.apache.spark.sql.expressions.Window
+      val t = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(org.apache.spark.sql.functions.col("doc_id"),
+          org.apache.spark.sql.functions.col("lang"),
+          org.apache.spark.sql.functions.col("n_chars"))
+      (1 to 3).foreach { _ =>
+        import org.apache.spark.sql.functions._
+        t.groupBy(col("lang"))
+          .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("s"))
+          .join(t, Seq("lang"))
+          .withColumn("r", row_number().over(
+            Window.partitionBy(col("lang")).orderBy(col("doc_id"))))
+          .filter(col("r") <= 1000)
+          .write.format("noop").mode("overwrite").save()
+      }
+      spark.catalog.clearCache(); System.gc()
+    } catch { case _: Throwable => () }
     // min-of-3, raised to min-of-5 for sub-second queries (round 15):
     // a single timed pass lets one GC pause / JIT recompile /
     // page-cache miss read as a multi-x regression; the minimum of the
@@ -195,7 +230,16 @@ object Bench {
     val results = scala.collection.mutable.ArrayBuffer[QRes]()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     var gcSec = 0.0
-    val chunks = queryNames.grouped(chunk).toSeq
+    // HASH-STABLE chunk assignment (not positional slicing): a query's
+    // chunk is hashCode(name) mod nChunks, so adding one query next
+    // round does not shift every boundary — per-query chunk context
+    // stays comparable across rounds (the modulus only changes when
+    // the suite crosses a multiple of `chunk`). String.hashCode is
+    // specified, hence stable across JVMs and rounds.
+    val nChunks = math.max(1, (queryNames.size + chunk - 1) / chunk)
+    val chunks = queryNames
+      .groupBy(n => Math.floorMod(n.hashCode, nChunks))
+      .toSeq.sortBy(_._1).map(_._2.sorted)
     val work = java.nio.file.Files.createTempDirectory("graft-bench").toString
     chunks.zipWithIndex.foreach { case (names, i) =>
       val tsv = s"$work/chunk$i.tsv"
