@@ -143,6 +143,17 @@ object CurationScaleBench {
     }
     val cleanedBytes = dirBytes(
       graft.streaming.CurationLoop.lakeRoot(cleanedLoopRoot))
+    // global OPTIMIZE (round 18): fold the per-batch-ordered lake into
+    // one globally similarity-ordered generation — cross-batch dup
+    // mass (the same base texts re-arriving every batch) becomes
+    // page-adjacent, so global bytes must land at or under the
+    // per-batch-ordered total, in 1/12th the files
+    val optSec = timed {
+      graft.streaming.CurationLoop.optimizeLake(spark, lakeLoopRoot,
+        "doc_id", "text", nFiles = 1): Unit
+    }
+    val globalBytes = dirBytes(
+      graft.streaming.CurationLoop.lakeRoot(lakeLoopRoot))
 
     println(s"""{"metric":"curation_scale","batches":$nBatches,""" +
       s""""docs_per_batch":$docsPerBatch,"plain_first_sec":$pf,""" +
@@ -155,7 +166,9 @@ object CurationScaleBench {
       s""""lake_batches":$lakeBatches,""" +
       s""""lake_ordered_bytes":$orderedBytes,""" +
       s""""lake_arrival_bytes":$arrivalBytes,""" +
-      s""""lake_cleaned_bytes":$cleanedBytes}""")
+      s""""lake_cleaned_bytes":$cleanedBytes,""" +
+      s""""lake_global_bytes":$globalBytes,""" +
+      s""""lake_optimize_sec":$optSec}""")
     spark.stop()
   }
 }

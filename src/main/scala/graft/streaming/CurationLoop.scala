@@ -2,6 +2,7 @@ package graft.streaming
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
 
 import graft.sinks.{DedupIndexSink, IncrementalAgg, Layout, LineDedupSink, QuantileSink, VocabSink}
@@ -45,7 +46,11 @@ import graft.sinks.{DedupIndexSink, IncrementalAgg, Layout, LineDedupSink, Quant
   * BASELINE `layout_compress`; the `curation_scale` bench carries the
   * loop-composed bytes column). Exactly-once per batch id on the same
   * marker discipline as every other sink here; [[lake]] reads
-  * committed batches only.
+  * committed batches only. [[optimizeLake]] is the maintenance pass
+  * (Delta `OPTIMIZE` analogue): fold all committed batches into one
+  * GLOBALLY similarity-ordered generation — cross-batch dup mass
+  * becomes page-adjacent and the small per-batch files compact, under
+  * the generation/manifest crash protocol.
   *
   * An optional SIXTH table is the standing LINE-dedup filter
   * ([[LineDedupSink]] — Dolma's pipeline dedups paragraphs BEFORE the
@@ -137,35 +142,180 @@ object CurationLoop {
     val applied = new Path(new Path(lr, "_batches"),
       s"$batchId/_APPLIED")
     if (!fs.exists(applied)) {
+      // an unapplied batch must sit ABOVE the optimize horizon — an
+      // uncommitted id below it cannot replay (its directory would be
+      // invisible to readers forever); only a checkpoint restored from
+      // before an optimize pass can produce this
+      val hz = lakeHorizon(spark, root)
+      require(hz < batchId,
+        s"lake batch $batchId has no _APPLIED marker but the lake is " +
+          s"optimized through $hz: restore a checkpoint at or above the " +
+          "horizon, or rebuild the lake")
       Layout.similarityOrdered(batch,
         textCol, new Path(lr, s"ingest_batch=$batchId").toString,
-        nFiles = lakeFiles, tieCols = Seq(org.apache.spark.sql.functions.col(idCol)))
+        nFiles = lakeFiles, tieCols = Seq(col(idCol)))
       fs.create(applied, true).close()
     }
   }
 
-  /** Read the committed document lake: every `ingest_batch=<id>/`
-    * directory whose `_APPLIED` marker exists, with the `ingest_batch`
-    * id as a column (the [[DedupIndexSink]] reader discipline —
-    * uncommitted crash debris never surfaces). THROWS
-    * (`IllegalArgumentException`) when no committed batch exists —
-    * with zero batches there is no schema to hand back, so a loud
-    * failure beats a silently-empty schemaless frame (the
-    * [[DedupIndexSink.allMatches]] convention).
+  // ---------------------------------------------------------------
+  // lake generations (the OPTIMIZE pass)
+
+  private def lakeFs(spark: SparkSession, root: String) =
+    new Path(lakeRoot(root)).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def readSmall(fs: org.apache.hadoop.fs.FileSystem, p: Path): String = {
+    val in = fs.open(p)
+    try {
+      val buf = new java.io.ByteArrayOutputStream()
+      val chunk = new Array[Byte](8192)
+      var n = in.read(chunk)
+      while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+      new String(buf.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+    } finally in.close()
+  }
+
+  /** The committed lake generation with the largest id, if any:
+    * `(gen, maxFoldedId, dir)` — only `_COMMITTED` generations exist
+    * to readers (the [[DedupIndexSink.committedGen]] discipline).
+    */
+  private def lakeGen(spark: SparkSession,
+                      root: String): Option[(Long, Long, Path)] = {
+    val fs = lakeFs(spark, root)
+    val base = new Path(lakeRoot(root), "_gen")
+    if (!fs.exists(base)) None
+    else fs.listStatus(base).toSeq.map(_.getPath)
+      .flatMap(p => scala.util.Try(p.getName.toLong).toOption.map((_, p)))
+      .filter { case (_, p) => fs.exists(new Path(p, "_COMMITTED")) }
+      .sortBy(_._1).lastOption
+      .map { case (g, p) =>
+        val maxId = readSmall(fs, new Path(p, "_MANIFEST")).linesIterator
+          .collectFirst { case l if l.startsWith("max_id\t") =>
+            l.stripPrefix("max_id\t").trim.toLong }
+          .getOrElse(sys.error(
+            s"lake generation $g under $root has no max_id in its manifest"))
+        (g, maxId, p)
+      }
+  }
+
+  /** Every batch id ≤ this is folded into the committed lake
+    * generation (-1 with no generation).
+    */
+  private def lakeHorizon(spark: SparkSession, root: String): Long =
+    lakeGen(spark, root).map(_._2).getOrElse(-1L)
+
+  private def committedBatchDirs(spark: SparkSession, root: String,
+                                 above: Long): Seq[(Long, String)] = {
+    val lr = new Path(lakeRoot(root))
+    val fs = lakeFs(spark, root)
+    if (!fs.exists(lr)) Seq.empty
+    else fs.listStatus(lr).toSeq.map(_.getPath)
+      .filter(_.getName.startsWith("ingest_batch="))
+      .map(p => (p.getName.stripPrefix("ingest_batch=").toLong, p.toString))
+      .filter(_._1 > above)
+      .filter { case (id, _) => fs.exists(new Path(new Path(lr, "_batches"),
+        s"$id/_APPLIED")) }
+      .sortBy(_._1)
+  }
+
+  /** OPTIMIZE the document lake (the Delta `OPTIMIZE ZORDER` analogue
+    * for this plain-parquet lake): fold every committed per-batch
+    * directory — plus the previous committed generation — into ONE
+    * generation written GLOBALLY similarity-ordered
+    * ([[Layout.similarityOrdered]] over the whole corpus, `(ingest_batch,
+    * idCol)` tie-broken so the fold is deterministic). Per-batch
+    * ordering can only make near-dups adjacent WITHIN a batch; after a
+    * year of daily batches the cross-batch dup mass (the same
+    * boilerplate arriving every day) sits one-per-file, which the
+    * global re-cluster packs page-adjacent — fewer bytes AND
+    * fewer/larger files (the small-files compaction in the same pass).
+    *
+    * Crash protocol — the [[DedupIndexSink.compactSubs]] discipline:
+    * generation `G` writes `doc_lake/_gen/<G>/data/` (overwrite,
+    * idempotent), then `_MANIFEST`, commits with `_COMMITTED`, and only
+    * then deletes the folded batch directories and the previous
+    * generation; readers decide solely by `_COMMITTED`, so a crash at
+    * any point leaves the old view intact and the next pass converges.
+    * Pre-cleanup leftovers (batch dirs at or below the horizon,
+    * uncommitted generations) are swept at the next pass. `_batches`
+    * markers are kept forever, so a replay of a FOLDED id still
+    * short-circuits in [[apply]]. Single-writer, same as the loop.
+    * Returns the committed lake horizon.
+    */
+  def optimizeLake(spark: SparkSession, root: String, idCol: String,
+                   textCol: String, nFiles: Int): Long = {
+    require(nFiles >= 1, s"file count must be >= 1, got $nFiles")
+    val fs = lakeFs(spark, root)
+    val gen = lakeGen(spark, root)
+    val lo = gen.map(_._2).getOrElse(-1L)
+    // sweep a crashed prior pass: folded batch dirs below the horizon,
+    // generations other than the committed one
+    val lr = new Path(lakeRoot(root))
+    if (fs.exists(lr)) fs.listStatus(lr).toSeq.map(_.getPath)
+      .filter(_.getName.startsWith("ingest_batch="))
+      .filter(_.getName.stripPrefix("ingest_batch=").toLong <= lo)
+      .foreach(p => fs.delete(p, true))
+    val genBase = new Path(lr, "_gen")
+    if (fs.exists(genBase)) fs.listStatus(genBase).toSeq.map(_.getPath)
+      .filter(p => scala.util.Try(p.getName.toLong).toOption
+        .exists(g => gen.forall(_._1 != g)))
+      .foreach(p => fs.delete(p, true))
+
+    val tail = committedBatchDirs(spark, root, lo)
+    if (tail.isEmpty) return lo
+    val newMax = tail.map(_._1).max
+    val g = gen.map(_._1 + 1).getOrElse(0L)
+    val gDir = new Path(genBase, g.toString)
+
+    val tailFrame = spark.read.option("basePath", lr.toString)
+      .parquet(tail.map(_._2): _*)
+      .withColumn("ingest_batch", col("ingest_batch").cast("long"))
+    val all = gen.map { case (_, _, p) =>
+        spark.read.parquet(new Path(p, "data").toString)
+          .withColumn("ingest_batch", col("ingest_batch").cast("long"))
+          .unionByName(tailFrame)
+      }.getOrElse(tailFrame)
+    Layout.similarityOrdered(all, textCol, new Path(gDir, "data").toString,
+      nFiles = nFiles, tieCols = Seq(col("ingest_batch"), col(idCol)))
+    val out = fs.create(new Path(gDir, "_MANIFEST"), true)
+    try out.write((s"max_id\t$newMax\n" +
+        gen.map(x => s"prev_gen\t${x._1}\n").getOrElse("") +
+        tail.map(d => s"folded\t${d._1}").mkString("\n") + "\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    fs.create(new Path(gDir, "_COMMITTED"), true).close() // commit point
+    // cleanup after the commit — a crash here is healed by the sweep
+    tail.foreach { case (_, d) => fs.delete(new Path(d), true) }
+    gen.foreach { case (_, _, p) => fs.delete(p, true) }
+    newMax
+  }
+
+  /** Read the committed document lake: the committed generation (when
+    * [[optimizeLake]] has run) plus every post-horizon
+    * `ingest_batch=<id>/` directory whose `_APPLIED` marker exists,
+    * with the `ingest_batch` id as a LONG column (the
+    * [[DedupIndexSink]] reader discipline — uncommitted crash debris,
+    * half-written generations, and pre-cleanup leftovers below the
+    * horizon never surface). THROWS (`IllegalArgumentException`) when
+    * no committed batch exists — with zero batches there is no schema
+    * to hand back, so a loud failure beats a silently-empty schemaless
+    * frame (the [[DedupIndexSink.allMatches]] convention).
     */
   def lake(spark: SparkSession, root: String): DataFrame = {
     val lr = new Path(lakeRoot(root))
-    val fs = lr.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val committed =
-      if (!fs.exists(lr)) Seq.empty[String]
-      else fs.listStatus(lr).toSeq.map(_.getPath)
-        .filter(_.getName.startsWith("ingest_batch="))
-        .filter(p => fs.exists(new Path(new Path(lr, "_batches"),
-          s"${p.getName.stripPrefix("ingest_batch=")}/_APPLIED")))
-        .map(_.toString).sorted
-    require(committed.nonEmpty,
+    val gen = lakeGen(spark, root)
+    val lo = gen.map(_._2).getOrElse(-1L)
+    val tail = committedBatchDirs(spark, root, lo)
+    val frames = gen.toSeq.map { case (_, _, p) =>
+      spark.read.parquet(new Path(p, "data").toString)
+        .withColumn("ingest_batch", col("ingest_batch").cast("long"))
+    } ++ (if (tail.isEmpty) Nil
+          else Seq(spark.read.option("basePath", lr.toString)
+            .parquet(tail.map(_._2): _*)
+            .withColumn("ingest_batch", col("ingest_batch").cast("long"))))
+    require(frames.nonEmpty,
       s"no committed lake batches under $lr — run the loop with lakeFiles > 0")
-    spark.read.option("basePath", lr.toString).parquet(committed: _*)
+    frames.reduce(_.unionByName(_))
   }
 
   /** Periodic index maintenance (run from the same single writer, e.g.

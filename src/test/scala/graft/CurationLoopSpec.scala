@@ -213,6 +213,75 @@ class CurationLoopSpec extends SparkSpec {
       "replaying a committed id must not touch any of the four tables")
   }
 
+  test("optimizeLake folds committed batches into one global generation; readers identical throughout") {
+    val root = freshRoot("lake-opt")
+    Seq(0L, 1L, 2L).foreach { d =>
+      CurationLoop(spark, day(d), root, "doc_id", "text",
+        Seq("lang"), Seq("lang"), "quality", d, lakeFiles = 1)
+    }
+    def lakeRows() = CurationLoop.lake(spark, root)
+      .select(col("ingest_batch"), col("doc_id"), col("lang"),
+        col("text"), col("quality"))
+      .as[(Long, Long, String, String, Double)].collect().toSet
+    val before = lakeRows()
+
+    // a half-written (uncommitted) generation is invisible
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    day(0L).write.mode("overwrite").parquet(
+      CurationLoop.lakeRoot(root) + "/_gen/99/data")
+    assert(lakeRows() === before,
+      "a generation without _COMMITTED must never surface")
+
+    // the optimize pass: same rows, one committed generation, batch
+    // dirs folded away (and the crashed gen 99 swept)
+    assert(CurationLoop.optimizeLake(spark, root, "doc_id", "text",
+      nFiles = 1) === 2L)
+    assert(lakeRows() === before, "the fold is pure data movement")
+    val lr = CurationLoop.lakeRoot(root)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(lr, "_gen/0/_COMMITTED")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(lr, "ingest_batch=0")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(lr, "_gen/99")),
+      "the sweep must remove a crashed prior pass")
+    // cross-batch near-dups are now GLOBALLY adjacent: docs 10/20/30
+    // (same text, three different batches) land consecutively
+    val ordered = sp.read.parquet(s"$lr/_gen/0/data")
+      .select(col("doc_id")).as[Long].collect().toSeq
+    val pos = Seq(10L, 20L, 30L).map(ordered.indexOf).sorted
+    assert(pos.last - pos.head === 2,
+      s"identical docs from three batches must be row-adjacent, got $ordered")
+
+    // a replay of a FOLDED id still short-circuits (markers are kept)
+    CurationLoop(spark, day(1L), root, "doc_id", "text",
+      Seq("lang"), Seq("lang"), "quality", 1L, lakeFiles = 1)
+    assert(lakeRows() === before)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(lr, "ingest_batch=1")),
+      "a folded id's replay must not rewrite its batch directory")
+
+    // post-optimize appends land as batch dirs above the horizon and
+    // read alongside the generation; a second pass folds them in
+    CurationLoop(spark, day(2L).withColumn("doc_id", col("doc_id") + 100),
+      root, "doc_id", "text", Seq("lang"), Seq("lang"), "quality", 3L,
+      lakeFiles = 1)
+    val withNew = lakeRows()
+    assert(withNew.size === before.size + 3)
+    assert(CurationLoop.optimizeLake(spark, root, "doc_id", "text",
+      nFiles = 1) === 3L)
+    assert(lakeRows() === withNew, "the second fold is pure data movement")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(lr, "_gen/1/_COMMITTED")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(lr, "_gen/0")),
+      "the superseded generation is deleted after the commit")
+
+    // an UNCOMMITTED batch below the optimize horizon is rejected
+    // loudly (a checkpoint restored from before the fold)
+    fs.delete(new org.apache.hadoop.fs.Path(lr, "_batches/2"), true)
+    val ex = intercept[IllegalArgumentException] {
+      CurationLoop(spark, day(2L), root, "doc_id", "text",
+        Seq("lang"), Seq("lang"), "quality", 2L, lakeFiles = 1)
+    }
+    assert(ex.getMessage.contains("optimized through"))
+  }
+
   test("cleanLines adds the line filter as a sixth exactly-once sink; the lake lands cleaned text") {
     // default path: no line index directory at all
     val plain = freshRoot("lines-off")
