@@ -4265,6 +4265,40 @@ object SparkEntry {
     * the new side's lang. Oracle: per-lang recompute + brute-force
     * day-ordered cross-Jaccard count + the TRUE bound literal.
     */
+  /** Q243 — lake OPTIMIZE round-trip
+    * ([[graft.streaming.CurationLoop.optimizeLake]], the Delta
+    * `OPTIMIZE ZORDER` analogue for the plain-parquet document lake):
+    * three content-keyed batches (`doc_id % 3`, the q200 fixture) land
+    * per-batch similarity-ordered through the six-sink loop's lake,
+    * then the maintenance pass folds them into ONE globally
+    * similarity-ordered generation under the `_MANIFEST`/`_COMMITTED`
+    * crash protocol. The query returns the post-optimize lake
+    * read-back — the fold is PURE DATA MOVEMENT, so the oracle is
+    * simply the source rows with their batch keys: any lost, duplicated,
+    * or mutated row anywhere in the marker/generation machinery breaks
+    * the content hash.
+    */
+  def q243(s: SparkSession, d: String): DataFrame = {
+    val keyHex = scratchKeyHex("q243|v1", d, "documents")
+    val root = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft-lakeopt-$keyHex/root").toString
+    val src = docs(s, d).select(col("doc_id"), col("lang"), col("source"),
+      col("n_chars"), col("text"),
+      col("n_chars").cast("double").as("quality"))
+    (0L to 2L).foreach { day =>
+      graft.streaming.CurationLoop(s,
+        src.filter(pmod(col("doc_id"), lit(3)) === day), root,
+        "doc_id", "text", Seq("lang"), Seq("lang"), "quality", day,
+        lakeFiles = 1)
+    }
+    graft.streaming.CurationLoop.optimizeLake(s, root, "doc_id", "text",
+      nFiles = 1)
+    graft.streaming.CurationLoop.lake(s, root)
+      .select(col("ingest_batch"), col("doc_id"), col("lang"),
+        col("source"), col("n_chars").cast("long").as("n_chars"),
+        col("text"))
+  }
+
   def q204(s: SparkSession, d: String): DataFrame = {
     val keyHex = scratchKeyHex("q204|v2", d, "documents")
     val root = new java.io.File(System.getProperty("java.io.tmpdir"),
@@ -5275,7 +5309,8 @@ object SparkEntry {
     "q239_boilerplate_topk" -> (q239 _),
     "q240_incr_line_dedup"  -> (q240 _),
     "q241_norm_line_dedup"  -> (q241 _),
-    "q242_incr_norm_lines"  -> (q242 _))
+    "q242_incr_norm_lines"  -> (q242 _),
+    "q243_lake_optimize"    -> (q243 _))
 
   // DuckDB twins. Shared SQL fragments for the text queries:
   // explicit class: Java \s includes \x0B, RE2 \s does not — see
@@ -6561,6 +6596,11 @@ object SparkEntry {
          |FROM p LEFT JOIN reb ON p.doc_id = reb.doc_id
          |LEFT JOIN nd ON p.doc_id = nd.doc_id
          |""".stripMargin),
+    // q243: the optimize fold is pure data movement — the oracle is
+    // the source rows with their content-keyed batch ids
+    "q243_lake_optimize" ->
+      ("SELECT doc_id % 3 AS ingest_batch, doc_id, lang, source, " +
+       "n_chars, text FROM documents"),
     // q236: the q212 Poisson chain with the draw keyed on SOURCE —
     // every doc of a source shares its weight per resample
     "q236_cluster_bootstrap" ->
