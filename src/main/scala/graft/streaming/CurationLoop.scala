@@ -240,11 +240,17 @@ object CurationLoop {
     * uncommitted generations) are swept at the next pass. `_batches`
     * markers are kept forever, so a replay of a FOLDED id still
     * short-circuits in [[apply]]. Single-writer, same as the loop.
-    * Returns the committed lake horizon.
+    * `nFiles = 0` (the default) sizes the generation by bytes —
+    * `ceil(source bytes / targetBytes)` files, the
+    * [[DedupIndexSink.compact]] discipline; pass an explicit `nFiles`
+    * to pin the layout (tests, benches). Returns the committed lake
+    * horizon.
     */
   def optimizeLake(spark: SparkSession, root: String, idCol: String,
-                   textCol: String, nFiles: Int): Long = {
-    require(nFiles >= 1, s"file count must be >= 1, got $nFiles")
+                   textCol: String, nFiles: Int = 0,
+                   targetBytes: Long = 128L * 1024 * 1024): Long = {
+    require(nFiles >= 0, s"file count must be >= 0 (0 = size by bytes), got $nFiles")
+    require(targetBytes >= 1, s"targetBytes must be >= 1, got $targetBytes")
     val fs = lakeFs(spark, root)
     val gen = lakeGen(spark, root)
     val lo = gen.map(_._2).getOrElse(-1L)
@@ -266,6 +272,16 @@ object CurationLoop {
     val newMax = tail.map(_._1).max
     val g = gen.map(_._1 + 1).getOrElse(0L)
     val gDir = new Path(genBase, g.toString)
+    // nFiles = 0 ⇒ size the generation by bytes (the compactSubs
+    // discipline): ceil(source bytes / targetBytes) files
+    val files =
+      if (nFiles > 0) nFiles
+      else {
+        val bytes = gen.toSeq.map(gp =>
+            fs.getContentSummary(new Path(gp._3, "data")).getLength) ++
+          tail.map(d => fs.getContentSummary(new Path(d._2)).getLength)
+        math.max(1L, (bytes.sum + targetBytes - 1) / targetBytes).toInt
+      }
 
     val tailFrame = spark.read.option("basePath", lr.toString)
       .parquet(tail.map(_._2): _*)
@@ -276,7 +292,7 @@ object CurationLoop {
           .unionByName(tailFrame)
       }.getOrElse(tailFrame)
     Layout.similarityOrdered(all, textCol, new Path(gDir, "data").toString,
-      nFiles = nFiles, tieCols = Seq(col("ingest_batch"), col(idCol)))
+      nFiles = files, tieCols = Seq(col("ingest_batch"), col(idCol)))
     val out = fs.create(new Path(gDir, "_MANIFEST"), true)
     try out.write((s"max_id\t$newMax\n" +
         gen.map(x => s"prev_gen\t${x._1}\n").getOrElse("") +
@@ -354,7 +370,8 @@ object CurationLoop {
              compactEvery: Int = 0,
              langCol: Option[String] = None,
              lakeFiles: Int = 0,
-             cleanLines: Boolean = false): DataStreamWriter[Row] =
+             cleanLines: Boolean = false,
+             optimizeEvery: Int = 0): DataStreamWriter[Row] =
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(if (availableNow) Trigger.AvailableNow()
@@ -365,6 +382,12 @@ object CurationLoop {
             partCols, keyCols, valueCol, id, langCol, lakeFiles, cleanLines)
           if (compactEvery > 0 && (id + 1) % compactEvery == 0) {
             compact(batch.sparkSession, root); ()
+          }
+          // the lake OPTIMIZE window, same single-writer serialization:
+          // byte-sized generation (nFiles = 0), after the batch commits
+          if (lakeFiles > 0 && optimizeEvery > 0 &&
+              (id + 1) % optimizeEvery == 0) {
+            optimizeLake(batch.sparkSession, root, idCol, textCol); ()
           }
         }
       }

@@ -18,8 +18,17 @@ import graft.GraftSession
   *   source=dir:/landing/docs root=s3a://bucket/curation \
   *   checkpoint=s3a://bucket/ckpt mode=drain \
   *   schema="doc_id BIGINT, lang STRING, text STRING, quality DOUBLE" \
-  *   id=doc_id text=text value=quality keys=lang parts=lang
+  *   id=doc_id text=text value=quality keys=lang parts=lang \
+  *   lang=lang lake=8 cleanlines=true compactevery=12 optimizeevery=12
   * }}}
+  *
+  * The last line turns on the optional tables and maintenance passes:
+  * `lang=` the maintained vocabulary, `lake=` the similarity-ordered
+  * document lake (`<nFiles>` per batch), `cleanlines=true` the
+  * standing line-dedup filter (the lake lands CLEANED text),
+  * `compactevery=` / `optimizeevery=` the periodic index fold and the
+  * lake OPTIMIZE (global re-cluster + small-files compaction), both
+  * from the same single writer.
   *
   * `mode=drain` (Trigger.AvailableNow) is the CRON shape: fold
   * everything that landed since the last run into the three standing
@@ -48,13 +57,23 @@ object CurationMain {
     val parts = conf.getOrElse("parts", keys.mkString(",")).split(",").toSeq
       .map(_.trim).filter(_.nonEmpty)
     val stream = spark.readStream.schema(schema).json(src.stripPrefix("dir:"))
+    // optional table/maintenance knobs: lang=<col> adds the vocabulary
+    // sink, lake=<nFiles> the similarity-ordered document lake,
+    // cleanlines=true the standing line-dedup filter (the lake then
+    // lands CLEANED text), compactevery=<n> / optimizeevery=<n> the
+    // periodic index fold and lake OPTIMIZE from the same single writer
     CurationLoop.writer(stream, root, checkpoint,
       idCol = conf.getOrElse("id", "doc_id"),
       textCol = conf.getOrElse("text", "text"),
       partCols = parts, keyCols = keys,
       valueCol = conf.getOrElse("value", "quality"),
       availableNow = conf.getOrElse("mode", "drain") == "drain",
-      interval = conf.getOrElse("interval", "30 seconds")).start()
+      interval = conf.getOrElse("interval", "30 seconds"),
+      compactEvery = conf.getOrElse("compactevery", "0").toInt,
+      langCol = conf.get("lang"),
+      lakeFiles = conf.getOrElse("lake", "0").toInt,
+      cleanLines = conf.getOrElse("cleanlines", "false").toBoolean,
+      optimizeEvery = conf.getOrElse("optimizeevery", "0").toInt).start()
   }
 
   def main(args: Array[String]): Unit = {

@@ -174,6 +174,43 @@ class CurationLoopSpec extends SparkSpec {
     assert(got._2 === fingerprint(twin)._2 && got._3 === fingerprint(twin)._3)
   }
 
+  test("CurationMain passes the lake/cleaner/vocab/optimize knobs through") {
+    val landing = java.nio.file.Files.createTempDirectory("curopt-in").toString
+    val root = freshRoot("curopt")
+    val byDay = docs.as[(Long, String, String, Double)].collect()
+      .groupBy(r => r._1 / 10 - 1)
+    (0L to 2L).foreach { d =>
+      val json = byDay(d).map { case (id, lang, text, q) =>
+        s"""{"doc_id":$id,"lang":"$lang","text":"$text","quality":$q}"""
+      }.mkString("\n")
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$landing/day$d.json"), json)
+    }
+    val q = graft.streaming.CurationMain.startQuery(spark, Map(
+      "source" -> s"dir:$landing", "root" -> root,
+      "checkpoint" -> freshRoot("curopt-ck"), "mode" -> "drain",
+      "lang" -> "lang", "lake" -> "1", "cleanlines" -> "true",
+      "optimizeevery" -> "1"))
+    q.awaitTermination()
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // all four optional pieces materialized: vocabulary, line index,
+    // lake, and (optimizeevery=1) a committed lake generation
+    assert(new java.io.File(CurationLoop.vocabRoot(root)).exists)
+    assert(new java.io.File(CurationLoop.lineRoot(root)).exists)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(
+      CurationLoop.lakeRoot(root), "_gen/0/_COMMITTED")),
+      "optimizeevery must have folded a committed generation")
+    // the lake landed CLEANED text: the sentence line survives exactly
+    // once corpus-wide (whatever batching the drain chose, keep-first
+    // leaves one copy), and every document row is present
+    val rows = CurationLoop.lake(spark, root)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    assert(rows.length === 8)
+    assert(rows.count(_._2.contains(sentence)) === 1,
+      "the cleaner must leave exactly one copy of the duplicated line")
+  }
+
   test("full-loop replay of a committed batch id is a no-op") {
     val root = freshRoot("noop")
     runLoop(root)
