@@ -4299,6 +4299,29 @@ object SparkEntry {
         col("text"))
   }
 
+  /** Q244 — deterministic training-shard export round-trip
+    * ([[graft.sinks.ShardExport]]): the documents corpus lands as
+    * `shard=K/` parquet directories of ~4 k tokens each under a
+    * content-addressed global shuffle (q78's order) with first-fit
+    * token packing (q58's prefix-sum decomposition), manifest written
+    * last as the commit. The query returns the manifest RECOMPUTED from
+    * the read-back shard files — doc counts, token sums, rank spans and
+    * the order-independent 60-bit content fingerprint sum — so any
+    * document lost, duplicated, or mutated anywhere in the write/read
+    * path breaks the oracle, which replays the order + packing + sums
+    * from the raw table.
+    */
+  def q244(s: SparkSession, d: String): DataFrame = {
+    val keyHex = scratchKeyHex("q244|b4000", d, "documents")
+    val root = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft-shards-$keyHex/root").toString
+    val src = docs(s, d).select(col("doc_id"), col("lang"), col("source"),
+      col("text"))
+    graft.sinks.ShardExport.write(s, src, "doc_id", "text",
+      budget = 4000L, salt = "graft", root)
+    graft.sinks.ShardExport.manifestFromData(s, root, "doc_id", "text")
+  }
+
   def q204(s: SparkSession, d: String): DataFrame = {
     val keyHex = scratchKeyHex("q204|v2", d, "documents")
     val root = new java.io.File(System.getProperty("java.io.tmpdir"),
@@ -5310,7 +5333,8 @@ object SparkEntry {
     "q240_incr_line_dedup"  -> (q240 _),
     "q241_norm_line_dedup"  -> (q241 _),
     "q242_incr_norm_lines"  -> (q242 _),
-    "q243_lake_optimize"    -> (q243 _))
+    "q243_lake_optimize"    -> (q243 _),
+    "q244_shard_export"     -> (q244 _))
 
   // DuckDB twins. Shared SQL fragments for the text queries:
   // explicit class: Java \s includes \x0B, RE2 \s does not — see
@@ -6601,6 +6625,28 @@ object SparkEntry {
     "q243_lake_optimize" ->
       ("SELECT doc_id % 3 AS ingest_batch, doc_id, lang, source, " +
        "n_chars, text FROM documents"),
+    // q244: replay the content-addressed shuffle order (q78's kernel),
+    // the strictly-before-prefix first-fit packing (q58's kernel) and
+    // the 60-bit md5 fingerprint sum against the raw table — the
+    // engine's number comes off the read-back shard FILES, so the match
+    // certifies the whole write/read round-trip
+    "q244_shard_export" ->
+      (s"""WITH t AS (SELECT doc_id, text,
+          |  coalesce(CAST(len($TOKS) AS BIGINT), 0) AS n,
+          |  md5('graft:' || CAST(doc_id AS VARCHAR)) AS hk FROM documents),
+          |o AS (SELECT doc_id, text, n,
+          |  CAST(row_number() OVER (ORDER BY hk, doc_id) AS BIGINT) AS rnk,
+          |  coalesce(sum(n) OVER (ORDER BY hk, doc_id
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+          |  FROM t)
+          |SELECT CAST(off // 4000 AS BIGINT) AS shard,
+          |  count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS n_tokens,
+          |  min(rnk) AS rank_min, max(rnk) AS rank_max,
+          |  CAST(sum(CAST(('0x' || substr(md5('fp:' ||
+          |    CAST(doc_id AS VARCHAR) || ':' || coalesce(text, '')),
+          |    1, 15)) AS BIGINT)) AS DECIMAL(38,0)) AS content_fp
+          |FROM o GROUP BY 1
+          |""".stripMargin),
     // q236: the q212 Poisson chain with the draw keyed on SOURCE —
     // every doc of a source shares its weight per resample
     "q236_cluster_bootstrap" ->
