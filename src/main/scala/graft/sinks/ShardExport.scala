@@ -85,6 +85,45 @@ object ShardExport {
         max(col("shuffle_rank")).as("rank_max"),
         sum(fpTerm(idCol, textCol)).as("content_fp"))
 
+  /** The assignment stage of [[write]], exposed: `docs` + `shuffle_rank`
+    * + `shard`, un-materialized — what a caller composes with when the
+    * physical write happens elsewhere (a different sink, a dry-run shard
+    * size report). Global shuffle order first (the corpus's one range
+    * exchange, [[graft.operators.Corpus.shuffleOrder]]), then the
+    * first-fit prefix sum carried INLINE so the payload columns never
+    * take an extra join: per-bucket partial sums, a partition-less
+    * cumsum over the `corpus/bucketWidth` bucket rows ONLY (metadata
+    * scale by the packSequences convention — raise `bucketWidth` with
+    * the corpus), broadcast back, per-bucket local cumsum.
+    */
+  def assignShards(docs: DataFrame, idCol: String, textCol: String,
+                   budget: Long, salt: String,
+                   bucketWidth: Long = 4096): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
+    val ordered = Corpus.shuffleOrder(docs, idCol, salt)
+    val t = ordered
+      .withColumn("__n",
+        coalesce(TextFunctions.tokenCount(col(textCol)), lit(0L)))
+      .withColumn("__bucket",
+        floor(col("shuffle_rank") / bucketWidth).cast("long"))
+    val bucketSums = t.groupBy(col("__bucket"))
+      .agg(sum(col("__n")).as("__bsum"))
+    val wBuckets = Window.orderBy(col("__bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bucketOffsets = bucketSums
+      .withColumn("__boff", coalesce(sum(col("__bsum")).over(wBuckets), lit(0L)))
+      .drop("__bsum")
+    val wInBucket = Window.partitionBy(col("__bucket"))
+      .orderBy(col("shuffle_rank"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    t.join(broadcast(bucketOffsets), "__bucket")
+      .withColumn("__off",
+        col("__boff") + coalesce(sum(col("__n")).over(wInBucket), lit(0L)))
+      .withColumn("shard", floor(col("__off") / budget).cast("long"))
+      .drop("__bucket", "__boff", "__off", "__n")
+  }
+
   /** Export `docs` as token-budget shards under `outDir` and return the
     * stored manifest. `docs` must carry `idCol` (unique) and `textCol`;
     * every other column rides along into the shard files.
@@ -98,33 +137,7 @@ object ShardExport {
       spark.sparkContext.hadoopConfiguration)
     if (fs.exists(new Path(manifestDir(outDir)))) return manifest(spark, outDir)
 
-    // global shuffle order: content-addressed rank (the corpus's one
-    // range exchange), then the two-level prefix sum carried INLINE so
-    // the payload columns never take an extra join
-    val ordered = Corpus.shuffleOrder(docs, idCol, salt)
-    val t = ordered
-      .withColumn("__n",
-        coalesce(TextFunctions.tokenCount(col(textCol)), lit(0L)))
-      .withColumn("__bucket",
-        floor(col("shuffle_rank") / bucketWidth).cast("long"))
-    val bucketSums = t.groupBy(col("__bucket"))
-      .agg(sum(col("__n")).as("__bsum"))
-    // partition-less window over bucket rows only — metadata scale by
-    // the packSequences convention (corpus/bucketWidth rows)
-    val wBuckets = Window.orderBy(col("__bucket"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val bucketOffsets = bucketSums
-      .withColumn("__boff", coalesce(sum(col("__bsum")).over(wBuckets), lit(0L)))
-      .drop("__bsum")
-    val wInBucket = Window.partitionBy(col("__bucket"))
-      .orderBy(col("shuffle_rank"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val withShard = t.join(broadcast(bucketOffsets), "__bucket")
-      .withColumn("__off",
-        col("__boff") + coalesce(sum(col("__n")).over(wInBucket), lit(0L)))
-      .withColumn("shard", floor(col("__off") / budget).cast("long"))
-      .drop("__bucket", "__boff", "__off", "__n")
-
+    val withShard = assignShards(docs, idCol, textCol, budget, salt, bucketWidth)
     withShard.write.mode("overwrite").partitionBy("shard")
       .parquet(dataDir(outDir))
     // manifest from the READ-BACK files, written last as the commit:

@@ -246,6 +246,31 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q244: shard assignment — partition-less windows only over metadata-scale frames") {
+    // the export's prefix sum must follow the two-level packSequences
+    // shape: the ONLY global windows are the partition-count cumsum of
+    // globalRank (__cnt) and the bucket-offset cumsum (__bsum) — both
+    // metadata scale; the corpus-scale windows partition by __part
+    // (rank) or __bucket (local cumsum), and the bucket offsets come
+    // back via broadcast, never a corpus shuffle
+    val p = plan(graft.sinks.ShardExport.assignShards(
+      graft.Tables.documents(spark, sf0001)
+        .select(org.apache.spark.sql.functions.col("doc_id"),
+          org.apache.spark.sql.functions.col("text")),
+      "doc_id", "text", budget = 4000L, salt = "graft"))
+    val windows = "Window \\[[^\\n]*".r.findAllIn(p).toSeq
+    val globals = windows.filter(w => "\\], \\[".r.findAllIn(w).size == 1)
+    val partitioned = windows.filter(w => "\\], \\[".r.findAllIn(w).size == 2)
+    assert(globals.nonEmpty &&
+      globals.forall(w => w.contains("__cnt") || w.contains("__bsum")),
+      s"found a global window not over partition-count/bucket-sum metadata:\n$p")
+    assert(partitioned.nonEmpty &&
+      partitioned.forall(w => w.contains("[__part") || w.contains("[__bucket")),
+      s"a data-scale window must partition by __part or __bucket:\n$p")
+    assert(p.contains("BroadcastExchange"),
+      s"bucket offsets must broadcast back to the corpus:\n$p")
+  }
+
   test("q80: the three stacked funnel windows share one hash partitioning") {
     val p = plan(SparkEntry.q80(spark, sf0001))
     // exactly one per-user exchange feeds all three stage windows; the
