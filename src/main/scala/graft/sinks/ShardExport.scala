@@ -101,6 +101,10 @@ object ShardExport {
                    bucketWidth: Long = 4096): DataFrame = {
     require(budget > 0, s"budget must be positive, got $budget")
     require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
+    val reserved = Seq("shard", "shuffle_rank").filter(docs.columns.contains)
+    require(reserved.isEmpty,
+      s"input columns ${reserved.mkString(", ")} collide with the export's " +
+        "output columns — rename them before sharding")
     val ordered = Corpus.shuffleOrder(docs, idCol, salt)
     val t = ordered
       .withColumn("__n",

@@ -134,5 +134,12 @@ class ShardExportSpec extends SparkSpec {
       ShardExport.readBack(spark, root)
     }
     assert(ex.getMessage.contains("empty"))
+
+    // reserved output names in the input fail fast instead of colliding
+    val ex2 = intercept[IllegalArgumentException] {
+      ShardExport.assignShards(corpus.withColumn("shard", lit(1)),
+        "doc_id", "text", budget = 25L, salt = "s1")
+    }
+    assert(ex2.getMessage.contains("collide"))
   }
 }
