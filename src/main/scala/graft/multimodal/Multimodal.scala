@@ -37,6 +37,26 @@ object Multimodal {
   case class MediaFeatures(media_id: Long, kind: String, n_bytes: Long,
                            checksum: Long, feature: Array[Float])
 
+  /** The single-pass decision row of [[mediaDedupPipeline]]: everything
+    * the pipeline ever reads from a payload, computed in one decode.
+    * `n_bytes`/`fp` are None for a null payload (the former column
+    * forms' null-in → null-out behavior).
+    */
+  private case class MediaHashRow(media_id: Long, kind: String,
+                                  n_bytes: Option[Long], fp: Option[String],
+                                  decoded: Boolean, phash: Long)
+
+  /** Lowercase MD5 hex — bit-identical to Spark's `md5()` column. */
+  private def md5Hex(bytes: Array[Byte]): String = {
+    val d = java.security.MessageDigest.getInstance("MD5").digest(bytes)
+    val sb = new java.lang.StringBuilder(32)
+    d.foreach { b =>
+      sb.append(Character.forDigit((b >> 4) & 0xF, 16))
+      sb.append(Character.forDigit(b & 0xF, 16))
+    }
+    sb.toString
+  }
+
   /** One sampled frame (video) / window (audio). */
   case class Frame(media_id: Long, frame_idx: Int, offset: Long, frame: Array[Byte])
 
@@ -270,41 +290,49 @@ object Multimodal {
   def imageDHash(media: Dataset[MediaRow]): Dataset[ImageHash] = {
     import media.sparkSession.implicits._
     media.mapPartitions(_.map { r =>
-      decodeImage(r.payload) match {
-        case Some(img0) =>
-          val img =
-            if (img0.getWidth == 9 && img0.getHeight == 8) img0
-            else {
-              val out = new java.awt.image.BufferedImage(9, 8,
-                java.awt.image.BufferedImage.TYPE_INT_RGB)
-              val g = out.createGraphics()
-              try {
-                g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
-                  java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
-                g.drawImage(img0, 0, 0, 9, 8, null)
-              } finally g.dispose()
-              out
-            }
-          var hash = 0L
-          var y = 0
-          while (y < 8) {
-            var x = 0
-            var prev = 0.0
-            while (x < 9) {
-              val rgb = img.getRGB(x, y)
-              val l = 0.299 * ((rgb >> 16) & 0xFF) +
-                0.587 * ((rgb >> 8) & 0xFF) + 0.114 * (rgb & 0xFF)
-              if (x > 0 && l > prev) hash |= 1L << (y * 8 + (x - 1))
-              prev = l
-              x += 1
-            }
-            y += 1
-          }
-          ImageHash(r.media_id, decoded = true, hash)
-        case None => ImageHash(r.media_id, decoded = false, 0L)
-      }
+      val (dec, hash) = dHashCore(r.payload)
+      ImageHash(r.media_id, dec, hash)
     })
   }
+
+  /** The [[imageDHash]] kernel on one payload — shared with
+    * [[mediaDedupPipeline]]'s single-pass hasher so the two can never
+    * disagree about a bit. Returns `(decoded, hash)`.
+    */
+  private def dHashCore(payload: Array[Byte]): (Boolean, Long) =
+    decodeImage(payload) match {
+      case Some(img0) =>
+        val img =
+          if (img0.getWidth == 9 && img0.getHeight == 8) img0
+          else {
+            val out = new java.awt.image.BufferedImage(9, 8,
+              java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val g = out.createGraphics()
+            try {
+              g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+                java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+              g.drawImage(img0, 0, 0, 9, 8, null)
+            } finally g.dispose()
+            out
+          }
+        var hash = 0L
+        var y = 0
+        while (y < 8) {
+          var x = 0
+          var prev = 0.0
+          while (x < 9) {
+            val rgb = img.getRGB(x, y)
+            val l = 0.299 * ((rgb >> 16) & 0xFF) +
+              0.587 * ((rgb >> 8) & 0xFF) + 0.114 * (rgb & 0xFF)
+            if (x > 0 && l > prev) hash |= 1L << (y * 8 + (x - 1))
+            prev = l
+            x += 1
+          }
+          y += 1
+        }
+        (true, hash)
+      case None => (false, 0L)
+    }
 
   /** Dihedral-CANONICAL perceptual hash: the minimum over the 8 grid
     * isometries ([[dihedral]]) of a 56-bit horizontal-difference hash
@@ -414,7 +442,15 @@ object Multimodal {
                             maxHamming: Int = 3): HammingDupClasses = {
     require(maxHamming >= 0 && maxHamming <= 3,
       s"banding is lossless only for maxHamming <= 3, got $maxHamming")
+    // ONE materialization of the (id, hash) projection: membership and
+    // the band join reference it up to six times downstream, and for
+    // every caller the upstream is a full payload decode pass — without
+    // this, each reference re-decodes the corpus (guide §8: heavy bytes
+    // are read once; every later decision runs on the 16-byte proxy).
+    // localCheckpoint, not persist: a fresh invocation always
+    // recomputes — no CacheManager plan matching across runs.
     val members = hashes.select(col(idCol).as("id"), col(hashCol).as("__h"))
+      .localCheckpoint(true)
     val classes = members.groupBy(col("__h"))
       .agg(min(col("id")).as("class_id"), count(lit(1)).as("class_size"))
     val membership = members.join(classes, Seq("__h"))
@@ -547,9 +583,31 @@ object Multimodal {
     */
   def mediaDedupPipeline(media: Dataset[MediaRow], maxHamming: Int = 3,
                          audioWindows: Int = 65): DataFrame = {
-    val base = media.toDF().select(col("media_id"), col("kind"),
-      md5(col("payload")).as("__fp"),
-      octet_length(col("payload")).cast("long").as("__bytes"))
+    import media.sparkSession.implicits._
+    // ONE pass over the payloads computes EVERY decision input — the
+    // exact byte fingerprint, the per-modality perceptual hash
+    // (identical kernels to the standalone operators: [[dHashCore]] /
+    // [[envelopeHashCore]] / [[vseqHashCore]]), and the byte size —
+    // then localCheckpoints the metadata-width result. The previous
+    // shape re-read (and re-decoded) the payload column once per
+    // downstream subtree — four synthesis/decode passes plus three
+    // base re-derivations; this is the guide-§8 design: heavy bytes
+    // are read exactly once, every later decision runs on ~40-byte
+    // rows. localCheckpoint, not persist: a fresh invocation always
+    // recomputes — no CacheManager plan matching across runs.
+    val hashed = media.mapPartitions(_.map { r =>
+      val (dec, ph) = r.kind match {
+        case "image" => dHashCore(r.payload)
+        case "audio" => envelopeHashCore(r.payload, audioWindows)
+        case "video" => vseqHashCore(r.payload)
+        case _ => (false, 0L)
+      }
+      MediaHashRow(r.media_id, r.kind,
+        Option(r.payload).map(_.length.toLong),
+        Option(r.payload).map(md5Hex), dec, ph)
+    }).toDF().localCheckpoint(true)
+    val base = hashed.select(col("media_id"), col("kind"),
+      col("fp").as("__fp"), col("n_bytes").as("__bytes"))
     val exactRep = base.groupBy(col("kind"), col("__fp"))
       .agg(min(col("media_id")).as("__erep"))
     val exactEdges = base.join(exactRep, Seq("kind", "__fp"))
@@ -562,15 +620,12 @@ object Multimodal {
         .unionByName(c.classPairs
           .select(col("a_class").as("a_id"), col("b_class").as("b_id")))
     }
-    val imgEdges = classEdges(
-      imageDHash(media.filter(m => m.kind == "image")).toDF()
-        .filter(col("decoded")).select(col("media_id"), col("dhash")), "dhash")
-    val audEdges = classEdges(
-      audioEnvelopeHash(media.filter(m => m.kind == "audio"), audioWindows).toDF()
-        .filter(col("decoded")).select(col("media_id"), col("ahash")), "ahash")
-    val vidEdges = classEdges(
-      videoSequenceHash(media.filter(m => m.kind == "video")).toDF()
-        .filter(col("decoded")).select(col("media_id"), col("vhash")), "vhash")
+    def modalityHashes(kind: String): DataFrame = hashed
+      .filter(col("kind") === kind && col("decoded"))
+      .select(col("media_id"), col("phash"))
+    val imgEdges = classEdges(modalityHashes("image"), "phash")
+    val audEdges = classEdges(modalityHashes("audio"), "phash")
+    val vidEdges = classEdges(modalityHashes("video"), "phash")
     val edges = exactEdges.unionByName(imgEdges).unionByName(audEdges)
       .unionByName(vidEdges)
     val comp = graft.operators.Dedup.nearDupComponents(
@@ -610,47 +665,55 @@ object Multimodal {
       s"need 2 <= windows <= 65 (64 hash bits), got $windows")
     import media.sparkSession.implicits._
     media.mapPartitions(_.map { r =>
-      val bad = AudioHash(r.media_id, decoded = false, 0L)
-      decodeAudio(r.payload) match {
-        case Some((fmt, data)) =>
-          val pcmSigned =
-            fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
-          if (!pcmSigned || fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1) bad
-          else {
-            val n = data.length / 2
-            val len = n / windows
-            if (len == 0) bad
-            else {
-              val sum2 = new Array[Long](windows)
-              var w = 0
-              while (w < windows) {
-                var acc = 0L
-                var i = w * len
-                val end = i + len
-                while (i < end) {
-                  val off = i * 2
-                  val b0 = data(off) & 0xFF; val b1 = data(off + 1) & 0xFF
-                  val raw = if (fmt.isBigEndian) (b0 << 8) | b1 else (b1 << 8) | b0
-                  val s = raw.toShort.toLong
-                  acc += s * s
-                  i += 1
-                }
-                sum2(w) = acc
-                w += 1
-              }
-              var hash = 0L
-              w = 0
-              while (w < windows - 1) {
-                if (sum2(w + 1) > sum2(w)) hash |= 1L << w
-                w += 1
-              }
-              AudioHash(r.media_id, decoded = true, hash)
-            }
-          }
-        case None => bad
-      }
+      val (dec, hash) = envelopeHashCore(r.payload, windows)
+      AudioHash(r.media_id, dec, hash)
     })
   }
+
+  /** The [[audioEnvelopeHash]] kernel on one payload — shared with
+    * [[mediaDedupPipeline]]'s single-pass hasher. Returns
+    * `(decoded, hash)`.
+    */
+  private def envelopeHashCore(payload: Array[Byte], windows: Int): (Boolean, Long) =
+    decodeAudio(payload) match {
+      case Some((fmt, data)) =>
+        val pcmSigned =
+          fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+        if (!pcmSigned || fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1)
+          (false, 0L)
+        else {
+          val n = data.length / 2
+          val len = n / windows
+          if (len == 0) (false, 0L)
+          else {
+            val sum2 = new Array[Long](windows)
+            var w = 0
+            while (w < windows) {
+              var acc = 0L
+              var i = w * len
+              val end = i + len
+              while (i < end) {
+                val off = i * 2
+                val b0 = data(off) & 0xFF; val b1 = data(off + 1) & 0xFF
+                val raw = if (fmt.isBigEndian) (b0 << 8) | b1 else (b1 << 8) | b0
+                val s = raw.toShort.toLong
+                acc += s * s
+                i += 1
+              }
+              sum2(w) = acc
+              w += 1
+            }
+            var hash = 0L
+            w = 0
+            while (w < windows - 1) {
+              if (sum2(w + 1) > sum2(w)) hash |= 1L << w
+              w += 1
+            }
+            (true, hash)
+          }
+        }
+      case None => (false, 0L)
+    }
 
   /** Deterministic stepped square-wave WAV: 16-bit mono PCM, step `s`
     * holds `samplesPerStep` frames of a ±`amps(s)` square wave — the
@@ -1123,20 +1186,28 @@ object Multimodal {
   def videoSequenceHash(media: Dataset[MediaRow]): Dataset[VideoHash] = {
     import media.sparkSession.implicits._
     media.mapPartitions(_.map { r =>
-      parseY4m(r.payload) match {
-        case Some(v) =>
-          var h = 0xcbf29ce484222325L
-          def mix(b: Int): Unit = { h ^= (b & 0xFF); h *= 0x100000001b3L }
-          v.yOffsets.foreach { off =>
-            val fh = fnvFrameHash(r.payload, v.w, v.h, off, v.ySize)
-            var s = 0
-            while (s < 64) { mix((fh >>> s).toInt); s += 8 }
-          }
-          VideoHash(r.media_id, decoded = true, h)
-        case None => VideoHash(r.media_id, decoded = false, 0L)
-      }
+      val (dec, hash) = vseqHashCore(r.payload)
+      VideoHash(r.media_id, dec, hash)
     })
   }
+
+  /** The [[videoSequenceHash]] kernel on one payload — shared with
+    * [[mediaDedupPipeline]]'s single-pass hasher. Returns
+    * `(decoded, hash)`.
+    */
+  private def vseqHashCore(payload: Array[Byte]): (Boolean, Long) =
+    parseY4m(payload) match {
+      case Some(v) =>
+        var h = 0xcbf29ce484222325L
+        def mix(b: Int): Unit = { h ^= (b & 0xFF); h *= 0x100000001b3L }
+        v.yOffsets.foreach { off =>
+          val fh = fnvFrameHash(payload, v.w, v.h, off, v.ySize)
+          var s = 0
+          while (s < 64) { mix((fh >>> s).toInt); s += 8 }
+        }
+        (true, h)
+      case None => (false, 0L)
+    }
 
   case class VideoFrameDHash(media_id: Long, frame_idx: Int, dhash: Long)
 

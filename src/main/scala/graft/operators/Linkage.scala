@@ -104,18 +104,23 @@ object Linkage {
     * shuffle, not OOM inside it. Escape hatch: pass
     * `maxPairsPerBlock = Long.MaxValue` to run a deliberately heavy
     * block (e.g. a one-off backfill where the cost is priced and
-    * accepted via [[blockProfile]]). The guard costs one
-    * partial-aggregating pass over `records` — noise next to the
-    * per-field u-estimation passes the scorer already pays. NOTE the
-    * gate makes this call EAGER: it runs one Spark job (`.head()` on
-    * the per-block counts) at plan-CONSTRUCTION time, and `records`
-    * is scanned once for the gate plus once per self-join side when
-    * the result executes — a caller whose `records` is an expensive
-    * upstream pipeline should `.persist()` it first (this function
-    * deliberately does not: it cannot know when the caller's lazy
-    * result is done to unpersist). Scoring
-    * itself is row-local projection over the pairs; nothing windows,
-    * nothing collects.
+    * accepted via [[blockProfile]]). NOTE this call is EAGER: at
+    * plan-CONSTRUCTION time it (a) `localCheckpoint`s the projected
+    * comparison surface — block keys + compared fields + id, a
+    * metadata-width row at any corpus scale — so the gate, the
+    * u-estimation, and both self-join sides read ONE materialization
+    * instead of re-running the caller's upstream pipeline up to seven
+    * times (localCheckpoint, not persist: a fresh invocation always
+    * recomputes from source — no CacheManager plan matching can serve
+    * a previous run's rows); (b) runs the gate's `.head()`; and (c)
+    * evaluates every per-field agreement/disagreement factor ONCE with
+    * the engine's own DECIMAL(38,0) arithmetic and inlines the
+    * resulting doubles as literals — the scored pairs then pay one
+    * double multiply per field instead of per-row decimal products
+    * and divisions (the factors depend only on the corpus-level stats
+    * row, never on the pair, so the values are bit-identical to the
+    * former per-row evaluation). Scoring itself is row-local
+    * projection over the pairs; nothing windows, nothing collects.
     *
     * Returns `(id_a, id_b, agree_<field>…, odds_r, decision)`.
     */
@@ -135,11 +140,18 @@ object Linkage {
       s"m must be in [1, 999999] ppm, got $mPpm")
     require(lower <= upper, s"thresholds out of order: $lower > $upper")
 
+    // ONE materialization of the projected comparison surface (see
+    // scaladoc): every downstream pass — gate, u-estimation, both
+    // self-join sides — reads this instead of the caller's pipeline
+    val recs = records
+      .select((blockCols ++ fieldCols :+ idCol).distinct.map(col): _*)
+      .localCheckpoint(true)
+
     // one scalar stats row: N and each field's repeat-pair sum S_j
-    val nRow = records.agg(count(lit(1)).cast(d38).as("__n"))
+    val nRow = recs.agg(count(lit(1)).cast(d38).as("__n"))
     val stats = fieldCols.zipWithIndex
       .map { case (f, j) =>
-        records.groupBy(col(f)).agg(count(lit(1)).as("__f"))
+        recs.groupBy(col(f)).agg(count(lit(1)).as("__f"))
           .agg(coalesce(sum(col("__f").cast(d38) *
             (col("__f") - 1).cast(d38)), lit(0).cast(d38)).as(s"__s$j"))
       }
@@ -149,7 +161,7 @@ object Linkage {
     // same counts blockProfile reports, checked before the self-join
     if (maxPairsPerBlock != Long.MaxValue) {
       val nullKey = blockCols.map(col(_).isNull).reduce(_ || _)
-      val worst = records.filter(!nullKey)
+      val worst = recs.filter(!nullKey)
         .groupBy(blockCols.map(col): _*)
         .agg(count(lit(1)).as("__nb"))
         .agg(max(struct((col("__nb").cast(d38) * (col("__nb") - 1)
@@ -168,16 +180,19 @@ object Linkage {
     }
 
     // candidate pairs: block-key self-join under an id total order
-    val left = records.select(
+    val left = recs.select(
       (blockCols.map(col) ++ fieldCols.map(col)) :+ col(idCol).as("id_a"): _*)
-    val right = records.select(
+    val right = recs.select(
       (blockCols.map(col) ++
         fieldCols.map(f => col(f).as(s"${f}__b"))) :+ col(idCol).as("id_b"): _*)
     val pairs = left.join(right, blockCols)
       .filter(col("id_a") < col("id_b"))
 
+    // the per-field factors depend ONLY on the stats row — evaluate
+    // them once through the engine's own decimal arithmetic (identical
+    // values to the former per-row evaluation) and inline as literals
     val nn1 = col("__n") * (col("__n") - 1)
-    val odds = fieldCols.zipWithIndex.map { case (f, j) =>
+    val factorRow = stats.select(fieldCols.indices.flatMap { j =>
       val s = col(s"__s$j")
       val fa = (lit(mPpm(j)).cast(d38) * nn1).cast("double") /
         (lit(1000000L).cast(d38) * greatest(s, lit(1).cast(d38)))
@@ -185,10 +200,14 @@ object Linkage {
       val fd = (lit(1000000L - mPpm(j)).cast(d38) * nn1).cast("double") /
         (lit(1000000L).cast(d38) * greatest(nn1 - s, lit(1).cast(d38)))
           .cast("double")
-      when(col(f) <=> col(s"${f}__b"), fa).otherwise(fd)
+      Seq(fa.as(s"__fa$j"), fd.as(s"__fd$j"))
+    }: _*).head()
+    val odds = fieldCols.zipWithIndex.map { case (f, j) =>
+      when(col(f) <=> col(s"${f}__b"), lit(factorRow.getDouble(2 * j)))
+        .otherwise(lit(factorRow.getDouble(2 * j + 1)))
     }.reduce(_ * _)
 
-    pairs.crossJoin(broadcast(stats))
+    pairs
       .withColumn("odds_r", NumFunctions.roundNz(odds, 6))
       .withColumn("decision",
         when(col("odds_r") >= upper, lit("match"))
