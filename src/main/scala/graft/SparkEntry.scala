@@ -4312,7 +4312,7 @@ object SparkEntry {
     * from the raw table.
     */
   def q244(s: SparkSession, d: String): DataFrame = {
-    val keyHex = scratchKeyHex("q244|b4000", d, "documents")
+    val keyHex = scratchKeyHex("q244|b4000|v2", d, "documents")
     val root = new java.io.File(System.getProperty("java.io.tmpdir"),
       s"graft-shards-$keyHex/root").toString
     val src = docs(s, d).select(col("doc_id"), col("lang"), col("source"),
@@ -6644,7 +6644,8 @@ object SparkEntry {
           |  min(rnk) AS rank_min, max(rnk) AS rank_max,
           |  CAST(sum(CAST(('0x' || substr(md5('fp:' ||
           |    CAST(doc_id AS VARCHAR) || ':' || coalesce(text, '')),
-          |    1, 15)) AS BIGINT)) AS DECIMAL(38,0)) AS content_fp
+          |    1, 15)) AS BIGINT)) % 2305843009213693952 AS BIGINT)
+          |    AS content_fp
           |FROM o GROUP BY 1
           |""".stripMargin),
     // q236: the q212 Poisson chain with the draw keyed on SOURCE —

@@ -60,14 +60,21 @@ object ShardExport {
   def dataDir(outDir: String): String = s"$outDir/data"
   def manifestDir(outDir: String): String = s"$outDir/manifest"
 
-  /** One document's 60-bit content term, summed per shard into the
-    * order-independent `content_fp`: any lost, duplicated, or mutated
-    * document anywhere in the write/read path changes the sum. Null
-    * text folds to '' so the term is total.
+  /** One document's 60-bit content term, summed per shard (exactly, in
+    * DECIMAL(38,0)) and reduced mod 2^61 into the order-independent
+    * BIGINT `content_fp`: any lost, duplicated, or mutated document
+    * anywhere in the write/read path changes the sum (mod-2^61 collision
+    * odds ~2^-61 per shard). Null text folds to '' so the term is total.
+    * The output is a plain long — the manifest carries no decimal
+    * column, so it round-trips byte-identically through any parquet
+    * reader's type canonicalization.
     */
   private def fpTerm(idCol: String, textCol: String) =
     conv(substring(md5(concat_ws(":", lit("fp"), col(idCol).cast("string"),
       coalesce(col(textCol), lit("")))), 1, 15), 16, 10).cast(d38)
+
+  /** 2^61 — the content_fp modulus (fits BIGINT with headroom). */
+  val fpModulus: Long = 2305843009213693952L
 
   private def hasShardDirs(fs: org.apache.hadoop.fs.FileSystem,
                            outDir: String): Boolean = {
@@ -83,7 +90,8 @@ object ShardExport {
           .as("n_tokens"),
         min(col("shuffle_rank")).as("rank_min"),
         max(col("shuffle_rank")).as("rank_max"),
-        sum(fpTerm(idCol, textCol)).as("content_fp"))
+        pmod(sum(fpTerm(idCol, textCol)), lit(fpModulus).cast(d38))
+          .cast("long").as("content_fp"))
 
   /** The assignment stage of [[write]], exposed: `docs` + `shuffle_rank`
     * + `shard`, un-materialized — what a caller composes with when the
