@@ -68,7 +68,7 @@ object Graph {
     */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
                iterations: Int = 5, dampingPct: Int = 85,
-               checkpointEvery: Int = 8, convergeL1Units: Long = 0L): DataFrame = {
+               checkpointEvery: Int = 1, convergeL1Units: Long = 0L): DataFrame = {
     require(iterations >= 1, s"need iterations >= 1, got $iterations")
     require(dampingPct > 0 && dampingPct < 100,
       s"need 0 < dampingPct < 100, got $dampingPct")
@@ -94,38 +94,48 @@ object Graph {
       .distinct()
       .coalesce(parts)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // out-degree is NODE-scale state: persist it once and fold it into
+    // the rank table each round (a tiny node⋈node join), so the one
+    // edge-scale join per iteration stays single — the round-19 shape
+    // change that removed an edge-scale join per iteration from the
+    // plan (before: e⋈ranks then e-scale⋈outdeg every round)
     val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("__outdeg"))
-    // node count rides along as a broadcast scalar — never a collect
-    val nTbl = nodes.agg(count(lit(1)).as("__n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // node count as a driver literal: one count job over the cached
+    // node table (the same driver-scalar pattern as the edge count
+    // above) replaces a crossJoin(broadcast(nTbl)) in rank₀ and in
+    // every iteration — iterations·1 fewer broadcast builds per run
+    val n = nodes.count()
 
     val teleportUnits = Scale / 100L * (100L - dampingPct) // exact: Scale % 100 == 0
+    val teleportPerNode = if (n > 0L) teleportUnits / n else 0L
 
     // rank₀ = ⌊Scale / n⌋ per node
-    var ranks = nodes.crossJoin(broadcast(nTbl))
-      .select(col("node"),
-        expr(s"$Scale div __n").as("rank_units"))
+    var ranks = nodes.select(col("node"),
+      lit(if (n > 0L) Scale / n else 0L).as("rank_units"))
 
     var it = 0
     var converged = false
     while (it < iterations && !converged) {
       it += 1
-      val contrib = e.join(ranks, e("src") === ranks("node"))
-        .join(outdeg, "src")
-        .select(col("dst").as("node"),
-          expr("rank_units div __outdeg").as("__c"))
+      val rankDeg = ranks.join(outdeg, ranks("node") === outdeg("src"))
+        .select(col("src"), expr("rank_units div __outdeg").as("__c"))
+      val contrib = e.join(rankDeg, "src")
+        .select(col("dst").as("node"), col("__c"))
       val incoming = contrib.groupBy(col("node")).agg(sum(col("__c")).as("__in"))
       var next = nodes.join(incoming, Seq("node"), "left")
-        .crossJoin(broadcast(nTbl))
         .select(col("node"),
-          (expr(s"$teleportUnits div __n") +
+          (lit(teleportPerNode) +
             expr(s"(coalesce(__in, 0L) * $dampingPct) div 100")).as("rank_units"))
       // lineage cut: a plan boundary only — rank values are identical
       // with and without it (spec-pinned). The convergence path
-      // checkpoints every round because the delta join would otherwise
-      // recompute the uncut lineage once per check.
-      if (convergeL1Units > 0L ||
-          (checkpointEvery > 0 && it % checkpointEvery == 0))
-        next = next.localCheckpoint(true)
+      // checkpoints EAGERLY every round (the delta join materializes
+      // each round anyway); the plain path cuts lineage LAZILY — the
+      // plan truncates immediately, the RDD materializes inside the
+      // final action, and no extra per-iteration job is scheduled.
+      if (convergeL1Units > 0L) next = next.localCheckpoint(true)
+      else if (checkpointEvery > 0 && it % checkpointEvery == 0)
+        next = next.localCheckpoint(false)
       if (convergeL1Units > 0L) {
         val delta = next.select(col("node"), col("rank_units").as("__new"))
           .join(ranks.select(col("node"), col("rank_units").as("__old")),
@@ -190,20 +200,26 @@ object Graph {
       .union(e.select(col("dst").as("node")))
       .distinct()
       .coalesce(parts)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // normalize a raw in/out sum to HitsScale L1 mass, exactly. The raw
-    // frame is referenced TWICE (its total and the join) — persist it
-    // so the join+agg computes once per half-step (measured: uncached,
-    // 3 iterations ran 68 s on a 31-node toy graph, pure recompute +
-    // plan overhead; cached ~1 s). Node-scale state; lazy-scoped
-    // lifecycle as in [[pageRank]].
+    // ROUND-19 SHAPE: iteration state is SPARSE — only nodes with
+    // nonzero mass carry a row. A zero-score node contributes nothing
+    // to the next half-step's sums and normalizes to (0·S) div tot = 0
+    // again, so the sparse chain is value-identical to the dense one
+    // (GraphSpec pins the hand-computed integers); densification to
+    // every node happens ONCE at the end instead of re-joining the
+    // node table into every half-step. Before: 6 node-table left
+    // joins per 3-iteration run; after: 2, both in the final select.
+    //
+    // Normalization: the raw frame is referenced twice (its total and
+    // the scale projection) — persist it so the join+agg computes once
+    // per half-step (measured: uncached, 3 iterations ran 68 s on a
+    // 31-node toy graph, pure recompute + plan overhead; cached ~1 s).
+    // Node-scale state; lazy-scoped lifecycle as in [[pageRank]].
     def normalized(raw: DataFrame, outCol: String): DataFrame = {
       val r = raw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val tot = r.agg(sum(col("__v")).as("__s"))
-      nodes.join(r, Seq("node"), "left")
-        .crossJoin(broadcast(tot))
+      r.crossJoin(broadcast(tot))
         .select(col("node"),
-          expr(s"(coalesce(__v, 0L) * $HitsScale) div __s").as(outCol))
+          expr(s"(__v * $HitsScale) div __s").as(outCol))
     }
 
     // Uniform init at constant mass 1 per node, NOT `HitsScale div n`:
@@ -214,26 +230,37 @@ object Graph {
     // >HitsScale-node cliff where `S div n` floors to 0 and the first
     // normalization divides by zero. Overflow-safe: first-step raw sums
     // are bounded by the edge count, later steps by HitsScale.
-    var hubs = nodes.select(col("node"), lit(1L).as("hu"))
+    // Iteration 1's authority raw is exactly the in-degree (every hub
+    // mass is the constant 1), so the first half-step is a plain
+    // grouped count — no join against an all-ones hub table.
     var auths: DataFrame = null
+    var hubs: DataFrame = null
     for (it <- 1 to iterations) {
-      val araw = e.join(hubs, e("src") === hubs("node"))
-        .groupBy(col("dst").as("node")).agg(sum(col("hu")).as("__v"))
+      val araw =
+        if (it == 1) e.groupBy(col("dst").as("node"))
+          .agg(count(lit(1)).as("__v"))
+        else e.join(hubs, e("src") === hubs("node"))
+          .groupBy(col("dst").as("node")).agg(sum(col("hu")).as("__v"))
       auths = normalized(araw, "au")
       val hraw = e.join(auths, e("dst") === auths("node"))
         .groupBy(col("src").as("node")).agg(sum(col("au")).as("__v"))
       hubs = normalized(hraw, "hu")
       if (checkpointEvery > 0 && it % checkpointEvery == 0) {
-        auths = auths.localCheckpoint(true)
-        hubs = hubs.localCheckpoint(true)
+        // lazy lineage cut: truncates the 4^iterations mutual-recursion
+        // plan tree immediately, materializes inside the final action —
+        // no per-iteration eager job (was localCheckpoint(true): two
+        // scheduled jobs per iteration on node-scale state)
+        auths = auths.localCheckpoint(false)
+        hubs = hubs.localCheckpoint(false)
       }
     }
-    auths.join(hubs, Seq("node"))
+    nodes.join(auths, Seq("node"), "left").join(hubs, Seq("node"), "left")
       .select(col("node"),
-        col("au").as("auth_units"), col("hu").as("hub_units"),
+        coalesce(col("au"), lit(0L)).as("auth_units"),
+        coalesce(col("hu"), lit(0L)).as("hub_units"),
         graft.functions.NumFunctions.roundNz(
-          col("au").cast("double") / HitsScale, 6).as("auth_r"),
+          coalesce(col("au"), lit(0L)).cast("double") / HitsScale, 6).as("auth_r"),
         graft.functions.NumFunctions.roundNz(
-          col("hu").cast("double") / HitsScale, 6).as("hub_r"))
+          coalesce(col("hu"), lit(0L)).cast("double") / HitsScale, 6).as("hub_r"))
   }
 }
