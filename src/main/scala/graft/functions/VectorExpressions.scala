@@ -344,6 +344,115 @@ case class PqAdcScore(left: Expression, right: Expression, ksub: Int)
     copy(left = l, right = r)
 }
 
+/** `cosine_own_max(vec, ownIdx)` — the silhouette scoring kernel
+  * ([[graft.operators.Similarity.silhouetteSimplified]]): ONE pass over
+  * a plan-constant centroid matrix per row, returning the 2-element
+  * array `[cos(vec, centroid(ownIdx)), max over cells != ownIdx of
+  * cos(vec, centroid(cell))]`. Each element is null exactly when the
+  * fused [[CosineSimilarity]] kernel would be (length mismatch or a
+  * zero-norm side), and every cosine is the kernel's bit-identical
+  * chain `dot / (sqrt(na) * sqrt(nb))` with the row norm accumulated
+  * ONCE — where the previous formulation (a fold of `maxClusters`
+  * independent CosineSimilarity calls inside nested CASE WHENs)
+  * re-accumulated the row norm per cell and generated code past the
+  * JIT/codegen limits at real cluster counts.
+  */
+case class CosineOwnMax(left: Expression, right: Expression,
+                        centroids: Array[Array[Double]])
+    extends BinaryExpression {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = true)
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val l = VectorTypeCheck.floatOrDoubleArray(left.dataType, prettyName)
+    if (!l.isSuccess) l
+    else if (right.dataType == IntegerType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs an integer own-centroid index, got ${right.dataType.catalogString}")
+  }
+
+  private def childIsFloat: Boolean =
+    left.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  // sqrt(||c||^2) per centroid, precomputed once — the same double the
+  // fused kernel's per-call Math.sqrt(nb) produces (0.0 marks zero-norm)
+  @transient private lazy val sqrtNorms: Array[Double] = centroids.map { c =>
+    var s = 0.0; var i = 0
+    while (i < c.length) { s += c(i) * c(i); i += 1 }
+    math.sqrt(s)
+  }
+
+  override def nullSafeEval(v: Any, idxAny: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    val ownIdx = idxAny.asInstanceOf[Int]
+    val isF = childIsFloat
+    val n = a.numElements()
+    var na = 0.0; var i = 0
+    while (i < n) {
+      val x = if (isF) a.getFloat(i).toDouble else a.getDouble(i)
+      na += x * x; i += 1
+    }
+    val sqna = math.sqrt(na)
+    var own: Any = null
+    var best = 0.0; var any = false
+    var cell = 0
+    while (cell < centroids.length) {
+      val c = centroids(cell)
+      if (c.length == n && na != 0.0 && sqrtNorms(cell) != 0.0) {
+        var dot = 0.0; i = 0
+        while (i < n) {
+          dot += (if (isF) a.getFloat(i).toDouble else a.getDouble(i)) * c(i)
+          i += 1
+        }
+        val cos = dot / (sqna * sqrtNorms(cell))
+        if (cell == ownIdx) own = cos
+        else if (!any || cos > best) { best = cos; any = true }
+      }
+      cell += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      Array[Any](own, if (any) best else null))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cents = ctx.addReferenceObj("centroids", centroids, "double[][]")
+    val norms = ctx.addReferenceObj("sqrtNorms", sqrtNorms, "double[]")
+    nullSafeCodeGen(ctx, ev, (a, ownIdx) => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val na = ctx.freshName("na"); val sqna = ctx.freshName("sqna")
+      val x = ctx.freshName("x"); val cell = ctx.freshName("cell")
+      val dot = ctx.freshName("dot"); val cos = ctx.freshName("cos")
+      val own = ctx.freshName("own"); val best = ctx.freshName("best")
+      val any = ctx.freshName("any"); val c = ctx.freshName("c")
+      val get = if (childIsFloat) s"(double)$a.getFloat($i)" else s"$a.getDouble($i)"
+      s"""
+         |int $n = $a.numElements();
+         |double $na = 0.0;
+         |for (int $i = 0; $i < $n; $i++) { double $x = $get; $na += $x * $x; }
+         |double $sqna = java.lang.Math.sqrt($na);
+         |Object $own = null; double $best = 0.0; boolean $any = false;
+         |for (int $cell = 0; $cell < $cents.length; $cell++) {
+         |  double[] $c = $cents[$cell];
+         |  if ($c.length == $n && $na != 0.0 && $norms[$cell] != 0.0) {
+         |    double $dot = 0.0;
+         |    for (int $i = 0; $i < $n; $i++) { $dot += $get * $c[$i]; }
+         |    double $cos = $dot / ($sqna * $norms[$cell]);
+         |    if ($cell == $ownIdx) { $own = (Object) $cos; }
+         |    else if (!$any || $cos > $best) { $best = $cos; $any = true; }
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  new Object[]{ $own, $any ? (Object) $best : null });
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** `l2_normalize(vec)` — vector scaled to unit L2 norm, in one pass
   * (norm accumulation + scale, no per-element lambda interpretation —
   * a `transform(v, x -> x / sqrt(dot))` composition re-evaluates the
@@ -397,5 +506,8 @@ object VectorFunctions {
     column(NearestCentroidL2(expression(vec), centroids))
   def pqAdcScore(codes: Column, lut: Column, ksub: Int): Column =
     column(PqAdcScore(expression(codes), expression(lut), ksub))
+  def cosineOwnMax(vec: Column, ownIdx: Column,
+                   centroids: Array[Array[Double]]): Column =
+    column(CosineOwnMax(expression(vec), expression(ownIdx), centroids))
   def l2Normalize(vec: Column): Column = column(L2Normalize(expression(vec)))
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.functions.{NumFunctions, RandomHyperplaneSignature, VectorFunctions}
 import org.apache.spark.sql.graft.ColumnBridge
@@ -53,7 +53,8 @@ object Similarity {
     * LIMIT-bounded prefix, so it costs a bounded scan no matter how
     * large the offending probe set is.
     */
-  private def requireSmallProbes(probes: DataFrame, maxProbes: Int, op: String): Unit = {
+  private def requireSmallProbes(probes: DataFrame, maxProbes: Int,
+                                 op: String): Long = {
     require(maxProbes > 0, s"maxProbes must be positive, got $maxProbes")
     // one extra bounded action per call — the price of failing fast; a
     // caller with an expensive probe pipeline should cache it first.
@@ -64,7 +65,30 @@ object Similarity {
       s"$op: probe set exceeds maxProbes = $maxProbes rows; probes are the " +
         "broadcast side — swap sides so the smaller set probes, or raise " +
         "maxProbes deliberately if the driver/executors have the memory")
+    // the count the guard already paid for feeds the corpus-spread
+    // budget: an all-pairs scorer does `probes`× the work per corpus
+    // byte, so the spread weight must carry that multiplier (round-19:
+    // a 2 k-row corpus scored against 400 probes previously planned
+    // ONE scan task and ran the whole cross product on one core)
+    seen
   }
+
+  /** Pair cosine from PRE-ACCUMULATED squared norms: the fused
+    * [[graft.functions.CosineSimilarity]] kernel's exact chain
+    * `dot / (sqrt(na) * sqrt(nb))` with `na`/`nb` computed ONCE per row
+    * (same ascending-index accumulation → the same doubles) instead of
+    * re-accumulated per pair — 3× fewer flops on every cross-join pair
+    * with bit-identical output, including the null cases (length
+    * mismatch nulls the dot; a zero-norm side nulls the guard).
+    */
+  private def preNormSim(dotCol: Column, na: Column, nb: Column): Column =
+    when(na === 0.0 || nb === 0.0, lit(null).cast("double"))
+      .otherwise(dotCol / (sqrt(na) * sqrt(nb)))
+
+  /** Squared L2 norm accumulated in ascending index order — the same
+    * double the fused kernel's `na`/`nb` accumulators produce.
+    */
+  private def sqNorm(vec: Column): Column = VectorFunctions.dot(vec, vec)
 
   /** Exact top-k cosine neighbors for each probe row. `probes` must be
     * small (it is broadcast — enforced against `maxProbes`); the corpus
@@ -73,12 +97,17 @@ object Similarity {
     */
   def topKCosine(corpus: DataFrame, probes: DataFrame, idCol: String,
                  vecCol: String, k: Int, maxProbes: Int = 100000): DataFrame = {
-    requireSmallProbes(probes, maxProbes, "topKCosine")
-    val p = probes.select(col(idCol).as("probe_id"), col(vecCol).as("pvec"))
-    val c = spreadIfNarrow(corpus.select(col(idCol).as("vec_id"), col(vecCol).as("cvec")))
+    val nProbes = requireSmallProbes(probes, maxProbes, "topKCosine")
+    val p = probes.select(col(idCol).as("probe_id"), col(vecCol).as("pvec"),
+      sqNorm(col(vecCol)).as("__pn"))
+    val c = spreadIfNarrow(
+      corpus.select(col(idCol).as("vec_id"), col(vecCol).as("cvec"),
+        sqNorm(col(vecCol)).as("__cn")),
+      computeWeight = 8L * math.max(1L, nProbes))
     val scored = c.crossJoin(broadcast(p))
       .filter(col("vec_id") =!= col("probe_id"))
-      .withColumn("sim", VectorFunctions.cosineSimilarity(col("cvec"), col("pvec")))
+      .withColumn("sim", preNormSim(
+        VectorFunctions.dot(col("cvec"), col("pvec")), col("__cn"), col("__pn")))
       .filter(col("sim").isNotNull)
     // bounded-heap ranking: shuffles k rows per probe per partition
     // instead of window-sorting every scored row (see [[TopK]])
@@ -284,15 +313,18 @@ object Similarity {
   def hardNegatives(corpus: DataFrame, probes: DataFrame, idCol: String,
                     vecCol: String, labelCol: String, k: Int,
                     maxProbes: Int = 100000): DataFrame = {
-    requireSmallProbes(probes, maxProbes, "hardNegatives")
+    val nProbes = requireSmallProbes(probes, maxProbes, "hardNegatives")
     val p = probes.select(col(idCol).as("probe_id"), col(vecCol).as("pvec"),
-      col(labelCol).as("plabel"))
+      col(labelCol).as("plabel"), sqNorm(col(vecCol)).as("__pn"))
     val c = spreadIfNarrow(corpus.select(col(idCol).as("vec_id"),
-      col(vecCol).as("cvec"), col(labelCol).as("neg_label")))
+      col(vecCol).as("cvec"), col(labelCol).as("neg_label"),
+      sqNorm(col(vecCol)).as("__cn")),
+      computeWeight = 8L * math.max(1L, nProbes))
     val scored = c.crossJoin(broadcast(p))
       .filter(col("vec_id") =!= col("probe_id") &&
         col("neg_label") =!= col("plabel"))
-      .withColumn("sim", VectorFunctions.cosineSimilarity(col("cvec"), col("pvec")))
+      .withColumn("sim", preNormSim(
+        VectorFunctions.dot(col("cvec"), col("pvec")), col("__cn"), col("__pn")))
       .filter(col("sim").isNotNull)
     TopK.topKPerKey(scored, Seq("probe_id"),
         struct(negate(col("sim")), col("vec_id")), Seq("vec_id", "neg_label", "sim"), k)
@@ -317,14 +349,17 @@ object Similarity {
   def retrievalMetrics(corpus: DataFrame, probes: DataFrame, idCol: String,
                        vecCol: String, labelCol: String, k: Int,
                        maxProbes: Int = 100000): DataFrame = {
-    requireSmallProbes(probes, maxProbes, "retrievalMetrics")
+    val nProbes = requireSmallProbes(probes, maxProbes, "retrievalMetrics")
     val p = probes.select(col(idCol).as("probe_id"), col(vecCol).as("pvec"),
-      col(labelCol).as("plabel"))
+      col(labelCol).as("plabel"), sqNorm(col(vecCol)).as("__pn"))
     val c = spreadIfNarrow(corpus.select(col(idCol).as("vec_id"),
-      col(vecCol).as("cvec"), col(labelCol).as("clabel")))
+      col(vecCol).as("cvec"), col(labelCol).as("clabel"),
+      sqNorm(col(vecCol)).as("__cn")),
+      computeWeight = 8L * math.max(1L, nProbes))
     val scored = c.crossJoin(broadcast(p))
       .filter(col("vec_id") =!= col("probe_id"))
-      .withColumn("sim", VectorFunctions.cosineSimilarity(col("cvec"), col("pvec")))
+      .withColumn("sim", preNormSim(
+        VectorFunctions.dot(col("cvec"), col("pvec")), col("__cn"), col("__pn")))
       .filter(col("sim").isNotNull)
     val top = TopK.topKPerKey(scored, Seq("probe_id"),
       struct(negate(col("sim")), col("vec_id")),
@@ -372,9 +407,13 @@ object Similarity {
     // broadcast side (guarded); at 100 TB the cross join below is what
     // an ANN candidate stage replaces — the pair table then holds
     // candidates only, and the persist is candidate-scale.
-    requireSmallProbes(a, maxProbes, "marginMining")
-    val pa = a.select(col(idCol).as("a_id"), col(vecCol).as("pvec"))
-    val cb = spreadIfNarrow(b.select(col(idCol).as("b_id"), col(vecCol).as("cvec")))
+    val nProbes = requireSmallProbes(a, maxProbes, "marginMining")
+    val pa = a.select(col(idCol).as("a_id"), col(vecCol).as("pvec"),
+      sqNorm(col(vecCol)).as("__pn"))
+    val cb = spreadIfNarrow(
+      b.select(col(idCol).as("b_id"), col(vecCol).as("cvec"),
+        sqNorm(col(vecCol)).as("__cn")),
+      computeWeight = 8L * math.max(1L, nProbes))
     // NOT persisted: the scored pairs are a MAP-SIDE product of a scan
     // and a broadcast — recomputing them for the second aggregation
     // costs two cheap codegen'd passes, where materializing pair-scale
@@ -383,7 +422,8 @@ object Similarity {
     // table is expensive to produce SHOULD persist its candidates.
     val pairs = cb.crossJoin(broadcast(pa))
       .filter(col("a_id") =!= col("b_id")) // only fires if the sides share ids
-      .withColumn("sim", VectorFunctions.cosineSimilarity(col("cvec"), col("pvec")))
+      .withColumn("sim", preNormSim(
+        VectorFunctions.dot(col("cvec"), col("pvec")), col("__cn"), col("__pn")))
       .filter(col("sim").isNotNull)
       .select(col("a_id"), col("b_id"), col("sim"))
     marginFromPairs(pairs, k)
@@ -412,24 +452,31 @@ object Similarity {
     // close to 2-4x the table count at ~(1+probes)x one side's rows,
     // measured in BASELINE.md `ann_mine_recall`); `b` hashes once per
     // table, so the join stays single-signature on the build side.
-    def withBuckets(df: DataFrame, id: String, vec: String, nProbes: Int): DataFrame =
-      df.select(col(id), col(vec),
+    def withBuckets(df: DataFrame, vec: String, nProbes: Int): DataFrame =
+      df.withColumn("bucket",
         explode(concat((0 until tables).map { t =>
           transform(
             ColumnBridge.column(graft.functions.RandomHyperplaneMultiprobe(
               ColumnBridge.expression(col(vec)), bits, seed + t, nProbes,
               portablePlanes)),
             s => struct(lit(t).as("t"), s.as("sig")))
-        }: _*)).as("bucket"))
+        }: _*)))
+    // squared norms accumulate ONCE per input row, before the table
+    // fan-out and the bucket exchange — the pair scoring downstream is
+    // then a dot + the kernel's exact division (see [[preNormSim]])
     val ab = withBuckets(spreadIfNarrow(
-      a.select(col(idCol).as("a_id"), col(vecCol).as("pvec"))), "a_id", "pvec", probes)
+      a.select(col(idCol).as("a_id"), col(vecCol).as("pvec"),
+        sqNorm(col(vecCol)).as("__pn"))), "pvec", probes)
     val bb = withBuckets(spreadIfNarrow(
-      b.select(col(idCol).as("b_id"), col(vecCol).as("cvec"))), "b_id", "cvec", 0)
+      b.select(col(idCol).as("b_id"), col(vecCol).as("cvec"),
+        sqNorm(col(vecCol)).as("__cn"))), "cvec", 0)
     val pairs = ab.join(bb, "bucket")
       .filter(col("a_id") =!= col("b_id"))
-      .select(col("a_id"), col("b_id"), col("pvec"), col("cvec"))
+      .select(col("a_id"), col("b_id"), col("pvec"), col("cvec"),
+        col("__pn"), col("__cn"))
       .dropDuplicates("a_id", "b_id")
-      .withColumn("sim", VectorFunctions.cosineSimilarity(col("cvec"), col("pvec")))
+      .withColumn("sim", preNormSim(
+        VectorFunctions.dot(col("cvec"), col("pvec")), col("__cn"), col("__pn")))
       .filter(col("sim").isNotNull)
       .select(col("a_id"), col("b_id"), col("sim"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -448,11 +495,19 @@ object Similarity {
     val bwd = TopK.topKPerKey(pairs, Seq("b_id"),
         struct(negate(col("sim")), col("a_id")), Seq("a_id", "sim"), k)
       .select(col("b_id"), NumFunctions.roundNz(col("sim"), 4).as("__s2"))
-    val avgA = fwd.groupBy(col("a_id"))
-      .agg((sum(col("sim_r").cast(dec)).cast("double") / count(lit(1))).as("__avg_a"))
+    // a's neighborhood mean rides a WINDOW over fwd's own ≤k rows per
+    // a_id (already hash-partitioned by a_id off the heap aggregate —
+    // no new exchange) instead of a groupBy + self-join, which
+    // recomputed the whole unpersisted pair table a third time
+    // (round-19: 3 pair-table passes → 2). Same decimal-exact sum /
+    // count chain, same doubles.
+    val wA = org.apache.spark.sql.expressions.Window.partitionBy(col("a_id"))
     val avgB = bwd.groupBy(col("b_id"))
       .agg((sum(col("__s2").cast(dec)).cast("double") / count(lit(1))).as("__avg_b"))
-    val scored = fwd.join(avgA, "a_id").join(avgB, "b_id")
+    val scored = fwd
+      .withColumn("__avg_a",
+        sum(col("sim_r").cast(dec)).over(wA).cast("double") / count(lit(1)).over(wA))
+      .join(avgB, "b_id")
       .withColumn("margin", NumFunctions.roundNz(
         col("sim_r") / ((col("__avg_a") + col("__avg_b")) / 2.0), 6))
     TopK.topKPerKey(scored, Seq("a_id"),
@@ -596,22 +651,31 @@ object Similarity {
       cent.toSeq.map(r => (r.get(0), r.getSeq[Double](1).toArray))
     val base = clean.select(col(labelCol).as("label"),
       col(vecCol).cast("array<double>").as("__v"))
-    val dists = cents.map { case (l, c) =>
-      (l, lit(1.0) - NumFunctions.roundNz(
-        VectorFunctions.cosineSimilarity(col("__v"),
-          typedLit(c.toSeq)), 4))
+    // ROUND-19 KERNEL: all `k` cosines per row in ONE expression pass
+    // ([[graft.functions.CosineOwnMax]] — row norm accumulated once,
+    // centroid matrix a plan constant) instead of a fold of k
+    // independent CosineSimilarity calls inside nested CASE WHENs,
+    // whose generated code failed to compile past small k and fell
+    // back to interpreted evaluation (~1 ms/row measured at k = 10).
+    // Value equivalence: each cosine is the kernel's bit-identical
+    // `dot / (sqrt(na)·sqrt(nb))` chain with identical null cases, and
+    // `min over others of (1 − round4(cos))` equals
+    // `1 − round4(max over others of cos)` because x ↦ 1 − round4(x)
+    // is monotone non-increasing (round4 is monotone, IEEE subtraction
+    // from a constant is monotone) — SimilaritySpec pins the outputs.
+    val ownIdx = cents.zipWithIndex.foldLeft(lit(null).cast("int")) {
+      case (acc, ((l, _), i)) => when(col("label") === lit(l), lit(i)).otherwise(acc)
     }
-    val a = dists.foldLeft(lit(null).cast("double")) {
-      case (acc, (l, d)) => when(col("label") === lit(l), d).otherwise(acc)
-    }
-    val b = least(dists.map { case (l, d) =>
-      when(col("label") === lit(l), lit(null).cast("double")).otherwise(d)
-    }: _*)
+    val ab = VectorFunctions.cosineOwnMax(col("__v"), ownIdx,
+      cents.map(_._2).toArray)
+    val a = lit(1.0) - NumFunctions.roundNz(element_at(col("__ab"), 1), 4)
+    val b = lit(1.0) - NumFunctions.roundNz(element_at(col("__ab"), 2), 4)
     val s = when(greatest(a, b) === 0, lit(0.0))
       .otherwise(NumFunctions.roundNz((b - a) / greatest(a, b), 6))
     // count NON-NULL silhouettes only (count(col) skips nulls), so a
     // row whose cosine degenerates to null cannot deflate the mean
     base
+      .withColumn("__ab", ab)
       .withColumn("__s", s.cast(DecimalType(18, 9)))
       .groupBy(col("label"))
       .agg(count(col("__s")).as("n"), NumFunctions.roundNz(
