@@ -40,6 +40,11 @@ object GraftSession {
     */
   def tuneForSmallFiles(spark: SparkSession): SparkSession = {
     spark.conf.set("spark.sql.files.maxPartitionBytes", "4m")
+    // NOTE (round 19): a global small advisoryPartitionSizeInBytes was
+    // measured and REJECTED — it lifted scan-bound text queries (q173
+    // 1.68→1.37 s, q215 2.71→2.42 s) but regressed every
+    // many-small-shuffle query (q240 3.0→4.3 s, q56 0.69→0.94 s);
+    // per-operator spreading is the targeted fix instead.
     spark
   }
 

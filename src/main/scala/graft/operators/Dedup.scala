@@ -1077,7 +1077,14 @@ object Dedup {
     require(minLineChars >= 1, s"minLineChars must be >= 1, got $minLineChars")
     val key =
       if (normalize) TextFunctions.normalize(col("__line")) else col("__line")
-    val lines = docs
+    // spread a NARROW input before the split/hash explode AND the
+    // rebuild (both heavy per byte — measured 0.37 µs/byte): the two
+    // consumers share ONE reused exchange; at real corpus scale the
+    // scan is already wide and the spread never fires (round 19 —
+    // before, a single-row-group fixture ran all three stages as
+    // back-to-back single-task 0.5 s stages)
+    val spread = Similarity.spreadIfNarrow(docs, computeWeight = 64)
+    val lines = spread
       .select(col(idCol).as("__id"),
         posexplode(split(col(textCol), "\n")).as(Seq("__pos", "__line")))
       .filter(length(col("__line")) >= minLineChars)
@@ -1092,7 +1099,7 @@ object Dedup {
       .groupBy(col("__id"))
       .agg(sort_array(collect_list(col("__pos"))).as("__drops"),
         count(lit(1)).as("__nd"))
-    applyLineDrops(docs, idCol, textCol, drops)
+    applyLineDrops(spread, idCol, textCol, drops)
   }
 
   /** Shared rebuild of [[dedupLines]] and [[graft.sinks.LineDedupSink]]:
@@ -1134,7 +1141,8 @@ object Dedup {
   def boilerplateTopK(docs: DataFrame, idCol: String, textCol: String,
                       k: Int = 20, minLineChars: Int = 2): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    val lines = docs
+    // same narrow-input spread as [[dedupLines]] — never fires at scale
+    val lines = Similarity.spreadIfNarrow(docs, computeWeight = 64)
       .select(col(idCol).as("__id"),
         posexplode(split(col(textCol), "\n")).as(Seq("__pos", "__line")))
       .filter(length(col("__line")) >= minLineChars)

@@ -98,7 +98,12 @@ object LineDedupSink {
       // the state is distinct by construction (each batch folds only
       // hashes absent from all prior state; replays skip the fold;
       // compaction is pure data movement).
-      val matched = probeMatched(prior, winners).map(_.localCheckpoint(true))
+      // LAZY checkpoint: the plan truncates immediately (both consumers
+      // — the new-hash anti-probe and the line split — read the
+      // checkpointed RDD, so the standing scan still runs exactly once,
+      // at first materialization) without scheduling a dedicated job
+      // per batch the way the previous eager form did
+      val matched = probeMatched(prior, winners).map(_.localCheckpoint(false))
       val drops = dropsFor(lines, winners, matched)
       if (!fs.exists(applied)) {
         // fold ONLY batch-new hashes (a seen line's hash is already in

@@ -1063,13 +1063,28 @@ class PlanSpec extends SparkSpec {
   }
 
   test("q133: every PageRank iteration reads the persisted edge cache, not the corpus") {
+    // round 19: the registry path cuts rank lineage LAZILY every
+    // iteration, so its final plan is a truncated ExistingRDD — assert
+    // the truncation (no corpus re-derivation can survive it), and
+    // check the per-iteration cache discipline on the UNCUT plan
+    // (checkpointEvery = 0), where the iteration structure is visible
     val p = plan(SparkEntry.q133(spark, sf0001))
-    // each of the 5 iterations reads edges (contrib + outdeg legs) from
-    // the cache — InMemoryTableScans must dominate; a plan that
-    // re-derived the bigram explode per iteration would repeat the
-    // tokenize/explode pipeline outside any InMemoryRelation block
-    val cacheScans = "InMemoryTableScan".r.findAllIn(p).length
-    assert(cacheScans >= 10, s"expected >=10 cache scans, got $cacheScans:\n$p")
+    assert(!p.contains("FileScan"),
+      s"the checkpointed registry plan must not re-derive the corpus:\n$p")
     assert(!p.contains("CartesianProduct"), p)
+    val uncut = plan(graft.operators.Graph.pageRank(
+        graft.operators.Corpus.bigramEdges(
+          Tables.documents(spark, sf0001), "doc_id", "text"),
+        "src", "dst", iterations = 5, dampingPct = 85, checkpointEvery = 0)
+      .orderBy(org.apache.spark.sql.functions.col("rank_units").desc,
+        org.apache.spark.sql.functions.col("node").asc).limit(50))
+    // each of the 5 iterations reads edges (contrib leg) and the
+    // node-scale outdeg/nodes tables from their caches —
+    // InMemoryTableScans must dominate; a plan that re-derived the
+    // bigram explode per iteration would repeat the tokenize/explode
+    // pipeline outside any InMemoryRelation block
+    val cacheScans = "InMemoryTableScan".r.findAllIn(uncut).length
+    assert(cacheScans >= 10, s"expected >=10 cache scans, got $cacheScans:\n$uncut")
+    assert(!uncut.contains("CartesianProduct"), uncut)
   }
 }
