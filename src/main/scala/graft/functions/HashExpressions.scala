@@ -145,6 +145,82 @@ case class HashedWordNgrams(child: Expression, n: Int, seed: Long)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** `word_shingles(text)` — text → distinct array<string> of word
+  * n-gram shingles in FIRST-OCCURRENCE order: the exact value of the
+  * composed `array_distinct(transform(sequence(...), i ->
+  * concat_ws(' ', tokens...)))` chain over
+  * [[TextFunctions.tokens]] (null text and < n tokens both yield the
+  * empty array, matching the chain's `when(...).otherwise(array())`),
+  * in ONE pass over the UTF8 bytes instead of interpreted
+  * higher-order-function evaluation (~30 µs/row measured in the q215
+  * member-shingle stage). Same explicit `[ \t\n\f\r]` whitespace class
+  * as [[HashedWordNgrams]] (RE2's `\s`, not Java's).
+  */
+case class WordShingles(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(n >= 1, "n must be >= 1")
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.StringType, containsNull = false)
+  override def nullable: Boolean = false
+
+  private val emptyResult =
+    new GenericArrayData(Array.empty[Any])
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) return emptyResult
+    val s = v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    val len = s.numBytes()
+
+    var starts = new Array[Int](math.max(8, len / 5))
+    var lens = new Array[Int](starts.length)
+    var nTok = 0
+    var i = 0
+    while (i < len) {
+      while (i < len && isWs(org.apache.spark.unsafe.Platform.getByte(base, off + i))) i += 1
+      val start = i
+      while (i < len && !isWs(org.apache.spark.unsafe.Platform.getByte(base, off + i))) i += 1
+      if (i > start) {
+        if (nTok == starts.length) {
+          starts = java.util.Arrays.copyOf(starts, nTok * 2)
+          lens = java.util.Arrays.copyOf(lens, nTok * 2)
+        }
+        starts(nTok) = start; lens(nTok) = i - start
+        nTok += 1
+      }
+    }
+    if (nTok < n) return emptyResult
+
+    val seen = new java.util.LinkedHashSet[org.apache.spark.unsafe.types.UTF8String]()
+    var g = 0
+    while (g <= nTok - n) {
+      var bytes = n - 1
+      var k = 0
+      while (k < n) { bytes += lens(g + k); k += 1 }
+      val out = new Array[Byte](bytes)
+      var pos = 0
+      k = 0
+      while (k < n) {
+        if (k > 0) { out(pos) = ' '; pos += 1 }
+        org.apache.spark.unsafe.Platform.copyMemory(base, off + starts(g + k),
+          out, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + pos, lens(g + k))
+        pos += lens(g + k)
+        k += 1
+      }
+      seen.add(org.apache.spark.unsafe.types.UTF8String.fromBytes(out))
+      g += 1
+    }
+    new GenericArrayData(seen.toArray.asInstanceOf[Array[AnyRef]])
+  }
+
+  @inline private def isWs(b: Byte): Boolean =
+    b == ' ' || b == '\t' || b == '\n' || b == '\r' || b == '\f'
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** `sorted_long_intersect_size(a, b)` — |A ∩ B| for two SORTED DISTINCT
   * array<long> columns by linear merge: no per-row hash-set allocation
   * (which is what makes built-in `array_intersect` the bottleneck on
@@ -398,6 +474,13 @@ object HashFunctions {
     */
   def hashedWordNgrams(text: Column, n: Int = 3, seed: Long = 42L): Column =
     column(HashedWordNgrams(expression(text), n, seed))
+
+  /** One-pass distinct word-n-gram shingle STRINGS in first-occurrence
+    * order (see [[WordShingles]] — the string twin of
+    * [[hashedWordNgrams]] for the evidence tier).
+    */
+  def wordShingles(text: Column, n: Int = 3): Column =
+    column(WordShingles(expression(text), n))
 
   /** Merge-count |A∩B| of two sorted distinct array<long> columns. */
   def sortedLongIntersectSize(a: Column, b: Column): Column =

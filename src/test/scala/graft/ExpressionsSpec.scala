@@ -27,6 +27,34 @@ class ExpressionsSpec extends SparkSpec {
     assert(rows(4L) === null) // zero-norm -> null, not NaN
   }
 
+  test("word_shingles: value-identical to the composed HOF chain, including edge cases") {
+    val texts = Seq(
+      "the quick brown fox jumps",
+      "a a a a a",                       // duplicate shingles collapse
+      "  leading   and\ttrailing \n ws ",
+      "two words",                       // < n tokens -> empty
+      "",                                // empty -> empty
+      null.asInstanceOf[String],         // null -> empty (chain semantics)
+      "xy z w",                    // \x0B is NOT whitespace (RE2 class)
+      "Uniçode tökens here too ok")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "t")
+    val got = df.select(col("id"),
+        HashFunctions.wordShingles(col("t"), 3).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val want = df.select(col("id"),
+        TextFunctions.shingles(TextFunctions.tokens(col("t")), 3).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(got === want)
+    // and a different n
+    val got2 = df.select(col("id"),
+        HashFunctions.wordShingles(col("t"), 2).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val want2 = df.select(col("id"),
+        TextFunctions.shingles(TextFunctions.tokens(col("t")), 2).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(got2 === want2)
+  }
+
   test("cosine_similarity: length mismatch -> null") {
     val df = Seq((Array(1.0f, 2.0f), Array(1.0f, 2.0f, 3.0f))).toDF("a", "b")
     assert(df.select(VectorFunctions.cosineSimilarity(col("a"), col("b"))).head().isNullAt(0))
