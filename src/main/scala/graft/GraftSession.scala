@@ -41,9 +41,9 @@ object GraftSession {
   def tuneForSmallFiles(spark: SparkSession): SparkSession = {
     spark.conf.set("spark.sql.files.maxPartitionBytes", "4m")
     // NOTE (round 19): a global small advisoryPartitionSizeInBytes was
-    // measured and REJECTED — it lifted scan-bound text queries (q173
-    // 1.68→1.37 s, q215 2.71→2.42 s) but regressed every
-    // many-small-shuffle query (q240 3.0→4.3 s, q56 0.69→0.94 s);
+    // measured and REJECTED twice (1 MB, interleaved A/B): it lifted a
+    // few scan-bound text queries but regressed others unpredictably
+    // (q106 1.34->2.70 s, q240 3.0->4.3 s in the two trials);
     // per-operator spreading is the targeted fix instead.
     spark
   }

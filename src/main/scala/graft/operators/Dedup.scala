@@ -697,8 +697,15 @@ object Dedup {
                       width: Int = 32, minDocs: Int = 2,
                       seed: Long = 42L): DataFrame = {
     require(minDocs >= 1, s"minDocs must be >= 1, got $minDocs")
-    val base = docs.select(col(idCol).as("id"), col(textCol).as("text"))
-      .filter(col("text").isNotNull)
+    // spread a narrow input once — both consumers (the heavy-hash
+    // aggregate and the positional re-walk) share the one reused
+    // exchange; per-byte cost here is a hash per character position,
+    // so a single-row-group fixture otherwise runs two back-to-back
+    // ~1 s single-task stages (round 19, measured); never fires on a
+    // wide real scan
+    val base = Similarity.spreadIfNarrow(
+      docs.select(col(idCol).as("id"), col(textCol).as("text"))
+        .filter(col("text").isNotNull), computeWeight = 64)
     val heavy = base
       .select(explode(array_distinct(
         HashFunctions.charWindowHashes(col("text"), width, seed))).as("h"))
