@@ -158,7 +158,10 @@ object Linkage {
       .foldLeft(nRow)((acc, s) => acc.crossJoin(s))
 
     // pre-flight pair-volume gate: the worst block's n(n−1)/2 from the
-    // same counts blockProfile reports, checked before the self-join
+    // same counts blockProfile reports, checked before the self-join —
+    // and (round 19) the TOTAL pair volume from the same one-pass
+    // aggregate, which sizes the scoring parallelism below
+    var totalPairs = -1L
     if (maxPairsPerBlock != Long.MaxValue) {
       val nullKey = blockCols.map(col(_).isNull).reduce(_ || _)
       val worst = recs.filter(!nullKey)
@@ -166,8 +169,10 @@ object Linkage {
         .agg(count(lit(1)).as("__nb"))
         .agg(max(struct((col("__nb").cast(d38) * (col("__nb") - 1)
           .cast(d38) / 2).cast(d38).as("p"),
-          to_json(struct(blockCols.map(col): _*)).as("k"))).as("w"))
-        .select(col("w.p"), col("w.k")).head()
+          to_json(struct(blockCols.map(col): _*)).as("k"))).as("w"),
+          sum((col("__nb").cast(d38) * (col("__nb") - 1)
+            .cast(d38) / 2).cast(d38)).as("__tot"))
+        .select(col("w.p"), col("w.k"), col("__tot")).head()
       if (!worst.isNullAt(0)) {
         val pairsWorst = worst.getDecimal(0)
         require(pairsWorst.compareTo(
@@ -176,13 +181,28 @@ object Linkage {
             s"pairs (> maxPairsPerBlock = $maxPairsPerBlock): refine the " +
             "blocking key (run blockProfile for the full ranking) or pass " +
             "maxPairsPerBlock = Long.MaxValue to accept the cost explicitly")
+        totalPairs = math.min(worst.getDecimal(2).longValue(), Long.MaxValue)
       }
     }
 
+    // the self-join EXPANDS (Σ n·(n−1)/2 pairs from N records), so a
+    // narrow comparison surface must be pre-partitioned by the block
+    // key to the pair volume, not its input bytes — the join then
+    // reuses the partitioning (zero extra exchanges) and the scoring
+    // projection runs wide. One partition per ~64 k pairs, clamped to
+    // the cluster; a wide real-scale input (parts ≥ target) is left
+    // untouched. Values are partitioning-independent (row-local
+    // scoring, exact integer/double chain).
+    val parallelism = records.sparkSession.sparkContext.defaultParallelism
+    val target = if (totalPairs > 0)
+      math.min(parallelism.toLong, totalPairs / 65536L + 1L).toInt else 1
+    val recsWide = if (target > recs.rdd.getNumPartitions)
+      recs.repartition(target, blockCols.map(col): _*) else recs
+
     // candidate pairs: block-key self-join under an id total order
-    val left = recs.select(
+    val left = recsWide.select(
       (blockCols.map(col) ++ fieldCols.map(col)) :+ col(idCol).as("id_a"): _*)
-    val right = recs.select(
+    val right = recsWide.select(
       (blockCols.map(col) ++
         fieldCols.map(f => col(f).as(s"${f}__b"))) :+ col(idCol).as("id_b"): _*)
     val pairs = left.join(right, blockCols)
