@@ -41,8 +41,16 @@ object Dedup {
     */
   private def hashedShingles(docs: DataFrame, idCol: String, textCol: String,
                              n: Int): DataFrame =
-    docs.select(col(idCol),
-      HashFunctions.hashedWordNgrams(col(textCol), n).as("shingles"))
+    // spread a NARROW input before the tokenize+hash pass: every
+    // consumer (LSH signatures, prefix joins, verify sides) inherits
+    // the width through the persisted shingle table — a
+    // single-row-group fixture otherwise runs the whole family's
+    // hash/explode stages one task at a time (round 19, measured);
+    // never fires on a wide real-scale scan
+    Similarity.spreadIfNarrow(docs.select(col(idCol), col(textCol)),
+        computeWeight = 64)
+      .select(col(idCol),
+        HashFunctions.hashedWordNgrams(col(textCol), n).as("shingles"))
 
   /** MinHash + LSH near-duplicate pairs (Broder, "On the resemblance
     * and containment of documents", 1997; banding per Leskovec et al.,
