@@ -398,7 +398,9 @@ object Dedup {
     // pipeline, and it feeds every propagation round plus the final
     // singleton anti-join — without the cut, each of those re-runs
     // shingling + banding + verification from scratch
-    val p0 = pairs.select(col("a_id"), col("b_id")).localCheckpoint(true)
+    // LAZY checkpoint: the count below materializes it in the same job
+    // (plan truncation is immediate; one scheduled job instead of two)
+    val p0 = pairs.select(col("a_id"), col("b_id")).localCheckpoint(false)
     // the partition budget for every loop frame follows the PAIR COUNT,
     // not the upstream's partitioning: near-dup pairs are sparse, so the
     // checkpointed set routinely holds a few hundred rows spread over
@@ -420,7 +422,7 @@ object Dedup {
     // distinct is computed once, not once per round inside the edge set.
     val active = p.select(col("a_id").as("id"))
       .unionByName(p.select(col("b_id").as("id"))).distinct()
-      .coalesce(parts).localCheckpoint(true)
+      .coalesce(parts).localCheckpoint(false) // lazy: round 1 materializes it
 
     // undirected edges both ways + self-loops so a node's own label
     // stays reachable through the groupBy-min (narrow over the two
@@ -947,7 +949,9 @@ object Dedup {
         HashFunctions.hashedWordNgrams(col("shingle"), ngram), 1))
       .join(dfByHash, Seq("__h"))
       .select(col("__id"), col("shingle"), col("df"))
-      .localCheckpoint(true)
+      // lazy: both evidence sides read the checkpointed RDD — one
+      // materialization at first use, no dedicated eager job
+      .localCheckpoint(false)
     val shared = pairs
       .join(mem.select(col("__id").as("a_id"), col("shingle"), col("df")),
         Seq("a_id"))
