@@ -433,6 +433,7 @@ object SparkEntry {
     val media = docs(s, d)
       .filter(col("text").isNotNull) // mirror the oracle's doc filter
       .select(col("doc_id"), octet_length(col("text")).cast("int").as("n"))
+      .repartition(s.sparkContext.defaultParallelism)
       .as[(Long, Int)]
       .map { case (id, n) =>
         Multimodal.MediaRow(id, "image",
@@ -459,6 +460,10 @@ object SparkEntry {
     */
   def q43(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    // NOT spread: javax.sound's provider registry serializes concurrent
+    // decode/render calls (synchronized static lookup per call), so a
+    // parallel audio stage runs ~3x SLOWER than one task (round 19,
+    // measured) — image/video kernels spread, audio stays narrow
     val media = docs(s, d)
       .filter(col("text").isNotNull) // mirror the oracle's doc filter
       .select(col("doc_id"), octet_length(col("text")).cast("int").as("n"))
@@ -493,6 +498,7 @@ object SparkEntry {
     val media = docs(s, d)
       .filter(col("text").isNotNull) // mirror the oracle's doc filter
       .select(col("doc_id"), octet_length(col("text")).cast("int").as("n"))
+      .repartition(s.sparkContext.defaultParallelism)
       .as[(Long, Int)]
       .map { case (id, n) =>
         val lumas = Array.tabulate(n % 6 + 1)(k => (n + k * 7) % 256)
@@ -1844,7 +1850,7 @@ object SparkEntry {
   def q182(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val media = docs(s, d)
-      .select(col("doc_id")).as[Long]
+      .select(col("doc_id")).repartition(s.sparkContext.defaultParallelism).as[Long]
       .map { id =>
         val g = (id % 25).toInt
         Multimodal.MediaRow(id, "image",
@@ -1878,7 +1884,7 @@ object SparkEntry {
   def q197(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val media = docs(s, d)
-      .select(col("doc_id")).as[Long]
+      .select(col("doc_id")).repartition(s.sparkContext.defaultParallelism).as[Long]
       .map { id =>
         Multimodal.MediaRow(id, "image",
           Multimodal.renderDihedralGradPng(offset = (id % 25).toInt,
@@ -1906,6 +1912,7 @@ object SparkEntry {
     */
   def q184(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    // NOT spread — the q43 audio-registry contention note applies
     val media = docs(s, d)
       .select(col("doc_id")).as[Long]
       .map { id =>
@@ -2056,6 +2063,7 @@ object SparkEntry {
     val media = docs(s, d)
       .filter(col("text").isNotNull) // mirror the oracle's doc filter
       .select(col("doc_id"), octet_length(col("text")).cast("int").as("n"))
+      .repartition(s.sparkContext.defaultParallelism)
       .as[(Long, Int)]
       .map { case (id, n) =>
         val gk = id % 40
@@ -3245,7 +3253,7 @@ object SparkEntry {
           shift = (id % 3).toInt * 4),
         9, 8, 0)
     }
-    val all = docs(s, d).select(col("doc_id")).as[Long]
+    val all = docs(s, d).select(col("doc_id")).repartition(s.sparkContext.defaultParallelism).as[Long]
     def hashesOf(ids: org.apache.spark.sql.Dataset[Long]) =
       Multimodal.imageDHash(mediaOf(ids))
         .filter(col("decoded"))
@@ -3272,6 +3280,8 @@ object SparkEntry {
     */
   def q187(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    // NOT spread — the audio half hits the q43 audio-registry
+    // contention; the mixed pipeline stays narrow like q43/q184
     val media = docs(s, d).select(col("doc_id")).as[Long].map { id =>
       if (id % 2 == 0) {
         val g = (id % 25).toInt
@@ -4837,6 +4847,7 @@ object SparkEntry {
     val media = docs(s, d)
       .filter(col("text").isNotNull) // mirror the oracle's doc filter
       .select(col("doc_id"), octet_length(col("text")).cast("int").as("n"))
+      .repartition(s.sparkContext.defaultParallelism)
       .as[(Long, Int)]
       .map { case (id, n) =>
         val lumas = Array.tabulate(n % 6 + 1)(k => (n + k * 7) % 256)
@@ -4955,6 +4966,7 @@ object SparkEntry {
     val media = docs(s, d)
       .filter(col("text").isNotNull) // mirror the oracle's doc filter
       .select(col("doc_id"), octet_length(col("text")).cast("int").as("n"))
+      .repartition(s.sparkContext.defaultParallelism)
       .as[(Long, Int)]
       .map { case (id, n) =>
         val lumas = Array.tabulate(n % 6 + 1)(k => (n + k * 7) % 256)

@@ -29,6 +29,15 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
+  // ImageIO's default ImageInputStream factory spools every read
+  // through a TEMP FILE in a shared directory — under concurrent decode
+  // tasks the file creation serializes the whole stage (round 19,
+  // measured: 32-way parallel PNG decodes ran SLOWER than one task).
+  // All payloads here are in-memory byte arrays; the memory-backed
+  // stream is strictly better. Executes once per JVM at first use of
+  // any kernel in this object (driver and executors alike).
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** A media row: opaque payload + typed metadata. */
   case class MediaRow(media_id: Long, kind: String, payload: Array[Byte],
                       width: Int, height: Int, sample_rate: Int)
