@@ -534,7 +534,11 @@ object SparkEntry {
     * caller would write. Completes the q34 ROLLUP story.
     */
   def q46(s: SparkSession, d: String): DataFrame =
-    Tables.lineitem(s, d)
+    // the cube's Expand multiplies per-row work x4 before the partial
+    // aggregate — spread a narrow scan accordingly (never fires wide)
+    graft.operators.Similarity.spreadIfNarrow(
+        Tables.lineitem(s, d).select(col("l_returnflag"),
+          col("l_linestatus"), col("l_extendedprice")), computeWeight = 32)
       .cube(col("l_returnflag"), col("l_linestatus"))
       .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice"), 2).as("s"))
 

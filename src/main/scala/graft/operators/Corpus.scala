@@ -70,7 +70,11 @@ object Corpus {
   def keywordsPerDoc(docs: DataFrame, idCol: String, textCol: String,
                      k: Int = 3): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
-    val tk = docs.select(col(idCol).as("doc_id"),
+    // spread a narrow input before the tokenize explode (round 19 —
+    // never fires on a wide real-scale scan)
+    val tk = Similarity.spreadIfNarrow(
+        docs.select(col(idCol), col(textCol)), computeWeight = 64)
+      .select(col(idCol).as("doc_id"),
         explode(split(trim(lower(col(textCol))), TextFunctions.whitespaceClass)).as("token"))
       .filter(col("token") =!= "")
     val tf = tk.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
@@ -1049,11 +1053,16 @@ object Corpus {
     * Returns `(doc_id, n_tokens, n_anchors, n_spans, n_masked,
     * mask_ratio)` — counts exact integers, ratio rounded to 6.
     */
-  def spanCorruptionPlan(docs: DataFrame, idCol: String, textCol: String,
+  def spanCorruptionPlan(docs0: DataFrame, idCol: String, textCol: String,
                          salt: String = "sc", densityNum: Int = 13,
                          minSpan: Int = 2, spanRange: Int = 3): DataFrame = {
     require(densityNum >= 1 && densityNum <= 255,
       s"densityNum must be in [1, 255], got $densityNum")
+    // row-local but md5-per-position heavy: spread a narrow input so
+    // the zero-exchange pass uses the cluster (round 19 — never fires
+    // on a wide real-scale scan; output is one row per input row, so
+    // partitioning cannot change values)
+    val docs = Similarity.spreadIfNarrow(docs0, computeWeight = 64)
     require(minSpan >= 1 && spanRange >= 1,
       s"minSpan/spanRange must be >= 1, got $minSpan/$spanRange")
     val hexThr = f"$densityNum%02x"
@@ -2262,7 +2271,8 @@ object Corpus {
       s"score map must cover exactly [0, $dim)")
     import graft.operators.QualityClassifier.featureBucket
     val sMap = typedlit(su)
-    docs
+    Similarity.spreadIfNarrow(docs.select(col(idCol), col(textCol)),
+        computeWeight = 64)
       .select(col(idCol).as("id"), TextFunctions.tokens(col(textCol)).as("__tk"))
       .filter(size(col("__tk")) > 0)
       .withColumn("__units", aggregate(col("__tk"), lit(0L), (acc, t) =>
@@ -2283,7 +2293,8 @@ object Corpus {
     require(dim >= 2 && dim <= (1 << 20), s"dim must be in [2, 2^20], got $dim")
     import graft.operators.QualityClassifier.featureBucket
     def hist(df: DataFrame): Map[Long, Long] =
-      df.select(explode(TextFunctions.tokens(col(textCol))).as("__tok"))
+      Similarity.spreadIfNarrow(df.select(col(textCol)), computeWeight = 64)
+        .select(explode(TextFunctions.tokens(col(textCol))).as("__tok"))
         .select(featureBucket(col("__tok"), dim).as("j"))
         .groupBy(col("j")).agg(count(lit(1)).as("c"))
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

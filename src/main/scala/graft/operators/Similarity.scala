@@ -33,7 +33,7 @@ object Similarity {
     * centroids): weight n means n× the partitions for the same bytes.
     * The probe costs one physical planning of `df`, no job.
     */
-  private[operators] def spreadIfNarrow(df: DataFrame,
+  private[graft] def spreadIfNarrow(df: DataFrame,
                                         computeWeight: Long = 8): DataFrame = {
     val parallelism = df.sparkSession.sparkContext.defaultParallelism
     val bytes = BigInt(df.queryExecution.optimizedPlan.stats.sizeInBytes.toLong)
