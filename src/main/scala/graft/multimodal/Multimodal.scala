@@ -49,11 +49,16 @@ object Multimodal {
   /** The single-pass decision row of [[mediaDedupPipeline]]: everything
     * the pipeline ever reads from a payload, computed in one decode.
     * `n_bytes`/`fp` are None for a null payload (the former column
-    * forms' null-in → null-out behavior).
+    * forms' null-in → null-out behavior). PUBLIC, not private: the
+    * encoder's generated serializer calls the accessors from
+    * Janino-compiled code in another package — a private class made
+    * that compile FAIL and the whole q187 serialization fall back to
+    * interpreted evaluation (round 19, found via the CodeGenerator
+    * error in the plan dump).
     */
-  private case class MediaHashRow(media_id: Long, kind: String,
-                                  n_bytes: Option[Long], fp: Option[String],
-                                  decoded: Boolean, phash: Long)
+  case class MediaHashRow(media_id: Long, kind: String,
+                          n_bytes: Option[Long], fp: Option[String],
+                          decoded: Boolean, phash: Long)
 
   /** Lowercase MD5 hex — bit-identical to Spark's `md5()` column. */
   private def md5Hex(bytes: Array[Byte]): String = {
