@@ -78,12 +78,22 @@ object Similarity {
     * `dot / (sqrt(na) * sqrt(nb))` with `na`/`nb` computed ONCE per row
     * (same ascending-index accumulation → the same doubles) instead of
     * re-accumulated per pair — 3× fewer flops on every cross-join pair
-    * with bit-identical output, including the null cases (length
-    * mismatch nulls the dot; a zero-norm side nulls the guard).
+    * with bit-identical output. The kernel's null cases (length
+    * mismatch, zero-norm side) are excluded UP FRONT by
+    * [[pairDefined]], an O(1) predicate — filtering on `sim IS NOT
+    * NULL` instead would be pushed into the join condition and
+    * re-evaluate the O(dim) dot per pair (round 19, seen in the q144
+    * plan: dotproduct appeared in both the condition and the
+    * projection).
     */
   private def preNormSim(dotCol: Column, na: Column, nb: Column): Column =
-    when(na === 0.0 || nb === 0.0, lit(null).cast("double"))
-      .otherwise(dotCol / (sqrt(na) * sqrt(nb)))
+    dotCol / (sqrt(na) * sqrt(nb))
+
+  /** True exactly when the fused kernel's cosine would be non-null:
+    * equal lengths and two nonzero norms. O(1) per pair.
+    */
+  private def pairDefined(a: Column, b: Column, na: Column, nb: Column): Column =
+    size(a) === size(b) && na =!= 0.0 && nb =!= 0.0
 
   /** Squared L2 norm accumulated in ascending index order — the same
     * double the fused kernel's `na`/`nb` accumulators produce.
@@ -105,10 +115,10 @@ object Similarity {
         sqNorm(col(vecCol)).as("__cn")),
       computeWeight = 8L * math.max(1L, nProbes))
     val scored = c.crossJoin(broadcast(p))
-      .filter(col("vec_id") =!= col("probe_id"))
+      .filter(col("vec_id") =!= col("probe_id") &&
+        pairDefined(col("cvec"), col("pvec"), col("__cn"), col("__pn")))
       .withColumn("sim", preNormSim(
         VectorFunctions.dot(col("cvec"), col("pvec")), col("__cn"), col("__pn")))
-      .filter(col("sim").isNotNull)
     // bounded-heap ranking: shuffles k rows per probe per partition
     // instead of window-sorting every scored row (see [[TopK]])
     TopK.topKPerKey(scored, Seq("probe_id"),
@@ -322,10 +332,10 @@ object Similarity {
       computeWeight = 8L * math.max(1L, nProbes))
     val scored = c.crossJoin(broadcast(p))
       .filter(col("vec_id") =!= col("probe_id") &&
-        col("neg_label") =!= col("plabel"))
+        col("neg_label") =!= col("plabel") &&
+        pairDefined(col("cvec"), col("pvec"), col("__cn"), col("__pn")))
       .withColumn("sim", preNormSim(
         VectorFunctions.dot(col("cvec"), col("pvec")), col("__cn"), col("__pn")))
-      .filter(col("sim").isNotNull)
     TopK.topKPerKey(scored, Seq("probe_id"),
         struct(negate(col("sim")), col("vec_id")), Seq("vec_id", "neg_label", "sim"), k)
       .select(col("probe_id"), col("vec_id"), col("neg_label"), col("rk"),
@@ -357,10 +367,10 @@ object Similarity {
       sqNorm(col(vecCol)).as("__cn")),
       computeWeight = 8L * math.max(1L, nProbes))
     val scored = c.crossJoin(broadcast(p))
-      .filter(col("vec_id") =!= col("probe_id"))
+      .filter(col("vec_id") =!= col("probe_id") &&
+        pairDefined(col("cvec"), col("pvec"), col("__cn"), col("__pn")))
       .withColumn("sim", preNormSim(
         VectorFunctions.dot(col("cvec"), col("pvec")), col("__cn"), col("__pn")))
-      .filter(col("sim").isNotNull)
     val top = TopK.topKPerKey(scored, Seq("probe_id"),
       struct(negate(col("sim")), col("vec_id")),
       Seq("vec_id", "clabel", "plabel"), k)
@@ -421,10 +431,11 @@ object Similarity {
     // already at 2.5 k × 2.5 k). An ANN-candidate variant whose pair
     // table is expensive to produce SHOULD persist its candidates.
     val pairs = cb.crossJoin(broadcast(pa))
-      .filter(col("a_id") =!= col("b_id")) // only fires if the sides share ids
+      // the id filter only fires if the sides share ids
+      .filter(col("a_id") =!= col("b_id") &&
+        pairDefined(col("cvec"), col("pvec"), col("__cn"), col("__pn")))
       .withColumn("sim", preNormSim(
         VectorFunctions.dot(col("cvec"), col("pvec")), col("__cn"), col("__pn")))
-      .filter(col("sim").isNotNull)
       .select(col("a_id"), col("b_id"), col("sim"))
     marginFromPairs(pairs, k)
   }
@@ -475,9 +486,9 @@ object Similarity {
       .select(col("a_id"), col("b_id"), col("pvec"), col("cvec"),
         col("__pn"), col("__cn"))
       .dropDuplicates("a_id", "b_id")
+      .filter(pairDefined(col("cvec"), col("pvec"), col("__cn"), col("__pn")))
       .withColumn("sim", preNormSim(
         VectorFunctions.dot(col("cvec"), col("pvec")), col("__cn"), col("__pn")))
-      .filter(col("sim").isNotNull)
       .select(col("a_id"), col("b_id"), col("sim"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     marginFromPairs(pairs, k)
