@@ -4848,10 +4848,12 @@ object SparkEntry {
     */
   def q139(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    // NOT spread: q139's frames are tiny (<= 6 frames of <= 12x10
+    // luma), so generation+hashing is lighter than the seed exchange
+    // it would buy (measured 0.42 -> 0.80 s spread; reverted)
     val media = docs(s, d)
       .filter(col("text").isNotNull) // mirror the oracle's doc filter
       .select(col("doc_id"), octet_length(col("text")).cast("int").as("n"))
-      .repartition(s.sparkContext.defaultParallelism)
       .as[(Long, Int)]
       .map { case (id, n) =>
         val lumas = Array.tabulate(n % 6 + 1)(k => (n + k * 7) % 256)
